@@ -1,0 +1,67 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed once warm-up-free except a tiny session-warm query
+first (JVM + codegen init would otherwise dominate q1's number).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "flagship_revenue_by_priority",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "j1_identity_lookup_fallback",
+    "x1_next_fit_units",
+    "w1_tumbling_window_counts",
+    "a1_size_rollup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from databox_adls_loader_spark.plans.queries import all_queries
+    from databox_adls_loader_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm the JVM
+
+    qs = all_queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in sorted(qs) if n not in HEADLINE]
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        # count() forces full execution without driver-side row transfer
+        # dominating the measurement for wide results
+        df.collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "total_query_time",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""S4/S5: recursive getfacl scan → multi-line record assembly → ACL records.
+
+Reference: copy-acls.sh:22-44 is a Bash state machine that groups a
+`# file:` header, `# owner:`/`# group:` comment lines, and N ACL-entry lines
+into one record; :42 strips `#`-suffixed effective-perms annotations (P9);
+:11-18 strips the leading path component (P7); :64 projects to
+{file, owner, group, acl[]} (P6).
+
+Spark-first design: the multi-line grouping is a classic
+last-non-null-header window — tag header lines, propagate the most recent
+file path to every following line with `last(..., ignorenulls=True)` over a
+monotonic line index, then group.  This shuffles once on the assembled
+record key and needs no Python row loop.  A `mapPartitions` assembler would
+risk records straddling partition boundaries; the window form is
+boundary-safe because the order key is global.
+
+At 100 TB scale getfacl text is tiny relative to data (one record per file),
+and the single `file` grouping key is high-cardinality → even shuffle; fine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def read_getfacl_text(spark: SparkSession, path: str) -> DataFrame:
+    """S4 replay source: raw getfacl -R output as a text DataFrame with a
+    global line index (the original emission order is the record grouping
+    contract, so we must keep it)."""
+    df = spark.read.text(path)
+    return df.withColumn("line_no", F.monotonically_increasing_id())
+
+
+def lines_df(spark: SparkSession, lines: list[str]) -> DataFrame:
+    """Test helper: in-memory lines with explicit order."""
+    return spark.createDataFrame(
+        [(i, l) for i, l in enumerate(lines)], "line_no: long, value: string"
+    )
+
+
+def assemble_acl_records(lines: DataFrame, strip_prefix_components: int = 1) -> DataFrame:
+    """S5 multi-line record assembly + P6 projection + P7 path strip + P9
+    comment strip, returning ACL_RECORD_SCHEMA rows.
+
+    Line classes (F6, copy-acls.sh:25-38):
+      `# file: <path>`   → record start
+      `# owner: <o>` / `# group: <g>` → record attributes
+      other non-blank    → ACL entry (trailing `\t#effective:...` dropped, :42)
+    """
+    w = Window.orderBy("line_no").rowsBetween(Window.unboundedPreceding, 0)
+    v = F.col("value")
+    tagged = (
+        lines
+        .withColumn("file_hdr", F.when(v.startswith("# file:"),
+                                       F.trim(F.expr("substring(value, 8)"))))
+        .withColumn("owner_hdr", F.when(v.startswith("# owner:"),
+                                        F.trim(F.expr("substring(value, 9)"))))
+        .withColumn("group_hdr", F.when(v.startswith("# group:"),
+                                        F.trim(F.expr("substring(value, 9)"))))
+        .withColumn("file", F.last("file_hdr", ignorenulls=True).over(w))
+        .filter(F.col("file").isNotNull())
+    )
+    is_entry = (~v.startswith("#")) & (F.trim(v) != "")
+    records = (
+        tagged.groupBy("file")
+        .agg(
+            F.max("owner_hdr").alias("owner"),
+            F.max("group_hdr").alias("group"),
+            # keep entry order: collect (line_no, entry) structs, sort, project
+            F.array_sort(
+                F.collect_list(
+                    F.when(is_entry,
+                           F.struct(F.col("line_no"),
+                                    # P9: strip '#'-suffixed annotations, trim
+                                    F.trim(F.substring_index(v, "#", 1)).alias("entry")))
+                )
+            ).alias("ordered"),
+        )
+        .select(
+            _strip_prefix(F.col("file"), strip_prefix_components).alias("file"),
+            "owner", "group",
+            F.transform(F.col("ordered"), lambda s: s["entry"]).alias("acl"),
+        )
+    )
+    return records
+
+
+def _strip_prefix(path, n: int):
+    """P7 relative-path strip (copy-acls.sh:11-18): drop the first ``n``
+    leading '/'-components, e.g. `/data/x/y` with n=1 → `x/y`."""
+    # remove up to n leading '/<comp>' groups, then any leading '/'
+    pat = "^" + (r"/[^/]*" * n) + "/?"
+    return F.regexp_replace(path, pat, "")

@@ -1,0 +1,27 @@
+"""S3 usage-line parser: `hadoop fs -du -x` text → {path, size, unit}.
+
+Reference: parseUsageLine (/root/reference/generate-file-list.py:7-17)
+tolerates 2-column (`<size> <path>`) and 3-column (`<size> <disk> <path>`)
+variants by anchoring on the path suffix.  Same tolerance here, as pure
+column expressions over a text DataFrame: the path is the last
+whitespace-delimited token, the size is the first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def parse_usage_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """Tokenize du output into DIR_ALLOCATION_SCHEMA rows (unit=0 ⇒
+    unassigned, generate-file-list.py:16).  Blank lines are dropped."""
+    toks = F.split(F.trim(F.col(value_col)), r"\s+")
+    return (
+        lines.filter(F.trim(F.col(value_col)) != "")
+        .select(
+            F.element_at(toks, -1).alias("path"),
+            F.element_at(toks, 1).cast("long").alias("size"),
+            F.lit(0).alias("unit"),
+        )
+    )

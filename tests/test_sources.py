@@ -1,0 +1,73 @@
+"""Golden-output tests for the parsers and sources (SURVEY §5.2) — the
+cases with tricky positional semantics."""
+
+from __future__ import annotations
+
+from databox_adls_loader_spark import fixtures
+from databox_adls_loader_spark.sources.acl_scan import assemble_acl_records, lines_df
+from databox_adls_loader_spark.sources.inventory import project_inventory
+from databox_adls_loader_spark.sources.usage import parse_usage_lines
+
+
+def test_usage_parser_two_and_three_column(spark):
+    lines = spark.createDataFrame(
+        [("1024  /data/a",),            # 2-column
+         ("2048  6144  /data/b",),      # 3-column (with replication)
+         ("   ",),                      # blank → dropped
+         ("7  /data/with  space",)],    # path is last token (reference anchors on suffix)
+        "value: string")
+    rows = {r["path"]: (r["size"], r["unit"])
+            for r in parse_usage_lines(lines).collect()}
+    assert rows["/data/a"] == (1024, 0)
+    assert rows["/data/b"] == (2048, 0)
+    assert "space" in rows  # suffix-anchored, like parseUsageLine
+    assert len(rows) == 3
+
+
+def test_inventory_projection_fields(spark):
+    inv = fixtures.file_inventory(spark, seed=42, n_dirs=10, files_per_dir=3)
+    rows = inv.collect()
+    assert len(rows) > 10
+    folders = [r for r in rows if r["is_folder"]]
+    files = [r for r in rows if not r["is_folder"]]
+    assert folders and files
+    for r in rows:
+        # parent_directory == dirname(name)
+        expect = r["name"].rsplit("/", 1)[0] if "/" in r["name"] else ""
+        assert r["parent_directory"] == expect
+        # permissions struct parsed from hdi_permission JSON
+        assert r["permissions"]["owner"]
+        assert r["permissions"]["group"]
+        # reserved keys stripped from residual metadata
+        assert "hdi_permission" not in r["metadata"]
+        assert "hdi_isfolder" not in r["metadata"]
+
+
+def test_multiline_acl_assembly(spark):
+    lines = fixtures.getfacl_text(seed=42, n_files=12)
+    df = assemble_acl_records(lines_df(spark, lines), strip_prefix_components=1)
+    rows = {r["file"]: r for r in df.collect()}
+    assert len(rows) == 12
+    for f, r in rows.items():
+        assert not f.startswith("/data")      # P7 strip applied
+        assert r["owner"] and r["group"]
+        assert r["acl"][0] == "user::rwx"     # entry order preserved
+        assert r["acl"][-1] == "other::---"
+        for e in r["acl"]:
+            assert "#" not in e               # P9 effective-comment strip
+
+
+def test_acl_assembly_keeps_4field_entries(spark):
+    lines = [
+        "# file: /data/x",
+        "# owner: alice",
+        "# group: devs",
+        "user::rwx",
+        "default:user:bob:rwx",
+        "other::---",
+        "",
+    ]
+    df = assemble_acl_records(lines_df(spark, lines))
+    r = df.collect()[0]
+    assert r["file"] == "x"
+    assert r["acl"] == ["user::rwx", "default:user:bob:rwx", "other::---"]

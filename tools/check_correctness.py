@@ -1,0 +1,115 @@
+"""Local stand-in for the driver's t2 gate: run every queries() entry on
+Spark and its oracle on DuckDB at sf0.01, compare row count + column names +
+an order-insensitive value hash.
+
+Usage: python tools/check_correctness.py [name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split()
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+
+def value_hash(rows, colnames):
+    # order-insensitive: hash each row (cols sorted by name), XOR-free:
+    # sort row digests then hash the concatenation
+    idx = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    digests = sorted(
+        hashlib.md5("|".join(norm_cell(r[i]) for i in idx).encode()).hexdigest()
+        for r in rows
+    )
+    return hashlib.md5("\n".join(digests).encode()).hexdigest()
+
+
+def main():
+    import __spark_entry__ as entrymod
+    from databox_adls_loader_spark.session import get_spark
+
+    spark = get_spark("correctness-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    only = set(sys.argv[1:])
+    n_pass = n_fail = n_rowsonly = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, SF_DIR)
+            spark_rows = [tuple(r) for r in sdf.collect()]
+            spark_cols = sdf.columns
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(spark_rows)} rows (no oracle)")
+            n_rowsonly += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(spark_rows) != len(duck_rows):
+            problems.append(f"rowcount {len(spark_rows)} vs {len(duck_rows)}")
+        if sorted(spark_cols) != sorted(duck_cols):
+            problems.append(f"cols {sorted(spark_cols)} vs {sorted(duck_cols)}")
+        if not problems:
+            h1 = value_hash(spark_rows, spark_cols)
+            h2 = value_hash(duck_rows, duck_cols)
+            if h1 != h2:
+                problems.append("value-hash mismatch")
+                # show first differing row for debugging
+                s = sorted(spark_rows, key=str)
+                d = sorted(duck_rows, key=str)
+                for a, b in zip(s, d):
+                    if [norm_cell(x) for x in a] != [norm_cell(x) for x in b]:
+                        problems.append(f"  spark={a!r}")
+                        problems.append(f"  duck ={b!r}")
+                        break
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems[:1]))
+            for p in problems[1:]:
+                print(f"      {p}")
+            n_fail += 1
+        else:
+            print(f"PASS  {name} ({len(spark_rows)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
