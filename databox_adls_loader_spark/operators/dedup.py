@@ -1,0 +1,240 @@
+"""Deduplication operators — the training-data-pipeline surface.
+
+The reference's only dedup is distinct-identity extraction (A2,
+copy-acls.py:87-94); a 100 TB document pipeline needs document-level dedup.
+All hot-path math stays JVM-side (higher-order array functions + xxhash64),
+no Python UDFs:
+
+  exact          hash-groupBy on canonicalized text
+  minhash + LSH  shingle → k minhashes → band → bucket join → verify
+  simhash        64-bit sign fingerprint via one aggregate over token hashes
+  ngram-jaccard  exact all-pairs similarity via shingle join (the verifier
+                 for LSH candidates; alone it is the small-data path)
+
+Scale notes: MinHash-LSH is the 100 TB path — candidate generation touches
+only same-bucket pairs (band join), never the n² cross join.  The shingle
+explode is map-side; the band join shuffles on (band, hash) which is
+uniformly distributed by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def canonical_text(col: Column | str) -> Column:
+    """Normalization for exact dedup: lowercase, collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """One shuffle on the text hash; keeps the minimum id as canonical.
+    Returns (text_hash, canonical_id, n_dupes)."""
+    return (
+        docs.select(F.md5(canonical_text(text_col)).alias("text_hash"),
+                    F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("canonical_id"),
+             F.count(F.lit(1)).alias("n_dupes"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams as an array column — pure JVM higher-order
+    functions, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(c), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(grams)
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(shingles: Column, k: int = 32) -> Column:
+    """k-permutation MinHash signature: component j is the minimum of
+    xxhash64(j, shingle) over the shingle set.  xxhash64 is deterministic
+    across JVMs, so signatures are reproducible cluster-wide."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(j, s))),
+    )
+
+
+def minhash_docs(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 32,
+                 shingle_n: int = 3) -> DataFrame:
+    """(id, sig) — signature computation is embarrassingly parallel."""
+    return docs.select(
+        F.col(id_col),
+        minhash_signature(word_shingles(text_col, shingle_n), k).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Band the signature (rows = k/bands per band), bucket-join within
+    (band, band_hash).  Returns distinct candidate (a, b) pairs with a < b.
+
+    Scale: the join key (band_idx, band_hash) is uniform; a hot bucket means
+    genuinely near-duplicate mass, which AQE skew-join splits."""
+    k_over_b = F.size(F.col("sig")) / bands
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    b, F.concat_ws(",", F.transform(
+                        F.slice(F.col("sig"),
+                                (b * k_over_b + 1).cast("int"),
+                                k_over_b.cast("int")),
+                        lambda x: x.cast("string")))),
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(right,
+                  (F.col("l.band") == F.col("r.band"))
+                  & (F.col("l.band_hash") == F.col("r.band_hash"))
+                  & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+
+
+def minhash_near_dupes(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 32, bands: int = 8,
+                       threshold: float = 0.6, shingle_n: int = 3) -> DataFrame:
+    """Full MinHash-LSH pipeline: candidates from banding, then verified by
+    the signature-estimated Jaccard (fraction of equal components) ≥
+    threshold.  Returns (a, b, est_jaccard)."""
+    sigs = minhash_docs(docs, text_col, id_col, k, shingle_n)
+    cands = lsh_candidate_pairs(sigs, bands)
+    a = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda eq: eq))
+        / F.size(F.col("sig_a"))
+    )
+    return (
+        cands.join(a, "a").join(b, "b")
+        .select("a", "b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+def simhash(col: Column | str, bits: int = 63) -> Column:
+    """SimHash fingerprint (63 bits — fits a signed long so the packing
+    fold never overflows): per token, xxhash64; per bit position, sum ±1
+    across tokens; fingerprint bit = sign.  One aggregate with a zip_with
+    fold — stays inside codegen, cost O(tokens × bits) per doc."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(c), r"\s+")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    counters = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(F.sequence(F.lit(0), F.lit(bits - 1)),
+                        lambda b: F.when(F.getbit(h, b) == 1,
+                                         F.lit(1)).otherwise(F.lit(-1))),
+            lambda x, y: x + y),
+    )
+    # pack sign bits MSB-first by folding acc*2 + bit — avoids shiftleft
+    # (whose Python wrapper only takes literal shift amounts)
+    return F.aggregate(
+        F.reverse(counters),
+        F.lit(0).cast("long"),
+        lambda acc, cnt: acc * 2 + F.when(cnt > 0, 1).otherwise(0),
+    )
+
+
+def simhash_near_dupes(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", max_hamming: int = 3,
+                       bits: int = 63) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Scale path (pigeonhole blocking): split the fingerprint into
+    ``max_hamming + 1`` blocks — any pair within the radius shares at
+    least one block verbatim, so candidates come from equi-joins on
+    (block_idx, block_value) with **guaranteed 100% recall**, then the
+    exact popcount filter prunes.  Never an n² compare."""
+    n_blocks = max_hamming + 1
+    width = bits // n_blocks
+    fp = docs.select(F.col(id_col).alias("id"), simhash(text_col, bits).alias("fp"))
+    blocks = fp.select(
+        "id", "fp",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("fp"), b * width)
+            .bitwiseAND((1 << width) - 1)
+            for b in range(n_blocks)
+        ])).alias("block_idx", "block_val"),
+    )
+    l, r = blocks.alias("l"), blocks.alias("r")
+    hamming = F.bit_count(F.col("l.fp").bitwiseXOR(F.col("r.fp")))
+    return (
+        l.join(r, (F.col("l.block_idx") == F.col("r.block_idx"))
+               & (F.col("l.block_val") == F.col("r.block_val"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+                hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (verifier / small-data path)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard over distinct word n-grams, all pairs via shingle
+    join: |A∩B| from the join, |A|,|B| from per-doc counts —
+    jaccard = inter / (|A| + |B| − inter).
+
+    Scale: this is the *verify* stage after LSH candidate pruning; run
+    standalone only when the corpus fits a shingle self-join."""
+    sh = docs.select(F.col(id_col).alias("id"),
+                     F.explode(word_shingles(text_col, n)).alias("g"))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    l, r = sh.alias("l"), sh.alias("r")
+    inter = (
+        l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l.id") < F.col("r.id")))
+        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sa, "a").join(sb, "b")
+        .select("a", "b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,153 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The container has no image/audio codecs, so the *decode* step is stubbed
+(deterministic fake, clearly marked) — but the Spark-side plumbing is the
+real design: binary columns flow untouched through pruned scans, work is
+Arrow-batched through mapInPandas with an explicit output schema, and
+partitioning is by asset so one task never holds more than
+``maxRecordsPerBatch`` payloads in memory.
+
+Scale notes: binary payloads must NEVER pass through a shuffle — all
+per-asset transforms are map-side (mapInPandas); joins against metadata
+happen on the id columns *before* attaching content.  For payloads too
+large for rows (video), the column holds a storage URI and the UDF streams
+from the object store — same signature, swap the fetch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, FloatType, IntegerType, LongType, StringType,
+    StructField, StructType,
+)
+
+ASSET_SCHEMA = StructType([
+    StructField("asset_id", LongType(), False),
+    StructField("modality", StringType(), False),   # image | audio | video
+    StructField("content", BinaryType()),            # opaque payload bytes
+    StructField("mime_type", StringType()),
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("asset_id", LongType(), False),
+    StructField("modality", StringType(), False),
+    StructField("n_bytes", LongType()),
+    StructField("sha256", StringType()),
+    StructField("width", IntegerType()),             # images: fake-decoded
+    StructField("height", IntegerType()),
+    StructField("n_frames", IntegerType()),          # video: sampled frames
+    StructField("feature", ArrayType(FloatType())),  # fake embedding
+])
+
+_FEATURE_DIM = 16
+
+
+def synthetic_assets(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic binary fixtures (no codec libs in the container)."""
+    rows = []
+    for i in range(n):
+        modality = ["image", "audio", "video"][i % 3]
+        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 13)
+        mime = {"image": "image/png", "audio": "audio/wav",
+                "video": "video/mp4"}[modality]
+        rows.append((i, modality, bytearray(payload), mime))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def _fake_decode(content: bytes, modality: str) -> dict:
+    """STUB decode — the real implementation would call PIL/librosa/pyav
+    here.  Deterministic fake: dimensions and features derived from the
+    payload hash so tests are stable.  Raises for unknown modalities the
+    way a real decoder surfaces unsupported formats."""
+    if modality not in ("image", "audio", "video"):
+        raise NotImplementedError(f"no decoder for modality {modality!r}")
+    digest = hashlib.sha256(content).digest()
+    width = height = n_frames = None
+    if modality == "image":
+        width = 64 + digest[0] % 192
+        height = 64 + digest[1] % 192
+    if modality == "video":
+        width = 320 + digest[0] % 64
+        height = 240 + digest[1] % 48
+        n_frames = 8 + digest[2] % 24
+    feature = [((digest[j % 32] * (j + 1)) % 255) / 255.0
+               for j in range(_FEATURE_DIM)]
+    return {"width": width, "height": height, "n_frames": n_frames,
+            "feature": feature}
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """Decode/feature-extract via mapInPandas: Arrow batches in, explicit
+    FEATURE_SCHEMA out.  Batch shape is (rows, columns of pd.Series); the
+    binary column arrives as Python bytes per row."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"asset_id": [], "modality": [], "n_bytes": [], "sha256": [],
+                   "width": [], "height": [], "n_frames": [], "feature": []}
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"]) if row["content"] is not None else b""
+                d = _fake_decode(content, row["modality"])
+                out["asset_id"].append(row["asset_id"])
+                out["modality"].append(row["modality"])
+                out["n_bytes"].append(len(content))
+                out["sha256"].append(hashlib.sha256(content).hexdigest())
+                out["width"].append(d["width"])
+                out["height"].append(d["height"])
+                out["n_frames"].append(d["n_frames"])
+                out["feature"].append(d["feature"])
+            yield pd.DataFrame(out)
+
+    # repartition by asset_id: spreads payload bytes evenly; the transform
+    # itself is map-side after that
+    return (
+        assets.repartition("asset_id")
+        .mapInPandas(run, schema=FEATURE_SCHEMA)
+    )
+
+
+def frame_sample(assets: DataFrame, every_n: int = 4) -> DataFrame:
+    """Video frame sampling (stub): emits one row per sampled frame with a
+    deterministic fake frame digest.  Demonstrates the 1→N mapInPandas
+    shape (explode-style output) used by real frame extraction."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = {"asset_id": [], "frame_idx": [], "frame_sha256": []}
+            for _, row in pdf.iterrows():
+                if row["modality"] != "video":
+                    continue
+                content = bytes(row["content"]) if row["content"] is not None else b""
+                n_frames = _fake_decode(content, "video")["n_frames"]
+                for fi in range(0, n_frames, every_n):
+                    rows["asset_id"].append(row["asset_id"])
+                    rows["frame_idx"].append(fi)
+                    rows["frame_sha256"].append(
+                        hashlib.sha256(content + fi.to_bytes(4, "big")).hexdigest())
+            yield pd.DataFrame(rows)
+
+    schema = StructType([
+        StructField("asset_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_sha256", StringType(), False),
+    ])
+    return assets.repartition("asset_id").mapInPandas(run, schema=schema)
+
+
+def metadata_only_stats(assets: DataFrame) -> DataFrame:
+    """Binary-aware stats that never deserialize the payload in Python:
+    length and modality rollups stay entirely JVM-side."""
+    return (
+        assets.groupBy("modality")
+        .agg(F.count(F.lit(1)).alias("n_assets"),
+             F.sum(F.length("content")).alias("total_bytes"),
+             F.max(F.length("content")).alias("max_bytes"))
+        .orderBy("modality")
+    )

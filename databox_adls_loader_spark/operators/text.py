@@ -1,0 +1,140 @@
+"""Text-analysis operators over the documents table: token counting,
+quality scoring, language-ID, document fingerprinting.
+
+Everything is built-in-function column math (JVM, codegen) — the operators
+run at scan speed with no Python in the loop, which is the difference
+between hours and days over a 100 TB text corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language marker lists for the n-gram/stopword heuristic —
+# deliberately small so the scoring stays a handful of array ops
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "fr": ["le", "la", "et", "des", "une"],
+    "es": ["el", "los", "una", "que", "por"],
+    "de": ["der", "die", "und", "ein", "nicht"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "is", "to", "in"]
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (the BPE-ish regex variant splits on
+    non-alphanumerics too — see bpe_ish_tokens)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """Sub-word-ish tokenization: split on whitespace AND punctuation
+    boundaries, drop empties — a cheap proxy for BPE token counting."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"[^\p{L}\p{N}]+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, r"[\p{L}\p{N}\s]", "")
+    return F.length(stripped) / F.greatest(F.length(c), F.lit(1))
+
+
+def stopword_ratio(col: Column | str,
+                   stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or STOPWORDS
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*sw)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def avg_word_len(col: Column | str) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0),
+                        lambda acc, t: acc + F.length(t)).cast("double")
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: long-enough docs with low
+    punctuation noise, plausible word lengths, and some stopword mass
+    score high — the standard cheap pre-filter before expensive dedup."""
+    n_tok = token_count(col).cast("double")
+    len_score = F.least(n_tok / 64.0, F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(col) * 4.0, F.lit(1.0))
+    wl = avg_word_len(col)
+    wl_score = F.when((wl >= 2.0) & (wl <= 12.0), 1.0).otherwise(0.3)
+    sw_score = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    return F.round(0.4 * len_score + 0.3 * punct_score
+                   + 0.2 * wl_score + 0.1 * sw_score, 6)
+
+
+def lang_scores(col: Column | str) -> list[tuple[str, Column]]:
+    toks = tokens(col)
+    out = []
+    for lang, markers in LANG_MARKERS.items():
+        hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*markers)))
+        out.append((lang, hits))
+    return out
+
+
+def lang_id(col: Column | str, default: str = "und") -> Column:
+    """Argmax over per-language marker-hit counts; deterministic tie-break
+    by language code order; 'und' when nothing matches."""
+    scores = lang_scores(col)
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit(default)
+    # build reversed so earlier languages win ties (when() chains short-circuit)
+    for lang, s in reversed(scores):
+        expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Whole-document fingerprint: md5 of the canonicalized text (exact-dup
+    key; engine-portable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " "))
+
+
+def fingerprint_rolling(col: Column | str, gram: int = 8) -> Column:
+    """Rolling-hash document fingerprint: the lexicographic minimum of the
+    md5s of all character ``gram``-grams — a 1-permutation MinHash over
+    char shingles.  Robust to small edits anywhere except the minimal gram;
+    md5 keeps it portable to the DuckDB oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.greatest(F.length(c) - (gram - 1), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(1), n),
+                        lambda i: F.md5(F.substring(c, i, gram)))
+    return F.array_min(grams)
+
+
+def text_stats(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """The full per-document stats projection — one map-side pass."""
+    return docs.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        F.size(bpe_ish_tokens(text_col)).alias("n_subword_tokens"),
+        char_count(text_col).alias("n_chars"),
+        F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(text_col), 6).alias("stopword_ratio"),
+        F.round(avg_word_len(text_col), 6).alias("avg_word_len"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+        fingerprint_md5(text_col).alias("fp_md5"),
+    )

@@ -818,9 +818,16 @@ def w1_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_extensions()
     return {name: spec["spark"] for name, spec in REGISTRY.items()}
 
 
 def all_oracles() -> dict[str, str]:
+    _load_extensions()
     return {name: spec["oracle"] for name, spec in REGISTRY.items()
             if spec["oracle"] is not None}
+
+
+def _load_extensions() -> None:
+    """Import the extension registrations (deferred to avoid a cycle)."""
+    from . import queries_ext  # noqa: F401

@@ -1,0 +1,276 @@
+"""Extension-operator queries: dedup, similarity search, text analysis,
+multimodal — the north-star training-data-pipeline surface, registered in
+the same oracle-checked registry as the relational core.
+
+xxhash64-based operators (MinHash-LSH, SimHash, sign-LSH ANN) have no
+DuckDB-portable hash, so they register rows-only (oracle=None) with their
+exact counterparts (ngram-jaccard, brute-force cosine) oracle-checked —
+the tests then assert the approximate operators against the exact ones
+(recall / candidate-containment), which is the stronger check anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, text
+from .queries import _t, register
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle=r"""
+    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
+           MIN(doc_id) AS canonical_id, COUNT(*) AS n_dupes
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    tags=["dedup"],
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one shuffle on the canonical-text hash."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs).orderBy("text_hash")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(t) - 2, 1) + 1),
+        i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+      FROM toks
+    ), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
+      FROM sh l JOIN sh r ON l.g = r.g AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b, ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+    WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+    ORDER BY a, b
+    """,
+    tags=["dedup"],
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.5) — the
+    verifier stage of the LSH pipeline, oracle-checked end to end."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    out = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard")).orderBy("a", "b")
+
+
+@register("dedup_minhash_lsh", oracle=None, tags=["dedup", "rows-only"])
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=32)+LSH(8 bands) near-dup pairs — the 100 TB scale path.
+    xxhash64 signatures aren't portable to DuckDB ⇒ rows-only here;
+    tests/test_dedup.py asserts candidate containment vs the exact
+    ngram-jaccard oracle query."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        dedup.minhash_near_dupes(docs, k=32, bands=8, threshold=0.5)
+        .orderBy("a", "b")
+    )
+
+
+@register("dedup_simhash", oracle=None, tags=["dedup", "rows-only"])
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 6 of 64 bits, 16-bit block join)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_dupes(docs, max_hamming=6).orderBy("a", "b")
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    ORDER BY a, b
+    """,
+    tags=["dedup", "similarity"],
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact all-pairs form (the oracle);
+    the LSH-bucketed variant is `ann_cosine_pairs_lsh` (rows-only)."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs_bruteforce(emb, threshold=0.4).orderBy("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+@register(
+    "sim_topk_bruteforce",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1)
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS sim
+    FROM embeddings e, q
+    ORDER BY sim DESC, e.vec_id LIMIT 20
+    """,
+    tags=["similarity"],
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-20 to the vec_id=1 embedding: map-side score +
+    TakeOrdered (never a full sort)."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 1).select("embedding").first()["embedding"]
+    return similarity.topk_bruteforce(emb, list(query), k=20)
+
+
+@register("sim_topk_lsh", oracle=None, tags=["similarity", "rows-only"])
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN top-20 (8 hyperplanes, hamming-1 probes) — approximate
+    by construction; tests assert recall@20 vs bruteforce."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 1).select("embedding").first()["embedding"]
+    return similarity.topk_lsh(emb, list(query), k=20, n_planes=8, probe_hamming=1)
+
+
+@register("ann_cosine_pairs_lsh", oracle=None, tags=["similarity", "rows-only"])
+def ann_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup pair search — candidates only from shared
+    sign buckets (the n²-free scale path)."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(emb, threshold=0.4, n_planes=6).orderBy("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           length(text) AS n_chars,
+           ROUND(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g'))
+                 * 1.0 / greatest(length(text), 1), 6) AS punct_ratio
+    FROM documents ORDER BY doc_id
+    """,
+    tags=["text"],
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char/punctuation stats — one map-side pass, no Python."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        text.char_count("text").alias("n_chars"),
+        F.round(text.punct_ratio("text"), 6).alias("punct_ratio"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_stopword_quality",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks, text
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','is','to','in')))
+                 * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio,
+           ROUND(list_sum(list_transform(toks, x -> length(x)))
+                 * 1.0 / greatest(len(toks), 1), 6) AS avg_word_len
+    FROM t ORDER BY doc_id
+    """,
+    tags=["text"],
+)
+def text_stopword_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(text.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(text.avg_word_len("text"), 6).alias("avg_word_len"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_lang_id",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+        len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','is'))) AS s_en,
+        len(list_filter(toks, x -> lower(x) IN ('le','la','et','des','une'))) AS s_fr,
+        len(list_filter(toks, x -> lower(x) IN ('el','los','una','que','por'))) AS s_es,
+        len(list_filter(toks, x -> lower(x) IN ('der','die','und','ein','nicht'))) AS s_de,
+        len(list_filter(toks, x -> lower(x) IN ('的','是','了','在','我'))) AS s_zh
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_en,s_fr,s_es,s_de,s_zh) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'en'
+                WHEN s_fr = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'fr'
+                WHEN s_es = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'es'
+                WHEN s_de = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'de'
+                ELSE 'zh' END AS lang_pred
+    FROM s ORDER BY doc_id
+    """,
+    tags=["text"],
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID (argmax, tie-break by language order).
+    The driver's `lang` column is synthetic (all texts share one
+    vocabulary), so the heuristic is oracle-checked against its own SQL
+    transcription, not the label."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.lang_id("text").alias("lang_pred")).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
+           list_aggregate(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+                          i -> md5(substr(text, i, 8))), 'min') AS fp_rolling
+    FROM documents ORDER BY doc_id
+    """,
+    tags=["text"],
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: canonical md5 + rolling char-8-gram min-hash
+    (1-permutation MinHash, portable because both engines md5)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.fingerprint_md5("text").alias("fp_md5"),
+        text.fingerprint_rolling("text", gram=8).alias("fp_rolling"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# multimodal (synthetic binary fixtures; rows-only — DuckDB has no view of
+# the in-memory binary assets)
+# ---------------------------------------------------------------------------
+
+@register("mm_feature_extract", oracle=None, tags=["multimodal", "rows-only"])
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode/feature-extract over binary asset columns via
+    mapInPandas (decode stubbed deterministically — no codecs in the
+    container; the schema/partitioning/batch plumbing is the real design)."""
+    assets = multimodal.synthetic_assets(spark, n=64)
+    return multimodal.extract_features(assets).orderBy("asset_id")
+
+
+@register("mm_frame_sample", oracle=None, tags=["multimodal", "rows-only"])
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N frame sampling from video assets (explode-shaped mapInPandas)."""
+    assets = multimodal.synthetic_assets(spark, n=64)
+    return multimodal.frame_sample(assets, every_n=4).orderBy("asset_id", "frame_idx")

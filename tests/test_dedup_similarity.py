@@ -1,0 +1,138 @@
+"""Extension-operator tests: approximate dedup/ANN asserted against their
+exact counterparts (recall / containment), plus determinism checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from databox_adls_loader_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # corpus with planted near-duplicates: pairs (i, i+100) share most
+    # of the text; distinct docs are unrelated word mixes
+    base = ["alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon"]
+    rows = []
+    for i in range(40):
+        words = [f"w{i}_{j}" for j in range(30)]  # disjoint vocab per doc
+        rows.append((i, " ".join(words)))
+        if i < 10:  # planted near-dup: same words, one substitution
+            dup = list(words)
+            dup[5] = "CHANGED"
+            rows.append((i + 100, " ".join(dup)))
+    rows.append((500, base[0]))
+    rows.append((600, base[0]))  # exact dup of 500
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_exact_dedup_groups(docs):
+    out = {r["canonical_id"]: r["n_dupes"] for r in dedup.exact_dedup(docs).collect()}
+    assert out[500] == 2           # 500 & 600 collapse
+    assert 600 not in out
+    assert out[0] == 1
+
+
+def test_ngram_jaccard_finds_planted_pairs(docs):
+    pairs = {(r["a"], r["b"]) for r in
+             dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    for i in range(10):
+        assert (i, i + 100) in pairs, f"planted near-dup ({i},{i+100}) missed"
+    # unrelated docs don't pair
+    assert all(b - a == 100 or (a, b) == (500, 600) for a, b in pairs)
+
+
+def test_minhash_lsh_recall_vs_exact(docs):
+    exact = {(r["a"], r["b"]) for r in
+             dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    approx = {(r["a"], r["b"]) for r in
+              dedup.minhash_near_dupes(docs, k=32, bands=8, threshold=0.5).collect()}
+    # recall ≥ 0.8 on planted dups; no wild false-positive explosion
+    hits = len(exact & approx)
+    assert hits / max(len(exact), 1) >= 0.8
+    assert len(approx) <= len(exact) * 3 + 5
+
+
+def test_minhash_signature_deterministic(docs):
+    s1 = dedup.minhash_docs(docs).orderBy("doc_id").collect()
+    s2 = dedup.minhash_docs(docs).orderBy("doc_id").collect()
+    assert [r["sig"] for r in s1] == [r["sig"] for r in s2]
+
+
+def test_simhash_exact_dup_same_fingerprint(spark):
+    d = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different words entirely unrelated content here")],
+        "doc_id: long, text: string")
+    fps = {r["doc_id"]: r["fp"] for r in
+           d.select("doc_id", dedup.simhash("text").alias("fp")).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+    assert all(v >= 0 for v in fps.values())  # 63-bit → non-negative
+
+
+def test_simhash_near_dupes_planted(docs):
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in
+             dedup.simhash_near_dupes(docs, max_hamming=8).collect()}
+    # pigeonhole blocking guarantees recall within the radius: every
+    # planted pair whose true hamming ≤ 8 must be found; with a 1-of-30
+    # token substitution that is nearly all of them
+    found = sum((i, i + 100) in pairs for i in range(10))
+    assert found >= 8
+    assert pairs[(500, 600)] == 0  # exact dup = hamming 0
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import math
+    import random
+    rng = random.Random(11)
+    rows = []
+    for i in range(200):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / n for x in v]))
+    # planted near-dups of vector 0
+    base = rows[0][1]
+    for j in (1000, 1001):
+        rows.append((j, [x + rng.gauss(0, 0.01) for x in base]))
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+
+
+def test_topk_bruteforce_orders_by_cosine(emb):
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    top = similarity.topk_bruteforce(emb, list(q), k=5).collect()
+    ids = [r["vec_id"] for r in top]
+    assert ids[0] == 0 and top[0]["sim"] == pytest.approx(1.0, abs=1e-5)
+    assert {1000, 1001} <= set(ids)
+    sims = [r["sim"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_recall(emb):
+    q = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    exact = [r["vec_id"] for r in similarity.topk_bruteforce(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in
+              similarity.topk_lsh(emb, q, k=10, n_planes=6, probe_hamming=1).collect()]
+    # the query vector itself and its planted dups must survive bucketing
+    assert 0 in approx and 1000 in approx
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5
+
+
+def test_cosine_near_dup_pairs_lsh_finds_planted(emb):
+    pairs = {(r["a"], r["b"]) for r in
+             similarity.cosine_near_dup_pairs(emb, threshold=0.99, n_planes=4).collect()}
+    assert (0, 1000) in pairs and (0, 1001) in pairs
+
+
+def test_pandas_udf_matches_jvm_cosine(emb):
+    q = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    jvm = {r["vec_id"]: r["sim"] for r in similarity.topk_bruteforce(emb, q, k=20).collect()}
+    pdf = {r["vec_id"]: r["sim"] for r in similarity.topk_pandas_udf(emb, q, k=20).collect()}
+    assert set(jvm) == set(pdf)
+    for k in jvm:
+        assert jvm[k] == pytest.approx(pdf[k], abs=2e-6)

@@ -1,0 +1,106 @@
+"""Text-analysis and multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from databox_adls_loader_spark.operators import multimodal, text
+
+
+def test_text_stats_basic(spark):
+    d = spark.createDataFrame(
+        [(1, "the cat sat of the mat and it is fine"),
+         (2, "word"),
+         (3, "a!!! b??? c...")],
+        "doc_id: long, text: string")
+    rows = {r["doc_id"]: r for r in text.text_stats(d).collect()}
+    assert rows[1]["n_tokens"] == 10
+    assert rows[2]["n_tokens"] == 1
+    assert rows[1]["stopword_ratio"] > 0.3
+    assert rows[3]["punct_ratio"] > 0.4
+    assert rows[1]["lang_pred"] == "en"
+    assert rows[1]["quality"] > rows[3]["quality"]
+
+
+def test_lang_id_markers(spark):
+    d = spark.createDataFrame(
+        [(1, "le chat et la souris des une"),
+         (2, "el perro los gatos una que por"),
+         (3, "der hund die katze und ein nicht"),
+         (4, "xyz qrs tuv")],
+        "doc_id: long, text: string")
+    out = {r["doc_id"]: r["lang"] for r in
+           d.select("doc_id", text.lang_id("text").alias("lang")).collect()}
+    assert out == {1: "fr", 2: "es", 3: "de", 4: "und"}
+
+
+def test_fingerprint_rolling_stable_under_suffix_edit(spark):
+    # rolling min-hash over char 8-grams: appending text far from the
+    # minimal gram usually keeps the fingerprint; md5 fp always changes
+    d = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwxyz0123456789abcdefghijklmnop"),
+         (2, "abcdefghijklmnopqrstuvwxyz0123456789abcdefghijklmnopZZZ")],
+        "doc_id: long, text: string")
+    rows = {r["doc_id"]: r for r in d.select(
+        "doc_id",
+        text.fingerprint_md5("text").alias("fp_md5"),
+        text.fingerprint_rolling("text").alias("fp_roll")).collect()}
+    assert rows[1]["fp_md5"] != rows[2]["fp_md5"]
+    assert rows[1]["fp_roll"] == rows[2]["fp_roll"]
+
+
+def test_bpe_ish_tokens(spark):
+    d = spark.createDataFrame([(1, "Hello, world! foo-bar_baz 42x")],
+                              "doc_id: long, text: string")
+    toks = d.select(text.bpe_ish_tokens("text").alias("t")).first()["t"]
+    assert "hello" in toks and "world" in toks and "42x" in toks
+    assert "" not in toks
+
+
+def test_multimodal_feature_extract(spark):
+    assets = multimodal.synthetic_assets(spark, n=30)
+    feats = multimodal.extract_features(assets).collect()
+    assert len(feats) == 30
+    by_id = {r["asset_id"]: r for r in feats}
+    for r in feats:
+        assert r["n_bytes"] > 0
+        assert len(r["sha256"]) == 64
+        assert len(r["feature"]) == 16
+        if r["modality"] == "image":
+            assert r["width"] and r["height"] and r["n_frames"] is None
+        if r["modality"] == "video":
+            assert r["n_frames"] >= 8
+        if r["modality"] == "audio":
+            assert r["width"] is None
+    # determinism
+    again = {r["asset_id"]: r for r in
+             multimodal.extract_features(assets).collect()}
+    assert by_id[0]["feature"] == again[0]["feature"]
+
+
+def test_multimodal_frame_sample(spark):
+    assets = multimodal.synthetic_assets(spark, n=30)
+    frames = multimodal.frame_sample(assets, every_n=4).collect()
+    assert frames
+    vids = {r["asset_id"] for r in frames}
+    # only video assets emit frames (modality = id % 3 == 2)
+    assert all(a % 3 == 2 for a in vids)
+    idxs = [r["frame_idx"] for r in frames if r["asset_id"] == min(vids)]
+    assert idxs == sorted(idxs) and all(i % 4 == 0 for i in idxs)
+
+
+def test_multimodal_unknown_modality_raises(spark):
+    import pandas as pd
+    bad = spark.createDataFrame(
+        [(1, "hologram", bytearray(b"xx"), "application/x-holo")],
+        multimodal.ASSET_SCHEMA)
+    with pytest.raises(Exception, match="no decoder"):
+        multimodal.extract_features(bad).collect()
+
+
+def test_metadata_only_stats_stays_jvm_side(spark):
+    assets = multimodal.synthetic_assets(spark, n=30)
+    out = {r["modality"]: r for r in multimodal.metadata_only_stats(assets).collect()}
+    assert set(out) == {"image", "audio", "video"}
+    assert all(r["total_bytes"] > 0 for r in out.values())
