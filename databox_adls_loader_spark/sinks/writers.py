@@ -1,0 +1,55 @@
+"""K1/K2 file writers.
+
+Reference:
+  K1: one `basename<N>` filelist per Data Box unit
+      (/root/reference/generate-file-list.py:68-72)
+  K2: pretty JSON identity-map array for human editing
+      (/root/reference/copy-acls.py:103-104, identity-mapper.py:61-62)
+
+Spark-first: K1 is `write.partitionBy("unit")` — each unit directory gets
+its paths, written by the executors in parallel (the reference writes
+sequentially on one machine).  K2 stays a single small JSON array —
+`to_json(collect_list(...))` producing ONE file, because the contract is
+"a human edits this".
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_unit_filelists(alloc: DataFrame, out_dir: str) -> None:
+    """K1: text filelists partitioned by unit (F2 assigned-only filter +
+    X3 ordered emission).  At scale each unit's list is written by its own
+    task set; `sortWithinPartitions` keeps within-file path order."""
+    (
+        alloc.filter(F.col("unit") != 0)
+        .repartition("unit")
+        .sortWithinPartitions("path")
+        .select("unit", F.col("path").alias("value"))
+        .write.mode("overwrite").partitionBy("unit").text(out_dir)
+    )
+
+
+def identity_map_json(dim: DataFrame) -> str:
+    """K2: the identity-map skeleton as one pretty JSON array string
+    (driver-side — the map is tiny by construction)."""
+    rows = [
+        {"type": r["type"], "source": r["source"], "target": r["target"]}
+        for r in dim.orderBy("type", "source").collect()
+    ]
+    import json
+    return json.dumps(rows, indent=2)
+
+
+def write_identity_map(dim: DataFrame, path: str) -> None:
+    """K2 to a single local/DBFS file (atomic-ish: temp + rename)."""
+    data = identity_map_json(dim)
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(data)
+    os.replace(tmp, path)

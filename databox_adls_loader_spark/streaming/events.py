@@ -1,0 +1,112 @@
+"""Structured-Streaming pipelines: the incremental-migration analog.
+
+The reference re-lists everything per run (SURVEY §1.4) — its restartable
+WorkQueue (adls_copy_utils.py:106-145) is the closest thing to streaming.
+Here the incremental variant is real: a file-source stream of event rows →
+watermarked tumbling-window aggregates → append sink, plus a stateful
+per-user session operator via applyInPandasWithState.
+
+The batch query `w1_tumbling_window_counts` (plans/queries.py) uses the
+same window expression, so the streaming result is oracle-checked
+transitively: batch == oracle, stream(complete input) == batch (asserted
+in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+EVENT_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over JSON event files (the incremental pickup
+    the reference lacks — new files are discovered per micro-batch)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts — late rows beyond the watermark
+    are dropped; state for closed windows is evicted (bounded memory at
+    100 TB/day event volumes)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n", "total_value")
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, query_name: str,
+                         mode: str = "append") -> "object":
+    """Drive a streaming DataFrame into an in-memory table (test sink)."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name).outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+SESSION_STATE_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_events", LongType()),
+    StructField("total_value", DoubleType()),
+])
+
+SESSION_OUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_events", LongType()),
+    StructField("total_value", DoubleType()),
+])
+
+
+def per_user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    running per-user event counts/value totals across micro-batches —
+    the kind of operator Structured Streaming lacks built-in (SURVEY
+    §2.10's extension point)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter, state: "GroupState"):
+        import pandas as pd
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [total]})
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=StructType([
+                StructField("n", LongType()),
+                StructField("total", DoubleType()),
+            ]),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

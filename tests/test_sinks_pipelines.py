@@ -1,0 +1,173 @@
+"""Sink tolerance/idempotence tests (SURVEY §5.4) and the three §3
+pipelines end-to-end with filesystem-backed fakes."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from databox_adls_loader_spark import fixtures
+from databox_adls_loader_spark.operators.packing import first_fit
+from databox_adls_loader_spark.plans.pipelines import (
+    acl_pipeline,
+    copy_pipeline,
+    generate_filelists,
+)
+from databox_adls_loader_spark.sinks import rest
+from databox_adls_loader_spark.sinks.writers import (
+    identity_map_json,
+    write_unit_filelists,
+)
+
+
+def test_write_unit_filelists(spark, tmp_path):
+    alloc = spark.createDataFrame(
+        [("a", 10, 1), ("b", 20, 1), ("c", 30, 2), ("skip", 5, 0)],
+        "path: string, size: long, unit: int")
+    out = str(tmp_path / "lists")
+    write_unit_filelists(alloc, out)
+    u1 = sorted(open(f).read().split() for f in glob.glob(f"{out}/unit=1/part-*"))
+    flat1 = sorted(sum(u1, []))
+    assert flat1 == ["a", "b"]
+    flat2 = sorted(sum((open(f).read().split() for f in glob.glob(f"{out}/unit=2/part-*")), []))
+    assert flat2 == ["c"]
+    assert not glob.glob(f"{out}/unit=0/*")  # F2: unassigned never written
+
+
+def test_identity_map_json_roundtrip(spark):
+    dim = fixtures.identity_map(spark)
+    data = json.loads(identity_map_json(dim))
+    assert all(set(d) == {"type", "source", "target"} for d in data)
+    assert any(d["type"] == "user" for d in data)
+
+
+class _FakeAclStore:
+    """Filesystem-free fake ADLS: records setAccessControl calls; raises
+    PathNotFound for configured paths, generic errors for others."""
+
+    def __init__(self, missing=(), broken=()):
+        self.calls: list[dict] = []
+        self.missing = set(missing)
+        self.broken = set(broken)
+
+    def __call__(self, req: dict) -> None:
+        if req["path"] in self.missing:
+            raise rest.PathNotFound(req["path"])
+        if req["path"] in self.broken:
+            raise RuntimeError("InvalidNamedUserOrNamedGroup")
+        self.calls.append(req)
+
+
+def test_acl_apply_sink_tolerant(spark, tmp_path):
+    dim = fixtures.identity_map(spark)
+    acls = fixtures.acl_records(spark, n_files=20)
+    effects = str(tmp_path / "effects")
+    # foreachPartition closures must not capture `self`-bound test state;
+    # use a module-level temp store via file side channel instead
+    store_file = str(tmp_path / "store.jsonl")
+
+    def sender(req):
+        if req["path"].endswith("file001.dat"):
+            raise rest.PathNotFound(req["path"])
+        if req["path"].endswith("file002.dat"):
+            raise RuntimeError("InvalidNamedUserOrNamedGroup")
+        with open(store_file, "a") as f:
+            f.write(json.dumps(req) + "\n")
+
+    acl_pipeline(acls, dim, mode="apply", sender=sender, effects_dir=effects)
+
+    applied = [json.loads(l) for l in open(store_file)]
+    assert len(applied) == 21 - 2  # root + 20 files − 1 missing − 1 broken
+    # tolerant channel recorded both failure classes
+    logged = [json.loads(l) for f in glob.glob(f"{effects}/*.jsonl")
+              for l in open(f)]
+    statuses = {r["path"]: r["status"] for r in logged}
+    assert statuses["dir1/file001.dat"] == "not_found"
+    assert statuses["dir2/file002.dat"] == "error"
+    # error records carry the acl/owner context (K7 enrichment)
+    err = [r for r in logged if r["status"] == "error"][0]
+    assert "owner" in err and "acl" in err
+    # root path normalized to '/'
+    assert "/" in statuses
+    # every applied acl entry was remapped (no raw 'alice' left where map applies)
+    for req in applied:
+        assert ":alice:" not in req["acl"]  # alice maps to alice@corp...
+
+
+def test_acl_generate_map_mode(spark):
+    acls = fixtures.acl_records(spark, n_files=20)
+    skeleton = acl_pipeline(acls, None, mode="generate-map")
+    rows = skeleton.collect()
+    assert all(r["target"] == "" for r in rows)
+    assert {r["type"] for r in rows} == {"user", "group"}
+
+
+def test_copy_pipeline_dirs_before_files(spark, tmp_path):
+    inv = fixtures.file_inventory(spark, n_dirs=15, files_per_dir=3)
+    dim = fixtures.identity_map(spark)
+    log_file = str(tmp_path / "ops.jsonl")
+
+    def creator(path):
+        with open(log_file, "a") as f:
+            f.write(json.dumps({"op": "mkdir", "path": path}) + "\n")
+
+    def copier(path, length):
+        with open(log_file, "a") as f:
+            f.write(json.dumps({"op": "copy", "path": path, "len": length}) + "\n")
+
+    stats = copy_pipeline(inv, dim, creator, copier, parallelism=4)
+    ops = [json.loads(l) for l in open(log_file)]
+    n_dirs = sum(o["op"] == "mkdir" for o in ops)
+    n_files = sum(o["op"] == "copy" for o in ops)
+    assert n_dirs == stats["directories"] > 0
+    assert n_files == inv.filter(~F.col("is_folder")).count()
+    # ordering barrier: every mkdir precedes every copy
+    first_copy = next(i for i, o in enumerate(ops) if o["op"] == "copy")
+    assert all(o["op"] == "mkdir" for o in ops[:first_copy])
+    # parents before children among mkdirs
+    seen = set()
+    for o in ops:
+        if o["op"] != "mkdir":
+            continue
+        parent = o["path"].rsplit("/", 1)[0] if "/" in o["path"] else None
+        if parent is not None:
+            assert parent in seen, f"child {o['path']} before parent"
+        seen.add(o["path"])
+
+
+def test_generate_filelists_pipeline(spark, tmp_path):
+    inv = fixtures.file_inventory(spark, n_dirs=25, files_per_dir=4)
+    out = str(tmp_path / "units")
+    cap = 10_000_000_000  # forces the huge file's subtree to recurse
+    alloc = generate_filelists(inv, out, capacity=cap, depth=1)
+    rows = alloc.collect()
+    assert rows
+    per_unit: dict[int, int] = {}
+    for r in rows:
+        if r["unit"]:
+            per_unit[r["unit"]] = per_unit.get(r["unit"], 0) + r["size"]
+    assert per_unit and all(v <= cap for v in per_unit.values())
+    assert glob.glob(f"{out}/unit=*/part-*")
+    # coverage invariant: every file is under exactly one allocation path
+    # (assigned, or an unsplittable oversized file left unit=0)
+    alloc_paths = [r["path"] for r in rows]
+    for f in inv.filter(~F.col("is_folder")).select("name", "length").collect():
+        covering = [p for p in alloc_paths
+                    if f["name"] == p or f["name"].startswith(p + "/")]
+        assert len(covering) == 1, f"{f['name']} covered by {covering}"
+    # the 50 GB file can't fit a 10 GB box: present, unassigned
+    oversized = [r for r in rows if r["size"] > cap]
+    assert oversized and all(r["unit"] == 0 for r in oversized)
+
+
+def test_token_provider_refresh():
+    tp = rest.TokenProvider(ttl_s=0.0)  # always expired → refresh each call
+    t1, t2 = tp.token(), tp.token()
+    assert tp.refreshes == 2 and t1 != t2
+    tp2 = rest.TokenProvider(ttl_s=100.0)
+    a, b = tp2.token(), tp2.token()
+    assert tp2.refreshes == 1 and a == b  # cached within expiry

@@ -1,0 +1,96 @@
+"""Structured-Streaming tests: stream(complete input) == batch window agg,
+late-data watermark behavior, custom stateful operator."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from databox_adls_loader_spark.streaming import events as se
+
+
+def _write_event_files(tmp_path, batches):
+    path = str(tmp_path / "events_in")
+    os.makedirs(path, exist_ok=True)
+    for i, batch in enumerate(batches):
+        with open(os.path.join(path, f"b{i:02d}.json"), "w") as f:
+            for row in batch:
+                f.write(json.dumps(row) + "\n")
+    return path
+
+
+def _evt(eid, ts, etype="click", value=1.0, user=1):
+    return {"event_id": eid, "ts": ts, "user_id": user,
+            "event_type": etype, "value": value, "props": "{}"}
+
+
+def test_stream_windowed_counts_match_batch(spark, tmp_path):
+    batches = [
+        [_evt(1, "2024-01-01 10:05:00"), _evt(2, "2024-01-01 10:55:00")],
+        [_evt(3, "2024-01-01 11:05:00", "view"), _evt(4, "2024-01-01 11:20:00")],
+    ]
+    path = _write_event_files(tmp_path, batches)
+    stream = se.read_event_stream(spark, path)
+    assert stream.isStreaming
+    # complete mode: every window in the result table regardless of
+    # watermark closure — the apples-to-apples comparison against batch
+    # (append mode only emits after the watermark passes a window's end;
+    # that behavior is covered by test_stream_watermark_drops_very_late)
+    q = se.run_stream_to_memory(se.windowed_counts(stream), "win_counts",
+                                mode="complete")
+    q.awaitTermination(60)
+    got = {(str(r["window_start"]), r["event_type"]): r["n"]
+           for r in spark.sql("select * from win_counts").collect()}
+    # batch equivalent over the same files
+    batch = (
+        spark.read.schema(se.EVENT_SCHEMA).json(path)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    expect = {(str(r["ws"]), r["event_type"]): r["n"] for r in batch.collect()}
+    assert got == expect
+    assert got[("2024-01-01 10:00:00", "click")] == 2
+
+
+def test_stream_watermark_drops_very_late(spark, tmp_path):
+    # watermark 30 min; a row hours older than the watermark arrives two
+    # micro-batches after the advance (watermark application has a
+    # one-batch delay: a late row landing in the same batch that closes
+    # its window still merges — observed on 4.1)
+    batches = [
+        [_evt(1, "2024-01-01 09:05:00")],
+        [_evt(2, "2024-01-01 13:00:00")],     # advances watermark to 12:30
+        [_evt(4, "2024-01-01 14:00:00")],     # 09:00 window emitted+evicted
+        [_evt(3, "2024-01-01 09:10:00")],     # very late → dropped
+    ]
+    path = _write_event_files(tmp_path, batches)
+    stream = se.read_event_stream(spark, path, max_files_per_trigger=1)
+    q = se.run_stream_to_memory(
+        se.windowed_counts(stream, window="1 hour", watermark="30 minutes"),
+        "late_counts")
+    q.awaitTermination(60)
+    rows = {str(r["window_start"]): r["n"]
+            for r in spark.sql("select * from late_counts").collect()}
+    # the 09:00 window count must NOT include the late third event
+    assert rows.get("2024-01-01 09:00:00") == 1
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    batches = [
+        [_evt(1, "2024-01-01 10:00:00", user=7, value=2.0),
+         _evt(2, "2024-01-01 10:01:00", user=7, value=3.0),
+         _evt(3, "2024-01-01 10:02:00", user=9, value=1.0)],
+    ]
+    path = _write_event_files(tmp_path, batches)
+    stream = se.read_event_stream(spark, path)
+    q = se.run_stream_to_memory(se.per_user_running_totals(stream),
+                                "user_totals", mode="update")
+    q.awaitTermination(60)
+    rows = {r["user_id"]: (r["n_events"], r["total_value"])
+            for r in spark.sql("select * from user_totals").collect()}
+    assert rows[7] == (2, 5.0)
+    assert rows[9] == (1, 1.0)
