@@ -1,0 +1,62 @@
+"""Scalable ordered-window computation.
+
+A bare ``Window.orderBy(...)`` (no partitionBy) moves every row to ONE
+partition — the classic 100 TB cliff.  The standard fix is the two-phase
+cumulative sum: range-partition on the order key (distributed sort), run
+the window *within* each partition, then add per-partition offsets computed
+from a tiny driver-side pass over the partition totals.
+
+With exact-decimal values the result is bit-identical to the
+single-partition window (decimal addition is associative), so the
+oracle-checked queries can use this form directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exclusive_running_sum(df: DataFrame, order_col: str, value: Column,
+                          out_col: str = "running",
+                          num_partitions: int | None = None) -> DataFrame:
+    """Exclusive (rows-preceding) running sum over a global ordering,
+    without a single-partition window.
+
+    ``value`` must be an exact type (decimal/long) for bit-identical
+    equivalence with the naive global window.  The per-partition totals
+    collect is ≤ num_partitions rows — O(cluster size), not O(data).
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # the pid assignment must be computed ONCE: repartitionByRange samples
+    # boundaries per job, so the totals pass and the window pass would
+    # otherwise see different partitionings — persist pins it
+    ranged = (
+        df.repartitionByRange(num_partitions, F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    w = (Window.partitionBy("__pid").orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    local = F.coalesce(F.sum(value).over(w), F.lit(0).cast("decimal(38,6)"))
+
+    totals = (
+        ranged.groupBy("__pid").agg(F.sum(value).alias("__t"))
+        .collect()
+    )
+    totals_map: dict[int, object] = {r["__pid"]: r["__t"] for r in totals}
+    offset = 0
+    offsets = []
+    for pid in sorted(totals_map):
+        offsets.append((pid, offset))
+        offset = offset + (totals_map[pid] or 0)
+    off_df = F.broadcast(spark.createDataFrame(
+        [(p, str(o)) for p, o in offsets], "__pid: int, __off: string"))
+    # offsets travel as strings → exact decimal parse (no double roundtrip)
+    return (
+        ranged.join(off_df, "__pid")
+        .withColumn(out_col, local + F.col("__off").cast("decimal(38,6)"))
+        .drop("__pid", "__off")
+    )

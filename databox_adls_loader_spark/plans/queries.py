@@ -659,14 +659,19 @@ def x1_next_fit_units(spark: SparkSession, sf_dir: str) -> DataFrame:
     exclusive running sum — unit = floor(prior/capacity)+1
     (generate-file-list.py:27-43's windowed relaxation, SURVEY §2.6).
 
-    Scale: one global range-partitioned sort; no driver collect.  The exact
-    first-fit form lives in operators/packing.py (driver-side, property
-    tested)."""
+    Scale: the naive `Window.orderBy(...)` would single-partition the
+    world; this uses the two-phase cumulative sum in operators/windows.py
+    (range-partitioned local windows + tiny offset join) — bit-identical
+    because the sum is exact decimal.  The exact first-fit form lives in
+    operators/packing.py (driver-side, property tested)."""
+    from ..operators.windows import exclusive_running_sum
     (orders,) = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey").rowsBetween(Window.unboundedPreceding, -1)
-    prior = F.coalesce(F.sum(dec("o_totalprice")).over(w).cast("double"), F.lit(0.0))
+    with_run = exclusive_running_sum(
+        orders.select("o_orderkey", "o_totalprice"),
+        "o_orderkey", dec("o_totalprice"), out_col="__prior")
+    prior = F.col("__prior").cast("double")
     return (
-        orders.select(
+        with_run.select(
             "o_orderkey",
             (F.floor(prior / 1_000_000.0) + 1).cast("int").alias("unit"))
         .orderBy("o_orderkey")
@@ -830,4 +835,4 @@ def all_oracles() -> dict[str, str]:
 
 def _load_extensions() -> None:
     """Import the extension registrations (deferred to avoid a cycle)."""
-    from . import queries_ext  # noqa: F401
+    from . import queries_domain, queries_ext  # noqa: F401

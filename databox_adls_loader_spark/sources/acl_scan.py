@@ -72,8 +72,13 @@ def assemble_acl_records(lines: DataFrame, strip_prefix_components: int = 1) -> 
                 F.collect_list(
                     F.when(is_entry,
                            F.struct(F.col("line_no"),
-                                    # P9: strip '#'-suffixed annotations, trim
-                                    F.trim(F.substring_index(v, "#", 1)).alias("entry")))
+                                    # P9: strip '#'-suffixed annotations; the
+                                    # separator before '#' may be a tab
+                                    # (getfacl emits one) and F.trim only
+                                    # strips spaces → regexp for all ws
+                                    F.regexp_replace(
+                                        F.substring_index(v, "#", 1),
+                                        r"^\s+|\s+$", "").alias("entry")))
                 )
             ).alias("ordered"),
         )

@@ -71,3 +71,17 @@ def test_acl_assembly_keeps_4field_entries(spark):
     r = df.collect()[0]
     assert r["file"] == "x"
     assert r["acl"] == ["user::rwx", "default:user:bob:rwx", "other::---"]
+
+
+def test_acl_assembly_strips_tab_separated_annotations(spark):
+    # getfacl separates the `#effective:` annotation with a TAB — the
+    # stripped entry must not keep trailing whitespace
+    lines = [
+        "# file: /data/y",
+        "# owner: bob",
+        "# group: ops",
+        "user:carol:rw-\t#effective:r--",
+        "",
+    ]
+    r = assemble_acl_records(lines_df(spark, lines)).collect()[0]
+    assert r["acl"] == ["user:carol:rw-"]
