@@ -69,7 +69,13 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 def minhash_signature(shingles: Column, k: int = 32) -> Column:
     """k-permutation MinHash signature: component j is the minimum of
     xxhash64(j, shingle) over the shingle set.  xxhash64 is deterministic
-    across JVMs, so signatures are reproducible cluster-wide."""
+    across JVMs, so signatures are reproducible cluster-wide.
+
+    NOTE: array-expression form — the shingle expression is re-evaluated
+    inside the k-way lambda (no CSE across lambda boundaries), so this is
+    only for small k / pre-materialized shingle columns.  The hot path is
+    `minhash_docs`, which uses explode + codegen'd min-aggregates instead.
+    """
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda j: F.array_min(
@@ -80,10 +86,27 @@ def minhash_signature(shingles: Column, k: int = 32) -> Column:
 def minhash_docs(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", k: int = 32,
                  shingle_n: int = 3) -> DataFrame:
-    """(id, sig) — signature computation is embarrassingly parallel."""
-    return docs.select(
+    """(id, sig) — explode the shingle set and take k codegen'd
+    min-aggregates (one per permutation seed) in a single shuffle on
+    the doc id.
+
+    Why not the pure array-expression form: higher-order-function lambdas
+    are evaluated interpreted and excluded from common-subexpression
+    elimination, so nesting the shingle construction inside a k-way
+    transform costs k× the shingling work per row, outside codegen.  The
+    explode form keeps everything in whole-stage codegen; map-side partial
+    aggregation collapses each partition to one row per doc before the
+    shuffle, so the shuffle volume is O(docs × k), not O(shingles)."""
+    exploded = docs.select(
         F.col(id_col),
-        minhash_signature(word_shingles(text_col, shingle_n), k).alias("sig"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("__g"),
+    )
+    mins = [F.min(F.xxhash64(F.lit(j), "__g")).alias(f"__h{j}")
+            for j in range(k)]
+    return (
+        exploded.groupBy(id_col).agg(*mins)
+        .select(F.col(id_col),
+                F.array(*[F.col(f"__h{j}") for j in range(k)]).alias("sig"))
     )
 
 
@@ -127,7 +150,9 @@ def minhash_near_dupes(docs: DataFrame, text_col: str = "text",
     """Full MinHash-LSH pipeline: candidates from banding, then verified by
     the signature-estimated Jaccard (fraction of equal components) ≥
     threshold.  Returns (a, b, est_jaccard)."""
-    sigs = minhash_docs(docs, text_col, id_col, k, shingle_n)
+    # sigs feeds the band self-join (twice) and both verify joins — persist
+    # so the signature computation runs once, not four times
+    sigs = minhash_docs(docs, text_col, id_col, k, shingle_n).persist()
     cands = lsh_candidate_pairs(sigs, bands)
     a = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))

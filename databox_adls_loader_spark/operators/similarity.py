@@ -140,9 +140,17 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
     (scale path); at high thresholds near-dups almost always share all sign
     bits, so recall stays high with few planes."""
     dim_probe = emb.select(F.size(vec_col).alias("d")).first()["d"]
-    bucketed = lsh_bucketed(emb, dim_probe, n_planes, seed, vec_col, id_col)
+    # pre-normalize once per row (one array traversal) so the per-pair
+    # score is a single dot; persist — the frame feeds both join sides
+    norm = l2_norm(F.col(vec_col))
+    bucketed = (
+        lsh_bucketed(emb, dim_probe, n_planes, seed, vec_col, id_col)
+        .withColumn(vec_col, F.transform(F.col(vec_col),
+                                         lambda x: x.cast("double") / norm))
+        .persist()
+    )
     l, r = bucketed.alias("l"), bucketed.alias("r")
-    sim = cosine(F.col("l." + vec_col), F.col("r." + vec_col))
+    sim = dot(F.col("l." + vec_col), F.col("r." + vec_col))
     return (
         l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
@@ -154,15 +162,62 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
 
 def cosine_pairs_bruteforce(emb: DataFrame, threshold: float = 0.95,
                             vec_col: str = "embedding",
-                            id_col: str = "vec_id") -> DataFrame:
-    """Exact all-pairs cosine (verifier / small-data path — O(n²))."""
-    l = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    r = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
-    sim = cosine(F.col("va"), F.col("vb"))
+                            id_col: str = "vec_id",
+                            n_blocks: int = 8) -> DataFrame:
+    """Exact all-pairs cosine via blocked matrix multiply.
+
+    The naive nested-loop join with a per-pair zip_with/aggregate cosine
+    evaluates O(n² · dim) interpreted lambda steps (and recomputes each
+    norm n times) — unusable beyond toy sizes.  Instead: split ids into
+    `n_blocks` hash blocks, replicate each row to its (bi, bj) block-pair
+    groups, and run one Arrow-batched numpy GEMM per group inside
+    `applyInPandas`.  Work per group is (n/B)²·dim flops in BLAS; each row
+    is shipped B+1 times — the standard distributed blocked-GEMM tradeoff
+    (B ≈ √cluster-parallelism).  Exact, not approximate: every pair is
+    scored, in float64, matching the per-pair sequential dot to ~1e-15."""
+    pairs = emb.sparkSession.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi: int, bj: int")
+    tagged = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"))
+    left = (tagged.join(F.broadcast(pairs), F.col("blk") == F.col("bi"))
+            .select("bi", "bj", "id", "v", F.lit(0).alias("side")))
+    right = (tagged.join(F.broadcast(pairs), F.col("blk") == F.col("bj"))
+             .select("bi", "bj", "id", "v", F.lit(1).alias("side")))
+
+    def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        same = pdf["bi"].iat[0] == pdf["bj"].iat[0]
+        lhs = pdf[pdf["side"] == 0] if not same else pdf.drop_duplicates("id")
+        rhs = pdf[pdf["side"] == 1] if not same else lhs
+        if lhs.empty or rhs.empty:
+            return pd.DataFrame({"a": [], "b": [], "sim": []})
+        la = np.vstack(lhs["v"].to_numpy()).astype(np.float64)
+        rb = np.vstack(rhs["v"].to_numpy()).astype(np.float64)
+        # dot / (|a|·|b|) — same association as the sequential definition
+        sims = (la @ rb.T) / (np.linalg.norm(la, axis=1)[:, None]
+                              * np.linalg.norm(rb, axis=1)[None, :])
+        ai = lhs["id"].to_numpy()
+        bi = rhs["id"].to_numpy()
+        if same:
+            # within-block: each unordered pair appears twice in the grid —
+            # keep the id-ordered half
+            ia, ib = np.nonzero((sims >= threshold) & (ai[:, None] < bi[None, :]))
+            a_ids, b_ids = ai[ia], bi[ib]
+        else:
+            # cross-block: each unordered pair appears exactly once (one id
+            # per side), but its id order may oppose the block order —
+            # normalize with min/max rather than masking
+            ia, ib = np.nonzero(sims >= threshold)
+            a_ids = np.minimum(ai[ia], bi[ib])
+            b_ids = np.maximum(ai[ia], bi[ib])
+        return pd.DataFrame({"a": a_ids, "b": b_ids,
+                             "sim": np.round(sims[ia, ib], 6)})
+
     return (
-        l.join(r, F.col("a") < F.col("b"))
-        .select("a", "b", F.round(sim, 6).alias("sim"))
-        .filter(F.col("sim") >= threshold)
+        left.unionByName(right)
+        .groupBy("bi", "bj")
+        .applyInPandas(gemm, schema="a long, b long, sim double")
     )
 
 

@@ -136,3 +136,31 @@ def test_pandas_udf_matches_jvm_cosine(emb):
     assert set(jvm) == set(pdf)
     for k in jvm:
         assert jvm[k] == pytest.approx(pdf[k], abs=2e-6)
+
+
+def test_blocked_allpairs_matches_naive_numpy(spark):
+    # regression: cross-block pairs whose id order opposes the block order
+    # must not be dropped (min/max normalization, not the a<b grid mask)
+    import random
+
+    import numpy as np
+    rng = random.Random(11)
+    rows = [(i * 7 + 1, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    # plant near-dup pairs across many id gaps
+    for k, (i, v) in enumerate(rows[:10]):
+        rows.append((5000 - i, [x + rng.gauss(0, 0.01) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    got = {(r["a"], r["b"]): r["sim"] for r in
+           similarity.cosine_pairs_bruteforce(emb, threshold=0.9, n_blocks=4).collect()}
+    mat = np.array([v for _, v in rows], dtype=np.float64)
+    ids = [i for i, _ in rows]
+    sims = (mat @ mat.T) / (np.linalg.norm(mat, axis=1)[:, None]
+                            * np.linalg.norm(mat, axis=1)[None, :])
+    want = {}
+    for x in range(len(ids)):
+        for y in range(len(ids)):
+            if ids[x] < ids[y] and sims[x, y] >= 0.9:
+                want[(ids[x], ids[y])] = round(sims[x, y], 6)
+    assert set(got) == set(want)
+    for p in want:
+        assert got[p] == pytest.approx(want[p], abs=2e-6)
