@@ -199,6 +199,29 @@ def simhash(col: Column | str, bits: int = 63) -> Column:
     )
 
 
+def simhash_docs(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", bits: int = 63) -> DataFrame:
+    """(id, fp) — explode tokens, sum ±1 per bit position in `bits`
+    codegen'd aggregates, pack sign bits.  Same values as `simhash` (bit b
+    weighted 2^b) but whole-stage-codegen'd end to end instead of an
+    interpreted O(tokens × bits) lambda fold per row."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__t"),
+    ).select("id", F.xxhash64("__t").alias("__h"))
+    sums = [F.sum(F.when(F.getbit("__h", F.lit(b)) == 1, 1).otherwise(-1))
+            .alias(f"__c{b}") for b in range(bits)]
+    packed = None
+    for b in range(bits):
+        term = F.when(F.col(f"__c{b}") > 0,
+                      F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed + term
+    return (
+        toks.groupBy("id").agg(*sums)
+        .select("id", packed.alias("fp"))
+    )
+
+
 def simhash_near_dupes(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", max_hamming: int = 3,
                        bits: int = 63) -> DataFrame:
@@ -211,7 +234,9 @@ def simhash_near_dupes(docs: DataFrame, text_col: str = "text",
     exact popcount filter prunes.  Never an n² compare."""
     n_blocks = max_hamming + 1
     width = bits // n_blocks
-    fp = docs.select(F.col(id_col).alias("id"), simhash(text_col, bits).alias("fp"))
+    # fp feeds both sides of the block self-join — persist so the token
+    # aggregation runs once
+    fp = simhash_docs(docs, text_col, id_col, bits).persist()
     blocks = fp.select(
         "id", "fp",
         F.posexplode(F.array(*[
@@ -246,8 +271,13 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
 
     Scale: this is the *verify* stage after LSH candidate pruning; run
     standalone only when the corpus fits a shingle self-join."""
-    sh = docs.select(F.col(id_col).alias("id"),
-                     F.explode(word_shingles(text_col, n)).alias("g"))
+    # join/aggregate on the 64-bit shingle hash, not the string (smaller
+    # shuffle keys; collision odds ~|shingles|²/2^64); persist — sh feeds
+    # the size aggregate and both self-join sides
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, n)).alias("__g"),
+    ).select("id", F.xxhash64("__g").alias("g")).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     l, r = sh.alias("l"), sh.alias("r")
     inter = (

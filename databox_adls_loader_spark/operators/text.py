@@ -123,6 +123,37 @@ def fingerprint_rolling(col: Column | str, gram: int = 8) -> Column:
     return F.array_min(grams)
 
 
+def fingerprints(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", gram: int = 8) -> DataFrame:
+    """(id, fp_md5, fp_rolling) — the DataFrame fast path for
+    `fingerprint_rolling`: explode the gram positions and take a codegen'd
+    min-aggregate instead of evaluating an interpreted O(len) lambda per
+    row.  Values identical to the column-expression form; `explode_outer`
+    keeps null-text rows (null fingerprints), matching SQL semantics."""
+    c = F.col(text_col)
+    n = F.greatest(F.length(c) - (gram - 1), F.lit(1))
+    # the canonical md5 (a regex pass over the whole text) must NOT ride
+    # through the explode — CollapseProject would inline it into the
+    # per-gram projection and run it len(text) times per doc.  Carry the
+    # raw text through the aggregate (first()) and canonicalize once per
+    # group afterwards.
+    grams = docs.select(
+        F.col(id_col),
+        F.explode_outer(F.sequence(F.lit(1), n)).alias("__i"),
+        c.alias("__t"),
+    )
+    return (
+        grams.groupBy(id_col).agg(
+            F.min(F.md5(F.substring("__t", F.col("__i"), F.lit(gram))))
+            .alias("fp_rolling"),
+            F.first("__t").alias("__t"),
+        )
+        .select(F.col(id_col),
+                fingerprint_md5("__t").alias("fp_md5"),
+                "fp_rolling")
+    )
+
+
 def text_stats(docs: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """The full per-document stats projection — one map-side pass."""

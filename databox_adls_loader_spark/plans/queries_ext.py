@@ -248,11 +248,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: canonical md5 + rolling char-8-gram min-hash
     (1-permutation MinHash, portable because both engines md5)."""
     (docs,) = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        text.fingerprint_md5("text").alias("fp_md5"),
-        text.fingerprint_rolling("text", gram=8).alias("fp_rolling"),
-    ).orderBy("doc_id")
+    return text.fingerprints(docs, gram=8).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
