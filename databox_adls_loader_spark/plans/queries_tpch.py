@@ -1,0 +1,818 @@
+"""TPC-H-shaped relational queries + analytic-window/session queries.
+
+The reference's only join shape is the tiny-dimension lookup (SURVEY §2.4)
+— these queries exercise the full relational surface a Spark engine gets
+from Catalyst (multi-join reordering, semi/anti subqueries, grouped HAVING,
+rollup, set ops, analytic windows) so the engine is usable as a general
+analytics layer, not just a migration pipeline.  Every query is adapted to
+the driver's TPC-H-ish schema (no partsupp / commitdate / shipmode columns;
+predicates use the synthetic NATION_n / PROMO vocabularies).
+
+Scale notes inline: which side broadcasts, where the shuffles land, what
+AQE does at 100 TB.  All money aggregates are exact-decimal (functions/
+exact.py) so the DuckDB value-hash comparison is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import davg, dec, dsum, dsum_expr
+from .queries import _t, register
+
+
+# ---------------------------------------------------------------------------
+# joins / subqueries
+# ---------------------------------------------------------------------------
+
+@register(
+    "q2_min_acctbal_supplier",
+    oracle="""
+    WITH m AS (
+      SELECT s_nationkey, MIN(s_acctbal) AS mn FROM supplier GROUP BY s_nationkey
+    )
+    SELECT n_name, s_name, CAST(s_acctbal AS DOUBLE) AS acctbal
+    FROM supplier s
+    JOIN m ON s.s_nationkey = m.s_nationkey AND s.s_acctbal = m.mn
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ORDER BY n_name, s_name
+    """,
+    tags=["tpch", "J1"],
+)
+def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-group-min correlated subquery decorrelated into
+    an aggregate + join-back.  Scale: the per-nation min aggregate is 25
+    rows — broadcast it; supplier never shuffles."""
+    supplier, nation = _t(spark, sf_dir, "supplier", "nation")
+    mins = (supplier.groupBy(F.col("s_nationkey").alias("mn_key"))
+            .agg(F.min("s_acctbal").alias("mn")))
+    return (
+        supplier.join(F.broadcast(mins),
+                      (F.col("s_nationkey") == F.col("mn_key"))
+                      & (F.col("s_acctbal") == F.col("mn")))
+        .join(F.broadcast(nation),
+              supplier["s_nationkey"] == F.col("n_nationkey"))
+        .select("n_name", "s_name", F.col("s_acctbal").cast("double").alias("acctbal"))
+        .orderBy("n_name", "s_name")
+    )
+
+
+@register(
+    "q4_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=["tpch", "J2"],
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: EXISTS → left-semi join with a non-equi conjunct.  Scale:
+    the date filter prunes orders before the shuffle; the semi join
+    deduplicates on the build side instead of a distinct-after-join."""
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
+    return (
+        o.join(lineitem,
+               (o["o_orderkey"] == lineitem["l_orderkey"])
+               & (lineitem["l_shipdate"] > o["o_orderdate"]),
+               "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(YEAR FROM l.l_shipdate)::INT AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    tags=["tpch", "J1", "A1"],
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: two-nation trade volume by year.  Scale: both nation dims
+    broadcast; the nation filter reaches supplier/customer *before* their
+    joins to the fact (Catalyst pushes it through), so the big shuffles
+    carry only matching rows."""
+    lineitem, supplier, orders, customer, nation = _t(
+        spark, sf_dir, "lineitem", "supplier", "orders", "customer", "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .filter(((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+                | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(dsum_expr("CAST(l_extendedprice AS DECIMAL(18,2))"
+                       " * CAST(1 - l_discount AS DECIMAL(18,4))").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    WITH vol AS (
+      SELECT EXTRACT(YEAR FROM o.o_orderdate)::INT AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l.l_discount AS DECIMAL(18,4)) AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n2.n_regionkey
+      WHERE r.r_name = 'ASIA'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM vol GROUP BY o_year ORDER BY o_year
+    """,
+    tags=["tpch", "J1", "A1"],
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: national market share within a region.  Scale: nation and
+    region broadcast; conditional aggregation (no second pass over the
+    fact); exact-decimal numerator/denominator so the double division is
+    bit-identical across engines."""
+    lineitem, supplier, orders, customer, nation, regn = _t(
+        spark, sf_dir, "lineitem", "supplier", "orders", "customer", "nation", "region")
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_rkey"))
+    vol = dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+    return (
+        lineitem
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .join(F.broadcast(regn.filter(F.col("r_name") == "ASIA")),
+              F.col("r_regionkey") == F.col("n2_rkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(F.when(F.col("supp_nation") == "NATION_5", vol)
+                   .otherwise(F.lit(0).cast("decimal(18,6)"))).cast("double")
+             / F.sum(vol).cast("double")).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate)::INT AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,4))
+                  - CAST(p_retailprice AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(0.6 AS DECIMAL(4,2))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%g%'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=["tpch", "J1", "A1"],
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (supply cost ≈ 0.6·retailprice·qty — no partsupp in
+    the driver schema).  Scale: the p_name filter prunes part before the
+    fact join; nation broadcasts; profit algebra stays decimal-exact."""
+    lineitem, part, supplier, orders, nation = _t(
+        spark, sf_dir, "lineitem", "part", "supplier", "orders", "nation")
+    profit = (
+        dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+        - dec("p_retailprice") * dec("l_quantity") * F.lit(0.6).cast("decimal(4,2)")
+    )
+    return (
+        lineitem
+        .join(part.filter(F.col("p_name").like("%g%")),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(profit).cast("double").alias("profit"))
+        .orderBy("nation", "o_year")
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           n.n_name
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY 1, 2, 4
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    tags=["tpch", "J1", "A1", "O1"],
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by returned-item revenue.  Scale: date
+    filter prunes orders first; TakeOrderedAndProject caps the result —
+    no global sort materializes."""
+    customer, orders, lineitem, nation = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))),
+            F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum_expr("CAST(l_extendedprice AS DECIMAL(18,2))"
+                       " * CAST(1 - l_discount AS DECIMAL(18,4))").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey").limit(20)
+    )
+
+
+@register(
+    "q12_priority_class_counts",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    tags=["tpch", "A1"],
+)
+def q12_priority_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counts after a fact-fact join with a
+    non-equi residual predicate."""
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(lineitem, (F.col("o_orderkey") == F.col("l_orderkey"))
+                    & (F.col("l_shipdate") > F.col("o_orderdate")))
+        .groupBy("l_linestatus")
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"))
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=["tpch", "A1"],
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: order-count distribution over a left outer join (counts
+    keep zero-order customers).  Scale: two shuffles (custkey, then
+    c_count); the second aggregate input is one row per customer."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT CAST(100.0 AS DOUBLE)
+             * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                             * CAST(1 - l_discount AS DECIMAL(18,4))
+                        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE)
+           AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+    tags=["tpch", "A1"],
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share.  Scale: the month filter cuts the
+    fact before the part join; single conditional aggregate."""
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    vol = dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg((F.lit(100.0)
+              * F.sum(F.when(F.col("p_type") == "PROMO", vol)
+                      .otherwise(F.lit(0).cast("decimal(18,6)"))).cast("double")
+              / F.sum(vol).cast("double")).alias("promo_revenue"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(18,4))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    ORDER BY s_suppkey
+    """,
+    tags=["tpch", "A1", "J1"],
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with max quarterly revenue.  The max is over
+    *exact decimal* sums, so the equality join-back is safe.  Scale: rev is
+    |suppliers| rows; the scalar max is a one-row broadcast."""
+    lineitem, supplier = _t(spark, sf_dir, "lineitem", "supplier")
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(dec("l_extendedprice")
+                   * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+             .alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev["total_rev"] == mx["mx"])
+        .join(supplier, F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name",
+                F.col("total_rev").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'ECONOMY'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < -900)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=["tpch", "A2", "J2"],
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part class with a
+    NOT-IN anti join (supplier-part pairs come from lineitem — the driver
+    schema has no partsupp).  Scale: the part filters broadcast-prune the
+    fact; distinct-count expands to a two-stage aggregate."""
+    lineitem, part, supplier = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    bad = supplier.filter(F.col("s_acctbal") < -900).select("s_suppkey")
+    return (
+        lineitem
+        .join(part.filter(
+            (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "ECONOMY")
+            & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)),
+            F.col("p_partkey") == F.col("l_partkey"))
+        .join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+           AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa   ON pk = l_partkey
+    WHERE p_brand = 'Brand#3' AND l_quantity < 0.5 * avg_qty
+    """,
+    tags=["tpch", "A1", "J1"],
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue of below-half-average-quantity lineitems.  The
+    per-part average is exact-decimal-sum / count → identical doubles, so
+    the `< 0.5·avg` comparison can't flip between engines.  Scale: the
+    correlated subquery decorrelates to an aggregate re-joined on partkey —
+    same shuffle key as the main join, so AQE coalesces to one exchange."""
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    pa = (lineitem.groupBy(F.col("l_partkey").alias("pk"))
+          .agg(davg("l_quantity").alias("avg_qty")))
+    return (
+        lineitem
+        .join(F.broadcast(part.filter(F.col("p_brand") == "Brand#3")),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .join(pa, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg((dsum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 260
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS total,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY total DESC, o_orderkey LIMIT 100
+    """,
+    tags=["tpch", "A1", "J2", "O1"],
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-quantity orders (HAVING → semi join).  Scale: the
+    HAVING aggregate and the detail join share the l_orderkey shuffle."""
+    customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (lineitem.groupBy("l_orderkey")
+           .agg(F.sum(dec("l_quantity")).alias("sq"))
+           .filter(F.col("sq") > 260)
+           .select(F.col("l_orderkey").alias("big_key")))
+    return (
+        lineitem.join(big, F.col("big_key") == F.col("l_orderkey"), "left_semi")
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                 F.col("o_totalprice").cast("double").alias("total"))
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"))
+        .orderBy(F.desc("total"), "o_orderkey").limit(100)
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 21)
+       OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+    tags=["tpch", "F4", "A1"],
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunction of brand/size/quantity conjuncts.  Catalyst
+    extracts the common l_quantity bounds (1..40) as a pushable filter on
+    the fact scan; the full disjunction evaluates post-join."""
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#1") & s.between(1, 15) & q.between(1, 21))
+        | ((b == "Brand#12") & s.between(1, 25) & q.between(10, 30))
+        | ((b == "Brand#21") & s.between(1, 35) & q.between(20, 40))
+    )
+    return (
+        lineitem.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(dsum_expr("CAST(l_extendedprice AS DECIMAL(18,2))"
+                       " * CAST(1 - l_discount AS DECIMAL(18,4))").alias("revenue"))
+    )
+
+
+@register(
+    "q22_inactive_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(c_acctbal) AS ab
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    tags=["tpch", "J2", "A1"],
+)
+def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: above-average-balance customers with no urgent orders — scalar
+    subquery (one-row broadcast cross join) + anti join."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    avg_bal = (customer.filter(F.col("c_acctbal") > 0)
+               .agg(davg("c_acctbal").alias("ab")))
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+              F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             dsum("c_acctbal").alias("totacctbal"))
+        .orderBy("c_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouping sets / set ops
+# ---------------------------------------------------------------------------
+
+@register(
+    "g1_rollup_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=["A1", "rollup"],
+)
+def g1_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (flag, status) → (flag) → () — partial
+    aggregation computes all levels in one pass over the fact."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_extendedprice").alias("rev"),
+             F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(),
+                 F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@register(
+    "g2_cube_priority_status",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+    tags=["A1", "rollup"],
+)
+def g2_cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions — all four grouping sets in one scan."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("o_orderpriority").asc_nulls_first(),
+                 F.col("o_orderstatus").asc_nulls_first())
+    )
+
+
+@register(
+    "so1_intersect_except",
+    oracle="""
+    SELECT c_custkey FROM (
+      (SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+       INTERSECT
+       SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+    ) ORDER BY c_custkey
+    """,
+    tags=["O3", "setops"],
+)
+def so1_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set algebra (urgent ∩ finished) ∖ high-value —
+    Spark plans these as left-semi / left-anti aggregates."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT") \
+        .select(F.col("o_custkey").alias("c_custkey"))
+    finished = orders.filter(F.col("o_orderstatus") == "F") \
+        .select(F.col("o_custkey").alias("c_custkey"))
+    big = orders.filter(F.col("o_totalprice") > 400000) \
+        .select(F.col("o_custkey").alias("c_custkey"))
+    return urgent.intersect(finished).exceptAll(big.distinct()).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# analytic windows / sessionization
+# ---------------------------------------------------------------------------
+
+@register(
+    "w2_rank_customers_per_nation",
+    oracle="""
+    SELECT c_nationkey, c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal, rk FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rk
+      FROM customer
+    ) WHERE rk <= 3 ORDER BY c_nationkey, rk
+    """,
+    tags=["window", "O1"],
+)
+def w2_rank_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers per nation by balance — partitioned window, fully
+    parallel (one shuffle on the partition key), deterministic tie-break.
+    Scale: WindowGroupLimit pushes the rank filter into the sort."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        customer.select(
+            "c_nationkey", "c_custkey",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("c_nationkey", "rk")
+    )
+
+
+@register(
+    "w3_moving_avg_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                      AND l_shipdate <  TIMESTAMP '1997-07-01'
+      GROUP BY 1
+    )
+    SELECT d, CAST(rev AS DOUBLE) AS rev,
+           CAST(SUM(rev) OVER w AS DOUBLE)
+             / COUNT(rev) OVER w AS ma7
+    FROM daily
+    WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY d
+    """,
+    tags=["window", "A1"],
+)
+def w3_moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily revenue.  The inner frame sum stays
+    decimal (exact) and divides by the frame count — identical doubles in
+    both engines.  Scale: the unpartitioned window runs over |days| rows
+    (post-aggregate), not the fact — a ~2k-row single partition is fine;
+    the fact-table work is all in the distributed daily aggregate."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    daily = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp")))
+        .groupBy(F.to_date("l_shipdate").alias("d"))
+        .agg(F.sum(dec("l_extendedprice")).alias("rev_dec"))
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return daily.select(
+        "d", F.col("rev_dec").cast("double").alias("rev"),
+        (F.sum("rev_dec").over(w).cast("double")
+         / F.count("rev_dec").over(w)).alias("ma7"),
+    ).orderBy("d")
+
+
+@register(
+    "w4_dod_order_delta",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                    AND o_orderdate <  TIMESTAMP '1997-03-01'
+      GROUP BY 1
+    )
+    SELECT d, n, n - lag(n) OVER (ORDER BY d) AS delta,
+           lead(n) OVER (ORDER BY d) AS next_n
+    FROM daily ORDER BY d
+    """,
+    tags=["window"],
+)
+def w4_dod_order_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day order-count delta via lag/lead (integer-exact)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-03-01").cast("timestamp")))
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("d")
+    return daily.select(
+        "d", "n",
+        (F.col("n") - F.lag("n").over(w)).alias("delta"),
+        F.lead("n").over(w).alias("next_n"),
+    ).orderBy("d")
+
+
+@register(
+    "e1_sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id, COUNT(DISTINCT sess_id) AS n_sessions, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id ORDER BY user_id
+    """,
+    tags=["window", "sessionization"],
+)
+def e1_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag → new-session
+    flag → running sum = session id.  The batch analog of the streaming
+    session-window operator (streaming/events.py).  Scale: both windows
+    partition by user_id — one shuffle, no global ordering anywhere."""
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id", "ts", "event_id",
+        F.when(
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long")).over(w) > 1800, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0).alias("new_sess"),
+    )
+    sess = flagged.select(
+        "user_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("sess_id"),
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(F.countDistinct("sess_id").alias("n_sessions"),
+             F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
