@@ -262,7 +262,7 @@ def s1_scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t[len(t)] AS path, CAST(t[1] AS BIGINT) AS size, 0 AS unit
     FROM toks
     """,
-    tags=["S3"],
+    tags=["S3", "S8"],
 )
 def s3_usage_line_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 tolerant du-line parser, driven by synthetic 3-column `du` text
@@ -336,7 +336,7 @@ def f3_prefix_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE NOT regexp_matches(p_type, '.*(BRASS|COPPER).*')
     GROUP BY p_type ORDER BY p_type
     """,
-    tags=["F4"],
+    tags=["F4", "F7"],
 )
 def f4_exclusion_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 distcp-style exclusion-regex filter (README.md:94-99): keep rows
@@ -536,7 +536,7 @@ def a3_group_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS mapping
     FROM nation GROUP BY n_regionkey ORDER BY type
     """,
-    tags=["A4"],
+    tags=["A4", "S6"],
 )
 def a4_map_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: group-by-type map pivot ({type → {source: target}},
@@ -688,7 +688,7 @@ def x1_next_fit_units(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
     FROM events GROUP BY 1 ORDER BY 1
     """,
-    tags=["P1", "json"],
+    tags=["P1", "S7", "json"],
 )
 def p1_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 analog: typed JSON field extraction (from_json on hdi_permission

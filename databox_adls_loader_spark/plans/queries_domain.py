@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exact import dsum_expr
+from ..functions.exact import dsum, dsum_expr
 from .queries import _t, register
 
 
@@ -294,4 +294,170 @@ def o2_limit_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select("o_orderkey", "o_orderstatus",
                       F.col("o_totalprice").cast("double").alias("total"))
         .orderBy("o_orderkey").limit(50)
+    )
+
+
+@register(
+    "s2_subtree_rollup",
+    oracle="""
+    WITH inv AS (
+      SELECT '/data/b' || CAST(p_partkey % 10 AS VARCHAR)
+             || '/d' || CAST(p_partkey % 100 AS VARCHAR)
+             || '/f' || CAST(p_partkey AS VARCHAR) AS name,
+             p_partkey * 10 AS length
+      FROM part
+    ), anc AS (
+      SELECT length,
+             unnest(list_transform(range(1, len(string_split(name, '/'))),
+                    i -> array_to_string(list_slice(string_split(name, '/'), 1, i), '/')))
+               AS path
+      FROM inv
+    )
+    SELECT path, SUM(length) AS size FROM anc
+    WHERE path <> '' GROUP BY path ORDER BY path
+    """,
+    tags=["S2", "A1"],
+)
+def s2_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/A1 recursive form: total bytes under EVERY ancestor directory —
+    what `hadoop fs -du` reports (generate-file-list.py:22-25), computed as
+    a map-side ancestor explode + one shuffle instead of one NameNode query
+    per directory level.  Input paths derived deterministically from part."""
+    from ..operators.aggregates import subtree_sizes
+    (part,) = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    inv = part.select(
+        F.concat(F.lit("/data/b"), (k % 10).cast("string"),
+                 F.lit("/d"), (k % 100).cast("string"),
+                 F.lit("/f"), k.cast("string")).alias("name"),
+        (k * 10).alias("length"),
+    )
+    return (
+        subtree_sizes(inv)
+        .filter(F.col("path") != "")
+        .orderBy("path")
+    )
+
+
+@register(
+    "p4_owner_group_remap",
+    oracle="""
+    WITH inv AS (
+      SELECT c_custkey,
+             'u' || CAST(c_custkey % 40 AS VARCHAR) AS owner,
+             'g' || CAST(c_custkey % 15 AS VARCHAR) AS grp
+      FROM customer
+    ), dim AS (
+      SELECT 'user' AS dtype, 'u' || CAST(n_nationkey AS VARCHAR) AS source,
+             'aad-u' || CAST(n_nationkey AS VARCHAR) AS target
+      FROM nation
+      UNION ALL
+      SELECT 'group', 'g' || CAST(n_nationkey % 8 AS VARCHAR),
+             'aad-g' || CAST(n_nationkey % 8 AS VARCHAR)
+      FROM nation WHERE n_nationkey < 8
+    )
+    SELECT i.c_custkey,
+           COALESCE(du.target, i.owner) AS owner,
+           COALESCE(dg.target, i.grp) AS grp
+    FROM inv i
+    LEFT JOIN dim du ON du.dtype = 'user' AND du.source = i.owner
+    LEFT JOIN dim dg ON dg.dtype = 'group' AND dg.source = i.grp
+    ORDER BY i.c_custkey
+    """,
+    tags=["P4", "P3", "J1"],
+)
+def p4_owner_group_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: the real remap_owner_group operator — J1 applied to
+    permissions.owner (as user) and permissions.group (as group) with
+    withField struct rebuild (identity-mapper.py:15-16).  The dim covers
+    only part of the key space so both remap and fallback paths run."""
+    from ..operators.joins import remap_owner_group
+    customer, nation = _t(spark, sf_dir, "customer", "nation")
+    k = F.col("c_custkey")
+    inv = customer.select(
+        "c_custkey",
+        F.struct(
+            F.concat(F.lit("u"), (k % 40).cast("string")).alias("owner"),
+            F.concat(F.lit("g"), (k % 15).cast("string")).alias("group"),
+            F.lit("rwxr-x---").alias("permissions"),
+        ).alias("permissions"),
+    )
+    nk = F.col("n_nationkey")
+    dim = (
+        nation.select(F.lit("user").alias("type"),
+                      F.concat(F.lit("u"), nk.cast("string")).alias("source"),
+                      F.concat(F.lit("aad-u"), nk.cast("string")).alias("target"))
+        .union(
+            nation.filter(nk < 8)
+            .select(F.lit("group").alias("type"),
+                    F.concat(F.lit("g"), (nk % 8).cast("string")).alias("source"),
+                    F.concat(F.lit("aad-g"), (nk % 8).cast("string")).alias("target")))
+    )
+    return (
+        remap_owner_group(inv, dim)
+        .select("c_custkey",
+                F.col("permissions.owner").alias("owner"),
+                F.col("permissions.group").alias("grp"))
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "f2_assigned_only",
+    oracle="""
+    WITH alloc AS (
+      SELECT o_orderkey AS path, o_totalprice AS size,
+             CASE WHEN o_totalprice > 450000 THEN 0
+                  ELSE (o_orderkey % 5) + 1 END AS unit
+      FROM orders
+    )
+    SELECT unit, COUNT(*) AS n_dirs,
+           CAST(SUM(CAST(size AS DECIMAL(18,2))) AS DOUBLE) AS bytes
+    FROM alloc WHERE unit != 0
+    GROUP BY unit ORDER BY unit
+    """,
+    tags=["F2"],
+)
+def f2_assigned_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: drop unassigned (unit=0, i.e. oversized/recursed) directories
+    before emitting filelists (generate-file-list.py:70)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    alloc = orders.select(
+        F.col("o_orderkey").alias("path"),
+        F.col("o_totalprice").alias("size"),
+        F.when(F.col("o_totalprice") > 450000, 0)
+        .otherwise((F.col("o_orderkey") % 5) + 1).alias("unit"),
+    )
+    return (
+        alloc.filter(F.col("unit") != 0)
+        .groupBy("unit")
+        .agg(F.count(F.lit(1)).alias("n_dirs"), dsum("size").alias("bytes"))
+        .orderBy("unit")
+    )
+
+
+@register(
+    "j3_map_key_membership",
+    oracle="""
+    SELECT event_type,
+           SUM(CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                    THEN 1 ELSE 0 END) AS with_k,
+           COUNT(*) AS total
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=["J3"],
+)
+def j3_map_key_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: metadata-key membership (`hdi_isfolder in metadata`,
+    adls_copy_utils.py:79) — props parsed to a map, `map_contains_key`
+    against the reserved key, conditional count."""
+    (events,) = _t(spark, sf_dir, "events")
+    meta = F.from_json("props", "map<string,string>")
+    return (
+        events.select("event_type",
+                      F.map_contains_key(meta, "k").alias("__has"))
+        .groupBy("event_type")
+        .agg(F.sum(F.when(F.col("__has"), 1).otherwise(0)).alias("with_k"),
+             F.count(F.lit(1)).alias("total"))
+        .orderBy("event_type")
     )
