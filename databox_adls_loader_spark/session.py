@@ -66,9 +66,23 @@ def load_tables(spark: SparkSession, sf_dir: str,
         path = os.path.join(sf_dir, f"{n}.parquet")
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
-        if n == "events" and dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # cache the DataFrame handle per (session, path): reading the same
+        # parquet from every query re-runs footer schema inference and file
+        # listing — a JVM round trip per table per query that dominates the
+        # sub-second queries.  DataFrames are immutable plans, so reuse
+        # within one session is safe; keyed on the session so a stopped
+        # session's handles are never resurrected.
+        key = (spark.sparkContext.applicationId, path)
+        df = _TABLE_CACHE.get(key)
+        if df is None:
+            df = spark.read.parquet(path)
+            if n == "events" and dict(df.dtypes).get("ts") == "bigint":
+                from pyspark.sql import functions as F
+                df = df.withColumn(
+                    "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            _TABLE_CACHE[key] = df
         out[n] = df
     return out
+
+
+_TABLE_CACHE: dict[tuple, "object"] = {}
