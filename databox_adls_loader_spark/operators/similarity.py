@@ -243,3 +243,81 @@ def topk_pandas_udf(emb: DataFrame, query: list[float], k: int = 10,
         .orderBy(F.desc("sim"), id_col)
         .limit(k)
     )
+
+
+def _lloyd_kmeans(mat: "np.ndarray", k: int, iters: int = 8,
+                  seed: int = 7) -> "np.ndarray":
+    """Deterministic Lloyd k-means on a driver-side sample (numpy).
+    Init = evenly spaced rows of the (deterministically ordered) sample —
+    no RNG in the loop, so centroids are reproducible everywhere."""
+    n = mat.shape[0]
+    idx = np.linspace(0, n - 1, num=min(k, n), dtype=np.int64)
+    cents = mat[idx].copy()
+    for _ in range(iters):
+        d = mat @ cents.T
+        assign = np.argmax(d, axis=1)
+        for c in range(cents.shape[0]):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    cents[c] = m / nm
+    return cents
+
+
+def ivf_assign(emb: DataFrame, centroids: "np.ndarray",
+               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Assign every vector to its nearest (cosine) centroid — an
+    Arrow-batched argmax over one GEMM per batch.  At scale the output is
+    written partitioned by `cell` so a query probes only its cells'
+    partitions (partition pruning = the IVF inverted list)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = centroids.astype(np.float64)
+
+    @pandas_udf("int")
+    def cell_of(batch: pd.Series) -> pd.Series:
+        mat = np.vstack(batch.to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.Series(np.argmax(mat @ cents.T, axis=1).astype(np.int32))
+
+    return emb.select(F.col(id_col), F.col(vec_col),
+                      cell_of(F.col(vec_col)).alias("cell"))
+
+
+def topk_ivf(emb: DataFrame, query: list[float], k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4, iters: int = 8,
+             sample_rows: int = 4096, seed: int = 7,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF approximate top-k: k-means cells on a driver-side sample →
+    probe the `n_probe` cells nearest the query → exact cosine rerank
+    within.
+
+    Same candidates→rerank shape as topk_lsh but with learned (data-aware)
+    partitions — better recall/scan-fraction on clustered embeddings.
+    Scale: the sample is a bounded collect (`sample_rows` rows, not O(n));
+    the assignment pass is one GEMM per Arrow batch; at 100 TB the
+    assignment is precomputed once and stored partitioned by cell, making
+    a query a partition-pruned scan of n_probe/n_centroids of the data.
+    Approximate by construction — tested as recall@k vs the brute-force
+    oracle, not equality."""
+    sample = (emb.orderBy(id_col).limit(sample_rows)
+              .select(vec_col).toPandas()[vec_col])
+    mat = np.vstack(sample.to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cents = _lloyd_kmeans(mat, n_centroids, iters, seed)
+
+    qv = np.asarray(query, dtype=np.float64)
+    qv = qv / np.linalg.norm(qv)
+    probes = np.argsort(-(cents @ qv))[:n_probe].tolist()
+
+    assigned = ivf_assign(emb, cents, vec_col, id_col)
+    q = _query_literal(query)
+    return (
+        assigned.filter(F.col("cell").isin([int(p) for p in probes]))
+        .select(F.col(id_col),
+                F.round(cosine(F.col(vec_col), q), 6).alias("sim"))
+        .orderBy(F.desc("sim"), id_col)
+        .limit(k)
+    )

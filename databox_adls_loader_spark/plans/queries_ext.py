@@ -270,3 +270,14 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1→N frame sampling from video assets (explode-shaped mapInPandas)."""
     assets = multimodal.synthetic_assets(spark, n=64)
     return multimodal.frame_sample(assets, every_n=4).orderBy("asset_id", "frame_idx")
+
+
+@register("sim_topk_ivf", oracle=None, tags=["similarity", "rows-only"])
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-20 to the vec_id=1 embedding (k-means cells on a
+    deterministic driver sample, 4-of-16 cell probe, exact rerank) —
+    approximate ⇒ rows-only; recall@k vs brute force asserted in
+    tests/test_dedup_similarity.py::test_ivf_topk_recall."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 1).first()["embedding"]
+    return similarity.topk_ivf(emb, list(q), k=20, n_centroids=16, n_probe=4)

@@ -816,3 +816,40 @@ def e1_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count(F.lit(1)).alias("n_events"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "e2_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sess_id
+    ORDER BY user_id, session_start
+    """,
+    tags=["window", "sessionization", "streaming"],
+)
+def e2_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in F.session_window (gap 30 min) in batch mode — the exact
+    operator the streaming pipeline uses (streaming/events.py:
+    session_window_stats), oracle-checked against the lag/cumsum
+    transcription: session_end = last event + gap, start = first event."""
+    from ..streaming.events import session_window_stats
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        session_window_stats(events, gap="30 minutes")
+        .orderBy("user_id", "session_start")
+    )

@@ -78,8 +78,11 @@ def load_tables(spark: SparkSession, sf_dir: str,
             df = spark.read.parquet(path)
             if n == "events" and dict(df.dtypes).get("ts") == "bigint":
                 from pyspark.sql import functions as F
+                # integer division: float `/ 1000` rounds at microsecond
+                # precision (int64 ns exceeds a double's 52-bit mantissa)
+                # where DuckDB's nanos→micros truncates
                 df = df.withColumn(
-                    "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+                    "ts", F.timestamp_micros(F.expr("ts div 1000")))
             _TABLE_CACHE[key] = df
         out[n] = df
     return out

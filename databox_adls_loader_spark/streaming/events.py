@@ -110,3 +110,61 @@ def per_user_running_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def sliding_counts(events: DataFrame, window: str = "1 hour",
+                   slide: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Sliding-window counts — each event lands in window/slide overlapping
+    windows; same watermark-bounded state story as the tumbling form."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), "event_type", "n")
+    )
+
+
+def session_window_stats(events: DataFrame, gap: str = "30 minutes",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Built-in gap-based session windows (F.session_window): a session
+    closes after `gap` inactivity.  Works identically in batch and
+    streaming — the batch form is oracle-checked as `e2_session_window`
+    against a lag/cumsum SQL transcription."""
+    grouped = events
+    if events.isStreaming:
+        grouped = events.withWatermark("ts", watermark)
+    return (
+        grouped.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"), "n_events")
+    )
+
+
+def enrich_with_dim(stream: DataFrame, dim: DataFrame,
+                    on: str = "user_id") -> DataFrame:
+    """Stream-static broadcast join: each micro-batch joins against the
+    (small) static dimension — the streaming analog of J1.  The dim is
+    re-read per batch if its source supports it; broadcast keeps the
+    stream side shuffle-free."""
+    return stream.join(F.broadcast(dim), on, "left")
+
+
+def write_foreach_batch(stream_df: DataFrame, out_dir: str,
+                        checkpoint_dir: str) -> "object":
+    """foreachBatch parquet sink: per-micro-batch idempotent write keyed by
+    batch id (rerun of a batch overwrites its own directory — the
+    exactly-once pattern for non-transactional sinks, mirroring the
+    reference's idempotent re-apply stance, SURVEY §2.8 K7)."""
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        (df.write.mode("overwrite")
+           .parquet(f"{out_dir}/batch_id={batch_id}"))
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -164,3 +164,13 @@ def test_blocked_allpairs_matches_naive_numpy(spark):
     assert set(got) == set(want)
     for p in want:
         assert got[p] == pytest.approx(want[p], abs=2e-6)
+
+
+def test_ivf_topk_recall(emb):
+    q = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    exact = [r["vec_id"] for r in similarity.topk_bruteforce(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in
+              similarity.topk_ivf(emb, q, k=10, n_centroids=8, n_probe=3).collect()]
+    # the query vector itself and its planted near-dups must be found
+    assert 0 in approx and 1000 in approx
+    assert len(set(exact) & set(approx)) / 10 >= 0.5

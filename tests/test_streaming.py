@@ -16,9 +16,14 @@ def _write_event_files(tmp_path, batches):
     path = str(tmp_path / "events_in")
     os.makedirs(path, exist_ok=True)
     for i, batch in enumerate(batches):
-        with open(os.path.join(path, f"b{i:02d}.json"), "w") as f:
+        fp = os.path.join(path, f"b{i:02d}.json")
+        with open(fp, "w") as f:
             for row in batch:
                 f.write(json.dumps(row) + "\n")
+        # the file source orders micro-batches by modification time; files
+        # written back-to-back can share an mtime, making batch order (and
+        # watermark progression) nondeterministic — pin distinct mtimes
+        os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))
     return path
 
 
@@ -94,3 +99,71 @@ def test_stateful_running_totals(spark, tmp_path):
             for r in spark.sql("select * from user_totals").collect()}
     assert rows[7] == (2, 5.0)
     assert rows[9] == (1, 1.0)
+
+
+def test_stream_session_window_matches_batch(spark, tmp_path):
+    batches = [
+        [_evt(1, "2024-01-01 10:00:00", user=1),
+         _evt(2, "2024-01-01 10:10:00", user=1),     # same session (gap 30m)
+         _evt(3, "2024-01-01 11:30:00", user=1),     # new session
+         _evt(4, "2024-01-01 10:00:00", user=2)],
+    ]
+    path = _write_event_files(tmp_path, batches)
+    stream = se.read_event_stream(spark, path)
+    q = se.run_stream_to_memory(
+        se.session_window_stats(stream, gap="30 minutes"),
+        "sessions", mode="complete")
+    q.awaitTermination(60)
+    got = {(r["user_id"], str(r["session_start"])): r["n_events"]
+           for r in spark.sql("select * from sessions").collect()}
+    batch = se.session_window_stats(
+        spark.read.schema(se.EVENT_SCHEMA).json(path), gap="30 minutes")
+    expect = {(r["user_id"], str(r["session_start"])): r["n_events"]
+              for r in batch.collect()}
+    assert got == expect
+    assert got[(1, "2024-01-01 10:00:00")] == 2
+    assert got[(1, "2024-01-01 11:30:00")] == 1
+    assert got[(2, "2024-01-01 10:00:00")] == 1
+
+
+def test_stream_sliding_counts(spark, tmp_path):
+    batches = [[_evt(1, "2024-01-01 10:05:00"), _evt(2, "2024-01-01 10:40:00")]]
+    path = _write_event_files(tmp_path, batches)
+    stream = se.read_event_stream(spark, path)
+    q = se.run_stream_to_memory(
+        se.sliding_counts(stream, window="1 hour", slide="30 minutes"),
+        "slide_counts", mode="complete")
+    q.awaitTermination(60)
+    rows = {str(r["window_start"]): r["n"]
+            for r in spark.sql("select * from slide_counts").collect()}
+    # 10:05 ∈ [09:30,10:30) and [10:00,11:00); 10:40 ∈ [10:00,11:00) and [10:30,11:30)
+    assert rows["2024-01-01 09:30:00"] == 1
+    assert rows["2024-01-01 10:00:00"] == 2
+    assert rows["2024-01-01 10:30:00"] == 1
+
+
+def test_stream_static_join_enrichment(spark, tmp_path):
+    batches = [[_evt(1, "2024-01-01 10:00:00", user=1),
+                _evt(2, "2024-01-01 10:01:00", user=5)]]
+    path = _write_event_files(tmp_path, batches)
+    dim = spark.createDataFrame([(1, "gold")], "user_id: long, tier: string")
+    stream = se.enrich_with_dim(se.read_event_stream(spark, path), dim)
+    q = se.run_stream_to_memory(stream, "enriched", mode="append")
+    q.awaitTermination(60)
+    rows = {r["user_id"]: r["tier"]
+            for r in spark.sql("select * from enriched").collect()}
+    assert rows[1] == "gold" and rows[5] is None
+
+
+def test_foreach_batch_parquet_sink(spark, tmp_path):
+    batches = [[_evt(1, "2024-01-01 10:00:00")],
+               [_evt(2, "2024-01-01 11:00:00")]]
+    path = _write_event_files(tmp_path, batches)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = se.read_event_stream(spark, path, max_files_per_trigger=1)
+    q = se.write_foreach_batch(stream, out, ckpt)
+    q.awaitTermination(60)
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    assert {r["event_id"] for r in got.collect()} == {1, 2}
