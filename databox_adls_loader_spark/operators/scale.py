@@ -1,0 +1,67 @@
+"""Scale utilities: bucketed co-located joins and skew salting.
+
+The reference parallelizes with thread pools and distcp mappers (SURVEY
+§4); the Spark-native equivalents of its "run many copies" advice are
+physical-layout controls:
+
+  * bucketing — pre-shuffle a fact table ON DISK by its join key so every
+    subsequent join/aggregate on that key is exchange-free (the 100 TB
+    equivalent of the reference's per-prefix sharding, F3);
+  * salting — split a hot key across `n_salts` sub-keys so one skewed
+    reducer becomes n parallel ones (complements AQE skew-join, which
+    only splits *partitions*, not single keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   n_buckets: int = 32,
+                   sort_cols: list[str] | None = None) -> None:
+    """Persist a table bucketed (and optionally sorted) by the join key.
+
+    Readers of `table` joining/aggregating on `bucket_cols` get
+    exchange-free plans: Spark's native bucketing records the hash
+    partitioning in the catalog, so the join's ClusteredDistribution is
+    already satisfied.  At 100 TB this converts every repeated
+    fact⋈fact join from two full shuffles into zero."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
+def salt_keys(df: DataFrame, key: str, n_salts: int,
+              unique_col: str) -> DataFrame:
+    """Fact side of a salted join: deterministic sub-key from a unique
+    column's hash (no RNG — reruns and task retries produce identical
+    salts, keeping the operation idempotent like the reference's sinks)."""
+    return df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(unique_col)), F.lit(n_salts)).cast("int"))
+
+
+def explode_salts(dim: DataFrame, n_salts: int) -> DataFrame:
+    """Dim side: replicate each row once per salt value (dim is small —
+    replication is n_salts × |dim|, still broadcastable)."""
+    return dim.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0).cast("int"), F.lit(n_salts - 1).cast("int"))))
+
+
+def salted_join(fact: DataFrame, dim: DataFrame, key: str,
+                unique_col: str, n_salts: int = 8,
+                how: str = "inner") -> DataFrame:
+    """Skew-proof equi join: fact rows of one hot key spread across
+    `n_salts` (key, salt) sub-keys; the dim side is replicated to match.
+    Result is row-identical to the unsalted join.
+
+    Use when ONE key dominates (null-ish sentinel ids, celebrity users):
+    AQE's skew-join splits oversized *partitions* but cannot split a
+    single key's hash bucket — salting can."""
+    f = salt_keys(fact, key, n_salts, unique_col)
+    d = explode_salts(dim, n_salts)
+    joined = f.join(d, [key, "__salt"], how)
+    return joined.drop("__salt")

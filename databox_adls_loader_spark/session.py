@@ -41,6 +41,9 @@ def get_spark(app_name: str = "databox-adls-loader-spark",
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # static conf: bucketed saveAsTable needs a writable warehouse
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"))
     )
     return builder.getOrCreate()
 
