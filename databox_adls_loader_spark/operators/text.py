@@ -169,3 +169,38 @@ def text_stats(docs: DataFrame, text_col: str = "text",
         lang_id(text_col).alias("lang_pred"),
         fingerprint_md5(text_col).alias("fp_md5"),
     )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf.
+
+    idf is the log-free variant (N+1)/(df+1): division of exactly-derived
+    doubles is bit-identical across engines, where ln() may differ in the
+    last ulp between libm implementations and flip a rounded rank.
+    Scale: two shuffles ((doc,term) tf, then term df) + a per-doc window;
+    the doc-count scalar is a one-row broadcast, and map-side partial
+    aggregation collapses the token explosion before either shuffle."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col), F.explode(bpe_ish_tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf").cast("double")
+                    * (F.col("n_docs") + 1).cast("double")
+                    / (F.col("df") + 1).cast("double"), 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tfidf", "rk")
+    )

@@ -281,3 +281,37 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 1).first()["embedding"]
     return similarity.topk_ivf(emb, list(q), k=20, n_centroids=16, n_probe=4)
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+             AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * (n.n_docs + 1) * 1.0 / (df.df + 1), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rk FROM (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    ) WHERE rk <= 3 ORDER BY doc_id, rk
+    """,
+    tags=["text", "tfidf"],
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf·idf terms per document (log-free idf — bit-identical
+    division instead of libm-dependent ln)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(docs, k=3).orderBy("doc_id", "rk")
