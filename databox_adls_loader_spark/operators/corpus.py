@@ -1,0 +1,69 @@
+"""End-to-end corpus cleaning — the composed training-data pipeline.
+
+quality gate → exact dedup → near-dup removal, as ONE declarative DataFrame
+program (the shape a 100 TB pre-training cleanup actually runs).  Every doc
+gets a verdict rather than silently disappearing, so the pipeline is
+auditable: `kept | low_quality | exact_dup | near_dup`.
+
+Stage semantics (deterministic, oracle-checked in plans/queries_ext.py):
+  1. low_quality   — fewer than `min_tokens` tokens or punctuation ratio
+                     above `max_punct`;
+  2. exact_dup     — canonical-text hash matches a quality-passing doc
+                     with a smaller id (the smaller id survives);
+  3. near_dup      — word-3-gram Jaccard ≥ `jaccard_threshold` against a
+                     surviving doc with a smaller id (greedy by id, not
+                     transitive closure — documented relaxation);
+  4. kept          — everything else.
+
+Scale: the quality gate is map-side; exact dedup is one shuffle on the
+text hash; the near-dup stage runs only on exact-dedup survivors (already
+quality-filtered) through the shingle join of dedup.ngram_jaccard_pairs —
+swap in minhash_near_dupes for the LSH candidate path at corpus sizes
+where the exact shingle join is too wide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup, text
+
+
+def clean_corpus(docs: DataFrame, min_tokens: int = 20,
+                 max_punct: float = 0.1, jaccard_threshold: float = 0.5,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, verdict) for every input document."""
+    base = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        text.token_count(text_col).alias("n_tokens"),
+        F.round(text.punct_ratio(text_col), 6).alias("punct"),
+    )
+    quality_ok = (F.col("n_tokens") >= min_tokens) & (F.col("punct") <= max_punct)
+    qualified = base.filter(quality_ok)
+
+    # exact stage: doc survives iff it is the min id of its canonical hash
+    canon = dedup.exact_dedup(qualified, text_col, id_col) \
+        .select("text_hash", "canonical_id")
+    hashed = qualified.withColumn(
+        "text_hash", F.md5(dedup.canonical_text(text_col)))
+    exact_tagged = hashed.join(F.broadcast(canon), "text_hash") \
+        .withColumn("is_exact_dup", F.col(id_col) != F.col("canonical_id"))
+
+    survivors = exact_tagged.filter(~F.col("is_exact_dup"))
+    near = dedup.ngram_jaccard_pairs(
+        survivors, text_col, id_col, n=3, threshold=jaccard_threshold) \
+        .select(F.col("b").alias("near_dup_id")).distinct()
+
+    verdict = (
+        base.join(exact_tagged.select(id_col, "is_exact_dup"), id_col, "left")
+        .join(near, F.col(id_col) == F.col("near_dup_id"), "left")
+        .withColumn(
+            "verdict",
+            F.when(~quality_ok, "low_quality")
+            .when(F.col("is_exact_dup"), "exact_dup")
+            .when(F.col("near_dup_id").isNotNull(), "near_dup")
+            .otherwise("kept"))
+    )
+    return verdict.select(id_col, "n_tokens", "verdict")

@@ -315,3 +315,64 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     division instead of libm-dependent ln)."""
     (docs,) = _t(spark, sf_dir, "documents")
     return text.tfidf_top_terms(docs, k=3).orderBy("doc_id", "rk")
+
+
+@register(
+    "corpus_clean_pipeline",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             ROUND(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g'))
+                   * 1.0 / greatest(length(text), 1), 6) AS punct
+      FROM documents
+    ), qualified AS (
+      SELECT * FROM base WHERE n_tokens >= 20 AND punct <= 0.1
+    ), hashed AS (
+      SELECT doc_id, text,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+      FROM qualified
+    ), canon AS (
+      SELECT h, MIN(doc_id) AS canonical_id FROM hashed GROUP BY h
+    ), exact_tagged AS (
+      SELECT hashed.doc_id, hashed.text,
+             hashed.doc_id <> canon.canonical_id AS is_exact_dup
+      FROM hashed JOIN canon USING (h)
+    ), survivors AS (
+      SELECT doc_id, text FROM exact_tagged WHERE NOT is_exact_dup
+    ), toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM survivors
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(t) - 2, 1) + 1),
+        i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+      FROM toks
+    ), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    near AS (
+      SELECT DISTINCT r.b AS near_dup_id FROM (
+        SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
+        FROM sh l JOIN sh r ON l.g = r.g AND l.doc_id < r.doc_id
+        GROUP BY 1, 2
+      ) r
+      JOIN sizes sa ON r.a = sa.doc_id JOIN sizes sb ON r.b = sb.doc_id
+      WHERE r.inter * 1.0 / (sa.sz + sb.sz - r.inter) >= 0.5
+    )
+    SELECT b.doc_id, b.n_tokens,
+           CASE WHEN b.n_tokens < 20 OR b.punct > 0.1 THEN 'low_quality'
+                WHEN et.is_exact_dup THEN 'exact_dup'
+                WHEN n.near_dup_id IS NOT NULL THEN 'near_dup'
+                ELSE 'kept' END AS verdict
+    FROM base b
+    LEFT JOIN exact_tagged et ON b.doc_id = et.doc_id
+    LEFT JOIN near n ON b.doc_id = n.near_dup_id
+    ORDER BY b.doc_id
+    """,
+    tags=["dedup", "text", "pipeline"],
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleanup (quality gate → exact dedup →
+    near-dup removal) with a per-document audit verdict — one declarative
+    program, oracle-checked end to end."""
+    from ..operators.corpus import clean_corpus
+    (docs,) = _t(spark, sf_dir, "documents")
+    return clean_corpus(docs).orderBy("doc_id")

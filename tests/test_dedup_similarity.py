@@ -174,3 +174,22 @@ def test_ivf_topk_recall(emb):
     # the query vector itself and its planted near-dups must be found
     assert 0 in approx and 1000 in approx
     assert len(set(exact) & set(approx)) / 10 >= 0.5
+
+
+def test_clean_corpus_verdicts(spark):
+    from databox_adls_loader_spark.operators.corpus import clean_corpus
+    good = " ".join(f"tok{i}" for i in range(30))
+    near = " ".join(["CHANGED" if i == 5 else f"tok{i}" for i in range(30)])
+    rows = [
+        (1, good),                       # kept (smallest of the dup group)
+        (2, good),                       # exact_dup of 1
+        (3, near),                       # near_dup of 1 (1 of 30 changed)
+        (4, "short text"),               # low_quality: < 20 tokens
+        (5, "!!! " * 30),                # low_quality: punct ratio
+        (6, " ".join(f"other{i}" for i in range(25))),  # kept
+    ]
+    out = {r["doc_id"]: r["verdict"] for r in
+           clean_corpus(spark.createDataFrame(rows, "doc_id: long, text: string"),
+                        min_tokens=20, max_punct=0.1).collect()}
+    assert out == {1: "kept", 2: "exact_dup", 3: "near_dup",
+                   4: "low_quality", 5: "low_quality", 6: "kept"}
