@@ -853,3 +853,140 @@ def e2_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         session_window_stats(events, gap="30 minutes")
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "w5_rank_distribution_functions",
+    oracle="""
+    SELECT c_custkey,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY c_custkey
+    """,
+    tags=["window"],
+)
+def w5_rank_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist / rank / dense_rank over a global
+    ordering.  Scale note: a deliberately global window — at 100 TB this
+    is the one window shape that needs re-keying (pre-aggregate or
+    partition on a coarse bucket then offset, as operators/windows.py does
+    for sums); kept here to pin exact rank semantics against the oracle."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), "c_custkey")
+    return customer.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "w6_range_frame_sum",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                    AND o_orderdate <  TIMESTAMP '1997-04-01'
+      GROUP BY 1
+    )
+    SELECT d, CAST(rev AS DOUBLE) AS rev,
+           CAST(SUM(rev) OVER (ORDER BY d
+                               RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                                         AND CURRENT ROW) AS DOUBLE)
+             AS rev_7d
+    FROM daily ORDER BY d
+    """,
+    tags=["window"],
+)
+def w6_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): trailing-7-calendar-day
+    revenue — includes days absent from the data, unlike a ROWS frame.
+    Decimal inside the frame sum, double only at the edge."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp")))
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(dec("o_totalprice")).alias("rev_dec"))
+    )
+    # rangeBetween needs an orderable numeric: order by epoch days
+    w = (Window.orderBy(F.unix_date("d")).rangeBetween(-6, 0))
+    return daily.select(
+        "d", F.col("rev_dec").cast("double").alias("rev"),
+        F.sum("rev_dec").over(w).cast("double").alias("rev_7d"),
+    ).orderBy("d")
+
+
+@register(
+    "a6_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(median(o_totalprice), 6) AS med,
+           ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.95), 6) AS p95
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=["A1", "percentile"],
+)
+def a6_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (percentile_cont ≡ DuckDB
+    quantile_cont).  Scale: exact percentiles sort within groups —
+    substitute approx_percentile at 100 TB (a7_approx_distinct shows the
+    sketch-side pattern)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.round(F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)"), 6).alias("med"),
+             F.round(F.expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice)"), 6).alias("p25"),
+             F.round(F.expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice)"), 6).alias("p95"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "a7_pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f_cnt,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o_cnt,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p_cnt
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=["A4", "pivot"],
+)
+def a7_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with explicit value list (no extra discovery pass
+    over the fact — always pass values at scale)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)))
+        .select("o_orderpriority",
+                F.coalesce("F", F.lit(0)).alias("f_cnt"),
+                F.coalesce("O", F.lit(0)).alias("o_cnt"),
+                F.coalesce("P", F.lit(0)).alias("p_cnt"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register("a8_approx_distinct", oracle=None, tags=["A5", "sketch", "rows-only"])
+def a8_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approximate distinct counts — the 100 TB substitute for
+    exact countDistinct (no second shuffle, mergeable sketch).  Accuracy
+    vs exact asserted in tests/test_entry.py::test_approx_distinct_error."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    )

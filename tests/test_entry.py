@@ -26,3 +26,15 @@ def test_queries_run_at_sf0001(spark, sf_dir):
         df = fn(spark, sf_dir)
         assert df.columns, name
         df.limit(5).collect()
+
+
+def test_approx_distinct_error(spark, sf_dir):
+    from databox_adls_loader_spark.plans.queries import all_queries
+    from databox_adls_loader_spark.session import load_tables
+    row = all_queries()["a8_approx_distinct"](spark, sf_dir).first()
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    from pyspark.sql import functions as F
+    exact = li.agg(F.countDistinct("l_orderkey").alias("o"),
+                   F.countDistinct("l_partkey").alias("p")).first()
+    assert abs(row["approx_orders"] - exact["o"]) / exact["o"] < 0.1
+    assert abs(row["approx_parts"] - exact["p"]) / exact["p"] < 0.1
