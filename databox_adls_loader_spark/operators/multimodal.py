@@ -151,3 +151,76 @@ def metadata_only_stats(assets: DataFrame) -> DataFrame:
              F.max(F.length("content")).alias("max_bytes"))
         .orderBy("modality")
     )
+
+
+EXT_MODALITY = {
+    "png": "image", "jpg": "image", "jpeg": "image", "gif": "image",
+    "wav": "audio", "mp3": "audio", "flac": "audio",
+    "mp4": "video", "mkv": "video", "webm": "video",
+}
+
+
+def read_binary_assets(spark: SparkSession, path: str,
+                       glob: str | None = None) -> DataFrame:
+    """Ingest raw asset files through the `binaryFile` source — the
+    real-world entry point for multimodal data (SURVEY §1.1f): columns
+    (path, modificationTime, length, content), modality inferred from the
+    extension.  The source prunes `content` when a query only touches
+    metadata columns, so stats queries never lift payload bytes."""
+    reader = (spark.read.format("binaryFile")
+              .option("recursiveFileLookup", "true"))
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    modality = F.lit(None).cast("string")
+    for e, m in EXT_MODALITY.items():
+        modality = F.when(ext == e, m).otherwise(modality)
+    return df.select(
+        F.xxhash64("path").alias("asset_id"),
+        modality.alias("modality"),
+        F.col("content"),
+        F.concat(F.lit("application/"), ext).alias("mime_type"),
+        F.col("path"),
+        F.col("length"),
+    )
+
+
+def resize_stub(assets: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Payload-transform shape (1 binary in → 1 binary out): the real
+    implementation would decode, resize to ``max_dim``, re-encode; the
+    STUB derives a deterministic smaller payload (hash-extended to a size
+    scaled by the fake dimensions) so the pipeline — schema, batching,
+    binary-in/binary-out — is exercised end to end."""
+    import pandas as pd
+
+    out_schema = StructType([
+        StructField("asset_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("content", BinaryType()),
+        StructField("orig_bytes", LongType()),
+        StructField("resized_bytes", LongType()),
+    ])
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = {k: [] for k in ("asset_id", "modality", "content",
+                                    "orig_bytes", "resized_bytes")}
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"]) if row["content"] is not None else b""
+                if row["modality"] == "image":
+                    d = _fake_decode(content, "image")
+                    scale = min(1.0, max_dim / max(d["width"], d["height"]))
+                    new_len = max(32, int(len(content) * scale * scale))
+                    digest = hashlib.sha256(content + b"resized").digest()
+                    new_content = (digest * (new_len // 32 + 1))[:new_len]
+                else:
+                    new_content = content
+                rows["asset_id"].append(row["asset_id"])
+                rows["modality"].append(row["modality"])
+                rows["content"].append(bytearray(new_content))
+                rows["orig_bytes"].append(len(content))
+                rows["resized_bytes"].append(len(new_content))
+            yield pd.DataFrame(rows)
+
+    return assets.repartition("asset_id").mapInPandas(run, schema=out_schema)

@@ -104,3 +104,43 @@ def test_metadata_only_stats_stays_jvm_side(spark):
     out = {r["modality"]: r for r in multimodal.metadata_only_stats(assets).collect()}
     assert set(out) == {"image", "audio", "video"}
     assert all(r["total_bytes"] > 0 for r in out.values())
+
+
+def test_binary_file_source_ingest(spark, tmp_path):
+    from databox_adls_loader_spark.operators import multimodal as mm
+    d = tmp_path / "assets"
+    d.mkdir()
+    (d / "a.png").write_bytes(b"\x89PNG-fake" * 10)
+    (d / "b.wav").write_bytes(b"RIFF-fake" * 5)
+    (d / "sub").mkdir()
+    (d / "sub" / "c.mp4").write_bytes(b"mp4-fake" * 20)
+    (d / "ignore.txt").write_bytes(b"not an asset")
+    out = mm.read_binary_assets(spark, str(d)).collect()
+    by_mod = {r["modality"]: r for r in out}
+    assert set(by_mod) == {"image", "audio", "video", None}
+    assert by_mod["image"]["length"] == 90
+    assert bytes(by_mod["audio"]["content"]) == b"RIFF-fake" * 5
+    # recursive lookup found the nested video
+    assert by_mod["video"]["path"].endswith("c.mp4")
+
+
+def test_binary_source_prunes_content_for_metadata(spark, tmp_path):
+    from databox_adls_loader_spark.operators import multimodal as mm
+    d = tmp_path / "assets2"
+    d.mkdir()
+    (d / "a.png").write_bytes(b"x" * 100)
+    df = mm.read_binary_assets(spark, str(d)).select("modality", "length")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "content" not in plan  # payload never read for metadata queries
+
+
+def test_resize_stub_shrinks_images_only(spark):
+    from databox_adls_loader_spark.operators import multimodal as mm
+    assets = mm.synthetic_assets(spark, n=12)
+    out = mm.resize_stub(assets, max_dim=64).collect()
+    for r in out:
+        if r["modality"] == "image":
+            assert r["resized_bytes"] <= r["orig_bytes"]
+            assert len(bytes(r["content"])) == r["resized_bytes"]
+        else:
+            assert r["resized_bytes"] == r["orig_bytes"]
