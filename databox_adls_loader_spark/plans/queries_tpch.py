@@ -990,3 +990,37 @@ def a8_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
     )
+
+
+@register(
+    "asof_latest_purchase",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.ts, c.event_id,
+           p.value AS right_value, p.ts AS right_ts
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    ORDER BY c.user_id, c.ts, c.event_id
+    """,
+    tags=["asof", "J1", "window"],
+)
+def asof_latest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click paired with the user's latest prior (or
+    simultaneous) purchase — union + keyed-window formulation (operators/
+    asof.py), oracle-checked against DuckDB's native ASOF JOIN.  Scale:
+    one shuffle per side on user_id; never a range cross-product."""
+    from ..operators.asof import asof_join
+    (events,) = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click") \
+        .select("user_id", "ts", "event_id")
+    purchases = events.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "value")
+    return (
+        asof_join(clicks, purchases, key="user_id")
+        .orderBy("user_id", "ts", "event_id")
+    )

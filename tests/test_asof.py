@@ -1,0 +1,54 @@
+"""As-of join unit tests: hand-built frames with known matches."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from databox_adls_loader_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "a"),
+         (1, _ts("2024-01-01 12:00:00"), "b"),
+         (2, _ts("2024-01-01 09:00:00"), "c")],
+        "k: long, ts: timestamp, tag: string")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:30:00"), 10.0),
+         (1, _ts("2024-01-01 11:00:00"), 20.0),
+         (2, _ts("2024-01-01 09:30:00"), 30.0)],   # after left's only row
+        "k: long, ts: timestamp, v: double")
+    return left, right
+
+
+def test_asof_picks_latest_at_or_before(spark):
+    left, right = _frames(spark)
+    out = {(r["k"], r["tag"]): r["right_v"]
+           for r in asof_join(left, right, key="k").collect()}
+    assert out[(1, "a")] == 10.0      # 09:30 is latest <= 10:00
+    assert out[(1, "b")] == 20.0      # 11:00 is latest <= 12:00
+    assert out[(2, "c")] is None      # right row is in the future
+
+
+def test_asof_equal_ts_is_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "x")], "k: long, ts: timestamp, tag: string")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 7.0)], "k: long, ts: timestamp, v: double")
+    (row,) = asof_join(left, right, key="k").collect()
+    assert row["right_v"] == 7.0
+
+
+def test_asof_tolerance_drops_stale_matches(spark):
+    left, right = _frames(spark)
+    out = {(r["k"], r["tag"]): r["right_v"]
+           for r in asof_join(left, right, key="k",
+                              tolerance_seconds=1800).collect()}
+    assert out[(1, "a")] == 10.0      # 30 min gap: exactly at tolerance
+    assert out[(1, "b")] is None      # 60 min gap: stale
+    # all left rows survive (left-join semantics)
+    assert len(out) == 3
