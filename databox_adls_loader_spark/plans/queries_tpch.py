@@ -1024,3 +1024,42 @@ def asof_latest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         asof_join(clicks, purchases, key="user_id")
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+@register(
+    "range_clicks_in_purchase_window",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id AS purchase_id, ts AS ws, ts + INTERVAL 1 HOUR AS we
+      FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT ts AS click_ts FROM events WHERE event_type = 'click'
+    )
+    SELECT purchase_id, COUNT(*) AS n_clicks
+    FROM purchases p JOIN clicks c
+      ON c.click_ts >= p.ws AND c.click_ts < p.we
+    GROUP BY purchase_id ORDER BY purchase_id
+    """,
+    tags=["rangejoin", "J2", "window"],
+)
+def range_clicks_in_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join: clicks (any user) landing within the hour
+    after each purchase — bucketed equi-join formulation (operators/
+    rangejoin.py) instead of the nested-loop range join, oracle-checked
+    against DuckDB's native IEJoin plan."""
+    from ..operators.rangejoin import point_in_interval_join
+    (events,) = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("ws"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("we"))
+    clicks = events.filter(F.col("event_type") == "click") \
+        .select(F.col("ts").alias("click_ts"))
+    return (
+        point_in_interval_join(clicks, purchases, point_ts="click_ts",
+                               start_col="ws", end_col="we",
+                               bucket_seconds=3600)
+        .groupBy("purchase_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+        .orderBy("purchase_id")
+    )
