@@ -1063,3 +1063,32 @@ def range_clicks_in_purchase_window(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.count(F.lit(1)).alias("n_clicks"))
         .orderBy("purchase_id")
     )
+
+
+@register(
+    "cdc_latest_per_key",
+    oracle="""
+    SELECT user_id, ts, event_type, value FROM (
+      SELECT user_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+    tags=["window", "cdc"],
+)
+def cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert compaction: latest record per key (the CDC/merge-dedupe
+    shape).  Deterministic tie-break on event_id.  Scale: one shuffle on
+    the key; WindowGroupLimit pushes rn=1 into the sort so only one row
+    per key survives each partition's sort — never a full materialized
+    rank."""
+    from pyspark.sql import Window
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "event_type", "value")
+        .orderBy("user_id")
+    )
