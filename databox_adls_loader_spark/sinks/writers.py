@@ -53,3 +53,34 @@ def write_identity_map(dim: DataFrame, path: str) -> None:
     with open(tmp, "w", encoding="utf-8") as f:
         f.write(data)
     os.replace(tmp, path)
+
+
+def write_partitioned(df: DataFrame, out_dir: str,
+                      partition_cols: list[str],
+                      mode: str = "overwrite") -> None:
+    """Hive-style partitioned parquet layout (dir per partition value).
+    Queries filtering on ``partition_cols`` read only matching directories
+    — Catalyst partition pruning, the at-rest analog of the reference's
+    --prefix sharding (F3).  Keep partition cardinality moderate (date,
+    type — never a high-cardinality id) or the listing dominates."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(out_dir)
+
+
+def compact_parquet(spark, in_dir: str, out_dir: str,
+                    target_mb: int = 128) -> int:
+    """Small-file compaction: rewrite a directory into files of
+    ~``target_mb`` each (the chronic small-file problem of incremental
+    sinks — a 100 TB table of 1 MB files breaks listing and scan
+    planning).  Sizes from the source listing, not a data scan.
+    Returns the output file count."""
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(in_dir)
+        for f in files if f.endswith(".parquet"))
+    n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(in_dir)
+    df.repartition(n_files).write.mode("overwrite").parquet(out_dir)
+    return n_files

@@ -99,3 +99,26 @@ def test_pivot_identity_map(spark):
     piv = {r["type"]: r["mapping"] for r in pivot_identity_map(dim).collect()}
     assert set(piv) == {"user", "group"}
     assert piv["user"]["alice"] == "alice@corp.example.com"
+
+
+def test_rewrite_acls_udf_matches_join_form(spark):
+    from databox_adls_loader_spark.operators.acl_rewrite import (
+        rewrite_acls, rewrite_acls_udf)
+    acls = spark.createDataFrame(
+        [("f1", ["user::rwx", "user:alice:rw-", "group:ops:r-x",
+                 "default:user:bob:rwx", "other::---", "mask::rwx"]),
+         ("f2", ["user:carol:rwx"]),
+         ("f3", None)],
+        "file: string, acl: array<string>")
+    dim = spark.createDataFrame(
+        [("user", "alice", "aad-alice"), ("group", "ops", "aad-ops"),
+         ("user", "bob", "")],
+        "type: string, source: string, target: string")
+    join_form = {r["file"]: r["acl"]
+                 for r in rewrite_acls(acls, dim).collect()}
+    udf_form = {r["file"]: r["acl"]
+                for r in rewrite_acls_udf(acls, dim).collect()}
+    assert join_form == udf_form
+    assert udf_form["f1"][1] == "user:aad-alice:rw-"
+    assert udf_form["f1"][3] == "default:user::rwx"   # blank target IS used
+    assert udf_form["f2"] == ["user:carol:rwx"]        # fallback on miss

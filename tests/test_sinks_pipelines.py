@@ -171,3 +171,34 @@ def test_token_provider_refresh():
     tp2 = rest.TokenProvider(ttl_s=100.0)
     a, b = tp2.token(), tp2.token()
     assert tp2.refreshes == 1 and a == b  # cached within expiry
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    from databox_adls_loader_spark.sinks.writers import write_partitioned
+    df = spark.createDataFrame(
+        [(i, ["click", "view", "purchase"][i % 3]) for i in range(90)],
+        "event_id: long, event_type: string")
+    out = str(tmp_path / "part_events")
+    write_partitioned(df, out, ["event_type"])
+    import os
+    assert sorted(d for d in os.listdir(out) if d.startswith("event_type=")) == [
+        "event_type=click", "event_type=purchase", "event_type=view"]
+    filtered = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan
+    assert filtered.count() == 30
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from databox_adls_loader_spark.sinks.writers import compact_parquet
+    src = str(tmp_path / "many_small")
+    spark.range(0, 10000).repartition(40).write.parquet(src)
+    import os
+    n_small = sum(f.endswith(".parquet") for f in os.listdir(src))
+    assert n_small == 40
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, out, target_mb=128)
+    assert n == 1
+    n_out = sum(f.endswith(".parquet") for f in os.listdir(out))
+    assert n_out == 1
+    assert spark.read.parquet(out).count() == 10000
