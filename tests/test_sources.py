@@ -85,3 +85,36 @@ def test_acl_assembly_strips_tab_separated_annotations(spark):
     ]
     r = assemble_acl_records(lines_df(spark, lines)).collect()[0]
     assert r["acl"] == ["user:carol:rw-"]
+
+
+def test_permissive_json_read_keeps_corrupt_records(spark, tmp_path):
+    # SURVEY §1.3: schema-on-read with PERMISSIVE mode for external text —
+    # malformed rows land in _corrupt_record instead of failing the scan
+    p = tmp_path / "mixed.json"
+    p.write_text('\n'.join([
+        '{"type": "user", "source": "alice", "target": "aad-alice"}',
+        'this is not json at all',
+        '{"type": "group", "source": "ops"}',          # missing field -> null
+        '{"type": "user", "source": "bob", "target": 7}',  # wrong type
+    ]))
+    from pyspark.sql.types import StringType, StructField, StructType
+    schema = StructType([
+        StructField("type", StringType()),
+        StructField("source", StringType()),
+        StructField("target", StringType()),
+        StructField("_corrupt_record", StringType()),
+    ])
+    df = (spark.read.schema(schema).option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(str(p))).cache()
+    rows = df.collect()
+    assert len(rows) == 4
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {r["source"] for r in good} >= {"alice", "ops"}
+    assert any("not json" in r["_corrupt_record"] for r in bad)
+    # DROPMALFORMED: only clean rows survive
+    dropped = (spark.read.schema(schema)
+               .option("mode", "DROPMALFORMED").json(str(p)))
+    assert dropped.count() < 4
+    df.unpersist()
