@@ -60,3 +60,51 @@ def exclusive_running_sum(df: DataFrame, order_col: str, value: Column,
         .withColumn(out_col, local + F.col("__off").cast("decimal(38,6)"))
         .drop("__pid", "__off")
     )
+
+
+def carry_forward_last(df: DataFrame, order_col: str, value_col: str,
+                       out_col: str = "carried",
+                       num_partitions: int | None = None) -> DataFrame:
+    """Distributed last-non-null-carry-forward over a global ordering
+    (the "propagate the most recent header" pattern) — same two-phase
+    shape as `exclusive_running_sum`: range-partition, carry within each
+    partition via a local window, then fill each partition's
+    before-first-value prefix from the preceding partitions' final value
+    (a ≤num_partitions-row driver pass + broadcast join).  Never a
+    single-partition window."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(num_partitions, F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    w = (Window.partitionBy("__pid").orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    local = F.last(value_col, ignorenulls=True).over(w)
+
+    finals = (
+        ranged.groupBy("__pid")
+        .agg(F.max(F.when(F.col(value_col).isNotNull(),
+                          F.struct(F.col(order_col).alias("o"),
+                                   F.col(value_col).alias("v"))))
+             .alias("__fin"))
+        .collect()
+    )
+    fin_map = {r["__pid"]: (r["__fin"]["v"] if r["__fin"] else None)
+               for r in finals}
+    carry_in: dict[int, object] = {}
+    running = None
+    for pid in sorted(fin_map):
+        carry_in[pid] = running
+        if fin_map[pid] is not None:
+            running = fin_map[pid]
+    carry_df = F.broadcast(spark.createDataFrame(
+        [(p, v) for p, v in carry_in.items()],
+        "__pid: int, __carry: string"))  # string values only (header carry)
+    return (
+        ranged.join(carry_df, "__pid")
+        .withColumn(out_col, F.coalesce(local, F.col("__carry")))
+        .drop("__pid", "__carry")
+    )

@@ -7,15 +7,13 @@ into one record; :42 strips `#`-suffixed effective-perms annotations (P9);
 {file, owner, group, acl[]} (P6).
 
 Spark-first design: the multi-line grouping is a classic
-last-non-null-header window — tag header lines, propagate the most recent
-file path to every following line with `last(..., ignorenulls=True)` over a
-monotonic line index, then group.  This shuffles once on the assembled
-record key and needs no Python row loop.  A `mapPartitions` assembler would
-risk records straddling partition boundaries; the window form is
-boundary-safe because the order key is global.
-
-At 100 TB scale getfacl text is tiny relative to data (one record per file),
-and the single `file` grouping key is high-cardinality → even shuffle; fine.
+last-non-null-header carry — tag header lines, propagate the most recent
+file path forward over the line index, then group.  The carry uses the
+two-phase range-partitioned form (operators/windows.carry_forward_last),
+NOT a bare global window: records may straddle partition boundaries and
+the prefix of each partition is filled from the preceding partitions'
+final header via a tiny broadcast — no single-partition sort anywhere,
+so a billion-file getfacl dump assembles fully parallel.
 """
 
 from __future__ import annotations
@@ -48,7 +46,7 @@ def assemble_acl_records(lines: DataFrame, strip_prefix_components: int = 1) -> 
       `# owner: <o>` / `# group: <g>` → record attributes
       other non-blank    → ACL entry (trailing `\t#effective:...` dropped, :42)
     """
-    w = Window.orderBy("line_no").rowsBetween(Window.unboundedPreceding, 0)
+    from ..operators.windows import carry_forward_last
     v = F.col("value")
     tagged = (
         lines
@@ -58,7 +56,11 @@ def assemble_acl_records(lines: DataFrame, strip_prefix_components: int = 1) -> 
                                         F.trim(F.expr("substring(value, 9)"))))
         .withColumn("group_hdr", F.when(v.startswith("# group:"),
                                         F.trim(F.expr("substring(value, 9)"))))
-        .withColumn("file", F.last("file_hdr", ignorenulls=True).over(w))
+    )
+    # header propagation WITHOUT a single-partition global window: the
+    # two-phase range-partitioned carry (operators/windows.py)
+    tagged = (
+        carry_forward_last(tagged, "line_no", "file_hdr", out_col="file")
         .filter(F.col("file").isNotNull())
     )
     is_entry = (~v.startswith("#")) & (F.trim(v) != "")

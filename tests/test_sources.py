@@ -118,3 +118,35 @@ def test_permissive_json_read_keeps_corrupt_records(spark, tmp_path):
                .option("mode", "DROPMALFORMED").json(str(p)))
     assert dropped.count() < 4
     df.unpersist()
+
+
+def test_carry_forward_spans_partition_boundaries(spark):
+    # records deliberately straddle range partitions: header in one
+    # partition, entries in later ones — the carry must cross boundaries
+    from databox_adls_loader_spark.operators.windows import carry_forward_last
+    lines = []
+    for rec in range(6):
+        lines.append((rec * 100, f"hdr{rec}"))
+        for j in range(1, 40):                       # 40 lines per record
+            lines.append((rec * 100 + j, None))
+    df = spark.createDataFrame(lines, "line_no: long, file_hdr: string")
+    out = carry_forward_last(df, "line_no", "file_hdr", out_col="file",
+                             num_partitions=7).collect()
+    for r in out:
+        assert r["file"] == f"hdr{r['line_no'] // 100}"
+
+
+def test_acl_assembly_across_many_partitions(spark):
+    # full assembler with the input split across partitions mid-record
+    recs = []
+    for i in range(20):
+        recs += [f"# file: /d/f{i:02d}", f"# owner: o{i}", f"# group: g{i}",
+                 "user::rwx", f"user:u{i}:rw-", ""]
+    df = spark.createDataFrame(
+        [(i, l) for i, l in enumerate(recs)], "line_no: long, value: string"
+    ).repartition(5)
+    rows = {r["file"]: r for r in assemble_acl_records(df).collect()}
+    assert len(rows) == 20
+    for i in range(20):
+        r = rows[f"f{i:02d}"]
+        assert r["owner"] == f"o{i}" and r["acl"] == ["user::rwx", f"user:u{i}:rw-"]
