@@ -52,3 +52,32 @@ def test_asof_tolerance_drops_stale_matches(spark):
     assert out[(1, "b")] is None      # 60 min gap: stale
     # all left rows survive (left-join semantics)
     assert len(out) == 3
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+                min_size=1, max_size=30),
+       st.lists(st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+                min_size=0, max_size=30))
+def test_asof_matches_naive_python(spark, left_rows, right_rows):
+    # as-of join == per-left-row python scan over right rows; right ts
+    # made unique per key so the tie-free contract holds
+    right_rows = [(k, t) for i, (k, t) in enumerate(
+        {(k, t): None for k, t in right_rows})]
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)],
+        "lid: long, k: long, ts: long")
+    right = spark.createDataFrame(
+        [(k, t, float(t)) for k, t in right_rows] or [(99, -1, 0.0)],
+        "k: long, ts: long, v: double")
+    got = {r["lid"]: r["right_v"]
+           for r in asof_join(left, right, key="k").collect()}
+    for i, (k, t) in enumerate(left_rows):
+        cands = [(rt, rv) for rk, rt, rv in
+                 ((rk, rt, float(rt)) for rk, rt in right_rows)
+                 if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, k, t, cands)

@@ -88,3 +88,27 @@ def test_pack_with_recursion(spark):
     assert out["/root/big"] == 0
     assert all(out[p] > 0 for p in
                ["/root/a", "/root/c", "/root/big/x", "/root/big/y", "/root/big/z"])
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.decimals(min_value=0, max_value=10**9, places=2),
+                min_size=1, max_size=60),
+       st.integers(2, 9))
+def test_distributed_running_sum_matches_naive(spark, values, nparts):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from databox_adls_loader_spark.operators.windows import exclusive_running_sum
+    df = spark.createDataFrame(
+        [(i, str(v)) for i, v in enumerate(values)], "k: long, v: string"
+    ).withColumn("v", F.col("v").cast("decimal(18,2)"))
+    got = {r["k"]: r["run"] for r in exclusive_running_sum(
+        df, "k", F.col("v"), out_col="run", num_partitions=nparts).collect()}
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    naive = {r["k"]: r["run"] for r in df.select(
+        "k", F.coalesce(F.sum("v").over(w),
+                        F.lit(0).cast("decimal(38,6)")).alias("run")).collect()}
+    assert got == naive
