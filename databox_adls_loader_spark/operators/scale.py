@@ -65,3 +65,16 @@ def salted_join(fact: DataFrame, dim: DataFrame, key: str,
     d = explode_salts(dim, n_salts)
     joined = f.join(d, [key, "__salt"], how)
     return joined.drop("__salt")
+
+
+def merge_upsert(existing: DataFrame, updates: DataFrame,
+                 key: str) -> DataFrame:
+    """Batch MERGE semantics without a table format: updates win on key
+    collision, unmatched rows from both sides survive (upsert).  Column
+    sets must match.  At scale this is the rewrite step of a
+    foreachBatch/CDC sink (pair with `cdc_latest_per_key` to collapse the
+    update stream first); with a transactional table format the same
+    logic is `MERGE INTO` — this operator is the format-free equivalent."""
+    upd = updates.select(*existing.columns)
+    keep_existing = existing.join(upd.select(key), key, "left_anti")
+    return keep_existing.unionByName(upd)

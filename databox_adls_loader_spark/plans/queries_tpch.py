@@ -1092,3 +1092,62 @@ def cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "ts", "event_type", "value")
         .orderBy("user_id")
     )
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, 'X' AS o_orderstatus,
+             CAST(o_totalprice * 1.1 AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 100 = 0
+    ), keep AS (
+      SELECT o.o_orderkey, o.o_orderstatus, CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders o WHERE NOT EXISTS (
+        SELECT 1 FROM updates u WHERE u.o_orderkey = o.o_orderkey)
+    )
+    SELECT * FROM keep UNION ALL SELECT * FROM updates
+    ORDER BY o_orderkey
+    """,
+    tags=["cdc", "J2", "O3"],
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE/upsert: a derived update set (10% markup on every
+    100th order) wins on key collision; everything else passes through —
+    anti join + union (operators/scale.merge_upsert)."""
+    from ..operators.scale import merge_upsert
+    (orders,) = _t(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_orderstatus",
+                         F.col("o_totalprice").cast("double").alias("o_totalprice"))
+    updates = (orders.filter(F.col("o_orderkey") % 100 == 0)
+               .select("o_orderkey", F.lit("X").alias("o_orderstatus"),
+                       (F.col("o_totalprice") * 1.1).cast("double").alias("o_totalprice")))
+    return merge_upsert(base, updates, "o_orderkey").orderBy("o_orderkey")
+
+
+@register(
+    "fuzzy_nation_name_pairs",
+    oracle="""
+    SELECT a.n_name AS a, b.n_name AS b,
+           levenshtein(a.n_name, b.n_name) AS dist
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    WHERE levenshtein(a.n_name, b.n_name) <= 2
+    ORDER BY a, b
+    """,
+    tags=["text", "fuzzy"],
+)
+def fuzzy_nation_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: name pairs within levenshtein distance 2
+    (entity-resolution shape; the synthetic NATION_n names differ only in
+    suffix digits so near-pairs exist).  Scale: run on a blocked candidate
+    set (first-letter / length buckets), never all-pairs — the dim here is
+    25 rows."""
+    (nation,) = _t(spark, sf_dir, "nation")
+    a = nation.select(F.col("n_nationkey").alias("ka"), F.col("n_name").alias("a"))
+    b = nation.select(F.col("n_nationkey").alias("kb"), F.col("n_name").alias("b"))
+    return (
+        a.join(b, F.col("ka") < F.col("kb"))
+        .select("a", "b", F.levenshtein("a", "b").alias("dist"))
+        .filter(F.col("dist") <= 2)
+        .orderBy("a", "b")
+    )

@@ -59,3 +59,13 @@ def test_salted_left_join_keeps_unmatched(spark):
                             n_salts=4, how="left")
     assert out.count() == 100
     assert out.filter(F.col("label").isNull()).count() == 66
+
+
+def test_merge_upsert_semantics(spark):
+    existing = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k: long, s: string, v: long")
+    updates = spark.createDataFrame(
+        [(2, "B", 99), (4, "d", 40)], "k: long, s: string, v: long")
+    out = {r["k"]: (r["s"], r["v"])
+           for r in scale.merge_upsert(existing, updates, "k").collect()}
+    assert out == {1: ("a", 10), 2: ("B", 99), 3: ("c", 30), 4: ("d", 40)}
