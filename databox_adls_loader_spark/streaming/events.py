@@ -168,3 +168,28 @@ def write_foreach_batch(stream_df: DataFrame, out_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_stream_click_purchase_join(clicks: DataFrame, purchases: DataFrame,
+                                      within: str = "1 hour",
+                                      watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream inner join: purchases matched to the same user's
+    clicks within ``within`` BEFORE the purchase.  Both sides carry
+    watermarks and the join has a time-range conjunct, so state for
+    expired windows is evicted — the two requirements that make a
+    stream-stream join runnable unbounded (without them state grows
+    forever)."""
+    c = (clicks.withWatermark("ts", watermark)
+         .select(F.col("user_id").alias("c_user"),
+                 F.col("ts").alias("click_ts"),
+                 F.col("event_id").alias("click_id")))
+    p = (purchases.withWatermark("ts", watermark)
+         .select(F.col("user_id").alias("p_user"),
+                 F.col("ts").alias("purchase_ts"),
+                 F.col("value").alias("purchase_value")))
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+    ).select("c_user", "click_id", "click_ts", "purchase_ts", "purchase_value")

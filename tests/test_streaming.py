@@ -167,3 +167,28 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 2
     assert {r["event_id"] for r in got.collect()} == {1, 2}
+
+
+def test_stream_stream_join_within_window(spark, tmp_path):
+    clicks = [
+        _evt(1, "2024-01-01 10:00:00", "click", user=1),
+        _evt(2, "2024-01-01 12:00:00", "click", user=1),
+        _evt(3, "2024-01-01 10:00:00", "click", user=2),
+    ]
+    purchases = [
+        _evt(10, "2024-01-01 10:30:00", "purchase", value=5.0, user=1),
+        _evt(11, "2024-01-01 13:30:00", "purchase", value=9.0, user=1),  # >1h after click 2
+        _evt(12, "2024-01-01 10:15:00", "purchase", value=7.0, user=3),  # no click
+    ]
+    cpath = _write_event_files(tmp_path / "c", [clicks])
+    ppath = _write_event_files(tmp_path / "p", [purchases])
+    joined = se.stream_stream_click_purchase_join(
+        se.read_event_stream(spark, cpath),
+        se.read_event_stream(spark, ppath))
+    assert joined.isStreaming
+    q = se.run_stream_to_memory(joined, "ss_join", mode="append")
+    q.awaitTermination(120)
+    rows = {(r["click_id"], r["purchase_value"])
+            for r in spark.sql("select * from ss_join").collect()}
+    # click 1 at 10:00 matches the 10:30 purchase; nothing else pairs
+    assert rows == {(1, 5.0)}
