@@ -1,0 +1,73 @@
+"""Connected components over a pair graph — transitive near-dup clustering.
+
+Pairwise near-dup output (MinHash/SimHash/Jaccard) is a graph; the
+*cluster* a pipeline deduplicates by is its connected component (A~B,
+B~C ⇒ {A,B,C} even when A~C was never scored).  The greedy drop-larger-id
+rule (operators/corpus.py) is the cheap approximation; this is the exact
+form.
+
+Algorithm: iterative min-label propagation — every node takes the minimum
+label in its neighborhood until a fixed point.  Converges in O(graph
+diameter) rounds; near-dup graphs are unions of small dense clusters, so
+diameter is tiny.  Each round is one join + one aggregate; lineage is
+truncated per round (`localCheckpoint`) or the plan tree grows
+exponentially across iterations — the classic iterative-DataFrame trap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, a_col: str = "a",
+                         b_col: str = "b", max_iter: int = 25) -> DataFrame:
+    """(n, component) for every node in ``edges``; component = min node id
+    reachable.  Raises if not converged within ``max_iter`` rounds (set it
+    above the expected diameter)."""
+    sym = (edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+           .union(edges.select(F.col(b_col).alias("src"),
+                               F.col(a_col).alias("dst")))
+           .distinct()
+           .persist())
+    labels = (sym.select(F.col("src").alias("n")).distinct()
+              .withColumn("lbl", F.col("n"))
+              .localCheckpoint())
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["n"])
+            .groupBy("src").agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["n"] == nbr_min["src"], "left")
+            .select(labels["n"],
+                    F.least(labels["lbl"],
+                            F.coalesce(F.col("nbr_lbl"), labels["lbl"]))
+                    .alias("lbl"))
+            .localCheckpoint()   # truncate lineage every round
+        )
+        changed = (
+            new_labels.alias("new")
+            .join(labels.alias("old"), "n")
+            .filter(F.col("new.lbl") != F.col("old.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            sym.unpersist()
+            return labels.select(F.col("n"), F.col("lbl").alias("component"))
+    sym.unpersist()
+    raise RuntimeError(f"connected_components: no fixed point in {max_iter} rounds")
+
+
+def dedup_clusters(pairs: DataFrame, a_col: str = "a",
+                   b_col: str = "b") -> DataFrame:
+    """Near-dup clusters from a pair list: (component, members, n_members),
+    the keep-one-per-cluster form of transitive dedup (keep = min id =
+    the component label itself)."""
+    cc = connected_components(pairs, a_col, b_col)
+    return (
+        cc.groupBy("component")
+        .agg(F.array_sort(F.collect_list("n")).alias("members"),
+             F.count(F.lit(1)).alias("n_members"))
+    )

@@ -376,3 +376,46 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import clean_corpus
     (docs,) = _t(spark, sf_dir, "documents")
     return clean_corpus(docs).orderBy("doc_id")
+
+
+@register(
+    "dedup_components",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(t) - 2, 1) + 1),
+        i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+      FROM toks
+    ), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT i.a, i.b FROM (
+        SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
+        FROM sh l JOIN sh r ON l.g = r.g AND l.doc_id < r.doc_id
+        GROUP BY 1, 2
+      ) i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+      WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.5
+    ), nodes AS (SELECT a AS n FROM pairs UNION SELECT b FROM pairs),
+    sym AS (SELECT a AS src, b AS dst FROM pairs
+            UNION SELECT b, a FROM pairs),
+    reach AS (
+      SELECT n AS src, n AS dst FROM nodes
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    )
+    SELECT src AS n, MIN(dst) AS component
+    FROM reach GROUP BY src ORDER BY n
+    """,
+    tags=["dedup", "graph"],
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components (iterative
+    min-label propagation, operators/graph.py) over the exact Jaccard
+    pair graph — oracle-checked against a recursive-CTE transitive
+    closure.  The closure is O(n·reachable) and only viable at oracle
+    scale; the propagation loop is the 100 TB path."""
+    from ..operators.graph import connected_components
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return connected_components(pairs).orderBy("n")
