@@ -204,3 +204,29 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text",
         .filter(F.col("rk") <= k)
         .select(id_col, "term", "tfidf", "rk")
     )
+
+
+def hash_bucket(col: Column | str, n_buckets: int = 16,
+                salt: str = "") -> Column:
+    """Deterministic engine-portable bucket in [0, n_buckets): first two
+    md5 hex chars of the (salted) stringified key.  Unlike rand()-based
+    sampling this is reproducible across runs, engines, and cluster
+    layouts — re-running the pipeline keeps every document in the same
+    split (the property training-data lineage depends on)."""
+    c = F.col(col) if isinstance(col, str) else col
+    hex2 = F.substring(F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, 2)
+    return F.conv(hex2, 16, 10).cast("int") % n_buckets
+
+
+def train_val_test_split(docs: DataFrame, id_col: str = "doc_id",
+                         val_pct: int = 10, test_pct: int = 10,
+                         salt: str = "split-v1") -> DataFrame:
+    """Assign a stable split label per document via 100 hash buckets:
+    [0, test_pct) → test, [test_pct, test_pct+val_pct) → val, rest train.
+    Changing `salt` re-rolls every assignment at once (versioned splits)."""
+    b = hash_bucket(id_col, 100, salt)
+    return docs.withColumn(
+        "split",
+        F.when(b < test_pct, "test")
+        .when(b < test_pct + val_pct, "val")
+        .otherwise("train"))

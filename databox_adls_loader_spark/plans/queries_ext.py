@@ -419,3 +419,39 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
     return connected_components(pairs).orderBy("n")
+
+
+@register(
+    "split_train_val_test",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'split-v1'), 1, 2) AS h2
+      FROM documents
+    ), b AS (
+      SELECT doc_id, source,
+             ((strpos('0123456789abcdef', substr(h2, 1, 1)) - 1) * 16
+              + strpos('0123456789abcdef', substr(h2, 2, 1)) - 1) % 100 AS bucket
+      FROM h
+    )
+    SELECT source,
+           SUM(CASE WHEN bucket < 10 THEN 1 ELSE 0 END) AS n_test,
+           SUM(CASE WHEN bucket >= 10 AND bucket < 20 THEN 1 ELSE 0 END) AS n_val,
+           SUM(CASE WHEN bucket >= 20 THEN 1 ELSE 0 END) AS n_train
+    FROM b GROUP BY source ORDER BY source
+    """,
+    tags=["text", "sampling"],
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (md5 hash buckets — stable
+    across runs/engines/layouts, unlike rand()); per-source split counts.
+    Rates hold per stratum because the hash is independent of source."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    split = text.train_val_test_split(docs, val_pct=10, test_pct=10)
+    return (
+        split.groupBy("source")
+        .agg(F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("n_test"),
+             F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("n_val"),
+             F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_train"))
+        .orderBy("source")
+    )

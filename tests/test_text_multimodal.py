@@ -144,3 +144,23 @@ def test_resize_stub_shrinks_images_only(spark):
             assert len(bytes(r["content"])) == r["resized_bytes"]
         else:
             assert r["resized_bytes"] == r["orig_bytes"]
+
+
+def test_split_is_deterministic_and_stratified(spark):
+    from databox_adls_loader_spark.operators.text import train_val_test_split
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", f"src{i % 4}") for i in range(2000)],
+        "doc_id: long, text: string, source: string")
+    s1 = {r["doc_id"]: r["split"]
+          for r in train_val_test_split(docs).collect()}
+    s2 = {r["doc_id"]: r["split"]
+          for r in train_val_test_split(docs).collect()}
+    assert s1 == s2                                  # reproducible
+    from collections import Counter
+    c = Counter(s1.values())
+    assert 0.05 < c["test"] / 2000 < 0.15            # ~10%
+    assert 0.05 < c["val"] / 2000 < 0.15
+    # different salt re-rolls assignments
+    s3 = {r["doc_id"]: r["split"]
+          for r in train_val_test_split(docs, salt="v2").collect()}
+    assert s3 != s1
