@@ -230,3 +230,41 @@ def train_val_test_split(docs: DataFrame, id_col: str = "doc_id",
         F.when(b < test_pct, "test")
         .when(b < test_pct + val_pct, "val")
         .otherwise("train"))
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals, all JVM-side:
+      dup_token_frac   1 − |distinct tokens| / |tokens|
+      top_token_frac   occurrences of the most frequent token / |tokens|
+    High values flag boilerplate/spam (the standard pre-train filters
+    alongside quality_score)."""
+    toks = tokens(text_col)
+    n = F.greatest(F.size(toks), F.lit(1))
+    uniq = F.size(F.array_distinct(toks))
+    # most-frequent-token count without a shuffle: aggregate over the
+    # distinct tokens, counting each one's occurrences in the array
+    top = F.aggregate(
+        F.array_distinct(toks), F.lit(0),
+        lambda acc, t: F.greatest(
+            acc, F.size(F.filter(toks, lambda x: x == t))))
+    return docs.select(
+        F.col(id_col),
+        F.round(F.lit(1.0) - uniq / n, 6).alias("dup_token_frac"),
+        F.round(top / n, 6).alias("top_token_frac"),
+    )
+
+
+def corpus_top_ngrams(docs: DataFrame, n: int = 2, k: int = 20,
+                      text_col: str = "text") -> DataFrame:
+    """Corpus-level top-k word n-grams (LM-ish corpus statistics): one
+    explode + count + TakeOrdered.  Map-side partial aggregation collapses
+    the n-gram stream before the single shuffle."""
+    from .dedup import word_shingles
+    grams = docs.select(
+        F.explode(word_shingles(text_col, n)).alias("gram"))
+    return (
+        grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "gram")
+        .limit(k)
+    )

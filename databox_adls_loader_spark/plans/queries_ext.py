@@ -455,3 +455,50 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_train"))
         .orderBy("source")
     )
+
+
+@register(
+    "text_repetition_signals",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(1.0 - len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1), 6)
+             AS dup_token_frac,
+           ROUND(list_max(list_transform(list_distinct(toks),
+                   d -> len(list_filter(toks, x -> x = d))))
+                 * 1.0 / greatest(len(toks), 1), 6) AS top_token_frac
+    FROM t ORDER BY doc_id
+    """,
+    tags=["text"],
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-token fraction and
+    most-frequent-token fraction per document."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return text.repetition_signals(docs).orderBy("doc_id")
+
+
+@register(
+    "text_corpus_top_bigrams",
+    oracle=r"""
+    WITH t AS (
+      SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+    ), g AS (
+      SELECT unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 1, 1) + 1),
+               i -> array_to_string(list_slice(toks, i, i + 1), ' ')))) AS gram
+      FROM t
+    )
+    SELECT gram, COUNT(*) AS n_docs FROM g
+    GROUP BY gram ORDER BY n_docs DESC, gram LIMIT 20
+    """,
+    tags=["text", "ngram"],
+)
+def text_corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 word bigrams (per-document distinct — document
+    frequency, the dedup-robust count)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return text.corpus_top_ngrams(docs, n=2, k=20)
