@@ -1151,3 +1151,135 @@ def fuzzy_nation_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 2)
         .orderBy("a", "b")
     )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH val AS (
+      SELECT s_nationkey, l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))) AS v
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      GROUP BY s_nationkey, l_partkey
+    ), nat AS (SELECT * FROM val WHERE s_nationkey = 3),
+    total AS (SELECT SUM(v) AS t FROM nat)
+    SELECT n.l_partkey AS p_key, CAST(n.v AS DOUBLE) AS part_value
+    FROM nat n, total
+    WHERE n.v > total.t * CAST(0.001 AS DECIMAL(6,4))
+    ORDER BY part_value DESC, p_key
+    """,
+    tags=["tpch", "A1", "J1"],
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value within one nation, kept only above
+    a fraction of the nation total (scalar subquery vs grouped aggregate —
+    decimal throughout so the threshold comparison cannot flip).  Scale:
+    the group aggregate and the scalar total share one shuffled input; the
+    total is a one-row broadcast."""
+    lineitem, supplier = _t(spark, sf_dir, "lineitem", "supplier")
+    val = (
+        lineitem.join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .filter(F.col("s_nationkey") == 3)
+        .groupBy(F.col("l_partkey").alias("p_key"))
+        .agg(F.sum(dec("l_extendedprice") * dec("l_quantity")).alias("v"))
+    )
+    total = val.agg(F.sum("v").alias("t"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("v") > F.col("t") * F.lit(0.001).cast("decimal(6,4)"))
+        .select("p_key", F.col("v").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "p_key")
+    )
+
+
+@register(
+    "q20_part_suppliers_nested_in",
+    oracle="""
+    SELECT s_name, s_acctbal FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50
+    )
+    ORDER BY s_name, s_acctbal
+    """,
+    tags=["tpch", "J2", "A1"],
+)
+def q20_part_suppliers_nested_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: doubly nested IN — suppliers who shipped >50 units
+    of red parts in 1997.  Both INs become left-semi joins; the inner part
+    filter broadcast-prunes the fact before the grouped HAVING."""
+    supplier, lineitem, part = _t(spark, sf_dir, "supplier", "lineitem", "part")
+    red = part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    big_supp = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+        .join(F.broadcast(red), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec("l_quantity")).alias("sq"))
+        .filter(F.col("sq") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(big_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name", "s_acctbal")
+    )
+
+
+@register(
+    "q21_waiting_supplier_shape",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name LIMIT 25
+    """,
+    tags=["tpch", "J2", "A1"],
+)
+def q21_waiting_supplier_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the only supplier that shipped late on a
+    multi-supplier finished order — an EXISTS and a correlated NOT EXISTS
+    on the same fact (semi + anti join on l_orderkey with non-equi
+    residuals)."""
+    supplier, lineitem, orders = _t(spark, sf_dir, "supplier", "lineitem", "orders")
+    l1 = (
+        lineitem.alias("l1")
+        .join(orders.filter(F.col("o_orderstatus") == "F").alias("o"),
+              F.col("l1.l_orderkey") == F.col("o.o_orderkey"))
+        .filter(F.col("l1.l_shipdate") > F.col("o.o_orderdate"))
+    )
+    l2 = lineitem.select(F.col("l_orderkey").alias("k2"),
+                         F.col("l_suppkey").alias("s2"))
+    l3 = lineitem.select(F.col("l_orderkey").alias("k3"),
+                         F.col("l_suppkey").alias("s3"),
+                         F.col("l_shipdate").alias("d3"))
+    step = l1.join(
+        l2, (F.col("k2") == F.col("l1.l_orderkey"))
+        & (F.col("s2") != F.col("l1.l_suppkey")), "left_semi")
+    step = step.join(
+        l3, (F.col("k3") == F.col("l1.l_orderkey"))
+        & (F.col("s3") != F.col("l1.l_suppkey"))
+        & (F.col("d3") > F.col("o.o_orderdate")), "left_anti")
+    return (
+        step.join(supplier, F.col("s_suppkey") == F.col("l1.l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name").limit(25)
+    )
