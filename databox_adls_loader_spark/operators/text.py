@@ -239,19 +239,19 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
       top_token_frac   occurrences of the most frequent token / |tokens|
     High values flag boilerplate/spam (the standard pre-train filters
     alongside quality_score)."""
-    toks = tokens(text_col)
-    n = F.greatest(F.size(toks), F.lit(1))
-    uniq = F.size(F.array_distinct(toks))
-    # most-frequent-token count without a shuffle: aggregate over the
-    # distinct tokens, counting each one's occurrences in the array
-    top = F.aggregate(
-        F.array_distinct(toks), F.lit(0),
-        lambda acc, t: F.greatest(
-            acc, F.size(F.filter(toks, lambda x: x == t))))
-    return docs.select(
-        F.col(id_col),
-        F.round(F.lit(1.0) - uniq / n, 6).alias("dup_token_frac"),
-        F.round(top / n, 6).alias("top_token_frac"),
+    # explode → two codegen'd aggregates, NOT the nested-lambda
+    # O(uniq × tokens) per-row fold (interpreted, excluded from CSE) —
+    # same pattern as minhash/simhash/fingerprints
+    per_tok = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+        .groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__c"))
+    )
+    n = F.greatest(F.sum("__c"), F.lit(1))
+    return (
+        per_tok.groupBy(id_col)
+        .agg(F.round(F.lit(1.0) - F.count(F.lit(1)) / n, 6)
+             .alias("dup_token_frac"),
+             F.round(F.max("__c") / n, 6).alias("top_token_frac"))
     )
 
 
