@@ -78,6 +78,12 @@ def load_tables(spark: SparkSession, sf_dir: str,
         key = (spark.sparkContext.applicationId, path)
         df = _TABLE_CACHE.get(key)
         if df is None:
+            if n == "events":
+                # events.parquet is TIMESTAMP(NANOS): a driver-provided
+                # session without our factory config would throw
+                # PARQUET_TYPE_ILLEGAL — the conf is runtime-settable, so
+                # set it defensively here, not only in get_spark
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(path)
             if n == "events" and dict(df.dtypes).get("ts") == "bigint":
                 from pyspark.sql import functions as F

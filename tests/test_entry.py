@@ -38,3 +38,19 @@ def test_approx_distinct_error(spark, sf_dir):
                    F.countDistinct("l_partkey").alias("p")).first()
     assert abs(row["approx_orders"] - exact["o"]) / exact["o"] < 0.1
     assert abs(row["approx_parts"] - exact["p"]) / exact["p"] < 0.1
+
+
+def test_events_load_in_bare_session_config(spark, sf_dir):
+    # simulate a driver session missing our factory configs: the
+    # nanosAsLong conf must be set defensively inside load_tables
+    from databox_adls_loader_spark.session import _TABLE_CACHE, load_tables
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    # purge cached handle so the read re-executes under the unset conf
+    for k in [k for k in _TABLE_CACHE if k[1].endswith("events.parquet")]:
+        del _TABLE_CACHE[k]
+    try:
+        df = load_tables(spark, sf_dir, ["events"])["events"]
+        assert df.count() > 0
+        assert dict(df.dtypes)["ts"] == "timestamp"
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
