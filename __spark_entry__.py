@@ -11,7 +11,12 @@ registry is ``databox_adls_loader_spark.plans.queries``.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# importable regardless of the harness's working directory
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
