@@ -151,13 +151,18 @@ def rewrite_acls_udf(acls: DataFrame, dim: DataFrame,
     bmap = acls.sparkSession.sparkContext.broadcast(mapping)
 
     def rewrite_one(entry: str) -> str:
+        # mirrors parse_acl_entry + concat_ws exactly, including entries
+        # with fewer than 3 fields (out-of-bounds ⇒ None, concat_ws skips)
         parts = entry.split(":")
-        if len(parts) >= 4:
-            scope, etype, eid, perms = parts[0], parts[1], parts[2], parts[3]
-        else:
-            scope, (etype, eid, perms) = None, (parts[0], parts[1], parts[2])
+        def at(i):
+            return parts[i] if i < len(parts) else None
+        four = len(parts) >= 4
+        scope = at(0) if four else None
+        etype = at(1) if four else at(0)
+        eid = at(2) if four else at(1)
+        perms = at(3) if four else at(2)
         eid = bmap.value.get((etype, eid), eid)
-        fields = ([scope] if scope is not None else []) + [etype, eid, perms]
+        fields = [x for x in (scope, etype, eid, perms) if x is not None]
         return ":".join(fields)
 
     @pandas_udf("array<string>")

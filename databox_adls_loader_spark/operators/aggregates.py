@@ -40,10 +40,13 @@ def subtree_sizes(inv: DataFrame, path_col: str = "name",
     small, ≤ ~20), then a single groupBy(ancestor) sum.  Equivalent SQL for
     the oracle uses prefix matching.
     """
-    parts = F.split(F.col(path_col), "/")
+    # guard single-segment paths: sequence(1, 0) is the DESCENDING [1, 0]
+    # in Spark, which would fabricate the file itself and '' as ancestors
     ancestors = F.expr(
+        f"CASE WHEN size(split({path_col}, '/')) > 1 THEN "
         f"transform(sequence(1, size(split({path_col}, '/')) - 1), "
-        f"i -> array_join(slice(split({path_col}, '/'), 1, i), '/'))"
+        f"i -> array_join(slice(split({path_col}, '/'), 1, i), '/')) "
+        f"ELSE array() END"
     )
     return (
         inv.select(F.col(size_col), F.explode(ancestors).alias("path"))

@@ -26,49 +26,44 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     """Left as-of join: every left row, plus the latest right row at or
     before its timestamp (same key).  Right payload columns come back
     null-filled when no match exists (or the match is older than
-    ``tolerance_seconds``, if given)."""
+    ``tolerance_seconds``, if given).
+
+    The right payload travels as ONE struct so the carried match is always
+    a single atomic right row — per-column carries would back-fill a NULL
+    field of the matched row from an older row (franken-row bug)."""
     rpayload = [c for c in right.columns if c not in (key, right_ts)]
+    rtypes = dict(right.dtypes)
+    r_struct_type = ("struct<" + ",".join(
+        [f"{c}:{rtypes[c]}" for c in rpayload] + [f"__rts:{rtypes[right_ts]}"])
+        + ">")
+    l_cols = [c for c in left.columns if c not in (key, left_ts)]
     l_tagged = left.select(
         F.col(key), F.col(left_ts).alias("__ts"), F.lit(1).alias("__side"),
-        *[F.col(c) for c in left.columns if c not in (key, left_ts)],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}")
-          for c in rpayload],
-        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("__r_ts"),
+        *[F.col(c) for c in l_cols],
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
-    l_cols = [c for c in left.columns if c not in (key, left_ts)]
     r_tagged = right.select(
         F.col(key), F.col(right_ts).alias("__ts"), F.lit(0).alias("__side"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in l_cols],
-        *[F.col(c).alias(f"__r_{c}") for c in rpayload],
-        F.col(right_ts).alias("__r_ts"),
+        F.struct(*[F.col(c) for c in rpayload],
+                 F.col(right_ts).alias("__rts")).alias("__r"),
     )
     w = (Window.partitionBy(key).orderBy("__ts", "__side")
          .rowsBetween(Window.unboundedPreceding, 0))
     carried = l_tagged.unionByName(r_tagged).select(
-        "*",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
-          for c in rpayload],
-        F.last("__r_ts", ignorenulls=True).over(w).alias("__m_ts"),
-    )
+        "*", F.last("__r", ignorenulls=True).over(w).alias("__m"))
     out = carried.filter(F.col("__side") == 1)
+    match = F.col("__m")
     if tolerance_seconds is not None:
-        stale = (F.col("__ts").cast("long") - F.col("__m_ts").cast("long")
-                 > tolerance_seconds)
-        out = out.select(
-            "*",
-            *[F.when(stale, F.lit(None)).otherwise(F.col(f"__m_{c}"))
-              .alias(f"__t_{c}") for c in rpayload],
-            F.when(stale, F.lit(None)).otherwise(F.col("__m_ts")).alias("__t_ts"),
-        )
-        m = lambda c: f"__t_{c}"  # noqa: E731
-        mts = "__t_ts"
-    else:
-        m = lambda c: f"__m_{c}"  # noqa: E731
-        mts = "__m_ts"
+        stale = (F.col("__ts").cast("long")
+                 - F.col("__m.__rts").cast("long") > tolerance_seconds)
+        match = F.when(stale, F.lit(None).cast(r_struct_type)) \
+            .otherwise(F.col("__m"))
+        out = out.withColumn("__m", match)
     return out.select(
         F.col(key),
         F.col("__ts").alias(left_ts),
         *[F.col(c) for c in l_cols],
-        *[F.col(m(c)).alias(f"right_{c}") for c in rpayload],
-        F.col(mts).alias(f"right_{right_ts}"),
+        *[F.col(f"__m.{c}").alias(f"right_{c}") for c in rpayload],
+        F.col("__m.__rts").alias(f"right_{right_ts}"),
     )

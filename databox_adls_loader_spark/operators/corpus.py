@@ -40,16 +40,23 @@ def clean_corpus(docs: DataFrame, min_tokens: int = 20,
         text.token_count(text_col).alias("n_tokens"),
         F.round(text.punct_ratio(text_col), 6).alias("punct"),
     )
-    quality_ok = (F.col("n_tokens") >= min_tokens) & (F.col("punct") <= max_punct)
+    # null text ⇒ null metrics ⇒ the comparison is null, not False —
+    # coalesce so null-text docs land in low_quality instead of slipping
+    # through every branch to 'kept'
+    quality_ok = F.coalesce(
+        (F.col("n_tokens") >= min_tokens) & (F.col("punct") <= max_punct),
+        F.lit(False))
     qualified = base.filter(quality_ok)
 
-    # exact stage: doc survives iff it is the min id of its canonical hash
-    canon = dedup.exact_dedup(qualified, text_col, id_col) \
-        .select("text_hash", "canonical_id")
+    # exact stage: doc survives iff it is the min id of its canonical
+    # hash — a window min on the hash, NOT a join against a broadcast of
+    # the (corpus-sized) canonical table
+    from pyspark.sql import Window
     hashed = qualified.withColumn(
         "text_hash", F.md5(dedup.canonical_text(text_col)))
-    exact_tagged = hashed.join(F.broadcast(canon), "text_hash") \
-        .withColumn("is_exact_dup", F.col(id_col) != F.col("canonical_id"))
+    exact_tagged = hashed.withColumn(
+        "is_exact_dup",
+        F.col(id_col) != F.min(id_col).over(Window.partitionBy("text_hash")))
 
     survivors = exact_tagged.filter(~F.col("is_exact_dup"))
     near = dedup.ngram_jaccard_pairs(
@@ -61,7 +68,7 @@ def clean_corpus(docs: DataFrame, min_tokens: int = 20,
         .join(near, F.col(id_col) == F.col("near_dup_id"), "left")
         .withColumn(
             "verdict",
-            F.when(~quality_ok, "low_quality")
+            F.when(~quality_ok, "low_quality")          # coalesced: null-safe
             .when(F.col("is_exact_dup"), "exact_dup")
             .when(F.col("near_dup_id").isNotNull(), "near_dup")
             .otherwise("kept"))

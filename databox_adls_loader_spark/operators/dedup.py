@@ -116,7 +116,11 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8,
     (band, band_hash).  Returns distinct candidate (a, b) pairs with a < b.
 
     Scale: the join key (band_idx, band_hash) is uniform; a hot bucket means
-    genuinely near-duplicate mass, which AQE skew-join splits."""
+    genuinely near-duplicate mass, which AQE skew-join splits.
+
+    The signature length must be divisible by ``bands`` — fractional band
+    widths would silently drop trailing components and shift band
+    boundaries (checked at runtime on the first row)."""
     k_over_b = F.size(F.col("sig")) / bands
     banded = sigs.select(
         F.col(id_col).alias("id"),
@@ -152,6 +156,9 @@ def minhash_near_dupes(docs: DataFrame, text_col: str = "text",
     threshold.  Returns (a, b, est_jaccard)."""
     # sigs feeds the band self-join (twice) and both verify joins — persist
     # so the signature computation runs once, not four times
+    if k % bands != 0:
+        raise ValueError(f"k={k} not divisible by bands={bands}: "
+                         "trailing signature components would be dropped")
     sigs = minhash_docs(docs, text_col, id_col, k, shingle_n).persist()
     cands = lsh_candidate_pairs(sigs, bands)
     a = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))

@@ -160,12 +160,24 @@ EXT_MODALITY = {
 }
 
 
+EXT_MIME = {
+    "png": "image/png", "jpg": "image/jpeg", "jpeg": "image/jpeg",
+    "gif": "image/gif", "wav": "audio/wav", "mp3": "audio/mpeg",
+    "flac": "audio/flac", "mp4": "video/mp4", "mkv": "video/x-matroska",
+    "webm": "video/webm",
+}
+
+
 def read_binary_assets(spark: SparkSession, path: str,
-                       glob: str | None = None) -> DataFrame:
+                       glob: str | None = None,
+                       known_only: bool = True) -> DataFrame:
     """Ingest raw asset files through the `binaryFile` source — the
     real-world entry point for multimodal data (SURVEY §1.1f): columns
-    (path, modificationTime, length, content), modality inferred from the
-    extension.  The source prunes `content` when a query only touches
+    (path, modificationTime, length, content), modality + proper MIME type
+    inferred from the extension.  ``known_only`` (default) drops files of
+    unknown modality so a stray README in the asset tree cannot crash the
+    downstream decoder stage; pass False to keep them (modality NULL) for
+    auditing.  The source prunes `content` when a query only touches
     metadata columns, so stats queries never lift payload bytes."""
     reader = (spark.read.format("binaryFile")
               .option("recursiveFileLookup", "true"))
@@ -174,16 +186,19 @@ def read_binary_assets(spark: SparkSession, path: str,
     df = reader.load(path)
     ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
     modality = F.lit(None).cast("string")
+    mime = F.lit(None).cast("string")
     for e, m in EXT_MODALITY.items():
         modality = F.when(ext == e, m).otherwise(modality)
-    return df.select(
+        mime = F.when(ext == e, EXT_MIME[e]).otherwise(mime)
+    out = df.select(
         F.xxhash64("path").alias("asset_id"),
         modality.alias("modality"),
         F.col("content"),
-        F.concat(F.lit("application/"), ext).alias("mime_type"),
+        mime.alias("mime_type"),
         F.col("path"),
         F.col("length"),
     )
+    return out.filter(F.col("modality").isNotNull()) if known_only else out
 
 
 def resize_stub(assets: DataFrame, max_dim: int = 256) -> DataFrame:

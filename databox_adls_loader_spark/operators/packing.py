@@ -89,16 +89,24 @@ def pack_next_fit_window(sizes: DataFrame, capacity: int = DEFAULT_CAPACITY,
     fractionally fuller/emptier because bins never reopen; guarantees the
     same cover-every-dir-exactly-once invariant and ≤capacity per unit for
     any input where every size ≤ capacity.  Oversized dirs stay unit=0 as
-    in the exact form.  Single window over a global sort — at scale Spark
-    executes this as a range-partitioned sort, no driver collect.
+    in the exact form.  The running sum is the two-phase range-partitioned
+    form (operators/windows.exclusive_running_sum) — a bare global window
+    would funnel every row through one partition, which is exactly the
+    cliff this relaxation exists to avoid.
     """
-    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
-    prior = F.coalesce(F.sum(F.when(F.col("size") <= capacity, F.col("size")))
-                       .over(w), F.lit(0))
-    return sizes.select(
+    from .windows import exclusive_running_sum
+
+    counted = sizes.withColumn(
+        "__fit_size",
+        F.when(F.col("size") <= capacity, F.col("size")).otherwise(F.lit(0))
+        .cast("decimal(38,6)"))
+    with_run = exclusive_running_sum(
+        counted, order_col, F.col("__fit_size"), out_col="__prior")
+    return with_run.select(
         "path", "size",
         F.when(F.col("size") > capacity, F.lit(0))
-        .otherwise((F.floor(prior / F.lit(capacity)) + 1).cast("int"))
+        .otherwise((F.floor(F.col("__prior") / F.lit(capacity)) + 1)
+                   .cast("int"))
         .alias("unit"),
     )
 

@@ -60,7 +60,15 @@ def salted_join(fact: DataFrame, dim: DataFrame, key: str,
 
     Use when ONE key dominates (null-ish sentinel ids, celebrity users):
     AQE's skew-join splits oversized *partitions* but cannot split a
-    single key's hash bucket — salting can."""
+    single key's hash bucket — salting can.
+
+    Only inner/left are supported: right/full outer would surface each
+    unmatched dim row once per salt replica (n_salts null-padded rows
+    instead of one)."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: outer "
+            "hows would duplicate unmatched dim rows per salt replica")
     f = salt_keys(fact, key, n_salts, unique_col)
     d = explode_salts(dim, n_salts)
     joined = f.join(d, [key, "__salt"], how)

@@ -208,14 +208,17 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text",
 
 def hash_bucket(col: Column | str, n_buckets: int = 16,
                 salt: str = "") -> Column:
-    """Deterministic engine-portable bucket in [0, n_buckets): first two
-    md5 hex chars of the (salted) stringified key.  Unlike rand()-based
-    sampling this is reproducible across runs, engines, and cluster
-    layouts — re-running the pipeline keeps every document in the same
-    split (the property training-data lineage depends on)."""
+    """Deterministic engine-portable bucket in [0, n_buckets): first EIGHT
+    md5 hex chars (2^32 values) of the (salted) stringified key, mod
+    n_buckets — the domain must dwarf n_buckets or the modulo is visibly
+    non-uniform (two hex chars = 256 values gives a ~17% relative bias at
+    n_buckets=100).  Unlike rand()-based sampling this is reproducible
+    across runs, engines, and cluster layouts — re-running the pipeline
+    keeps every document in the same split (the property training-data
+    lineage depends on)."""
     c = F.col(col) if isinstance(col, str) else col
-    hex2 = F.substring(F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, 2)
-    return F.conv(hex2, 16, 10).cast("int") % n_buckets
+    hex8 = F.substring(F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, 8)
+    return (F.conv(hex8, 16, 10).cast("long") % n_buckets).cast("int")
 
 
 def train_val_test_split(docs: DataFrame, id_col: str = "doc_id",

@@ -358,7 +358,8 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE r.inter * 1.0 / (sa.sz + sb.sz - r.inter) >= 0.5
     )
     SELECT b.doc_id, b.n_tokens,
-           CASE WHEN b.n_tokens < 20 OR b.punct > 0.1 THEN 'low_quality'
+           CASE WHEN b.n_tokens IS NULL OR b.n_tokens < 20 OR b.punct > 0.1
+                THEN 'low_quality'
                 WHEN et.is_exact_dup THEN 'exact_dup'
                 WHEN n.near_dup_id IS NOT NULL THEN 'near_dup'
                 ELSE 'kept' END AS verdict
@@ -426,12 +427,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH h AS (
       SELECT doc_id, source,
-             substr(md5(CAST(doc_id AS VARCHAR) || 'split-v1'), 1, 2) AS h2
+             substr(md5(CAST(doc_id AS VARCHAR) || 'split-v1'), 1, 8) AS h8
       FROM documents
     ), b AS (
       SELECT doc_id, source,
-             ((strpos('0123456789abcdef', substr(h2, 1, 1)) - 1) * 16
-              + strpos('0123456789abcdef', substr(h2, 2, 1)) - 1) % 100 AS bucket
+             (list_aggregate(list_transform(range(1, 9),
+                i -> (strpos('0123456789abcdef', substr(h8, CAST(i AS INT), 1)) - 1)
+                     * CAST(16 ** (8 - i) AS BIGINT)), 'sum')) % 100 AS bucket
       FROM h
     )
     SELECT source,

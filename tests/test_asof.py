@@ -81,3 +81,28 @@ def test_asof_matches_naive_python(spark, left_rows, right_rows):
                  if rk == k and rt <= t]
         want = max(cands)[1] if cands else None
         assert got[i] == want, (i, k, t, cands)
+
+
+def test_asof_matched_row_is_atomic(spark):
+    # the matched right row must come back whole: a NULL field in the
+    # latest right row must NOT be back-filled from an older right row
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "x")], "k: long, ts: timestamp, tag: string")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 08:00:00"), 5.0, "old"),
+         (1, _ts("2024-01-01 09:00:00"), None, "new")],
+        "k: long, ts: timestamp, v: double, lbl: string")
+    (row,) = asof_join(left, right, key="k").collect()
+    assert row["right_lbl"] == "new"
+    assert row["right_v"] is None          # NOT 5.0 from the older row
+
+
+def test_asof_tolerance_uses_matched_row_ts(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "x")], "k: long, ts: timestamp, tag: string")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:59:00"), None, "fresh")],
+        "k: long, ts: timestamp, v: double, lbl: string")
+    (row,) = asof_join(left, right, key="k", tolerance_seconds=120).collect()
+    assert row["right_lbl"] == "fresh"     # within tolerance, null v kept
+    assert row["right_v"] is None

@@ -193,3 +193,12 @@ def test_clean_corpus_verdicts(spark):
                         min_tokens=20, max_punct=0.1).collect()}
     assert out == {1: "kept", 2: "exact_dup", 3: "near_dup",
                    4: "low_quality", 5: "low_quality", 6: "kept"}
+
+
+def test_clean_corpus_null_text_is_low_quality(spark):
+    from databox_adls_loader_spark.operators.corpus import clean_corpus
+    rows = [(1, None), (2, " ".join(f"w{i}" for i in range(30)))]
+    out = {r["doc_id"]: r["verdict"] for r in
+           clean_corpus(spark.createDataFrame(rows, "doc_id: long, text: string"),
+                        min_tokens=20, max_punct=0.1).collect()}
+    assert out == {1: "low_quality", 2: "kept"}

@@ -115,10 +115,16 @@ def test_binary_file_source_ingest(spark, tmp_path):
     (d / "sub").mkdir()
     (d / "sub" / "c.mp4").write_bytes(b"mp4-fake" * 20)
     (d / "ignore.txt").write_bytes(b"not an asset")
-    out = mm.read_binary_assets(spark, str(d)).collect()
+    out = mm.read_binary_assets(spark, str(d), known_only=False).collect()
     by_mod = {r["modality"]: r for r in out}
     assert set(by_mod) == {"image", "audio", "video", None}
     assert by_mod["image"]["length"] == 90
+    assert by_mod["image"]["mime_type"] == "image/png"
+    assert by_mod[None]["mime_type"] is None
+    # default known_only drops the stray txt so decode stages can't crash
+    assert {r["modality"] for r in
+            mm.read_binary_assets(spark, str(d)).collect()} == {
+        "image", "audio", "video"}
     assert bytes(by_mod["audio"]["content"]) == b"RIFF-fake" * 5
     # recursive lookup found the nested video
     assert by_mod["video"]["path"].endswith("c.mp4")
