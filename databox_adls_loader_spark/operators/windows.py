@@ -33,6 +33,11 @@ def exclusive_running_sum(df: DataFrame, order_col: str, value: Column,
     # the pid assignment must be computed ONCE: repartitionByRange samples
     # boundaries per job, so the totals pass and the window pass would
     # otherwise see different partitionings — persist pins it
+    # persist pins the pid assignment (repartitionByRange samples new
+    # boundaries per job otherwise).  Not explicitly unpersisted: the
+    # cached blocks are reclaimed by the ContextCleaner once the returned
+    # plan becomes unreachable — an eager unpersist here would force
+    # recomputation (and re-sampling) in the consumer.
     ranged = (
         df.repartitionByRange(num_partitions, F.col(order_col))
         .withColumn("__pid", F.spark_partition_id())

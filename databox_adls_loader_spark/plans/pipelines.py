@@ -56,20 +56,28 @@ def generate_filelists(inventory: DataFrame, out_dir: str,
         return out
 
     frontier = level_entries(depth, None)
-    packed_input = None
-    for _ in range(20):
+    # files shallower than the pack depth belong to no depth-`depth` entry
+    # and can never be reached by recursion — pack them directly or they
+    # silently fall out of coverage
+    packed_input = file_sizes.filter(pdepth < depth)
+    max_rounds = 20
+    for rounds_left in range(max_rounds, 0, -1):
         over = frontier.filter(F.col("size") > capacity)
         fit = frontier.filter(F.col("size") <= capacity)
-        packed_input = fit if packed_input is None else packed_input.unionAll(fit)
+        packed_input = packed_input.unionAll(fit)
         # only directories can be recursed into; an oversized *file* can't
         # be split — it stays in the allocation as unit=0 (the reference's
         # never-fitting entries keep unit=0, generate-file-list.py:30-31)
         over_files = over.join(file_sizes.select("path"), "path", "left_semi")
         packed_input = packed_input.unionAll(over_files)
-        over_dirs = [r["path"] for r in
-                     over.join(file_sizes.select("path"), "path", "left_anti")
-                     .select("path").collect()]
+        over_dir_rows = over.join(file_sizes.select("path"), "path", "left_anti")
+        over_dirs = [r["path"] for r in over_dir_rows.select("path").collect()]
         if not over_dirs:
+            break
+        if rounds_left == 1:
+            # depth budget exhausted: keep the still-oversized dirs visible
+            # as unit=0 allocations rather than dropping them silently
+            packed_input = packed_input.unionAll(over_dir_rows)
             break
         depth += 1
         frontier = level_entries(depth, over_dirs)

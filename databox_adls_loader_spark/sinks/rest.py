@@ -45,6 +45,28 @@ class PathNotFound(Exception):
     """Target path missing — silently skipped (F8, copy-acls.py:53-57)."""
 
 
+def _write_effects(effects_dir: str | None, records: list[dict]) -> None:
+    """Append-free effects log: one NEW uniquely-named file per partition
+    attempt (uuid + partition/attempt ids from TaskContext).  id()-based
+    names get recycled by CPython and append mode would mix a retried
+    attempt's records into its predecessor's file — a rerun anti-joining
+    the log would then see phantom successes."""
+    if not effects_dir or not records:
+        return
+    import uuid
+
+    from pyspark import TaskContext
+    tc = TaskContext.get()
+    pid = tc.partitionId() if tc else -1
+    att = tc.attemptNumber() if tc else 0
+    os.makedirs(effects_dir, exist_ok=True)
+    fname = os.path.join(
+        effects_dir, f"part-{pid:05d}-a{att}-{uuid.uuid4().hex[:12]}.jsonl")
+    with open(fname, "w", encoding="utf-8") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+
+
 class TokenProvider:
     """Per-executor auth singleton with expiry refresh — the Spark analog
     of OAuthBearerToken's double-checked caching
@@ -110,36 +132,37 @@ def apply_acl_sink(remapped: DataFrame,
                                 "error": str(e)[:500],
                                 "owner": req["owner"], "group": req["group"],
                                 "acl": req["acl"]})
-        if effects_dir and records:
-            os.makedirs(effects_dir, exist_ok=True)
-            fname = os.path.join(effects_dir, f"part-{os.getpid()}-{id(rows)}.jsonl")
-            with open(fname, "a", encoding="utf-8") as f:
-                for r in records:
-                    f.write(json.dumps(r) + "\n")
+        _write_effects(effects_dir, records)
 
     cols.foreachPartition(run)
 
 
 def copy_files_sink(inventory: DataFrame,
                     copier: Callable[[str, int], None],
-                    parallelism: int | None = None) -> None:
+                    parallelism: int | None = None,
+                    effects_dir: str | None = None) -> None:
     """K4: distribute the *file list*, not the bytes — each task streams
     its files through the storage connector (the reference's 20 MiB
     GET→append chunk loop collapses into the connector's own streaming,
     copy-to-adls.py:63-91 ↔ SURVEY K4).
 
     ``copier(path, length)`` performs one file copy (Hadoop
-    FileSystem.open/create in production; a fake in tests)."""
+    FileSystem.open/create in production; a fake in tests).  Failures land
+    in the effects log (K7) — a systematic outage must not let the job
+    "succeed" with zero copies and no record of the loss."""
     files = inventory.filter(~inventory["is_folder"]).select("name", "length")
     if parallelism:
         files = files.repartition(parallelism)
 
     def run(rows: Iterator) -> None:
+        records = []
         for row in rows:
             try:
                 copier(row["name"], row["length"] or 0)
-            except Exception:  # noqa: BLE001 — tolerant, idempotent rerun
-                pass
+            except Exception as e:  # noqa: BLE001 — tolerant (K7), logged
+                records.append({"path": row["name"], "status": "error",
+                                "error": str(e)[:500]})
+        _write_effects(effects_dir, records)
 
     files.foreachPartition(run)
 
@@ -164,11 +187,15 @@ def create_directories_ordered(inventory: DataFrame,
 
 
 def update_metadata_sink(inv_remapped: DataFrame,
-                         sender: Callable[[dict], None]) -> None:
+                         sender: Callable[[dict], None],
+                         effects_dir: str | None = None) -> None:
     """K6: per-blob metadata PUT with remapped permissions re-embedded
-    (P5) and keys prefixed x-ms-meta- (identity-mapper.py:17-35)."""
-    import pyspark.sql.functions as F
+    (P5) and keys prefixed x-ms-meta- (identity-mapper.py:17-35).
+    Reserved keys come from schemas.py so the P1 strip and this re-embed
+    can never drift apart."""
     from pyspark.sql.functions import to_json
+
+    from ..schemas import HDI_ISFOLDER_KEY, HDI_PERMISSION_KEY
 
     rows_df = inv_remapped.select(
         "name",
@@ -179,16 +206,19 @@ def update_metadata_sink(inv_remapped: DataFrame,
 
     def run(rows: Iterator) -> None:
         tp = TokenProvider.get()
+        records = []
         for row in rows:
             meta = dict(row["metadata"] or {})
-            meta["hdi_permission"] = row["perm_json"]       # P5 re-embed
+            meta[HDI_PERMISSION_KEY] = row["perm_json"]     # P5 re-embed
             if row["is_folder"]:
-                meta["hdi_isfolder"] = "true"               # P5 re-add flag
+                meta[HDI_ISFOLDER_KEY] = "true"             # P5 re-add flag
             headers = {f"x-ms-meta-{k}": v for k, v in meta.items()}
             headers["Authorization"] = tp.token()
             try:
                 sender({"path": row["name"], "headers": headers})
-            except Exception:  # noqa: BLE001
-                pass
+            except Exception as e:  # noqa: BLE001 — tolerant (K7), logged
+                records.append({"path": row["name"], "status": "error",
+                                "error": str(e)[:500]})
+        _write_effects(effects_dir, records)
 
     rows_df.foreachPartition(run)

@@ -28,7 +28,7 @@ def write_unit_filelists(alloc: DataFrame, out_dir: str) -> None:
     (
         alloc.filter(F.col("unit") != 0)
         .repartition("unit")
-        .sortWithinPartitions("path")
+        .sortWithinPartitions("unit", "path")
         .select("unit", F.col("path").alias("value"))
         .write.mode("overwrite").partitionBy("unit").text(out_dir)
     )
@@ -74,12 +74,17 @@ def compact_parquet(spark, in_dir: str, out_dir: str,
     planning).  Sizes from the source listing, not a data scan.
     Returns the output file count."""
     import math
-    import os
 
-    total = sum(
-        os.path.getsize(os.path.join(root, f))
-        for root, _, files in os.walk(in_dir)
-        for f in files if f.endswith(".parquet"))
+    # size from the binaryFile source listing (metadata only, content
+    # pruned) — works on any Hadoop-supported filesystem, where os.walk
+    # would silently report 0 for s3://... URIs and compact to one file
+    from pyspark.sql import functions as F
+    total = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .load(in_dir)
+        .agg(F.sum("length")).first()[0]) or 0
     n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     df = spark.read.parquet(in_dir)
     df.repartition(n_files).write.mode("overwrite").parquet(out_dir)

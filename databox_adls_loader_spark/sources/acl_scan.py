@@ -64,6 +64,11 @@ def assemble_acl_records(lines: DataFrame, strip_prefix_components: int = 1) -> 
         .filter(F.col("file").isNotNull())
     )
     is_entry = (~v.startswith("#")) & (F.trim(v) != "")
+    # strip the prefix BEFORE grouping: two roots colliding post-strip
+    # (/dataA/x, /dataB/x) must merge into one record, as the jq
+    # projection over pre-stripped paths does (copy-acls.sh:11-18,64)
+    tagged = tagged.withColumn(
+        "file", _strip_prefix(F.col("file"), strip_prefix_components))
     records = (
         tagged.groupBy("file")
         .agg(
@@ -85,7 +90,7 @@ def assemble_acl_records(lines: DataFrame, strip_prefix_components: int = 1) -> 
             ).alias("ordered"),
         )
         .select(
-            _strip_prefix(F.col("file"), strip_prefix_components).alias("file"),
+            F.col("file"),
             "owner", "group",
             F.transform(F.col("ordered"), lambda s: s["entry"]).alias("acl"),
         )

@@ -13,14 +13,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def parse_usage_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
+def parse_usage_lines(lines: DataFrame, value_col: str = "value",
+                      source_dir: str | None = None) -> DataFrame:
     """Tokenize du output into DIR_ALLOCATION_SCHEMA rows (unit=0 ⇒
-    unassigned, generate-file-list.py:16).  Blank lines are dropped."""
-    toks = F.split(F.trim(F.col(value_col)), r"\s+")
+    unassigned, generate-file-list.py:16).  Blank lines are dropped.
+
+    Pass ``source_dir`` to anchor the path on its first occurrence —
+    exactly parseUsageLine's `line[line.find(sourceDir):]` — which keeps
+    paths CONTAINING WHITESPACE intact.  Without it the path is the last
+    whitespace token (fine only when paths are space-free)."""
+    v = F.trim(F.col(value_col))
+    toks = F.split(v, r"\s+")
+    if source_dir is not None:
+        path = F.expr(
+            f"substring({value_col}, instr({value_col}, '{source_dir}'))")
+    else:
+        path = F.element_at(toks, -1)
     return (
-        lines.filter(F.trim(F.col(value_col)) != "")
+        lines.filter(v != "")
         .select(
-            F.element_at(toks, -1).alias("path"),
+            path.alias("path"),
             F.element_at(toks, 1).cast("long").alias("size"),
             F.lit(0).alias("unit"),
         )

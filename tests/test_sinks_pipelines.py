@@ -202,3 +202,38 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     n_out = sum(f.endswith(".parquet") for f in os.listdir(out))
     assert n_out == 1
     assert spark.read.parquet(out).count() == 10000
+
+
+def test_copy_sink_logs_failures_to_effects(spark, tmp_path):
+    from databox_adls_loader_spark.sinks.rest import copy_files_sink
+    inv = spark.createDataFrame(
+        [("a", False, 5), ("bad", False, 7), ("d", True, 0)],
+        "name: string, is_folder: boolean, length: long")
+
+    def copier(path, length):
+        if path == "bad":
+            raise RuntimeError("endpoint down")
+
+    eff = str(tmp_path / "effects")
+    copy_files_sink(inv, copier, effects_dir=eff)
+    import glob as g
+    import json as j
+    recs = [j.loads(l) for f in g.glob(eff + "/*.jsonl") for l in open(f)]
+    assert recs == [{"path": "bad", "status": "error",
+                     "error": "endpoint down"}]
+
+
+def test_generate_filelists_covers_shallow_files(spark, tmp_path):
+    # a root-level file must be packed even when the pack depth is deeper
+    from databox_adls_loader_spark.plans.pipelines import generate_filelists
+    rows = [
+        ("rootfile.bin", "", False, 10),
+        ("top/mid/a.bin", "top/mid", False, 20),
+        ("top/mid/b.bin", "top/mid", False, 30),
+    ]
+    inv = spark.createDataFrame(
+        [(n, p, f, l) for n, p, f, l in rows],
+        "name: string, parent_directory: string, is_folder: boolean, length: long")
+    alloc = generate_filelists(inv, str(tmp_path / "fl"), capacity=100, depth=2)
+    paths = {r["path"] for r in alloc.collect()}
+    assert "rootfile.bin" in paths

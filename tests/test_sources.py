@@ -150,3 +150,29 @@ def test_acl_assembly_across_many_partitions(spark):
     for i in range(20):
         r = rows[f"f{i:02d}"]
         assert r["owner"] == f"o{i}" and r["acl"] == ["user::rwx", f"user:u{i}:rw-"]
+
+
+def test_usage_parser_source_dir_anchor_keeps_spaces(spark):
+    # reference parseUsageLine anchors on sourceDir (line[line.find(dir):])
+    # so paths containing whitespace survive intact
+    lines = spark.createDataFrame(
+        [("7  /data/with  space",), ("1024  6144  /data/plain",)],
+        "value: string")
+    rows = {r["path"]: r["size"] for r in
+            parse_usage_lines(lines, source_dir="/data").collect()}
+    assert rows["/data/with  space"] == 7
+    assert rows["/data/plain"] == 1024
+
+
+def test_acl_assembly_merges_post_strip_collisions(spark):
+    # /dataA/x and /dataB/x collide after stripping one component — they
+    # must merge into ONE record (the oracle groups by the stripped path)
+    lines = [
+        "# file: /dataA/x", "# owner: a", "# group: g1", "user::rwx", "",
+        "# file: /dataB/x", "# owner: b", "# group: g2", "other::---", "",
+    ]
+    rows = assemble_acl_records(lines_df(spark, lines)).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert r["file"] == "x"
+    assert set(r["acl"]) == {"user::rwx", "other::---"}
