@@ -98,3 +98,17 @@ def load_tables(spark: SparkSession, sf_dir: str,
 
 
 _TABLE_CACHE: dict[tuple, "object"] = {}
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: list[str] | None = None) -> list[str]:
+    """Register the driver tables as temp views so the whole engine surface
+    is reachable from plain ``spark.sql`` — every DataFrame operator here
+    is Catalyst-backed, so SQL and the DataFrame API compose freely
+    (a `spark.sql` join against a view can feed a DataFrame operator and
+    vice versa).  Returns the registered view names."""
+    out = []
+    for n, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(n)
+        out.append(n)
+    return out

@@ -54,3 +54,21 @@ def test_events_load_in_bare_session_config(spark, sf_dir):
         assert dict(df.dtypes)["ts"] == "timestamp"
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def test_sql_surface_over_registered_views(spark, sf_dir):
+    from databox_adls_loader_spark.session import register_views
+    views = register_views(spark, sf_dir)
+    assert {"lineitem", "orders", "nation"} <= set(views)
+    row = spark.sql("""
+        SELECT n_name, COUNT(*) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n DESC LIMIT 1
+    """).first()
+    assert row["n"] > 0
+    # SQL result feeds a DataFrame operator (mixed-API composition)
+    from pyspark.sql import functions as F
+    top = spark.sql("SELECT c_custkey, c_acctbal FROM customer") \
+        .filter(F.col("c_acctbal") > 0).count()
+    assert top > 0
