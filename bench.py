@@ -1,6 +1,7 @@
-"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"""Benchmark harness — runs EVERY registry query (headline queries first)
+at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line: {"metric": ...,
+"value": total_sec_over_all_queries, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
 Each query is executed once warm-up-free except a tiny session-warm query

@@ -75,9 +75,14 @@ def load_tables(spark: SparkSession, sf_dir: str,
         # sub-second queries.  DataFrames are immutable plans, so reuse
         # within one session is safe; keyed on the session so a stopped
         # session's handles are never resurrected.
-        key = (spark.sparkContext.applicationId, path)
+        app_id = spark.sparkContext.applicationId
+        key = (app_id, path)
         df = _TABLE_CACHE.get(key)
         if df is None:
+            # evict entries of other (stopped) sessions: stale handles pin
+            # JVM-side plans for the process lifetime otherwise
+            for k in [k for k in _TABLE_CACHE if k[0] != app_id]:
+                del _TABLE_CACHE[k]
             if n == "events":
                 # events.parquet is TIMESTAMP(NANOS): a driver-provided
                 # session without our factory config would throw

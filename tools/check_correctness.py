@@ -9,15 +9,14 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 
 import duckdb
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = "/root/testdata/sf0.01"
-TABLES = ("region nation customer supplier part orders lineitem "
-          "events documents embeddings").split()
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
 def norm_cell(v):
@@ -34,10 +33,12 @@ def norm_cell(v):
 
 def value_hash(rows, colnames):
     # order-insensitive: hash each row (cols sorted by name), XOR-free:
-    # sort row digests then hash the concatenation
+    # sort row digests then hash the concatenation.  Cells join on \x1f
+    # (unit separator): a printable separator like '|' would let two
+    # different rows serialize identically when a string cell contains it
     idx = sorted(range(len(colnames)), key=lambda i: colnames[i])
     digests = sorted(
-        hashlib.md5("|".join(norm_cell(r[i]) for i in idx).encode()).hexdigest()
+        hashlib.md5("\x1f".join(norm_cell(r[i]) for i in idx).encode()).hexdigest()
         for r in rows
     )
     return hashlib.md5("\n".join(digests).encode()).hexdigest()
@@ -48,14 +49,19 @@ def main():
     from databox_adls_loader_spark.session import get_spark
 
     spark = get_spark("correctness-check")
+    from databox_adls_loader_spark.session import ALL_TABLES
     con = duckdb.connect()
-    for t in TABLES:
+    for t in ALL_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     only = set(sys.argv[1:])
+    unknown = only - set(qs)
+    if unknown:
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in qs.items():
         if only and name not in only:
