@@ -192,3 +192,29 @@ def test_stream_stream_join_within_window(spark, tmp_path):
             for r in spark.sql("select * from ss_join").collect()}
     # click 1 at 10:00 matches the 10:30 purchase; nothing else pairs
     assert rows == {(1, 5.0)}
+
+
+def test_checkpoint_restart_resumes_without_reprocessing(spark, tmp_path):
+    # stop after batch 1, add a file, restart with the SAME checkpoint:
+    # the resumed query must pick up only the new file (exactly-once per
+    # micro-batch via the foreachBatch batch-id-keyed sink)
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_event_files(src, [[_evt(1, "2024-01-01 10:00:00")]])
+    stream = se.read_event_stream(spark, str(src / "events_in"),
+                                  max_files_per_trigger=1)
+    q = se.write_foreach_batch(stream, out, ckpt)
+    q.awaitTermination(60)
+    assert {r["event_id"] for r in spark.read.parquet(out).collect()} == {1}
+
+    # second file arrives while the stream is down
+    _write_event_files(src, [[_evt(1, "2024-01-01 10:00:00")],
+                             [_evt(2, "2024-01-01 11:00:00")]])
+    stream2 = se.read_event_stream(spark, str(src / "events_in"),
+                                   max_files_per_trigger=1)
+    q2 = se.write_foreach_batch(stream2, out, ckpt)
+    q2.awaitTermination(60)
+    rows = spark.read.parquet(out).collect()
+    # both events present, event 1 exactly once (no reprocessing)
+    assert sorted(r["event_id"] for r in rows) == [1, 2]
