@@ -202,3 +202,36 @@ def test_clean_corpus_null_text_is_low_quality(spark):
            clean_corpus(spark.createDataFrame(rows, "doc_id: long, text: string"),
                         min_tokens=20, max_punct=0.1).collect()}
     assert out == {1: "low_quality", 2: "kept"}
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(0, 5), min_size=1, max_size=25),
+       st.integers(0, 4))
+def test_clean_corpus_partition_invariants(spark, doc_templates, n_short):
+    from databox_adls_loader_spark.operators.corpus import clean_corpus
+    # docs drawn from 6 templates (guaranteed exact dups) + short junk
+    rows = [(i, " ".join(f"t{t}w{j}" for j in range(25)))
+            for i, t in enumerate(doc_templates)]
+    rows += [(1000 + i, "too short") for i in range(n_short)]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = clean_corpus(docs, min_tokens=20, max_punct=0.1).collect()
+    # every doc classified exactly once
+    assert sorted(r["doc_id"] for r in out) == sorted(i for i, _ in rows)
+    verdicts = {r["doc_id"]: r["verdict"] for r in out}
+    texts = dict(rows)
+    # short docs are low_quality
+    for i in range(n_short):
+        assert verdicts[1000 + i] == "low_quality"
+    # kept docs have pairwise-distinct texts (no surviving exact dup)
+    kept = [i for i, v in verdicts.items() if v == "kept"]
+    assert len({texts[i] for i in kept}) == len(kept)
+    # each template's kept representative is its min id
+    for t in set(doc_templates):
+        group = [i for i, tt in enumerate(doc_templates) if tt == t]
+        assert verdicts[min(group)] == "kept"
+        for other in group[1:]:
+            if other != min(group):
+                assert verdicts[other] == "exact_dup"
