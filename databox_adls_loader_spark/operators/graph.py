@@ -33,12 +33,16 @@ def connected_components(edges: DataFrame, a_col: str = "a",
     labels = (sym.select(F.col("src").alias("n")).distinct()
               .withColumn("lbl", F.col("n"))
               .localCheckpoint())
+    # labels only ever decrease, so the label sum strictly decreases until
+    # the fixed point — equal sums ⇔ converged.  One cheap scalar aggregate
+    # over the checkpointed frame per round instead of a join + count.
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["dst"] == labels["n"])
             .groupBy("src").agg(F.min("lbl").alias("nbr_lbl"))
         )
-        new_labels = (
+        labels = (
             labels.join(nbr_min, labels["n"] == nbr_min["src"], "left")
             .select(labels["n"],
                     F.least(labels["lbl"],
@@ -46,16 +50,11 @@ def connected_components(edges: DataFrame, a_col: str = "a",
                     .alias("lbl"))
             .localCheckpoint()   # truncate lineage every round
         )
-        changed = (
-            new_labels.alias("new")
-            .join(labels.alias("old"), "n")
-            .filter(F.col("new.lbl") != F.col("old.lbl"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("lbl")).first()[0]
+        if new_sum == prev_sum:
             sym.unpersist()
             return labels.select(F.col("n"), F.col("lbl").alias("component"))
+        prev_sum = new_sum
     sym.unpersist()
     raise RuntimeError(f"connected_components: no fixed point in {max_iter} rounds")
 
