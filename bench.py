@@ -59,14 +59,23 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(json.dumps({
+    payload = {
         "metric": "total_query_time",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-    }))
+    }
+    # Persist in-repo first: the driver captures only a tail of stdout, so
+    # the full per-query map must survive on disk regardless of truncation.
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "BENCH_LOCAL.json")
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=1)
     spark.stop()
+    # compact JSON as the LAST line of output (after spark.stop() so no
+    # shutdown log lines can print after it)
+    print(json.dumps(payload), flush=True)
 
 
 if __name__ == "__main__":

@@ -313,7 +313,7 @@ def o2_limit_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS path
       FROM inv
     )
-    SELECT path, SUM(length) AS size FROM anc
+    SELECT path, CAST(SUM(length) AS BIGINT) AS size FROM anc
     WHERE path <> '' GROUP BY path ORDER BY path
     """,
     tags=["S2", "A1"],
@@ -440,8 +440,8 @@ def f2_assigned_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j3_map_key_membership",
     oracle="""
     SELECT event_type,
-           SUM(CASE WHEN json_extract(props, '$.k') IS NOT NULL
-                    THEN 1 ELSE 0 END) AS with_k,
+           CAST(SUM(CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS with_k,
            COUNT(*) AS total
     FROM events GROUP BY event_type ORDER BY event_type
     """,

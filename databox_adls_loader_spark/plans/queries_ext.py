@@ -437,9 +437,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM h
     )
     SELECT source,
-           SUM(CASE WHEN bucket < 10 THEN 1 ELSE 0 END) AS n_test,
-           SUM(CASE WHEN bucket >= 10 AND bucket < 20 THEN 1 ELSE 0 END) AS n_val,
-           SUM(CASE WHEN bucket >= 20 THEN 1 ELSE 0 END) AS n_train
+           CAST(SUM(CASE WHEN bucket < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN bucket >= 10 AND bucket < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+           CAST(SUM(CASE WHEN bucket >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_train
     FROM b GROUP BY source ORDER BY source
     """,
     tags=["text", "sampling"],

@@ -20,15 +20,75 @@ SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
 def norm_cell(v):
+    """Type-TAGGED normalization: the driver's hash gate is type-sensitive
+    (DuckDB HUGEINT surfaces differently from Spark's long even when values
+    are numerically identical — round-1 s2/j3 FAILs), so int and float must
+    normalize distinctly here too, or the local gate is blinder than the
+    driver's."""
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return "b:" + str(v).lower()
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return f"{v:.10g}"
-    if isinstance(v, bool):
-        return str(v).lower()
+            return "f:NaN"
+        return f"f:{v:.10g}"
+    if isinstance(v, int):
+        return f"i:{v}"
     return str(v)
+
+
+# DuckDB column_type (from DESCRIBE <sql>) → coarse type class.  Spark has no
+# 128-bit integer, so HUGEINT/UHUGEINT in an oracle output is an automatic
+# mismatch against any Spark schema — the round-1 failure mode.
+_DUCK_CLASS = [
+    # complex types first: 'BIGINT[]' must classify as array, not int
+    ("[]", "array"), ("LIST", "array"), ("STRUCT", "struct"), ("MAP", "map"),
+    ("HUGEINT", "int128"), ("UHUGEINT", "int128"),
+    ("BIGINT", "int"), ("INTEGER", "int"), ("SMALLINT", "int"),
+    ("TINYINT", "int"), ("UBIGINT", "int"), ("UINTEGER", "int"),
+    ("USMALLINT", "int"), ("UTINYINT", "int"),
+    ("DOUBLE", "float"), ("FLOAT", "float"), ("REAL", "float"),
+    # JSON fetches as a Python str and hashes as one (driver round-1 pass)
+    ("DECIMAL", "decimal"), ("VARCHAR", "string"), ("JSON", "string"),
+    ("BOOLEAN", "bool"),
+    ("TIMESTAMP", "timestamp"), ("DATE", "date"), ("BLOB", "binary"),
+]
+
+_SPARK_CLASS = [
+    ("array", "array"), ("struct", "struct"), ("map", "map"),
+    ("bigint", "int"), ("smallint", "int"), ("tinyint", "int"),
+    ("long", "int"), ("int", "int"),
+    ("double", "float"), ("float", "float"),
+    ("decimal", "decimal"), ("string", "string"), ("boolean", "bool"),
+    ("timestamp", "timestamp"), ("date", "date"), ("binary", "binary"),
+]
+
+
+def _classify(typ, table):
+    t = typ.upper() if table is _DUCK_CLASS else typ.lower()
+    for pat, cls in table:
+        if pat in t:
+            return cls
+    return f"other({typ})"
+
+
+def type_mismatches(spark_dtypes, duck_desc):
+    """Compare Spark dtypes to DuckDB DESCRIBE output by column name at
+    type-CLASS granularity (int vs int128 vs float vs decimal vs ...).
+    Returns list of 'col: spark=X duck=Y' problem strings."""
+    duck = {name: _classify(typ, _DUCK_CLASS) for name, typ in duck_desc}
+    probs = []
+    for name, styp in spark_dtypes:
+        if name not in duck:
+            continue  # column-name mismatch reported separately
+        scls, dcls = _classify(styp, _SPARK_CLASS), duck[name]
+        if dcls == "int128":
+            probs.append(f"type {name}: duck={duck[name]} (HUGEINT — Spark "
+                         f"has no int128; CAST the oracle aggregate)")
+        elif scls != dcls:
+            probs.append(f"type {name}: spark={styp}({scls}) vs duck={dcls}")
+    return probs
 
 
 def value_hash(rows, colnames):
@@ -82,6 +142,8 @@ def main():
             res = con.execute(oracles[name])
             duck_cols = [d[0] for d in res.description]
             duck_rows = res.fetchall()
+            duck_desc = [(r[0], r[1]) for r in
+                         con.execute(f"DESCRIBE {oracles[name]}").fetchall()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
@@ -91,6 +153,7 @@ def main():
             problems.append(f"rowcount {len(spark_rows)} vs {len(duck_rows)}")
         if sorted(spark_cols) != sorted(duck_cols):
             problems.append(f"cols {sorted(spark_cols)} vs {sorted(duck_cols)}")
+        problems.extend(type_mismatches(sdf.dtypes, duck_desc))
         if not problems:
             h1 = value_hash(spark_rows, spark_cols)
             h2 = value_hash(duck_rows, duck_cols)
