@@ -86,6 +86,29 @@ def generate_filelists(inventory: DataFrame, out_dir: str,
     return alloc
 
 
+def generate_filelists_from_path(spark: SparkSession, root: str,
+                                 out_dir: str,
+                                 capacity: int = DEFAULT_CAPACITY,
+                                 depth: int = 1,
+                                 distributed: bool = False) -> DataFrame:
+    """§3.1 against a REAL filesystem tree (file://, hdfs://, abfs://):
+    list via the Hadoop FileSystem API (S2 real form — no CLI fork like
+    generate-file-list.py:22-25), adapt to inventory shape, then the same
+    rollup→pack→write pipeline as :func:`generate_filelists`.
+
+    ``distributed=True`` switches to the executor-fanned pyarrow lister
+    for trees too large to enumerate from the driver."""
+    from ..sources.hadoop_fs import (
+        fs_inventory,
+        list_files_jvm,
+        list_tree_distributed,
+    )
+    listing = (list_tree_distributed(spark, root) if distributed
+               else list_files_jvm(spark, root))
+    inventory = fs_inventory(listing, root)
+    return generate_filelists(inventory, out_dir, capacity, depth)
+
+
 def acl_pipeline(acls: DataFrame, identity_map: DataFrame | None,
                  mode: str = "apply",
                  sender: Callable[[dict], None] | None = None,
