@@ -59,9 +59,49 @@ def synthetic_assets(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFr
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
+# Real image decode is environment-gated: PIL is not in the base container,
+# but when present (any real deployment) images decode for real.  Audio/video
+# stay stubbed (librosa/pyav likewise absent); same guard pattern applies.
+try:
+    from PIL import Image as _PILImage  # noqa: N811
+except ImportError:  # pragma: no cover - container has no PIL
+    _PILImage = None
+
+
+def _decode_image_real(content: bytes) -> dict | None:
+    """PIL path: true dimensions + a deterministic 16-dim feature (4x4
+    grayscale thumbnail, pixel values normalized).  Returns None when the
+    bytes are not a decodable image — caller falls back to the stub, so a
+    corrupt payload degrades instead of failing the batch."""
+    if _PILImage is None or not content:
+        return None
+    import io
+    try:
+        with _PILImage.open(io.BytesIO(content)) as img:
+            width, height = img.size
+            thumb = img.convert("L").resize((4, 4))
+            feature = [p / 255.0 for p in thumb.getdata()]
+    except Exception:  # noqa: BLE001 - undecodable bytes → stub
+        return None
+    return {"width": width, "height": height, "n_frames": None,
+            "feature": feature}
+
+
+def decode_asset(content: bytes, modality: str) -> dict:
+    """Dispatch: real decoder when available and the payload is genuine,
+    deterministic stub otherwise.  Both paths produce the same dict shape,
+    so the Spark plumbing (schema, batching) is identical either way."""
+    if modality == "image":
+        real = _decode_image_real(content)
+        if real is not None:
+            return real
+    return _fake_decode(content, modality)
+
+
 def _fake_decode(content: bytes, modality: str) -> dict:
     """STUB decode — the real implementation would call PIL/librosa/pyav
-    here.  Deterministic fake: dimensions and features derived from the
+    here (see :func:`decode_asset` for the guarded PIL path).
+    Deterministic fake: dimensions and features derived from the
     payload hash so tests are stable.  Raises for unknown modalities the
     way a real decoder surfaces unsupported formats."""
     if modality not in ("image", "audio", "video"):
@@ -93,7 +133,7 @@ def extract_features(assets: DataFrame) -> DataFrame:
                    "width": [], "height": [], "n_frames": [], "feature": []}
             for _, row in pdf.iterrows():
                 content = bytes(row["content"]) if row["content"] is not None else b""
-                d = _fake_decode(content, row["modality"])
+                d = decode_asset(content, row["modality"])
                 out["asset_id"].append(row["asset_id"])
                 out["modality"].append(row["modality"])
                 out["n_bytes"].append(len(content))
@@ -224,7 +264,7 @@ def resize_stub(assets: DataFrame, max_dim: int = 256) -> DataFrame:
             for _, row in pdf.iterrows():
                 content = bytes(row["content"]) if row["content"] is not None else b""
                 if row["modality"] == "image":
-                    d = _fake_decode(content, "image")
+                    d = decode_asset(content, "image")
                     scale = min(1.0, max_dim / max(d["width"], d["height"]))
                     new_len = max(32, int(len(content) * scale * scale))
                     digest = hashlib.sha256(content + b"resized").digest()

@@ -170,3 +170,60 @@ def test_split_is_deterministic_and_stratified(spark):
     s3 = {r["doc_id"]: r["split"]
           for r in train_val_test_split(docs, salt="v2").collect()}
     assert s3 != s1
+
+
+def _tiny_png(width: int = 5, height: int = 3) -> bytes:
+    """A minimal valid PNG (grayscale, 8-bit) built with only the stdlib —
+    real bytes for the guarded PIL decode path without needing codecs to
+    GENERATE the fixture."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes((x * 40 + y) % 256 for x in range(width))
+                   for y in range(height))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_decode_asset_stub_fallback_is_deterministic():
+    """Without PIL (or with undecodable bytes) decode_asset must hit the
+    hash-derived stub — same output every call, n_frames only for video."""
+    from databox_adls_loader_spark.operators import multimodal as mm
+    payload = b"not-an-image" * 10
+    d1 = mm.decode_asset(payload, "image")
+    d2 = mm.decode_asset(payload, "image")
+    assert d1 == d2
+    assert d1["width"] and d1["height"] and d1["n_frames"] is None
+    assert len(d1["feature"]) == 16
+
+
+def test_decode_asset_real_png_with_pil():
+    """When PIL is importable the real decoder must report TRUE dimensions
+    for genuine PNG bytes (skips in codec-free containers)."""
+    pytest.importorskip("PIL")
+    from databox_adls_loader_spark.operators import multimodal as mm
+    d = mm.decode_asset(_tiny_png(5, 3), "image")
+    assert (d["width"], d["height"]) == (5, 3)
+    assert len(d["feature"]) == 16
+    assert all(0.0 <= v <= 1.0 for v in d["feature"])
+
+
+def test_decode_asset_real_png_without_pil_still_works(spark):
+    """Real PNG bytes through the full mapInPandas stage must succeed in
+    BOTH modes: true dims under PIL, stub dims otherwise — schema and
+    batching identical either way."""
+    from databox_adls_loader_spark.operators import multimodal as mm
+    png = _tiny_png(5, 3)
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(png), "image/png")], mm.ASSET_SCHEMA)
+    row = mm.extract_features(assets).collect()[0]
+    if mm._PILImage is not None:
+        assert (row["width"], row["height"]) == (5, 3)
+    else:
+        assert row["width"] > 0 and row["height"] > 0
+    assert row["n_bytes"] == len(png)
