@@ -1139,16 +1139,15 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fuzzy_nation_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy string matching: name pairs within levenshtein distance 2
     (entity-resolution shape; the synthetic NATION_n names differ only in
-    suffix digits so near-pairs exist).  Scale: run on a blocked candidate
-    set (first-letter / length buckets), never all-pairs — the dim here is
-    25 rows."""
+    suffix digits so near-pairs exist).  Runs through the BLOCKED operator
+    (operators/fuzzy.py): q-gram + short-length candidate equi-joins, then
+    exact levenshtein verify — no all-pairs BNL even though the dim here
+    is only 25 rows, so the same call scales to `documents`."""
+    from ..operators.fuzzy import fuzzy_self_join
     (nation,) = _t(spark, sf_dir, "nation")
-    a = nation.select(F.col("n_nationkey").alias("ka"), F.col("n_name").alias("a"))
-    b = nation.select(F.col("n_nationkey").alias("kb"), F.col("n_name").alias("b"))
     return (
-        a.join(b, F.col("ka") < F.col("kb"))
-        .select("a", "b", F.levenshtein("a", "b").alias("dist"))
-        .filter(F.col("dist") <= 2)
+        fuzzy_self_join(nation, "n_name", "n_nationkey", max_dist=2)
+        .select("a", "b", "dist")
         .orderBy("a", "b")
     )
 
