@@ -33,12 +33,14 @@ from pyspark.sql import functions as F
 
 
 def _grams(col: str, q: int):
-    """Distinct hashed character q-grams: one array expr per row, then
-    exploded by the caller.  Hashes (not gram strings) keep shuffle keys
-    8 bytes; array_distinct caps a string's fan-out at its gram count."""
+    """Distinct character q-grams as a per-row array: only the cheap
+    substring slice runs inside the (interpreted) transform lambda — the
+    hash is applied AFTER the explode, in codegen, matching the
+    word_shingles→xxhash64 pattern in dedup.py (HOF lambdas are excluded
+    from codegen/CSE; keep heavy exprs out of them)."""
     idx = F.sequence(F.lit(1), F.length(col) - (q - 1))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.xxhash64(F.col(col).substr(i, F.lit(q)))))
+        F.transform(idx, lambda i: F.col(col).substr(i, F.lit(q))))
 
 
 def fuzzy_self_join(df: DataFrame, text_col: str, id_col: str,
@@ -62,7 +64,8 @@ def fuzzy_self_join(df: DataFrame, text_col: str, id_col: str,
     # distinct gram hashes; near pairs with a long member must collide
     gr = (
         s.filter(F.col("len") >= q)
-        .select("id", F.explode(_grams("s", q)).alias("g"))
+        .select("id", F.explode(_grams("s", q)).alias("gram"))
+        .select("id", F.xxhash64("gram").alias("g"))
     )
     l, r = gr.alias("l"), gr.alias("r")
     cand_gram = (

@@ -104,3 +104,58 @@ def _strip_prefix(path, n: int):
     # remove up to n leading '/<comp>' groups, then any leading '/'
     pat = "^" + (r"/[^/]*" * n) + "/?"
     return F.regexp_replace(path, pat, "")
+
+
+def scan_acls_jvm(spark: SparkSession, root: str) -> DataFrame:
+    """S4 REAL form: recursive ACL scan through the Hadoop `FileSystem`
+    API instead of replaying `getfacl -R` text (copy-acls.sh:46 forks the
+    CLI; this is one Py4J conversation per entry, no process forks).
+
+    For every file and directory under ``root``:
+
+    - owner/group from `FileStatus` (always available),
+    - the base triple (`user::`/`group::`/`other::`) from the POSIX
+      permission bits,
+    - extended entries from `getAclStatus` where the filesystem supports
+      ACLs (HDFS); filesystems that do not (raw local fs) raise
+      `UnsupportedOperationException` and degrade to the base triple —
+      exactly what `getfacl` prints for a file with no extended ACL.
+
+    Output is ACL_RECORD_SCHEMA — the same shape the text-replay
+    assembler produces, so `acl_pipeline` consumes either source
+    unchanged.  Driver-side like every NameNode conversation; the ~100k
+    entry guidance of `sources.hadoop_fs.list_files_jvm` applies."""
+    from ..schemas import ACL_RECORD_SCHEMA
+    from .hadoop_fs import _jvm_fs, _strip_scheme
+
+    fs, path = _jvm_fs(spark, root)
+    jvm = spark._jvm
+    rows = []
+    frontier = [path]
+    while frontier:
+        nxt = []
+        for p in frontier:
+            for st in fs.listStatus(p):
+                sp = st.getPath()
+                # FsPermission.toString() → 9-char 'rwxr-x---' triple
+                # (py4j exposes methods, not the FsAction.SYMBOL field)
+                sym = st.getPermission().toString()
+                base = [
+                    "user::" + sym[0:3],
+                    "group::" + sym[3:6],
+                    "other::" + sym[6:9],
+                ]
+                extended = []
+                try:
+                    acl_st = fs.getAclStatus(sp)
+                    extended = [e.toString()
+                                for e in acl_st.getEntries()]
+                except Exception:  # noqa: BLE001 - fs without ACL support
+                    pass
+                rows.append((_strip_scheme(sp.toString()),
+                             st.getOwner(), st.getGroup(),
+                             base + extended))
+                if st.isDirectory():
+                    nxt.append(sp)
+        frontier = nxt
+    return spark.createDataFrame(rows, ACL_RECORD_SCHEMA)

@@ -10,7 +10,8 @@ reached two ways:
   :func:`content_summary_jvm` — the JVM gateway (`spark._jvm`) driving
   `org.apache.hadoop.fs.FileSystem` directly: one RPC stream instead of
   one process fork per directory.  Driver-side by nature (a listing IS a
-  metadata-server conversation); fine into the millions of entries.
+  metadata-server conversation); Py4J round-trip cost caps it at ~100k
+  entries — beyond that, use the distributed lister below.
 - :func:`list_tree_distributed` — for trees too large to enumerate on one
   driver: expand the first levels on the driver, then fan the subtree
   roots out to executors where each task lists its subtree with
@@ -68,7 +69,14 @@ def list_files_jvm(spark: SparkSession, root: str,
     """S2 real form: `FileSystem.listFiles(path, recursive)` — files only
     (the NameNode iterator does the recursion server-side; directories are
     reconstructed downstream by the A1 ancestor rollup, which is exactly
-    how `du` totals are derived without one RPC per directory level)."""
+    how `du` totals are derived without one RPC per directory level).
+
+    Cost note: each entry costs ~4 Py4J gateway round-trips, so this path
+    is for trees up to ~100k files.  Beyond that use
+    :func:`list_tree_distributed` (executor-fanned pyarrow) or, when only
+    file rows are needed, the fully JVM-side `binaryFile` listing
+    (``sources.inventory.read_file_tree``) — both scale past the gateway
+    bottleneck."""
     fs, path = _jvm_fs(spark, root)
     it = fs.listFiles(path, recursive)
     rows = []
@@ -136,17 +144,25 @@ def list_tree_distributed(spark: SparkSession, root: str,
     giant subtree is the remaining hazard — raise ``fanout_depth`` to
     split it finer (cost is driver RPCs ~ fanout^depth, bounded)."""
     subtree_roots, shallow = _expand_roots(spark, root, fanout_depth)
+    # Build the FileSystem from ONE percent-encoded base URI and hand the
+    # subtree roots over as plain (unencoded) paths: Path.toString() is
+    # not URI-escaped, so round-tripping each root through from_uri would
+    # crash on legal names containing ' ', '%', or '#'.
+    import urllib.parse
+    if "://" in root:
+        scheme_auth = (root.split("://", 1)[0] + "://"
+                       + root.split("://", 1)[1].split("/", 1)[0])
+    else:
+        scheme_auth = "file://"
+    base_uri = scheme_auth + urllib.parse.quote(_strip_scheme(root))
+    plain_roots = [_strip_scheme(p) for p in subtree_roots]
 
     def list_subtree(paths):
         from pyarrow import fs as pafs
+        filesystem, _ = pafs.FileSystem.from_uri(base_uri)
         for p in paths:
-            # Hadoop Path.toString() renders local URIs as 'file:/x';
-            # pyarrow's from_uri needs the canonical 'file:///x'
-            if p.startswith("file:") and not p.startswith("file://"):
-                p = "file://" + p[len("file:"):]
-            filesystem, rel = pafs.FileSystem.from_uri(p)
             infos = filesystem.get_file_info(
-                pafs.FileSelector(rel, recursive=True))
+                pafs.FileSelector(p, recursive=True))
             for fi in infos:
                 is_dir = fi.type == pafs.FileType.Directory
                 mtime = int(fi.mtime.timestamp() * 1000) if fi.mtime else 0
@@ -155,10 +171,10 @@ def list_tree_distributed(spark: SparkSession, root: str,
     shallow_df = spark.createDataFrame(shallow, FS_LISTING_SCHEMA)
     if not subtree_roots:
         return shallow_df
-    n = len(subtree_roots)
+    n = len(plain_roots)
     deep = (
         spark.sparkContext
-        .parallelize(subtree_roots, n)
+        .parallelize(plain_roots, n)
         .mapPartitions(list_subtree)
         .toDF(FS_LISTING_SCHEMA)
     )
@@ -169,8 +185,9 @@ def fs_inventory(listing: DataFrame, root: str) -> DataFrame:
     """Adapt an fs listing to the inventory shape the §3.1 pipeline
     consumes: (name, length, is_folder) with names relative to ``root``
     (P7 relative-path strip, copy-acls.py:63-66)."""
+    import re
     root = _strip_scheme(root).rstrip("/")
-    rel = F.regexp_replace("path", "^" + _re_escape(root) + "/?", "")
+    rel = F.regexp_replace("path", "^" + re.escape(root) + "/?", "")
     return (
         listing.select(
             rel.alias("name"),
@@ -179,8 +196,3 @@ def fs_inventory(listing: DataFrame, root: str) -> DataFrame:
         )
         .filter(F.col("name") != "")
     )
-
-
-def _re_escape(s: str) -> str:
-    import re
-    return re.escape(s)

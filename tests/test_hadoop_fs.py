@@ -106,3 +106,50 @@ def test_generate_filelists_from_real_tree(spark, tree, tmp_path):
     # coverage: the packed entries partition the file bytes exactly
     total = sum(r["size"] for r in rows)
     assert total == sum(sizes.values())
+
+
+def test_distributed_lister_special_char_dirnames(spark, tmp_path):
+    """Directory names with spaces/%/# are legal on HDFS and local fs;
+    the distributed lister must not crash parsing them as URIs (subtree
+    roots ship as plain paths, the FileSystem builds from one encoded
+    base URI)."""
+    root = tmp_path / "tree"
+    for d in ["a b", "pct%40", "ha#sh"]:
+        sub = root / d / "inner"
+        sub.mkdir(parents=True)
+        (sub / "f.txt").write_bytes(b"x" * 11)
+    # fanout_depth=2 makes each special-named dir (level 1) a parent of
+    # an executor-listed subtree root (level 2: 'inner')
+    dist = list_tree_distributed(spark, str(root), fanout_depth=2)
+    files = {r["path"]: r["length"]
+             for r in dist.filter(~F.col("is_dir")).collect()}
+    assert files == {str(root / d / "inner" / "f.txt"): 11
+                     for d in ["a b", "pct%40", "ha#sh"]}
+
+
+def test_scan_acls_jvm_real_tree(spark, tmp_path):
+    """S4 real boundary: ACL records from the live FileSystem API — base
+    triple reflects actual chmod bits, owner/group are the real ones, and
+    the records feed acl_pipeline's generate-map mode unchanged."""
+    import os
+    root = tmp_path / "acltree"
+    (root / "sub").mkdir(parents=True)
+    f1 = root / "a.txt"; f1.write_bytes(b"hi")
+    f2 = root / "sub" / "b.txt"; f2.write_bytes(b"hello")
+    os.chmod(f1, 0o640)
+    os.chmod(root / "sub", 0o750)
+
+    from databox_adls_loader_spark.sources.acl_scan import scan_acls_jvm
+    recs = {r["file"]: r for r in scan_acls_jvm(spark, str(root)).collect()}
+    assert set(recs) == {str(f1), str(root / "sub"), str(f2)}
+    assert recs[str(f1)]["acl"][:3] == ["user::rw-", "group::r--",
+                                        "other::---"]
+    assert recs[str(root / "sub")]["acl"][0] == "user::rwx"
+    assert all(r["owner"] and r["group"] for r in recs.values())
+
+    # §3.2 generate-map mode directly over the scanned records
+    from databox_adls_loader_spark.plans.pipelines import acl_pipeline
+    idents = acl_pipeline(scan_acls_jvm(spark, str(root)), None,
+                          mode="generate-map")
+    kinds = {(r["type"], r["source"]) for r in idents.collect()}
+    assert ("user", recs[str(f1)]["owner"]) in kinds
