@@ -1,0 +1,122 @@
+"""Sessionization and funnel analysis over event streams — the
+behavioral-analytics operators a training-data pipeline needs when the
+corpus is interaction logs rather than documents.
+
+Both are window/join compositions that stay entirely JVM-side:
+
+- :func:`sessionize` — gap-based sessions via the classic island
+  detection: flag rows whose gap from the previous event exceeds the
+  threshold, running-sum the flags.  The window partitions by ``user_id``
+  so a billion-user log sorts per-user slices in parallel — there is no
+  global sort and no single-partition window anywhere.
+- :func:`funnel_steps` — ordered-step funnel (reached step k only if it
+  happened AFTER step k-1).  Implemented as k chained per-user min-ts
+  aggregations, each a groupBy on the same ``user_id`` key — Catalyst
+  reuses the partitioning, and every join is on the grouping key.
+
+Scale: both shuffle on ``user_id`` only; skewed power users are bounded
+by per-user event counts, not corpus size.  The streaming counterpart of
+``sessionize`` is ``F.session_window`` (streaming/events.py) — this
+module is the batch analog whose results an oracle can verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30,
+               user_col: str = "user_id",
+               ts_col: str = "ts",
+               tiebreak_col: str | None = None) -> DataFrame:
+    """Assign a per-user session index to every event: a new session
+    starts when the gap from the user's previous event exceeds
+    ``gap_minutes``.  Returns the input plus ``session_id`` (1-based,
+    per user).
+
+    Gap math runs on microseconds (never a seconds cast — truncation
+    would flip events sitting exactly on the boundary); pass
+    ``tiebreak_col`` (e.g. the event id) when timestamps can collide, or
+    the lag order — and thus the session split — is nondeterministic."""
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000),
+                    1).otherwise(0)
+    return (
+        events.withColumn("__new", is_new)
+        .withColumn("session_id", F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .drop("__new")
+    )
+
+
+def session_summaries(events: DataFrame, gap_minutes: int = 30,
+                      user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      tiebreak_col: str | None = None) -> DataFrame:
+    """One row per (user, session): start/end and event count — the
+    session rollup a warehouse materializes from raw events."""
+    s = sessionize(events, gap_minutes, user_col, ts_col, tiebreak_col)
+    return (
+        s.groupBy(user_col, "session_id")
+        .agg(F.min(ts_col).alias("session_start"),
+             F.max(ts_col).alias("session_end"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def funnel_steps(events: DataFrame, steps: list[str],
+                 user_col: str = "user_id",
+                 type_col: str = "event_type",
+                 ts_col: str = "ts") -> DataFrame:
+    """Ordered funnel: per user, the earliest timestamp of each step that
+    occurs strictly AFTER the previous step's timestamp (step 1 is the
+    plain minimum).  Output: one row per user with ``t_<step>`` columns,
+    null from the first step the user never reached.
+
+    k-1 self-joins on the ``user_col`` grouping key — each broadcast-able
+    once aggregated (one row per user reaching the prefix)."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias(f"t_{steps[0]}"))
+    )
+    prev_t = f"t_{steps[0]}"
+    for step in steps[1:]:
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .select(user_col, F.col(ts_col).alias("__ts"))
+            .join(cur.select(user_col, prev_t), user_col)
+            .filter(F.col("__ts") > F.col(prev_t))
+            .groupBy(user_col)
+            .agg(F.min("__ts").alias(f"t_{step}"))
+        )
+        cur = cur.join(nxt, user_col, "left")
+        prev_t = f"t_{step}"
+    return cur
+
+
+def funnel_counts(events: DataFrame, steps: list[str],
+                  user_col: str = "user_id",
+                  type_col: str = "event_type",
+                  ts_col: str = "ts") -> DataFrame:
+    """The funnel report: how many users reached each step in order.
+    One row per step, monotonically non-increasing ``n_users``."""
+    per_user = funnel_steps(events, steps, user_col, type_col, ts_col)
+    counts = per_user.agg(*[
+        F.count(F.col(f"t_{s}")).alias(f"t_{s}") for s in steps])
+    # unpivot to (step, n_users) keeping funnel order via the step index
+    pairs = F.array(*[
+        F.struct(F.lit(i).alias("step_no"), F.lit(s).alias("step"),
+                 F.col(f"t_{s}").alias("n_users"))
+        for i, s in enumerate(steps, 1)])
+    return (
+        counts.select(F.explode(pairs).alias("x"))
+        .select("x.step_no", "x.step", "x.n_users")
+        .orderBy("step_no")
+    )

@@ -504,3 +504,71 @@ def text_corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency, the dedup-robust count)."""
     (docs,) = _t(spark, sf_dir, "documents")
     return text.corpus_top_ngrams(docs, n=2, k=20)
+
+
+@register(
+    "sess1_gap_sessions",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM o
+    )
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    tags=["sessions", "window"],
+)
+def sess1_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): per-user island
+    detection windows, microsecond gap math, event_id tiebreak so the
+    split is deterministic under timestamp collisions."""
+    from ..operators.sessions import session_summaries
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        session_summaries(events, gap_minutes=30, tiebreak_col="event_id")
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "sess2_funnel_counts",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+    )
+    SELECT 1 AS step_no, 'signup' AS step, COUNT(*) AS n_users FROM s1
+    UNION ALL SELECT 2, 'view', COUNT(*) FROM s2
+    UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3
+    ORDER BY step_no
+    """,
+    tags=["sessions", "funnel"],
+)
+def sess2_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel signup→view→purchase: users counted at step k
+    only when it happened strictly after their step k-1 (chained per-user
+    min-ts aggregations on one shuffle key)."""
+    from ..operators.sessions import funnel_counts
+    (events,) = _t(spark, sf_dir, "events")
+    return funnel_counts(events, ["signup", "view", "purchase"])
