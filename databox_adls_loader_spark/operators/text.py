@@ -271,3 +271,38 @@ def corpus_top_ngrams(docs: DataFrame, n: int = 2, k: int = 20,
         .orderBy(F.desc("n_docs"), "gram")
         .limit(k)
     )
+
+
+def gopher_signals(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style quality rules (Rae et al. 2021, public): per-doc
+    repetition-free signals and the composite keep/drop verdict.
+
+    Every signal is a division-only formulation (no libm) so the DuckDB
+    oracle reproduces it bit-for-bit:
+
+    - ``n_words``            whitespace token count
+    - ``mean_word_len``      non-space chars / words  (rule: 3..10)
+    - ``frac_alpha_words``   words containing a letter / words (rule ≥0.8)
+    - ``n_stopwords``        stopword occurrences       (rule ≥2)
+    - ``gopher_pass``        50 ≤ n_words ≤ 100k ∧ all rules above
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_words = F.size(toks)
+    nonspace = F.length(F.regexp_replace(c, r"\s+", "")).cast("double")
+    mean_wl = nonspace / F.greatest(n_words, F.lit(1))
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    frac_alpha = alpha.cast("double") / F.greatest(n_words, F.lit(1))
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+    gpass = ((n_words >= 50) & (n_words <= 100_000)
+             & (mean_wl >= 3.0) & (mean_wl <= 10.0)
+             & (frac_alpha >= 0.8) & (n_stop >= 2))
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha_words"),
+        n_stop.alias("n_stopwords"),
+        gpass.alias("gopher_pass"),
+    )

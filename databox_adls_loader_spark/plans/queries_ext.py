@@ -572,3 +572,114 @@ def sess2_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sessions import funnel_counts
     (events,) = _t(spark, sf_dir, "events")
     return funnel_counts(events, ["signup", "view", "purchase"])
+
+
+@register(
+    "pii_scan_scrub",
+    oracle=r"""
+    WITH planted AS (
+      SELECT doc_id, source,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' call +1-555-0199' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.7' ELSE '' END AS t
+      FROM documents
+    ), counted AS (
+      SELECT source,
+             len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
+             len(regexp_extract_all(t,
+               '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS p,
+             len(regexp_extract_all(t,
+               '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS i,
+             length(regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+               '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+               '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS slen
+      FROM planted
+    )
+    SELECT source,
+           CAST(SUM(e) AS BIGINT) AS n_emails,
+           CAST(SUM(p) AS BIGINT) AS n_phones,
+           CAST(SUM(i) AS BIGINT) AS n_ips,
+           CAST(SUM(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_pii,
+           CAST(SUM(slen) AS BIGINT) AS scrubbed_chars
+    FROM counted GROUP BY source ORDER BY source
+    """,
+    tags=["pii", "text"],
+)
+def pii_scan_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + scrub end to end: deterministic PII planted from
+    doc_id (the corpus itself is clean synthetic text), then per-source
+    match counts and the total scrubbed-text length — which only matches
+    the oracle if every replacement landed identically.  RE2-compatible
+    patterns, all codegen (operators/pii.py)."""
+    from ..operators.pii import pii_counts, scrub_pii
+    (docs,) = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    planted = docs.select(
+        "doc_id", "source",
+        F.concat(
+            F.col("text"),
+            F.when(k % 3 == 0,
+                   F.concat(F.lit(" contact user"), k.cast("string"),
+                            F.lit("@example.com"))).otherwise(""),
+            F.when(k % 5 == 0, F.lit(" call +1-555-0199")).otherwise(""),
+            F.when(k % 7 == 0,
+                   F.concat(F.lit(" host 10.0."), (k % 256).cast("string"),
+                            F.lit(".7"))).otherwise(""),
+        ).alias("text"),
+    )
+    scanned = scrub_pii(pii_counts(planted))
+    return (
+        scanned.groupBy("source")
+        .agg(F.sum("n_email").alias("n_emails"),
+             F.sum("n_phone").alias("n_phones"),
+             F.sum("n_ipv4").alias("n_ips"),
+             F.sum((F.col("n_email") + F.col("n_phone")
+                    + F.col("n_ipv4") > 0).cast("long")).alias("docs_with_pii"),
+             F.sum(F.length("scrubbed")).alias("scrubbed_chars"))
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_gopher_quality",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), sig AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+               / greatest(len(toks), 1) AS mean_word_len,
+             CAST(len(list_filter(toks,
+                  x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+               / greatest(len(toks), 1) AS frac_alpha_words,
+             len(list_filter(toks, x -> lower(x) IN
+                  ('the','a','of','and','is','to','in'))) AS n_stopwords
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stopwords,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND frac_alpha_words >= 0.8 AND n_stopwords >= 2) AS gopher_pass
+    FROM sig ORDER BY doc_id
+    """,
+    tags=["text", "quality"],
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality signals per document (division-only math for
+    oracle parity); the composite verdict is the cheap pre-filter stage
+    ahead of dedup in clean_corpus-style pipelines."""
+    from ..operators.text import gopher_signals
+    (docs,) = _t(spark, sf_dir, "documents")
+    return gopher_signals(docs).orderBy("doc_id")

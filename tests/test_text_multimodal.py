@@ -227,3 +227,38 @@ def test_decode_asset_real_png_without_pil_still_works(spark):
     else:
         assert row["width"] > 0 and row["height"] > 0
     assert row["n_bytes"] == len(png)
+
+
+def test_pii_counts_and_scrub(spark):
+    from databox_adls_loader_spark.operators.pii import pii_counts, scrub_pii
+    docs = spark.createDataFrame([
+        (1, "mail me at alice@corp.example.com or bob@x.io thanks"),
+        (2, "call +1-555-0199 from 192.168.1.1 today"),
+        (3, "clean text, nothing here"),
+        (4, "edge: a@b.co +44-123-4567 10.0.0.255"),
+    ], "doc_id: long, text: string")
+    got = {r["doc_id"]: r for r in scrub_pii(pii_counts(docs)).collect()}
+    assert (got[1]["n_email"], got[1]["n_phone"], got[1]["n_ipv4"]) == (2, 0, 0)
+    assert (got[2]["n_email"], got[2]["n_phone"], got[2]["n_ipv4"]) == (0, 1, 1)
+    assert (got[3]["n_email"], got[3]["n_phone"], got[3]["n_ipv4"]) == (0, 0, 0)
+    assert (got[4]["n_email"], got[4]["n_phone"], got[4]["n_ipv4"]) == (1, 1, 1)
+    assert got[1]["scrubbed"] == "mail me at <EMAIL> or <EMAIL> thanks"
+    assert got[2]["scrubbed"] == "call <PHONE> from <IP> today"
+    assert got[4]["scrubbed"] == "edge: <EMAIL> <PHONE> <IP>"
+    assert got[3]["scrubbed"] == got[3]["text"]
+
+
+def test_gopher_signals_rules(spark):
+    from databox_adls_loader_spark.operators.text import gopher_signals
+    good = "the quick brown fox jumps over a lazy dog and then " * 10  # >50 words, stopwords, alpha
+    short = "too short to pass"
+    numeric = " ".join(str(i) for i in range(120)) + " the a of"       # <80% alpha words
+    docs = spark.createDataFrame(
+        [(1, good), (2, short), (3, numeric)], "doc_id: long, text: string")
+    got = {r["doc_id"]: r for r in gopher_signals(docs).collect()}
+    assert got[1]["gopher_pass"] is True
+    assert got[2]["gopher_pass"] is False          # n_words < 50
+    assert got[3]["gopher_pass"] is False          # frac_alpha < 0.8
+    assert got[1]["n_words"] == 110
+    assert got[1]["n_stopwords"] >= 20
+    assert 3.0 <= got[1]["mean_word_len"] <= 10.0
