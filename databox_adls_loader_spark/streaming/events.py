@@ -193,3 +193,20 @@ def stream_stream_click_purchase_join(clicks: DataFrame, purchases: DataFrame,
         & (F.col("click_ts") <= F.col("purchase_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
     ).select("c_user", "click_id", "click_ts", "purchase_ts", "purchase_value")
+
+
+def dedup_stream(events: DataFrame, keys: list[str] | None = None,
+                 watermark: str = "1 hour",
+                 ts_col: str = "ts") -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same event across
+    micro-batches.  `dropDuplicatesWithinWatermark` bounds the dedup
+    state to the watermark horizon — the unbounded-state trap of plain
+    `dropDuplicates` on a stream (state grows with every key ever seen)
+    is the thing to avoid at 100 TB/day ingest rates.
+
+    Batch analog: `dedup.exact_dedup` — same key semantics, one shuffle."""
+    keys = keys or ["event_id"]
+    return (
+        events.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )

@@ -218,3 +218,22 @@ def test_checkpoint_restart_resumes_without_reprocessing(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     # both events present, event 1 exactly once (no reprocessing)
     assert sorted(r["event_id"] for r in rows) == [1, 2]
+
+
+def test_stream_dedup_drops_redelivery(spark, tmp_path):
+    """The same event_id re-delivered in a later micro-batch (within the
+    watermark horizon) must come out exactly once; distinct ids all
+    survive."""
+    batches = [
+        [_evt(1, "2024-01-01 10:00:00"), _evt(2, "2024-01-01 10:01:00")],
+        [_evt(1, "2024-01-01 10:00:00"),          # exact re-delivery
+         _evt(3, "2024-01-01 10:02:00")],
+    ]
+    path = _write_event_files(tmp_path, batches)
+    stream = se.read_event_stream(spark, path, max_files_per_trigger=1)
+    q = se.run_stream_to_memory(se.dedup_stream(stream), "deduped",
+                                mode="append")
+    q.awaitTermination(60)
+    rows = spark.sql("select event_id from deduped").collect()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == [1, 2, 3]
