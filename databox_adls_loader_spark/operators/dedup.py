@@ -300,3 +300,69 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         .select("a", "b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination + incremental dedup
+# ---------------------------------------------------------------------------
+
+def contamination(docs: DataFrame, bench: DataFrame, n: int = 3,
+                  min_shared: int = 2, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Train/test decontamination: how many distinct word n-grams each
+    document shares with a benchmark set, and whether that crosses the
+    contamination threshold.
+
+    The benchmark's gram-hash set is aggregated and DISTINCT — tiny next
+    to the corpus, so the join broadcasts; the corpus side is one
+    map-side shingle explode.  Output: every input doc with
+    (n_shared_grams, contaminated)."""
+    d_sh = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(text_col, n)).alias("__g"),
+    ).select(id_col, F.xxhash64("__g").alias("g"))
+    b_sh = (
+        bench.select(F.explode(word_shingles(text_col, n)).alias("__g"))
+        .select(F.xxhash64("__g").alias("g"))
+        .distinct()
+    )
+    shared = (
+        d_sh.join(F.broadcast(b_sh), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(shared, id_col, "left")
+        .select(F.col(id_col),
+                F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+                (F.coalesce("n_shared_grams", F.lit(0)) >= min_shared)
+                .alias("contaminated"))
+    )
+
+
+def incremental_exact_dedup(incoming: DataFrame, corpus: DataFrame,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Dedup an incoming batch against an EXISTING corpus — the shape of
+    every recurring crawl ingest: drop docs already in the corpus
+    ('dup_corpus'), collapse within-batch duplicates to their minimum id
+    ('dup_batch'), keep the rest ('kept').
+
+    Two hash joins on md5(canonical text): corpus side reduces to its
+    distinct hash set first (at scale: a bucketed hash table maintained
+    incrementally, so only the delta shuffles)."""
+    inc = incoming.select(F.col(id_col),
+                          F.md5(canonical_text(text_col)).alias("h"))
+    corp = corpus.select(
+        F.md5(canonical_text(text_col)).alias("h")).distinct() \
+        .withColumn("__in_corpus", F.lit(True))
+    first = inc.groupBy("h").agg(F.min(id_col).alias("__first_id"))
+    return (
+        inc.join(corp, "h", "left").join(first, "h")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__in_corpus").isNotNull(), "dup_corpus")
+            .when(F.col(id_col) > F.col("__first_id"), "dup_batch")
+            .otherwise("kept").alias("verdict"))
+    )

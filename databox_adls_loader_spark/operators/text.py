@@ -306,3 +306,35 @@ def gopher_signals(docs: DataFrame, text_col: str = "text",
         n_stop.alias("n_stopwords"),
         gpass.alias("gopher_pass"),
     )
+
+
+def chunk_documents(docs: DataFrame, chunk_words: int = 32,
+                    overlap: int = 8, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split documents into fixed-size word windows with overlap — the
+    context-window packing stage of a training pipeline (long docs become
+    N training rows; the overlap keeps boundary sentences learnable).
+
+    One explode per chunk, all integer math (`div`, no libm ceil) so the
+    oracle reproduces chunk boundaries exactly.  Map-side only: no
+    shuffle — chunking 100 TB is embarrassingly parallel.
+    """
+    if overlap >= chunk_words:
+        raise ValueError("overlap must be smaller than chunk_words")
+    step = chunk_words - overlap
+    d = (
+        docs.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .withColumn("__nc", F.greatest(
+            F.expr(f"(size(__toks) - {overlap} + {step - 1}) div {step}"),
+            F.lit(1)))
+    )
+    start = F.col("chunk_id") * step + 1
+    sl = F.slice(F.col("__toks"), start, chunk_words)
+    return (
+        d.select(F.col(id_col), F.col("__toks"),
+                 F.explode(F.sequence(F.lit(0), F.col("__nc") - 1))
+                 .alias("chunk_id"))
+        .select(F.col(id_col), F.col("chunk_id").cast("long").alias("chunk_id"),
+                F.array_join(sl, " ").alias("chunk_text"),
+                F.size(sl).alias("n_tokens"))
+    )

@@ -683,3 +683,104 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import gopher_signals
     (docs,) = _t(spark, sf_dir, "documents")
     return gopher_signals(docs).orderBy("doc_id")
+
+
+@register(
+    "text_chunk_documents",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), n AS (
+      SELECT doc_id, toks,
+             greatest((len(toks) - 8 + 23) // 24, 1) AS nc
+      FROM t
+    ), c AS (
+      SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_id FROM n
+    )
+    SELECT doc_id, chunk_id,
+           array_to_string(list_slice(toks, chunk_id * 24 + 1,
+                                      chunk_id * 24 + 32), ' ') AS chunk_text,
+           CAST(len(list_slice(toks, chunk_id * 24 + 1,
+                               chunk_id * 24 + 32)) AS INT) AS n_tokens
+    FROM c ORDER BY doc_id, chunk_id
+    """,
+    tags=["text", "chunking"],
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 32-word chunks, 8-word overlap (step 24).
+    Pure map-side explode; integer-only boundary math for oracle parity."""
+    from ..operators.text import chunk_documents
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (chunk_documents(docs, chunk_words=32, overlap=8)
+            .orderBy("doc_id", "chunk_id"))
+
+
+@register(
+    "dedup_contamination",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(t) - 2, 1) + 1),
+        i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+      FROM toks
+    ), bench AS (
+      SELECT DISTINCT g FROM sh WHERE doc_id % 17 = 0
+    ), shared AS (
+      SELECT s.doc_id, COUNT(*) AS n_shared
+      FROM sh s JOIN bench b ON s.g = b.g
+      GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared_grams,
+           COALESCE(s.n_shared, 0) >= 2 AS contaminated
+    FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id
+    ORDER BY d.doc_id
+    """,
+    tags=["dedup", "contamination"],
+)
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: distinct 3-gram overlap of every doc
+    against the (synthetic) benchmark subset doc_id%17==0 — broadcast the
+    benchmark gram set, one map-side shingle explode on the corpus."""
+    from ..operators.dedup import contamination
+    (docs,) = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    return contamination(docs, bench).orderBy("doc_id")
+
+
+@register(
+    "dedup_incremental",
+    oracle=r"""
+    WITH inc AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+      FROM documents WHERE doc_id % 2 = 1
+    ), corp AS (
+      SELECT DISTINCT
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+      FROM documents WHERE doc_id % 2 = 0
+    ), firsts AS (
+      SELECT h, MIN(doc_id) AS first_id FROM inc GROUP BY h
+    )
+    SELECT i.doc_id,
+           CASE WHEN c.h IS NOT NULL THEN 'dup_corpus'
+                WHEN i.doc_id > f.first_id THEN 'dup_batch'
+                ELSE 'kept' END AS verdict
+    FROM inc i LEFT JOIN corp c ON i.h = c.h
+    JOIN firsts f ON i.h = f.h
+    ORDER BY i.doc_id
+    """,
+    tags=["dedup", "incremental"],
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: odd doc_ids arrive as the new batch,
+    even doc_ids are the existing corpus; verdict per incoming doc."""
+    from ..operators.dedup import incremental_exact_dedup
+    (docs,) = _t(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    return incremental_exact_dedup(incoming, corpus).orderBy("doc_id")

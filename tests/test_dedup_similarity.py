@@ -235,3 +235,39 @@ def test_clean_corpus_partition_invariants(spark, doc_templates, n_short):
         for other in group[1:]:
             if other != min(group):
                 assert verdicts[other] == "exact_dup"
+
+
+def test_contamination_planted(spark):
+    from databox_adls_loader_spark.operators.dedup import contamination
+    docs = spark.createDataFrame([
+        (1, "alpha beta gamma delta epsilon zeta"),      # copies bench
+        (2, "alpha beta gamma nine ten eleven"),         # shares 1 gram
+        (3, "totally different words here now friend"),  # disjoint
+    ], "doc_id: long, text: string")
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id: long, text: string")
+    got = {r["doc_id"]: (r["n_shared_grams"], r["contaminated"])
+           for r in contamination(docs, bench, n=3, min_shared=2).collect()}
+    assert got[1] == (4, True)      # all four 3-grams of a 6-word doc
+    assert got[2] == (1, False)     # only 'alpha beta gamma'
+    assert got[3] == (0, False)
+
+
+def test_incremental_dedup_verdicts(spark):
+    from databox_adls_loader_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+    corpus = spark.createDataFrame([
+        (0, "existing doc one"), (2, "existing doc two"),
+    ], "doc_id: long, text: string")
+    incoming = spark.createDataFrame([
+        (11, "EXISTING   doc one"),     # canonical dup of corpus (case/ws)
+        (13, "brand new content"),
+        (15, "brand  new content"),     # batch dup of 13 (whitespace)
+        (17, "another fresh doc"),
+    ], "doc_id: long, text: string")
+    got = {r["doc_id"]: r["verdict"]
+           for r in incremental_exact_dedup(incoming, corpus).collect()}
+    assert got == {11: "dup_corpus", 13: "kept",
+                   15: "dup_batch", 17: "kept"}

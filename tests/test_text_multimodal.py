@@ -262,3 +262,27 @@ def test_gopher_signals_rules(spark):
     assert got[1]["n_words"] == 110
     assert got[1]["n_stopwords"] >= 20
     assert 3.0 <= got[1]["mean_word_len"] <= 10.0
+
+
+def test_chunk_documents_boundaries(spark):
+    from databox_adls_loader_spark.operators.text import chunk_documents
+    words = [f"w{i}" for i in range(70)]
+    docs = spark.createDataFrame([
+        (1, " ".join(words)),            # 70 words → 3 chunks (step 24)
+        (2, " ".join(words[:32])),       # exactly one chunk
+        (3, " ".join(words[:5])),        # short doc → single ragged chunk
+    ], "doc_id: long, text: string")
+    rows = chunk_documents(docs, chunk_words=32, overlap=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["n_tokens"] for r in c1] == [32, 32, 22]
+    # overlap: last 8 words of chunk k == first 8 of chunk k+1
+    for a, b in zip(c1, c1[1:]):
+        assert a["chunk_text"].split()[-8:] == b["chunk_text"].split()[:8]
+    # full coverage, no word lost
+    assert set().union(*[set(r["chunk_text"].split()) for r in c1]) == set(words)
+    assert [r["n_tokens"] for r in by_doc[2]] == [32]
+    assert [r["n_tokens"] for r in by_doc[3]] == [5]
+    assert by_doc[3][0]["chunk_text"] == " ".join(words[:5])
