@@ -351,11 +351,15 @@ def incremental_exact_dedup(incoming: DataFrame, corpus: DataFrame,
 
     Two hash joins on md5(canonical text): corpus side reduces to its
     distinct hash set first (at scale: a bucketed hash table maintained
-    incrementally, so only the delta shuffles)."""
-    inc = incoming.select(F.col(id_col),
-                          F.md5(canonical_text(text_col)).alias("h"))
-    corp = corpus.select(
-        F.md5(canonical_text(text_col)).alias("h")).distinct() \
+    incrementally, so only the delta shuffles).
+
+    NULL/missing text hashes to a sentinel so those docs still receive a
+    verdict (equi-joins would otherwise silently drop them: NULL != NULL)
+    — all null-text docs form one dedup group, matching groupBy-hash
+    semantics elsewhere (exact_dedup)."""
+    h = F.coalesce(F.md5(canonical_text(text_col)), F.lit("__NULL_TEXT__"))
+    inc = incoming.select(F.col(id_col), h.alias("h"))
+    corp = corpus.select(h.alias("h")).distinct() \
         .withColumn("__in_corpus", F.lit(True))
     first = inc.groupBy("h").agg(F.min(id_col).alias("__first_id"))
     return (

@@ -28,11 +28,18 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 
 
 def pii_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Input plus one ``n_<kind>`` count column per PII pattern."""
+    """Input plus one ``n_<kind>`` count column per PII pattern.
+
+    Counts are SEQUENTIAL: each kind is counted on the text left over
+    after the earlier kinds were scrubbed, so a substring consumed by an
+    earlier pattern cannot double-count (an IPv4 inside an email's
+    domain counts as email only) — the counts always agree with what
+    :func:`scrub_pii` actually replaces."""
     out = docs
-    for kind, pat, _ in PII_PATTERNS:
-        out = out.withColumn(f"n_{kind}",
-                             F.regexp_count(F.col(text_col), F.lit(pat)))
+    col = F.col(text_col)
+    for kind, pat, token in PII_PATTERNS:
+        out = out.withColumn(f"n_{kind}", F.regexp_count(col, F.lit(pat)))
+        col = F.regexp_replace(col, pat, token)
     return out
 
 

@@ -589,20 +589,30 @@ def sess2_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                      THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
                           || '.7' ELSE '' END AS t
       FROM documents
-    ), counted AS (
+    ), s1 AS (
+      -- sequential counting: each kind counted on the text left after
+      -- earlier kinds were scrubbed, matching operators/pii.pii_counts
       SELECT source,
              len(regexp_extract_all(t,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
-             len(regexp_extract_all(t,
-               '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS p,
-             len(regexp_extract_all(t,
-               '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS i,
-             length(regexp_replace(regexp_replace(regexp_replace(t,
+             regexp_replace(t,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-               '<EMAIL>', 'g'),
-               '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
-               '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS slen
+               '<EMAIL>', 'g') AS t1
       FROM planted
+    ), s2 AS (
+      SELECT source, e,
+             len(regexp_extract_all(t1,
+               '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS p,
+             regexp_replace(t1,
+               '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS t2
+      FROM s1
+    ), counted AS (
+      SELECT source, e, p,
+             len(regexp_extract_all(t2,
+               '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS i,
+             length(regexp_replace(t2,
+               '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS slen
+      FROM s2
     )
     SELECT source,
            CAST(SUM(e) AS BIGINT) AS n_emails,

@@ -791,28 +791,17 @@ def w4_dod_order_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["window", "sessionization"],
 )
 def e1_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-min inactivity): lag → new-session
-    flag → running sum = session id.  The batch analog of the streaming
-    session-window operator (streaming/events.py).  Scale: both windows
-    partition by user_id — one shuffle, no global ordering anywhere."""
+    """Gap-based sessionization (30-min inactivity) on the ONE canonical
+    operator (operators/sessions.sessionize — microsecond gap math, the
+    oracle's `> INTERVAL 30 MINUTE` exactly; an earlier inline copy used
+    a seconds cast that diverges on sub-second boundary gaps).  Scale:
+    partitioned by user_id — one shuffle, no global ordering anywhere."""
+    from ..operators.sessions import sessionize
     (events,) = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = events.select(
-        "user_id", "ts", "event_id",
-        F.when(
-            F.col("ts").cast("long")
-            - F.lag(F.col("ts").cast("long")).over(w) > 1800, 1)
-        .when(F.lag("ts").over(w).isNull(), 1)
-        .otherwise(0).alias("new_sess"),
-    )
-    sess = flagged.select(
-        "user_id",
-        F.sum("new_sess").over(
-            w.rowsBetween(Window.unboundedPreceding, 0)).alias("sess_id"),
-    )
+    sess = sessionize(events, gap_minutes=30, tiebreak_col="event_id")
     return (
         sess.groupBy("user_id")
-        .agg(F.countDistinct("sess_id").alias("n_sessions"),
+        .agg(F.countDistinct("session_id").alias("n_sessions"),
              F.count(F.lit(1)).alias("n_events"))
         .orderBy("user_id")
     )
@@ -823,7 +812,11 @@ def e1_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts, event_id,
-             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+             -- the built-in session_window merges only when the gap is
+             -- STRICTLY under the duration ([ts, ts+gap) windows), so a
+             -- new session starts at gap >= 30min — not > like the
+             -- lag-based sessionize operator
+             CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                     OR lag(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_sess
       FROM events

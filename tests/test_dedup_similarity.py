@@ -271,3 +271,18 @@ def test_incremental_dedup_verdicts(spark):
            for r in incremental_exact_dedup(incoming, corpus).collect()}
     assert got == {11: "dup_corpus", 13: "kept",
                    15: "dup_batch", 17: "kept"}
+
+
+def test_incremental_dedup_null_text_gets_verdict(spark):
+    """Null-text docs must not vanish through the hash equi-joins; they
+    form one dedup group (groupBy-hash semantics, like exact_dedup)."""
+    from databox_adls_loader_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+    corpus = spark.createDataFrame([(0, "real doc")],
+                                   "doc_id: long, text: string")
+    incoming = spark.createDataFrame(
+        [(1, None), (2, None), (3, "fresh")], "doc_id: long, text: string")
+    got = {r["doc_id"]: r["verdict"]
+           for r in incremental_exact_dedup(incoming, corpus).collect()}
+    assert got == {1: "kept", 2: "dup_batch", 3: "kept"}

@@ -286,3 +286,14 @@ def test_chunk_documents_boundaries(spark):
     assert [r["n_tokens"] for r in by_doc[2]] == [32]
     assert [r["n_tokens"] for r in by_doc[3]] == [5]
     assert by_doc[3][0]["chunk_text"] == " ".join(words[:5])
+
+
+def test_pii_counts_sequential_no_double_count(spark):
+    """An IPv4 inside an email's domain must count as email only — counts
+    agree with what scrub_pii actually replaces."""
+    from databox_adls_loader_spark.operators.pii import pii_counts, scrub_pii
+    docs = spark.createDataFrame([(1, "ping a@1.2.3.4.co now")],
+                                 "doc_id: long, text: string")
+    row = scrub_pii(pii_counts(docs)).collect()[0]
+    assert (row["n_email"], row["n_ipv4"]) == (1, 0)
+    assert row["scrubbed"] == "ping <EMAIL> now"
