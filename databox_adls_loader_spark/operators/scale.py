@@ -86,3 +86,28 @@ def merge_upsert(existing: DataFrame, updates: DataFrame,
     upd = updates.select(*existing.columns)
     keep_existing = existing.join(upd.select(key), key, "left_anti")
     return keep_existing.unionByName(upd)
+
+
+def compact_parquet_dir(spark, in_dir: str, out_dir: str,
+                        target_mb: int = 512) -> int:
+    """Small-file compaction — the standing maintenance job of any
+    long-running ingest: N tiny parquet files become
+    ceil(total_bytes / target) evenly-sized ones.
+
+    File sizes come from the filesystem listing (sources/hadoop_fs), not
+    a data scan; the rewrite is one round-robin repartition so rows
+    spread evenly regardless of input skew.  Returns the output
+    partition count."""
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    from ..sources.hadoop_fs import list_files_jvm
+    total = (list_files_jvm(spark, in_dir)
+             .filter(F.col("path").endswith(".parquet"))
+             .agg(F.sum("length").alias("b")).collect()[0]["b"]) or 0
+    n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    (spark.read.parquet(in_dir)
+     .repartition(n)
+     .write.mode("overwrite").parquet(out_dir))
+    return n

@@ -69,3 +69,33 @@ def test_merge_upsert_semantics(spark):
     out = {r["k"]: (r["s"], r["v"])
            for r in scale.merge_upsert(existing, updates, "k").collect()}
     assert out == {1: ("a", 10), 2: ("B", 99), 3: ("c", 30), 4: ("d", 40)}
+
+
+def test_compact_parquet_dir(spark, tmp_path):
+    """64 tiny files → ceil(bytes/target) outputs, rows identical."""
+    from databox_adls_loader_spark.operators.scale import compact_parquet_dir
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compact")
+    spark.range(0, 10_000).repartition(64).write.parquet(src)
+    import glob
+    assert len(glob.glob(src + "/*.parquet")) == 64
+    n = compact_parquet_dir(spark, src, dst, target_mb=1)
+    out_files = glob.glob(dst + "/*.parquet")
+    assert len(out_files) == n <= 4
+    got = sorted(r["id"] for r in spark.read.parquet(dst).collect())
+    assert got == list(range(10_000))
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitioned layout + a partition-key filter must show
+    PartitionFilters in the scan (directory pruning — the parquet-side
+    analog of F3 prefix pushdown) and touch only that key's files."""
+    from databox_adls_loader_spark.session import load_tables
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    out = str(tmp_path / "by_type")
+    events.write.partitionBy("event_type").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters", 1)[1][:200]
+    assert df.count() == events.filter(F.col("event_type") == "click").count()
