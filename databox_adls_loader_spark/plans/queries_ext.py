@@ -794,3 +794,64 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = docs.filter(F.col("doc_id") % 2 == 1)
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     return incremental_exact_dedup(incoming, corpus).orderBy("doc_id")
+
+
+@register(
+    "o5_set_intersect_except",
+    oracle="""
+    SELECT 'both' AS side, n_nationkey AS k FROM (
+      SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+      INTERSECT
+      SELECT DISTINCT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'customer_only', n_nationkey FROM (
+      SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+      EXCEPT
+      SELECT DISTINCT s_nationkey FROM supplier
+    )
+    ORDER BY side, k
+    """,
+    tags=["setops"],
+)
+def o5_set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set-op surface: INTERSECT/EXCEPT as DataFrame ops (both
+    compile to aggregates + joins — no sort, shuffle on the key only)."""
+    customer, supplier = _t(spark, sf_dir, "customer", "supplier")
+    c = customer.select(F.col("c_nationkey").alias("k")).distinct()
+    s = supplier.select(F.col("s_nationkey").alias("k")).distinct()
+    both = c.intersect(s).select(F.lit("both").alias("side"), "k")
+    only = c.exceptAll(s).select(F.lit("customer_only").alias("side"), "k")
+    return both.unionAll(only).orderBy("side", "k")
+
+
+@register(
+    "a9_unpivot_order_status",
+    oracle="""
+    WITH p AS (
+      SELECT o_orderpriority,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_cnt,
+             CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_cnt
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, status, n FROM p
+    UNPIVOT (n FOR status IN (f_cnt AS 'F', o_cnt AS 'O', p_cnt AS 'P'))
+    ORDER BY o_orderpriority, status
+    """,
+    tags=["pivot", "unpivot"],
+)
+def a9_unpivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot→unpivot round trip (§2.5 wide↔long): DataFrame `unpivot`
+    (melt) over the a7 pivot — value columns fold back to rows."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+    return (
+        wide.unpivot("o_orderpriority", ["F", "O", "P"], "status", "n")
+        .orderBy("o_orderpriority", "status")
+    )
