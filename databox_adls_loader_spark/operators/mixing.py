@@ -1,0 +1,92 @@
+"""Data-mixing operators for training-corpus assembly: deterministic
+stratified sampling, token-budget shard packing, and per-domain quality
+quotas.
+
+These generalize the reference's capacity-packing idea (directories into
+fixed-size Data Box units, /root/reference/generate-file-list.py:20-47) to
+the token/document domain a training-data pipeline needs: a corpus is
+assembled by downsampling each source to a target rate, capping any one
+domain's contribution, and packing the survivors into fixed-token shards.
+
+All three operators are built-in-function column math (JVM, codegen):
+
+- sampling is a hash-bucket filter — map-side, zero shuffles;
+- domain quotas are one partitioned window (one shuffle on the stratum
+  key, WindowGroupLimit pushes the rank cap into the sort);
+- shard packing uses the two-phase range-partitioned prefix sum
+  (operators/windows.py) — never a single-partition window, so the
+  global cumulative token count survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import hash_bucket, token_count
+from .windows import exclusive_running_sum
+
+
+def stratified_sample(docs: DataFrame, rates: dict[str, int],
+                      default_pct: int = 100,
+                      strata_col: str = "source", key_col: str = "doc_id",
+                      salt: str = "mix-v1") -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its
+    md5-hash bucket in [0, 100) is below the stratum's keep-percentage.
+
+    Unlike ``df.sampleBy`` (rand()-seeded, layout-dependent) the hash
+    bucket is a pure function of the key — re-running the pipeline keeps
+    exactly the same documents, and upstream re-partitioning cannot
+    change the sample.  Map-side filter, no shuffle; at 100 TB this runs
+    at scan speed and feeds the scan's predicate pushdown nothing (the
+    bucket is computed, not stored), so put stored-column filters first.
+    """
+    bucket = hash_bucket(key_col, 100, salt)
+    pct = F.lit(int(default_pct))
+    # when() chain over the (small, fixed) rates dict stays codegen —
+    # no join, no broadcast needed for a handful of strata
+    for stratum, rate in sorted(rates.items()):
+        pct = F.when(F.col(strata_col) == stratum, F.lit(int(rate))) \
+               .otherwise(pct)
+    return docs.filter(bucket < pct)
+
+
+def domain_topk(docs: DataFrame, k: int, score: Column,
+                strata_col: str = "source",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-domain quota: keep only the k best documents of each stratum
+    by ``score`` (ties broken by id for determinism).  One shuffle on the
+    stratum key; Spark's WindowGroupLimit rewrites the rank-filter into a
+    per-partition top-k so the sort never materializes whole strata."""
+    w = Window.partitionBy(strata_col).orderBy(F.desc("__score"),
+                                               F.asc(id_col))
+    return (
+        docs.withColumn("__score", score)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= int(k))
+        .drop("__score")
+    )
+
+
+def pack_token_shards(docs: DataFrame, budget_tokens: int,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Assign documents to fixed-token-budget training shards in global
+    id order: ``shard = (tokens before this doc) div budget``.
+
+    Sequential-fill semantics (a straddling document belongs to the shard
+    where it starts) — the token-domain analog of the reference's
+    next-fit unit assignment (generate-file-list.py:26-31).  The global
+    prefix sum is the two-phase range-partitioned form with exact long
+    arithmetic, so the result is identical to a naive global window
+    without its single-partition collapse.
+
+    Returns (id, n_tokens, tok_before, shard).
+    """
+    with_tok = docs.select(
+        F.col(id_col),
+        token_count(text_col).cast("long").alias("n_tokens"))
+    run = exclusive_running_sum(with_tok, id_col, F.col("n_tokens"),
+                                out_col="tok_before", value_type="bigint")
+    return run.withColumn(
+        "shard", F.expr(f"tok_before div {int(budget_tokens)}"))

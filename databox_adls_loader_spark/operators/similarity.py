@@ -321,3 +321,32 @@ def topk_ivf(emb: DataFrame, query: list[float], k: int = 10,
         .orderBy(F.desc("sim"), id_col)
         .limit(k)
     )
+
+
+def centroid_by_label(emb: DataFrame, label_col: str = "label",
+                      vec_col: str = "embedding",
+                      scale: int = 1_000_000) -> DataFrame:
+    """Exact per-label centroid components in scaled-integer space:
+    (label, pos, sum_scaled, n) where ``sum_scaled`` is Σ
+    floor(component · scale) as a long.
+
+    Floating-point summation is order-dependent (Spark's partial aggs sum
+    in partition order, which is nondeterministic), so a double-typed
+    centroid can drift run-to-run and is never hash-comparable across
+    engines.  Flooring each component to 1/scale units first makes the
+    aggregation exact long arithmetic — associative, deterministic, and
+    portable — at the cost of a bounded 1/scale quantization the caller
+    divides out (mean ≈ sum_scaled / (n · scale)).
+
+    Plan shape: posexplode → map-side partial sums → one shuffle on
+    (label, pos).  Shuffle volume is O(labels × dims), independent of row
+    count — scale-safe.
+    """
+    ex = emb.select(F.col(label_col),
+                    F.posexplode(vec_col).alias("pos", "__v"))
+    scaled = F.floor(F.col("__v").cast("double") * F.lit(int(scale)))
+    return (
+        ex.groupBy(label_col, "pos")
+        .agg(F.sum(scaled).alias("sum_scaled"),
+             F.count(F.lit(1)).alias("n"))
+    )

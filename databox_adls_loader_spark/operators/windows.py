@@ -19,12 +19,15 @@ from pyspark.sql import functions as F
 
 def exclusive_running_sum(df: DataFrame, order_col: str, value: Column,
                           out_col: str = "running",
-                          num_partitions: int | None = None) -> DataFrame:
+                          num_partitions: int | None = None,
+                          value_type: str = "decimal(38,6)") -> DataFrame:
     """Exclusive (rows-preceding) running sum over a global ordering,
     without a single-partition window.
 
     ``value`` must be an exact type (decimal/long) for bit-identical
-    equivalence with the naive global window.  The per-partition totals
+    equivalence with the naive global window; pass ``value_type``
+    ("bigint" for token/byte counts) to keep the zero literal and the
+    broadcast offsets in the same exact type.  The per-partition totals
     collect is ≤ num_partitions rows — O(cluster size), not O(data).
     """
     spark = df.sparkSession
@@ -45,7 +48,7 @@ def exclusive_running_sum(df: DataFrame, order_col: str, value: Column,
     )
     w = (Window.partitionBy("__pid").orderBy(order_col)
          .rowsBetween(Window.unboundedPreceding, -1))
-    local = F.coalesce(F.sum(value).over(w), F.lit(0).cast("decimal(38,6)"))
+    local = F.coalesce(F.sum(value).over(w), F.lit(0).cast(value_type))
 
     totals = (
         ranged.groupBy("__pid").agg(F.sum(value).alias("__t"))
@@ -62,7 +65,7 @@ def exclusive_running_sum(df: DataFrame, order_col: str, value: Column,
     # offsets travel as strings → exact decimal parse (no double roundtrip)
     return (
         ranged.join(off_df, "__pid")
-        .withColumn(out_col, local + F.col("__off").cast("decimal(38,6)"))
+        .withColumn(out_col, local + F.col("__off").cast(value_type))
         .drop("__pid", "__off")
     )
 

@@ -855,3 +855,148 @@ def a9_unpivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         wide.unpivot("o_orderpriority", ["F", "O", "P"], "status", "n")
         .orderBy("o_orderpriority", "status")
     )
+
+
+# ---------------------------------------------------------------------------
+# data mixing (corpus assembly): stratified sampling, token shards, quotas
+# ---------------------------------------------------------------------------
+
+@register(
+    "mix_stratified_sample",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'mix-v1'), 1, 8) AS h8
+      FROM documents
+    ), b AS (
+      SELECT source,
+             (list_aggregate(list_transform(range(1, 9),
+                i -> (strpos('0123456789abcdef', substr(h8, CAST(i AS INT), 1)) - 1)
+                     * CAST(16 ** (8 - i) AS BIGINT)), 'sum')) % 100 AS bucket
+      FROM h
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM b
+    WHERE bucket < CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 75
+                               WHEN 'src2' THEN 50 WHEN 'src3' THEN 25
+                               ELSE 60 END
+    GROUP BY source ORDER BY source
+    """,
+    tags=["mixing", "sampling"],
+)
+def mix_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixing downsample: per-source keep rates via
+    md5 hash buckets (operators/mixing.py) — reproducible across runs,
+    engines, and cluster layouts, unlike rand()-seeded sampleBy.
+    Map-side filter, zero shuffles before the count."""
+    from ..operators import mixing
+    (docs,) = _t(spark, sf_dir, "documents")
+    rates = {"src0": 100, "src1": 75, "src2": 50, "src3": 25}
+    sampled = mixing.stratified_sample(docs, rates, default_pct=60)
+    return (
+        sampled.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+@register(
+    "mix_pack_token_shards",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS tok_before
+      FROM t
+    )
+    SELECT tok_before // 4096 AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tok_sum
+    FROM r GROUP BY 1 ORDER BY shard
+    """,
+    tags=["mixing", "packing"],
+)
+def mix_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (operators/mixing.py): global exclusive
+    prefix sum of token counts (two-phase range-partitioned — no
+    single-partition window), shard = prefix div budget.  The oracle's
+    naive global window is the semantics; the Spark plan is the form of
+    it that survives 100 TB."""
+    from ..operators import mixing
+    (docs,) = _t(spark, sf_dir, "documents")
+    packed = mixing.pack_token_shards(docs, budget_tokens=4096)
+    return (
+        packed.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").alias("tok_sum"))
+        .orderBy("shard")
+    )
+
+
+@register(
+    "mix_domain_topk",
+    oracle=r"""
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), r AS (
+      SELECT source, doc_id, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_tokens DESC, doc_id) AS rk
+      FROM t
+    )
+    SELECT source, doc_id, n_tokens, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 5 ORDER BY source, rk
+    """,
+    tags=["mixing", "window"],
+)
+def mix_domain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota: top-5 docs per source by token count
+    (operators/mixing.domain_topk) — one shuffle on the stratum key,
+    WindowGroupLimit caps the per-stratum sort at k rows."""
+    from ..operators import mixing
+    (docs,) = _t(spark, sf_dir, "documents")
+    with_tok = docs.withColumn(
+        "n_tokens", text.token_count("text").cast("long"))
+    topk = mixing.domain_topk(with_tok, 5, F.col("n_tokens"))
+    return (
+        topk.select("source", "doc_id", "n_tokens",
+                    F.col("rk").cast("long").alias("rk"))
+        .orderBy("source", "rk")
+    )
+
+
+@register(
+    "emb_centroid_by_label",
+    oracle="""
+    SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+           CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000)
+                         AS BIGINT)) AS BIGINT) AS sum_scaled,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM embeddings,
+         UNNEST(generate_series(1, len(embedding))) AS t(i)
+    GROUP BY label, i ORDER BY label, pos
+    """,
+    tags=["embedding", "aggregate"],
+)
+def emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components in scaled-integer space
+    (operators/similarity.centroid_by_label): floor(v·1e6) longs sum
+    exactly — order-independent and engine-portable, where a raw double
+    sum would drift with partition order.  Shuffle is O(labels × dims),
+    independent of row count."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    cent = similarity.centroid_by_label(emb)
+    return (
+        cent.select("label", F.col("pos").cast("long").alias("pos"),
+                    "sum_scaled", "n")
+        .orderBy("label", "pos")
+    )

@@ -638,6 +638,41 @@ def g2_cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "g3_grouping_sets",
+    oracle="""
+    SELECT n_name, o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+           COUNT(*) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+    ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    tags=["A1", "rollup"],
+)
+def g3_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((nation), (priority), ()) — unlike
+    rollup/cube the sets are hand-picked, so only 3 of the 4 possible
+    aggregates are computed (DataFrame.groupingSets, Spark 4).  Nation is
+    a broadcast join; exact decimal money per functions/exact.py."""
+    orders, customer, nation = _t(spark, sf_dir, "orders", "customer",
+                                  "nation")
+    joined = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupingSets([["n_name"], ["o_orderpriority"], []],
+                            "n_name", "o_orderpriority")
+        .agg(dsum("o_totalprice").alias("rev"),
+             F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n_name").asc_nulls_first(),
+                 F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+@register(
     "so1_intersect_except",
     oracle="""
     SELECT c_custkey FROM (

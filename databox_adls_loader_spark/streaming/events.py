@@ -210,3 +210,64 @@ def dedup_stream(events: DataFrame, keys: list[str] | None = None,
         events.withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(keys)
     )
+
+
+def per_user_type_counts_tws(events: DataFrame) -> DataFrame:
+    """Arbitrary-state streaming via ``transformWithStateInPandas``
+    (Spark 4's successor to applyInPandasWithState): per-user,
+    per-event-type running counts held in a ``MapState`` keyed by
+    event_type.
+
+    Composite keyed state is the point — applyInPandasWithState exposes
+    ONE state tuple per group key, so a per-type map must be packed and
+    unpacked wholesale every batch; MapState reads/writes only the
+    entries the batch touches, which is what keeps per-key state O(types
+    touched) instead of O(types ever seen) at 100 TB/day rates.  Emits
+    one row per (user, type) updated in the batch.
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` →
+    ``...state.RocksDBStateStoreProvider``) — the default HDFS-backed
+    store does not implement the transformWithState column families —
+    and the ``protobuf`` package (the TWS Python worker protocol);
+    the test is import-gated on the latter like the PIL decode path.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _TypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "counts", "event_type string", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+            upd: dict[str, int] = {}
+            for pdf in rows:
+                for etype, cnt in pdf.groupby("event_type").size().items():
+                    upd[etype] = upd.get(etype, 0) + int(cnt)
+            out_types, out_counts = [], []
+            for etype in sorted(upd):
+                prev = self._counts.getValue((etype,))
+                n = (prev[0] if prev else 0) + upd[etype]
+                self._counts.updateValue((etype,), (n,))
+                out_types.append(etype)
+                out_counts.append(n)
+            yield pd.DataFrame({"user_id": [key[0]] * len(out_types),
+                                "event_type": out_types,
+                                "n": out_counts})
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_TypeCounts(),
+            outputStructType="user_id bigint, event_type string, n bigint",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

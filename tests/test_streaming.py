@@ -237,3 +237,52 @@ def test_stream_dedup_drops_redelivery(spark, tmp_path):
     rows = spark.sql("select event_id from deduped").collect()
     ids = sorted(r["event_id"] for r in rows)
     assert ids == [1, 2, 3]
+
+
+def test_transform_with_state_map_state_counts(spark, tmp_path):
+    """transformWithStateInPandas MapState persists per-(user, type)
+    counts across micro-batches (requires the RocksDB state store).
+
+    Environment-gated like the PIL decode path: the TWS Python worker
+    protocol is protobuf-based, and protobuf isn't in the sandbox — the
+    test runs wherever `google.protobuf` is importable."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas worker protocol needs protobuf")
+    batches = [
+        [_evt(1, "2024-01-01 10:00:00", etype="click", user=7),
+         _evt(2, "2024-01-01 10:01:00", etype="click", user=7),
+         _evt(3, "2024-01-01 10:02:00", etype="buy", user=7)],
+        [_evt(4, "2024-01-01 10:03:00", etype="click", user=7),
+         _evt(5, "2024-01-01 10:04:00", etype="buy", user=9)],
+    ]
+    path = _write_event_files(tmp_path, batches)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+                          None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        stream = se.read_event_stream(spark, path, max_files_per_trigger=1)
+        q = se.run_stream_to_memory(se.per_user_type_counts_tws(stream),
+                                    "tws_counts", mode="update")
+        q.awaitTermination(120)
+        rows = [(r["user_id"], r["event_type"], r["n"])
+                for r in spark.sql("select * from tws_counts").collect()]
+        # update-mode sink keeps every emitted update; the LAST one per
+        # (user, type) is the running total
+        last = {}
+        for u, t, n in rows:
+            last[(u, t)] = n
+        assert last[(7, "click")] == 3  # 2 in batch 0 + 1 in batch 1
+        assert last[(7, "buy")] == 1
+        assert last[(9, "buy")] == 1
+        # batch 0 must have emitted the intermediate click count too
+        assert (7, "click", 2) in rows
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
