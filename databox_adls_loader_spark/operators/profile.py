@@ -1,0 +1,128 @@
+"""Data-profiling operators: per-column stats, heavy-hitter (skew) keys,
+and value histograms.
+
+These are the observability ops a 100 TB ingest pipeline runs *before*
+choosing a partitioning/join strategy: the column profiler reports
+null/distinct density per column, the skew profiler surfaces the keys
+that would overload a shuffle partition (and therefore need salting or
+an AQE skew split — see `operators/scale.py`), and the histogram gives
+the value distribution a bucketer/binpacker needs.
+
+Reference parity: the reference's pipeline implicitly profiles by size
+(`/root/reference/generate-file-list.py` aggregates directory sizes
+before bin-packing); these operators generalize that "measure before you
+shard" step to arbitrary columns.
+
+Scale notes
+-----------
+* `profile_columns(exact=True)` uses one multi-`count(distinct)`
+  aggregate; Catalyst compiles k distinct aggregates over one scan into
+  an Expand (each row replicated k+1 times) feeding a single shuffle —
+  one pass over the data, but k× shuffle volume.  At 100 TB set
+  ``exact=False``: `approx_count_distinct` (HLL++) needs no Expand and
+  no per-value state, one ordinary partial-agg shuffle of fixed-size
+  sketches.  Everything else (counts, nulls, min/max) is map-side
+  partial-agg either way.
+* `skew_key_profile` is a plain partial-aggregated count per key — the
+  profile itself never materializes the skew it measures (map-side
+  combine collapses a hot key to one row per input partition before the
+  shuffle).
+* `histogram` buckets with integer `floor` math so results are exact and
+  engine-portable; counts are partial-aggregated per bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _minmax_str(c: Column, dtype: str) -> tuple[Column, Column]:
+    """min/max rendered to an engine-portable string.
+
+    Doubles are the trap: Spark renders `1e7` as ``1.0E7`` where DuckDB
+    renders ``10000000.0`` — so doubles go through DECIMAL(18,2) first
+    (the driver tables carry 2-decimal money), which both engines print
+    identically.  Ints, strings, dates, and timestamps print the same in
+    both engines already.
+    """
+    if dtype in ("double", "float"):
+        c = c.cast("decimal(18,2)")
+    return F.min(c).cast("string"), F.max(c).cast("string")
+
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None,
+                    exact: bool = True) -> DataFrame:
+    """One row per column: (col_name, n_rows, n_nulls, n_distinct,
+    min_s, max_s).
+
+    Single aggregate over one scan; the wide 1-row result is then
+    unpivoted with `stack` (pure projection, no second shuffle).
+    ``exact=False`` swaps count(distinct) for HLL approx_count_distinct
+    — the 100 TB default (see module docstring).
+    """
+    cols = cols or df.columns
+    dtypes = dict(df.dtypes)
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        col = F.col(c)
+        aggs.append(F.count(col).alias(f"__nn_{c}"))
+        if exact:
+            aggs.append(F.count_distinct(col).alias(f"__nd_{c}"))
+        else:
+            aggs.append(F.approx_count_distinct(col).alias(f"__nd_{c}"))
+        mn, mx = _minmax_str(col, dtypes[c])
+        aggs.append(mn.alias(f"__mn_{c}"))
+        aggs.append(mx.alias(f"__mx_{c}"))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __n - __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        "__n AS n_rows",
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, n_nulls, n_distinct, min_s, max_s)",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s")
+
+
+def skew_key_profile(df: DataFrame, key: str | Column, top_n: int = 20) -> DataFrame:
+    """Heavy-hitter profile: the ``top_n`` most frequent keys with count
+    and integer parts-per-million share of all rows.
+
+    Integer ppm (``cnt * 1_000_000 div total``) keeps the output exact
+    and engine-portable — no float division anywhere.  The total-row
+    count rides along as a broadcast scalar (1-row cross join), not a
+    window over the whole table.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    counts = df.groupBy(k.alias("key")).agg(F.count(F.lit(1)).alias("cnt"))
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key", "cnt",
+            F.expr("cnt * 1000000L div __total").alias("share_ppm"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(top_n)
+    )
+
+
+def histogram(df: DataFrame, value: str | Column, width: float) -> DataFrame:
+    """Fixed-width histogram: bucket = floor(value / width), with the
+    bucket's inclusive lower bound and row count.
+
+    `floor` over an identical IEEE double division is bit-deterministic
+    across engines, so the bucket assignment (and therefore the counts)
+    are exact — unlike quantile-based binning, no sampling pass needed.
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    bucket = F.floor(v.cast("double") / F.lit(float(width))).cast("bigint")
+    return (
+        df.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("bucket_lo", (F.col("bucket") * F.lit(float(width))).cast("double"))
+        .select("bucket", "bucket_lo", "cnt")
+        .orderBy("bucket")
+    )

@@ -350,3 +350,53 @@ def centroid_by_label(emb: DataFrame, label_col: str = "label",
         .agg(F.sum(scaled).alias("sum_scaled"),
              F.count(F.lit(1)).alias("n"))
     )
+
+
+def quantize_int8_stats(emb: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Per-vector int8 scalar quantization summary: (id, n_dims,
+    code_sum, mn, mx) where each component is mapped to a 0..255 code by
+    ``floor((v - mn) * 255 / (mx - mn))`` against the vector's own
+    min/max, and ``code_sum`` is the exact integer sum of the codes.
+
+    This is the storage-compression stage of a 100 TB ANN index (4×
+    smaller than float32; IVF/LSH probes rerank on dequantized codes) —
+    the stats here are what a build job logs to validate the codebooks.
+    All arithmetic is double-precision IEEE with one floor, so DuckDB
+    reproduces the codes bit-for-bit (`code_sum` is portable long math).
+
+    Plan: min/max per vector (codegen'd array ops, computed once per row
+    in the projection *below* the Generate so the explode doesn't repeat
+    the O(d) scan per element) → posexplode → per-element code in
+    whole-stage codegen → one shuffle keyed by id for the re-aggregate.
+    Shuffle volume O(rows × dims) of longs; partial sums collapse most
+    of it map-side.
+    """
+    base = emb.select(
+        F.col(id_col),
+        F.array_min(vec_col).cast("double").alias("__mn"),
+        F.array_max(vec_col).cast("double").alias("__mx"),
+        F.col(vec_col).alias("__vec"),
+    )
+    ex = base.select(
+        F.col(id_col), "__mn", "__mx",
+        F.posexplode("__vec").alias("__pos", "__v"),
+    )
+    code = F.when(F.col("__mx") == F.col("__mn"), F.lit(0).cast("bigint")).otherwise(
+        F.least(
+            F.lit(255).cast("bigint"),
+            F.floor((F.col("__v").cast("double") - F.col("__mn")) * F.lit(255.0)
+                    / (F.col("__mx") - F.col("__mn"))),
+        )
+    )
+    return (
+        ex.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            F.sum(code).alias("code_sum"),
+            F.first("__mn").alias("mn"),
+            F.first("__mx").alias("mx"),
+        )
+        .select(F.col(id_col), F.col("n_dims").cast("long").alias("n_dims"),
+                "code_sum", "mn", "mx")
+    )

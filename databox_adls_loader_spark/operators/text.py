@@ -338,3 +338,44 @@ def chunk_documents(docs: DataFrame, chunk_words: int = 32,
                 F.array_join(sl, " ").alias("chunk_text"),
                 F.size(sl).alias("n_tokens"))
     )
+
+
+def hapax_stats(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-document vocabulary-richness signals: (id, n_tokens,
+    n_distinct, n_hapax, hapax_ratio) where a hapax is a token that
+    occurs exactly once in the document and hapax_ratio = hapax/distinct.
+
+    A low hapax ratio flags template/boilerplate text (the same tokens
+    recycled), a very high one flags gibberish — both standard corpus-
+    quality filters alongside `repetition_signals`.
+
+    Plan: explode → (doc, token) counts (map-side combined) → per-doc
+    re-aggregate.  Two shuffles keyed by doc_id; at 100 TB both are
+    partial-aggregated and skew follows document length, not corpus
+    size.  Null/empty text keeps a row (zero counts, null ratio) via the
+    explode_outer, matching the LEFT JOIN shape in the oracle.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode_outer(F.filter(tokens(text_col), lambda t: t != ""))
+        .alias("__tok"),
+    )
+    per_tok = toks.groupBy(id_col, "__tok").agg(F.count("__tok").alias("__cnt"))
+    return (
+        per_tok.groupBy(id_col)
+        .agg(
+            F.sum("__cnt").alias("n_tokens"),
+            F.count("__tok").alias("n_distinct"),
+            F.sum(F.when(F.col("__cnt") == 1, 1).otherwise(0)).alias("n_hapax"),
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            F.col("n_hapax").cast("long").alias("n_hapax"),
+            F.when(F.col("n_distinct") > 0,
+                   F.col("n_hapax").cast("double")
+                   / F.col("n_distinct").cast("double")).alias("hapax_ratio"),
+        )
+    )

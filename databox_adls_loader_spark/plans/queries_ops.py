@@ -1,0 +1,229 @@
+"""Operational / observability queries: column profiling, skew
+diagnostics, histograms, time profiles, corpus vocabulary signals,
+embedding quantization, and the plain-SQL passthrough surface.
+
+These are the "measure before you shard" ops a 100 TB pipeline runs
+ahead of partitioning decisions (the reference's analog is the
+directory-size aggregation that precedes its bin-packing —
+`/root/reference/generate-file-list.py`), generalized to arbitrary
+columns and registered in the same oracle-checked registry as
+everything else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import profile, similarity, text
+from ..session import register_views
+from .queries import _t, register
+
+# ---------------------------------------------------------------------------
+# profiling
+# ---------------------------------------------------------------------------
+
+_ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _ORDER_COLS:
+        mn = (f"CAST(CAST(MIN({c}) AS DECIMAL(18,2)) AS VARCHAR)"
+              if c == "o_totalprice" else f"CAST(MIN({c}) AS VARCHAR)")
+        mx = (f"CAST(CAST(MAX({c}) AS DECIMAL(18,2)) AS VARCHAR)"
+              if c == "o_totalprice" else f"CAST(MAX({c}) AS VARCHAR)")
+        parts.append(f"""
+        SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+               COUNT(*) - COUNT({c}) AS n_nulls,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               {mn} AS min_s, {mx} AS max_s
+        FROM orders""")
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
+@register(
+    "prof_orders_columns",
+    oracle=_profile_oracle(),
+    tags=["profile", "A5"],
+)
+def prof_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of `orders`: rows, nulls, exact distinct,
+    min/max — one scan, one multi-distinct aggregate (Expand); the
+    100 TB variant flips `exact=False` for HLL sketches (no Expand).
+    See operators/profile.py for the full scale analysis."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return profile.profile_columns(orders, _ORDER_COLS).orderBy("col_name")
+
+
+@register(
+    "prof_skew_events_user",
+    oracle="""
+    WITH total AS (SELECT COUNT(*) AS t FROM events),
+    counts AS (
+      SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY user_id
+    )
+    SELECT key, cnt, CAST(cnt * 1000000 // t AS BIGINT) AS share_ppm
+    FROM counts, total
+    ORDER BY cnt DESC, key ASC LIMIT 20
+    """,
+    tags=["profile", "A1"],
+)
+def prof_skew_events_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter keys of events.user_id with integer ppm shares —
+    the diagnostic that decides whether a downstream join on user_id
+    needs salting (`operators/scale.py`).  Counts partial-aggregate
+    map-side, so the profile never suffers the skew it measures."""
+    (events,) = _t(spark, sf_dir, "events")
+    return profile.skew_key_profile(events, "user_id", top_n=20)
+
+
+@register(
+    "prof_hist_order_totals",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(FLOOR(o_totalprice / 20000.0) AS BIGINT) AS bucket
+      FROM orders
+    )
+    SELECT bucket, bucket * CAST(20000.0 AS DOUBLE) AS bucket_lo, COUNT(*) AS cnt
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    tags=["profile", "A5"],
+)
+def prof_hist_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (floor-bucket math is
+    bit-deterministic across engines — no sampling, no quantiles)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return profile.histogram(orders, "o_totalprice", width=20000.0)
+
+
+@register(
+    "prof_events_time_profile",
+    oracle="""
+    SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow,
+           CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2 ORDER BY dow, hour
+    """,
+    tags=["profile", "A1"],
+)
+def prof_events_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event volume by day-of-week × hour-of-day — capacity-planning
+    profile.  Day-of-week from pure epoch-microsecond integer math
+    ((days+4) % 7, 1970-01-01 being a Thursday ⇒ 0=Sunday) so Spark and
+    DuckDB agree without touching either engine's dow() convention."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.expr("(unix_micros(ts) div 86400000000 + 4) % 7").alias("dow"),
+            F.expr("(unix_micros(ts) div 3600000000) % 24").alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.count_distinct("user_id").alias("n_users"))
+        .orderBy("dow", "hour")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary / embedding quantization
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_hapax_ratio",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                t -> t <> '')) AS tok
+      FROM documents
+    ), tc AS (
+      SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok
+    ), agg AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             COUNT(tok) AS n_distinct,
+             CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      FROM tc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_tokens, 0) AS n_tokens,
+           COALESCE(a.n_distinct, 0) AS n_distinct,
+           COALESCE(a.n_hapax, 0) AS n_hapax,
+           CASE WHEN COALESCE(a.n_distinct, 0) > 0
+                THEN a.n_hapax * 1.0 / a.n_distinct END AS hapax_ratio
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    ORDER BY d.doc_id
+    """,
+    tags=["text"],
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary richness per document (hapax = once-only token):
+    boilerplate detector alongside repetition_signals.  The ratio is a
+    single integer÷integer double division — engine-portable."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return text.hapax_stats(docs).orderBy("doc_id")
+
+
+@register(
+    "emb_quantize_int8",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id,
+             CAST(list_min(embedding) AS DOUBLE) AS mn,
+             CAST(list_max(embedding) AS DOUBLE) AS mx,
+             embedding
+      FROM embeddings
+    ), ex AS (
+      SELECT vec_id, mn, mx, CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM base
+    )
+    SELECT vec_id, COUNT(*) AS n_dims,
+           CAST(SUM(CASE WHEN mx = mn THEN 0
+                         ELSE LEAST(255, CAST(FLOOR((v - mn) * 255.0 / (mx - mn))
+                                              AS BIGINT)) END) AS BIGINT) AS code_sum,
+           MIN(mn) AS mn, MIN(mx) AS mx
+    FROM ex GROUP BY vec_id ORDER BY vec_id
+    """,
+    tags=["similarity", "embedding"],
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization stats per embedding — the compression
+    stage of an ANN index build, with bit-portable floor/IEEE math so
+    the exact code sums hash-match across engines."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return similarity.quantize_int8_stats(emb).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# plain-SQL passthrough surface
+# ---------------------------------------------------------------------------
+
+_PASSTHROUGH_SQL = """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+"""
+
+
+@register(
+    "sql_surface_passthrough",
+    oracle=_PASSTHROUGH_SQL,
+    tags=["sql", "J1", "A1"],
+)
+def sql_surface_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL entry point: `register_views` + `spark.sql`
+    executing the *identical* dialect-shared string the oracle runs —
+    zero translation, proving a reference user can bring plain SQL.
+    Catalyst still gets the full plan (broadcasts nation/customer,
+    pushes the column pruning into every scan)."""
+    register_views(spark, sf_dir, ["lineitem", "orders", "customer", "nation"])
+    return spark.sql(_PASSTHROUGH_SQL)

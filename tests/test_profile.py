@@ -1,0 +1,102 @@
+"""Profiling / quantization / vocabulary operators (queries_ops surface)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def test_profile_columns_counts_nulls_and_distinct(spark):
+    df = spark.createDataFrame(
+        [Row(a=1, b="x"), Row(a=1, b=None), Row(a=3, b="y")]
+    )
+    from databox_adls_loader_spark.operators.profile import profile_columns
+    out = {r["col_name"]: r for r in profile_columns(df).collect()}
+    assert out["a"]["n_rows"] == 3
+    assert out["a"]["n_nulls"] == 0
+    assert out["a"]["n_distinct"] == 2
+    assert out["a"]["min_s"] == "1" and out["a"]["max_s"] == "3"
+    assert out["b"]["n_nulls"] == 1
+    assert out["b"]["n_distinct"] == 2
+    assert out["b"]["min_s"] == "x" and out["b"]["max_s"] == "y"
+
+
+def test_profile_columns_approx_mode_runs(spark):
+    df = spark.range(1000).withColumn("v", F.col("id") % 10)
+    from databox_adls_loader_spark.operators.profile import profile_columns
+    rows = {r["col_name"]: r for r in
+            profile_columns(df, ["v"], exact=False).collect()}
+    # HLL is approximate but must be within its documented 5% envelope
+    assert abs(rows["v"]["n_distinct"] - 10) <= 2
+
+
+def test_skew_profile_orders_heavy_key_first(spark):
+    df = spark.createDataFrame(
+        [Row(k="hot")] * 70 + [Row(k="warm")] * 20 + [Row(k="cold")] * 10
+    )
+    from databox_adls_loader_spark.operators.profile import skew_key_profile
+    rows = skew_key_profile(df, "k", top_n=2).collect()
+    assert [r["key"] for r in rows] == ["hot", "warm"]
+    assert rows[0]["cnt"] == 70
+    assert rows[0]["share_ppm"] == 700000  # exact integer ppm
+
+
+def test_histogram_buckets_are_exact(spark):
+    df = spark.createDataFrame([Row(v=float(x)) for x in [0, 5, 10, 15, 25]])
+    from databox_adls_loader_spark.operators.profile import histogram
+    rows = {r["bucket"]: r for r in histogram(df, "v", width=10.0).collect()}
+    assert rows[0]["cnt"] == 2 and rows[0]["bucket_lo"] == 0.0
+    assert rows[1]["cnt"] == 2 and rows[1]["bucket_lo"] == 10.0
+    assert rows[2]["cnt"] == 1 and rows[2]["bucket_lo"] == 20.0
+
+
+def test_hapax_stats_counts_and_null_text(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b a c"), Row(doc_id=2, text=None),
+         Row(doc_id=3, text="   ")]
+    )
+    from databox_adls_loader_spark.operators.text import hapax_stats
+    rows = {r["doc_id"]: r for r in hapax_stats(df).collect()}
+    r1 = rows[1]
+    assert (r1["n_tokens"], r1["n_distinct"], r1["n_hapax"]) == (4, 3, 2)
+    assert math.isclose(r1["hapax_ratio"], 2 / 3)
+    # null and whitespace-only docs keep a zero-count row (LEFT JOIN shape)
+    for d in (2, 3):
+        assert rows[d]["n_tokens"] == 0
+        assert rows[d]["hapax_ratio"] is None
+
+
+def test_quantize_int8_stats_known_vector(spark):
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[0.0, 1.0, 2.0]),
+         Row(vec_id=2, embedding=[5.0, 5.0])]  # degenerate: mx == mn
+    )
+    from databox_adls_loader_spark.operators.similarity import quantize_int8_stats
+    rows = {r["vec_id"]: r for r in quantize_int8_stats(df).collect()}
+    # codes: floor((v-0)*255/2) = 0, 127, 255
+    assert rows[1]["code_sum"] == 0 + 127 + 255
+    assert rows[1]["n_dims"] == 3
+    assert rows[1]["mn"] == 0.0 and rows[1]["mx"] == 2.0
+    assert rows[2]["code_sum"] == 0  # constant vector maps to all-zero codes
+
+
+def test_sql_passthrough_matches_dataframe_plan(spark, sf_dir):
+    """The SQL string and an equivalent DataFrame build must agree —
+    the two front ends share one Catalyst plan space."""
+    from databox_adls_loader_spark.plans.queries_ops import sql_surface_passthrough
+    from databox_adls_loader_spark.session import load_tables
+    got = {r["n_name"]: r["n_items"]
+           for r in sql_surface_passthrough(spark, sf_dir).collect()}
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer", "nation"])
+    want = {
+        r["n_name"]: r["n_items"]
+        for r in t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name").agg(F.count(F.lit(1)).alias("n_items"))
+        .collect()
+    }
+    assert got == want
