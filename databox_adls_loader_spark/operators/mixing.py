@@ -55,16 +55,21 @@ def domain_topk(docs: DataFrame, k: int, score: Column,
                 strata_col: str = "source",
                 id_col: str = "doc_id") -> DataFrame:
     """Per-domain quota: keep only the k best documents of each stratum
-    by ``score`` (ties broken by id for determinism).  One shuffle on the
+    by ``score`` (ties broken by id for determinism), with an ``rk``
+    output column (1 = best within its stratum).  One shuffle on the
     stratum key; Spark's WindowGroupLimit rewrites the rank-filter into a
-    per-partition top-k so the sort never materializes whole strata."""
-    w = Window.partitionBy(strata_col).orderBy(F.desc("__score"),
-                                               F.asc(id_col))
+    per-partition top-k so the sort never materializes whole strata.
+
+    The score is ordered as a window expression directly — no temp
+    column, so no input column can be clobbered; ``rk`` is the one added
+    name and a pre-existing ``rk`` raises instead of being overwritten."""
+    if "rk" in docs.columns:
+        raise ValueError("domain_topk adds an 'rk' column; rename the "
+                         "input's existing 'rk' first")
+    w = Window.partitionBy(strata_col).orderBy(score.desc(), F.asc(id_col))
     return (
-        docs.withColumn("__score", score)
-        .withColumn("rk", F.row_number().over(w))
+        docs.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= int(k))
-        .drop("__score")
     )
 
 

@@ -91,12 +91,14 @@ def skew_key_profile(df: DataFrame, key: str | Column, top_n: int = 20) -> DataF
 
     Integer ppm (``cnt * 1_000_000 div total``) keeps the output exact
     and engine-portable — no float division anywhere.  The total-row
-    count rides along as a broadcast scalar (1-row cross join), not a
-    window over the whole table.
+    count is re-aggregated from the (tiny) per-key counts relation —
+    groupBy keeps a NULL-key group, so the sum is exact and the input is
+    scanned exactly once — and rides along as a broadcast scalar (1-row
+    cross join), not a window over the whole table.
     """
     k = F.col(key) if isinstance(key, str) else key
     counts = df.groupBy(k.alias("key")).agg(F.count(F.lit(1)).alias("cnt"))
-    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    total = counts.agg(F.sum("cnt").alias("__total"))
     return (
         counts.crossJoin(F.broadcast(total))
         .select(

@@ -94,20 +94,22 @@ def compact_parquet_dir(spark, in_dir: str, out_dir: str,
     long-running ingest: N tiny parquet files become
     ceil(total_bytes / target) evenly-sized ones.
 
-    File sizes come from the filesystem listing (sources/hadoop_fs), not
-    a data scan; the rewrite is one round-robin repartition so rows
-    spread evenly regardless of input skew.  Returns the output
-    partition count."""
+    File sizes come from the scan's own ``_metadata.file_size`` hidden
+    column — a distributed footer-level read of exactly the files the
+    rewrite will consume (a driver-side `FileSystem` listing would both
+    serialize on the Py4J gateway for the very many-small-files case this
+    utility exists for, and count nested files the scan never reads).
+    The rewrite is one round-robin repartition so rows spread evenly
+    regardless of input skew.  Returns the output partition count."""
     import math
 
-    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
-
-    from ..sources.hadoop_fs import list_files_jvm
-    total = (list_files_jvm(spark, in_dir)
-             .filter(F.col("path").endswith(".parquet"))
-             .agg(F.sum("length").alias("b")).collect()[0]["b"]) or 0
+    src = spark.read.parquet(in_dir)
+    total = (
+        src.select(F.col("_metadata.file_path").alias("p"),
+                   F.col("_metadata.file_size").alias("b"))
+        .groupBy("p").agg(F.first("b").alias("b"))
+        .agg(F.sum("b").alias("b")).collect()[0]["b"]
+    ) or 0
     n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
-    (spark.read.parquet(in_dir)
-     .repartition(n)
-     .write.mode("overwrite").parquet(out_dir))
+    src.repartition(n).write.mode("overwrite").parquet(out_dir)
     return n

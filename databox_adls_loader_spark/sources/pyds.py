@@ -50,8 +50,13 @@ def parse_usage_line(line: str, source_dir: str | None = None):
     except ValueError:
         size = None
     if source_dir is not None:
-        at = line.find(source_dir)
-        path = line[at:].rstrip("\n") if at >= 0 else toks[-1]
+        # exact mirror of parse_usage_lines' substring(value, instr(...)):
+        # instr()=0 when absent and substring(value, 0) is the whole line,
+        # so a line NOT containing source_dir yields the full raw line —
+        # not the last token
+        raw = line.rstrip("\n")
+        at = raw.find(source_dir)
+        path = raw[at:] if at >= 0 else raw
     else:
         path = toks[-1]
     return (path, size, 0)

@@ -242,18 +242,26 @@ def per_user_type_counts_tws(events: DataFrame) -> DataFrame:
             self._counts = handle.getMapState(
                 "counts", "event_type string", "n bigint")
 
+        # NULL event_type rows must still be counted (batch groupBy keeps
+        # a NULL group); pandas groupby drops NaN keys by default, and the
+        # MapState key column is non-null, so NULL is counted under an
+        # unprintable sentinel key and emitted back as None
+        _NULL_KEY = "\x00"
+
         def handleInputRows(self, key, rows, timerValues):
             import pandas as pd
             upd: dict[str, int] = {}
             for pdf in rows:
-                for etype, cnt in pdf.groupby("event_type").size().items():
-                    upd[etype] = upd.get(etype, 0) + int(cnt)
+                grouped = pdf.groupby("event_type", dropna=False).size()
+                for etype, cnt in grouped.items():
+                    k = etype if isinstance(etype, str) else self._NULL_KEY
+                    upd[k] = upd.get(k, 0) + int(cnt)
             out_types, out_counts = [], []
             for etype in sorted(upd):
                 prev = self._counts.getValue((etype,))
                 n = (prev[0] if prev else 0) + upd[etype]
                 self._counts.updateValue((etype,), (n,))
-                out_types.append(etype)
+                out_types.append(None if etype == self._NULL_KEY else etype)
                 out_counts.append(n)
             yield pd.DataFrame({"user_id": [key[0]] * len(out_types),
                                 "event_type": out_types,

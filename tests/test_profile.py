@@ -43,6 +43,17 @@ def test_skew_profile_orders_heavy_key_first(spark):
     assert rows[0]["share_ppm"] == 700000  # exact integer ppm
 
 
+def test_skew_profile_counts_null_keys(spark):
+    df = spark.createDataFrame(
+        [Row(k="hot")] * 3 + [Row(k=None)] * 2
+    )
+    from databox_adls_loader_spark.operators.profile import skew_key_profile
+    rows = skew_key_profile(df, "k", top_n=5).collect()
+    # NULL keys form their own group and the ppm denominator includes them
+    assert {r["key"]: r["cnt"] for r in rows} == {"hot": 3, None: 2}
+    assert {r["key"]: r["share_ppm"] for r in rows} == {"hot": 600000, None: 400000}
+
+
 def test_histogram_buckets_are_exact(spark):
     df = spark.createDataFrame([Row(v=float(x)) for x in [0, 5, 10, 15, 25]])
     from databox_adls_loader_spark.operators.profile import histogram

@@ -67,6 +67,23 @@ def test_usage_du_source_dir_matches_projection_parser(spark, tmp_path):
     assert "/data/a/sub dir/file 3" in {p for p, _, _ in got}
 
 
+def test_usage_du_source_dir_missing_line_matches_parser(spark, tmp_path):
+    """A du line from OUTSIDE source_dir: Spark's substring(value,
+    instr()=0) yields the whole raw line — the DSv2 reader must mirror
+    that, not fall back to the last token."""
+    content = "123 456 /other/mount/file\n77 /data/c/inside\n"
+    f = _write(tmp_path, "du_mixed.txt", content)
+    register_usage_du(spark)
+    ds = (spark.read.format("usage_du").option("source_dir", "/data/")
+          .load(f).orderBy("path"))
+    via_text = parse_usage_lines(
+        spark.read.text(f), source_dir="/data/").orderBy("path")
+    got = [(r["path"], r["size"], r["unit"]) for r in ds.collect()]
+    want = [(r["path"], r["size"], r["unit"]) for r in via_text.collect()]
+    assert got == want
+    assert ("123 456 /other/mount/file", 123, 0) in got
+
+
 def test_usage_du_feeds_s3_aggregation(spark, tmp_path):
     _write(tmp_path, "du.txt", DU_A)
     register_usage_du(spark)
