@@ -116,3 +116,102 @@ def carry_forward_last(df: DataFrame, order_col: str, value_col: str,
         .withColumn(out_col, F.coalesce(local, F.col("__carry")))
         .drop("__pid", "__carry")
     )
+
+
+def global_row_number(df: DataFrame, order: list[tuple[str, str]],
+                      out_col: str = "row_number",
+                      num_partitions: int | None = None
+                      ) -> tuple[DataFrame, int]:
+    """Global row_number over a total ordering with NO single-partition
+    window: range-partition on the order key (distributed sort), number
+    rows *within* each partition in parallel, then add broadcast
+    per-partition offsets (≤ num_partitions rows collected — O(cluster
+    size), not O(data)).
+
+    ``order`` is [(column, "asc"|"desc"), ...] and must be a total order
+    (add a unique tiebreak) for a deterministic result.  Returns
+    (DataFrame, total_row_count) — the total falls out of the offsets
+    pass for free, so rank-distribution callers don't re-scan.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sort_exprs = [F.col(c).desc() if d == "desc" else F.col(c).asc()
+                  for c, d in order]
+    # persist pins the pid assignment — repartitionByRange samples new
+    # boundaries per job otherwise (same trap as exclusive_running_sum)
+    ranged = (
+        df.repartitionByRange(num_partitions, *sort_exprs)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c")).collect()
+    cmap = {r["__pid"]: r["__c"] for r in counts}
+    off, rows = 0, []
+    for pid in sorted(cmap):
+        rows.append((pid, off))
+        off += cmap[pid]
+    off_df = F.broadcast(spark.createDataFrame(rows, "__pid: int, __off: long")
+                         if rows else
+                         spark.createDataFrame([], "__pid: int, __off: long"))
+    w = Window.partitionBy("__pid").orderBy(*sort_exprs)
+    out = (
+        ranged.withColumn("__lrn", F.row_number().over(w))
+        .join(off_df, "__pid")
+        .withColumn(out_col, (F.col("__off") + F.col("__lrn")).cast("long"))
+        .drop("__pid", "__lrn", "__off")
+    )
+    return out, off
+
+
+def global_ranks(df: DataFrame, order: list[tuple[str, str]],
+                 ntile: int | None = None,
+                 num_partitions: int | None = None) -> DataFrame:
+    """rank / dense_rank / percent_rank / cume_dist (and optionally
+    ntile) over a GLOBAL ordering, built entirely from scale-safe parts:
+
+    * row_number via `global_row_number` (range partition + offsets);
+    * tie-group min/max via windows partitioned BY THE ORDER VALUES
+      (ties share a partition key — no global sort);
+    * dense_rank = a second two-phase row_number over the distinct
+      tie-group ranks (cardinality ≤ distinct order tuples);
+    * percent_rank/cume_dist/ntile from the SQL definitions —
+      (rank-1)/(n-1), max_rn/n, and exact integer bucket math — with n
+      carried as a literal from the offsets pass (no extra scan).
+
+    Tie groups are the full ``order`` tuple, exactly SQL's
+    ``RANK() OVER (ORDER BY <order>)``.  This is the 100 TB form of the
+    one window shape Spark executes on a single partition
+    (`WindowExec: No Partition Defined`); results are bit-identical to
+    the native global window.
+    """
+    base, n = global_row_number(df, order, "__rn", num_partitions)
+    tie_cols = [c for c, _ in order]
+    wt = Window.partitionBy(*tie_cols)
+    t = (base.withColumn("rnk", F.min("__rn").over(wt))
+             .withColumn("__maxrn", F.max("__rn").over(wt)))
+    dense_src = t.select(F.col("rnk").alias("__grnk")).distinct()
+    dense, _ = global_row_number(dense_src, [("__grnk", "asc")], "drnk",
+                                 num_partitions)
+    out = t.join(F.broadcast(dense.withColumnRenamed("__grnk", "rnk"))
+                 if n and n <= 10_000_000 else
+                 dense.withColumnRenamed("__grnk", "rnk"), "rnk")
+    out = out.withColumn(
+        "pct_rank",
+        F.when(F.lit(n) > 1,
+               (F.col("rnk") - 1).cast("double") / F.lit(float(n - 1 if n > 1 else 1)))
+        .otherwise(F.lit(0.0)),
+    ).withColumn("cume_dist", F.col("__maxrn").cast("double") / F.lit(float(n or 1)))
+    if ntile is not None:
+        # SQL NTILE(k): q = n div k rows per bucket, the first r = n mod k
+        # buckets take one extra row — exact integer division only (the
+        # float-floor form can misround near 2^53)
+        q, r = (n // int(ntile)), (n % int(ntile))
+        out = out.withColumn(
+            "ntile",
+            F.when(F.col("__rn") <= r * (q + 1),
+                   F.expr(f"(__rn - 1) div {q + 1}") + 1)
+            .otherwise(F.lit(r) + F.expr(f"(__rn - {r * (q + 1)} - 1) div {max(q, 1)}") + 1)
+            .cast("long"),
+        )
+    return out.withColumnRenamed("__rn", "row_number").drop("__maxrn")

@@ -900,19 +900,24 @@ def e2_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w5_rank_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile / percent_rank / cume_dist / rank / dense_rank over a global
-    ordering.  Scale note: a deliberately global window — at 100 TB this
-    is the one window shape that needs re-keying (pre-aggregate or
-    partition on a coarse bucket then offset, as operators/windows.py does
-    for sums); kept here to pin exact rank semantics against the oracle."""
+    ordering — computed by `operators/windows.global_ranks`, the two-phase
+    distributed form (range partition → parallel local ranks → broadcast
+    offsets), NOT a bare Window.orderBy, which Spark executes on a single
+    partition (`WindowExec: No Partition Defined` — the 100 TB cliff).
+    Results are bit-identical to the native global window; the oracle and
+    tests/test_profile.py::test_global_ranks_match_native_window pin it."""
+    from ..operators.windows import global_ranks
     (customer,) = _t(spark, sf_dir, "customer")
-    w = Window.orderBy(F.desc("c_acctbal"), "c_custkey")
-    return customer.select(
+    ranked = global_ranks(customer,
+                          [("c_acctbal", "desc"), ("c_custkey", "asc")],
+                          ntile=4)
+    return ranked.select(
         "c_custkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
+        F.col("ntile").alias("quartile"),
+        F.round("pct_rank", 6).alias("pct_rank"),
+        F.round("cume_dist", 6).alias("cume"),
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("drnk").cast("long").alias("drnk"),
     ).orderBy("c_custkey")
 
 

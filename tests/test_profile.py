@@ -93,6 +93,52 @@ def test_quantize_int8_stats_known_vector(spark):
     assert rows[2]["code_sum"] == 0  # constant vector maps to all-zero codes
 
 
+def test_global_ranks_match_native_window(spark):
+    """The two-phase distributed ranks must be bit-identical to the
+    native (single-partition) global window — including ties, which the
+    test data plants deliberately."""
+    from pyspark.sql import Window
+
+    from databox_adls_loader_spark.operators.windows import global_ranks
+    df = spark.createDataFrame(
+        [Row(id=i, v=val) for i, val in
+         enumerate([10.0, 20.0, 20.0, 5.0, 20.0, 5.0, 7.0, 30.0, 7.0, 1.0])]
+    )
+    order = [("v", "desc"), ("id", "asc")]
+    got = {r["id"]: r for r in
+           global_ranks(df, order, ntile=4, num_partitions=4).collect()}
+    w = Window.orderBy(F.desc("v"), F.asc("id"))
+    want = {r["id"]: r for r in df.select(
+        "id",
+        F.row_number().over(w).alias("row_number"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+        F.ntile(4).over(w).alias("ntile"),
+    ).collect()}
+    assert set(got) == set(want)
+    for i in want:
+        for c in ("row_number", "rnk", "drnk", "ntile"):
+            assert got[i][c] == want[i][c], (i, c, got[i][c], want[i][c])
+        for c in ("pct_rank", "cume_dist"):
+            assert got[i][c] == want[i][c], (i, c)
+
+
+def test_global_ranks_rank_ties_on_prefix(spark):
+    """Ties on the rank ordering (duplicate full order tuples) collapse
+    to the same rnk/drnk, exactly like SQL RANK/DENSE_RANK."""
+    from databox_adls_loader_spark.operators.windows import global_ranks
+    df = spark.createDataFrame([Row(v=x) for x in [3, 1, 3, 2, 1, 3]])
+    rows = global_ranks(df, [("v", "asc")], num_partitions=3).collect()
+    by_v = {}
+    for r in rows:
+        by_v.setdefault(r["v"], set()).add((r["rnk"], r["drnk"]))
+    assert by_v[1] == {(1, 1)}
+    assert by_v[2] == {(3, 2)}
+    assert by_v[3] == {(4, 3)}
+
+
 def test_sql_passthrough_matches_dataframe_plan(spark, sf_dir):
     """The SQL string and an equivalent DataFrame build must agree —
     the two front ends share one Catalyst plan space."""
