@@ -70,3 +70,29 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "a",
         .agg(F.array_sort(F.collect_list("n")).alias("members"),
              F.count(F.lit(1)).alias("n_members"))
     )
+
+
+def cluster_representatives(cc: DataFrame, docs: DataFrame,
+                            score_col: str = "n_chars",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Pick the document to KEEP from each near-dup cluster: the highest
+    ``score_col`` (longest doc by default), ties to the smallest id —
+    the survivor-selection stage that turns `connected_components` output
+    into a dedup decision (min-id canonical is fine for exact dupes, but
+    near-dup clusters should keep the best member, not the first).
+
+    One aggregate per component via `max_by` over a (score, -id) struct —
+    no window, no sort; shuffle keyed by component.  Component count ≪
+    doc count, so the output is small even at corpus scale.
+    """
+    j = cc.join(docs, cc["n"] == docs[id_col]).select(
+        "component", F.col(id_col).alias("__id"), F.col(score_col).alias("__s"))
+    return (
+        j.groupBy("component")
+        .agg(
+            F.max_by("__id", F.struct(F.col("__s"), (-F.col("__id"))))
+            .alias("rep_" + id_col),
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("__s").alias("max_" + score_col),
+        )
+    )

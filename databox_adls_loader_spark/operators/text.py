@@ -379,3 +379,75 @@ def hapax_stats(docs: DataFrame, text_col: str = "text",
                    / F.col("n_distinct").cast("double")).alias("hapax_ratio"),
         )
     )
+
+
+def inverted_index(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", min_df: int = 1,
+                   max_df: int | None = None) -> DataFrame:
+    """Token → postings-list index: (term, df, total_tf, postings) with
+    postings the sorted doc ids containing the term.
+
+    The retrieval-side dual of `tfidf_top_terms`: this is what a
+    keyword-search / contamination-lookup service builds once and probes
+    per query.  Plan: explode → (term, doc) tf counts (map-side
+    combined) → per-term aggregate; two shuffles, the second keyed by
+    term.
+
+    Scale: postings for stopword-frequency terms are the skew AND memory
+    hazard — a term in every doc materializes one array the size of the
+    corpus.  ``max_df`` prunes those (stopword cutoff) *before* the
+    collect_list; production indexes additionally segment postings by
+    doc-id range (shard the groupBy key as (term, doc_id div R)) which
+    composes with this operator unchanged.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.filter(tokens(text_col), lambda t: t != "")).alias("__tok"),
+    )
+    tc = toks.groupBy("__tok", id_col).agg(F.count(F.lit(1)).alias("__tf"))
+    idx = (
+        tc.groupBy("__tok")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("__tf").cast("long").alias("total_tf"),
+            F.sort_array(F.collect_list(id_col)).alias("postings"),
+        )
+        .withColumnRenamed("__tok", "term")
+    )
+    if min_df > 1:
+        idx = idx.filter(F.col("df") >= min_df)
+    if max_df is not None:
+        idx = idx.filter(F.col("df") <= max_df)
+    return idx
+
+
+def vocab_coverage(docs: DataFrame, top_n: int = 100,
+                   text_col: str = "text") -> DataFrame:
+    """Top-``top_n`` corpus tokens with exact counts and the cumulative
+    share of ALL tokens they cover, in integer parts-per-million —
+    the "how big must the vocab be" curve a tokenizer build reads off.
+
+    Corpus-wide counts partial-aggregate into one shuffle; the top-n is
+    a TakeOrdered (never a full sort), and the cumulative window runs
+    over ≤ top_n rows post-limit — bounded by the parameter, not the
+    data.  The total-token denominator re-reads the same counts shuffle
+    (exchange reuse), so the corpus is scanned once.  Integer note:
+    cnt × 1e6 stays in int64 up to ~9.2e12 total tokens; past that,
+    widen to decimal on both engine and oracle sides.
+    """
+    tc = (
+        docs.select(F.explode(F.filter(tokens(text_col), lambda t: t != ""))
+                    .alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = tc.agg(F.sum("cnt").alias("__total"))
+    top = tc.orderBy(F.desc("cnt"), F.asc("term")).limit(int(top_n))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("cum_ppm",
+                    F.expr("sum(cnt) over (order by cnt desc, term asc "
+                           "rows between unbounded preceding and current row)"
+                           " * 1000000L div __total"))
+        .select("term", "cnt", "cum_ppm")
+        .orderBy(F.desc("cnt"), F.asc("term"))
+    )

@@ -227,3 +227,118 @@ def sql_surface_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushes the column pruning into every scan)."""
     register_views(spark, sf_dir, ["lineitem", "orders", "customer", "nation"])
     return spark.sql(_PASSTHROUGH_SQL)
+
+
+# ---------------------------------------------------------------------------
+# retrieval index / vocabulary / cluster survivors
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_inverted_index",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                t -> t <> '')) AS tok
+      FROM documents
+    ), tc AS (
+      SELECT tok, doc_id, COUNT(*) AS tf FROM toks GROUP BY tok, doc_id
+    )
+    SELECT tok AS term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+           list(doc_id ORDER BY doc_id) AS postings
+    FROM tc GROUP BY tok HAVING COUNT(*) >= 3 ORDER BY term
+    """,
+    tags=["text", "index"],
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the corpus (terms in ≥3 docs): term → sorted
+    postings + df/tf.  The contamination-lookup / keyword-search build
+    step; see operators/text.inverted_index for the stopword-pruning and
+    postings-sharding scale story."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return text.inverted_index(docs, min_df=3).orderBy("term")
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                t -> t <> '')) AS term
+      FROM documents
+    ), tc AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM tc),
+    top AS (SELECT term, cnt FROM tc ORDER BY cnt DESC, term LIMIT 100)
+    SELECT term, cnt,
+           CAST(SUM(cnt) OVER (ORDER BY cnt DESC, term
+                               ROWS UNBOUNDED PRECEDING) * 1000000 // t
+                AS BIGINT) AS cum_ppm
+    FROM top, tot ORDER BY cnt DESC, term
+    """,
+    tags=["text", "profile"],
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 tokens with cumulative corpus coverage in integer ppm —
+    the vocabulary-size curve for a tokenizer build.  TakeOrdered top-n;
+    the cumulative window is bounded by the parameter, not the data."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return text.vocab_coverage(docs, top_n=100)
+
+
+@register(
+    "dedup_cluster_reps",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(t) - 2, 1) + 1),
+        i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+      FROM toks
+    ), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT i.a, i.b FROM (
+        SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
+        FROM sh l JOIN sh r ON l.g = r.g AND l.doc_id < r.doc_id
+        GROUP BY 1, 2
+      ) i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+      WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.5
+    ), nodes AS (SELECT a AS n FROM pairs UNION SELECT b FROM pairs),
+    sym AS (SELECT a AS src, b AS dst FROM pairs
+            UNION SELECT b, a FROM pairs),
+    reach AS (
+      SELECT n AS src, n AS dst FROM nodes
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ), comp AS (
+      SELECT src AS n, MIN(dst) AS component FROM reach GROUP BY src
+    ), j AS (
+      SELECT c.component, d.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rn
+      FROM comp c JOIN documents d ON c.n = d.doc_id
+    )
+    SELECT component, doc_id AS rep_doc_id,
+           CAST((SELECT COUNT(*) FROM comp c2
+                 WHERE c2.component = j.component) AS BIGINT) AS n_members,
+           n_chars AS max_n_chars
+    FROM j WHERE rn = 1 ORDER BY component
+    """,
+    tags=["dedup", "graph"],
+)
+def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection per near-dup cluster: keep the longest member
+    (ties to smallest id) — connected components over the exact Jaccard
+    pair graph, then one max_by aggregate per component (no window)."""
+    from ..operators import dedup
+    from ..operators.graph import cluster_representatives, connected_components
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    cc = connected_components(pairs)
+    return (
+        cluster_representatives(cc, docs)
+        .select("component", "rep_doc_id",
+                F.col("n_members").cast("long").alias("n_members"),
+                F.col("max_n_chars").cast("long").alias("max_n_chars"))
+        .orderBy("component")
+    )

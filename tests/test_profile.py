@@ -157,3 +157,52 @@ def test_sql_passthrough_matches_dataframe_plan(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_inverted_index_postings_and_df_bounds(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="apple banana apple"),
+        Row(doc_id=2, text="banana cherry"),
+        Row(doc_id=3, text="banana"),
+    ])
+    from databox_adls_loader_spark.operators.text import inverted_index
+    out = {r["term"]: r for r in inverted_index(df).collect()}
+    assert out["banana"]["df"] == 3
+    assert out["banana"]["postings"] == [1, 2, 3]
+    assert out["apple"]["df"] == 1 and out["apple"]["total_tf"] == 2
+    # min_df prunes rare terms, max_df prunes stopword-frequency terms
+    only_common = {r["term"] for r in inverted_index(df, min_df=2).collect()}
+    assert only_common == {"banana"}
+    no_stop = {r["term"] for r in inverted_index(df, max_df=2).collect()}
+    assert "banana" not in no_stop and "apple" in no_stop
+
+
+def test_vocab_coverage_cumulative_ppm(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="a a a a b b c"),   # a:4 b:2 c:1, total 7
+    ])
+    from databox_adls_loader_spark.operators.text import vocab_coverage
+    rows = vocab_coverage(df, top_n=2).collect()
+    assert [(r["term"], r["cnt"]) for r in rows] == [("a", 4), ("b", 2)]
+    assert rows[0]["cum_ppm"] == 4 * 1000000 // 7
+    assert rows[1]["cum_ppm"] == 6 * 1000000 // 7
+
+
+def test_cluster_representatives_pick_longest_then_smallest_id(spark):
+    edges = spark.createDataFrame([Row(a=1, b=2), Row(a=2, b=3), Row(a=10, b=11)])
+    docs = spark.createDataFrame([
+        Row(doc_id=1, n_chars=5), Row(doc_id=2, n_chars=9),
+        Row(doc_id=3, n_chars=9), Row(doc_id=10, n_chars=4),
+        Row(doc_id=11, n_chars=4), Row(doc_id=99, n_chars=1),  # unclustered
+    ])
+    from databox_adls_loader_spark.operators.graph import (
+        cluster_representatives, connected_components)
+    cc = connected_components(edges)
+    out = {r["component"]: r for r in
+           cluster_representatives(cc, docs).collect()}
+    # cluster {1,2,3}: 2 and 3 tie on n_chars=9 -> smallest id (2) wins
+    assert out[1]["rep_doc_id"] == 2 and out[1]["n_members"] == 3
+    assert out[1]["max_n_chars"] == 9
+    # cluster {10,11}: tie at 4 chars -> 10
+    assert out[10]["rep_doc_id"] == 10 and out[10]["n_members"] == 2
+    assert 99 not in {r for c in out.values() for r in [c["rep_doc_id"]]}
