@@ -74,3 +74,39 @@ def clean_corpus(docs: DataFrame, min_tokens: int = 20,
             .otherwise("kept"))
     )
     return verdict.select(id_col, "n_tokens", "verdict")
+
+
+def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
+                       val_pct: int = 10, test_pct: int = 10,
+                       salt: str = "split-v1",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Train/val/test assignment where every near-dup CLUSTER lands in
+    one split — the leakage-safe form of `text.train_val_test_split`.
+
+    Hashing per-document lets two near-identical documents straddle the
+    train/test boundary, which silently contaminates evaluation: the
+    model is tested on paraphrases of its training data.  Hashing the
+    connected-component label instead (component = min reachable id over
+    the near-dup pair graph; singletons hash their own id, which IS
+    their component label) moves whole clusters atomically, and keeps
+    the same salted md5 bucket math, so unclustered docs get exactly the
+    assignment the per-doc split would give them.
+
+    Scale: components via the iterative min-label propagation
+    (operators/graph.py, O(diameter) rounds); the join back to docs is
+    keyed by doc id; the split itself is map-side hash math.
+    """
+    from .graph import connected_components
+    cc = connected_components(pairs)
+    joined = docs.join(
+        cc.select(F.col("n").alias(id_col), "component"), id_col, "left")
+    key = F.coalesce(F.col("component"), F.col(id_col))
+    b = text.hash_bucket(key, 100, salt)
+    return (
+        joined.withColumn(
+            "split",
+            F.when(b < test_pct, "test")
+            .when(b < test_pct + val_pct, "val")
+            .otherwise("train"))
+        .drop("component")
+    )

@@ -342,3 +342,65 @@ def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("max_n_chars").cast("long").alias("max_n_chars"))
         .orderBy("component")
     )
+
+
+@register(
+    "split_leakage_safe",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(t) - 2, 1) + 1),
+        i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+      FROM toks
+    ), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT i.a, i.b FROM (
+        SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
+        FROM sh l JOIN sh r ON l.g = r.g AND l.doc_id < r.doc_id
+        GROUP BY 1, 2
+      ) i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+      WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.5
+    ), nodes AS (SELECT a AS n FROM pairs UNION SELECT b FROM pairs),
+    sym AS (SELECT a AS src, b AS dst FROM pairs
+            UNION SELECT b, a FROM pairs),
+    reach AS (
+      SELECT n AS src, n AS dst FROM nodes
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ), comp AS (
+      SELECT src AS n, MIN(dst) AS component FROM reach GROUP BY src
+    ), keyed AS (
+      SELECT d.doc_id,
+             substr(md5(CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)
+                        || 'split-v1'), 1, 8) AS h8
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.n
+    ), b AS (
+      SELECT doc_id,
+             (list_aggregate(list_transform(range(1, 9),
+                i -> (strpos('0123456789abcdef', substr(h8, CAST(i AS INT), 1)) - 1)
+                     * CAST(16 ** (8 - i) AS BIGINT)), 'sum')) % 100 AS bucket
+      FROM keyed
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 10 THEN 'test'
+                WHEN bucket < 20 THEN 'val'
+                ELSE 'train' END AS split
+    FROM b ORDER BY doc_id
+    """,
+    tags=["dedup", "split"],
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-coherent train/val/test split: hash the near-dup
+    component label, not the doc id, so paraphrase clusters never
+    straddle the train/test boundary (eval contamination).  Singletons
+    hash their own id — identical to the per-doc split for them."""
+    from ..operators import corpus, dedup
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return (
+        corpus.leakage_safe_split(docs, pairs)
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )

@@ -206,3 +206,27 @@ def test_cluster_representatives_pick_longest_then_smallest_id(spark):
     # cluster {10,11}: tie at 4 chars -> 10
     assert out[10]["rep_doc_id"] == 10 and out[10]["n_members"] == 2
     assert 99 not in {r for c in out.values() for r in [c["rep_doc_id"]]}
+
+
+def test_leakage_safe_split_cluster_coherence(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"unique text {i} " + "filler " * 5) for i in range(20)]
+    )
+    pairs = spark.createDataFrame(
+        [Row(a=0, b=1), Row(a=1, b=2), Row(a=5, b=6)]
+    )
+    from databox_adls_loader_spark.operators.corpus import leakage_safe_split
+    from databox_adls_loader_spark.operators.text import train_val_test_split
+    out = {r["doc_id"]: r["split"] for r in
+           leakage_safe_split(docs, pairs).collect()}
+    # whole cluster moves together
+    assert out[0] == out[1] == out[2]
+    assert out[5] == out[6]
+    # singletons get exactly the per-doc assignment (same salt, same math)
+    per_doc = {r["doc_id"]: r["split"] for r in
+               train_val_test_split(docs).collect()}
+    for d in set(out) - {0, 1, 2, 5, 6}:
+        assert out[d] == per_doc[d]
+    # clusters hash their min-id label: cluster {0,1,2} matches doc 0's
+    assert out[0] == per_doc[0]
+    assert out[5] == per_doc[5]
