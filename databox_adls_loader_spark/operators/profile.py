@@ -128,3 +128,28 @@ def histogram(df: DataFrame, value: str | Column, width: float) -> DataFrame:
         .select("bucket", "bucket_lo", "cnt")
         .orderBy("bucket")
     )
+
+
+def equidepth_histogram(df: DataFrame, value: str, tiebreak: str,
+                        k: int = 10) -> DataFrame:
+    """Equi-depth histogram: k buckets with (nearly) equal row counts and
+    the value range each covers — the partition-boundary / range-split
+    advisor (equal-width buckets are useless under skew; equal-depth ones
+    are exactly what `repartitionByRange` samples for).
+
+    Built on `operators/windows.global_ranks`' exact NTILE (two-phase
+    range partition — NO single-partition window), then one aggregate per
+    bucket.  Exact, unlike sampled approx_percentile boundaries; at
+    100 TB the same shape works because every stage is the distributed
+    form.
+    """
+    from .windows import global_ranks
+    ranked = global_ranks(df.select(value, tiebreak),
+                          [(value, "asc"), (tiebreak, "asc")], ntile=k)
+    return (
+        ranked.groupBy(F.col("ntile").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min(value).alias("lo"),
+             F.max(value).alias("hi"))
+        .orderBy("bucket")
+    )

@@ -138,11 +138,23 @@ def global_row_number(df: DataFrame, order: list[tuple[str, str]],
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sort_exprs = [F.col(c).desc() if d == "desc" else F.col(c).asc()
                   for c, d in order]
-    # persist pins the pid assignment — repartitionByRange samples new
-    # boundaries per job otherwise (same trap as exclusive_running_sum)
+    # ONE full-data shuffle total: range partition, sort within each
+    # partition, then read (pid, local index) straight out of
+    # monotonically_increasing_id — Spark packs the partition id in the
+    # upper bits and a per-partition counter in the lower 33, so local
+    # numbering needs no Window at all (a Window.partitionBy(pid) here
+    # would re-shuffle by hash(pid) — the data is range-, not
+    # hash-partitioned).  Limit: 2^33 rows per partition; size
+    # num_partitions so a partition stays under ~8.5 B rows.
+    # persist pins the pid assignment AND the id counters —
+    # repartitionByRange samples new boundaries per job otherwise (same
+    # trap as exclusive_running_sum)
     ranged = (
         df.repartitionByRange(num_partitions, *sort_exprs)
-        .withColumn("__pid", F.spark_partition_id())
+        .sortWithinPartitions(*sort_exprs)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.shiftright("__mid", 33).cast("int"))
+        .withColumn("__lrn", F.col("__mid").bitwiseAND((1 << 33) - 1) + 1)
         .persist()
     )
     counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c")).collect()
@@ -154,12 +166,10 @@ def global_row_number(df: DataFrame, order: list[tuple[str, str]],
     off_df = F.broadcast(spark.createDataFrame(rows, "__pid: int, __off: long")
                          if rows else
                          spark.createDataFrame([], "__pid: int, __off: long"))
-    w = Window.partitionBy("__pid").orderBy(*sort_exprs)
     out = (
-        ranged.withColumn("__lrn", F.row_number().over(w))
-        .join(off_df, "__pid")
+        ranged.join(off_df, "__pid")
         .withColumn(out_col, (F.col("__off") + F.col("__lrn")).cast("long"))
-        .drop("__pid", "__lrn", "__off")
+        .drop("__pid", "__lrn", "__off", "__mid")
     )
     return out, off
 

@@ -404,3 +404,28 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "split")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "prof_equidepth_order_totals",
+    oracle="""
+    WITH r AS (
+      SELECT o_totalprice,
+             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT bucket, COUNT(*) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM r GROUP BY bucket ORDER BY bucket
+    """,
+    tags=["profile", "window"],
+)
+def prof_equidepth_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth deciles of order totals — the range-split advisor,
+    computed with the distributed exact NTILE (operators/windows), not a
+    single-partition window."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        profile.equidepth_histogram(orders, "o_totalprice", "o_orderkey", k=10)
+        .select(F.col("bucket").cast("long").alias("bucket"), "n", "lo", "hi")
+    )

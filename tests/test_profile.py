@@ -230,3 +230,15 @@ def test_leakage_safe_split_cluster_coherence(spark):
     # clusters hash their min-id label: cluster {0,1,2} matches doc 0's
     assert out[0] == per_doc[0]
     assert out[5] == per_doc[5]
+
+
+def test_equidepth_histogram_balanced_buckets(spark):
+    df = spark.range(100).select(
+        (F.col("id") * F.col("id")).cast("double").alias("v"),  # skewed values
+        F.col("id").alias("tb"))
+    from databox_adls_loader_spark.operators.profile import equidepth_histogram
+    rows = equidepth_histogram(df, "v", "tb", k=4).collect()
+    assert [r["n"] for r in rows] == [25, 25, 25, 25]
+    # bucket ranges tile the domain in order without overlap
+    for prev, nxt in zip(rows, rows[1:]):
+        assert prev["hi"] <= nxt["lo"]
