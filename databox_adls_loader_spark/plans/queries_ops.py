@@ -429,3 +429,40 @@ def prof_equidepth_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         profile.equidepth_histogram(orders, "o_totalprice", "o_orderkey", k=10)
         .select(F.col("bucket").cast("long").alias("bucket"), "n", "lo", "hi")
     )
+
+
+@register(
+    "sql_udf_chars_per_token",
+    oracle=r"""
+    WITH c AS (
+      SELECT source,
+             CAST(FLOOR(CAST(length(text) AS DOUBLE)
+                        / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1))
+                  AS BIGINT) AS cpt_bucket
+      FROM documents
+    )
+    SELECT source, cpt_bucket, COUNT(*) AS n
+    FROM c GROUP BY source, cpt_bucket ORDER BY source, cpt_bucket
+    """,
+    tags=["sql", "udf"],
+)
+def sql_udf_chars_per_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scalar UDF surface: `CREATE TEMPORARY FUNCTION …
+    RETURN <expr>` — a named, reusable expression that stays entirely in
+    Catalyst (inlined into codegen, unlike a Python UDF), exercised here
+    for a chars-per-token corpus signal bucketed per source.  The oracle
+    inlines the identical formula, so the UDF indirection is proven to
+    change nothing."""
+    register_views(spark, sf_dir, ["documents"])
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION cpt(t STRING) RETURNS DOUBLE "
+        "RETURN CAST(length(t) AS DOUBLE) "
+        "/ greatest(size(split(trim(t), '\\\\s+')), 1)")
+    return spark.sql("""
+        WITH c AS (
+          SELECT source, CAST(FLOOR(cpt(text)) AS BIGINT) AS cpt_bucket
+          FROM documents
+        )
+        SELECT source, cpt_bucket, COUNT(*) AS n
+        FROM c GROUP BY source, cpt_bucket ORDER BY source, cpt_bucket
+    """)

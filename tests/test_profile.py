@@ -242,3 +242,13 @@ def test_equidepth_histogram_balanced_buckets(spark):
     # bucket ranges tile the domain in order without overlap
     for prev, nxt in zip(rows, rows[1:]):
         assert prev["hi"] <= nxt["lo"]
+
+
+def test_sql_udf_stays_in_catalyst(spark, sf_dir):
+    """The SQL scalar UDF must inline into the JVM plan — no Python
+    worker round trip (BatchEvalPython / ArrowEvalPython)."""
+    from databox_adls_loader_spark.plans.queries_ops import sql_udf_chars_per_token
+    df = sql_udf_chars_per_token(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert df.count() > 0
