@@ -103,10 +103,6 @@ def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
     key = F.coalesce(F.col("component"), F.col(id_col))
     b = text.hash_bucket(key, 100, salt)
     return (
-        joined.withColumn(
-            "split",
-            F.when(b < test_pct, "test")
-            .when(b < test_pct + val_pct, "val")
-            .otherwise("train"))
+        joined.withColumn("split", text.split_label(b, val_pct, test_pct))
         .drop("component")
     )

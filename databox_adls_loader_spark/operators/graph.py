@@ -81,16 +81,20 @@ def cluster_representatives(cc: DataFrame, docs: DataFrame,
     into a dedup decision (min-id canonical is fine for exact dupes, but
     near-dup clusters should keep the best member, not the first).
 
-    One aggregate per component via `max_by` over a (score, -id) struct —
-    no window, no sort; shuffle keyed by component.  Component count ≪
-    doc count, so the output is small even at corpus scale.
+    One aggregate per component via `min_by` over a (-score, id) struct
+    — no window, no sort; shuffle keyed by component.  Component count ≪
+    doc count, so the output is small even at corpus scale.  The struct
+    negates the SCORE (numeric by contract) rather than the id, so the
+    smallest-id tie-break stays deterministic for string/uuid id columns
+    too (negating a string id casts to double → NULL → arbitrary pick).
     """
     j = cc.join(docs, cc["n"] == docs[id_col]).select(
         "component", F.col(id_col).alias("__id"), F.col(score_col).alias("__s"))
     return (
         j.groupBy("component")
         .agg(
-            F.max_by("__id", F.struct(F.col("__s"), (-F.col("__id"))))
+            F.min_by("__id", F.struct((-F.col("__s")).alias("s"),
+                                      F.col("__id").alias("i")))
             .alias("rep_" + id_col),
             F.count(F.lit(1)).alias("n_members"),
             F.max("__s").alias("max_" + score_col),

@@ -137,15 +137,16 @@ def equidepth_histogram(df: DataFrame, value: str, tiebreak: str,
     advisor (equal-width buckets are useless under skew; equal-depth ones
     are exactly what `repartitionByRange` samples for).
 
-    Built on `operators/windows.global_ranks`' exact NTILE (two-phase
-    range partition — NO single-partition window), then one aggregate per
-    bucket.  Exact, unlike sampled approx_percentile boundaries; at
-    100 TB the same shape works because every stage is the distributed
-    form.
+    Built on `operators/windows.global_ntile`' exact NTILE (one range
+    partition + map-side integer bucket math — NO single-partition
+    window, and none of `global_ranks`' tie-group/dense-rank machinery,
+    which NTILE doesn't need).  Exact, unlike sampled approx_percentile
+    boundaries; at 100 TB the same shape works because every stage is
+    the distributed form.
     """
-    from .windows import global_ranks
-    ranked = global_ranks(df.select(value, tiebreak),
-                          [(value, "asc"), (tiebreak, "asc")], ntile=k)
+    from .windows import global_ntile
+    ranked = global_ntile(df.select(value, tiebreak),
+                          [(value, "asc"), (tiebreak, "asc")], k)
     return (
         ranked.groupBy(F.col("ntile").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"),

@@ -221,18 +221,24 @@ def hash_bucket(col: Column | str, n_buckets: int = 16,
     return (F.conv(hex8, 16, 10).cast("long") % n_buckets).cast("int")
 
 
+def split_label(bucket: Column, val_pct: int, test_pct: int) -> Column:
+    """Bucket→label mapping both split operators share: [0, test_pct) →
+    test, [test_pct, test_pct+val_pct) → val, rest train.  Single
+    definition so the per-doc and leakage-safe splits can never drift on
+    boundary inclusivity."""
+    return (F.when(bucket < test_pct, "test")
+            .when(bucket < test_pct + val_pct, "val")
+            .otherwise("train"))
+
+
 def train_val_test_split(docs: DataFrame, id_col: str = "doc_id",
                          val_pct: int = 10, test_pct: int = 10,
                          salt: str = "split-v1") -> DataFrame:
-    """Assign a stable split label per document via 100 hash buckets:
-    [0, test_pct) → test, [test_pct, test_pct+val_pct) → val, rest train.
-    Changing `salt` re-rolls every assignment at once (versioned splits)."""
+    """Assign a stable split label per document via 100 hash buckets
+    (`split_label` thresholds).  Changing `salt` re-rolls every
+    assignment at once (versioned splits)."""
     b = hash_bucket(id_col, 100, salt)
-    return docs.withColumn(
-        "split",
-        F.when(b < test_pct, "test")
-        .when(b < test_pct + val_pct, "val")
-        .otherwise("train"))
+    return docs.withColumn("split", split_label(b, val_pct, test_pct))
 
 
 def repetition_signals(docs: DataFrame, text_col: str = "text",
@@ -395,30 +401,49 @@ def inverted_index(docs: DataFrame, text_col: str = "text",
 
     Scale: postings for stopword-frequency terms are the skew AND memory
     hazard — a term in every doc materializes one array the size of the
-    corpus.  ``max_df`` prunes those (stopword cutoff) *before* the
-    collect_list; production indexes additionally segment postings by
-    doc-id range (shard the groupBy key as (term, doc_id div R)) which
-    composes with this operator unchanged.
+    corpus.  When ``min_df``/``max_df`` prune, the df counts are
+    aggregated FIRST (skinny: one row per term) and only surviving terms
+    join back into the collect_list — a filter on the aggregated df
+    cannot be pushed below the aggregate, so pruning after the fact
+    would still build the corpus-sized stopword array it exists to
+    avoid.  Production indexes additionally segment postings by doc-id
+    range (shard the groupBy key as (term, doc_id div R)) which composes
+    with this operator unchanged.
     """
     toks = docs.select(
         F.col(id_col),
         F.explode(F.filter(tokens(text_col), lambda t: t != "")).alias("__tok"),
     )
     tc = toks.groupBy("__tok", id_col).agg(F.count(F.lit(1)).alias("__tf"))
-    idx = (
-        tc.groupBy("__tok")
-        .agg(
-            F.count(F.lit(1)).alias("df"),
-            F.sum("__tf").cast("long").alias("total_tf"),
-            F.sort_array(F.collect_list(id_col)).alias("postings"),
+    if min_df <= 1 and max_df is None:
+        # no pruning requested — single aggregate, postings for every term
+        return (
+            tc.groupBy("__tok")
+            .agg(
+                F.count(F.lit(1)).alias("df"),
+                F.sum("__tf").cast("long").alias("total_tf"),
+                F.sort_array(F.collect_list(id_col)).alias("postings"),
+            )
+            .withColumnRenamed("__tok", "term")
         )
-        .withColumnRenamed("__tok", "term")
+    stats = tc.groupBy("__tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("__tf").cast("long").alias("total_tf"),
     )
     if min_df > 1:
-        idx = idx.filter(F.col("df") >= min_df)
+        stats = stats.filter(F.col("df") >= min_df)
     if max_df is not None:
-        idx = idx.filter(F.col("df") <= max_df)
-    return idx
+        stats = stats.filter(F.col("df") <= max_df)
+    # (term, doc) pairs for pruned terms never enter the postings
+    # aggregation buffer; both sides shuffle on term, and tc feeds both
+    # branches (exchange reuse — the corpus is tokenized once)
+    return (
+        tc.join(stats, "__tok")
+        .groupBy("__tok", "df", "total_tf")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("postings"))
+        .withColumnRenamed("__tok", "term")
+        .select("term", "df", "total_tf", "postings")
+    )
 
 
 def vocab_coverage(docs: DataFrame, top_n: int = 100,

@@ -201,11 +201,16 @@ def global_ranks(df: DataFrame, order: list[tuple[str, str]],
     t = (base.withColumn("rnk", F.min("__rn").over(wt))
              .withColumn("__maxrn", F.max("__rn").over(wt)))
     dense_src = t.select(F.col("rnk").alias("__grnk")).distinct()
-    dense, _ = global_row_number(dense_src, [("__grnk", "asc")], "drnk",
-                                 num_partitions)
-    out = t.join(F.broadcast(dense.withColumnRenamed("__grnk", "rnk"))
-                 if n and n <= 10_000_000 else
-                 dense.withColumnRenamed("__grnk", "rnk"), "rnk")
+    dense, dn = global_row_number(dense_src, [("__grnk", "asc")], "drnk",
+                                  num_partitions)
+    # Gate the broadcast on the dense frame's ACTUAL cardinality (free —
+    # it falls out of its offsets pass), not on n: with a unique tiebreak
+    # the frame has exactly n rows, and broadcasting anywhere near 10M
+    # rows would collect them all through the driver.  1M × two longs
+    # ≈ 16 MB — safely broadcastable; above that, plain shuffle join
+    # (AQE can still convert at runtime if the measured size is small).
+    dense = dense.withColumnRenamed("__grnk", "rnk")
+    out = t.join(F.broadcast(dense) if dn <= 1_000_000 else dense, "rnk")
     out = out.withColumn(
         "pct_rank",
         F.when(F.lit(n) > 1,
@@ -213,15 +218,32 @@ def global_ranks(df: DataFrame, order: list[tuple[str, str]],
         .otherwise(F.lit(0.0)),
     ).withColumn("cume_dist", F.col("__maxrn").cast("double") / F.lit(float(n or 1)))
     if ntile is not None:
-        # SQL NTILE(k): q = n div k rows per bucket, the first r = n mod k
-        # buckets take one extra row — exact integer division only (the
-        # float-floor form can misround near 2^53)
-        q, r = (n // int(ntile)), (n % int(ntile))
-        out = out.withColumn(
-            "ntile",
-            F.when(F.col("__rn") <= r * (q + 1),
-                   F.expr(f"(__rn - 1) div {q + 1}") + 1)
-            .otherwise(F.lit(r) + F.expr(f"(__rn - {r * (q + 1)} - 1) div {max(q, 1)}") + 1)
-            .cast("long"),
-        )
+        out = out.withColumn("ntile", _ntile_expr("__rn", n, int(ntile)))
     return out.withColumnRenamed("__rn", "row_number").drop("__maxrn")
+
+
+def _ntile_expr(rn_col: str, n: int, k: int) -> Column:
+    """Exact SQL NTILE(k) from a 1-based global row number: q = n div k
+    rows per bucket, the first r = n mod k buckets take one extra row —
+    exact integer division only (the float-floor form can misround near
+    2^53).  Shared by `global_ranks` and `global_ntile`."""
+    q, r = n // k, n % k
+    return (
+        F.when(F.col(rn_col) <= r * (q + 1),
+               F.expr(f"({rn_col} - 1) div {q + 1}") + 1)
+        .otherwise(F.lit(r) + F.expr(f"({rn_col} - {r * (q + 1)} - 1) div {max(q, 1)}") + 1)
+        .cast("long")
+    )
+
+
+def global_ntile(df: DataFrame, order: list[tuple[str, str]], k: int,
+                 num_partitions: int | None = None) -> DataFrame:
+    """NTILE(k) over a global ordering from `global_row_number` alone.
+    NTILE depends only on the row number — not on rank/dense_rank — so
+    this skips `global_ranks`' tie-group windows, dense-rank second pass,
+    and rank join entirely: ONE full-data shuffle (the range partition),
+    then map-side integer math.  Use this when only the bucket is
+    consumed (equi-depth histograms, range-split advisors)."""
+    base, n = global_row_number(df, order, "__rn", num_partitions)
+    return (base.withColumn("ntile", _ntile_expr("__rn", n, int(k)))
+            .withColumnRenamed("__rn", "row_number"))
