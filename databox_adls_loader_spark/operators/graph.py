@@ -72,6 +72,26 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "a",
     )
 
 
+def degree_distribution(pairs: DataFrame, a_col: str = "a",
+                        b_col: str = "b") -> DataFrame:
+    """(degree, n_nodes) histogram of an undirected pair graph — the
+    sanity check run on a near-dup pair list BEFORE clustering it: a
+    heavy tail here (one doc paired with thousands) means a boilerplate
+    template is about to glue unrelated documents into one giant
+    component, and the pair-generation threshold needs tightening.
+
+    Two skinny shuffles (endpoint → degree, degree → count) over 2×|E|
+    rows; both partial-aggregate map-side, so a hot node collapses to
+    one row per input partition before the shuffle — the profile never
+    suffers the skew it detects."""
+    ends = (pairs.select(F.col(a_col).alias("n"))
+            .unionAll(pairs.select(F.col(b_col).alias("n"))))
+    deg = ends.groupBy("n").agg(F.count(F.lit(1)).alias("degree"))
+    return (deg.groupBy("degree")
+            .agg(F.count(F.lit(1)).alias("n_nodes"))
+            .orderBy("degree"))
+
+
 def cluster_representatives(cc: DataFrame, docs: DataFrame,
                             score_col: str = "n_chars",
                             id_col: str = "doc_id") -> DataFrame:

@@ -110,6 +110,43 @@ def skew_key_profile(df: DataFrame, key: str | Column, top_n: int = 20) -> DataF
     )
 
 
+def iqr_outlier_profile(df: DataFrame, group_col: str, value_col: str,
+                        k: float = 1.5) -> DataFrame:
+    """Tukey-fence outlier profile per group: exact quartiles, the
+    [q1 − k·IQR, q3 + k·IQR] fences, and how many rows fall outside —
+    the robust "is this column's tail garbage or signal" check run
+    before trusting a mean or choosing a clip threshold (the robust
+    complement of `profile_columns`' min/max).
+
+    Two stages: (1) exact interpolated quartiles per group (one
+    sort-within-group aggregate — substitute approx_percentile at
+    100 TB, same shape); (2) the group→fence map is tiny (one row per
+    group), so it broadcasts back onto the fact side and the outlier
+    counts partial-aggregate map-side — the data shuffles once for the
+    quartiles and once for the counts, both keyed by group.  Fence
+    arithmetic is plain IEEE double (engine-portable given identical
+    quartiles).
+    """
+    v = F.col(value_col)
+    q = df.groupBy(group_col).agg(
+        F.expr(f"percentile_cont(0.25) WITHIN GROUP (ORDER BY {value_col})")
+        .alias("q1"),
+        F.expr(f"percentile_cont(0.75) WITHIN GROUP (ORDER BY {value_col})")
+        .alias("q3"))
+    fences = q.select(
+        group_col, "q1", "q3",
+        (F.col("q1") - F.lit(k) * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + F.lit(k) * (F.col("q3") - F.col("q1"))).alias("hi"))
+    return (
+        df.select(group_col, value_col)
+        .join(F.broadcast(fences), group_col)
+        .groupBy(group_col, "q1", "q3", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.count(F.when(v < F.col("lo"), 1)).alias("n_below"),
+             F.count(F.when(v > F.col("hi"), 1)).alias("n_above"))
+    )
+
+
 def histogram(df: DataFrame, value: str | Column, width: float) -> DataFrame:
     """Fixed-width histogram: bucket = floor(value / width), with the
     bucket's inclusive lower bound and row count.

@@ -1,0 +1,75 @@
+"""Time-series regularization: per-key calendar densification (gap fill)
+and forward fill.
+
+Aggregated event/order series are sparse — days with no rows simply don't
+exist — but downstream consumers (moving averages, day-over-day deltas,
+training-curve joins) need a dense, regular grid.  These operators
+densify per key and carry the last observation forward, the standard
+"regularize then resample" step of a telemetry/feature pipeline.
+
+Scale notes
+-----------
+* `calendar_fill` emits one row per (key, day-in-span): output-linear,
+  produced by an `explode(sequence(min, max))` over the per-key bounds —
+  a skinny aggregate (2 dates per key) followed by a generator, never a
+  driver-side loop.  The join back to the observed rows is keyed by
+  (key, date) — plain hash shuffle, co-partitioned with any upstream
+  per-(key, date) aggregate that produced `daily`.
+* `forward_fill` windows partition BY KEY — parallel across keys, and a
+  single key's partition is bounded by its calendar span (days), not by
+  raw event rows.  No global (single-partition) window anywhere.
+* A key spanning 30 years is ~11k rows — trivially fine; the hazard to
+  watch is millions of keys × tiny spans, which is exactly the shape the
+  explode handles (many small partitions, no skew).
+
+Reference parity: the reference has no time dimension at all; this is
+part of the beyond-reference pipeline surface (SURVEY §2.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def calendar_fill(daily: DataFrame, key_col: str,
+                  date_col: str) -> DataFrame:
+    """Densify a per-(key, date) frame to one row per key per calendar
+    day between that key's own first and last observed date.  Missing
+    days appear with NULL in every non-key column.
+
+    Precondition: `daily` is unique per (key, date) — i.e. it is the
+    output of a groupBy(key, date) aggregate, not raw events.
+    """
+    bounds = daily.groupBy(key_col).agg(
+        F.min(date_col).alias("__lo"), F.max(date_col).alias("__hi"))
+    cal = bounds.select(
+        key_col, F.explode(F.sequence("__lo", "__hi")).alias(date_col))
+    return cal.join(daily, [key_col, date_col], "left")
+
+
+def forward_fill(df: DataFrame, key_col: str, order_col: str,
+                 cols: list[str]) -> DataFrame:
+    """Carry the last non-NULL value of each column in ``cols`` forward
+    along ``order_col`` within each key (rows before the first
+    observation stay NULL).  `last(ignorenulls)` over a running frame —
+    one pass, partitioned by key."""
+    w = (Window.partitionBy(key_col).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def gap_fill_forward(daily: DataFrame, key_col: str, date_col: str,
+                     ffill_cols: list[str],
+                     zero_fill: dict[str, Column] | None = None
+                     ) -> DataFrame:
+    """Composed form: densify the calendar, zero-fill the columns in
+    ``zero_fill`` (name → fill literal; counts get 0, not a carried
+    value), and forward-fill ``ffill_cols``."""
+    dense = calendar_fill(daily, key_col, date_col)
+    for name, lit in (zero_fill or {}).items():
+        dense = dense.withColumn(name, F.coalesce(F.col(name), lit))
+    return forward_fill(dense, key_col, date_col, ffill_cols)

@@ -466,3 +466,135 @@ def sql_udf_chars_per_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source, cpt_bucket, COUNT(*) AS n
         FROM c GROUP BY source, cpt_bucket ORDER BY source, cpt_bucket
     """)
+
+
+# ---------------------------------------------------------------------------
+# time-series regularization
+# ---------------------------------------------------------------------------
+
+@register(
+    "ts_gap_fill_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS d,
+             COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1, 2
+    ), b AS (SELECT pri, MIN(d) AS lo, MAX(d) AS hi FROM daily GROUP BY pri),
+    cal AS (
+      SELECT pri, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+      FROM b
+    )
+    SELECT cal.pri, cal.d,
+           CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_orders,
+           CAST(last_value(daily.rev IGNORE NULLS)
+                OVER (PARTITION BY cal.pri ORDER BY cal.d) AS DOUBLE) AS rev_ff
+    FROM cal LEFT JOIN daily ON cal.pri = daily.pri AND cal.d = daily.d
+    ORDER BY cal.pri, cal.d
+    """,
+    tags=["timeseries", "window"],
+)
+def ts_gap_fill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-priority daily series from sparse order dates: calendar
+    gap fill (explode(sequence) per key — no driver loop), zero-filled
+    counts, and forward-filled revenue (exact decimal sum carried, cast
+    to double at the end).  The regularization step every moving-average
+    / day-over-day consumer assumes (w3/w4 operate on observed days
+    only; this produces the grid they'd want at scale)."""
+    from ..functions import exact
+    from ..operators import timeseries
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.col("o_orderpriority").alias("pri"),
+                       F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum(exact.dec("o_totalprice")).alias("rev"))
+    )
+    dense = timeseries.gap_fill_forward(
+        daily, "pri", "d", ffill_cols=["rev"],
+        zero_fill={"n_orders": F.lit(0)})
+    return (
+        dense.select("pri", "d",
+                     F.col("n_orders").cast("long").alias("n_orders"),
+                     F.col("rev").cast("double").alias("rev_ff"))
+        .orderBy("pri", "d")
+    )
+
+
+@register(
+    "prof_iqr_outliers",
+    oracle="""
+    WITH q AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders GROUP BY o_orderpriority
+    ), f AS (
+      SELECT o_orderpriority, q1, q3,
+             q1 - CAST(1.5 AS DOUBLE) * (q3 - q1) AS lo,
+             q3 + CAST(1.5 AS DOUBLE) * (q3 - q1) AS hi
+      FROM q
+    )
+    SELECT o.o_orderpriority,
+           ROUND(f.q1, 6) AS q1, ROUND(f.q3, 6) AS q3,
+           ROUND(f.lo, 6) AS lo, ROUND(f.hi, 6) AS hi,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN o.o_totalprice < f.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+           CAST(SUM(CASE WHEN o.o_totalprice > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+    FROM orders o JOIN f ON o.o_orderpriority = f.o_orderpriority
+    GROUP BY 1, f.q1, f.q3, f.lo, f.hi
+    ORDER BY 1
+    """,
+    tags=["profile", "percentile"],
+)
+def prof_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier counts per priority: exact quartiles, fences
+    at 1.5×IQR, and how many order totals fall outside — the robust
+    tail check run before trusting a mean or picking a clip threshold.
+    The tiny fence map broadcasts back onto the fact scan; counts
+    partial-aggregate map-side."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    out = profile.iqr_outlier_profile(orders, "o_orderpriority",
+                                      "o_totalprice")
+    return (
+        out.select("o_orderpriority",
+                   F.round("q1", 6).alias("q1"), F.round("q3", 6).alias("q3"),
+                   F.round("lo", 6).alias("lo"), F.round("hi", 6).alias("hi"),
+                   "n", "n_below", "n_above")
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(t) - 2, 1) + 1),
+        i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+      FROM toks
+    ), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT i.a, i.b FROM (
+        SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
+        FROM sh l JOIN sh r ON l.g = r.g AND l.doc_id < r.doc_id
+        GROUP BY 1, 2
+      ) i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+      WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.5
+    ), ends AS (SELECT a AS n FROM pairs UNION ALL SELECT b AS n FROM pairs),
+    deg AS (SELECT n, COUNT(*) AS degree FROM ends GROUP BY n)
+    SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree ORDER BY degree
+    """,
+    tags=["graph", "profile"],
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the exact near-dup pair graph — the
+    pre-clustering sanity check: a heavy tail means boilerplate is about
+    to glue unrelated docs into one giant component (tighten the pair
+    threshold before running connected components)."""
+    from ..operators import dedup
+    from ..operators.graph import degree_distribution
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return degree_distribution(pairs)
