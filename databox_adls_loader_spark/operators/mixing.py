@@ -95,3 +95,36 @@ def pack_token_shards(docs: DataFrame, budget_tokens: int,
                                 out_col="tok_before", value_type="bigint")
     return run.withColumn(
         "shard", F.expr(f"tok_before div {int(budget_tokens)}"))
+
+
+def source_concentration(docs: DataFrame, group_col: str,
+                         weight: Column, k: int = 10) -> DataFrame:
+    """Concentration (Lorenz) curve of a corpus over its sources: rank
+    groups by descending total ``weight``, bucket them into ``k`` ntiles,
+    and report each bucket's exact cumulative share in integer ppm —
+    "the top 10% of sources contribute X% of the corpus", the imbalance
+    diagnostic read before choosing `stratified_sample` rates or
+    `domain_topk` caps.
+
+    Per-group totals partial-aggregate in one shuffle; the ntile comes
+    from `global_ntile` (range partition — no single-partition window
+    over the group list); the running sum at the end runs over ≤ k rows
+    — bounded by the parameter, not the data.  Integer ppm
+    (`cum * 1_000_000 div total`) keeps the output exact and
+    engine-portable; weights stay int64 up to ~9.2e18 total.
+    """
+    from .windows import global_ntile
+    s = docs.groupBy(group_col).agg(F.sum(weight).cast("long").alias("__w"))
+    nt = global_ntile(s, [("__w", "desc"), (group_col, "asc")], k)
+    d = nt.groupBy(F.col("ntile").alias("bucket")).agg(
+        F.sum("__w").cast("long").alias("weight"))
+    t = d.agg(F.sum("weight").alias("__total"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        d.crossJoin(F.broadcast(t))
+        .withColumn("__cum", F.sum("weight").over(w))
+        .select("bucket", "weight",
+                F.expr("__cum * 1000000L div __total").cast("long")
+                .alias("cum_ppm"))
+        .orderBy("bucket")
+    )

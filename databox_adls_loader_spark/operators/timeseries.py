@@ -62,6 +62,45 @@ def forward_fill(df: DataFrame, key_col: str, order_col: str,
     return out
 
 
+def rolling_distinct_count(df: DataFrame, day_col: Column | str,
+                           key_col: str, window: int = 7,
+                           out_day: str = "epoch_day",
+                           out_col: str = "n_active") -> DataFrame:
+    """Trailing-``window``-day distinct ``key_col`` per day — the DAU/WAU
+    ("weekly active users") aggregate.
+
+    ``COUNT(DISTINCT) OVER (RANGE ...)`` is unsupported in Spark, and the
+    naive per-day self-join re-scans the data once per day.  Instead each
+    DISTINCT (key, day) pair is exploded to the ≤``window`` reporting
+    days it can contribute to, then one distinct-aggregate runs per
+    reporting day: expansion is bounded at window× the distinct PAIR set
+    (not raw events — the distinct collapses first, map-side), and every
+    stage is an ordinary partial-aggregated shuffle.  Days inside the
+    observed span with no contributing key report 0.
+
+    ``day_col`` must be integer days (e.g. ``unix_micros(ts) div
+    86_400_000_000`` — engine-portable epoch math, no timezone/dow
+    convention involved); the output day column is the same integer day.
+    """
+    d = F.col(day_col) if isinstance(day_col, str) else day_col
+    pairs = df.select(d.cast("long").alias("__d"),
+                      F.col(key_col).alias("__k")).distinct()
+    bounds = pairs.agg(F.min("__d").alias("__lo"), F.max("__d").alias("__hi"))
+    cal = bounds.select(
+        F.explode(F.sequence("__lo", "__hi")).alias(out_day))
+    contrib = pairs.select(
+        "__k",
+        F.explode(F.sequence(F.col("__d"), F.col("__d") + (window - 1)))
+        .alias(out_day))
+    counts = contrib.groupBy(out_day).agg(
+        F.count_distinct("__k").alias(out_col))
+    return (
+        cal.join(counts, out_day, "left")
+        .select(out_day,
+                F.coalesce(F.col(out_col), F.lit(0)).cast("long").alias(out_col))
+    )
+
+
 def gap_fill_forward(daily: DataFrame, key_col: str, date_col: str,
                      ffill_cols: list[str],
                      zero_fill: dict[str, Column] | None = None
