@@ -90,13 +90,23 @@ def load_tables(spark: SparkSession, sf_dir: str,
                 # set it defensively here, not only in get_spark
                 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(path)
-            if n == "events" and dict(df.dtypes).get("ts") == "bigint":
+            if n == "events":
                 from pyspark.sql import functions as F
-                # integer division: float `/ 1000` rounds at microsecond
-                # precision (int64 ns exceeds a double's 52-bit mantissa)
-                # where DuckDB's nanos→micros truncates
-                df = df.withColumn(
-                    "ts", F.timestamp_micros(F.expr("ts div 1000")))
+                ts_type = dict(df.dtypes).get("ts")
+                if ts_type == "bigint":
+                    # integer division: float `/ 1000` rounds at microsecond
+                    # precision (int64 ns exceeds a double's 52-bit
+                    # mantissa) where DuckDB's nanos→micros truncates
+                    df = df.withColumn(
+                        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+                elif ts_type == "timestamp_ntz":
+                    # parquet TIMESTAMP(isAdjustedToUTC=false) surfaces as
+                    # TIMESTAMP_NTZ, which unix_micros/window() reject.
+                    # The session timezone is pinned UTC, so the cast is a
+                    # pure retag: wall-clock values (and therefore every
+                    # oracle comparison against DuckDB's naive TIMESTAMP)
+                    # are unchanged
+                    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
             _TABLE_CACHE[key] = df
         out[n] = df
     return out
