@@ -1,0 +1,116 @@
+"""Session-scoped cache lifecycle: explicit release of persisted frames
+between queries, plus deliberate cross-query sharing of expensive subplans.
+
+Two problems this solves (both 100 TB scale killers, both observed in the
+local 125-query bench):
+
+1. Operators that ``persist()`` an intermediate (MinHash signatures,
+   SimHash fingerprints, shingle-hash frames, range-partitioned window
+   inputs) cannot unpersist it themselves — they return a *lazy* plan and
+   the cache must stay alive until the caller's action has run.  Left
+   alone, those blocks accumulate across a session (storage-memory
+   pressure → GC churn → spills).  ``release_cached`` is the harness-side
+   contract: call it after consuming each query's result and the session
+   is back to zero cached blocks.
+
+2. The near-dup pair graph (shingle self-join) and its connected
+   components feed several registry queries (components, cluster reps,
+   leakage-safe split, degree profile).  Recomputing the graph per query
+   multiplies the most expensive subplan in the suite by 4.  The
+   ``shared_*`` helpers memoize it per (session, sf_dir) as an eagerly
+   local-checkpointed DataFrame — materialized once, lineage-free, and
+   exempt from ``release_cached`` (the blocks are the point).
+
+At 100 TB the same pattern holds: a production pipeline computes the pair
+graph once, checkpoints it to reliable storage, and every downstream
+consumer (dedup, splits, audits) reads the checkpoint — never re-derives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# DataFrames memoized per (applicationId, sf_dir, params...)
+_SHARED: dict[tuple, DataFrame] = {}
+# RDD ids backing the memoized checkpoints — release_cached must not touch
+_PROTECTED: set[int] = set()
+
+
+def _persistent_ids(spark: SparkSession) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def snapshot(df: DataFrame) -> DataFrame:
+    """Eagerly materialize ``df`` as a local checkpoint and shield its
+    blocks from ``release_cached``.  The returned frame is lineage-free:
+    downstream plans read the stored blocks, never the original subplan."""
+    spark = df.sparkSession
+    before = _persistent_ids(spark)
+    out = df.localCheckpoint(eager=True)
+    _PROTECTED.update(_persistent_ids(spark) - before)
+    return out
+
+
+def release_cached(spark: SparkSession) -> int:
+    """Drop every cached block the session holds, except snapshot()-pinned
+    ones.  Returns the number of RDDs unpersisted.
+
+    Two layers: ``catalog.clearCache()`` empties the SQL CacheManager
+    (every ``DataFrame.persist`` an operator took), then the RDD sweep
+    drops stray local-checkpoint blocks (e.g. the per-round label frames
+    of an iterative connected-components run).  Call after each query's
+    action completes — never between building a plan and collecting it,
+    or the persist the operator relied on silently becomes a recompute."""
+    spark.catalog.clearCache()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    n = 0
+    for key in list(jmap.keySet().toArray()):
+        if int(key) in _PROTECTED:
+            continue
+        rdd = jmap.get(key)
+        if rdd is not None:
+            rdd.unpersist(False)
+            n += 1
+    return n
+
+
+def _evict_other_sessions(app_id: str) -> None:
+    for k in [k for k in _SHARED if k[0] != app_id]:
+        del _SHARED[k]
+
+
+def shared_jaccard_pairs(spark: SparkSession, sf_dir: str, n: int = 3,
+                         threshold: float = 0.5) -> DataFrame:
+    """The exact n-gram Jaccard near-dup pair graph over ``documents``,
+    computed once per (session, sf_dir) and reused by every consumer.
+    Columns: (a, b, jaccard) — jaccard unrounded; callers round."""
+    from .operators.dedup import ngram_jaccard_pairs
+    from .session import load_tables
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, "jaccard_pairs", n, threshold)
+    df = _SHARED.get(key)
+    if df is None:
+        _evict_other_sessions(app_id)
+        docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+        df = snapshot(ngram_jaccard_pairs(docs, n=n, threshold=threshold))
+        _SHARED[key] = df
+    return df
+
+
+def shared_components(spark: SparkSession, sf_dir: str, n: int = 3,
+                      threshold: float = 0.5) -> DataFrame:
+    """Connected components (n, component) of the shared pair graph —
+    memoized like the graph itself (three registry queries consume it)."""
+    from .operators.graph import connected_components
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, "components", n, threshold)
+    df = _SHARED.get(key)
+    if df is None:
+        _evict_other_sessions(app_id)
+        pairs = shared_jaccard_pairs(spark, sf_dir, n, threshold)
+        df = snapshot(connected_components(pairs))
+        _SHARED[key] = df
+    return df

@@ -47,6 +47,28 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# portable 60-bit hash
+# ---------------------------------------------------------------------------
+
+def md5_long(col: Column | str, seed: int | None = None) -> Column:
+    """Engine-portable 60-bit hash: the first 15 hex nibbles of md5,
+    parsed base-16 into a long (< 2^60, so the parse and any downstream
+    integer math never overflow a signed 64-bit).
+
+    ``xxhash64`` is the cheaper JVM-side default for the scale paths, but
+    it exists only in Spark — DuckDB (the correctness oracle) cannot
+    reproduce it.  md5 exists bit-identically in both engines, and the
+    nibble→integer arithmetic is plain exact math both can express, so
+    every operator built on this hash is fully oracle-checkable
+    (the same trick the split/mixing oracles already use).  Seeded form
+    prefixes ``"<seed>|"`` so k-permutation families stay independent."""
+    c = F.col(col) if isinstance(col, str) else col
+    if seed is not None:
+        c = F.concat_ws("|", F.lit(str(seed)), c)
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
 # shingling
 # ---------------------------------------------------------------------------
 
@@ -85,7 +107,7 @@ def minhash_signature(shingles: Column, k: int = 32) -> Column:
 
 def minhash_docs(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", k: int = 32,
-                 shingle_n: int = 3) -> DataFrame:
+                 shingle_n: int = 3, portable: bool = False) -> DataFrame:
     """(id, sig) — explode the shingle set and take k codegen'd
     min-aggregates (one per permutation seed) in a single shuffle on
     the doc id.
@@ -96,13 +118,23 @@ def minhash_docs(docs: DataFrame, text_col: str = "text",
     transform costs k× the shingling work per row, outside codegen.  The
     explode form keeps everything in whole-stage codegen; map-side partial
     aggregation collapses each partition to one row per doc before the
-    shuffle, so the shuffle volume is O(docs × k), not O(shingles)."""
+    shuffle, so the shuffle volume is O(docs × k), not O(shingles).
+
+    ``portable=True`` swaps xxhash64 for the md5-derived 60-bit hash
+    (md5_long) so the signatures — and everything downstream of them —
+    are reproducible in the DuckDB oracle.  Costlier per shingle (k md5
+    digests vs k xxhash64), so the default stays xxhash64 for
+    production-scale runs where no cross-engine check is needed."""
     exploded = docs.select(
         F.col(id_col),
         F.explode(word_shingles(text_col, shingle_n)).alias("__g"),
     )
-    mins = [F.min(F.xxhash64(F.lit(j), "__g")).alias(f"__h{j}")
-            for j in range(k)]
+    if portable:
+        mins = [F.min(md5_long("__g", seed=j)).alias(f"__h{j}")
+                for j in range(k)]
+    else:
+        mins = [F.min(F.xxhash64(F.lit(j), "__g")).alias(f"__h{j}")
+                for j in range(k)]
     return (
         exploded.groupBy(id_col).agg(*mins)
         .select(F.col(id_col),
@@ -111,29 +143,36 @@ def minhash_docs(docs: DataFrame, text_col: str = "text",
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8,
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        portable: bool = False) -> DataFrame:
     """Band the signature (rows = k/bands per band), bucket-join within
     (band, band_hash).  Returns distinct candidate (a, b) pairs with a < b.
 
     Scale: the join key (band_idx, band_hash) is uniform; a hot bucket means
     genuinely near-duplicate mass, which AQE skew-join splits.
 
+    ``portable=True`` keys buckets on the comma-joined band slice itself
+    (decimal long rendering is identical in Spark and DuckDB) instead of
+    its xxhash64 — collision-free and oracle-expressible; the 8-byte hash
+    key remains the default for shuffle-volume reasons at scale.
+
     The signature length must be divisible by ``bands`` — fractional band
     widths would silently drop trailing components and shift band
     boundaries (checked at runtime on the first row)."""
     k_over_b = F.size(F.col("sig")) / bands
+
+    def band_key(b):
+        joined = F.concat_ws(",", F.transform(
+            F.slice(F.col("sig"),
+                    (b * k_over_b + 1).cast("int"),
+                    k_over_b.cast("int")),
+            lambda x: x.cast("string")))
+        return joined if portable else F.xxhash64(b, joined).cast("string")
+
     banded = sigs.select(
         F.col(id_col).alias("id"),
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    b, F.concat_ws(",", F.transform(
-                        F.slice(F.col("sig"),
-                                (b * k_over_b + 1).cast("int"),
-                                k_over_b.cast("int")),
-                        lambda x: x.cast("string")))),
-            )
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
         ).alias("band", "band_hash"),
     )
     left = banded.alias("l")
@@ -150,17 +189,22 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8,
 
 def minhash_near_dupes(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 32, bands: int = 8,
-                       threshold: float = 0.6, shingle_n: int = 3) -> DataFrame:
+                       threshold: float = 0.6, shingle_n: int = 3,
+                       portable: bool = False) -> DataFrame:
     """Full MinHash-LSH pipeline: candidates from banding, then verified by
     the signature-estimated Jaccard (fraction of equal components) ≥
-    threshold.  Returns (a, b, est_jaccard)."""
+    threshold.  Returns (a, b, est_jaccard).  ``portable=True`` builds the
+    signatures on the md5-derived hash so the whole pipeline is
+    reproducible in the DuckDB oracle (see md5_long)."""
     # sigs feeds the band self-join (twice) and both verify joins — persist
-    # so the signature computation runs once, not four times
+    # so the signature computation runs once, not four times.  The caller
+    # releases the cache after consuming the result (cache.release_cached);
+    # an unpersist here would fire before the lazy plan ever ran.
     if k % bands != 0:
         raise ValueError(f"k={k} not divisible by bands={bands}: "
                          "trailing signature components would be dropped")
-    sigs = minhash_docs(docs, text_col, id_col, k, shingle_n).persist()
-    cands = lsh_candidate_pairs(sigs, bands)
+    sigs = minhash_docs(docs, text_col, id_col, k, shingle_n, portable).persist()
+    cands = lsh_candidate_pairs(sigs, bands, portable=portable)
     a = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
     est = (
@@ -207,15 +251,24 @@ def simhash(col: Column | str, bits: int = 63) -> Column:
 
 
 def simhash_docs(docs: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id", bits: int = 63) -> DataFrame:
+                 id_col: str = "doc_id", bits: int = 63,
+                 portable: bool = False) -> DataFrame:
     """(id, fp) — explode tokens, sum ±1 per bit position in `bits`
     codegen'd aggregates, pack sign bits.  Same values as `simhash` (bit b
     weighted 2^b) but whole-stage-codegen'd end to end instead of an
-    interpreted O(tokens × bits) lambda fold per row."""
+    interpreted O(tokens × bits) lambda fold per row.
+
+    ``portable=True`` hashes tokens with the md5-derived 60-bit hash
+    (pass ``bits <= 60``) so fingerprints are bit-identical in the DuckDB
+    oracle; default stays xxhash64 (cheaper, 63 usable bits)."""
+    if portable and bits > 60:
+        raise ValueError(f"portable simhash supports <= 60 bits, got {bits}")
+    tok_hash = (md5_long(F.col("__t")) if portable
+                else F.xxhash64("__t"))
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__t"),
-    ).select("id", F.xxhash64("__t").alias("__h"))
+    ).select("id", tok_hash.alias("__h"))
     sums = [F.sum(F.when(F.getbit("__h", F.lit(b)) == 1, 1).otherwise(-1))
             .alias(f"__c{b}") for b in range(bits)]
     packed = None
@@ -231,19 +284,29 @@ def simhash_docs(docs: DataFrame, text_col: str = "text",
 
 def simhash_near_dupes(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", max_hamming: int = 3,
-                       bits: int = 63) -> DataFrame:
+                       bits: int = 63, portable: bool = False) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
     Scale path (pigeonhole blocking): split the fingerprint into
     ``max_hamming + 1`` blocks — any pair within the radius shares at
     least one block verbatim, so candidates come from equi-joins on
     (block_idx, block_value) with **guaranteed 100% recall**, then the
-    exact popcount filter prunes.  Never an n² compare."""
+    exact popcount filter prunes.  Never an n² compare.
+
+    Pigeonhole recall requires the blocks to COVER the fingerprint:
+    pick (bits, max_hamming) with (max_hamming+1) | bits — e.g. 63/6
+    (7×9-bit blocks, the xxhash64 default) or 60/5 (6×10-bit, the
+    portable md5 form)."""
     n_blocks = max_hamming + 1
     width = bits // n_blocks
+    if width * n_blocks != bits:
+        raise ValueError(
+            f"blocks must tile the fingerprint: bits={bits} not divisible "
+            f"by max_hamming+1={n_blocks} (uncovered bits lose recall)")
     # fp feeds both sides of the block self-join — persist so the token
-    # aggregation runs once
-    fp = simhash_docs(docs, text_col, id_col, bits).persist()
+    # aggregation runs once; released by the caller post-action
+    # (cache.release_cached)
+    fp = simhash_docs(docs, text_col, id_col, bits, portable).persist()
     blocks = fp.select(
         "id", "fp",
         F.posexplode(F.array(*[

@@ -2,11 +2,15 @@
 multimodal — the north-star training-data-pipeline surface, registered in
 the same oracle-checked registry as the relational core.
 
-xxhash64-based operators (MinHash-LSH, SimHash, sign-LSH ANN) have no
-DuckDB-portable hash, so they register rows-only (oracle=None) with their
-exact counterparts (ngram-jaccard, brute-force cosine) oracle-checked —
-the tests then assert the approximate operators against the exact ones
-(recall / candidate-containment), which is the stronger check anyway.
+The LSH-family queries (MinHash-LSH, SimHash, sign-LSH ANN) run their
+operators in *portable* hash mode — md5-derived 60-bit hashes
+(operators/dedup.md5_long) and fixed-seed hyperplanes inlined as SQL
+literals — so the ENTIRE approximate pipeline is reproduced in DuckDB and
+hash-checked end to end, not just rows-counted.  The xxhash64 fast path
+remains the production default; tests additionally assert the approximate
+operators against their exact counterparts (recall / candidate
+containment).  Only the genuinely-unverifiable entries (multimodal binary
+fixtures DuckDB cannot see, the sample-seeded IVF) stay rows-only.
 """
 
 from __future__ import annotations
@@ -16,6 +20,47 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, similarity, text
 from .queries import _t, register
+
+
+def _hex15_to_long(col: str) -> str:
+    """DuckDB expression: first 15 hex nibbles of the md5 VARCHAR in
+    ``col`` parsed base-16 into a BIGINT — the oracle half of
+    operators/dedup.md5_long (Spark: conv(substr(md5(x),1,15),16,10)).
+    16**(15-i) is a power of two, exact in DOUBLE, so the CAST chain is
+    lossless; the sum < 2^60 never overflows."""
+    return (
+        "CAST(list_aggregate(list_transform(range(1, 16), "
+        f"i -> (strpos('0123456789abcdef', substr({col}, CAST(i AS INT), 1)) - 1) "
+        "* CAST(16 ** (15 - i) AS BIGINT)), 'sum') AS BIGINT)"
+    )
+
+
+def _planes_values_sql(n_planes: int, seed: int = 7, dim: int = 64) -> str:
+    """The deterministic hyperplanes of operators/similarity._planes as a
+    DuckDB VALUES CTE ``planes(pi, p)`` — repr() round-trips each double
+    exactly, so both engines dot against bit-identical plane vectors.
+    (embeddings.parquet is dim-64 at every SF — driver contract.)"""
+    rows = []
+    for i, p in enumerate(similarity._planes(dim, n_planes, seed)):
+        vals = ", ".join(repr(float(v)) for v in p)
+        rows.append(f"({i}, [{vals}])")
+    return "planes(pi, p) AS (VALUES " + ",\n      ".join(rows) + ")"
+
+
+def _bucket_cte_sql(dim: int = 64) -> str:
+    """Shared oracle CTEs: embeddings as DOUBLE[] plus the sign-LSH bucket
+    of every vector against the ``planes`` CTE (bit p set iff v·plane_p
+    ≥ 0 — same packing as similarity._bucket_expr)."""
+    return f"""
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    bk AS (
+      SELECT e.vec_id,
+             CAST(SUM(CASE WHEN list_sum(list_transform(range(1, {dim + 1}),
+                            i -> v[i] * p[i])) >= 0
+                      THEN CAST(2 ** pi AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS bucket
+      FROM e CROSS JOIN planes GROUP BY e.vec_id
+    )"""
 
 # ---------------------------------------------------------------------------
 # dedup
@@ -67,24 +112,106 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a", "b", F.round("jaccard", 6).alias("jaccard")).orderBy("a", "b")
 
 
-@register("dedup_minhash_lsh", oracle=None, tags=["dedup", "rows-only"])
+@register(
+    "dedup_minhash_lsh",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(t) - 2, 1) + 1),
+        i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+      FROM toks
+    ), hh AS (
+      SELECT doc_id, j, md5(CAST(j AS VARCHAR) || '|' || g) AS m
+      FROM sh CROSS JOIN range(0, 32) AS sj(j)
+    ), hx AS (
+      SELECT doc_id, j, MIN({_hex15_to_long('m')}) AS hmin
+      FROM hh GROUP BY doc_id, j
+    ), sig AS (
+      SELECT doc_id, list(hmin ORDER BY j) AS sig FROM hx GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, bi,
+             array_to_string(list_transform(
+               list_slice(sig, bi * 4 + 1, bi * 4 + 4),
+               x -> CAST(x AS VARCHAR)), ',') AS bkey
+      FROM sig CROSS JOIN range(0, 8) AS sb(bi)
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM banded l JOIN banded r
+        ON l.bi = r.bi AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+    ), est AS (
+      SELECT c.a, c.b,
+             len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) / 32.0
+               AS est_jaccard
+      FROM cand c JOIN sig sa ON c.a = sa.doc_id JOIN sig sb ON c.b = sb.doc_id
+    )
+    SELECT a, b, est_jaccard FROM est
+    WHERE est_jaccard >= 0.5 ORDER BY a, b
+    """,
+    tags=["dedup", "lsh"],
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(k=32)+LSH(8 bands) near-dup pairs — the 100 TB scale path.
-    xxhash64 signatures aren't portable to DuckDB ⇒ rows-only here;
-    tests/test_dedup.py asserts candidate containment vs the exact
-    ngram-jaccard oracle query."""
+    """MinHash(k=32)+LSH(8 bands) near-dup pairs — the 100 TB scale path,
+    run in portable-hash mode (md5-derived signatures, operators/dedup.
+    md5_long) so DuckDB rebuilds the identical signatures, bands,
+    candidates, and estimated-Jaccard verdicts: a full value-hash check
+    of the approximate pipeline, not a rows-only count.  The est is
+    equal-components/32 — /2^5, exact in both engines' doubles.
+    tests additionally assert candidate containment vs exact Jaccard."""
     (docs,) = _t(spark, sf_dir, "documents")
     return (
-        dedup.minhash_near_dupes(docs, k=32, bands=8, threshold=0.5)
+        dedup.minhash_near_dupes(docs, k=32, bands=8, threshold=0.5,
+                                 portable=True)
         .orderBy("a", "b")
     )
 
 
-@register("dedup_simhash", oracle=None, tags=["dedup", "rows-only"])
+@register(
+    "dedup_simhash",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents
+    ), th AS (
+      SELECT doc_id, md5(tok) AS m FROM toks
+    ), hv AS (
+      SELECT doc_id, {_hex15_to_long('m')} AS h FROM th
+    ), bs AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS c
+      FROM hv CROSS JOIN range(0, 60) AS rb(b)
+      GROUP BY doc_id, b
+    ), fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN c > 0
+                           THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                           ELSE 0 END) AS BIGINT) AS fp
+      FROM bs GROUP BY doc_id
+    ), blocks AS (
+      SELECT doc_id, fp, bi, (fp >> CAST(bi * 10 AS INT)) & 1023 AS bv
+      FROM fp CROSS JOIN range(0, 6) AS ri(bi)
+    )
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+           CAST(bit_count(xor(l.fp, r.fp)) AS INT) AS hamming
+    FROM blocks l JOIN blocks r
+      ON l.bi = r.bi AND l.bv = r.bv AND l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.fp, r.fp)) <= 5
+    ORDER BY a, b
+    """,
+    tags=["dedup", "lsh"],
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 6 of 64 bits, 16-bit block join)."""
+    """SimHash near-dup pairs in portable mode: 60-bit md5-derived token
+    hashes, ±1 bit sums, pigeonhole block join (6 blocks × 10 bits ⇒
+    100% recall at hamming ≤ 5), exact popcount verify — every stage
+    integer-exact, so the DuckDB oracle reproduces the fingerprints and
+    the final pair set bit-for-bit."""
     (docs,) = _t(spark, sf_dir, "documents")
-    return dedup.simhash_near_dupes(docs, max_hamming=6).orderBy("a", "b")
+    return (
+        dedup.simhash_near_dupes(docs, max_hamming=5, bits=60, portable=True)
+        .orderBy("a", "b")
+    )
 
 
 @register(
@@ -130,19 +257,53 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_bruteforce(emb, list(query), k=20)
 
 
-@register("sim_topk_lsh", oracle=None, tags=["similarity", "rows-only"])
+@register(
+    "sim_topk_lsh",
+    oracle=f"""
+    WITH {_planes_values_sql(8)},{_bucket_cte_sql()},
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+    qb AS (SELECT bucket AS qbucket FROM bk WHERE vec_id = 1)
+    SELECT e.vec_id, ROUND(list_cosine_similarity(e.v, q.qv), 6) AS sim
+    FROM e JOIN bk ON e.vec_id = bk.vec_id
+    CROSS JOIN q CROSS JOIN qb
+    WHERE bit_count(xor(bk.bucket, qb.qbucket)) <= 1
+    ORDER BY sim DESC, e.vec_id LIMIT 20
+    """,
+    tags=["similarity", "lsh"],
+)
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH ANN top-20 (8 hyperplanes, hamming-1 probes) — approximate
-    by construction; tests assert recall@20 vs bruteforce."""
+    """Sign-LSH ANN top-20 (8 fixed-seed hyperplanes, hamming-1 probes).
+    The planes are deterministic (similarity._planes, seed 7) and inlined
+    into the oracle as exact literals, so DuckDB assigns the identical
+    sign buckets, probes the identical hamming-≤1 candidate set, and
+    reranks to the identical top-20 — the approximate index itself is
+    value-hash-checked, with recall@20 vs brute force asserted in tests."""
     (emb,) = _t(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 1).select("embedding").first()["embedding"]
     return similarity.topk_lsh(emb, list(query), k=20, n_planes=8, probe_hamming=1)
 
 
-@register("ann_cosine_pairs_lsh", oracle=None, tags=["similarity", "rows-only"])
+@register(
+    "ann_cosine_pairs_lsh",
+    oracle=f"""
+    WITH {_planes_values_sql(6)},{_bucket_cte_sql()}
+    SELECT la.vec_id AS a, rb.vec_id AS b,
+           ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS sim
+    FROM bk la JOIN bk rb ON la.bucket = rb.bucket AND la.vec_id < rb.vec_id
+    JOIN e ea ON ea.vec_id = la.vec_id
+    JOIN e eb ON eb.vec_id = rb.vec_id
+    WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4
+    ORDER BY a, b
+    """,
+    tags=["similarity", "lsh"],
+)
 def ann_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed near-dup pair search — candidates only from shared
-    sign buckets (the n²-free scale path)."""
+    sign buckets (the n²-free scale path), exact cosine verify within.
+    Same inlined-plane trick as sim_topk_lsh: the oracle rebuilds the
+    buckets, so the candidate generation AND the verified pair set are
+    hash-checked against DuckDB (threshold applied to the rounded sim on
+    both sides)."""
     (emb,) = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_near_dup_pairs(emb, threshold=0.4, n_planes=6).orderBy("a", "b")
 
