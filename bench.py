@@ -34,6 +34,8 @@ def main() -> None:
     from databox_adls_loader_spark.plans.queries import all_queries
     from databox_adls_loader_spark.session import get_spark
 
+    from databox_adls_loader_spark.cache import release_cached
+
     spark = get_spark("bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm the JVM
 
@@ -53,6 +55,11 @@ def main() -> None:
             el = time.perf_counter() - t0
             best = el if best is None or el < best else best
         timings[name] = round(best, 4)
+        # drop the query's persisted intermediates (operators cannot — the
+        # plans they return are lazy); without this the cached blocks of
+        # 125 queries accumulate and the tail of the bench pays the GC
+        # bill.  Session-shared snapshots (cache.py) are exempt by design.
+        release_cached(spark)
 
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     try:

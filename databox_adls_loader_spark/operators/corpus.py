@@ -79,7 +79,8 @@ def clean_corpus(docs: DataFrame, min_tokens: int = 20,
 def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
                        val_pct: int = 10, test_pct: int = 10,
                        salt: str = "split-v1",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       cc: DataFrame | None = None) -> DataFrame:
     """Train/val/test assignment where every near-dup CLUSTER lands in
     one split — the leakage-safe form of `text.train_val_test_split`.
 
@@ -94,10 +95,13 @@ def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
 
     Scale: components via the iterative min-label propagation
     (operators/graph.py, O(diameter) rounds); the join back to docs is
-    keyed by doc id; the split itself is map-side hash math.
+    keyed by doc id; the split itself is map-side hash math.  Pass a
+    precomputed ``cc`` (n, component) to reuse a checkpointed component
+    labeling across consumers instead of re-deriving it from ``pairs``.
     """
-    from .graph import connected_components
-    cc = connected_components(pairs)
+    if cc is None:
+        from .graph import connected_components
+        cc = connected_components(pairs)
     joined = docs.join(
         cc.select(F.col("n").alias(id_col), "component"), id_col, "left")
     key = F.coalesce(F.col("component"), F.col(id_col))

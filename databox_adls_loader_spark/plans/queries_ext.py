@@ -106,9 +106,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (threshold 0.5) — the
-    verifier stage of the LSH pipeline, oracle-checked end to end."""
-    (docs,) = _t(spark, sf_dir, "documents")
-    out = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    verifier stage of the LSH pipeline, oracle-checked end to end.
+    Served from the session-shared pair-graph checkpoint (cache.py)."""
+    from ..cache import shared_jaccard_pairs
+    out = shared_jaccard_pairs(spark, sf_dir, n=3, threshold=0.5)
     return out.select("a", "b", F.round("jaccard", 6).alias("jaccard")).orderBy("a", "b")
 
 
@@ -576,11 +577,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label propagation, operators/graph.py) over the exact Jaccard
     pair graph — oracle-checked against a recursive-CTE transitive
     closure.  The closure is O(n·reachable) and only viable at oracle
-    scale; the propagation loop is the 100 TB path."""
-    from ..operators.graph import connected_components
-    (docs,) = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
-    return connected_components(pairs).orderBy("n")
+    scale; the propagation loop is the 100 TB path.  Pair graph and
+    labels come from the session-shared checkpoint (cache.py)."""
+    from ..cache import shared_components
+    return shared_components(spark, sf_dir, n=3, threshold=0.5).orderBy("n")
 
 
 @register(

@@ -329,12 +329,14 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivor selection per near-dup cluster: keep the longest member
     (ties to smallest id) — connected components over the exact Jaccard
-    pair graph, then one max_by aggregate per component (no window)."""
-    from ..operators import dedup
-    from ..operators.graph import cluster_representatives, connected_components
+    pair graph, then one max_by aggregate per component (no window).
+    The pair graph + components come from the session-shared checkpoint
+    (cache.shared_components): four registry queries consume the same
+    subplan, so it is computed once per session, not per query."""
+    from ..cache import shared_components
+    from ..operators.graph import cluster_representatives
     (docs,) = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
-    cc = connected_components(pairs)
+    cc = shared_components(spark, sf_dir, n=3, threshold=0.5)
     return (
         cluster_representatives(cc, docs)
         .select("component", "rep_doc_id",
@@ -395,12 +397,16 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-coherent train/val/test split: hash the near-dup
     component label, not the doc id, so paraphrase clusters never
     straddle the train/test boundary (eval contamination).  Singletons
-    hash their own id — identical to the per-doc split for them."""
-    from ..operators import corpus, dedup
+    hash their own id — identical to the per-doc split for them.
+    Components come from the session-shared checkpoint, not a fresh
+    pair-graph + propagation run."""
+    from ..cache import shared_components, shared_jaccard_pairs
+    from ..operators import corpus
     (docs,) = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    pairs = shared_jaccard_pairs(spark, sf_dir, n=3, threshold=0.5)
+    cc = shared_components(spark, sf_dir, n=3, threshold=0.5)
     return (
-        corpus.leakage_safe_split(docs, pairs)
+        corpus.leakage_safe_split(docs, pairs, cc=cc)
         .select("doc_id", "split")
         .orderBy("doc_id")
     )
@@ -592,9 +598,9 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree histogram of the exact near-dup pair graph — the
     pre-clustering sanity check: a heavy tail means boilerplate is about
     to glue unrelated docs into one giant component (tighten the pair
-    threshold before running connected components)."""
-    from ..operators import dedup
+    threshold before running connected components).  Reads the
+    session-shared pair-graph checkpoint."""
+    from ..cache import shared_jaccard_pairs
     from ..operators.graph import degree_distribution
-    (docs,) = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    pairs = shared_jaccard_pairs(spark, sf_dir, n=3, threshold=0.5)
     return degree_distribution(pairs)

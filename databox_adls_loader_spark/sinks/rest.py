@@ -172,18 +172,39 @@ def create_directories_ordered(inventory: DataFrame,
     """K3 (directory pass): parents strictly before children.
 
     The reference relies on listing order implicitly (copy-to-adls.py:
-    117-126); here the contract is explicit — sort by path depth on the
-    driver (directory count ≪ file count, so the collect is small even at
-    100 TB data scale) and create sequentially.  Returns count."""
+    117-126); here the ordering contract is explicit and DISTRIBUTED:
+    one Spark job per path-depth level, shallowest first.  Within a level
+    no directory can be another's parent, so the creates fan out across
+    partitions; the job barrier between levels is the parent-before-child
+    guarantee.  Only the per-depth counts ever reach the driver (one row
+    per level — O(tree height), not O(directories)), so the sink survives
+    10⁸-directory inventories where a full driver-side collect+sort
+    would not.  Returns the number of directories created."""
+    from pyspark.sql import functions as F
+
     dirs = (
         inventory.filter(inventory["is_folder"])
-        .select("name")
-        .collect()
+        .select("name",
+                (F.size(F.split(F.col("name"), "/")) - 1).alias("__depth"))
+        .persist()
     )
-    ordered = sorted((r["name"] for r in dirs), key=lambda p: (p.count("/"), p))
-    for p in ordered:
-        creator(p)
-    return len(ordered)
+    try:
+        level_counts = {r["__depth"]: r["cnt"] for r in
+                        dirs.groupBy("__depth")
+                        .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+
+        def run(rows: Iterator) -> None:
+            for row in rows:
+                creator(row["name"])
+
+        for depth in sorted(level_counts):
+            (dirs.filter(F.col("__depth") == depth)
+             .select("name")
+             .foreachPartition(run))
+        return sum(level_counts.values())
+    finally:
+        # consumption finished inside this function — safe to release
+        dirs.unpersist()
 
 
 def update_metadata_sink(inv_remapped: DataFrame,

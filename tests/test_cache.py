@@ -1,0 +1,57 @@
+"""Cache lifecycle: per-query release of persisted intermediates, and the
+session-shared pair-graph snapshots that are exempt from it."""
+
+from __future__ import annotations
+
+from databox_adls_loader_spark import cache
+from databox_adls_loader_spark.operators import dedup
+
+
+def _unprotected_persistent(spark) -> list[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return [int(k) for k in jmap.keySet().toArray()
+            if int(k) not in cache._PROTECTED]
+
+
+def test_release_cached_drops_query_caches(spark):
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} " * 20) for i in range(30)], "doc_id: long, text: string")
+    # minhash_near_dupes persists its signature frame; consume the result
+    # the way a harness does, then release
+    dedup.minhash_near_dupes(docs, k=16, bands=4, threshold=0.1).collect()
+    assert _unprotected_persistent(spark), "expected cached sigs after collect"
+    cache.release_cached(spark)
+    assert _unprotected_persistent(spark) == []
+
+
+def test_snapshot_survives_release(spark):
+    snap = cache.snapshot(spark.range(100).selectExpr("id", "id * 2 AS y"))
+    cache.release_cached(spark)
+    # blocks still readable: the snapshot is lineage-free, so a dropped
+    # cache could not be silently recomputed — this count would fail
+    assert snap.count() == 100
+
+
+def test_shared_jaccard_pairs_memoized_and_correct(spark, sf_dir):
+    p1 = cache.shared_jaccard_pairs(spark, sf_dir, n=3, threshold=0.5)
+    p2 = cache.shared_jaccard_pairs(spark, sf_dir, n=3, threshold=0.5)
+    assert p1 is p2  # same snapshot object, not a recompute
+    from databox_adls_loader_spark.session import load_tables
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    direct = {(r["a"], r["b"]) for r in
+              dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    shared = {(r["a"], r["b"]) for r in p1.collect()}
+    assert shared == direct
+    cache.release_cached(spark)
+    assert {(r["a"], r["b"]) for r in p1.collect()} == direct
+
+
+def test_shared_components_label_by_min_reachable(spark, sf_dir):
+    cc = cache.shared_components(spark, sf_dir, n=3, threshold=0.5)
+    rows = cc.collect()
+    # component label is the minimum reachable node id — so every label
+    # is <= its node and appears as a node itself
+    labels = {r["component"] for r in rows}
+    nodes = {r["n"] for r in rows}
+    assert all(r["component"] <= r["n"] for r in rows)
+    assert labels <= nodes

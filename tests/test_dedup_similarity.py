@@ -286,3 +286,52 @@ def test_incremental_dedup_null_text_gets_verdict(spark):
     got = {r["doc_id"]: r["verdict"]
            for r in incremental_exact_dedup(incoming, corpus).collect()}
     assert got == {1: "kept", 2: "dup_batch", 3: "kept"}
+
+
+# ---------------------------------------------------------------------------
+# portable (md5-derived) hash mode — the oracle-checkable LSH path
+# ---------------------------------------------------------------------------
+
+def test_md5_long_matches_reference_arithmetic(spark):
+    """md5_long must equal int(md5(x)[:15], 16) — the exact arithmetic the
+    DuckDB oracles re-express nibble by nibble."""
+    import hashlib
+    d = spark.createDataFrame([("hello",), ("world",), ("",)], "s: string")
+    got = {r["s"]: r["h"]
+           for r in d.select("s", dedup.md5_long("s").alias("h")).collect()}
+    for s in ("hello", "world", ""):
+        assert got[s] == int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    seeded = d.select(
+        "s", dedup.md5_long("s", seed=3).alias("h")).collect()
+    for r in seeded:
+        exp = int(hashlib.md5(f"3|{r['s']}".encode()).hexdigest()[:15], 16)
+        assert r["h"] == exp
+
+
+def test_minhash_portable_recall(docs):
+    exact = {(r["a"], r["b"]) for r in
+             dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    approx = {(r["a"], r["b"]) for r in
+              dedup.minhash_near_dupes(docs, k=32, bands=8, threshold=0.5,
+                                       portable=True).collect()}
+    assert len(exact & approx) / max(len(exact), 1) >= 0.8
+    assert len(approx) <= len(exact) * 3 + 5
+
+
+def test_simhash_portable_planted(docs):
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in
+             dedup.simhash_near_dupes(docs, max_hamming=9, bits=60,
+                                      portable=True).collect()}
+    found = sum((i, i + 100) in pairs for i in range(10))
+    assert found >= 8
+    assert pairs[(500, 600)] == 0
+    assert all(h <= 9 for h in pairs.values())
+
+
+def test_simhash_rejects_uncovered_blocks(docs):
+    # 63 bits / 4 blocks does not tile — pigeonhole recall would silently
+    # drop; must raise instead
+    with pytest.raises(ValueError, match="tile"):
+        dedup.simhash_near_dupes(docs, max_hamming=3, bits=63)
+    with pytest.raises(ValueError, match="60 bits"):
+        dedup.simhash_near_dupes(docs, max_hamming=6, bits=63, portable=True)

@@ -115,6 +115,8 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
+    from databox_adls_loader_spark.cache import release_cached
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     only = set(sys.argv[1:])
@@ -123,6 +125,7 @@ def main():
         print(f"ERROR: unknown query name(s): {sorted(unknown)}")
         sys.exit(2)
     n_pass = n_fail = n_rowsonly = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -132,10 +135,19 @@ def main():
             spark_cols = sdf.columns
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
+            results[name] = {"status": "fail",
+                             "problems": [f"spark error: {e}"[:300]]}
             n_fail += 1
             continue
+        finally:
+            # per-query cache hygiene, same contract as bench.py: operators
+            # persist lazily-consumed intermediates; the harness releases
+            # them once the action is done
+            release_cached(spark)
         if name not in oracles:
             print(f"ROWS  {name}: {len(spark_rows)} rows (no oracle)")
+            results[name] = {"status": "rows_only",
+                             "spark_rows": len(spark_rows)}
             n_rowsonly += 1
             continue
         try:
@@ -146,6 +158,8 @@ def main():
                          con.execute(f"DESCRIBE {oracles[name]}").fetchall()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
+            results[name] = {"status": "fail",
+                             "problems": [f"duckdb error: {e}"[:300]]}
             n_fail += 1
             continue
         problems = []
@@ -171,11 +185,24 @@ def main():
             print(f"FAIL  {name}: " + "; ".join(problems[:1]))
             for p in problems[1:]:
                 print(f"      {p}")
+            results[name] = {"status": "fail", "problems": problems,
+                             "spark_rows": len(spark_rows)}
             n_fail += 1
         else:
             print(f"PASS  {name} ({len(spark_rows)} rows)")
+            results[name] = {"status": "pass", "spark_rows": len(spark_rows)}
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    # committed per round so driver sampling can never surface a surprise:
+    # the full-registry gate result travels with the snapshot
+    if not only:
+        import json
+        out = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "CORRECTNESS_LOCAL.json")
+        with open(out, "w") as f:
+            json.dump({"sf_dir": SF_DIR, "n_pass": n_pass, "n_fail": n_fail,
+                       "n_rows_only": n_rowsonly, "queries": results},
+                      f, indent=1, sort_keys=True)
     spark.stop()
     sys.exit(1 if n_fail else 0)
 
