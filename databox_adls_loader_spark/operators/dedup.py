@@ -68,6 +68,31 @@ def md5_long(col: Column | str, seed: int | None = None) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+# MinHash permutation family: h_j(x) = (a_j·x + b_j) mod p over the
+# Mersenne prime 2^61−1 — one base md5 per shingle, then k cheap exact
+# integer permutations (vs k md5 digests, which made the portable path
+# ~4× the xxhash64 one).  The product a·x < 2^31·2^60 = 2^91 exceeds a
+# long, so Spark carries it in decimal(38,0) (Int128 in Tungsten) and
+# DuckDB in HUGEINT — both exact, both codegen/vectorized.
+_PERM_PRIME = (1 << 61) - 1
+
+
+def perm_constants(k: int, seed: int = 5) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) pairs, a_j odd in [1, 2^31), b_j in
+    [0, 2^31) — shared verbatim by the Spark expression and the DuckDB
+    oracle (plans/queries_ext.py inlines them as a VALUES CTE)."""
+    import random
+    rng = random.Random(seed)
+    return [(rng.randrange(1, 1 << 31) | 1, rng.randrange(0, 1 << 31))
+            for _ in range(k)]
+
+
+def _perm_hash(base: Column, a: int, b: int) -> Column:
+    """(a·base + b) mod p in exact decimal arithmetic, back to a long."""
+    prod = F.lit(a).cast("decimal(38,0)") * base.cast("decimal(38,0)")
+    return ((prod + F.lit(b)) % F.lit(_PERM_PRIME)).cast("long")
+
+
 # ---------------------------------------------------------------------------
 # shingling
 # ---------------------------------------------------------------------------
@@ -120,18 +145,21 @@ def minhash_docs(docs: DataFrame, text_col: str = "text",
     aggregation collapses each partition to one row per doc before the
     shuffle, so the shuffle volume is O(docs × k), not O(shingles).
 
-    ``portable=True`` swaps xxhash64 for the md5-derived 60-bit hash
-    (md5_long) so the signatures — and everything downstream of them —
-    are reproducible in the DuckDB oracle.  Costlier per shingle (k md5
-    digests vs k xxhash64), so the default stays xxhash64 for
+    ``portable=True`` swaps the k seeded xxhash64 draws for ONE
+    md5-derived 60-bit base hash (md5_long) fed through k linear
+    permutations (a_j·h + b_j) mod (2^61−1) — the classic MinHash
+    permutation family, fully reproducible in the DuckDB oracle and only
+    one digest per shingle.  The default stays xxhash64 for
     production-scale runs where no cross-engine check is needed."""
     exploded = docs.select(
         F.col(id_col),
         F.explode(word_shingles(text_col, shingle_n)).alias("__g"),
     )
     if portable:
-        mins = [F.min(md5_long("__g", seed=j)).alias(f"__h{j}")
-                for j in range(k)]
+        exploded = exploded.select(
+            F.col(id_col), md5_long("__g").alias("__base"))
+        mins = [F.min(_perm_hash(F.col("__base"), a, b)).alias(f"__h{j}")
+                for j, (a, b) in enumerate(perm_constants(k))]
     else:
         mins = [F.min(F.xxhash64(F.lit(j), "__g")).alias(f"__h{j}")
                 for j in range(k)]

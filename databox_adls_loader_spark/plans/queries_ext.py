@@ -35,6 +35,16 @@ def _hex15_to_long(col: str) -> str:
     )
 
 
+def _perms_values_sql(k: int) -> str:
+    """operators/dedup.perm_constants as a DuckDB VALUES CTE
+    ``perms(j, a, b)`` — the identical (a_j, b_j) MinHash permutation
+    constants the Spark expression uses."""
+    from ..operators.dedup import perm_constants
+    rows = ", ".join(f"({j}, {a}, {b})"
+                     for j, (a, b) in enumerate(perm_constants(k)))
+    return f"perms(j, a, b) AS (VALUES {rows})"
+
+
 def _planes_values_sql(n_planes: int, seed: int = 7, dim: int = 64) -> str:
     """The deterministic hyperplanes of operators/similarity._planes as a
     DuckDB VALUES CTE ``planes(pi, p)`` — repr() round-trips each double
@@ -123,12 +133,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         range(1, greatest(len(t) - 2, 1) + 1),
         i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
       FROM toks
-    ), hh AS (
-      SELECT doc_id, j, md5(CAST(j AS VARCHAR) || '|' || g) AS m
-      FROM sh CROSS JOIN range(0, 32) AS sj(j)
+    ), {_perms_values_sql(32)}, hh AS (
+      SELECT doc_id, md5(g) AS m FROM sh
+    ), hb AS (
+      SELECT doc_id, {_hex15_to_long('m')} AS h FROM hh
     ), hx AS (
-      SELECT doc_id, j, MIN({_hex15_to_long('m')}) AS hmin
-      FROM hh GROUP BY doc_id, j
+      SELECT doc_id, j,
+             MIN(CAST((CAST(a AS HUGEINT) * CAST(h AS HUGEINT) + b)
+                      % 2305843009213693951 AS BIGINT)) AS hmin
+      FROM hb CROSS JOIN perms GROUP BY doc_id, j
     ), sig AS (
       SELECT doc_id, list(hmin ORDER BY j) AS sig FROM hx GROUP BY doc_id
     ), banded AS (
