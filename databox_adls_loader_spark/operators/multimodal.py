@@ -48,11 +48,18 @@ _FEATURE_DIM = 16
 
 
 def synthetic_assets(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic binary fixtures (no codec libs in the container)."""
+    """Deterministic binary fixtures (no codec libs in the container).
+
+    The payload is the ASCII-hex digest text repeated — still an opaque
+    ``binary`` column to every operator (nothing downstream assumes
+    ASCII), but byte-identical to a VARCHAR the oracle engine can hash,
+    which is what lets the mm_* registry queries be value-hash-checked
+    in DuckDB (whose sha256() takes VARCHAR only, not BLOB)."""
     rows = []
     for i in range(n):
         modality = ["image", "audio", "video"][i % 3]
-        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 13)
+        payload = (hashlib.sha256(f"{seed}:{i}".encode()).hexdigest()
+                   * (4 + i % 13)).encode("ascii")
         mime = {"image": "image/png", "audio": "audio/wav",
                 "video": "video/mp4"}[modality]
         rows.append((i, modality, bytearray(payload), mime))
@@ -169,8 +176,10 @@ def frame_sample(assets: DataFrame, every_n: int = 4) -> DataFrame:
                 for fi in range(0, n_frames, every_n):
                     rows["asset_id"].append(row["asset_id"])
                     rows["frame_idx"].append(fi)
+                    # ASCII ":idx" suffix (not packed bytes) so the frame
+                    # digest is reproducible by a VARCHAR-only sha256
                     rows["frame_sha256"].append(
-                        hashlib.sha256(content + fi.to_bytes(4, "big")).hexdigest())
+                        hashlib.sha256(content + f":{fi}".encode()).hexdigest())
             yield pd.DataFrame(rows)
 
     schema = StructType([

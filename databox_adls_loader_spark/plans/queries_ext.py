@@ -427,22 +427,87 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# multimodal (synthetic binary fixtures; rows-only — DuckDB has no view of
-# the in-memory binary assets)
+# multimodal (synthetic binary fixtures — payloads are ASCII-hex bytes, so
+# DuckDB's VARCHAR-only sha256 reproduces every digest and the mapInPandas
+# decode/feature stage is value-hash-checked, not just rows-counted)
 # ---------------------------------------------------------------------------
 
-@register("mm_feature_extract", oracle=None, tags=["multimodal", "rows-only"])
+def _hexpair(col: str, j: str) -> str:
+    """DuckDB expression: byte ``j`` (0-based) of the digest whose
+    lowercase hex string is in ``col`` — two nibble lookups."""
+    return (
+        f"((strpos('0123456789abcdef', substr({col}, CAST(2*({j})+1 AS INT), 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr({col}, CAST(2*({j})+2 AS INT), 1)) - 1))"
+    )
+
+
+_MM_BASE_CTE = """
+    ids AS (SELECT unnest(range(0, 64)) AS i),
+    base AS (
+      SELECT i,
+             CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS modality,
+             repeat(sha256('42:' || CAST(i AS VARCHAR)),
+                    CAST(4 + i % 13 AS INT)) AS p
+      FROM ids
+    ), dg AS (
+      SELECT i, modality, p, sha256(p) AS dh FROM base
+    )"""
+
+
+@register(
+    "mm_feature_extract",
+    oracle=f"""
+    WITH {_MM_BASE_CTE}
+    SELECT i AS asset_id, modality,
+           CAST(length(p) AS BIGINT) AS n_bytes,
+           dh AS sha256,
+           CAST(CASE WHEN modality = 'image' THEN 64 + {_hexpair('dh', '0')} % 192
+                     WHEN modality = 'video' THEN 320 + {_hexpair('dh', '0')} % 64
+                END AS INTEGER) AS width,
+           CAST(CASE WHEN modality = 'image' THEN 64 + {_hexpair('dh', '1')} % 192
+                     WHEN modality = 'video' THEN 240 + {_hexpair('dh', '1')} % 48
+                END AS INTEGER) AS height,
+           CAST(CASE WHEN modality = 'video' THEN 8 + {_hexpair('dh', '2')} % 24
+                END AS INTEGER) AS n_frames,
+           CAST(list_transform(range(0, 16),
+                j -> (({_hexpair('dh', 'j')} * (j + 1)) % 255) / 255.0)
+                AS FLOAT[]) AS feature
+    FROM dg ORDER BY asset_id
+    """,
+    tags=["multimodal"],
+)
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode/feature-extract over binary asset columns via
     mapInPandas (decode stubbed deterministically — no codecs in the
-    container; the schema/partitioning/batch plumbing is the real design)."""
+    container; the schema/partitioning/batch plumbing is the real design).
+    The stub's dimension/feature math is pure digest arithmetic, so the
+    oracle recomputes the identical rows from the fixture definition —
+    proving the binary column, Arrow batching, and schema handling
+    end to end against an independent engine."""
     assets = multimodal.synthetic_assets(spark, n=64)
     return multimodal.extract_features(assets).orderBy("asset_id")
 
 
-@register("mm_frame_sample", oracle=None, tags=["multimodal", "rows-only"])
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH {_MM_BASE_CTE},
+    nf AS (
+      SELECT i, p, 8 + {_hexpair('dh', '2')} % 24 AS n_frames
+      FROM dg WHERE modality = 'video'
+    ), fr AS (
+      SELECT i, p, unnest(range(0, n_frames, 4)) AS fi FROM nf
+    )
+    SELECT i AS asset_id, CAST(fi AS INTEGER) AS frame_idx,
+           sha256(p || ':' || CAST(fi AS VARCHAR)) AS frame_sha256
+    FROM fr ORDER BY asset_id, frame_idx
+    """,
+    tags=["multimodal"],
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1→N frame sampling from video assets (explode-shaped mapInPandas)."""
+    """1→N frame sampling from video assets (explode-shaped mapInPandas);
+    frame digests reproduced by the oracle from the fixture definition."""
     assets = multimodal.synthetic_assets(spark, n=64)
     return multimodal.frame_sample(assets, every_n=4).orderBy("asset_id", "frame_idx")
 
