@@ -394,6 +394,94 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# exact shared-substring spans (suffix-array-style dedup, stride-sampled)
+# ---------------------------------------------------------------------------
+
+def shared_span_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", window: int = 40,
+                      stride: int = 20) -> DataFrame:
+    """Document pairs sharing an exact character span — the
+    substring-level dedup of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better"), which catches copied passages
+    that token-level Jaccard dilutes away.  Exact suffix arrays don't
+    distribute; the standard scalable relaxation is a windowed hash
+    join with stride sampling:
+
+      * hash every ``window``-char substring of each doc (all positions),
+      * keep a stride-``stride`` grid of those windows on the SMALLER-id
+        side of the pair,
+      * equi-join grid windows against all windows of other docs.
+
+    Any shared span of length ≥ window + stride − 1 contains a grid
+    point, so detection of spans at that length is GUARANTEED; shorter
+    spans (≥ window) are found when the grid happens to align.  Returns
+    (a, b, n_shared) = distinct grid windows of ``a`` found in ``b``.
+
+    Scale: the explode is map-side; the join key is the md5-derived
+    60-bit window hash (uniform — no skew), and only the 1/stride grid
+    fraction shuffles on the probe side.  Window hashes are md5-derived
+    (md5_long) so the whole operator is oracle-checkable; swap xxhash64
+    in for pure production runs."""
+    c = F.col(text_col)
+    n = F.greatest(F.length(c) - (window - 1), F.lit(0))
+    # guard: F.sequence(1, 0) yields a DESCENDING [1, 0], not empty —
+    # docs shorter than the window must contribute no rows
+    positions = F.when(n >= 1, F.sequence(F.lit(1), n)) \
+        .otherwise(F.array().cast("array<int>"))
+    wh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(positions).alias("pos"),
+        c.alias("__t"),
+    ).select("id", "pos",
+             md5_long(F.substring("__t", F.col("pos"), F.lit(window)))
+             .alias("h"))
+    grid = wh.filter((F.col("pos") - 1) % stride == 0) \
+        .select(F.col("id").alias("a"), F.col("h").alias("h"))
+    probe = wh.select(F.col("id").alias("b"), "h")
+    return (
+        grid.join(probe, (grid["h"] == probe["h"]) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count_distinct(grid["h"]).alias("n_shared"))
+    )
+
+
+def novelty_signals(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Per-document novelty: how many of a doc's distinct word n-grams
+    appear in NO other document — the inverse of contamination, used to
+    rank crawl snapshots by new-information yield and to spot
+    boilerplate-heavy sources (novelty ppm near zero) before mixing.
+
+    (doc_id, n_grams, n_novel, novel_ppm) with integer ppm — no float
+    anywhere, so the measure is engine-portable and layout-stable.
+
+    Plan: one shingle explode, gram document-frequency aggregate,
+    join back on the gram, per-doc count — two shuffles on the gram, one
+    on the doc id.  At 100 TB the join key becomes the 64-bit gram hash
+    (smaller exchange); the string key here keeps the oracle exact."""
+    sh = docs.select(F.col(id_col),
+                     F.explode(word_shingles(text_col, n)).alias("g"))
+    gdf = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    per = (
+        sh.join(gdf, "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_grams"),
+             F.sum((F.col("df") == 1).cast("long")).alias("n_novel"))
+    )
+    filled = (
+        docs.select(id_col).join(per, id_col, "left")
+        .select(F.col(id_col),
+                F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                F.coalesce("n_novel", F.lit(0)).alias("n_novel"))
+    )
+    return filled.withColumn(
+        "novel_ppm",
+        F.when(F.col("n_grams") > 0,
+               F.expr("n_novel * 1000000 div n_grams")).otherwise(F.lit(0))
+        .cast("long"))
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination + incremental dedup
 # ---------------------------------------------------------------------------
 

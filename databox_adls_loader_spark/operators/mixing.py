@@ -128,3 +128,42 @@ def source_concentration(docs: DataFrame, group_col: str,
                 .alias("cum_ppm"))
         .orderBy("bucket")
     )
+
+
+def temperature_sample(docs: DataFrame, target_total: int,
+                       strata_col: str = "source", key_col: str = "doc_id",
+                       salt: str = "temp-v1") -> DataFrame:
+    """Temperature-based mixture reweighting (alpha = 0.5): sampling
+    weight per source ∝ sqrt(source size) — the standard multinomial
+    smoothing (T5/XLM-R style) that upsamples small domains relative to
+    proportional sampling when assembling a training mix of
+    ``target_total`` documents.
+
+    All arithmetic is EXACT integer math so the result is engine-portable:
+    isqrt via ``math.isqrt`` (driver side, on the tiny per-source count
+    collect — O(|sources|), never O(rows)), keep-rate in integer ppm
+    ``min(1e6, target·isqrt_s·1e6 div (Σ isqrt · n_s))``, membership via
+    the md5 hash-bucket in [0, 1e6).  No float weight ever exists, so
+    there is no summation-order or rounding divergence to chase.
+
+    Returns every doc with (…, rate_ppm, kept) — callers filter on
+    ``kept`` for the sampled mix or aggregate for an audit.  Map-side
+    except the one tiny counts aggregate."""
+    import math
+
+    counts = {r["s"]: r["n"] for r in
+              docs.groupBy(F.col(strata_col).alias("s"))
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    isq = {s: math.isqrt(n) for s, n in counts.items()}
+    denom = sum(isq.values())
+    rates = {
+        s: min(1_000_000,
+               (int(target_total) * isq[s] * 1_000_000) // (denom * counts[s]))
+        for s in counts
+    }
+    rate = F.lit(0)
+    for s in sorted(rates):
+        rate = F.when(F.col(strata_col) == s, F.lit(rates[s])).otherwise(rate)
+    bucket = hash_bucket(key_col, 1_000_000, salt)
+    return (docs.withColumn("rate_ppm", rate.cast("long"))
+            .withColumn("kept", bucket < F.col("rate_ppm")))

@@ -1096,6 +1096,125 @@ def a9_unpivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_shared_spans",
+    oracle=rf"""
+    WITH allw AS (
+      SELECT doc_id, unnest(range(1, greatest(length(text) - 39, 0) + 1)) AS pos
+      FROM documents
+    ), wm AS (
+      SELECT allw.doc_id, pos,
+             md5(substr(d.text, CAST(pos AS INT), 40)) AS m
+      FROM allw JOIN documents d ON allw.doc_id = d.doc_id
+    ), wh AS (
+      SELECT doc_id, pos, {_hex15_to_long('m')} AS h FROM wm
+    )
+    SELECT s.doc_id AS a, w.doc_id AS b, COUNT(DISTINCT s.h) AS n_shared
+    FROM wh s JOIN wh w ON s.h = w.h AND s.doc_id < w.doc_id
+    WHERE (s.pos - 1) % 20 = 0
+    GROUP BY 1, 2 ORDER BY a, b
+    """,
+    tags=["dedup", "spans"],
+)
+def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared-substring detection (40-char windows, stride-20 grid)
+    — the suffix-array-style dedup relaxed to a distributed windowed
+    hash join; any copied passage ≥ 59 chars is guaranteed found.
+    Window hashes are md5-derived, so the full pipeline value-hash
+    matches the oracle."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (dedup.shared_span_pairs(docs, window=40, stride=20)
+            .orderBy("a", "b"))
+
+
+@register(
+    "text_novelty_signals",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(t) - 2, 1) + 1),
+        i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+      FROM toks
+    ), gdf AS (
+      SELECT g, COUNT(*) AS df FROM sh GROUP BY g
+    ), per AS (
+      SELECT sh.doc_id, COUNT(*) AS n_grams,
+             CAST(SUM(CASE WHEN gdf.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      FROM sh JOIN gdf USING (g) GROUP BY sh.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(per.n_novel, 0) AS BIGINT) AS n_novel,
+           CAST(CASE WHEN COALESCE(per.n_grams, 0) > 0
+                     THEN per.n_novel * 1000000 // per.n_grams
+                     ELSE 0 END AS BIGINT) AS novel_ppm
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    ORDER BY d.doc_id
+    """,
+    tags=["text", "dedup"],
+)
+def text_novelty_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unseen-n-gram novelty per document (integer ppm) — ranks sources
+    by new-information yield; the inverse of contamination."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return dedup.novelty_signals(docs, n=3).orderBy("doc_id")
+
+
+@register(
+    "mix_temperature_sample",
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    s0 AS (SELECT source, n, CAST(floor(sqrt(n)) AS BIGINT) AS s FROM c),
+    s1 AS (
+      -- exact integer sqrt: floor(sqrt()) nudged +-1 fixes any IEEE
+      -- boundary misround, matching Python's math.isqrt bit-for-bit
+      SELECT source, n,
+             s + CASE WHEN (s + 1) * (s + 1) <= n THEN 1
+                      WHEN s * s > n THEN -1 ELSE 0 END AS isq
+      FROM s0
+    ), t AS (SELECT CAST(SUM(isq) AS BIGINT) AS denom FROM s1),
+    r AS (
+      SELECT source, n,
+             LEAST(1000000, (300 * isq * 1000000) // (denom * n)) AS rate_ppm
+      FROM s1, t
+    ), b AS (
+      SELECT doc_id, source,
+             (list_aggregate(list_transform(range(1, 9),
+                i -> (strpos('0123456789abcdef',
+                             substr(md5(CAST(doc_id AS VARCHAR) || 'temp-v1'),
+                                    CAST(i AS INT), 1)) - 1)
+                     * CAST(16 ** (8 - i) AS BIGINT)), 'sum')) % 1000000 AS bucket
+      FROM documents
+    )
+    SELECT r.source, CAST(r.n AS BIGINT) AS n_docs,
+           CAST(r.rate_ppm AS BIGINT) AS rate_ppm,
+           CAST(SUM(CASE WHEN b.bucket < r.rate_ppm THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM b JOIN r ON b.source = r.source
+    GROUP BY 1, 2, 3 ORDER BY r.source
+    """,
+    tags=["mixing", "sampling"],
+)
+def mix_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.5 mixture reweighting toward a 300-doc budget:
+    per-source keep rates ∝ sqrt(source size) in EXACT integer math
+    (isqrt + integer ppm — no float weight exists anywhere), membership
+    by md5 hash bucket.  The audit aggregate (docs, rate, kept) is what
+    a mix-build job logs per domain."""
+    from ..operators import mixing
+    (docs,) = _t(spark, sf_dir, "documents")
+    sampled = mixing.temperature_sample(docs, target_total=300)
+    return (
+        sampled.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.first("rate_ppm").alias("rate_ppm"),
+             F.sum(F.col("kept").cast("long")).alias("n_kept"))
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # data mixing (corpus assembly): stratified sampling, token shards, quotas
 # ---------------------------------------------------------------------------

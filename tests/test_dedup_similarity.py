@@ -335,3 +335,58 @@ def test_simhash_rejects_uncovered_blocks(docs):
         dedup.simhash_near_dupes(docs, max_hamming=3, bits=63)
     with pytest.raises(ValueError, match="60 bits"):
         dedup.simhash_near_dupes(docs, max_hamming=6, bits=63, portable=True)
+
+
+# ---------------------------------------------------------------------------
+# shared-span / novelty / temperature-mixing operators
+# ---------------------------------------------------------------------------
+
+def test_shared_span_pairs_planted(spark):
+    span = "X" * 30 + "Y" * 30  # 60 chars >= window + stride - 1
+    rows = [
+        (1, "aaaa " * 30 + span + " bbbb " * 30),
+        (2, "cccc " * 25 + span + " dddd " * 40),
+        (3, "entirely unrelated text " * 20),
+    ]
+    d = spark.createDataFrame(rows, "doc_id: long, text: string")
+    pairs = {(r["a"], r["b"]): r["n_shared"] for r in
+             dedup.shared_span_pairs(d, window=40, stride=20).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1  # guaranteed detection
+    assert not any(3 in p for p in pairs)
+
+
+def test_shared_span_pairs_short_docs_no_rows(spark):
+    d = spark.createDataFrame([(1, "short"), (2, "short")],
+                              "doc_id: long, text: string")
+    # below the window size: no windows, no pairs (and no descending
+    # sequence() explosion)
+    assert dedup.shared_span_pairs(d, window=40, stride=20).count() == 0
+
+
+def test_novelty_signals_extremes(spark):
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+         (3, "unique uno dos tres quatro cinco")],
+        "doc_id: long, text: string")
+    out = {r["doc_id"]: r for r in dedup.novelty_signals(d, n=3).collect()}
+    assert out[1]["n_novel"] == 0 and out[2]["n_novel"] == 0  # all shared
+    assert out[3]["novel_ppm"] == 1_000_000                   # all unique
+    assert out[3]["n_grams"] == out[3]["n_novel"] == 4
+
+
+def test_temperature_sample_flattens_mixture(spark):
+    from databox_adls_loader_spark.operators.mixing import temperature_sample
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    d = spark.createDataFrame(rows, "doc_id: long, source: string")
+    out = temperature_sample(d, target_total=500)
+    rates = {r["source"]: r["rate_ppm"] for r in
+             out.select("source", "rate_ppm").distinct().collect()}
+    # sqrt smoothing: the small source keeps a HIGHER fraction than the
+    # big one (that is the point of temperature sampling)
+    assert rates["small"] > rates["big"]
+    # deterministic: same inputs, same kept set
+    k1 = {r["doc_id"] for r in out.filter("kept").collect()}
+    k2 = {r["doc_id"] for r in
+          temperature_sample(d, target_total=500).filter("kept").collect()}
+    assert k1 == k2
