@@ -428,13 +428,15 @@ def shared_span_pairs(docs: DataFrame, text_col: str = "text",
     # docs shorter than the window must contribute no rows
     positions = F.when(n >= 1, F.sequence(F.lit(1), n)) \
         .otherwise(F.array().cast("array<int>"))
+    # wh feeds both join sides — persist so the explode + 1.5M-row md5
+    # pass runs once (caller releases post-action, cache.release_cached)
     wh = docs.select(
         F.col(id_col).alias("id"),
         F.explode(positions).alias("pos"),
         c.alias("__t"),
     ).select("id", "pos",
              md5_long(F.substring("__t", F.col("pos"), F.lit(window)))
-             .alias("h"))
+             .alias("h")).persist()
     grid = wh.filter((F.col("pos") - 1) % stride == 0) \
         .select(F.col("id").alias("a"), F.col("h").alias("h"))
     probe = wh.select(F.col("id").alias("b"), "h")
@@ -455,21 +457,25 @@ def novelty_signals(docs: DataFrame, text_col: str = "text",
     (doc_id, n_grams, n_novel, novel_ppm) with integer ppm — no float
     anywhere, so the measure is engine-portable and layout-stable.
 
-    Plan: one shingle explode, gram document-frequency aggregate,
-    join back on the gram, per-doc count — two shuffles on the gram, one
-    on the doc id.  At 100 TB the join key becomes the 64-bit gram hash
-    (smaller exchange); the string key here keeps the oracle exact."""
+    Plan: a df==1 gram belongs to exactly ONE document, so the novel
+    count never needs the corpus-sized gram⋈gram join back: one gram
+    aggregate carries (df, min-owner), the df==1 slice re-aggregates by
+    owner, and the per-doc gram sizes come from a second skinny
+    aggregate — the only shuffles are one on the gram and two on the
+    (tiny) doc id.  The gram shuffle keys on the string to stay
+    oracle-exact; at 100 TB key it on the 64-bit gram hash instead."""
     sh = docs.select(F.col(id_col),
-                     F.explode(word_shingles(text_col, n)).alias("g"))
-    gdf = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    per = (
-        sh.join(gdf, "g")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_grams"),
-             F.sum((F.col("df") == 1).cast("long")).alias("n_novel"))
-    )
+                     F.explode(word_shingles(text_col, n)).alias("g")) \
+        .persist()  # feeds the gram agg and the per-doc sizes; caller releases
+    per_gram = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"),
+                                   F.min(id_col).alias("__owner"))
+    novel = (per_gram.filter(F.col("df") == 1)
+             .groupBy(F.col("__owner").alias(id_col))
+             .agg(F.count(F.lit(1)).alias("n_novel")))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     filled = (
-        docs.select(id_col).join(per, id_col, "left")
+        docs.select(id_col).join(sizes, id_col, "left")
+        .join(novel, id_col, "left")
         .select(F.col(id_col),
                 F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
                 F.coalesce("n_novel", F.lit(0)).alias("n_novel"))
