@@ -491,7 +491,7 @@ def novelty_signals(docs: DataFrame, text_col: str = "text",
 # benchmark decontamination + incremental dedup
 # ---------------------------------------------------------------------------
 
-def contamination(docs: DataFrame, bench: DataFrame, n: int = 3,
+def contamination(docs: DataFrame, bench: DataFrame | Column, n: int = 3,
                   min_shared: int = 2, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Train/test decontamination: how many distinct word n-grams each
@@ -501,16 +501,33 @@ def contamination(docs: DataFrame, bench: DataFrame, n: int = 3,
     The benchmark's gram-hash set is aggregated and DISTINCT — tiny next
     to the corpus, so the join broadcasts; the corpus side is one
     map-side shingle explode.  Output: every input doc with
-    (n_shared_grams, contaminated)."""
-    d_sh = docs.select(
-        F.col(id_col),
-        F.explode(word_shingles(text_col, n)).alias("__g"),
-    ).select(id_col, F.xxhash64("__g").alias("g"))
-    b_sh = (
-        bench.select(F.explode(word_shingles(text_col, n)).alias("__g"))
-        .select(F.xxhash64("__g").alias("g"))
-        .distinct()
-    )
+    (n_shared_grams, contaminated).
+
+    ``bench`` is either a separate DataFrame (external benchmark) or a
+    boolean Column predicate over ``docs`` — the predicate form derives
+    the benchmark grams from the corpus explode itself, so held-in
+    benchmarks (the common eval-split case) shingle the text ONCE
+    instead of twice."""
+    if isinstance(bench, Column):
+        # held-in benchmark: one shingle explode feeds both the benchmark
+        # gram set and the probe side (persisted; caller releases
+        # post-action via cache.release_cached)
+        both = docs.select(
+            F.col(id_col), bench.alias("__is_bench"),
+            F.explode(word_shingles(text_col, n)).alias("__g"),
+        ).select(id_col, "__is_bench", F.xxhash64("__g").alias("g")).persist()
+        d_sh = both.select(id_col, "g")
+        b_sh = both.filter(F.col("__is_bench")).select("g").distinct()
+    else:
+        d_sh = docs.select(
+            F.col(id_col),
+            F.explode(word_shingles(text_col, n)).alias("__g"),
+        ).select(id_col, F.xxhash64("__g").alias("g"))
+        b_sh = (
+            bench.select(F.explode(word_shingles(text_col, n)).alias("__g"))
+            .select(F.xxhash64("__g").alias("g"))
+            .distinct()
+        )
     shared = (
         d_sh.join(F.broadcast(b_sh), "g")
         .groupBy(id_col)

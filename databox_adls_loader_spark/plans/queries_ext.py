@@ -993,12 +993,12 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: distinct 3-gram overlap of every doc
-    against the (synthetic) benchmark subset doc_id%17==0 — broadcast the
-    benchmark gram set, one map-side shingle explode on the corpus."""
+    against the (synthetic) held-in benchmark subset doc_id%17==0 —
+    predicate form, so the corpus is shingled once and the broadcast
+    benchmark gram set is derived from the same explode."""
     from ..operators.dedup import contamination
     (docs,) = _t(spark, sf_dir, "documents")
-    bench = docs.filter(F.col("doc_id") % 17 == 0)
-    return contamination(docs, bench).orderBy("doc_id")
+    return contamination(docs, F.col("doc_id") % 17 == 0).orderBy("doc_id")
 
 
 @register(

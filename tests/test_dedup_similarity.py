@@ -390,3 +390,13 @@ def test_temperature_sample_flattens_mixture(spark):
     k2 = {r["doc_id"] for r in
           temperature_sample(d, target_total=500).filter("kept").collect()}
     assert k1 == k2
+
+
+def test_contamination_predicate_form_matches_dataframe_form(docs):
+    from databox_adls_loader_spark.operators.dedup import contamination
+    from pyspark.sql import functions as F
+    pred = F.col("doc_id") % 7 == 0
+    a = sorted(map(tuple, contamination(docs, pred).collect()))
+    b = sorted(map(tuple,
+                   contamination(docs, docs.filter(pred)).collect()))
+    assert a == b
