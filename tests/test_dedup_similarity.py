@@ -400,3 +400,52 @@ def test_contamination_predicate_form_matches_dataframe_form(docs):
     b = sorted(map(tuple,
                    contamination(docs, docs.filter(pred)).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# property tests: shingle construction and portable-hash arithmetic
+# ---------------------------------------------------------------------------
+
+def test_word_shingles_matches_reference_construction(spark):
+    """Property: the zip_with n-gram construction equals the naive
+    per-position slice construction for arbitrary token streams."""
+    import random
+    rng = random.Random(17)
+    texts = []
+    for _ in range(120):
+        k = rng.randrange(0, 12)
+        texts.append(" ".join(
+            rng.choice(["aa", "bb", "cc", "dd", "e f", ""]) for _ in range(k)))
+    texts += ["", " ", "one", "a  b", "x " * 300]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i: long, text: string")
+    for n in (2, 3, 4):
+        def naive(t):
+            toks = __import__("re").split(r"\s+", t.strip())
+            m = max(len(toks) - (n - 1), 1)
+            grams = [" ".join(toks[i:i + n]) for i in range(m)]
+            out = []
+            for g in grams:   # order-preserving distinct = array_distinct
+                if g not in out:
+                    out.append(g)
+            return out
+        got = {r["i"]: r["g"] for r in
+               df.select("i", dedup.word_shingles("text", n).alias("g")).collect()}
+        for i, t in enumerate(texts):
+            assert got[i] == naive(t), f"n={n} text={t!r}"
+
+
+def test_perm_hash_matches_python_integers(spark):
+    """Property: the decimal(38,0) permutation hash equals exact Python
+    integer arithmetic for boundary and random base values."""
+    import random
+    from databox_adls_loader_spark.operators.dedup import (
+        _PERM_PRIME, _perm_hash, perm_constants)
+    rng = random.Random(23)
+    bases = [0, 1, (1 << 60) - 1] + [rng.randrange(0, 1 << 60) for _ in range(40)]
+    df = spark.createDataFrame([(b,) for b in bases], "h: long")
+    for a, b in perm_constants(4):
+        got = {r["h"]: r["p"] for r in
+               df.select("h", _perm_hash(F.col("h"), a, b).alias("p")).collect()}
+        for base in bases:
+            assert got[base] == (a * base + b) % _PERM_PRIME
