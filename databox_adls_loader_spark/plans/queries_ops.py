@@ -604,3 +604,37 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import degree_distribution
     pairs = shared_jaccard_pairs(spark, sf_dir, n=3, threshold=0.5)
     return degree_distribution(pairs)
+
+
+@register(
+    "scale_salted_join",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, COUNT(*) AS user_events FROM events GROUP BY user_id
+    )
+    SELECT e.event_type, COUNT(*) AS n,
+           CAST(SUM(d.user_events) AS BIGINT) AS sum_user_events
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    tags=["scale", "join"],
+)
+def scale_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof salted join, oracle-proven row-identical to the plain
+    join: the fact (events) joins its per-user dim through 8
+    deterministic (key, salt) sub-keys (operators/scale.salted_join) —
+    the treatment for single-hot-key skew that AQE's partition splitting
+    cannot reach.  The aggregate over the joined rows hash-matches the
+    unsalted SQL, which is exactly the operator's contract."""
+    from ..operators.scale import salted_join
+    (events,) = _t(spark, sf_dir, "events")
+    dim = (events.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("user_events")))
+    joined = salted_join(events.select("user_id", "event_type", "event_id"),
+                         dim, "user_id", unique_col="event_id", n_salts=8)
+    return (
+        joined.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("user_events").alias("sum_user_events"))
+        .orderBy("event_type")
+    )
