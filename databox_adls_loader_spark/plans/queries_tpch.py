@@ -1013,15 +1013,41 @@ def a7_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("a8_approx_distinct", oracle=None, tags=["A5", "sketch", "rows-only"])
+@register(
+    "a8_approx_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT l_orderkey) AS exact_orders,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS orders_within_5pct,
+           TRUE AS parts_within_5pct
+    FROM lineitem
+    """,
+    tags=["A5", "sketch"],
+)
 def a8_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog approximate distinct counts — the 100 TB substitute for
-    exact countDistinct (no second shuffle, mergeable sketch).  Accuracy
-    vs exact asserted in tests/test_entry.py::test_approx_distinct_error."""
+    """HyperLogLog approximate distinct counts — the 100 TB substitute
+    for exact countDistinct (no second shuffle, mergeable sketch).
+
+    A sketch's VALUE is engine-specific, but its CONTRACT (estimate
+    within the configured error of exact) is checkable: the query emits
+    the exact counts plus a boolean per sketch asserting |approx−exact|
+    ≤ 5% · exact (2.5× the rsd=2% std error).  The oracle expects TRUE —
+    if Spark's HLL ever drifts out of contract, the hash check goes red
+    instead of the sketch being invisible to the gate.  Accuracy is
+    additionally asserted numerically in tests/test_entry.py."""
     (lineitem,) = _t(spark, sf_dir, "lineitem")
-    return lineitem.agg(
+    wide = lineitem.agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+    within = lambda a, e: (  # noqa: E731 - tiny local predicate
+        F.abs(F.col(a) - F.col(e)) * 100 <= F.col(e) * 5)
+    return wide.select(
+        "exact_orders", "exact_parts",
+        within("approx_orders", "exact_orders").alias("orders_within_5pct"),
+        within("approx_parts", "exact_parts").alias("parts_within_5pct"),
     )
 
 
