@@ -36,8 +36,11 @@ def test_approx_distinct_error(spark, sf_dir):
     from pyspark.sql import functions as F
     exact = li.agg(F.countDistinct("l_orderkey").alias("o"),
                    F.countDistinct("l_partkey").alias("p")).first()
-    assert abs(row["approx_orders"] - exact["o"]) / exact["o"] < 0.1
-    assert abs(row["approx_parts"] - exact["p"]) / exact["p"] < 0.1
+    # the query itself carries the sketch contract as booleans; the exact
+    # columns must equal an independent exact aggregate
+    assert row["exact_orders"] == exact["o"]
+    assert row["exact_parts"] == exact["p"]
+    assert row["orders_within_5pct"] and row["parts_within_5pct"]
 
 
 def test_events_load_in_bare_session_config(spark, sf_dir):
