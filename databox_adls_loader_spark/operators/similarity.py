@@ -400,3 +400,73 @@ def quantize_int8_stats(emb: DataFrame, vec_col: str = "embedding",
         .select(F.col(id_col), F.col("n_dims").cast("long").alias("n_dims"),
                 "code_sum", "mn", "mx")
     )
+
+
+def hard_negatives(emb: DataFrame, k: int = 3, label_col: str = "label",
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   n_blocks: int = 8) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every vector,
+    the ``k`` most-similar vectors carrying a DIFFERENT label — the
+    negatives that actually teach a metric model (random negatives are
+    trivially separable).  Returns (vec_id, neg_id, sim, rk), rk = 1..k
+    by descending cosine, ties to the smaller neg_id.
+
+    Same distributed blocked-GEMM shape as `cosine_pairs_bruteforce`
+    (every cross-label pair scored exactly once per direction, numpy
+    float64 inside `applyInPandas`), but DIRECTED and top-k: each block
+    pair emits its LOCAL top-k per query row, and a final per-query
+    aggregate keeps the global top-k — correct because the global top-k
+    is a subset of the union of per-block top-ks.  Shuffle volume is
+    O(rows · k · blocks), never the n² score matrix."""
+    from pyspark.sql import Window
+
+    pairs = emb.sparkSession.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(n_blocks)],
+        "bi: int, bj: int")
+    tagged = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.col(label_col).alias("lbl"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"))
+    left = (tagged.join(F.broadcast(pairs), F.col("blk") == F.col("bi"))
+            .select("bi", "bj", "id", "v", "lbl", F.lit(0).alias("side")))
+    right = (tagged.join(F.broadcast(pairs), F.col("blk") == F.col("bj"))
+             .select("bi", "bj", "id", "v", "lbl", F.lit(1).alias("side")))
+
+    def topk_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        qs = pdf[pdf["side"] == 0]
+        cs = pdf[pdf["side"] == 1]
+        if qs.empty or cs.empty:
+            return pd.DataFrame({"vec_id": [], "neg_id": [], "sim": []})
+        qm = np.vstack(qs["v"].to_numpy()).astype(np.float64)
+        cm = np.vstack(cs["v"].to_numpy()).astype(np.float64)
+        sims = (qm @ cm.T) / (np.linalg.norm(qm, axis=1)[:, None]
+                              * np.linalg.norm(cm, axis=1)[None, :])
+        qid = qs["id"].to_numpy(); cid = cs["id"].to_numpy()
+        qlb = qs["lbl"].to_numpy(); clb = cs["lbl"].to_numpy()
+        out_q, out_c, out_s = [], [], []
+        for r in range(sims.shape[0]):
+            mask = (clb != qlb[r]) & (cid != qid[r])
+            if not mask.any():
+                continue
+            cand = np.nonzero(mask)[0]
+            # local top-k by (-ROUNDED sim, neg_id) — the same key the
+            # global window and the SQL oracle rank on, so near-tie
+            # candidates can never be selected differently per engine
+            rsim = np.round(sims[r, cand], 6)
+            order = cand[np.lexsort((cid[cand], -rsim))][:k]
+            out_q.extend([qid[r]] * len(order))
+            out_c.extend(cid[order])
+            out_s.extend(np.round(sims[r, order], 6))
+        return pd.DataFrame({"vec_id": out_q, "neg_id": out_c, "sim": out_s})
+
+    local = (
+        left.unionByName(right)
+        .groupBy("bi", "bj")
+        .applyInPandas(topk_block, schema="vec_id long, neg_id long, sim double")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "neg_id")
+    return (
+        local.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("vec_id", "neg_id", "sim", F.col("rk").cast("long").alias("rk"))
+    )

@@ -1358,3 +1358,34 @@ def emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "sum_scaled", "n")
         .orderBy("label", "pos")
     )
+
+
+@register(
+    "sim_hard_negatives",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    scored AS (
+      SELECT q.vec_id, c.vec_id AS neg_id,
+             ROUND(list_cosine_similarity(q.v, c.v), 6) AS sim
+      FROM e q JOIN e c
+        ON q.label <> c.label AND q.vec_id <> c.vec_id
+    ), ranked AS (
+      SELECT vec_id, neg_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, neg_id) AS rk
+      FROM scored
+    )
+    SELECT vec_id, neg_id, sim, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3 ORDER BY vec_id, rk
+    """,
+    tags=["similarity", "training"],
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: top-3 most-similar cross-label vectors per
+    embedding (operators/similarity.hard_negatives) — the contrastive-
+    training sampler, exact via the blocked GEMM with per-block local
+    top-k.  Oracle = the naive all-pairs window over identical rounded
+    similarities."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return (similarity.hard_negatives(emb, k=3).orderBy("vec_id", "rk"))

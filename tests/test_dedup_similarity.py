@@ -449,3 +449,31 @@ def test_perm_hash_matches_python_integers(spark):
                df.select("h", _perm_hash(F.col("h"), a, b).alias("p")).collect()}
         for base in bases:
             assert got[base] == (a * base + b) % _PERM_PRIME
+
+
+def test_hard_negatives_excludes_same_label_and_ranks(spark):
+    import math, random
+    rng = random.Random(5)
+    rows = []
+    for i in range(60):
+        v = [rng.gauss(0, 1) for _ in range(8)]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / n for x in v], i % 3))
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>, label: int")
+    out = similarity.hard_negatives(emb, k=2).collect()
+    lbl = {r[0]: r[2] for r in rows}
+    by_q = {}
+    for r in out:
+        assert lbl[r["vec_id"]] != lbl[r["neg_id"]]   # never same-label
+        by_q.setdefault(r["vec_id"], []).append((r["rk"], r["sim"]))
+    assert set(by_q) == set(range(60))                # every vector served
+    for q, lst in by_q.items():
+        lst.sort()
+        assert [rk for rk, _ in lst] == [1, 2]
+        assert lst[0][1] >= lst[1][1]                 # descending sim
+    # spot-check rank-1 against a brute-force python scan
+    q0 = rows[0][1]
+    best = max(((sum(a*b for a, b in zip(q0, v)), i) for i, v, l in rows
+                if l != 0 and i != 0))
+    got1 = [r for r in out if r["vec_id"] == 0 and r["rk"] == 1][0]
+    assert got1["neg_id"] == best[1]
