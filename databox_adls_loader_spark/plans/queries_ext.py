@@ -512,15 +512,50 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(assets, every_n=4).orderBy("asset_id", "frame_idx")
 
 
-@register("sim_topk_ivf", oracle=None, tags=["similarity", "rows-only"])
+@register(
+    "sim_topk_ivf",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1)
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS sim,
+           TRUE AS ivf_recall_ge_40pct,
+           TRUE AS ivf_simsum_ge_80pct
+    FROM embeddings e, q
+    ORDER BY sim DESC, e.vec_id LIMIT 20
+    """,
+    tags=["similarity", "ivf"],
+)
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-20 to the vec_id=1 embedding (k-means cells on a
-    deterministic driver sample, 4-of-16 cell probe, exact rerank) —
-    approximate ⇒ rows-only; recall@k vs brute force asserted in
+    deterministic driver sample, 4-of-16 cell probe, exact rerank).
+
+    The IVF index itself is approximate and numpy-dependent, so its raw
+    output can't be value-hashed across engines.  Contract form instead
+    (same pattern as a8_approx_distinct): emit the BRUTE-FORCE exact
+    top-20 rows (DuckDB expresses the identical cosine math — see
+    sim_topk_bruteforce) plus two booleans asserting the IVF result's
+    quality against that exact set: recall@20 ≥ 40% and Σ(IVF sims) ≥
+    80% · Σ(exact sims) — the sim-sum ratio is the stabler ANN quality
+    metric (measured 0.89–0.98 across SFs vs 0.5–0.65 raw recall).  The
+    oracle expects the exact rows + TRUE/TRUE, so an IVF quality
+    collapse turns the hash check red instead of being invisible to the
+    gate.  Recall is additionally asserted numerically in
     tests/test_dedup_similarity.py::test_ivf_topk_recall."""
     (emb,) = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 1).first()["embedding"]
-    return similarity.topk_ivf(emb, list(q), k=20, n_centroids=16, n_probe=4)
+    exact = similarity.topk_bruteforce(emb, list(q), k=20)
+    ivf = similarity.topk_ivf(emb, list(q), k=20, n_centroids=16, n_probe=4)
+    contract = (
+        exact.join(ivf.select("vec_id"), "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .crossJoin(exact.agg(F.sum("sim").alias("ex_sum")))
+        .crossJoin(ivf.agg(F.sum("sim").alias("iv_sum")))
+        .select((F.col("n_hits") * 100 >= F.lit(20 * 40))
+                .alias("ivf_recall_ge_40pct"),
+                (F.col("iv_sum") * 100 >= F.col("ex_sum") * 80)
+                .alias("ivf_simsum_ge_80pct")))
+    return (exact.crossJoin(F.broadcast(contract))
+            .orderBy(F.desc("sim"), "vec_id"))
 
 
 @register(
