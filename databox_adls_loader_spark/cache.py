@@ -32,13 +32,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 # DataFrames memoized per (applicationId, sf_dir, params...)
 _SHARED: dict[tuple, DataFrame] = {}
-# RDD ids backing the memoized checkpoints — release_cached must not touch
-_PROTECTED: set[int] = set()
+# RDD ids backing the memoized checkpoints, keyed by applicationId —
+# release_cached must not touch the CURRENT app's ids.  Keying matters:
+# RDD ids restart near 0 in a new SparkContext, so a flat id set carried
+# over from a stopped session would shield unrelated new RDDs from
+# release and silently re-accumulate the blocks this module exists to
+# drop.  Stale apps' entries are pruned in _evict_other_sessions.
+_PROTECTED: dict[str, set[int]] = {}
 
 
 def _persistent_ids(spark: SparkSession) -> set[int]:
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     return {int(k) for k in jmap.keySet().toArray()}
+
+
+def _protected_ids(spark: SparkSession) -> set[int]:
+    return _PROTECTED.get(spark.sparkContext.applicationId, set())
 
 
 def snapshot(df: DataFrame) -> DataFrame:
@@ -48,7 +57,9 @@ def snapshot(df: DataFrame) -> DataFrame:
     spark = df.sparkSession
     before = _persistent_ids(spark)
     out = df.localCheckpoint(eager=True)
-    _PROTECTED.update(_persistent_ids(spark) - before)
+    app_id = spark.sparkContext.applicationId
+    _PROTECTED.setdefault(app_id, set()).update(
+        _persistent_ids(spark) - before)
     return out
 
 
@@ -63,10 +74,11 @@ def release_cached(spark: SparkSession) -> int:
     action completes — never between building a plan and collecting it,
     or the persist the operator relied on silently becomes a recompute."""
     spark.catalog.clearCache()
+    protected = _protected_ids(spark)
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     n = 0
     for key in list(jmap.keySet().toArray()):
-        if int(key) in _PROTECTED:
+        if int(key) in protected:
             continue
         rdd = jmap.get(key)
         if rdd is not None:
@@ -78,6 +90,8 @@ def release_cached(spark: SparkSession) -> int:
 def _evict_other_sessions(app_id: str) -> None:
     for k in [k for k in _SHARED if k[0] != app_id]:
         del _SHARED[k]
+    for a in [a for a in _PROTECTED if a != app_id]:
+        del _PROTECTED[a]
 
 
 def shared_jaccard_pairs(spark: SparkSession, sf_dir: str, n: int = 3,

@@ -148,22 +148,38 @@ def temperature_sample(docs: DataFrame, target_total: int,
 
     Returns every doc with (…, rate_ppm, kept) — callers filter on
     ``kept`` for the sampled mix or aggregate for an audit.  Map-side
-    except the one tiny counts aggregate."""
+    except the one tiny counts aggregate.  The per-source rates are
+    applied via a broadcast-joined rates frame, not a nested
+    ``F.when`` chain — a when-chain's expression depth is O(|sources|),
+    which blows up analysis/codegen long before 100 TB for
+    high-cardinality source domains; a broadcast hash join is O(1)
+    depth regardless of how many sources exist."""
     import math
+
+    from pyspark.sql.types import LongType, StructField, StructType
 
     counts = {r["s"]: r["n"] for r in
               docs.groupBy(F.col(strata_col).alias("s"))
               .agg(F.count(F.lit(1)).alias("n")).collect()}
     isq = {s: math.isqrt(n) for s, n in counts.items()}
     denom = sum(isq.values())
+    if denom == 0:
+        # empty input: no strata means no rates — return the (empty)
+        # frame with the contract schema instead of dividing by zero
+        return (docs.withColumn("rate_ppm", F.lit(0).cast("long"))
+                .withColumn("kept", F.lit(False)))
     rates = {
         s: min(1_000_000,
                (int(target_total) * isq[s] * 1_000_000) // (denom * counts[s]))
         for s in counts
     }
-    rate = F.lit(0)
-    for s in sorted(rates):
-        rate = F.when(F.col(strata_col) == s, F.lit(rates[s])).otherwise(rate)
+    rates_df = docs.sparkSession.createDataFrame(
+        [(s, rates[s]) for s in sorted(rates)],
+        StructType([StructField(strata_col, docs.schema[strata_col].dataType),
+                    StructField("rate_ppm", LongType())]))
     bucket = hash_bucket(key_col, 1_000_000, salt)
-    return (docs.withColumn("rate_ppm", rate.cast("long"))
-            .withColumn("kept", bucket < F.col("rate_ppm")))
+    return (docs.join(F.broadcast(rates_df), strata_col, "left")
+            .withColumn("rate_ppm",
+                        F.coalesce("rate_ppm", F.lit(0)).cast("long"))
+            .withColumn("kept", bucket < F.col("rate_ppm"))
+            .select(*docs.columns, "rate_ppm", "kept"))

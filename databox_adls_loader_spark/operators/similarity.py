@@ -432,6 +432,15 @@ def hard_negatives(emb: DataFrame, k: int = 3, label_col: str = "label",
     right = (tagged.join(F.broadcast(pairs), F.col("blk") == F.col("bj"))
              .select("bi", "bj", "id", "v", "lbl", F.lit(1).alias("side")))
 
+    def round_half_away(x: np.ndarray) -> np.ndarray:
+        # Spark's F.round and DuckDB's ROUND both round half AWAY from
+        # zero; np.round rounds half to EVEN — on an exact .5 boundary at
+        # the 6th decimal the engines would disagree on the ranking key.
+        # floor(|x|·1e6 + 0.5) with the sign restored matches both SQL
+        # engines (up to the usual caveat that the double nearest a .5
+        # boundary is rarely exactly on it).
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
     def topk_block(pdf: pd.DataFrame) -> pd.DataFrame:
         qs = pdf[pdf["side"] == 0]
         cs = pdf[pdf["side"] == 1]
@@ -450,13 +459,15 @@ def hard_negatives(emb: DataFrame, k: int = 3, label_col: str = "label",
                 continue
             cand = np.nonzero(mask)[0]
             # local top-k by (-ROUNDED sim, neg_id) — the same key the
-            # global window and the SQL oracle rank on, so near-tie
-            # candidates can never be selected differently per engine
-            rsim = np.round(sims[r, cand], 6)
+            # global window and the SQL oracle rank on, with the same
+            # half-away-from-zero rounding rule both SQL engines use, so
+            # near-tie candidates can never be selected differently per
+            # engine
+            rsim = round_half_away(sims[r, cand])
             order = cand[np.lexsort((cid[cand], -rsim))][:k]
             out_q.extend([qid[r]] * len(order))
             out_c.extend(cid[order])
-            out_s.extend(np.round(sims[r, order], 6))
+            out_s.extend(round_half_away(sims[r, order]))
         return pd.DataFrame({"vec_id": out_q, "neg_id": out_c, "sim": out_s})
 
     local = (

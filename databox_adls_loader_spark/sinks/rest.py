@@ -179,7 +179,16 @@ def create_directories_ordered(inventory: DataFrame,
     guarantee.  Only the per-depth counts ever reach the driver (one row
     per level — O(tree height), not O(directories)), so the sink survives
     10⁸-directory inventories where a full driver-side collect+sort
-    would not.  Returns the number of directories created."""
+    would not.  Returns the number of directories created.
+
+    Executor-side contract (differs from the reference's sequential
+    driver loop): ``creator`` runs on executor Python workers via
+    ``foreachPartition``, so it must be PICKLABLE and IDEMPOTENT
+    (mkdir-if-absent semantics; Spark task retries re-invoke it), should
+    open its own connection per partition (driver-side sessions/counters
+    don't travel), and creates WITHIN a level run concurrently in no
+    deterministic order — only the level-by-level parent-before-child
+    ordering is guaranteed."""
     from pyspark.sql import functions as F
 
     dirs = (

@@ -10,7 +10,21 @@ from databox_adls_loader_spark.operators import dedup
 def _unprotected_persistent(spark) -> list[int]:
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     return [int(k) for k in jmap.keySet().toArray()
-            if int(k) not in cache._PROTECTED]
+            if int(k) not in cache._protected_ids(spark)]
+
+
+def test_protected_ids_keyed_by_application(spark):
+    """A stale app's protected ids must not shield the current app's RDDs
+    (RDD ids restart near 0 in a new context), and eviction must prune
+    dead apps' entries."""
+    cache.snapshot(spark.range(10))
+    app_id = spark.sparkContext.applicationId
+    assert app_id in cache._PROTECTED and cache._PROTECTED[app_id]
+    # a dead session's leftover ids: would cover every small RDD id
+    cache._PROTECTED["app-dead-0000"] = set(range(10_000))
+    assert cache._protected_ids(spark) == cache._PROTECTED[app_id]
+    cache._evict_other_sessions(app_id)
+    assert "app-dead-0000" not in cache._PROTECTED
 
 
 def test_release_cached_drops_query_caches(spark):

@@ -392,6 +392,14 @@ def test_temperature_sample_flattens_mixture(spark):
     assert k1 == k2
 
 
+def test_temperature_sample_empty_input(spark):
+    from databox_adls_loader_spark.operators.mixing import temperature_sample
+    d = spark.createDataFrame([], "doc_id: long, source: string")
+    out = temperature_sample(d, target_total=500)
+    assert out.columns == ["doc_id", "source", "rate_ppm", "kept"]
+    assert out.count() == 0
+
+
 def test_contamination_predicate_form_matches_dataframe_form(docs):
     from databox_adls_loader_spark.operators.dedup import contamination
     from pyspark.sql import functions as F
