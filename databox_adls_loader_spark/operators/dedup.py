@@ -19,6 +19,7 @@ uniformly distributed by construction.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -555,6 +556,97 @@ def contamination(docs: DataFrame, bench: DataFrame | Column, n: int = 3,
                 F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
                 (F.coalesce("n_shared_grams", F.lit(0)) >= min_shared)
                 .alias("contaminated"))
+    )
+
+
+def bloom_positions(gram: Column | str, m_bits: int, k_hashes: int) -> Column:
+    """The ``k_hashes`` Bloom bit positions of one gram: xxhash64 seeded
+    by hash index, mod ``m_bits`` — pure JVM expressions, O(k) depth."""
+    g = F.col(gram) if isinstance(gram, str) else gram
+    return F.array(*[F.pmod(F.xxhash64(g, F.lit(i)), F.lit(m_bits))
+                     for i in range(k_hashes)])
+
+
+def bloom_build(bench: DataFrame, text_col: str = "text", n: int = 3,
+                m_bits: int = 1 << 20, k_hashes: int = 5):
+    """Build a Bloom bitmap (numpy uint64 words) over the benchmark set's
+    distinct word n-grams.
+
+    The collect is bounded by ``m_bits`` DISTINCT positions (the bitmap's
+    own capacity), never by corpus size — at 10⁹ benchmark grams you size
+    m_bits ≈ 10·n_grams and the bitmap is m_bits/8 bytes (a 2³⁰-bit
+    filter is 128 MB) broadcast once per executor, vs. a multi-GB exact
+    gram set that may not fit in driver or executor memory at all."""
+    import numpy as np
+
+    pos = (bench
+           .select(F.explode(word_shingles(text_col, n)).alias("__g"))
+           .select(F.explode(bloom_positions("__g", m_bits, k_hashes))
+                   .alias("p"))
+           .distinct())
+    words = np.zeros((m_bits + 63) // 64, dtype=np.uint64)
+    arr = pos.toPandas()["p"].to_numpy(dtype=np.int64)
+    np.bitwise_or.at(words, arr >> 6, np.uint64(1) << (arr.astype(np.uint64) & np.uint64(63)))
+    return words
+
+
+def contamination_bloom(docs: DataFrame, bench: DataFrame, n: int = 3,
+                        min_shared: int = 2, m_bits: int = 1 << 20,
+                        k_hashes: int = 5, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Bloom-filter decontamination: like `contamination` but the
+    benchmark gram set is a fixed-size bitmap instead of an exact
+    broadcast set — the shape for decontaminating against MANY benchmarks
+    at once, where the union of exact gram sets outgrows broadcast
+    budgets but a Bloom filter stays m_bits/8 bytes regardless.
+
+    Output per doc: (n_flagged_grams, contaminated_maybe).  Contract:
+    NO false negatives — every gram truly shared with the benchmark is
+    flagged, so ``n_flagged_grams ≥`` the exact operator's
+    ``n_shared_grams`` and ``contaminated_maybe`` is a superset of
+    ``contaminated`` (asserted per-row in the registry query and the
+    false-positive-rate bound in tests/test_dedup_similarity.py).  The
+    production pattern is Bloom-prefilter → exact-verify only the
+    flagged docs: the second pass touches a tiny fraction of the corpus.
+
+    Plan: bench side one shingle explode → distinct positions → bounded
+    bitmap collect; probe side one shingle explode + JVM position arrays
+    + one Arrow-batched membership probe (vectorized numpy bit test, no
+    per-row Python) → groupBy doc.  The bitmap rides an executor-wide
+    Spark broadcast, not a join."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    words = bloom_build(bench, text_col, n, m_bits, k_hashes)
+    bcast = docs.sparkSession.sparkContext.broadcast(words)
+
+    @pandas_udf("boolean")
+    def might_contain(pos: pd.Series) -> pd.Series:
+        import numpy as _np
+        w = bcast.value
+        if pos.empty:
+            return pd.Series([], dtype=bool)
+        idx = _np.vstack(pos.to_numpy()).astype(_np.int64)  # rows × k
+        bits = (w[idx >> 6] >> (idx.astype(_np.uint64) & _np.uint64(63))) \
+            & _np.uint64(1)
+        return pd.Series(bits.all(axis=1))
+
+    probed = (
+        docs.select(F.col(id_col),
+                    F.explode(word_shingles(text_col, n)).alias("__g"))
+        .select(id_col,
+                bloom_positions("__g", m_bits, k_hashes).alias("__ps"))
+        .withColumn("__hit", might_contain("__ps"))
+        .groupBy(id_col)
+        .agg(F.sum(F.col("__hit").cast("long")).alias("n_flagged_grams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(probed, id_col, "left")
+        .select(F.col(id_col),
+                F.coalesce("n_flagged_grams", F.lit(0)).alias("n_flagged_grams"),
+                (F.coalesce("n_flagged_grams", F.lit(0)) >= min_shared)
+                .alias("contaminated_maybe"))
     )
 
 

@@ -94,12 +94,101 @@ def _decode_image_real(content: bytes) -> dict | None:
             "feature": feature}
 
 
+def _png_paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png_pure(content: bytes) -> dict | None:
+    """Stdlib-only PNG decode (struct + zlib, no codec libraries): 8-bit
+    grayscale/RGB/gray-alpha/RGBA, non-interlaced, all five filter types.
+    Exists so the REAL-decode path executes even in containers without
+    PIL — the sandbox's own fixtures round-trip through genuine inflate +
+    unfilter instead of the hash stub.  Returns None for anything outside
+    that subset (16-bit, palette, interlaced, truncated) so the caller
+    can fall through.  Feature: 4×4 box-averaged grayscale thumbnail
+    normalized to [0, 1] — same contract as the PIL path."""
+    if not content.startswith(b"\x89PNG\r\n\x1a\n"):
+        return None
+    import struct
+    import zlib
+    try:
+        pos, idat = 8, b""
+        width = height = bit_depth = color_type = interlace = None
+        while pos + 8 <= len(content):
+            (length,) = struct.unpack(">I", content[pos:pos + 4])
+            tag = content[pos + 4:pos + 8]
+            data = content[pos + 8:pos + 8 + length]
+            if tag == b"IHDR":
+                width, height, bit_depth, color_type, _, _, interlace = \
+                    struct.unpack(">IIBBBBB", data)
+            elif tag == b"IDAT":
+                idat += data
+            elif tag == b"IEND":
+                break
+            pos += 12 + length
+        channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+        if (not idat or not width or not height or bit_depth != 8
+                or interlace != 0 or channels is None):
+            return None
+        raw = zlib.decompress(idat)
+        stride = width * channels
+        if len(raw) < height * (stride + 1):
+            return None
+        prev = bytearray(stride)
+        gray = []  # per-row lists of 0-255 luma values
+        at = 0
+        for _ in range(height):
+            ftype = raw[at]
+            line = bytearray(raw[at + 1:at + 1 + stride])
+            at += stride + 1
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                if ftype == 1:
+                    line[i] = (line[i] + a) & 0xFF
+                elif ftype == 2:
+                    line[i] = (line[i] + b) & 0xFF
+                elif ftype == 3:
+                    line[i] = (line[i] + (a + b) // 2) & 0xFF
+                elif ftype == 4:
+                    line[i] = (line[i] + _png_paeth(a, b, c)) & 0xFF
+            prev = line
+            if channels >= 3:
+                gray.append([(line[i] * 299 + line[i + 1] * 587
+                              + line[i + 2] * 114) // 1000
+                             for i in range(0, stride, channels)])
+            else:
+                gray.append([line[i] for i in range(0, stride, channels)])
+        # 4x4 box-averaged thumbnail -> 16-dim feature in [0, 1]
+        feature = []
+        for ty in range(4):
+            y0, y1 = ty * height // 4, max((ty + 1) * height // 4, ty * height // 4 + 1)
+            y1 = min(y1, height)
+            for tx in range(4):
+                x0, x1 = tx * width // 4, max((tx + 1) * width // 4, tx * width // 4 + 1)
+                x1 = min(x1, width)
+                px = [gray[y][x] for y in range(y0, y1) for x in range(x0, x1)]
+                feature.append((sum(px) / len(px)) / 255.0 if px else 0.0)
+        return {"width": width, "height": height, "n_frames": None,
+                "feature": feature}
+    except Exception:  # noqa: BLE001 - malformed bytes → caller stubs
+        return None
+
+
 def decode_asset(content: bytes, modality: str) -> dict:
     """Dispatch: real decoder when available and the payload is genuine,
     deterministic stub otherwise.  Both paths produce the same dict shape,
-    so the Spark plumbing (schema, batching) is identical either way."""
+    so the Spark plumbing (schema, batching) is identical either way.
+    Order: PIL (any format) → pure-Python PNG subset → hash stub."""
     if modality == "image":
         real = _decode_image_real(content)
+        if real is None:
+            real = _decode_png_pure(content)
         if real is not None:
             return real
     return _fake_decode(content, modality)

@@ -1037,6 +1037,56 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_contamination_bloom",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(t) - 2, 1) + 1),
+        i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+      FROM toks
+    ), bench AS (
+      SELECT DISTINCT g FROM sh WHERE doc_id % 17 = 0
+    ), shared AS (
+      SELECT s.doc_id, COUNT(*) AS n_shared
+      FROM sh s JOIN bench b ON s.g = b.g
+      GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared_grams,
+           COALESCE(s.n_shared, 0) >= 2 AS contaminated,
+           TRUE AS bloom_no_false_negatives
+    FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id
+    ORDER BY d.doc_id
+    """,
+    tags=["dedup", "contamination", "bloom"],
+)
+def dedup_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefilter decontamination in contract form: the exact
+    per-doc overlap (hash-checked against DuckDB, same math as
+    dedup_contamination) plus a per-row boolean asserting the Bloom
+    path's no-false-negative guarantee (n_flagged ≥ n_shared for every
+    doc).  A Bloom regression — a bit lost to bitmap sizing, hashing
+    drift, probe bugs — flips a row to FALSE and the hash gate goes red;
+    the false-positive RATE bound is asserted numerically in pytest."""
+    from ..operators.dedup import contamination, contamination_bloom
+    (docs,) = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    exact = contamination(docs, bench)
+    bloom = (contamination_bloom(docs, bench)
+             .withColumnRenamed("doc_id", "b_doc_id"))
+    return (
+        exact.join(bloom, exact["doc_id"] == bloom["b_doc_id"])
+        .select("doc_id", "n_shared_grams", "contaminated",
+                (F.col("n_flagged_grams") >= F.col("n_shared_grams"))
+                .alias("bloom_no_false_negatives"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "dedup_incremental",
     oracle=r"""
     WITH inc AS (

@@ -400,6 +400,47 @@ def test_temperature_sample_empty_input(spark):
     assert out.count() == 0
 
 
+def test_contamination_bloom_superset_and_fp_rate(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from databox_adls_loader_spark.operators.dedup import (
+        bloom_build, bloom_positions, contamination, contamination_bloom,
+        word_shingles)
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(60)]
+    # docs 50..59 share the benchmark text of docs 0..9 verbatim
+    rows += [(100 + i, rows[i][1]) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    bench = docs.filter(F.col("doc_id") < 10)
+
+    exact = {r["doc_id"]: r["n_shared_grams"]
+             for r in contamination(docs, bench).collect()}
+    bloom = {r["doc_id"]: r["n_flagged_grams"]
+             for r in contamination_bloom(docs, bench).collect()}
+    # no false negatives: the bloom count dominates the exact count, and
+    # every truly contaminated doc is flagged
+    assert set(bloom) == set(exact)
+    assert all(bloom[d] >= exact[d] for d in exact)
+
+    # false-positive rate on definitely-non-member grams stays within a
+    # small multiple of the theoretical (1 - e^{-kn/m})^k bound
+    m_bits, k_hashes = 1 << 14, 5
+    words = bloom_build(bench, m_bits=m_bits, k_hashes=k_hashes)
+    n_items = (bench.select(F.explode(word_shingles("text", 3)))
+               .distinct().count())
+    theo = (1 - math.exp(-k_hashes * n_items / m_bits)) ** k_hashes
+    probes = spark.range(5000).select(
+        bloom_positions(F.concat(F.lit("absent gram "), F.col("id")),
+                        m_bits, k_hashes).alias("ps"))
+    hits = 0
+    for r in probes.collect():
+        if all(int(words[p >> 6]) >> (p & 63) & 1 for p in r["ps"]):
+            hits += 1
+    assert hits / 5000 <= max(3 * theo, 0.01)
+
+
 def test_contamination_predicate_form_matches_dataframe_form(docs):
     from databox_adls_loader_spark.operators.dedup import contamination
     from pyspark.sql import functions as F

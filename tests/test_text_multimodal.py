@@ -202,10 +202,10 @@ def test_decode_asset_stub_fallback_is_deterministic():
     assert len(d1["feature"]) == 16
 
 
-def test_decode_asset_real_png_with_pil():
-    """When PIL is importable the real decoder must report TRUE dimensions
-    for genuine PNG bytes (skips in codec-free containers)."""
-    pytest.importorskip("PIL")
+def test_decode_asset_real_png():
+    """Genuine PNG bytes must REALLY decode in every container: via PIL
+    when importable, else via the stdlib zlib+unfilter PNG subset decoder
+    — true dimensions either way, never the hash stub."""
     from databox_adls_loader_spark.operators import multimodal as mm
     d = mm.decode_asset(_tiny_png(5, 3), "image")
     assert (d["width"], d["height"]) == (5, 3)
@@ -213,19 +213,52 @@ def test_decode_asset_real_png_with_pil():
     assert all(0.0 <= v <= 1.0 for v in d["feature"])
 
 
-def test_decode_asset_real_png_without_pil_still_works(spark):
-    """Real PNG bytes through the full mapInPandas stage must succeed in
-    BOTH modes: true dims under PIL, stub dims otherwise — schema and
-    batching identical either way."""
+def test_decode_png_pure_filters_and_rgb():
+    """The pure decoder must unfilter correctly: an RGB image written
+    with filter type 2 (Up) reconstructs the same pixels as filter 0."""
+    import struct
+    import zlib
+
+    from databox_adls_loader_spark.operators import multimodal as mm
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    w, h = 4, 3
+    rows = [[((x * 37 + y * 11 + c * 5) % 256 for c in range(3))
+             for x in range(w)] for y in range(h)]
+    flat = [bytes(b for px in r for b in px) for r in rows]
+
+    def png(scanlines: bytes) -> bytes:
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(scanlines))
+                + chunk(b"IEND", b""))
+
+    plain = png(b"".join(b"\x00" + r for r in flat))
+    # filter 2 (Up): each row stored as delta vs the row above
+    up_lines = [b"\x02" + bytes((flat[y][i] - (flat[y - 1][i] if y else 0))
+                                & 0xFF for i in range(len(flat[y])))
+                for y in range(h)]
+    filtered = png(b"".join(up_lines))
+    d0 = mm._decode_png_pure(plain)
+    d2 = mm._decode_png_pure(filtered)
+    assert d0 is not None and d2 is not None
+    assert d0 == d2
+    assert (d0["width"], d0["height"]) == (w, h)
+
+
+def test_decode_asset_real_png_through_map_in_pandas(spark):
+    """Real PNG bytes through the full mapInPandas stage must report TRUE
+    dimensions in every container (PIL or the stdlib decoder) — schema
+    and batching identical either way."""
     from databox_adls_loader_spark.operators import multimodal as mm
     png = _tiny_png(5, 3)
     assets = spark.createDataFrame(
         [(1, "image", bytearray(png), "image/png")], mm.ASSET_SCHEMA)
     row = mm.extract_features(assets).collect()[0]
-    if mm._PILImage is not None:
-        assert (row["width"], row["height"]) == (5, 3)
-    else:
-        assert row["width"] > 0 and row["height"] > 0
+    assert (row["width"], row["height"]) == (5, 3)
     assert row["n_bytes"] == len(png)
 
 
