@@ -99,3 +99,64 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "event_type" in plan.split(
         "PartitionFilters", 1)[1][:200]
     assert df.count() == events.filter(F.col("event_type") == "click").count()
+
+
+# ---------------------------------------------------------------------------
+# salted-join property tests (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.integers(0, 4), min_size=1, max_size=200),
+       st.integers(2, 8))
+def test_salted_join_balance_and_equality(spark, keys, n_salts):
+    """For ANY key distribution (hypothesis picks, including one key
+    carrying every row): (1) the salted join is row-identical to the
+    plain join even with NULL keys present, and (2) no (key, salt)
+    sub-group exceeds the balanced share ceil(cnt/n_salts) plus
+    balls-in-bins slack — the skew split actually splits."""
+    import math
+    from collections import Counter
+
+    # key value 4 becomes NULL (equi-joins drop it on both paths)
+    fact = spark.createDataFrame(
+        [(i, k if k < 4 else None, i % 7) for i, k in enumerate(keys)],
+        "row_id: long, k: long, v: long")
+    dim = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c"), (3, "d")], "k: long, label: string")
+
+    plain = fact.join(dim, "k").select("row_id", "k", "v", "label")
+    salted = scale.salted_join(fact, dim, "k", unique_col="row_id",
+                               n_salts=n_salts).select("row_id", "k", "v",
+                                                       "label")
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, salted.collect()))
+
+    per_key = Counter(k if k < 4 else None for k in keys)
+    grp = (scale.salt_keys(fact, "k", n_salts, "row_id")
+           .groupBy("k", "__salt").count().collect())
+    for r in grp:
+        cnt = per_key[r["k"]]
+        share = cnt / n_salts
+        bound = math.ceil(share) + math.ceil(3 * math.sqrt(share)) + 2
+        assert r["count"] <= bound, (
+            f"(key={r['k']}, salt={r['__salt']}) holds {r['count']} rows; "
+            f"balanced share is {share:.1f} (bound {bound})")
+
+
+def test_salted_join_null_unique_col_still_exact(spark):
+    """NULL in unique_col must not lose rows: xxhash64(NULL) is a
+    deterministic (non-null) value, so those rows all land in one salt
+    and the join stays row-identical to the plain join."""
+    fact = spark.createDataFrame(
+        [(None, 0, 1), (None, 0, 2), (3, 0, 3), (4, 1, 4)],
+        "row_id: long, k: long, v: long")
+    dim = spark.createDataFrame([(0, "zero"), (1, "one")],
+                                "k: long, label: string")
+    plain = fact.join(dim, "k").select("v", "label")
+    salted = scale.salted_join(fact, dim, "k", unique_col="row_id",
+                               n_salts=4).select("v", "label")
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, salted.collect()))
