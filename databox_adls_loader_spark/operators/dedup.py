@@ -186,6 +186,29 @@ def minhash_docs(docs: DataFrame, text_col: str = "text",
     )
 
 
+def lsh_banded(sigs: DataFrame, bands: int = 8, id_col: str = "doc_id",
+               portable: bool = False) -> DataFrame:
+    """(id, band, band_hash) — each signature split into ``bands`` band
+    keys (the LSH bucket key).  Shared by the self-join candidate search
+    and the incremental batch-vs-corpus search."""
+    k_over_b = F.size(F.col("sig")) / bands
+
+    def band_key(b):
+        joined = F.concat_ws(",", F.transform(
+            F.slice(F.col("sig"),
+                    (b * k_over_b + 1).cast("int"),
+                    k_over_b.cast("int")),
+            lambda x: x.cast("string")))
+        return joined if portable else F.xxhash64(b, joined).cast("string")
+
+    return sigs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
+        ).alias("band", "band_hash"),
+    )
+
+
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8,
                         id_col: str = "doc_id",
                         portable: bool = False) -> DataFrame:
@@ -203,22 +226,7 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8,
     The signature length must be divisible by ``bands`` — fractional band
     widths would silently drop trailing components and shift band
     boundaries (checked at runtime on the first row)."""
-    k_over_b = F.size(F.col("sig")) / bands
-
-    def band_key(b):
-        joined = F.concat_ws(",", F.transform(
-            F.slice(F.col("sig"),
-                    (b * k_over_b + 1).cast("int"),
-                    k_over_b.cast("int")),
-            lambda x: x.cast("string")))
-        return joined if portable else F.xxhash64(b, joined).cast("string")
-
-    banded = sigs.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(
-            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
-        ).alias("band", "band_hash"),
-    )
+    banded = lsh_banded(sigs, bands, id_col, portable)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -251,6 +259,56 @@ def minhash_near_dupes(docs: DataFrame, text_col: str = "text",
     cands = lsh_candidate_pairs(sigs, bands, portable=portable)
     a = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda eq: eq))
+        / F.size(F.col("sig_a"))
+    )
+    return (
+        cands.join(a, "a").join(b, "b")
+        .select("a", "b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def incremental_minhash_dedup(incoming: DataFrame, corpus: DataFrame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id", k: int = 32,
+                              bands: int = 8, threshold: float = 0.5,
+                              shingle_n: int = 3,
+                              portable: bool = False) -> DataFrame:
+    """NEAR-dup dedup of an incoming batch against an existing corpus —
+    the recurring-crawl companion of `incremental_exact_dedup`: candidate
+    pairs come only from LSH bands shared ACROSS the two sides (incoming
+    banded keys ⋈ corpus banded keys), then the signature-estimated
+    Jaccard verifies.  Returns (a=incoming id, b=corpus id, est_jaccard)
+    for pairs at/above threshold — callers drop the matched incoming docs.
+
+    Scale: the corpus side's (band, band_hash) frame is exactly the
+    persistent LSH INDEX a production pipeline maintains (bucketed by
+    band_hash on disk); an ingest then shuffles only the delta's banded
+    keys — O(batch), regardless of corpus size.  Within-batch dups are
+    `minhash_near_dupes` on the batch alone; this operator is the
+    batch-vs-history half."""
+    if k % bands != 0:
+        raise ValueError(f"k={k} not divisible by bands={bands}: "
+                         "trailing signature components would be dropped")
+    inc_sigs = minhash_docs(incoming, text_col, id_col, k, shingle_n,
+                            portable).persist()
+    cor_sigs = minhash_docs(corpus, text_col, id_col, k, shingle_n,
+                            portable).persist()
+    bi = lsh_banded(inc_sigs, bands, id_col, portable)
+    bc = lsh_banded(cor_sigs, bands, id_col, portable)
+    cands = (
+        bi.alias("l").join(
+            bc.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash")))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+    a = inc_sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
+    b = cor_sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
                         lambda eq: eq))

@@ -835,4 +835,5 @@ def all_oracles() -> dict[str, str]:
 
 def _load_extensions() -> None:
     """Import the extension registrations (deferred to avoid a cycle)."""
-    from . import queries_domain, queries_ext, queries_ops, queries_tpch  # noqa: F401
+    from . import (queries_domain, queries_ext, queries_ops,  # noqa: F401
+                   queries_round5, queries_tpch)

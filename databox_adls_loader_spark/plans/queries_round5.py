@@ -1,0 +1,264 @@
+"""Round-5 registry extensions: sketch-contract aggregates (approximate
+percentile / heavy hitters checked the a8_approx_distinct way), a data-
+quality referential-integrity audit, hopping windows, and incremental
+MinHash dedup (batch-vs-corpus LSH).
+
+Reference parity note: the reference (Azure/databox-adls-loader) has no
+analytics surface beyond SURVEY §2 — these are the beyond-reference
+operators a 100 TB training-data pipeline needs (driver contract:
+__spark_entry__.py; correctness gate: tools/check_correctness.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import dsum
+from ..operators import dedup
+from .queries import _t, register
+
+
+# ---------------------------------------------------------------------------
+# sketch contracts (a8 pattern: exact values + in-contract booleans)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a10_approx_percentile_contract",
+    oracle="""
+    SELECT ROUND(quantile_disc(o_totalprice, 0.5), 6) AS p50_exact,
+           ROUND(quantile_disc(o_totalprice, 0.9), 6) AS p90_exact,
+           ROUND(quantile_disc(o_totalprice, 0.99), 6) AS p99_exact,
+           TRUE AS p50_rank_ok, TRUE AS p90_rank_ok, TRUE AS p99_rank_ok
+    FROM orders
+    """,
+    tags=["A5", "sketch", "percentile"],
+)
+def a10_approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style sketch — the 100 TB substitute for an
+    exact within-group sort) under a RANK-ERROR contract: the sketch's
+    returned value v_p must sit at a data rank within ±2 pp of p (the
+    sketch's guarantee is 1/accuracy = 0.01 pp; 2 pp is 200× slack, so
+    only a genuinely broken sketch trips it).  The query emits the exact
+    percentile_disc values (hash-checked against DuckDB's quantile_disc)
+    plus one boolean per percentile; the oracle expects TRUE.  Plan: one
+    sketch aggregate + one exact-sort aggregate + one rank-check scan,
+    joined as 1-row broadcasts."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    approx = orders.agg(
+        F.expr("approx_percentile(o_totalprice, array(0.5D, 0.9D, 0.99D), 10000)")
+        .alias("ap"))
+    exact = orders.agg(*[
+        F.round(F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY o_totalprice)"), 6)
+        .alias(f"p{int(p * 100)}_exact")
+        for p in (0.5, 0.9, 0.99)])
+    ranks = (
+        orders.crossJoin(F.broadcast(approx))
+        .agg(*[(F.sum((F.col("o_totalprice") <= F.col("ap")[i].cast("double"))
+                      .cast("long")) / F.count(F.lit(1)))
+               .alias(f"frac{i}") for i in range(3)])
+    )
+    ok = [(F.abs(F.col(f"frac{i}") - F.lit(p)) <= 0.02)
+          .alias(f"p{int(p * 100)}_rank_ok")
+          for i, p in enumerate((0.5, 0.9, 0.99))]
+    return (exact.crossJoin(F.broadcast(ranks))
+            .select("p50_exact", "p90_exact", "p99_exact", *ok))
+
+
+@register(
+    "a11_freq_items_contract",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS total FROM orders)
+    SELECT o_orderpriority, TRUE AS in_sketch
+    FROM orders CROSS JOIN n
+    GROUP BY o_orderpriority, n.total
+    HAVING COUNT(*) > 0.15 * n.total
+    ORDER BY o_orderpriority
+    """,
+    tags=["A5", "sketch", "heavy-hitters"],
+)
+def a11_freq_items_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via Spark's freqItems (Karp-Shenker-Papadimitriou
+    one-pass sketch) under its superset contract: every value whose true
+    frequency exceeds support·n MUST appear in the sketch output (false
+    positives allowed, false negatives never).  The query emits the
+    EXACT frequent items (hash-checked) plus a per-item boolean that the
+    sketch contains it; the oracle expects TRUE on every row.  At 100 TB
+    the sketch is the only side that runs — one pass, fixed memory."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    support = 0.15
+    sketch = (orders.freqItems(["o_orderpriority"], support=support)
+              .select(F.col("o_orderpriority_freqItems").alias("items")))
+    total = orders.agg(F.count(F.lit(1)).alias("total"))
+    exact = (orders.groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("cnt"))
+             .crossJoin(F.broadcast(total))
+             .filter(F.col("cnt") > support * F.col("total")))
+    return (exact.crossJoin(F.broadcast(sketch))
+            .select("o_orderpriority",
+                    F.array_contains("items", F.col("o_orderpriority"))
+                    .alias("in_sketch"))
+            .orderBy("o_orderpriority"))
+
+
+# ---------------------------------------------------------------------------
+# data quality
+# ---------------------------------------------------------------------------
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+        AS n_orphan_lineitem,
+      (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+        AS n_orphan_orders,
+      (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+                             GROUP BY o_orderkey HAVING COUNT(*) > 1))
+        AS n_dup_orderkeys,
+      (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL)
+        AS n_null_orderdate
+    """,
+    tags=["dq", "J2"],
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: orphan foreign keys (anti-join counts), primary-
+    key duplicates, and null-rate checks as ONE single-row report — the
+    validation pass a pipeline runs before training-data assembly.  Each
+    check is an independent broadcast-anti-join or pre-aggregate; the
+    1-row frames combine via broadcast cross joins.  At 100 TB each
+    anti-join broadcasts the KEY SET only (orderkey/custkey longs), and
+    AQE converts empty-orphan sides to instant-finish stages."""
+    lineitem, orders, customer = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    orphan_li = (lineitem.select("l_orderkey")
+                 .join(orders.select("o_orderkey"),
+                       F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+                 .agg(F.count(F.lit(1)).alias("n_orphan_lineitem")))
+    orphan_o = (orders.select("o_custkey")
+                .join(customer.select("c_custkey"),
+                      F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+                .agg(F.count(F.lit(1)).alias("n_orphan_orders")))
+    dup_keys = (orders.groupBy("o_orderkey")
+                .agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1)
+                .agg(F.count(F.lit(1)).alias("n_dup_orderkeys")))
+    null_dates = orders.agg(
+        F.sum(F.col("o_orderdate").isNull().cast("long"))
+        .alias("n_null_orderdate"))
+    return (orphan_li.crossJoin(F.broadcast(orphan_o))
+            .crossJoin(F.broadcast(dup_keys))
+            .crossJoin(F.broadcast(null_dates)))
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup (batch vs corpus LSH)
+# ---------------------------------------------------------------------------
+
+def _incremental_minhash_oracle() -> str:
+    from .queries_ext import _hex15_to_long, _perms_values_sql
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(t) - 2, 1) + 1),
+        i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+      FROM toks
+    ), {_perms_values_sql(32)}, hh AS (
+      SELECT doc_id, md5(g) AS m FROM sh
+    ), hb AS (
+      SELECT doc_id, {_hex15_to_long('m')} AS h FROM hh
+    ), hx AS (
+      SELECT doc_id, j,
+             MIN(CAST((CAST(a AS HUGEINT) * CAST(h AS HUGEINT) + b)
+                      % 2305843009213693951 AS BIGINT)) AS hmin
+      FROM hb CROSS JOIN perms GROUP BY doc_id, j
+    ), sig AS (
+      SELECT doc_id, list(hmin ORDER BY j) AS sig FROM hx GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, bi,
+             array_to_string(list_transform(
+               list_slice(sig, bi * 4 + 1, bi * 4 + 4),
+               x -> CAST(x AS VARCHAR)), ',') AS bkey
+      FROM sig CROSS JOIN range(0, 8) AS sb(bi)
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM banded l JOIN banded r
+        ON l.bi = r.bi AND l.bkey = r.bkey
+       AND l.doc_id % 2 = 1 AND r.doc_id % 2 = 0
+    ), est AS (
+      SELECT c.a, c.b,
+             len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) / 32.0
+               AS est_jaccard
+      FROM cand c JOIN sig sa ON c.a = sa.doc_id JOIN sig sb ON c.b = sb.doc_id
+    )
+    SELECT a, b, est_jaccard FROM est
+    WHERE est_jaccard >= 0.5 ORDER BY a, b
+    """
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=_incremental_minhash_oracle(),
+    tags=["dedup", "lsh", "incremental"],
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus NEAR-dup dedup (odd doc_ids = incoming crawl, even
+    = existing corpus): LSH candidates only from bands shared across the
+    sides, signature-estimated Jaccard verify — the recurring-ingest
+    companion to dedup_incremental's exact-hash check.  Portable md5
+    signature mode, so DuckDB rebuilds the identical signatures, band
+    keys, cross-side candidates, and verdicts (full value-hash check of
+    the approximate index, same trick as dedup_minhash_lsh)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    return (
+        dedup.incremental_minhash_dedup(incoming, corpus, k=32, bands=8,
+                                        threshold=0.5, portable=True)
+        .orderBy("a", "b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# hopping (sliding) windows
+# ---------------------------------------------------------------------------
+
+@register(
+    "w7_hopping_window_counts",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS b1, value FROM events
+    ), expanded AS (
+      SELECT b1 AS ws, value FROM b
+      UNION ALL
+      SELECT b1 - INTERVAL '1 hour' AS ws, value FROM b
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM expanded GROUP BY ws ORDER BY window_start
+    """,
+    tags=["streaming", "window", "W1"],
+)
+def w7_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows: 2-hour windows advancing every hour, so
+    each event contributes to exactly two windows — the overlap shape
+    used for smoothed rate monitoring.  Same F.window expression
+    Structured Streaming uses (streaming/events.py), batch-checked here:
+    the oracle expands each event into its two containing windows
+    explicitly.  Scale: the window explode is map-side (×2 rows), then
+    one shuffle on window_start — identical cost profile to a tumbling
+    agg at 2× input."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             dsum("value", scale=4).alias("total_value"))
+        .select(F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+                .alias("window_start"), "n", "total_value")
+        .orderBy("window_start")
+    )

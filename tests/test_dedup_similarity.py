@@ -400,6 +400,37 @@ def test_temperature_sample_empty_input(spark):
     assert out.count() == 0
 
 
+def test_incremental_minhash_finds_cross_side_near_dupes(spark):
+    from databox_adls_loader_spark.operators.dedup import (
+        incremental_minhash_dedup, minhash_near_dupes)
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(["CHANGED" if i == 7 else f"tok{i}" for i in range(40)])
+    other = " ".join(f"zzz{i}" for i in range(40))
+    corpus = spark.createDataFrame(
+        [(0, base), (2, other)], "doc_id: long, text: string")
+    incoming = spark.createDataFrame(
+        [(1, near), (3, "totally different words entirely"),
+         (5, base)], "doc_id: long, text: string")
+    out = incremental_minhash_dedup(incoming, corpus, k=32, bands=8,
+                                    threshold=0.5).collect()
+    pairs = {(r["a"], r["b"]) for r in out}
+    # the exact copy and the 1-of-40-changed near-dup both match doc 0
+    assert (5, 0) in pairs and (1, 0) in pairs
+    # direction contract: a is always an incoming id, b a corpus id
+    assert all(a in (1, 3, 5) and b in (0, 2) for a, b in pairs)
+    # unrelated docs don't pair
+    assert all(b != 2 for _, b in pairs)
+    # agreement with the self-join operator run on the union (restricted
+    # to cross-side pairs): same candidate policy, same verify
+    union = corpus.unionByName(incoming)
+    self_pairs = {(max(r["a"], r["b"]), min(r["a"], r["b"]))
+                  for r in minhash_near_dupes(union, k=32, bands=8,
+                                              threshold=0.5).collect()
+                  if (r["a"] in (1, 3, 5)) != (r["b"] in (1, 3, 5))}
+    assert {(a, b) for a, b in pairs} == self_pairs
+
+
 def test_contamination_bloom_superset_and_fp_rate(spark):
     import math
 
