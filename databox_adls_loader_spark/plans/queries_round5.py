@@ -154,6 +154,78 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# semi-structured + null-semantics SQL surface
+# ---------------------------------------------------------------------------
+
+@register(
+    "p11_props_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=["P1", "json", "semi-structured"],
+)
+def p11_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload parsing at scale: the events table's JSON
+    ``props`` column parsed with a TYPED from_json schema (JVM-side
+    Jackson parse, codegen projection — never a Python json.loads), then
+    aggregated per event type.  At 100 TB prefer parsing ONCE into a
+    struct column at ingest; this query is the read-side shape when the
+    payload stays raw."""
+    (events,) = _t(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_type",
+        F.from_json("props", "k INT").getField("k").cast("long").alias("k"))
+    return (parsed.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k").alias("k_sum"),
+                 F.min("k").alias("k_min"),
+                 F.max("k").alias("k_max"))
+            .orderBy("event_type"))
+
+
+@register(
+    "j4_null_safe_join",
+    oracle="""
+    WITH l AS (
+      SELECT NULLIF(o_custkey % 50, 0) AS k, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ), r AS (
+      SELECT NULLIF(c_custkey % 50, 0) AS k, COUNT(*) AS n_custs
+      FROM customer GROUP BY 1
+    )
+    SELECT l.k, l.n_orders, r.n_custs
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    ORDER BY l.k NULLS FIRST
+    """,
+    tags=["J1", "null-semantics"],
+)
+def j4_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of silently dropping — the semantics for
+    sentinel/unknown join keys (the reference's identity fallback P3
+    treats missing as a value, not an absence).  Spark plans ``<=>`` as
+    a regular hash join (null-safe keys still hash-partition), so the
+    scale profile is identical to a plain equi join — both sides here
+    pre-aggregate to ≤51 rows first."""
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    left = (orders.groupBy(F.nullif(F.col("o_custkey") % 50, F.lit(0))
+                           .alias("k"))
+            .agg(F.count(F.lit(1)).alias("n_orders")))
+    right = (customer.groupBy(F.nullif(F.col("c_custkey") % 50, F.lit(0))
+                              .alias("lk"))
+             .agg(F.count(F.lit(1)).alias("n_custs")))
+    return (left.join(right, F.col("k").eqNullSafe(F.col("lk")))
+            .select("k", "n_orders", "n_custs")
+            .orderBy(F.col("k").asc_nulls_first()))
+
+
+# ---------------------------------------------------------------------------
 # incremental near-dup (batch vs corpus LSH)
 # ---------------------------------------------------------------------------
 
