@@ -266,6 +266,82 @@ def _lloyd_kmeans(mat: "np.ndarray", k: int, iters: int = 8,
     return cents
 
 
+def kmeans_distributed(emb: DataFrame, k: int = 16, iters: int = 5,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> tuple["np.ndarray", list]:
+    """DISTRIBUTED spherical Lloyd k-means over the full table — the
+    trainer that produces the IVF cell centroids when the data no longer
+    fits a driver-side sample (`topk_ivf`'s bounded-sample k-means is the
+    small/medium path; this is the 100 TB path).
+
+    Per iteration: one Arrow-batched GEMM assignment pass (`ivf_assign`)
+    + one posexplode → groupBy(cell, pos) partial-sum aggregate, so the
+    shuffle volume is O(k × dims) regardless of row count; only the k×dim
+    centroid matrix and the per-iteration inertia scalar ever reach the
+    driver.  Init is deterministic (evenly spaced rows of the id-ordered
+    head — same rule as `_lloyd_kmeans`), no RNG anywhere.
+
+    Returns (centroids ndarray (k, dim), inertia_per_iter list) where
+    inertia is the mean cosine of each vector to its assigned centroid
+    (HIGHER is tighter; non-decreasing across iterations up to
+    reassignment ties is the Lloyd convergence property asserted in
+    tests)."""
+    head = (emb.orderBy(id_col).limit(max(4 * k, 64))
+            .select(vec_col).toPandas()[vec_col])
+    mat = np.vstack(head.to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    idx = np.linspace(0, mat.shape[0] - 1, num=min(k, mat.shape[0]),
+                      dtype=np.int64)
+    cents = mat[idx].copy()
+    inertia = []
+    for _ in range(iters):
+        # assignment pass (Arrow GEMM) → per-(cell, pos) partial sums;
+        # the collect is bounded at k × dim rows, never O(rows)
+        ex = (ivf_assign(emb, cents, vec_col, id_col)
+              .select("cell", F.posexplode(vec_col).alias("pos", "__v")))
+        sums = (ex.groupBy("cell", "pos")
+                .agg(F.sum(F.col("__v").cast("double")).alias("s"),
+                     F.count(F.lit(1)).alias("n"))
+                .collect())
+        new = np.zeros_like(cents)
+        counts = np.zeros(cents.shape[0])
+        for r in sums:
+            new[r["cell"], r["pos"]] += r["s"]
+            counts[r["cell"]] = r["n"]
+        for c in range(cents.shape[0]):
+            if counts[c] > 0:
+                v = new[c] / counts[c]
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cents[c] = v / nv
+        # tightness under the updated centroids: one more assignment
+        # pass reduced to a scalar
+        inertia.append(_mean_cos_to_centroids(
+            ivf_assign(emb, cents, vec_col, id_col).select("cell", vec_col),
+            cents, vec_col))
+    return cents, inertia
+
+
+def _mean_cos_to_centroids(assigned: DataFrame, cents: "np.ndarray",
+                           vec_col: str) -> float:
+    """Mean cosine of each vector to its assigned centroid — one
+    Arrow-batched pass, scalar to the driver."""
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = cents.astype(np.float64)
+
+    @pandas_udf("double")
+    def cos_to_cell(cell: pd.Series, vec: pd.Series) -> pd.Series:
+        m = np.vstack(vec.to_numpy()).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cc = cmat[cell.to_numpy(dtype=np.int64)]
+        return pd.Series(np.einsum("ij,ij->i", m, cc))
+
+    row = (assigned.select(cos_to_cell("cell", vec_col).alias("c"))
+           .agg(F.avg("c").alias("m")).collect()[0])
+    return float(row["m"])
+
+
 def ivf_assign(emb: DataFrame, centroids: "np.ndarray",
                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Assign every vector to its nearest (cosine) centroid — an

@@ -557,3 +557,71 @@ def test_hard_negatives_excludes_same_label_and_ranks(spark):
                 if l != 0 and i != 0))
     got1 = [r for r in out if r["vec_id"] == 0 and r["rk"] == 1][0]
     assert got1["neg_id"] == best[1]
+
+
+def test_kmeans_distributed_converges_and_separates(spark):
+    """Distributed Lloyd: inertia (mean cosine to assigned centroid) must
+    improve from the init, planted blobs must land in distinct cells, and
+    only k x dim state reaches the driver (returned matrix shape)."""
+    import numpy as np
+
+    from databox_adls_loader_spark.operators import similarity
+
+    rng = np.random.default_rng(11)
+    dim, per = 16, 40
+    rows = []
+    for blob in range(3):
+        center = np.zeros(dim); center[blob * 5] = 1.0
+        for i in range(per):
+            v = center + rng.normal(0, 0.05, dim)
+            rows.append((blob * per + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    cents, inertia = similarity.kmeans_distributed(emb, k=3, iters=4)
+    assert cents.shape == (3, dim)
+    assert len(inertia) == 4
+    # Lloyd improves (or holds) tightness; final must be near-perfect for
+    # well-separated blobs (cos to own centroid ~ 1)
+    assert inertia[-1] >= inertia[0] - 1e-9
+    assert inertia[-1] > 0.95
+    # the three blobs assign to three distinct cells
+    assigned = similarity.ivf_assign(emb, cents).collect()
+    cell_of = {r["vec_id"]: r["cell"] for r in assigned}
+    blobs = [{cell_of[b * per + i] for i in range(per)} for b in range(3)]
+    assert all(len(s) == 1 for s in blobs)
+    assert len(set.union(*blobs)) == 3
+
+
+def test_ivf_partition_pruned_layout(spark, tmp_path):
+    """The 100 TB IVF serving path: assignments written partitionBy(cell),
+    a probe query shows PartitionFilters on cell and returns the same
+    top-k as the in-memory path."""
+    from pyspark.sql import functions as F
+
+    from databox_adls_loader_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = list(emb.filter(F.col("vec_id") == 1).first()["embedding"])
+    sample = emb.orderBy("vec_id").limit(4096).toPandas()["embedding"]
+    import numpy as np
+    mat = np.vstack(sample.to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cents = similarity._lloyd_kmeans(mat, 16, 8, 7)
+    out = str(tmp_path / "ivf")
+    similarity.ivf_assign(emb, cents).write.partitionBy("cell").parquet(out)
+
+    qv = np.asarray(q, dtype=np.float64); qv /= np.linalg.norm(qv)
+    probes = [int(p) for p in np.argsort(-(cents @ qv))[:4]]
+    stored = spark.read.parquet(out).filter(F.col("cell").isin(probes))
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters", 1)[1][:200]
+
+    from databox_adls_loader_spark.operators.similarity import (
+        _query_literal, cosine)
+    topk_stored = (stored.select(
+        "vec_id", F.round(cosine(F.col("embedding"), _query_literal(q)), 6)
+        .alias("sim")).orderBy(F.desc("sim"), "vec_id").limit(20).collect())
+    topk_mem = similarity.topk_ivf(emb, q, k=20, n_centroids=16,
+                                   n_probe=4).collect()
+    assert [(r["vec_id"], r["sim"]) for r in topk_stored] == \
+        [(r["vec_id"], r["sim"]) for r in topk_mem]
