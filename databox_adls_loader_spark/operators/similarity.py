@@ -557,3 +557,127 @@ def hard_negatives(emb: DataFrame, k: int = 3, label_col: str = "label",
         .filter(F.col("rk") <= k)
         .select("vec_id", "neg_id", "sim", F.col("rk").cast("long").alias("rk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ): compressed codes + asymmetric-distance search
+# ---------------------------------------------------------------------------
+
+def _euclid_kmeans(mat: "np.ndarray", k: int, iters: int = 8) -> "np.ndarray":
+    """Deterministic EUCLIDEAN Lloyd k-means (sub-vector codebooks are
+    trained in L2 space, unlike the spherical `_lloyd_kmeans` used for IVF
+    cells).  Init = evenly spaced rows of the deterministically ordered
+    sample; no RNG, so codebooks are reproducible everywhere."""
+    n = mat.shape[0]
+    idx = np.linspace(0, n - 1, num=min(k, n), dtype=np.int64)
+    cents = mat[idx].copy()
+    for _ in range(iters):
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over c drops ||x||^2
+        d = -2.0 * (mat @ cents.T) + (cents ** 2).sum(axis=1)[None, :]
+        assign = np.argmin(d, axis=1)
+        for c in range(cents.shape[0]):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def pq_train(emb: DataFrame, m: int = 8, k_codes: int = 16, iters: int = 8,
+             sample_rows: int = 4096, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> "np.ndarray":
+    """Train PQ codebooks on a bounded deterministic sample: vectors are
+    L2-normalized (so ADC inner products approximate cosine), split into
+    ``m`` contiguous subspaces, and each subspace gets its own ``k_codes``-
+    entry Euclidean codebook.
+
+    Returns ndarray (m, k_codes, dim/m).  Scale: the sample collect is
+    bounded at ``sample_rows`` (never O(n)); at 100 TB the codebooks are
+    trained once on a sample — standard PQ practice (Jégou et al., TPAMI
+    2011, public) — then broadcast to encoders; with 4-bit codes a 64-dim
+    float32 vector compresses 256 B → 4 B, which is what lets a
+    1000-executor ANN index hold the whole corpus in executor memory."""
+    head = (emb.orderBy(id_col).limit(sample_rows)
+            .select(vec_col).toPandas()[vec_col])
+    mat = np.vstack(head.to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return np.stack([
+        _euclid_kmeans(mat[:, s * sub:(s + 1) * sub], k_codes, iters)
+        for s in range(m)
+    ])
+
+
+def pq_encode(emb: DataFrame, codebooks: "np.ndarray",
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """Encode every vector to its ``m`` nearest-codeword indices — one
+    Arrow-batched pass; the (m, k, sub) codebook tensor rides the closure
+    (a few KB).  Output (id, codes array<int>) is the compressed index a
+    100 TB deployment persists instead of the raw vectors."""
+    from pyspark.sql.functions import pandas_udf
+
+    cb = codebooks.astype(np.float64)
+    m, _, sub = cb.shape
+
+    @pandas_udf("array<int>")
+    def codes_of(batch: pd.Series) -> pd.Series:
+        mat = np.vstack(batch.to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        out = np.empty((mat.shape[0], m), dtype=np.int32)
+        for s in range(m):
+            x = mat[:, s * sub:(s + 1) * sub]
+            d = -2.0 * (x @ cb[s].T) + (cb[s] ** 2).sum(axis=1)[None, :]
+            out[:, s] = np.argmin(d, axis=1)
+        return pd.Series(list(out))
+
+    return emb.select(F.col(id_col), codes_of(F.col(vec_col)).alias("codes"))
+
+
+def pq_topk(emb: DataFrame, query: list[float], k: int = 10, m: int = 8,
+            k_codes: int = 16, expand: int = 4, iters: int = 8,
+            sample_rows: int = 4096, vec_col: str = "embedding",
+            id_col: str = "vec_id") -> DataFrame:
+    """PQ ANN top-k by asymmetric distance computation (ADC): the query
+    stays exact; each candidate's cosine is approximated by Σ_s q_s ·
+    codeword[s, code_s], a table lookup against a driver-precomputed
+    (m × k_codes) LUT.  The top ``k·expand`` ADC candidates are reranked
+    with exact cosine; final top-k ties broken by id.
+
+    Approximate by construction — the brute-force operator is its recall
+    oracle (tests + the contract-form registry query).  Scale: scoring a
+    code is m table lookups (no float vector ever read); the LUT is a
+    closure broadcast; candidates→rerank touches only k·expand raw
+    vectors.  This is the memory-bound regime where PQ beats IVF probing:
+    the whole compressed index streams through cache at RAM bandwidth."""
+    from pyspark.sql.functions import pandas_udf
+
+    cb = pq_train(emb, m=m, k_codes=k_codes, iters=iters,
+                  sample_rows=sample_rows, vec_col=vec_col, id_col=id_col)
+    qv = np.asarray(query, dtype=np.float64)
+    qv = qv / np.linalg.norm(qv)
+    sub = qv.shape[0] // m
+    # LUT[s, c] = q_s . codebook[s, c]  — ADC inner product table
+    lut = np.stack([cb[s] @ qv[s * sub:(s + 1) * sub] for s in range(m)])
+
+    @pandas_udf("double")
+    def adc(codes: pd.Series) -> pd.Series:
+        cm = np.vstack(codes.to_numpy()).astype(np.int64)
+        return pd.Series(lut[np.arange(m)[None, :], cm].sum(axis=1))
+
+    cand = (
+        pq_encode(emb, cb, vec_col=vec_col, id_col=id_col)
+        .select(F.col(id_col), adc(F.col("codes")).alias("adc"))
+        .orderBy(F.desc("adc"), id_col)
+        .limit(k * expand)
+    )
+    q = _query_literal(query)
+    return (
+        emb.join(F.broadcast(cand.select(id_col)), id_col, "left_semi")
+        .select(F.col(id_col),
+                F.round(cosine(F.col(vec_col), q), 6).alias("sim"))
+        .orderBy(F.desc("sim"), id_col)
+        .limit(k)
+    )

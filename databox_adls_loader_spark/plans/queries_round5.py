@@ -334,3 +334,126 @@ def w7_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("window_start"), "n", "total_value")
         .orderBy("window_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# phrase collocations (exact-integer association score)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_collocations_phrase",
+    oracle=r"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), big AS (
+      SELECT t[CAST(i AS BIGINT)] AS a, t[CAST(i AS BIGINT) + 1] AS b
+      FROM toks CROSS JOIN unnest(range(1, len(t))) AS u(i)
+    ), bc AS (
+      SELECT a, b, COUNT(*) AS c_ab FROM big GROUP BY 1, 2
+    ), uni AS (
+      SELECT unnest(t) AS w FROM toks
+    ), uc AS (
+      SELECT w, COUNT(*) AS c FROM uni GROUP BY 1
+    ), n AS (SELECT COUNT(*) AS n_tok FROM uni)
+    SELECT bc.a AS word_a, bc.b AS word_b, bc.c_ab AS pair_count,
+           ((bc.c_ab - 5) * 1000000 * n.n_tok) // (ua.c * ub.c) AS score_ppm
+    FROM bc JOIN uc ua ON bc.a = ua.w JOIN uc ub ON bc.b = ub.w CROSS JOIN n
+    WHERE bc.c_ab >= 10
+    ORDER BY score_ppm DESC, word_a, word_b LIMIT 20
+    """,
+    tags=["text", "collocations"],
+)
+def text_collocations_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by the word2vec phrase score
+    (Mikolov et al. 2013, public): score = (c_ab − δ) · N / (c_a · c_b),
+    the PMI-monotone lift with a δ discount that suppresses rare noise —
+    the phrase-mining pass a tokenizer-training pipeline runs before
+    merging multi-word units.  The score is emitted in EXACT integer ppm
+    (bigint multiply + integer division — no log, no float), so the hash
+    gate compares it bit-for-bit across engines.
+
+    Plan: one token-split projection feeds BOTH the bigram explode (zip of
+    shifted slices — HOF arguments evaluate once per row, the round-4
+    O(tokens²) lambda rule) and the unigram explode; counts partial-
+    aggregate map-side; the vocabulary-sized unigram counts join the
+    bigram counts by word (shuffle join — at 100 TB vocab is ~10⁷ rows,
+    far below either side's bigram table, and AQE will broadcast it when
+    it fits); the 1-row total is a broadcast cross join.  TakeOrdered
+    bounds the final sort at 20 rows."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),
+                 lambda x: x != "").alias("t"))
+    toks = toks.select("t", F.greatest(F.size("t") - 1, F.lit(0)).alias("m"))
+    big = toks.select(F.explode(F.zip_with(
+        F.slice("t", 1, F.col("m")),
+        F.slice("t", 2, F.col("m")),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")))).alias("z"))
+    bc = (big.select("z.a", "z.b")
+          .groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+          .filter(F.col("c_ab") >= 10))
+    uni = toks.select(F.explode("t").alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n = uni.agg(F.count(F.lit(1)).alias("n_tok"))
+    ua = uc.select(F.col("w").alias("__wa"), F.col("c").alias("ca"))
+    ub = uc.select(F.col("w").alias("__wb"), F.col("c").alias("cb"))
+    return (
+        bc.join(ua, F.col("a") == F.col("__wa"))
+        .join(ub, F.col("b") == F.col("__wb"))
+        .crossJoin(F.broadcast(n))
+        .select(F.col("a").alias("word_a"), F.col("b").alias("word_b"),
+                F.col("c_ab").alias("pair_count"),
+                F.expr("((c_ab - 5) * 1000000 * n_tok) DIV (ca * cb)")
+                .alias("score_ppm"))
+        .orderBy(F.desc("score_ppm"), "word_a", "word_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ ANN under the contract gate (same pattern as sim_topk_ivf)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sim_topk_pq",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1)
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS sim,
+           TRUE AS pq_recall_ge_40pct,
+           TRUE AS pq_simsum_ge_80pct
+    FROM embeddings e, q
+    ORDER BY sim DESC, e.vec_id LIMIT 20
+    """,
+    tags=["similarity", "pq"],
+)
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-20 to the vec_id=1 embedding (8
+    subspaces × 16 codewords trained on a deterministic sample; ADC
+    lookup-table scoring over 4-bit-per-subspace codes; exact rerank of
+    the top-80 ADC candidates).
+
+    PQ is approximate and numpy-dependent, so — like sim_topk_ivf — the
+    registry row is the CONTRACT form: the brute-force exact top-20
+    (hash-checked against DuckDB's identical cosine) plus booleans
+    asserting recall@20 ≥ 40% and Σ(PQ sims) ≥ 80% · Σ(exact sims).
+    Recall is additionally asserted numerically in
+    tests/test_dedup_similarity.py::test_pq_topk_recall."""
+    from ..operators import similarity
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 1).first()["embedding"]
+    exact = similarity.topk_bruteforce(emb, list(q), k=20)
+    pq = similarity.pq_topk(emb, list(q), k=20, m=8, k_codes=16, expand=4)
+    contract = (
+        exact.join(pq.select("vec_id"), "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .crossJoin(exact.agg(F.sum("sim").alias("ex_sum")))
+        .crossJoin(pq.agg(F.sum("sim").alias("pq_sum")))
+        .select((F.col("n_hits") * 100 >= F.lit(20 * 40))
+                .alias("pq_recall_ge_40pct"),
+                (F.col("pq_sum") * 100 >= F.col("ex_sum") * 80)
+                .alias("pq_simsum_ge_80pct")))
+    return (exact.crossJoin(F.broadcast(contract))
+            .orderBy(F.desc("sim"), "vec_id"))

@@ -625,3 +625,38 @@ def test_ivf_partition_pruned_layout(spark, tmp_path):
                                    n_probe=4).collect()
     assert [(r["vec_id"], r["sim"]) for r in topk_stored] == \
         [(r["vec_id"], r["sim"]) for r in topk_mem]
+
+
+def test_pq_train_codebook_shape_and_divisibility(emb):
+    cb = similarity.pq_train(emb, m=4, k_codes=8, sample_rows=128)
+    assert cb.shape == (4, 8, 4)  # 16-dim → 4 subspaces of 4
+    with pytest.raises(ValueError):
+        similarity.pq_train(emb, m=5)  # 16 % 5 != 0
+
+
+def test_pq_encode_codes_bounded_and_deterministic(emb):
+    cb = similarity.pq_train(emb, m=4, k_codes=8, sample_rows=128)
+    c1 = {r["vec_id"]: list(r["codes"])
+          for r in similarity.pq_encode(emb, cb).collect()}
+    c2 = {r["vec_id"]: list(r["codes"])
+          for r in similarity.pq_encode(emb, cb).collect()}
+    assert c1 == c2  # no RNG anywhere: codes reproducible across runs
+    assert all(len(v) == 4 and all(0 <= c < 8 for c in v) for v in c1.values())
+    # planted near-dups of vector 0 quantize to the same codes
+    assert c1[1000] == c1[0] and c1[1001] == c1[0]
+
+
+def test_pq_topk_recall(emb):
+    q = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    exact = [r["vec_id"] for r in
+             similarity.topk_bruteforce(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in
+              similarity.pq_topk(emb, q, k=10, m=4, k_codes=16,
+                                 expand=4).collect()]
+    # the query vector and its planted near-dups must be found
+    assert 0 in approx and 1000 in approx
+    assert len(set(exact) & set(approx)) / 10 >= 0.5
+    # rerank output is exact cosine, descending
+    sims = [r["sim"] for r in
+            similarity.pq_topk(emb, q, k=10, m=4, k_codes=16).collect()]
+    assert sims == sorted(sims, reverse=True)
