@@ -457,3 +457,151 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("pq_simsum_ge_80pct")))
     return (exact.crossJoin(F.broadcast(contract))
             .orderBy(F.desc("sim"), "vec_id"))
+
+
+# ---------------------------------------------------------------------------
+# exact-integer OLS trend (regression re-expressed scale-safe)
+# ---------------------------------------------------------------------------
+
+@register(
+    "trend_daily_revenue_ols",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS pri,
+             datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS x,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2
+    ), s AS (
+      SELECT pri, COUNT(*) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM daily GROUP BY 1
+    )
+    SELECT pri AS o_orderpriority, n_days,
+           CAST(n_days * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n_days * sxx - sx * sx AS BIGINT) AS slope_den,
+           ROUND(CAST(CAST(n_days * sxy - sx * sy AS BIGINT) AS DOUBLE)
+                 / CAST(CAST(n_days * sxx - sx * sx AS BIGINT) AS DOUBLE), 6)
+             AS slope_cents_per_day
+    FROM s ORDER BY o_orderpriority
+    """,
+    tags=["trend", "regression", "A5"],
+)
+def trend_daily_revenue_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority revenue trend as EXACT-integer OLS: regress daily
+    revenue (cents) on the day index and emit the closed-form slope's
+    numerator n·Σxy − Σx·Σy and denominator n·Σx² − (Σx)² as bigints —
+    bit-portable across engines (no float summation anywhere; the only
+    float op is one final division both engines perform on identical
+    exact operands).
+
+    The scale trick is the PRE-AGGREGATION: raw orders → one row per
+    (priority, day) first, so the regression input is |days| rows per
+    group and the moment sums stay inside int64 up to ~sf10 (the 100 TB
+    variant lifts the moments to decimal(38,0) — same plan shape, one
+    extra cast).  Spark's built-in regr_slope would compute the same
+    value but via float accumulation, which is neither order-stable nor
+    hash-comparable.  Plan: two partial-aggregated shuffles (day rollup,
+    then priority moments), no window, no driver math."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    from ..functions.exact import dec
+    daily = (
+        orders.groupBy(
+            "o_orderpriority",
+            F.datediff(F.col("o_orderdate").cast("date"),
+                       F.lit("1992-01-01").cast("date")).alias("x"))
+        .agg(F.sum((dec("o_totalprice") * 100).cast("long")).alias("y"))
+    )
+    s = daily.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("x").cast("long")).alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("long") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("long") * F.col("x").cast("long")).alias("sxx"),
+    )
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (s.select(
+        "o_orderpriority", "n_days",
+        num.alias("slope_num"), den.alias("slope_den"),
+        F.round(num.cast("double") / den.cast("double"), 6)
+        .alias("slope_cents_per_day"))
+        .orderBy("o_orderpriority"))
+
+
+# ---------------------------------------------------------------------------
+# triangle counting / clustering structure of the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+@register(
+    "graph_triangle_degree",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(t) - 2, 1) + 1),
+        i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+      FROM toks
+    ), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
+      FROM sh l JOIN sh r ON l.g = r.g AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    ), e AS (
+      SELECT a, b FROM inter JOIN sizes sa ON a = sa.doc_id
+                            JOIN sizes sb ON b = sb.doc_id
+      WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+    ), und AS (
+      SELECT a AS node FROM e UNION ALL SELECT b FROM e
+    ), deg AS (
+      SELECT node, COUNT(*) AS degree FROM und GROUP BY 1
+    ), tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+                JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+    ), tn AS (
+      SELECT node, COUNT(*) AS n_tri
+      FROM (SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY 1
+    )
+    SELECT d.node, d.degree, COALESCE(tn.n_tri, CAST(0 AS BIGINT)) AS n_tri
+    FROM deg d LEFT JOIN tn USING (node) ORDER BY d.node
+    """,
+    tags=["graph", "dedup"],
+)
+def graph_triangle_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + degree over the exact Jaccard near-dup
+    pair graph — the local clustering structure (cc = 2·n_tri /
+    (degree·(degree−1))) that separates boilerplate hubs (high degree,
+    low closure) from true duplicate cliques (full closure) before
+    cluster collapse.  Both emitted components are exact integers.
+
+    Plan: edges come from the session-shared pair-graph checkpoint
+    (cache.py — computed once, reused by five sibling queries); the
+    triangle enumeration is the standard a<b<c two-hop join, which only
+    ever joins the EDGE LIST against itself (O(Σ deg²) candidate work,
+    independent of document count — near-dup graphs are sparse by
+    construction since LSH/Jaccard thresholds bound neighborhood size).
+    At 100 TB the same join runs after the candidate prune, never on raw
+    documents."""
+    from ..cache import shared_jaccard_pairs
+    e = (shared_jaccard_pairs(spark, sf_dir, n=3, threshold=0.5)
+         .select("a", "b"))
+    und = e.select(F.col("a").alias("node")).unionAll(
+        e.select(F.col("b").alias("node")))
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .join(e.alias("e3"), (F.col("e1.a") == F.col("e3.a"))
+              & (F.col("e2.b") == F.col("e3.b")))
+        .select(F.col("e1.a").alias("ta"), F.col("e1.b").alias("tb"),
+                F.col("e2.b").alias("tc"))
+    )
+    tn = (tri.select(F.explode(F.array("ta", "tb", "tc")).alias("node"))
+          .groupBy("node").agg(F.count(F.lit(1)).alias("n_tri")))
+    return (deg.join(tn, "node", "left")
+            .select("node", "degree",
+                    F.coalesce("n_tri", F.lit(0).cast("long")).alias("n_tri"))
+            .orderBy("node"))
