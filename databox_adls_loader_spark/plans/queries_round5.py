@@ -605,3 +605,77 @@ def graph_triangle_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", "degree",
                     F.coalesce("n_tri", F.lit(0).cast("long")).alias("n_tri"))
             .orderBy("node"))
+
+
+# ---------------------------------------------------------------------------
+# integer-exact PageRank (oracle-checked iterative algorithm)
+# ---------------------------------------------------------------------------
+
+_PAIR_EDGES_CTE = r"""
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(t) - 2, 1) + 1),
+        i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+      FROM toks
+    ), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
+      FROM sh l JOIN sh r ON l.g = r.g AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    ), e AS (
+      SELECT a, b FROM inter JOIN sizes sa ON a = sa.doc_id
+                            JOIN sizes sb ON b = sb.doc_id
+      WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+    )"""
+
+
+def _pagerank_oracle(iters: int = 3, scale: int = 1_000_000_000) -> str:
+    parts = [f"""
+    WITH {_PAIR_EDGES_CTE}, und AS (
+      SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e
+    ), deg AS (
+      SELECT src AS node, COUNT(*) AS d FROM und GROUP BY 1
+    ), nn AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (
+      SELECT node, CAST({scale} // n AS BIGINT) AS r FROM deg CROSS JOIN nn
+    )"""]
+    for k in range(1, iters + 1):
+        parts.append(f""", s{k} AS (
+      SELECT u.src AS node, CAST(SUM(r{k-1}.r // dg.d) AS BIGINT) AS s
+      FROM und u JOIN r{k-1} ON u.dst = r{k-1}.node
+                 JOIN deg dg ON u.dst = dg.node
+      GROUP BY 1
+    ), r{k} AS (
+      SELECT d.node,
+             CAST(({scale * 15 // 100} // nn.n)
+                  + (85 * COALESCE(s{k}.s, 0)) // 100 AS BIGINT) AS r
+      FROM deg d CROSS JOIN nn LEFT JOIN s{k} ON d.node = s{k}.node
+    )""")
+    parts.append(f"""
+    SELECT node, r AS rank_scaled FROM r{iters} ORDER BY node""")
+    return "".join(parts)
+
+
+@register(
+    "graph_pagerank_jaccard",
+    oracle=_pagerank_oracle(3),
+    tags=["graph", "iterative", "pagerank"],
+)
+def graph_pagerank_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the exact near-dup pair graph in scaled-
+    integer (parts-per-billion) arithmetic — the boilerplate-hub score a
+    dedup pipeline uses to pick which member of a template cluster to
+    keep.  Every step is bigint add/multiply/DIV, so the iterative
+    result is bit-portable and the DuckDB oracle reproduces it by
+    unrolling the same three iterations as CTE layers — an iterative
+    distributed algorithm under the full value-hash gate, not a
+    rows-only check.  Edges come from the session-shared pair-graph
+    checkpoint; each iteration is one edge⨝rank shuffle + partial-sum
+    aggregate (the standard distributed PageRank step)."""
+    from ..cache import shared_jaccard_pairs
+    from ..operators.graph import pagerank_int
+    e = (shared_jaccard_pairs(spark, sf_dir, n=3, threshold=0.5)
+         .select("a", "b"))
+    return pagerank_int(e, iters=3).orderBy("node")

@@ -39,3 +39,25 @@ def test_star_converges_in_one_round(spark):
     out = {r["n"]: r["component"] for r in
            connected_components(edges, max_iter=3).collect()}
     assert set(out.values()) == {1}
+
+
+def test_pagerank_int_matches_reference_rule(spark):
+    from databox_adls_loader_spark.operators.graph import pagerank_int
+    # path graph 1-2-3 plus isolated pair 7-8
+    edges = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "a: long, b: long")
+    got = {r["node"]: r["rank_scaled"]
+           for r in pagerank_int(edges, iters=3).collect()}
+
+    # pure-python reference of the exact integer rule
+    nbrs = {1: [2], 2: [1, 3], 3: [2], 7: [8], 8: [7]}
+    n, scale = len(nbrs), 10**9
+    r = {v: scale // n for v in nbrs}
+    for _ in range(3):
+        contrib = {v: r[v] // len(nbrs[v]) for v in nbrs}
+        r = {v: (scale * 15 // 100) // n
+             + (85 * sum(contrib[u] for u in nbrs[v])) // 100
+             for v in nbrs}
+    assert got == r
+    # hub ranks above leaves; symmetric pair ranks equal
+    assert got[2] > got[1] == got[3]
+    assert got[7] == got[8]
