@@ -681,3 +681,76 @@ def pq_topk(emb: DataFrame, query: list[float], k: int = 10, m: int = 8,
         .orderBy(F.desc("sim"), id_col)
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gram matrix / PCA (whitening + OPQ-style rotation build step)
+# ---------------------------------------------------------------------------
+
+def gram_upper_scaled(emb: DataFrame, scale: int = 1_000_000,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> DataFrame:
+    """Upper-triangle Gram matrix Σ s_i·s_j over all vectors, where s =
+    floor(component · scale) as int64 — EXACT integer accumulation, so
+    the d(d+1)/2-row result is bit-portable (the covariance/whitening/PCA
+    build step, hash-checkable unlike any float GEMM).
+
+    Plan: one mapInPandas pass emits each Arrow batch's partial Gram
+    (d(d+1)/2 rows of int64 — numpy int64 GEMM is exact and associative),
+    then one groupBy(i,j) sum merges partials; shuffle volume is
+    O(d² × batches), independent of row count.  int64 headroom: |s| ≤
+    scale for unit-normalized inputs, so a partial over B rows is ≤
+    B·scale² — at 100 TB lift the final merge (only) to decimal(38,0);
+    the per-batch partials stay int64."""
+
+    def partial(batches):
+        for pdf in batches:
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            s = np.floor(mat * scale).astype(np.int64)
+            g = s.T @ s  # exact: int64 matmul
+            d = g.shape[0]
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame({"i": iu.astype(np.int32),
+                                "j": ju.astype(np.int32),
+                                "g": g[iu, ju]})
+
+    return (emb.select(vec_col)
+            .mapInPandas(partial, schema="i int, j int, g long")
+            .groupBy("i", "j").agg(F.sum("g").alias("g"))
+            .orderBy("i", "j"))
+
+
+def pca_project(emb: DataFrame, k: int = 8, scale: int = 1_000_000,
+                vec_col: str = "embedding",
+                id_col: str = "vec_id") -> tuple[DataFrame, "np.ndarray"]:
+    """Project embeddings onto the top-``k`` principal directions of the
+    (uncentered) Gram matrix — the dimensionality-reduction / whitening
+    rotation step before PQ (OPQ) or cheap ANN.  The Gram accumulation is
+    the exact-integer distributed pass above (O(d²) driver state, never
+    O(rows)); the d×d eigendecomposition runs on the driver; projection
+    is one Arrow-batched GEMM.  Returns (projected DataFrame
+    (id, proj array<double>), components ndarray (k, d))."""
+    from pyspark.sql.functions import pandas_udf
+
+    rows = gram_upper_scaled(emb, scale, vec_col, id_col).collect()
+    d = max(r["j"] for r in rows) + 1
+    g = np.zeros((d, d))
+    for r in rows:
+        g[r["i"], r["j"]] = g[r["j"], r["i"]] = r["g"]
+    g /= float(scale) ** 2
+    vals, vecs = np.linalg.eigh(g)
+    comps = vecs[:, ::-1][:, :k].T.copy()  # (k, d), descending eigenvalue
+    # sign convention: make each component's largest-|.| entry positive,
+    # so the projection is deterministic (eigh sign is arbitrary)
+    for r in range(comps.shape[0]):
+        m = np.argmax(np.abs(comps[r]))
+        if comps[r, m] < 0:
+            comps[r] = -comps[r]
+
+    @pandas_udf("array<double>")
+    def proj(batch: pd.Series) -> pd.Series:
+        mat = np.vstack(batch.to_numpy()).astype(np.float64)
+        return pd.Series(list(mat @ comps.T))
+
+    return (emb.select(F.col(id_col), proj(F.col(vec_col)).alias("proj")),
+            comps)

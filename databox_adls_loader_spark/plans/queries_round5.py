@@ -679,3 +679,38 @@ def graph_pagerank_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (shared_jaccard_pairs(spark, sf_dir, n=3, threshold=0.5)
          .select("a", "b"))
     return pagerank_int(e, iters=3).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# exact-integer Gram matrix (covariance / whitening / OPQ build step)
+# ---------------------------------------------------------------------------
+
+@register(
+    "emb_gram_upper",
+    oracle="""
+    WITH sc AS (
+      SELECT list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS s
+      FROM embeddings
+    ), ij AS (
+      SELECT CAST(a.i AS INTEGER) AS i, CAST(b.j AS INTEGER) AS j
+      FROM range(0, 64) a(i) CROSS JOIN range(0, 64) b(j)
+      WHERE a.i <= b.j
+    )
+    SELECT ij.i, ij.j,
+           CAST(SUM(sc.s[ij.i + 1] * sc.s[ij.j + 1]) AS BIGINT) AS g
+    FROM sc CROSS JOIN ij GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=["similarity", "pca", "gram"],
+)
+def emb_gram_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle Gram matrix of the embedding table in EXACT scaled-
+    integer arithmetic — the distributed covariance pass feeding PCA
+    whitening / OPQ rotation (operators/similarity.pca_project).  A float
+    GEMM is order-dependent and never hash-comparable; flooring each
+    component to 1/10⁶ units first makes the whole accumulation
+    associative int64 math, reproduced cell-for-cell by the oracle.
+    2080 output rows (d=64); shuffle O(d² × batches), row-count-free."""
+    from ..operators.similarity import gram_upper_scaled
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return gram_upper_scaled(emb, scale=1_000_000)

@@ -660,3 +660,34 @@ def test_pq_topk_recall(emb):
     sims = [r["sim"] for r in
             similarity.pq_topk(emb, q, k=10, m=4, k_codes=16).collect()]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_gram_upper_scaled_matches_numpy(emb):
+    import numpy as np
+    rows = similarity.gram_upper_scaled(emb, scale=1000).collect()
+    pdf = emb.orderBy("vec_id").toPandas()
+    mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    s = np.floor(mat * 1000).astype(np.int64)
+    ref = s.T @ s
+    assert len(rows) == 16 * 17 // 2
+    for r in rows[:40]:
+        assert r["g"] == ref[r["i"], r["j"]]
+
+
+def test_pca_project_deterministic_orthonormal_and_variance(emb):
+    import numpy as np
+    out1, comps = similarity.pca_project(emb, k=4)
+    out2, comps2 = similarity.pca_project(emb, k=4)
+    assert np.allclose(comps, comps2)  # deterministic incl. sign rule
+    assert np.allclose(comps @ comps.T, np.eye(4), atol=1e-8)
+    p1 = {r["vec_id"]: list(r["proj"]) for r in out1.collect()}
+    p2 = {r["vec_id"]: list(r["proj"]) for r in out2.collect()}
+    assert p1 == p2 and all(len(v) == 4 for v in p1.values())
+    # top-4 of 16 directions must capture at least its proportional share
+    pdf = emb.toPandas()
+    mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    total = (mat ** 2).sum()
+    kept = sum(sum(x * x for x in v) for v in p1.values())
+    assert kept / total >= 0.25
+    # planted near-dups of vector 0 project to nearly the same point
+    assert np.allclose(p1[0], p1[1000], atol=0.05)
