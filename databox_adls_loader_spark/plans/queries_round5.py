@@ -714,3 +714,58 @@ def emb_gram_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import gram_upper_scaled
     (emb,) = _t(spark, sf_dir, "embeddings")
     return gram_upper_scaled(emb, scale=1_000_000)
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout key (multi-dimensional file clustering)
+# ---------------------------------------------------------------------------
+
+def _zorder_sql(a: str, b: str, bits: int = 8) -> str:
+    terms = []
+    for k in range(bits):
+        terms.append(f"((({a} >> {k}) & 1) << {2 * k})")
+        terms.append(f"((({b} >> {k}) & 1) << {2 * k + 1})")
+    return " | ".join(terms)
+
+
+@register(
+    "scale_zorder_layout",
+    oracle=f"""
+    WITH z AS (
+      SELECT CAST({_zorder_sql('(l_orderkey % 256)', '(l_partkey % 256)')}
+                  AS BIGINT) AS zkey,
+             l_orderkey, l_partkey
+      FROM lineitem
+    )
+    SELECT CAST(zkey >> 10 AS BIGINT) AS z_bucket,
+           COUNT(*) AS n,
+           CAST(MIN(zkey) AS BIGINT) AS z_min,
+           CAST(MAX(zkey) AS BIGINT) AS z_max,
+           CAST(MIN(l_orderkey % 256) AS BIGINT) AS a_min,
+           CAST(MAX(l_orderkey % 256) AS BIGINT) AS a_max
+    FROM z GROUP BY 1 ORDER BY 1
+    """,
+    tags=["scale", "layout", "zorder"],
+)
+def scale_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) locality layout over (orderkey, partkey): the
+    interleaved key computed in pure codegen'd bit math, then the
+    per-bucket layout profile a writer would range-partition files by.
+    Each of the 64 z-buckets covers a bounded square in BOTH dimensions
+    (a_min/a_max in the output shows the per-bucket orderkey span is
+    ~1/8 of the domain, not the full range — the pruning property),
+    so a 2-D range predicate at 100 TB touches O(√files).  All exact
+    integer output, reproduced bit-for-bit by the oracle's operator
+    form of the same interleave."""
+    from ..operators.scale import zorder_key2
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    z = lineitem.select(
+        zorder_key2(F.col("l_orderkey") % 256, F.col("l_partkey") % 256)
+        .alias("zkey"),
+        (F.col("l_orderkey") % 256).alias("a"))
+    return (z.groupBy(F.shiftright("zkey", 10).cast("long").alias("z_bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("zkey").alias("z_min"), F.max("zkey").alias("z_max"),
+                 F.min("a").cast("long").alias("a_min"),
+                 F.max("a").cast("long").alias("a_max"))
+            .orderBy("z_bucket"))

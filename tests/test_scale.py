@@ -160,3 +160,23 @@ def test_salted_join_null_unique_col_still_exact(spark):
                                n_salts=4).select("v", "label")
     assert sorted(map(tuple, plain.collect())) == \
         sorted(map(tuple, salted.collect()))
+
+
+def test_zorder_key2_matches_reference_interleave(spark):
+    from databox_adls_loader_spark.operators.scale import zorder_key2
+
+    def ref(a, b, bits=8):
+        out = 0
+        for k in range(bits):
+            out |= ((a >> k) & 1) << (2 * k)
+            out |= ((b >> k) & 1) << (2 * k + 1)
+        return out
+
+    rows = [(a, b) for a in (0, 1, 5, 127, 255) for b in (0, 3, 200, 255)]
+    df = spark.createDataFrame(rows, "a: long, b: long")
+    got = {(r["a"], r["b"]): r["z"] for r in
+           df.select("a", "b", zorder_key2("a", "b").alias("z")).collect()}
+    assert got == {(a, b): ref(a, b) for a, b in rows}
+    # locality: neighbors in either dimension stay within a bounded key gap
+    assert abs(ref(10, 10) - ref(11, 10)) <= 3
+    assert abs(ref(10, 10) - ref(10, 11)) <= 3
