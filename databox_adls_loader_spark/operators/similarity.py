@@ -705,6 +705,8 @@ def gram_upper_scaled(emb: DataFrame, scale: int = 1_000_000,
 
     def partial(batches):
         for pdf in batches:
+            if not len(pdf):  # empty partition: no partial to emit
+                continue
             mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             s = np.floor(mat * scale).astype(np.int64)
             g = s.T @ s  # exact: int64 matmul

@@ -769,3 +769,60 @@ def scale_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("a").cast("long").alias("a_min"),
                  F.max("a").cast("long").alias("a_max"))
             .orderBy("z_bucket"))
+
+
+# ---------------------------------------------------------------------------
+# incremental view maintenance (mergeable aggregate state)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ivm_daily_event_rollup",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                AS BIGINT) AS total_scaled,
+           MIN(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS mn_scaled,
+           MAX(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS mx_scaled
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    tags=["ivm", "incremental", "A5"],
+)
+def ivm_daily_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the daily rollup is computed as
+    merge(state(old batch), state(delta batch)) — NOT as one aggregate —
+    and the oracle recomputes the rollup directly from all rows, so the
+    hash gate PROVES the mergeable-state identity merge(f(A), f(B)) =
+    f(A ∪ B) for count/sum/min/max state.  This is the nightly-pipeline
+    shape at 100 TB: yesterday's materialized per-day state plus today's
+    delta, touching only the delta's partitions — never a full recompute.
+    The split cutoff falls mid-day so the boundary day genuinely
+    exercises the merge path (both sides contribute).  Measures are
+    scaled-integer exact (no float accumulation)."""
+    (events,) = _t(spark, sf_dir, "events")
+    from ..functions.exact import dec
+    base = events.select(
+        F.col("ts"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        (dec("value", 4) * 10000).cast("long").alias("v"))
+
+    def state(df: DataFrame, sfx: str) -> DataFrame:
+        return df.groupBy("day").agg(
+            F.count(F.lit(1)).alias(f"n{sfx}"),
+            F.sum("v").alias(f"t{sfx}"),
+            F.min("v").alias(f"mn{sfx}"),
+            F.max("v").alias(f"mx{sfx}"))
+
+    cutoff = F.lit("2024-01-20 12:00:00").cast("timestamp")
+    old = state(base.filter(F.col("ts") < cutoff), "1")
+    delta = state(base.filter(F.col("ts") >= cutoff), "2")
+    zero = F.lit(0).cast("long")
+    return (old.join(delta, "day", "full_outer")
+            .select(
+                "day",
+                (F.coalesce("n1", zero) + F.coalesce("n2", zero)).alias("n"),
+                (F.coalesce("t1", zero) + F.coalesce("t2", zero))
+                .alias("total_scaled"),
+                F.least("mn1", "mn2").alias("mn_scaled"),
+                F.greatest("mx1", "mx2").alias("mx_scaled"))
+            .orderBy("day"))

@@ -89,3 +89,25 @@ def compact_parquet(spark, in_dir: str, out_dir: str,
     df = spark.read.parquet(in_dir)
     df.repartition(n_files).write.mode("overwrite").parquet(out_dir)
     return n_files
+
+
+def backfill_partitions(df: "DataFrame", out_dir: str,
+                        partition_cols: list[str]) -> None:
+    """Idempotent partition backfill: overwrite ONLY the partitions
+    present in ``df``, leaving every other partition untouched
+    (``spark.sql.sources.partitionOverwriteMode=dynamic``, scoped to this
+    write and restored afterwards).
+
+    This is the nightly-rerun primitive at 100 TB: re-deriving one bad
+    day must not truncate the other ~3650 day directories (static
+    overwrite mode would).  Pairs with the mergeable-state rollup
+    (`ivm_daily_event_rollup`): recompute the delta partitions, then
+    dynamic-overwrite exactly those."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(out_dir)
+    finally:
+        spark.conf.set(key, prev)

@@ -237,3 +237,23 @@ def test_generate_filelists_covers_shallow_files(spark, tmp_path):
     alloc = generate_filelists(inv, str(tmp_path / "fl"), capacity=100, depth=2)
     paths = {r["path"] for r in alloc.collect()}
     assert "rootfile.bin" in paths
+
+
+def test_backfill_partitions_touches_only_delta_days(spark, tmp_path):
+    from databox_adls_loader_spark.sinks.writers import backfill_partitions
+    out = str(tmp_path / "daily")
+    full = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-02", 2), ("2024-01-03", 3)],
+        "day: string, v: int")
+    backfill_partitions(full, out, ["day"])
+    # re-derive ONE day with corrected data; other partitions must survive
+    fix = spark.createDataFrame([("2024-01-02", 99)], "day: string, v: int")
+    backfill_partitions(fix, out, ["day"])
+    # partition-column type inference turns the dir value into a date —
+    # normalize to string for the comparison
+    got = {(str(r["day"]), r["v"])
+           for r in spark.read.parquet(out).collect()}
+    assert got == {("2024-01-01", 1), ("2024-01-02", 99), ("2024-01-03", 3)}
+    # conf restored after the scoped write
+    assert spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static") == "static"
