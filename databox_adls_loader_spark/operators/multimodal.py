@@ -377,3 +377,40 @@ def resize_stub(assets: DataFrame, max_dim: int = 256) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return assets.repartition("asset_id").mapInPandas(run, schema=out_schema)
+
+
+def audio_window_energy(assets: DataFrame, window: int = 8) -> DataFrame:
+    """Waveform framing: interpret the audio payload as a stream of
+    16-bit samples, frame it into non-overlapping ``window``-sample
+    windows, and emit each frame's EXACT integer energy Σ s² — the
+    voice-activity / feature-extraction front end (a real deployment
+    decodes PCM via soundfile/librosa here; the fixture payload is
+    ASCII-hex, so each sample is one 4-hex-char group — deterministic
+    and reproducible by the SQL oracle).
+
+    Plan: modality filter pushes to the scan, then one map-side
+    mapInPandas — payload bytes never shuffle; output is (asset,
+    window) skinny longs.  Incomplete tail frames are dropped (fixed
+    frame size is what downstream FFT/feature kernels require)."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"asset_id": [], "window_idx": [], "energy": []}
+            for _, row in pdf.iterrows():
+                if row["content"] is None:
+                    continue
+                h = bytes(row["content"]).decode("ascii")
+                span = 4 * window
+                for wi in range(len(h) // span):
+                    seg = h[wi * span:(wi + 1) * span]
+                    vals = [int(seg[k * 4:k * 4 + 4], 16)
+                            for k in range(window)]
+                    out["asset_id"].append(row["asset_id"])
+                    out["window_idx"].append(wi)
+                    out["energy"].append(sum(v * v for v in vals))
+            yield pd.DataFrame(out)
+
+    return (assets.filter(F.col("modality") == "audio")
+            .repartition("asset_id")
+            .mapInPandas(run, "asset_id long, window_idx long, energy long"))

@@ -826,3 +826,56 @@ def ivm_daily_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least("mn1", "mn2").alias("mn_scaled"),
                 F.greatest("mx1", "mx2").alias("mx_scaled"))
             .orderBy("day"))
+
+
+# ---------------------------------------------------------------------------
+# audio waveform framing (multimodal)
+# ---------------------------------------------------------------------------
+
+def _mm_base_cte() -> str:
+    from .queries_ext import _MM_BASE_CTE
+    return _MM_BASE_CTE
+
+
+def _hex4(col: str, pos: str) -> str:
+    """DuckDB expression: the uint16 whose 4 lowercase-hex chars start at
+    1-based position ``pos`` of ``col``."""
+    nib = "strpos('0123456789abcdef', substr({c}, CAST({p} AS INT), 1)) - 1"
+    return ("(" + " + ".join(
+        f"({nib.format(c=col, p=f'({pos}) + {k}')}) * {16 ** (3 - k)}"
+        for k in range(4)) + ")")
+
+
+def _audio_energy_oracle() -> str:
+    return f"""
+    WITH {_mm_base_cte()},
+    au AS (SELECT i, p FROM dg WHERE modality = 'audio'),
+    w AS (
+      SELECT i, p, CAST(u.wi AS BIGINT) AS window_idx
+      FROM au CROSS JOIN unnest(range(0, length(p) // 32)) AS u(wi)
+    ), sm AS (
+      SELECT i, window_idx,
+             {_hex4('p', 'window_idx*32 + s.si*4 + 1')} AS v
+      FROM w CROSS JOIN unnest(range(0, 8)) AS s(si)
+    )
+    SELECT i AS asset_id, window_idx, CAST(SUM(v * v) AS BIGINT) AS energy
+    FROM sm GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@register(
+    "mm_audio_window_energy",
+    oracle=_audio_energy_oracle(),
+    tags=["multimodal", "audio"],
+)
+def mm_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform framing over the audio assets: 8-sample non-overlapping
+    frames, exact integer energy Σ s² per frame — the VAD / feature
+    front-end shape.  The fixture payload is ASCII-hex so each 16-bit
+    sample is a 4-hex-char group the oracle re-parses with nibble
+    lookups; the whole pipeline (binary column → modality-pruned scan →
+    map-side mapInPandas → skinny long output) is value-hash-checked."""
+    from ..operators import multimodal
+    assets = multimodal.synthetic_assets(spark, n=64)
+    return (multimodal.audio_window_energy(assets, window=8)
+            .orderBy("asset_id", "window_idx"))

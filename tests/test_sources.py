@@ -176,3 +176,28 @@ def test_acl_assembly_merges_post_strip_collisions(spark):
     (r,) = rows
     assert r["file"] == "x"
     assert set(r["acl"]) == {"user::rwx", "other::---"}
+
+
+def test_format_roundtrip_orc_csv_json_preserve_values(spark, tmp_path):
+    """Interchange-format breadth: the engine reads/writes ORC, CSV and
+    JSON through the same DataFrame plans as parquet — a lake migration
+    never controls its input format.  CSV needs an explicit schema on
+    read (header-only typing would stringify); ORC/JSON carry types."""
+    src = spark.createDataFrame(
+        [(1, "a,b", 1.5, True), (2, None, -0.25, False), (3, "x", 0.0, None)],
+        "id: long, s: string, v: double, flag: boolean")
+    expect = {tuple(r) for r in src.collect()}
+    for fmt in ("orc", "json", "csv"):
+        out = str(tmp_path / fmt)
+        w = src.write.mode("overwrite")
+        if fmt == "csv":
+            w = w.option("header", "true")
+        w.format(fmt).save(out)
+        r = spark.read
+        if fmt == "csv":
+            # explicit schema: round-trips types AND quoted separators
+            r = r.option("header", "true").schema(src.schema)
+        # JSON schema inference orders columns alphabetically — reselect
+        got = {tuple(x) for x in
+               r.format(fmt).load(out).select(*src.columns).collect()}
+        assert got == expect, fmt

@@ -330,3 +330,16 @@ def test_pii_counts_sequential_no_double_count(spark):
     row = scrub_pii(pii_counts(docs)).collect()[0]
     assert (row["n_email"], row["n_ipv4"]) == (1, 0)
     assert row["scrubbed"] == "ping <EMAIL> now"
+
+
+def test_audio_window_energy_known_payload(spark):
+    from databox_adls_loader_spark.operators.multimodal import (
+        ASSET_SCHEMA, audio_window_energy)
+    # payload "0001000200030004" = samples 1,2,3,4 → one 4-sample window
+    rows = [(1, "audio", bytearray(b"0001000200030004"), "audio/wav"),
+            (2, "image", bytearray(b"ffff"), "image/png"),   # filtered out
+            (3, "audio", bytearray(b"ffff" * 3), "audio/wav")]  # tail drops
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    got = {(r["asset_id"], r["window_idx"]): r["energy"]
+           for r in audio_window_energy(assets, window=4).collect()}
+    assert got == {(1, 0): 1 + 4 + 9 + 16}  # asset 3: 3 samples < window
