@@ -691,3 +691,12 @@ def test_pca_project_deterministic_orthonormal_and_variance(emb):
     assert kept / total >= 0.25
     # planted near-dups of vector 0 project to nearly the same point
     assert np.allclose(p1[0], p1[1000], atol=0.05)
+
+
+def test_gram_upper_scaled_single_vector(spark):
+    one = spark.createDataFrame([(1, [1.0, -0.5])],
+                                "vec_id: long, embedding: array<float>")
+    got = {(r["i"], r["j"]): r["g"]
+           for r in similarity.gram_upper_scaled(one, scale=10).collect()}
+    # s = (10, -5): upper triangle of outer product
+    assert got == {(0, 0): 100, (0, 1): -50, (1, 1): 25}

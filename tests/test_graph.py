@@ -61,3 +61,9 @@ def test_pagerank_int_matches_reference_rule(spark):
     # hub ranks above leaves; symmetric pair ranks equal
     assert got[2] > got[1] == got[3]
     assert got[7] == got[8]
+
+
+def test_pagerank_int_empty_edges_returns_empty(spark):
+    from databox_adls_loader_spark.operators.graph import pagerank_int
+    edges = spark.createDataFrame([], "a: long, b: long")
+    assert pagerank_int(edges, iters=2).count() == 0
