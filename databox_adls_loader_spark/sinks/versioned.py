@@ -145,3 +145,59 @@ def vacuum(table_dir: str, keep_versions: int = 2) -> int:
             os.remove(p)
             deleted += 1
     return deleted
+
+
+def merge_into_snapshot(spark: SparkSession, table_dir: str,
+                        updates: DataFrame, key: str) -> int:
+    """MERGE INTO for the versioned table: collapse the latest snapshot
+    with ``updates`` (updates win on key collision, unmatched rows from
+    both sides survive) and commit the result as a new OVERWRITE
+    snapshot.  Snapshot isolation makes the rewrite safe under
+    concurrent readers; at 100 TB pair with `cdc_latest_per_key` to
+    collapse the update stream before the merge, and partition the
+    rewrite so only touched partitions' files are replaced."""
+    from ..operators.scale import merge_upsert
+
+    merged = merge_upsert(read_version(spark, table_dir), updates, key)
+    return write_snapshot(merged, table_dir, mode="overwrite")
+
+
+def committed_batch_ids(table_dir: str) -> set[int]:
+    """Streaming batch ids recorded by `commit_stream_batch` across ALL
+    retained manifests (replay detection must survive compaction and
+    logical overwrite, so ids accumulate monotonically in each commit)."""
+    out: set[int] = set()
+    for v in versions(table_dir):
+        with open(_manifest_path(table_dir, v), encoding="utf-8") as f:
+            out.update(json.load(f).get("batch_ids", []))
+    return out
+
+
+def commit_stream_batch(batch_df: DataFrame, batch_id: int,
+                        table_dir: str) -> bool:
+    """Idempotent foreachBatch sink: append the micro-batch as a new
+    snapshot UNLESS ``batch_id`` was already committed — Structured
+    Streaming replays the last batch after a crash-restart, and this
+    check turns at-least-once delivery into exactly-once table contents.
+    Returns True when the batch was committed, False on a skipped replay.
+
+    Use: ``stream.writeStream.foreachBatch(
+        lambda df, bid: commit_stream_batch(df, bid, table_dir))``."""
+    if batch_id in committed_batch_ids(table_dir):
+        return False
+    cur = latest_version(table_dir)
+    new_version = 1 if cur is None else cur + 1
+    files = _new_data_files(batch_df, table_dir, f"b{new_version:05d}")
+    if cur is not None:
+        files = _read_manifest(table_dir, cur) + files
+    ids = committed_batch_ids(table_dir) | {int(batch_id)}
+    os.makedirs(_mdir(table_dir), exist_ok=True)
+    with open(_manifest_path(table_dir, new_version), "w",
+              encoding="utf-8") as f:
+        json.dump({"version": new_version, "files": sorted(files),
+                   "batch_ids": sorted(ids)}, f, indent=1)
+    tmp = os.path.join(_mdir(table_dir), "_latest.json.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"version": new_version}, f)
+    os.replace(tmp, os.path.join(_mdir(table_dir), "_latest.json"))
+    return True

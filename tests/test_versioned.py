@@ -72,3 +72,45 @@ def test_read_empty_table_raises(spark, tmp_path):
 def test_bad_mode_rejected(spark, tmp_path):
     with pytest.raises(ValueError):
         V.write_snapshot(spark.range(1), str(tmp_path / "t"), mode="replace")
+
+
+def test_merge_into_snapshot_upserts(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    V.write_snapshot(spark.createDataFrame(
+        [(1, "old"), (2, "keep")], "id: long, s: string"), t)
+    v = V.merge_into_snapshot(spark, t, spark.createDataFrame(
+        [(1, "new"), (3, "ins")], "id: long, s: string"), key="id")
+    assert _rows(V.read_version(spark, t, v)) == {
+        (1, "new"), (2, "keep"), (3, "ins")}
+    # pre-merge snapshot still readable
+    assert _rows(V.read_version(spark, t, 1)) == {(1, "old"), (2, "keep")}
+
+
+def test_commit_stream_batch_is_idempotent(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame([(0, "a")], "id: long, s: string")
+    b1 = spark.createDataFrame([(1, "b")], "id: long, s: string")
+    assert V.commit_stream_batch(b0, 0, t) is True
+    assert V.commit_stream_batch(b1, 1, t) is True
+    # crash-restart replays the last micro-batch: must be a no-op
+    assert V.commit_stream_batch(b1, 1, t) is False
+    assert V.latest_version(t) == 2
+    assert _rows(V.read_version(spark, t)) == {(0, "a"), (1, "b")}
+    assert V.committed_batch_ids(t) == {0, 1}
+
+
+def test_stream_to_versioned_table_exactly_once(spark, tmp_path):
+    """End to end: a real Structured Streaming query writing through
+    commit_stream_batch — table contents equal the source exactly."""
+    src = str(tmp_path / "src")
+    t = str(tmp_path / "tbl")
+    spark.createDataFrame([(i, f"s{i}") for i in range(6)],
+                          "id: long, s: string").write.parquet(src)
+    stream = spark.readStream.schema("id long, s string").parquet(src)
+    q = (stream.writeStream
+         .foreachBatch(lambda df, bid: V.commit_stream_batch(df, bid, t))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert _rows(V.read_version(spark, t)) == {
+        (i, f"s{i}") for i in range(6)}
