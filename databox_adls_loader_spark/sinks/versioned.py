@@ -63,11 +63,24 @@ def _read_manifest(table_dir: str, version: int) -> list[str]:
         return json.load(f)["files"]
 
 
-def _commit(table_dir: str, files: list[str], version: int) -> None:
-    """Write manifest v<version> then atomically swap the pointer."""
+def _commit(table_dir: str, files: list[str], version: int,
+            batch_ids: set[int] | None = None) -> None:
+    """Write manifest v<version> then atomically swap the pointer.
+
+    The streaming batch-id ledger is carried forward into EVERY manifest
+    (not only stream commits): otherwise a compaction or merge would
+    write a ledger-free latest manifest, `vacuum` could then drop the
+    only manifests holding the ids, and a crash-replayed micro-batch
+    would double-commit."""
+    inherited = committed_batch_ids(table_dir)
+    if batch_ids:
+        inherited |= {int(b) for b in batch_ids}
     os.makedirs(_mdir(table_dir), exist_ok=True)
+    doc = {"version": version, "files": sorted(files)}
+    if inherited:
+        doc["batch_ids"] = sorted(inherited)
     with open(_manifest_path(table_dir, version), "w", encoding="utf-8") as f:
-        json.dump({"version": version, "files": sorted(files)}, f, indent=1)
+        json.dump(doc, f, indent=1)
     tmp = os.path.join(_mdir(table_dir), "_latest.json.tmp")
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump({"version": version}, f)
@@ -190,14 +203,5 @@ def commit_stream_batch(batch_df: DataFrame, batch_id: int,
     files = _new_data_files(batch_df, table_dir, f"b{new_version:05d}")
     if cur is not None:
         files = _read_manifest(table_dir, cur) + files
-    ids = committed_batch_ids(table_dir) | {int(batch_id)}
-    os.makedirs(_mdir(table_dir), exist_ok=True)
-    with open(_manifest_path(table_dir, new_version), "w",
-              encoding="utf-8") as f:
-        json.dump({"version": new_version, "files": sorted(files),
-                   "batch_ids": sorted(ids)}, f, indent=1)
-    tmp = os.path.join(_mdir(table_dir), "_latest.json.tmp")
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump({"version": new_version}, f)
-    os.replace(tmp, os.path.join(_mdir(table_dir), "_latest.json"))
+    _commit(table_dir, files, new_version, batch_ids={int(batch_id)})
     return True

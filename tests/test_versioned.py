@@ -114,3 +114,17 @@ def test_stream_to_versioned_table_exactly_once(spark, tmp_path):
     q.awaitTermination(120)
     assert _rows(V.read_version(spark, t)) == {
         (i, f"s{i}") for i in range(6)}
+
+
+def test_batch_ledger_survives_compaction_and_vacuum(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    for bid in range(3):
+        V.commit_stream_batch(
+            spark.createDataFrame([(bid,)], "id: long"), bid, t)
+    V.compact_snapshot(spark, t, n_files=1)   # non-stream commit
+    V.vacuum(t, keep_versions=1)              # drops every stream manifest
+    # the ledger rode the compaction manifest: replays stay no-ops
+    assert V.committed_batch_ids(t) == {0, 1, 2}
+    assert V.commit_stream_batch(
+        spark.createDataFrame([(2,)], "id: long"), 2, t) is False
+    assert _rows(V.read_version(spark, t)) == {(0,), (1,), (2,)}
