@@ -115,12 +115,17 @@ def read_version(spark: SparkSession, table_dir: str,
                  version: int | None = None) -> DataFrame:
     """Read a pinned snapshot (default: latest).  The returned plan lists
     exactly the manifest's files — a concurrent commit or compaction
-    cannot change what this reader sees."""
+    cannot change what this reader sees.
+
+    Reads with ``mergeSchema`` so ADD-COLUMN schema evolution works: an
+    appended batch may carry extra columns; files written before the
+    column existed surface it as NULL (the standard additive-evolution
+    contract — renames/drops still require a rewrite commit)."""
     v = latest_version(table_dir) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshots in {table_dir}")
     files = _read_manifest(table_dir, v)
-    return spark.read.parquet(*files)
+    return spark.read.option("mergeSchema", "true").parquet(*files)
 
 
 def compact_snapshot(spark: SparkSession, table_dir: str,

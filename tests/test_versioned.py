@@ -128,3 +128,16 @@ def test_batch_ledger_survives_compaction_and_vacuum(spark, tmp_path):
     assert V.commit_stream_batch(
         spark.createDataFrame([(2,)], "id: long"), 2, t) is False
     assert _rows(V.read_version(spark, t)) == {(0,), (1,), (2,)}
+
+
+def test_additive_schema_evolution(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    V.write_snapshot(spark.createDataFrame([(1,)], "id: long"), t)
+    V.write_snapshot(spark.createDataFrame(
+        [(2, "x")], "id: long, s: string"), t)  # batch adds a column
+    latest = V.read_version(spark, t)
+    assert set(latest.columns) == {"id", "s"}
+    got = {(r["id"], r["s"]) for r in latest.collect()}
+    assert got == {(1, None), (2, "x")}  # old files surface NULL
+    # the pinned pre-evolution snapshot still has the narrow schema
+    assert V.read_version(spark, t, 1).columns == ["id"]
