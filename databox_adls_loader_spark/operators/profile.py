@@ -56,21 +56,40 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None,
     """One row per column: (col_name, n_rows, n_nulls, n_distinct,
     min_s, max_s).
 
-    Single aggregate over one scan; the wide 1-row result is then
-    unpivoted with `stack` (pure projection, no second shuffle).
-    ``exact=False`` swaps count(distinct) for HLL approx_count_distinct
-    — the 100 TB default (see module docstring).
+    ``exact=True`` plans ONE single-distinct aggregate PER COLUMN and
+    unions the 1-row results: multiple count_distincts in a single
+    aggregate plan as an Expand ×(k+1) over every input row (the
+    round-5 a8 finding — it was the slowest query in the bench), while
+    per-column legs each get the map-side partial-distinct plan and a
+    column-pruned scan, so the union reads the same total bytes as one
+    wide scan with no row multiplication — cheaper locally AND at
+    100 TB.  ``exact=False`` keeps the one-pass form with HLL
+    approx_count_distinct (no Expand either) — the 100 TB default when
+    exactness isn't contractual (see module docstring).
     """
     cols = cols or df.columns
     dtypes = dict(df.dtypes)
+    if exact:
+        legs = []
+        for c in cols:
+            col = F.col(c)
+            mn, mx = _minmax_str(col, dtypes[c])
+            legs.append(df.select(col).agg(
+                F.lit(c).alias("col_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
+                F.count_distinct(col).alias("n_distinct"),
+                mn.alias("min_s"), mx.alias("max_s")))
+        out = legs[0]
+        for leg in legs[1:]:
+            out = out.unionByName(leg)
+        return out.select("col_name", "n_rows", "n_nulls", "n_distinct",
+                          "min_s", "max_s")
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         col = F.col(c)
         aggs.append(F.count(col).alias(f"__nn_{c}"))
-        if exact:
-            aggs.append(F.count_distinct(col).alias(f"__nd_{c}"))
-        else:
-            aggs.append(F.approx_count_distinct(col).alias(f"__nd_{c}"))
+        aggs.append(F.approx_count_distinct(col).alias(f"__nd_{c}"))
         mn, mx = _minmax_str(col, dtypes[c])
         aggs.append(mn.alias(f"__mn_{c}"))
         aggs.append(mx.alias(f"__mx_{c}"))
