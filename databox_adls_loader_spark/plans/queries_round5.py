@@ -879,3 +879,48 @@ def mm_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = multimodal.synthetic_assets(spark, n=64)
     return (multimodal.audio_window_energy(assets, window=8)
             .orderBy("asset_id", "window_idx"))
+
+
+# ---------------------------------------------------------------------------
+# cohort retention (events analytics)
+# ---------------------------------------------------------------------------
+
+@register(
+    "cohort_retention_daily",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort FROM events GROUP BY 1
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort,
+             datediff('day', f.cohort, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+           CAST(day_offset AS BIGINT) AS day_offset,
+           COUNT(*) AS n_active
+    FROM activity GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=["events", "cohort", "retention"],
+)
+def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, then
+    distinct active users per (cohort, day-offset) — the
+    activation/retention triangle every growth/engagement pipeline
+    produces.  Plan: first-seen via one groupBy(user) min; the
+    activity join is user-keyed (broadcast at this SF, shuffle-hash at
+    100 TB where both sides partition on user_id); the DISTINCT
+    collapses (user, cohort, offset) map-side before the final count —
+    nothing materializes per event after that point.  All-integer
+    output, bit-portable."""
+    (events,) = _t(spark, sf_dir, "events")
+    ev = events.select("user_id", F.col("ts").cast("date").alias("d"))
+    firsts = ev.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    activity = (ev.join(firsts, "user_id")
+                .select("user_id", "cohort",
+                        F.datediff("d", "cohort").alias("day_offset"))
+                .distinct())
+    return (activity.groupBy(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("day_offset").cast("long").alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_day", "day_offset"))
