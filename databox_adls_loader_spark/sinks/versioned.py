@@ -28,11 +28,12 @@ re-runnable while consumers keep reading.
 
 from __future__ import annotations
 
+import datetime
 import glob
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def _mdir(table_dir: str) -> str:
@@ -63,8 +64,112 @@ def _read_manifest(table_dir: str, version: int) -> list[str]:
         return json.load(f)["files"]
 
 
+def _read_manifest_doc(table_dir: str, version: int) -> dict:
+    with open(_manifest_path(table_dir, version), encoding="utf-8") as f:
+        return json.load(f)
+
+
+def _canon(v):
+    """JSON-portable canonical form for a stats/predicate value.
+
+    Dates and timestamps become ISO strings (ordering-preserving), so the
+    same comparison works on the manifest-JSON side and the caller side."""
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return v
+
+
+def _file_stats(path: str) -> dict:
+    """Per-column min/max/null_count from the parquet FOOTER (no data
+    pages read).  Only primitive leaf columns get stats; columns whose
+    footer lacks min/max are simply absent — absent means 'cannot
+    prune', never 'prune'.
+
+    Driver-side footer reads are fine for one commit's new files; at
+    100 TB the same collection runs as a distributed job over the
+    `_metadata` pseudo-column and only the aggregated bounds come back."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path).metadata
+    cols: dict[str, dict] = {}
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:          # nested leaves: skip, never prune on them
+                continue
+            st = col.statistics
+            c = cols.setdefault(name, {"null_count": 0, "has_bounds": True})
+            if st is None or st.null_count is None:
+                c["null_count"] = None
+            elif c["null_count"] is not None:
+                c["null_count"] += st.null_count
+            if st is None or not st.has_min_max:
+                c["has_bounds"] = False
+                continue
+            mn, mx = _canon(st.min), _canon(st.max)
+            if not isinstance(mn, (int, float, str, bool)):
+                c["has_bounds"] = False
+                continue
+            c["min"] = mn if "min" not in c else min(c["min"], mn)
+            c["max"] = mx if "max" not in c else max(c["max"], mx)
+    out = {}
+    for name, c in cols.items():
+        entry = {"null_count": c["null_count"]}
+        if c["has_bounds"] and "min" in c:
+            entry["min"], entry["max"] = c["min"], c["max"]
+        out[name] = entry
+    return {"num_rows": meta.num_rows, "columns": out}
+
+
+def _file_matches(stats: dict | None, predicates) -> bool:
+    """May this file contain a row satisfying ALL predicates?  Missing
+    stats (old manifests, evolved-schema files, non-primitive columns)
+    always answer True — pruning is a superset guarantee."""
+    if not stats:
+        return True
+    for col, op, value in predicates:
+        c = (stats.get("columns") or {}).get(col)
+        if c is None:
+            continue
+        if (c.get("null_count") is not None
+                and c["null_count"] == stats.get("num_rows")):
+            return False                     # all-NULL file: no op matches
+        if "min" not in c:
+            continue
+        v, mn, mx = _canon(value), c["min"], c["max"]
+        try:
+            if op == "=" and not (mn <= v <= mx):
+                return False
+            if op == "<" and not (mn < v):
+                return False
+            if op == "<=" and not (mn <= v):
+                return False
+            if op == ">" and not (mx > v):
+                return False
+            if op == ">=" and not (mx >= v):
+                return False
+        except TypeError:                    # incomparable types: keep
+            continue
+    return True
+
+
+def prune_files(table_dir: str, version: int,
+                predicates) -> tuple[list[str], int]:
+    """(files that may match, total files in the manifest) for a list of
+    ``(column, op, value)`` predicates, op ∈ {=, <, <=, >, >=}, ANDed."""
+    doc = _read_manifest_doc(table_dir, version)
+    all_files = doc["files"]
+    stats = doc.get("stats", {})
+    kept = [f for f in all_files
+            if _file_matches(stats.get(f), predicates)]
+    return kept, len(all_files)
+
+
 def _commit(table_dir: str, files: list[str], version: int,
-            batch_ids: set[int] | None = None) -> None:
+            batch_ids: set[int] | None = None,
+            stats: dict[str, dict] | None = None) -> None:
     """Write manifest v<version> then atomically swap the pointer.
 
     The streaming batch-id ledger is carried forward into EVERY manifest
@@ -77,6 +182,8 @@ def _commit(table_dir: str, files: list[str], version: int,
         inherited |= {int(b) for b in batch_ids}
     os.makedirs(_mdir(table_dir), exist_ok=True)
     doc = {"version": version, "files": sorted(files)}
+    if stats:
+        doc["stats"] = {f: stats[f] for f in sorted(stats) if f in set(files)}
     if inherited:
         doc["batch_ids"] = sorted(inherited)
     with open(_manifest_path(table_dir, version), "w", encoding="utf-8") as f:
@@ -93,6 +200,16 @@ def _new_data_files(df: DataFrame, table_dir: str, batch_tag: str) -> list[str]:
     return [p for p in glob.glob(os.path.join(out, "part-*.parquet"))]
 
 
+def _stats_for(files: list[str]) -> dict[str, dict]:
+    return {f: _file_stats(f) for f in files}
+
+
+def _inherited_stats(table_dir: str, version: int | None) -> dict[str, dict]:
+    if version is None:
+        return {}
+    return _read_manifest_doc(table_dir, version).get("stats", {})
+
+
 def write_snapshot(df: DataFrame, table_dir: str,
                    mode: str = "append") -> int:
     """Commit ``df`` as a new snapshot; returns the new version number.
@@ -105,14 +222,17 @@ def write_snapshot(df: DataFrame, table_dir: str,
     cur = latest_version(table_dir)
     new_version = 1 if cur is None else cur + 1
     files = _new_data_files(df, table_dir, f"b{new_version:05d}")
+    stats = _stats_for(files)
     if mode == "append" and cur is not None:
         files = _read_manifest(table_dir, cur) + files
-    _commit(table_dir, files, new_version)
+        stats = {**_inherited_stats(table_dir, cur), **stats}
+    _commit(table_dir, files, new_version, stats=stats)
     return new_version
 
 
 def read_version(spark: SparkSession, table_dir: str,
-                 version: int | None = None) -> DataFrame:
+                 version: int | None = None,
+                 predicates=None) -> DataFrame:
     """Read a pinned snapshot (default: latest).  The returned plan lists
     exactly the manifest's files — a concurrent commit or compaction
     cannot change what this reader sees.
@@ -120,26 +240,74 @@ def read_version(spark: SparkSession, table_dir: str,
     Reads with ``mergeSchema`` so ADD-COLUMN schema evolution works: an
     appended batch may carry extra columns; files written before the
     column existed surface it as NULL (the standard additive-evolution
-    contract — renames/drops still require a rewrite commit)."""
+    contract — renames/drops still require a rewrite commit).
+
+    ``predicates`` — optional list of ``(column, op, value)`` with
+    op ∈ {=, <, <=, >, >=}, ANDed — enables DATA SKIPPING: files whose
+    manifest footer-stats [min, max] cannot satisfy the conjunction are
+    dropped from the plan before Spark ever lists them, and the full
+    predicate is STILL applied as a residual filter, so results never
+    depend on stats precision.  Pair with `compact_snapshot(...,
+    cluster_by=...)` / ``zorder_by=`` to make the bounds tight — this
+    file-level skip composes with parquet row-group pushdown and is the
+    manifest-level pruning that keeps a 100 TB table's point/range reads
+    proportional to the touched key range, not the table size."""
     v = latest_version(table_dir) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshots in {table_dir}")
-    files = _read_manifest(table_dir, v)
-    return spark.read.option("mergeSchema", "true").parquet(*files)
+    if predicates:
+        files, _total = prune_files(table_dir, v, predicates)
+        if not files:     # keep the schema: scan one file, filter to empty
+            files = _read_manifest(table_dir, v)[:1]
+    else:
+        files = _read_manifest(table_dir, v)
+    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    if predicates:
+        ops = {"=": "__eq__", "<": "__lt__", "<=": "__le__",
+               ">": "__gt__", ">=": "__ge__"}
+        for col, op, value in predicates:
+            df = df.filter(getattr(F.col(col), ops[op])(F.lit(value)))
+    return df
 
 
 def compact_snapshot(spark: SparkSession, table_dir: str,
-                     n_files: int = 1) -> int:
+                     n_files: int = 1, cluster_by=None,
+                     zorder_by=None) -> int:
     """Rewrite the latest snapshot into ``n_files`` files as a NEW
     version (small-file compaction).  Readers of older versions are
-    untouched; rows are bit-identical."""
+    untouched; rows are bit-identical.
+
+    ``cluster_by=[cols]`` range-partitions and sorts the rewrite on the
+    given columns so each output file covers a narrow, near-disjoint key
+    range — this is what turns the manifest's footer stats into an
+    effective skip index (`read_version(..., predicates=...)`).
+
+    ``zorder_by=(colA, colB)`` clusters on the Morton interleave of the
+    two columns (`operators/scale.zorder_key2`) instead: every file then
+    covers a small RECTANGLE in (A, B) space, so stats stay tight in
+    BOTH dimensions and 2-D range predicates prune — linear sort on A
+    alone would leave every file spanning the full range of B."""
     cur = latest_version(table_dir)
     if cur is None:
         raise FileNotFoundError(f"no snapshots in {table_dir}")
-    df = read_version(spark, table_dir, cur).repartition(n_files)
+    df = read_version(spark, table_dir, cur)
+    if zorder_by is not None:
+        from ..operators.scale import zorder_key2
+        a, b = zorder_by
+        key = "__zorder_key"
+        df = (df.withColumn(key, zorder_key2(F.col(a), F.col(b)))
+                .repartitionByRange(n_files, F.col(key))
+                .sortWithinPartitions(key)
+                .drop(key))
+    elif cluster_by:
+        cols = [F.col(c) for c in cluster_by]
+        df = (df.repartitionByRange(n_files, *cols)
+                .sortWithinPartitions(*cluster_by))
+    else:
+        df = df.repartition(n_files)
     new_version = cur + 1
     files = _new_data_files(df, table_dir, f"b{new_version:05d}")
-    _commit(table_dir, files, new_version)
+    _commit(table_dir, files, new_version, stats=_stats_for(files))
     return new_version
 
 
@@ -206,7 +374,50 @@ def commit_stream_batch(batch_df: DataFrame, batch_id: int,
     cur = latest_version(table_dir)
     new_version = 1 if cur is None else cur + 1
     files = _new_data_files(batch_df, table_dir, f"b{new_version:05d}")
+    stats = {**_inherited_stats(table_dir, cur), **_stats_for(files)}
     if cur is not None:
         files = _read_manifest(table_dir, cur) + files
-    _commit(table_dir, files, new_version, batch_ids={int(batch_id)})
+    _commit(table_dir, files, new_version, batch_ids={int(batch_id)},
+            stats=stats)
     return True
+
+
+def changes_between(spark: SparkSession, table_dir: str,
+                    v_from: int, v_to: int, key: str) -> DataFrame:
+    """Change data feed: row-level diff between two retained snapshots.
+
+    Returns the ``v_to`` schema plus ``_change_type`` ∈ {insert, delete,
+    update_postimage} — deletes carry the OLD row's values.  Computed as
+    a full outer join on ``key`` between the two pinned reads plus a
+    column-wise equality check, so it needs no per-commit change log:
+    any two retained versions diff on demand (the backfill/debug shape;
+    a streaming CDC consumer would instead tail `commit_stream_batch`
+    appends).  One shuffle on ``key``; at 100 TB partition both reads on
+    the same key layout so the join co-locates."""
+    old = read_version(spark, table_dir, v_from)
+    new = read_version(spark, table_dir, v_to)
+    cols = new.columns
+    if key not in cols or key not in old.columns:
+        raise ValueError(f"key {key!r} must exist in both versions")
+    o = old.select([F.col(c).alias(f"__o_{c}") for c in old.columns])
+    n = new.select([F.col(c).alias(f"__n_{c}") for c in cols])
+    j = o.join(n, o[f"__o_{key}"].eqNullSafe(n[f"__n_{key}"]), "full_outer")
+    shared = [c for c in cols if c in old.columns]
+    same = F.lit(True)
+    for c in shared:
+        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    change = (F.when(F.col(f"__o_{key}").isNull(), F.lit("insert"))
+               .when(F.col(f"__n_{key}").isNull(), F.lit("delete"))
+               .when(~same, F.lit("update_postimage")))
+    # deletes surface the OLD row; inserts/updates the NEW row verbatim
+    # (a plain coalesce would wrongly resurrect old values when an
+    # update sets a column to NULL)
+    is_delete = F.col(f"__n_{key}").isNull()
+    out_cols = [
+        F.when(is_delete,
+               F.col(f"__o_{c}") if c in old.columns else F.lit(None))
+         .otherwise(F.col(f"__n_{c}")).alias(c)
+        for c in cols]
+    return (j.withColumn("_change_type", change)
+             .filter(F.col("_change_type").isNotNull())
+             .select(*out_cols, "_change_type"))

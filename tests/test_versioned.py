@@ -141,3 +141,123 @@ def test_additive_schema_evolution(spark, tmp_path):
     assert got == {(1, None), (2, "x")}  # old files surface NULL
     # the pinned pre-evolution snapshot still has the narrow schema
     assert V.read_version(spark, t, 1).columns == ["id"]
+
+
+def test_manifest_stats_recorded_per_file(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(i, f"s{i:03d}") for i in range(100)],
+                               "id: long, s: string")
+    V.write_snapshot(df.repartition(4), t)
+    doc = V._read_manifest_doc(t, 1)
+    assert set(doc["stats"]) == set(doc["files"])
+    for st in doc["stats"].values():
+        c = st["columns"]["id"]
+        assert 0 <= c["min"] <= c["max"] <= 99 and c["null_count"] == 0
+        assert st["num_rows"] > 0
+
+
+def test_data_skipping_prunes_files_and_stays_exact(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(i, i % 7) for i in range(1000)],
+                               "id: long, grp: long")
+    V.write_snapshot(df.repartition(8), t)
+    v = V.compact_snapshot(spark, t, n_files=4, cluster_by=["id"])
+    # point read: clustered layout → exactly one file survives pruning
+    kept, total = V.prune_files(t, v, [("id", "=", 5)])
+    assert total == 4 and len(kept) == 1
+    got = V.read_version(spark, t, v, predicates=[("id", "=", 5)])
+    assert set(got.inputFiles()) == {f"file://{p}" for p in kept} or \
+        len(got.inputFiles()) == 1
+    assert _rows(got) == {(5, 5)}
+    # range read prunes to the covering files and matches the full scan
+    pred = [("id", ">=", 600), ("id", "<", 700)]
+    kept, _ = V.prune_files(t, v, pred)
+    assert 1 <= len(kept) <= 2
+    want = {(i, i % 7) for i in range(600, 700)}
+    assert _rows(V.read_version(spark, t, v, predicates=pred)) == want
+
+
+def test_data_skipping_is_superset_safe_without_clustering(spark, tmp_path):
+    # files written unclustered: stats overlap, nothing prunes, but the
+    # residual filter still returns exactly the right rows
+    t = str(tmp_path / "tbl")
+    V.write_snapshot(spark.range(100).repartition(5), t)
+    kept, total = V.prune_files(t, 1, [("id", "=", 42)])
+    assert len(kept) >= 1
+    assert _rows(V.read_version(spark, t, predicates=[("id", "=", 42)])) \
+        == {(42,)}
+
+
+def test_data_skipping_empty_result_keeps_schema(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    V.write_snapshot(spark.createDataFrame([(1, "a")], "id: long, s: string"), t)
+    got = V.read_version(spark, t, predicates=[("id", "=", 999)])
+    assert got.columns == ["id", "s"] and got.count() == 0
+
+
+def test_data_skipping_all_null_file_pruned_for_equality(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    V.write_snapshot(spark.createDataFrame(
+        [(None,), (None,)], "id: long").coalesce(1), t)
+    V.write_snapshot(spark.createDataFrame([(7,)], "id: long").coalesce(1), t)
+    kept, total = V.prune_files(t, 2, [("id", "=", 7)])
+    assert total == 2 and len(kept) == 1
+    assert _rows(V.read_version(spark, t, predicates=[("id", "=", 7)])) == {(7,)}
+
+
+def test_data_skipping_evolved_column_never_prunes_old_files(spark, tmp_path):
+    # files written before a column existed have no stats for it: they
+    # must be KEPT (their rows surface NULL, which the residual filter
+    # then drops) — absent stats may never mean "prune"
+    t = str(tmp_path / "tbl")
+    V.write_snapshot(spark.createDataFrame([(1,)], "id: long").coalesce(1), t)
+    V.write_snapshot(spark.createDataFrame(
+        [(2, 10)], "id: long, extra: long").coalesce(1), t)
+    kept, total = V.prune_files(t, 2, [("extra", ">=", 0)])
+    assert total == 2 and len(kept) == 2
+    got = V.read_version(spark, t, predicates=[("extra", ">=", 0)])
+    assert {(r["id"], r["extra"]) for r in got.collect()} == {(2, 10)}
+
+
+def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
+    # 32×32 grid; after Z-order clustering a small (x, y) rectangle must
+    # prune most files — and x-only or y-only ranges must ALSO prune,
+    # which a linear sort on x alone cannot deliver for y
+    t = str(tmp_path / "tbl")
+    pts = [(x, y, x * 32 + y) for x in range(32) for y in range(32)]
+    V.write_snapshot(spark.createDataFrame(
+        pts, "x: long, y: long, v: long").repartition(8), t)
+    v = V.compact_snapshot(spark, t, n_files=16, zorder_by=("x", "y"))
+    assert "__zorder_key" not in V.read_version(spark, t, v).columns
+    rect = [("x", ">=", 4), ("x", "<", 8), ("y", ">=", 4), ("y", "<", 8)]
+    kept, total = V.prune_files(t, v, rect)
+    assert total == 16 and len(kept) <= 4
+    want = {(x, y, x * 32 + y) for x in range(4, 8) for y in range(4, 8)}
+    assert _rows(V.read_version(spark, t, v, predicates=rect)) == want
+    for dim in ("x", "y"):
+        kept_d, _ = V.prune_files(t, v, [(dim, ">=", 28)])
+        assert len(kept_d) < 16, f"{dim}-only range did not prune"
+
+
+def test_changes_between_insert_update_delete(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    V.write_snapshot(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id: long, s: string"), t)
+    V.write_snapshot(spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "id: long, s: string"), t,
+        mode="overwrite")
+    got = {tuple(r) for r in V.changes_between(spark, t, 1, 2, "id").collect()}
+    assert got == {(2, "B", "update_postimage"),
+                   (3, "c", "delete"),
+                   (4, "d", "insert")}
+
+
+def test_changes_between_null_update_not_resurrected(spark, tmp_path):
+    # an update that sets a column to NULL must surface NULL, not the
+    # old value
+    t = str(tmp_path / "tbl")
+    V.write_snapshot(spark.createDataFrame([(1, "x")], "id: long, s: string"), t)
+    V.write_snapshot(spark.createDataFrame([(1, None)], "id: long, s: string"),
+                     t, mode="overwrite")
+    got = {tuple(r) for r in V.changes_between(spark, t, 1, 2, "id").collect()}
+    assert got == {(1, None, "update_postimage")}
