@@ -476,3 +476,75 @@ def vocab_coverage(docs: DataFrame, top_n: int = 100,
         .select("term", "cnt", "cum_ppm")
         .orderBy(F.desc("cnt"), F.asc("term"))
     )
+
+
+def bpe_train_merges(docs: DataFrame, text_col: str = "text",
+                     n_merges: int = 3) -> DataFrame:
+    """Byte-pair-encoding merge training (public technique: Sennrich et
+    al. 2016) — the tokenizer-training step of an LLM data pipeline,
+    made integer-exact and engine-portable.
+
+    Contract (shared with the SQL oracle):
+      * corpus = occurrence-weighted word table (lowercased, split on
+        ``[^a-z]+``) — BPE statistics depend only on the word-frequency
+        relation, which is vocabulary-sized, NOT corpus-sized: the one
+        corpus scan reduces 100 TB of text to a few million (word, freq)
+        rows, and every merge iteration runs on that small relation;
+      * pair statistics count ALL adjacent symbol pairs (overlap
+        included), weighted by word frequency;
+      * the winning pair per iteration is (count DESC, left ASC, right
+        ASC) — deterministic tie-break;
+      * applying a merge rewrites each word greedily left-to-right with
+        no re-merge of a just-created symbol (the classic scan rule),
+        implemented as one `F.aggregate` fold per word — per-row array
+        math, no shuffle beyond the pair-count groupBy.
+
+    Returns one row per merge: (merge_rank, left_sym, right_sym, merged,
+    pair_count) — fully value-hash-checkable; the oracle unrolls the
+    same iterations as CTE layers (the `graph_pagerank_jaccard`
+    pattern)."""
+    words = (
+        docs.select(F.explode(
+                F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z]+"),
+                         lambda t: t != "")).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("syms",
+                    F.filter(F.split("word", "(?!^)"), lambda t: t != ""))
+    )
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            words.select(
+                "freq",
+                F.explode(F.zip_with(
+                    F.slice("syms", F.lit(1), F.size("syms") - 1),
+                    F.slice("syms", F.lit(2),
+                            F.greatest(F.size("syms") - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r"))
+                )).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r")).limit(1)
+        merges.append(top.select(
+            F.lit(rank).alias("merge_rank"),
+            F.col("l").alias("left_sym"), F.col("r").alias("right_sym"),
+            F.concat("l", "r").alias("merged"),
+            F.col("cnt").alias("pair_count")))
+        words = (
+            words.crossJoin(F.broadcast(top))
+            .withColumn("syms", F.aggregate(
+                "syms", F.expr("cast(array() as array<string>)"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.col("l"))
+                    & (x == F.col("r")),
+                    F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                             F.array(F.concat(F.col("l"), F.col("r"))))
+                ).otherwise(F.concat(acc, F.array(x)))))
+            .drop("l", "r", "cnt")
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("merge_rank")

@@ -924,3 +924,85 @@ def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day_offset").cast("long").alias("day_offset"))
         .agg(F.count(F.lit(1)).alias("n_active"))
         .orderBy("cohort_day", "day_offset"))
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (tokenizer training — the pagerank-style unrolled oracle)
+# ---------------------------------------------------------------------------
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unroll ``n_merges`` BPE iterations as CTE layers (the
+    `graph_pagerank_jaccard` pattern: an iterative algorithm under the
+    full value-hash gate).  Greedy left-to-right merge application is
+    expressed relationally: match positions → consecutive-match chains
+    (gaps-and-islands) → even-offset parity selection, which is exactly
+    the no-re-merge scan rule the Spark fold implements."""
+    ctes = ["""
+w AS (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+    FROM documents WHERE text IS NOT NULL)
+  WHERE word <> '' GROUP BY word),
+s0 AS (
+  SELECT word, freq,
+         unnest(generate_series(1, length(word))) AS pos,
+         unnest(string_split(word, '')) AS sym
+  FROM w)"""]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        ctes.append(f"""
+c{k} AS (
+  SELECT l, r, SUM(freq) AS cnt FROM (
+    SELECT freq, sym AS l,
+           lead(sym) OVER (PARTITION BY word ORDER BY pos) AS r
+    FROM s{p})
+  WHERE r IS NOT NULL GROUP BY l, r),
+t{k} AS (SELECT l, r, cnt FROM c{k} ORDER BY cnt DESC, l, r LIMIT 1),
+m{k} AS (
+  SELECT s.word, s.freq, s.pos, s.sym, t.l, t.r,
+         COALESCE(s.sym = t.l AND
+                  lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = t.r,
+                  FALSE) AS mt
+  FROM s{p} s CROSS JOIN t{k} t),
+g{k} AS (
+  SELECT *, CASE WHEN mt THEN
+      pos - row_number() OVER (PARTITION BY word, mt ORDER BY pos) END AS chain
+  FROM m{k}),
+e{k} AS (
+  SELECT *, mt AND ((row_number() OVER (PARTITION BY word, chain ORDER BY pos)
+                     - 1) % 2 = 0) AS sel
+  FROM g{k}),
+s{k} AS (
+  SELECT word, freq,
+         row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         CASE WHEN sel THEN l || r ELSE sym END AS sym
+  FROM (SELECT *, COALESCE(lag(sel) OVER (PARTITION BY word ORDER BY pos),
+                           FALSE) AS consumed
+        FROM e{k})
+  WHERE sel OR NOT consumed)""")
+    finals = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS merge_rank, l AS left_sym, "
+        f"r AS right_sym, l || r AS merged, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM t{k}"
+        for k in range(1, n_merges + 1))
+    return "WITH " + ",".join(ctes) + "\n" + finals + "\nORDER BY merge_rank"
+
+
+@register(
+    "text_bpe_merges",
+    oracle=_bpe_oracle_sql(3),
+    tags=["text", "tokenizer", "bpe", "iterative"],
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 3 BPE merges trained on the documents corpus (operator:
+    `operators/text.bpe_train_merges`).  The corpus collapses to the
+    vocabulary-sized (word, freq) relation after one scan, so each
+    iteration's pair-count shuffle is tiny regardless of corpus bytes —
+    the property that makes tokenizer training feasible at 100 TB.
+    Deterministic tie-break, all-integer counts, greedy merge semantics
+    proven equal between the Spark fold and the oracle's window-parity
+    formulation."""
+    from ..operators.text import bpe_train_merges
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return bpe_train_merges(docs, "text", n_merges=3)

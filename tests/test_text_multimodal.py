@@ -343,3 +343,26 @@ def test_audio_window_energy_known_payload(spark):
     got = {(r["asset_id"], r["window_idx"]): r["energy"]
            for r in audio_window_energy(assets, window=4).collect()}
     assert got == {(1, 0): 1 + 4 + 9 + 16}  # asset 3: 3 samples < window
+
+
+def test_bpe_merges_cascade_and_tiebreak(spark):
+    from databox_adls_loader_spark.operators.text import bpe_train_merges
+    docs = spark.createDataFrame(
+        [("the cat sat on the mat",), ("the bat and the cat",), (None,)],
+        "text: string")
+    got = [tuple(r) for r in bpe_train_merges(docs, n_merges=3).collect()]
+    # merge 3 must see merge 2's re-segmentation: t + he -> the
+    assert got == [(1, "a", "t", "at", 5),
+                   (2, "h", "e", "he", 4),
+                   (3, "t", "he", "the", 4)]
+
+
+def test_bpe_merge_same_symbol_run_is_greedy_nonoverlapping(spark):
+    from databox_adls_loader_spark.operators.text import bpe_train_merges
+    # "aaaa": pair stats count overlap-inclusive (3 per word), but the
+    # merge applies greedily left-to-right -> [aa, aa], so iteration 2
+    # finds (aa, aa) exactly once per word
+    docs = spark.createDataFrame([("aaaa aaaa",)], "text: string")
+    got = [tuple(r) for r in bpe_train_merges(docs, n_merges=2).collect()]
+    assert got == [(1, "a", "a", "aa", 6),
+                   (2, "aa", "aa", "aaaa", 2)]
