@@ -210,3 +210,45 @@ def equidepth_histogram(df: DataFrame, value: str, tiebreak: str,
              F.max(value).alias("hi"))
         .orderBy("bucket")
     )
+
+
+def countmin_sketch(df: DataFrame, key_col: str, depth: int = 3,
+                    width: int = 64) -> DataFrame:
+    """Count-min sketch (public technique: Cormode & Muthukrishnan 2005)
+    built relationally: ``depth`` portable md5 hash rows × ``width``
+    buckets → (row_i, bucket, cnt).
+
+    The sketch relation is depth×width rows regardless of input size —
+    the fixed-memory frequency summary a 100 TB stream ships to the
+    driver (or merges across days: counts are additive, so daily
+    sketches UNION+sum into the monthly one).  Deterministic md5 bucket
+    hashing (`dedup.md5_long` seeded per row) keeps every cell — and
+    every estimate built on it — bit-reproducible in the SQL oracle,
+    unlike library sketches whose internals can't be cross-checked."""
+    from .dedup import md5_long
+
+    k = F.col(key_col).cast("string")
+    buckets = F.array(*[
+        F.pmod(md5_long(k, seed=i), F.lit(width)) for i in range(depth)])
+    return (df.select(F.posexplode(buckets).alias("row_i", "bucket"))
+              .groupBy("row_i", "bucket")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def countmin_estimates(keys: DataFrame, sketch: DataFrame, key_col: str,
+                       depth: int = 3, width: int = 64) -> DataFrame:
+    """Point-frequency estimates from a `countmin_sketch` relation:
+    est(k) = min over rows of cell(row_i, h_i(k)) — an OVERCOUNT by
+    construction (collisions only add), never an undercount; keys whose
+    bucket row is absent estimate 0 (the key was never seen).  The
+    sketch side is depth×width rows → broadcast join, map-side only."""
+    from .dedup import md5_long
+
+    k = F.col(key_col).cast("string")
+    buckets = F.array(*[
+        F.pmod(md5_long(k, seed=i), F.lit(width)) for i in range(depth)])
+    probe = keys.select(key_col, F.posexplode(buckets)
+                        .alias("row_i", "bucket"))
+    return (probe.join(F.broadcast(sketch), ["row_i", "bucket"], "left")
+            .groupBy(key_col)
+            .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est")))

@@ -1006,3 +1006,74 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     return bpe_train_merges(docs, "text", n_merges=3)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch heavy hitters — deterministic, fully hash-checked
+# ---------------------------------------------------------------------------
+
+def _cms_oracle_sql(depth: int = 3, width: int = 64) -> str:
+    from .queries_ext import _hex15_to_long
+
+    seeds = ",".join(f"({i})" for i in range(depth))
+    h = _hex15_to_long("m")
+    return f"""
+    WITH ev AS (
+      SELECT CAST(user_id AS VARCHAR) AS k FROM events
+      WHERE user_id IS NOT NULL),
+    bb AS (
+      SELECT k, i, {h} % {width} AS bucket
+      FROM (SELECT k, i, md5(CAST(i AS VARCHAR) || '|' || k) AS m
+            FROM ev CROSS JOIN (VALUES {seeds}) t(i))),
+    sk AS (SELECT i, bucket, COUNT(*) AS cnt FROM bb GROUP BY i, bucket),
+    ex AS (
+      SELECT user_id, COUNT(*) AS exact_cnt FROM events
+      WHERE user_id IS NOT NULL GROUP BY user_id
+      ORDER BY exact_cnt DESC, user_id LIMIT 10),
+    qb AS (
+      SELECT user_id, exact_cnt, i, {h} % {width} AS bucket
+      FROM (SELECT ex.user_id, ex.exact_cnt, t.i,
+                   md5(CAST(t.i AS VARCHAR) || '|'
+                       || CAST(ex.user_id AS VARCHAR)) AS m
+            FROM ex CROSS JOIN (VALUES {seeds}) t(i))),
+    est AS (
+      SELECT user_id, exact_cnt, MIN(COALESCE(sk.cnt, 0)) AS cms_est
+      FROM qb LEFT JOIN sk USING (i, bucket)
+      GROUP BY user_id, exact_cnt)
+    SELECT user_id, exact_cnt, CAST(cms_est AS BIGINT) AS cms_est,
+           cms_est >= exact_cnt AS est_ge_exact
+    FROM est ORDER BY exact_cnt DESC, user_id
+    """
+
+
+@register(
+    "a12_countmin_heavy_hitters",
+    oracle=_cms_oracle_sql(),
+    tags=["sketch", "countmin", "heavy-hitters"],
+)
+def a12_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates for the top-10 heavy-hitter
+    users (operator: `operators/profile.countmin_sketch/estimates`).
+    The sketch is depth×width rows independent of input size and
+    additive across shards/days — the fixed-memory alternative when
+    exact per-key counts stop fitting a shuffle.  Deterministic md5
+    bucket hashing makes every cell reproducible in DuckDB, so the
+    estimates themselves are value-hash-checked (not just bounded);
+    `est_ge_exact` additionally pins the sketch's one-sided overcount
+    guarantee.  Plan: one map-side-combined sketch aggregate + one
+    exact top-10 aggregate + a broadcast probe join."""
+    from ..operators.profile import countmin_estimates, countmin_sketch
+
+    (events,) = _t(spark, sf_dir, "events")
+    ev = events.where(F.col("user_id").isNotNull())
+    sketch = countmin_sketch(ev, "user_id", depth=3, width=64)
+    exact = (ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("exact_cnt"))
+             .orderBy(F.desc("exact_cnt"), F.asc("user_id")).limit(10))
+    est = countmin_estimates(exact, sketch, "user_id", depth=3, width=64)
+    return (exact.join(est, "user_id")
+            .select("user_id", "exact_cnt",
+                    F.col("cms_est").cast("long").alias("cms_est"),
+                    (F.col("cms_est") >= F.col("exact_cnt"))
+                    .alias("est_ge_exact"))
+            .orderBy(F.desc("exact_cnt"), F.asc("user_id")))
