@@ -737,3 +737,52 @@ def incremental_exact_dedup(incoming: DataFrame, corpus: DataFrame,
             .when(F.col(id_col) > F.col("__first_id"), "dup_batch")
             .otherwise("kept").alias("verdict"))
     )
+
+
+def containment_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      threshold: float = 0.7) -> DataFrame:
+    """Asymmetric containment C(A→B) = |A∩B| / |A| over distinct word
+    n-grams — the doc-inside-doc detector symmetric Jaccard misses: a
+    short document quoted wholesale inside a long one has high
+    containment but low Jaccard (the intersection is tiny next to the
+    union).  Training pipelines use it to drop subset/quotation dupes
+    and boilerplate-wrapped copies.
+
+    Same plan shape as `ngram_jaccard_pairs` (shingle self-join on the
+    64-bit gram hash, sizes re-joined), emitting BOTH directions in
+    exact integer ppm plus which side is contained.  Scale: candidate
+    generation belongs behind LSH banding at 100 TB, exactly like the
+    Jaccard verifier; the postings join here is the verify stage."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, n)).alias("__g"),
+    ).select("id", F.xxhash64("__g").alias("g")).persist()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    l, r = sh.alias("l"), sh.alias("r")
+    inter = (
+        l.join(r, (F.col("l.g") == F.col("r.g"))
+               & (F.col("l.id") < F.col("r.id")))
+        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    thr_ppm = int(threshold * 1_000_000)
+    return (
+        inter
+        .join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("sz_b")), "b")
+        .withColumn("cont_a_in_b_ppm",
+                    F.expr("inter * 1000000L div sz_a"))
+        .withColumn("cont_b_in_a_ppm",
+                    F.expr("inter * 1000000L div sz_b"))
+        .filter(F.greatest("cont_a_in_b_ppm", "cont_b_in_a_ppm")
+                >= F.lit(thr_ppm))
+        .withColumn("contained_side",
+                    F.when((F.col("cont_a_in_b_ppm") >= thr_ppm)
+                           & (F.col("cont_b_in_a_ppm") >= thr_ppm),
+                           F.lit("both"))
+                     .when(F.col("cont_a_in_b_ppm") >= thr_ppm, F.lit("a"))
+                     .otherwise(F.lit("b")))
+        .select("a", "b", "inter", "sz_a", "sz_b",
+                "cont_a_in_b_ppm", "cont_b_in_a_ppm", "contained_side")
+    )

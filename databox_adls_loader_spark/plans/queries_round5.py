@@ -1077,3 +1077,49 @@ def a12_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("cms_est") >= F.col("exact_cnt"))
                     .alias("est_ge_exact"))
             .orderBy(F.desc("exact_cnt"), F.asc("user_id")))
+
+
+# ---------------------------------------------------------------------------
+# containment (asymmetric Jaccard) dedup — doc-inside-doc detection
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_containment_pairs",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(t) - 2, 1) + 1),
+        i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+      FROM toks
+    ), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
+      FROM sh l JOIN sh r ON l.g = r.g AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    ), j AS (
+      SELECT a, b, CAST(inter AS BIGINT) AS inter,
+             CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+             CAST(inter * 1000000 // sa.sz AS BIGINT) AS cont_a_in_b_ppm,
+             CAST(inter * 1000000 // sb.sz AS BIGINT) AS cont_b_in_a_ppm
+      FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id)
+    SELECT a, b, inter, sz_a, sz_b, cont_a_in_b_ppm, cont_b_in_a_ppm,
+           CASE WHEN cont_a_in_b_ppm >= 700000 AND cont_b_in_a_ppm >= 700000
+                THEN 'both'
+                WHEN cont_a_in_b_ppm >= 700000 THEN 'a'
+                ELSE 'b' END AS contained_side
+    FROM j
+    WHERE greatest(cont_a_in_b_ppm, cont_b_in_a_ppm) >= 700000
+    ORDER BY a, b
+    """,
+    tags=["dedup", "containment"],
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment pairs at threshold 0.7 (operator:
+    `operators/dedup.containment_pairs`) — catches subset/quotation
+    duplicates whose symmetric Jaccard stays low.  Exact integer ppm on
+    both directions, fully value-hash-checked."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (dedup.containment_pairs(docs, threshold=0.7)
+            .orderBy("a", "b"))

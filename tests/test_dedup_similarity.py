@@ -700,3 +700,21 @@ def test_gram_upper_scaled_single_vector(spark):
            for r in similarity.gram_upper_scaled(one, scale=10).collect()}
     # s = (10, -5): upper triangle of outer product
     assert got == {(0, 0): 100, (0, 1): -50, (1, 1): 25}
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from databox_adls_loader_spark.operators.dedup import (
+        containment_pairs, ngram_jaccard_pairs)
+    short = " ".join(f"w{i}" for i in range(12))
+    long = short + " " + " ".join(f"x{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally different words here now")],
+        "doc_id: long, text: string")
+    got = containment_pairs(docs, threshold=0.9).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert (row["a"], row["b"]) == (1, 2)
+    assert row["cont_a_in_b_ppm"] == 1_000_000      # short fully inside long
+    assert row["contained_side"] == "a"
+    # symmetric Jaccard at the same bar sees nothing
+    assert ngram_jaccard_pairs(docs, threshold=0.9).count() == 0
