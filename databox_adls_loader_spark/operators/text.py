@@ -548,3 +548,39 @@ def bpe_train_merges(docs: DataFrame, text_col: str = "text",
     for m in merges[1:]:
         out = out.unionByName(m)
     return out.orderBy("merge_rank")
+
+
+def lm_fluency_scores(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Self-trained bigram-LM fluency score per document — the gibberish
+    filter of an LLM data pipeline (public technique: KenLM-style n-gram
+    scoring, e.g. CCNet), made integer-exact so it is value-hash
+    checkable across engines.
+
+    score_ppm(doc) = floor(mean over the doc's token bigrams (a, b) of
+    floor(c(a,b) · 10⁶ / c(a·))), where c(a,b) is the corpus bigram
+    count and c(a·) the count of ``a`` as a bigram left side — i.e. the
+    average conditional probability P(b|a) in ppm.  Low scores mark
+    documents whose word transitions are rare in the corpus (gibberish,
+    wrong-language, shuffled text); docs with fewer than 2 tokens have
+    no bigrams and are excluded.
+
+    Scale: the bigram-count relation is vocabulary²-bounded, NOT
+    corpus-sized — one scan reduces the corpus to counts, and scoring is
+    a bigram-keyed shuffle join (broadcast when the LM fits).  No
+    floats anywhere: ppm integer division on both engines."""
+    t = F.filter(tokens(text_col), lambda x: x != "")
+    bg = docs.select(
+        F.col(id_col),
+        F.explode(F.zip_with(
+            F.slice(t, F.lit(1), F.greatest(F.size(t) - 1, F.lit(0))),
+            F.slice(t, F.lit(2), F.greatest(F.size(t) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")))).alias("p")
+    ).select(id_col, F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+    c2 = bg.groupBy("l", "r").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("l").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (bg.join(c2, ["l", "r"]).join(c1, ["l"])
+              .withColumn("ppm", F.expr("c2 * 1000000L div c1")))
+    return (scored.groupBy(id_col)
+            .agg(F.expr("sum(ppm) div count(1)").alias("score_ppm"),
+                 F.count(F.lit(1)).alias("n_bigrams")))

@@ -112,3 +112,40 @@ def gap_fill_forward(daily: DataFrame, key_col: str, date_col: str,
     for name, lit in (zero_fill or {}).items():
         dense = dense.withColumn(name, F.coalesce(F.col(name), lit))
     return forward_fill(dense, key_col, date_col, ffill_cols)
+
+
+def rolling_zscore_anomalies(daily: DataFrame, day_col: str = "day",
+                             value_col: str = "val", window: int = 7,
+                             z: int = 3, min_points: int = 4) -> DataFrame:
+    """Trailing-window z-score anomaly flags in EXACT integer math.
+
+    For each point x with trailing-window (previous ``window`` rows)
+    count n, sum S1 and sum-of-squares S2, the float rule
+    |x − μ| > z·σ is equivalent (multiply both sides by n², square) to
+
+        (n·x − S1)² > z² · (n·S2 − S1²)
+
+    — all bigint, no sqrt/float, so the flags are bit-portable to the
+    SQL oracle.  ``value_col`` must be integer-valued (floor money to
+    whole units first); magnitudes are safe in int64 while
+    (window · max|x|)² < 9.2e18, i.e. |x| ≲ 4e8 at window 7 — past
+    that, widen to decimal(38,0) on both engines.
+
+    The window is a bare ordered frame over the PRE-AGGREGATED series —
+    bounded by |days|, the documented post-aggregate exception to the
+    no-global-window rule (PLANS.md); partition by series key for
+    per-key fleets."""
+    w = (Window.orderBy(day_col)
+         .rowsBetween(-window, -1))
+    x = F.col(value_col)
+    n = F.count(value_col).over(w)
+    s1 = F.sum(value_col).over(w)
+    s2 = F.sum(x * x).over(w)
+    lhs = (n * x - s1) * (n * x - s1)
+    rhs = F.lit(z * z) * (n * s2 - s1 * s1)
+    return (daily
+            .withColumn("n_window", n)
+            .withColumn("win_sum", s1)
+            .withColumn("win_sumsq", s2)
+            .withColumn("is_anomaly",
+                        (F.col("n_window") >= min_points) & (lhs > rhs)))

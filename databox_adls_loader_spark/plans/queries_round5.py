@@ -1123,3 +1123,99 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     return (dedup.containment_pairs(docs, threshold=0.7)
             .orderBy("a", "b"))
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM fluency (gibberish filter) — integer-exact KenLM-style scoring
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_lm_fluency_bottom",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_slice(t, 1, len(t) - 1)) AS l,
+             unnest(list_slice(t, 2, len(t))) AS r
+      FROM toks WHERE len(t) >= 2
+    ), c2 AS (SELECT l, r, COUNT(*) AS c2 FROM bg GROUP BY l, r),
+    c1 AS (SELECT l, COUNT(*) AS c1 FROM bg GROUP BY l),
+    scored AS (
+      SELECT bg.doc_id, CAST(c2.c2 * 1000000 // c1.c1 AS BIGINT) AS ppm
+      FROM bg JOIN c2 ON bg.l = c2.l AND bg.r = c2.r
+              JOIN c1 ON bg.l = c1.l)
+    SELECT doc_id,
+           CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS score_ppm,
+           COUNT(*) AS n_bigrams
+    FROM scored GROUP BY doc_id
+    ORDER BY score_ppm ASC, doc_id LIMIT 10
+    """,
+    tags=["text", "quality", "lm"],
+)
+def text_lm_fluency_bottom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-10 documents by self-trained bigram-LM fluency (operator:
+    `operators/text.lm_fluency_scores`) — the lowest average P(next|cur)
+    in exact ppm; the corpus's least-fluent documents are the gibberish/
+    shuffled-text candidates a quality gate drops.  The LM is trained
+    and applied in the same plan: counts are vocabulary-bounded, scoring
+    is one bigram-keyed join, TakeOrdered caps the output."""
+    from ..operators.text import lm_fluency_scores
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (lm_fluency_scores(docs)
+            .orderBy(F.asc("score_ppm"), F.asc("doc_id")).limit(10))
+
+
+# ---------------------------------------------------------------------------
+# integer-exact rolling z-score anomalies over daily revenue
+# ---------------------------------------------------------------------------
+
+@register(
+    "ts_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(floor(SUM(CAST(o_totalprice AS DECIMAL(18,2)))) AS BIGINT)
+               AS rev_usd
+      FROM orders GROUP BY 1
+    ), stats AS (
+      SELECT day, rev_usd,
+             COUNT(rev_usd) OVER w AS n_window,
+             SUM(rev_usd) OVER w AS s1,
+             SUM(rev_usd * rev_usd) OVER w AS s2
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           rev_usd,
+           CAST(n_window AS BIGINT) AS n_window,
+           CAST(s1 AS BIGINT) AS win_sum,
+           CAST(s2 AS BIGINT) AS win_sumsq,
+           n_window >= 4 AND
+             (n_window * rev_usd - s1) * (n_window * rev_usd - s1)
+               > 9 * (n_window * s2 - s1 * s1) AS is_anomaly
+    FROM stats ORDER BY day
+    """,
+    tags=["timeseries", "anomaly", "window"],
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-revenue anomaly flags via trailing-7-day z>3 in exact
+    integer arithmetic (operator: `operators/timeseries.
+    rolling_zscore_anomalies`) — no sqrt, no float, every flag
+    value-hash-checked.  Revenue floors to whole dollars through an
+    exact decimal sum first, so both engines window over identical
+    bigints."""
+    from ..operators.timeseries import rolling_zscore_anomalies
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = (orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+             .agg(F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
+                  .cast("long").alias("rev_usd")))
+    out = rolling_zscore_anomalies(daily, day_col="d", value_col="rev_usd",
+                                   window=7, z=3)
+    return (out.select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                       "rev_usd", "n_window", "win_sum", "win_sumsq",
+                       "is_anomaly")
+            .orderBy("day"))

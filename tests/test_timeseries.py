@@ -65,3 +65,19 @@ def test_degree_distribution(spark):
     pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "a long, b long")
     out = {r["degree"]: r["n_nodes"] for r in degree_distribution(pairs).collect()}
     assert out == {1: 3, 3: 1}
+
+
+def test_rolling_zscore_flags_spike_only(spark):
+    from databox_adls_loader_spark.operators.timeseries import (
+        rolling_zscore_anomalies)
+    import datetime as dt
+    base = dt.date(2024, 1, 1)
+    vals = [100, 102, 98, 101, 99, 103, 100, 500, 101, 100]
+    rows = [(base + dt.timedelta(days=i), v) for i, v in enumerate(vals)]
+    daily = spark.createDataFrame(rows, "day: date, val: long")
+    got = {r["day"].isoformat(): r["is_anomaly"]
+           for r in rolling_zscore_anomalies(daily, "day", "val").collect()}
+    assert got["2024-01-08"] is True                 # the 500 spike
+    assert sum(got.values()) == 1                    # and nothing else
+    # first rows lack min_points history -> never flagged
+    assert got["2024-01-01"] is False and got["2024-01-04"] is False
