@@ -334,18 +334,48 @@ def vacuum(table_dir: str, keep_versions: int = 2) -> int:
 
 
 def merge_into_snapshot(spark: SparkSession, table_dir: str,
-                        updates: DataFrame, key: str) -> int:
+                        updates: DataFrame, key: str,
+                        scoped: bool = True) -> int:
     """MERGE INTO for the versioned table: collapse the latest snapshot
     with ``updates`` (updates win on key collision, unmatched rows from
-    both sides survive) and commit the result as a new OVERWRITE
-    snapshot.  Snapshot isolation makes the rewrite safe under
-    concurrent readers; at 100 TB pair with `cdc_latest_per_key` to
-    collapse the update stream before the merge, and partition the
-    rewrite so only touched partitions' files are replaced."""
+    both sides survive) and commit the result as a new snapshot.
+    Snapshot isolation makes the rewrite safe under concurrent readers;
+    pair with `cdc_latest_per_key` to collapse the update stream first.
+
+    ``scoped=True`` (default) rewrites ONLY the files that contain a
+    matched key: a key-column-pruned scan of the current snapshot joins
+    the update key set to find touched files (the standard lakehouse
+    merge technique — the probe reads one column, not the table), then
+    untouched files ride into the new manifest verbatim, stats and all.
+    A 100-key merge into a 100 TB table rewrites O(touched files), not
+    the table; combine with `compact_snapshot(cluster_by=[key])` so a
+    narrow key range touches few files.  ``scoped=False`` keeps the
+    full-rewrite path (correct for merges touching most files, where
+    the probe join is pure overhead)."""
     from ..operators.scale import merge_upsert
 
-    merged = merge_upsert(read_version(spark, table_dir), updates, key)
-    return write_snapshot(merged, table_dir, mode="overwrite")
+    cur = latest_version(table_dir)
+    if cur is None or not scoped:
+        merged = merge_upsert(read_version(spark, table_dir), updates, key)
+        return write_snapshot(merged, table_dir, mode="overwrite")
+    files = _read_manifest(table_dir, cur)
+    probe = (read_version(spark, table_dir, cur)
+             .select(key, F.input_file_name().alias("__f"))
+             .join(updates.select(key).distinct(), key)
+             .select("__f").distinct().collect())
+    touched = {r["__f"].removeprefix("file://") for r in probe}
+    untouched = [f for f in files if f not in touched]
+    old_part = (spark.read.option("mergeSchema", "true")
+                .parquet(*sorted(touched)) if touched else None)
+    merged = (merge_upsert(old_part, updates, key) if old_part is not None
+              else updates)
+    new_version = cur + 1
+    new_files = _new_data_files(merged, table_dir, f"b{new_version:05d}")
+    inherited = _inherited_stats(table_dir, cur)
+    stats = {**{f: inherited[f] for f in untouched if f in inherited},
+             **_stats_for(new_files)}
+    _commit(table_dir, untouched + new_files, new_version, stats=stats)
+    return new_version
 
 
 def committed_batch_ids(table_dir: str) -> set[int]:

@@ -261,3 +261,52 @@ def test_changes_between_null_update_not_resurrected(spark, tmp_path):
                      t, mode="overwrite")
     got = {tuple(r) for r in V.changes_between(spark, t, 1, 2, "id").collect()}
     assert got == {(1, None, "update_postimage")}
+
+
+def test_scoped_merge_rewrites_only_touched_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    V.write_snapshot(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "id: long, s: string"), t)
+    v = V.compact_snapshot(spark, t, n_files=4, cluster_by=["id"])
+    before = V._read_manifest(t, v)
+    # updates hit keys 0..9 (one clustered file) + one insert
+    ups = spark.createDataFrame(
+        [(i, f"NEW{i}") for i in range(10)] + [(999, "ins")],
+        "id: long, s: string")
+    v2 = V.merge_into_snapshot(spark, t, ups, key="id")
+    after = V._read_manifest(t, v2)
+    carried = set(before) & set(after)
+    assert len(carried) == 3          # 3 of 4 clustered files untouched
+    want = {(i, f"NEW{i}") for i in range(10)} \
+        | {(i, f"v{i}") for i in range(10, 100)} | {(999, "ins")}
+    assert _rows(V.read_version(spark, t, v2)) == want
+    # untouched files kept their stats in the new manifest
+    doc = V._read_manifest_doc(t, v2)
+    assert carried <= set(doc["stats"])
+    # pre-merge snapshot unchanged
+    assert _rows(V.read_version(spark, t, v)) == {
+        (i, f"v{i}") for i in range(100)}
+
+
+def test_scoped_merge_insert_only_touches_nothing(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    V.write_snapshot(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id: long, s: string").coalesce(1), t)
+    before = V._read_manifest(t, 1)
+    v2 = V.merge_into_snapshot(spark, t, spark.createDataFrame(
+        [(50, "new")], "id: long, s: string"), key="id")
+    after = V._read_manifest(t, v2)
+    assert set(before) <= set(after)  # nothing rewritten, pure append
+    assert _rows(V.read_version(spark, t, v2)) == {
+        (1, "a"), (2, "b"), (50, "new")}
+
+
+def test_unscoped_merge_still_full_rewrite(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    V.write_snapshot(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id: long, s: string"), t)
+    before = V._read_manifest(t, 1)
+    v2 = V.merge_into_snapshot(spark, t, spark.createDataFrame(
+        [(1, "A")], "id: long, s: string"), key="id", scoped=False)
+    assert not set(before) & set(V._read_manifest(t, v2))
+    assert _rows(V.read_version(spark, t, v2)) == {(1, "A"), (2, "b")}
