@@ -1120,8 +1120,9 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     `operators/dedup.containment_pairs`) — catches subset/quotation
     duplicates whose symmetric Jaccard stays low.  Exact integer ppm on
     both directions, fully value-hash-checked."""
-    (docs,) = _t(spark, sf_dir, "documents")
-    return (dedup.containment_pairs(docs, threshold=0.7)
+    from ..cache import shared_containment_pairs
+
+    return (shared_containment_pairs(spark, sf_dir, n=3, threshold=0.7)
             .orderBy("a", "b"))
 
 
