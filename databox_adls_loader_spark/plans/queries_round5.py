@@ -1220,3 +1220,120 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "rev_usd", "n_window", "win_sum", "win_sumsq",
                        "is_anomaly")
             .orderBy("day"))
+
+
+# ---------------------------------------------------------------------------
+# dedup-aware training weights (1 / near-dup cluster size)
+# ---------------------------------------------------------------------------
+
+@register(
+    "mix_dedup_weights",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(t) - 2, 1) + 1),
+        i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+      FROM toks
+    ), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT i.a, i.b FROM (
+        SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
+        FROM sh l JOIN sh r ON l.g = r.g AND l.doc_id < r.doc_id
+        GROUP BY 1, 2
+      ) i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+      WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.5
+    ), nodes AS (SELECT a AS n FROM pairs UNION SELECT b FROM pairs),
+    sym AS (SELECT a AS src, b AS dst FROM pairs
+            UNION SELECT b, a FROM pairs),
+    reach AS (
+      SELECT n AS src, n AS dst FROM nodes
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ), comp AS (SELECT src AS n, MIN(dst) AS component FROM reach GROUP BY src),
+    alldocs AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.n),
+    szs AS (SELECT component, COUNT(*) AS cluster_size
+            FROM alldocs GROUP BY component)
+    SELECT doc_id, component, CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(1000000 // cluster_size AS BIGINT) AS weight_ppm
+    FROM alldocs JOIN szs USING (component)
+    ORDER BY doc_id
+    """,
+    tags=["mixing", "dedup", "weights"],
+)
+def mix_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware training weights: every document weighted
+    1/|near-dup cluster| in exact ppm — the soft-dedup alternative to
+    dropping duplicates (each cluster contributes ~1 document of total
+    mass, so boilerplate families stop dominating the loss).  Reuses the
+    session-shared connected components (cache.py) — marginal cost is
+    one count per component + a doc-keyed broadcast join."""
+    from ..cache import shared_components
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    comp = shared_components(spark, sf_dir)
+    j = (docs.select("doc_id")
+         .join(F.broadcast(comp), docs["doc_id"] == comp["n"], "left")
+         .select("doc_id",
+                 F.coalesce("component", "doc_id").alias("component")))
+    sizes = j.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (j.join(F.broadcast(sizes), "component")
+            .select("doc_id", "component", "cluster_size",
+                    F.expr("1000000L div cluster_size").alias("weight_ppm"))
+            .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (prefix-dim) retrieval recall — full vs truncated embeddings
+# ---------------------------------------------------------------------------
+
+@register(
+    "sim_matryoshka_recall",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 1),
+    fullk AS (
+      SELECT e.vec_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          q.qv), 6) AS sim
+      FROM embeddings e, q ORDER BY sim DESC, e.vec_id LIMIT 20),
+    pq AS (SELECT list_slice(qv, 1, 16) AS qv16 FROM q),
+    pref AS (
+      SELECT e.vec_id,
+             ROUND(list_cosine_similarity(
+               list_slice(CAST(e.embedding AS DOUBLE[]), 1, 16),
+               pq.qv16), 6) AS sim16
+      FROM embeddings e, pq ORDER BY sim16 DESC, e.vec_id LIMIT 20)
+    SELECT f.vec_id, f.sim,
+           p.vec_id IS NOT NULL AS in_m16_topk
+    FROM fullk f LEFT JOIN pref p ON f.vec_id = p.vec_id
+    ORDER BY f.sim DESC, f.vec_id
+    """,
+    tags=["similarity", "matryoshka"],
+)
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation check (public technique: Kusupati et
+    al. 2022): retrieve with the first 16 of 64 dims — 4× less memory
+    and FLOPs, the standard coarse stage of a two-stage 100 TB retrieval
+    stack — and mark which exact-top-20 hits the truncated index keeps.
+    Both rankings are exact brute-force cosine under the shared rounded
+    tie-stable convention; the overlap booleans are value-hash-checked,
+    so truncation-recall drift is visible to the gate."""
+    from ..operators import similarity
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == 1)
+             .select("embedding").first()["embedding"])
+    full = similarity.topk_bruteforce(emb, q, k=20)
+    pref = similarity.topk_bruteforce(
+        emb.withColumn("embedding", F.slice("embedding", 1, 16)),
+        q[:16], k=20)
+    return (full.join(pref.select("vec_id", F.lit(True).alias("hit")),
+                      "vec_id", "left")
+            .select("vec_id", "sim",
+                    F.coalesce("hit", F.lit(False)).alias("in_m16_topk"))
+            .orderBy(F.desc("sim"), "vec_id"))
