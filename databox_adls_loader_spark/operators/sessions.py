@@ -120,3 +120,31 @@ def funnel_counts(events: DataFrame, steps: list[str],
         .select("x.step_no", "x.step", "x.n_users")
         .orderBy("step_no")
     )
+
+
+def top_session_paths(events: DataFrame, n: int = 3, k: int = 10,
+                      gap_minutes: int = 30,
+                      user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      type_col: str = "event_type",
+                      tiebreak_col: str = "event_id") -> DataFrame:
+    """Most common length-``n`` event-type paths WITHIN sessions — the
+    behavioral n-gram mining behind funnel discovery ("which 3-step
+    journeys actually happen?").
+
+    Per-session lead windows extract consecutive type n-grams (windows
+    partition by (user, session): bounded frames, shuffles on the
+    user key only), then a map-side-combined global count and TakeOrdered
+    cap.  Paths never cross a session boundary — that is the difference
+    from a naive lead over the raw user stream, where an overnight gap
+    would fabricate a journey."""
+    s = sessionize(events, gap_minutes, user_col, ts_col, tiebreak_col)
+    w = (Window.partitionBy(user_col, "session_id")
+         .orderBy(ts_col, tiebreak_col))
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, n)]
+    grams = (s.select(F.concat_ws(">", *steps).alias("path"),
+                      steps[-1].isNotNull().alias("complete"))
+             .filter(F.col("complete")))
+    return (grams.groupBy("path").agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), F.asc("path")).limit(k))

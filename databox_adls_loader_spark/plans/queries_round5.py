@@ -1337,3 +1337,47 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "sim",
                     F.coalesce("hit", F.lit(False)).alias("in_m16_topk"))
             .orderBy(F.desc("sim"), "vec_id"))
+
+
+# ---------------------------------------------------------------------------
+# session path mining — top within-session event-type trigrams
+# ---------------------------------------------------------------------------
+
+@register(
+    "sess3_top_paths",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM o
+    ), g AS (
+      SELECT event_type || '>' || LEAD(event_type, 1) OVER w2
+                        || '>' || LEAD(event_type, 2) OVER w2 AS path,
+             LEAD(event_type, 2) OVER w2 IS NOT NULL AS complete
+      FROM s
+      WINDOW w2 AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+    )
+    SELECT path, COUNT(*) AS n_occurrences
+    FROM g WHERE complete
+    GROUP BY path ORDER BY n_occurrences DESC, path LIMIT 10
+    """,
+    tags=["sessions", "paths", "window"],
+)
+def sess3_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 within-session 3-step event-type journeys (operator:
+    `operators/sessions.top_session_paths`) — session-bounded behavioral
+    n-grams, so an overnight gap never fabricates a path.  Windows stay
+    partitioned by (user, session); the global count is map-side
+    combined; TakeOrdered caps the output."""
+    from ..operators.sessions import top_session_paths
+
+    (events,) = _t(spark, sf_dir, "events")
+    return top_session_paths(events, n=3, k=10)
