@@ -1,0 +1,85 @@
+"""End-to-end corpus → training-shards pipeline: quality/dup cleaning →
+leakage-safe split → token-budget shard packing → versioned-table commit
+with clustered layout and data-skipping reads.
+
+This is the composed "documents in, training shards out" story the
+individual operators exist for; the test pins the contracts BETWEEN the
+stages (survivor sets, cluster-atomic splits, shard budget math, and
+snapshot read-back identity) rather than re-testing each operator."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from databox_adls_loader_spark.operators.corpus import (
+    clean_corpus, leakage_safe_split)
+from databox_adls_loader_spark.operators.dedup import ngram_jaccard_pairs
+from databox_adls_loader_spark.operators.mixing import pack_token_shards
+from databox_adls_loader_spark.sinks import versioned as V
+
+
+def _mk_corpus(spark):
+    rows = []
+    for i in range(20):                      # 20 distinct decent docs
+        rows.append((i, " ".join(f"tok{i}w{j}" for j in range(30))))
+    rows.append((20, rows[0][1]))            # exact dup of doc 0
+    near = rows[1][1].split()
+    near[0], near[1] = "edited", "words"     # near-dup of doc 1
+    rows.append((21, " ".join(near)))
+    rows.append((22, "too short"))           # low quality
+    rows.append((23, None))                  # null text
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_corpus_to_training_shards_end_to_end(spark, tmp_path):
+    docs = _mk_corpus(spark)
+
+    # stage 1: clean — drop low-quality + exact dups, KEEP near-dups
+    # (threshold 0.95) so the split stage has leakage to guard against
+    verdicts = {r["doc_id"]: r["verdict"]
+                for r in clean_corpus(docs, min_tokens=10,
+                                      jaccard_threshold=0.95).collect()}
+    assert verdicts[20] == "exact_dup"
+    assert verdicts[22] == "low_quality" and verdicts[23] == "low_quality"
+    assert verdicts[21] == "kept" and verdicts[1] == "kept"
+    kept_ids = {i for i, v in verdicts.items() if v == "kept"}
+    kept = docs.filter(F.col("doc_id").isin(*kept_ids))
+
+    # stage 2: leakage-safe split — the (1, 21) near-dup pair must land
+    # in ONE split, whatever that split is
+    pairs = ngram_jaccard_pairs(kept, threshold=0.5)
+    assert {(r["a"], r["b"]) for r in pairs.collect()} == {(1, 21)}
+    split = {r["doc_id"]: r["split"]
+             for r in leakage_safe_split(kept, pairs).collect()}
+    assert split[1] == split[21]
+    assert set(split) == kept_ids
+
+    # stage 3: token-budget shards over the train split, global id order
+    train_ids = sorted(i for i, s in split.items() if s == "train")
+    train = docs.filter(F.col("doc_id").isin(*train_ids))
+    shards = {r["doc_id"]: (r["n_tokens"], r["tok_before"], r["shard"])
+              for r in pack_token_shards(train, budget_tokens=100).collect()}
+    run = 0
+    for i in train_ids:                      # replay the sequential fill
+        n_tok, tok_before, shard = shards[i]
+        assert tok_before == run and shard == run // 100
+        run += n_tok
+
+    # stage 4: commit as a versioned table clustered by shard; read-back
+    # identity + shard-predicate data skipping
+    t = str(tmp_path / "train_shards")
+    out = (train.join(
+        pack_token_shards(train, budget_tokens=100)
+        .select("doc_id", "shard"), "doc_id"))
+    V.write_snapshot(out, t)
+    n_shards = out.select("shard").distinct().count()
+    v = V.compact_snapshot(spark, t, n_files=max(n_shards, 2),
+                           cluster_by=["shard"])
+    got = V.read_version(spark, t, v)
+    assert {tuple(r) for r in got.select("doc_id", "shard").collect()} == {
+        (i, shards[i][2]) for i in train_ids}
+    kept_files, total = V.prune_files(t, v, [("shard", "=", 0)])
+    assert len(kept_files) < total           # clustered layout prunes
+    one = V.read_version(spark, t, v, predicates=[("shard", "=", 0)])
+    assert {r["doc_id"] for r in one.collect()} == {
+        i for i in train_ids if shards[i][2] == 0}
