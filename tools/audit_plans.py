@@ -40,6 +40,7 @@ ALLOWED_FLAGS: dict[str, set[str]] = {
     "graph_pagerank_jaccard": {"bnl-join"},  # 1-row node-count frame per iter
     "sim_topk_ivf": {"bnl-join"},            # 1-row recall-contract frame
     "sim_topk_pq": {"bnl-join"},             # 1-row recall-contract frame
+    "text_bpe_merges": {"bnl-join"},         # 1-row winning-pair frame per iter
     "text_collocations_phrase": {"bnl-join"},  # 1-row corpus-size frame
     "text_tfidf_top_terms": {"bnl-join"},    # 1-row corpus-size frame
     "text_vocab_coverage": {"bnl-join"},     # 1-row corpus-size frame
@@ -48,8 +49,8 @@ ALLOWED_FLAGS: dict[str, set[str]] = {
 BOUNDED_WINDOW_NOTE = """
 ## Bounded bare-window note
 
-Four sites use `Window.orderBy(...)` with no `partitionBy`, which Spark
-logs as a single-partition `WindowExec` warning. All four are
+A handful of sites use `Window.orderBy(...)` with no `partitionBy`, which Spark
+logs as a single-partition `WindowExec` warning. All are
 **post-aggregate frames bounded by a parameter, not by data volume** —
 the window input is already <= |days| or <= k rows, so the "move all
 data to one partition" warning is about tens/hundreds of rows, never
@@ -60,6 +61,9 @@ the fact table:
 - `plans/queries_tpch.py` w6 / q6-forecast: the same per-day frame.
 - `operators/mixing.py:domain_topk` rank tail: input = k rows per
   stratum after the WindowGroupLimit prune.
+- `operators/timeseries.py:rolling_zscore_anomalies` (ts_anomaly_zscore):
+  trailing frame over the pre-aggregated daily series (<= |days| rows);
+  partition by the series key for per-key fleets.
 
 Unbounded global orderings (token-shard prefix sums, equi-depth NTILE,
 global row numbering, w5's rank battery) never use a bare window — they
