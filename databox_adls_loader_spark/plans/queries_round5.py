@@ -1381,3 +1381,112 @@ def sess3_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (events,) = _t(spark, sf_dir, "events")
     return top_session_paths(events, n=3, k=10)
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup: embedding-cosine pair graph -> clusters + survivors
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_semantic_components",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.4
+    ), nodes AS (SELECT a AS n FROM pairs UNION SELECT b FROM pairs),
+    sym AS (SELECT a AS src, b AS dst FROM pairs
+            UNION SELECT b, a FROM pairs),
+    reach AS (
+      SELECT n AS src, n AS dst FROM nodes
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ), comp AS (SELECT src AS n, MIN(dst) AS component
+                FROM reach GROUP BY src)
+    SELECT component,
+           COUNT(*) AS cluster_size,
+           MIN(n) AS survivor_vec_id,
+           list_aggregate(list(n ORDER BY n), 'string_agg', ',') AS members
+    FROM comp GROUP BY component ORDER BY component
+    """,
+    tags=["dedup", "similarity", "semantic", "graph"],
+)
+def dedup_semantic_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (public technique: SemDeDup, Abbas et al. 2023):
+    embedding-cosine near-dup pairs (≥0.4) → connected components →
+    one survivor per semantic cluster.  Composes the exact cosine pair
+    graph with the iterative min-label propagation (`operators/graph.
+    connected_components`); the oracle re-derives components with a
+    recursive CTE, so the cluster assignment itself is hash-checked.
+    Scale: pair generation runs behind the sign-LSH bucketing
+    (`ann_cosine_pairs_lsh`) at 100 TB; CC is O(diameter) rounds."""
+    from ..operators import similarity
+    from ..operators.graph import connected_components
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_pairs_bruteforce(emb, threshold=0.4)
+    comp = connected_components(pairs.select("a", "b"))
+    return (comp.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("cluster_size"),
+                 F.min("n").alias("survivor_vec_id"),
+                 F.array_join(F.array_sort(F.collect_list("n")), ",")
+                 .alias("members"))
+            .orderBy("component"))
+
+
+# ---------------------------------------------------------------------------
+# embedding outliers: farthest vectors from their label centroid (exact)
+# ---------------------------------------------------------------------------
+
+@register(
+    "emb_centroid_outliers",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label,
+             unnest(generate_series(0, len(embedding) - 1)) AS pos,
+             CAST(floor(unnest(CAST(embedding AS DOUBLE[])) * 10000)
+                  AS BIGINT) AS x
+      FROM embeddings
+    ), cent AS (
+      SELECT label, pos, SUM(x) AS s, COUNT(*) AS n
+      FROM ex GROUP BY label, pos
+    ), d AS (
+      SELECT e.vec_id, e.label,
+             SUM((c.n * e.x - c.s) * (c.n * e.x - c.s)) AS d2,
+             MAX(c.n) AS n
+      FROM ex e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+      GROUP BY e.vec_id, e.label)
+    SELECT vec_id, label,
+           CAST(d2 // (n * n) AS BIGINT) AS d2_norm
+    FROM d ORDER BY d2_norm DESC, vec_id LIMIT 10
+    """,
+    tags=["similarity", "quality", "outliers"],
+)
+def emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 embedding outliers: squared distance to the own-label
+    centroid in EXACT scaled-integer math — the mislabeled/garbage-
+    vector screen an embedding pipeline runs before training a
+    classifier head.  With per-label count n, centroid component s_j/n,
+    and x_j = floor(v_j·10⁴):  n²·dist² = Σ_j (n·x_j − s_j)², all
+    bigint; ranking on floor(Σ/n²) is portable and deterministic.
+    int64-safe while (n·scale·max|v|)² · dims < 9.2e18 — widen to
+    decimal(38,0) past ~50k rows/label at this scale.  Plan: centroid =
+    one (label,pos) shuffle of O(labels × dims) rows; distances via a
+    broadcast join of that small relation; top-10 by TakeOrdered."""
+    from ..operators.similarity import centroid_by_label
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    scale = 10_000
+    cent = centroid_by_label(emb, scale=scale)
+    ex = (emb.select("vec_id", "label",
+                     F.posexplode("embedding").alias("pos", "__v"))
+          .withColumn("x", F.floor(F.col("__v").cast("double")
+                                   * F.lit(scale))))
+    diff = F.col("n") * F.col("x") - F.col("sum_scaled")
+    d = (ex.join(F.broadcast(cent), ["label", "pos"])
+         .groupBy("vec_id", "label")
+         .agg(F.sum(diff * diff).alias("d2"), F.max("n").alias("n")))
+    return (d.select("vec_id", "label",
+                     F.expr("d2 div (n * n)").alias("d2_norm"))
+            .orderBy(F.desc("d2_norm"), F.asc("vec_id")).limit(10))

@@ -366,3 +366,55 @@ def test_bpe_merge_same_symbol_run_is_greedy_nonoverlapping(spark):
     got = [tuple(r) for r in bpe_train_merges(docs, n_merges=2).collect()]
     assert got == [(1, "a", "a", "aa", 6),
                    (2, "aa", "aa", "aaaa", 2)]
+
+
+def _ref_bpe(word_freqs: dict, n_merges: int):
+    """20-line reference BPE (Sennrich 2016 merge rule) for property
+    testing: overlap-inclusive pair counts, (count DESC, l, r) winner,
+    greedy left-to-right application without re-merge."""
+    syms = {w: list(w) for w in word_freqs}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts = {}
+        for w, f in word_freqs.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        (l, r), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+        merges.append((rank, l, r, l + r, cnt))
+    return merges
+
+
+def test_bpe_matches_reference_on_random_corpora(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from databox_adls_loader_spark.operators.text import bpe_train_merges
+
+    word = st.text(alphabet="ab", min_size=2, max_size=6)
+    corpus = st.lists(word, min_size=1, max_size=12)
+
+    @given(corpus)
+    @settings(max_examples=12, deadline=None)
+    def check(words):
+        freqs = {}
+        for w in words:
+            freqs[w] = freqs.get(w, 0) + 1
+        want = _ref_bpe(freqs, 3)
+        docs = spark.createDataFrame([(" ".join(words),)], "text: string")
+        got = [tuple(r) for r in bpe_train_merges(docs, n_merges=3).collect()]
+        assert got == want
+
+    check()
