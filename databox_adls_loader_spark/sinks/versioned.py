@@ -451,3 +451,43 @@ def changes_between(spark: SparkSession, table_dir: str,
     return (j.withColumn("_change_type", change)
              .filter(F.col("_change_type").isNotNull())
              .select(*out_cols, "_change_type"))
+
+
+def history(table_dir: str) -> list[dict]:
+    """DESCRIBE HISTORY: one dict per retained version — file count,
+    row count (from manifest footer stats; None when a file predates
+    stats), and the streaming batch ids the commit carried.  Pure
+    manifest reads, no data I/O."""
+    out = []
+    for v in versions(table_dir):
+        doc = _read_manifest_doc(table_dir, v)
+        stats = doc.get("stats", {})
+        n_rows: int | None = 0
+        for f in doc["files"]:
+            st = stats.get(f)
+            if st is None or st.get("num_rows") is None:
+                n_rows = None
+                break
+            n_rows += st["num_rows"]
+        out.append({"version": v, "n_files": len(doc["files"]),
+                    "n_rows": n_rows,
+                    "batch_ids": doc.get("batch_ids", []),
+                    "is_latest": v == latest_version(table_dir)})
+    return out
+
+
+def rollback(table_dir: str, to_version: int) -> int:
+    """Undo bad commits by re-committing an old version's FILE LIST as a
+    new version (history stays intact — this is a forward-moving
+    rollback, not a pointer rewind, so concurrent readers pinned to the
+    bad versions are unaffected and `vacuum` retention still applies).
+    Data files are immutable and shared, so the rollback writes no data."""
+    if to_version not in versions(table_dir):
+        raise FileNotFoundError(
+            f"version {to_version} not retained in {table_dir}")
+    doc = _read_manifest_doc(table_dir, to_version)
+    cur = latest_version(table_dir)
+    new_version = (cur or 0) + 1
+    _commit(table_dir, doc["files"], new_version,
+            stats=doc.get("stats", {}))
+    return new_version

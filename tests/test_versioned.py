@@ -310,3 +310,32 @@ def test_unscoped_merge_still_full_rewrite(spark, tmp_path):
         [(1, "A")], "id: long, s: string"), key="id", scoped=False)
     assert not set(before) & set(V._read_manifest(t, v2))
     assert _rows(V.read_version(spark, t, v2)) == {(1, "A"), (2, "b")}
+
+
+def test_history_reports_files_rows_and_ledger(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    V.write_snapshot(spark.range(10).coalesce(2), t)
+    V.commit_stream_batch(spark.range(5).coalesce(1), 7, t)
+    h = V.history(t)
+    assert [e["version"] for e in h] == [1, 2]
+    assert h[0]["n_files"] == 2 and h[0]["n_rows"] == 10
+    assert h[1]["n_files"] == 3 and h[1]["n_rows"] == 15
+    assert h[1]["batch_ids"] == [7] and h[1]["is_latest"]
+    assert not h[0]["is_latest"]
+
+
+def test_rollback_restores_rows_without_rewriting_data(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    V.write_snapshot(spark.createDataFrame([(1,), (2,)], "id: long"), t)
+    V.write_snapshot(spark.createDataFrame([(99,)], "id: long"), t,
+                     mode="overwrite")           # the bad commit
+    v3 = V.rollback(t, 1)
+    assert v3 == 3 and V.latest_version(t) == 3
+    assert _rows(V.read_version(spark, t)) == {(1,), (2,)}
+    # no new data files: v3 references exactly v1's files
+    assert V._read_manifest(t, 3) == V._read_manifest(t, 1)
+    # bad version still time-travelable; stats carried for skipping
+    assert _rows(V.read_version(spark, t, 2)) == {(99,)}
+    assert set(V._read_manifest_doc(t, 3)["stats"]) == set(V._read_manifest(t, 1))
+    with pytest.raises(FileNotFoundError):
+        V.rollback(t, 42)
