@@ -13,10 +13,13 @@ Invariants:
   * data files are immutable once a manifest references them — append,
     logical overwrite, and compaction all write NEW files + a NEW
     manifest, so concurrent readers of any pinned version are isolated;
-  * the only mutation is the `_latest` pointer swap, done with
-    `os.replace` (atomic on POSIX).  On an object store the same design
-    uses a conditional put of the pointer object — single-writer commit,
-    many-reader isolation, no locks;
+  * commits are optimistic-concurrency: each manifest is created
+    exclusively (write-temp + hard-link — the POSIX analog of an object
+    store's conditional put), so two writers can never overwrite each
+    other's manifest.  Losers of the race rebase and retry (append /
+    logical overwrite / stream batches) or abort with
+    `ConcurrentCommitError` (compaction, merge, rollback — their input
+    snapshot is stale).  Many-reader isolation, no locks;
   * time travel = read any retained manifest; `vacuum` deletes data
     files referenced ONLY by dropped manifests.
 
@@ -32,8 +35,16 @@ import datetime
 import glob
 import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the version this commit targeted.
+    Append-shaped commits rebase and retry automatically; rewrite-shaped
+    commits (overwrite, compaction, merge) re-raise — their input
+    snapshot is stale and the caller must re-run on the new latest."""
 
 
 def _mdir(table_dir: str) -> str:
@@ -52,11 +63,13 @@ def versions(table_dir: str) -> list[int]:
 
 
 def latest_version(table_dir: str) -> int | None:
-    ptr = os.path.join(_mdir(table_dir), "_latest.json")
-    if not os.path.exists(ptr):
-        return None
-    with open(ptr, encoding="utf-8") as f:
-        return int(json.load(f)["version"])
+    """Newest retained version.  Authoritative source is the manifest
+    SET (exclusive-create makes version files race-free), not the
+    ``_latest`` pointer: two successful commits can swap the pointer out
+    of order, but the max manifest version is always right.  The pointer
+    remains as a cheap object-store hint."""
+    vs = versions(table_dir)
+    return vs[-1] if vs else None
 
 
 def _read_manifest(table_dir: str, version: int) -> list[str]:
@@ -186,8 +199,22 @@ def _commit(table_dir: str, files: list[str], version: int,
         doc["stats"] = {f: stats[f] for f in sorted(stats) if f in set(files)}
     if inherited:
         doc["batch_ids"] = sorted(inherited)
-    with open(_manifest_path(table_dir, version), "w", encoding="utf-8") as f:
+    # write-temp + hard-link = an atomic conditional put: the manifest
+    # appears fully written or not at all (no torn JSON after a crash),
+    # and if another writer already committed this version number the
+    # link fails — callers rebase on the new latest and retry (append)
+    # or surface the conflict (rewrite commits)
+    mtmp = os.path.join(_mdir(table_dir),
+                        f"_tmp-{uuid.uuid4().hex[:8]}.json")
+    with open(mtmp, "w", encoding="utf-8") as f:
         json.dump(doc, f, indent=1)
+    try:
+        os.link(mtmp, _manifest_path(table_dir, version))
+    except FileExistsError as e:
+        raise ConcurrentCommitError(
+            f"version {version} already committed in {table_dir}") from e
+    finally:
+        os.unlink(mtmp)
     tmp = os.path.join(_mdir(table_dir), "_latest.json.tmp")
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump({"version": version}, f)
@@ -195,7 +222,12 @@ def _commit(table_dir: str, files: list[str], version: int,
 
 
 def _new_data_files(df: DataFrame, table_dir: str, batch_tag: str) -> list[str]:
-    out = os.path.join(table_dir, "data", batch_tag)
+    # the uuid suffix keeps concurrent writers' data directories disjoint
+    # even when both target the same version number — whoever loses the
+    # manifest race rebases/retries (append) or aborts (rewrite) and the
+    # loser's orphaned files are reclaimed by vacuum
+    out = os.path.join(table_dir, "data",
+                       f"{batch_tag}-{uuid.uuid4().hex[:8]}")
     df.write.mode("error").parquet(out)
     return [p for p in glob.glob(os.path.join(out, "part-*.parquet"))]
 
@@ -219,15 +251,27 @@ def write_snapshot(df: DataFrame, table_dir: str,
     old files stay on disk for time travel until `vacuum`)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-    cur = latest_version(table_dir)
-    new_version = 1 if cur is None else cur + 1
-    files = _new_data_files(df, table_dir, f"b{new_version:05d}")
-    stats = _stats_for(files)
-    if mode == "append" and cur is not None:
-        files = _read_manifest(table_dir, cur) + files
-        stats = {**_inherited_stats(table_dir, cur), **stats}
-    _commit(table_dir, files, new_version, stats=stats)
-    return new_version
+    new_files = _new_data_files(
+        df, table_dir, f"b{(latest_version(table_dir) or 0) + 1:05d}")
+    new_stats = _stats_for(new_files)
+    # optimistic-concurrency loop: data files are written ONCE above;
+    # only the manifest commit rebases onto whatever latest a concurrent
+    # writer just published.  Both modes are rebase-safe — append unions
+    # with the (new) latest file list, logical overwrite references only
+    # this writer's files either way.
+    while True:
+        cur = latest_version(table_dir)
+        new_version = 1 if cur is None else cur + 1
+        if mode == "append" and cur is not None:
+            files = _read_manifest(table_dir, cur) + new_files
+            stats = {**_inherited_stats(table_dir, cur), **new_stats}
+        else:
+            files, stats = new_files, new_stats
+        try:
+            _commit(table_dir, files, new_version, stats=stats)
+            return new_version
+        except ConcurrentCommitError:
+            continue
 
 
 def read_version(spark: SparkSession, table_dir: str,
@@ -401,15 +445,25 @@ def commit_stream_batch(batch_df: DataFrame, batch_id: int,
         lambda df, bid: commit_stream_batch(df, bid, table_dir))``."""
     if batch_id in committed_batch_ids(table_dir):
         return False
-    cur = latest_version(table_dir)
-    new_version = 1 if cur is None else cur + 1
-    files = _new_data_files(batch_df, table_dir, f"b{new_version:05d}")
-    stats = {**_inherited_stats(table_dir, cur), **_stats_for(files)}
-    if cur is not None:
-        files = _read_manifest(table_dir, cur) + files
-    _commit(table_dir, files, new_version, batch_ids={int(batch_id)},
-            stats=stats)
-    return True
+    new_files = _new_data_files(
+        batch_df, table_dir,
+        f"b{(latest_version(table_dir) or 0) + 1:05d}")
+    new_stats = _stats_for(new_files)
+    while True:                       # append-shaped: rebase and retry
+        if batch_id in committed_batch_ids(table_dir):
+            return False              # re-check after losing a race
+        cur = latest_version(table_dir)
+        new_version = 1 if cur is None else cur + 1
+        files = new_files
+        stats = {**_inherited_stats(table_dir, cur), **new_stats}
+        if cur is not None:
+            files = _read_manifest(table_dir, cur) + files
+        try:
+            _commit(table_dir, files, new_version,
+                    batch_ids={int(batch_id)}, stats=stats)
+            return True
+        except ConcurrentCommitError:
+            continue
 
 
 def changes_between(spark: SparkSession, table_dir: str,

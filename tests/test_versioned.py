@@ -339,3 +339,52 @@ def test_rollback_restores_rows_without_rewriting_data(spark, tmp_path):
     assert set(V._read_manifest_doc(t, 3)["stats"]) == set(V._read_manifest(t, 1))
     with pytest.raises(FileNotFoundError):
         V.rollback(t, 42)
+
+
+def test_concurrent_commit_never_overwrites_a_manifest(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    V.write_snapshot(spark.createDataFrame([(1,)], "id: long"), t)
+    files = V._read_manifest(t, 1)
+    V._commit(t, files, 2)                    # writer A wins version 2
+    with pytest.raises(V.ConcurrentCommitError):
+        V._commit(t, files, 2)                # writer B must NOT clobber
+    assert V._read_manifest(t, 2) == files    # A's manifest intact
+
+
+def test_append_rebases_over_interleaved_commit(spark, tmp_path):
+    # a concurrent writer publishes v2 while our append is in flight:
+    # the append must land at v3 and include BOTH commits' rows
+    t = str(tmp_path / "tbl")
+    V.write_snapshot(spark.createDataFrame([(1,)], "id: long"), t)
+
+    real_commit = V._commit
+    raced = {"done": False}
+
+    def racing_commit(table_dir, files, version, **kw):
+        if not raced["done"]:
+            raced["done"] = True
+            other = V._new_data_files(
+                spark.createDataFrame([(2,)], "id: long"), t, "b-race")
+            real_commit(t, V._read_manifest(t, 1) + other, 2,
+                        stats=V._stats_for(other))
+        return real_commit(table_dir, files, version, **kw)
+
+    V._commit = racing_commit
+    try:
+        v = V.write_snapshot(spark.createDataFrame([(3,)], "id: long"), t)
+    finally:
+        V._commit = real_commit
+    assert v == 3
+    assert _rows(V.read_version(spark, t)) == {(1,), (2,), (3,)}
+
+
+def test_latest_version_survives_stale_pointer(spark, tmp_path):
+    import json as _json
+    t = str(tmp_path / "tbl")
+    V.write_snapshot(spark.createDataFrame([(1,)], "id: long"), t)
+    V.write_snapshot(spark.createDataFrame([(2,)], "id: long"), t)
+    # out-of-order pointer swap: pointer left behind at v1
+    with open(os.path.join(t, "_manifests", "_latest.json"), "w") as f:
+        _json.dump({"version": 1}, f)
+    assert V.latest_version(t) == 2           # manifest set is authoritative
+    assert _rows(V.read_version(spark, t)) == {(1,), (2,)}
