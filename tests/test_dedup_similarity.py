@@ -718,3 +718,40 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert row["contained_side"] == "a"
     # symmetric Jaccard at the same bar sees nothing
     assert ngram_jaccard_pairs(docs, threshold=0.9).count() == 0
+
+
+def test_containment_matches_bruteforce_reference(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from databox_adls_loader_spark.operators.dedup import containment_pairs
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+    doc = st.lists(word, min_size=3, max_size=10).map(" ".join)
+
+    @given(st.lists(doc, min_size=2, max_size=5))
+    @settings(max_examples=10, deadline=None)
+    def check(texts):
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string")
+        got = {(r["a"], r["b"]): (r["inter"], r["sz_a"], r["sz_b"],
+                                  r["cont_a_in_b_ppm"], r["cont_b_in_a_ppm"])
+               for r in containment_pairs(docs, n=3, threshold=0.0).collect()}
+        # brute-force reference on distinct word 3-grams
+        sh = []
+        for t in texts:
+            toks = t.split()
+            sh.append({" ".join(toks[i:i + 3])
+                       for i in range(max(len(toks) - 2, 1))})
+        want = {}
+        for a in range(len(texts)):
+            for b in range(a + 1, len(texts)):
+                inter = len(sh[a] & sh[b])
+                if inter:
+                    want[(a, b)] = (
+                        inter, len(sh[a]), len(sh[b]),
+                        inter * 1_000_000 // len(sh[a]),
+                        inter * 1_000_000 // len(sh[b]))
+        assert got == want
+
+    check()
