@@ -125,6 +125,13 @@ def _file_stats(path: str) -> dict:
             if not isinstance(mn, (int, float, str, bool)):
                 c["has_bounds"] = False
                 continue
+            # NaN poisons comparisons (NaN <= v is False, which would
+            # wrongly PRUNE a file that contains matching rows) — treat
+            # NaN bounds as no-bounds
+            if (isinstance(mn, float) and mn != mn) or \
+                    (isinstance(mx, float) and mx != mx):
+                c["has_bounds"] = False
+                continue
             c["min"] = mn if "min" not in c else min(c["min"], mn)
             c["max"] = mx if "max" not in c else max(c["max"], mx)
     out = {}
@@ -434,30 +441,38 @@ def committed_batch_ids(table_dir: str) -> set[int]:
 
 
 def commit_stream_batch(batch_df: DataFrame, batch_id: int,
-                        table_dir: str) -> bool:
-    """Idempotent foreachBatch sink: append the micro-batch as a new
+                        table_dir: str, mode: str = "append") -> bool:
+    """Idempotent foreachBatch sink: commit the micro-batch as a new
     snapshot UNLESS ``batch_id`` was already committed — Structured
     Streaming replays the last batch after a crash-restart, and this
     check turns at-least-once delivery into exactly-once table contents.
     Returns True when the batch was committed, False on a skipped replay.
 
+    ``mode='append'`` adds the batch to the table (event-log shape);
+    ``mode='overwrite'`` logically replaces the table with the batch —
+    the read-merge-overwrite shape a streaming AGGREGATE maintainer
+    uses (see `streaming/sketches.py`), where each batch's commit is the
+    new whole state.  Both are rebase-safe under the optimistic loop.
+
     Use: ``stream.writeStream.foreachBatch(
         lambda df, bid: commit_stream_batch(df, bid, table_dir))``."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if batch_id in committed_batch_ids(table_dir):
         return False
     new_files = _new_data_files(
         batch_df, table_dir,
         f"b{(latest_version(table_dir) or 0) + 1:05d}")
     new_stats = _stats_for(new_files)
-    while True:                       # append-shaped: rebase and retry
+    while True:                       # rebase and retry
         if batch_id in committed_batch_ids(table_dir):
             return False              # re-check after losing a race
         cur = latest_version(table_dir)
         new_version = 1 if cur is None else cur + 1
-        files = new_files
-        stats = {**_inherited_stats(table_dir, cur), **new_stats}
-        if cur is not None:
+        files, stats = new_files, dict(new_stats)
+        if mode == "append" and cur is not None:
             files = _read_manifest(table_dir, cur) + files
+            stats = {**_inherited_stats(table_dir, cur), **new_stats}
         try:
             _commit(table_dir, files, new_version,
                     batch_ids={int(batch_id)}, stats=stats)
@@ -477,7 +492,11 @@ def changes_between(spark: SparkSession, table_dir: str,
     any two retained versions diff on demand (the backfill/debug shape;
     a streaming CDC consumer would instead tail `commit_stream_batch`
     appends).  One shuffle on ``key``; at 100 TB partition both reads on
-    the same key layout so the join co-locates."""
+    the same key layout so the join co-locates.
+
+    Precondition: ``key`` is unique within each version (the MERGE
+    upsert invariant) — duplicate keys would fan out through the full
+    outer join; collapse with `cdc_latest_per_key` first."""
     old = read_version(spark, table_dir, v_from)
     new = read_version(spark, table_dir, v_to)
     cols = new.columns

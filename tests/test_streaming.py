@@ -286,3 +286,44 @@ def test_transform_with_state_map_state_counts(spark, tmp_path):
         else:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_countmin_maintenance_exactly_once(spark, tmp_path):
+    """Additive-sketch maintenance: after streaming all batches, the
+    table holds exactly the batch-computed sketch of every row, and a
+    full replay (same checkpoint) changes nothing."""
+    from databox_adls_loader_spark.operators.profile import countmin_sketch
+    from databox_adls_loader_spark.sinks import versioned as V
+    from databox_adls_loader_spark.streaming.sketches import (
+        stream_countmin_to_table)
+
+    src = str(tmp_path / "src")
+    t = str(tmp_path / "cms")
+    ck = str(tmp_path / "ckpt")
+    rows = [(i, f"u{i % 7}") for i in range(100)]
+    batch = spark.createDataFrame(rows, "event_id: long, user_id: string")
+    batch.write.parquet(src)
+
+    stream = spark.readStream.schema("event_id long, user_id string") \
+        .parquet(src)
+    q = (stream_countmin_to_table(stream, t, ck, "user_id")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    want = {(r["row_i"], r["bucket"]): r["cnt"]
+            for r in countmin_sketch(batch, "user_id").collect()}
+    got = {(r["row_i"], r["bucket"]): r["cnt"]
+           for r in V.read_version(spark, t).collect()}
+    assert got == want
+
+    # replay from the same checkpoint: ledger skips, state unchanged
+    v_before = V.latest_version(t)
+    stream2 = spark.readStream.schema("event_id long, user_id string") \
+        .parquet(src)
+    q2 = (stream_countmin_to_table(stream2, t, ck, "user_id")
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    assert V.latest_version(t) == v_before
+    got2 = {(r["row_i"], r["bucket"]): r["cnt"]
+            for r in V.read_version(spark, t).collect()}
+    assert got2 == want
