@@ -1490,3 +1490,53 @@ def emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.select("vec_id", "label",
                      F.expr("d2 div (n * n)").alias("d2_norm"))
             .orderBy(F.desc("d2_norm"), F.asc("vec_id")).limit(10))
+
+
+# ---------------------------------------------------------------------------
+# whole-catalog audit: rows / key nulls / key duplicates per table
+# ---------------------------------------------------------------------------
+
+_CATALOG_KEYS = [
+    ("region", "r_regionkey"), ("nation", "n_nationkey"),
+    ("customer", "c_custkey"), ("supplier", "s_suppkey"),
+    ("part", "p_partkey"), ("orders", "o_orderkey"),
+    ("lineitem", "l_orderkey"), ("events", "event_id"),
+    ("documents", "doc_id"), ("embeddings", "vec_id"),
+]
+
+
+@register(
+    "dq_catalog_audit",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{t}' AS table_name, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN {k} IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_keys,
+           COUNT(*) - COUNT(DISTINCT {k}) AS n_extra_dup_keys
+    FROM {t}""" for t, k in _CATALOG_KEYS) + "\nORDER BY table_name",
+    tags=["dq", "catalog"],
+)
+def dq_catalog_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass-per-table catalog audit: row count, NULL leading keys,
+    and surplus duplicate keys for EVERY registered table — the nightly
+    sweep that catches a broken ingest before any downstream query does.
+    Each leg is one map-side-combined aggregate over a single-column
+    pruned scan (lineitem/events legitimately repeat their leading key;
+    the audit reports, not asserts).  Legs union into a 10-row report —
+    independent scans, no shuffle interaction, trivially parallel at
+    any scale."""
+    names = [t for t, _ in _CATALOG_KEYS]
+    tables = dict(zip(names, _t(spark, sf_dir, *names)))
+    legs = []
+    for t, k in _CATALOG_KEYS:
+        legs.append(tables[t].agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(k).isNull().cast("long")).alias("n_null_keys"),
+            (F.count(F.lit(1)) - F.count_distinct(F.col(k)))
+            .alias("n_extra_dup_keys"))
+            .select(F.lit(t).alias("table_name"), "n_rows",
+                    "n_null_keys", "n_extra_dup_keys"))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("table_name")
