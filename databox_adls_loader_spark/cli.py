@@ -1,0 +1,189 @@
+"""Command-line surface mirroring the reference tools, Spark-backed.
+
+The reference is operated from the shell (`generate-file-list.py`,
+`copy-acls.py`, `copy-to-adls.py` — see their argparse definitions,
+generate-file-list.py:53-59, copy-acls.py:72-73), so engine parity
+includes the command surface, not just the dataflow.  Subcommands:
+
+  generate-file-list PATH -o OUT [-s BYTES] [-b BASENAME] [-d DEPTH]
+      §3.1 — subtree rollup → bin pack → partitioned filelists
+      (reference: generate-file-list.py; -s/-b flags kept verbatim).
+  copy-acls [-s ACL_TEXT] (-g -i MAP | -i MAP --effects-dir DIR)
+      §3.2 — -g emits the identity-map skeleton JSON from a
+      `getfacl -R` replay (reference: copy-acls.py:84-104); otherwise
+      remaps + "applies" ACLs, writing every planned operation and every
+      tolerated failure to the effects dir (the sandbox stand-in for the
+      REST call — point `sender` at a real endpoint to go live).
+  copy-to-adls --inventory JSON -i MAP --effects-dir DIR
+      §3.3 — dirs-before-files copy plan from a blob-listing JSON dump
+      (reference: copy-to-adls.py:117-132), operations to the effects dir.
+  query NAME [--sf-dir DIR] [-n ROWS]
+      run any registry query (beyond-reference analytics surface).
+
+Everything runs through the same operators/pipelines the tests and the
+oracle gate exercise; the CLI is argument parsing plus I/O glue only.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+DEFAULT_CAPACITY = 109_951_162_777_600  # 100 TiB, generate-file-list.py:55
+
+
+def _spark(app: str):
+    from .session import get_spark
+
+    return get_spark(app)
+
+
+def _cmd_generate_file_list(args) -> int:
+    import glob
+    import os
+
+    from .plans.pipelines import generate_filelists_from_path
+
+    spark = _spark("generate-file-list")
+    alloc = generate_filelists_from_path(
+        spark, args.path, args.output_dir, capacity=args.databox_size,
+        depth=args.depth)
+    units = sorted(r["unit"] for r in
+                   alloc.select("unit").distinct().collect() if r["unit"])
+    # reference emits flat basename<N> files (generate-file-list.py:56);
+    # stream-concatenate each unit's partitioned text output into one —
+    # line streaming, never whole-list-in-memory
+    for u in units:
+        flat = os.path.join(args.output_dir, f"{args.filelist_basename}{u}")
+        with open(flat, "w", encoding="utf-8") as out:
+            for part in sorted(glob.glob(
+                    os.path.join(args.output_dir, f"unit={u}", "part-*"))):
+                with open(part, encoding="utf-8") as f:
+                    out.writelines(f)
+    print(json.dumps({"units": len(units), "out_dir": args.output_dir,
+                      "basename": args.filelist_basename}))
+    return 0
+
+
+def _file_sender(path: str):
+    """Append-to-file effect sender (local/driver-side or one file per
+    executor — JSONL appends are line-atomic on POSIX)."""
+    def send(req: dict) -> None:
+        with open(path, "a", encoding="utf-8") as f:
+            f.write(json.dumps(req) + "\n")
+    return send
+
+
+def _cmd_copy_acls(args) -> int:
+    from .plans.pipelines import acl_pipeline
+    from .sinks.writers import write_identity_map
+    from .sources.acl_scan import (assemble_acl_records, lines_df,
+                                   read_getfacl_text)
+    from .sources.identity import read_identity_map
+
+    spark = _spark("copy-acls")
+    if args.source_acls:
+        lines = read_getfacl_text(spark, args.source_acls)
+    else:
+        lines = lines_df(spark, [ln.rstrip("\n") for ln in sys.stdin])
+    acls = assemble_acl_records(lines)
+    if args.generate_identity_map:
+        skeleton = acl_pipeline(acls, None, mode="generate-map")
+        write_identity_map(skeleton, args.identity_map)
+        print(json.dumps({"identities": skeleton.count(),
+                          "identity_map": args.identity_map}))
+        return 0
+    dim = read_identity_map(spark, args.identity_map)
+    sender = _file_sender(f"{args.effects_dir}/applied.jsonl")
+    acl_pipeline(acls, dim, mode="apply", sender=sender,
+                 effects_dir=args.effects_dir)
+    print(json.dumps({"effects_dir": args.effects_dir}))
+    return 0
+
+
+def _cmd_copy_to_adls(args) -> int:
+    from .plans.pipelines import copy_pipeline
+    from .sources.identity import read_identity_map
+    from .sources.inventory import project_inventory, read_blob_listing
+
+    spark = _spark("copy-to-adls")
+    inv = project_inventory(read_blob_listing(spark, args.inventory))
+    dim = read_identity_map(spark, args.identity_map)
+    ops = f"{args.effects_dir}/ops.jsonl"
+
+    def creator(path: str) -> None:
+        _file_sender(ops)({"op": "mkdir", "path": path})
+
+    def copier(path: str, length: int) -> None:
+        _file_sender(ops)({"op": "copy", "path": path, "len": length})
+
+    stats = copy_pipeline(inv, dim, creator, copier)
+    print(json.dumps({**stats, "effects_dir": args.effects_dir}))
+    return 0
+
+
+def _cmd_query(args) -> int:
+    from .plans.queries import all_queries
+
+    qs = all_queries()
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}; {len(qs)} available",
+              file=sys.stderr)
+        return 2
+    spark = _spark(f"query-{args.name}")
+    df = qs[args.name](spark, args.sf_dir)
+    for row in df.limit(args.n).collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="databox_adls_loader_spark",
+        description="Spark-native databox/ADLS loader engine")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate-file-list",
+                       help="filelists sized to databox capacity (§3.1)")
+    g.add_argument("path", help="base path of the tree to process")
+    g.add_argument("-s", "--databox-size", type=int,
+                   default=DEFAULT_CAPACITY,
+                   help="size of each databox in bytes")
+    g.add_argument("-b", "--filelist-basename", default="filelist")
+    g.add_argument("-o", "--output-dir", required=True)
+    g.add_argument("-d", "--depth", type=int, default=1,
+                   help="directory level to pack at")
+    g.set_defaults(fn=_cmd_generate_file_list)
+
+    a = sub.add_parser("copy-acls",
+                       help="identity-map skeleton or ACL remap+apply (§3.2)")
+    a.add_argument("-s", "--source-acls",
+                   help="getfacl -R replay text file (stdin if omitted)")
+    a.add_argument("-g", "--generate-identity-map", action="store_true")
+    a.add_argument("-i", "--identity-map", required=True,
+                   help="identity-map JSON (output for -g, input otherwise)")
+    a.add_argument("--effects-dir",
+                   help="planned-operation + tolerated-failure log dir")
+    a.set_defaults(fn=_cmd_copy_acls)
+
+    c = sub.add_parser("copy-to-adls",
+                       help="dirs-before-files copy plan (§3.3)")
+    c.add_argument("--inventory", required=True,
+                   help="blob-listing JSON dump (az storage blob list)")
+    c.add_argument("-i", "--identity-map", required=True)
+    c.add_argument("--effects-dir", required=True)
+    c.set_defaults(fn=_cmd_copy_to_adls)
+
+    q = sub.add_parser("query", help="run a registry query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("-n", type=int, default=20, help="max rows to print")
+    q.set_defaults(fn=_cmd_query)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

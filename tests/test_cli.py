@@ -1,0 +1,116 @@
+"""CLI surface (cli.py / `python -m databox_adls_loader_spark`): the
+reference's command-line parity layer over the §3 pipelines."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from databox_adls_loader_spark import fixtures
+from databox_adls_loader_spark.cli import main
+
+GETFACL_TEXT = """\
+# file: /data/dir1
+# owner: alice
+# group: staff
+user::rwx
+group::r-x
+other::---
+
+# file: /data/dir1/file1.dat
+# owner: alice
+# group: staff
+user::rw-
+user:bob:r--
+group::r--
+other::---
+"""
+
+
+def _write_tree(root, spec):
+    for rel, size in spec:
+        p = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(b"x" * size)
+
+
+def test_cli_generate_file_list_flat_outputs(spark, tmp_path, capsys):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    spec = [("d1/a.bin", 60), ("d1/b.bin", 50), ("d2/c.bin", 70),
+            ("d3/d.bin", 40)]
+    _write_tree(src, spec)
+    rc = main(["generate-file-list", src, "-o", out, "-s", "100",
+               "-b", "filelist"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["units"] >= 2          # 220 bytes at capacity 100
+    listed = []
+    for u in range(1, report["units"] + 1):
+        flat = os.path.join(out, f"filelist{u}")
+        assert os.path.exists(flat)
+        listed += [ln.strip() for ln in open(flat) if ln.strip()]
+    # d1 (110 B) exceeds capacity 100 -> X2 recursion lists its files
+    # individually; d2/d3 pack as whole directories
+    assert sorted(listed) == ["d1/a.bin", "d1/b.bin", "d2", "d3"]
+
+
+def test_cli_copy_acls_generate_then_apply(spark, tmp_path, capsys):
+    acl_file = str(tmp_path / "acls.txt")
+    with open(acl_file, "w") as f:
+        f.write(GETFACL_TEXT)
+    im = str(tmp_path / "identity-map.json")
+    rc = main(["copy-acls", "-s", acl_file, "-g", "-i", im])
+    assert rc == 0
+    skeleton = json.loads(open(im).read())
+    assert {(e["type"], e["source"]) for e in skeleton} >= {
+        ("user", "alice"), ("user", "bob"), ("group", "staff")}
+    assert all(e["target"] == "" for e in skeleton)
+
+    # fill targets, then apply
+    for e in skeleton:
+        e["target"] = e["source"] + "@corp.example.com"
+    with open(im, "w") as f:
+        json.dump(skeleton, f, indent=2)
+    eff = str(tmp_path / "effects")
+    os.makedirs(eff)
+    rc = main(["copy-acls", "-s", acl_file, "-i", im,
+               "--effects-dir", eff])
+    assert rc == 0
+    applied = [json.loads(ln) for ln in open(f"{eff}/applied.jsonl")]
+    assert {a["path"] for a in applied} == {"dir1", "dir1/file1.dat"}
+    assert any("alice@corp.example.com" in json.dumps(a) for a in applied)
+
+
+def test_cli_copy_to_adls_plan(spark, tmp_path, capsys):
+    inv_dir = str(tmp_path / "listing")
+    fixtures.blob_listing(spark, n_dirs=6, files_per_dir=2) \
+        .coalesce(1).write.json(inv_dir)
+    im = str(tmp_path / "im.json")
+    with open(im, "w") as f:
+        json.dump([{"type": "user", "source": "alice", "target": "a@x"},
+                   {"type": "group", "source": "staff", "target": "g@x"}], f)
+    eff = str(tmp_path / "effects")
+    os.makedirs(eff)
+    rc = main(["copy-to-adls", "--inventory", inv_dir, "-i", im,
+               "--effects-dir", eff])
+    assert rc == 0
+    ops = [json.loads(ln) for ln in open(f"{eff}/ops.jsonl")]
+    kinds = [o["op"] for o in ops]
+    assert "mkdir" in kinds and "copy" in kinds
+    # dirs-before-files barrier held in the serialized op log
+    assert max(i for i, k in enumerate(kinds) if k == "mkdir") \
+        < min(i for i, k in enumerate(kinds) if k == "copy")
+
+
+def test_cli_query_prints_rows(spark, capsys):
+    rc = main(["query", "flagship_revenue_by_priority", "-n", "3"])
+    assert rc == 0
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert 1 <= len(lines) <= 3 and "revenue" in lines[0]
+
+
+def test_cli_query_unknown_name(spark, capsys):
+    assert main(["query", "no_such_query"]) == 2
