@@ -503,10 +503,24 @@ def bpe_train_merges(docs: DataFrame, text_col: str = "text",
     pair_count) — fully value-hash-checkable; the oracle unrolls the
     same iterations as CTE layers (the `graph_pagerank_jaccard`
     pattern)."""
+    _, merges = _bpe_loop(docs, text_col, n_merges)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("merge_rank")
+
+
+def bpe_word_tokens(col: Column | str) -> Column:
+    """The BPE corpus tokenization: lowercase, split on ``[^a-z]+``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"[^a-z]+"), lambda t: t != "")
+
+
+def _bpe_loop(docs: DataFrame, text_col: str, n_merges: int):
+    """Shared BPE training loop: returns (final word segmentations
+    ``(word, freq, syms)``, list of 1-row merge frames)."""
     words = (
-        docs.select(F.explode(
-                F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z]+"),
-                         lambda t: t != "")).alias("word"))
+        docs.select(F.explode(bpe_word_tokens(text_col)).alias("word"))
         .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
         .withColumn("syms",
                     F.filter(F.split("word", "(?!^)"), lambda t: t != ""))
@@ -544,10 +558,29 @@ def bpe_train_merges(docs: DataFrame, text_col: str = "text",
                 ).otherwise(F.concat(acc, F.array(x)))))
             .drop("l", "r", "cnt")
         )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out.orderBy("merge_rank")
+    return words, merges
+
+
+def bpe_token_counts(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n_merges: int = 3) -> DataFrame:
+    """APPLY the learned merges: per-document subword-token counts under
+    the ``n_merges``-merge BPE vocabulary — the compression measurement
+    (chars → subwords) that budgets training shards and prices context
+    windows.  Segmentation happens once per VOCABULARY word (the
+    training loop's final state); documents then join their exploded
+    words against that small (word → |syms|) relation, so the per-doc
+    cost is one word-keyed join, not a re-segmentation of the corpus.
+    Returns (id, n_words, n_subword_tokens, n_chars) — all-integer."""
+    words, _ = _bpe_loop(docs, text_col, n_merges)
+    seg_sizes = words.select("word", F.size("syms").alias("n_sub"))
+    doc_words = docs.select(
+        F.col(id_col),
+        F.explode(bpe_word_tokens(text_col)).alias("word"))
+    return (doc_words.join(seg_sizes, "word")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("n_sub").alias("n_subword_tokens"),
+                 F.sum(F.length("word")).alias("n_chars")))
 
 
 def lm_fluency_scores(docs: DataFrame, text_col: str = "text",

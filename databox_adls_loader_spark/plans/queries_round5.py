@@ -988,6 +988,26 @@ s{k} AS (
     return "WITH " + ",".join(ctes) + "\n" + finals + "\nORDER BY merge_rank"
 
 
+def _bpe_apply_oracle_sql(n_merges: int) -> str:
+    """Apply-side oracle: per-word segment sizes from the final CTE
+    layer, joined back to the documents' exploded words."""
+    body = _bpe_oracle_sql(n_merges)
+    ctes = body[:body.rindex("\nSELECT CAST(1 AS INT)")]  # keep WITH chain
+    return ctes + f""",
+    seg AS (SELECT word, MAX(pos) AS n_sub FROM s{n_merges} GROUP BY word),
+    dw AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+      FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id, COUNT(*) AS n_words,
+           CAST(SUM(seg.n_sub) AS BIGINT) AS n_subword_tokens,
+           CAST(SUM(length(word)) AS BIGINT) AS n_chars
+    FROM dw JOIN seg USING (word)
+    WHERE word <> ''
+    GROUP BY doc_id ORDER BY doc_id LIMIT 20
+    """
+
+
 @register(
     "text_bpe_merges",
     oracle=_bpe_oracle_sql(3),
@@ -1540,3 +1560,21 @@ def dq_catalog_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out.orderBy("table_name")
+
+
+@register(
+    "text_bpe_token_counts",
+    oracle=_bpe_apply_oracle_sql(3),
+    tags=["text", "tokenizer", "bpe"],
+)
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: subword tokens per document under the
+    corpus-trained 3-merge BPE vocabulary (operator: `operators/text.
+    bpe_token_counts`) — train and apply in one plan; the document side
+    pays one word-keyed join against the vocabulary-sized segmentation
+    relation.  First 20 docs by id, all-integer, hash-checked."""
+    from ..operators.text import bpe_token_counts
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (bpe_token_counts(docs, n_merges=3)
+            .orderBy("doc_id").limit(20))
