@@ -252,3 +252,53 @@ def countmin_estimates(keys: DataFrame, sketch: DataFrame, key_col: str,
     return (probe.join(F.broadcast(sketch), ["row_i", "bucket"], "left")
             .groupBy(key_col)
             .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est")))
+
+
+def ks_drift_cogroup(left: DataFrame, right: DataFrame, key_col: str,
+                     val_col: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift per group via
+    ``groupBy().cogroup().applyInPandas`` — the distribution-shift check
+    (train vs serve, yesterday vs today) run per segment.
+
+    Integer-exact contract shared with the SQL oracle: with group sizes
+    n1, n2 and cumulative counts c1(x) = |{a <= x}|, c2(x) = |{b <= x}|
+    over the pooled values,
+
+        ks_num = max over pooled x of |n2·c1(x) − n1·c2(x)|
+
+    (the classic D statistic times n1·n2 — no division, no floats, so
+    the per-group result value-hash-checks).  Groups empty on one side
+    report ks_num = 0 with the counts exposing the imbalance.
+
+    Cogroup is the right shape: both sides shuffle once on the group
+    key, each group's two sorted arrays meet in ONE Arrow batch, and the
+    numpy searchsorted is O((n1+n2) log) per group — no pooled-value
+    join materializes.  Per-group data must fit an executor (the usual
+    applyInPandas bound); pre-aggregate to (value, count) per side first
+    when groups are huge."""
+    import pandas as pd
+
+    out_schema = (f"{key_col} string, n_left long, n_right long, "
+                  "ks_num long")
+
+    def ks(lpdf: "pd.DataFrame", rpdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        src = lpdf if len(lpdf) else rpdf
+        key = src[key_col].iloc[0]
+        a = np.sort(lpdf[val_col].to_numpy())
+        b = np.sort(rpdf[val_col].to_numpy())
+        n1, n2 = len(a), len(b)
+        if n1 == 0 or n2 == 0:
+            ks_num = 0
+        else:
+            pooled = np.unique(np.concatenate([a, b]))
+            c1 = np.searchsorted(a, pooled, side="right").astype("int64")
+            c2 = np.searchsorted(b, pooled, side="right").astype("int64")
+            ks_num = int(np.max(np.abs(n2 * c1 - n1 * c2)))
+        return pd.DataFrame([{key_col: str(key), "n_left": n1,
+                              "n_right": n2, "ks_num": ks_num}])
+
+    return (left.groupBy(key_col)
+            .cogroup(right.groupBy(key_col))
+            .applyInPandas(ks, out_schema))

@@ -1578,3 +1578,56 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     return (bpe_token_counts(docs, n_merges=3)
             .orderBy("doc_id").limit(20))
+
+
+# ---------------------------------------------------------------------------
+# KS drift per segment — cogroup/applyInPandas, integer-exact D statistic
+# ---------------------------------------------------------------------------
+
+@register(
+    "prof_ks_drift_by_status",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderstatus AS k, o_totalprice AS v, 'l' AS side
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice, 'r'
+      FROM orders WHERE o_orderpriority = '5-LOW'
+    ), n AS (
+      SELECT k,
+             SUM(CASE side WHEN 'l' THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE side WHEN 'r' THEN 1 ELSE 0 END) AS n2
+      FROM u GROUP BY k
+    ), c AS (
+      SELECT k, v,
+             SUM(CASE side WHEN 'l' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY k ORDER BY v) AS c1,
+             SUM(CASE side WHEN 'r' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY k ORDER BY v) AS c2
+      FROM u
+    )
+    SELECT c.k AS o_orderstatus,
+           CAST(n.n1 AS BIGINT) AS n_left,
+           CAST(n.n2 AS BIGINT) AS n_right,
+           CAST(MAX(ABS(n.n2 * c.c1 - n.n1 * c.c2)) AS BIGINT) AS ks_num
+    FROM c JOIN n ON c.k = n.k
+    GROUP BY c.k, n.n1, n.n2
+    ORDER BY o_orderstatus
+    """,
+    tags=["profile", "drift", "cogroup"],
+)
+def prof_ks_drift_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status KS drift between URGENT and LOW priority order-value
+    distributions (operator: `operators/profile.ks_drift_cogroup`) —
+    the integer-exact D statistic × n1·n2, computed through the cogroup
+    Arrow path and reproduced by the oracle with RANGE-cumulative
+    windows (ties included on both sides by construction)."""
+    from ..operators.profile import ks_drift_cogroup
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    left = (orders.filter(F.col("o_orderpriority") == "1-URGENT")
+            .select(F.col("o_orderstatus"), F.col("o_totalprice")))
+    right = (orders.filter(F.col("o_orderpriority") == "5-LOW")
+             .select(F.col("o_orderstatus"), F.col("o_totalprice")))
+    return (ks_drift_cogroup(left, right, "o_orderstatus", "o_totalprice")
+            .orderBy("o_orderstatus"))

@@ -252,3 +252,21 @@ def test_sql_udf_stays_in_catalyst(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert df.count() > 0
+
+
+def test_ks_drift_cogroup_known_values_and_edges(spark):
+    from databox_adls_loader_spark.operators.profile import ks_drift_cogroup
+    # group A: identical distributions -> ks 0; group B: disjoint -> max;
+    # group C: only on the left -> ks 0 with counts exposing imbalance
+    left = spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("A", 2.0),
+         ("B", 1.0), ("B", 2.0), ("C", 9.0)], "k: string, v: double")
+    right = spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("A", 2.0),
+         ("B", 10.0), ("B", 11.0), ("B", 12.0)], "k: string, v: double")
+    got = {r["k"]: (r["n_left"], r["n_right"], r["ks_num"])
+           for r in ks_drift_cogroup(left, right, "k", "v").collect()}
+    assert got["A"] == (3, 3, 0)
+    # disjoint: at v=2 c1=2,c2=0 -> |3*2 - 2*0| = 6 = n1*n2 (D = 1)
+    assert got["B"] == (2, 3, 6)
+    assert got["C"] == (1, 0, 0)
