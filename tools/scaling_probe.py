@@ -1,0 +1,90 @@
+"""Scale-curve probe: run headline queries at every available SF and
+record wall time + input rows → SCALING.json.
+
+The 100 TB argument is a claim about SLOPES, not absolute times: a plan
+whose cost is linear in input (scan-shaped aggregates, bucketed joins,
+banded LSH) shows a flat rows/sec across SFs, while an accidentally
+quadratic or driver-bound plan shows rows/sec collapsing as SF grows.
+This probe measures that directly over two decades of data size
+(sf0.001 → sf0.1, 100×).  Host noise caveats from PERF.md apply — read
+ratios, not absolute numbers.
+
+Usage: python tools/scaling_probe.py [query ...]   (default: headliners)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+           "/root/testdata/sf0.1"]
+
+# scan-heavy + shuffle-heavy + iterative + Python-path representatives
+HEADLINERS = [
+    "q1_pricing_summary",        # scan + wide agg
+    "flagship_revenue_by_priority",  # join + agg
+    "dedup_exact",               # canonical hash groupBy
+    "dedup_minhash_lsh",         # banded LSH candidate join
+    "text_token_stats",          # map-side text stats
+    "text_bpe_merges",           # iterative vocab loop
+    "sim_topk_bruteforce",       # map-side score + TakeOrdered
+    "e1_sessionization",         # user-keyed windows
+    "prof_ks_drift_by_status",   # cogroup Arrow path
+]
+
+TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
+    "q1_pricing_summary": "lineitem",
+    "flagship_revenue_by_priority": "lineitem",
+    "dedup_exact": "documents",
+    "dedup_minhash_lsh": "documents",
+    "text_token_stats": "documents",
+    "text_bpe_merges": "documents",
+    "sim_topk_bruteforce": "embeddings",
+    "e1_sessionization": "events",
+    "prof_ks_drift_by_status": "orders",
+}
+
+
+def main() -> None:
+    from databox_adls_loader_spark import cache
+    from databox_adls_loader_spark.plans.queries import all_queries
+    from databox_adls_loader_spark.session import get_spark, load_tables
+
+    names = sys.argv[1:] or HEADLINERS
+    qs = all_queries()
+    spark = get_spark("scaling-probe")
+    out: dict[str, dict] = {}
+    for sf_dir in SF_DIRS:
+        sf = sf_dir.rsplit("sf", 1)[1]
+        rows_of = {}
+        for name in names:
+            table = TABLE_OF.get(name)
+            if table and table not in rows_of:
+                rows_of[table] = load_tables(
+                    spark, sf_dir, [table])[table].count()
+            qs[name](spark, sf_dir).collect()      # warm (plans, JIT, IO)
+            t0 = time.monotonic()
+            qs[name](spark, sf_dir).collect()
+            dt = time.monotonic() - t0
+            cache.release_cached(spark)
+            n = rows_of.get(table, 0)
+            out.setdefault(name, {})[f"sf{sf}"] = {
+                "sec": round(dt, 4), "rows": n,
+                "rows_per_sec": round(n / dt) if n else None}
+    doc = {"sf_dirs": SF_DIRS, "queries": out}
+    with open(os.path.join(REPO_ROOT, "SCALING.json"), "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+    for name, d in out.items():
+        rps = [d[k]["rows_per_sec"] for k in sorted(d)]
+        print(name, rps)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
