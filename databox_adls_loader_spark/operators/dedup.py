@@ -786,3 +786,62 @@ def containment_pairs(docs: DataFrame, text_col: str = "text",
         .select("a", "b", "inter", "sz_a", "sz_b",
                 "cont_a_in_b_ppm", "cont_b_in_a_ppm", "contained_side")
     )
+
+
+def jaccard_pairs_prefix_filter(docs: DataFrame, text_col: str = "text",
+                                id_col: str = "doc_id", n: int = 3,
+                                threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard pairs via PREFIX FILTERING (public technique:
+    Bayardo et al. 2007 / PPJoin) — the lossless alternative to LSH
+    candidate generation: for Jaccard ≥ t, two sets MUST share at least
+    one token among each set's first ``|d| − ⌈t·|d|⌉ + 1`` tokens under
+    any global token order, so indexing only prefixes prunes the
+    postings self-join with NO false negatives.
+
+    The canonical order is (document frequency, gram hash) — rare grams
+    first, so prefixes index the rarest grams and hot grams (the
+    postings-join skew drivers) mostly fall OUT of prefixes.  No global
+    row numbering is needed: per-doc `sort_array` over (df, g) structs
+    gives each document its prefix locally after one gram→df join.
+
+    Output is IDENTICAL to `ngram_jaccard_pairs` (same threshold) — the
+    registry query proves losslessness by hash-matching the full
+    self-join oracle.  Scale: shuffle volume drops from Σ df(g)² over
+    all grams to Σ df(g)² over PREFIX occurrences; verification joins
+    touch only candidate pairs."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, n)).alias("__g"),
+    ).select("id", F.xxhash64("__g").alias("g")).persist()
+    gdf = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    prefix = (
+        sh.join(gdf, "g")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "g"))).alias("gs"))
+        .select(
+            "id",
+            F.expr(f"slice(gs, 1, size(gs) - CAST(ceil({threshold} * "
+                   f"size(gs)) AS INT) + 1).g").alias("pg"))
+        .select("id", F.explode("pg").alias("g"))
+    )
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cand = (
+        pa.join(pb, (F.col("pa.g") == F.col("pb.g"))
+                & (F.col("pa.id") < F.col("pb.id")))
+        .select(F.col("pa.id").alias("a"), F.col("pb.id").alias("b"))
+        .distinct()
+    )
+    la = cand.join(sh.select(F.col("id").alias("a"), "g"), "a")
+    inter = (
+        la.join(sh.select(F.col("id").alias("b"), "g"), ["b", "g"])
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter
+        .join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("sz_b")), "b")
+        .select("a", "b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

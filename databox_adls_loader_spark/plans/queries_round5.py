@@ -1631,3 +1631,43 @@ def prof_ks_drift_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("o_orderstatus"), F.col("o_totalprice")))
     return (ks_drift_cogroup(left, right, "o_orderstatus", "o_totalprice")
             .orderBy("o_orderstatus"))
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered exact similarity join (PPJoin) — lossless by oracle proof
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_jaccard_prefix_filter",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(t) - 2, 1) + 1),
+        i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+      FROM toks
+    ), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
+      FROM sh l JOIN sh r ON l.g = r.g AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b, ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+    WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+    ORDER BY a, b
+    """,
+    tags=["dedup", "prefix-filter"],
+)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard pairs (operator: `operators/dedup.
+    jaccard_pairs_prefix_filter`).  The oracle is the FULL postings
+    self-join — a hash match is a machine-checked proof that the prefix
+    index (rare-grams-first canonical order, |d|−⌈t·|d|⌉+1 prefix) loses
+    no pair at threshold 0.5.  The exact-join alternative to LSH when
+    false negatives are unacceptable."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (dedup.jaccard_pairs_prefix_filter(docs, threshold=0.5)
+            .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+            .orderBy("a", "b"))

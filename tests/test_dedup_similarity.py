@@ -755,3 +755,28 @@ def test_containment_matches_bruteforce_reference(spark):
         assert got == want
 
     check()
+
+
+def test_prefix_filter_join_is_lossless_vs_full_join(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from databox_adls_loader_spark.operators.dedup import (
+        jaccard_pairs_prefix_filter, ngram_jaccard_pairs)
+
+    word = st.sampled_from([f"w{i}" for i in range(8)])
+    doc = st.lists(word, min_size=3, max_size=12).map(" ".join)
+
+    @given(st.lists(doc, min_size=2, max_size=6),
+           st.sampled_from([0.3, 0.5, 0.8]))
+    @settings(max_examples=10, deadline=None)
+    def check(texts, t):
+        docs = spark.createDataFrame(
+            [(i, x) for i, x in enumerate(texts)], "doc_id: long, text: string")
+        fast = {(r["a"], r["b"], round(r["jaccard"], 6))
+                for r in jaccard_pairs_prefix_filter(docs, threshold=t).collect()}
+        full = {(r["a"], r["b"], round(r["jaccard"], 6))
+                for r in ngram_jaccard_pairs(docs, threshold=t).collect()}
+        assert fast == full
+
+    check()
