@@ -82,6 +82,10 @@ def _cmd_copy_acls(args) -> int:
                                    read_getfacl_text)
     from .sources.identity import read_identity_map
 
+    if not args.generate_identity_map and not args.effects_dir:
+        print("copy-acls: --effects-dir is required unless "
+              "-g/--generate-identity-map is given", file=sys.stderr)
+        return 2
     spark = _spark("copy-acls")
     if args.source_acls:
         lines = read_getfacl_text(spark, args.source_acls)

@@ -278,7 +278,8 @@ def ks_drift_cogroup(left: DataFrame, right: DataFrame, key_col: str,
     when groups are huge."""
     import pandas as pd
 
-    out_schema = (f"{key_col} string, n_left long, n_right long, "
+    key_type = left.schema[key_col].dataType.simpleString()
+    out_schema = (f"{key_col} {key_type}, n_left long, n_right long, "
                   "ks_num long")
 
     def ks(lpdf: "pd.DataFrame", rpdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -296,7 +297,7 @@ def ks_drift_cogroup(left: DataFrame, right: DataFrame, key_col: str,
             c1 = np.searchsorted(a, pooled, side="right").astype("int64")
             c2 = np.searchsorted(b, pooled, side="right").astype("int64")
             ks_num = int(np.max(np.abs(n2 * c1 - n1 * c2)))
-        return pd.DataFrame([{key_col: str(key), "n_left": n1,
+        return pd.DataFrame([{key_col: key, "n_left": n1,
                               "n_right": n2, "ks_num": ks_num}])
 
     return (left.groupBy(key_col)

@@ -138,7 +138,10 @@ def top_session_paths(events: DataFrame, n: int = 3, k: int = 10,
     cap.  Paths never cross a session boundary — that is the difference
     from a naive lead over the raw user stream, where an overnight gap
     would fabricate a journey."""
-    s = sessionize(events, gap_minutes, user_col, ts_col, tiebreak_col)
+    # NULL event types would vanish inside concat_ws, silently shrinking
+    # a "length-n" path — drop them up front (the oracle filters alike)
+    s = sessionize(events.filter(F.col(type_col).isNotNull()),
+                   gap_minutes, user_col, ts_col, tiebreak_col)
     w = (Window.partitionBy(user_col, "session_id")
          .orderBy(ts_col, tiebreak_col))
     steps = [F.col(type_col)] + [

@@ -502,12 +502,12 @@ def bpe_train_merges(docs: DataFrame, text_col: str = "text",
     Returns one row per merge: (merge_rank, left_sym, right_sym, merged,
     pair_count) — fully value-hash-checkable; the oracle unrolls the
     same iterations as CTE layers (the `graph_pagerank_jaccard`
-    pattern)."""
+    pattern).  Vocabulary exhaustion before ``n_merges`` (no adjacent
+    pair left anywhere) simply yields fewer rows."""
     _, merges = _bpe_loop(docs, text_col, n_merges)
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out.orderBy("merge_rank")
+    return docs.sparkSession.createDataFrame(
+        merges, "merge_rank: int, left_sym: string, right_sym: string, "
+                "merged: string, pair_count: long").orderBy("merge_rank")
 
 
 def bpe_word_tokens(col: Column | str) -> Column:
@@ -518,13 +518,24 @@ def bpe_word_tokens(col: Column | str) -> Column:
 
 def _bpe_loop(docs: DataFrame, text_col: str, n_merges: int):
     """Shared BPE training loop: returns (final word segmentations
-    ``(word, freq, syms)``, list of 1-row merge frames)."""
+    ``(word, freq, syms)``, list of merge tuples ``(rank, l, r, merged,
+    cnt)``).
+
+    The vocabulary relation is persisted once (iterations re-scan IT,
+    never the corpus), and each iteration's winner is a 1-ROW bounded
+    collect embedded as literals in the next fold — so total work is
+    O(n_merges) vocabulary aggregations with shallow lineage, not the
+    O(n_merges²) recompute a lazy chain of limit(1) frames would cost,
+    and an exhausted vocabulary (no pairs anywhere) ends the loop
+    instead of annihilating the relation."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     words = (
         docs.select(F.explode(bpe_word_tokens(text_col)).alias("word"))
         .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
         .withColumn("syms",
                     F.filter(F.split("word", "(?!^)"), lambda t: t != ""))
-    )
+    ).persist()
     merges = []
     for rank in range(1, n_merges + 1):
         pairs = (
@@ -539,25 +550,21 @@ def _bpe_loop(docs: DataFrame, text_col: str, n_merges: int):
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("freq").alias("cnt"))
         )
-        top = pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r")).limit(1)
-        merges.append(top.select(
-            F.lit(rank).alias("merge_rank"),
-            F.col("l").alias("left_sym"), F.col("r").alias("right_sym"),
-            F.concat("l", "r").alias("merged"),
-            F.col("cnt").alias("pair_count")))
-        words = (
-            words.crossJoin(F.broadcast(top))
-            .withColumn("syms", F.aggregate(
-                "syms", F.expr("cast(array() as array<string>)"),
-                lambda acc, x: F.when(
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == F.col("l"))
-                    & (x == F.col("r")),
-                    F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
-                             F.array(F.concat(F.col("l"), F.col("r"))))
-                ).otherwise(F.concat(acc, F.array(x)))))
-            .drop("l", "r", "cnt")
-        )
+        top = (pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+               .limit(1).collect())
+        if not top:
+            break                      # vocabulary exhausted: fewer merges
+        l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
+        merges.append((rank, l, r, l + r, cnt))
+        lc, rc = F.lit(l), F.lit(r)
+        words = words.withColumn("syms", F.aggregate(
+            "syms", F.expr("cast(array() as array<string>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == lc) & (x == rc),
+                F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                         F.array(F.lit(l + r)))
+            ).otherwise(F.concat(acc, F.array(x)))))
     return words, merges
 
 

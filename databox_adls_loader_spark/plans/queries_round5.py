@@ -1372,6 +1372,7 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                        OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS brk
       FROM events
+      WHERE event_type IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
       SELECT user_id, ts, event_id, event_type,

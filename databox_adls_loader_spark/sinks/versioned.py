@@ -82,6 +82,15 @@ def _read_manifest_doc(table_dir: str, version: int) -> dict:
         return json.load(f)
 
 
+def _uri_to_path(u: str) -> str:
+    """`input_file_name()` URI → local filesystem path (percent-decoded);
+    bare paths pass through unchanged."""
+    if u.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+        return unquote(urlparse(u).path)
+    return u
+
+
 def _canon(v):
     """JSON-portable canonical form for a stats/predicate value.
 
@@ -233,8 +242,10 @@ def _new_data_files(df: DataFrame, table_dir: str, batch_tag: str) -> list[str]:
     # even when both target the same version number — whoever loses the
     # manifest race rebases/retries (append) or aborts (rewrite) and the
     # loser's orphaned files are reclaimed by vacuum
-    out = os.path.join(table_dir, "data",
-                       f"{batch_tag}-{uuid.uuid4().hex[:8]}")
+    # absolute paths in manifests: readers may run from any cwd, and the
+    # scoped-merge probe compares against input_file_name URIs
+    out = os.path.abspath(os.path.join(
+        table_dir, "data", f"{batch_tag}-{uuid.uuid4().hex[:8]}"))
     df.write.mode("error").parquet(out)
     return [p for p in glob.glob(os.path.join(out, "part-*.parquet"))]
 
@@ -306,13 +317,20 @@ def read_version(spark: SparkSession, table_dir: str,
     v = latest_version(table_dir) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshots in {table_dir}")
+    force_empty = False
     if predicates:
         files, _total = prune_files(table_dir, v, predicates)
-        if not files:     # keep the schema: scan one file, filter to empty
-            files = _read_manifest(table_dir, v)[:1]
+        if not files:
+            # keep the FULL merged schema (any single file could predate
+            # an evolved column a predicate references); the lit(False)
+            # filter below guarantees no rows without reading data pages
+            files = _read_manifest(table_dir, v)
+            force_empty = True
     else:
         files = _read_manifest(table_dir, v)
     df = spark.read.option("mergeSchema", "true").parquet(*files)
+    if force_empty:
+        df = df.filter(F.lit(False))
     if predicates:
         ops = {"=": "__eq__", "<": "__lt__", "<=": "__le__",
                ">": "__gt__", ">=": "__ge__"}
@@ -414,7 +432,14 @@ def merge_into_snapshot(spark: SparkSession, table_dir: str,
              .select(key, F.input_file_name().alias("__f"))
              .join(updates.select(key).distinct(), key)
              .select("__f").distinct().collect())
-    touched = {r["__f"].removeprefix("file://") for r in probe}
+    touched_paths = {os.path.abspath(_uri_to_path(r["__f"])) for r in probe}
+    touched = {f for f in files if os.path.abspath(f) in touched_paths}
+    if probe and not touched:
+        # the probe found matches but none mapped back onto manifest
+        # paths (URI scheme/encoding surprise): scoping would duplicate
+        # the matched rows — fall back to the always-correct full rewrite
+        merged = merge_upsert(read_version(spark, table_dir), updates, key)
+        return write_snapshot(merged, table_dir, mode="overwrite")
     untouched = [f for f in files if f not in touched]
     old_part = (spark.read.option("mergeSchema", "true")
                 .parquet(*sorted(touched)) if touched else None)

@@ -114,3 +114,13 @@ def test_cli_query_prints_rows(spark, capsys):
 
 def test_cli_query_unknown_name(spark, capsys):
     assert main(["query", "no_such_query"]) == 2
+
+
+def test_cli_copy_acls_apply_requires_effects_dir(spark, tmp_path, capsys):
+    acl_file = str(tmp_path / "a.txt")
+    with open(acl_file, "w") as f:
+        f.write(GETFACL_TEXT)
+    im = str(tmp_path / "im.json")
+    with open(im, "w") as f:
+        f.write("[]")
+    assert main(["copy-acls", "-s", acl_file, "-i", im]) == 2

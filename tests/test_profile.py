@@ -270,3 +270,12 @@ def test_ks_drift_cogroup_known_values_and_edges(spark):
     # disjoint: at v=2 c1=2,c2=0 -> |3*2 - 2*0| = 6 = n1*n2 (D = 1)
     assert got["B"] == (2, 3, 6)
     assert got["C"] == (1, 0, 0)
+
+
+def test_ks_drift_cogroup_preserves_key_type(spark):
+    from databox_adls_loader_spark.operators.profile import ks_drift_cogroup
+    left = spark.createDataFrame([(7, 1.0), (7, 2.0)], "k: long, v: double")
+    right = spark.createDataFrame([(7, 1.0)], "k: long, v: double")
+    out = ks_drift_cogroup(left, right, "k", "v")
+    assert dict(out.dtypes)["k"] == "bigint"
+    assert out.collect()[0]["k"] == 7

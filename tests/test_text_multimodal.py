@@ -418,3 +418,16 @@ def test_bpe_matches_reference_on_random_corpora(spark):
         assert got == want
 
     check()
+
+
+def test_bpe_exhaustion_yields_fewer_merges_not_empty_vocab(spark):
+    from databox_adls_loader_spark.operators.text import (
+        bpe_token_counts, bpe_train_merges)
+    docs = spark.createDataFrame([("ab ab",)], "text: string")
+    got = [tuple(r) for r in bpe_train_merges(docs, n_merges=3).collect()]
+    assert got == [(1, "a", "b", "ab", 2)]   # exhausted after one merge
+    counts = bpe_token_counts(
+        docs.select(F.lit(0).alias("doc_id"), "text"), n_merges=3).collect()
+    assert [tuple(r) for r in counts] == [(0, 2, 2, 4)]  # NOT annihilated
+    with pytest.raises(ValueError):
+        bpe_train_merges(docs, n_merges=0)

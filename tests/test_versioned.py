@@ -388,3 +388,28 @@ def test_latest_version_survives_stale_pointer(spark, tmp_path):
         _json.dump({"version": 1}, f)
     assert V.latest_version(t) == 2           # manifest set is authoritative
     assert _rows(V.read_version(spark, t)) == {(1,), (2,)}
+
+
+def test_pruned_empty_read_resolves_evolved_column(spark, tmp_path):
+    # all files pruned by an id predicate; the residual filter references
+    # a column only NEWER files carry -> must return empty, not raise
+    t = str(tmp_path / "tbl")
+    V.write_snapshot(spark.createDataFrame([(1,)], "id: long").coalesce(1), t)
+    V.write_snapshot(spark.createDataFrame(
+        [(2, 5)], "id: long, extra: long").coalesce(1), t)
+    got = V.read_version(spark, t, predicates=[("id", "=", 999),
+                                               ("extra", "=", 5)])
+    assert set(got.columns) == {"id", "extra"} and got.count() == 0
+
+
+def test_scoped_merge_with_relative_table_dir(spark, tmp_path, monkeypatch):
+    # manifest paths are stored absolute, so a relative table_dir cannot
+    # desync the touched-file probe into duplicating updated rows
+    monkeypatch.chdir(tmp_path)
+    t = "reltbl"
+    V.write_snapshot(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id: long, s: string").coalesce(1), t)
+    v2 = V.merge_into_snapshot(spark, t, spark.createDataFrame(
+        [(1, "A")], "id: long, s: string"), key="id")
+    rows = sorted(tuple(r) for r in V.read_version(spark, t, v2).collect())
+    assert rows == [(1, "A"), (2, "b")]      # no duplicate id=1
