@@ -101,11 +101,61 @@ def _canon(v):
     return v
 
 
-def _file_stats(path: str) -> dict:
+def _bloom_key(v) -> str:
+    """Canonical string a value hashes as, on BOTH build and probe."""
+    return str(_canon(v))
+
+
+def _bloom_positions(key: str, m: int, k: int):
+    import hashlib
+    for i in range(k):
+        h = hashlib.md5(f"{i}|{key}".encode()).hexdigest()
+        yield int(h[:15], 16) % m
+
+
+def _build_bloom(values, n: int) -> dict | None:
+    """Bitset bloom over a file's column values: ~10 bits/row (≈1% FPR
+    at k=7), capped at 2^20 bits so manifest size stays bounded for big
+    files (the cap raises FPR, never correctness — a bloom can only say
+    'definitely absent').  Only int/str/bool columns: float string forms
+    differ across writers."""
+    import base64
+
+    m = min(max(1024, 10 * n), 1 << 20)
+    k = 7
+    bits = bytearray(m // 8 + 1)
+    for v in values:
+        if v is None:
+            continue
+        if not isinstance(v, (int, str, bool)):
+            return None
+        for pos in _bloom_positions(_bloom_key(v), m, k):
+            bits[pos // 8] |= 1 << (pos % 8)
+    return {"m": m, "k": k,
+            "bits": base64.b64encode(bytes(bits)).decode()}
+
+
+def _bloom_maybe_contains(bloom: dict, value) -> bool:
+    import base64
+
+    bits = base64.b64decode(bloom["bits"])
+    for pos in _bloom_positions(_bloom_key(value), bloom["m"], bloom["k"]):
+        if not bits[pos // 8] & (1 << (pos % 8)):
+            return False
+    return True
+
+
+def _file_stats(path: str, bloom_cols=None) -> dict:
     """Per-column min/max/null_count from the parquet FOOTER (no data
     pages read).  Only primitive leaf columns get stats; columns whose
     footer lacks min/max are simply absent — absent means 'cannot
     prune', never 'prune'.
+
+    ``bloom_cols`` additionally builds a per-file Bloom filter over the
+    named columns (this DOES read those columns' pages) — the
+    point-lookup skip index for high-cardinality keys on UNSORTED
+    layouts, where every file's [min, max] spans the key space and
+    bounds prune nothing.
 
     Driver-side footer reads are fine for one commit's new files; at
     100 TB the same collection runs as a distributed job over the
@@ -149,6 +199,12 @@ def _file_stats(path: str) -> dict:
         if c["has_bounds"] and "min" in c:
             entry["min"], entry["max"] = c["min"], c["max"]
         out[name] = entry
+    for bc in (bloom_cols or []):
+        if bc in out:
+            tbl = pq.read_table(path, columns=[bc])
+            bloom = _build_bloom(tbl.column(bc).to_pylist(), meta.num_rows)
+            if bloom is not None:
+                out[bc]["bloom"] = bloom
     return {"num_rows": meta.num_rows, "columns": out}
 
 
@@ -165,6 +221,9 @@ def _file_matches(stats: dict | None, predicates) -> bool:
         if (c.get("null_count") is not None
                 and c["null_count"] == stats.get("num_rows")):
             return False                     # all-NULL file: no op matches
+        if (op == "=" and "bloom" in c
+                and not _bloom_maybe_contains(c["bloom"], value)):
+            return False                     # bloom: definitely absent
         if "min" not in c:
             continue
         v, mn, mx = _canon(value), c["min"], c["max"]
@@ -250,8 +309,8 @@ def _new_data_files(df: DataFrame, table_dir: str, batch_tag: str) -> list[str]:
     return [p for p in glob.glob(os.path.join(out, "part-*.parquet"))]
 
 
-def _stats_for(files: list[str]) -> dict[str, dict]:
-    return {f: _file_stats(f) for f in files}
+def _stats_for(files: list[str], bloom_cols=None) -> dict[str, dict]:
+    return {f: _file_stats(f, bloom_cols) for f in files}
 
 
 def _inherited_stats(table_dir: str, version: int | None) -> dict[str, dict]:
@@ -261,7 +320,7 @@ def _inherited_stats(table_dir: str, version: int | None) -> dict[str, dict]:
 
 
 def write_snapshot(df: DataFrame, table_dir: str,
-                   mode: str = "append") -> int:
+                   mode: str = "append", bloom_cols=None) -> int:
     """Commit ``df`` as a new snapshot; returns the new version number.
 
     ``append`` keeps the previous version's files in the new manifest;
@@ -271,7 +330,7 @@ def write_snapshot(df: DataFrame, table_dir: str,
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     new_files = _new_data_files(
         df, table_dir, f"b{(latest_version(table_dir) or 0) + 1:05d}")
-    new_stats = _stats_for(new_files)
+    new_stats = _stats_for(new_files, bloom_cols)
     # optimistic-concurrency loop: data files are written ONCE above;
     # only the manifest commit rebases onto whatever latest a concurrent
     # writer just published.  Both modes are rebase-safe — append unions
@@ -341,7 +400,7 @@ def read_version(spark: SparkSession, table_dir: str,
 
 def compact_snapshot(spark: SparkSession, table_dir: str,
                      n_files: int = 1, cluster_by=None,
-                     zorder_by=None) -> int:
+                     zorder_by=None, bloom_cols=None) -> int:
     """Rewrite the latest snapshot into ``n_files`` files as a NEW
     version (small-file compaction).  Readers of older versions are
     untouched; rows are bit-identical.
@@ -376,7 +435,8 @@ def compact_snapshot(spark: SparkSession, table_dir: str,
         df = df.repartition(n_files)
     new_version = cur + 1
     files = _new_data_files(df, table_dir, f"b{new_version:05d}")
-    _commit(table_dir, files, new_version, stats=_stats_for(files))
+    _commit(table_dir, files, new_version,
+            stats=_stats_for(files, bloom_cols))
     return new_version
 
 

@@ -413,3 +413,37 @@ def test_scoped_merge_with_relative_table_dir(spark, tmp_path, monkeypatch):
         [(1, "A")], "id: long, s: string"), key="id")
     rows = sorted(tuple(r) for r in V.read_version(spark, t, v2).collect())
     assert rows == [(1, "A"), (2, "b")]      # no duplicate id=1
+
+
+def test_bloom_skipping_prunes_unsorted_point_lookups(spark, tmp_path):
+    # random (unclustered) layout: every file's [min,max] spans the key
+    # space, so bounds prune NOTHING — the per-file bloom does
+    t = str(tmp_path / "tbl")
+    import random
+    ids = list(range(1000))
+    random.Random(7).shuffle(ids)
+    df = spark.createDataFrame([(i,) for i in ids], "id: long")
+    V.write_snapshot(df.repartition(8), t, bloom_cols=["id"])
+    bounds_only, total = V.prune_files(t, 1, [("id", ">=", 0)])
+    assert total == 8 and len(bounds_only) == 8
+    kept, _ = V.prune_files(t, 1, [("id", "=", 5)])
+    assert 1 <= len(kept) <= 2               # bloom: the containing file (+FPs)
+    assert _rows(V.read_version(spark, t, predicates=[("id", "=", 5)])) \
+        == {(5,)}
+    # a value that never existed: bloom can prune to zero files, and the
+    # empty-result path still returns the right schema
+    kept_absent, _ = V.prune_files(t, 1, [("id", "=", 10**9)])
+    assert len(kept_absent) <= 1
+    got = V.read_version(spark, t, predicates=[("id", "=", 10**9)])
+    assert got.columns == ["id"] and got.count() == 0
+
+
+def test_bloom_never_false_negative(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    vals = [f"k{i:03d}" for i in range(200)]
+    V.write_snapshot(spark.createDataFrame(
+        [(v,) for v in vals], "k: string").repartition(4), t,
+        bloom_cols=["k"])
+    for v in vals[::17]:                     # sample of present values
+        assert _rows(V.read_version(spark, t, predicates=[("k", "=", v)])) \
+            == {(v,)}
