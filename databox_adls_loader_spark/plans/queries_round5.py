@@ -1672,3 +1672,64 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (dedup.jaccard_pairs_prefix_filter(docs, threshold=0.5)
             .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
             .orderBy("a", "b"))
+
+
+# ---------------------------------------------------------------------------
+# versioned-table pruned read, end to end under the oracle gate
+# ---------------------------------------------------------------------------
+
+_VERSIONED_ORDERS: dict = {}
+
+
+def _versioned_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Once per (session, sf_dir): snapshot `orders` into a temp
+    versioned table and compact clustered by o_orderkey, so the pruned
+    read below exercises the real manifest/stats path."""
+    import tempfile
+
+    from ..sinks import versioned as V
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    t = _VERSIONED_ORDERS.get(key)
+    if t is None:
+        t = tempfile.mkdtemp(prefix="spark_graft_vorders_")
+        (orders,) = _t(spark, sf_dir, "orders")
+        V.write_snapshot(orders, t)
+        V.compact_snapshot(spark, t, n_files=8, cluster_by=["o_orderkey"])
+        _VERSIONED_ORDERS[key] = t
+    return t
+
+
+@register(
+    "scale_versioned_pruned_read",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+           TRUE AS pruned_ok
+    FROM orders WHERE o_orderkey < 1000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=["scale", "versioned", "skipping"],
+)
+def scale_versioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end data skipping under the value-hash gate: `orders` is
+    committed to a manifest-versioned table (once per session), compacted
+    into 8 files clustered by o_orderkey, then read back with a key-range
+    predicate — `prune_files` must drop files (pruned_ok, oracle expects
+    TRUE) and the surviving rows must aggregate to exactly what plain SQL
+    over the raw table gives.  The proof that the manifest stats path
+    returns the same answer as a full scan, visible to the driver's
+    correctness gate, not only to pytest."""
+    from ..sinks import versioned as V
+
+    t = _versioned_orders(spark, sf_dir)
+    preds = [("o_orderkey", "<", 1000)]
+    kept, total = V.prune_files(t, V.latest_version(t), preds)
+    df = V.read_version(spark, t, predicates=preds)
+    return (df.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("rev"))
+            .withColumn("pruned_ok", F.lit(len(kept) < total))
+            .orderBy("o_orderstatus"))
