@@ -148,3 +148,24 @@ def shared_containment_pairs(spark: SparkSession, sf_dir: str, n: int = 3,
         df = snapshot(containment_pairs(docs, n=n, threshold=threshold))
         _SHARED[key] = df
     return df
+
+
+def shared_semantic_components(spark: SparkSession, sf_dir: str,
+                               threshold: float = 0.4) -> DataFrame:
+    """Connected components of the embedding-cosine pair graph —
+    memoized per (session, sf_dir) like the text pair graph, so the
+    all-pairs GEMM and the CC iterations run once."""
+    from .operators.graph import connected_components
+    from .operators.similarity import cosine_pairs_bruteforce
+    from .session import load_tables
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, "semantic_components", threshold)
+    df = _SHARED.get(key)
+    if df is None:
+        _evict_other_sessions(app_id)
+        emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+        pairs = cosine_pairs_bruteforce(emb, threshold=threshold)
+        df = snapshot(connected_components(pairs.select("a", "b")))
+        _SHARED[key] = df
+    return df

@@ -812,18 +812,22 @@ def jaccard_pairs_prefix_filter(docs: DataFrame, text_col: str = "text",
     sh = docs.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, n)).alias("__g"),
-    ).select("id", F.xxhash64("__g").alias("g")).persist()
+    ).select("id", F.xxhash64("__g").alias("g"))
     gdf = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    prefix = (
+    # one (gram-df)-sorted gram ARRAY per doc: the prefix is a slice of
+    # it, and candidate verification intersects two of them — no second
+    # pass over the postings relation ever happens
+    garr = (
         sh.join(gdf, "g")
         .groupBy("id")
         .agg(F.sort_array(F.collect_list(F.struct("df", "g"))).alias("gs"))
         .select(
-            "id",
+            "id", F.col("gs.g").alias("gset"),
+            F.size("gs").alias("sz"),
             F.expr(f"slice(gs, 1, size(gs) - CAST(ceil({threshold} * "
                    f"size(gs)) AS INT) + 1).g").alias("pg"))
-        .select("id", F.explode("pg").alias("g"))
-    )
+    ).persist()
+    prefix = garr.select("id", F.explode("pg").alias("g"))
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     cand = (
         pa.join(pb, (F.col("pa.g") == F.col("pb.g"))
@@ -831,17 +835,13 @@ def jaccard_pairs_prefix_filter(docs: DataFrame, text_col: str = "text",
         .select(F.col("pa.id").alias("a"), F.col("pb.id").alias("b"))
         .distinct()
     )
-    la = cand.join(sh.select(F.col("id").alias("a"), "g"), "a")
-    inter = (
-        la.join(sh.select(F.col("id").alias("b"), "g"), ["b", "g"])
-        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    side = lambda tag: garr.select(  # noqa: E731
+        F.col("id").alias(tag), F.col("gset").alias(f"gset_{tag}"),
+        F.col("sz").alias(f"sz_{tag}"))
+    inter = F.size(F.array_intersect("gset_a", "gset_b"))
+    jac = inter / (F.col("sz_a") + F.col("sz_b") - inter)
     return (
-        inter
-        .join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sz_a")), "a")
-        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("sz_b")), "b")
+        cand.join(side("a"), "a").join(side("b"), "b")
         .select("a", "b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

@@ -1442,12 +1442,9 @@ def dedup_semantic_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE, so the cluster assignment itself is hash-checked.
     Scale: pair generation runs behind the sign-LSH bucketing
     (`ann_cosine_pairs_lsh`) at 100 TB; CC is O(diameter) rounds."""
-    from ..operators import similarity
-    from ..operators.graph import connected_components
+    from ..cache import shared_semantic_components
 
-    (emb,) = _t(spark, sf_dir, "embeddings")
-    pairs = similarity.cosine_pairs_bruteforce(emb, threshold=0.4)
-    comp = connected_components(pairs.select("a", "b"))
+    comp = shared_semantic_components(spark, sf_dir, threshold=0.4)
     return (comp.groupBy("component")
             .agg(F.count(F.lit(1)).alias("cluster_size"),
                  F.min("n").alias("survivor_vec_id"),

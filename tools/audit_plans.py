@@ -40,8 +40,6 @@ ALLOWED_FLAGS: dict[str, set[str]] = {
     "graph_pagerank_jaccard": {"bnl-join"},  # 1-row node-count frame per iter
     "sim_topk_ivf": {"bnl-join"},            # 1-row recall-contract frame
     "sim_topk_pq": {"bnl-join"},             # 1-row recall-contract frame
-    "text_bpe_merges": {"bnl-join"},         # 1-row winning-pair frame per iter
-    "text_bpe_token_counts": {"bnl-join"},   # same loop, same 1-row frames
     "text_collocations_phrase": {"bnl-join"},  # 1-row corpus-size frame
     "text_tfidf_top_terms": {"bnl-join"},    # 1-row corpus-size frame
     "text_vocab_coverage": {"bnl-join"},     # 1-row corpus-size frame
