@@ -1730,3 +1730,67 @@ def scale_versioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double").alias("rev"))
             .withColumn("pruned_ok", F.lit(len(kept) < total))
             .orderBy("o_orderstatus"))
+
+
+# ---------------------------------------------------------------------------
+# within-session Markov transition matrix (exact ppm)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sess4_markov_transitions",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WHERE event_type IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM o
+    ), tr AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id, session_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM s
+    ), c AS (
+      SELECT from_type, to_type, COUNT(*) AS cnt FROM tr
+      WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+    ), tot AS (SELECT from_type, SUM(cnt) AS total FROM c GROUP BY from_type)
+    SELECT c.from_type, c.to_type, CAST(c.cnt AS BIGINT) AS cnt,
+           CAST(c.cnt * 1000000 // t.total AS BIGINT) AS p_ppm
+    FROM c JOIN tot t ON c.from_type = t.from_type
+    ORDER BY c.from_type, c.to_type
+    """,
+    tags=["sessions", "markov", "window"],
+)
+def sess4_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session event-type transition matrix P(next|current) in
+    exact ppm — the first-order Markov model behind journey simulation
+    and anomaly scoring; transitions never cross a session gap.  Same
+    session-bounded lead windows as `sess3_top_paths`; the conditional
+    probabilities are integer ppm (cnt·10⁶ div row total), so the full
+    matrix is value-hash-checked."""
+    from pyspark.sql import Window
+
+    from ..operators.sessions import sessionize
+
+    (events,) = _t(spark, sf_dir, "events")
+    s = sessionize(events.filter(F.col("event_type").isNotNull()),
+                   30, "user_id", "ts", "event_id")
+    w = (Window.partitionBy("user_id", "session_id")
+         .orderBy("ts", "event_id"))
+    tr = (s.select(F.col("event_type").alias("from_type"),
+                   F.lead("event_type").over(w).alias("to_type"))
+          .filter(F.col("to_type").isNotNull()))
+    c = tr.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    tot = c.groupBy("from_type").agg(F.sum("cnt").alias("total"))
+    return (c.join(tot, "from_type")
+            .select("from_type", "to_type", "cnt",
+                    F.expr("cnt * 1000000L div total").alias("p_ppm"))
+            .orderBy("from_type", "to_type"))
