@@ -1794,3 +1794,106 @@ def sess4_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("from_type", "to_type", "cnt",
                     F.expr("cnt * 1000000L div total").alias("p_ppm"))
             .orderBy("from_type", "to_type"))
+
+
+# ---------------------------------------------------------------------------
+# quality-mass quota mixing + Gini impurity profiling (integer-exact)
+# ---------------------------------------------------------------------------
+
+@register(
+    "mix_quality_mass_quota",
+    oracle="""
+    WITH d AS (
+      SELECT source, doc_id, n_chars FROM documents
+      WHERE n_chars IS NOT NULL
+    ), c AS (
+      SELECT source, doc_id, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_chars
+               AS cum_before,
+             SUM(n_chars) OVER (PARTITION BY source) AS total
+      FROM d
+    )
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(cum_before AS BIGINT) AS cum_before
+    FROM c WHERE 2 * cum_before < total
+    ORDER BY source, n_chars DESC, doc_id
+    """,
+    tags=["mixing", "quota", "window"],
+)
+def mix_quality_mass_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mass-quota selection: per source domain, keep the largest
+    documents until 50% of the domain's total character MASS is covered
+    (the doc crossing the boundary is included) — the mass-based cousin
+    of `mix_domain_topk`'s count quota, used when domains should
+    contribute equal token budgets, not equal document counts.
+    Windows stay partitioned by source; the keep rule 2·cum_before <
+    total is pure integer math, deterministic under the (n_chars DESC,
+    doc_id) order."""
+    from pyspark.sql import Window
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    w = (Window.partitionBy("source")
+         .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy("source")
+    d = docs.filter(F.col("n_chars").isNotNull())
+    c = (d.select("source", "doc_id", "n_chars")
+         .withColumn("cum_before",
+                     F.sum("n_chars").over(w) - F.col("n_chars"))
+         .withColumn("total", F.sum("n_chars").over(wt)))
+    return (c.filter(2 * F.col("cum_before") < F.col("total"))
+            .select("source", "doc_id", "n_chars", "cum_before")
+            .orderBy("source", F.desc("n_chars"), "doc_id"))
+
+
+@register(
+    "prof_gini_impurity",
+    oracle="""
+    WITH legs AS (
+      SELECT 'o_orderpriority' AS column_name, o_orderpriority AS v
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', o_orderstatus FROM orders
+    ), c AS (
+      SELECT column_name, v, COUNT(*) AS cnt FROM legs
+      GROUP BY column_name, v
+    ), t AS (
+      SELECT column_name, SUM(cnt) AS total, COUNT(*) AS n_values
+      FROM c GROUP BY column_name
+    )
+    SELECT c.column_name,
+           CAST(t.n_values AS BIGINT) AS n_values,
+           CAST(1000000 - SUM(cnt * cnt * 1000000 // (total * total))
+                AS BIGINT) AS gini_ppm
+    FROM c JOIN t ON c.column_name = t.column_name
+    GROUP BY c.column_name, t.n_values
+    ORDER BY c.column_name
+    """,
+    tags=["profile", "impurity"],
+)
+def prof_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini impurity per categorical column, 1 − Σ pᵢ² in EXACT ppm —
+    the log-free concentration measure (entropy needs ln, whose last-ulp
+    differs across libm builds; Gini is pure integer multiply/divide, so
+    it hash-checks).  Low gini = one value dominates (a skew/constant-
+    column alarm).  One map-side-combined count per column leg; the Σ is
+    over value counts, never rows."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    legs = []
+    for col in ("o_orderpriority", "o_orderstatus"):
+        c = (orders.groupBy(F.col(col).alias("v"))
+             .agg(F.count(F.lit(1)).alias("cnt"))
+             .select(F.lit(col).alias("column_name"), "v", "cnt"))
+        legs.append(c)
+    c = legs[0].unionByName(legs[1])
+    t = c.groupBy("column_name").agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_values"))
+    return (c.join(t, "column_name")
+            .groupBy("column_name", "n_values")
+            .agg((F.lit(1_000_000)
+                  - F.sum(F.expr("cnt * cnt * 1000000L div (total * total)")))
+                 .cast("long").alias("gini_ppm"))
+            .select("column_name", "n_values", "gini_ppm")
+            .orderBy("column_name"))
