@@ -279,3 +279,30 @@ def test_ks_drift_cogroup_preserves_key_type(spark):
     out = ks_drift_cogroup(left, right, "k", "v")
     assert dict(out.dtypes)["k"] == "bigint"
     assert out.collect()[0]["k"] == 7
+
+
+def test_ks_drift_cogroup_matches_bruteforce_reference(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from databox_adls_loader_spark.operators.profile import ks_drift_cogroup
+
+    vals = st.lists(st.integers(min_value=0, max_value=9).map(float),
+                    min_size=1, max_size=12)
+
+    @given(vals, vals)
+    @settings(max_examples=10, deadline=None)
+    def check(a, b):
+        left = spark.createDataFrame([("g", v) for v in a],
+                                     "k: string, v: double")
+        right = spark.createDataFrame([("g", v) for v in b],
+                                      "k: string, v: double")
+        row = ks_drift_cogroup(left, right, "k", "v").collect()[0]
+        n1, n2 = len(a), len(b)
+        want = max(abs(n2 * sum(x <= p for x in a)
+                       - n1 * sum(x <= p for x in b))
+                   for p in set(a) | set(b))
+        assert (row["n_left"], row["n_right"], row["ks_num"]) \
+            == (n1, n2, want)
+
+    check()
