@@ -1678,17 +1678,32 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VERSIONED_ORDERS: dict = {}
 
 
+def _drop_versioned_orders(keys=None) -> None:
+    import shutil
+
+    for k in list(_VERSIONED_ORDERS) if keys is None else list(keys):
+        shutil.rmtree(_VERSIONED_ORDERS.pop(k), ignore_errors=True)
+
+
 def _versioned_orders(spark: SparkSession, sf_dir: str) -> str:
     """Once per (session, sf_dir): snapshot `orders` into a temp
     versioned table and compact clustered by o_orderkey, so the pruned
-    read below exercises the real manifest/stats path."""
+    read below exercises the real manifest/stats path.  Temp trees are
+    removed at interpreter exit, and a new session evicts (and deletes)
+    any previous session's tables — no /tmp accumulation across runs."""
+    import atexit
     import tempfile
 
     from ..sinks import versioned as V
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
     t = _VERSIONED_ORDERS.get(key)
     if t is None:
+        _drop_versioned_orders(
+            [k for k in _VERSIONED_ORDERS if k[0] != app_id])
+        if not _VERSIONED_ORDERS:
+            atexit.register(_drop_versioned_orders)
         t = tempfile.mkdtemp(prefix="spark_graft_vorders_")
         (orders,) = _t(spark, sf_dir, "orders")
         V.write_snapshot(orders, t)
@@ -1722,6 +1737,8 @@ def scale_versioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _versioned_orders(spark, sf_dir)
     preds = [("o_orderkey", "<", 1000)]
+    # read_version prunes again internally; both passes are driver-side
+    # manifest-JSON work, O(|files|) — accepted for the API simplicity
     kept, total = V.prune_files(t, V.latest_version(t), preds)
     df = V.read_version(spark, t, predicates=preds)
     return (df.groupBy("o_orderstatus")
@@ -1865,7 +1882,8 @@ def mix_quality_mass_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.column_name,
            CAST(t.n_values AS BIGINT) AS n_values,
-           CAST(1000000 - SUM(cnt * cnt * 1000000 // (total * total))
+           CAST(1000000 - SUM(((cnt * 1000000 // total)
+                               * (cnt * 1000000 // total)) // 1000000)
                 AS BIGINT) AS gini_ppm
     FROM c JOIN t ON c.column_name = t.column_name
     GROUP BY c.column_name, t.n_values
@@ -1893,7 +1911,9 @@ def prof_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (c.join(t, "column_name")
             .groupBy("column_name", "n_values")
             .agg((F.lit(1_000_000)
-                  - F.sum(F.expr("cnt * cnt * 1000000L div (total * total)")))
+                  - F.sum(F.expr(
+                      "((cnt * 1000000L div total)"
+                      " * (cnt * 1000000L div total)) div 1000000L")))
                  .cast("long").alias("gini_ppm"))
             .select("column_name", "n_values", "gini_ppm")
             .orderBy("column_name"))

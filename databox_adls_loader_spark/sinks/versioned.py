@@ -102,8 +102,17 @@ def _canon(v):
 
 
 def _bloom_key(v) -> str:
-    """Canonical string a value hashes as, on BOTH build and probe."""
-    return str(_canon(v))
+    """Canonical string a value hashes as, on BOTH build and probe.
+    Numerically-equal values of different Python types must collide:
+    bools hash as 0/1 and integral floats as ints, so probing an int
+    column with 5.0 (which the bounds path tolerates) cannot turn into
+    a false 'definitely absent'."""
+    v = _canon(v)
+    if isinstance(v, bool):
+        v = int(v)
+    elif isinstance(v, float) and v.is_integer():
+        v = int(v)
+    return str(v)
 
 
 def _bloom_positions(key: str, m: int, k: int):
@@ -201,6 +210,8 @@ def _file_stats(path: str, bloom_cols=None) -> dict:
         out[name] = entry
     for bc in (bloom_cols or []):
         if bc in out:
+            if isinstance(out[bc].get("min"), float):
+                continue     # float column: unsupported, skip the read
             tbl = pq.read_table(path, columns=[bc])
             bloom = _build_bloom(tbl.column(bc).to_pylist(), meta.num_rows)
             if bloom is not None:
@@ -255,9 +266,21 @@ def prune_files(table_dir: str, version: int,
     return kept, len(all_files)
 
 
+def table_bloom_cols(table_dir: str) -> list[str]:
+    """Bloom columns recorded in the latest manifest — table METADATA,
+    so every rewrite path (merge, stream commit, compaction) rebuilds
+    blooms for the files it writes without each caller re-passing the
+    column list."""
+    cur = latest_version(table_dir)
+    if cur is None:
+        return []
+    return _read_manifest_doc(table_dir, cur).get("bloom_cols", [])
+
+
 def _commit(table_dir: str, files: list[str], version: int,
             batch_ids: set[int] | None = None,
-            stats: dict[str, dict] | None = None) -> None:
+            stats: dict[str, dict] | None = None,
+            bloom_cols: list[str] | None = None) -> None:
     """Write manifest v<version> then atomically swap the pointer.
 
     The streaming batch-id ledger is carried forward into EVERY manifest
@@ -270,6 +293,10 @@ def _commit(table_dir: str, files: list[str], version: int,
         inherited |= {int(b) for b in batch_ids}
     os.makedirs(_mdir(table_dir), exist_ok=True)
     doc = {"version": version, "files": sorted(files)}
+    inherited_bloom = bloom_cols if bloom_cols is not None \
+        else table_bloom_cols(table_dir)
+    if inherited_bloom:
+        doc["bloom_cols"] = sorted(inherited_bloom)
     if stats:
         doc["stats"] = {f: stats[f] for f in sorted(stats) if f in set(files)}
     if inherited:
@@ -328,6 +355,8 @@ def write_snapshot(df: DataFrame, table_dir: str,
     old files stay on disk for time travel until `vacuum`)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if bloom_cols is None:
+        bloom_cols = table_bloom_cols(table_dir)
     new_files = _new_data_files(
         df, table_dir, f"b{(latest_version(table_dir) or 0) + 1:05d}")
     new_stats = _stats_for(new_files, bloom_cols)
@@ -345,7 +374,8 @@ def write_snapshot(df: DataFrame, table_dir: str,
         else:
             files, stats = new_files, new_stats
         try:
-            _commit(table_dir, files, new_version, stats=stats)
+            _commit(table_dir, files, new_version, stats=stats,
+                    bloom_cols=bloom_cols)
             return new_version
         except ConcurrentCommitError:
             continue
@@ -433,10 +463,12 @@ def compact_snapshot(spark: SparkSession, table_dir: str,
                 .sortWithinPartitions(*cluster_by))
     else:
         df = df.repartition(n_files)
+    if bloom_cols is None:
+        bloom_cols = table_bloom_cols(table_dir)
     new_version = cur + 1
     files = _new_data_files(df, table_dir, f"b{new_version:05d}")
     _commit(table_dir, files, new_version,
-            stats=_stats_for(files, bloom_cols))
+            stats=_stats_for(files, bloom_cols), bloom_cols=bloom_cols)
     return new_version
 
 
@@ -509,7 +541,7 @@ def merge_into_snapshot(spark: SparkSession, table_dir: str,
     new_files = _new_data_files(merged, table_dir, f"b{new_version:05d}")
     inherited = _inherited_stats(table_dir, cur)
     stats = {**{f: inherited[f] for f in untouched if f in inherited},
-             **_stats_for(new_files)}
+             **_stats_for(new_files, table_bloom_cols(table_dir))}
     _commit(table_dir, untouched + new_files, new_version, stats=stats)
     return new_version
 
@@ -548,7 +580,7 @@ def commit_stream_batch(batch_df: DataFrame, batch_id: int,
     new_files = _new_data_files(
         batch_df, table_dir,
         f"b{(latest_version(table_dir) or 0) + 1:05d}")
-    new_stats = _stats_for(new_files)
+    new_stats = _stats_for(new_files, table_bloom_cols(table_dir))
     while True:                       # rebase and retry
         if batch_id in committed_batch_ids(table_dir):
             return False              # re-check after losing a race

@@ -447,3 +447,38 @@ def test_bloom_never_false_negative(spark, tmp_path):
     for v in vals[::17]:                     # sample of present values
         assert _rows(V.read_version(spark, t, predicates=[("k", "=", v)])) \
             == {(v,)}
+
+
+def test_bloom_cols_are_table_metadata_surviving_rewrites(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    V.write_snapshot(spark.createDataFrame(
+        [(i, f"s{i}") for i in range(50)], "id: long, s: string")
+        .coalesce(1), t, bloom_cols=["id"])
+    assert V.table_bloom_cols(t) == ["id"]
+    # merge rewrite: new files must carry blooms without re-passing
+    v2 = V.merge_into_snapshot(spark, t, spark.createDataFrame(
+        [(1, "NEW")], "id: long, s: string"), key="id")
+    doc = V._read_manifest_doc(t, v2)
+    assert doc["bloom_cols"] == ["id"]
+    assert all("bloom" in st["columns"]["id"] for st in doc["stats"].values())
+    # stream append likewise
+    V.commit_stream_batch(spark.createDataFrame(
+        [(99, "z")], "id: long, s: string").coalesce(1), 0, t)
+    doc = V._read_manifest_doc(t, V.latest_version(t))
+    assert doc["bloom_cols"] == ["id"]
+    assert all("bloom" in st["columns"]["id"] for st in doc["stats"].values())
+
+
+def test_bloom_probe_is_type_canonical(spark, tmp_path):
+    # the bounds path tolerates cross-type numeric predicates; the bloom
+    # path must too — 5.0 against a long column may not false-prune
+    t = str(tmp_path / "tbl")
+    V.write_snapshot(spark.range(100).coalesce(1), t, bloom_cols=["id"])
+    kept, _ = V.prune_files(t, 1, [("id", "=", 5.0)])
+    assert len(kept) == 1
+    assert _rows(V.read_version(spark, t, predicates=[("id", "=", 5.0)])) \
+        == {(5,)}
+    # non-integral float can prune (no long equals 5.5) but the read is
+    # still exact either way
+    assert V.read_version(spark, t,
+                          predicates=[("id", "=", 5.5)]).count() == 0
