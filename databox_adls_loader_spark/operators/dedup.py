@@ -824,8 +824,12 @@ def jaccard_pairs_prefix_filter(docs: DataFrame, text_col: str = "text",
         .select(
             "id", F.col("gs.g").alias("gset"),
             F.size("gs").alias("sz"),
-            F.expr(f"slice(gs, 1, size(gs) - CAST(ceil({threshold} * "
-                   f"size(gs)) AS INT) + 1).g").alias("pg"))
+            # round t·|d| to 9dp BEFORE ceil: when t·|d| is mathematically
+            # integral but rounds UP in binary (t=0.1, |d|=10 →
+            # 1.0000000000000002), a raw ceil would shorten the prefix by
+            # one gram and break the no-false-negative guarantee
+            F.expr(f"slice(gs, 1, size(gs) - CAST(ceil(round({threshold} * "
+                   f"size(gs), 9)) AS INT) + 1).g").alias("pg"))
     ).persist()
     prefix = garr.select("id", F.explode("pg").alias("g"))
     pa, pb = prefix.alias("pa"), prefix.alias("pb")

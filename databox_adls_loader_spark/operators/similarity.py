@@ -194,9 +194,14 @@ def cosine_pairs_bruteforce(emb: DataFrame, threshold: float = 0.95,
             return pd.DataFrame({"a": [], "b": [], "sim": []})
         la = np.vstack(lhs["v"].to_numpy()).astype(np.float64)
         rb = np.vstack(rhs["v"].to_numpy()).astype(np.float64)
-        # dot / (|a|·|b|) — same association as the sequential definition
-        sims = (la @ rb.T) / (np.linalg.norm(la, axis=1)[:, None]
-                              * np.linalg.norm(rb, axis=1)[None, :])
+        # dot / (|a|·|b|) — same association as the sequential definition;
+        # rounded to 6dp BEFORE thresholding (the repo's tie-stable
+        # convention, same as cosine_near_dup_pairs): a borderline pair
+        # must not flip on an ulp of summation-order difference between
+        # the numpy GEMM here and an oracle's sequential dot
+        sims = np.round(
+            (la @ rb.T) / (np.linalg.norm(la, axis=1)[:, None]
+                           * np.linalg.norm(rb, axis=1)[None, :]), 6)
         ai = lhs["id"].to_numpy()
         bi = rhs["id"].to_numpy()
         if same:
@@ -212,7 +217,7 @@ def cosine_pairs_bruteforce(emb: DataFrame, threshold: float = 0.95,
             a_ids = np.minimum(ai[ia], bi[ib])
             b_ids = np.maximum(ai[ia], bi[ib])
         return pd.DataFrame({"a": a_ids, "b": b_ids,
-                             "sim": np.round(sims[ia, ib], 6)})
+                             "sim": sims[ia, ib]})
 
     return (
         left.unionByName(right)

@@ -1414,8 +1414,8 @@ def sess3_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE pairs AS (
       SELECT a.vec_id AS a, b.vec_id AS b
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(b.embedding AS DOUBLE[])) >= 0.4
+      WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
     ), nodes AS (SELECT a AS n FROM pairs UNION SELECT b FROM pairs),
     sym AS (SELECT a AS src, b AS dst FROM pairs
             UNION SELECT b, a FROM pairs),
