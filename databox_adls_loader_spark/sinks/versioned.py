@@ -14,14 +14,21 @@ Invariants:
     logical overwrite, and compaction all write NEW files + a NEW
     manifest, so concurrent readers of any pinned version are isolated;
   * commits are optimistic-concurrency: each manifest is created
-    exclusively (write-temp + hard-link — the POSIX analog of an object
-    store's conditional put), so two writers can never overwrite each
-    other's manifest.  Losers of the race rebase and retry (append /
-    logical overwrite / stream batches) or abort with
-    `ConcurrentCommitError` (compaction, merge, rollback — their input
-    snapshot is stale).  Many-reader isolation, no locks;
+    exclusively (write-temp + hard-link locally; `FileSystem.create(
+    overwrite=false)` — the object store's conditional put — on
+    Hadoop schemes), so two writers can never overwrite each other's
+    manifest.  Losers of the race rebase and retry (append / logical
+    overwrite / stream batches) or abort with `ConcurrentCommitError`
+    (compaction, merge, rollback — their input snapshot is stale).
+    Many-reader isolation, no locks;
   * time travel = read any retained manifest; `vacuum` deletes data
     files referenced ONLY by dropped manifests.
+
+All metadata I/O goes through the storage seam (`sinks/storage.py`):
+a bare path uses POSIX, any ``scheme:`` path (``file:``, ``hdfs:``,
+``abfss:``, ``s3a:``) uses the JVM Hadoop `FileSystem` — the same
+manifest log runs against an object store unchanged.  Data files are
+always written/read by Spark itself, which speaks every scheme.
 
 Reference parity note: the reference copies into a live ADLS tree with
 no snapshot isolation (copy-acls.py applies in place); this layer is the
@@ -32,12 +39,12 @@ re-runnable while consumers keep reading.
 from __future__ import annotations
 
 import datetime
-import glob
 import json
-import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .storage import storage_for
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -47,19 +54,24 @@ class ConcurrentCommitError(RuntimeError):
     snapshot is stale and the caller must re-run on the new latest."""
 
 
-def _mdir(table_dir: str) -> str:
-    return os.path.join(table_dir, "_manifests")
+def _st(table_dir: str, spark: SparkSession | None = None):
+    return storage_for(table_dir, spark)
 
 
-def _manifest_path(table_dir: str, version: int) -> str:
-    return os.path.join(_mdir(table_dir), f"v{version:05d}.json")
+def _mdir(st, table_dir: str) -> str:
+    return st.join(table_dir, "_manifests")
+
+
+def _manifest_path(st, table_dir: str, version: int) -> str:
+    return st.join(_mdir(st, table_dir), f"v{version:05d}.json")
 
 
 def versions(table_dir: str) -> list[int]:
     """All retained snapshot versions, ascending."""
+    st = _st(table_dir)
     return sorted(
-        int(os.path.basename(p)[1:-5])
-        for p in glob.glob(os.path.join(_mdir(table_dir), "v*.json")))
+        int(st.basename(p)[1:-5])
+        for p in st.list_glob(st.join(_mdir(st, table_dir), "v*.json")))
 
 
 def latest_version(table_dir: str) -> int | None:
@@ -73,22 +85,12 @@ def latest_version(table_dir: str) -> int | None:
 
 
 def _read_manifest(table_dir: str, version: int) -> list[str]:
-    with open(_manifest_path(table_dir, version), encoding="utf-8") as f:
-        return json.load(f)["files"]
+    return _read_manifest_doc(table_dir, version)["files"]
 
 
 def _read_manifest_doc(table_dir: str, version: int) -> dict:
-    with open(_manifest_path(table_dir, version), encoding="utf-8") as f:
-        return json.load(f)
-
-
-def _uri_to_path(u: str) -> str:
-    """`input_file_name()` URI → local filesystem path (percent-decoded);
-    bare paths pass through unchanged."""
-    if u.startswith("file:"):
-        from urllib.parse import unquote, urlparse
-        return unquote(urlparse(u).path)
-    return u
+    st = _st(table_dir)
+    return json.loads(st.read_text(_manifest_path(st, table_dir, version)))
 
 
 def _canon(v):
@@ -154,11 +156,12 @@ def _bloom_maybe_contains(bloom: dict, value) -> bool:
     return True
 
 
-def _file_stats(path: str, bloom_cols=None) -> dict:
+def _file_stats(path: str, st, bloom_cols=None) -> dict:
     """Per-column min/max/null_count from the parquet FOOTER (no data
-    pages read).  Only primitive leaf columns get stats; columns whose
-    footer lacks min/max are simply absent — absent means 'cannot
-    prune', never 'prune'.
+    pages read on local storage; the Hadoop impl pulls the file through
+    the gateway — see the 100 TB note).  Only primitive leaf columns get
+    stats; columns whose footer lacks min/max are simply absent — absent
+    means 'cannot prune', never 'prune'.
 
     ``bloom_cols`` additionally builds a per-file Bloom filter over the
     named columns (this DOES read those columns' pages) — the
@@ -171,7 +174,7 @@ def _file_stats(path: str, bloom_cols=None) -> dict:
     `_metadata` pseudo-column and only the aggregated bounds come back."""
     import pyarrow.parquet as pq
 
-    meta = pq.ParquetFile(path).metadata
+    meta = pq.ParquetFile(st.parquet_source(path)).metadata
     cols: dict[str, dict] = {}
     for rg in range(meta.num_row_groups):
         g = meta.row_group(rg)
@@ -180,16 +183,16 @@ def _file_stats(path: str, bloom_cols=None) -> dict:
             name = col.path_in_schema
             if "." in name:          # nested leaves: skip, never prune on them
                 continue
-            st = col.statistics
+            st_ = col.statistics
             c = cols.setdefault(name, {"null_count": 0, "has_bounds": True})
-            if st is None or st.null_count is None:
+            if st_ is None or st_.null_count is None:
                 c["null_count"] = None
             elif c["null_count"] is not None:
-                c["null_count"] += st.null_count
-            if st is None or not st.has_min_max:
+                c["null_count"] += st_.null_count
+            if st_ is None or not st_.has_min_max:
                 c["has_bounds"] = False
                 continue
-            mn, mx = _canon(st.min), _canon(st.max)
+            mn, mx = _canon(st_.min), _canon(st_.max)
             if not isinstance(mn, (int, float, str, bool)):
                 c["has_bounds"] = False
                 continue
@@ -212,7 +215,7 @@ def _file_stats(path: str, bloom_cols=None) -> dict:
         if bc in out:
             if isinstance(out[bc].get("min"), float):
                 continue     # float column: unsupported, skip the read
-            tbl = pq.read_table(path, columns=[bc])
+            tbl = pq.read_table(st.parquet_source(path), columns=[bc])
             bloom = _build_bloom(tbl.column(bc).to_pylist(), meta.num_rows)
             if bloom is not None:
                 out[bc]["bloom"] = bloom
@@ -288,10 +291,11 @@ def _commit(table_dir: str, files: list[str], version: int,
     write a ledger-free latest manifest, `vacuum` could then drop the
     only manifests holding the ids, and a crash-replayed micro-batch
     would double-commit."""
+    st = _st(table_dir)
     inherited = committed_batch_ids(table_dir)
     if batch_ids:
         inherited |= {int(b) for b in batch_ids}
-    os.makedirs(_mdir(table_dir), exist_ok=True)
+    st.mkdirs(_mdir(st, table_dir))
     doc = {"version": version, "files": sorted(files)}
     inherited_bloom = bloom_cols if bloom_cols is not None \
         else table_bloom_cols(table_dir)
@@ -301,26 +305,18 @@ def _commit(table_dir: str, files: list[str], version: int,
         doc["stats"] = {f: stats[f] for f in sorted(stats) if f in set(files)}
     if inherited:
         doc["batch_ids"] = sorted(inherited)
-    # write-temp + hard-link = an atomic conditional put: the manifest
-    # appears fully written or not at all (no torn JSON after a crash),
-    # and if another writer already committed this version number the
-    # link fails — callers rebase on the new latest and retry (append)
-    # or surface the conflict (rewrite commits)
-    mtmp = os.path.join(_mdir(table_dir),
-                        f"_tmp-{uuid.uuid4().hex[:8]}.json")
-    with open(mtmp, "w", encoding="utf-8") as f:
-        json.dump(doc, f, indent=1)
+    # exclusive create = an atomic conditional put: if another writer
+    # already committed this version number the create fails — callers
+    # rebase on the new latest and retry (append) or surface the
+    # conflict (rewrite commits)
     try:
-        os.link(mtmp, _manifest_path(table_dir, version))
+        st.create_exclusive(_manifest_path(st, table_dir, version),
+                            json.dumps(doc, indent=1))
     except FileExistsError as e:
         raise ConcurrentCommitError(
             f"version {version} already committed in {table_dir}") from e
-    finally:
-        os.unlink(mtmp)
-    tmp = os.path.join(_mdir(table_dir), "_latest.json.tmp")
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump({"version": version}, f)
-    os.replace(tmp, os.path.join(_mdir(table_dir), "_latest.json"))
+    st.replace_text(st.join(_mdir(st, table_dir), "_latest.json"),
+                    json.dumps({"version": version}))
 
 
 def _new_data_files(df: DataFrame, table_dir: str, batch_tag: str) -> list[str]:
@@ -328,16 +324,21 @@ def _new_data_files(df: DataFrame, table_dir: str, batch_tag: str) -> list[str]:
     # even when both target the same version number — whoever loses the
     # manifest race rebases/retries (append) or aborts (rewrite) and the
     # loser's orphaned files are reclaimed by vacuum
-    # absolute paths in manifests: readers may run from any cwd, and the
-    # scoped-merge probe compares against input_file_name URIs
-    out = os.path.abspath(os.path.join(
+    # canonical paths in manifests (abspath locally, qualified URI on
+    # Hadoop): readers may run from any cwd, and the scoped-merge probe
+    # compares against input_file_name URIs
+    st = _st(table_dir, df.sparkSession)
+    out = st.canon(st.join(
         table_dir, "data", f"{batch_tag}-{uuid.uuid4().hex[:8]}"))
     df.write.mode("error").parquet(out)
-    return [p for p in glob.glob(os.path.join(out, "part-*.parquet"))]
+    return sorted(st.canon(p)
+                  for p in st.list_glob(st.join(out, "part-*.parquet")))
 
 
-def _stats_for(files: list[str], bloom_cols=None) -> dict[str, dict]:
-    return {f: _file_stats(f, bloom_cols) for f in files}
+def _stats_for(table_dir: str, files: list[str],
+               bloom_cols=None) -> dict[str, dict]:
+    st = _st(table_dir)
+    return {f: _file_stats(f, st, bloom_cols) for f in files}
 
 
 def _inherited_stats(table_dir: str, version: int | None) -> dict[str, dict]:
@@ -359,7 +360,7 @@ def write_snapshot(df: DataFrame, table_dir: str,
         bloom_cols = table_bloom_cols(table_dir)
     new_files = _new_data_files(
         df, table_dir, f"b{(latest_version(table_dir) or 0) + 1:05d}")
-    new_stats = _stats_for(new_files, bloom_cols)
+    new_stats = _stats_for(table_dir, new_files, bloom_cols)
     # optimistic-concurrency loop: data files are written ONCE above;
     # only the manifest commit rebases onto whatever latest a concurrent
     # writer just published.  Both modes are rebase-safe — append unions
@@ -468,7 +469,8 @@ def compact_snapshot(spark: SparkSession, table_dir: str,
     new_version = cur + 1
     files = _new_data_files(df, table_dir, f"b{new_version:05d}")
     _commit(table_dir, files, new_version,
-            stats=_stats_for(files, bloom_cols), bloom_cols=bloom_cols)
+            stats=_stats_for(table_dir, files, bloom_cols),
+            bloom_cols=bloom_cols)
     return new_version
 
 
@@ -478,18 +480,23 @@ def vacuum(table_dir: str, keep_versions: int = 2) -> int:
     data files deleted.  (At 100 TB this is the storage-reclaim job; it
     must never run concurrently with a reader pinned to a dropped
     version — retention windows are the standard guard.)"""
+    st = _st(table_dir)
     vs = versions(table_dir)
     keep = set(vs[-keep_versions:]) if keep_versions > 0 else set()
+    # canonicalize BOTH sides: manifests store canonical file names, but
+    # the caller's table_dir (and hence the listing results) may be
+    # relative/non-normalized — a raw string compare would then treat
+    # every live file as unreferenced and delete the table
     referenced: set[str] = set()
     for v in keep:
-        referenced.update(_read_manifest(table_dir, v))
+        referenced.update(st.canon(f) for f in _read_manifest(table_dir, v))
     deleted = 0
     for v in vs:
         if v not in keep:
-            os.remove(_manifest_path(table_dir, v))
-    for p in glob.glob(os.path.join(table_dir, "data", "*", "part-*.parquet")):
-        if p not in referenced:
-            os.remove(p)
+            st.delete(_manifest_path(st, table_dir, v))
+    for p in st.list_glob(st.join(table_dir, "data", "*", "part-*.parquet")):
+        if st.canon(p) not in referenced:
+            st.delete(p)
             deleted += 1
     return deleted
 
@@ -515,6 +522,7 @@ def merge_into_snapshot(spark: SparkSession, table_dir: str,
     the probe join is pure overhead)."""
     from ..operators.scale import merge_upsert
 
+    st = _st(table_dir, spark)
     cur = latest_version(table_dir)
     if cur is None or not scoped:
         merged = merge_upsert(read_version(spark, table_dir), updates, key)
@@ -524,12 +532,16 @@ def merge_into_snapshot(spark: SparkSession, table_dir: str,
              .select(key, F.input_file_name().alias("__f"))
              .join(updates.select(key).distinct(), key)
              .select("__f").distinct().collect())
-    touched_paths = {os.path.abspath(_uri_to_path(r["__f"])) for r in probe}
-    touched = {f for f in files if os.path.abspath(f) in touched_paths}
-    if probe and not touched:
-        # the probe found matches but none mapped back onto manifest
-        # paths (URI scheme/encoding surprise): scoping would duplicate
-        # the matched rows — fall back to the always-correct full rewrite
+    touched_paths = {st.uri_canon(r["__f"]) for r in probe}
+    touched = {f for f in files if st.canon(f) in touched_paths}
+    if len(touched) != len(touched_paths):
+        # SOME probed file failed to map back onto manifest paths (URI
+        # scheme/encoding surprise) — not necessarily all: a partial
+        # mapping would let the unmapped files ride "untouched" with
+        # stale rows while their updates also land in new files,
+        # duplicating keys.  Any shortfall ⇒ the always-correct full
+        # rewrite (touched ⊆ mapped probe paths, so equality holds iff
+        # every probed file mapped).
         merged = merge_upsert(read_version(spark, table_dir), updates, key)
         return write_snapshot(merged, table_dir, mode="overwrite")
     untouched = [f for f in files if f not in touched]
@@ -541,7 +553,7 @@ def merge_into_snapshot(spark: SparkSession, table_dir: str,
     new_files = _new_data_files(merged, table_dir, f"b{new_version:05d}")
     inherited = _inherited_stats(table_dir, cur)
     stats = {**{f: inherited[f] for f in untouched if f in inherited},
-             **_stats_for(new_files, table_bloom_cols(table_dir))}
+             **_stats_for(table_dir, new_files, table_bloom_cols(table_dir))}
     _commit(table_dir, untouched + new_files, new_version, stats=stats)
     return new_version
 
@@ -552,8 +564,7 @@ def committed_batch_ids(table_dir: str) -> set[int]:
     logical overwrite, so ids accumulate monotonically in each commit)."""
     out: set[int] = set()
     for v in versions(table_dir):
-        with open(_manifest_path(table_dir, v), encoding="utf-8") as f:
-            out.update(json.load(f).get("batch_ids", []))
+        out.update(_read_manifest_doc(table_dir, v).get("batch_ids", []))
     return out
 
 
@@ -580,7 +591,7 @@ def commit_stream_batch(batch_df: DataFrame, batch_id: int,
     new_files = _new_data_files(
         batch_df, table_dir,
         f"b{(latest_version(table_dir) or 0) + 1:05d}")
-    new_stats = _stats_for(new_files, table_bloom_cols(table_dir))
+    new_stats = _stats_for(table_dir, new_files, table_bloom_cols(table_dir))
     while True:                       # rebase and retry
         if batch_id in committed_batch_ids(table_dir):
             return False              # re-check after losing a race

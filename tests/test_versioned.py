@@ -3,20 +3,29 @@ vacuum (sinks/versioned.py)."""
 
 from __future__ import annotations
 
-import glob
-import os
-
 import pytest
 
 from databox_adls_loader_spark.sinks import versioned as V
+from databox_adls_loader_spark.sinks.storage import storage_for
+
+
+@pytest.fixture(params=["local", "hadoop"])
+def troot(request, tmp_path):
+    """Table root under BOTH storage impls: a bare POSIX path
+    (LocalStorage) and the same directory as a ``file:`` URI routed
+    through the JVM Hadoop FileSystem (HadoopStorage) — the full
+    versioned-table suite must hold on each."""
+    if request.param == "local":
+        return str(tmp_path)
+    return f"file://{tmp_path}"
 
 
 def _rows(df):
     return {tuple(r) for r in df.collect()}
 
 
-def test_append_versions_and_time_travel(spark, tmp_path):
-    t = str(tmp_path / "tbl")
+def test_append_versions_and_time_travel(spark, troot):
+    t = troot + "/tbl"
     b1 = spark.createDataFrame([(1, "a"), (2, "b")], "id: long, s: string")
     b2 = spark.createDataFrame([(3, "c")], "id: long, s: string")
     assert V.write_snapshot(b1, t) == 1
@@ -27,8 +36,8 @@ def test_append_versions_and_time_travel(spark, tmp_path):
     assert _rows(V.read_version(spark, t, 1)) == {(1, "a"), (2, "b")}
 
 
-def test_logical_overwrite_keeps_history(spark, tmp_path):
-    t = str(tmp_path / "tbl")
+def test_logical_overwrite_keeps_history(spark, troot):
+    t = troot + "/tbl"
     V.write_snapshot(spark.createDataFrame([(1,)], "id: long"), t)
     V.write_snapshot(spark.createDataFrame([(9,)], "id: long"), t,
                      mode="overwrite")
@@ -36,8 +45,8 @@ def test_logical_overwrite_keeps_history(spark, tmp_path):
     assert _rows(V.read_version(spark, t, 1)) == {(1,)}  # history intact
 
 
-def test_compact_preserves_rows_and_old_readers(spark, tmp_path):
-    t = str(tmp_path / "tbl")
+def test_compact_preserves_rows_and_old_readers(spark, troot):
+    t = troot + "/tbl"
     df = spark.createDataFrame([(i,) for i in range(50)], "id: long")
     V.write_snapshot(df.repartition(8), t)
     before = _rows(V.read_version(spark, t))
@@ -48,8 +57,8 @@ def test_compact_preserves_rows_and_old_readers(spark, tmp_path):
     assert len(files) == 1 and len(V._read_manifest(t, 1)) == 8
 
 
-def test_vacuum_deletes_only_unreferenced_files(spark, tmp_path):
-    t = str(tmp_path / "tbl")
+def test_vacuum_deletes_only_unreferenced_files(spark, troot):
+    t = troot + "/tbl"
     V.write_snapshot(spark.createDataFrame([(1,)], "id: long"), t)
     V.write_snapshot(spark.createDataFrame([(2,)], "id: long"), t,
                      mode="overwrite")
@@ -58,9 +67,13 @@ def test_vacuum_deletes_only_unreferenced_files(spark, tmp_path):
     assert n >= 1                       # v1's files referenced by nothing kept
     assert V.versions(t) == [2, 3]
     assert _rows(V.read_version(spark, t)) == {(2,), (3,)}
-    # every remaining data file is referenced
-    remaining = set(glob.glob(os.path.join(t, "data", "*", "part-*.parquet")))
-    referenced = set(V._read_manifest(t, 2)) | set(V._read_manifest(t, 3))
+    # every remaining data file is referenced (canon both sides — the
+    # hadoop impl lists Path.toString forms, manifests store canon URIs)
+    st = storage_for(t, spark)
+    remaining = {st.canon(p) for p in st.list_glob(
+        st.join(t, "data", "*", "part-*.parquet"))}
+    referenced = {st.canon(f) for f in
+                  V._read_manifest(t, 2) + V._read_manifest(t, 3)}
     assert remaining == referenced
 
 
@@ -74,8 +87,8 @@ def test_bad_mode_rejected(spark, tmp_path):
         V.write_snapshot(spark.range(1), str(tmp_path / "t"), mode="replace")
 
 
-def test_merge_into_snapshot_upserts(spark, tmp_path):
-    t = str(tmp_path / "tbl")
+def test_merge_into_snapshot_upserts(spark, troot):
+    t = troot + "/tbl"
     V.write_snapshot(spark.createDataFrame(
         [(1, "old"), (2, "keep")], "id: long, s: string"), t)
     v = V.merge_into_snapshot(spark, t, spark.createDataFrame(
@@ -86,8 +99,8 @@ def test_merge_into_snapshot_upserts(spark, tmp_path):
     assert _rows(V.read_version(spark, t, 1)) == {(1, "old"), (2, "keep")}
 
 
-def test_commit_stream_batch_is_idempotent(spark, tmp_path):
-    t = str(tmp_path / "tbl")
+def test_commit_stream_batch_is_idempotent(spark, troot):
+    t = troot + "/tbl"
     b0 = spark.createDataFrame([(0, "a")], "id: long, s: string")
     b1 = spark.createDataFrame([(1, "b")], "id: long, s: string")
     assert V.commit_stream_batch(b0, 0, t) is True
@@ -99,11 +112,11 @@ def test_commit_stream_batch_is_idempotent(spark, tmp_path):
     assert V.committed_batch_ids(t) == {0, 1}
 
 
-def test_stream_to_versioned_table_exactly_once(spark, tmp_path):
+def test_stream_to_versioned_table_exactly_once(spark, troot, tmp_path):
     """End to end: a real Structured Streaming query writing through
     commit_stream_batch — table contents equal the source exactly."""
     src = str(tmp_path / "src")
-    t = str(tmp_path / "tbl")
+    t = troot + "/tbl"
     spark.createDataFrame([(i, f"s{i}") for i in range(6)],
                           "id: long, s: string").write.parquet(src)
     stream = spark.readStream.schema("id long, s string").parquet(src)
@@ -116,8 +129,8 @@ def test_stream_to_versioned_table_exactly_once(spark, tmp_path):
         (i, f"s{i}") for i in range(6)}
 
 
-def test_batch_ledger_survives_compaction_and_vacuum(spark, tmp_path):
-    t = str(tmp_path / "tbl")
+def test_batch_ledger_survives_compaction_and_vacuum(spark, troot):
+    t = troot + "/tbl"
     for bid in range(3):
         V.commit_stream_batch(
             spark.createDataFrame([(bid,)], "id: long"), bid, t)
@@ -130,8 +143,8 @@ def test_batch_ledger_survives_compaction_and_vacuum(spark, tmp_path):
     assert _rows(V.read_version(spark, t)) == {(0,), (1,), (2,)}
 
 
-def test_additive_schema_evolution(spark, tmp_path):
-    t = str(tmp_path / "tbl")
+def test_additive_schema_evolution(spark, troot):
+    t = troot + "/tbl"
     V.write_snapshot(spark.createDataFrame([(1,)], "id: long"), t)
     V.write_snapshot(spark.createDataFrame(
         [(2, "x")], "id: long, s: string"), t)  # batch adds a column
@@ -143,8 +156,8 @@ def test_additive_schema_evolution(spark, tmp_path):
     assert V.read_version(spark, t, 1).columns == ["id"]
 
 
-def test_manifest_stats_recorded_per_file(spark, tmp_path):
-    t = str(tmp_path / "tbl")
+def test_manifest_stats_recorded_per_file(spark, troot):
+    t = troot + "/tbl"
     df = spark.createDataFrame([(i, f"s{i:03d}") for i in range(100)],
                                "id: long, s: string")
     V.write_snapshot(df.repartition(4), t)
@@ -156,8 +169,8 @@ def test_manifest_stats_recorded_per_file(spark, tmp_path):
         assert st["num_rows"] > 0
 
 
-def test_data_skipping_prunes_files_and_stays_exact(spark, tmp_path):
-    t = str(tmp_path / "tbl")
+def test_data_skipping_prunes_files_and_stays_exact(spark, troot):
+    t = troot + "/tbl"
     df = spark.createDataFrame([(i, i % 7) for i in range(1000)],
                                "id: long, grp: long")
     V.write_snapshot(df.repartition(8), t)
@@ -177,10 +190,10 @@ def test_data_skipping_prunes_files_and_stays_exact(spark, tmp_path):
     assert _rows(V.read_version(spark, t, v, predicates=pred)) == want
 
 
-def test_data_skipping_is_superset_safe_without_clustering(spark, tmp_path):
+def test_data_skipping_is_superset_safe_without_clustering(spark, troot):
     # files written unclustered: stats overlap, nothing prunes, but the
     # residual filter still returns exactly the right rows
-    t = str(tmp_path / "tbl")
+    t = troot + "/tbl"
     V.write_snapshot(spark.range(100).repartition(5), t)
     kept, total = V.prune_files(t, 1, [("id", "=", 42)])
     assert len(kept) >= 1
@@ -188,15 +201,15 @@ def test_data_skipping_is_superset_safe_without_clustering(spark, tmp_path):
         == {(42,)}
 
 
-def test_data_skipping_empty_result_keeps_schema(spark, tmp_path):
-    t = str(tmp_path / "tbl")
+def test_data_skipping_empty_result_keeps_schema(spark, troot):
+    t = troot + "/tbl"
     V.write_snapshot(spark.createDataFrame([(1, "a")], "id: long, s: string"), t)
     got = V.read_version(spark, t, predicates=[("id", "=", 999)])
     assert got.columns == ["id", "s"] and got.count() == 0
 
 
-def test_data_skipping_all_null_file_pruned_for_equality(spark, tmp_path):
-    t = str(tmp_path / "tbl")
+def test_data_skipping_all_null_file_pruned_for_equality(spark, troot):
+    t = troot + "/tbl"
     V.write_snapshot(spark.createDataFrame(
         [(None,), (None,)], "id: long").coalesce(1), t)
     V.write_snapshot(spark.createDataFrame([(7,)], "id: long").coalesce(1), t)
@@ -205,11 +218,11 @@ def test_data_skipping_all_null_file_pruned_for_equality(spark, tmp_path):
     assert _rows(V.read_version(spark, t, predicates=[("id", "=", 7)])) == {(7,)}
 
 
-def test_data_skipping_evolved_column_never_prunes_old_files(spark, tmp_path):
+def test_data_skipping_evolved_column_never_prunes_old_files(spark, troot):
     # files written before a column existed have no stats for it: they
     # must be KEPT (their rows surface NULL, which the residual filter
     # then drops) — absent stats may never mean "prune"
-    t = str(tmp_path / "tbl")
+    t = troot + "/tbl"
     V.write_snapshot(spark.createDataFrame([(1,)], "id: long").coalesce(1), t)
     V.write_snapshot(spark.createDataFrame(
         [(2, 10)], "id: long, extra: long").coalesce(1), t)
@@ -219,11 +232,11 @@ def test_data_skipping_evolved_column_never_prunes_old_files(spark, tmp_path):
     assert {(r["id"], r["extra"]) for r in got.collect()} == {(2, 10)}
 
 
-def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
+def test_zorder_compaction_prunes_both_dimensions(spark, troot):
     # 32×32 grid; after Z-order clustering a small (x, y) rectangle must
     # prune most files — and x-only or y-only ranges must ALSO prune,
     # which a linear sort on x alone cannot deliver for y
-    t = str(tmp_path / "tbl")
+    t = troot + "/tbl"
     pts = [(x, y, x * 32 + y) for x in range(32) for y in range(32)]
     V.write_snapshot(spark.createDataFrame(
         pts, "x: long, y: long, v: long").repartition(8), t)
@@ -239,8 +252,8 @@ def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
         assert len(kept_d) < 16, f"{dim}-only range did not prune"
 
 
-def test_changes_between_insert_update_delete(spark, tmp_path):
-    t = str(tmp_path / "tbl")
+def test_changes_between_insert_update_delete(spark, troot):
+    t = troot + "/tbl"
     V.write_snapshot(spark.createDataFrame(
         [(1, "a"), (2, "b"), (3, "c")], "id: long, s: string"), t)
     V.write_snapshot(spark.createDataFrame(
@@ -252,10 +265,10 @@ def test_changes_between_insert_update_delete(spark, tmp_path):
                    (4, "d", "insert")}
 
 
-def test_changes_between_null_update_not_resurrected(spark, tmp_path):
+def test_changes_between_null_update_not_resurrected(spark, troot):
     # an update that sets a column to NULL must surface NULL, not the
     # old value
-    t = str(tmp_path / "tbl")
+    t = troot + "/tbl"
     V.write_snapshot(spark.createDataFrame([(1, "x")], "id: long, s: string"), t)
     V.write_snapshot(spark.createDataFrame([(1, None)], "id: long, s: string"),
                      t, mode="overwrite")
@@ -263,8 +276,8 @@ def test_changes_between_null_update_not_resurrected(spark, tmp_path):
     assert got == {(1, None, "update_postimage")}
 
 
-def test_scoped_merge_rewrites_only_touched_files(spark, tmp_path):
-    t = str(tmp_path / "tbl")
+def test_scoped_merge_rewrites_only_touched_files(spark, troot):
+    t = troot + "/tbl"
     V.write_snapshot(spark.createDataFrame(
         [(i, f"v{i}") for i in range(100)], "id: long, s: string"), t)
     v = V.compact_snapshot(spark, t, n_files=4, cluster_by=["id"])
@@ -288,8 +301,8 @@ def test_scoped_merge_rewrites_only_touched_files(spark, tmp_path):
         (i, f"v{i}") for i in range(100)}
 
 
-def test_scoped_merge_insert_only_touches_nothing(spark, tmp_path):
-    t = str(tmp_path / "tbl")
+def test_scoped_merge_insert_only_touches_nothing(spark, troot):
+    t = troot + "/tbl"
     V.write_snapshot(spark.createDataFrame(
         [(1, "a"), (2, "b")], "id: long, s: string").coalesce(1), t)
     before = V._read_manifest(t, 1)
@@ -301,8 +314,8 @@ def test_scoped_merge_insert_only_touches_nothing(spark, tmp_path):
         (1, "a"), (2, "b"), (50, "new")}
 
 
-def test_unscoped_merge_still_full_rewrite(spark, tmp_path):
-    t = str(tmp_path / "tbl")
+def test_unscoped_merge_still_full_rewrite(spark, troot):
+    t = troot + "/tbl"
     V.write_snapshot(spark.createDataFrame(
         [(1, "a"), (2, "b")], "id: long, s: string"), t)
     before = V._read_manifest(t, 1)
@@ -312,8 +325,8 @@ def test_unscoped_merge_still_full_rewrite(spark, tmp_path):
     assert _rows(V.read_version(spark, t, v2)) == {(1, "A"), (2, "b")}
 
 
-def test_history_reports_files_rows_and_ledger(spark, tmp_path):
-    t = str(tmp_path / "tbl")
+def test_history_reports_files_rows_and_ledger(spark, troot):
+    t = troot + "/tbl"
     V.write_snapshot(spark.range(10).coalesce(2), t)
     V.commit_stream_batch(spark.range(5).coalesce(1), 7, t)
     h = V.history(t)
@@ -324,8 +337,8 @@ def test_history_reports_files_rows_and_ledger(spark, tmp_path):
     assert not h[0]["is_latest"]
 
 
-def test_rollback_restores_rows_without_rewriting_data(spark, tmp_path):
-    t = str(tmp_path / "tbl")
+def test_rollback_restores_rows_without_rewriting_data(spark, troot):
+    t = troot + "/tbl"
     V.write_snapshot(spark.createDataFrame([(1,), (2,)], "id: long"), t)
     V.write_snapshot(spark.createDataFrame([(99,)], "id: long"), t,
                      mode="overwrite")           # the bad commit
@@ -341,8 +354,8 @@ def test_rollback_restores_rows_without_rewriting_data(spark, tmp_path):
         V.rollback(t, 42)
 
 
-def test_concurrent_commit_never_overwrites_a_manifest(spark, tmp_path):
-    t = str(tmp_path / "tbl")
+def test_concurrent_commit_never_overwrites_a_manifest(spark, troot):
+    t = troot + "/tbl"
     V.write_snapshot(spark.createDataFrame([(1,)], "id: long"), t)
     files = V._read_manifest(t, 1)
     V._commit(t, files, 2)                    # writer A wins version 2
@@ -351,10 +364,10 @@ def test_concurrent_commit_never_overwrites_a_manifest(spark, tmp_path):
     assert V._read_manifest(t, 2) == files    # A's manifest intact
 
 
-def test_append_rebases_over_interleaved_commit(spark, tmp_path):
+def test_append_rebases_over_interleaved_commit(spark, troot):
     # a concurrent writer publishes v2 while our append is in flight:
     # the append must land at v3 and include BOTH commits' rows
-    t = str(tmp_path / "tbl")
+    t = troot + "/tbl"
     V.write_snapshot(spark.createDataFrame([(1,)], "id: long"), t)
 
     real_commit = V._commit
@@ -366,7 +379,7 @@ def test_append_rebases_over_interleaved_commit(spark, tmp_path):
             other = V._new_data_files(
                 spark.createDataFrame([(2,)], "id: long"), t, "b-race")
             real_commit(t, V._read_manifest(t, 1) + other, 2,
-                        stats=V._stats_for(other))
+                        stats=V._stats_for(t, other))
         return real_commit(table_dir, files, version, **kw)
 
     V._commit = racing_commit
@@ -378,22 +391,23 @@ def test_append_rebases_over_interleaved_commit(spark, tmp_path):
     assert _rows(V.read_version(spark, t)) == {(1,), (2,), (3,)}
 
 
-def test_latest_version_survives_stale_pointer(spark, tmp_path):
+def test_latest_version_survives_stale_pointer(spark, troot):
     import json as _json
-    t = str(tmp_path / "tbl")
+    t = troot + "/tbl"
     V.write_snapshot(spark.createDataFrame([(1,)], "id: long"), t)
     V.write_snapshot(spark.createDataFrame([(2,)], "id: long"), t)
     # out-of-order pointer swap: pointer left behind at v1
-    with open(os.path.join(t, "_manifests", "_latest.json"), "w") as f:
-        _json.dump({"version": 1}, f)
+    st = storage_for(t, spark)
+    st.replace_text(st.join(t, "_manifests", "_latest.json"),
+                    _json.dumps({"version": 1}))
     assert V.latest_version(t) == 2           # manifest set is authoritative
     assert _rows(V.read_version(spark, t)) == {(1,), (2,)}
 
 
-def test_pruned_empty_read_resolves_evolved_column(spark, tmp_path):
+def test_pruned_empty_read_resolves_evolved_column(spark, troot):
     # all files pruned by an id predicate; the residual filter references
     # a column only NEWER files carry -> must return empty, not raise
-    t = str(tmp_path / "tbl")
+    t = troot + "/tbl"
     V.write_snapshot(spark.createDataFrame([(1,)], "id: long").coalesce(1), t)
     V.write_snapshot(spark.createDataFrame(
         [(2, 5)], "id: long, extra: long").coalesce(1), t)
@@ -415,10 +429,10 @@ def test_scoped_merge_with_relative_table_dir(spark, tmp_path, monkeypatch):
     assert rows == [(1, "A"), (2, "b")]      # no duplicate id=1
 
 
-def test_bloom_skipping_prunes_unsorted_point_lookups(spark, tmp_path):
+def test_bloom_skipping_prunes_unsorted_point_lookups(spark, troot):
     # random (unclustered) layout: every file's [min,max] spans the key
     # space, so bounds prune NOTHING — the per-file bloom does
-    t = str(tmp_path / "tbl")
+    t = troot + "/tbl"
     import random
     ids = list(range(1000))
     random.Random(7).shuffle(ids)
@@ -438,8 +452,8 @@ def test_bloom_skipping_prunes_unsorted_point_lookups(spark, tmp_path):
     assert got.columns == ["id"] and got.count() == 0
 
 
-def test_bloom_never_false_negative(spark, tmp_path):
-    t = str(tmp_path / "tbl")
+def test_bloom_never_false_negative(spark, troot):
+    t = troot + "/tbl"
     vals = [f"k{i:03d}" for i in range(200)]
     V.write_snapshot(spark.createDataFrame(
         [(v,) for v in vals], "k: string").repartition(4), t,
@@ -449,8 +463,8 @@ def test_bloom_never_false_negative(spark, tmp_path):
             == {(v,)}
 
 
-def test_bloom_cols_are_table_metadata_surviving_rewrites(spark, tmp_path):
-    t = str(tmp_path / "tbl")
+def test_bloom_cols_are_table_metadata_surviving_rewrites(spark, troot):
+    t = troot + "/tbl"
     V.write_snapshot(spark.createDataFrame(
         [(i, f"s{i}") for i in range(50)], "id: long, s: string")
         .coalesce(1), t, bloom_cols=["id"])
@@ -469,10 +483,10 @@ def test_bloom_cols_are_table_metadata_surviving_rewrites(spark, tmp_path):
     assert all("bloom" in st["columns"]["id"] for st in doc["stats"].values())
 
 
-def test_bloom_probe_is_type_canonical(spark, tmp_path):
+def test_bloom_probe_is_type_canonical(spark, troot):
     # the bounds path tolerates cross-type numeric predicates; the bloom
     # path must too — 5.0 against a long column may not false-prune
-    t = str(tmp_path / "tbl")
+    t = troot + "/tbl"
     V.write_snapshot(spark.range(100).coalesce(1), t, bloom_cols=["id"])
     kept, _ = V.prune_files(t, 1, [("id", "=", 5.0)])
     assert len(kept) == 1
