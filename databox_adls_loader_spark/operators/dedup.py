@@ -708,6 +708,54 @@ def contamination_bloom(docs: DataFrame, bench: DataFrame, n: int = 3,
     )
 
 
+def contamination_multibench(docs: DataFrame, benches: dict[str, DataFrame],
+                             n: int = 3, min_shared: int = 2,
+                             m_bits: int = 1 << 20, k_hashes: int = 5,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """Decontaminate one corpus against MANY benchmarks at once — the
+    production shape `contamination_bloom`'s docstring motivates: k eval
+    sets (MMLU, GSM8K, HumanEval, ...) whose union of exact gram sets
+    outgrows broadcast budgets, while a Bloom bitmap over the UNION
+    stays m_bits/8 bytes regardless of k.
+
+    Two-phase plan (Bloom-prefilter → exact-verify):
+      1. ONE bitmap over the union of every benchmark's grams; probe the
+         whole corpus through it (`contamination_bloom`).  No false
+         negatives: a doc sharing ≥ min_shared grams with ANY benchmark
+         shares ≥ min_shared with the union, so it is always flagged.
+      2. Exact per-benchmark verify of ONLY the flagged docs (semi-join
+         slice — a tiny fraction of the corpus): shingle once, join the
+         broadcast (bench, gram) distinct sets, count per (doc, bench).
+
+    Output: (doc_id, bench, n_shared_grams) for every contaminated
+    (doc, benchmark) pair — one doc can be contaminated against several
+    benchmarks; each row says which and how hard.  Exactly equal to the
+    no-prefilter per-bench exact join (the registry oracle proves it),
+    because phase 1 only ever discards true negatives."""
+    from functools import reduce
+
+    union_bench = reduce(lambda a, b: a.unionByName(b),
+                         [b.select(F.col(text_col)) for b in benches.values()])
+    flagged = (contamination_bloom(docs, union_bench, n, min_shared,
+                                   m_bits, k_hashes, text_col, id_col)
+               .filter(F.col("contaminated_maybe"))
+               .select(id_col))
+    probe = (docs.join(flagged, id_col, "left_semi")
+             .select(F.col(id_col),
+                     F.explode(word_shingles(text_col, n)).alias("__g"))
+             .select(id_col, F.xxhash64("__g").alias("g")))
+    bench_grams = reduce(lambda a, b: a.unionByName(b), [
+        b.select(F.explode(word_shingles(text_col, n)).alias("__g"))
+         .select(F.xxhash64("__g").alias("g")).distinct()
+         .withColumn("bench", F.lit(name))
+        for name, b in benches.items()])
+    return (probe.join(F.broadcast(bench_grams), "g")
+            .groupBy(id_col, "bench")
+            .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+            .filter(F.col("n_shared_grams") >= min_shared))
+
+
 def incremental_exact_dedup(incoming: DataFrame, corpus: DataFrame,
                             text_col: str = "text",
                             id_col: str = "doc_id") -> DataFrame:

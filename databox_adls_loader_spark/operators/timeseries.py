@@ -116,7 +116,8 @@ def gap_fill_forward(daily: DataFrame, key_col: str, date_col: str,
 
 def rolling_zscore_anomalies(daily: DataFrame, day_col: str = "day",
                              value_col: str = "val", window: int = 7,
-                             z: int = 3, min_points: int = 4) -> DataFrame:
+                             z: int = 3, min_points: int = 4,
+                             partition_by: str | None = None) -> DataFrame:
     """Trailing-window z-score anomaly flags in EXACT integer math.
 
     For each point x with trailing-window (previous ``window`` rows)
@@ -131,12 +132,15 @@ def rolling_zscore_anomalies(daily: DataFrame, day_col: str = "day",
     (window · max|x|)² < 9.2e18, i.e. |x| ≲ 4e8 at window 7 — past
     that, widen to decimal(38,0) on both engines.
 
-    The window is a bare ordered frame over the PRE-AGGREGATED series —
-    bounded by |days|, the documented post-aggregate exception to the
-    no-global-window rule (PLANS.md); partition by series key for
-    per-key fleets."""
-    w = (Window.orderBy(day_col)
-         .rowsBetween(-window, -1))
+    ``partition_by`` is the series key for per-key FLEETS (one z-score
+    stream per nation/device/tenant): the frame partitions on it, so a
+    million series parallelize across executors with no global sort.
+    With ``partition_by=None`` the window is a bare ordered frame over
+    the PRE-AGGREGATED series — bounded by |days|, the documented
+    post-aggregate exception to the no-global-window rule (PLANS.md)."""
+    base = (Window.partitionBy(partition_by).orderBy(day_col)
+            if partition_by else Window.orderBy(day_col))
+    w = base.rowsBetween(-window, -1)
     x = F.col(value_col)
     n = F.count(value_col).over(w)
     s1 = F.sum(value_col).over(w)
