@@ -23,6 +23,11 @@ def get_spark(app_name: str = "databox-adls-loader-spark",
     shuffle partitions default to the same so a local run has no idle
     reducers — on a real cluster you would size this to 2-3× total cores.
     """
+    # make google.protobuf importable (vendored mini-runtime fallback)
+    # BEFORE the JVM launches, so Python workers inherit the PYTHONPATH —
+    # the transformWithStateInPandas state clients import it executor-side
+    from .vendor import ensure_protobuf
+    ensure_protobuf()
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = cpus
