@@ -522,12 +522,16 @@ def _bpe_loop(docs: DataFrame, text_col: str, n_merges: int):
     cnt)``).
 
     The vocabulary relation is persisted once (iterations re-scan IT,
-    never the corpus), and each iteration's winner is a 1-ROW bounded
-    collect embedded as literals in the next fold — so total work is
-    O(n_merges) vocabulary aggregations with shallow lineage, not the
-    O(n_merges²) recompute a lazy chain of limit(1) frames would cost,
-    and an exhausted vocabulary (no pairs anywhere) ends the loop
-    instead of annihilating the relation."""
+    never the corpus), each iteration's winner is a 1-ROW bounded
+    collect embedded as literals in the next fold, and every applied
+    merge is `localCheckpoint`-materialized (the `connected_components`
+    pattern): the logical plan stays ONE fold deep per iteration, so
+    total work is O(n_merges · |vocab|) — linear in merges.  Without
+    the checkpoint the plan would nest rank folds deep and both
+    Catalyst analysis and recompute would grow O(n_merges²), which at
+    realistic merge counts (10⁴–10⁵ for a production tokenizer)
+    dominates everything.  An exhausted vocabulary (no pairs anywhere)
+    ends the loop instead of annihilating the relation."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     words = (
@@ -564,7 +568,8 @@ def _bpe_loop(docs: DataFrame, text_col: str, n_merges: int):
                 & (F.element_at(acc, -1) == lc) & (x == rc),
                 F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
                          F.array(F.lit(l + r)))
-            ).otherwise(F.concat(acc, F.array(x)))))
+            ).otherwise(F.concat(acc, F.array(x)))
+        )).localCheckpoint()           # truncate lineage: 1 fold per iter
     return words, merges
 
 

@@ -420,6 +420,45 @@ def test_bpe_matches_reference_on_random_corpora(spark):
     check()
 
 
+def test_bpe_64_merges_matches_reference_and_stays_linear(spark):
+    """Realistic merge count (round-5 verdict item #6): 64 merges at
+    sf0.1 must (a) exactly match the brute-force reference on the same
+    word-frequency relation and (b) cost O(n_merges) — the
+    localCheckpoint in `_bpe_loop` keeps the plan one fold deep per
+    iteration; without it Catalyst analysis + recompute grow
+    quadratically and the 64/16 runtime ratio explodes."""
+    import os
+    import time
+
+    from databox_adls_loader_spark.operators.text import (
+        bpe_train_merges, bpe_word_tokens)
+
+    sf01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    docs = spark.read.parquet(os.path.join(sf01, "documents.parquet"))
+
+    t0 = time.monotonic()
+    got16 = [tuple(r) for r in bpe_train_merges(docs, n_merges=16).collect()]
+    t16 = time.monotonic() - t0
+    t0 = time.monotonic()
+    got64 = [tuple(r) for r in bpe_train_merges(docs, n_merges=64).collect()]
+    t64 = time.monotonic() - t0
+
+    # (a) exact agreement with the driver-side reference implementation
+    freqs = {r["word"]: r["freq"] for r in
+             docs.select(F.explode(bpe_word_tokens("text")).alias("word"))
+                 .groupBy("word").count()
+                 .withColumnRenamed("count", "freq").collect()}
+    assert got64 == _ref_bpe(freqs, 64)
+    assert got16 == got64[:16]        # prefix-stable: same greedy order
+
+    # (b) linear scaling: 4x the merges must stay well under 4x the time
+    # once the shared vocab build amortizes; the quadratic failure mode
+    # lands >8x.  Generous bound so host noise can't flake it.
+    assert t64 < 60, f"64 merges took {t64:.1f}s (budget 60s)"
+    assert t64 < 4 * t16 + 10, \
+        f"non-linear scaling: 16 merges {t16:.1f}s vs 64 merges {t64:.1f}s"
+
+
 def test_bpe_exhaustion_yields_fewer_merges_not_empty_vocab(spark):
     from databox_adls_loader_spark.operators.text import (
         bpe_token_counts, bpe_train_merges)
