@@ -89,9 +89,35 @@ def perm_constants(k: int, seed: int = 5) -> list[tuple[int, int]]:
 
 
 def _perm_hash(base: Column, a: int, b: int) -> Column:
-    """(a·base + b) mod p in exact decimal arithmetic, back to a long."""
-    prod = F.lit(a).cast("decimal(38,0)") * base.cast("decimal(38,0)")
-    return ((prod + F.lit(b)) % F.lit(_PERM_PRIME)).cast("long")
+    """(a·base + b) mod p, p = 2⁶¹−1, in pure 64-bit integer expressions.
+
+    The Mersenne modulus admits a split multiply that never leaves
+    signed-64 range (2⁶¹ ≡ 1, 2⁶² ≡ 2 mod p): split base and ``a`` at 31
+    bits, reduce each partial with shift-and-fold.  Exactly the value
+    the old decimal(38) form computed — the DuckDB oracle keeps its
+    HUGEINT arithmetic — but it stays inside whole-stage codegen as ~15
+    long ops instead of a BigDecimal multiply+mod per (shingle,
+    permutation): the sf1 scaling probe measured the decimal form at
+    ~1.4M perm-evals/s/core, the CPU wall of the whole MinHash path.
+
+    Bounds (asserted by the 200k-case reference check in
+    tests/test_dedup_similarity.py): base < 2⁶¹, 0 ≤ a, b < p; every
+    intermediate stays < 2⁶³, so ANSI overflow checks never fire."""
+    x1 = F.shiftright(base, 31)                       # < 2^30
+    x0 = base.bitwiseAND(F.lit((1 << 31) - 1))        # < 2^31
+    y1, y0 = a >> 31, a & ((1 << 31) - 1)
+    t1 = x1 * F.lit(2 * y1)                           # x1·y1·2^62 ≡ 2·x1·y1
+    m = x1 * F.lit(y0) + x0 * F.lit(y1)               # < 2^62
+    m1 = F.shiftright(m, 30)                          # m·2^31 ≡ m1 + m0·2^31
+    m0 = m.bitwiseAND(F.lit((1 << 30) - 1))
+    t3raw = x0 * F.lit(y0)                            # < 2^62
+    t3 = (t3raw.bitwiseAND(F.lit(_PERM_PRIME))
+          + F.shiftright(t3raw, 61))
+    s1 = t1 + m1 + F.shiftleft(m0, 31)
+    s1f = s1.bitwiseAND(F.lit(_PERM_PRIME)) + F.shiftright(s1, 61)
+    s2 = s1f + t3 + F.lit(b)
+    r = s2.bitwiseAND(F.lit(_PERM_PRIME)) + F.shiftright(s2, 61)
+    return F.when(r >= _PERM_PRIME, r - _PERM_PRIME).otherwise(r)
 
 
 # ---------------------------------------------------------------------------
@@ -249,13 +275,16 @@ def minhash_near_dupes(docs: DataFrame, text_col: str = "text",
     signatures on the md5-derived hash so the whole pipeline is
     reproducible in the DuckDB oracle (see md5_long)."""
     # sigs feeds the band self-join (twice) and both verify joins — persist
-    # so the signature computation runs once, not four times.  The caller
-    # releases the cache after consuming the result (cache.release_cached);
-    # an unpersist here would fire before the lazy plan ever ran.
+    # AND materialize eagerly: a lazy persist consumed four times inside
+    # ONE job races the subtrees before the cache fills, recomputing the
+    # CPU-heavy signature aggregate up to 4× (sf1 probe: the whole query
+    # dropped ~4× when this count() landed).  The caller releases the
+    # cache after consuming the result (cache.release_cached).
     if k % bands != 0:
         raise ValueError(f"k={k} not divisible by bands={bands}: "
                          "trailing signature components would be dropped")
     sigs = minhash_docs(docs, text_col, id_col, k, shingle_n, portable).persist()
+    sigs.count()
     cands = lsh_candidate_pairs(sigs, bands, portable=portable)
     a = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))

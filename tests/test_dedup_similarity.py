@@ -780,3 +780,27 @@ def test_prefix_filter_join_is_lossless_vs_full_join(spark):
         assert fast == full
 
     check()
+
+
+def test_perm_hash_integer_form_matches_reference(spark):
+    """The Mersenne split-multiply `_perm_hash` must equal
+    (a·x + b) mod (2^61−1) computed in unbounded Python ints — 200k
+    random draws plus the overflow corners (max base, max constants),
+    evaluated through the real codegen path."""
+    import random
+
+    from databox_adls_loader_spark.operators.dedup import (
+        _PERM_PRIME, _perm_hash, perm_constants)
+
+    rnd = random.Random(17)
+    xs = [rnd.randrange(0, 1 << 60) for _ in range(200_000)]
+    xs += [0, 1, (1 << 60) - 1]
+    df = spark.createDataFrame([(x,) for x in xs], "x: long")
+    consts = list(perm_constants(4)) + [
+        (0, 0), (1, 0), (_PERM_PRIME - 1, _PERM_PRIME - 1)]
+    cols = [_perm_hash(F.col("x"), a, b).alias(f"p{i}")
+            for i, (a, b) in enumerate(consts)]
+    got = df.select("x", *cols).collect()
+    for r in got:
+        for i, (a, b) in enumerate(consts):
+            assert r[f"p{i}"] == (a * r["x"] + b) % _PERM_PRIME

@@ -9,6 +9,14 @@ This probe measures that directly over two decades of data size
 (sf0.001 → sf0.1, 100×).  Host noise caveats from PERF.md apply — read
 ratios, not absolute numbers.
 
+The sf1 decade (10× the bench SF) is generated locally on demand
+(tools/gen_sf1.py → /tmp/spark-graft-sf1, documents + orders only) and
+probed with the heaviest self-join/iterative shapes — the round-5
+verdict's cheapest-possible super-linear-term detector.  It already
+paid for itself: the sf1 run exposed the decimal `_perm_hash` CPU wall
+and the lazily-persisted signature fan-out recompute in
+`dedup_minhash_lsh` (both fixed round 6, ~4× on the query).
+
 Usage: python tools/scaling_probe.py [query ...]   (default: headliners)
 """
 
@@ -31,6 +39,9 @@ HEADLINERS = [
     "flagship_revenue_by_priority",  # join + agg
     "dedup_exact",               # canonical hash groupBy
     "dedup_minhash_lsh",         # banded LSH candidate join
+    "dedup_simhash",             # pigeonhole block join
+    "dedup_jaccard_prefix_filter",   # PPJoin prefix self-join
+    "graph_pagerank_jaccard",    # iterative graph rounds
     "text_token_stats",          # map-side text stats
     "text_bpe_merges",           # iterative vocab loop
     "sim_topk_bruteforce",       # map-side score + TakeOrdered
@@ -43,6 +54,9 @@ TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
     "flagship_revenue_by_priority": "lineitem",
     "dedup_exact": "documents",
     "dedup_minhash_lsh": "documents",
+    "dedup_simhash": "documents",
+    "dedup_jaccard_prefix_filter": "documents",
+    "graph_pagerank_jaccard": "documents",
     "text_token_stats": "documents",
     "text_bpe_merges": "documents",
     "sim_topk_bruteforce": "embeddings",
@@ -50,20 +64,38 @@ TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
     "prof_ks_drift_by_status": "orders",
 }
 
+# the heavy shapes probed one decade PAST the bench SF, on the locally
+# generated sf1 tables (documents + orders only — queries needing other
+# tables stay on the driver-provided SFs)
+SF1_QUERIES = [
+    "dedup_jaccard_prefix_filter",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_bpe_merges",
+    "graph_pagerank_jaccard",
+    "prof_ks_drift_by_status",
+]
+
 
 def main() -> None:
     from databox_adls_loader_spark import cache
     from databox_adls_loader_spark.plans.queries import all_queries
     from databox_adls_loader_spark.session import get_spark, load_tables
 
+    from gen_sf1 import ensure_sf1
+
     names = sys.argv[1:] or HEADLINERS
     qs = all_queries()
     spark = get_spark("scaling-probe")
     out: dict[str, dict] = {}
-    for sf_dir in SF_DIRS:
-        sf = sf_dir.rsplit("sf", 1)[1]
+    sf1_dir = ensure_sf1()
+    for sf_dir in SF_DIRS + [sf1_dir]:
+        is_sf1 = sf_dir == sf1_dir
+        sf = "1" if is_sf1 else sf_dir.rsplit("sf", 1)[1]
         rows_of = {}
         for name in names:
+            if is_sf1 and name not in SF1_QUERIES:
+                continue
             table = TABLE_OF.get(name)
             if table and table not in rows_of:
                 rows_of[table] = load_tables(
@@ -77,7 +109,7 @@ def main() -> None:
             out.setdefault(name, {})[f"sf{sf}"] = {
                 "sec": round(dt, 4), "rows": n,
                 "rows_per_sec": round(n / dt) if n else None}
-    doc = {"sf_dirs": SF_DIRS, "queries": out}
+    doc = {"sf_dirs": SF_DIRS + [sf1_dir], "queries": out}
     with open(os.path.join(REPO_ROOT, "SCALING.json"), "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
     for name, d in out.items():
