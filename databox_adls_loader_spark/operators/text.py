@@ -595,6 +595,65 @@ def bpe_token_counts(docs: DataFrame, text_col: str = "text",
                  F.sum(F.length("word")).alias("n_chars")))
 
 
+def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Top-k documents by BM25 (public ranking function, Robertson et
+    al.) for a fixed bag of query terms — the retrieval scorer behind
+    RAG corpus search and dedup-aware sampling by query relevance.
+
+    Engine-portable float discipline (the tfidf_top_terms convention,
+    extended to a multi-factor score): idf is the LOG-FREE rational
+    (N − df + 0.5)/(df + 0.5) — monotone in the classic ln-idf, so
+    ranking is preserved while staying libm-free; every factor is
+    derived from integers (tf, df, dl, Σdl, N), each per-term
+    contribution is ONE fixed-association double expression rounded to
+    6dp, and the final score sums the ≤|q| per-term columns in fixed
+    left-to-right order — no SUM() aggregation, so float summation
+    order can never flip the hash.
+
+    Plan: token explode → (doc,term) tf filtered to the query terms
+    (broadcast literal set) + per-doc lengths, df over the tf relation,
+    corpus scalars as a 1-row broadcast; the per-term pivot is |q|
+    left joins on the doc id.  Scale: everything is keyed by doc or
+    term; the only unbounded relation shuffled is the (doc, dl) pair."""
+    toks = docs.select(
+        F.col(id_col), F.explode(bpe_ish_tokens(text_col)).alias("term"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    scalars = F.broadcast(
+        docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+            toks.agg(F.count(F.lit(1)).alias("total_toks"))))
+    tf = (toks.filter(F.col("term").isin(list(query_terms)))
+          .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # one fixed-association double chain, mirrored verbatim in the SQL
+    # oracle: avgdl = T·1.0/N; idf·(tf·(k1+1)) / (tf + k1·((1−b) + b·dl/avgdl))
+    avgdl = (F.col("total_toks").cast("double") * F.lit(1.0)
+             / F.col("n_docs").cast("double"))
+    idf = ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)) \
+        / (F.col("df").cast("double") + F.lit(0.5))
+    denom = F.col("tf").cast("double") + F.lit(k1) * (
+        (F.lit(1.0) - F.lit(b))
+        + F.lit(b) * F.col("dl").cast("double") / avgdl)
+    contrib = (tf.join(dfreq, "term").join(dl, id_col).crossJoin(scalars)
+               .select(id_col, "term",
+                       F.round(idf * (F.col("tf").cast("double")
+                                      * F.lit(k1 + 1.0)) / denom, 6)
+                       .alias("c")))
+    wide = dl.select(id_col)
+    parts = []
+    for i, t in enumerate(query_terms):
+        ci = (contrib.filter(F.col("term") == t)
+              .select(F.col(id_col), F.col("c").alias(f"__c{i}")))
+        wide = wide.join(ci, id_col, "left")
+        parts.append(F.coalesce(f"__c{i}", F.lit(0.0)))
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p            # fixed left-to-right association
+    return (wide.select(F.col(id_col), F.round(score, 6).alias("bm25"))
+            .orderBy(F.desc("bm25"), F.asc(id_col)).limit(k))
+
+
 def lm_fluency_scores(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
     """Self-trained bigram-LM fluency score per document — the gibberish

@@ -203,3 +203,85 @@ def trend_revenue_ols_fleet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num.cast("double") / den.cast("double"), 6)
         .alias("slope_cents_per_day"))
         .orderBy("series"))
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval + record-linkage blocking
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_bm25_topk",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+             AS term
+      FROM documents
+    ), dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    t AS (SELECT COUNT(*) AS total_toks FROM toks),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ('spark', 'hash', 'window') GROUP BY 1, 2
+    ), df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    contrib AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(((n.n_docs - df.df + 0.5e0) / (df.df + 0.5e0))
+                   * (tf.tf * 2.2e0)
+                   / (tf.tf + 1.2e0 * ((1e0 - 0.75e0)
+                        + 0.75e0 * dl.dl
+                          / (t.total_toks * 1.0e0 / n.n_docs))), 6) AS c
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN n CROSS JOIN t
+    ), wide AS (
+      SELECT dl.doc_id,
+             MAX(CASE WHEN c.term = 'spark'  THEN c.c END) AS c0,
+             MAX(CASE WHEN c.term = 'hash'   THEN c.c END) AS c1,
+             MAX(CASE WHEN c.term = 'window' THEN c.c END) AS c2
+      FROM dl LEFT JOIN contrib c ON dl.doc_id = c.doc_id
+      GROUP BY dl.doc_id
+    )
+    SELECT doc_id,
+           ROUND(COALESCE(c0, 0e0) + COALESCE(c1, 0e0)
+                 + COALESCE(c2, 0e0), 6) AS bm25
+    FROM wide ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+    tags=["text", "retrieval", "bm25"],
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the fixed query {spark, hash, window} (operator:
+    `operators/text.bm25_topk`) — log-free rational idf, one
+    fixed-association double chain per term rounded to 6dp, per-term
+    pivot summed in fixed order: the whole retrieval scorer
+    value-hash-checks against DuckDB (e-notation literals keep the SQL
+    side in doubles, not decimals)."""
+    from ..operators.text import bm25_topk
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "hash", "window"], k=10)
+
+
+@register(
+    "er_part_name_pairs",
+    oracle="""
+    SELECT a.p_partkey AS a, b.p_partkey AS b, a.p_brand,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY a, b
+    """,
+    tags=["dedup", "entity-resolution", "blocking"],
+)
+def er_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage candidates over the part dimension: block on
+    p_brand, verify with levenshtein ≤ 3 inside each block (operator:
+    `operators/dedup.blocked_edit_pairs`) — fuzzy structured-record
+    dedup with integer-exact distances, so the full pair set
+    value-hashes against DuckDB.  Candidates are Σ|block|², never n²."""
+    from ..operators.dedup import blocked_edit_pairs
+
+    (part,) = _t(spark, sf_dir, "part")
+    return (blocked_edit_pairs(part, "p_brand", "p_partkey", "p_name",
+                               max_dist=3)
+            .orderBy("a", "b"))
