@@ -496,3 +496,34 @@ def test_bloom_probe_is_type_canonical(spark, troot):
     # still exact either way
     assert V.read_version(spark, t,
                           predicates=[("id", "=", 5.5)]).count() == 0
+
+
+def test_canon_uri_normalizes_all_spellings():
+    """Every spelling of the same file URI must canonicalize equal —
+    `Path.toString()` prints file:/x, `input_file_name()` prints
+    file:///x with percent-escapes; a mismatch here is exactly the bug
+    class the vacuum/scoped-merge comparisons guard against."""
+    from databox_adls_loader_spark.sinks.storage import _canon_uri
+
+    want = "file:///tmp/a b/x.parquet"
+    assert _canon_uri("file:/tmp/a b/x.parquet") == want
+    assert _canon_uri("file:///tmp/a%20b/x.parquet") == want
+    assert _canon_uri("file://tmp/../tmp/a b/x.parquet") != want  # authority kept
+    # scheme+authority preserved for remote stores
+    assert _canon_uri("hdfs://nn:8020/data/t/p.parquet") == \
+        "hdfs://nn:8020/data/t/p.parquet"
+    assert _canon_uri("abfss://c@acct.dfs.core.windows.net/t/p%231.parquet") \
+        == "abfss://c@acct.dfs.core.windows.net/t/p#1.parquet"
+    # bare local path -> abspath
+    import os
+    assert _canon_uri("rel/x.parquet") == os.path.abspath("rel/x.parquet")
+
+
+def test_storage_for_scheme_dispatch(spark):
+    from databox_adls_loader_spark.sinks.storage import (
+        HadoopStorage, LocalStorage, storage_for)
+
+    assert isinstance(storage_for("/tmp/t"), LocalStorage)
+    assert isinstance(storage_for("relative/dir"), LocalStorage)
+    assert isinstance(storage_for("file:///tmp/t", spark), HadoopStorage)
+    assert isinstance(storage_for("hdfs://nn/t", spark), HadoopStorage)
