@@ -70,12 +70,19 @@ def md5_long(col: Column | str, seed: int | None = None) -> Column:
 
 
 # MinHash permutation family: h_j(x) = (a_j·x + b_j) mod p over the
-# Mersenne prime 2^61−1 — one base md5 per shingle, then k cheap exact
-# integer permutations (vs k md5 digests, which made the portable path
-# ~4× the xxhash64 one).  The product a·x < 2^31·2^60 = 2^91 exceeds a
-# long, so Spark carries it in decimal(38,0) (Int128 in Tungsten) and
-# DuckDB in HUGEINT — both exact, both codegen/vectorized.
-_PERM_PRIME = (1 << 61) - 1
+# Mersenne prime p = 2^31−1 — one base md5 per shingle, then k cheap
+# exact integer permutations (vs k md5 digests, which made the portable
+# path ~4× the xxhash64 one).  The 31-bit prime is the classic MinHash
+# implementation choice: with a, b < 2^31 and the base pre-reduced
+# mod p, every product stays < 2^62 — FOUR plain codegen long ops per
+# permutation on both engines (earlier 2^61−1 variants needed
+# decimal(38)/HUGEINT 128-bit products or a 15-op split multiply; the
+# 128-bit form was the measured CPU wall of the whole MinHash path —
+# see PERF.md round-6).  31-bit min-hash components add ~|shingles|/2^31
+# collision probability per (pair, perm) — noise orders below the
+# 1/k estimator resolution, and in any case mirrored bit-for-bit by
+# the oracle, which computes the identical family.
+_PERM_PRIME = (1 << 31) - 1
 
 
 def perm_constants(k: int, seed: int = 5) -> list[tuple[int, int]]:
@@ -89,35 +96,18 @@ def perm_constants(k: int, seed: int = 5) -> list[tuple[int, int]]:
 
 
 def _perm_hash(base: Column, a: int, b: int) -> Column:
-    """(a·base + b) mod p, p = 2⁶¹−1, in pure 64-bit integer expressions.
+    """(a·base + b) mod p, p = 2³¹−1, in FOUR plain long expressions.
 
-    The Mersenne modulus admits a split multiply that never leaves
-    signed-64 range (2⁶¹ ≡ 1, 2⁶² ≡ 2 mod p): split base and ``a`` at 31
-    bits, reduce each partial with shift-and-fold.  Exactly the value
-    the old decimal(38) form computed — the DuckDB oracle keeps its
-    HUGEINT arithmetic — but it stays inside whole-stage codegen as ~15
-    long ops instead of a BigDecimal multiply+mod per (shingle,
-    permutation): the sf1 scaling probe measured the decimal form at
-    ~1.4M perm-evals/s/core, the CPU wall of the whole MinHash path.
-
-    Bounds (asserted by the 200k-case reference check in
-    tests/test_dedup_similarity.py): base < 2⁶¹, 0 ≤ a, b < p; every
-    intermediate stays < 2⁶³, so ANSI overflow checks never fire."""
-    x1 = F.shiftright(base, 31)                       # < 2^30
-    x0 = base.bitwiseAND(F.lit((1 << 31) - 1))        # < 2^31
-    y1, y0 = a >> 31, a & ((1 << 31) - 1)
-    t1 = x1 * F.lit(2 * y1)                           # x1·y1·2^62 ≡ 2·x1·y1
-    m = x1 * F.lit(y0) + x0 * F.lit(y1)               # < 2^62
-    m1 = F.shiftright(m, 30)                          # m·2^31 ≡ m1 + m0·2^31
-    m0 = m.bitwiseAND(F.lit((1 << 30) - 1))
-    t3raw = x0 * F.lit(y0)                            # < 2^62
-    t3 = (t3raw.bitwiseAND(F.lit(_PERM_PRIME))
-          + F.shiftright(t3raw, 61))
-    s1 = t1 + m1 + F.shiftleft(m0, 31)
-    s1f = s1.bitwiseAND(F.lit(_PERM_PRIME)) + F.shiftright(s1, 61)
-    s2 = s1f + t3 + F.lit(b)
-    r = s2.bitwiseAND(F.lit(_PERM_PRIME)) + F.shiftright(s2, 61)
-    return F.when(r >= _PERM_PRIME, r - _PERM_PRIME).otherwise(r)
+    Correct for ANY long ``base`` — mod is a ring homomorphism, so
+    reducing the base first preserves the value:
+    ``(a·(base mod p) + b) mod p == (a·base + b) mod p``.  With
+    0 ≤ a, b < 2³¹ the product stays < 2⁶², so ANSI overflow checks
+    never fire and the whole permutation is codegen long arithmetic —
+    no decimal(38)/HUGEINT 128-bit products (asserted against
+    unbounded-int reference math by the 200k-case test in
+    tests/test_dedup_similarity.py)."""
+    return F.pmod(F.lit(a) * F.pmod(base, F.lit(_PERM_PRIME)) + F.lit(b),
+                  F.lit(_PERM_PRIME))
 
 
 # ---------------------------------------------------------------------------
@@ -189,7 +179,7 @@ def minhash_docs(docs: DataFrame, text_col: str = "text",
 
     ``portable=True`` swaps the k seeded xxhash64 draws for ONE
     md5-derived 60-bit base hash (md5_long) fed through k linear
-    permutations (a_j·h + b_j) mod (2^61−1) — the classic MinHash
+    permutations (a_j·h + b_j) mod (2^31−1) — the classic MinHash
     permutation family, fully reproducible in the DuckDB oracle and only
     one digest per shingle.  The default stays xxhash64 for
     production-scale runs where no cross-engine check is needed."""

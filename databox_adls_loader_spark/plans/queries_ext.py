@@ -139,8 +139,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, {_hex15_to_long('m')} AS h FROM hh
     ), hx AS (
       SELECT doc_id, j,
-             MIN(CAST((CAST(a AS HUGEINT) * CAST(h AS HUGEINT) + b)
-                      % 2305843009213693951 AS BIGINT)) AS hmin
+             MIN((a * (h % 2147483647) + b) % 2147483647) AS hmin
       FROM hb CROSS JOIN perms GROUP BY doc_id, j
     ), sig AS (
       SELECT doc_id, list(hmin ORDER BY j) AS sig FROM hx GROUP BY doc_id

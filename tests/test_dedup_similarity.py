@@ -783,8 +783,8 @@ def test_prefix_filter_join_is_lossless_vs_full_join(spark):
 
 
 def test_perm_hash_integer_form_matches_reference(spark):
-    """The Mersenne split-multiply `_perm_hash` must equal
-    (a·x + b) mod (2^61−1) computed in unbounded Python ints — 200k
+    """The pre-reduced `_perm_hash` must equal
+    (a·x + b) mod (2^31−1) computed in unbounded Python ints — 200k
     random draws plus the overflow corners (max base, max constants),
     evaluated through the real codegen path."""
     import random
