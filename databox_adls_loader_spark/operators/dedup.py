@@ -775,34 +775,39 @@ def contamination_multibench(docs: DataFrame, benches: dict[str, DataFrame],
             .filter(F.col("n_shared_grams") >= min_shared))
 
 
-def blocked_edit_pairs(records: DataFrame, block_col: str, id_col: str,
-                       text_col: str, max_dist: int = 3) -> DataFrame:
-    """Entity-resolution candidate pairs: BLOCK on a cheap key, verify
+def blocked_edit_pairs(records: DataFrame, block_cols: str | list[str],
+                       id_col: str, text_col: str,
+                       max_dist: int = 3) -> DataFrame:
+    """Entity-resolution candidate pairs: BLOCK on cheap keys, verify
     with edit distance inside each block (public technique: standard
     record-linkage blocking, cf. Fellegi-Sunter pipelines) — fuzzy
     dedup for structured records where n-gram Jaccard is too coarse
     (short names, typos).
 
-    Returns (a, b, <block_col>, edit_dist) for every within-block pair
-    with levenshtein ≤ ``max_dist``.  Both engines implement
+    Returns (a, b, <block_cols...>, edit_dist) for every within-block
+    pair with levenshtein ≤ ``max_dist``.  Both engines implement
     levenshtein identically (integer), so the pair set value-hashes.
 
     Scale: candidates are Σ|block|², never n² — the operator's whole
-    job is to make the quadratic term per-block.  Pick block keys so
-    the hottest block stays bounded (brand/zip/soundex); a skewed block
-    is AQE-splittable since verification is stateless per pair."""
-    left = records.select(F.col(block_col),
+    job is to make the quadratic term per-block, and compound keys
+    (brand + name prefix, zip + soundex) are how the hottest block
+    stays bounded as the table grows; recall lost to a blocking key is
+    recovered the standard way, by unioning passes over DIFFERENT key
+    sets.  A skewed block is AQE-splittable since verification is
+    stateless per pair."""
+    blocks = [block_cols] if isinstance(block_cols, str) else list(block_cols)
+    left = records.select(*[F.col(c) for c in blocks],
                           F.col(id_col).alias("a"),
                           F.col(text_col).alias("__ta"))
-    right = records.select(F.col(block_col),
+    right = records.select(*[F.col(c) for c in blocks],
                            F.col(id_col).alias("b"),
                            F.col(text_col).alias("__tb"))
     return (
-        left.join(right, block_col)
+        left.join(right, blocks)
         .filter(F.col("a") < F.col("b"))
         .withColumn("edit_dist", F.levenshtein("__ta", "__tb"))
         .filter(F.col("edit_dist") <= max_dist)
-        .select("a", "b", block_col, "edit_dist")
+        .select("a", "b", *blocks, "edit_dist")
     )
 
 

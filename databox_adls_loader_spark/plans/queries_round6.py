@@ -265,23 +265,33 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "er_part_name_pairs",
     oracle="""
     SELECT a.p_partkey AS a, b.p_partkey AS b, a.p_brand,
+           split_part(a.p_name, ' ', 1) AS name_head,
            CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
     FROM part a JOIN part b
-      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-    WHERE levenshtein(a.p_name, b.p_name) <= 3
+      ON a.p_brand = b.p_brand
+     AND split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
     ORDER BY a, b
     """,
     tags=["dedup", "entity-resolution", "blocking"],
 )
 def er_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Record-linkage candidates over the part dimension: block on
-    p_brand, verify with levenshtein ≤ 3 inside each block (operator:
+    """Record-linkage candidates over the part dimension: block on the
+    COMPOUND key (p_brand, first name token), verify with
+    levenshtein ≤ 2 inside each block (operator:
     `operators/dedup.blocked_edit_pairs`) — fuzzy structured-record
     dedup with integer-exact distances, so the full pair set
-    value-hashes against DuckDB.  Candidates are Σ|block|², never n²."""
+    value-hashes against DuckDB.  Candidates are Σ|block|², never n²;
+    the second blocking key is what keeps that sum near-linear as the
+    table grows (brand alone left ~8M candidate pairs at sf0.1, the
+    compound key ~0.5M); recall sacrificed to a key is recovered by
+    additional passes over different keys, the standard ER pattern."""
     from ..operators.dedup import blocked_edit_pairs
 
     (part,) = _t(spark, sf_dir, "part")
-    return (blocked_edit_pairs(part, "p_brand", "p_partkey", "p_name",
-                               max_dist=3)
+    blocked = part.withColumn("name_head",
+                              F.substring_index("p_name", " ", 1))
+    return (blocked_edit_pairs(blocked, ["p_brand", "name_head"],
+                               "p_partkey", "p_name", max_dist=2)
             .orderBy("a", "b"))
