@@ -335,10 +335,111 @@ def _new_data_files(df: DataFrame, table_dir: str, batch_tag: str) -> list[str]:
                   for p in st.list_glob(st.join(out, "part-*.parquet")))
 
 
-def _stats_for(table_dir: str, files: list[str],
-               bloom_cols=None) -> dict[str, dict]:
+# above this many new files per commit, stats collection runs as a
+# distributed Spark job instead of driver-side footer reads — the
+# 100 TB shape _file_stats' docstring promises.  Low enough that the
+# test suite exercises both paths; high enough that tiny commits skip
+# the job-scheduling overhead.
+_DISTRIBUTED_STATS_MIN_FILES = 17
+
+
+def _stats_for(table_dir: str, files: list[str], bloom_cols=None,
+               spark: SparkSession | None = None) -> dict[str, dict]:
+    if spark is not None and len(files) >= _DISTRIBUTED_STATS_MIN_FILES:
+        return _stats_distributed(spark, files, bloom_cols)
     st = _st(table_dir)
     return {f: _file_stats(f, st, bloom_cols) for f in files}
+
+
+def _stats_distributed(spark: SparkSession, files: list[str],
+                       bloom_cols=None) -> dict[str, dict]:
+    """The scale form of stats collection: ONE distributed aggregation
+    over the just-written files, grouped by the `_metadata.file_path`
+    hidden column — per-file min/max/null_count for every primitive
+    top-level column plus the per-file Bloom bitmaps, with only the
+    aggregated per-file rows (bounded by the commit's file count)
+    returning to the driver.  Exact bounds (it reads the data pages the
+    writer just produced, typically still in page cache), so pruning is
+    at least as tight as the footer-stats path; the manifest format is
+    identical, and `test_versioned.py` asserts the two paths agree."""
+    df = spark.read.parquet(*files)
+    prim = [f.name for f in df.schema.fields
+            if f.dataType.typeName() in
+            ("byte", "short", "integer", "long", "float", "double",
+             "string", "boolean", "date", "timestamp")]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in prim:
+        aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}"),
+                 F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}")]
+    rows = (df.select(F.col("_metadata.file_path").alias("__f"), *prim)
+            .groupBy("__f").agg(*aggs).collect())
+    # per-file blooms: bit positions are computed EXECUTOR-side with the
+    # same md5 family `_bloom_positions` uses (md5 is bit-identical in
+    # the JVM), deduplicated per (file, position), and only the position
+    # sets come back — bounded by each file's m_bits, the bitmap's own
+    # capacity, never by row count
+    blooms: dict[str, dict] = {}
+    counts = {r["__f"]: r["__n"] for r in rows}
+    m_of = {f: min(max(1024, 10 * n), 1 << 20) for f, n in counts.items()}
+    mdf = spark.createDataFrame(list(m_of.items()), "__f: string, __m: long")
+    type_of = {f.name: f.dataType.typeName() for f in df.schema.fields}
+    for bc in (bloom_cols or []):
+        if type_of.get(bc) not in ("byte", "short", "integer", "long",
+                                   "string", "boolean"):
+            continue                          # mirror _build_bloom's scope
+        key = F.col(bc).cast("string") if type_of[bc] != "boolean" \
+            else F.col(bc).cast("int").cast("string")   # _bloom_key canon
+        pos_arr = F.array(*[
+            F.pmod(F.conv(F.substring(
+                F.md5(F.concat_ws("|", F.lit(str(i)), key)), 1, 15),
+                16, 10).cast("long"), F.col("__m"))
+            for i in range(7)])               # k=7, matching _bloom_positions
+        pos_rows = (
+            df.select(F.col("_metadata.file_path").alias("__f"), F.col(bc))
+            .na.drop(subset=[bc])
+            .join(F.broadcast(mdf), "__f")
+            .select("__f", F.explode(pos_arr).alias("__p"))
+            .groupBy("__f")
+            .agg(F.collect_set("__p").alias("__ps"))
+            .collect())
+        import base64
+        for r in pos_rows:
+            m = m_of[r["__f"]]
+            bits = bytearray(m // 8 + 1)
+            for p in r["__ps"]:
+                bits[p // 8] |= 1 << (p % 8)
+            blooms.setdefault(r["__f"], {})[bc] = {
+                "m": m, "k": 7,
+                "bits": base64.b64encode(bytes(bits)).decode()}
+    canon_by_file = {_canon_uri_key(f): f for f in files}
+    out: dict[str, dict] = {}
+    for r in rows:
+        f = canon_by_file.get(_canon_uri_key(r["__f"]))
+        if f is None:
+            continue
+        cols = {}
+        for c in prim:
+            entry = {"null_count": r[f"__null_{c}"] or 0}
+            mn, mx = _canon(r[f"__min_{c}"]), _canon(r[f"__max_{c}"])
+            if mn is not None and isinstance(mn, (int, float, str, bool)) \
+                    and not (isinstance(mn, float) and mn != mn):
+                entry["min"], entry["max"] = mn, mx
+            b = blooms.get(r["__f"], {}).get(c)
+            if b is not None:
+                entry["bloom"] = b
+            cols[c] = entry
+        out[f] = {"num_rows": r["__n"], "columns": cols}
+    # files the scan produced no row-group for (empty files) fall back
+    # to the driver-side footer read so every manifest entry has stats
+    for f in files:
+        if f not in out:
+            out[f] = _file_stats(f, _st(f), bloom_cols)
+    return out
+
+
+def _canon_uri_key(p: str) -> str:
+    from .storage import _canon_uri
+    return _canon_uri(p)
 
 
 def _inherited_stats(table_dir: str, version: int | None) -> dict[str, dict]:
@@ -360,7 +461,8 @@ def write_snapshot(df: DataFrame, table_dir: str,
         bloom_cols = table_bloom_cols(table_dir)
     new_files = _new_data_files(
         df, table_dir, f"b{(latest_version(table_dir) or 0) + 1:05d}")
-    new_stats = _stats_for(table_dir, new_files, bloom_cols)
+    new_stats = _stats_for(table_dir, new_files, bloom_cols,
+                           spark=df.sparkSession)
     # optimistic-concurrency loop: data files are written ONCE above;
     # only the manifest commit rebases onto whatever latest a concurrent
     # writer just published.  Both modes are rebase-safe — append unions
@@ -469,7 +571,7 @@ def compact_snapshot(spark: SparkSession, table_dir: str,
     new_version = cur + 1
     files = _new_data_files(df, table_dir, f"b{new_version:05d}")
     _commit(table_dir, files, new_version,
-            stats=_stats_for(table_dir, files, bloom_cols),
+            stats=_stats_for(table_dir, files, bloom_cols, spark=spark),
             bloom_cols=bloom_cols)
     return new_version
 
@@ -553,7 +655,8 @@ def merge_into_snapshot(spark: SparkSession, table_dir: str,
     new_files = _new_data_files(merged, table_dir, f"b{new_version:05d}")
     inherited = _inherited_stats(table_dir, cur)
     stats = {**{f: inherited[f] for f in untouched if f in inherited},
-             **_stats_for(table_dir, new_files, table_bloom_cols(table_dir))}
+             **_stats_for(table_dir, new_files, table_bloom_cols(table_dir),
+                          spark=spark)}
     _commit(table_dir, untouched + new_files, new_version, stats=stats)
     return new_version
 
@@ -591,7 +694,8 @@ def commit_stream_batch(batch_df: DataFrame, batch_id: int,
     new_files = _new_data_files(
         batch_df, table_dir,
         f"b{(latest_version(table_dir) or 0) + 1:05d}")
-    new_stats = _stats_for(table_dir, new_files, table_bloom_cols(table_dir))
+    new_stats = _stats_for(table_dir, new_files, table_bloom_cols(table_dir),
+                           spark=batch_df.sparkSession)
     while True:                       # rebase and retry
         if batch_id in committed_batch_ids(table_dir):
             return False              # re-check after losing a race

@@ -527,3 +527,52 @@ def test_storage_for_scheme_dispatch(spark):
     assert isinstance(storage_for("relative/dir"), LocalStorage)
     assert isinstance(storage_for("file:///tmp/t", spark), HadoopStorage)
     assert isinstance(storage_for("hdfs://nn/t", spark), HadoopStorage)
+
+
+def test_distributed_stats_match_footer_stats(spark, tmp_path):
+    """Commits with many files collect stats as ONE distributed job
+    (grouped by `_metadata.file_path`); the manifest must be
+    indistinguishable from the driver-side footer path — same
+    num_rows/min/max/null_count, same Bloom bitmaps (the executor-side
+    md5 position family is bit-identical to `_bloom_positions`), and
+    identical pruning behavior."""
+    t = str(tmp_path / "tbl")
+    n_files = V._DISTRIBUTED_STATS_MIN_FILES + 3
+    df = spark.createDataFrame(
+        [(i, f"s{i:04d}", i % 5 == 0, None if i % 7 == 0 else i * 10)
+         for i in range(400)],
+        "id: long, s: string, flag: boolean, v: long")
+    V.write_snapshot(df.repartition(n_files), t, bloom_cols=["id", "s"])
+    doc = V._read_manifest_doc(t, 1)
+    assert len(doc["files"]) == n_files
+    # rebuild every file's stats through the driver-side footer path and
+    # compare field by field
+    st = V._st(t)
+    for f in doc["files"]:
+        want = V._file_stats(f, st, bloom_cols=["id", "s"])
+        got = doc["stats"][f]
+        assert got["num_rows"] == want["num_rows"]
+        for c in ("id", "s", "flag", "v"):
+            w, g = want["columns"][c], got["columns"][c]
+            assert g.get("min") == w.get("min"), (f, c)
+            assert g.get("max") == w.get("max"), (f, c)
+            assert g["null_count"] == w["null_count"], (f, c)
+        for c in ("id", "s"):
+            assert got["columns"][c]["bloom"] == want["columns"][c]["bloom"], \
+                (f, c)
+    # pruning works end-to-end off the distributed stats
+    kept, total = V.prune_files(t, 1, [("id", "=", 123)])
+    assert total == n_files and 1 <= len(kept) <= 3
+    assert {tuple(r) for r in V.read_version(
+        spark, t, predicates=[("id", "=", 123)]).collect()} \
+        == {(123, "s0123", False, 1230)}
+
+
+def test_small_commits_keep_driver_side_stats_path(spark, tmp_path):
+    # below the threshold the footer path runs (no Spark job per commit)
+    t = str(tmp_path / "tbl")
+    V.write_snapshot(spark.range(10).coalesce(2), t, bloom_cols=["id"])
+    doc = V._read_manifest_doc(t, 1)
+    assert len(doc["files"]) == 2
+    for f in doc["files"]:
+        assert "bloom" in doc["stats"][f]["columns"]["id"]

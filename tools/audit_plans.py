@@ -43,6 +43,7 @@ ALLOWED_FLAGS: dict[str, set[str]] = {
     "text_collocations_phrase": {"bnl-join"},  # 1-row corpus-size frame
     "text_tfidf_top_terms": {"bnl-join"},    # 1-row corpus-size frame
     "text_vocab_coverage": {"bnl-join"},     # 1-row corpus-size frame
+    "text_bm25_topk": {"bnl-join"},          # 1-row (N, Σdl) scalar frame
 }
 
 BOUNDED_WINDOW_NOTE = """
@@ -61,8 +62,12 @@ the fact table:
 - `operators/mixing.py:domain_topk` rank tail: input = k rows per
   stratum after the WindowGroupLimit prune.
 - `operators/timeseries.py:rolling_zscore_anomalies` (ts_anomaly_zscore):
-  trailing frame over the pre-aggregated daily series (<= |days| rows);
-  partition by the series key for per-key fleets.
+  trailing frame over the pre-aggregated daily series (<= |days| rows).
+  The per-key FLEET form is oracle-proven, not just documented:
+  `ts_anomaly_zscore_fleet` runs the same operator with
+  `partition_by="series"` (one stream per nation, hash-checked), and
+  `trend_revenue_ols_fleet` is the per-series OLS trend (aggregate-only,
+  no window at all).
 
 Unbounded global orderings (token-shard prefix sums, equi-depth NTILE,
 global row numbering, w5's rank battery) never use a bare window — they
