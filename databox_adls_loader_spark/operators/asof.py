@@ -67,3 +67,55 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         *[F.col(f"__m.{c}").alias(f"right_{c}") for c in rpayload],
         F.col("__m.__rts").alias(f"right_{right_ts}"),
     )
+
+
+def asof_forward_join(left: DataFrame, right: DataFrame, key: str,
+                      left_ts: str = "ts", right_ts: str = "ts",
+                      tolerance_seconds: int | None = None) -> DataFrame:
+    """Forward as-of join: every left row, plus the EARLIEST right row
+    at or after its timestamp (same key) — the "next event" direction
+    (next purchase after a click, next reading after a fault), with an
+    optional ``tolerance_seconds`` horizon beyond which the match
+    null-fills.
+
+    Same union + keyed-window formulation as `asof_join`, mirrored: the
+    carried value is ``first(right_payload, ignorenulls)`` over the
+    FOLLOWING frame, ordered by (ts, side) with left side 0 < right 1 so
+    a right row at the exact left timestamp is inside the frame
+    (inclusive match, DuckDB ``ASOF ... ON r.ts >= l.ts`` semantics).
+    One shuffle per side on the key, linear — never a range join."""
+    rpayload = [c for c in right.columns if c not in (key, right_ts)]
+    rtypes = dict(right.dtypes)
+    r_struct_type = ("struct<" + ",".join(
+        [f"{c}:{rtypes[c]}" for c in rpayload] + [f"__rts:{rtypes[right_ts]}"])
+        + ">")
+    l_cols = [c for c in left.columns if c not in (key, left_ts)]
+    l_tagged = left.select(
+        F.col(key), F.col(left_ts).alias("__ts"), F.lit(0).alias("__side"),
+        *[F.col(c) for c in l_cols],
+        F.lit(None).cast(r_struct_type).alias("__r"),
+    )
+    r_tagged = right.select(
+        F.col(key), F.col(right_ts).alias("__ts"), F.lit(1).alias("__side"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in l_cols],
+        F.struct(*[F.col(c) for c in rpayload],
+                 F.col(right_ts).alias("__rts")).alias("__r"),
+    )
+    w = (Window.partitionBy(key).orderBy("__ts", "__side")
+         .rowsBetween(0, Window.unboundedFollowing))
+    carried = l_tagged.unionByName(r_tagged).select(
+        "*", F.first("__r", ignorenulls=True).over(w).alias("__m"))
+    out = carried.filter(F.col("__side") == 0)
+    if tolerance_seconds is not None:
+        stale = (F.col("__m.__rts").cast("long")
+                 - F.col("__ts").cast("long") > tolerance_seconds)
+        out = out.withColumn(
+            "__m", F.when(stale, F.lit(None).cast(r_struct_type))
+                    .otherwise(F.col("__m")))
+    return out.select(
+        F.col(key),
+        F.col("__ts").alias(left_ts),
+        *[F.col(c) for c in l_cols],
+        *[F.col(f"__m.{c}").alias(f"right_{c}") for c in rpayload],
+        F.col("__m.__rts").alias(f"right_{right_ts}"),
+    )

@@ -295,3 +295,83 @@ def er_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (blocked_edit_pairs(blocked, ["p_brand", "name_head"],
                                "p_partkey", "p_name", max_dist=2)
             .orderBy("a", "b"))
+
+
+# ---------------------------------------------------------------------------
+# forward as-of with tolerance + join-view incremental maintenance
+# ---------------------------------------------------------------------------
+
+@register(
+    "asof_next_purchase_tolerance",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.ts, c.event_id,
+           CASE WHEN p.ts <= c.ts + INTERVAL 2 HOUR THEN p.value END
+             AS right_value,
+           CASE WHEN p.ts <= c.ts + INTERVAL 2 HOUR THEN p.ts END
+             AS right_ts
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.ts >= c.ts
+    ORDER BY c.user_id, c.ts, c.event_id
+    """,
+    tags=["asof", "window", "tolerance"],
+)
+def asof_next_purchase_tolerance(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """FORWARD as-of with a 2-hour tolerance horizon: each click paired
+    with the user's NEXT purchase, null-filled when it arrives later
+    than 2 h (operator: `operators/asof.asof_forward_join`) — the
+    attribution-window join.  Same union + keyed-window plan as the
+    backward form (one shuffle per side, never a range join); the
+    oracle is DuckDB's native ASOF ``>=`` with the tolerance applied as
+    a post-filter on the matched row."""
+    from ..operators.asof import asof_forward_join
+
+    (events,) = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click") \
+        .select("user_id", "ts", "event_id")
+    purchases = events.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "value")
+    return (asof_forward_join(clicks, purchases, key="user_id",
+                              tolerance_seconds=7200)
+            .orderBy("user_id", "ts", "event_id"))
+
+
+@register(
+    "ivm_join_delta_orders",
+    oracle="""
+    WITH base AS (SELECT * FROM orders WHERE o_orderkey % 97 <> 0),
+    view_before AS (
+      SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_nationkey
+      FROM base o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), view_after AS (
+      SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_nationkey
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT * FROM view_after
+    EXCEPT SELECT * FROM view_before
+    ORDER BY o_orderkey
+    """,
+    tags=["ivm", "join", "incremental"],
+)
+def ivm_join_delta_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance, machine-proven: when the fact
+    side grows by ΔA, the join view A⋈B grows by exactly ΔA⋈B (the
+    delta-query rule of incremental view maintenance / DBSP — B
+    unchanged, key join).  The Spark side computes ONLY the incremental
+    form (the simulated new batch o_orderkey%97==0 joined to customer);
+    the oracle recomputes the view from scratch before and after and
+    takes the set difference — a hash match proves the algebraic rule
+    on real data, which is what lets a 100 TB materialized join view
+    refresh by joining just the delta instead of rebuilding."""
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    delta = orders.filter(F.col("o_orderkey") % 97 == 0)
+    return (delta.join(customer,
+                       delta["o_custkey"] == customer["c_custkey"])
+            .select("o_orderkey", "o_totalprice", "c_custkey", "c_nationkey")
+            .orderBy("o_orderkey"))
