@@ -106,3 +106,63 @@ def test_asof_tolerance_uses_matched_row_ts(spark):
     (row,) = asof_join(left, right, key="k", tolerance_seconds=120).collect()
     assert row["right_lbl"] == "fresh"     # within tolerance, null v kept
     assert row["right_v"] is None
+
+
+# ---------------------------------------------------------------------------
+# forward as-of
+# ---------------------------------------------------------------------------
+
+from databox_adls_loader_spark.operators.asof import asof_forward_join  # noqa: E402
+
+
+def test_asof_forward_picks_earliest_at_or_after(spark):
+    left, right = _frames(spark)
+    out = {(r["k"], r["tag"]): r["right_v"]
+           for r in asof_forward_join(left, right, key="k").collect()}
+    assert out[(1, "a")] == 20.0      # 11:00 is earliest >= 10:00
+    assert out[(1, "b")] is None      # nothing after 12:00
+    assert out[(2, "c")] == 30.0      # 09:30 is in the future, matches
+
+
+def test_asof_forward_equal_ts_is_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "x")],
+        "k: long, ts: timestamp, tag: string")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 5.0),
+         (1, _ts("2024-01-01 10:30:00"), 7.0)],
+        "k: long, ts: timestamp, v: double")
+    got = asof_forward_join(left, right, key="k").collect()[0]
+    assert got["right_v"] == 5.0      # simultaneous right row matches
+
+
+def test_asof_forward_tolerance_boundary(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "x"),
+         (2, _ts("2024-01-01 10:00:00"), "y")],
+        "k: long, ts: timestamp, tag: string")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 12:00:00"), 5.0),     # exactly +2h: kept
+         (2, _ts("2024-01-01 12:00:01"), 7.0)],    # +2h1s: null-filled
+        "k: long, ts: timestamp, v: double")
+    out = {r["k"]: (r["right_v"], r["right_ts"]) for r in
+           asof_forward_join(left, right, key="k",
+                             tolerance_seconds=7200).collect()}
+    assert out[1] == (5.0, _ts("2024-01-01 12:00:00"))
+    assert out[2] == (None, None)
+
+
+def test_asof_forward_matched_row_is_atomic(spark):
+    # the earliest following row has v=NULL; the later one has v set —
+    # a per-column carry would frankenstein the later v onto the
+    # earlier row's ts
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "x")],
+        "k: long, ts: timestamp, tag: string")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:30:00"), None),
+         (1, _ts("2024-01-01 11:00:00"), 9.0)],
+        "k: long, ts: timestamp, v: double")
+    got = asof_forward_join(left, right, key="k").collect()[0]
+    assert got["right_ts"] == _ts("2024-01-01 10:30:00")
+    assert got["right_v"] is None     # the 10:30 row's own (NULL) value
