@@ -672,7 +672,8 @@ def committed_batch_ids(table_dir: str) -> set[int]:
 
 
 def commit_stream_batch(batch_df: DataFrame, batch_id: int,
-                        table_dir: str, mode: str = "append") -> bool:
+                        table_dir: str, mode: str = "append",
+                        bloom_cols=None) -> bool:
     """Idempotent foreachBatch sink: commit the micro-batch as a new
     snapshot UNLESS ``batch_id`` was already committed — Structured
     Streaming replays the last batch after a crash-restart, and this
@@ -691,10 +692,12 @@ def commit_stream_batch(batch_df: DataFrame, batch_id: int,
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if batch_id in committed_batch_ids(table_dir):
         return False
+    if bloom_cols is None:
+        bloom_cols = table_bloom_cols(table_dir)
     new_files = _new_data_files(
         batch_df, table_dir,
         f"b{(latest_version(table_dir) or 0) + 1:05d}")
-    new_stats = _stats_for(table_dir, new_files, table_bloom_cols(table_dir),
+    new_stats = _stats_for(table_dir, new_files, bloom_cols,
                            spark=batch_df.sparkSession)
     while True:                       # rebase and retry
         if batch_id in committed_batch_ids(table_dir):
@@ -707,7 +710,8 @@ def commit_stream_batch(batch_df: DataFrame, batch_id: int,
             stats = {**_inherited_stats(table_dir, cur), **new_stats}
         try:
             _commit(table_dir, files, new_version,
-                    batch_ids={int(batch_id)}, stats=stats)
+                    batch_ids={int(batch_id)}, stats=stats,
+                    bloom_cols=bloom_cols or None)
             return True
         except ConcurrentCommitError:
             continue

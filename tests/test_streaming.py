@@ -329,3 +329,53 @@ def test_stream_countmin_maintenance_exactly_once(spark, tmp_path):
     got2 = {(r["row_i"], r["bucket"]): r["cnt"]
             for r in V.read_version(spark, t).collect()}
     assert got2 == want
+
+
+def test_stream_dedup_ingest_corpus_exactly_once(spark, tmp_path):
+    """Streaming corpus ingest (streaming/ingest.py): three micro-batches
+    with within-batch dupes, cross-batch dupes, and fresh docs — the
+    versioned table must end with exactly the first appearance of every
+    distinct canonical text, the hash column Bloom-indexed, and a full
+    replay from the same checkpoint must change nothing."""
+    from databox_adls_loader_spark.sinks import versioned as V
+    from databox_adls_loader_spark.streaming.ingest import (
+        HASH_COL, stream_dedup_ingest)
+
+    src = str(tmp_path / "src")
+    t = str(tmp_path / "corpus")
+    ck = str(tmp_path / "ckpt")
+    batches = [
+        [(0, "alpha beta"), (1, "alpha beta"), (2, "gamma")],   # 1 dups 0
+        [(3, "ALPHA   beta"), (4, "delta")],  # 3 dups 0 (canonicalized)
+        [(5, "gamma"), (6, "epsilon zeta")],  # 5 dups 2
+    ]
+    import os
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id: long, text: string") \
+            .coalesce(1).write.parquet(f"{src}/b{i}")
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/b*"))
+    q = stream_dedup_ingest(stream, t, ck).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = {(r["doc_id"], r["text"]) for r in
+           V.read_version(spark, t).select("doc_id", "text").collect()}
+    assert got == {(0, "alpha beta"), (2, "gamma"), (4, "delta"),
+                   (6, "epsilon zeta")}
+    # hash column is real table metadata with blooms on every file
+    assert V.table_bloom_cols(t) == [HASH_COL]
+    doc = V._read_manifest_doc(t, V.latest_version(t))
+    assert all("bloom" in st["columns"][HASH_COL]
+               for st in doc["stats"].values())
+
+    # full replay from the same checkpoint: ledger skips every batch
+    v_before = V.latest_version(t)
+    stream2 = (spark.readStream.schema("doc_id long, text string")
+               .option("maxFilesPerTrigger", 1).parquet(f"{src}/b*"))
+    q2 = stream_dedup_ingest(stream2, t, ck).trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+    assert V.latest_version(t) == v_before
+    got2 = {(r["doc_id"], r["text"]) for r in
+            V.read_version(spark, t).select("doc_id", "text").collect()}
+    assert got2 == got
