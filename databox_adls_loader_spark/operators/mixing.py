@@ -183,3 +183,43 @@ def temperature_sample(docs: DataFrame, target_total: int,
                         F.coalesce("rate_ppm", F.lit(0)).cast("long"))
             .withColumn("kept", bucket < F.col("rate_ppm"))
             .select(*docs.columns, "rate_ppm", "kept"))
+
+
+def curriculum_phases(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Length-curriculum assembly: split the corpus into four training
+    phases by document token count (the classic short→long curriculum)
+    and report each phase's document count and token mass — the numbers
+    a trainer needs to size per-phase step counts before launching.
+
+    Phase boundaries are the EXACT token-count quartiles
+    (percentile-cont over integers: interpolated values land on
+    .0/.25/.5/.75, exact in binary, so the `tok <= boundary` comparison
+    can never flip between engines); every output column is an integer —
+    no float leaves the plan.
+
+    Plan: one map-side token count per doc, one exact-percentile
+    aggregate collapsed to a 1-ROW broadcast frame (the allowlisted
+    scalar cross-join shape), one 4-group rollup.  At 100 TB swap the
+    exact percentile for `approx_percentile` — phase boundaries don't
+    need exactness in production, only the oracle gate does."""
+    toks = docs.select(F.col(id_col),
+                       token_count(text_col).cast("long").alias("tok"))
+    bounds = F.broadcast(toks.agg(
+        F.expr("percentile(tok, array(0.25D, 0.5D, 0.75D))").alias("qs")))
+    phase = (
+        F.when(F.col("tok") <= F.col("qs")[0], F.lit(1))
+        .when(F.col("tok") <= F.col("qs")[1], F.lit(2))
+        .when(F.col("tok") <= F.col("qs")[2], F.lit(3))
+        .otherwise(F.lit(4))
+    )
+    return (
+        toks.crossJoin(bounds)
+        .select(phase.alias("phase"), "tok")
+        .groupBy("phase")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("tok").cast("long").alias("total_toks"),
+             F.min("tok").cast("long").alias("min_toks"),
+             F.max("tok").cast("long").alias("max_toks"))
+        .orderBy("phase")
+    )

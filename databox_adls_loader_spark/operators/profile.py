@@ -303,3 +303,49 @@ def ks_drift_cogroup(left: DataFrame, right: DataFrame, key_col: str,
     return (left.groupBy(key_col)
             .cogroup(right.groupBy(key_col))
             .applyInPandas(ks, out_schema))
+
+
+def lorenz_skew(df: DataFrame, key_col: str) -> DataFrame:
+    """Whole-distribution key-skew profile: the Gini coefficient of the
+    rows-per-key distribution plus the hottest key's share — the ONE
+    number that says whether a shuffle on ``key_col`` needs salting
+    (`operators/scale.py`) before you pay for it.  `skew_keys` lists the
+    top offenders; this scores the distribution itself (Gini 0 = every
+    key equal, → 1 = one key owns the table).
+
+    Integer-exact everywhere: ranks come from grouping the per-key
+    counts BY COUNT VALUE (the Lorenz sum for a value v with
+    multiplicity m and S strictly-smaller keys is v·(m·S + m(m+1)/2) —
+    tie order cancels, so no tie-break is needed and the value hash is
+    layout-stable), and the only division is the final Gini
+    numerator/denominator, one double op rounded to 6dp.
+
+    Plan: per-key counts (one shuffle) → counts-of-counts (tiny: ≤ max
+    rows-per-key DISTINCT VALUES, hundreds even at 100 TB) → broadcast
+    non-equi self-join on that tiny relation for the prefix sums → one
+    global agg row.  Nothing after the first agg scales with key count,
+    let alone row count."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    cc = counts.groupBy("cnt").agg(F.count(F.lit(1)).alias("m"))
+    a, b = cc.alias("a"), cc.alias("b")
+    pref = (
+        a.join(F.broadcast(b), F.col("b.cnt") < F.col("a.cnt"), "left")
+        .groupBy(F.col("a.cnt").alias("cnt"), F.col("a.m").alias("m"))
+        .agg(F.coalesce(F.sum("b.m"), F.lit(0)).alias("s"))
+    )
+    tot = pref.agg(
+        F.sum("m").cast("long").alias("n_keys"),
+        F.sum(F.expr("cnt * m")).cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.sum(F.expr("cnt * (m * s + (m * (m + 1)) div 2)"))
+        .cast("long").alias("w"),
+    )
+    return tot.select(
+        "n_keys", "n_rows", "max_cnt",
+        F.expr("max_cnt * 1000000 div n_rows").cast("long").alias("top1_ppm"),
+        F.round(
+            (2 * F.col("w") - (F.col("n_keys") + 1) * F.col("n_rows"))
+            .cast("double")
+            / (F.col("n_keys") * F.col("n_rows")).cast("double"), 6)
+        .alias("gini"),
+    )

@@ -688,3 +688,74 @@ def lm_fluency_scores(docs: DataFrame, text_col: str = "text",
     return (scored.groupBy(id_col)
             .agg(F.expr("sum(ppm) div count(1)").alias("score_ppm"),
                  F.count(F.lit(1)).alias("n_bigrams")))
+
+
+# round(1e6 / log2(rank + 1)) for ranks 1..10 — the NDCG discount as
+# integer ppm LITERALS, so neither engine ever calls libm (Java's log vs
+# C's log2 can disagree by an ulp; a frozen table cannot).
+_DCG_DISCOUNT_PPM = [1_000_000, 630_930, 500_000, 430_677, 386_853,
+                     356_207, 333_333, 315_465, 301_030, 289_065]
+
+
+def retrieval_eval(docs: DataFrame, query_terms: list[str], k: int = 10,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Rank-quality evaluation of the BM25 retriever against exact-match
+    relevance: per rank 1..k, precision@k, recall@k, cumulative DCG and
+    the reciprocal-rank contribution — the eval table behind every RAG
+    retriever regression gate (row k's prec/recall/cum_dcg are P@k,
+    R@k, DCG@k; the rr_ppm column is nonzero exactly once, at the first
+    relevant rank, so SUM(rr_ppm) is the query's RR for MRR averaging).
+
+    Relevance label: a document is relevant iff it contains EVERY query
+    term (exact conjunctive match — deterministic, no human judgments in
+    the sandbox).  Everything is integer ppm: the DCG discount is the
+    frozen `_DCG_DISCOUNT_PPM` literal table, so cumulative sums are
+    exact integer windows — no float accumulation whose association
+    order could differ between engines.
+
+    Plan: BM25 top-k (see `bm25_topk` for its scale notes) → a k-row
+    frame; the rank window and running sums order ≤ k rows (the bounded
+    post-aggregate exception); relevance labels come from one map-side
+    scan joined to the k-row broadcast; the corpus relevant-count is a
+    1-row broadcast frame."""
+    from pyspark.sql import Window
+
+    if k > len(_DCG_DISCOUNT_PPM):
+        raise ValueError(f"k ≤ {len(_DCG_DISCOUNT_PPM)} (frozen discount table)")
+    ranked = bm25_topk(docs, query_terms, k=k,
+                       text_col=text_col, id_col=id_col)
+    toks = bpe_ish_tokens(text_col)
+    rel_cond = None
+    for t in query_terms:
+        c = F.array_contains(toks, t)
+        rel_cond = c if rel_cond is None else rel_cond & c
+    rel_docs = docs.select(F.col(id_col), rel_cond.cast("int").alias("rel"))
+    n_rel = F.broadcast(
+        rel_docs.agg(F.sum("rel").cast("long").alias("__n_rel")))
+    rank_w = Window.orderBy(F.desc("bm25"), F.asc(id_col))  # ≤ k rows
+    cum_w = (Window.orderBy("rank")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    disc = F.element_at(
+        F.array(*[F.lit(d) for d in _DCG_DISCOUNT_PPM[:k]]), F.col("rank"))
+    return (
+        F.broadcast(ranked.withColumn("rank", F.row_number().over(rank_w)))
+        .join(rel_docs, id_col)
+        .crossJoin(n_rel)
+        .withColumn("n_rel_so_far", F.sum("rel").over(cum_w).cast("long"))
+        .withColumn("cum_dcg_ppm",
+                    F.sum(F.col("rel").cast("long") * disc).over(cum_w)
+                    .cast("long"))
+        .withColumn("prec_at_k_ppm",
+                    F.expr("n_rel_so_far * 1000000 div rank").cast("long"))
+        .withColumn("recall_at_k_ppm",
+                    F.when(F.col("__n_rel") > 0,
+                           F.expr("n_rel_so_far * 1000000 div __n_rel"))
+                    .otherwise(F.lit(0)).cast("long"))
+        .withColumn("rr_ppm",
+                    F.when((F.col("rel") == 1) & (F.col("n_rel_so_far") == 1),
+                           F.expr("1000000 div rank"))
+                    .otherwise(F.lit(0)).cast("long"))
+        .select("rank", id_col, "bm25", "rel", "n_rel_so_far",
+                "cum_dcg_ppm", "prec_at_k_ppm", "recall_at_k_ppm", "rr_ppm")
+    )

@@ -1,0 +1,157 @@
+"""Materialized-view catalog + aggregate-rewrite: answer a groupBy-agg
+query FROM a pre-aggregated view instead of the base fact table.
+
+This is the read-side twin of the incremental-maintenance queries
+(`ivm_daily_event_rollup`, `ivm_join_delta_orders`): IVM keeps a rollup
+cheap to REFRESH (join/aggregate only the delta); the rewriter here
+makes it cheap to USE — a monthly-revenue question over a 100 TB fact
+becomes a re-aggregation of the few-thousand-row daily rollup, because
+SUM and COUNT are decomposable aggregates (sum-of-sums, sum-of-counts;
+MIN/MAX likewise).  AVG is answered as SUM/COUNT by the caller.
+
+The catalog is declarative and the coverage check is total:
+`covers()` admits a rewrite only when every requested grouping column
+is one of the MV's stored dimensions (optionally through a WHITELISTED
+rollup derivation — month/year of a stored day dim: coarser groupings
+of a stored dim are always answerable) and every requested measure is
+stored with the SAME aggregate class.  `choose_mv()` picks the
+smallest covering view.  Anything else falls back to the base table —
+a wrong rewrite is a silent-corruption bug, so the check refuses
+rather than guesses (see tests/test_mv.py for the rejection matrix).
+
+MVs persist as manifest-versioned tables (`sinks/versioned.py`), so a
+view carries its own version history/freshness and inherits the store's
+object-store-portable I/O, optimistic-concurrency commits, and data
+skipping; `refresh()` commits a new version (full rebuild here; the IVM
+delta rule is how production refreshes the big ones).
+
+Reference parity: beyond-reference capability (the reference has no
+query engine); the pattern is public lakehouse practice (e.g. the
+summary-table rewrites of Goldstein & Larson, "Optimizing queries using
+materialized views", SIGMOD 2001 — dims-subset + decomposable-measure
+matching is the textbook sufficient condition).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sinks import versioned as V
+
+# stored aggregate class -> the aggregate that re-combines partials
+_REAGG = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+# whitelisted dim derivations: coarser rollups of a stored dimension.
+# identity is implicit; anything not listed is NOT coverable (e.g. you
+# cannot ask for day-of-week from a month dim).
+_DIM_FNS: dict[str, "callable"] = {
+    "month": lambda c: F.date_trunc("month", F.col(c)).cast("date"),
+    "year": lambda c: F.date_trunc("year", F.col(c)).cast("date"),
+}
+
+
+class MVRewriteError(ValueError):
+    """The requested aggregate is not answerable from this view."""
+
+
+@dataclass(frozen=True)
+class MVSpec:
+    """Declared shape of one materialized view.
+
+    dims: stored grouping columns.
+    measures: (agg_class, stored_alias) for each pre-aggregated column —
+      agg_class ∈ {sum, count, min, max}; a count measure stores the
+      group's row count (re-aggregated by SUM on rollup).
+    rows_hint: approximate stored row count — `choose_mv` prefers the
+      smallest covering view (the cost model: re-agg cost ∝ MV size).
+    table_dir: versioned-table location once materialized ('' = not yet).
+    """
+
+    name: str
+    dims: tuple[str, ...]
+    measures: tuple[tuple[str, str], ...]
+    rows_hint: int = 0
+    table_dir: str = field(default="", compare=False)
+
+
+def _parse_group(g: str | tuple[str, str, str]) -> tuple[str, str, str]:
+    """Normalize a grouping request to (out_name, fn, stored_dim).
+
+    Accepts a bare stored-dim name (identity) or an explicit
+    (out_name, fn, stored_dim) triple with fn ∈ _DIM_FNS.
+    """
+    if isinstance(g, str):
+        return (g, "identity", g)
+    out, fn, dim = g
+    if fn != "identity" and fn not in _DIM_FNS:
+        raise MVRewriteError(f"unknown dim derivation {fn!r}")
+    return (out, fn, dim)
+
+
+def covers(mv: MVSpec, group_by: list, measures: list[tuple[str, str, str]]) -> bool:
+    """True iff ``mv`` can answer groupBy(group_by).agg(measures)
+    exactly: every grouping column is a stored dim (or a whitelisted
+    rollup of one) and every (agg, src, out) measure is stored under
+    ``src`` with the same aggregate class."""
+    try:
+        groups = [_parse_group(g) for g in group_by]
+    except MVRewriteError:
+        return False
+    stored = {alias: agg for agg, alias in mv.measures}
+    return (all(dim in mv.dims for _, _, dim in groups)
+            and all(stored.get(src) == agg for agg, src, _ in measures))
+
+
+def choose_mv(candidates: list[MVSpec], group_by: list,
+              measures: list[tuple[str, str, str]]) -> MVSpec | None:
+    """The smallest (rows_hint) candidate that covers the request, or
+    None — the caller then runs against the base table."""
+    fits = [mv for mv in candidates if covers(mv, group_by, measures)]
+    return min(fits, key=lambda mv: mv.rows_hint) if fits else None
+
+
+def rewrite_aggregate(mv_df: DataFrame, mv: MVSpec, group_by: list,
+                      measures: list[tuple[str, str, str]]) -> DataFrame:
+    """The rewritten plan: re-aggregate the (already partially
+    aggregated) view.  Validates coverage again — rewrite is only ever
+    correct under `covers`, so it refuses rather than returning a
+    plausible wrong answer.
+
+    measures: (agg, stored_alias, out_name) triples; sums/counts cast
+    to long so the rewritten schema is layout-stable.
+
+    Scale: the shuffle is on the MV's own (tiny) dim keys — the base
+    fact is never touched; that's the entire point."""
+    if not covers(mv, group_by, measures):
+        raise MVRewriteError(
+            f"view {mv.name!r} (dims={mv.dims}) cannot answer "
+            f"group_by={group_by} measures={measures}")
+    gcols: list[Column] = []
+    for out, fn, dim in (_parse_group(g) for g in group_by):
+        col = F.col(dim) if fn == "identity" else _DIM_FNS[fn](dim)
+        gcols.append(col.alias(out))
+    aggs = []
+    for agg, src, out in measures:
+        a = _REAGG[agg](F.col(src))
+        if agg in ("sum", "count"):
+            a = a.cast("long")
+        aggs.append(a.alias(out))
+    return mv_df.groupBy(*gcols).agg(*aggs)
+
+
+def refresh(build: DataFrame, table_dir: str) -> int:
+    """Commit a (re)build of the view as a new version of its versioned
+    table and return the committed version — full rebuild; at scale the
+    IVM delta rule (`ivm_daily_event_rollup`) computes ``build`` from
+    the base table's change feed instead of from scratch."""
+    return V.write_snapshot(build, table_dir)
+
+
+def read(spark: SparkSession, table_dir: str,
+         version: int | None = None) -> DataFrame:
+    """Read a view at a version (default: latest — the freshness the
+    catalog vouches for is whatever version the last `refresh` wrote)."""
+    return V.read_version(spark, table_dir, version=version)

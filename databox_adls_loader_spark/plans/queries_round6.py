@@ -209,10 +209,10 @@ def trend_revenue_ols_fleet(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BM25 retrieval + record-linkage blocking
 # ---------------------------------------------------------------------------
 
-@register(
-    "text_bm25_topk",
-    oracle=r"""
-    WITH toks AS (
+# The BM25 ranking pipeline as a reusable CTE block — text_bm25_topk
+# SELECTs from it directly; retr_eval_bm25 layers the eval metrics on the
+# same block, so the two oracles can never drift apart.
+_BM25_CTES = r"""toks AS (
       SELECT doc_id, unnest(list_filter(
                string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))
              AS term
@@ -240,11 +240,19 @@ def trend_revenue_ols_fleet(spark: SparkSession, sf_dir: str) -> DataFrame:
              MAX(CASE WHEN c.term = 'window' THEN c.c END) AS c2
       FROM dl LEFT JOIN contrib c ON dl.doc_id = c.doc_id
       GROUP BY dl.doc_id
-    )
-    SELECT doc_id,
-           ROUND(COALESCE(c0, 0e0) + COALESCE(c1, 0e0)
-                 + COALESCE(c2, 0e0), 6) AS bm25
-    FROM wide ORDER BY bm25 DESC, doc_id LIMIT 10
+    ), bm25_topk AS (
+      SELECT doc_id,
+             ROUND(COALESCE(c0, 0e0) + COALESCE(c1, 0e0)
+                   + COALESCE(c2, 0e0), 6) AS bm25
+      FROM wide ORDER BY bm25 DESC, doc_id LIMIT 10
+    )"""
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH {_BM25_CTES}
+    SELECT doc_id, bm25 FROM bm25_topk ORDER BY bm25 DESC, doc_id
     """,
     tags=["text", "retrieval", "bm25"],
 )
@@ -375,3 +383,290 @@ def ivm_join_delta_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                        delta["o_custkey"] == customer["c_custkey"])
             .select("o_orderkey", "o_totalprice", "c_custkey", "c_nationkey")
             .orderBy("o_orderkey"))
+
+
+# ---------------------------------------------------------------------------
+# retrieval evaluation, graded decontamination, skew scoring, curriculum
+# ---------------------------------------------------------------------------
+
+def _dcg_values_sql() -> str:
+    """The frozen NDCG discount table as a SQL VALUES list — generated
+    from the SAME Python literal the Spark operator uses, so the two
+    sides cannot drift."""
+    from ..operators.text import _DCG_DISCOUNT_PPM
+
+    return ", ".join(f"({i + 1}, {d})"
+                     for i, d in enumerate(_DCG_DISCOUNT_PPM))
+
+
+@register(
+    "retr_eval_bm25",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    ranked AS (
+      SELECT doc_id, bm25,
+             CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+               AS rank
+      FROM bm25_topk
+    ), rel_docs AS (
+      SELECT doc_id FROM toks WHERE term IN ('spark', 'hash', 'window')
+      GROUP BY doc_id HAVING COUNT(DISTINCT term) = 3
+    ), nrel AS (SELECT COUNT(*) AS n_rel FROM rel_docs),
+    disc AS (SELECT * FROM (VALUES {{values}}) AS v(rank, d_ppm)),
+    ev AS (
+      SELECT r.rank, r.doc_id, r.bm25,
+             CASE WHEN rd.doc_id IS NULL THEN 0 ELSE 1 END AS rel,
+             d.d_ppm
+      FROM ranked r JOIN disc d USING (rank)
+      LEFT JOIN rel_docs rd USING (doc_id)
+    )
+    SELECT e.rank, e.doc_id, e.bm25, e.rel,
+           CAST(SUM(e.rel) OVER w AS BIGINT) AS n_rel_so_far,
+           CAST(SUM(e.rel * e.d_ppm) OVER w AS BIGINT) AS cum_dcg_ppm,
+           CAST((SUM(e.rel) OVER w) * 1000000 // e.rank AS BIGINT)
+             AS prec_at_k_ppm,
+           CAST(CASE WHEN n.n_rel > 0
+                     THEN (SUM(e.rel) OVER w) * 1000000 // n.n_rel
+                     ELSE 0 END AS BIGINT) AS recall_at_k_ppm,
+           CAST(CASE WHEN e.rel = 1 AND SUM(e.rel) OVER w = 1
+                     THEN 1000000 // e.rank ELSE 0 END AS BIGINT) AS rr_ppm
+    FROM ev e CROSS JOIN nrel n
+    WINDOW w AS (ORDER BY e.rank
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY e.rank
+    """.replace("{values}", _dcg_values_sql()),
+    tags=["text", "retrieval", "eval", "ndcg"],
+)
+def retr_eval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retriever regression gate: precision@k, recall@k, cumulative DCG
+    and reciprocal rank per rank of the BM25 top-10, relevance = exact
+    conjunctive term match (operator: `operators/text.retrieval_eval`).
+    All metrics are integer ppm with a FROZEN literal discount table
+    (no libm on either engine), so the whole eval report value-hashes.
+    Scale: the metric windows order k = 10 rows; only the BM25 ranking
+    and the one-scan relevance label touch the corpus."""
+    from ..operators.text import retrieval_eval
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return retrieval_eval(docs, ["spark", "hash", "window"], k=10)
+
+
+@register(
+    "dedup_contamination_overlap",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(t) - 2, 1) + 1),
+        i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+      FROM toks
+    ), bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 11 = 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM sh GROUP BY 1),
+    shared AS (
+      SELECT s.doc_id, COUNT(*) AS n_shared
+      FROM sh s JOIN bench b USING (g)
+      WHERE s.doc_id % 11 <> 0 GROUP BY 1
+    )
+    SELECT s.doc_id, z.n_grams, s.n_shared,
+           CAST(s.n_shared * 1000000 // z.n_grams AS BIGINT) AS overlap_ppm
+    FROM shared s JOIN sizes z USING (doc_id)
+    WHERE s.n_shared * 1000000 // z.n_grams >= 100000
+    ORDER BY s.doc_id
+    """,
+    tags=["dedup", "contamination", "eval-leakage"],
+)
+def dedup_contamination_overlap(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Graded decontamination: per-TRAINING-doc overlap FRACTION with the
+    held-in benchmark split (doc_id % 11), reported for docs ≥ 10%
+    overlap (operator: `operators/dedup.contamination_overlap_ratio`) —
+    the ranked leak report an eval audit reads, vs the boolean verdict
+    `dedup_contamination` gives.  Integer ppm throughout; one shingle
+    explode feeds both the benchmark set and the probe side."""
+    from ..operators.dedup import contamination_overlap_ratio
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (contamination_overlap_ratio(
+                docs, F.col("doc_id") % 11 == 0, n=3,
+                min_ratio_ppm=100_000)
+            .orderBy("doc_id"))
+
+
+@register(
+    "prof_lorenz_skew_users",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1
+    ), cc AS (SELECT cnt, COUNT(*) AS m FROM counts GROUP BY 1),
+    pref AS (
+      SELECT a.cnt, a.m, COALESCE(SUM(b.m), 0) AS s
+      FROM cc a LEFT JOIN cc b ON b.cnt < a.cnt
+      GROUP BY a.cnt, a.m
+    ), tot AS (
+      SELECT CAST(SUM(m) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt * m) AS BIGINT) AS n_rows,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+             CAST(SUM(cnt * (m * s + (m * (m + 1)) // 2)) AS BIGINT) AS w
+      FROM pref
+    )
+    SELECT n_keys, n_rows, max_cnt,
+           CAST(max_cnt * 1000000 // n_rows AS BIGINT) AS top1_ppm,
+           ROUND(CAST(2 * w - (n_keys + 1) * n_rows AS DOUBLE)
+                 / CAST(n_keys * n_rows AS DOUBLE), 6) AS gini
+    FROM tot
+    """,
+    tags=["profile", "skew", "gini"],
+)
+def prof_lorenz_skew_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-level skew score for the events-per-user key: Gini
+    coefficient + hottest-key share (operator:
+    `operators/profile.lorenz_skew`) — the salt-or-don't-salt signal,
+    complementing `prof_skew_events_user`'s top-20 listing.  Lorenz
+    ranks come from grouping per-key counts BY VALUE (tie order cancels
+    algebraically), so the statistic is integer-exact up to one final
+    rounded division and needs no global sort — the rank relation is
+    ≤ max-rows-per-key distinct values however large the table."""
+    from ..operators.profile import lorenz_skew
+
+    (events,) = _t(spark, sf_dir, "events")
+    return lorenz_skew(events, "user_id")
+
+
+@register(
+    "mix_curriculum_phases",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS tok
+      FROM documents
+    ), q AS (SELECT quantile_cont(tok, [0.25, 0.5, 0.75]) AS qs FROM t),
+    ph AS (
+      SELECT CASE WHEN tok <= qs[1] THEN 1
+                  WHEN tok <= qs[2] THEN 2
+                  WHEN tok <= qs[3] THEN 3
+                  ELSE 4 END AS phase, tok
+      FROM t CROSS JOIN q
+    )
+    SELECT phase, COUNT(*) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS total_toks,
+           CAST(MIN(tok) AS BIGINT) AS min_toks,
+           CAST(MAX(tok) AS BIGINT) AS max_toks
+    FROM ph GROUP BY phase ORDER BY phase
+    """,
+    tags=["mixing", "curriculum"],
+)
+def mix_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum phase report: corpus split into four training
+    phases at the EXACT token-count quartiles, with per-phase doc count
+    and token mass (operator: `operators/mixing.curriculum_phases`).
+    Quartile boundaries interpolate integers at .25 steps — exact in
+    binary on both engines — and every output column is an integer, so
+    the phase assignment can never flip between engines."""
+    from ..operators.mixing import curriculum_phases
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return curriculum_phases(docs)
+
+
+# ---------------------------------------------------------------------------
+# materialized-view rewrite: monthly revenue answered FROM the daily MV
+# ---------------------------------------------------------------------------
+
+_MV_DAILY: dict = {}
+
+
+def _drop_mv_daily(keys=None) -> None:
+    import shutil
+
+    for k in list(_MV_DAILY) if keys is None else list(keys):
+        shutil.rmtree(_MV_DAILY.pop(k)[1], ignore_errors=True)
+
+
+def _mv_daily_nation_rev(spark: SparkSession, sf_dir: str):
+    """Once per (session, sf_dir): build the daily-revenue-per-nation
+    rollup and commit it as a versioned table (plans/mv.refresh), so the
+    rewrite below re-aggregates a real on-disk view — manifest read,
+    pruned scan — not a cached DataFrame.  Same temp-tree lifecycle as
+    `_versioned_orders`."""
+    import atexit
+    import tempfile
+
+    from . import mv as M
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    hit = _MV_DAILY.get(key)
+    if hit is None:
+        _drop_mv_daily([k for k in _MV_DAILY if k[0] != app_id])
+        if not _MV_DAILY:
+            atexit.register(_drop_mv_daily)
+        t = tempfile.mkdtemp(prefix="spark_graft_mv_daily_")
+        orders, customer, nation = _t(spark, sf_dir,
+                                      "orders", "customer", "nation")
+        build = (
+            orders
+            .join(customer.select("c_custkey", "c_nationkey"),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name",
+                     F.col("o_orderdate").cast("date").alias("day"))
+            .agg(F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                       .cast("long")).cast("long").alias("rev_cents"),
+                 F.count(F.lit(1)).alias("n_orders"))
+        )
+        M.refresh(build, t)
+        spec = M.MVSpec(
+            name="mv_daily_nation_rev", dims=("n_name", "day"),
+            measures=(("sum", "rev_cents"), ("count", "n_orders")),
+            rows_hint=60_000, table_dir=t)
+        hit = (spec, t)
+        _MV_DAILY[key] = hit
+    return hit
+
+
+@register(
+    "mv_rewrite_monthly_revenue",
+    oracle="""
+    SELECT n.n_name,
+           CAST(date_trunc('month', CAST(o.o_orderdate AS DATE)) AS DATE)
+             AS month,
+           CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS rev_cents,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    ORDER BY n_name, month
+    """,
+    tags=["mv", "rewrite", "lakehouse"],
+)
+def mv_rewrite_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view REWRITE, end to end under the value-hash gate:
+    monthly revenue per nation is answered by re-aggregating the daily
+    rollup MV (committed once per session as a versioned table), chosen
+    by `plans/mv.choose_mv` from a catalog that also holds a decoy view
+    that CANNOT cover the request (wrong dims, smaller rows_hint — the
+    coverage check must dominate the cost hint).  The oracle recomputes
+    from the BASE tables, so a hash match proves the rewrite exact —
+    sums of sums, sums of counts, month rollup of the day dim.  Scale:
+    the rewritten plan shuffles ~|nation|×|days| MV rows; the orders
+    fact is read once per refresh, never per query."""
+    from . import mv as M
+
+    spec, t = _mv_daily_nation_rev(spark, sf_dir)
+    decoy = M.MVSpec(name="mv_daily_priority_rev",
+                     dims=("o_orderpriority", "day"),
+                     measures=(("sum", "rev_cents"),), rows_hint=12_000)
+    group_by = ["n_name", ("month", "month", "day")]
+    measures = [("sum", "rev_cents", "rev_cents"),
+                ("count", "n_orders", "n_orders")]
+    chosen = M.choose_mv([decoy, spec], group_by, measures)
+    assert chosen is spec, "coverage check must reject the decoy"
+    return (M.rewrite_aggregate(M.read(spark, t), chosen,
+                                group_by, measures)
+            .orderBy("n_name", "month"))

@@ -804,3 +804,23 @@ def test_perm_hash_integer_form_matches_reference(spark):
     for r in got:
         for i, (a, b) in enumerate(consts):
             assert r[f"p{i}"] == (a * r["x"] + b) % _PERM_PRIME
+
+
+def test_contamination_overlap_ratio_exact_ppm(spark):
+    from databox_adls_loader_spark.operators.dedup import (
+        contamination_overlap_ratio)
+    from pyspark.sql import functions as F
+
+    # doc 0 is the benchmark; doc 1 copies half its text (+ unique
+    # tail), doc 2 shares nothing.  3-grams of a 6-token doc: 4 grams.
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f"),
+         (1, "a b c d x1 x2"),       # grams: abc bcd cdx1 dx1x2 — 2 shared
+         (2, "p q r s t u")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in contamination_overlap_ratio(
+        docs, F.col("doc_id") == 0, n=3, min_ratio_ppm=0).collect()}
+    assert 0 not in out            # benchmark member excluded
+    assert 2 not in out            # zero overlap never reported
+    assert out[1]["n_grams"] == 4 and out[1]["n_shared"] == 2
+    assert out[1]["overlap_ppm"] == 500_000

@@ -105,3 +105,19 @@ def test_centroid_by_label_matches_numpy(spark, sf_dir):
             s[0] += int(np.floor(float(v) * 1_000_000))
             s[1] += 1
     assert got == {k: (v[0], v[1]) for k, v in want.items()}
+
+
+def test_curriculum_phases_quartiles_and_conservation(spark):
+    from databox_adls_loader_spark.operators.mixing import curriculum_phases
+
+    # token counts 1..8 — quartile boundaries 2.75 / 4.5 / 6.25, so the
+    # phases are {1,2} {3,4} {5,6} {7,8}: 2 docs each
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * i)) for i in range(1, 9)],
+        "doc_id long, text string")
+    got = {r["phase"]: r for r in curriculum_phases(docs).collect()}
+    assert sorted(got) == [1, 2, 3, 4]
+    assert all(got[p]["n_docs"] == 2 for p in got)
+    assert [got[p]["min_toks"] for p in (1, 2, 3, 4)] == [1, 3, 5, 7]
+    assert [got[p]["max_toks"] for p in (1, 2, 3, 4)] == [2, 4, 6, 8]
+    assert sum(got[p]["total_toks"] for p in got) == sum(range(1, 9))

@@ -1,0 +1,136 @@
+"""Materialized-view catalog + rewrite (plans/mv.py): coverage matrix,
+rewrite-vs-base equivalence, catalog choice, and the plan-level proof
+that the rewritten query scans the MV's files, not the base table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from databox_adls_loader_spark.plans import mv as M
+
+DAILY = M.MVSpec(
+    name="daily", dims=("n_name", "day"),
+    measures=(("sum", "rev_cents"), ("count", "n_orders"),
+              ("min", "lo"), ("max", "hi")),
+    rows_hint=60_000)
+
+GB_MONTHLY = ["n_name", ("month", "month", "day")]
+MS_REV = [("sum", "rev_cents", "rev_cents"), ("count", "n_orders", "n_orders")]
+
+
+class TestCovers:
+    def test_identity_dims_and_stored_measures(self):
+        assert M.covers(DAILY, ["n_name", "day"], MS_REV)
+
+    def test_month_rollup_of_day_dim(self):
+        assert M.covers(DAILY, GB_MONTHLY, MS_REV)
+
+    def test_year_rollup(self):
+        assert M.covers(DAILY, [("yr", "year", "day")], MS_REV)
+
+    def test_min_max_reagg(self):
+        assert M.covers(DAILY, ["n_name"],
+                        [("min", "lo", "lo"), ("max", "hi", "hi")])
+
+    def test_rejects_unknown_dim(self):
+        assert not M.covers(DAILY, ["c_custkey"], MS_REV)
+
+    def test_rejects_unknown_derivation(self):
+        assert not M.covers(DAILY, [("dow", "dayofweek", "day")], MS_REV)
+
+    def test_rejects_missing_measure(self):
+        assert not M.covers(DAILY, ["n_name"], [("sum", "qty", "qty")])
+
+    def test_rejects_agg_class_mismatch(self):
+        # rev_cents is stored as a SUM partial — an exact MIN over base
+        # rows is NOT derivable from it
+        assert not M.covers(DAILY, ["n_name"],
+                            [("min", "rev_cents", "m")])
+
+    def test_rewrite_refuses_uncovered(self, spark):
+        empty = spark.createDataFrame([], "n_name string, day date")
+        with pytest.raises(M.MVRewriteError):
+            M.rewrite_aggregate(empty, DAILY, ["c_custkey"], MS_REV)
+
+
+class TestChooseMV:
+    def test_prefers_smallest_covering(self):
+        coarse = M.MVSpec(name="coarse", dims=("n_name",),
+                          measures=(("sum", "rev_cents"),), rows_hint=25)
+        pick = M.choose_mv([DAILY, coarse], ["n_name"],
+                           [("sum", "rev_cents", "rev")])
+        assert pick is coarse
+
+    def test_coverage_dominates_cost(self):
+        decoy = M.MVSpec(name="decoy", dims=("o_orderpriority", "day"),
+                         measures=(("sum", "rev_cents"),), rows_hint=5)
+        pick = M.choose_mv([decoy, DAILY], GB_MONTHLY,
+                           [("sum", "rev_cents", "rev_cents")])
+        assert pick is DAILY
+
+    def test_none_when_nothing_covers(self):
+        assert M.choose_mv([DAILY], ["c_custkey"], MS_REV) is None
+
+
+class TestRewriteEquivalence:
+    def test_rewrite_equals_base_aggregation(self, spark, sf_dir, tmp_path):
+        from databox_adls_loader_spark.session import load_tables
+
+        t = load_tables(spark, sf_dir, ["orders"])
+        base = t["orders"].select(
+            F.col("o_orderstatus").alias("st"),
+            F.col("o_orderdate").cast("date").alias("day"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").alias("cents"))
+        build = (base.groupBy("st", "day")
+                 .agg(F.sum("cents").cast("long").alias("rev_cents"),
+                      F.count(F.lit(1)).alias("n_orders"),
+                      F.min("cents").alias("lo"),
+                      F.max("cents").alias("hi")))
+        d = str(tmp_path / "mv_status_day")
+        assert M.refresh(build, d) == 1
+        spec = M.MVSpec(name="status_day", dims=("st", "day"),
+                        measures=(("sum", "rev_cents"),
+                                  ("count", "n_orders"),
+                                  ("min", "lo"), ("max", "hi")),
+                        rows_hint=10_000, table_dir=d)
+        got = M.rewrite_aggregate(
+            M.read(spark, d), spec,
+            ["st", ("month", "month", "day")],
+            [("sum", "rev_cents", "rev"), ("count", "n_orders", "n"),
+             ("min", "lo", "lo"), ("max", "hi", "hi")],
+        ).orderBy("st", "month").collect()
+        want = (base
+                .groupBy("st", F.date_trunc("month", "day").cast("date")
+                         .alias("month"))
+                .agg(F.sum("cents").cast("long").alias("rev"),
+                     F.count(F.lit(1)).alias("n"),
+                     F.min("cents").alias("lo"),
+                     F.max("cents").alias("hi"))
+                .orderBy("st", "month").collect())
+        assert got == want
+
+    def test_refresh_commits_new_version(self, spark, sf_dir, tmp_path):
+        from databox_adls_loader_spark.sinks import versioned as V
+
+        d = str(tmp_path / "mv_v")
+        df = spark.range(3).select(
+            F.lit("a").alias("k"), F.col("id").alias("v"))
+        assert M.refresh(df, d) == 1
+        assert M.refresh(df, d) == 2
+        assert V.latest_version(d) == 2
+
+    def test_rewritten_plan_scans_mv_not_base(self, spark, sf_dir):
+        """The whole point of the rewrite: the physical plan reads the
+        MV's data files and never references the base fact table."""
+        from databox_adls_loader_spark.plans.queries_round6 import (
+            mv_rewrite_monthly_revenue, _mv_daily_nation_rev)
+
+        df = mv_rewrite_monthly_revenue(spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+        _, mv_dir = _mv_daily_nation_rev(spark, sf_dir)
+        assert mv_dir.split("/")[-1] in plan
+        assert "orders.parquet" not in plan

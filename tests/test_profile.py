@@ -306,3 +306,31 @@ def test_ks_drift_cogroup_matches_bruteforce_reference(spark):
             == (n1, n2, want)
 
     check()
+
+
+def test_lorenz_skew_uniform_is_zero(spark):
+    from databox_adls_loader_spark.operators.profile import lorenz_skew
+
+    df = spark.createDataFrame([(k, i) for k in "abcd" for i in range(5)],
+                               "k string, v int")
+    row = lorenz_skew(df, "k").collect()[0]
+    assert (row["n_keys"], row["n_rows"], row["max_cnt"]) == (4, 20, 5)
+    assert row["gini"] == 0.0
+    assert row["top1_ppm"] == 250_000
+
+
+def test_lorenz_skew_matches_bruteforce(spark):
+    from databox_adls_loader_spark.operators.profile import lorenz_skew
+
+    # skewed: counts 1, 1, 2, 6  (ties included to exercise the
+    # tie-cancellation algebra)
+    rows = ([("a", 0)] + [("b", 0)] + [("c", 0)] * 2 + [("d", 0)] * 6)
+    df = spark.createDataFrame(rows, "k string, v int")
+    row = lorenz_skew(df, "k").collect()[0]
+    counts = sorted([1, 1, 2, 6])
+    n, t = len(counts), sum(counts)
+    w = sum((i + 1) * c for i, c in enumerate(counts))
+    want = round((2 * w - (n + 1) * t) / (n * t), 6)
+    assert row["gini"] == want
+    assert row["top1_ppm"] == 6 * 1_000_000 // 10
+    assert row["max_cnt"] == 6

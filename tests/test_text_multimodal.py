@@ -470,3 +470,38 @@ def test_bpe_exhaustion_yields_fewer_merges_not_empty_vocab(spark):
     assert [tuple(r) for r in counts] == [(0, 2, 2, 4)]  # NOT annihilated
     with pytest.raises(ValueError):
         bpe_train_merges(docs, n_merges=0)
+
+
+def test_retrieval_eval_invariants_and_known_fixture(spark):
+    from databox_adls_loader_spark.operators.text import (
+        retrieval_eval, _DCG_DISCOUNT_PPM)
+
+    # 3 relevant docs (contain both terms), 2 distractors with only one
+    # term; short texts keep the BM25 ranking stable and irrelevant —
+    # the metrics only depend on the rel labels per rank.
+    docs = spark.createDataFrame(
+        [(1, "spark hash spark"), (2, "spark hash"), (3, "hash spark pad"),
+         (4, "spark only here"), (5, "hash alone")],
+        "doc_id long, text string")
+    rows = retrieval_eval(docs, ["spark", "hash"], k=5) \
+        .orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    rels = [r["rel"] for r in rows]
+    assert sum(rels) == 3
+    # rr fires exactly once, at the first relevant rank
+    rr = [r["rr_ppm"] for r in rows]
+    first_rel = rels.index(1) + 1
+    assert [i for i, v in enumerate(rr) if v] == [first_rel - 1]
+    assert rr[first_rel - 1] == 1_000_000 // first_rel
+    # cumulative DCG recomputed from the frozen discount table
+    want_dcg, seen = [], 0
+    for i, rel in enumerate(rels):
+        seen += rel * _DCG_DISCOUNT_PPM[i]
+        want_dcg.append(seen)
+    assert [r["cum_dcg_ppm"] for r in rows] == want_dcg
+    # precision/recall at each rank, integer ppm
+    n_seen = 0
+    for i, r in enumerate(rows):
+        n_seen += r["rel"]
+        assert r["prec_at_k_ppm"] == n_seen * 1_000_000 // (i + 1)
+        assert r["recall_at_k_ppm"] == n_seen * 1_000_000 // 3

@@ -44,6 +44,13 @@ ALLOWED_FLAGS: dict[str, set[str]] = {
     "text_tfidf_top_terms": {"bnl-join"},    # 1-row corpus-size frame
     "text_vocab_coverage": {"bnl-join"},     # 1-row corpus-size frame
     "text_bm25_topk": {"bnl-join"},          # 1-row (N, Σdl) scalar frame
+    "retr_eval_bm25": {"bnl-join"},          # bm25's scalar frame + 1-row n_rel frame
+    "mix_curriculum_phases": {"bnl-join"},   # 1-row quartile-boundary frame
+    # NOT a 1-row frame, but the same bounded-broadcast argument: the
+    # non-equi prefix-sum self-join runs on the counts-of-counts
+    # relation, whose size is ≤ the number of DISTINCT rows-per-key
+    # values (hundreds even at 100 TB), never the key or row count.
+    "prof_lorenz_skew_users": {"bnl-join"},
 }
 
 BOUNDED_WINDOW_NOTE = """
@@ -61,6 +68,9 @@ the fact table:
 - `plans/queries_tpch.py` w6 / q6-forecast: the same per-day frame.
 - `operators/mixing.py:domain_topk` rank tail: input = k rows per
   stratum after the WindowGroupLimit prune.
+- `operators/text.py:retrieval_eval` (retr_eval_bm25): rank + running
+  metric windows over the BM25 top-k frame — ≤ k = 10 rows by
+  construction.
 - `operators/timeseries.py:rolling_zscore_anomalies` (ts_anomaly_zscore):
   trailing frame over the pre-aggregated daily series (<= |days| rows).
   The per-key FLEET form is oracle-proven, not just documented:
