@@ -142,12 +142,70 @@ def rewrite_aggregate(mv_df: DataFrame, mv: MVSpec, group_by: list,
     return mv_df.groupBy(*gcols).agg(*aggs)
 
 
-def refresh(build: DataFrame, table_dir: str) -> int:
+# surrogate merge key: the dim tuple as one string column, so the
+# versioned store's single-key scoped MERGE can upsert view groups.
+# \x1f (unit separator) never appears in the dim domains here; a general
+# deployment would hash the tuple instead.
+MV_KEY = "__mv_key"
+
+
+def _with_key(df: DataFrame, mv: MVSpec) -> DataFrame:
+    return df.withColumn(
+        MV_KEY,
+        F.concat_ws("\x1f", *[F.col(d).cast("string") for d in mv.dims]))
+
+
+def refresh(build: DataFrame, table_dir: str,
+            mv: MVSpec | None = None) -> int:
     """Commit a (re)build of the view as a new version of its versioned
-    table and return the committed version — full rebuild; at scale the
-    IVM delta rule (`ivm_daily_event_rollup`) computes ``build`` from
-    the base table's change feed instead of from scratch."""
+    table and return the committed version — full rebuild.  Pass ``mv``
+    to also store the surrogate dim key `refresh_incremental` merges
+    on (harmless extra column for readers; the rewriter groups by dims
+    and never selects it)."""
+    if mv is not None:
+        build = _with_key(build, mv)
     return V.write_snapshot(build, table_dir)
+
+
+def refresh_incremental(spark: SparkSession, table_dir: str, mv: MVSpec,
+                        delta_build: DataFrame) -> int:
+    """IVM delta refresh of a stored view: ``delta_build`` is the SAME
+    aggregate computed over ONLY the new base rows; stored partials and
+    delta partials combine per dim group (sum/count add, min/max take
+    least/greatest — the decomposability that makes the view
+    maintainable without touching old base data), and the combined rows
+    upsert through the versioned store's scoped MERGE — so a refresh
+    rewrites O(touched files) of the view, never the view, and never
+    the base table.  Groups the delta doesn't touch ride along
+    untouched; groups new to the delta insert.
+
+    This is `ivm_daily_event_rollup`'s delta rule composed with
+    `merge_into_snapshot`'s scoped rewrite: the full IVM read/refresh
+    loop, machine-checked end to end by `mv_incremental_refresh_daily`
+    (incrementally-refreshed view ≡ full-rebuild oracle under the
+    value hash)."""
+    if not all(agg in _REAGG for agg, _ in mv.measures):
+        raise MVRewriteError(f"non-decomposable measure in {mv.name!r}")
+    on = list(mv.dims)
+    cur = read(spark, table_dir)
+    # only the touched groups join + merge; the touched-dims frame is
+    # small by the premise of incremental refresh (it IS the delta)
+    touched_cur = cur.join(
+        F.broadcast(delta_build.select(*on).distinct()), on, "left_semi")
+    j = touched_cur.alias("c").join(delta_build.alias("d"), on, "full_outer")
+    combined = []
+    for agg, alias in mv.measures:
+        c, d = F.col(f"c.{alias}"), F.col(f"d.{alias}")
+        if agg in ("sum", "count"):
+            expr = (F.coalesce(c, F.lit(0)) + F.coalesce(d, F.lit(0))) \
+                .cast("long")
+        elif agg == "min":
+            expr = F.least(c, d)   # least/greatest skip NULLs
+        else:
+            expr = F.greatest(c, d)
+        combined.append(expr.alias(alias))
+    updates = _with_key(j.select(*on, *combined), mv)
+    return V.merge_into_snapshot(spark, table_dir, updates, key=MV_KEY)
 
 
 def read(spark: SparkSession, table_dir: str,

@@ -134,3 +134,41 @@ class TestRewriteEquivalence:
         _, mv_dir = _mv_daily_nation_rev(spark, sf_dir)
         assert mv_dir.split("/")[-1] in plan
         assert "orders.parquet" not in plan
+
+
+class TestIncrementalRefresh:
+    def test_delta_merge_equals_full_rebuild(self, spark, tmp_path):
+        """Update an existing group, insert a brand-new group, leave one
+        untouched — the merged view must equal the full rebuild,
+        min/max included."""
+        spec = M.MVSpec(name="inc", dims=("k",),
+                        measures=(("sum", "s"), ("count", "n"),
+                                  ("min", "lo"), ("max", "hi")),
+                        rows_hint=10)
+
+        def agg(rows):
+            df = spark.createDataFrame(rows, "k string, v long")
+            return df.groupBy("k").agg(
+                F.sum("v").cast("long").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+                F.min("v").alias("lo"), F.max("v").alias("hi"))
+
+        old = [("a", 1), ("a", 5), ("b", 10)]
+        delta = [("a", -3), ("c", 7)]      # touches a, inserts c, skips b
+        d = str(tmp_path / "mv_inc")
+        assert M.refresh(agg(old), d, mv=spec) == 1
+        v = M.refresh_incremental(spark, d, spec, agg(delta))
+        assert v == 2
+        got = {r["k"]: (r["s"], r["n"], r["lo"], r["hi"])
+               for r in M.read(spark, d).collect()}
+        want = {r["k"]: (r["s"], r["n"], r["lo"], r["hi"])
+                for r in agg(old + delta).collect()}
+        assert got == want
+
+    def test_rejects_nondecomposable_measures(self, spark, tmp_path):
+        bad = M.MVSpec(name="bad", dims=("k",),
+                       measures=(("avg", "a"),), rows_hint=1)
+        with pytest.raises(M.MVRewriteError):
+            M.refresh_incremental(
+                spark, str(tmp_path / "x"), bad,
+                spark.createDataFrame([("a", 1.0)], "k string, a double"))
