@@ -223,3 +223,37 @@ def curriculum_phases(docs: DataFrame, text_col: str = "text",
              F.max("tok").cast("long").alias("max_toks"))
         .orderBy("phase")
     )
+
+
+def priority_sample(docs: DataFrame, weight_col: str = "n_chars",
+                    k: int = 100, id_col: str = "doc_id",
+                    salt: str = "prio-v1") -> DataFrame:
+    """Deterministic weighted sampling without replacement: keep the k
+    records with the largest priority weight/u, u a per-record hash
+    uniform (public technique: priority sampling, Duffield-Lund-Thorup,
+    JACM 2007 — inclusion probability ∝ weight, and subset-sum
+    estimates from the sample are near-optimal).  The hash-derived u
+    replaces rand() so the sample is reproducible across runs, engines,
+    and cluster layouts — the same property `hash_bucket` gives the
+    train/val/test split.
+
+    The rank key is the INTEGER quotient weight·2³² div (u+1) with
+    u = first-8-hex-digits of md5(id‖salt) ∈ [0, 2³²): one exact bigint
+    per row, ties broken by id — no float ranking, so the selected SET
+    is engine-portable, not just approximately similar.
+
+    Scale: map-side key computation + top-k (TakeOrderedAndProject —
+    per-partition heaps, then a k-row merge on the driver); nothing
+    shuffles the corpus."""
+    h8 = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8)
+    base = docs.select(
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias("weight"),
+        F.conv(h8, 16, 10).cast("long").alias("__u"))
+    return (base
+            .withColumn("priority",
+                        F.expr("weight * 4294967296 div (__u + 1)")
+                        .cast("long"))
+            .orderBy(F.desc("priority"), F.asc(id_col)).limit(k)
+            .select(id_col, "weight", "priority"))

@@ -153,3 +153,33 @@ def rolling_zscore_anomalies(daily: DataFrame, day_col: str = "day",
             .withColumn("win_sumsq", s2)
             .withColumn("is_anomaly",
                         (F.col("n_window") >= min_points) & (lhs > rhs)))
+
+
+def ewma_binary_fleet(daily: DataFrame, day_col: str, value_col: str,
+                      partition_by: str, window: int = 8) -> DataFrame:
+    """Truncated exponentially-weighted moving average with α = 1/2 per
+    series — the smoothing every ops dashboard runs — in EXACT integer
+    arithmetic: with a binary decay every weight α(1−α)^i is a dyadic
+    rational, so the L-term truncation is the integer
+    ``num = Σ_{i=0..L−1} v_{t−i}·2^{L−1−i}`` over denominator 2^L
+    (weights sum to (2^L−1)/2^L — the truncation remainder, documented
+    rather than hidden in float drift).  ``ewma_x{2^L}`` is the exact
+    numerator (NULL until a full L-row history exists: a NULL lag
+    nulls the chain, which is the contract, not an accident);``ewma``
+    is the single rounded division.
+
+    Scale: one keyed window per series (no global sort); the L lag
+    terms are one fixed-association codegen'd expression, so a
+    million-series fleet costs one shuffle on the series key."""
+    w = Window.partitionBy(partition_by).orderBy(day_col)
+    num = None
+    for i in range(window):
+        term = (F.lag(F.col(value_col), i).over(w)
+                * F.lit(1 << (window - 1 - i)))
+        num = term if num is None else num + term
+    scale = 1 << window
+    return (daily
+            .withColumn(f"ewma_x{scale}", num.cast("long"))
+            .withColumn("ewma",
+                        F.round(F.col(f"ewma_x{scale}").cast("double")
+                                / F.lit(float(scale)), 6)))

@@ -763,3 +763,104 @@ def mv_incremental_refresh_daily(spark: SparkSession,
                 [("sum", "rev_cents", "rev_cents"),
                  ("count", "n_orders", "n_orders")])
             .orderBy("n_name", "month"))
+
+
+# ---------------------------------------------------------------------------
+# weighted priority sampling + exact-rational EWMA fleet
+# ---------------------------------------------------------------------------
+
+@register(
+    "mix_priority_sample",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'prio-v1'), 1, 8) AS h8
+      FROM documents
+    ), p AS (
+      SELECT doc_id, weight,
+             CAST(weight * 4294967296 //
+                  ((list_aggregate(list_transform(range(1, 9),
+                     i -> (strpos('0123456789abcdef',
+                                  substr(h8, CAST(i AS INT), 1)) - 1)
+                          * CAST(16 ** (8 - i) AS BIGINT)), 'sum')) + 1)
+                  AS BIGINT) AS priority
+      FROM h
+    )
+    SELECT doc_id, weight, priority FROM p
+    ORDER BY priority DESC, doc_id LIMIT 100
+    """,
+    tags=["mixing", "sampling", "weighted"],
+)
+def mix_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, deterministic and
+    engine-portable: top-100 docs by the priority-sampling rank
+    weight·2³² div (u+1), weight = n_chars, u = md5-derived uniform
+    (operator: `operators/mixing.priority_sample` — Duffield-Lund-
+    Thorup priority sampling, inclusion probability ∝ document length).
+    The integer rank key means the selected SET hash-matches DuckDB
+    exactly — the lineage property a training-corpus downsample needs.
+    Complements `mix_stratified_sample` (rate per stratum) and
+    `mix_temperature_sample` (rate per domain mass): this one weights
+    per RECORD."""
+    from ..operators.mixing import priority_sample
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return priority_sample(docs, weight_col="n_chars", k=100)
+
+
+_EWMA_TERMS_SQL = " + ".join(
+    f"lag(rev_cents, {i}) OVER w * {1 << (7 - i)}" for i in range(8))
+
+
+@register(
+    "ts_ewma_fleet",
+    oracle=f"""
+    WITH daily AS (
+      SELECT n.n_name AS series, CAST(o.o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), e AS (
+      SELECT series, day, rev_cents,
+             {_EWMA_TERMS_SQL} AS num
+      FROM daily
+      WINDOW w AS (PARTITION BY series ORDER BY day)
+    )
+    SELECT series, strftime(day, '%Y-%m-%d') AS day, rev_cents,
+           CAST(num AS BIGINT) AS ewma_x256,
+           ROUND(CAST(num AS DOUBLE) / 256, 6) AS ewma
+    FROM e ORDER BY series, day
+    """,
+    tags=["timeseries", "ewma", "fleet"],
+)
+def ts_ewma_fleet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation daily-revenue EWMA with binary decay α = 1/2
+    (operator: `operators/timeseries.ewma_binary_fleet`): dyadic-
+    rational weights make the 8-term truncated EWMA an EXACT bigint
+    numerator over 2⁸, so a smoothing that is pure float drift in most
+    engines value-hashes here (the one rounded division excepted).
+    Window partitioned by series — the fleet shape, no global sort."""
+    from ..operators.timeseries import ewma_binary_fleet
+
+    orders, customer, nation = _t(spark, sf_dir,
+                                  "orders", "customer", "nation")
+    daily = (
+        orders
+        .join(customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("series"),
+                 F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                   .cast("long")).cast("long").alias("rev_cents"))
+    )
+    out = ewma_binary_fleet(daily, day_col="d", value_col="rev_cents",
+                            partition_by="series", window=8)
+    return (out.select("series",
+                       F.date_format("d", "yyyy-MM-dd").alias("day"),
+                       "rev_cents", "ewma_x256", "ewma")
+            .orderBy("series", "day"))

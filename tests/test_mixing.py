@@ -121,3 +121,25 @@ def test_curriculum_phases_quartiles_and_conservation(spark):
     assert [got[p]["min_toks"] for p in (1, 2, 3, 4)] == [1, 3, 5, 7]
     assert [got[p]["max_toks"] for p in (1, 2, 3, 4)] == [2, 4, 6, 8]
     assert sum(got[p]["total_toks"] for p in got) == sum(range(1, 9))
+
+
+def test_priority_sample_exact_key_and_determinism(spark):
+    import hashlib
+
+    from databox_adls_loader_spark.operators.mixing import priority_sample
+
+    docs = spark.createDataFrame(
+        [(i, 10 + (i * 37) % 90) for i in range(50)],
+        "doc_id long, w int")
+    got = priority_sample(docs, weight_col="w", k=5).collect()
+    assert len(got) == 5
+
+    def key(i, w):
+        u = int(hashlib.md5(f"{i}prio-v1".encode()).hexdigest()[:8], 16)
+        return w * 4294967296 // (u + 1)
+
+    want = sorted(((key(i, 10 + (i * 37) % 90), i)
+                   for i in range(50)), key=lambda t: (-t[0], t[1]))[:5]
+    assert [(r["priority"], r["doc_id"]) for r in got] == want
+    again = priority_sample(docs, weight_col="w", k=5).collect()
+    assert got == again

@@ -81,3 +81,29 @@ def test_rolling_zscore_flags_spike_only(spark):
     assert sum(got.values()) == 1                    # and nothing else
     # first rows lack min_points history -> never flagged
     assert got["2024-01-01"] is False and got["2024-01-04"] is False
+
+
+def test_ewma_binary_fleet_exact_numerator_and_null_head(spark):
+    import datetime
+
+    from databox_adls_loader_spark.operators.timeseries import (
+        ewma_binary_fleet)
+
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+    rows = [("s", datetime.date(2024, 1, 1 + i), v)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "series string, d date, v long")
+    out = {r["d"].day: r for r in
+           ewma_binary_fleet(df, "d", "v", "series", window=8).collect()}
+    # rows 1..7 lack a full 8-deep history -> NULL numerator
+    assert all(out[day]["ewma_x256"] is None for day in range(1, 8))
+    for t in range(7, 10):            # 0-based index into vals
+        num = sum(vals[t - i] * (1 << (7 - i)) for i in range(8))
+        assert out[t + 1]["ewma_x256"] == num
+        # num/256 is an exact dyadic that can land exactly on a 6dp
+        # half; both engines round half AWAY FROM ZERO (the repo
+        # convention), unlike Python's banker's round()
+        import decimal
+        want = float((decimal.Decimal(num) / 256).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP))
+        assert out[t + 1]["ewma"] == want
