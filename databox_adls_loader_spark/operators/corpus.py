@@ -110,3 +110,74 @@ def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
         joined.withColumn("split", text.split_label(b, val_pct, test_pct))
         .drop("component")
     )
+
+
+def assemble_corpus(docs: DataFrame, bench,
+                    min_tokens: int = 20, max_punct: float = 0.1,
+                    jaccard_threshold: float = 0.5,
+                    val_pct: int = 10, test_pct: int = 10,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """The rest of the training-data pipeline downstream of
+    `clean_corpus`: decontaminate → split → curriculum — composed from
+    the same oracle-proven operators, ending in the per-(split, phase)
+    manifest a trainer consumes.
+
+      1. keep only `clean_corpus`'s 'kept' docs;
+      2. drop benchmark members ('benchmark') and docs sharing ≥ 2 word
+         3-grams with the benchmark ('contaminated') —
+         `dedup.contamination`'s held-in predicate form;
+      3. assign the stable md5-bucket train/val/test split
+         (`text.split_label` — same thresholds/salt as the split
+         queries, so this pipeline and the standalone split agree
+         doc-for-doc);
+      4. train docs get a length-curriculum phase 1-4 at the EXACT
+         token-count quartiles of the TRAIN slice (val/test get phase
+         0 — no curriculum on eval data).
+
+    Output: (split, phase, n_docs, total_toks), all integers.
+
+    Scale: every stage is the already-audited operator's plan; the only
+    additions are one map-side bucket expression and the 1-row quartile
+    broadcast frame.  ``bench`` is a boolean Column over ``docs``."""
+    from . import dedup
+    from .text import hash_bucket, split_label
+
+    verdicts = clean_corpus(docs, min_tokens=min_tokens,
+                            max_punct=max_punct,
+                            jaccard_threshold=jaccard_threshold,
+                            text_col=text_col, id_col=id_col)
+    kept = (verdicts.filter(F.col("verdict") == "kept")
+            .select(id_col, "n_tokens"))
+    cont = dedup.contamination(docs, bench, n=3, min_shared=2,
+                               text_col=text_col, id_col=id_col)
+    status = (
+        kept.join(cont, id_col)
+        .withColumn("stage",
+                    F.when(bench, F.lit("benchmark"))
+                    .when(F.col("contaminated"), F.lit("contaminated"))
+                    .otherwise(F.lit("clean")))
+    )
+    clean = status.filter(F.col("stage") == "clean")
+    splits = clean.withColumn(
+        "split", split_label(hash_bucket(id_col, 100, "split-v1"),
+                             val_pct, test_pct))
+    qs = F.broadcast(
+        splits.filter(F.col("split") == "train")
+        .agg(F.expr("percentile(n_tokens, array(0.25D, 0.5D, 0.75D))")
+             .alias("qs")))
+    phase = (
+        F.when(F.col("split") != "train", F.lit(0))
+        .when(F.col("n_tokens") <= F.col("qs")[0], F.lit(1))
+        .when(F.col("n_tokens") <= F.col("qs")[1], F.lit(2))
+        .when(F.col("n_tokens") <= F.col("qs")[2], F.lit(3))
+        .otherwise(F.lit(4))
+    )
+    return (
+        splits.crossJoin(qs)
+        .select("split", phase.alias("phase"), "n_tokens")
+        .groupBy("split", "phase")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").cast("long").alias("total_toks"))
+        .orderBy("split", "phase")
+    )

@@ -864,3 +864,116 @@ def ts_ewma_fleet(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.date_format("d", "yyyy-MM-dd").alias("day"),
                        "rev_cents", "ewma_x256", "ewma")
             .orderBy("series", "day"))
+
+
+@register(
+    "corpus_assemble_pipeline",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             ROUND(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g'))
+                   * 1.0 / greatest(length(text), 1), 6) AS punct
+      FROM documents
+    ), qualified AS (
+      SELECT * FROM base WHERE n_tokens >= 20 AND punct <= 0.1
+    ), hashed AS (
+      SELECT doc_id, text,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+      FROM qualified
+    ), canon AS (
+      SELECT h, MIN(doc_id) AS canonical_id FROM hashed GROUP BY h
+    ), exact_tagged AS (
+      SELECT hashed.doc_id, hashed.text,
+             hashed.doc_id <> canon.canonical_id AS is_exact_dup
+      FROM hashed JOIN canon USING (h)
+    ), survivors AS (
+      SELECT doc_id, text FROM exact_tagged WHERE NOT is_exact_dup
+    ), toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM survivors
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(t) - 2, 1) + 1),
+        i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+      FROM toks
+    ), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    near AS (
+      SELECT DISTINCT r.b AS near_dup_id FROM (
+        SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
+        FROM sh l JOIN sh r ON l.g = r.g AND l.doc_id < r.doc_id
+        GROUP BY 1, 2
+      ) r
+      JOIN sizes sa ON r.a = sa.doc_id JOIN sizes sb ON r.b = sb.doc_id
+      WHERE r.inter * 1.0 / (sa.sz + sb.sz - r.inter) >= 0.5
+    ), kept AS (
+      SELECT s.doc_id, b.n_tokens
+      FROM survivors s JOIN base b ON s.doc_id = b.doc_id
+      LEFT JOIN near n ON s.doc_id = n.near_dup_id
+      WHERE n.near_dup_id IS NULL
+    ), toks_all AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ), sh_all AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(t) - 2, 1) + 1),
+        i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+      FROM toks_all
+    ), bg AS (SELECT DISTINCT g FROM sh_all WHERE doc_id % 11 = 0),
+    shared AS (
+      SELECT s.doc_id, COUNT(*) AS ns
+      FROM sh_all s JOIN bg USING (g) GROUP BY 1
+    ), clean2 AS (
+      SELECT k.doc_id, k.n_tokens
+      FROM kept k LEFT JOIN shared x ON k.doc_id = x.doc_id
+      WHERE k.doc_id % 11 <> 0 AND COALESCE(x.ns, 0) < 2
+    ), sp AS (
+      SELECT doc_id, n_tokens,
+             (list_aggregate(list_transform(range(1, 9),
+                i -> (strpos('0123456789abcdef', substr(
+                        substr(md5(CAST(doc_id AS VARCHAR) || 'split-v1'),
+                               1, 8), CAST(i AS INT), 1)) - 1)
+                     * CAST(16 ** (8 - i) AS BIGINT)), 'sum')) % 100
+               AS bucket
+      FROM clean2
+    ), splits AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN bucket < 10 THEN 'test'
+                  WHEN bucket < 20 THEN 'val'
+                  ELSE 'train' END AS split
+      FROM sp
+    ), q AS (
+      SELECT quantile_cont(n_tokens, [0.25, 0.5, 0.75]) AS qs
+      FROM splits WHERE split = 'train'
+    ), ph AS (
+      SELECT split,
+             CASE WHEN split <> 'train' THEN 0
+                  WHEN n_tokens <= qs[1] THEN 1
+                  WHEN n_tokens <= qs[2] THEN 2
+                  WHEN n_tokens <= qs[3] THEN 3
+                  ELSE 4 END AS phase,
+             n_tokens
+      FROM splits CROSS JOIN q
+    )
+    SELECT split, phase, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_toks
+    FROM ph GROUP BY 1, 2 ORDER BY split, phase
+    """,
+    tags=["pipeline", "dedup", "contamination", "mixing", "curriculum"],
+)
+def corpus_assemble_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-corpus assembly under one value hash
+    (operator: `operators/corpus.assemble_corpus`): quality gate →
+    exact dedup → near-dup removal (`clean_corpus`) → benchmark
+    decontamination (`dedup.contamination`) → stable md5 train/val/test
+    split (`text.split_label`) → length-curriculum phases at the TRAIN
+    slice's exact token quartiles — emitting the per-(split, phase)
+    manifest a trainer consumes.  Every stage is an operator already
+    oracle-proven in isolation; this entry proves the COMPOSITION
+    (stage ordering, survivor handoff, split-before-quartile scoping).
+    Scale notes live on each operator; the composition adds one
+    map-side bucket expression and a 1-row quartile frame."""
+    from ..operators.corpus import assemble_corpus
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return assemble_corpus(docs, F.col("doc_id") % 11 == 0)
