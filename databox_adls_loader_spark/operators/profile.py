@@ -349,3 +349,44 @@ def lorenz_skew(df: DataFrame, key_col: str) -> DataFrame:
             / (F.col("n_keys") * F.col("n_rows")).cast("double"), 6)
         .alias("gini"),
     )
+
+
+def chi2_drift_buckets(df: DataFrame, value_col: str, slice_pred: Column,
+                       width: float, n_buckets: int = 10) -> DataFrame:
+    """Binned two-sample drift: the chi-square homogeneity statistic's
+    per-bucket contributions comparing slice A (``slice_pred``) against
+    the rest of ``df`` on fixed-width buckets of ``value_col`` — the
+    binned complement of `ks_drift` (KS sees shape shifts; chi-square
+    localizes WHICH value range drifted, the histogram a drift alert
+    renders).
+
+    The per-bucket identity (o_A·N_B − o_B·N_A)²·(N_A+N_B) /
+    (N_A·N_B·(o_A+o_B)) keeps everything integer until ONE fixed-
+    association double chain per bucket, rounded to 6dp — the bm25
+    float discipline, so every contribution value-hashes.  Per-bucket
+    rows avoid a cross-bucket float total; sum the column for the
+    statistic (Σ of 6dp terms — fine for alerting; the exact per-bucket
+    terms are the auditable artifact).
+
+    Plan: one map-side bucket/flag projection, one n_buckets-group
+    aggregate, a 1-row totals frame — a single scan at any scale."""
+    b = F.least(F.floor(F.col(value_col) / F.lit(width)).cast("int"),
+                F.lit(n_buckets - 1))
+    tagged = df.select(b.alias("bucket"),
+                       slice_pred.cast("int").alias("in_a"))
+    counts = tagged.groupBy("bucket").agg(
+        F.sum("in_a").cast("long").alias("o_a"),
+        F.sum(F.expr("1 - in_a")).cast("long").alias("o_b"))
+    tot = F.broadcast(counts.agg(
+        F.sum("o_a").cast("long").alias("na"),
+        F.sum("o_b").cast("long").alias("nb")))
+    d = (F.col("o_a") * F.col("nb") - F.col("o_b") * F.col("na")) \
+        .cast("double")
+    contrib = F.round(
+        d * d / (F.col("na") * F.col("nb")).cast("double")
+        * (F.col("na") + F.col("nb")).cast("double")
+        / (F.col("o_a") + F.col("o_b")).cast("double"), 6)
+    return (counts.crossJoin(tot)
+            .select("bucket", "o_a", "o_b",
+                    contrib.alias("chi2_contrib"))
+            .orderBy("bucket"))

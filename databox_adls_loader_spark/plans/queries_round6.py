@@ -977,3 +977,45 @@ def corpus_assemble_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     return assemble_corpus(docs, F.col("doc_id") % 11 == 0)
+
+
+@register(
+    "prof_chi2_drift_priority",
+    oracle="""
+    WITH t AS (
+      SELECT LEAST(CAST(floor(o_totalprice / 50000) AS INT), 9) AS bucket,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS in_a
+      FROM orders
+    ), c AS (
+      SELECT bucket, CAST(SUM(in_a) AS BIGINT) AS o_a,
+             CAST(SUM(1 - in_a) AS BIGINT) AS o_b
+      FROM t GROUP BY 1
+    ), n AS (
+      SELECT CAST(SUM(o_a) AS BIGINT) AS na,
+             CAST(SUM(o_b) AS BIGINT) AS nb
+      FROM c
+    )
+    SELECT bucket, o_a, o_b,
+           ROUND(CAST(o_a * nb - o_b * na AS DOUBLE)
+                 * CAST(o_a * nb - o_b * na AS DOUBLE)
+                 / CAST(na * nb AS DOUBLE)
+                 * CAST(na + nb AS DOUBLE)
+                 / CAST(o_a + o_b AS DOUBLE), 6) AS chi2_contrib
+    FROM c CROSS JOIN n ORDER BY bucket
+    """,
+    tags=["profile", "drift", "chi2"],
+)
+def prof_chi2_drift_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned drift between URGENT orders and the rest on order value
+    (operator: `operators/profile.chi2_drift_buckets`): chi-square
+    homogeneity contributions over ten fixed-width price buckets —
+    WHERE the distribution drifted, complementing
+    `prof_ks_drift_by_status`'s shape statistic.  Counts stay integer;
+    each contribution is one fixed-association double chain rounded to
+    6dp.  One scan, ten groups, a 1-row totals frame."""
+    from ..operators.profile import chi2_drift_buckets
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    return chi2_drift_buckets(
+        orders, "o_totalprice",
+        F.col("o_orderpriority") == "1-URGENT", width=50_000.0)

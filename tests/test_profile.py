@@ -334,3 +334,24 @@ def test_lorenz_skew_matches_bruteforce(spark):
     assert row["gini"] == want
     assert row["top1_ppm"] == 6 * 1_000_000 // 10
     assert row["max_cnt"] == 6
+
+
+def test_chi2_drift_buckets_matches_handcomputed(spark):
+    from pyspark.sql import functions as F
+
+    from databox_adls_loader_spark.operators.profile import (
+        chi2_drift_buckets)
+
+    # bucket 0: A=3, B=1; bucket 1: A=1, B=3  (width 10, two buckets)
+    rows = ([("a", 5.0)] * 3 + [("b", 5.0)] * 1
+            + [("a", 15.0)] * 1 + [("b", 15.0)] * 3)
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = {r["bucket"]: r for r in chi2_drift_buckets(
+        df, "v", F.col("grp") == "a", width=10.0, n_buckets=2).collect()}
+    na, nb = 4, 4
+    for bucket, (oa, ob) in {0: (3, 1), 1: (1, 3)}.items():
+        r = out[bucket]
+        assert (r["o_a"], r["o_b"]) == (oa, ob)
+        d = oa * nb - ob * na
+        want = round(d * d / (na * nb) * (na + nb) / (oa + ob), 6)
+        assert r["chi2_contrib"] == want
