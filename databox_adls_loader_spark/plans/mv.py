@@ -192,7 +192,16 @@ def refresh_incremental(spark: SparkSession, table_dir: str, mv: MVSpec,
     # small by the premise of incremental refresh (it IS the delta)
     touched_cur = cur.join(
         F.broadcast(delta_build.select(*on).distinct()), on, "left_semi")
-    j = touched_cur.alias("c").join(delta_build.alias("d"), on, "full_outer")
+    updates = _with_key(_combine(touched_cur, delta_build, mv), mv)
+    return V.merge_into_snapshot(spark, table_dir, updates, key=MV_KEY)
+
+
+def _combine(cur: DataFrame, delta: DataFrame, mv: MVSpec) -> DataFrame:
+    """Stored partials ⊕ delta partials per dim group (full-outer on the
+    dims: sum/count add, min/max least/greatest — which skip NULLs, so a
+    group present on one side only keeps its value)."""
+    on = list(mv.dims)
+    j = cur.alias("c").join(delta.alias("d"), on, "full_outer")
     combined = []
     for agg, alias in mv.measures:
         c, d = F.col(f"c.{alias}"), F.col(f"d.{alias}")
@@ -200,12 +209,43 @@ def refresh_incremental(spark: SparkSession, table_dir: str, mv: MVSpec,
             expr = (F.coalesce(c, F.lit(0)) + F.coalesce(d, F.lit(0))) \
                 .cast("long")
         elif agg == "min":
-            expr = F.least(c, d)   # least/greatest skip NULLs
+            expr = F.least(c, d)
         else:
             expr = F.greatest(c, d)
         combined.append(expr.alias(alias))
-    updates = _with_key(j.select(*on, *combined), mv)
-    return V.merge_into_snapshot(spark, table_dir, updates, key=MV_KEY)
+    return j.select(*on, *combined)
+
+
+def maintain_stream_batch(batch_df: DataFrame, batch_id: int,
+                          table_dir: str, mv: MVSpec, delta_agg) -> bool:
+    """Exactly-once STREAMING maintenance of a materialized view: the
+    foreachBatch sink that keeps a rollup MV current as micro-batches
+    arrive.  ``delta_agg(batch_df)`` computes the view's aggregate over
+    just the batch; the result combines with the stored partials
+    (`_combine` — the same delta rule `refresh_incremental` uses) and
+    the whole new state commits through `commit_stream_batch`'s
+    batch-id ledger, so Structured Streaming's crash-replay of a batch
+    is detected and skipped — at-least-once delivery, exactly-once view
+    contents (the `streaming/sketches.py` maintainer shape, applied to
+    the MV layer).
+
+    Use: ``stream.writeStream.foreachBatch(lambda df, bid:
+    maintain_stream_batch(df, bid, table_dir, mv, delta_agg))``.
+
+    Scale: state committed per batch is the ROLLUP (|dim groups| rows),
+    not the stream; for views too large to rewrite per batch, route
+    through `refresh_incremental`'s scoped MERGE extended with the
+    ledger ids instead of the whole-state overwrite."""
+    if int(batch_id) in V.committed_batch_ids(table_dir):
+        return False               # replayed batch — contents already in
+    delta = delta_agg(batch_df)
+    if V.latest_version(table_dir) is None:
+        combined = delta
+    else:
+        combined = _combine(read(batch_df.sparkSession, table_dir),
+                            delta, mv)
+    return V.commit_stream_batch(_with_key(combined, mv), batch_id,
+                                 table_dir, mode="overwrite")
 
 
 def read(spark: SparkSession, table_dir: str,

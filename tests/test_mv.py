@@ -172,3 +172,58 @@ class TestIncrementalRefresh:
             M.refresh_incremental(
                 spark, str(tmp_path / "x"), bad,
                 spark.createDataFrame([("a", 1.0)], "k string, a double"))
+
+
+class TestStreamingMaintenance:
+    def test_stream_maintains_view_exactly_once(self, spark, tmp_path):
+        """Micro-batches fold into the stored view via the delta rule;
+        after the stream drains, the view equals the batch aggregate of
+        every row, and a checkpoint replay changes nothing."""
+        from databox_adls_loader_spark.sinks import versioned as V
+
+        spec = M.MVSpec(name="stream_mv", dims=("k",),
+                        measures=(("sum", "s"), ("count", "n"),
+                                  ("min", "lo"), ("max", "hi")),
+                        rows_hint=10)
+
+        def delta_agg(df):
+            return df.groupBy("k").agg(
+                F.sum("v").cast("long").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+                F.min("v").alias("lo"), F.max("v").alias("hi"))
+
+        src = str(tmp_path / "src")
+        t = str(tmp_path / "mv")
+        ck = str(tmp_path / "ck")
+        rows = [(f"k{i % 3}", i) for i in range(40)]
+        all_df = spark.createDataFrame(rows, "k string, v long")
+        # two files -> two micro-batches with maxFilesPerTrigger=1
+        spark.createDataFrame(rows[:25], "k string, v long") \
+            .coalesce(1).write.mode("append").parquet(src)
+        spark.createDataFrame(rows[25:], "k string, v long") \
+            .coalesce(1).write.mode("append").parquet(src)
+
+        def run():
+            stream = (spark.readStream.schema("k string, v long")
+                      .option("maxFilesPerTrigger", 1).parquet(src))
+            q = (stream.writeStream
+                 .foreachBatch(lambda df, bid: M.maintain_stream_batch(
+                     df, bid, t, spec, delta_agg))
+                 .option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        run()
+        want = {r["k"]: (r["s"], r["n"], r["lo"], r["hi"])
+                for r in delta_agg(all_df).collect()}
+        got = {r["k"]: (r["s"], r["n"], r["lo"], r["hi"])
+               for r in M.read(spark, t).collect()}
+        assert got == want
+        assert len(V.committed_batch_ids(t)) >= 2
+
+        v_before = V.latest_version(t)
+        run()                         # replay: ledger skips every batch
+        assert V.latest_version(t) == v_before
+        got2 = {r["k"]: (r["s"], r["n"], r["lo"], r["hi"])
+                for r in M.read(spark, t).collect()}
+        assert got2 == want

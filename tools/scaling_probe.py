@@ -47,6 +47,10 @@ HEADLINERS = [
     "sim_topk_bruteforce",       # map-side score + TakeOrdered
     "e1_sessionization",         # user-keyed windows
     "prof_ks_drift_by_status",   # cogroup Arrow path
+    "corpus_assemble_pipeline",  # composed clean→decontaminate→split→phase
+    "retr_eval_bm25",            # BM25 rank + k-row metric windows
+    "er_part_name_pairs",        # blocked bounded-levenshtein verify
+    "mix_priority_sample",       # map-side rank key + TakeOrdered
 ]
 
 TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
@@ -62,6 +66,10 @@ TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
     "sim_topk_bruteforce": "embeddings",
     "e1_sessionization": "events",
     "prof_ks_drift_by_status": "orders",
+    "corpus_assemble_pipeline": "documents",
+    "retr_eval_bm25": "documents",
+    "er_part_name_pairs": "part",
+    "mix_priority_sample": "documents",
 }
 
 # the heavy shapes probed one decade PAST the bench SF, on the locally
@@ -74,6 +82,11 @@ SF1_QUERIES = [
     "text_bpe_merges",
     "graph_pagerank_jaccard",
     "prof_ks_drift_by_status",
+    # linear-path representative one decade up; corpus_assemble stays at
+    # the driver SFs — its near-dup stage is the RAW gram self-join
+    # (clean_corpus documents the minhash swap at corpus scale), so an
+    # sf1 run would measure the documented-known quadratic, not a bug
+    "retr_eval_bm25",
 ]
 
 
