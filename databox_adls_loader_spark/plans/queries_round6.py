@@ -1019,3 +1019,128 @@ def prof_chi2_drift_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_drift_buckets(
         orders, "o_totalprice",
         F.col("o_orderpriority") == "1-URGENT", width=50_000.0)
+
+
+# ---------------------------------------------------------------------------
+# embedding dim diagnostics, windowed event dedup, conversion latency
+# ---------------------------------------------------------------------------
+
+@register(
+    "emb_dim_variance_topk",
+    oracle="""
+    WITH ex AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                  AS BIGINT) AS q
+      FROM embeddings
+    ), s AS (
+      SELECT dim, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS s1,
+             CAST(SUM(q * q) AS BIGINT) AS s2
+      FROM ex GROUP BY 1
+    )
+    SELECT CAST(dim AS INT) AS dim, n, s1, s2,
+           CAST(n * s2 - s1 * s1 AS BIGINT) AS var_num
+    FROM s ORDER BY var_num DESC, dim LIMIT 10
+    """,
+    tags=["similarity", "embedding", "profile"],
+)
+def emb_dim_variance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION variance ranking of the embedding space — the
+    feature-quality diagnostic an index build runs first (dead or
+    near-constant dims waste PQ codebooks and LSH bits; the top-variance
+    dims are where the signal lives).  Components quantized to integer
+    milli-units so the second moment n·Σq² − (Σq)² is EXACT bigint —
+    no float accumulation across rows, hence hash-stable under any
+    partitioning.  Plan: posexplode → one (dim)-keyed partial-agg
+    shuffle of d groups; top-10 by TakeOrdered."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("dim", "v")) \
+        .select("dim",
+                F.floor(F.col("v").cast("double") * 1000)
+                .cast("long").alias("q"))
+    s = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").cast("long").alias("s1"),
+        F.sum(F.expr("q * q")).cast("long").alias("s2"))
+    return (s.select(F.col("dim").cast("int").alias("dim"), "n", "s1", "s2",
+                     (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+                     .cast("long").alias("var_num"))
+            .orderBy(F.desc("var_num"), "dim").limit(10))
+
+
+@register(
+    "dedup_events_window",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 600) AS BIGINT) AS win,
+           user_id, event_type,
+           CAST(MIN(event_id) AS BIGINT) AS first_event_id,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dups
+    FROM events
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) > 1
+    ORDER BY win, user_id, event_type
+    """,
+    tags=["dedup", "events", "window"],
+)
+def dedup_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed event dedup — the batch analog of the streaming
+    `dedup_stream` sink: within each 10-minute tumbling window, repeated
+    (user, event_type) deliveries collapse to the first event id; the
+    report lists collapsed groups with their duplicate counts (the
+    at-least-once-delivery cleanup every event pipeline runs).  Window
+    id is floor(epoch/600) — nested-floor-safe against sub-second
+    timestamps, so both engines bucket identically.  One groupBy, fully
+    map-side partial-aggregated."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (events
+            .groupBy(F.floor(F.unix_timestamp("ts") / 600).cast("long")
+                     .alias("win"), "user_id", "event_type")
+            .agg(F.min("event_id").cast("long").alias("first_event_id"),
+                 (F.count(F.lit(1)) - 1).cast("long").alias("n_dups"))
+            .filter(F.col("n_dups") > 0)
+            .orderBy("win", "user_id", "event_type"))
+
+
+@register(
+    "sess5_time_to_convert",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS c,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+      FROM events GROUP BY 1
+    ), d AS (
+      SELECT CAST(floor((epoch(p) - epoch(c)) * 1000) AS BIGINT) AS dt_ms
+      FROM f WHERE c IS NOT NULL AND p IS NOT NULL AND p >= c
+    )
+    SELECT COUNT(*) AS n_converted,
+           CAST(MIN(dt_ms) AS BIGINT) AS min_ms,
+           CAST(MAX(dt_ms) AS BIGINT) AS max_ms,
+           ROUND(quantile_cont(dt_ms, 0.5), 6) AS p50_ms
+    FROM d
+    """,
+    tags=["sessions", "funnel", "latency"],
+)
+def sess5_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency: per user, first click → first purchase, in
+    integer milliseconds (timestamps diffed as epoch DOUBLES — both
+    engines carry the sub-second fraction, then one floor) — count,
+    min/max, and the exact interpolated median.  The funnel-health
+    number `sess2_funnel_counts` doesn't give: not HOW MANY convert but
+    HOW FAST.  Plan: one user-keyed aggregate, then a 1-group summary."""
+    (events,) = _t(spark, sf_dir, "events")
+    f = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+        .alias("c"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .alias("p"))
+    d = (f.filter(F.col("c").isNotNull() & F.col("p").isNotNull()
+                  & (F.col("p") >= F.col("c")))
+         .select(F.floor((F.col("p").cast("double")
+                          - F.col("c").cast("double")) * 1000)
+                 .cast("long").alias("dt_ms")))
+    return d.agg(F.count(F.lit(1)).alias("n_converted"),
+                 F.min("dt_ms").cast("long").alias("min_ms"),
+                 F.max("dt_ms").cast("long").alias("max_ms"),
+                 F.round(F.expr("percentile(dt_ms, 0.5D)"), 6)
+                 .alias("p50_ms"))
