@@ -54,6 +54,51 @@ class ConcurrentCommitError(RuntimeError):
     snapshot is stale and the caller must re-run on the new latest."""
 
 
+class ConstraintViolation(ValueError):
+    """A write-time CHECK constraint failed; nothing was committed."""
+
+
+def check_constraints(df: DataFrame, checks: list[str]) -> None:
+    """Enforce table CHECK constraints on a batch BEFORE any data file is
+    written — the lakehouse write-side twin of the dq_* audit queries
+    (those REPORT violations already in a table; this REFUSES them at
+    the door, the only place enforcement is cheap).
+
+    Each check is either a boolean SQL expression over the batch's
+    columns (``"o_totalprice > 0"``, ``"o_orderkey IS NOT NULL"``) or
+    the uniqueness form ``"unique:col"``.  A NULL predicate result
+    counts as a violation (SQL CHECK semantics admit NULL; a data-quality
+    gate must not — an unexpectedly-NULL column should fail loudly).
+
+    Cost: ONE aggregate pass computing every expression check's
+    violation count map-side (plus one distinct-vs-count aggregate per
+    uniqueness check); raises `ConstraintViolation` naming each failed
+    check with its violation count, so the error is actionable without
+    re-scanning."""
+    exprs = [c for c in checks if not c.startswith("unique:")]
+    uniques = [c.split(":", 1)[1] for c in checks if c.startswith("unique:")]
+    failed: list[str] = []
+    if exprs:
+        aggs = [F.sum(F.when(F.coalesce(F.expr(e), F.lit(False)), 0)
+                      .otherwise(1)).alias(f"c{i}")
+                for i, e in enumerate(exprs)]
+        row = df.agg(*aggs).collect()[0]
+        failed += [f"check ({e}): {row[f'c{i}']} violating row(s)"
+                   for i, e in enumerate(exprs) if row[f"c{i}"]]
+    for col in uniques:
+        row = df.agg(
+            F.count(col).alias("n"),
+            F.count_distinct(F.col(col)).alias("d"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias("nn"),
+        ).collect()[0]
+        if row["n"] != row["d"] or row["nn"]:
+            failed.append(
+                f"unique:{col}: {row['n'] - row['d']} duplicate and "
+                f"{row['nn']} NULL key(s)")
+    if failed:
+        raise ConstraintViolation("; ".join(failed))
+
+
 def _st(table_dir: str, spark: SparkSession | None = None):
     return storage_for(table_dir, spark)
 
@@ -280,10 +325,21 @@ def table_bloom_cols(table_dir: str) -> list[str]:
     return _read_manifest_doc(table_dir, cur).get("bloom_cols", [])
 
 
+def table_checks(table_dir: str) -> list[str]:
+    """CHECK constraints recorded in the latest manifest — like
+    `table_bloom_cols`, table METADATA: declared once at table creation,
+    enforced by every subsequent write path without re-passing."""
+    cur = latest_version(table_dir)
+    if cur is None:
+        return []
+    return _read_manifest_doc(table_dir, cur).get("checks", [])
+
+
 def _commit(table_dir: str, files: list[str], version: int,
             batch_ids: set[int] | None = None,
             stats: dict[str, dict] | None = None,
-            bloom_cols: list[str] | None = None) -> None:
+            bloom_cols: list[str] | None = None,
+            checks: list[str] | None = None) -> None:
     """Write manifest v<version> then atomically swap the pointer.
 
     The streaming batch-id ledger is carried forward into EVERY manifest
@@ -301,6 +357,10 @@ def _commit(table_dir: str, files: list[str], version: int,
         else table_bloom_cols(table_dir)
     if inherited_bloom:
         doc["bloom_cols"] = sorted(inherited_bloom)
+    inherited_checks = checks if checks is not None \
+        else table_checks(table_dir)
+    if inherited_checks:
+        doc["checks"] = sorted(inherited_checks)
     if stats:
         doc["stats"] = {f: stats[f] for f in sorted(stats) if f in set(files)}
     if inherited:
@@ -449,16 +509,30 @@ def _inherited_stats(table_dir: str, version: int | None) -> dict[str, dict]:
 
 
 def write_snapshot(df: DataFrame, table_dir: str,
-                   mode: str = "append", bloom_cols=None) -> int:
+                   mode: str = "append", bloom_cols=None,
+                   checks: list[str] | None = None) -> int:
     """Commit ``df`` as a new snapshot; returns the new version number.
 
     ``append`` keeps the previous version's files in the new manifest;
     ``overwrite`` references only the new files (LOGICAL overwrite — the
-    old files stay on disk for time travel until `vacuum`)."""
+    old files stay on disk for time travel until `vacuum`).
+
+    ``checks``: CHECK constraints (see `check_constraints`) — declared
+    on the first commit, inherited from the manifest by every later
+    write (pass explicitly only to declare or change them).  The batch
+    is validated BEFORE any data file is written, so a violating write
+    leaves no new version and no stray files.  Expression checks are
+    per-row and therefore complete; ``unique:col`` validates within the
+    committed batch (cross-batch key collisions are the MERGE path's
+    job — it collapses by key)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if bloom_cols is None:
         bloom_cols = table_bloom_cols(table_dir)
+    if checks is None:
+        checks = table_checks(table_dir)
+    if checks:
+        check_constraints(df, checks)
     new_files = _new_data_files(
         df, table_dir, f"b{(latest_version(table_dir) or 0) + 1:05d}")
     new_stats = _stats_for(table_dir, new_files, bloom_cols,
@@ -478,7 +552,7 @@ def write_snapshot(df: DataFrame, table_dir: str,
             files, stats = new_files, new_stats
         try:
             _commit(table_dir, files, new_version, stats=stats,
-                    bloom_cols=bloom_cols)
+                    bloom_cols=bloom_cols, checks=checks)
             return new_version
         except ConcurrentCommitError:
             continue
@@ -651,6 +725,12 @@ def merge_into_snapshot(spark: SparkSession, table_dir: str,
                 .parquet(*sorted(touched)) if touched else None)
     merged = (merge_upsert(old_part, updates, key) if old_part is not None
               else updates)
+    checks = table_checks(table_dir)
+    if checks:
+        # the scoped path bypasses write_snapshot, so enforce the
+        # table's CHECKs on the rewritten slice here (the full-rewrite
+        # fallback above inherits them through write_snapshot)
+        check_constraints(merged, checks)
     new_version = cur + 1
     new_files = _new_data_files(merged, table_dir, f"b{new_version:05d}")
     inherited = _inherited_stats(table_dir, cur)
@@ -694,6 +774,12 @@ def commit_stream_batch(batch_df: DataFrame, batch_id: int,
         return False
     if bloom_cols is None:
         bloom_cols = table_bloom_cols(table_dir)
+    checks = table_checks(table_dir)
+    if checks:
+        # enforce table CHECKs on the micro-batch before any file lands;
+        # a violating batch fails the stream (visibly) instead of
+        # poisoning the table
+        check_constraints(batch_df, checks)
     new_files = _new_data_files(
         batch_df, table_dir,
         f"b{(latest_version(table_dir) or 0) + 1:05d}")

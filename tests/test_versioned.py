@@ -576,3 +576,69 @@ def test_small_commits_keep_driver_side_stats_path(spark, tmp_path):
     assert len(doc["files"]) == 2
     for f in doc["files"]:
         assert "bloom" in doc["stats"][f]["columns"]["id"]
+
+
+class TestCheckConstraints:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "k long, v long")
+
+    def test_declared_once_enforced_on_later_writes(self, spark, tmp_path):
+        from databox_adls_loader_spark.sinks import versioned as V
+
+        d = str(tmp_path / "t")
+        ok = self._mk(spark, [(1, 10), (2, 20)])
+        assert V.write_snapshot(ok, d, checks=["v > 0", "k IS NOT NULL"]) == 1
+        assert sorted(V.table_checks(d)) == ["k IS NOT NULL", "v > 0"]
+        # later write inherits the declared checks from the manifest
+        bad = self._mk(spark, [(3, -5)])
+        with pytest.raises(V.ConstraintViolation, match=r"v > 0"):
+            V.write_snapshot(bad, d)
+        # violating write left NO new version and the table intact
+        assert V.latest_version(d) == 1
+        assert V.read_version(spark, d).count() == 2
+        # a clean later write still passes and carries the checks on
+        assert V.write_snapshot(self._mk(spark, [(3, 5)]), d) == 2
+        assert sorted(V.table_checks(d)) == ["k IS NOT NULL", "v > 0"]
+
+    def test_null_predicate_counts_as_violation(self, spark, tmp_path):
+        from databox_adls_loader_spark.sinks import versioned as V
+
+        d = str(tmp_path / "t")
+        df = spark.createDataFrame([(1, None)], "k long, v long")
+        with pytest.raises(V.ConstraintViolation):
+            V.write_snapshot(df, d, checks=["v > 0"])
+
+    def test_unique_check(self, spark, tmp_path):
+        from databox_adls_loader_spark.sinks import versioned as V
+
+        d = str(tmp_path / "t")
+        dup = self._mk(spark, [(1, 10), (1, 11)])
+        with pytest.raises(V.ConstraintViolation, match="unique:k"):
+            V.write_snapshot(dup, d, checks=["unique:k"])
+        assert V.write_snapshot(
+            self._mk(spark, [(1, 10), (2, 11)]), d, checks=["unique:k"]) == 1
+
+    def test_stream_batch_enforces_table_checks(self, spark, tmp_path):
+        from databox_adls_loader_spark.sinks import versioned as V
+
+        d = str(tmp_path / "t")
+        V.write_snapshot(self._mk(spark, [(1, 1)]), d, checks=["v > 0"])
+        assert V.commit_stream_batch(self._mk(spark, [(2, 2)]), 0, d)
+        with pytest.raises(V.ConstraintViolation):
+            V.commit_stream_batch(self._mk(spark, [(3, -1)]), 1, d)
+        assert V.latest_version(d) == 2
+        assert 1 not in V.committed_batch_ids(d)
+
+    def test_scoped_merge_enforces_checks(self, spark, tmp_path):
+        from databox_adls_loader_spark.sinks import versioned as V
+
+        d = str(tmp_path / "t")
+        V.write_snapshot(self._mk(spark, [(1, 1), (2, 2)]), d,
+                         checks=["v > 0"])
+        with pytest.raises(V.ConstraintViolation):
+            V.merge_into_snapshot(spark, d, self._mk(spark, [(1, -9)]), "k")
+        assert V.latest_version(d) == 1
+        v = V.merge_into_snapshot(spark, d, self._mk(spark, [(1, 9)]), "k")
+        assert v == 2
+        got = {r["k"]: r["v"] for r in V.read_version(spark, d).collect()}
+        assert got == {1: 9, 2: 2}
