@@ -119,3 +119,42 @@ def asof_forward_join(left: DataFrame, right: DataFrame, key: str,
         *[F.col(f"__m.{c}").alias(f"right_{c}") for c in rpayload],
         F.col("__m.__rts").alias(f"right_{right_ts}"),
     )
+
+
+def asof_nearest_join(left: DataFrame, right: DataFrame, key: str,
+                      left_ts: str = "ts", right_ts: str = "ts",
+                      tolerance_seconds: int | None = None) -> DataFrame:
+    """NEAREST as-of join: every left row, plus the right row closest in
+    time in EITHER direction (same key), ties to the earlier (backward)
+    match — sensor-alignment semantics (pandas merge_asof
+    direction='nearest'), where the backward and forward forms are the
+    attribution semantics.
+
+    Composition of the two one-direction operators (each one shuffle per
+    side, keyed windows): both candidate matches join back on the full
+    left row, and ONE side is chosen per row — every right_* column
+    switches on the same condition, so the match stays an atomic right
+    row (no franken-rows mixing directions).  ``direction`` reports
+    which side won ('backward'/'forward', NULL on no match).
+
+    Contract: left rows must be unique on their full column set (give
+    rows an id — the event tables' shape); distances compare as
+    whole-second longs, ties → backward."""
+    b = asof_join(left, right, key, left_ts, right_ts, tolerance_seconds)
+    f = asof_forward_join(left, right, key, left_ts, right_ts,
+                          tolerance_seconds)
+    lcols = left.columns
+    rcols = [c for c in b.columns if c not in lcols]
+    rts = f"right_{right_ts}"
+    f2 = f.select(*lcols, *[F.col(c).alias(f"__f_{c}") for c in rcols])
+    j = b.join(f2, lcols)
+    dt_b = F.col(left_ts).cast("long") - F.col(rts).cast("long")
+    dt_f = F.col(f"__f_{rts}").cast("long") - F.col(left_ts).cast("long")
+    use_b = F.col(rts).isNotNull() & (
+        F.col(f"__f_{rts}").isNull() | (dt_b <= dt_f))
+    picked = [F.when(use_b, F.col(c)).otherwise(F.col(f"__f_{c}"))
+              .alias(c) for c in rcols]
+    direction = (F.when(use_b, F.lit("backward"))
+                 .when(F.col(f"__f_{rts}").isNotNull(), F.lit("forward"))
+                 .otherwise(F.lit(None).cast("string")))
+    return j.select(*lcols, *picked, direction.alias("direction"))

@@ -257,3 +257,45 @@ def priority_sample(docs: DataFrame, weight_col: str = "n_chars",
                         .cast("long"))
             .orderBy(F.desc("priority"), F.asc(id_col)).limit(k)
             .select(id_col, "weight", "priority"))
+
+
+def budget_trim_by_stratum(docs: DataFrame, budget_tokens: int,
+                           stratum_col: str = "source",
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           salt: str = "prio-v1") -> DataFrame:
+    """Token-budget corpus trim per stratum: within each source, keep
+    documents in priority order (the `priority_sample` rank key, weight
+    = token count) until the stratum's cumulative token count would
+    exceed ``budget_tokens`` — the "give every domain at most N tokens"
+    step that follows rate-based mixing when the contract is a hard
+    token budget, not a sampling rate.
+
+    Keeps a doc iff its INCLUSIVE running total ≤ budget (greedy by
+    priority; a doc that would cross the line is dropped but later,
+    smaller docs may still fit — the standard greedy knapsack
+    relaxation, deterministic because the order is the integer priority
+    key + id).  Output: per-stratum kept-doc count and token mass, all
+    integers.
+
+    Plan: ONE window partitioned by the stratum (never a global sort) —
+    at 100 TB each domain's running sum spreads by stratum key, the
+    exact shape `exclusive_running_sum` solves for the single-sequence
+    case."""
+    h8 = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8)
+    base = docs.select(
+        F.col(id_col), F.col(stratum_col).alias("stratum"),
+        token_count(text_col).cast("long").alias("tok"),
+        F.conv(h8, 16, 10).cast("long").alias("__u"))
+    pri = base.withColumn(
+        "priority", F.expr("tok * 4294967296 div (__u + 1)").cast("long"))
+    w = (Window.partitionBy("stratum")
+         .orderBy(F.desc("priority"), F.asc(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (pri.withColumn("cum", F.sum("tok").over(w))
+            .filter(F.col("cum") <= budget_tokens)
+            .groupBy("stratum")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("tok").cast("long").alias("kept_tokens"))
+            .orderBy("stratum"))

@@ -1144,3 +1144,107 @@ def sess5_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("dt_ms").cast("long").alias("max_ms"),
                  F.round(F.expr("percentile(dt_ms, 0.5D)"), 6)
                  .alias("p50_ms"))
+
+
+@register(
+    "mix_budget_trim_by_source",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS tok,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'prio-v1'), 1, 8) AS h8
+      FROM documents
+    ), p AS (
+      SELECT doc_id, source, tok,
+             CAST(tok * 4294967296 //
+                  ((list_aggregate(list_transform(range(1, 9),
+                     i -> (strpos('0123456789abcdef',
+                                  substr(h8, CAST(i AS INT), 1)) - 1)
+                          * CAST(16 ** (8 - i) AS BIGINT)), 'sum')) + 1)
+                  AS BIGINT) AS priority
+      FROM t
+    ), r AS (
+      SELECT source, tok,
+             SUM(tok) OVER (PARTITION BY source
+                            ORDER BY priority DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM p
+    )
+    SELECT source AS stratum, COUNT(*) AS n_kept,
+           CAST(SUM(tok) AS BIGINT) AS kept_tokens
+    FROM r WHERE cum <= 20000
+    GROUP BY 1 ORDER BY stratum
+    """,
+    tags=["mixing", "budget", "sampling"],
+)
+def mix_budget_trim_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard token budget per domain: within each source, keep docs in
+    priority-sampling order until 20k tokens (operator:
+    `operators/mixing.budget_trim_by_stratum`) — the budget-contract
+    step after rate-based mixing.  Integer priority key + integer
+    running sums partitioned BY SOURCE (never a global window), so both
+    the kept set and the masses value-hash."""
+    from ..operators.mixing import budget_trim_by_stratum
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return budget_trim_by_stratum(docs, budget_tokens=20_000)
+
+
+@register(
+    "asof_nearest_purchase",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), b AS (
+      SELECT c.user_id, c.ts, c.event_id,
+             CASE WHEN c.ts - p.ts <= INTERVAL 1 HOUR THEN p.value END
+               AS bv,
+             CASE WHEN c.ts - p.ts <= INTERVAL 1 HOUR THEN p.ts END AS bts
+      FROM clicks c
+      ASOF LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND p.ts <= c.ts
+    ), f AS (
+      SELECT c.user_id, c.ts, c.event_id,
+             CASE WHEN p.ts - c.ts <= INTERVAL 1 HOUR THEN p.value END
+               AS fv,
+             CASE WHEN p.ts - c.ts <= INTERVAL 1 HOUR THEN p.ts END AS fts
+      FROM clicks c
+      ASOF LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND p.ts >= c.ts
+    )
+    SELECT b.user_id, b.ts, b.event_id,
+           CASE WHEN bts IS NOT NULL AND (fts IS NULL
+                     OR b.ts - bts <= fts - b.ts)
+                THEN bv ELSE fv END AS right_value,
+           CASE WHEN bts IS NOT NULL AND (fts IS NULL
+                     OR b.ts - bts <= fts - b.ts)
+                THEN bts ELSE fts END AS right_ts,
+           CASE WHEN bts IS NOT NULL AND (fts IS NULL
+                     OR b.ts - bts <= fts - b.ts) THEN 'backward'
+                WHEN fts IS NOT NULL THEN 'forward'
+                ELSE NULL END AS direction
+    FROM b JOIN f USING (user_id, ts, event_id)
+    ORDER BY user_id, ts, event_id
+    """,
+    tags=["asof", "nearest", "window"],
+)
+def asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of: each click paired with the user's
+    closest purchase within ±1 hour, ties to the earlier one (operator:
+    `operators/asof.asof_nearest_join` — pandas merge_asof
+    direction='nearest' semantics, completing the backward/forward
+    family).  The oracle composes DuckDB's two native ASOF directions
+    and picks per row; hash match proves the atomic-side choice."""
+    from ..operators.asof import asof_nearest_join
+
+    (events,) = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click") \
+        .select("user_id", "ts", "event_id")
+    purchases = events.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "value")
+    return (asof_nearest_join(clicks, purchases, key="user_id",
+                              tolerance_seconds=3600)
+            .orderBy("user_id", "ts", "event_id"))

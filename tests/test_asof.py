@@ -166,3 +166,46 @@ def test_asof_forward_matched_row_is_atomic(spark):
     got = asof_forward_join(left, right, key="k").collect()[0]
     assert got["right_ts"] == _ts("2024-01-01 10:30:00")
     assert got["right_v"] is None     # the 10:30 row's own (NULL) value
+
+
+def test_asof_nearest_direction_tie_and_tolerance(spark):
+    from databox_adls_loader_spark.operators.asof import asof_nearest_join
+
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "near_back"),
+         (1, _ts("2024-01-01 11:59:00"), "near_fwd"),
+         (1, _ts("2024-01-01 11:00:00"), "tie"),
+         (2, _ts("2024-01-01 09:00:00"), "only_fwd"),
+         (3, _ts("2024-01-01 09:00:00"), "too_far")],
+        "k: long, ts: timestamp, tag: string")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:05:00"), 10.0),
+         (1, _ts("2024-01-01 12:00:00"), 20.0),
+         (2, _ts("2024-01-01 09:30:00"), 30.0),
+         (3, _ts("2024-01-01 12:00:00"), 40.0)],   # 3h away > tolerance
+        "k: long, ts: timestamp, v: double")
+    out = {r["tag"]: (r["right_v"], r["direction"]) for r in
+           asof_nearest_join(left, right, key="k",
+                             tolerance_seconds=3600).collect()}
+    # near_back at 10:00 -> 10:05 is forward 5m (no backward match)
+    assert out["near_back"] == (10.0, "forward")
+    # near_fwd at 11:59 -> 12:00 fwd (1m) beats 10:05 back (114m)
+    assert out["near_fwd"] == (20.0, "forward")
+    # tie at 11:00: back 10:05 is 55m, fwd 12:00 is 60m -> backward
+    assert out["tie"] == (10.0, "backward")
+    assert out["only_fwd"] == (30.0, "forward")
+    assert out["too_far"] == (None, None)
+
+
+def test_asof_nearest_exact_tie_prefers_backward(spark):
+    from databox_adls_loader_spark.operators.asof import asof_nearest_join
+
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "x")],
+        "k: long, ts: timestamp, tag: string")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:30:00"), 1.0),
+         (1, _ts("2024-01-01 10:30:00"), 2.0)],
+        "k: long, ts: timestamp, v: double")
+    row = asof_nearest_join(left, right, key="k").collect()[0]
+    assert (row["right_v"], row["direction"]) == (1.0, "backward")

@@ -143,3 +143,35 @@ def test_priority_sample_exact_key_and_determinism(spark):
     assert [(r["priority"], r["doc_id"]) for r in got] == want
     again = priority_sample(docs, weight_col="w", k=5).collect()
     assert got == again
+
+
+def test_budget_trim_by_stratum_greedy_semantics(spark):
+    import hashlib
+
+    from databox_adls_loader_spark.operators.mixing import (
+        budget_trim_by_stratum)
+
+    docs = spark.createDataFrame(
+        [(i, "s%d" % (i % 2), " ".join(["w"] * (5 + i)))
+         for i in range(12)],
+        "doc_id long, source string, text string")
+    got = {r["stratum"]: (r["n_kept"], r["kept_tokens"]) for r in
+           budget_trim_by_stratum(docs, budget_tokens=20).collect()}
+
+    def key(i, w):
+        u = int(hashlib.md5(f"{i}prio-v1".encode()).hexdigest()[:8], 16)
+        return w * 4294967296 // (u + 1)
+
+    want = {}
+    for s in ("s0", "s1"):
+        rows = sorted(((key(i, 5 + i), i, 5 + i) for i in range(12)
+                       if "s%d" % (i % 2) == s),
+                      key=lambda t: (-t[0], t[1]))
+        cum = n = tot = 0
+        for _, _, w in rows:
+            cum += w
+            if cum <= 20:
+                n, tot = n + 1, tot + w
+        if n:
+            want[s] = (n, tot)
+    assert got == want
