@@ -759,3 +759,55 @@ def retrieval_eval(docs: DataFrame, query_terms: list[str], k: int = 10,
         .select("rank", id_col, "bm25", "rel", "n_rel_so_far",
                 "cum_dcg_ppm", "prec_at_k_ppm", "recall_at_k_ppm", "rr_ppm")
     )
+
+
+def rake_keywords(docs: DataFrame, k: int = 20, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  stopwords: list[str] | None = None) -> DataFrame:
+    """Corpus-level keyword extraction by RAKE (public technique: Rose,
+    Engel, Cramer & Cowley 2010): candidate phrases are the maximal
+    stopword-free token runs; each word scores degree/frequency (degree
+    = Σ length of phrases containing it — co-occurrence credit), and a
+    phrase scores the sum of its words' scores.  Top-k phrases with
+    occurrence counts — the "what is this corpus about" report, and the
+    candidate vocabulary a domain-tagging pass starts from.
+
+    Word scores are integer ppm (degree·10⁶ div freq) and phrase scores
+    integer sums of them, so the whole ranking value-hashes; ties break
+    on the phrase string.
+
+    Plan: posexplode → per-DOC window (partitioned — the phrase
+    segmentation is a running stopword count, never a global sort) →
+    three keyed aggregates (phrase occurrences, word stats, distinct
+    phrases) → top-k.  Everything shuffles on doc, token, or phrase
+    keys; nothing is driver-side."""
+    from pyspark.sql import Window
+
+    stop = list(stopwords) if stopwords is not None else list(STOPWORDS)
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(bpe_ish_tokens(text_col)).alias("pos", "tok"))
+    w = Window.partitionBy("__id").orderBy("pos")
+    tagged = (toks
+              .withColumn("grp", F.sum(F.col("tok").isin(stop).cast("int"))
+                          .over(w))
+              .filter(~F.col("tok").isin(stop)))
+    occ = tagged.groupBy("__id", "grp").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s["tok"]), " ").alias("phrase"),
+        F.count(F.lit(1)).alias("plen"))
+    wstats = (tagged.join(occ.select("__id", "grp", "plen"), ["__id", "grp"])
+              .groupBy("tok")
+              .agg(F.count(F.lit(1)).alias("freq"),
+                   F.sum("plen").alias("degree"))
+              .withColumn("wscore",
+                          F.expr("degree * 1000000 div freq").cast("long")))
+    phrases = occ.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occ"))
+    pw = phrases.select("phrase", "n_occ",
+                        F.explode(F.split("phrase", " ")).alias("tok"))
+    return (pw.join(wstats.select("tok", "wscore"), "tok")
+            .groupBy("phrase", "n_occ")
+            .agg(F.sum("wscore").cast("long").alias("score_ppm"))
+            .orderBy(F.desc("score_ppm"), "phrase").limit(k)
+            .select("phrase", "n_occ", "score_ppm"))

@@ -1248,3 +1248,57 @@ def asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (asof_nearest_join(clicks, purchases, key="user_id",
                               tolerance_seconds=3600)
             .orderBy("user_id", "ts", "event_id"))
+
+
+@register(
+    "text_rake_keywords",
+    oracle="""
+    WITH t0 AS (
+      SELECT doc_id, list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS t
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok
+      FROM t0
+    ), tagged AS (
+      SELECT doc_id, pos, tok,
+             tok IN ('the', 'a', 'of', 'and', 'is', 'to', 'in') AS is_stop,
+             SUM(CASE WHEN tok IN ('the', 'a', 'of', 'and', 'is', 'to',
+                                   'in') THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM toks
+    ), words AS (
+      SELECT doc_id, grp, pos, tok FROM tagged WHERE NOT is_stop
+    ), occ AS (
+      SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             COUNT(*) AS plen
+      FROM words GROUP BY 1, 2
+    ), wstats AS (
+      SELECT w.tok,
+             CAST(SUM(o.plen) * 1000000 // COUNT(*) AS BIGINT) AS wscore
+      FROM words w JOIN occ o USING (doc_id, grp) GROUP BY 1
+    ), phrases AS (SELECT phrase, COUNT(*) AS n_occ FROM occ GROUP BY 1),
+    pw AS (
+      SELECT phrase, n_occ, unnest(string_split(phrase, ' ')) AS tok
+      FROM phrases
+    )
+    SELECT p.phrase, p.n_occ, CAST(SUM(s.wscore) AS BIGINT) AS score_ppm
+    FROM pw p JOIN wstats s USING (tok)
+    GROUP BY 1, 2
+    ORDER BY score_ppm DESC, phrase LIMIT 20
+    """,
+    tags=["text", "keywords", "rake"],
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus keywords by RAKE (operator:
+    `operators/text.rake_keywords`): stopword-free token runs scored by
+    the sum of their words' degree/frequency ratios, in integer ppm —
+    co-occurrence-aware keyword extraction, one notch above
+    `text_tfidf_top_terms`' single-token view.  Phrase segmentation is
+    a per-DOC running stopword count (partitioned window), so the
+    operator scales by document, not corpus."""
+    from ..operators.text import rake_keywords
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return rake_keywords(docs, k=20)

@@ -505,3 +505,23 @@ def test_retrieval_eval_invariants_and_known_fixture(spark):
         n_seen += r["rel"]
         assert r["prec_at_k_ppm"] == n_seen * 1_000_000 // (i + 1)
         assert r["recall_at_k_ppm"] == n_seen * 1_000_000 // 3
+
+
+def test_rake_keywords_handcomputed(spark):
+    from databox_adls_loader_spark.operators.text import rake_keywords
+
+    # tokens: [deep, learning, of, deep, models, and, fast, deep, learning]
+    # phrases: "deep learning" x2, "deep models", "fast"
+    docs = spark.createDataFrame(
+        [(1, "deep learning of deep models"),
+         (2, "fast and deep learning")],
+        "doc_id long, text string")
+    got = {r["phrase"]: (r["n_occ"], r["score_ppm"])
+           for r in rake_keywords(docs, k=10).collect()}
+    # freq: deep 3, learning 2, models 1, fast 1
+    # degree: deep 2+2+2=6, learning 4, models 2, fast 1
+    deep, learning = 6 * 10**6 // 3, 4 * 10**6 // 2
+    models, fast = 2 * 10**6 // 1, 1 * 10**6 // 1
+    assert got["deep learning"] == (2, deep + learning)
+    assert got["deep models"] == (1, deep + models)
+    assert got["fast"] == (1, fast)
