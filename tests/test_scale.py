@@ -259,3 +259,51 @@ def test_salted_join_under_aqe_splits_hot_key_end_to_end(spark):
         spark.conf.set(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
             prev_min)
+
+
+def test_runtime_bloom_filter_join_composes(spark, sf_dir):
+    """Spark's runtime row-level Bloom filter (a selective build side
+    injects might_contain onto the probe side's scan) composes with the
+    engine's join shapes.  The application-side threshold defaults to
+    10 GB — at the 100 TB target the filter fires out of the box; at
+    sandbox SF we lower the thresholds to prove the plan shape and the
+    result's invariance."""
+    from pyspark.sql import functions as F
+
+    from databox_adls_loader_spark.session import load_tables
+
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        t = load_tables(spark, sf_dir, ["lineitem", "orders"])
+        small = (t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+                 .select("o_orderkey"))
+        j = t["lineitem"].join(
+            small, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+        assert "might_contain" in plan.lower()
+        filtered_count = j.count()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # row-level filter is a pure pre-filter: result identical without it
+    t = load_tables(spark, sf_dir, ["lineitem", "orders"])
+    small = (t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+             .select("o_orderkey"))
+    plain = t["lineitem"].join(
+        small, F.col("l_orderkey") == F.col("o_orderkey")).count()
+    assert filtered_count == plain
