@@ -169,3 +169,23 @@ def shared_semantic_components(spark: SparkSession, sf_dir: str,
         df = snapshot(connected_components(pairs.select("a", "b")))
         _SHARED[key] = df
     return df
+
+
+def shared_clean_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`clean_corpus`'s per-document verdicts over ``documents``,
+    computed once per (session, sf_dir): `corpus_clean_pipeline` IS the
+    verdict table and `corpus_assemble_pipeline` starts from it, so the
+    quality gate + exact dedup + near-dup self-join run once per session
+    instead of once per consumer."""
+    from .operators.corpus import clean_corpus
+    from .session import load_tables
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, "clean_verdicts")
+    df = _SHARED.get(key)
+    if df is None:
+        _evict_other_sessions(app_id)
+        docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+        df = snapshot(clean_corpus(docs))
+        _SHARED[key] = df
+    return df

@@ -117,7 +117,8 @@ def assemble_corpus(docs: DataFrame, bench,
                     jaccard_threshold: float = 0.5,
                     val_pct: int = 10, test_pct: int = 10,
                     text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    verdicts: DataFrame | None = None) -> DataFrame:
     """The rest of the training-data pipeline downstream of
     `clean_corpus`: decontaminate → split → curriculum — composed from
     the same oracle-proven operators, ending in the per-(split, phase)
@@ -139,14 +140,19 @@ def assemble_corpus(docs: DataFrame, bench,
 
     Scale: every stage is the already-audited operator's plan; the only
     additions are one map-side bucket expression and the 1-row quartile
-    broadcast frame.  ``bench`` is a boolean Column over ``docs``."""
+    broadcast frame.  ``bench`` is a boolean Column over ``docs``.
+    Pass ``verdicts`` (a precomputed `clean_corpus` result — e.g. the
+    session-shared `cache.shared_clean_verdicts` snapshot) to skip
+    recomputing the cleaning stack when another consumer already has
+    it."""
     from . import dedup
     from .text import hash_bucket, split_label
 
-    verdicts = clean_corpus(docs, min_tokens=min_tokens,
-                            max_punct=max_punct,
-                            jaccard_threshold=jaccard_threshold,
-                            text_col=text_col, id_col=id_col)
+    if verdicts is None:
+        verdicts = clean_corpus(docs, min_tokens=min_tokens,
+                                max_punct=max_punct,
+                                jaccard_threshold=jaccard_threshold,
+                                text_col=text_col, id_col=id_col)
     kept = (verdicts.filter(F.col("verdict") == "kept")
             .select(id_col, "n_tokens"))
     cont = dedup.contamination(docs, bench, n=3, min_shared=2,

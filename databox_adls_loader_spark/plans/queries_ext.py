@@ -647,10 +647,11 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data cleanup (quality gate → exact dedup →
     near-dup removal) with a per-document audit verdict — one declarative
-    program, oracle-checked end to end."""
-    from ..operators.corpus import clean_corpus
-    (docs,) = _t(spark, sf_dir, "documents")
-    return clean_corpus(docs).orderBy("doc_id")
+    program, oracle-checked end to end.  Session-shared with
+    `corpus_assemble_pipeline` (cache.shared_clean_verdicts), so the
+    cleaning stack runs once however many consumers read it."""
+    from ..cache import shared_clean_verdicts
+    return shared_clean_verdicts(spark, sf_dir).orderBy("doc_id")
 
 
 @register(

@@ -973,10 +973,12 @@ def corpus_assemble_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stage ordering, survivor handoff, split-before-quartile scoping).
     Scale notes live on each operator; the composition adds one
     map-side bucket expression and a 1-row quartile frame."""
+    from ..cache import shared_clean_verdicts
     from ..operators.corpus import assemble_corpus
 
     (docs,) = _t(spark, sf_dir, "documents")
-    return assemble_corpus(docs, F.col("doc_id") % 11 == 0)
+    return assemble_corpus(docs, F.col("doc_id") % 11 == 0,
+                           verdicts=shared_clean_verdicts(spark, sf_dir))
 
 
 @register(
