@@ -129,6 +129,13 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     gram, exactly matching the old slice semantics (zip_with pads the
     short side with NULL and concat_ws skips NULLs; the final slice
     keeps max(tokens−n+1, 1) grams)."""
+    return F.array_distinct(word_grams(col, n))
+
+
+def word_grams(col: Column | str, n: int = 3) -> Column:
+    """ALL word n-gram occurrences (positional, duplicates kept) — the
+    non-distinct sibling of `word_shingles` for mass/position measures
+    (e.g. intra-document duplicated-gram mass).  Same zip_with build."""
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(F.trim(c), r"\s+")
     sz = F.size(toks)
@@ -137,8 +144,7 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
         shifted = F.slice(toks, k + 1, F.greatest(sz - k, F.lit(0)))
         grams = F.zip_with(grams, shifted,
                            lambda x, y: F.concat_ws(" ", x, y))
-    grams = F.slice(grams, 1, F.greatest(sz - (n - 1), F.lit(1)))
-    return F.array_distinct(grams)
+    return F.slice(grams, 1, F.greatest(sz - (n - 1), F.lit(1)))
 
 
 # ---------------------------------------------------------------------------

@@ -1304,3 +1304,157 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     return rake_keywords(docs, k=20)
+
+
+# ---------------------------------------------------------------------------
+# lang-id confidence margin, intra-doc duplicated-gram mass, IQR bands fleet
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_lang_id_margin",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+        len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','is')))
+          AS s_en,
+        len(list_filter(toks, x -> lower(x) IN ('le','la','et','des','une')))
+          AS s_fr,
+        len(list_filter(toks, x -> lower(x) IN ('el','los','una','que','por')))
+          AS s_es,
+        len(list_filter(toks, x -> lower(x) IN ('der','die','und','ein','nicht')))
+          AS s_de,
+        len(list_filter(toks, x -> lower(x) IN ('的','是','了','在','我')))
+          AS s_zh
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_en,s_fr,s_es,s_de,s_zh) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'en'
+                WHEN s_fr = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'fr'
+                WHEN s_es = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'es'
+                WHEN s_de = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'de'
+                ELSE 'zh' END AS lang_pred,
+           CAST(list_sort([s_en,s_fr,s_es,s_de,s_zh])[5]
+                - list_sort([s_en,s_fr,s_es,s_de,s_zh])[4] AS BIGINT)
+             AS margin
+    FROM s ORDER BY doc_id
+    """,
+    tags=["text", "lang-id", "confidence"],
+)
+def text_lang_id_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`text_lang_id` plus its CONFIDENCE: the margin between the best
+    and second-best marker-hit counts — the number a routing pipeline
+    thresholds before trusting the label (margin 0 = coin flip between
+    two languages; the pred itself tie-breaks by code order).  Integer
+    counts sorted in a 5-element array — margin is exact."""
+    from ..operators.text import lang_id, lang_scores
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    scores = lang_scores("text")
+    arr = F.array_sort(F.array(*[s for _, s in scores]))
+    return (docs.select(
+                "doc_id",
+                lang_id("text").alias("lang_pred"),
+                (arr[4] - arr[3]).cast("long").alias("margin"))
+            .orderBy("doc_id"))
+
+
+@register(
+    "text_dup_gram_mass",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(list_transform(
+        range(1, greatest(len(tk) - 2, 1) + 1),
+        i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS gram
+      FROM t
+    ), c AS (
+      SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2
+    ), m AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_positions,
+             CAST(SUM(cnt - 1) AS BIGINT) AS n_dup_positions
+      FROM c GROUP BY 1
+    )
+    SELECT doc_id, n_positions, n_dup_positions,
+           CAST(n_dup_positions * 1000000 // n_positions AS BIGINT)
+             AS dup_ppm
+    FROM m WHERE n_dup_positions > 0 ORDER BY doc_id
+    """,
+    tags=["text", "repetition", "dedup"],
+)
+def text_dup_gram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-document verbatim repetition at the phrase level: how many
+    word-3-gram POSITIONS repeat an earlier gram of the same doc
+    (operator: `operators/dedup.word_grams`, the non-distinct shingle
+    sibling) — catches copy-paste loops and template spam that
+    token-level `text_repetition_signals` underestimates.  Integer ppm;
+    only repeating docs reported.  One explode + two doc-keyed
+    aggregates, all partial map-side."""
+    from ..operators.dedup import word_grams
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    g = docs.select("doc_id",
+                    F.explode(word_grams("text", 3)).alias("gram"))
+    c = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    m = c.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_positions"),
+        F.sum(F.col("cnt") - 1).cast("long").alias("n_dup_positions"))
+    return (m.filter(F.col("n_dup_positions") > 0)
+            .select("doc_id", "n_positions", "n_dup_positions",
+                    F.expr("n_dup_positions * 1000000 div n_positions")
+                    .cast("long").alias("dup_ppm"))
+            .orderBy("doc_id"))
+
+
+@register(
+    "ts_iqr_bands_fleet",
+    oracle="""
+    WITH daily AS (
+      SELECT n.n_name AS series,
+             CAST(floor(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))))
+                  AS BIGINT) AS rev_usd
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, CAST(o.o_orderdate AS DATE)
+    )
+    SELECT series, COUNT(*) AS n_days,
+           ROUND(quantile_cont(rev_usd, 0.25), 6) AS p25,
+           ROUND(quantile_cont(rev_usd, 0.5), 6) AS p50,
+           ROUND(quantile_cont(rev_usd, 0.75), 6) AS p75
+    FROM daily GROUP BY 1 ORDER BY series
+    """,
+    tags=["timeseries", "percentile", "fleet"],
+)
+def ts_iqr_bands_fleet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series daily-revenue IQR bands (exact interpolated quartiles
+    per nation) — the normal-operating-range chart behind every fleet
+    dashboard, and the input to IQR-based per-series anomaly rules.
+    Quartile fractions are exact binary (.25 steps over integers), so
+    the interpolation is ulp-proof across engines; one grouped
+    aggregate per series, no window."""
+    orders, customer, nation = _t(spark, sf_dir,
+                                  "orders", "customer", "nation")
+    daily = (
+        orders
+        .join(customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("series"),
+                 F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
+             .cast("long").alias("rev_usd"))
+    )
+    q = F.expr("percentile(rev_usd, array(0.25D, 0.5D, 0.75D))")
+    return (daily.groupBy("series")
+            .agg(F.count(F.lit(1)).alias("n_days"),
+                 F.round(q[0], 6).alias("p25"),
+                 F.round(q[1], 6).alias("p50"),
+                 F.round(q[2], 6).alias("p75"))
+            .orderBy("series"))
