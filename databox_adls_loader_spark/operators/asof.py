@@ -55,8 +55,12 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     out = carried.filter(F.col("__side") == 1)
     match = F.col("__m")
     if tolerance_seconds is not None:
-        stale = (F.col("__ts").cast("long")
-                 - F.col("__m.__rts").cast("long") > tolerance_seconds)
+        # exact MICROSECOND arithmetic (cast-to-long truncates to whole
+        # seconds, which silently widens the horizon by up to 1 s and
+        # diverges from interval semantics on sub-second timestamps)
+        stale = (F.unix_micros(F.col("__ts"))
+                 - F.unix_micros(F.col("__m.__rts"))
+                 > tolerance_seconds * 1_000_000)
         match = F.when(stale, F.lit(None).cast(r_struct_type)) \
             .otherwise(F.col("__m"))
         out = out.withColumn("__m", match)
@@ -107,8 +111,10 @@ def asof_forward_join(left: DataFrame, right: DataFrame, key: str,
         "*", F.first("__r", ignorenulls=True).over(w).alias("__m"))
     out = carried.filter(F.col("__side") == 0)
     if tolerance_seconds is not None:
-        stale = (F.col("__m.__rts").cast("long")
-                 - F.col("__ts").cast("long") > tolerance_seconds)
+        # exact microseconds — see asof_join's tolerance note
+        stale = (F.unix_micros(F.col("__m.__rts"))
+                 - F.unix_micros(F.col("__ts"))
+                 > tolerance_seconds * 1_000_000)
         out = out.withColumn(
             "__m", F.when(stale, F.lit(None).cast(r_struct_type))
                     .otherwise(F.col("__m")))
@@ -147,9 +153,23 @@ def asof_nearest_join(left: DataFrame, right: DataFrame, key: str,
     rcols = [c for c in b.columns if c not in lcols]
     rts = f"right_{right_ts}"
     f2 = f.select(*lcols, *[F.col(c).alias(f"__f_{c}") for c in rcols])
-    j = b.join(f2, lcols)
-    dt_b = F.col(left_ts).cast("long") - F.col(rts).cast("long")
-    dt_f = F.col(f"__f_{rts}").cast("long") - F.col(left_ts).cast("long")
+    # NULL-SAFE re-join on the left row: plain equi-join equality is
+    # null-rejecting, so a left row with a NULL payload column would
+    # silently vanish — violating the family's every-left-row contract
+    bb, ff = b.alias("__b"), f2.alias("__f")
+    cond = None
+    for c in lcols:
+        e = F.col(f"__b.{c}").eqNullSafe(F.col(f"__f.{c}"))
+        cond = e if cond is None else cond & e
+    j = bb.join(ff, cond).select(
+        *[F.col(f"__b.{c}") for c in lcols],
+        *[F.col(f"__b.{c}") for c in rcols],
+        *[F.col(f"__f.__f_{c}") for c in rcols])
+    # exact microsecond distances — truncated-second compares let the
+    # wrong side win within a 1 s band (and diverge from the oracle's
+    # interval comparison on sub-second data)
+    dt_b = F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col(rts))
+    dt_f = F.unix_micros(F.col(f"__f_{rts}")) - F.unix_micros(F.col(left_ts))
     use_b = F.col(rts).isNotNull() & (
         F.col(f"__f_{rts}").isNull() | (dt_b <= dt_f))
     picked = [F.when(use_b, F.col(c)).otherwise(F.col(f"__f_{c}"))

@@ -146,6 +146,7 @@ def assemble_corpus(docs: DataFrame, bench,
     recomputing the cleaning stack when another consumer already has
     it."""
     from . import dedup
+    from .mixing import phase_by_quartiles
     from .text import hash_bucket, split_label
 
     if verdicts is None:
@@ -174,10 +175,7 @@ def assemble_corpus(docs: DataFrame, bench,
              .alias("qs")))
     phase = (
         F.when(F.col("split") != "train", F.lit(0))
-        .when(F.col("n_tokens") <= F.col("qs")[0], F.lit(1))
-        .when(F.col("n_tokens") <= F.col("qs")[1], F.lit(2))
-        .when(F.col("n_tokens") <= F.col("qs")[2], F.lit(3))
-        .otherwise(F.lit(4))
+        .otherwise(phase_by_quartiles(F.col("n_tokens"), F.col("qs")))
     )
     return (
         splits.crossJoin(qs)

@@ -207,15 +207,10 @@ def curriculum_phases(docs: DataFrame, text_col: str = "text",
                        token_count(text_col).cast("long").alias("tok"))
     bounds = F.broadcast(toks.agg(
         F.expr("percentile(tok, array(0.25D, 0.5D, 0.75D))").alias("qs")))
-    phase = (
-        F.when(F.col("tok") <= F.col("qs")[0], F.lit(1))
-        .when(F.col("tok") <= F.col("qs")[1], F.lit(2))
-        .when(F.col("tok") <= F.col("qs")[2], F.lit(3))
-        .otherwise(F.lit(4))
-    )
     return (
         toks.crossJoin(bounds)
-        .select(phase.alias("phase"), "tok")
+        .select(phase_by_quartiles(F.col("tok"), F.col("qs"))
+                .alias("phase"), "tok")
         .groupBy("phase")
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.sum("tok").cast("long").alias("total_toks"),
@@ -223,6 +218,34 @@ def curriculum_phases(docs: DataFrame, text_col: str = "text",
              F.max("tok").cast("long").alias("max_toks"))
         .orderBy("phase")
     )
+
+
+def phase_by_quartiles(tok: Column, qs: Column) -> Column:
+    """The 4-way curriculum phase chain over quartile boundaries ``qs``
+    (an array column) — ONE definition shared by `curriculum_phases`
+    and `corpus.assemble_corpus`, so the standalone phase report and
+    the composed pipeline can never diverge on boundary inclusivity."""
+    return (F.when(tok <= qs[0], F.lit(1))
+            .when(tok <= qs[1], F.lit(2))
+            .when(tok <= qs[2], F.lit(3))
+            .otherwise(F.lit(4)))
+
+
+def hash_u32(id_col: str, salt: str) -> Column:
+    """Per-record uniform in [0, 2³²): first 8 md5 hex digits of
+    (id‖salt) — the u behind the priority-sampling rank key."""
+    h8 = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8)
+    return F.conv(h8, 16, 10).cast("long")
+
+
+def priority_rank(weight_name: str, u_name: str = "__u") -> Column:
+    """The Duffield-Lund-Thorup rank key weight·2³² div (u+1) as ONE
+    exact bigint — single definition so `priority_sample`,
+    `budget_trim_by_stratum`, and their oracles can never drift on the
+    constants."""
+    return F.expr(f"{weight_name} * 4294967296 div ({u_name} + 1)") \
+        .cast("long")
 
 
 def priority_sample(docs: DataFrame, weight_col: str = "n_chars",
@@ -245,16 +268,12 @@ def priority_sample(docs: DataFrame, weight_col: str = "n_chars",
     Scale: map-side key computation + top-k (TakeOrderedAndProject —
     per-partition heaps, then a k-row merge on the driver); nothing
     shuffles the corpus."""
-    h8 = F.substring(
-        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8)
     base = docs.select(
         F.col(id_col),
         F.col(weight_col).cast("long").alias("weight"),
-        F.conv(h8, 16, 10).cast("long").alias("__u"))
+        hash_u32(id_col, salt).alias("__u"))
     return (base
-            .withColumn("priority",
-                        F.expr("weight * 4294967296 div (__u + 1)")
-                        .cast("long"))
+            .withColumn("priority", priority_rank("weight"))
             .orderBy(F.desc("priority"), F.asc(id_col)).limit(k)
             .select(id_col, "weight", "priority"))
 
@@ -282,14 +301,11 @@ def budget_trim_by_stratum(docs: DataFrame, budget_tokens: int,
     at 100 TB each domain's running sum spreads by stratum key, the
     exact shape `exclusive_running_sum` solves for the single-sequence
     case."""
-    h8 = F.substring(
-        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8)
     base = docs.select(
         F.col(id_col), F.col(stratum_col).alias("stratum"),
         token_count(text_col).cast("long").alias("tok"),
-        F.conv(h8, 16, 10).cast("long").alias("__u"))
-    pri = base.withColumn(
-        "priority", F.expr("tok * 4294967296 div (__u + 1)").cast("long"))
+        hash_u32(id_col, salt).alias("__u"))
+    pri = base.withColumn("priority", priority_rank("tok"))
     w = (Window.partitionBy("stratum")
          .orderBy(F.desc("priority"), F.asc(id_col))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))

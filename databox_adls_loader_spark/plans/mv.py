@@ -75,6 +75,11 @@ class MVSpec:
     measures: tuple[tuple[str, str], ...]
     rows_hint: int = 0
     table_dir: str = field(default="", compare=False)
+    # optional declared dim types ("date", "string", ...) parallel to
+    # ``dims`` — lets `covers` reject a month/year derivation on a
+    # non-temporal dim statically; `rewrite_aggregate` enforces the same
+    # rule against the view's ACTUAL schema either way
+    dim_types: tuple[str, ...] = ()
 
 
 def _parse_group(g: str | tuple[str, str, str]) -> tuple[str, str, str]:
@@ -101,8 +106,17 @@ def covers(mv: MVSpec, group_by: list, measures: list[tuple[str, str, str]]) -> 
     except MVRewriteError:
         return False
     stored = {alias: agg for agg, alias in mv.measures}
-    return (all(dim in mv.dims for _, _, dim in groups)
-            and all(stored.get(src) == agg for agg, src, _ in measures))
+    types = dict(zip(mv.dims, mv.dim_types)) if mv.dim_types else {}
+    for _, fn, dim in groups:
+        if dim not in mv.dims:
+            return False
+        # month/year only roll up temporal dims; with declared types we
+        # can refuse statically (rewrite_aggregate re-checks the actual
+        # schema regardless)
+        if fn != "identity" and types and \
+                types.get(dim) not in ("date", "timestamp"):
+            return False
+    return all(stored.get(src) == agg for agg, src, _ in measures)
 
 
 def choose_mv(candidates: list[MVSpec], group_by: list,
@@ -129,8 +143,16 @@ def rewrite_aggregate(mv_df: DataFrame, mv: MVSpec, group_by: list,
         raise MVRewriteError(
             f"view {mv.name!r} (dims={mv.dims}) cannot answer "
             f"group_by={group_by} measures={measures}")
+    dtypes = dict(mv_df.dtypes)
     gcols: list[Column] = []
     for out, fn, dim in (_parse_group(g) for g in group_by):
+        if fn != "identity" and \
+                dtypes.get(dim) not in ("date", "timestamp"):
+            # date_trunc on a non-temporal column yields NULL for every
+            # row — all groups silently collapse into one; refuse
+            raise MVRewriteError(
+                f"derivation {fn!r} needs a date/timestamp dim; "
+                f"{dim!r} is {dtypes.get(dim)!r} in view {mv.name!r}")
         col = F.col(dim) if fn == "identity" else _DIM_FNS[fn](dim)
         gcols.append(col.alias(out))
     aggs = []
@@ -158,13 +180,16 @@ def _with_key(df: DataFrame, mv: MVSpec) -> DataFrame:
 def refresh(build: DataFrame, table_dir: str,
             mv: MVSpec | None = None) -> int:
     """Commit a (re)build of the view as a new version of its versioned
-    table and return the committed version — full rebuild.  Pass ``mv``
-    to also store the surrogate dim key `refresh_incremental` merges
-    on (harmless extra column for readers; the rewriter groups by dims
-    and never selects it)."""
+    table and return the committed version — full rebuild, so the
+    commit is a LOGICAL OVERWRITE (append mode would carry the previous
+    rebuild's files into the new manifest and double every group —
+    silent corruption; old versions remain readable via time travel
+    until vacuum).  Pass ``mv`` to also store the surrogate dim key
+    `refresh_incremental` merges on (harmless extra column for readers;
+    the rewriter groups by dims and never selects it)."""
     if mv is not None:
         build = _with_key(build, mv)
-    return V.write_snapshot(build, table_dir)
+    return V.write_snapshot(build, table_dir, mode="overwrite")
 
 
 def refresh_incremental(spark: SparkSession, table_dir: str, mv: MVSpec,

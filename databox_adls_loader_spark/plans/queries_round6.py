@@ -613,6 +613,7 @@ def _daily_rev_spec(t: str):
 
     return M.MVSpec(
         name="mv_daily_nation_rev", dims=("n_name", "day"),
+        dim_types=("string", "date"),
         measures=(("sum", "rev_cents"), ("count", "n_orders")),
         rows_hint=60_000, table_dir=t)
 

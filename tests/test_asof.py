@@ -209,3 +209,53 @@ def test_asof_nearest_exact_tie_prefers_backward(spark):
         "k: long, ts: timestamp, v: double")
     row = asof_nearest_join(left, right, key="k").collect()[0]
     assert (row["right_v"], row["direction"]) == (1.0, "backward")
+
+
+def test_asof_nearest_subsecond_distances_and_tolerance_edge(spark):
+    """Regression: distances and tolerance compare in exact MICROSECONDS.
+    Truncated-second math picked the wrong side inside a 1 s band and
+    widened the tolerance horizon by up to a second."""
+    from datetime import datetime
+
+    from databox_adls_loader_spark.operators.asof import (
+        asof_forward_join, asof_nearest_join)
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 0, 0, 800000), "x")],
+        "k: long, ts: timestamp, tag: string")
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 0, 0, 200000), 1.0),    # 0.6 s back
+         (1, datetime(2024, 1, 1, 10, 0, 1, 0), 2.0)],        # 0.2 s fwd
+        "k: long, ts: timestamp, v: double")
+    row = asof_nearest_join(left, right, key="k").collect()[0]
+    assert (row["right_v"], row["direction"]) == (2.0, "forward")
+
+    # tolerance horizon: a match 3600.7 s ahead must null-fill at 3600 s
+    left2 = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 0, 0, 300000), "y")],
+        "k: long, ts: timestamp, tag: string")
+    right2 = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 11, 0, 1, 0), 9.0)],
+        "k: long, ts: timestamp, v: double")
+    out = asof_forward_join(left2, right2, key="k",
+                            tolerance_seconds=3600).collect()[0]
+    assert out["right_v"] is None
+
+
+def test_asof_nearest_keeps_left_rows_with_null_payload(spark):
+    """Regression: the backward⊕forward re-join is null-safe — a NULL
+    left payload column must not drop the row."""
+    from datetime import datetime
+
+    from databox_adls_loader_spark.operators.asof import asof_nearest_join
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 0, 0), None),
+         (1, datetime(2024, 1, 1, 11, 0, 0), "ok")],
+        "k: long, ts: timestamp, note: string")
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 30, 0), 5.0)],
+        "k: long, ts: timestamp, v: double")
+    rows = asof_nearest_join(left, right, key="k").collect()
+    assert len(rows) == 2
+    assert {r["note"] for r in rows} == {None, "ok"}

@@ -120,6 +120,9 @@ class TestRewriteEquivalence:
         assert M.refresh(df, d) == 1
         assert M.refresh(df, d) == 2
         assert V.latest_version(d) == 2
+        # a REBUILD must replace, not append — rows would double under
+        # append mode and every rewrite over the view would over-count
+        assert M.read(spark, d).count() == 3
 
     def test_rewritten_plan_scans_mv_not_base(self, spark, sf_dir):
         """The whole point of the rewrite: the physical plan reads the
@@ -227,3 +230,26 @@ class TestStreamingMaintenance:
         got2 = {r["k"]: (r["s"], r["n"], r["lo"], r["hi"])
                 for r in M.read(spark, t).collect()}
         assert got2 == want
+
+
+class TestDerivationTypeGuard:
+    def test_covers_rejects_month_of_declared_nondate_dim(self):
+        typed = M.MVSpec(name="typed", dims=("n_name", "day"),
+                         dim_types=("string", "date"),
+                         measures=(("sum", "rev_cents"),), rows_hint=1)
+        assert M.covers(typed, [("m", "month", "day")],
+                        [("sum", "rev_cents", "r")])
+        assert not M.covers(typed, [("m", "month", "n_name")],
+                            [("sum", "rev_cents", "r")])
+
+    def test_rewrite_refuses_month_of_string_dim_by_schema(self, spark):
+        # spec WITHOUT declared types: covers() admits by name, but the
+        # rewrite must still refuse against the actual schema — a
+        # date_trunc on a string is NULL for every row (silent collapse)
+        untyped = M.MVSpec(name="untyped", dims=("n_name",),
+                           measures=(("sum", "s"),), rows_hint=1)
+        mv_df = spark.createDataFrame([("A", 1)], "n_name string, s long")
+        with pytest.raises(M.MVRewriteError, match="date/timestamp"):
+            M.rewrite_aggregate(mv_df, untyped,
+                                [("m", "month", "n_name")],
+                                [("sum", "s", "s")])
