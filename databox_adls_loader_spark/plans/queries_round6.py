@@ -1459,3 +1459,71 @@ def ts_iqr_bands_fleet(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(q[1], 6).alias("p50"),
                  F.round(q[2], 6).alias("p75"))
             .orderBy("series"))
+
+
+_TOKEN_INDEXED_DOCS: dict = {}
+
+
+def _drop_token_indexed(keys=None) -> None:
+    import shutil
+
+    for k in list(_TOKEN_INDEXED_DOCS) if keys is None else list(keys):
+        for t in _TOKEN_INDEXED_DOCS.pop(k):
+            shutil.rmtree(t, ignore_errors=True)
+
+
+def _token_indexed_docs(spark: SparkSession, sf_dir: str):
+    """Once per (session, sf_dir): snapshot `documents` into an 8-file
+    versioned table and build its token inverted index."""
+    import atexit
+    import tempfile
+
+    from ..sinks import maintenance as X
+    from ..sinks import versioned as V
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    hit = _TOKEN_INDEXED_DOCS.get(key)
+    if hit is None:
+        _drop_token_indexed([k for k in _TOKEN_INDEXED_DOCS
+                             if k[0] != app_id])
+        if not _TOKEN_INDEXED_DOCS:
+            atexit.register(_drop_token_indexed)
+        t = tempfile.mkdtemp(prefix="spark_graft_tix_t_")
+        ix = tempfile.mkdtemp(prefix="spark_graft_tix_i_")
+        (docs,) = _t(spark, sf_dir, "documents")
+        V.write_snapshot(docs.repartition(8), t)
+        X.build_token_index(spark, t, ix)
+        hit = (t, ix)
+        _TOKEN_INDEXED_DOCS[key] = hit
+    return hit
+
+
+@register(
+    "scale_token_index_read",
+    oracle="""
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE list_contains(list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+          'spark')
+    ORDER BY doc_id
+    """,
+    tags=["scale", "index", "text-search"],
+)
+def scale_token_index_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index file skipping under the value-hash gate:
+    `documents` is committed to an 8-file versioned table (once per
+    session), its token→file index built (`sinks/maintenance.py`), and
+    the CONTAINS-token read goes through `read_with_token` — index
+    lookup lists the candidate files, only those are scanned, the
+    residual row filter still applies.  The oracle is the straight
+    full-scan predicate, so a hash match proves the skip lossless.
+    min/max bounds can never prune this predicate class; the inverted
+    file index is what makes text search proportional to matching
+    files at 100 TB."""
+    from ..sinks.maintenance import read_with_token
+
+    t, ix = _token_indexed_docs(spark, sf_dir)
+    return (read_with_token(spark, t, ix, "spark")
+            .select("doc_id", "n_chars").orderBy("doc_id"))

@@ -1,0 +1,156 @@
+"""Maintenance surface for versioned tables: a health advisor (what to
+compact, what to cluster) and a token inverted index (file skipping for
+text-search predicates, where min/max bounds can never prune).
+
+Both read only MANIFEST metadata or dedicated index tables — neither
+scans the data to give an answer, which is what makes them runnable
+against a 100 TB table from a laptop.
+
+Reference parity: beyond-reference capability; the techniques are public
+lakehouse practice (small-file compaction advisors; inverted-file skip
+indexes as in search-optimized table formats).
+"""
+
+from __future__ import annotations
+
+import bisect
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import versioned as V
+
+
+def _interval_overlap_fraction(bounds: list[tuple]) -> float:
+    """Fraction of file PAIRS whose [min, max] ranges overlap — the
+    clustering-quality number: 0.0 = perfectly disjoint files (every
+    range predicate prunes to few files), → 1.0 = every file spans the
+    whole key space (bounds prune nothing; cluster/Z-order first).
+    Sweep over intervals sorted by min with a sorted list of active
+    maxes — O(F log F), driver-side over file COUNT only."""
+    n = len(bounds)
+    if n < 2:
+        return 0.0
+    ivs = sorted(bounds)
+    maxes: list = []                  # sorted maxes of files seen so far
+    overlaps = 0
+    for mn, mx in ivs:
+        # pairs with an earlier file whose max >= this min
+        overlaps += len(maxes) - bisect.bisect_left(maxes, mn)
+        bisect.insort(maxes, mx)
+    return overlaps / (n * (n - 1) / 2)
+
+
+def table_health(table_dir: str, version: int | None = None,
+                 small_file_rows: int = 10_000,
+                 overlap_threshold: float = 0.2) -> dict:
+    """Manifest-only health report for a versioned table: file count and
+    row-count distribution, small-file fraction, and per-column
+    clustering quality (bounds-overlap fraction) — the numbers that
+    decide WHETHER to pay for `compact_snapshot` and WHICH column to
+    cluster by, before touching a byte of data.
+
+    recommendations:
+      compact      — >half the files are below ``small_file_rows``
+                     (the many-small-files read-amplification smell);
+      cluster_by   — columns whose bounds overlap in more than
+                     ``overlap_threshold`` of file pairs (their stats
+                     can't prune; clustering makes them prunable),
+                     best (least-overlapping) candidate first is NOT
+                     chosen here — every offender is listed, the
+                     caller picks by query workload."""
+    v = V.latest_version(table_dir) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir}")
+    files = V._read_manifest(table_dir, v)
+    stats = V._inherited_stats(table_dir, v)
+    rows = [stats[f]["num_rows"] for f in files
+            if stats.get(f, {}).get("num_rows") is not None]
+    per_col: dict[str, list[tuple]] = {}
+    for f in files:
+        for col, c in stats.get(f, {}).get("columns", {}).items():
+            # serialized manifests carry bounds as plain min/max keys
+            # (the in-memory has_bounds flag is not persisted)
+            if "min" in c and "max" in c:
+                per_col.setdefault(col, []).append((c["min"], c["max"]))
+    overlap = {col: round(_interval_overlap_fraction(b), 4)
+               for col, b in per_col.items() if len(b) == len(files)}
+    small = sum(1 for r in rows if r < small_file_rows)
+    return {
+        "version": v,
+        "n_files": len(files),
+        "total_rows": sum(rows) if rows else None,
+        "min_file_rows": min(rows) if rows else None,
+        "max_file_rows": max(rows) if rows else None,
+        "small_files": small,
+        "small_file_fraction": round(small / len(files), 4) if files else 0.0,
+        "bounds_overlap": overlap,
+        "recommend_compact": bool(files) and small / len(files) > 0.5,
+        "recommend_cluster_by": sorted(
+            c for c, o in overlap.items() if o > overlap_threshold),
+    }
+
+
+def build_token_index(spark: SparkSession, table_dir: str, index_dir: str,
+                      text_col: str = "text",
+                      version: int | None = None) -> int:
+    """Build (or rebuild) the token → data-file inverted index for a
+    text column, committed as its own versioned table with rows
+    ``(token, file, table_version)``.  min/max bounds can never prune a
+    CONTAINS-token predicate (any file's text range spans the token
+    space); an inverted file index prunes it exactly — the skip index
+    behind `read_with_token`.
+
+    Scale: the index job is one scan + per-file distinct-token explode
+    (map-side) + a distinct — index size is Σ per-file vocabulary,
+    orders below the corpus.  Rebuild cost after a commit is bounded by
+    re-running over the NEW files only (an incremental form would union
+    the old index with the delta's rows; kept whole-build here for the
+    stale-detection contract's simplicity)."""
+    from ..operators.text import bpe_ish_tokens
+
+    v = V.latest_version(table_dir) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir}")
+    df = V.read_version(spark, table_dir, v)
+    inv = (df.select(F.input_file_name().alias("file"),
+                     F.explode(F.array_distinct(bpe_ish_tokens(text_col)))
+                     .alias("token"))
+           .distinct()
+           .withColumn("table_version", F.lit(v)))
+    return V.write_snapshot(inv, index_dir, mode="overwrite")
+
+
+def read_with_token(spark: SparkSession, table_dir: str, index_dir: str,
+                    token: str, text_col: str = "text") -> DataFrame:
+    """Token-predicate read through the inverted index: list exactly the
+    data files whose vocabulary contains ``token`` (index lookup —
+    bounded by file count, no data pages), read only those, and STILL
+    apply the residual row filter, so results never depend on index
+    precision.  A stale index (table committed past the indexed
+    version) falls back to the always-correct full scan — correctness
+    never rides on maintenance having kept up.  An up-to-date index
+    with no entry proves NO file contains the token: an empty frame
+    with the full schema, zero data pages read."""
+    from ..operators.text import bpe_ish_tokens
+
+    residual = F.array_contains(bpe_ish_tokens(text_col), token)
+    cur = V.latest_version(table_dir)
+    try:
+        idx = V.read_version(spark, index_dir)
+        meta = idx.agg(F.max("table_version").alias("iv")).collect()[0]
+        fresh = meta["iv"] == cur
+        files = [r["file"] for r in
+                 idx.filter(F.col("token") == token)
+                 .select("file").distinct().collect()] if fresh else []
+    except FileNotFoundError:
+        fresh = False
+        files = []
+    if not fresh:
+        return V.read_version(spark, table_dir, cur).filter(residual)
+    if not files:
+        # full schema, provably-zero rows, no data pages
+        return (V.read_version(spark, table_dir, cur)
+                .filter(F.lit(False)).filter(residual))
+    df = spark.read.option("mergeSchema", "true").parquet(*sorted(files))
+    return df.filter(residual)

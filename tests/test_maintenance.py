@@ -1,0 +1,131 @@
+"""Versioned-table maintenance surface: health advisor + token inverted
+index (sinks/maintenance.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from databox_adls_loader_spark.sinks import maintenance as X
+from databox_adls_loader_spark.sinks import versioned as V
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestTokenIndex:
+    def _table(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        # three commits -> three data files with (mostly) disjoint vocab
+        V.write_snapshot(_docs(spark, [(1, "alpha beta"),
+                                       (2, "alpha gamma")]).coalesce(1), d)
+        V.write_snapshot(_docs(spark, [(3, "delta epsilon")]).coalesce(1), d)
+        V.write_snapshot(_docs(spark, [(4, "zeta beta")]).coalesce(1), d)
+        return d
+
+    def test_index_read_equals_full_scan(self, spark, tmp_path):
+        d = self._table(spark, tmp_path)
+        ix = str(tmp_path / "ix")
+        assert X.build_token_index(spark, d, ix) == 1
+        for tok in ("alpha", "beta", "delta", "zeta"):
+            got = sorted(r["doc_id"] for r in
+                         X.read_with_token(spark, d, ix, tok).collect())
+            want = sorted(r["doc_id"] for r in
+                          V.read_version(spark, d)
+                          .filter(F.col("text").contains(tok)).collect())
+            assert got == want, tok
+
+    def test_index_prunes_files(self, spark, tmp_path):
+        d = self._table(spark, tmp_path)
+        ix = str(tmp_path / "ix")
+        X.build_token_index(spark, d, ix)
+        idx = V.read_version(spark, ix)
+        delta_files = [r["file"] for r in
+                       idx.filter(F.col("token") == "delta")
+                       .select("file").distinct().collect()]
+        assert len(delta_files) == 1       # of 3 data files
+        # and the read's plan lists exactly that file, not the others
+        all_files = [r["file"] for r in
+                     idx.select("file").distinct().collect()]
+        df = X.read_with_token(spark, d, ix, "delta")
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+        hit = delta_files[0].rsplit("/", 1)[-1]
+        assert hit in plan
+        for f in all_files:
+            base = f.rsplit("/", 1)[-1]
+            if f != delta_files[0]:
+                assert base not in plan
+
+    def test_absent_token_is_empty_with_schema(self, spark, tmp_path):
+        d = self._table(spark, tmp_path)
+        ix = str(tmp_path / "ix")
+        X.build_token_index(spark, d, ix)
+        out = X.read_with_token(spark, d, ix, "nosuchtoken")
+        assert out.count() == 0
+        assert set(out.columns) == {"doc_id", "text"}
+
+    def test_stale_index_falls_back_to_full_scan(self, spark, tmp_path):
+        d = self._table(spark, tmp_path)
+        ix = str(tmp_path / "ix")
+        X.build_token_index(spark, d, ix)
+        # new commit AFTER the index: contains the indexed token too
+        V.write_snapshot(_docs(spark, [(9, "delta omega")]).coalesce(1), d)
+        got = sorted(r["doc_id"] for r in
+                     X.read_with_token(spark, d, ix, "delta").collect())
+        assert got == [3, 9]               # new row found despite stale index
+        # rebuilding restores the pruned path and the same answer
+        X.build_token_index(spark, d, ix)
+        got2 = sorted(r["doc_id"] for r in
+                      X.read_with_token(spark, d, ix, "delta").collect())
+        assert got2 == [3, 9]
+
+    def test_residual_filter_guards_substrings(self, spark, tmp_path):
+        """'alp' is a substring of 'alpha' but not a TOKEN — the index
+        has no entry and the result must be empty, not a partial match."""
+        d = self._table(spark, tmp_path)
+        ix = str(tmp_path / "ix")
+        X.build_token_index(spark, d, ix)
+        assert X.read_with_token(spark, d, ix, "alp").count() == 0
+
+
+class TestTableHealth:
+    def test_small_file_detection_and_compaction_clears_it(
+            self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        for i in range(5):                 # five 20-row files
+            V.write_snapshot(
+                spark.range(i * 20, (i + 1) * 20)
+                .select(F.col("id").alias("k")).coalesce(1), d)
+        h = X.table_health(d, small_file_rows=1000)
+        assert h["n_files"] == 5 and h["total_rows"] == 100
+        assert h["small_file_fraction"] == 1.0
+        assert h["recommend_compact"]
+        V.compact_snapshot(spark, d, n_files=1)
+        h2 = X.table_health(d, small_file_rows=50)
+        assert h2["n_files"] == 1
+        assert not h2["recommend_compact"]
+
+    def test_overlap_drops_after_clustering(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        # interleaved commits: every file spans the whole key range
+        for i in range(4):
+            V.write_snapshot(
+                spark.range(1000).select(
+                    ((F.col("id") * 4 + i) % 1000).alias("k"))
+                .coalesce(1), d)
+        h_before = X.table_health(d)
+        assert h_before["bounds_overlap"]["k"] == 1.0   # all pairs overlap
+        assert "k" in h_before["recommend_cluster_by"]
+        V.compact_snapshot(spark, d, n_files=4, cluster_by=["k"])
+        h_after = X.table_health(d)
+        after = h_after["bounds_overlap"]["k"]
+        assert after < 1.0
+        if after <= 0.2:                   # disjoint enough: no advice
+            assert "k" not in h_after["recommend_cluster_by"]
+
+    def test_empty_table_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            X.table_health(str(tmp_path / "missing"))
