@@ -1527,3 +1527,165 @@ def scale_token_index_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     t, ix = _token_indexed_docs(spark, sf_dir)
     return (read_with_token(spark, t, ix, "spark")
             .select("doc_id", "n_chars").orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# seasonal-naive residuals, freshness DQ, deterministic interleave order
+# ---------------------------------------------------------------------------
+
+@register(
+    "ts_seasonal_naive_residuals",
+    oracle="""
+    WITH daily AS (
+      SELECT n.n_name AS series, CAST(o.o_orderdate AS DATE) AS day,
+             CAST(floor(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))))
+                  AS BIGINT) AS rev_usd
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), r AS (
+      SELECT series, day, rev_usd,
+             rev_usd - lag(rev_usd, 7)
+               OVER (PARTITION BY series ORDER BY day) AS resid
+      FROM daily
+    ), q AS (
+      SELECT series, quantile_cont(resid, 0.25) AS q1,
+             quantile_cont(resid, 0.75) AS q3
+      FROM r WHERE resid IS NOT NULL GROUP BY 1
+    )
+    SELECT r.series, strftime(r.day, '%Y-%m-%d') AS day, r.rev_usd,
+           CAST(r.resid AS BIGINT) AS resid,
+           CASE WHEN r.resid IS NULL THEN NULL
+                ELSE abs(r.resid) > 3 * (q.q3 - q.q1) END AS is_anomaly
+    FROM r LEFT JOIN q USING (series)
+    ORDER BY r.series, r.day
+    """,
+    tags=["timeseries", "anomaly", "seasonal", "fleet"],
+)
+def ts_seasonal_naive_residuals(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Seasonal-naive anomaly detection per nation: residual = today −
+    same-weekday-last-week (7-ROW lag on the observed series), flagged
+    when |residual| exceeds 3× the series' residual IQR — the baseline
+    that catches weekly-seasonal breaks `ts_anomaly_zscore_fleet`'s
+    trailing mean smooths over.  Residuals are exact bigints; the IQR
+    quartiles interpolate integers at exact .25 fractions, so 3·IQR is
+    an exact double and the flag can never flip between engines.
+    Per-series window + one grouped quartile — fleet shape, no global
+    sort."""
+    from pyspark.sql import Window
+
+    orders, customer, nation = _t(spark, sf_dir,
+                                  "orders", "customer", "nation")
+    daily = (
+        orders
+        .join(customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("series"),
+                 F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
+             .cast("long").alias("rev_usd"))
+    )
+    w = Window.partitionBy("series").orderBy("d")
+    r = daily.withColumn(
+        "resid", (F.col("rev_usd") - F.lag("rev_usd", 7).over(w))
+        .cast("long"))
+    q = (r.filter(F.col("resid").isNotNull())
+         .groupBy("series")
+         .agg(F.expr("percentile(resid, 0.25D)").alias("q1"),
+              F.expr("percentile(resid, 0.75D)").alias("q3")))
+    return (r.join(F.broadcast(q), "series", "left")
+            .select("series",
+                    F.date_format("d", "yyyy-MM-dd").alias("day"),
+                    "rev_usd", "resid",
+                    F.when(F.col("resid").isNull(),
+                           F.lit(None).cast("boolean"))
+                    .otherwise(F.abs("resid")
+                               > 3 * (F.col("q3") - F.col("q1")))
+                    .alias("is_anomaly"))
+            .orderBy("series", "day"))
+
+
+@register(
+    "dq_freshness_report",
+    oracle="""
+    SELECT 'events' AS tbl, COUNT(*) AS n_rows,
+           CAST(MIN(CAST(ts AS DATE)) AS DATE) AS min_day,
+           CAST(MAX(CAST(ts AS DATE)) AS DATE) AS max_day
+    FROM events
+    UNION ALL
+    SELECT 'lineitem', COUNT(*),
+           MIN(CAST(l_shipdate AS DATE)), MAX(CAST(l_shipdate AS DATE))
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders', COUNT(*),
+           MIN(CAST(o_orderdate AS DATE)), MAX(CAST(o_orderdate AS DATE))
+    FROM orders
+    ORDER BY tbl
+    """,
+    tags=["dq", "freshness"],
+)
+def dq_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness DQ: per fact table, row count and observed date range —
+    the is-the-feed-alive check an ingest monitor runs before anything
+    else (a stale max_day is the first symptom of a dead upstream).
+    Three map-side min/max aggregates unioned; at 100 TB each leg reads
+    ONE column and the manifest-level stats of the versioned layer can
+    answer it without any scan at all."""
+    events, lineitem, orders = _t(spark, sf_dir,
+                                  "events", "lineitem", "orders")
+
+    def leg(df, name, col):
+        d = F.col(col).cast("date")
+        return df.agg(F.lit(name).alias("tbl"),
+                      F.count(F.lit(1)).alias("n_rows"),
+                      F.min(d).alias("min_day"),
+                      F.max(d).alias("max_day"))
+
+    return (leg(events, "events", "ts")
+            .unionByName(leg(lineitem, "lineitem", "l_shipdate"))
+            .unionByName(leg(orders, "orders", "o_orderdate"))
+            .orderBy("tbl"))
+
+
+@register(
+    "mix_interleave_preview",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'shuffle-v1'), 1, 8)
+               AS h8
+      FROM documents
+    ), r AS (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY h8, doc_id) AS INT) AS rn
+      FROM h
+    )
+    SELECT rn, source, doc_id FROM r
+    ORDER BY rn, source, doc_id LIMIT 100
+    """,
+    tags=["mixing", "ordering", "training"],
+)
+def mix_interleave_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic TRAINING ORDER: sources interleaved round-robin
+    (rank within source by a salted md5 shuffle, then read rank-major) —
+    the data-order contract that keeps every epoch reproducible across
+    runs and cluster layouts, where rand() ordering differs per
+    execution.  First 100 positions shown; the full order is the same
+    expression without the limit.  Per-source windows (partitioned) +
+    top-k merge — no global sort materializes."""
+    from pyspark.sql import Window
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    h8 = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"),
+                       F.lit("shuffle-v1"))), 1, 8)
+    w = Window.partitionBy("source").orderBy("h8", "doc_id")
+    return (docs.select("doc_id", "source", h8.alias("h8"))
+            .withColumn("rn", F.row_number().over(w))
+            .select("rn", "source", "doc_id")
+            .orderBy("rn", "source", "doc_id").limit(100))
