@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .queries import _t, register
+from .queries_ext import _hex15_to_long, _perms_values_sql
 
 
 # ---------------------------------------------------------------------------
@@ -1689,3 +1690,241 @@ def mix_interleave_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rn", F.row_number().over(w))
             .select("rn", "source", "doc_id")
             .orderBy("rn", "source", "doc_id").limit(100))
+
+
+# ---------------------------------------------------------------------------
+# LSH recall contract, embedding norms, bounce rate, dup-cluster histogram
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_lsh_recall_contract",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(t) - 2, 1) + 1),
+        i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+      FROM toks
+    ), {{perms}}, hb AS (
+      SELECT doc_id, {{hex15}} AS h
+      FROM (SELECT doc_id, md5(g) AS m FROM sh)
+    ), hx AS (
+      SELECT doc_id, j,
+             MIN((a * (h % 2147483647) + b) % 2147483647) AS hmin
+      FROM hb CROSS JOIN perms GROUP BY doc_id, j
+    ), sig AS (
+      SELECT doc_id, list(hmin ORDER BY j) AS sig FROM hx GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, bi,
+             array_to_string(list_transform(
+               list_slice(sig, bi * 4 + 1, bi * 4 + 4),
+               x -> CAST(x AS VARCHAR)), ',') AS bkey
+      FROM sig CROSS JOIN range(0, 8) AS sb(bi)
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM banded l JOIN banded r
+        ON l.bi = r.bi AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+    ), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    exact AS (
+      SELECT i.a, i.b FROM (
+        SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
+        FROM sh l JOIN sh r ON l.g = r.g AND l.doc_id < r.doc_id
+        GROUP BY 1, 2
+      ) i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+      WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.5
+    ), tot AS (SELECT COUNT(*) AS n_exact FROM exact),
+    hit AS (
+      SELECT COUNT(*) AS n_candidates_hit
+      FROM exact e JOIN cand c ON e.a = c.a AND e.b = c.b
+    )
+    SELECT CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_candidates_hit AS BIGINT) AS n_candidates_hit,
+           CAST(CASE WHEN n_exact > 0
+                     THEN n_candidates_hit * 1000000 // n_exact
+                     ELSE 1000000 END AS BIGINT) AS recall_ppm
+    FROM tot CROSS JOIN hit
+    """.replace("{perms}", _perms_values_sql(32))
+       .replace("{hex15}", _hex15_to_long("m")),
+    tags=["dedup", "lsh", "eval", "recall"],
+)
+def dedup_lsh_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED LSH recall, value-hash-checked: how many of the exact
+    Jaccard-≥0.5 pairs does the 32-perm/8-band candidate generation
+    actually surface?  The banding S-curve's 50%-capture point sits at
+    (1/8)^(1/4) ≈ 0.59, so τ=0.5 pairs are deliberately at risk — this
+    query PINS the measured recall instead of asserting folklore, the
+    eval every LSH deployment should ship with.  Both engines build
+    identical md5-derived signatures, so candidates and recall match
+    exactly.  Exact pairs ride the session-shared graph; the candidate
+    join is the banded self-join, never n²."""
+    from ..cache import shared_jaccard_pairs
+    from ..operators.dedup import lsh_candidate_pairs, minhash_docs
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    exact = shared_jaccard_pairs(spark, sf_dir, n=3, threshold=0.5) \
+        .select("a", "b")
+    sigs = minhash_docs(docs, k=32, portable=True).persist()
+    sigs.count()      # eager: the band self-join consumes it twice
+    cands = lsh_candidate_pairs(sigs, bands=8, portable=True) \
+        .select("a", "b")
+    hit = exact.join(cands, ["a", "b"], "left_semi")
+    tot = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = hit.agg(F.count(F.lit(1)).alias("n_candidates_hit"))
+    return tot.crossJoin(hits).select(
+        "n_exact", "n_candidates_hit",
+        F.when(F.col("n_exact") > 0,
+               F.expr("n_candidates_hit * 1000000 div n_exact"))
+        .otherwise(F.lit(1_000_000)).cast("long").alias("recall_ppm"))
+
+
+@register(
+    "emb_norm_distribution",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                  AS BIGINT) AS q
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS norm2q
+      FROM ex GROUP BY 1
+    )
+    SELECT CAST(norm2q // 100000 AS BIGINT) AS bucket,
+           COUNT(*) AS n_vecs,
+           CAST(MIN(norm2q) AS BIGINT) AS min_norm2q,
+           CAST(MAX(norm2q) AS BIGINT) AS max_norm2q
+    FROM s GROUP BY 1 ORDER BY bucket
+    """,
+    tags=["similarity", "embedding", "profile"],
+)
+def emb_norm_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2-norm histogram (exact integer squared norms on
+    milli-unit components): the is-this-space-normalized check an ANN
+    index build runs first — cosine via dot product assumes unit norms;
+    a wide histogram here means normalize-before-indexing.  One explode
+    + two keyed aggregates, map-side partials throughout."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    ex = emb.select("vec_id",
+                    F.explode("embedding").alias("v")) \
+        .select("vec_id",
+                F.floor(F.col("v").cast("double") * 1000)
+                .cast("long").alias("q"))
+    s = ex.groupBy("vec_id").agg(
+        F.sum(F.expr("q * q")).cast("long").alias("norm2q"))
+    return (s.groupBy(F.expr("norm2q div 100000").cast("long")
+                      .alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.min("norm2q").cast("long").alias("min_norm2q"),
+                 F.max("norm2q").cast("long").alias("max_norm2q"))
+            .orderBy("bucket"))
+
+
+@register(
+    "sess6_bounce_rate",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM o
+    ), g AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             CAST(MIN(ts) AS DATE) AS day
+      FROM s GROUP BY 1, 2
+    )
+    SELECT day, COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS bounce_ppm
+    FROM g GROUP BY 1 ORDER BY day
+    """,
+    tags=["sessions", "funnel"],
+)
+def sess6_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of sessions (30-min gap rule, the sess1
+    definition verbatim) containing exactly ONE event — the engagement
+    alarm a product dashboard tracks daily, in integer ppm.  Rides the
+    same sessionization operator; one extra day-keyed aggregate."""
+    from ..operators.sessions import session_summaries
+
+    (events,) = _t(spark, sf_dir, "events")
+    g = session_summaries(events, gap_minutes=30, tiebreak_col="event_id")
+    bounced = F.when(F.col("n_events") == 1, 1).otherwise(0)
+    return (g.select(F.col("session_start").cast("date").alias("day"),
+                     bounced.alias("b"))
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum("b").cast("long").alias("n_bounces"))
+            .withColumn("bounce_ppm",
+                        F.expr("n_bounces * 1000000 div n_sessions")
+                        .cast("long"))
+            .orderBy("day"))
+
+
+@register(
+    "dedup_cluster_size_hist",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(t) - 2, 1) + 1),
+        i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+      FROM toks
+    ), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT i.a, i.b FROM (
+        SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
+        FROM sh l JOIN sh r ON l.g = r.g AND l.doc_id < r.doc_id
+        GROUP BY 1, 2
+      ) i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+      WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.5
+    ), nodes AS (SELECT a AS n FROM pairs UNION SELECT b FROM pairs),
+    sym AS (SELECT a AS src, b AS dst FROM pairs
+            UNION SELECT b, a FROM pairs),
+    reach AS (
+      SELECT n AS src, n AS dst FROM nodes
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ), comp AS (
+      SELECT src AS n, MIN(dst) AS component FROM reach GROUP BY src
+    ), csz AS (
+      SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY 1
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM csz GROUP BY cluster_size ORDER BY cluster_size
+    """,
+    tags=["dedup", "graph", "report"],
+)
+def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster size HISTOGRAM — the dedup yield report: how
+    much of the corpus sits in 2-doc pairs vs big boilerplate blobs
+    (each cluster of size s removes s−1 docs; the histogram prices the
+    dedup pass before running it).  Rides the session-shared connected
+    components; two tiny aggregates on top."""
+    from ..cache import shared_components
+
+    comp = shared_components(spark, sf_dir, n=3, threshold=0.5)
+    csz = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (csz.groupBy(F.col("cluster_size").cast("long")
+                        .alias("cluster_size"))
+            .agg(F.count(F.lit(1)).alias("n_clusters"))
+            .select("cluster_size", "n_clusters",
+                    (F.col("cluster_size") * F.col("n_clusters"))
+                    .cast("long").alias("n_docs"))
+            .orderBy("cluster_size"))
