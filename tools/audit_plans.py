@@ -48,6 +48,7 @@ ALLOWED_FLAGS: dict[str, set[str]] = {
     "mix_curriculum_phases": {"bnl-join"},   # 1-row quartile-boundary frame
     "corpus_assemble_pipeline": {"bnl-join"},  # 1-row train-quartile frame
     "prof_chi2_drift_priority": {"bnl-join"},  # 1-row (N_A, N_B) totals frame
+    "dedup_lsh_recall_contract": {"bnl-join"},  # 1-row exact/hit count frames
     # NOT a 1-row frame, but the same bounded-broadcast argument: the
     # non-equi prefix-sum self-join runs on the counts-of-counts
     # relation, whose size is ≤ the number of DISTINCT rows-per-key
