@@ -1928,3 +1928,88 @@ def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("cluster_size") * F.col("n_clusters"))
                     .cast("long").alias("n_docs"))
             .orderBy("cluster_size"))
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read DELETE (deletion vectors): MOR read ≡ plain SQL anti-filter
+# ---------------------------------------------------------------------------
+
+_DV_ORDERS: dict = {}
+
+
+def _drop_dv_orders(keys=None) -> None:
+    import shutil
+
+    for k in list(_DV_ORDERS) if keys is None else list(keys):
+        shutil.rmtree(_DV_ORDERS.pop(k), ignore_errors=True)
+
+
+def _dv_orders(spark: SparkSession, sf_dir: str) -> tuple[str, bool, int]:
+    """Once per (session, sf_dir): snapshot `orders` into a temp
+    versioned table, compact clustered by o_orderkey, then issue a
+    merge-on-read DELETE of the o_orderkey < 1000 range via
+    `delete_where` (position-delete files; no data file rewritten).
+    Returns (table_dir, data_files_untouched, n_deleted) — the booleans
+    the query surfaces under the value hash.  Same temp-tree lifecycle
+    as `_versioned_orders` (atexit + new-session eviction)."""
+    import atexit
+    import tempfile
+
+    from ..sinks import versioned as V
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _DV_ORDERS.get(key)
+    if got is None:
+        _drop_dv_orders([k for k in _DV_ORDERS if k[0] != key[0]])
+        if not _DV_ORDERS:
+            atexit.register(_drop_dv_orders)
+        t = tempfile.mkdtemp(prefix="spark_graft_dvorders_")
+        (orders,) = _t(spark, sf_dir, "orders")
+        V.write_snapshot(orders, t)
+        v0 = V.compact_snapshot(spark, t, n_files=8,
+                                cluster_by=["o_orderkey"])
+        files_before = V._read_manifest(t, v0)
+        v1, n_deleted = V.delete_where(
+            spark, t, "o_orderkey < 1000",
+            predicates=[("o_orderkey", "<", 1000)])
+        untouched = V._read_manifest(t, v1) == files_before
+        got = (t, untouched, n_deleted)
+        _DV_ORDERS[key] = got
+    return got
+
+
+@register(
+    "scale_dv_delete_read",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+           TRUE AS mor_ok
+    FROM orders WHERE NOT (o_orderkey < 1000)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=["scale", "versioned", "deletion-vectors"],
+)
+def scale_dv_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion vectors under the value-hash gate: `orders` is committed
+    to a versioned table, a key range is DELETEd merge-on-read
+    (`sinks/versioned.delete_where` — position-delete files only; mor_ok
+    asserts the data-file list is byte-identical across the delete
+    commit AND that the reported n_deleted matches the range), and the
+    post-delete read must aggregate to exactly what plain SQL gives with
+    the rows filtered out.  Proves the read-path anti join is lossless
+    and scoped to dirty files — the O(matched rows) delete a 100 TB
+    GDPR pass needs, visible to the driver's gate."""
+    from ..sinks import versioned as V
+
+    t, untouched, n_deleted = _dv_orders(spark, sf_dir)
+    expected = (_t(spark, sf_dir, "orders")[0]
+                .filter(F.col("o_orderkey") < 1000).count())
+    df = V.read_version(spark, t)
+    return (df.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("rev"))
+            .withColumn("mor_ok",
+                        F.lit(bool(untouched and n_deleted == expected)))
+            .orderBy("o_orderstatus"))

@@ -5,9 +5,10 @@ a 100 TB pipeline needs so readers never see a half-written rewrite.
 
 Layout (all inside one table directory):
 
-    <table>/data/b<N>-.../part-*.parquet   immutable data files
-    <table>/_manifests/v<N>.json           ordered file list per version
-    <table>/_manifests/_latest.json        pointer to the current version
+    <table>/data/b<N>-.../part-*.parquet     immutable data files
+    <table>/deletes/d<N>-.../part-*.parquet  position-delete files
+    <table>/_manifests/v<N>.json             ordered file list per version
+    <table>/_manifests/_latest.json          pointer to the current version
 
 Invariants:
   * data files are immutable once a manifest references them — append,
@@ -22,7 +23,13 @@ Invariants:
     (compaction, merge, rollback — their input snapshot is stale).
     Many-reader isolation, no locks;
   * time travel = read any retained manifest; `vacuum` deletes data
-    files referenced ONLY by dropped manifests.
+    files referenced ONLY by dropped manifests;
+  * merge-on-read DELETE (`delete_where`): a delete commits POSITION-
+    DELETE files (file, row_index) instead of rewriting data — readers
+    anti-join them (`_read_files`), compaction materializes them, and
+    the manifest's `delete_files` map scopes which data files need the
+    join (delete-free files read plain).  The Iceberg position-delete
+    technique, on this manifest log.
 
 All metadata I/O goes through the storage seam (`sinks/storage.py`):
 a bare path uses POSIX, any ``scheme:`` path (``file:``, ``hdfs:``,
@@ -64,19 +71,31 @@ def check_constraints(df: DataFrame, checks: list[str]) -> None:
     (those REPORT violations already in a table; this REFUSES them at
     the door, the only place enforcement is cheap).
 
-    Each check is either a boolean SQL expression over the batch's
-    columns (``"o_totalprice > 0"``, ``"o_orderkey IS NOT NULL"``) or
-    the uniqueness form ``"unique:col"``.  A NULL predicate result
-    counts as a violation (SQL CHECK semantics admit NULL; a data-quality
-    gate must not — an unexpectedly-NULL column should fail loudly).
+    Each check is one of:
+      * a boolean SQL expression over the batch's columns
+        (``"o_totalprice > 0"``, ``"o_orderkey IS NOT NULL"``) — a NULL
+        predicate result counts as a violation (SQL CHECK semantics
+        admit NULL; a data-quality gate must not — an unexpectedly-NULL
+        column should fail loudly);
+      * the uniqueness form ``"unique:col"``;
+      * the REFERENTIAL form ``"fk:col=ref_col@ref_path"`` — every
+        non-NULL ``col`` value must exist as ``ref_col`` in the table at
+        ``ref_path`` (a parquet path/dir, or a manifest-versioned table
+        dir, read at its latest version).  NULL keys pass, per standard
+        SQL FK semantics (use an extra ``col IS NOT NULL`` check to
+        forbid them).  The probe is one LEFT ANTI join per FK against
+        the referenced table's key column — at 100 TB the dim side is
+        the small side and broadcasts; the batch is never collected.
 
     Cost: ONE aggregate pass computing every expression check's
     violation count map-side (plus one distinct-vs-count aggregate per
-    uniqueness check); raises `ConstraintViolation` naming each failed
-    check with its violation count, so the error is actionable without
-    re-scanning."""
-    exprs = [c for c in checks if not c.startswith("unique:")]
+    uniqueness check and one anti-join count per FK); raises
+    `ConstraintViolation` naming each failed check with its violation
+    count, so the error is actionable without re-scanning."""
+    exprs = [c for c in checks
+             if not c.startswith(("unique:", "fk:"))]
     uniques = [c.split(":", 1)[1] for c in checks if c.startswith("unique:")]
+    fks = [c for c in checks if c.startswith("fk:")]
     failed: list[str] = []
     if exprs:
         aggs = [F.sum(F.when(F.coalesce(F.expr(e), F.lit(False)), 0)
@@ -95,8 +114,45 @@ def check_constraints(df: DataFrame, checks: list[str]) -> None:
             failed.append(
                 f"unique:{col}: {row['n'] - row['d']} duplicate and "
                 f"{row['nn']} NULL key(s)")
+    for spec in fks:
+        col, ref_col, ref_path = _parse_fk(spec)
+        ref = _read_fk_ref(df.sparkSession, ref_path)
+        if ref_col not in ref.columns:
+            raise ConstraintViolation(
+                f"{spec}: column {ref_col!r} not in referenced table")
+        orphans = (df.select(F.col(col).alias("__k")).na.drop()
+                   .join(F.broadcast(ref.select(
+                       F.col(ref_col).alias("__k")).distinct()),
+                       "__k", "left_anti")
+                   .count())
+        if orphans:
+            failed.append(f"{spec}: {orphans} orphan key(s)")
     if failed:
         raise ConstraintViolation("; ".join(failed))
+
+
+def _parse_fk(spec: str) -> tuple[str, str, str]:
+    """``fk:col=ref_col@ref_path`` -> (col, ref_col, ref_path).  The
+    path is split on the FIRST '@' after the column pair, so paths with
+    ':' (file:, abfss:) survive; column names cannot contain '@'."""
+    body = spec[3:]
+    pair, sep, ref_path = body.partition("@")
+    col, eq, ref_col = pair.partition("=")
+    if not (sep and eq and col and ref_col and ref_path):
+        raise ConstraintViolation(
+            f"malformed FK constraint {spec!r} "
+            "(expected fk:col=ref_col@ref_path)")
+    return col, ref_col, ref_path
+
+
+def _read_fk_ref(spark: SparkSession, ref_path: str) -> DataFrame:
+    """The referenced table: a manifest-versioned table dir reads at its
+    LATEST version (so the FK follows the dim's own commits); anything
+    else reads as plain parquet."""
+    st = storage_for(ref_path, spark)
+    if st.exists(st.join(ref_path, "_manifests")):
+        return read_version(spark, ref_path)
+    return spark.read.parquet(ref_path)
 
 
 def _st(table_dir: str, spark: SparkSession | None = None):
@@ -335,11 +391,25 @@ def table_checks(table_dir: str) -> list[str]:
     return _read_manifest_doc(table_dir, cur).get("checks", [])
 
 
+def table_delete_map(table_dir: str, version: int | None = None
+                     ) -> tuple[dict[str, list[str]], dict[str, int]]:
+    """(data file -> its position-delete files, delete file -> row count)
+    recorded by a version's manifest (default: latest).  Empty maps mean
+    every referenced data file is fully live (no merge-on-read state)."""
+    v = latest_version(table_dir) if version is None else version
+    if v is None:
+        return {}, {}
+    doc = _read_manifest_doc(table_dir, v)
+    return doc.get("delete_files", {}), doc.get("delete_rows", {})
+
+
 def _commit(table_dir: str, files: list[str], version: int,
             batch_ids: set[int] | None = None,
             stats: dict[str, dict] | None = None,
             bloom_cols: list[str] | None = None,
-            checks: list[str] | None = None) -> None:
+            checks: list[str] | None = None,
+            delete_files: dict[str, list[str]] | None = None,
+            delete_rows: dict[str, int] | None = None) -> None:
     """Write manifest v<version> then atomically swap the pointer.
 
     The streaming batch-id ledger is carried forward into EVERY manifest
@@ -363,6 +433,17 @@ def _commit(table_dir: str, files: list[str], version: int,
         doc["checks"] = sorted(inherited_checks)
     if stats:
         doc["stats"] = {f: stats[f] for f in sorted(stats) if f in set(files)}
+    if delete_files:
+        # merge-on-read position deletes: data file -> its delete files.
+        # Entries are kept only for data files this manifest still
+        # references — a dropped/rewritten file's deletes die with it.
+        dmap = {f: sorted(set(delete_files[f]))
+                for f in sorted(delete_files) if f in set(files)}
+        if dmap:
+            doc["delete_files"] = dmap
+            refd = {d for ds in dmap.values() for d in ds}
+            doc["delete_rows"] = {d: int((delete_rows or {}).get(d, 0))
+                                  for d in sorted(refd)}
     if inherited:
         doc["batch_ids"] = sorted(inherited)
     # exclusive create = an atomic conditional put: if another writer
@@ -508,6 +589,141 @@ def _inherited_stats(table_dir: str, version: int | None) -> dict[str, dict]:
     return _read_manifest_doc(table_dir, version).get("stats", {})
 
 
+def _read_files(spark: SparkSession, files: list[str],
+                dmap: dict[str, list[str]] | None = None) -> DataFrame:
+    """Read a set of manifest data files with merge-on-read position
+    deletes applied.  Files with no delete state read plain; files with
+    deletes read with the `_metadata` hidden columns and LEFT ANTI join
+    the union of their delete files on (file_path, row_index) — the
+    Iceberg position-delete read shape.  The anti join's build side is
+    the DELETE set (broadcast: DVs are small relative to data by
+    construction — a delete that rewrites most rows should be a rewrite
+    commit, not a DV), so no shuffle of the data side is introduced."""
+    dirty = sorted(f for f in files if dmap and dmap.get(f))
+    clean = sorted(f for f in files if f not in set(dirty))
+    parts: list[DataFrame] = []
+    if clean:
+        parts.append(spark.read.option("mergeSchema", "true")
+                     .parquet(*clean))
+    if dirty:
+        dvs = sorted({d for f in dirty for d in dmap[f]})
+        dv = (spark.read.parquet(*dvs)
+              .select("__file", "__pos").distinct())
+        d = (spark.read.option("mergeSchema", "true").parquet(*dirty)
+             .withColumn("__file", F.col("_metadata.file_path"))
+             .withColumn("__pos", F.col("_metadata.row_index"))
+             .join(F.broadcast(dv), ["__file", "__pos"], "left_anti")
+             .drop("__file", "__pos"))
+        parts.append(d)
+    if not parts:
+        raise FileNotFoundError("empty file list")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
+def delete_where(spark: SparkSession, table_dir: str, condition: str,
+                 predicates=None) -> tuple[int, int]:
+    """Merge-on-read DELETE: mark rows matching ``condition`` (a boolean
+    SQL expression over the table's columns) deleted by writing a
+    POSITION-DELETE file — (file, row position) pairs — instead of
+    rewriting any data file.  Readers apply deletes via an anti join
+    (`_read_files`); `compact_snapshot` materializes them (its rewrite
+    reads through `read_version`, so the compacted files are delete-free
+    and the new manifest carries no delete state); `vacuum` reclaims
+    delete files once no retained manifest references them.
+
+    Returns ``(version, n_deleted)``.  A delete matching nothing new is
+    a no-op: no commit, returns the current version.
+
+    ``predicates`` — optional `(col, op, value)` list handed to the
+    manifest pruner so the matching SCAN touches only files that can
+    contain matches (pass the sargable part of ``condition``); the full
+    condition is always applied, so the result never depends on stats.
+
+    Scale: this is the O(matched rows) delete a 100 TB table needs —
+    GDPR-style point deletes touch a few files' positions, not the
+    table.  Already-deleted rows are excluded before writing, so delete
+    files never accumulate duplicate positions and ``n_deleted`` is
+    exact.  The commit is optimistic like every other path, but NOT
+    rebase-retried: a concurrent commit may have rewritten the very
+    files these positions index, so the caller re-runs on the new
+    latest (`ConcurrentCommitError`)."""
+    st = _st(table_dir, spark)
+    cur = latest_version(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir}")
+    all_files = _read_manifest(table_dir, cur)
+    if predicates:
+        scan_files, _ = prune_files(table_dir, cur, predicates)
+    else:
+        scan_files = all_files
+    if not scan_files:
+        return cur, 0
+    dmap, drows = table_delete_map(table_dir, cur)
+    matched = (spark.read.option("mergeSchema", "true")
+               .parquet(*sorted(scan_files))
+               .withColumn("__file", F.col("_metadata.file_path"))
+               .withColumn("__pos", F.col("_metadata.row_index"))
+               .filter(F.expr(condition))
+               .select("__file", "__pos"))
+    prior = sorted({d for f in scan_files for d in dmap.get(f, [])})
+    if prior:
+        old = spark.read.parquet(*prior).select("__file", "__pos")
+        matched = matched.join(F.broadcast(old),
+                               ["__file", "__pos"], "left_anti")
+    out = st.canon(st.join(table_dir, "deletes",
+                           f"d{cur + 1:05d}-{uuid.uuid4().hex[:8]}"))
+    matched.repartition(1).write.mode("error").parquet(out)
+    dv_files = sorted(st.canon(p)
+                      for p in st.list_glob(st.join(out, "part-*.parquet")))
+    if not dv_files:
+        return cur, 0
+    dv = spark.read.parquet(*dv_files)
+    # bounded collect: one row per TOUCHED data file (≤ |manifest|)
+    touched_rows = (dv.groupBy("__file")
+                    .agg(F.count(F.lit(1)).alias("n")).collect())
+    n_deleted = sum(r["n"] for r in touched_rows)
+    if n_deleted == 0:
+        for p in dv_files:
+            st.delete(p)
+        return cur, 0
+    touched_uris = {st.uri_canon(r["__file"]) for r in touched_rows}
+    new_dmap = {f: list(ds) for f, ds in dmap.items()}
+    mapped = 0
+    for f in all_files:
+        if st.canon(f) in touched_uris:
+            new_dmap.setdefault(f, []).extend(dv_files)
+            mapped += 1
+    if mapped != len(touched_uris):
+        # a probed URI failed to map onto manifest paths — committing
+        # would reference delete positions no reader ever applies
+        # (silent NON-deletion); fail loudly instead (cf. the scoped
+        # merge's equivalent fallback)
+        for p in dv_files:
+            st.delete(p)
+        raise RuntimeError(
+            f"delete_where: {len(touched_uris) - mapped} scanned file "
+            f"URI(s) did not map onto manifest paths in {table_dir}")
+    new_drows = {d: n for d, n in drows.items()
+                 if any(d in ds for ds in new_dmap.values())}
+    if len(dv_files) == 1:
+        new_drows[dv_files[0]] = n_deleted
+    else:            # repartition(1) normally yields one file; stay exact
+        counts = {r["__f"]: r["n"] for r in
+                  dv.select(F.col("_metadata.file_path").alias("__f"))
+                  .groupBy("__f").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+        canon = {st.uri_canon(u): n for u, n in counts.items()}
+        for d in dv_files:
+            new_drows[d] = canon.get(st.canon(d), 0)
+    doc = _read_manifest_doc(table_dir, cur)
+    _commit(table_dir, all_files, cur + 1, stats=doc.get("stats", {}),
+            delete_files=new_dmap, delete_rows=new_drows)
+    return cur + 1, n_deleted
+
+
 def write_snapshot(df: DataFrame, table_dir: str,
                    mode: str = "append", bloom_cols=None,
                    checks: list[str] | None = None) -> int:
@@ -545,14 +761,20 @@ def write_snapshot(df: DataFrame, table_dir: str,
     while True:
         cur = latest_version(table_dir)
         new_version = 1 if cur is None else cur + 1
+        dmap: dict[str, list[str]] = {}
+        drows: dict[str, int] = {}
         if mode == "append" and cur is not None:
             files = _read_manifest(table_dir, cur) + new_files
             stats = {**_inherited_stats(table_dir, cur), **new_stats}
+            # carried files keep their merge-on-read delete state; the
+            # appended files are delete-free by construction
+            dmap, drows = table_delete_map(table_dir, cur)
         else:
             files, stats = new_files, new_stats
         try:
             _commit(table_dir, files, new_version, stats=stats,
-                    bloom_cols=bloom_cols, checks=checks)
+                    bloom_cols=bloom_cols, checks=checks,
+                    delete_files=dmap, delete_rows=drows)
             return new_version
         except ConcurrentCommitError:
             continue
@@ -594,9 +816,12 @@ def read_version(spark: SparkSession, table_dir: str,
             force_empty = True
     else:
         files = _read_manifest(table_dir, v)
-    df = spark.read.option("mergeSchema", "true").parquet(*files)
     if force_empty:
-        df = df.filter(F.lit(False))
+        df = (spark.read.option("mergeSchema", "true").parquet(*files)
+              .filter(F.lit(False)))
+    else:
+        dmap, _ = table_delete_map(table_dir, v)
+        df = _read_files(spark, files, dmap)
     if predicates:
         ops = {"=": "__eq__", "<": "__lt__", "<=": "__le__",
                ">": "__gt__", ">=": "__ge__"}
@@ -664,14 +889,26 @@ def vacuum(table_dir: str, keep_versions: int = 2) -> int:
     # relative/non-normalized — a raw string compare would then treat
     # every live file as unreferenced and delete the table
     referenced: set[str] = set()
+    ref_deletes: set[str] = set()
     for v in keep:
-        referenced.update(st.canon(f) for f in _read_manifest(table_dir, v))
+        doc = _read_manifest_doc(table_dir, v)
+        referenced.update(st.canon(f) for f in doc["files"])
+        ref_deletes.update(
+            st.canon(d) for ds in doc.get("delete_files", {}).values()
+            for d in ds)
     deleted = 0
     for v in vs:
         if v not in keep:
             st.delete(_manifest_path(st, table_dir, v))
     for p in st.list_glob(st.join(table_dir, "data", "*", "part-*.parquet")):
         if st.canon(p) not in referenced:
+            st.delete(p)
+            deleted += 1
+    # position-delete files are reclaimed on the same rule: referenced
+    # by no retained manifest's delete map ⇒ gone
+    for p in st.list_glob(st.join(table_dir, "deletes", "*",
+                                  "part-*.parquet")):
+        if st.canon(p) not in ref_deletes:
             st.delete(p)
             deleted += 1
     return deleted
@@ -704,8 +941,13 @@ def merge_into_snapshot(spark: SparkSession, table_dir: str,
         merged = merge_upsert(read_version(spark, table_dir), updates, key)
         return write_snapshot(merged, table_dir, mode="overwrite")
     files = _read_manifest(table_dir, cur)
-    probe = (read_version(spark, table_dir, cur)
-             .select(key, F.input_file_name().alias("__f"))
+    # probe the RAW manifest files (not read_version: its delete-vector
+    # anti join makes the plan multi-source, which input_file_name-style
+    # probing rejects; `_metadata` is per-relation).  Deleted rows may
+    # over-touch a file — harmless: the rewrite applies deletes.
+    probe = (spark.read.option("mergeSchema", "true")
+             .parquet(*sorted(files))
+             .select(key, F.col("_metadata.file_path").alias("__f"))
              .join(updates.select(key).distinct(), key)
              .select("__f").distinct().collect())
     touched_paths = {st.uri_canon(r["__f"]) for r in probe}
@@ -721,8 +963,11 @@ def merge_into_snapshot(spark: SparkSession, table_dir: str,
         merged = merge_upsert(read_version(spark, table_dir), updates, key)
         return write_snapshot(merged, table_dir, mode="overwrite")
     untouched = [f for f in files if f not in touched]
-    old_part = (spark.read.option("mergeSchema", "true")
-                .parquet(*sorted(touched)) if touched else None)
+    dmap, drows = table_delete_map(table_dir, cur)
+    # touched files are rewritten with their position deletes APPLIED
+    # (materialized); untouched files carry their delete state forward
+    old_part = (_read_files(spark, sorted(touched), dmap)
+                if touched else None)
     merged = (merge_upsert(old_part, updates, key) if old_part is not None
               else updates)
     checks = table_checks(table_dir)
@@ -737,7 +982,10 @@ def merge_into_snapshot(spark: SparkSession, table_dir: str,
     stats = {**{f: inherited[f] for f in untouched if f in inherited},
              **_stats_for(table_dir, new_files, table_bloom_cols(table_dir),
                           spark=spark)}
-    _commit(table_dir, untouched + new_files, new_version, stats=stats)
+    _commit(table_dir, untouched + new_files, new_version, stats=stats,
+            delete_files={f: ds for f, ds in dmap.items() if f in
+                          set(untouched)},
+            delete_rows=drows)
     return new_version
 
 
@@ -791,13 +1039,17 @@ def commit_stream_batch(batch_df: DataFrame, batch_id: int,
         cur = latest_version(table_dir)
         new_version = 1 if cur is None else cur + 1
         files, stats = new_files, dict(new_stats)
+        dmap: dict[str, list[str]] = {}
+        drows: dict[str, int] = {}
         if mode == "append" and cur is not None:
             files = _read_manifest(table_dir, cur) + files
             stats = {**_inherited_stats(table_dir, cur), **new_stats}
+            dmap, drows = table_delete_map(table_dir, cur)
         try:
             _commit(table_dir, files, new_version,
                     batch_ids={int(batch_id)}, stats=stats,
-                    bloom_cols=bloom_cols or None)
+                    bloom_cols=bloom_cols or None,
+                    delete_files=dmap, delete_rows=drows)
             return True
         except ConcurrentCommitError:
             continue
@@ -864,8 +1116,11 @@ def history(table_dir: str) -> list[dict]:
                 n_rows = None
                 break
             n_rows += st["num_rows"]
+        n_deleted = sum(doc.get("delete_rows", {}).values())
         out.append({"version": v, "n_files": len(doc["files"]),
-                    "n_rows": n_rows,
+                    "n_rows": n_rows if n_rows is None
+                    else n_rows - n_deleted,
+                    "n_deleted": n_deleted,
                     "batch_ids": doc.get("batch_ids", []),
                     "is_latest": v == latest_version(table_dir)})
     return out
@@ -884,5 +1139,7 @@ def rollback(table_dir: str, to_version: int) -> int:
     cur = latest_version(table_dir)
     new_version = (cur or 0) + 1
     _commit(table_dir, doc["files"], new_version,
-            stats=doc.get("stats", {}))
+            stats=doc.get("stats", {}),
+            delete_files=doc.get("delete_files", {}),
+            delete_rows=doc.get("delete_rows", {}))
     return new_version

@@ -642,3 +642,184 @@ class TestCheckConstraints:
         assert v == 2
         got = {r["k"]: r["v"] for r in V.read_version(spark, d).collect()}
         assert got == {1: 9, 2: 2}
+
+
+class TestDeletionVectors:
+    """Merge-on-read DELETE: position-delete files, read-path anti join,
+    compaction materialization, vacuum reclaim (versioned.delete_where)."""
+
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "k long, v long")
+
+    def test_delete_marks_rows_without_rewriting_data(self, spark, troot):
+        t = troot + "/tbl"
+        V.write_snapshot(self._mk(spark, [(i, i * 10) for i in range(10)]), t)
+        before_files = V._read_manifest(t, 1)
+        v, n = V.delete_where(spark, t, "k >= 7")
+        assert (v, n) == (2, 3)
+        # data files untouched — the delete commit references the SAME files
+        assert V._read_manifest(t, v) == before_files
+        assert _rows(V.read_version(spark, t)) == {
+            (i, i * 10) for i in range(7)}
+        # time travel: the pre-delete version still sees every row
+        assert len(_rows(V.read_version(spark, t, 1))) == 10
+
+    def test_delete_is_cumulative_and_idempotent(self, spark, troot):
+        t = troot + "/tbl"
+        V.write_snapshot(self._mk(spark, [(i, i) for i in range(6)]), t)
+        _, n1 = V.delete_where(spark, t, "k = 0")
+        _, n2 = V.delete_where(spark, t, "k <= 1")   # k=0 already deleted
+        assert (n1, n2) == (1, 1)
+        v, n3 = V.delete_where(spark, t, "k <= 1")   # nothing new: no-op
+        assert n3 == 0 and v == V.latest_version(t)
+        assert _rows(V.read_version(spark, t)) == {(i, i) for i in (2, 3, 4, 5)}
+
+    def test_append_after_delete_keeps_delete_state(self, spark, troot):
+        t = troot + "/tbl"
+        V.write_snapshot(self._mk(spark, [(1, 1), (2, 2)]), t)
+        V.delete_where(spark, t, "k = 1")
+        V.write_snapshot(self._mk(spark, [(3, 3)]), t)      # append
+        assert _rows(V.read_version(spark, t)) == {(2, 2), (3, 3)}
+
+    def test_compaction_materializes_deletes(self, spark, troot):
+        t = troot + "/tbl"
+        V.write_snapshot(
+            self._mk(spark, [(i, i) for i in range(20)]).repartition(4), t)
+        V.delete_where(spark, t, "k % 2 = 1")
+        v = V.compact_snapshot(spark, t, n_files=1)
+        dmap, drows = V.table_delete_map(t, v)
+        assert dmap == {} and drows == {}            # delete-free manifest
+        assert _rows(V.read_version(spark, t, v)) == {
+            (i, i) for i in range(0, 20, 2)}
+
+    def test_scoped_merge_applies_and_carries_deletes(self, spark, troot):
+        t = troot + "/tbl"
+        a = self._mk(spark, [(1, 1), (2, 2)])
+        b = self._mk(spark, [(3, 3), (4, 4)])
+        V.write_snapshot(a.coalesce(1), t)
+        V.write_snapshot(b.coalesce(1), t)            # two data files
+        V.delete_where(spark, t, "k = 2 OR k = 4")    # one delete per file
+        v = V.merge_into_snapshot(
+            spark, t, self._mk(spark, [(1, 99)]), key="k")
+        # file A was rewritten (delete materialized there); file B is
+        # untouched and must keep its delete state
+        assert _rows(V.read_version(spark, t, v)) == {(1, 99), (3, 3)}
+        dmap, _ = V.table_delete_map(t, v)
+        assert len(dmap) == 1                         # only B still mapped
+
+    def test_vacuum_reclaims_unreferenced_delete_files(self, spark, troot):
+        t = troot + "/tbl"
+        V.write_snapshot(self._mk(spark, [(1, 1), (2, 2)]), t)
+        V.delete_where(spark, t, "k = 1")
+        V.compact_snapshot(spark, t, n_files=1)       # materialize
+        V.write_snapshot(self._mk(spark, [(9, 9)]), t)
+        V.vacuum(t, keep_versions=2)                  # drops v1, v2
+        st = storage_for(t, spark)
+        assert st.list_glob(st.join(t, "deletes", "*", "part-*.parquet")) \
+            == []                                     # DV files reclaimed
+        assert _rows(V.read_version(spark, t)) == {(2, 2), (9, 9)}
+
+    def test_history_reports_live_rows_and_deletes(self, spark, troot):
+        t = troot + "/tbl"
+        V.write_snapshot(self._mk(spark, [(i, i) for i in range(10)]), t)
+        V.delete_where(spark, t, "k < 4")
+        h = {e["version"]: e for e in V.history(t)}
+        assert h[1]["n_rows"] == 10 and h[1]["n_deleted"] == 0
+        assert h[2]["n_rows"] == 6 and h[2]["n_deleted"] == 4
+
+    def test_delete_with_predicates_prunes_scan_but_stays_exact(
+            self, spark, troot):
+        t = troot + "/tbl"
+        df = self._mk(spark, [(i, i) for i in range(100)])
+        V.write_snapshot(df, t)
+        V.compact_snapshot(spark, t, n_files=4, cluster_by=["k"])
+        v, n = V.delete_where(spark, t, "k >= 90",
+                              predicates=[("k", ">=", 90)])
+        assert n == 10
+        assert _rows(V.read_version(spark, t)) == {
+            (i, i) for i in range(90)}
+
+    def test_changes_between_sees_dv_delete(self, spark, troot):
+        t = troot + "/tbl"
+        V.write_snapshot(self._mk(spark, [(1, 1), (2, 2)]), t)
+        v, _ = V.delete_where(spark, t, "k = 2")
+        ch = {(r["k"], r["_change_type"])
+              for r in V.changes_between(spark, t, 1, v, key="k").collect()}
+        assert ch == {(2, "delete")}
+
+    def test_stream_append_carries_delete_state(self, spark, troot):
+        t = troot + "/tbl"
+        V.write_snapshot(self._mk(spark, [(1, 1), (2, 2)]), t)
+        V.delete_where(spark, t, "k = 1")
+        assert V.commit_stream_batch(self._mk(spark, [(5, 5)]), 0, t)
+        assert _rows(V.read_version(spark, t)) == {(2, 2), (5, 5)}
+
+    def test_pruned_read_composes_with_deletes(self, spark, troot):
+        t = troot + "/tbl"
+        V.write_snapshot(self._mk(spark, [(i, i) for i in range(100)]), t)
+        V.compact_snapshot(spark, t, n_files=4, cluster_by=["k"])
+        V.delete_where(spark, t, "k = 5")
+        got = _rows(V.read_version(spark, t, predicates=[("k", "<", 10)]))
+        assert got == {(i, i) for i in range(10) if i != 5}
+
+
+class TestReferentialConstraints:
+    """fk:col=ref_col@ref_path write-time constraints."""
+
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "k long, v long")
+
+    def _dim(self, spark, tmp_path, keys):
+        p = str(tmp_path / "dim")
+        spark.createDataFrame([(k,) for k in keys], "id long") \
+            .write.mode("overwrite").parquet(p)
+        return p
+
+    def test_fk_valid_and_orphan(self, spark, tmp_path):
+        dim = self._dim(spark, tmp_path, [1, 2, 3])
+        t = str(tmp_path / "t")
+        fk = f"fk:v=id@{dim}"
+        assert V.write_snapshot(
+            self._mk(spark, [(10, 1), (11, 3)]), t, checks=[fk]) == 1
+        with pytest.raises(V.ConstraintViolation, match="2 orphan"):
+            V.write_snapshot(self._mk(spark, [(12, 7), (13, 8)]), t)
+        assert V.latest_version(t) == 1      # violating write left nothing
+
+    def test_fk_null_key_passes(self, spark, tmp_path):
+        dim = self._dim(spark, tmp_path, [1])
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame([(1, None)], "k long, v long")
+        assert V.write_snapshot(df, t, checks=[f"fk:v=id@{dim}"]) == 1
+
+    def test_fk_against_versioned_dim_follows_latest(self, spark, tmp_path):
+        dim = str(tmp_path / "dim")
+        V.write_snapshot(spark.createDataFrame([(1,)], "id long"), dim)
+        t = str(tmp_path / "t")
+        fk = f"fk:v=id@{dim}"
+        with pytest.raises(V.ConstraintViolation):
+            V.write_snapshot(self._mk(spark, [(10, 2)]), t, checks=[fk])
+        # the dim grows; the same write is now valid — FK reads LATEST
+        V.write_snapshot(spark.createDataFrame([(2,)], "id long"), dim)
+        assert V.write_snapshot(
+            self._mk(spark, [(10, 2)]), t, checks=[fk]) == 1
+
+    def test_fk_enforced_on_merge_and_stream(self, spark, tmp_path):
+        dim = self._dim(spark, tmp_path, [1, 2])
+        t = str(tmp_path / "t")
+        V.write_snapshot(self._mk(spark, [(10, 1)]), t,
+                         checks=[f"fk:v=id@{dim}"])
+        with pytest.raises(V.ConstraintViolation):
+            V.merge_into_snapshot(spark, t, self._mk(spark, [(10, 9)]), "k")
+        with pytest.raises(V.ConstraintViolation):
+            V.commit_stream_batch(self._mk(spark, [(11, 9)]), 0, t)
+        assert V.latest_version(t) == 1
+
+    def test_malformed_fk_spec_raises(self, spark, tmp_path):
+        with pytest.raises(V.ConstraintViolation, match="malformed"):
+            V.check_constraints(self._mk(spark, [(1, 1)]), ["fk:nonsense"])
+
+    def test_fk_missing_ref_column_raises(self, spark, tmp_path):
+        dim = self._dim(spark, tmp_path, [1])
+        with pytest.raises(V.ConstraintViolation, match="not in referenced"):
+            V.check_constraints(self._mk(spark, [(1, 1)]),
+                                [f"fk:v=nope@{dim}"])
