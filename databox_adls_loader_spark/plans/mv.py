@@ -80,6 +80,13 @@ class MVSpec:
     # non-temporal dim statically; `rewrite_aggregate` enforces the same
     # rule against the view's ACTUAL schema either way
     dim_types: tuple[str, ...] = ()
+    # SQL-routing metadata (only needed for `sql_rewrite`): the base
+    # table name this view summarizes, and — parallel to ``measures`` —
+    # the BASE column each stored measure aggregates ('*' for the
+    # count-star measure), so `sum(price_cents)` in query text maps onto
+    # the stored partial it is answerable from
+    base_table: str = field(default="", compare=False)
+    measure_sources: tuple[str, ...] = ()
 
 
 def _parse_group(g: str | tuple[str, str, str]) -> tuple[str, str, str]:
@@ -278,3 +285,268 @@ def read(spark: SparkSession, table_dir: str,
     """Read a view at a version (default: latest — the freshness the
     catalog vouches for is whatever version the last `refresh` wrote)."""
     return V.read_version(spark, table_dir, version=version)
+
+
+# ---------------------------------------------------------------------------
+# SQL-text routing: parse a SELECT, answer it from a covering MV
+# ---------------------------------------------------------------------------
+
+# comparison AST types the dim-predicate pushthrough understands
+_CMP_OPS = {
+    "COMPARE_EQUAL": "__eq__", "COMPARE_NOTEQUAL": "__ne__",
+    "COMPARE_LESSTHAN": "__lt__", "COMPARE_LESSTHANOREQUALTO": "__le__",
+    "COMPARE_GREATERTHAN": "__gt__",
+    "COMPARE_GREATERTHANOREQUALTO": "__ge__",
+}
+
+_INT_IDS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+            "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+
+
+def _const_value(node: dict):
+    """Python value of a VALUE_CONSTANT AST node, or (None, False) when
+    the literal type is outside the supported scalar set."""
+    if node.get("type") != "VALUE_CONSTANT":
+        return None, False
+    v = node.get("value", {})
+    tid = (v.get("type") or {}).get("id")
+    if v.get("is_null"):
+        return None, False          # NULL comparisons are never pushed
+    if tid in _INT_IDS:
+        return int(v["value"]), True
+    if tid == "VARCHAR":
+        return str(v["value"]), True
+    if tid in ("FLOAT", "DOUBLE"):
+        return float(v["value"]), True
+    return None, False
+
+
+def _colref(node: dict) -> str | None:
+    if node.get("type") == "COLUMN_REF" and \
+            len(node.get("column_names", [])) == 1:
+        return node["column_names"][0]
+    return None
+
+
+def _dim_fn_of(node: dict) -> tuple[str, str] | None:
+    """(fn, dim) when the node is date_trunc('month'|'year', col)."""
+    if node.get("type") != "FUNCTION" or \
+            node.get("function_name") != "date_trunc":
+        return None
+    ch = node.get("children", [])
+    if len(ch) != 2:
+        return None
+    part, ok = _const_value(ch[0])
+    dim = _colref(ch[1])
+    if not ok or not isinstance(part, str) or part not in _DIM_FNS \
+            or dim is None:
+        return None
+    return part, dim
+
+
+def _parse_where(node: dict | None) -> list[tuple[str, str, object]] | None:
+    """Flatten a WHERE AST into [(col, spark_op, value)] — only AND
+    conjunctions of `dim <cmp> literal` survive; anything else returns
+    None (the caller then falls back, never guesses)."""
+    if node is None:
+        return []
+    t = node.get("type")
+    if t == "CONJUNCTION_AND":
+        out: list = []
+        for ch in node.get("children", []):
+            sub = _parse_where(ch)
+            if sub is None:
+                return None
+            out.extend(sub)
+        return out
+    if t in _CMP_OPS:
+        left, right = node.get("left", {}), node.get("right", {})
+        col, (val, ok) = _colref(left), _const_value(right)
+        if col is None or not ok:      # literal <cmp> col: also accept
+            col, (val, ok) = _colref(right), _const_value(left)
+            if col is None or not ok:
+                return None
+            flip = {"__lt__": "__gt__", "__le__": "__ge__",
+                    "__gt__": "__lt__", "__ge__": "__le__"}
+            op = _CMP_OPS[t]
+            return [(col, flip.get(op, op), val)]
+        return [(col, _CMP_OPS[t], val)]
+    return None
+
+
+def parse_select(query: str) -> dict | None:
+    """Parse SQL text into the rewriter's canonical aggregate request,
+    or None when the statement is outside the supported shape (single
+    SELECT over one base table, optional dim-literal WHERE, GROUP BY
+    exactly the selected dims, optional ORDER BY output columns /
+    LIMIT).  Parsing is DuckDB's own parser via `json_serialize_sql` —
+    a real SQL grammar, no regex — so the supported-shape check is
+    structural, and REFUSAL (None -> caller falls back to the base
+    table) is the failure mode, never a silent wrong rewrite."""
+    import duckdb
+    import json
+
+    try:
+        raw = duckdb.execute("select json_serialize_sql(?::varchar)",
+                             [query]).fetchone()[0]
+        doc = json.loads(raw)
+    except Exception:
+        return None
+    if doc.get("error") or len(doc.get("statements", [])) != 1:
+        return None
+    n = doc["statements"][0]["node"]
+    if n.get("type") != "SELECT_NODE" \
+            or (n.get("cte_map") or {}).get("map") \
+            or n.get("having") or n.get("sample") or n.get("qualify") \
+            or n.get("aggregate_handling") != "STANDARD_HANDLING":
+        return None
+    ft = n.get("from_table") or {}
+    if ft.get("type") != "BASE_TABLE":
+        return None
+    group_by: list = []      # str | (out, fn, dim) in select order
+    measures: list = []      # (agg, base_src, out)
+    dim_positions: set[int] = set()
+    for i, e in enumerate(n.get("select_list", []), 1):
+        col = _colref(e)
+        if col is not None:
+            out = e.get("alias") or col
+            group_by.append(col if out == col else (out, "identity", col))
+            dim_positions.add(i)
+            continue
+        der = _dim_fn_of(e)
+        if der is not None:
+            if not e.get("alias"):
+                return None          # derived dim needs a stable name
+            group_by.append((e["alias"], der[0], der[1]))
+            dim_positions.add(i)
+            continue
+        if e.get("type") == "FUNCTION" and not e.get("distinct") \
+                and not e.get("filter"):
+            fn = e.get("function_name")
+            ch = e.get("children", [])
+            if fn == "count_star" and not ch and e.get("alias"):
+                measures.append(("count", "*", e["alias"]))
+                continue
+            if fn in ("sum", "min", "max") and len(ch) == 1 \
+                    and _colref(ch[0]) is not None and e.get("alias"):
+                measures.append((fn, _colref(ch[0]), e["alias"]))
+                continue
+        return None
+    if not measures or not group_by:
+        return None
+    # GROUP BY must name exactly the selected dims (by source column,
+    # output alias, 1-based position, or the repeated derivation)
+    want = {}
+    for i, g in zip(sorted(dim_positions), group_by):
+        out, fn, dim = _parse_group(g)
+        want[i] = {("pos", i), ("name", out), ("name", dim)
+                   if fn == "identity" else ("expr", fn, dim)}
+    matched: set[int] = set()
+    for ge in n.get("group_expressions", []):
+        keys = set()
+        col = _colref(ge)
+        if col is not None:
+            keys.add(("name", col))
+        val, ok = _const_value(ge)
+        if ok and isinstance(val, int):
+            keys.add(("pos", val))
+        der = _dim_fn_of(ge)
+        if der is not None:
+            keys.add(("expr", der[0], der[1]))
+        hit = [i for i, ks in want.items() if ks & keys]
+        if len(hit) != 1:
+            return None
+        matched.add(hit[0])
+    if matched != set(want):
+        return None
+    where = _parse_where(n.get("where_clause"))
+    if where is None:
+        return None
+    order: list[tuple[str, bool]] = []
+    limit: int | None = None
+    out_names = {_parse_group(g)[0] for g in group_by} | \
+        {out for _, _, out in measures}
+    for m in n.get("modifiers", []):
+        if m.get("type") == "ORDER_MODIFIER":
+            for o in m.get("orders", []):
+                col = _colref(o.get("expression", {}))
+                if col is None or col not in out_names:
+                    return None
+                order.append((col, o.get("type") != "DESCENDING"))
+        elif m.get("type") == "LIMIT_MODIFIER":
+            lim = (m.get("limit") or {})
+            val, ok = _const_value(lim)
+            if not ok or not isinstance(val, int):
+                return None
+            limit = val
+        else:
+            return None
+    return {"table": ft["table_name"], "group_by": group_by,
+            "measures": measures, "where": where, "order": order,
+            "limit": limit}
+
+
+def sql_rewrite(spark: SparkSession, query: str, catalog: list[MVSpec],
+                fallback=None) -> tuple[DataFrame, str | None]:
+    """Answer SQL text from a covering materialized view when one
+    exists: ``(df, mv_name)`` on a rewrite, ``(fallback(query), None)``
+    otherwise (default fallback is ``spark.sql`` — base tables must then
+    be registered as views).  This is the resolver that makes the MV
+    layer transparent to SQL callers: the query names only BASE tables;
+    view choice, dim-predicate pushthrough, month/year rollup, and
+    re-aggregation all happen underneath.
+
+    A candidate must declare ``base_table`` matching the query's FROM
+    and ``measure_sources`` mapping each requested aggregate's base
+    column onto a stored partial of the same aggregate class; WHERE
+    predicates must compare stored IDENTITY dims to literals (then
+    filtering the view pre-re-aggregation is exactly filtering the base
+    rows — each view row belongs to one dim group).  Anything the
+    structural check cannot prove falls back — same refusal-over-guess
+    contract as `covers`.
+
+    Scale: a routed query touches |view| rows (pruned further by the
+    versioned store's data skipping on the WHERE dims); the base fact
+    is never scanned."""
+    plan = parse_select(query)
+    used: MVSpec | None = None
+    if plan is not None:
+        cands = []
+        for mv in catalog:
+            if mv.base_table != plan["table"] or not mv.table_dir \
+                    or len(mv.measure_sources) != len(mv.measures):
+                continue
+            src_of = {(agg, src): alias for (agg, alias), src in
+                      zip(mv.measures, mv.measure_sources)}
+            stored_measures = []
+            for agg, base_src, out in plan["measures"]:
+                alias = src_of.get((agg, base_src))
+                if alias is None:
+                    break
+                stored_measures.append((agg, alias, out))
+            else:
+                # WHERE may only touch stored IDENTITY dims: each view
+                # row then belongs to exactly one predicate-decided
+                # group, so filtering pre-re-aggregation ≡ filtering
+                # the base rows
+                wcols = {c for c, _, _ in plan["where"]}
+                if wcols <= set(mv.dims) and \
+                        covers(mv, plan["group_by"], stored_measures):
+                    cands.append((mv, stored_measures))
+        if cands:
+            used, stored_measures = min(cands,
+                                        key=lambda p: p[0].rows_hint)
+    if used is None:
+        run = fallback if fallback is not None else \
+            (lambda q: spark.sql(q))
+        return run(query), None
+    df = V.read_version(spark, used.table_dir)
+    for col, op, val in plan["where"]:
+        df = df.filter(getattr(F.col(col), op)(F.lit(val)))
+    out = rewrite_aggregate(df, used, plan["group_by"], stored_measures)
+    if plan["order"]:
+        out = out.orderBy(*[F.col(c).asc() if asc else F.col(c).desc()
+                            for c, asc in plan["order"]])
+    if plan["limit"] is not None:
+        out = out.limit(plan["limit"])
+    return out, used.name

@@ -2013,3 +2013,58 @@ def scale_dv_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("mor_ok",
                         F.lit(bool(untouched and n_deleted == expected)))
             .orderBy("o_orderstatus"))
+
+
+# ---------------------------------------------------------------------------
+# SQL-text MV routing: query names only the base table; the resolver routes
+# ---------------------------------------------------------------------------
+
+@register(
+    "mv_sql_route_monthly",
+    oracle="""
+    WITH nos AS (
+      SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS day,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT n_name, CAST(date_trunc('month', day) AS DATE) AS month,
+           CAST(SUM(price_cents) AS BIGINT) AS rev_cents,
+           COUNT(*) AS n_orders
+    FROM nos WHERE n_name <> 'KENYA'
+    GROUP BY 1, 2 ORDER BY n_name, month
+    """,
+    tags=["mv", "sql", "rewrite"],
+)
+def mv_sql_route_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-TEXT materialized-view routing under the value-hash gate: the
+    query is a plain SQL string naming only the conceptual base table
+    (`nation_order_sales` — order-grain rows); `plans/mv.sql_rewrite`
+    parses it with DuckDB's own grammar (json_serialize_sql), proves the
+    shape coverable, pushes the dim predicate through, and answers it by
+    re-aggregating the session's daily-revenue MV — the base fact is
+    never scanned (the fallback raises, so a route miss fails loudly
+    here).  The oracle recomputes the same SQL from the raw tables, so a
+    hash match proves parse + predicate pushthrough + month rollup +
+    re-aggregation all exact."""
+    import dataclasses
+
+    from . import mv as M
+
+    spec, t = _mv_daily_nation_rev(spark, sf_dir)
+    routed = dataclasses.replace(
+        spec, base_table="nation_order_sales",
+        measure_sources=("price_cents", "*"))
+    q = ("SELECT n_name, date_trunc('month', day) AS month, "
+         "sum(price_cents) AS rev_cents, count(*) AS n_orders "
+         "FROM nation_order_sales WHERE n_name <> 'KENYA' "
+         "GROUP BY n_name, 2 ORDER BY n_name, month")
+
+    def _no_fallback(_q):
+        raise AssertionError("resolver must route, not fall back")
+
+    df, used = M.sql_rewrite(spark, q, [routed], fallback=_no_fallback)
+    assert used == routed.name
+    return df

@@ -253,3 +253,123 @@ class TestDerivationTypeGuard:
             M.rewrite_aggregate(mv_df, untyped,
                                 [("m", "month", "n_name")],
                                 [("sum", "s", "s")])
+
+
+class TestSQLRewrite:
+    """SQL-text routing (mv.sql_rewrite): parse -> choose -> rewrite,
+    with structural fallback for anything outside the proven shape."""
+
+    def _base(self, spark):
+        import datetime as dt
+
+        rows = [("A", dt.date(2024, 1, 1), 100, 1),
+                ("A", dt.date(2024, 1, 2), 250, 2),
+                ("A", dt.date(2024, 2, 1), 60, 3),
+                ("B", dt.date(2024, 1, 1), 40, 4),
+                ("B", dt.date(2024, 3, 5), 500, 5)]
+        return spark.createDataFrame(
+            rows, "n_name string, day date, price_cents long, oid long")
+
+    def _mv(self, spark, tmp_path):
+        base = self._base(spark)
+        build = base.groupBy("n_name", "day").agg(
+            F.sum("price_cents").cast("long").alias("rev_cents"),
+            F.count(F.lit(1)).alias("n_orders"))
+        t = str(tmp_path / "mv")
+        M.refresh(build, t)
+        spec = M.MVSpec(
+            name="daily", dims=("n_name", "day"),
+            dim_types=("string", "date"),
+            measures=(("sum", "rev_cents"), ("count", "n_orders")),
+            measure_sources=("price_cents", "*"),
+            rows_hint=100, table_dir=t, base_table="sales")
+        return base, spec
+
+    def _q(self):
+        return ("SELECT n_name, date_trunc('month', day) AS month, "
+                "sum(price_cents) AS rev_cents, count(*) AS n_orders "
+                "FROM sales GROUP BY n_name, 2 ORDER BY n_name, month")
+
+    def test_routes_and_matches_base(self, spark, tmp_path):
+        base, spec = self._mv(spark, tmp_path)
+        base.createOrReplaceTempView("sales")
+        df, used = M.sql_rewrite(spark, self._q(), [spec])
+        assert used == "daily"
+        expect = spark.sql(self._q().replace(
+            "date_trunc('month', day)",
+            "CAST(date_trunc('month', day) AS DATE)")).collect()
+        assert sorted(map(tuple, df.collect())) == \
+            sorted(map(tuple, expect))
+
+    def test_where_on_dim_pushes_through(self, spark, tmp_path):
+        base, spec = self._mv(spark, tmp_path)
+        q = ("SELECT n_name, sum(price_cents) AS rev "
+             "FROM sales WHERE n_name = 'A' AND day >= '2024-01-02' "
+             "GROUP BY n_name")
+        # day >= string literal compares lexically vs date: VARCHAR
+        # literal against a DATE dim — Spark casts; both sides agree
+        df, used = M.sql_rewrite(spark, q, [spec])
+        assert used == "daily"
+        assert {tuple(r) for r in df.collect()} == {("A", 310)}
+
+    def test_where_on_nondim_falls_back(self, spark, tmp_path):
+        base, spec = self._mv(spark, tmp_path)
+        base.createOrReplaceTempView("sales")
+        q = ("SELECT n_name, sum(price_cents) AS rev FROM sales "
+             "WHERE oid > 2 GROUP BY n_name")
+        df, used = M.sql_rewrite(spark, q, [spec])
+        assert used is None
+        assert {tuple(r) for r in df.collect()} == {("A", 60), ("B", 540)}
+
+    def test_count_col_falls_back(self, spark, tmp_path):
+        base, spec = self._mv(spark, tmp_path)
+        base.createOrReplaceTempView("sales")
+        q = ("SELECT n_name, count(price_cents) AS n FROM sales "
+             "GROUP BY n_name")
+        _, used = M.sql_rewrite(spark, q, [spec])
+        assert used is None
+
+    def test_join_and_cte_fall_back(self, spark, tmp_path):
+        base, spec = self._mv(spark, tmp_path)
+        base.createOrReplaceTempView("sales")
+        for q in [
+            "SELECT s.n_name, sum(s.price_cents) AS r FROM sales s "
+            "JOIN sales t ON s.oid = t.oid GROUP BY s.n_name",
+            "WITH x AS (SELECT * FROM sales) "
+            "SELECT n_name, sum(price_cents) AS r FROM x GROUP BY n_name",
+        ]:
+            _, used = M.sql_rewrite(spark, q, [spec])
+            assert used is None
+
+    def test_group_mismatch_falls_back(self, spark, tmp_path):
+        base, spec = self._mv(spark, tmp_path)
+        base.createOrReplaceTempView("sales")
+        # grouping by a column NOT in the select list: not the proven
+        # shape -> fallback, not a wrong rewrite
+        q = ("SELECT sum(price_cents) AS r FROM sales GROUP BY n_name")
+        _, used = M.sql_rewrite(spark, q, [spec])
+        assert used is None
+
+    def test_wrong_base_table_falls_back(self, spark, tmp_path):
+        base, spec = self._mv(spark, tmp_path)
+        base.createOrReplaceTempView("returns_t")
+        q = ("SELECT n_name, sum(price_cents) AS rev_cents "
+             "FROM returns_t GROUP BY n_name")
+        _, used = M.sql_rewrite(spark, q, [spec])
+        assert used is None
+
+    def test_limit_and_desc_order(self, spark, tmp_path):
+        base, spec = self._mv(spark, tmp_path)
+        q = ("SELECT n_name, sum(price_cents) AS rev FROM sales "
+             "GROUP BY n_name ORDER BY rev DESC LIMIT 1")
+        df, used = M.sql_rewrite(spark, q, [spec])
+        assert used == "daily"
+        assert [tuple(r) for r in df.collect()] == [("B", 540)]
+
+    def test_measure_source_mismatch_falls_back(self, spark, tmp_path):
+        base, spec = self._mv(spark, tmp_path)
+        base.createOrReplaceTempView("sales")
+        q = ("SELECT n_name, sum(oid) AS rev_cents FROM sales "
+             "GROUP BY n_name")   # sum of a DIFFERENT base column
+        _, used = M.sql_rewrite(spark, q, [spec])
+        assert used is None
