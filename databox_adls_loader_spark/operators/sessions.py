@@ -151,3 +151,47 @@ def top_session_paths(events: DataFrame, n: int = 3, k: int = 10,
              .filter(F.col("complete")))
     return (grams.groupBy("path").agg(F.count(F.lit(1)).alias("n_occurrences"))
             .orderBy(F.desc("n_occurrences"), F.asc("path")).limit(k))
+
+
+def funnel_counts_within(events: DataFrame, steps: list[str],
+                         max_gap_minutes: int,
+                         user_col: str = "user_id",
+                         type_col: str = "event_type",
+                         ts_col: str = "ts") -> DataFrame:
+    """Time-CONSTRAINED funnel: a user advances to step k only when it
+    happens strictly after step k-1 AND within ``max_gap_minutes`` of it
+    — the conversion-window form every growth dashboard actually uses
+    (an unconstrained funnel credits a purchase months after the view).
+    Output: (step_no, step, n_users), non-increasing.
+
+    Timestamps compare as integer microseconds (`unix_micros`) so the
+    strict-after and within-gap edges are exact and oracle-portable.
+    Same scale shape as `funnel_steps`: k-1 joins all shuffling on the
+    one ``user_col`` key, each prefix frame one row per surviving user."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    gap_us = int(max_gap_minutes) * 60_000_000
+    us = F.unix_micros(F.col(ts_col))
+    cur = (events.filter(F.col(type_col) == steps[0])
+           .groupBy(user_col)
+           .agg(F.min(us).alias(f"t_{steps[0]}")))
+    prev_t = f"t_{steps[0]}"
+    for step in steps[1:]:
+        nxt = (events.filter(F.col(type_col) == step)
+               .select(user_col, us.alias("__us"))
+               .join(cur.select(user_col, prev_t), user_col)
+               .filter((F.col("__us") > F.col(prev_t)) &
+                       (F.col("__us") <= F.col(prev_t) + F.lit(gap_us)))
+               .groupBy(user_col)
+               .agg(F.min("__us").alias(f"t_{step}")))
+        cur = cur.join(nxt, user_col, "left")
+        prev_t = f"t_{step}"
+    counts = cur.agg(*[F.count(F.col(f"t_{s}")).alias(f"t_{s}")
+                       for s in steps])
+    pairs = F.array(*[
+        F.struct(F.lit(i).alias("step_no"), F.lit(s).alias("step"),
+                 F.col(f"t_{s}").alias("n_users"))
+        for i, s in enumerate(steps, 1)])
+    return (counts.select(F.explode(pairs).alias("x"))
+            .select("x.step_no", "x.step", "x.n_users")
+            .orderBy("step_no"))

@@ -2068,3 +2068,95 @@ def mv_sql_route_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     df, used = M.sql_rewrite(spark, q, [routed], fallback=_no_fallback)
     assert used == routed.name
     return df
+
+
+# ---------------------------------------------------------------------------
+# time-constrained funnel: conversion windows, integer-µs exact
+# ---------------------------------------------------------------------------
+
+@register(
+    "sess7_timed_funnel",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    s1 AS (SELECT user_id, MIN(us) AS t FROM e
+           WHERE event_type = 'signup' GROUP BY 1),
+    s2 AS (SELECT e.user_id, MIN(e.us) AS t FROM e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'view' AND e.us > s1.t
+             AND e.us <= s1.t + 604800000000 GROUP BY 1),
+    s3 AS (SELECT e.user_id, MIN(e.us) AS t FROM e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.us > s2.t
+             AND e.us <= s2.t + 604800000000 GROUP BY 1)
+    SELECT * FROM (
+      SELECT 1 AS step_no, 'signup' AS step,
+             (SELECT COUNT(*) FROM s1) AS n_users
+      UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM s2)
+      UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+    ) ORDER BY step_no
+    """,
+    tags=["sessions", "funnel", "window"],
+)
+def sess7_timed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel signup→view→purchase where each step
+    must land within 7 DAYS of the previous one (operator:
+    `operators/sessions.funnel_counts_within`) — the time-bounded form
+    real conversion dashboards use; `sess2_funnel_counts` is the
+    unconstrained sibling.  Step edges compare as integer microseconds
+    on both engines, so the boundary rows (exactly 7 days later) are
+    decided identically and the whole funnel is value-hash exact."""
+    from ..operators.sessions import funnel_counts_within
+
+    (events,) = _t(spark, sf_dir, "events")
+    return funnel_counts_within(
+        events, ["signup", "view", "purchase"], max_gap_minutes=7 * 1440)
+
+
+# ---------------------------------------------------------------------------
+# epoch upsampling plan: equalize sources to the largest, integer-exact
+# ---------------------------------------------------------------------------
+
+@register(
+    "mix_epoch_upsampling",
+    oracle="""
+    WITH per AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(n_chars) AS total_chars
+      FROM documents GROUP BY source
+    ), tgt AS (SELECT MAX(total_chars) AS target FROM per)
+    SELECT p.source, CAST(p.n_docs AS BIGINT) AS n_docs,
+           CAST(p.total_chars AS BIGINT) AS total_chars,
+           CAST((t.target + p.total_chars - 1) // p.total_chars AS BIGINT)
+             AS epochs,
+           CAST(t.target * 1000000 // p.total_chars AS BIGINT)
+             AS upsample_ppm
+    FROM per p CROSS JOIN tgt t
+    ORDER BY p.source
+    """,
+    tags=["mixing", "epochs", "upsampling"],
+)
+def mix_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source EPOCH plan for uniform upsampled mixing: every source
+    is upsampled to the size of the largest one — epochs = ⌈target/
+    available⌉ is how many passes over the source the data loader
+    schedules, upsample_ppm the exact repeat rate (integer µ-parts, so
+    the whole plan is hash-checked).  This is the missing piece between
+    `mix_dedup_weights` (what share each source SHOULD get) and
+    `mix_pack_token_shards` (how rows become shards): turning a target
+    share into whole-corpus repeat counts.  Scale: one partial-agg
+    shuffle on source; the 1-row target frame broadcasts."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"))
+    tgt = per.agg(F.max("total_chars").alias("__target"))
+    return (per.join(F.broadcast(tgt))
+            .select("source",
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("total_chars").cast("long").alias("total_chars"),
+                    # integral arithmetic throughout: ceil and ppm
+                    # stay exact at any corpus size (double division
+                    # would wobble past 2^53)
+                    F.expr("CAST((__target + total_chars - 1) DIV "
+                           "total_chars AS BIGINT)").alias("epochs"),
+                    F.expr("CAST((__target * 1000000L) DIV "
+                           "total_chars AS BIGINT)").alias("upsample_ppm"))
+            .orderBy("source"))

@@ -121,6 +121,9 @@ class LocalStorage:
     def list_glob(self, pattern: str) -> list[str]:
         return _glob.glob(pattern)
 
+    def file_size(self, path: str) -> int:
+        return os.path.getsize(path)
+
     def parquet_source(self, path: str):
         """A source `pyarrow.parquet` accepts (a fresh one per call)."""
         return path
@@ -215,6 +218,9 @@ class HadoopStorage:
         if statuses is None:
             return []
         return [st.getPath().toString() for st in statuses]
+
+    def file_size(self, path: str) -> int:
+        return int(self._fs(path).getFileStatus(self._path(path)).getLen())
 
     def parquet_source(self, path: str):
         # driver-side footer/stat reads pull the whole (newly written,

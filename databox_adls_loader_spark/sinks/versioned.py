@@ -875,6 +875,51 @@ def compact_snapshot(spark: SparkSession, table_dir: str,
     return new_version
 
 
+def compact_small_files(spark: SparkSession, table_dir: str,
+                        target_bytes: int = 128 * 1024 * 1024,
+                        min_files: int = 2) -> int | None:
+    """Incremental OPTIMIZE: coalesce only the data files SMALLER than
+    ``target_bytes`` into ~target-sized files; files already at target
+    ride into the new manifest verbatim, stats and all.  Returns the new
+    version, or None when fewer than ``min_files`` small files exist
+    (no commit — nothing worth rewriting).
+
+    This is the steady-state maintenance shape for a streamed-into
+    100 TB table: micro-batch commits accumulate small files, and the
+    nightly OPTIMIZE must cost O(small files), not O(table) — the full
+    `compact_snapshot` rewrite stays for layout changes (cluster_by /
+    zorder_by), where touching every file is the point.
+
+    Small files carrying position-delete state are compacted with their
+    deletes APPLIED (the rewrite reads through `_read_files`); big files
+    keep theirs — the manifest's delete map follows the files."""
+    cur = latest_version(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir}")
+    st = _st(table_dir, spark)
+    files = _read_manifest(table_dir, cur)
+    dmap, drows = table_delete_map(table_dir, cur)
+    sizes = {f: st.file_size(f) for f in files}
+    small = sorted(f for f in files if sizes[f] < target_bytes)
+    if len(small) < min_files:
+        return None
+    keep = [f for f in files if f not in set(small)]
+    df = _read_files(spark, small, dmap)
+    n_out = max(1, sum(sizes[f] for f in small) // max(target_bytes, 1))
+    new_version = cur + 1
+    new_files = _new_data_files(df.repartition(int(n_out)), table_dir,
+                                f"b{new_version:05d}")
+    inherited = _inherited_stats(table_dir, cur)
+    stats = {**{f: inherited[f] for f in keep if f in inherited},
+             **_stats_for(table_dir, new_files, table_bloom_cols(table_dir),
+                          spark=spark)}
+    _commit(table_dir, keep + new_files, new_version, stats=stats,
+            delete_files={f: ds for f, ds in dmap.items()
+                          if f in set(keep)},
+            delete_rows=drows)
+    return new_version
+
+
 def vacuum(table_dir: str, keep_versions: int = 2) -> int:
     """Drop all but the newest ``keep_versions`` manifests and delete
     data files no retained manifest references.  Returns the number of

@@ -823,3 +823,53 @@ class TestReferentialConstraints:
         with pytest.raises(V.ConstraintViolation, match="not in referenced"):
             V.check_constraints(self._mk(spark, [(1, 1)]),
                                 [f"fk:v=nope@{dim}"])
+
+
+class TestIncrementalCompaction:
+    """compact_small_files: OPTIMIZE that rewrites only sub-target
+    files, leaving big files (and their stats) untouched."""
+
+    def test_coalesces_only_small_files(self, spark, troot):
+        t = troot + "/tbl"
+        big = spark.range(0, 20_000).selectExpr("id as k")
+        V.write_snapshot(big.coalesce(1), t)
+        for i in range(4):                       # four tiny commits
+            V.write_snapshot(
+                spark.createDataFrame([(100_000 + i,)], "k long")
+                .coalesce(1), t)
+        before = V._read_manifest(t, V.latest_version(t))
+        assert len(before) == 5
+        big_file = V._read_manifest(t, 1)[0]
+        v = V.compact_small_files(spark, t, target_bytes=64 * 1024)
+        after = V._read_manifest(t, v)
+        assert big_file in after                  # big file untouched
+        assert len(after) < len(before)
+        assert _rows(V.read_version(spark, t, v)) == \
+            _rows(V.read_version(spark, t, v - 1))
+        # the untouched file kept its manifest stats verbatim
+        doc_b = V._read_manifest_doc(t, v - 1)
+        doc_a = V._read_manifest_doc(t, v)
+        assert doc_a["stats"][big_file] == doc_b["stats"][big_file]
+
+    def test_noop_below_min_files(self, spark, troot):
+        t = troot + "/tbl"
+        V.write_snapshot(
+            spark.createDataFrame([(1,)], "k long").coalesce(1), t)
+        assert V.compact_small_files(spark, t, target_bytes=1 << 20) is None
+        assert V.latest_version(t) == 1           # no empty commit
+
+    def test_applies_deletes_on_small_keeps_on_big(self, spark, troot):
+        t = troot + "/tbl"
+        big = spark.range(0, 20_000).selectExpr("id as k")
+        V.write_snapshot(big.coalesce(1), t)
+        V.write_snapshot(
+            spark.createDataFrame([(-1,), (-2,)], "k long").coalesce(1), t)
+        V.write_snapshot(
+            spark.createDataFrame([(-3,)], "k long").coalesce(1), t)
+        V.delete_where(spark, t, "k = -2 OR k = 5")   # small + big file hit
+        v = V.compact_small_files(spark, t, target_bytes=64 * 1024)
+        dmap, _ = V.table_delete_map(t, v)
+        big_file = V._read_manifest(t, 1)[0]
+        assert set(dmap) == {big_file}            # big keeps its DV
+        rows = {r["k"] for r in V.read_version(spark, t, v).collect()}
+        assert -2 not in rows and 5 not in rows and -1 in rows and -3 in rows
