@@ -2160,3 +2160,112 @@ def mix_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("CAST((__target * 1000000L) DIV "
                            "total_chars AS BIGINT)").alias("upsample_ppm"))
             .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# total-variation drift: the RATIONAL divergence (no transcendentals)
+# ---------------------------------------------------------------------------
+
+@register(
+    "prof_tv_drift_priority",
+    oracle="""
+    WITH a AS (SELECT o_orderpriority AS p, COUNT(*) AS c FROM orders
+               WHERE o_orderdate < DATE '1998-01-01' GROUP BY 1),
+    b AS (SELECT o_orderpriority AS p, COUNT(*) AS c FROM orders
+          WHERE o_orderdate >= DATE '1998-01-01' GROUP BY 1),
+    u AS (SELECT COALESCE(a.p, b.p) AS p, COALESCE(a.c, 0) AS ca,
+                 COALESCE(b.c, 0) AS cb
+          FROM a FULL JOIN b ON a.p = b.p),
+    t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb,
+                 SUM(ABS(CAST(ca AS HUGEINT) * (SELECT SUM(cb) FROM u)
+                       - CAST(cb AS HUGEINT) * (SELECT SUM(ca) FROM u)))
+                   AS num
+          FROM u)
+    SELECT CAST(na AS BIGINT) AS n_old, CAST(nb AS BIGINT) AS n_new,
+           CAST(num * 1000000 // (2 * CAST(na AS HUGEINT) * nb)
+                AS BIGINT) AS tv_ppm
+    FROM t
+    """,
+    tags=["profile", "drift", "tv"],
+)
+def prof_tv_drift_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation distance between the order-priority distributions
+    of the pre-/post-1998 order populations, in EXACT ppm — the third
+    drift lens next to `prof_ks_drift_by_status` (continuous, sup-norm)
+    and `prof_chi2_drift_priority` (frequency, χ²): TV is the L1 form
+    mixing-policy monitors alert on ("share shifted between categories
+    ≥ x%").  TV = ½·Σ|p_i − q_i| is RATIONAL in the counts, so the repo's
+    no-transcendentals rule holds: the numerator Σ|ca·N_b − cb·N_a| and
+    the integral DIV by 2·N_a·N_b are exact in decimal(38) however large
+    the table.  One partial-agg shuffle per side on the category key."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    split = F.col("o_orderdate") < F.lit("1998-01-01").cast("date")
+    per = (orders.groupBy(F.col("o_orderpriority").alias("p"))
+           .agg(F.sum(split.cast("long")).alias("ca"),
+                F.sum((~split).cast("long")).alias("cb")))
+    dec = "decimal(38,0)"
+    return (per.agg(F.sum("ca").cast(dec).alias("__na"),
+                    F.sum("cb").cast(dec).alias("__nb"))
+            .join(F.broadcast(per))
+            .groupBy("__na", "__nb")
+            .agg(F.sum(F.abs(F.col("ca").cast(dec) * F.col("__nb") -
+                             F.col("cb").cast(dec) * F.col("__na")))
+                 .alias("__num"))
+            .select(F.col("__na").cast("long").alias("n_old"),
+                    F.col("__nb").cast("long").alias("n_new"),
+                    F.expr("CAST((__num * 1000000) DIV "
+                           "(2 * __na * __nb) AS BIGINT)").alias("tv_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU / stickiness — bounded-fanout explode, never a range join
+# ---------------------------------------------------------------------------
+
+@register(
+    "sess8_dau_wau_stickiness",
+    oracle="""
+    WITH dau AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1
+    ), wau AS (
+      SELECT d.day, COUNT(DISTINCT e.user_id) AS wau
+      FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) d
+      JOIN events e
+        ON CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day
+    )
+    SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           CAST(dau.dau * 1000000 // wau.wau AS BIGINT) AS stickiness_ppm
+    FROM dau JOIN wau ON dau.day = wau.day
+    ORDER BY dau.day
+    """,
+    tags=["sessions", "engagement", "window"],
+)
+def sess8_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users, trailing-7-day actives, and the DAU/WAU
+    stickiness ratio in exact ppm — the engagement triple every product
+    dashboard opens with.  The WAU side is the scale decision: a naive
+    day×events range join is a broadcast-nested-loop; instead each event
+    EXPLODES into the ≤7 trailing windows it belongs to (bounded fanout)
+    and both sides become plain partial-agg shuffles on the day key.
+    The oracle states the range-join form directly — the hash match
+    proves the explode rewrite equivalent.  At 100 TB swap the exact
+    count-distinct for HLL partials (`a8_approx_distinct`'s shape); the
+    day-key layout is already right."""
+    (events,) = _t(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    dau = (events.select(day.alias("day"), "user_id")
+           .groupBy("day")
+           .agg(F.count_distinct(F.col("user_id")).alias("dau")))
+    contrib = events.select(
+        F.explode(F.sequence(day, F.date_add(day, 6))).alias("day"),
+        "user_id")
+    wau = (contrib.groupBy("day")
+           .agg(F.count_distinct(F.col("user_id")).alias("wau")))
+    return (dau.join(wau, "day")
+            .select("day", F.col("dau").cast("long").alias("dau"),
+                    F.col("wau").cast("long").alias("wau"),
+                    F.expr("CAST((dau * 1000000L) DIV wau AS BIGINT)")
+                    .alias("stickiness_ppm"))
+            .orderBy("day"))

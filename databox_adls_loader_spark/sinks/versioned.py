@@ -365,8 +365,12 @@ def prune_files(table_dir: str, version: int,
     doc = _read_manifest_doc(table_dir, version)
     all_files = doc["files"]
     stats = doc.get("stats", {})
+    # predicates name LOGICAL columns; stats are keyed by the files'
+    # physical names — translate through the version's column map
+    cmap = doc.get("column_map", {})
+    preds = [(_to_physical(cmap, c), op, v) for c, op, v in predicates]
     kept = [f for f in all_files
-            if _file_matches(stats.get(f), predicates)]
+            if _file_matches(stats.get(f), preds)]
     return kept, len(all_files)
 
 
@@ -391,6 +395,102 @@ def table_checks(table_dir: str) -> list[str]:
     return _read_manifest_doc(table_dir, cur).get("checks", [])
 
 
+def table_column_map(table_dir: str, version: int | None = None
+                     ) -> tuple[dict[str, str], list[str]]:
+    """Column-mapping metadata of a version's manifest (default latest):
+    ``({physical_name: logical_name}, [dropped physical names])``.
+    Physical names are what the parquet files store; logical names are
+    what readers and writers see.  Empty map = identity (pre-mapping
+    tables read unchanged)."""
+    v = latest_version(table_dir) if version is None else version
+    if v is None:
+        return {}, []
+    doc = _read_manifest_doc(table_dir, v)
+    return doc.get("column_map", {}), doc.get("dropped_cols", [])
+
+
+def _to_physical(cmap: dict[str, str], name: str) -> str:
+    """Logical -> physical (identity when unmapped)."""
+    for phys, logical in cmap.items():
+        if logical == name:
+            return phys
+    return name
+
+
+def _apply_column_map(df: DataFrame, cmap: dict[str, str],
+                      dropped: list[str], keep: list[str] = ()) -> DataFrame:
+    """Physical-schema frame -> logical view: dropped columns vanish,
+    renamed columns surface under their logical name.  ``keep`` names
+    ride through unchanged (the __file/__pos bookkeeping columns)."""
+    if not cmap and not dropped:
+        return df
+    cols = []
+    for c in df.columns:
+        if c in dropped and c not in keep:
+            continue
+        cols.append(F.col(c).alias(cmap.get(c, c)))
+    return df.select(*cols)
+
+
+def _logical_to_physical(df: DataFrame, cmap: dict[str, str]) -> DataFrame:
+    """Writer-side inverse: a batch arrives with LOGICAL column names
+    and must land in files using the table's physical names, so every
+    data file ever written shares one physical schema."""
+    if not cmap:
+        return df
+    back = {logical: phys for phys, logical in cmap.items()}
+    return df.select(*[F.col(c).alias(back.get(c, c)) for c in df.columns])
+
+
+def rename_column(table_dir: str, old: str, new: str) -> int:
+    """Metadata-only RENAME COLUMN: commits a new manifest whose
+    column_map surfaces the stored physical column under ``new`` — no
+    data file is read or written (the Delta/Iceberg column-mapping
+    technique; at 100 TB a rename must not be a table rewrite).
+    Readers of old versions still see ``old``; `compact_snapshot`
+    MATERIALIZES the mapping (it rewrites files with logical names and
+    commits an identity map)."""
+    cur = latest_version(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir}")
+    doc = _read_manifest_doc(table_dir, cur)
+    cmap, dropped = table_column_map(table_dir, cur)
+    phys = _to_physical(cmap, old)
+    if phys in dropped:
+        raise ValueError(f"column {old!r} was dropped")
+    phys_cols: set[str] = set(cmap)
+    for fst in (doc.get("stats") or {}).values():
+        phys_cols.update((fst.get("columns") or {}).keys())
+    logicals = {cmap.get(p, p) for p in phys_cols if p not in dropped}
+    if new in logicals - {old}:
+        raise ValueError(f"column {new!r} already exists")
+    cmap = {**cmap, phys: new}
+    _commit(table_dir, doc["files"], cur + 1, stats=doc.get("stats", {}),
+            delete_files=doc.get("delete_files", {}),
+            delete_rows=doc.get("delete_rows", {}),
+            column_map=cmap, dropped_cols=dropped)
+    return cur + 1
+
+
+def drop_column(table_dir: str, name: str) -> int:
+    """Metadata-only DROP COLUMN: the physical column stays in the
+    files (time travel still sees it) but disappears from reads and is
+    no longer expected from writers.  Same no-rewrite contract as
+    `rename_column`; compaction materializes the drop."""
+    cur = latest_version(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir}")
+    doc = _read_manifest_doc(table_dir, cur)
+    cmap, dropped = table_column_map(table_dir, cur)
+    phys = _to_physical(cmap, name)
+    cmap.pop(phys, None)
+    _commit(table_dir, doc["files"], cur + 1, stats=doc.get("stats", {}),
+            delete_files=doc.get("delete_files", {}),
+            delete_rows=doc.get("delete_rows", {}),
+            column_map=cmap, dropped_cols=sorted({*dropped, phys}))
+    return cur + 1
+
+
 def table_delete_map(table_dir: str, version: int | None = None
                      ) -> tuple[dict[str, list[str]], dict[str, int]]:
     """(data file -> its position-delete files, delete file -> row count)
@@ -409,7 +509,9 @@ def _commit(table_dir: str, files: list[str], version: int,
             bloom_cols: list[str] | None = None,
             checks: list[str] | None = None,
             delete_files: dict[str, list[str]] | None = None,
-            delete_rows: dict[str, int] | None = None) -> None:
+            delete_rows: dict[str, int] | None = None,
+            column_map: dict[str, str] | None = None,
+            dropped_cols: list[str] | None = None) -> None:
     """Write manifest v<version> then atomically swap the pointer.
 
     The streaming batch-id ledger is carried forward into EVERY manifest
@@ -444,6 +546,10 @@ def _commit(table_dir: str, files: list[str], version: int,
             refd = {d for ds in dmap.values() for d in ds}
             doc["delete_rows"] = {d: int((delete_rows or {}).get(d, 0))
                                   for d in sorted(refd)}
+    if column_map:
+        doc["column_map"] = {p: column_map[p] for p in sorted(column_map)}
+    if dropped_cols:
+        doc["dropped_cols"] = sorted(dropped_cols)
     if inherited:
         doc["batch_ids"] = sorted(inherited)
     # exclusive create = an atomic conditional put: if another writer
@@ -665,7 +771,10 @@ def delete_where(spark: SparkSession, table_dir: str, condition: str,
     matched = (spark.read.option("mergeSchema", "true")
                .parquet(*sorted(scan_files))
                .withColumn("__file", F.col("_metadata.file_path"))
-               .withColumn("__pos", F.col("_metadata.row_index"))
+               .withColumn("__pos", F.col("_metadata.row_index")))
+    # ``condition`` names LOGICAL columns; the raw scan is physical
+    matched = (_apply_column_map(matched, *table_column_map(table_dir, cur),
+                                 keep=["__file", "__pos"])
                .filter(F.expr(condition))
                .select("__file", "__pos"))
     prior = sorted({d for f in scan_files for d in dmap.get(f, [])})
@@ -720,7 +829,9 @@ def delete_where(spark: SparkSession, table_dir: str, condition: str,
             new_drows[d] = canon.get(st.canon(d), 0)
     doc = _read_manifest_doc(table_dir, cur)
     _commit(table_dir, all_files, cur + 1, stats=doc.get("stats", {}),
-            delete_files=new_dmap, delete_rows=new_drows)
+            delete_files=new_dmap, delete_rows=new_drows,
+            column_map=doc.get("column_map", {}),
+            dropped_cols=doc.get("dropped_cols", []))
     return cur + 1, n_deleted
 
 
@@ -749,10 +860,18 @@ def write_snapshot(df: DataFrame, table_dir: str,
         checks = table_checks(table_dir)
     if checks:
         check_constraints(df, checks)
+    # column mapping: the batch arrives with LOGICAL names; files store
+    # PHYSICAL names (append only — a logical overwrite replaces the
+    # table's contents AND resets the mapping to identity)
+    cmap0, dropped0 = ({}, []) if mode == "overwrite" \
+        else table_column_map(table_dir)
+    df = _logical_to_physical(df, cmap0)
     new_files = _new_data_files(
         df, table_dir, f"b{(latest_version(table_dir) or 0) + 1:05d}")
-    new_stats = _stats_for(table_dir, new_files, bloom_cols,
-                           spark=df.sparkSession)
+    new_stats = _stats_for(
+        table_dir, new_files,
+        [_to_physical(cmap0, b) for b in (bloom_cols or [])],
+        spark=df.sparkSession)
     # optimistic-concurrency loop: data files are written ONCE above;
     # only the manifest commit rebases onto whatever latest a concurrent
     # writer just published.  Both modes are rebase-safe — append unions
@@ -763,18 +882,22 @@ def write_snapshot(df: DataFrame, table_dir: str,
         new_version = 1 if cur is None else cur + 1
         dmap: dict[str, list[str]] = {}
         drows: dict[str, int] = {}
+        cmap: dict[str, str] = {}
+        dropped: list[str] = []
         if mode == "append" and cur is not None:
             files = _read_manifest(table_dir, cur) + new_files
             stats = {**_inherited_stats(table_dir, cur), **new_stats}
             # carried files keep their merge-on-read delete state; the
             # appended files are delete-free by construction
             dmap, drows = table_delete_map(table_dir, cur)
+            cmap, dropped = table_column_map(table_dir, cur)
         else:
             files, stats = new_files, new_stats
         try:
             _commit(table_dir, files, new_version, stats=stats,
                     bloom_cols=bloom_cols, checks=checks,
-                    delete_files=dmap, delete_rows=drows)
+                    delete_files=dmap, delete_rows=drows,
+                    column_map=cmap, dropped_cols=dropped)
             return new_version
         except ConcurrentCommitError:
             continue
@@ -822,6 +945,9 @@ def read_version(spark: SparkSession, table_dir: str,
     else:
         dmap, _ = table_delete_map(table_dir, v)
         df = _read_files(spark, files, dmap)
+    # surface the version's LOGICAL schema (renames applied, dropped
+    # columns hidden) before residual predicates, which use logical names
+    df = _apply_column_map(df, *table_column_map(table_dir, v))
     if predicates:
         ops = {"=": "__eq__", "<": "__lt__", "<=": "__le__",
                ">": "__gt__", ">=": "__ge__"}
@@ -899,11 +1025,14 @@ def compact_small_files(spark: SparkSession, table_dir: str,
     st = _st(table_dir, spark)
     files = _read_manifest(table_dir, cur)
     dmap, drows = table_delete_map(table_dir, cur)
+    cmap, dropped = table_column_map(table_dir, cur)
     sizes = {f: st.file_size(f) for f in files}
     small = sorted(f for f in files if sizes[f] < target_bytes)
     if len(small) < min_files:
         return None
     keep = [f for f in files if f not in set(small)]
+    # rewrite stays in PHYSICAL schema (the kept files' schema) — the
+    # logical view is purely manifest metadata, carried forward below
     df = _read_files(spark, small, dmap)
     n_out = max(1, sum(sizes[f] for f in small) // max(target_bytes, 1))
     new_version = cur + 1
@@ -911,12 +1040,15 @@ def compact_small_files(spark: SparkSession, table_dir: str,
                                 f"b{new_version:05d}")
     inherited = _inherited_stats(table_dir, cur)
     stats = {**{f: inherited[f] for f in keep if f in inherited},
-             **_stats_for(table_dir, new_files, table_bloom_cols(table_dir),
+             **_stats_for(table_dir, new_files,
+                          [_to_physical(cmap, b)
+                           for b in table_bloom_cols(table_dir)],
                           spark=spark)}
     _commit(table_dir, keep + new_files, new_version, stats=stats,
             delete_files={f: ds for f, ds in dmap.items()
                           if f in set(keep)},
-            delete_rows=drows)
+            delete_rows=drows,
+            column_map=cmap, dropped_cols=dropped)
     return new_version
 
 
@@ -986,13 +1118,17 @@ def merge_into_snapshot(spark: SparkSession, table_dir: str,
         merged = merge_upsert(read_version(spark, table_dir), updates, key)
         return write_snapshot(merged, table_dir, mode="overwrite")
     files = _read_manifest(table_dir, cur)
+    cmap, dropped = table_column_map(table_dir, cur)
     # probe the RAW manifest files (not read_version: its delete-vector
     # anti join makes the plan multi-source, which input_file_name-style
     # probing rejects; `_metadata` is per-relation).  Deleted rows may
-    # over-touch a file — harmless: the rewrite applies deletes.
+    # over-touch a file — harmless: the rewrite applies deletes.  The
+    # raw scan sees PHYSICAL names; ``key`` is logical.
+    key_phys = _to_physical(cmap, key)
     probe = (spark.read.option("mergeSchema", "true")
              .parquet(*sorted(files))
-             .select(key, F.col("_metadata.file_path").alias("__f"))
+             .select(F.col(key_phys).alias(key),
+                     F.col("_metadata.file_path").alias("__f"))
              .join(updates.select(key).distinct(), key)
              .select("__f").distinct().collect())
     touched_paths = {st.uri_canon(r["__f"]) for r in probe}
@@ -1010,9 +1146,11 @@ def merge_into_snapshot(spark: SparkSession, table_dir: str,
     untouched = [f for f in files if f not in touched]
     dmap, drows = table_delete_map(table_dir, cur)
     # touched files are rewritten with their position deletes APPLIED
-    # (materialized); untouched files carry their delete state forward
-    old_part = (_read_files(spark, sorted(touched), dmap)
-                if touched else None)
+    # (materialized) and renames surfaced; untouched files carry both
+    # their delete state and their physical schema forward
+    old_part = (_apply_column_map(
+        _read_files(spark, sorted(touched), dmap), cmap, dropped)
+        if touched else None)
     merged = (merge_upsert(old_part, updates, key) if old_part is not None
               else updates)
     checks = table_checks(table_dir)
@@ -1022,15 +1160,19 @@ def merge_into_snapshot(spark: SparkSession, table_dir: str,
         # fallback above inherits them through write_snapshot)
         check_constraints(merged, checks)
     new_version = cur + 1
-    new_files = _new_data_files(merged, table_dir, f"b{new_version:05d}")
+    new_files = _new_data_files(_logical_to_physical(merged, cmap),
+                                table_dir, f"b{new_version:05d}")
     inherited = _inherited_stats(table_dir, cur)
     stats = {**{f: inherited[f] for f in untouched if f in inherited},
-             **_stats_for(table_dir, new_files, table_bloom_cols(table_dir),
+             **_stats_for(table_dir, new_files,
+                          [_to_physical(cmap, b)
+                           for b in table_bloom_cols(table_dir)],
                           spark=spark)}
     _commit(table_dir, untouched + new_files, new_version, stats=stats,
             delete_files={f: ds for f, ds in dmap.items() if f in
                           set(untouched)},
-            delete_rows=drows)
+            delete_rows=drows,
+            column_map=cmap, dropped_cols=dropped)
     return new_version
 
 
@@ -1073,11 +1215,16 @@ def commit_stream_batch(batch_df: DataFrame, batch_id: int,
         # a violating batch fails the stream (visibly) instead of
         # poisoning the table
         check_constraints(batch_df, checks)
+    cmap0, _dropped0 = ({}, []) if mode == "overwrite" \
+        else table_column_map(table_dir)
+    batch_df = _logical_to_physical(batch_df, cmap0)
     new_files = _new_data_files(
         batch_df, table_dir,
         f"b{(latest_version(table_dir) or 0) + 1:05d}")
-    new_stats = _stats_for(table_dir, new_files, bloom_cols,
-                           spark=batch_df.sparkSession)
+    new_stats = _stats_for(
+        table_dir, new_files,
+        [_to_physical(cmap0, b) for b in (bloom_cols or [])],
+        spark=batch_df.sparkSession)
     while True:                       # rebase and retry
         if batch_id in committed_batch_ids(table_dir):
             return False              # re-check after losing a race
@@ -1086,15 +1233,19 @@ def commit_stream_batch(batch_df: DataFrame, batch_id: int,
         files, stats = new_files, dict(new_stats)
         dmap: dict[str, list[str]] = {}
         drows: dict[str, int] = {}
+        cmap: dict[str, str] = {}
+        dropped: list[str] = []
         if mode == "append" and cur is not None:
             files = _read_manifest(table_dir, cur) + files
             stats = {**_inherited_stats(table_dir, cur), **new_stats}
             dmap, drows = table_delete_map(table_dir, cur)
+            cmap, dropped = table_column_map(table_dir, cur)
         try:
             _commit(table_dir, files, new_version,
                     batch_ids={int(batch_id)}, stats=stats,
                     bloom_cols=bloom_cols or None,
-                    delete_files=dmap, delete_rows=drows)
+                    delete_files=dmap, delete_rows=drows,
+                    column_map=cmap, dropped_cols=dropped)
             return True
         except ConcurrentCommitError:
             continue
@@ -1186,5 +1337,7 @@ def rollback(table_dir: str, to_version: int) -> int:
     _commit(table_dir, doc["files"], new_version,
             stats=doc.get("stats", {}),
             delete_files=doc.get("delete_files", {}),
-            delete_rows=doc.get("delete_rows", {}))
+            delete_rows=doc.get("delete_rows", {}),
+            column_map=doc.get("column_map", {}),
+            dropped_cols=doc.get("dropped_cols", []))
     return new_version

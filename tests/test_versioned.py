@@ -873,3 +873,116 @@ class TestIncrementalCompaction:
         assert set(dmap) == {big_file}            # big keeps its DV
         rows = {r["k"] for r in V.read_version(spark, t, v).collect()}
         assert -2 not in rows and 5 not in rows and -1 in rows and -3 in rows
+
+
+class TestColumnMapping:
+    """Metadata-only RENAME/DROP COLUMN (column mapping): no data file
+    is rewritten; readers see the logical schema, writers keep landing
+    files in the physical schema; compaction materializes."""
+
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "k long, v long")
+
+    def test_rename_is_metadata_only(self, spark, troot):
+        t = troot + "/tbl"
+        V.write_snapshot(self._mk(spark, [(1, 10), (2, 20)]), t)
+        before = V._read_manifest(t, 1)
+        v = V.rename_column(t, "v", "amount")
+        assert V._read_manifest(t, v) == before      # no rewrite
+        got = V.read_version(spark, t)
+        assert got.columns == ["k", "amount"]
+        assert {tuple(r) for r in got.collect()} == {(1, 10), (2, 20)}
+        # time travel: the pre-rename version still reads as 'v'
+        assert V.read_version(spark, t, 1).columns == ["k", "v"]
+
+    def test_append_after_rename_lands_physical(self, spark, troot):
+        t = troot + "/tbl"
+        V.write_snapshot(self._mk(spark, [(1, 10)]), t)
+        V.rename_column(t, "v", "amount")
+        batch = spark.createDataFrame([(2, 20)], "k long, amount long")
+        V.write_snapshot(batch, t)                   # logical-named batch
+        got = V.read_version(spark, t)
+        assert got.columns == ["k", "amount"]
+        assert {tuple(r) for r in got.collect()} == {(1, 10), (2, 20)}
+        # the new file's parquet schema uses the PHYSICAL name, so all
+        # files stay mergeable
+        import pyarrow.parquet as pq
+        newest = sorted(V._read_manifest(t, V.latest_version(t)))
+        names = set()
+        for f in newest:
+            names.update(pq.ParquetFile(f.removeprefix("file:")).schema_arrow.names)
+        assert names == {"k", "v"}
+
+    def test_drop_column_hides_without_rewrite(self, spark, troot):
+        t = troot + "/tbl"
+        V.write_snapshot(self._mk(spark, [(1, 10)]), t)
+        before = V._read_manifest(t, 1)
+        v = V.drop_column(t, "v")
+        assert V._read_manifest(t, v) == before
+        assert V.read_version(spark, t).columns == ["k"]
+        assert V.read_version(spark, t, 1).columns == ["k", "v"]
+
+    def test_rename_then_skipping_predicates_use_logical(self, spark, troot):
+        t = troot + "/tbl"
+        df = self._mk(spark, [(i, i * 10) for i in range(100)])
+        V.write_snapshot(df, t)
+        V.compact_snapshot(spark, t, n_files=4, cluster_by=["k"])
+        V.rename_column(t, "k", "key")
+        kept, total = V.prune_files(t, V.latest_version(t),
+                                    [("key", "<", 10)])
+        assert len(kept) < total                      # pruning still works
+        got = V.read_version(spark, t, predicates=[("key", "<", 10)])
+        assert {r["key"] for r in got.collect()} == set(range(10))
+
+    def test_scoped_merge_on_renamed_key(self, spark, troot):
+        t = troot + "/tbl"
+        V.write_snapshot(self._mk(spark, [(1, 10), (2, 20)]).coalesce(1), t)
+        V.write_snapshot(self._mk(spark, [(3, 30)]).coalesce(1), t)
+        V.rename_column(t, "k", "key")
+        ups = spark.createDataFrame([(1, 99), (4, 44)],
+                                    "key long, v long")
+        v = V.merge_into_snapshot(spark, t, ups, key="key")
+        got = {r["key"]: r["v"] for r in
+               V.read_version(spark, t, v).collect()}
+        assert got == {1: 99, 2: 20, 3: 30, 4: 44}
+
+    def test_delete_where_uses_logical_names(self, spark, troot):
+        t = troot + "/tbl"
+        V.write_snapshot(self._mk(spark, [(1, 10), (2, 20)]), t)
+        V.rename_column(t, "v", "amount")
+        _, n = V.delete_where(spark, t, "amount = 20")
+        assert n == 1
+        assert {tuple(r) for r in V.read_version(spark, t).collect()} == \
+            {(1, 10)}
+
+    def test_compaction_materializes_mapping(self, spark, troot):
+        t = troot + "/tbl"
+        V.write_snapshot(self._mk(spark, [(1, 10), (2, 20)]), t)
+        V.rename_column(t, "v", "amount")
+        V.drop_column(t, "k")
+        v = V.compact_snapshot(spark, t, n_files=1)
+        cmap, dropped = V.table_column_map(t, v)
+        assert cmap == {} and dropped == []           # identity again
+        got = V.read_version(spark, t, v)
+        assert got.columns == ["amount"]
+        assert {tuple(r) for r in got.collect()} == {(10,), (20,)}
+
+    def test_rename_conflicts_rejected(self, spark, troot):
+        t = troot + "/tbl"
+        V.write_snapshot(self._mk(spark, [(1, 10)]), t)
+        with pytest.raises(ValueError, match="already exists"):
+            V.rename_column(t, "v", "k")
+        V.drop_column(t, "v")
+        with pytest.raises(ValueError, match="dropped"):
+            V.rename_column(t, "v", "w")
+
+    def test_rename_survives_rollback_and_stream(self, spark, troot):
+        t = troot + "/tbl"
+        V.write_snapshot(self._mk(spark, [(1, 10)]), t)
+        v2 = V.rename_column(t, "v", "amount")
+        batch = spark.createDataFrame([(2, 22)], "k long, amount long")
+        assert V.commit_stream_batch(batch, 0, t)
+        assert {tuple(r) for r in V.read_version(spark, t).collect()} == \
+            {(1, 10), (2, 22)}
+        v4 = V.rollback(t, v2)
+        assert V.read_version(spark, t, v4).columns == ["k", "amount"]
