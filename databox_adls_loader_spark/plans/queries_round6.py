@@ -2204,9 +2204,11 @@ def prof_tv_drift_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.sum(split.cast("long")).alias("ca"),
                 F.sum((~split).cast("long")).alias("cb")))
     dec = "decimal(38,0)"
-    return (per.agg(F.sum("ca").cast(dec).alias("__na"),
-                    F.sum("cb").cast(dec).alias("__nb"))
-            .join(F.broadcast(per))
+    tot = per.agg(F.sum("ca").cast(dec).alias("__na"),
+                  F.sum("cb").cast(dec).alias("__nb"))
+    # 1-row totals frame broadcasts onto the per-category rows (the
+    # repo's contract-frame pattern), never the other way around
+    return (per.join(F.broadcast(tot))
             .groupBy("__na", "__nb")
             .agg(F.sum(F.abs(F.col("ca").cast(dec) * F.col("__nb") -
                              F.col("cb").cast(dec) * F.col("__na")))
@@ -2269,3 +2271,78 @@ def sess8_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("CAST((dau * 1000000L) DIV wau AS BIGINT)")
                     .alias("stickiness_ppm"))
             .orderBy("day"))
+
+
+# ---------------------------------------------------------------------------
+# metadata-only rename/drop under the value-hash gate
+# ---------------------------------------------------------------------------
+
+_RENAME_NATION: dict = {}
+
+
+def _drop_rename_nation(keys=None) -> None:
+    import shutil
+
+    for k in list(_RENAME_NATION) if keys is None else list(keys):
+        shutil.rmtree(_RENAME_NATION.pop(k)[0], ignore_errors=True)
+
+
+def _renamed_nation(spark: SparkSession, sf_dir: str) -> tuple[str, bool]:
+    """Once per (session, sf_dir): snapshot `nation` into a versioned
+    table, RENAME n_name -> nation_name and DROP n_comment — both
+    metadata-only commits — returning (table_dir, files_untouched)."""
+    import atexit
+    import tempfile
+
+    from ..sinks import versioned as V
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _RENAME_NATION.get(key)
+    if hit is None:
+        _drop_rename_nation([k for k in _RENAME_NATION if k[0] != key[0]])
+        if not _RENAME_NATION:
+            atexit.register(_drop_rename_nation)
+        t = tempfile.mkdtemp(prefix="spark_graft_vnation_")
+        (nation,) = _t(spark, sf_dir, "nation")
+        V.write_snapshot(nation, t)
+        files0 = V._read_manifest(t, 1)
+        V.rename_column(t, "n_name", "nation_name")
+        v = V.drop_column(t, "n_comment")
+        untouched = V._read_manifest(t, v) == files0
+        hit = (t, untouched)
+        _RENAME_NATION[key] = hit
+    return hit
+
+
+@register(
+    "scale_rename_drop_read",
+    oracle="""
+    SELECT n_regionkey,
+           COUNT(*) AS n,
+           MIN(n_name) AS first_nation,
+           TRUE AS meta_only
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    tags=["scale", "versioned", "schema-evolution"],
+)
+def scale_rename_drop_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-mapping schema evolution under the value-hash gate:
+    `nation` is committed to a versioned table, n_name is RENAMED to
+    nation_name and n_comment DROPPED — both pure manifest commits
+    (meta_only asserts the data-file list is byte-identical across both)
+    — then the read must surface the logical schema with values exactly
+    matching plain SQL over the raw table.  The no-rewrite rename a
+    100 TB table requires (`sinks/versioned.rename_column`)."""
+    from ..sinks import versioned as V
+
+    t, untouched = _renamed_nation(spark, sf_dir)
+    df = V.read_version(spark, t)
+    assert "nation_name" in df.columns and "n_comment" not in df.columns
+    return (df.groupBy("n_regionkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("nation_name").alias("first_nation"))
+            .withColumn("meta_only", F.lit(bool(untouched)))
+            .select(F.col("n_regionkey"), "n",
+                    F.col("first_nation").alias("first_nation"),
+                    "meta_only")
+            .orderBy("n_regionkey"))

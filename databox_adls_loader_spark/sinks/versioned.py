@@ -189,6 +189,33 @@ def _read_manifest(table_dir: str, version: int) -> list[str]:
     return _read_manifest_doc(table_dir, version)["files"]
 
 
+def version_at_timestamp(table_dir: str, ts) -> int:
+    """TIMESTAMP AS OF resolution: the newest retained version committed
+    at or before ``ts`` (a `datetime` or ISO-8601 string; naive values
+    are taken as UTC).  Commit timestamps are manifest metadata
+    (`committed_at`, recorded by every commit path); versions predating
+    the field sort as oldest.  Raises when every retained commit is
+    after ``ts`` — the caller asked for a state vacuum may have
+    dropped."""
+    if isinstance(ts, str):
+        ts = datetime.datetime.fromisoformat(ts)
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=datetime.timezone.utc)
+    best = None
+    epoch = datetime.datetime.min.replace(tzinfo=datetime.timezone.utc)
+    for v in versions(table_dir):
+        raw = _read_manifest_doc(table_dir, v).get("committed_at")
+        at = datetime.datetime.fromisoformat(raw) if raw else epoch
+        if at.tzinfo is None:
+            at = at.replace(tzinfo=datetime.timezone.utc)
+        if at <= ts:
+            best = v
+    if best is None:
+        raise FileNotFoundError(
+            f"no retained version of {table_dir} at or before {ts}")
+    return best
+
+
 def _read_manifest_doc(table_dir: str, version: int) -> dict:
     st = _st(table_dir)
     return json.loads(st.read_text(_manifest_path(st, table_dir, version)))
@@ -524,7 +551,9 @@ def _commit(table_dir: str, files: list[str], version: int,
     if batch_ids:
         inherited |= {int(b) for b in batch_ids}
     st.mkdirs(_mdir(st, table_dir))
-    doc = {"version": version, "files": sorted(files)}
+    doc = {"version": version, "files": sorted(files),
+           "committed_at": datetime.datetime.now(
+               datetime.timezone.utc).isoformat()}
     inherited_bloom = bloom_cols if bloom_cols is not None \
         else table_bloom_cols(table_dir)
     if inherited_bloom:
@@ -905,7 +934,7 @@ def write_snapshot(df: DataFrame, table_dir: str,
 
 def read_version(spark: SparkSession, table_dir: str,
                  version: int | None = None,
-                 predicates=None) -> DataFrame:
+                 predicates=None, as_of=None) -> DataFrame:
     """Read a pinned snapshot (default: latest).  The returned plan lists
     exactly the manifest's files — a concurrent commit or compaction
     cannot change what this reader sees.
@@ -924,7 +953,15 @@ def read_version(spark: SparkSession, table_dir: str,
     cluster_by=...)` / ``zorder_by=`` to make the bounds tight — this
     file-level skip composes with parquet row-group pushdown and is the
     manifest-level pruning that keeps a 100 TB table's point/range reads
-    proportional to the touched key range, not the table size."""
+    proportional to the touched key range, not the table size.
+
+    ``as_of`` — TIMESTAMP AS OF: a datetime/ISO string resolved to the
+    newest version committed at or before it (`version_at_timestamp`);
+    mutually exclusive with ``version``."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of, not both")
+        version = version_at_timestamp(table_dir, as_of)
     v = latest_version(table_dir) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshots in {table_dir}")

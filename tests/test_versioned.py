@@ -986,3 +986,47 @@ class TestColumnMapping:
             {(1, 10), (2, 22)}
         v4 = V.rollback(t, v2)
         assert V.read_version(spark, t, v4).columns == ["k", "amount"]
+
+
+class TestTimestampTimeTravel:
+    """TIMESTAMP AS OF: version_at_timestamp + read_version(as_of=...)."""
+
+    def test_resolves_to_newest_at_or_before(self, spark, tmp_path):
+        import json
+
+        t = str(tmp_path / "t")
+        V.write_snapshot(spark.createDataFrame([(1,)], "k long"), t)
+        V.write_snapshot(spark.createDataFrame([(2,)], "k long"), t)
+        # pin deterministic commit times (test controls the clock)
+        st = storage_for(t, spark)
+        for v, at in [(1, "2024-01-01T00:00:00+00:00"),
+                      (2, "2024-06-01T00:00:00+00:00")]:
+            p = V._manifest_path(st, t, v)
+            doc = json.loads(st.read_text(p))
+            doc["committed_at"] = at
+            st.delete(p)
+            st.create_exclusive(p, json.dumps(doc))
+        assert V.version_at_timestamp(t, "2024-03-01") == 1
+        assert V.version_at_timestamp(t, "2024-06-01T00:00:00+00:00") == 2
+        assert V.version_at_timestamp(t, "2030-01-01") == 2
+        with pytest.raises(FileNotFoundError):
+            V.version_at_timestamp(t, "2020-01-01")
+        got = {r["k"] for r in
+               V.read_version(spark, t, as_of="2024-03-01").collect()}
+        assert got == {1}
+
+    def test_version_and_as_of_mutually_exclusive(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        V.write_snapshot(spark.createDataFrame([(1,)], "k long"), t)
+        with pytest.raises(ValueError):
+            V.read_version(spark, t, version=1, as_of="2030-01-01")
+
+    def test_every_commit_path_records_timestamp(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        V.write_snapshot(spark.createDataFrame([(1, 2)], "k long, v long"), t)
+        V.merge_into_snapshot(
+            spark, t, spark.createDataFrame([(1, 9)], "k long, v long"), "k")
+        V.compact_snapshot(spark, t, n_files=1)
+        V.rename_column(t, "v", "w")
+        for v in V.versions(t):
+            assert V._read_manifest_doc(t, v).get("committed_at")

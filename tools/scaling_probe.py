@@ -51,6 +51,10 @@ HEADLINERS = [
     "retr_eval_bm25",            # BM25 rank + k-row metric windows
     "er_part_name_pairs",        # blocked bounded-levenshtein verify
     "mix_priority_sample",       # map-side rank key + TakeOrdered
+    "sess8_dau_wau_stickiness",  # bounded-fanout explode + day-key aggs
+    "sess7_timed_funnel",        # chained user-key joins, gap-bounded
+    "scale_dv_delete_read",      # merge-on-read versioned read (DV anti join)
+    "mv_sql_route_monthly",      # SQL-parsed MV route (MV-sized re-agg)
 ]
 
 TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
@@ -70,6 +74,10 @@ TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
     "retr_eval_bm25": "documents",
     "er_part_name_pairs": "part",
     "mix_priority_sample": "documents",
+    "sess8_dau_wau_stickiness": "events",
+    "sess7_timed_funnel": "events",
+    "scale_dv_delete_read": "orders",
+    "mv_sql_route_monthly": "orders",
 }
 
 # the heavy shapes probed one decade PAST the bench SF, on the locally
