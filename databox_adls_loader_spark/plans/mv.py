@@ -378,8 +378,9 @@ def parse_select(query: str) -> dict | None:
     """Parse SQL text into the rewriter's canonical aggregate request,
     or None when the statement is outside the supported shape (single
     SELECT over one base table, optional dim-literal WHERE, GROUP BY
-    exactly the selected dims, optional ORDER BY output columns /
-    LIMIT).  Parsing is DuckDB's own parser via `json_serialize_sql` —
+    exactly the selected dims, optional HAVING over the selected
+    measures, optional ORDER BY output columns / LIMIT; measures are
+    sum/min/max/count(*)/avg with stable aliases).  Parsing is DuckDB's own parser via `json_serialize_sql` —
     a real SQL grammar, no regex — so the supported-shape check is
     structural, and REFUSAL (None -> caller falls back to the base
     table) is the failure mode, never a silent wrong rewrite."""
@@ -397,7 +398,7 @@ def parse_select(query: str) -> dict | None:
     n = doc["statements"][0]["node"]
     if n.get("type") != "SELECT_NODE" \
             or (n.get("cte_map") or {}).get("map") \
-            or n.get("having") or n.get("sample") or n.get("qualify") \
+            or n.get("sample") or n.get("qualify") \
             or n.get("aggregate_handling") != "STANDARD_HANDLING":
         return None
     ft = n.get("from_table") or {}
@@ -427,12 +428,15 @@ def parse_select(query: str) -> dict | None:
             if fn == "count_star" and not ch and e.get("alias"):
                 measures.append(("count", "*", e["alias"]))
                 continue
-            if fn in ("sum", "min", "max") and len(ch) == 1 \
+            if fn in ("sum", "min", "max", "avg") and len(ch) == 1 \
                     and _colref(ch[0]) is not None and e.get("alias"):
                 measures.append((fn, _colref(ch[0]), e["alias"]))
                 continue
         return None
     if not measures or not group_by:
+        return None
+    having = _parse_having(n.get("having"), measures)
+    if having is None:
         return None
     # GROUP BY must name exactly the selected dims (by source column,
     # output alias, 1-based position, or the repeated derivation)
@@ -482,8 +486,64 @@ def parse_select(query: str) -> dict | None:
         else:
             return None
     return {"table": ft["table_name"], "group_by": group_by,
-            "measures": measures, "where": where, "order": order,
-            "limit": limit}
+            "measures": measures, "where": where, "having": having,
+            "order": order, "limit": limit}
+
+
+def _agg_key(node: dict) -> tuple[str, str] | None:
+    """(agg, src_col) of an aggregate-function AST node, or None."""
+    if node.get("type") != "FUNCTION" or node.get("distinct") \
+            or node.get("filter"):
+        return None
+    fn, ch = node.get("function_name"), node.get("children", [])
+    if fn == "count_star" and not ch:
+        return ("count", "*")
+    if fn in ("sum", "min", "max", "avg") and len(ch) == 1 \
+            and _colref(ch[0]) is not None:
+        return (fn, _colref(ch[0]))
+    return None
+
+
+def _parse_having(node: dict | None,
+                  measures: list) -> list[tuple[str, str, object]] | None:
+    """HAVING as [(measure_out_name, spark_op, literal)] — supports AND
+    conjunctions of `aggregate <cmp> literal` where the aggregate is one
+    of the SELECTed measures (repeated function form or its output
+    alias).  Returns [] for no HAVING, None for anything unproven."""
+    if node is None:
+        return []
+    t = node.get("type")
+    if t == "CONJUNCTION_AND":
+        out: list = []
+        for ch in node.get("children", []):
+            sub = _parse_having(ch, measures)
+            if sub is None:
+                return None
+            out.extend(sub)
+        return out
+    if t not in _CMP_OPS:
+        return None
+    by_key = {(agg, src): out for agg, src, out in measures}
+    outs = {out for _, _, out in measures}
+
+    def _measure_out(nd):
+        k = _agg_key(nd)
+        if k is not None:
+            return by_key.get(k)
+        c = _colref(nd)
+        return c if c in outs else None
+
+    left, right = node.get("left", {}), node.get("right", {})
+    out, (val, ok) = _measure_out(left), _const_value(right)
+    if out is not None and ok:
+        return [(out, _CMP_OPS[t], val)]
+    out, (val, ok) = _measure_out(right), _const_value(left)
+    if out is not None and ok:
+        flip = {"__lt__": "__gt__", "__le__": "__ge__",
+                "__gt__": "__lt__", "__ge__": "__le__"}
+        op = _CMP_OPS[t]
+        return [(out, flip.get(op, op), val)]
+    return None
 
 
 def sql_rewrite(spark: SparkSession, query: str, catalog: list[MVSpec],
@@ -518,24 +578,40 @@ def sql_rewrite(spark: SparkSession, query: str, catalog: list[MVSpec],
                 continue
             src_of = {(agg, src): alias for (agg, alias), src in
                       zip(mv.measures, mv.measure_sources)}
-            stored_measures = []
+            stored_measures, avg_map, fits = [], [], True
             for agg, base_src, out in plan["measures"]:
+                if agg == "avg":
+                    # AVG synthesis: exact only as stored-sum over
+                    # stored-rowcount — both partials must exist (one
+                    # final division; averaging per-group averages
+                    # would be wrong under rollup)
+                    num = src_of.get(("sum", base_src))
+                    den = src_of.get(("count", "*"))
+                    if num is None or den is None:
+                        fits = False
+                        break
+                    stored_measures += [("sum", num, f"__avgn_{out}"),
+                                        ("count", den, f"__avgd_{out}")]
+                    avg_map.append((out, f"__avgn_{out}", f"__avgd_{out}"))
+                    continue
                 alias = src_of.get((agg, base_src))
                 if alias is None:
+                    fits = False
                     break
                 stored_measures.append((agg, alias, out))
-            else:
-                # WHERE may only touch stored IDENTITY dims: each view
-                # row then belongs to exactly one predicate-decided
-                # group, so filtering pre-re-aggregation ≡ filtering
-                # the base rows
-                wcols = {c for c, _, _ in plan["where"]}
-                if wcols <= set(mv.dims) and \
-                        covers(mv, plan["group_by"], stored_measures):
-                    cands.append((mv, stored_measures))
+            if not fits:
+                continue
+            # WHERE may only touch stored IDENTITY dims: each view
+            # row then belongs to exactly one predicate-decided
+            # group, so filtering pre-re-aggregation ≡ filtering
+            # the base rows
+            wcols = {c for c, _, _ in plan["where"]}
+            if wcols <= set(mv.dims) and \
+                    covers(mv, plan["group_by"], stored_measures):
+                cands.append((mv, stored_measures, avg_map))
         if cands:
-            used, stored_measures = min(cands,
-                                        key=lambda p: p[0].rows_hint)
+            used, stored_measures, avg_map = min(
+                cands, key=lambda p: p[0].rows_hint)
     if used is None:
         run = fallback if fallback is not None else \
             (lambda q: spark.sql(q))
@@ -544,6 +620,15 @@ def sql_rewrite(spark: SparkSession, query: str, catalog: list[MVSpec],
     for col, op, val in plan["where"]:
         df = df.filter(getattr(F.col(col), op)(F.lit(val)))
     out = rewrite_aggregate(df, used, plan["group_by"], stored_measures)
+    for o, num, den in avg_map:
+        out = out.withColumn(o, F.col(num) / F.col(den))
+    # surface exactly the SELECT list, in SELECT order (drops the avg
+    # synthesis temporaries)
+    out = out.select(*[_parse_group(g)[0] for g in plan["group_by"]],
+                     *[m[2] for m in plan["measures"]])
+    # HAVING filters groups before ORDER BY / LIMIT, SQL semantics
+    for col, op, val in plan["having"]:
+        out = out.filter(getattr(F.col(col), op)(F.lit(val)))
     if plan["order"]:
         out = out.orderBy(*[F.col(c).asc() if asc else F.col(c).desc()
                             for c, asc in plan["order"]])

@@ -373,3 +373,59 @@ class TestSQLRewrite:
              "GROUP BY n_name")   # sum of a DIFFERENT base column
         _, used = M.sql_rewrite(spark, q, [spec])
         assert used is None
+
+
+class TestSQLRewriteAvgHaving:
+    """AVG synthesis (stored-sum / stored-count) and HAVING pushdown in
+    the SQL router."""
+
+    _mv = TestSQLRewrite._mv
+    _base = TestSQLRewrite._base
+
+    def test_avg_routed_exact(self, spark, tmp_path):
+        base, spec = self._mv(spark, tmp_path)
+        base.createOrReplaceTempView("sales")
+        q = ("SELECT n_name, avg(price_cents) AS apc FROM sales "
+             "GROUP BY n_name ORDER BY n_name")
+        df, used = M.sql_rewrite(spark, q, [spec])
+        assert used == "daily"
+        expect = {(r["n_name"], r["apc"])
+                  for r in spark.sql(q).collect()}
+        assert {tuple(r) for r in df.collect()} == expect
+
+    def test_avg_without_count_partial_falls_back(self, spark, tmp_path):
+        base, spec = self._mv(spark, tmp_path)
+        base.createOrReplaceTempView("sales")
+        import dataclasses
+        no_count = dataclasses.replace(
+            spec, measures=(("sum", "rev_cents"),),
+            measure_sources=("price_cents",))
+        q = ("SELECT n_name, avg(price_cents) AS apc FROM sales "
+             "GROUP BY n_name")
+        _, used = M.sql_rewrite(spark, q, [no_count])
+        assert used is None
+
+    def test_having_filters_groups_before_limit(self, spark, tmp_path):
+        base, spec = self._mv(spark, tmp_path)
+        q = ("SELECT n_name, sum(price_cents) AS rev FROM sales "
+             "GROUP BY n_name HAVING sum(price_cents) > 500 "
+             "ORDER BY rev LIMIT 5")
+        df, used = M.sql_rewrite(spark, q, [spec])
+        assert used == "daily"
+        assert [tuple(r) for r in df.collect()] == [("B", 540)]
+
+    def test_having_by_alias(self, spark, tmp_path):
+        base, spec = self._mv(spark, tmp_path)
+        q = ("SELECT n_name, count(*) AS n FROM sales "
+             "GROUP BY n_name HAVING n >= 3")
+        df, used = M.sql_rewrite(spark, q, [spec])
+        assert used == "daily"
+        assert {tuple(r) for r in df.collect()} == {("A", 3)}
+
+    def test_having_on_unselected_measure_falls_back(self, spark, tmp_path):
+        base, spec = self._mv(spark, tmp_path)
+        base.createOrReplaceTempView("sales")
+        q = ("SELECT n_name, count(*) AS n FROM sales "
+             "GROUP BY n_name HAVING sum(price_cents) > 100")
+        _, used = M.sql_rewrite(spark, q, [spec])
+        assert used is None
