@@ -379,3 +379,82 @@ def test_stream_dedup_ingest_corpus_exactly_once(spark, tmp_path):
     got2 = {(r["doc_id"], r["text"]) for r in
             V.read_version(spark, t).select("doc_id", "text").collect()}
     assert got2 == got
+
+
+class TestVTableStreamSource:
+    """Streaming SOURCE over the versioned table (sources/vtable_stream):
+    offsets = manifest versions, batches = appended files."""
+
+    def _write(self, spark, t, rows):
+        from databox_adls_loader_spark.sinks import versioned as V
+        return V.write_snapshot(
+            spark.createDataFrame(rows, "k long, v string").coalesce(1), t)
+
+    def _run(self, spark, t, ck, sink_rows, **opts):
+        """One availableNow pass of the source into a foreachBatch
+        collector (memory sink cannot recover a checkpoint)."""
+        from databox_adls_loader_spark.sources.vtable_stream import \
+            register_vtable_stream
+
+        register_vtable_stream(spark)
+        reader = spark.readStream.format("vtable_stream").option("path", t)
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (reader.load().writeStream
+             .foreachBatch(lambda df, bid:
+                           sink_rows.extend(tuple(r) for r in df.collect()))
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return q
+
+    def test_tails_appends_exactly_once(self, spark, tmp_path):
+        t, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+        self._write(spark, t, [(1, "a")])
+        self._write(spark, t, [(2, "b")])
+        rows: list = []
+        self._run(spark, t, ck, rows)
+        assert set(rows) == {(1, "a"), (2, "b")}
+        # new append between runs: the checkpoint resumes at v2 and the
+        # second run delivers ONLY the new commit
+        self._write(spark, t, [(3, "c")])
+        rows2: list = []
+        self._run(spark, t, ck, rows2)
+        assert set(rows2) == {(3, "c")}
+
+    def test_starting_version_skips_history(self, spark, tmp_path):
+        t, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+        self._write(spark, t, [(1, "a")])
+        self._write(spark, t, [(2, "b")])
+        rows: list = []
+        self._run(spark, t, ck, rows, startingversion="1")
+        assert set(rows) == {(2, "b")}
+
+    def test_rewrite_commit_fails_append_contract(self, spark, tmp_path):
+        from pyspark.errors import StreamingQueryException
+
+        from databox_adls_loader_spark.sinks import versioned as V
+
+        t, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+        self._write(spark, t, [(1, "a")])
+        rows: list = []
+        self._run(spark, t, ck, rows)
+        V.compact_snapshot(spark, t, n_files=1)      # rewrite commit
+        self._write(spark, t, [(2, "b")])
+        with pytest.raises(StreamingQueryException,
+                           match="append-only|removed"):
+            self._run(spark, t, ck, rows)
+
+    def test_ignorechanges_survives_rewrites(self, spark, tmp_path):
+        from databox_adls_loader_spark.sinks import versioned as V
+
+        t, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+        self._write(spark, t, [(1, "a")])
+        rows: list = []
+        self._run(spark, t, ck, rows, ignorechanges="true")
+        V.compact_snapshot(spark, t, n_files=1)
+        self._write(spark, t, [(2, "b")])
+        rows2: list = []
+        self._run(spark, t, ck, rows2, ignorechanges="true")
+        # compacted file re-delivered (documented) + the new append
+        assert (2, "b") in rows2 and (1, "a") in rows2
