@@ -2346,3 +2346,124 @@ def scale_rename_drop_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("first_nation").alias("first_nation"),
                     "meta_only")
             .orderBy("n_regionkey"))
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit — frozen expectation table, no libm
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) in exact ppm, frozen (the DCG-discount-table pattern:
+# transcendentals enter as CONSTANTS, never as runtime libm calls)
+_BENFORD_PPM = [301030, 176091, 124939, 96910,
+                79181, 66947, 57992, 51153, 45757]
+
+
+@register(
+    "dq_benford_totalprice",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(LEFT(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                       1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), obs AS (
+      SELECT digit, COUNT(*) AS n_obs FROM digits GROUP BY digit
+    ), tot AS (SELECT SUM(n_obs) AS n FROM obs),
+    bf AS (
+      SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+                            (4, 96910), (5, 79181), (6, 66947),
+                            (7, 57992), (8, 51153), (9, 45757))
+             AS t(digit, benford_ppm)
+    )
+    SELECT bf.digit, CAST(COALESCE(obs.n_obs, 0) AS BIGINT) AS n_obs,
+           CAST(COALESCE(obs.n_obs, 0) * 1000000 // tot.n AS BIGINT)
+             AS obs_ppm,
+           CAST(bf.benford_ppm AS BIGINT) AS benford_ppm,
+           CAST(COALESCE(obs.n_obs, 0) * 1000000 // tot.n
+                - bf.benford_ppm AS BIGINT) AS diff_ppm
+    FROM bf LEFT JOIN obs ON bf.digit = obs.digit CROSS JOIN tot
+    ORDER BY bf.digit
+    """,
+    tags=["dq", "benford", "audit"],
+)
+def dq_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of o_totalprice — the
+    classic fabricated-numbers screen (synthetic uniform prices diverge
+    wildly from Benford; organically multiplicative quantities don't).
+    The log10 expectations are FROZEN ppm constants (the repo's
+    retrieval-eval discount-table pattern), so the no-transcendentals
+    rule holds and every row — observed counts, observed ppm, expected
+    ppm, signed divergence — is integer-exact.  One scan + a 9-row
+    digit aggregate; the totals frame broadcasts."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    bf = spark.createDataFrame(
+        [(d, p) for d, p in enumerate(_BENFORD_PPM, 1)],
+        "digit long, benford_ppm long")
+    obs = (orders.filter(F.col("o_totalprice") >= 1)
+           .select(F.substring(F.floor("o_totalprice").cast("long")
+                               .cast("string"), 1, 1)
+                   .cast("long").alias("digit"))
+           .groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs")))
+    tot = obs.agg(F.sum("n_obs").alias("__n"))
+    return (F.broadcast(bf).join(obs, "digit", "left")
+            .join(F.broadcast(tot))
+            .select("digit",
+                    F.coalesce("n_obs", F.lit(0)).cast("long")
+                    .alias("n_obs"),
+                    F.expr("CAST((COALESCE(n_obs, 0) * 1000000L) DIV __n "
+                           "AS BIGINT)").alias("obs_ppm"),
+                    F.col("benford_ppm").cast("long").alias("benford_ppm"),
+                    F.expr("CAST((COALESCE(n_obs, 0) * 1000000L) DIV __n "
+                           "- benford_ppm AS BIGINT)").alias("diff_ppm"))
+            .orderBy("digit"))
+
+
+# ---------------------------------------------------------------------------
+# cross-source exact-duplicate overlap matrix
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_cross_source_overlap",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT source, unnest(list_distinct(list_transform(
+        range(1, greatest(len(t) - 2, 1) + 1),
+        i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+      FROM toks
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_grams
+    FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+    GROUP BY a.source, b.source
+    HAVING COUNT(*) >= 5
+    ORDER BY source_a, source_b
+    """,
+    tags=["dedup", "mixing", "report"],
+)
+def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much CONTENT two sources share: the count of distinct word
+    3-grams present in both, per source pair — the cross-source leak
+    matrix that decides whether two feeds are independent or mirrors
+    (mixing weights should treat mirrored sources as one; pair it with
+    `mix_dedup_weights`).  Per-source distinct grams self-join on the
+    GRAM key, so a 100 TB corpus pairs only within identical-gram
+    buckets — never a source × source cross join — and the ≥5 floor
+    drops the stopword-trigram noise.  Same shingle definition as
+    `dedup_contamination_multibench` (one tokenizer across the dedup
+    suite)."""
+    from ..operators.dedup import word_shingles
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    sh = (docs.select("source",
+                      F.explode(word_shingles("text", 3)).alias("gram"))
+          .distinct())
+    a = sh.select(F.col("source").alias("source_a"), "gram")
+    b = sh.select(F.col("source").alias("source_b"), "gram")
+    return (a.join(b, "gram")
+            .filter(F.col("source_a") < F.col("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).alias("shared_grams"))
+            .filter(F.col("shared_grams") >= 5)
+            .orderBy("source_a", "source_b"))

@@ -50,6 +50,7 @@ ALLOWED_FLAGS: dict[str, set[str]] = {
     "prof_chi2_drift_priority": {"bnl-join"},  # 1-row (N_A, N_B) totals frame
     "dedup_lsh_recall_contract": {"bnl-join"},  # 1-row exact/hit count frames
     "mix_epoch_upsampling": {"bnl-join"},    # 1-row max-source target frame
+    "dq_benford_totalprice": {"bnl-join"},   # 1-row digit-total frame
     "prof_tv_drift_priority": {"bnl-join"},  # 1-row (N_A, N_B) totals frame
     # NOT a 1-row frame, but the same bounded-broadcast argument: the
     # non-equi prefix-sum self-join runs on the counts-of-counts
