@@ -19,6 +19,11 @@ includes the command surface, not just the dataflow.  Subcommands:
       (reference: copy-to-adls.py:117-132), operations to the effects dir.
   query NAME [--sf-dir DIR] [-n ROWS]
       run any registry query (beyond-reference analytics surface).
+  table VERB PATH ...
+      versioned-table maintenance: history, vacuum, compact, optimize
+      (incremental small-file), delete --where, rename-column,
+      drop-column, rollback, show [-v N | --as-of TS] — the operator
+      surface over sinks/versioned.py (beyond-reference lakehouse).
 
 Everything runs through the same operators/pipelines the tests and the
 oracle gate exercise; the CLI is argument parsing plus I/O glue only.
@@ -127,6 +132,57 @@ def _cmd_copy_to_adls(args) -> int:
     return 0
 
 
+def _cmd_table(args) -> int:
+    """Lakehouse maintenance verbs over a manifest-versioned table —
+    the operator surface for `sinks/versioned.py` (history, vacuum,
+    compaction, incremental OPTIMIZE, merge-on-read DELETE, rename/
+    drop column, rollback, point-in-time reads)."""
+    from .sinks import versioned as V
+
+    t = args.table_dir
+    if args.verb == "history":
+        for e in V.history(t):
+            print(json.dumps(e))
+        return 0
+    if args.verb == "vacuum":
+        print(json.dumps({"deleted_files": V.vacuum(t, args.keep)}))
+        return 0
+    if args.verb == "rename-column":
+        print(json.dumps({"version": V.rename_column(t, args.old, args.new)}))
+        return 0
+    if args.verb == "drop-column":
+        print(json.dumps({"version": V.drop_column(t, args.column)}))
+        return 0
+    if args.verb == "rollback":
+        print(json.dumps({"version": V.rollback(t, args.to_version)}))
+        return 0
+    spark = _spark(f"table-{args.verb}")
+    if args.verb == "compact":
+        kw = {}
+        if args.cluster_by:
+            kw["cluster_by"] = args.cluster_by.split(",")
+        if args.zorder_by:
+            kw["zorder_by"] = tuple(args.zorder_by.split(","))
+        v = V.compact_snapshot(spark, t, n_files=args.files, **kw)
+        print(json.dumps({"version": v}))
+        return 0
+    if args.verb == "optimize":
+        v = V.compact_small_files(spark, t, target_bytes=args.target_bytes)
+        print(json.dumps({"version": v, "noop": v is None}))
+        return 0
+    if args.verb == "delete":
+        v, n = V.delete_where(spark, t, args.where)
+        print(json.dumps({"version": v, "n_deleted": n}))
+        return 0
+    if args.verb == "show":
+        df = V.read_version(spark, t, version=args.version,
+                            as_of=args.as_of)
+        for row in df.limit(args.n).collect():
+            print(json.dumps(row.asDict(), default=str))
+        return 0
+    return 2
+
+
 def _cmd_query(args) -> int:
     from .plans.queries import all_queries
 
@@ -178,6 +234,46 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("-i", "--identity-map", required=True)
     c.add_argument("--effects-dir", required=True)
     c.set_defaults(fn=_cmd_copy_to_adls)
+
+    t = sub.add_parser("table",
+                       help="versioned-table maintenance (lakehouse verbs)")
+    tv = t.add_subparsers(dest="verb", required=True)
+    for verb, help_ in [
+            ("history", "DESCRIBE HISTORY (manifest-only)"),
+            ("vacuum", "drop old manifests + unreferenced files"),
+            ("compact", "full rewrite into N files (cluster/zorder)"),
+            ("optimize", "incremental small-file compaction"),
+            ("delete", "merge-on-read DELETE (position-delete files)"),
+            ("rename-column", "metadata-only RENAME COLUMN"),
+            ("drop-column", "metadata-only DROP COLUMN"),
+            ("rollback", "re-commit an old version's file list"),
+            ("show", "read a version (latest, -v N, or --as-of TS)")]:
+        sp = tv.add_parser(verb, help=help_)
+        sp.add_argument("table_dir")
+        sp.set_defaults(fn=_cmd_table)
+        if verb == "vacuum":
+            sp.add_argument("--keep", type=int, default=2)
+        elif verb == "compact":
+            sp.add_argument("--files", type=int, default=1)
+            sp.add_argument("--cluster-by", help="comma-separated columns")
+            sp.add_argument("--zorder-by", help="two columns, comma-sep")
+        elif verb == "optimize":
+            sp.add_argument("--target-bytes", type=int,
+                            default=128 * 1024 * 1024)
+        elif verb == "delete":
+            sp.add_argument("--where", required=True,
+                            help="boolean SQL expression (logical names)")
+        elif verb == "rename-column":
+            sp.add_argument("old")
+            sp.add_argument("new")
+        elif verb == "drop-column":
+            sp.add_argument("column")
+        elif verb == "rollback":
+            sp.add_argument("to_version", type=int)
+        elif verb == "show":
+            sp.add_argument("-v", "--version", type=int)
+            sp.add_argument("--as-of", help="ISO timestamp")
+            sp.add_argument("-n", type=int, default=20)
 
     q = sub.add_parser("query", help="run a registry query")
     q.add_argument("name")

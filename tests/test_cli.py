@@ -124,3 +124,56 @@ def test_cli_copy_acls_apply_requires_effects_dir(spark, tmp_path, capsys):
     with open(im, "w") as f:
         f.write("[]")
     assert main(["copy-acls", "-s", acl_file, "-i", im]) == 2
+
+
+def test_cli_table_lifecycle(spark, tmp_path, capsys):
+    """history → delete → optimize-noop → rename → show → vacuum through
+    the CLI table verbs."""
+    from databox_adls_loader_spark.sinks import versioned as V
+
+    t = str(tmp_path / "tbl")
+    V.write_snapshot(
+        spark.createDataFrame([(i, i * 10) for i in range(10)],
+                              "k long, v long").coalesce(1), t)
+
+    assert main(["table", "delete", t, "--where", "k >= 8"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"version": 2, "n_deleted": 2}
+
+    assert main(["table", "rename-column", t, "v", "amount"]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["version"] == 3
+
+    assert main(["table", "show", t, "-n", "50"]) == 0
+    rows = [json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 8 and all("amount" in r for r in rows)
+
+    assert main(["table", "history", t]) == 0
+    hist = [json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    assert hist[-1]["n_deleted"] == 2
+
+    assert main(["table", "compact", t, "--files", "1"]) == 0
+    capsys.readouterr()
+    assert main(["table", "vacuum", t, "--keep", "1"]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["deleted_files"] >= 1
+
+    # optimize on the now-single-file table is a no-op
+    assert main(["table", "optimize", t]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["noop"] is True
+
+
+def test_cli_table_rollback_and_show_version(spark, tmp_path, capsys):
+    from databox_adls_loader_spark.sinks import versioned as V
+
+    t = str(tmp_path / "tbl")
+    V.write_snapshot(spark.createDataFrame([(1,)], "k long"), t)
+    V.write_snapshot(spark.createDataFrame([(2,)], "k long"), t,
+                     mode="overwrite")
+    assert main(["table", "rollback", t, "1"]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["version"] == 3
+    assert main(["table", "show", t, "-v", "2"]) == 0
+    rows = [json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert rows == [{"k": 2}]
