@@ -469,6 +469,26 @@ def _logical_to_physical(df: DataFrame, cmap: dict[str, str]) -> DataFrame:
     return df.select(*[F.col(c).alias(back.get(c, c)) for c in df.columns])
 
 
+def _checks_referencing(table_dir: str, name: str) -> list[str]:
+    """Stored constraints that mention logical column ``name``: the
+    uniqueness/FK forms by their parsed key column, expression checks by
+    word-boundary match (conservative — a false positive merely forces
+    the caller to re-declare, never corrupts)."""
+    import re
+
+    out = []
+    for c in table_checks(table_dir):
+        if c.startswith("unique:"):
+            if c.split(":", 1)[1] == name:
+                out.append(c)
+        elif c.startswith("fk:"):
+            if _parse_fk(c)[0] == name:
+                out.append(c)
+        elif re.search(rf"\b{re.escape(name)}\b", c):
+            out.append(c)
+    return out
+
+
 def rename_column(table_dir: str, old: str, new: str) -> int:
     """Metadata-only RENAME COLUMN: commits a new manifest whose
     column_map surfaces the stored physical column under ``new`` — no
@@ -476,7 +496,19 @@ def rename_column(table_dir: str, old: str, new: str) -> int:
     technique; at 100 TB a rename must not be a table rewrite).
     Readers of old versions still see ``old``; `compact_snapshot`
     MATERIALIZES the mapping (it rewrites files with logical names and
-    commits an identity map)."""
+    commits an identity map).
+
+    A column referenced by a stored CHECK/unique/FK constraint cannot
+    be renamed in place — the stored expressions name the OLD logical
+    and every later write would fail analysis confusingly.  Refused
+    loudly instead; re-declare the constraints (``write_snapshot(...,
+    checks=[...])``) with the new name first/after."""
+    refs = _checks_referencing(table_dir, old)
+    if refs:
+        raise ValueError(
+            f"column {old!r} is referenced by stored constraint(s) "
+            f"{refs}; re-declare them with the new name (pass checks= "
+            "on the next write) before renaming")
     cur = latest_version(table_dir)
     if cur is None:
         raise FileNotFoundError(f"no snapshots in {table_dir}")
@@ -503,7 +535,14 @@ def drop_column(table_dir: str, name: str) -> int:
     """Metadata-only DROP COLUMN: the physical column stays in the
     files (time travel still sees it) but disappears from reads and is
     no longer expected from writers.  Same no-rewrite contract as
-    `rename_column`; compaction materializes the drop."""
+    `rename_column`; compaction materializes the drop.  Refused while a
+    stored constraint references the column (same rule as rename)."""
+    refs = _checks_referencing(table_dir, name)
+    if refs:
+        raise ValueError(
+            f"column {name!r} is referenced by stored constraint(s) "
+            f"{refs}; re-declare the table's checks without them before "
+            "dropping")
     cur = latest_version(table_dir)
     if cur is None:
         raise FileNotFoundError(f"no snapshots in {table_dir}")

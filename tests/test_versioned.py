@@ -1030,3 +1030,37 @@ class TestTimestampTimeTravel:
         V.rename_column(t, "v", "w")
         for v in V.versions(t):
             assert V._read_manifest_doc(t, v).get("committed_at")
+
+
+class TestConstraintSchemaEvolutionGuard:
+    """Renaming/dropping a column a stored constraint references is
+    refused loudly (stored exprs name the old logical — later writes
+    would fail analysis confusingly, or worse silently skip)."""
+
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "k long, v long")
+
+    def test_rename_checked_column_refused(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        V.write_snapshot(self._mk(spark, [(1, 1)]), t, checks=["v > 0"])
+        with pytest.raises(ValueError, match="referenced by stored"):
+            V.rename_column(t, "v", "amount")
+        # re-declaring the check under the new name unblocks the rename
+        V.write_snapshot(self._mk(spark, [(2, 2)]), t, checks=["k > 0"])
+        assert V.rename_column(t, "v", "amount") == 3
+
+    def test_drop_unique_or_fk_column_refused(self, spark, tmp_path):
+        dim = str(tmp_path / "dim")
+        spark.createDataFrame([(1,)], "id long").write.parquet(dim)
+        t = str(tmp_path / "t")
+        V.write_snapshot(self._mk(spark, [(1, 1)]), t,
+                         checks=["unique:k", f"fk:v=id@{dim}"])
+        with pytest.raises(ValueError, match="unique:k"):
+            V.drop_column(t, "k")
+        with pytest.raises(ValueError, match="fk:v"):
+            V.rename_column(t, "v", "w")
+
+    def test_unrelated_column_still_evolves(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        V.write_snapshot(self._mk(spark, [(1, 1)]), t, checks=["v > 0"])
+        assert V.rename_column(t, "k", "key") == 2
