@@ -158,12 +158,19 @@ def assemble_corpus(docs: DataFrame, bench,
             .select(id_col, "n_tokens"))
     cont = dedup.contamination(docs, bench, n=3, min_shared=2,
                                text_col=text_col, id_col=id_col)
+    # evaluate ``bench`` over DOCS (where its columns resolve) and carry
+    # the flag through the joins — evaluating it after kept.join(cont)
+    # would fail analysis for any predicate referencing doc columns
+    # beyond the id (the documented contract is 'a Column over docs')
+    flags = docs.select(F.col(id_col),
+                        F.coalesce(bench, F.lit(False)).alias("__is_bench"))
     status = (
-        kept.join(cont, id_col)
+        kept.join(cont, id_col).join(flags, id_col)
         .withColumn("stage",
-                    F.when(bench, F.lit("benchmark"))
+                    F.when(F.col("__is_bench"), F.lit("benchmark"))
                     .when(F.col("contaminated"), F.lit("contaminated"))
                     .otherwise(F.lit("clean")))
+        .drop("__is_bench")
     )
     clean = status.filter(F.col("stage") == "clean")
     splits = clean.withColumn(

@@ -2404,7 +2404,10 @@ def dq_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .cast("long").alias("digit"))
            .groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs")))
     tot = obs.agg(F.sum("n_obs").alias("__n"))
-    return (F.broadcast(bf).join(obs, "digit", "left")
+    # broadcast the 9-row OBSERVED aggregate: a left-outer join can only
+    # build (broadcast) its RIGHT side, so hinting bf here would be a
+    # silent no-op (HintErrorLogger warning, sort-merge fallback)
+    return (bf.join(F.broadcast(obs), "digit", "left")
             .join(F.broadcast(tot))
             .select("digit",
                     F.coalesce("n_obs", F.lit(0)).cast("long")

@@ -112,8 +112,19 @@ def build_token_index(spark: SparkSession, table_dir: str, index_dir: str,
     v = V.latest_version(table_dir) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshots in {table_dir}")
-    df = V.read_version(spark, table_dir, v)
-    inv = (df.select(F.input_file_name().alias("file"),
+    # index from a RAW single-relation file scan: `_metadata.file_path`
+    # is per-relation and therefore reliable, where input_file_name()
+    # over read_version's multi-source DV anti-join plan is not.  Rows
+    # deleted merge-on-read still index their file — a SUPERSET index is
+    # always safe for skipping (the read path applies the version's
+    # delete map and the residual filter), never for missing a file.
+    files = V._read_manifest(table_dir, v)
+    cmap, dropped = V.table_column_map(table_dir, v)
+    raw = (spark.read.option("mergeSchema", "true")
+           .parquet(*sorted(files))
+           .withColumn("__file", F.col("_metadata.file_path")))
+    df = V._apply_column_map(raw, cmap, dropped, keep=["__file"])
+    inv = (df.select(F.col("__file").alias("file"),
                      F.explode(F.array_distinct(bpe_ish_tokens(text_col)))
                      .alias("token"))
            .distinct()
@@ -152,5 +163,20 @@ def read_with_token(spark: SparkSession, table_dir: str, index_dir: str,
         # full schema, provably-zero rows, no data pages
         return (V.read_version(spark, table_dir, cur)
                 .filter(F.lit(False)).filter(residual))
-    df = spark.read.option("mergeSchema", "true").parquet(*sorted(files))
+    # read the selected files THROUGH the version's merge-on-read state:
+    # the raw-parquet shortcut would resurrect DV-deleted rows (the
+    # residual token filter can't remove them) and surface renamed
+    # columns under physical names.  Index entries are `_metadata` URIs;
+    # map them back onto manifest paths — any miss means the index and
+    # manifest disagree on spelling, so take the always-correct fallback.
+    st = V._st(table_dir, spark)
+    manifest = V._read_manifest(table_dir, cur)
+    by_canon = {st.canon(f): f for f in manifest}
+    sel = sorted({by_canon[u] for u in (st.uri_canon(x) for x in files)
+                  if u in by_canon})
+    if len(sel) != len({st.uri_canon(x) for x in files}):
+        return V.read_version(spark, table_dir, cur).filter(residual)
+    dmap, _ = V.table_delete_map(table_dir, cur)
+    df = V._read_files(spark, sel, dmap)
+    df = V._apply_column_map(df, *V.table_column_map(table_dir, cur))
     return df.filter(residual)

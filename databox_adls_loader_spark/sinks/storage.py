@@ -129,6 +129,135 @@ class LocalStorage:
         return path
 
 
+# Hadoop scheme spellings → the pyarrow.fs scheme reaching the same
+# store (pyarrow registers file/s3/gs/abfs/hdfs; Spark jobs usually
+# spell them s3a/abfss).  Unknown schemes pass through to from_uri.
+_PAFS_ALIASES = {"s3a": "s3", "s3n": "s3", "abfss": "abfs",
+                 "wasbs": "abfs", "wasb": "abfs"}
+
+
+def _split_uri(u: str) -> tuple[str, str, str]:
+    """canonical URI → (scheme, authority, path); bare paths get
+    ('', '', abspath)."""
+    c = _canon_uri(u)
+    if "://" not in c:
+        return "", "", c
+    scheme, rest = c.split("://", 1)
+    slash = rest.find("/")
+    if slash < 0:
+        return scheme, rest, "/"
+    return scheme, rest[:slash], rest[slash:]
+
+
+def arrow_fs_for(uri: str):
+    """(pyarrow.fs.FileSystem, in-fs path) for any scheme spelling —
+    the JVM-free resolver (usable from Python DSv2 workers and
+    executors, where no Spark gateway exists)."""
+    from pyarrow import fs as pafs
+
+    scheme, auth, path = _split_uri(uri)
+    if not scheme:
+        return pafs.LocalFileSystem(), path
+    if scheme == "file":
+        return pafs.LocalFileSystem(), path
+    mapped = _PAFS_ALIASES.get(scheme, scheme)
+    return pafs.FileSystem.from_uri(f"{mapped}://{auth}{path}")
+
+
+class ArrowStorage:
+    """pyarrow.fs-backed manifest plane for SCHEME paths when no JVM
+    gateway is reachable — Python DSv2 source workers (the vtable
+    stream's planner runs in a subprocess with no active SparkSession)
+    and executor-side helpers.  The READ surface is exact and is all
+    those contexts use; `create_exclusive` is exists-then-write (NOT a
+    conditional put — commits should run where `HadoopStorage` provides
+    the real one; this impl exists so read paths never die for lack of
+    a gateway)."""
+
+    def join(self, *parts: str) -> str:
+        out = parts[0].rstrip("/")
+        for p in parts[1:]:
+            out += "/" + p.strip("/")
+        return out
+
+    def basename(self, path: str) -> str:
+        return path.rstrip("/").rsplit("/", 1)[-1]
+
+    def canon(self, path: str) -> str:
+        return _canon_uri(path)
+
+    def uri_canon(self, uri: str) -> str:
+        return _canon_uri(uri)
+
+    def _info(self, path: str):
+        fs, p = arrow_fs_for(path)
+        return fs.get_file_info(p)
+
+    def exists(self, path: str) -> bool:
+        from pyarrow import fs as pafs
+        return self._info(path).type != pafs.FileType.NotFound
+
+    def mkdirs(self, path: str) -> None:
+        fs, p = arrow_fs_for(path)
+        fs.create_dir(p, recursive=True)
+
+    def read_text(self, path: str) -> str:
+        fs, p = arrow_fs_for(path)
+        with fs.open_input_file(p) as f:
+            return f.read().decode("utf-8")
+
+    def create_exclusive(self, path: str, text: str) -> None:
+        if self.exists(path):
+            raise FileExistsError(path)
+        self.replace_text(path, text)
+
+    def replace_text(self, path: str, text: str) -> None:
+        fs, p = arrow_fs_for(path)
+        with fs.open_output_stream(p) as f:
+            f.write(text.encode("utf-8"))
+
+    def delete(self, path: str) -> bool:
+        fs, p = arrow_fs_for(path)
+        try:
+            fs.delete_file(p)
+            return True
+        except FileNotFoundError:
+            return False
+
+    def list_glob(self, pattern: str) -> list[str]:
+        import fnmatch
+
+        from pyarrow import fs as pafs
+
+        scheme, auth, path = _split_uri(pattern)
+        # base = longest wildcard-free prefix; list it recursively and
+        # fnmatch full paths (pyarrow has no native glob)
+        segs = path.split("/")
+        base_segs = []
+        for s in segs:
+            if any(ch in s for ch in "*?["):
+                break
+            base_segs.append(s)
+        base = "/".join(base_segs) or "/"
+        prefix = f"{scheme}://{auth}" if scheme else ""
+        fs, base_p = arrow_fs_for(f"{prefix}{base}" if prefix else base)
+        infos = fs.get_file_info(
+            pafs.FileSelector(base_p, recursive=True,
+                              allow_not_found=True))
+        return sorted(
+            f"{prefix}{i.path}" if prefix else i.path
+            for i in infos
+            if i.type == pafs.FileType.File
+            and fnmatch.fnmatchcase(i.path, path))
+
+    def file_size(self, path: str) -> int:
+        return int(self._info(path).size)
+
+    def parquet_source(self, path: str):
+        fs, p = arrow_fs_for(path)
+        return fs.open_input_file(p)
+
+
 class HadoopStorage:
     """Hadoop `FileSystem` manifest plane via the Spark JVM gateway.
 
@@ -239,8 +368,9 @@ def storage_for(table_dir: str, spark=None):
             from pyspark.sql import SparkSession
             spark = SparkSession.getActiveSession()
         if spark is None:
-            raise RuntimeError(
-                f"{table_dir!r} needs a Hadoop FileSystem, but no "
-                "SparkSession is active to reach the JVM gateway")
+            # no JVM gateway in this process (Python DSv2 worker,
+            # executor) — pyarrow.fs serves the read plane; commits
+            # should run where HadoopStorage's conditional put exists
+            return ArrowStorage()
         return HadoopStorage(spark)
     return LocalStorage()

@@ -25,7 +25,8 @@ Invariants:
   * time travel = read any retained manifest; `vacuum` deletes data
     files referenced ONLY by dropped manifests;
   * merge-on-read DELETE (`delete_where`): a delete commits POSITION-
-    DELETE files (file, row_index) instead of rewriting data — readers
+    DELETE files (run-length (file, start, len) ranges) instead of
+    rewriting data — readers
     anti-join them (`_read_files`), compaction materializes them, and
     the manifest's `delete_files` map scopes which data files need the
     join (delete-free files read plain).  The Iceberg position-delete
@@ -83,13 +84,15 @@ def check_constraints(df: DataFrame, checks: list[str]) -> None:
         ``ref_path`` (a parquet path/dir, or a manifest-versioned table
         dir, read at its latest version).  NULL keys pass, per standard
         SQL FK semantics (use an extra ``col IS NOT NULL`` check to
-        forbid them).  The probe is one LEFT ANTI join per FK against
-        the referenced table's key column — at 100 TB the dim side is
-        the small side and broadcasts; the batch is never collected.
+        forbid them).  ALL FK probes share ONE batch scan: each dim's
+        distinct keys broadcast-join a marker onto the batch and a
+        single aggregate counts every FK's orphans — at 100 TB the dim
+        sides are the small sides and the batch is scanned once, never
+        collected, never re-scanned per constraint.
 
     Cost: ONE aggregate pass computing every expression check's
     violation count map-side (plus one distinct-vs-count aggregate per
-    uniqueness check and one anti-join count per FK); raises
+    uniqueness check and one combined probe job for all FKs); raises
     `ConstraintViolation` naming each failed check with its violation
     count, so the error is actionable without re-scanning."""
     exprs = [c for c in checks
@@ -114,19 +117,32 @@ def check_constraints(df: DataFrame, checks: list[str]) -> None:
             failed.append(
                 f"unique:{col}: {row['n'] - row['d']} duplicate and "
                 f"{row['nn']} NULL key(s)")
-    for spec in fks:
-        col, ref_col, ref_path = _parse_fk(spec)
-        ref = _read_fk_ref(df.sparkSession, ref_path)
-        if ref_col not in ref.columns:
-            raise ConstraintViolation(
-                f"{spec}: column {ref_col!r} not in referenced table")
-        orphans = (df.select(F.col(col).alias("__k")).na.drop()
-                   .join(F.broadcast(ref.select(
-                       F.col(ref_col).alias("__k")).distinct()),
-                       "__k", "left_anti")
-                   .count())
-        if orphans:
-            failed.append(f"{spec}: {orphans} orphan key(s)")
+    if fks:
+        # ALL FK probes in ONE pass: project every FK key column off a
+        # single batch scan, chain one broadcast-left join per referenced
+        # dim with a match marker, and count orphans for every FK in one
+        # aggregate — k FKs cost one batch scan + k broadcast hash
+        # probes, not k separate anti-join jobs re-scanning the batch.
+        parsed = [_parse_fk(spec) for spec in fks]
+        refs = []
+        for spec, (col, ref_col, ref_path) in zip(fks, parsed):
+            ref = _read_fk_ref(df.sparkSession, ref_path)
+            if ref_col not in ref.columns:
+                raise ConstraintViolation(
+                    f"{spec}: column {ref_col!r} not in referenced table")
+            refs.append(ref)
+        probe = df.select(*[F.col(col).alias(f"__k{i}")
+                            for i, (col, _, _) in enumerate(parsed)])
+        for i, (ref, (_, ref_col, _)) in enumerate(zip(refs, parsed)):
+            keys = (ref.select(F.col(ref_col).alias(f"__k{i}")).distinct()
+                    .withColumn(f"__m{i}", F.lit(True)))
+            probe = probe.join(F.broadcast(keys), f"__k{i}", "left")
+        row = probe.agg(*[
+            F.sum((F.col(f"__k{i}").isNotNull()
+                   & F.col(f"__m{i}").isNull()).cast("long")).alias(f"o{i}")
+            for i in range(len(parsed))]).collect()[0]
+        failed += [f"{spec}: {row[f'o{i}']} orphan key(s)"
+                   for i, spec in enumerate(fks) if row[f"o{i}"]]
     if failed:
         raise ConstraintViolation("; ".join(failed))
 
@@ -520,6 +536,17 @@ def rename_column(table_dir: str, old: str, new: str) -> int:
     phys_cols: set[str] = set(cmap)
     for fst in (doc.get("stats") or {}).values():
         phys_cols.update((fst.get("columns") or {}).keys())
+    # stats only cover primitive top-level columns (nested/struct columns
+    # and stats-less legacy files are invisible to them) — union in the
+    # ACTUAL parquet schema of the oldest+newest data files, a bounded
+    # 2-footer read, so a rename can never silently collide with a
+    # column the stats index doesn't know about
+    if doc["files"]:
+        import pyarrow.parquet as pq
+        st = _st(table_dir)
+        for f in {doc["files"][0], doc["files"][-1]}:
+            phys_cols.update(
+                pq.ParquetFile(st.parquet_source(f)).schema_arrow.names)
     logicals = {cmap.get(p, p) for p in phys_cols if p not in dropped}
     if new in logicals - {old}:
         raise ValueError(f"column {new!r} already exists")
@@ -736,8 +763,13 @@ def _stats_distributed(spark: SparkSession, files: list[str],
         for c in prim:
             entry = {"null_count": r[f"__null_{c}"] or 0}
             mn, mx = _canon(r[f"__min_{c}"]), _canon(r[f"__max_{c}"])
+            # NaN guard on BOTH bounds (mirrors _file_stats): Spark's
+            # max() returns NaN whenever ANY value is NaN (NaN sorts
+            # greatest) even while min() is finite — a NaN bound poisons
+            # every comparison and would wrongly PRUNE matching files
             if mn is not None and isinstance(mn, (int, float, str, bool)) \
-                    and not (isinstance(mn, float) and mn != mn):
+                    and not (isinstance(mn, float) and mn != mn) \
+                    and not (isinstance(mx, float) and mx != mx):
                 entry["min"], entry["max"] = mn, mx
             b = blooms.get(r["__f"], {}).get(c)
             if b is not None:
@@ -781,8 +813,7 @@ def _read_files(spark: SparkSession, files: list[str],
                      .parquet(*clean))
     if dirty:
         dvs = sorted({d for f in dirty for d in dmap[f]})
-        dv = (spark.read.parquet(*dvs)
-              .select("__file", "__pos").distinct())
+        dv = _dv_positions(spark, dvs)
         d = (spark.read.option("mergeSchema", "true").parquet(*dirty)
              .withColumn("__file", F.col("_metadata.file_path"))
              .withColumn("__pos", F.col("_metadata.row_index"))
@@ -797,11 +828,62 @@ def _read_files(spark: SparkSession, files: list[str],
     return out
 
 
+def _dv_positions(spark: SparkSession, dv_files: list[str]) -> DataFrame:
+    """Delete files → the distinct ``(__file, __pos)`` frame readers
+    anti-join.  Two on-disk encodings coexist:
+
+      * RUN-LENGTH (current): ``(__file, __start, __len)`` — O(runs)
+        rows on disk; positions re-expand here via ``sequence``+
+        ``explode`` (whole-stage-codegen, no Python);
+      * POSITION-LIST (legacy): ``(__file, __pos)`` — read verbatim.
+
+    mergeSchema unions the two, so a table carrying deletes from both
+    eras reads correctly."""
+    raw = spark.read.option("mergeSchema", "true").parquet(*dv_files)
+    cols = set(raw.columns)
+    if "__start" in cols and "__pos" in cols:
+        pos = F.explode(F.when(
+            F.col("__start").isNotNull(),
+            F.sequence(F.col("__start"),
+                       F.col("__start") + F.col("__len") - 1))
+            .otherwise(F.array(F.col("__pos"))))
+    elif "__start" in cols:
+        pos = F.explode(F.sequence(
+            F.col("__start"), F.col("__start") + F.col("__len") - 1))
+    else:
+        pos = F.col("__pos")
+    return raw.select("__file", pos.alias("__pos")).distinct()
+
+
+def _positions_to_runs(matched: DataFrame) -> DataFrame:
+    """(__file, __pos) → maximal contiguous runs (__file, __start,
+    __len).  The window partitions by FILE, so run detection
+    parallelizes across touched files — no single-partition funnel; a
+    GDPR-style contiguous delete collapses to O(runs) rows however many
+    positions it covers."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("__file").orderBy("__pos")
+    return (matched
+            .withColumn("__prev", F.lag("__pos").over(w))
+            .withColumn("__brk",
+                        (F.col("__prev").isNull()
+                         | (F.col("__pos") - F.col("__prev") > 1))
+                        .cast("int"))
+            .withColumn("__grp", F.sum("__brk").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy("__file", "__grp")
+            .agg(F.min("__pos").alias("__start"),
+                 F.count(F.lit(1)).alias("__len"))
+            .select("__file", "__start", "__len"))
+
+
 def delete_where(spark: SparkSession, table_dir: str, condition: str,
                  predicates=None) -> tuple[int, int]:
     """Merge-on-read DELETE: mark rows matching ``condition`` (a boolean
     SQL expression over the table's columns) deleted by writing a
-    POSITION-DELETE file — (file, row position) pairs — instead of
+    POSITION-DELETE file — RUN-LENGTH encoded ``(file, start, len)``
+    ranges (legacy position-list files stay readable) — instead of
     rewriting any data file.  Readers apply deletes via an anti join
     (`_read_files`); `compact_snapshot` materializes them (its rewrite
     reads through `read_version`, so the compacted files are delete-free
@@ -847,12 +929,17 @@ def delete_where(spark: SparkSession, table_dir: str, condition: str,
                .select("__file", "__pos"))
     prior = sorted({d for f in scan_files for d in dmap.get(f, [])})
     if prior:
-        old = spark.read.parquet(*prior).select("__file", "__pos")
+        old = _dv_positions(spark, prior)
         matched = matched.join(F.broadcast(old),
                                ["__file", "__pos"], "left_anti")
     out = st.canon(st.join(table_dir, "deletes",
                            f"d{cur + 1:05d}-{uuid.uuid4().hex[:8]}"))
-    matched.repartition(1).write.mode("error").parquet(out)
+    # RUN-LENGTH encode before writing: a contiguous mass delete costs
+    # O(runs) rows on disk, and the write fans out across touched files
+    # (per-file hash partitions, AQE-coalesced) instead of funneling
+    # every position through one repartition(1) task
+    runs = _positions_to_runs(matched)
+    runs.repartition("__file").write.mode("error").parquet(out)
     dv_files = sorted(st.canon(p)
                       for p in st.list_glob(st.join(out, "part-*.parquet")))
     if not dv_files:
@@ -860,8 +947,8 @@ def delete_where(spark: SparkSession, table_dir: str, condition: str,
     dv = spark.read.parquet(*dv_files)
     # bounded collect: one row per TOUCHED data file (≤ |manifest|)
     touched_rows = (dv.groupBy("__file")
-                    .agg(F.count(F.lit(1)).alias("n")).collect())
-    n_deleted = sum(r["n"] for r in touched_rows)
+                    .agg(F.sum("__len").alias("n")).collect())
+    n_deleted = sum(r["n"] or 0 for r in touched_rows)
     if n_deleted == 0:
         for p in dv_files:
             st.delete(p)
@@ -885,16 +972,15 @@ def delete_where(spark: SparkSession, table_dir: str, condition: str,
             f"URI(s) did not map onto manifest paths in {table_dir}")
     new_drows = {d: n for d, n in drows.items()
                  if any(d in ds for ds in new_dmap.values())}
-    if len(dv_files) == 1:
-        new_drows[dv_files[0]] = n_deleted
-    else:            # repartition(1) normally yields one file; stay exact
-        counts = {r["__f"]: r["n"] for r in
-                  dv.select(F.col("_metadata.file_path").alias("__f"))
-                  .groupBy("__f").agg(F.count(F.lit(1)).alias("n"))
-                  .collect()}
-        canon = {st.uri_canon(u): n for u, n in counts.items()}
-        for d in dv_files:
-            new_drows[d] = canon.get(st.canon(d), 0)
+    # per-delete-file POSITION counts: run lengths summed by the
+    # shard (_metadata file) each run landed in
+    counts = {r["__f"]: r["n"] for r in
+              dv.select(F.col("_metadata.file_path").alias("__f"), "__len")
+              .groupBy("__f").agg(F.sum("__len").alias("n"))
+              .collect()}
+    canon = {st.uri_canon(u): n for u, n in counts.items()}
+    for d in dv_files:
+        new_drows[d] = int(canon.get(st.canon(d), 0) or 0)
     doc = _read_manifest_doc(table_dir, cur)
     _commit(table_dir, all_files, cur + 1, stats=doc.get("stats", {}),
             delete_files=new_dmap, delete_rows=new_drows,
@@ -1319,7 +1405,7 @@ def commit_stream_batch(batch_df: DataFrame, batch_id: int,
         try:
             _commit(table_dir, files, new_version,
                     batch_ids={int(batch_id)}, stats=stats,
-                    bloom_cols=bloom_cols or None,
+                    bloom_cols=bloom_cols,
                     delete_files=dmap, delete_rows=drows,
                     column_map=cmap, dropped_cols=dropped)
             return True

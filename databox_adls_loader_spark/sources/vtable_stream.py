@@ -48,6 +48,20 @@ class _FileSlice(InputPartition):
     path: str
 
 
+def _open_parquet(path: str):
+    """Open a manifest data-file path as a `pyarrow.parquet.ParquetFile`
+    on ANY scheme — bare/`file:` paths open locally, everything else
+    resolves through `pyarrow.fs` (`sinks/storage.arrow_fs_for`).
+    Executors and DSv2 workers have no JVM gateway, so the Hadoop seam
+    is unavailable here; pyarrow.fs is its JVM-free twin."""
+    import pyarrow.parquet as pq
+
+    from ..sinks.storage import arrow_fs_for
+
+    filesystem, fs_path = arrow_fs_for(path)
+    return pq.ParquetFile(filesystem.open_input_file(fs_path))
+
+
 def _manifest_files(table_dir: str, version: int) -> list[str]:
     if version <= 0:
         return []
@@ -97,7 +111,6 @@ class VTableStreamReader(DataSourceStreamReader):
     # -- execution (executor-side) ------------------------------------
     def read(self, partition: _FileSlice):
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
         # arrow batches straight through — no per-row Python.  Batches
         # are conformed to the schema the driver advertised at stream
@@ -108,7 +121,7 @@ class VTableStreamReader(DataSourceStreamReader):
         if self._schema is not None:
             from pyspark.sql.pandas.types import to_arrow_schema
             target = to_arrow_schema(self._schema)
-        f = pq.ParquetFile(partition.path.removeprefix("file:"))
+        f = _open_parquet(partition.path)
         for batch in f.iter_batches():
             if target is not None and batch.schema != target:
                 names = set(batch.schema.names)
@@ -135,7 +148,6 @@ class VTableStreamDataSource(DataSource):
         return "vtable_stream"
 
     def schema(self):
-        import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
         table_dir = self.options.get("path")
@@ -148,8 +160,7 @@ class VTableStreamDataSource(DataSource):
                 f"vtable_stream: no snapshots in {table_dir} — commit "
                 "one first (the schema comes from the table's files)")
         files = _manifest_files(table_dir, cur)
-        return from_arrow_schema(
-            pq.ParquetFile(files[0].removeprefix("file:")).schema_arrow)
+        return from_arrow_schema(_open_parquet(files[0]).schema_arrow)
 
     def streamReader(self, schema) -> VTableStreamReader:
         return VTableStreamReader(self.options, schema)

@@ -83,3 +83,27 @@ def test_corpus_to_training_shards_end_to_end(spark, tmp_path):
     one = V.read_version(spark, t, v, predicates=[("shard", "=", 0)])
     assert {r["doc_id"] for r in one.collect()} == {
         i for i in train_ids if shards[i][2] == 0}
+
+
+def test_assemble_corpus_bench_predicate_over_doc_columns(spark):
+    """The documented contract is 'bench is a boolean Column over docs'
+    — a predicate referencing a NON-id doc column (here: text) must
+    resolve, and id-derived predicates must give the same totals as
+    before (the flag is evaluated over docs and joined through)."""
+    from databox_adls_loader_spark.operators.corpus import assemble_corpus
+
+    docs = _mk_corpus(spark)
+    # text-derived benchmark predicate: previously AnalysisException
+    # (evaluated over kept⋈cont, which carries no text column)
+    out = assemble_corpus(docs, F.col("text").contains("tok3w0"),
+                          min_tokens=10, val_pct=10, test_pct=10).collect()
+    assert out                                 # resolves and runs
+    # equivalence on an id-derived predicate: flag-join form must agree
+    # with itself run twice (determinism) and exclude the bench doc
+    a = {(r["split"], r["phase"]): (r["n_docs"], r["total_toks"])
+         for r in assemble_corpus(docs, F.col("doc_id") % 11 == 0,
+                                  min_tokens=10).collect()}
+    b = {(r["split"], r["phase"]): (r["n_docs"], r["total_toks"])
+         for r in assemble_corpus(docs, F.col("doc_id") % 11 == 0,
+                                  min_tokens=10).collect()}
+    assert a == b and a

@@ -129,3 +129,48 @@ class TestTableHealth:
     def test_empty_table_raises(self, tmp_path):
         with pytest.raises(FileNotFoundError):
             X.table_health(str(tmp_path / "missing"))
+
+
+class TestTokenIndexMergeOnRead:
+    """The index read path must respect the version's merge-on-read
+    overlays: DV-deleted rows stay deleted, renamed columns surface
+    logical — the raw-parquet shortcut violated both."""
+
+    def test_deleted_rows_do_not_resurface(self, spark, tmp_path):
+        d, ix = str(tmp_path / "t"), str(tmp_path / "ix")
+        V.write_snapshot(_docs(spark, [(1, "alpha beta"),
+                                       (2, "alpha gamma")]).coalesce(1), d)
+        V.delete_where(spark, d, "doc_id = 2")
+        X.build_token_index(spark, d, ix)
+        got = sorted(r["doc_id"] for r in
+                     X.read_with_token(spark, d, ix, "alpha").collect())
+        assert got == [1]                    # doc 2 is DV-deleted
+        # a token ONLY deleted rows carried: index may point at the
+        # file, but the read returns nothing
+        assert X.read_with_token(spark, d, ix, "gamma").count() == 0
+
+    def test_renamed_column_surfaces_logical(self, spark, tmp_path):
+        d, ix = str(tmp_path / "t"), str(tmp_path / "ix")
+        V.write_snapshot(_docs(spark, [(1, "alpha beta")]).coalesce(1), d)
+        V.rename_column(d, "doc_id", "document_id")
+        X.build_token_index(spark, d, ix)
+        out = X.read_with_token(spark, d, ix, "alpha")
+        assert out.columns == ["document_id", "text"]
+        assert [r["document_id"] for r in out.collect()] == [1]
+
+    def test_index_attribution_correct_under_dv_plan(self, spark, tmp_path):
+        # regression: input_file_name() over read_version's multi-source
+        # DV anti-join plan misattributed files; the _metadata-based
+        # build must map every indexed file onto a manifest entry
+        d, ix = str(tmp_path / "t"), str(tmp_path / "ix")
+        V.write_snapshot(_docs(spark, [(1, "alpha")]).coalesce(1), d)
+        V.write_snapshot(_docs(spark, [(2, "beta")]).coalesce(1), d)
+        V.delete_where(spark, d, "doc_id = 1")
+        X.build_token_index(spark, d, ix)
+        st = V._st(d, spark)
+        manifest = {st.canon(f) for f in V._read_manifest(
+            d, V.latest_version(d))}
+        indexed = {st.uri_canon(r["file"]) for r in
+                   V.read_version(spark, ix).select("file")
+                   .distinct().collect()}
+        assert indexed <= manifest and indexed

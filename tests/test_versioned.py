@@ -1064,3 +1064,182 @@ class TestConstraintSchemaEvolutionGuard:
         t = str(tmp_path / "t")
         V.write_snapshot(self._mk(spark, [(1, 1)]), t, checks=["v > 0"])
         assert V.rename_column(t, "k", "key") == 2
+
+
+class TestRound7Fixes:
+    """Round-7 defect fixes: NaN max in distributed stats, batched FK
+    probes, bloom_cols=[] clearing through the stream sink, and the
+    rename guard seeing stats-less (struct) columns."""
+
+    def test_distributed_stats_drop_bounds_on_nan_max(self, spark, tmp_path):
+        # Spark's max() returns NaN whenever ANY value is NaN (NaN sorts
+        # greatest) even while min() is finite — the manifest must drop
+        # BOTH bounds for that file's column, exactly like the footer
+        # path, or pruning silently drops files that contain matches.
+        from pyspark.sql import functions as F
+
+        t = str(tmp_path / "t")
+        n_files = V._DISTRIBUTED_STATS_MIN_FILES
+        n_rows = n_files * 10
+        df = (spark.range(n_rows)
+              .withColumn("x", F.when(F.col("id") == 5,
+                                      F.lit(float("nan")))
+                          .otherwise(F.col("id").cast("double"))))
+        V.write_snapshot(df.repartition(n_files), t)
+        doc = V._read_manifest_doc(t, 1)
+        assert len(doc["files"]) == n_files
+        dropped_bounds = 0
+        for f, stt in doc["stats"].items():
+            c = stt["columns"]["x"]
+            mx = c.get("max")
+            assert not (isinstance(mx, float) and mx != mx), f
+            if "min" not in c:
+                dropped_bounds += 1
+        assert dropped_bounds >= 1           # the NaN file lost its bounds
+        # under the bug the NaN file pruned away on any x predicate
+        # (NaN >= 0.0 is False in Python) and its rows went missing;
+        # in Spark's ordering NaN is greatest, so x >= 0 keeps ALL rows
+        got = V.read_version(spark, t, predicates=[("x", ">=", 0.0)])
+        assert got.count() == n_rows
+
+    def test_multi_fk_probes_share_one_batch_scan(self, spark, tmp_path):
+        # 3 FK constraints must cost ONE probe job over the batch (plus
+        # the per-dim reference reads), not one anti-join job per FK —
+        # and report the same per-constraint orphan counts.
+        dims = {}
+        for name in ("d1", "d2", "d3"):
+            p = str(tmp_path / name)
+            spark.createDataFrame([(k,) for k in (1, 2, 3)], "id long") \
+                .write.parquet(p)
+            dims[name] = p
+        df = spark.createDataFrame(
+            [(1, 1, 2, 3), (2, 3, 1, 9), (3, 2, None, 8)],
+            "k long, a long, b long, c long")
+        checks = [f"fk:a=id@{dims['d1']}", f"fk:b=id@{dims['d2']}",
+                  f"fk:c=id@{dims['d3']}"]
+        sc = spark.sparkContext
+        sc.setJobGroup("fkprobe-r7", "batched fk probe")
+        try:
+            with pytest.raises(V.ConstraintViolation) as ei:
+                V.check_constraints(df, checks)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        msg = str(ei.value)
+        assert "fk:c=id" in msg and "2 orphan" in msg
+        assert "fk:a=id" not in msg and "fk:b=id" not in msg  # NULL passes
+        batched = len(sc.statusTracker().getJobIdsForGroup("fkprobe-r7"))
+        # relative gate: replay the OLD serial shape (one anti-join
+        # count job per FK) under its own group — the batched path must
+        # cost strictly fewer Spark jobs, because the k orphan counts
+        # collapse into one aggregate over one batch scan
+        from pyspark.sql import functions as F
+        sc.setJobGroup("fkprobe-r7-serial", "serial fk probe")
+        try:
+            for spec in checks:
+                col, ref_col, ref_path = V._parse_fk(spec)
+                ref = V._read_fk_ref(spark, ref_path)
+                (df.select(F.col(col).alias("__k")).na.drop()
+                 .join(F.broadcast(ref.select(F.col(ref_col).alias("__k"))
+                                   .distinct()), "__k", "left_anti")
+                 .count())
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        serial = len(sc.statusTracker().getJobIdsForGroup(
+            "fkprobe-r7-serial"))
+        assert batched < serial, (batched, serial)
+
+    def test_stream_commit_empty_bloom_cols_clears(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        V.write_snapshot(spark.range(10).coalesce(1), t, bloom_cols=["id"])
+        assert V.table_bloom_cols(t) == ["id"]
+        # [] must CLEAR (write_snapshot semantics), not re-inherit
+        assert V.commit_stream_batch(spark.range(5).coalesce(1), 0, t,
+                                     bloom_cols=[])
+        assert V.table_bloom_cols(t) == []
+        # and None still inherits (now: nothing)
+        assert V.commit_stream_batch(spark.range(3).coalesce(1), 1, t)
+        assert V.table_bloom_cols(t) == []
+
+    def test_rename_collision_with_stats_less_column_refused(
+            self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        t = str(tmp_path / "t")
+        df = spark.range(3).select(
+            "id", F.struct(F.lit(1).alias("a")).alias("meta"))
+        V.write_snapshot(df.coalesce(1), t)
+        # struct columns never get footer-stats entries; the guard must
+        # still see `meta` via the file schema and refuse the collision
+        with pytest.raises(ValueError, match="already exists"):
+            V.rename_column(t, "id", "meta")
+
+
+class TestRunLengthDeleteVectors:
+    """Round-7: delete files are run-length (file, start, len) ranges —
+    O(runs) on disk for contiguous mass deletes, written per-file (no
+    repartition(1) funnel) — while legacy position-list files and mixed
+    tables keep reading correctly."""
+
+    def test_contiguous_mass_delete_is_o_runs(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        n = 200_000
+        V.write_snapshot(spark.range(n).coalesce(2), t)
+        v, n_del = V.delete_where(spark, t, f"id < {n // 2}")
+        assert (v, n_del) == (2, n // 2)
+        st = V._st(t)
+        dmap, drows = V.table_delete_map(t)
+        dvs = sorted({d for ds in dmap.values() for d in ds})
+        assert sum(drows[d] for d in dvs) == n // 2
+        # the artifact stores RUNS, not positions: a 100k-row contiguous
+        # delete over 2 files is a handful of rows and a few KB
+        import pyarrow.parquet as pq
+        total_rows = sum(
+            pq.ParquetFile(st.parquet_source(d)).metadata.num_rows
+            for d in dvs)
+        assert total_rows <= 8, total_rows
+        assert sum(st.file_size(d) for d in dvs) < 64 * 1024
+        # read-back correctness
+        out = V.read_version(spark, t)
+        assert out.count() == n - n // 2
+        assert out.agg({"id": "min"}).collect()[0][0] == n // 2
+
+    def test_scattered_delete_round_trips(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        V.write_snapshot(spark.range(1000).coalesce(3), t)
+        V.delete_where(spark, t, "id % 7 = 0")
+        got = sorted(r["id"] for r in
+                     V.read_version(spark, t).collect())
+        assert got == [i for i in range(1000) if i % 7]
+        # second delete excludes already-deleted positions exactly
+        v, n2 = V.delete_where(spark, t, "id % 14 = 0")
+        assert n2 == 0 and v == 2            # no-op: all already gone
+
+    def test_legacy_position_list_files_still_read(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        t = str(tmp_path / "t")
+        V.write_snapshot(spark.range(100).coalesce(1), t)
+        st = V._st(t)
+        f = V._read_manifest(t, 1)[0]
+        # hand-write an OLD-format (__file, __pos) delete file and
+        # commit it through the manifest, as a pre-run-length table
+        # would have left it
+        legacy_dir = st.join(t, "deletes", "legacy")
+        # real DVs store the _metadata.file_path URI spelling
+        # (Path.toString form: file:/abs, single slash)
+        f_uri = "file:" + f
+        (spark.range(10).select(
+            F.lit(f_uri).alias("__file"), F.col("id").alias("__pos"))
+         .coalesce(1).write.parquet(legacy_dir))
+        legacy = sorted(st.canon(p) for p in st.list_glob(
+            st.join(legacy_dir, "part-*.parquet")))
+        V._commit(t, [f], 2, stats=V._inherited_stats(t, 1),
+                  delete_files={f: legacy},
+                  delete_rows={legacy[0]: 10})
+        assert sorted(r["id"] for r in
+                      V.read_version(spark, t).collect()) == list(range(10, 100))
+        # a NEW run-length delete on top of the legacy state composes
+        v, n = V.delete_where(spark, t, "id >= 90")
+        assert (v, n) == (3, 10)
+        assert sorted(r["id"] for r in V.read_version(spark, t).collect()) \
+            == list(range(10, 90))
