@@ -84,9 +84,23 @@ class MVSpec:
     # table name this view summarizes, and — parallel to ``measures`` —
     # the BASE column each stored measure aggregates ('*' for the
     # count-star measure), so `sum(price_cents)` in query text maps onto
-    # the stored partial it is answerable from
+    # the stored partial it is answerable from.  For JOIN-shaped views
+    # measure sources are QUALIFIED ``table.col``.
     base_table: str = field(default="", compare=False)
     measure_sources: tuple[str, ...] = ()
+    # JOIN-shaped views (the Goldstein-Larson join case): the INNER
+    # equi-joins the view's build performed, each normalized as
+    # (tableA, colA, tableB, colB) with (tableA, colA) <= (tableB, colB)
+    # lexicographically — `sql_rewrite` routes a join query only onto a
+    # view that declared the EXACT same join set (subsumption is
+    # deliberately unsupported: refusal over guessing)
+    joins: tuple[tuple[str, str, str, str], ...] = ()
+    # parallel to ``dims``: the base column each stored dim came from —
+    # ``"table.col"`` (stored dim IS that column) or ``"date:table.col"``
+    # (stored dim is CAST(col AS DATE), so only month/year derivations
+    # of it are answerable, never identity).  Required for join routing;
+    # optional extra spellings for single-table routing.
+    dim_sources: tuple[str, ...] = ()
 
 
 def _parse_group(g: str | tuple[str, str, str]) -> tuple[str, str, str]:
@@ -328,8 +342,65 @@ def _colref(node: dict) -> str | None:
     return None
 
 
-def _dim_fn_of(node: dict) -> tuple[str, str] | None:
-    """(fn, dim) when the node is date_trunc('month'|'year', col)."""
+def _parse_from(ft: dict):
+    """FROM tree → (fact_table, alias_map, normalized join set), or
+    None outside the supported shape.  Supported: one BASE_TABLE, or a
+    left-deep tree of INNER equi-joins of base tables (the star/
+    snowflake FROM).  Each join condition must be a single
+    `qualified_col = qualified_col`; each table may appear ONCE (a
+    self-join makes unqualified refs ambiguous — refuse)."""
+    t = ft.get("type")
+    if t == "BASE_TABLE":
+        tbl = ft["table_name"]
+        alias = ft.get("alias") or tbl
+        amap = {alias: tbl}
+        if tbl not in amap:
+            amap[tbl] = tbl
+        return tbl, amap, ()
+    if t != "JOIN" or ft.get("join_type") != "INNER" \
+            or ft.get("ref_type") != "REGULAR":
+        return None
+    left = _parse_from(ft.get("left", {}))
+    rnode = ft.get("right", {})
+    if left is None or rnode.get("type") != "BASE_TABLE":
+        return None
+    fact, amap, joins = left
+    rtbl = rnode["table_name"]
+    ralias = rnode.get("alias") or rtbl
+    if rtbl in amap.values() or ralias in amap:
+        return None                       # table/alias reuse: refuse
+    amap = {**amap, ralias: rtbl}
+    if rtbl not in amap:
+        amap[rtbl] = rtbl
+    cond = ft.get("condition") or {}
+    if cond.get("type") != "COMPARE_EQUAL":
+        return None
+    a = _qcol(cond.get("left", {}), amap)
+    b = _qcol(cond.get("right", {}), amap)
+    if a is None or b is None:
+        return None
+    ta, ca = a.split(".", 1)
+    tb, cb = b.split(".", 1)
+    j = ((ta, ca, tb, cb) if (ta, ca) <= (tb, cb) else (tb, cb, ta, ca))
+    return fact, amap, joins + (j,)
+
+
+def _qcol(node: dict, amap: dict) -> str | None:
+    """``alias.col`` COLUMN_REF → canonical ``table.col`` (join mode
+    requires every column ref qualified — unqualified refs would need
+    base-table schemas to resolve, which the router refuses to guess)."""
+    if node.get("type") != "COLUMN_REF":
+        return None
+    names = node.get("column_names", [])
+    if len(names) == 2 and names[0] in amap:
+        return f"{amap[names[0]]}.{names[1]}"
+    return None
+
+
+def _dim_fn_of(node: dict, cref=None) -> tuple[str, str] | None:
+    """(fn, dim) when the node is date_trunc('month'|'year', col);
+    ``cref`` overrides the column resolver (qualified refs in join
+    mode)."""
     if node.get("type") != "FUNCTION" or \
             node.get("function_name") != "date_trunc":
         return None
@@ -337,33 +408,35 @@ def _dim_fn_of(node: dict) -> tuple[str, str] | None:
     if len(ch) != 2:
         return None
     part, ok = _const_value(ch[0])
-    dim = _colref(ch[1])
+    dim = (cref or _colref)(ch[1])
     if not ok or not isinstance(part, str) or part not in _DIM_FNS \
             or dim is None:
         return None
     return part, dim
 
 
-def _parse_where(node: dict | None) -> list[tuple[str, str, object]] | None:
+def _parse_where(node: dict | None,
+                 cref=None) -> list[tuple[str, str, object]] | None:
     """Flatten a WHERE AST into [(col, spark_op, value)] — only AND
     conjunctions of `dim <cmp> literal` survive; anything else returns
     None (the caller then falls back, never guesses)."""
+    cr = cref or _colref
     if node is None:
         return []
     t = node.get("type")
     if t == "CONJUNCTION_AND":
         out: list = []
         for ch in node.get("children", []):
-            sub = _parse_where(ch)
+            sub = _parse_where(ch, cref)
             if sub is None:
                 return None
             out.extend(sub)
         return out
     if t in _CMP_OPS:
         left, right = node.get("left", {}), node.get("right", {})
-        col, (val, ok) = _colref(left), _const_value(right)
+        col, (val, ok) = cr(left), _const_value(right)
         if col is None or not ok:      # literal <cmp> col: also accept
-            col, (val, ok) = _colref(right), _const_value(left)
+            col, (val, ok) = cr(right), _const_value(left)
             if col is None or not ok:
                 return None
             flip = {"__lt__": "__gt__", "__le__": "__ge__",
@@ -402,19 +475,24 @@ def parse_select(query: str) -> dict | None:
             or n.get("aggregate_handling") != "STANDARD_HANDLING":
         return None
     ft = n.get("from_table") or {}
-    if ft.get("type") != "BASE_TABLE":
+    parsed_from = _parse_from(ft)
+    if parsed_from is None:
         return None
+    fact, amap, joins = parsed_from
+    # join mode: every column ref must be QUALIFIED and resolves to the
+    # canonical "table.col"; single-table mode keeps bare names
+    cref = (lambda e: _qcol(e, amap)) if joins else _colref
     group_by: list = []      # str | (out, fn, dim) in select order
     measures: list = []      # (agg, base_src, out)
     dim_positions: set[int] = set()
     for i, e in enumerate(n.get("select_list", []), 1):
-        col = _colref(e)
+        col = cref(e)
         if col is not None:
-            out = e.get("alias") or col
+            out = e.get("alias") or col.rsplit(".", 1)[-1]
             group_by.append(col if out == col else (out, "identity", col))
             dim_positions.add(i)
             continue
-        der = _dim_fn_of(e)
+        der = _dim_fn_of(e, cref)
         if der is not None:
             if not e.get("alias"):
                 return None          # derived dim needs a stable name
@@ -429,13 +507,13 @@ def parse_select(query: str) -> dict | None:
                 measures.append(("count", "*", e["alias"]))
                 continue
             if fn in ("sum", "min", "max", "avg") and len(ch) == 1 \
-                    and _colref(ch[0]) is not None and e.get("alias"):
-                measures.append((fn, _colref(ch[0]), e["alias"]))
+                    and cref(ch[0]) is not None and e.get("alias"):
+                measures.append((fn, cref(ch[0]), e["alias"]))
                 continue
         return None
     if not measures or not group_by:
         return None
-    having = _parse_having(n.get("having"), measures)
+    having = _parse_having(n.get("having"), measures, cref)
     if having is None:
         return None
     # GROUP BY must name exactly the selected dims (by source column,
@@ -448,13 +526,13 @@ def parse_select(query: str) -> dict | None:
     matched: set[int] = set()
     for ge in n.get("group_expressions", []):
         keys = set()
-        col = _colref(ge)
+        col = cref(ge)
         if col is not None:
             keys.add(("name", col))
         val, ok = _const_value(ge)
         if ok and isinstance(val, int):
             keys.add(("pos", val))
-        der = _dim_fn_of(ge)
+        der = _dim_fn_of(ge, cref)
         if der is not None:
             keys.add(("expr", der[0], der[1]))
         hit = [i for i, ks in want.items() if ks & keys]
@@ -463,7 +541,7 @@ def parse_select(query: str) -> dict | None:
         matched.add(hit[0])
     if matched != set(want):
         return None
-    where = _parse_where(n.get("where_clause"))
+    where = _parse_where(n.get("where_clause"), cref)
     if where is None:
         return None
     order: list[tuple[str, bool]] = []
@@ -485,13 +563,14 @@ def parse_select(query: str) -> dict | None:
             limit = val
         else:
             return None
-    return {"table": ft["table_name"], "group_by": group_by,
+    return {"table": fact, "joins": joins, "group_by": group_by,
             "measures": measures, "where": where, "having": having,
             "order": order, "limit": limit}
 
 
-def _agg_key(node: dict) -> tuple[str, str] | None:
+def _agg_key(node: dict, cref=None) -> tuple[str, str] | None:
     """(agg, src_col) of an aggregate-function AST node, or None."""
+    cr = cref or _colref
     if node.get("type") != "FUNCTION" or node.get("distinct") \
             or node.get("filter"):
         return None
@@ -499,13 +578,13 @@ def _agg_key(node: dict) -> tuple[str, str] | None:
     if fn == "count_star" and not ch:
         return ("count", "*")
     if fn in ("sum", "min", "max", "avg") and len(ch) == 1 \
-            and _colref(ch[0]) is not None:
-        return (fn, _colref(ch[0]))
+            and cr(ch[0]) is not None:
+        return (fn, cr(ch[0]))
     return None
 
 
-def _parse_having(node: dict | None,
-                  measures: list) -> list[tuple[str, str, object]] | None:
+def _parse_having(node: dict | None, measures: list,
+                  cref=None) -> list[tuple[str, str, object]] | None:
     """HAVING as [(measure_out_name, spark_op, literal)] — supports AND
     conjunctions of `aggregate <cmp> literal` where the aggregate is one
     of the SELECTed measures (repeated function form or its output
@@ -516,7 +595,7 @@ def _parse_having(node: dict | None,
     if t == "CONJUNCTION_AND":
         out: list = []
         for ch in node.get("children", []):
-            sub = _parse_having(ch, measures)
+            sub = _parse_having(ch, measures, cref)
             if sub is None:
                 return None
             out.extend(sub)
@@ -527,9 +606,10 @@ def _parse_having(node: dict | None,
     outs = {out for _, _, out in measures}
 
     def _measure_out(nd):
-        k = _agg_key(nd)
+        k = _agg_key(nd, cref)
         if k is not None:
             return by_key.get(k)
+        # the output ALIAS is a bare name in either mode
         c = _colref(nd)
         return c if c in outs else None
 
@@ -544,6 +624,89 @@ def _parse_having(node: dict | None,
         op = _CMP_OPS[t]
         return [(out, flip.get(op, op), val)]
     return None
+
+
+def _match_candidate(mv: MVSpec, plan: dict):
+    """Structural proof that ``mv`` answers ``plan`` exactly; returns
+    the request translated into the view's stored terms —
+    ``(group_by, stored_measures, avg_map, where)`` — or None.
+
+    Single-table plans match as before (dims by name).  JOIN plans (the
+    Goldstein-Larson join case) additionally require:
+      * the view declared the EXACT same INNER equi-join set
+        (normalized (tA,cA,tB,cB) tuples) over the same fact;
+      * every queried dim resolves through ``dim_sources`` — identity
+        dims from a ``"table.col"`` source, month/year derivations from
+        a ``"table.col"`` (temporal) or ``"date:table.col"`` source
+        (stored day = CAST(col AS DATE); month(day(x)) ≡ month(x), but
+        identity over a date: source is NOT answerable — time-of-day
+        was truncated away);
+      * measures map through QUALIFIED ``measure_sources``;
+      * WHERE touches only stored identity dims (each view row then
+        belongs to one predicate-decided group).
+    Anything unprovable returns None — the caller falls back."""
+    if mv.base_table != plan["table"] or not mv.table_dir \
+            or len(mv.measure_sources) != len(mv.measures):
+        return None
+    if tuple(sorted(mv.joins)) != tuple(sorted(plan.get("joins", ()))):
+        return None
+    if plan.get("joins") and len(mv.dim_sources) != len(mv.dims):
+        return None                     # join routing needs dim lineage
+    # source -> stored dim, split by how the source may be used
+    ident_of: dict[str, str] = {}
+    derive_of: dict[str, str] = {}
+    if not plan.get("joins"):
+        # single-table: stored dims address themselves by name (covers
+        # still gates month/year on the stored dim being temporal)
+        ident_of = {d: d for d in mv.dims}
+        derive_of = {d: d for d in mv.dims}
+    for d, s in zip(mv.dims, mv.dim_sources):
+        if s.startswith("date:"):
+            derive_of[s[5:]] = d
+        else:
+            ident_of[s] = d
+            derive_of[s] = d
+    tr_groups: list = []
+    for g in plan["group_by"]:
+        out, fn, dim = _parse_group(g)
+        sd = ident_of.get(dim) if fn == "identity" else derive_of.get(dim)
+        if sd is None:
+            return None
+        tr_groups.append(sd if (fn == "identity" and out == sd)
+                         else (out, fn, sd))
+    src_of = {(agg, src): alias for (agg, alias), src in
+              zip(mv.measures, mv.measure_sources)}
+    stored_measures, avg_map = [], []
+    for agg, base_src, out in plan["measures"]:
+        if agg == "avg":
+            # AVG synthesis: exact only as stored-sum over
+            # stored-rowcount — both partials must exist (one final
+            # division; averaging per-group averages would be wrong
+            # under rollup)
+            num = src_of.get(("sum", base_src))
+            den = src_of.get(("count", "*"))
+            if num is None or den is None:
+                return None
+            stored_measures += [("sum", num, f"__avgn_{out}"),
+                                ("count", den, f"__avgd_{out}")]
+            avg_map.append((out, f"__avgn_{out}", f"__avgd_{out}"))
+            continue
+        alias = src_of.get((agg, base_src))
+        if alias is None:
+            return None
+        stored_measures.append((agg, alias, out))
+    # WHERE may only touch stored IDENTITY dims: each view row then
+    # belongs to exactly one predicate-decided group, so filtering
+    # pre-re-aggregation ≡ filtering the base rows
+    tr_where = []
+    for c, op, val in plan["where"]:
+        sd = ident_of.get(c)
+        if sd is None:
+            return None
+        tr_where.append((sd, op, val))
+    if not covers(mv, tr_groups, stored_measures):
+        return None
+    return tr_groups, stored_measures, avg_map, tr_where
 
 
 def sql_rewrite(spark: SparkSession, query: str, catalog: list[MVSpec],
@@ -573,58 +736,25 @@ def sql_rewrite(spark: SparkSession, query: str, catalog: list[MVSpec],
     if plan is not None:
         cands = []
         for mv in catalog:
-            if mv.base_table != plan["table"] or not mv.table_dir \
-                    or len(mv.measure_sources) != len(mv.measures):
-                continue
-            src_of = {(agg, src): alias for (agg, alias), src in
-                      zip(mv.measures, mv.measure_sources)}
-            stored_measures, avg_map, fits = [], [], True
-            for agg, base_src, out in plan["measures"]:
-                if agg == "avg":
-                    # AVG synthesis: exact only as stored-sum over
-                    # stored-rowcount — both partials must exist (one
-                    # final division; averaging per-group averages
-                    # would be wrong under rollup)
-                    num = src_of.get(("sum", base_src))
-                    den = src_of.get(("count", "*"))
-                    if num is None or den is None:
-                        fits = False
-                        break
-                    stored_measures += [("sum", num, f"__avgn_{out}"),
-                                        ("count", den, f"__avgd_{out}")]
-                    avg_map.append((out, f"__avgn_{out}", f"__avgd_{out}"))
-                    continue
-                alias = src_of.get((agg, base_src))
-                if alias is None:
-                    fits = False
-                    break
-                stored_measures.append((agg, alias, out))
-            if not fits:
-                continue
-            # WHERE may only touch stored IDENTITY dims: each view
-            # row then belongs to exactly one predicate-decided
-            # group, so filtering pre-re-aggregation ≡ filtering
-            # the base rows
-            wcols = {c for c, _, _ in plan["where"]}
-            if wcols <= set(mv.dims) and \
-                    covers(mv, plan["group_by"], stored_measures):
-                cands.append((mv, stored_measures, avg_map))
+            hit = _match_candidate(mv, plan)
+            if hit is not None:
+                cands.append((mv, *hit))
         if cands:
-            used, stored_measures, avg_map = min(
+            used, tr_groups, stored_measures, avg_map, tr_where = min(
                 cands, key=lambda p: p[0].rows_hint)
     if used is None:
         run = fallback if fallback is not None else \
             (lambda q: spark.sql(q))
         return run(query), None
     df = V.read_version(spark, used.table_dir)
-    for col, op, val in plan["where"]:
+    for col, op, val in tr_where:
         df = df.filter(getattr(F.col(col), op)(F.lit(val)))
-    out = rewrite_aggregate(df, used, plan["group_by"], stored_measures)
+    out = rewrite_aggregate(df, used, tr_groups, stored_measures)
     for o, num, den in avg_map:
         out = out.withColumn(o, F.col(num) / F.col(den))
     # surface exactly the SELECT list, in SELECT order (drops the avg
     # synthesis temporaries)
-    out = out.select(*[_parse_group(g)[0] for g in plan["group_by"]],
+    out = out.select(*[_parse_group(g)[0] for g in tr_groups],
                      *[m[2] for m in plan["measures"]])
     # HAVING filters groups before ORDER BY / LIMIT, SQL semantics
     for col, op, val in plan["having"]:

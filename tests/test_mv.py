@@ -429,3 +429,118 @@ class TestSQLRewriteAvgHaving:
              "GROUP BY n_name HAVING sum(price_cents) > 100")
         _, used = M.sql_rewrite(spark, q, [spec])
         assert used is None
+
+
+class TestSQLRewriteJoin:
+    """JOIN-shaped routing (round 7, the Goldstein-Larson join case):
+    a star query routes onto a denormalized summary MV only when the
+    declared join set matches EXACTLY and every qualified column
+    resolves through the declared dim/measure lineage."""
+
+    def _tables(self, spark):
+        import datetime as dt
+
+        fact = spark.createDataFrame(
+            [(1, 10, dt.datetime(2024, 1, 1), 5.0),
+             (2, 10, dt.datetime(2024, 1, 2), 7.5),
+             (3, 20, dt.datetime(2024, 2, 1), 2.0),
+             (4, 20, dt.datetime(2024, 2, 9), 9.0)],
+            "oid long, ckey long, odate timestamp, price double")
+        dim = spark.createDataFrame(
+            [(10, "DE"), (20, "FR")], "ckey long, country string")
+        return fact, dim
+
+    def _mv(self, spark, tmp_path):
+        fact, dim = self._tables(spark)
+        build = (fact.join(dim, "ckey")
+                 .groupBy("country",
+                          F.col("odate").cast("date").alias("day"))
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.max("price").alias("mx")))
+        t = str(tmp_path / "mv")
+        M.refresh(build, t)
+        spec = M.MVSpec(
+            name="star", dims=("country", "day"),
+            dim_types=("string", "date"),
+            measures=(("count", "n"), ("max", "mx")),
+            measure_sources=("*", "fact.price"),
+            joins=(("dim", "ckey", "fact", "ckey"),),
+            dim_sources=("dim.country", "date:fact.odate"),
+            rows_hint=10, table_dir=t, base_table="fact")
+        return fact, dim, spec
+
+    def _q(self):
+        return ("SELECT d.country, date_trunc('month', f.odate) AS m, "
+                "COUNT(*) AS n, MAX(f.price) AS mx "
+                "FROM fact f JOIN dim d ON f.ckey = d.ckey "
+                "GROUP BY d.country, 2 ORDER BY country, m")
+
+    def test_star_routes_and_matches_base(self, spark, tmp_path):
+        fact, dim, spec = self._mv(spark, tmp_path)
+        fact.createOrReplaceTempView("fact")
+        dim.createOrReplaceTempView("dim")
+        df, used = M.sql_rewrite(spark, self._q(), [spec])
+        assert used == "star"
+        expect = spark.sql(self._q().replace(
+            "date_trunc('month', f.odate)",
+            "CAST(date_trunc('month', f.odate) AS DATE)")).collect()
+        assert [tuple(r) for r in df.collect()] == \
+            [tuple(r) for r in expect]
+
+    def test_where_on_dim_attribute_pushes_through(self, spark, tmp_path):
+        fact, dim, spec = self._mv(spark, tmp_path)
+        q = ("SELECT d.country, COUNT(*) AS n "
+             "FROM fact f JOIN dim d ON f.ckey = d.ckey "
+             "WHERE d.country = 'DE' GROUP BY d.country")
+        df, used = M.sql_rewrite(spark, q, [spec],
+                                 fallback=lambda _: 1 / 0)
+        assert used == "star"
+        assert [tuple(r) for r in df.collect()] == [("DE", 2)]
+
+    def test_join_set_mismatch_falls_back(self, spark, tmp_path):
+        fact, dim, spec = self._mv(spark, tmp_path)
+        fact.createOrReplaceTempView("fact")
+        dim.createOrReplaceTempView("dim")
+        # wrong ON column: the view stored ckey=ckey, query joins oid
+        q = ("SELECT d.country, COUNT(*) AS n "
+             "FROM fact f JOIN dim d ON f.oid = d.ckey "
+             "GROUP BY d.country")
+        _, used = M.sql_rewrite(spark, q, [spec])
+        assert used is None
+        # single-table query cannot route onto a join view
+        q2 = "SELECT f.oid AS oid, COUNT(*) AS n FROM fact f GROUP BY 1"
+        _, used2 = M.sql_rewrite(spark, q2, [spec])
+        assert used2 is None
+
+    def test_identity_on_truncated_date_source_falls_back(
+            self, spark, tmp_path):
+        fact, dim, spec = self._mv(spark, tmp_path)
+        fact.createOrReplaceTempView("fact")
+        dim.createOrReplaceTempView("dim")
+        # the stored day is CAST(odate AS DATE); identity grouping on
+        # the raw timestamp is NOT answerable (time-of-day truncated)
+        q = ("SELECT f.odate AS odate, COUNT(*) AS n "
+             "FROM fact f JOIN dim d ON f.ckey = d.ckey GROUP BY 1")
+        _, used = M.sql_rewrite(spark, q, [spec])
+        assert used is None
+        # ...and WHERE on it cannot push through either
+        q2 = ("SELECT d.country, COUNT(*) AS n "
+              "FROM fact f JOIN dim d ON f.ckey = d.ckey "
+              "WHERE f.odate > '2024-01-01' GROUP BY d.country")
+        _, used2 = M.sql_rewrite(spark, q2, [spec])
+        assert used2 is None
+
+    def test_unqualified_or_selfjoin_falls_back(self, spark, tmp_path):
+        fact, dim, spec = self._mv(spark, tmp_path)
+        fact.createOrReplaceTempView("fact")
+        dim.createOrReplaceTempView("dim")
+        # unqualified column ref in join mode: refuse, never guess
+        q = ("SELECT country, COUNT(*) AS n "
+             "FROM fact f JOIN dim d ON f.ckey = d.ckey GROUP BY country")
+        _, used = M.sql_rewrite(spark, q, [spec])
+        assert used is None
+        # self-join: refuse
+        q2 = ("SELECT a.oid AS oid, COUNT(*) AS n FROM fact a "
+              "JOIN fact b ON a.oid = b.oid GROUP BY 1")
+        _, used2 = M.sql_rewrite(spark, q2, [spec])
+        assert used2 is None
