@@ -54,6 +54,7 @@ HEADLINERS = [
     "sess8_dau_wau_stickiness",  # bounded-fanout explode + day-key aggs
     "sess7_timed_funnel",        # chained user-key joins, gap-bounded
     "scale_dv_delete_read",      # merge-on-read versioned read (DV anti join)
+    "scale_token_index_read",    # inverted-file token skip read
     "mv_sql_route_monthly",      # SQL-parsed MV route (MV-sized re-agg)
 ]
 
@@ -77,6 +78,7 @@ TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
     "sess8_dau_wau_stickiness": "events",
     "sess7_timed_funnel": "events",
     "scale_dv_delete_read": "orders",
+    "scale_token_index_read": "documents",
     "mv_sql_route_monthly": "orders",
 }
 
@@ -95,7 +97,67 @@ SF1_QUERIES = [
     # (clean_corpus documents the minhash swap at corpus scale), so an
     # sf1 run would measure the documented-known quadratic, not a bug
     "retr_eval_bm25",
+    # lakehouse MOR overlays, measured not argued (round-7): DV anti
+    # join over orders, token-index read over documents — both tables
+    # exist at sf1
+    "scale_dv_delete_read",
+    "scale_token_index_read",
 ]
+
+
+def _custom_probes(spark, sf_dir):
+    """Lakehouse shapes with no registry query at the right table size:
+    the registry's rename/drop read runs over 25-row `nation`, so the
+    metadata-only-evolution read cost is probed here over ORDERS; and
+    the vtable STREAM drain (sources/vtable_stream) has no batch oracle
+    at all — rows/s through the Arrow micro-batch path is measured
+    directly.  Setup (snapshot commits) is untimed; each timed run gets
+    a fresh checkpoint so the drain re-delivers everything."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from databox_adls_loader_spark.session import load_tables
+    from databox_adls_loader_spark.sinks import versioned as V
+
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+
+    def rename_setup():
+        t = tempfile.mkdtemp(prefix="sgprobe_ren_")
+        V.write_snapshot(orders, t)
+        V.rename_column(t, "o_totalprice", "price")
+        V.drop_column(t, "o_orderpriority")
+
+        def run():
+            (V.read_version(spark, t)
+             .agg(F.sum(F.col("price").cast("decimal(18,2)"))).collect())
+        return t, run
+
+    def stream_setup():
+        t = tempfile.mkdtemp(prefix="sgprobe_str_")
+        for i in range(4):                  # 4 commits = 4 file batches
+            V.write_snapshot(
+                orders.filter(F.col("o_orderkey") % 4 == i), t)
+        from databox_adls_loader_spark.sources.vtable_stream import \
+            register_vtable_stream
+        register_vtable_stream(spark)
+
+        def run():
+            ck = tempfile.mkdtemp(prefix="sgprobe_ck_")
+            try:
+                q = (spark.readStream.format("vtable_stream")
+                     .option("path", t).load().writeStream
+                     .foreachBatch(lambda df, bid: df.count())
+                     .option("checkpointLocation", ck)
+                     .trigger(availableNow=True).start())
+                q.awaitTermination(600)
+            finally:
+                shutil.rmtree(ck, ignore_errors=True)
+        return t, run
+
+    return {"vt_rename_drop_read_orders": rename_setup,
+            "vt_stream_drain_orders": stream_setup}
 
 
 def main() -> None:
@@ -130,8 +192,31 @@ def main() -> None:
             out.setdefault(name, {})[f"sf{sf}"] = {
                 "sec": round(dt, 4), "rows": n,
                 "rows_per_sec": round(n / dt) if n else None}
+        if not sys.argv[1:]:                # custom lakehouse probes
+            import shutil
+            n_orders = rows_of.get("orders") or load_tables(
+                spark, sf_dir, ["orders"])["orders"].count()
+            for pname, setup in _custom_probes(spark, sf_dir).items():
+                t, run = setup()
+                try:
+                    run()                   # warm
+                    t0 = time.monotonic()
+                    run()
+                    dt = time.monotonic() - t0
+                finally:
+                    shutil.rmtree(t, ignore_errors=True)
+                out.setdefault(pname, {})[f"sf{sf}"] = {
+                    "sec": round(dt, 4), "rows": n_orders,
+                    "rows_per_sec": round(n_orders / dt)}
+    path = os.path.join(REPO_ROOT, "SCALING.json")
+    if sys.argv[1:] and os.path.exists(path):
+        # targeted rerun: merge into the existing record
+        with open(path) as f:
+            prev = json.load(f).get("queries", {})
+        prev.update(out)
+        out = prev
     doc = {"sf_dirs": SF_DIRS + [sf1_dir], "queries": out}
-    with open(os.path.join(REPO_ROOT, "SCALING.json"), "w") as f:
+    with open(path, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
     for name, d in out.items():
         rps = [d[k]["rows_per_sec"] for k in sorted(d)]
