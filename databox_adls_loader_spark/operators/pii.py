@@ -51,3 +51,27 @@ def scrub_pii(docs: DataFrame, text_col: str = "text",
     for _, pat, token in PII_PATTERNS:
         col = F.regexp_replace(col, pat, token)
     return docs.withColumn(out_col, col)
+
+
+def k_anonymity_audit(df, quasi_cols: list[str], sensitive: str,
+                      k: int = 5, l: int = 2):
+    """k-anonymity / l-diversity audit over a quasi-identifier tuple:
+    per QI group its row count and distinct-sensitive-value count, with
+    violation flags (group_n < k → re-identifiable beyond 1-in-k;
+    l_distinct < l → attribute disclosure even inside a large group).
+    The release gate a privacy review runs BEFORE publishing a slice of
+    a corpus keyed by demographic-ish columns.
+
+    One grouped aggregate on the QI columns — scan-shaped, |QI groups|
+    output rows; pair with generalization (coarsen a QI column, rerun)
+    until the flags clear."""
+    from pyspark.sql import functions as F
+
+    return (df.groupBy(*quasi_cols)
+            .agg(F.count(F.lit(1)).alias("group_n"),
+                 F.count_distinct(F.col(sensitive)).alias("l_distinct"))
+            .select(*quasi_cols,
+                    F.col("group_n").cast("long").alias("group_n"),
+                    F.col("l_distinct").cast("long").alias("l_distinct"),
+                    (F.col("group_n") < k).alias("k_violation"),
+                    (F.col("l_distinct") < l).alias("l_violation")))

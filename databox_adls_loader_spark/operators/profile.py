@@ -390,3 +390,68 @@ def chi2_drift_buckets(df: DataFrame, value_col: str, slice_pred: Column,
             .select("bucket", "o_a", "o_b",
                     contrib.alias("chi2_contrib"))
             .orderBy("bucket"))
+
+
+def decile_lift(df: DataFrame, value_col: str, tiebreak: str,
+                cents: Column | None = None, k: int = 10) -> DataFrame:
+    """Decile (k-tile) lift table over a value column: per bucket the
+    row count, exact cents total, share of total in ppm, and CUMULATIVE
+    share in ppm — the 'top decile carries X% of revenue' concentration
+    report (bucketed sibling of `lorenz_skew`).
+
+    The k-tile comes from the two-phase range-partitioned rank
+    machinery (`windows.global_row_number` — no single-partition
+    window); ``tiebreak`` must make the order total so both engines
+    bucket boundary ties identically.  The k-row cumulative frame is a
+    bounded post-aggregate window."""
+    from .windows import global_row_number
+
+    v = cents if cents is not None else \
+        (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    ranked, n_rows = global_row_number(
+        df.select(F.col(value_col), F.col(tiebreak), v.alias("__cents")),
+        order=[(value_col, "asc"), (tiebreak, "asc")], out_col="__rn")
+    tot = ranked.agg(F.sum("__cents").alias("__tot"))
+    per = (ranked.join(F.broadcast(tot))
+           .withColumn("decile",
+                       F.expr(f"CAST((__rn - 1) * {k} DIV {n_rows} "
+                              "AS BIGINT) + 1"))
+           .groupBy("decile")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("__cents").cast("long").alias("sum_cents"),
+                F.max("__tot").alias("__tot")))
+    # k-row bounded post-aggregate frame (the documented exception to
+    # the no-global-window rule — |deciles| rows, never data rows)
+    return (per
+            .withColumn("share_ppm", F.expr(
+                "CAST(sum_cents * 1000000L DIV __tot AS BIGINT)"))
+            .withColumn("cum_share_ppm", F.expr(
+                "CAST(SUM(sum_cents) OVER (ORDER BY decile ROWS BETWEEN "
+                "UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000L "
+                "DIV __tot AS BIGINT)"))
+            .select("decile", F.col("n").cast("long").alias("n"),
+                    "sum_cents", "share_ppm", "cum_share_ppm"))
+
+
+def group_checksum(df: DataFrame, group_cols: list[str],
+                   cols: list[str]) -> DataFrame:
+    """Order-independent content CHECKSUM per group — the cross-engine
+    table-diff primitive: each row canonicalizes to a '\\x1f'-joined
+    string (NULL as a sentinel byte), hashes through md5 to a 60-bit
+    int, and the group fingerprint is (row count, BIT_XOR of hashes,
+    SUM of hashes mod 1 000 003).  Two tables/engines agree on a group
+    iff all three agree — xor catches substitutions sum-mod misses and
+    vice versa; both are order-independent, so no sort anywhere.
+
+    Use int/string/date columns only: float formatting differs across
+    engines.  Map-side hash + one grouped aggregate — scan-shaped."""
+    canon = F.concat_ws("\x1f", *[
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+        for c in cols])
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return (df.withColumn("__h", h)
+            .groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.expr("bit_xor(__h)").cast("long").alias("xor_sig"),
+                 F.sum(F.col("__h") % 1000003).cast("long")
+                 .alias("sum_sig")))

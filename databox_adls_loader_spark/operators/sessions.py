@@ -195,3 +195,120 @@ def funnel_counts_within(events: DataFrame, steps: list[str],
     return (counts.select(F.explode(pairs).alias("x"))
             .select("x.step_no", "x.step", "x.n_users")
             .orderBy("step_no"))
+
+
+def last_touch_attribution(events: DataFrame, conversion: str,
+                           channels: list[str],
+                           user_col: str = "user_id",
+                           ts_col: str = "ts",
+                           type_col: str = "event_type",
+                           tiebreak_col: str | None = None) -> DataFrame:
+    """Last-touch marketing attribution: each ``conversion`` event is
+    credited to the user's most recent STRICTLY-PRECEDING event whose
+    type is in ``channels``; conversions with no prior touch credit
+    'direct'.  Returns (channel, n_conversions).
+
+    One per-user ordered window carrying the last channel forward
+    (rows-frame ending at 1 PRECEDING, so a conversion can never credit
+    itself) + one small aggregate — no joins, shuffles on ``user_col``
+    only, so a billion-user log attributes in parallel per user."""
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = (Window.partitionBy(user_col).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    touch = F.last(
+        F.when(F.col(type_col).isin(*channels), F.col(type_col)),
+        ignorenulls=True).over(w)
+    return (events
+            .withColumn("__touch", touch)
+            .filter(F.col(type_col) == conversion)
+            .groupBy(F.coalesce("__touch", F.lit("direct"))
+                     .alias("channel"))
+            .agg(F.count(F.lit(1)).alias("n_conversions")))
+
+
+def activity_streaks(events: DataFrame,
+                     user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Longest consecutive-DAY activity streak per user, reported as a
+    distribution (streak_days, n_users) — the classic gaps-and-islands
+    detection: distinct active days per user, island key = day minus
+    row_number days (consecutive days share it), island length = count.
+
+    All integer/date arithmetic (no float), per-user windows only."""
+    days = (events.select(F.col(user_col).alias("u"),
+                          F.col(ts_col).cast("date").alias("day"))
+            .distinct())
+    w = Window.partitionBy("u").orderBy("day")
+    islands = (days
+               .withColumn("__k", F.date_sub(
+                   F.col("day"), F.row_number().over(w)))
+               .groupBy("u", "__k")
+               .agg(F.count(F.lit(1)).alias("len")))
+    longest = islands.groupBy("u").agg(F.max("len").alias("streak_days"))
+    return (longest.groupBy("streak_days")
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+def event_cooccurrence(events: DataFrame,
+                       user_col: str = "user_id",
+                       type_col: str = "event_type") -> DataFrame:
+    """Per event-type pair (a < b): how many users performed both, and
+    the conditional reach P(b|a) / P(a|b) in exact ppm (integral DIV) —
+    the co-occurrence matrix behind 'users who did X also did Y'.
+
+    The self-join runs on the (user, type)-DISTINCT frame, so per-user
+    fan-out is bounded by |types|² (a handful), never by event count;
+    the per-type totals broadcast."""
+    ut = (events.select(F.col(user_col).alias("u"),
+                        F.col(type_col).alias("t"))
+          .distinct())
+    per_type = ut.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ut.alias("a"), ut.alias("b")
+    both = (a.join(b, "u")
+            .filter(F.col("a.t") < F.col("b.t"))
+            .groupBy(F.col("a.t").alias("ta"), F.col("b.t").alias("tb"))
+            .agg(F.count(F.lit(1)).alias("n_both")))
+    na = per_type.select(F.col("t").alias("ta"), F.col("n").alias("n_a"))
+    nb = per_type.select(F.col("t").alias("tb"), F.col("n").alias("n_b"))
+    return (both
+            .join(F.broadcast(na), "ta").join(F.broadcast(nb), "tb")
+            .select("ta", "tb",
+                    F.col("n_both").cast("long").alias("n_both"),
+                    F.col("n_a").cast("long").alias("n_a"),
+                    F.col("n_b").cast("long").alias("n_b"),
+                    F.expr("CAST(n_both * 1000000L DIV n_a AS BIGINT)")
+                    .alias("p_b_given_a_ppm"),
+                    F.expr("CAST(n_both * 1000000L DIV n_b AS BIGINT)")
+                    .alias("p_a_given_b_ppm")))
+
+
+def milestone_completion(events: DataFrame, milestones: list[str],
+                         user_col: str = "user_id",
+                         ts_col: str = "ts",
+                         type_col: str = "event_type") -> DataFrame:
+    """Any-order milestone-set completion: per milestone the number of
+    users who reached it, plus an 'ALL' row with the users who reached
+    EVERY milestone and the median (percentile_disc — a value from the
+    data, no interpolation) first-to-last completion span in exact µs.
+
+    Two groupBys on (user, type) then (user): shuffles on the user key
+    only; the final frame is |milestones|+1 rows."""
+    firsts = (events.filter(F.col(type_col).isin(*milestones))
+              .groupBy(F.col(user_col).alias("u"),
+                       F.col(type_col).alias("t"))
+              .agg(F.min(F.unix_micros(F.col(ts_col))).alias("first_us")))
+    per_m = (firsts.groupBy("t")
+             .agg(F.count(F.lit(1)).alias("n_users"))
+             .select(F.col("t").alias("milestone"), "n_users",
+                     F.lit(None).cast("long").alias("p50_span_us")))
+    per_u = (firsts.groupBy("u")
+             .agg(F.count(F.lit(1)).alias("k"),
+                  (F.max("first_us") - F.min("first_us")).alias("span")))
+    done = (per_u.filter(F.col("k") == len(milestones))
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.expr("percentile_disc(0.5) WITHIN GROUP "
+                        "(ORDER BY span)").cast("long")
+                 .alias("p50_span_us"))
+            .select(F.lit("ALL").alias("milestone"), "n_users",
+                    "p50_span_us"))
+    return per_m.unionByName(done)

@@ -183,3 +183,106 @@ def ewma_binary_fleet(daily: DataFrame, day_col: str, value_col: str,
             .withColumn("ewma",
                         F.round(F.col(f"ewma_x{scale}").cast("double")
                                 / F.lit(float(scale)), 6)))
+
+
+def cusum_peak(daily: DataFrame, key_col: str, day_col: str,
+               value_col: str) -> DataFrame:
+    """CUSUM changepoint candidate per series: the day where the
+    running sum of deviations from the series mean peaks in absolute
+    value — the classic level-shift detector, INTEGER-exact by scaling:
+    dev_i = v_i·n − total (never a mean division), cusum_i = Σ dev_j.
+    Returns (key, peak_day, peak_abs_cusum, n_days); ties resolve to
+    the LATEST day (deterministic).  peak_abs_cusum is in value·n
+    units — compare within a series, not across.
+
+    Per-key windows only (no global sort); magnitudes bound at
+    |v|·n·n_days — counts/cents over thousands of days stay far inside
+    BIGINT."""
+    w_ord = (Window.partitionBy(key_col).orderBy(day_col)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy(key_col)
+    v = F.col(value_col).cast("long")
+    n = F.count(F.lit(1)).over(w_all)
+    tot = F.sum(v).over(w_all)
+    i = F.row_number().over(Window.partitionBy(key_col).orderBy(day_col))
+    cusum = F.sum(v).over(w_ord) * n - i * tot
+    scored = daily.select(
+        F.col(key_col), F.col(day_col),
+        F.abs(cusum).alias("__abs"), n.alias("__n"))
+    return (scored.groupBy(key_col)
+            .agg(F.max(F.struct("__abs", day_col)).alias("__peak"),
+                 F.max("__n").alias("n_days"))
+            .select(F.col(key_col),
+                    F.col("__peak")[day_col].alias("peak_day"),
+                    F.col("__peak.__abs").cast("long")
+                    .alias("peak_abs_cusum"),
+                    F.col("n_days").cast("long").alias("n_days")))
+
+
+def mad_outliers(df: DataFrame, key_col: str, value_col: str,
+                 k: int = 3) -> DataFrame:
+    """`mad_profile` + the outlier count it motivates, in one result:
+    (key, n, med, mad, n_outliers) where outliers satisfy
+    |x − med| > k·MAD.  Three passes over the keyed frame (median →
+    MAD → count), each a grouped aggregate with a broadcast join of
+    per-key scalars — no window, no global sort."""
+    v = F.col(value_col).cast("long")
+    med = (df.groupBy(key_col)
+           .agg(F.expr(f"percentile_disc(0.5) WITHIN GROUP "
+                       f"(ORDER BY {value_col})").cast("long")
+                .alias("med")))
+    dev = (df.select(key_col, v.alias("__v"))
+           .join(F.broadcast(med), key_col)
+           .withColumn("__dev", F.abs(F.col("__v") - F.col("med"))))
+    mad = (dev.groupBy(key_col)
+           .agg(F.expr("percentile_disc(0.5) WITHIN GROUP "
+                       "(ORDER BY __dev)").cast("long").alias("mad")))
+    return (dev.join(F.broadcast(mad), key_col)
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.max("med").alias("med"), F.max("mad").alias("mad"),
+                 F.sum((F.col("__dev") > k * F.col("mad"))
+                       .cast("long")).alias("n_outliers"))
+            .select(key_col, F.col("n").cast("long").alias("n"),
+                    "med", "mad",
+                    F.col("n_outliers").cast("long").alias("n_outliers")))
+
+
+def time_weighted_avg(events: DataFrame, key_col: str,
+                      ts_col: str, value_scaled: "Column",
+                      tiebreak_col: str = "event_id") -> DataFrame:
+    """Time-weighted average per (key, day): each observation holds its
+    value until the next one the same day (the step-function integral
+    sensor/price data needs — a plain AVG over-weights bursts of
+    samples); (key, day) groups with fewer than two events have no
+    segment and are dropped.
+
+    ``value_scaled`` must already be an INTEGER-scaled value (e.g.
+    value·10⁴ — the caller picks the resolution); the result
+    ``twap_scaled = Σ v_i·Δt_i DIV Σ Δt_i`` is in the same unit, all
+    integer µs × scaled-value arithmetic: |v|≤5·10⁶ × 86 400s·10⁶ µs ≈
+    4·10¹⁷ per day-group, inside BIGINT with no further scaling.
+    One per-(key, day) lead window + one grouped aggregate.
+
+    ``tiebreak_col`` totalizes the order under equal timestamps —
+    tied events form zero-length segments whichever order they take,
+    but WHICH value owns the following nonzero segment must be
+    deterministic for the cross-engine hash to hold."""
+    e = events.select(
+        F.col(key_col).alias("k"),
+        F.col(ts_col).cast("date").alias("day"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.col(tiebreak_col).alias("tb"),
+        value_scaled.cast("long").alias("v"))
+    w = Window.partitionBy("k", "day").orderBy("us", "tb")
+    seg = (e.withColumn("__next", F.lead("us").over(w))
+           .filter(F.col("__next").isNotNull())
+           .withColumn("__dt", F.col("__next") - F.col("us")))
+    return (seg.groupBy("k", "day")
+            .agg(F.sum(F.col("v") * F.col("__dt")).alias("__vdt"),
+                 F.sum("__dt").alias("__dt_total"))
+            .filter(F.col("__dt_total") > 0)
+            .select(F.col("k").alias(key_col), "day",
+                    F.expr("CAST(__vdt DIV __dt_total AS BIGINT)")
+                    .alias("twap_scaled"),
+                    F.col("__dt_total").cast("long").alias("span_us")))

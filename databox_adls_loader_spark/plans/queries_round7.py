@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .queries import _t, register
+from .queries_ext import _hex15_to_long as _hex15
 
 
 # ---------------------------------------------------------------------------
@@ -217,3 +218,373 @@ def mv_sql_route_star(spark: SparkSession, sf_dir: str) -> DataFrame:
                              fallback=_no_fallback)
     assert used == spec.name
     return df
+
+
+# ---------------------------------------------------------------------------
+# behavioral analytics: attribution, streaks, co-occurrence, milestones
+# ---------------------------------------------------------------------------
+
+@register(
+    "sess9_last_touch_attribution",
+    oracle="""
+    WITH w AS (
+      SELECT event_type,
+             last_value(CASE WHEN event_type IN ('click','view','signup')
+                        THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM events)
+    SELECT COALESCE(touch, 'direct') AS channel,
+           COUNT(*) AS n_conversions
+    FROM w WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY channel
+    """,
+    tags=["sessions", "attribution", "window"],
+)
+def sess9_last_touch_attribution(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Last-touch attribution (operator:
+    `operators/sessions.last_touch_attribution`): every purchase
+    credits the user's most recent strictly-preceding click/view/signup
+    — the marketing-credit rule behind channel ROI dashboards;
+    touchless conversions credit 'direct'.  The rows-frame ends at
+    1 PRECEDING on BOTH engines, so self-credit is structurally
+    impossible and the boundary rows hash identically."""
+    from ..operators.sessions import last_touch_attribution
+
+    (events,) = _t(spark, sf_dir, "events")
+    return (last_touch_attribution(
+        events, "purchase", ["click", "view", "signup"],
+        tiebreak_col="event_id")
+        .orderBy("channel"))
+
+
+@register(
+    "sess10_activity_streaks",
+    oracle="""
+    WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+               FROM events),
+    i AS (SELECT user_id,
+                 day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY day) AS INT) AS k
+          FROM d),
+    s AS (SELECT user_id, COUNT(*) AS len FROM i GROUP BY user_id, k),
+    m AS (SELECT user_id, MAX(len) AS streak_days FROM s
+          GROUP BY user_id)
+    SELECT CAST(streak_days AS BIGINT) AS streak_days,
+           COUNT(*) AS n_users
+    FROM m GROUP BY 1 ORDER BY streak_days
+    """,
+    tags=["sessions", "streaks", "islands"],
+)
+def sess10_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user, as a
+    (streak_days → n_users) distribution (operator:
+    `operators/sessions.activity_streaks`) — the classic
+    gaps-and-islands detection (island key = day − row_number days),
+    pure integer/date arithmetic, per-user windows only."""
+    from ..operators.sessions import activity_streaks
+
+    (events,) = _t(spark, sf_dir, "events")
+    return (activity_streaks(events)
+            .select(F.col("streak_days").cast("long").alias("streak_days"),
+                    F.col("n_users").cast("long").alias("n_users"))
+            .orderBy("streak_days"))
+
+
+@register(
+    "sess11_event_cooccurrence",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t
+                FROM events),
+    n AS (SELECT t, COUNT(*) AS n FROM ut GROUP BY t),
+    b AS (SELECT a.t AS ta, b.t AS tb, COUNT(*) AS n_both
+          FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t GROUP BY 1, 2)
+    SELECT ta, tb, CAST(n_both AS BIGINT) AS n_both,
+           CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+           CAST(n_both * 1000000 // na.n AS BIGINT) AS p_b_given_a_ppm,
+           CAST(n_both * 1000000 // nb.n AS BIGINT) AS p_a_given_b_ppm
+    FROM b JOIN n na ON b.ta = na.t JOIN n nb ON b.tb = nb.t
+    ORDER BY ta, tb
+    """,
+    tags=["sessions", "cooccurrence", "lift"],
+)
+def sess11_event_cooccurrence(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence matrix with exact-ppm conditional reach
+    (operator: `operators/sessions.event_cooccurrence`) — 'users who
+    did X also did Y'.  The self-join runs on the DISTINCT (user, type)
+    frame, so per-user fan-out is |types|², never event count."""
+    from ..operators.sessions import event_cooccurrence
+
+    (events,) = _t(spark, sf_dir, "events")
+    return event_cooccurrence(events).orderBy("ta", "tb")
+
+
+@register(
+    "sess12_milestone_completion",
+    oracle="""
+    WITH f AS (SELECT user_id AS u, event_type AS t,
+                      MIN(epoch_us(ts)) AS fu
+               FROM events
+               WHERE event_type IN ('signup', 'view', 'purchase')
+               GROUP BY 1, 2),
+    pm AS (SELECT t AS milestone, COUNT(*) AS n_users,
+                  CAST(NULL AS BIGINT) AS p50_span_us
+           FROM f GROUP BY t),
+    pu AS (SELECT u, COUNT(*) AS k, MAX(fu) - MIN(fu) AS span
+           FROM f GROUP BY u),
+    al AS (SELECT 'ALL' AS milestone, COUNT(*) AS n_users,
+                  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY span)
+                       AS BIGINT) AS p50_span_us
+           FROM pu WHERE k = 3)
+    SELECT milestone, CAST(n_users AS BIGINT) AS n_users, p50_span_us
+    FROM (SELECT * FROM pm UNION ALL SELECT * FROM al)
+    ORDER BY milestone
+    """,
+    tags=["sessions", "milestones", "funnel"],
+)
+def sess12_milestone_completion(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """ANY-ORDER milestone-set completion (operator:
+    `operators/sessions.milestone_completion`) — the unordered sibling
+    of the step funnels: per milestone its reach, plus the users who
+    hit ALL of {signup, view, purchase} and their median first-to-last
+    span in exact µs (percentile_disc: a value from the data, no
+    interpolation — hash-portable)."""
+    from ..operators.sessions import milestone_completion
+
+    (events,) = _t(spark, sf_dir, "events")
+    return (milestone_completion(events, ["signup", "view", "purchase"])
+            .select("milestone",
+                    F.col("n_users").cast("long").alias("n_users"),
+                    "p50_span_us")
+            .orderBy("milestone"))
+
+
+# ---------------------------------------------------------------------------
+# robust/exact time-series forms: CUSUM changepoint, MAD outliers, TWAP
+# ---------------------------------------------------------------------------
+
+@register(
+    "ts_cusum_changepoint_fleet",
+    oracle="""
+    WITH d AS (SELECT o_orderstatus AS st, CAST(o_orderdate AS DATE)
+                      AS day, COUNT(*) AS v
+               FROM orders GROUP BY 1, 2),
+    c AS (SELECT st, day,
+                 ABS(SUM(v) OVER (PARTITION BY st ORDER BY day
+                                  ROWS UNBOUNDED PRECEDING)
+                     * (COUNT(*) OVER (PARTITION BY st))
+                     - (ROW_NUMBER() OVER (PARTITION BY st ORDER BY day))
+                     * (SUM(v) OVER (PARTITION BY st))) AS a,
+                 COUNT(*) OVER (PARTITION BY st) AS nd
+          FROM d),
+    r AS (SELECT st, day, a, nd,
+                 ROW_NUMBER() OVER (PARTITION BY st
+                                    ORDER BY a DESC, day DESC) AS rn
+          FROM c)
+    SELECT st AS o_orderstatus, day AS peak_day,
+           CAST(a AS BIGINT) AS peak_abs_cusum,
+           CAST(nd AS BIGINT) AS n_days
+    FROM r WHERE rn = 1 ORDER BY o_orderstatus
+    """,
+    tags=["timeseries", "cusum", "changepoint", "fleet"],
+)
+def ts_cusum_changepoint_fleet(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """CUSUM changepoint candidate per order-status series (operator:
+    `operators/timeseries.cusum_peak`): the day where the cumulative
+    deviation of daily order counts from the series mean peaks —
+    INTEGER-exact by scaling (dev = v·n − total, never a mean
+    division), per-key windows only, ties to the latest day on both
+    engines."""
+    from ..operators.timeseries import cusum_peak
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = (orders.groupBy("o_orderstatus",
+                            F.col("o_orderdate").cast("date").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    return (cusum_peak(daily, "o_orderstatus", "day", "n")
+            .orderBy("o_orderstatus"))
+
+
+@register(
+    "ts_mad_robust_fleet",
+    oracle="""
+    WITH e AS (SELECT event_type AS t,
+                      CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                        AS v
+               FROM events),
+    m AS (SELECT t, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v)
+                         AS BIGINT) AS med
+          FROM e GROUP BY t),
+    d AS (SELECT e.t, ABS(e.v - m.med) AS dev, m.med
+          FROM e JOIN m ON e.t = m.t),
+    md AS (SELECT t, CAST(percentile_disc(0.5) WITHIN GROUP
+                          (ORDER BY dev) AS BIGINT) AS mad
+           FROM d GROUP BY t)
+    SELECT d.t AS event_type, COUNT(*) AS n, MAX(d.med) AS med,
+           MAX(md.mad) AS mad,
+           CAST(SUM(CASE WHEN d.dev > 3 * md.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM d JOIN md ON d.t = md.t GROUP BY 1 ORDER BY 1
+    """,
+    tags=["timeseries", "mad", "robust", "fleet"],
+)
+def ts_mad_robust_fleet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust dispersion + Hampel-rule outlier counts per
+    event-type series (operator: `operators/timeseries.mad_outliers`)
+    — the heavy-tail-proof sibling of the z-score fleet: percentile_disc
+    picks VALUES from the data (no interpolation), so integer-scaled
+    inputs give integer-exact medians, MADs, and flags on both
+    engines."""
+    from ..functions.exact import dec
+    from ..operators.timeseries import mad_outliers
+
+    (events,) = _t(spark, sf_dir, "events")
+    e = events.select("event_type",
+                      (dec("value", 4) * 10000).cast("long")
+                      .alias("v_scaled"))
+    return (mad_outliers(e, "event_type", "v_scaled", k=3)
+            .orderBy("event_type"))
+
+
+@register(
+    "ts_twap_daily",
+    oracle="""
+    WITH e AS (SELECT event_type AS k, CAST(ts AS DATE) AS day,
+                      epoch_us(ts) AS us, event_id,
+                      CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                        AS v
+               FROM events),
+    s AS (SELECT k, day, v, us,
+                 LEAD(us) OVER (PARTITION BY k, day
+                                ORDER BY us, event_id) AS nxt
+          FROM e),
+    g AS (SELECT k, day, SUM(v * (nxt - us)) AS vdt,
+                 SUM(nxt - us) AS dt
+          FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2)
+    SELECT k AS event_type, day,
+           CAST(vdt // dt AS BIGINT) AS twap_scaled,
+           CAST(dt AS BIGINT) AS span_us
+    FROM g WHERE dt > 0 ORDER BY event_type, day
+    """,
+    tags=["timeseries", "twap", "integral"],
+)
+def ts_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (event_type, day) (operator:
+    `operators/timeseries.time_weighted_avg`): each observation holds
+    until the next one that day — the step-function integral a plain
+    AVG gets wrong under bursty sampling.  All integer µs × scaled-
+    value arithmetic with an event_id tiebreak, so segment ownership
+    under tied timestamps is deterministic and the DIV is exact."""
+    from ..functions.exact import dec
+    from ..operators.timeseries import time_weighted_avg
+
+    (events,) = _t(spark, sf_dir, "events")
+    return (time_weighted_avg(events, "event_type", "ts",
+                              (dec("value", 4) * 10000).cast("long"))
+            .orderBy("event_type", "day"))
+
+
+# ---------------------------------------------------------------------------
+# concentration, content checksums, privacy audit
+# ---------------------------------------------------------------------------
+
+@register(
+    "prof_decile_lift_totalprice",
+    oracle="""
+    WITH r AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT) AS cents,
+                      ROW_NUMBER() OVER (ORDER BY o_totalprice,
+                                         o_orderkey) AS rn,
+                      COUNT(*) OVER () AS nt
+               FROM orders),
+    d AS (SELECT (rn - 1) * 10 // nt + 1 AS decile, cents FROM r),
+    t AS (SELECT SUM(cents) AS tot FROM d),
+    p AS (SELECT decile, COUNT(*) AS n, SUM(cents) AS sum_cents
+          FROM d GROUP BY decile)
+    SELECT CAST(decile AS BIGINT) AS decile, CAST(n AS BIGINT) AS n,
+           CAST(sum_cents AS BIGINT) AS sum_cents,
+           CAST(sum_cents * 1000000 // tot AS BIGINT) AS share_ppm,
+           CAST(SUM(sum_cents) OVER (ORDER BY decile
+                ROWS UNBOUNDED PRECEDING) * 1000000 // tot AS BIGINT)
+             AS cum_share_ppm
+    FROM p CROSS JOIN t ORDER BY decile
+    """,
+    tags=["profile", "decile", "concentration"],
+)
+def prof_decile_lift_totalprice(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Decile lift over order totals (operator:
+    `operators/profile.decile_lift`): per decile the exact cents mass,
+    share, and cumulative share in ppm — the bucketed concentration
+    report next to the Lorenz curve.  Deciles come from the two-phase
+    range-partitioned row_number (no single-partition window), with
+    o_orderkey totalizing boundary ties on both engines."""
+    from ..operators.profile import decile_lift
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (decile_lift(orders, "o_totalprice", "o_orderkey")
+            .orderBy("decile"))
+
+
+@register(
+    "dq_group_checksum_orders",
+    oracle=f"""
+    WITH h AS (SELECT o_orderstatus,
+      {_hex15(
+        "md5(concat_ws(chr(31), "
+        "coalesce(CAST(o_orderkey AS VARCHAR), chr(0) || 'null'), "
+        "coalesce(o_orderpriority, chr(0) || 'null')))")} AS h
+      FROM orders)
+    SELECT o_orderstatus, COUNT(*) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS xor_sig,
+           CAST(SUM(h % 1000003) AS BIGINT) AS sum_sig
+    FROM h GROUP BY 1 ORDER BY 1
+    """,
+    tags=["dq", "checksum", "fingerprint"],
+)
+def dq_group_checksum_orders(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Order-independent per-group content checksum (operator:
+    `operators/profile.group_checksum`) — the cross-engine table-diff
+    primitive: count + BIT_XOR + mod-prime SUM of a canonical md5 row
+    hash per status group.  Two engines (or two replicas of a 100 TB
+    table) agree on a group iff all three signatures agree, with no
+    sort and no row shipping — this query hash-proves the Spark and
+    DuckDB fingerprints are bit-identical."""
+    from ..operators.profile import group_checksum
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (group_checksum(orders, ["o_orderstatus"],
+                           ["o_orderkey", "o_orderpriority"])
+            .orderBy("o_orderstatus"))
+
+
+@register(
+    "pii_k_anonymity_audit",
+    oracle="""
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS group_n,
+           CAST(COUNT(DISTINCT n_chars) AS BIGINT) AS l_distinct,
+           COUNT(*) < 5 AS k_violation,
+           COUNT(DISTINCT n_chars) < 2 AS l_violation
+    FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=["pii", "privacy", "k-anonymity"],
+)
+def pii_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity release audit (operator:
+    `operators/pii.k_anonymity_audit`) over the (lang, source)
+    quasi-identifier with n_chars as the sensitive attribute: per QI
+    group its size, distinct-sensitive count, and the k<5 / l<2
+    violation flags — the privacy gate a corpus slice passes before
+    publication.  One grouped aggregate, |QI groups| output rows."""
+    from ..operators.pii import k_anonymity_audit
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (k_anonymity_audit(docs, ["lang", "source"], "n_chars",
+                              k=5, l=2)
+            .orderBy("lang", "source"))

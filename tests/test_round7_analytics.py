@@ -1,0 +1,216 @@
+"""Round-7 analytics operators: attribution, streaks, co-occurrence,
+milestones, CUSUM, MAD, TWAP, decile lift, group checksums, k-anonymity
+— edge semantics the oracle gate's fixed data can't isolate."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+
+
+TS = dt.datetime
+
+
+class TestAttribution:
+    def test_credits_last_touch_not_self_and_direct(self, spark):
+        from databox_adls_loader_spark.operators.sessions import \
+            last_touch_attribution
+
+        ev = _events(spark, [
+            (1, TS(2024, 1, 1, 10), 1, "click", 0.0),
+            (2, TS(2024, 1, 1, 11), 1, "view", 0.0),
+            (3, TS(2024, 1, 1, 12), 1, "purchase", 5.0),   # → view
+            (4, TS(2024, 1, 2, 9), 2, "purchase", 2.0),    # → direct
+            (5, TS(2024, 1, 2, 10), 2, "purchase", 2.0),   # → direct
+        ])
+        got = {r["channel"]: r["n_conversions"] for r in
+               last_touch_attribution(
+                   ev, "purchase", ["click", "view"],
+                   tiebreak_col="event_id").collect()}
+        # purchases are NOT channels here, so the second user-2 purchase
+        # must not credit the first one; both stay direct
+        assert got == {"view": 1, "direct": 2}
+
+    def test_prior_conversion_can_be_channel_when_listed(self, spark):
+        from databox_adls_loader_spark.operators.sessions import \
+            last_touch_attribution
+
+        ev = _events(spark, [
+            (1, TS(2024, 1, 1, 10), 1, "purchase", 1.0),
+            (2, TS(2024, 1, 1, 11), 1, "purchase", 1.0),
+        ])
+        got = {r["channel"]: r["n_conversions"] for r in
+               last_touch_attribution(
+                   ev, "purchase", ["purchase"],
+                   tiebreak_col="event_id").collect()}
+        # strictly-preceding frame: first credits direct, second the first
+        assert got == {"direct": 1, "purchase": 1}
+
+
+class TestStreaks:
+    def test_islands_split_on_gaps_and_dedupe_days(self, spark):
+        from databox_adls_loader_spark.operators.sessions import \
+            activity_streaks
+
+        d = dt.datetime
+        ev = _events(spark, [
+            # user 1: Jan 1,2,3 (two events on the 2nd), gap, Jan 10
+            (1, d(2024, 1, 1), 1, "view", 0.0),
+            (2, d(2024, 1, 2, 8), 1, "view", 0.0),
+            (3, d(2024, 1, 2, 20), 1, "click", 0.0),
+            (4, d(2024, 1, 3), 1, "view", 0.0),
+            (5, d(2024, 1, 10), 1, "view", 0.0),
+            # user 2: a single day
+            (6, d(2024, 2, 1), 2, "view", 0.0),
+        ])
+        got = {r["streak_days"]: r["n_users"]
+               for r in activity_streaks(ev).collect()}
+        assert got == {3: 1, 1: 1}
+
+
+class TestCusum:
+    def test_level_shift_peaks_at_boundary(self, spark):
+        from databox_adls_loader_spark.operators.timeseries import \
+            cusum_peak
+
+        rows = [("a", dt.date(2024, 1, i + 1), v)
+                for i, v in enumerate([10, 10, 10, 20, 20, 20])]
+        daily = spark.createDataFrame(rows, "k string, day date, v long")
+        out = cusum_peak(daily, "k", "day", "v").collect()
+        assert len(out) == 1
+        r = out[0]
+        # mean 15; cusum of (v−15)·6: −30,−60,−90,−60,−30,0 → peak |−90|
+        # at the last pre-shift day
+        assert r["peak_day"] == dt.date(2024, 1, 3)
+        assert r["peak_abs_cusum"] == 90 and r["n_days"] == 6
+
+
+class TestMad:
+    def test_median_mad_and_hampel_flags(self, spark):
+        from databox_adls_loader_spark.operators.timeseries import \
+            mad_outliers
+
+        vals = [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]
+        df = spark.createDataFrame([("a", v) for v in vals],
+                                   "k string, v long")
+        r = mad_outliers(df, "k", "v", k=3).collect()[0]
+        # percentile_disc(0.5) over 10 values picks the 5th (value 5)
+        assert r["med"] == 5
+        # deviations: 4,3,2,1,0,1,2,3,4,995 → disc median 2
+        assert r["mad"] == 2
+        # |x−5| > 6 → only 1000
+        assert r["n_outliers"] == 1 and r["n"] == 10
+
+
+class TestTwap:
+    def test_step_integral_vs_plain_avg(self, spark):
+        from databox_adls_loader_spark.operators.timeseries import \
+            time_weighted_avg
+
+        d = dt.datetime
+        # value 100 for 9 hours, then 3 bursty samples of 0 for 1h total
+        ev = _events(spark, [
+            (1, d(2024, 1, 1, 0), 1, "m", 100.0),
+            (2, d(2024, 1, 1, 9), 1, "m", 0.0),
+            (3, d(2024, 1, 1, 9, 30), 1, "m", 0.0),
+            (4, d(2024, 1, 1, 10), 1, "m", 0.0),
+        ])
+        out = time_weighted_avg(
+            ev, "event_type", "ts",
+            (F.col("value").cast("decimal(18,4)") * 10000).cast("long"))
+        r = out.collect()[0]
+        # 9h at 100, 1h at 0 → TWAP 90.0 (scaled 900000); plain AVG = 25
+        assert r["twap_scaled"] == 900_000
+        assert r["span_us"] == 10 * 3600 * 1_000_000
+
+
+class TestDecileLift:
+    def test_shares_sum_and_cumulative_monotone(self, spark):
+        from databox_adls_loader_spark.operators.profile import decile_lift
+
+        df = spark.createDataFrame(
+            [(float(i), i) for i in range(1, 101)], "v double, id long")
+        rows = decile_lift(df, "v", "id").orderBy("decile").collect()
+        assert [r["decile"] for r in rows] == list(range(1, 11))
+        assert all(r["n"] == 10 for r in rows)
+        assert rows[-1]["cum_share_ppm"] == 1_000_000
+        cums = [r["cum_share_ppm"] for r in rows]
+        assert cums == sorted(cums)
+        # top decile carries 91+...+100 of 5050
+        assert rows[-1]["sum_cents"] == sum(range(91, 101)) * 100
+
+
+class TestGroupChecksum:
+    def test_order_independent_and_change_sensitive(self, spark):
+        from databox_adls_loader_spark.operators.profile import \
+            group_checksum
+
+        a = spark.createDataFrame(
+            [(1, "x", "g"), (2, "y", "g"), (3, None, "g")],
+            "id long, s string, grp string")
+        b = spark.createDataFrame(         # same rows, different order
+            [(3, None, "g"), (1, "x", "g"), (2, "y", "g")],
+            "id long, s string, grp string")
+        c = spark.createDataFrame(         # one value changed
+            [(1, "x", "g"), (2, "z", "g"), (3, None, "g")],
+            "id long, s string, grp string")
+        sig = lambda df: tuple(group_checksum(
+            df, ["grp"], ["id", "s"]).collect()[0])
+        assert sig(a) == sig(b)
+        assert sig(a) != sig(c)
+
+    def test_null_vs_empty_string_distinct(self, spark):
+        from databox_adls_loader_spark.operators.profile import \
+            group_checksum
+
+        a = spark.createDataFrame([(1, None, "g")],
+                                  "id long, s string, grp string")
+        b = spark.createDataFrame([(1, "", "g")],
+                                  "id long, s string, grp string")
+        sig = lambda df: tuple(group_checksum(
+            df, ["grp"], ["id", "s"]).collect()[0])
+        assert sig(a) != sig(b)
+
+
+class TestKAnonymity:
+    def test_flags(self, spark):
+        from databox_adls_loader_spark.operators.pii import \
+            k_anonymity_audit
+
+        df = spark.createDataFrame(
+            [("de", "a", 1), ("de", "a", 2), ("de", "a", 3),
+             ("fr", "b", 7), ("fr", "b", 7)],
+            "lang string, src string, sens long")
+        got = {(r["lang"], r["src"]):
+               (r["group_n"], r["l_distinct"],
+                r["k_violation"], r["l_violation"])
+               for r in k_anonymity_audit(
+                   df, ["lang", "src"], "sens", k=3, l=2).collect()}
+        assert got[("de", "a")] == (3, 3, False, False)
+        # big enough group but zero diversity → l violation only
+        assert got[("fr", "b")] == (2, 1, True, True)
+
+
+class TestMilestones:
+    def test_incomplete_users_excluded_from_all(self, spark):
+        from databox_adls_loader_spark.operators.sessions import \
+            milestone_completion
+
+        d = dt.datetime
+        ev = _events(spark, [
+            (1, d(2024, 1, 1), 1, "signup", 0.0),
+            (2, d(2024, 1, 2), 1, "view", 0.0),
+            (3, d(2024, 1, 1), 2, "signup", 0.0),
+        ])
+        got = {r["milestone"]: (r["n_users"], r["p50_span_us"])
+               for r in milestone_completion(
+                   ev, ["signup", "view"]).collect()}
+        assert got["signup"] == (2, None) and got["view"] == (1, None)
+        assert got["ALL"] == (1, 86_400 * 1_000_000)
