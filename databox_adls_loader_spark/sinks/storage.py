@@ -136,6 +136,16 @@ _PAFS_ALIASES = {"s3a": "s3", "s3n": "s3", "abfss": "abfs",
                  "wasbs": "abfs", "wasb": "abfs"}
 
 
+def path_key(u: str) -> str:
+    """One comparison key across local spellings: `_metadata.file_path`
+    / `input_file_name()` print ``file:/x`` URIs while bare-path tables
+    canonicalize to abspaths — collapse the ``file`` scheme, keep
+    remote schemes.  Use for any set-membership between executor-
+    reported paths and manifest entries."""
+    c = _canon_uri(u)
+    return c[len("file://"):] if c.startswith("file://") else c
+
+
 def _split_uri(u: str) -> tuple[str, str, str]:
     """canonical URI → (scheme, authority, path); bare paths get
     ('', '', abspath)."""

@@ -300,6 +300,38 @@ def _bloom_maybe_contains(bloom: dict, value) -> bool:
     return True
 
 
+# manifest string bounds are truncated to this many chars — a text
+# column's min/max must not embed whole documents in every manifest
+_STR_BOUND_LIMIT = 64
+
+
+def _truncate_str_bounds(mn, mx, limit: int = _STR_BOUND_LIMIT):
+    """(lo, hi) with len ≤ limit and lo ≤ mn, hi ≥ mx — VALID bounds
+    (pruning stays a superset guarantee), or None when no short upper
+    bound exists.  The lower bound is a plain prefix; the upper bound
+    is the max's prefix with its last non-maximal code point bumped
+    (UTF-8 byte order is code-point order, so the bump holds on the
+    engine side too; the surrogate gap is skipped).  The Delta/Iceberg
+    string-stats truncation technique."""
+    if not isinstance(mn, str) or not isinstance(mx, str):
+        return mn, mx
+    if len(mn) <= limit and len(mx) <= limit:
+        return mn, mx
+    lo = mn[:limit]
+    if len(mx) <= limit:
+        return lo, mx
+    chars = list(mx[:limit])
+    for i in range(len(chars) - 1, -1, -1):
+        cp = ord(chars[i])
+        if cp < 0x10FFFF:
+            ncp = cp + 1
+            if 0xD800 <= ncp <= 0xDFFF:   # unencodable surrogate range
+                ncp = 0xE000
+            chars[i] = chr(ncp)
+            return lo, "".join(chars[:i + 1])
+    return None                            # every char maximal: no bound
+
+
 def _file_stats(path: str, st, bloom_cols=None) -> dict:
     """Per-column min/max/null_count from the parquet FOOTER (no data
     pages read on local storage; the Hadoop impl pulls the file through
@@ -353,7 +385,9 @@ def _file_stats(path: str, st, bloom_cols=None) -> dict:
     for name, c in cols.items():
         entry = {"null_count": c["null_count"]}
         if c["has_bounds"] and "min" in c:
-            entry["min"], entry["max"] = c["min"], c["max"]
+            tb = _truncate_str_bounds(c["min"], c["max"])
+            if tb is not None:
+                entry["min"], entry["max"] = tb
         out[name] = entry
     for bc in (bloom_cols or []):
         if bc in out:
@@ -770,7 +804,9 @@ def _stats_distributed(spark: SparkSession, files: list[str],
             if mn is not None and isinstance(mn, (int, float, str, bool)) \
                     and not (isinstance(mn, float) and mn != mn) \
                     and not (isinstance(mx, float) and mx != mx):
-                entry["min"], entry["max"] = mn, mx
+                tb = _truncate_str_bounds(mn, mx)
+                if tb is not None:
+                    entry["min"], entry["max"] = tb
             b = blooms.get(r["__f"], {}).get(c)
             if b is not None:
                 entry["bloom"] = b
@@ -785,8 +821,12 @@ def _stats_distributed(spark: SparkSession, files: list[str],
 
 
 def _canon_uri_key(p: str) -> str:
-    from .storage import _canon_uri
-    return _canon_uri(p)
+    # scheme-collapsed: `_metadata.file_path` prints file:/... while a
+    # bare-path table's manifest stores abspaths — a raw _canon_uri
+    # compare would miss EVERY file and silently demote the distributed
+    # stats job to per-file driver footer reads (the caught round-7 bug)
+    from .storage import path_key
+    return path_key(p)
 
 
 def _inherited_stats(table_dir: str, version: int | None) -> dict[str, dict]:

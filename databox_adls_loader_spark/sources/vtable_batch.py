@@ -170,14 +170,11 @@ class VTableBatchReader(DataSourceReader):
 
 
 def _path_key(u: str) -> str:
-    """One comparison key across spellings: DV files store
-    `_metadata.file_path` URIs (``file:/x``), manifests store bare
-    abspaths locally and ``scheme://`` URIs elsewhere — collapse the
-    local-scheme difference, keep remote schemes."""
-    from ..sinks.storage import _canon_uri
+    """DV `_metadata` URIs vs manifest paths: one comparison key
+    (see `sinks/storage.path_key`)."""
+    from ..sinks.storage import path_key
 
-    c = _canon_uri(u)
-    return c[len("file://"):] if c.startswith("file://") else c
+    return path_key(u)
 
 
 def _deleted_ranges(partition: _VPart, canon):

@@ -1243,3 +1243,63 @@ class TestRunLengthDeleteVectors:
         assert (v, n) == (3, 10)
         assert sorted(r["id"] for r in V.read_version(spark, t).collect()) \
             == list(range(10, 90))
+
+
+class TestStringBoundsAndDistributedAttribution:
+    """Round-7: manifest string bounds are truncated (≤64 chars, still
+    valid), and the distributed stats job attributes rows to files on
+    bare-path tables (the file:/-vs-abspath key mismatch silently
+    demoted it to per-file driver footer reads)."""
+
+    def test_truncate_str_bounds_validity(self):
+        big_a, big_b = "a" * 100, "b" * 100
+        lo, hi = V._truncate_str_bounds(big_a, big_b)
+        assert lo <= big_a and hi >= big_b
+        assert len(lo) <= 64 and len(hi) <= 64
+        # short strings pass through untouched
+        assert V._truncate_str_bounds("abc", "abd") == ("abc", "abd")
+        # non-strings untouched
+        assert V._truncate_str_bounds(3, 9) == (3, 9)
+        # all-maximal max: no short upper bound exists
+        assert V._truncate_str_bounds("a", chr(0x10FFFF) * 70) is None
+        # surrogate gap skipped on the bump
+        mx = "x" + chr(0xD7FF) * 70
+        lo2, hi2 = V._truncate_str_bounds("a" * 70, mx)
+        assert hi2 >= mx and all(not 0xD800 <= ord(c) <= 0xDFFF
+                                 for c in hi2)
+
+    def test_distributed_stats_attribute_files_on_bare_paths(
+            self, spark, tmp_path):
+        # >4KB strings make the regression observable: parquet footers
+        # drop their stats entirely, so bounds can only come from the
+        # distributed job having matched `_metadata` URIs onto manifest
+        # paths — before the fix, no text bounds appeared at all
+        t = str(tmp_path / "t")
+        n_files = V._DISTRIBUTED_STATS_MIN_FILES
+        df = spark.createDataFrame(
+            [(i, f"{i:06d}" + "x" * 5000) for i in range(200)],
+            "id long, text string")
+        V.write_snapshot(df.repartition(n_files), t)
+        doc = V._read_manifest_doc(t, 1)
+        assert len(doc["files"]) == n_files
+        for f in doc["files"]:
+            c = doc["stats"][f]["columns"]["text"]
+            assert "min" in c, f
+            assert len(c["min"]) <= 64 and len(c["max"]) <= 64
+        # manifest stays small despite 5KB strings
+        st = V._st(t)
+        assert st.file_size(V._manifest_path(st, t, 1)) < 64 * 1024
+
+    def test_truncated_bounds_still_prune_exactly(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        rows = [(i, ("a" if i < 50 else "z") * 100 + f"{i:04d}")
+                for i in range(100)]
+        df = spark.createDataFrame(rows, "id long, text string")
+        V.write_snapshot(df.filter("id < 50").coalesce(1), t)
+        V.write_snapshot(df.filter("id >= 50").coalesce(1), t)
+        target = "z" * 100 + "0099"
+        kept, total = V.prune_files(t, 2, [("text", "=", target)])
+        assert total == 2 and len(kept) == 1
+        got = V.read_version(spark, t,
+                             predicates=[("text", "=", target)]).collect()
+        assert [r["id"] for r in got] == [99]
