@@ -1066,11 +1066,22 @@ def write_snapshot(df: DataFrame, table_dir: str,
         table_dir, new_files,
         [_to_physical(cmap0, b) for b in (bloom_cols or [])],
         spark=df.sparkSession)
-    # optimistic-concurrency loop: data files are written ONCE above;
-    # only the manifest commit rebases onto whatever latest a concurrent
-    # writer just published.  Both modes are rebase-safe — append unions
-    # with the (new) latest file list, logical overwrite references only
-    # this writer's files either way.
+    return commit_data_files(table_dir, new_files, mode, new_stats,
+                             bloom_cols=bloom_cols, checks=checks)
+
+
+def commit_data_files(table_dir: str, new_files: list[str], mode: str,
+                      new_stats: dict, bloom_cols=None,
+                      checks: list[str] | None = None) -> int:
+    """Rebase-retry manifest commit of ALREADY-WRITTEN data files — the
+    shared tail of `write_snapshot` and the DSv2 writer
+    (`sources/vtable_batch.VTableWriter`).  Optimistic-concurrency
+    loop: data files were written once by the caller; only the manifest
+    commit rebases onto whatever latest a concurrent writer just
+    published.  Both modes are rebase-safe — append unions with the
+    (new) latest file list, logical overwrite references only this
+    writer's files either way.  Needs no SparkSession (manifest I/O
+    only), so it runs in DSv2 Python workers."""
     while True:
         cur = latest_version(table_dir)
         new_version = 1 if cur is None else cur + 1

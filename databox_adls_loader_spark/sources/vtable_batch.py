@@ -31,6 +31,12 @@ Semantics and scale:
   * the planner runs in a Python worker with no JVM gateway — manifest
     reads route through the storage seam's Arrow/local impls.
 
+The WRITE path mirrors it: ``df.write.format("vtable").mode("append"|
+"overwrite").option("path", dir).save()`` — per-task Arrow→parquet
+files + one atomic rebase-retried manifest commit (`VTableWriter`;
+task retries orphan files at worst, visibility is the manifest swap
+alone).
+
 Trade-off vs `read_version`: this path is per-file Python/Arrow (no
 whole-stage codegen on the scan, no vectorized JVM parquet reader) —
 the price of composing through the format API.  Analytics queries in
@@ -45,10 +51,11 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    EqualTo, GreaterThan,
-                                    GreaterThanOrEqual, InputPartition,
-                                    LessThan, LessThanOrEqual)
+from pyspark.sql.datasource import (DataSource, DataSourceArrowWriter,
+                                    DataSourceReader, EqualTo,
+                                    GreaterThan, GreaterThanOrEqual,
+                                    InputPartition, LessThan,
+                                    LessThanOrEqual, WriterCommitMessage)
 
 from .vtable_stream import _open_parquet
 
@@ -243,6 +250,114 @@ def _conform(batch, target, cmap, dropped):
     return pa.RecordBatch.from_arrays(arrays, schema=target)
 
 
+@dataclass
+class _WroteFiles(WriterCommitMessage):
+    paths: tuple
+
+
+class VTableWriter(DataSourceArrowWriter):
+    """DSv2 WRITE path: ``df.write.format("vtable").mode("append"|
+    "overwrite").option("path", dir).save()`` — each task streams its
+    Arrow batches into ONE parquet file under the table's data dir
+    (any scheme, via pyarrow.fs); the driver-side commit collects the
+    task manifests, computes footer stats, and lands one atomic
+    rebase-retried manifest commit (`versioned.commit_data_files`) —
+    Spark's task retries can only ever produce orphan files (reclaimed
+    by vacuum), never a torn table, because visibility is the manifest
+    swap alone.  ``abort`` deletes everything the tasks reported.
+
+    Refused on tables with stored CHECK constraints: the DSv2 commit
+    hook runs in a Python worker with no SparkSession, so the checks
+    cannot be evaluated there — `write_snapshot` is the full-contract
+    path.  Appends into a column-mapped table land in PHYSICAL names
+    (the rename inverse applies per batch, executor-side)."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        from ..sinks import versioned as V
+
+        self._table_dir = options.get("path")
+        if not self._table_dir:
+            raise ValueError("vtable needs .option('path', ...)")
+        self._mode = "overwrite" if overwrite else "append"
+        checks = V.table_checks(self._table_dir)
+        if checks:
+            raise ValueError(
+                f"vtable writer: table declares CHECK constraints "
+                f"{checks}; the DSv2 commit hook cannot evaluate them "
+                "— write through sinks.versioned.write_snapshot")
+        cmap, dropped = ({}, []) if overwrite \
+            else V.table_column_map(self._table_dir)
+        self._back = {logical: phys for phys, logical in cmap.items()}
+        import uuid
+        self._out_dir = self._join(
+            self._table_dir, "data", f"w-{uuid.uuid4().hex[:8]}")
+
+    @staticmethod
+    def _join(*parts):
+        out = parts[0].rstrip("/")
+        for p in parts[1:]:
+            out += "/" + p.strip("/")
+        return out
+
+    # -- executor-side ------------------------------------------------
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = self._join(self._out_dir,
+                          f"part-{uuid.uuid4().hex}.parquet")
+        writer = None
+        fs = out = None
+        try:
+            for batch in iterator:
+                if self._back:
+                    batch = pa.RecordBatch.from_arrays(
+                        list(batch.columns),
+                        names=[self._back.get(n, n)
+                               for n in batch.schema.names])
+                if writer is None:
+                    from ..sinks.storage import arrow_fs_for
+                    fs, p = arrow_fs_for(path)
+                    fs.create_dir(p.rsplit("/", 1)[0], recursive=True)
+                    out = fs.open_output_stream(p)
+                    writer = pq.ParquetWriter(out, batch.schema)
+                writer.write_batch(batch)
+        finally:
+            if writer is not None:
+                writer.close()
+            if out is not None:
+                out.close()
+        if writer is None:
+            return _WroteFiles(())        # empty task: no file
+        return _WroteFiles((path,))
+
+    # -- driver-side (Python worker) ----------------------------------
+    def commit(self, messages):
+        from ..sinks import versioned as V
+        from ..sinks.storage import storage_for
+
+        st = storage_for(self._table_dir)
+        files = sorted(st.canon(p) for m in messages if m is not None
+                       for p in m.paths)
+        if not files and self._mode == "append":
+            return                        # nothing written: no version
+        bloom = V.table_bloom_cols(self._table_dir)
+        stats = {f: V._file_stats(f, st, bloom) for f in files}
+        V.commit_data_files(self._table_dir, files, self._mode, stats,
+                            bloom_cols=bloom)
+
+    def abort(self, messages):
+        from ..sinks.storage import storage_for
+
+        st = storage_for(self._table_dir)
+        for m in messages:
+            if m is not None:
+                for p in m.paths:
+                    st.delete(p)
+
+
 class VTableDataSource(DataSource):
     """`spark.read.format("vtable")` — see module doc."""
 
@@ -261,6 +376,9 @@ class VTableDataSource(DataSource):
 
     def reader(self, schema) -> VTableBatchReader:
         return VTableBatchReader(self.options, schema)
+
+    def writer(self, schema, overwrite: bool) -> VTableWriter:
+        return VTableWriter(self.options, schema, overwrite)
 
 
 def register_vtable(spark) -> None:

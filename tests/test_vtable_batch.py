@@ -96,3 +96,72 @@ class TestVTableFormat:
 
         with pytest.raises((AnalysisException, ValueError)):
             _fmt(spark, str(tmp_path / "none")).collect()
+
+
+class TestVTableFormatWriter:
+    """DSv2 WRITE path: df.write.format('vtable') commits through the
+    manifest log with the same atomicity/stats contract as
+    write_snapshot."""
+
+    def test_append_and_overwrite_roundtrip(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        a = spark.createDataFrame([(1, "a"), (2, "b")],
+                                  "id long, s string")
+        register_vtable(spark)
+        a.write.format("vtable").option("path", t).mode("append").save()
+        assert V.latest_version(t) == 1
+        b = spark.createDataFrame([(3, "c")], "id long, s string")
+        b.write.format("vtable").option("path", t).mode("append").save()
+        assert _rows(V.read_version(spark, t)) == {(1, "a"), (2, "b"),
+                                                   (3, "c")}
+        # manifest stats were computed for the written files
+        doc = V._read_manifest_doc(t, 2)
+        assert set(doc["stats"]) == set(doc["files"])
+        # overwrite logically replaces; history stays readable
+        b.write.format("vtable").option("path", t) \
+            .mode("overwrite").save()
+        assert _rows(V.read_version(spark, t)) == {(3, "c")}
+        assert _rows(V.read_version(spark, t, 2)) == {(1, "a"), (2, "b"),
+                                                      (3, "c")}
+
+    def test_written_table_reads_back_through_format(self, spark,
+                                                     tmp_path):
+        t = str(tmp_path / "t")
+        register_vtable(spark)
+        spark.range(100).write.format("vtable").option("path", t) \
+            .mode("append").save()
+        got = _rows(spark.read.format("vtable").option("path", t).load())
+        assert got == {(i,) for i in range(100)}
+
+    def test_append_into_renamed_table_lands_physical(self, spark,
+                                                      tmp_path):
+        t = str(tmp_path / "t")
+        V.write_snapshot(spark.createDataFrame(
+            [(1, "a")], "id long, s string").coalesce(1), t)
+        V.rename_column(t, "id", "doc_id")
+        register_vtable(spark)
+        # the batch arrives with LOGICAL names
+        spark.createDataFrame([(2, "b")], "doc_id long, s string") \
+            .write.format("vtable").option("path", t) \
+            .mode("append").save()
+        out = V.read_version(spark, t)
+        assert out.columns == ["doc_id", "s"]
+        assert _rows(out) == {(1, "a"), (2, "b")}
+
+    def test_checked_table_refuses_format_writes(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        V.write_snapshot(spark.createDataFrame([(1,)], "id long"),
+                         t, checks=["id > 0"])
+        register_vtable(spark)
+        with pytest.raises(Exception, match="CHECK constraints"):
+            spark.range(5).select(F.col("id")).write.format("vtable") \
+                .option("path", t).mode("append").save()
+        assert V.latest_version(t) == 1
+
+    def test_empty_append_is_a_no_op(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        V.write_snapshot(spark.range(3).coalesce(1), t)
+        register_vtable(spark)
+        spark.range(3).filter("id < 0").write.format("vtable") \
+            .option("path", t).mode("append").save()
+        assert V.latest_version(t) == 1
