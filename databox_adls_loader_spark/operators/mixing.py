@@ -315,3 +315,34 @@ def budget_trim_by_stratum(docs: DataFrame, budget_tokens: int,
             .agg(F.count(F.lit(1)).alias("n_kept"),
                  F.sum("tok").cast("long").alias("kept_tokens"))
             .orderBy("stratum"))
+
+
+def padding_waste(docs: DataFrame, n_tokens: Column,
+                  max_lens: list[int] = (64, 128, 256, 512)) -> DataFrame:
+    """Padding-waste report for fixed-length training batches: for each
+    candidate ``max_len``, chunk every document into ⌈tokens/L⌉
+    sequences and measure the pad tokens the batch would carry —
+    (max_len, n_docs, total_tokens, padded_tokens, waste_ppm).  The
+    number that decides sequence length (and whether to pay for
+    sequence PACKING — cf. `pack_token_shards`) before a training run.
+
+    All integral: chunks = (t + L − 1) DIV L, padded = chunks·L,
+    waste_ppm = (padded − total)·10⁶ DIV padded.  One scan, the
+    |max_lens| variants computed as a small explode over the counted
+    frame — map-side until the final |max_lens|-row aggregate."""
+    lens = F.array(*[F.lit(int(x)) for x in max_lens])
+    per = (docs.select(n_tokens.cast("long").alias("t"))
+           .filter(F.col("t") > 0)
+           .select("t", F.explode(lens).alias("max_len"))
+           .withColumn("__chunks", F.expr("(t + max_len - 1) DIV max_len"))
+           .groupBy("max_len")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("t").cast("long").alias("total_tokens"),
+                F.sum(F.col("__chunks") * F.col("max_len")).cast("long")
+                .alias("padded_tokens")))
+    return per.select(
+        F.col("max_len").cast("long").alias("max_len"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "total_tokens", "padded_tokens",
+        F.expr("CAST((padded_tokens - total_tokens) * 1000000L "
+               "DIV padded_tokens AS BIGINT)").alias("waste_ppm"))

@@ -455,3 +455,32 @@ def group_checksum(df: DataFrame, group_cols: list[str],
                  F.expr("bit_xor(__h)").cast("long").alias("xor_sig"),
                  F.sum(F.col("__h") % 1000003).cast("long")
                  .alias("sum_sig")))
+
+
+def pareto_frontier_2d(df: DataFrame, max_col: str,
+                       min_col: str) -> DataFrame:
+    """2-D Pareto frontier (the SKYLINE operator): the distinct
+    (max_col, min_col) points not STRICTLY dominated — no other point
+    has max_col ≥ AND min_col ≤ with at least one strict.  Ties on both
+    coordinates collapse to one point carrying its row count.
+
+    The classic sweep, distributed: sort distinct points by
+    (max_col DESC, min_col ASC) and take the exclusive running MIN of
+    min_col through the two-phase machinery
+    (`windows.exclusive_running_min` — no single-partition window); a
+    point survives iff no strict predecessor reached an equal-or-lower
+    min_col.  Among distinct points every strict predecessor dominates
+    at min ≤ current, so the test is exactly `running is NULL or
+    running > min_col`.  Cost: one distinct + one two-phase running
+    min — no quadratic dominance join (that is the ORACLE's job)."""
+    from .windows import exclusive_running_min
+
+    pts = (df.groupBy(max_col, min_col)
+           .agg(F.count(F.lit(1)).alias("n_rows")))
+    swept = exclusive_running_min(
+        pts, order=[(max_col, "desc"), (min_col, "asc")],
+        value_col=min_col, out_col="__rm")
+    return (swept.filter(F.col("__rm").isNull()
+                         | (F.col("__rm") > F.col(min_col)))
+            .select(max_col, min_col,
+                    F.col("n_rows").cast("long").alias("n_rows")))

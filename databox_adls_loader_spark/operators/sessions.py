@@ -312,3 +312,64 @@ def milestone_completion(events: DataFrame, milestones: list[str],
             .select(F.lit("ALL").alias("milestone"), "n_users",
                     "p50_span_us"))
     return per_m.unionByName(done)
+
+
+def position_attribution(events: DataFrame, conversion: str,
+                         channels: list[str],
+                         user_col: str = "user_id",
+                         ts_col: str = "ts",
+                         type_col: str = "event_type",
+                         tiebreak_col: str = "event_id") -> DataFrame:
+    """Position-based (U-shaped) attribution at the user level: the
+    channel touches STRICTLY BEFORE a user's first ``conversion`` split
+    that conversion's 1 000 000 ppm of credit as 40% to the first
+    touch, 40% to the last, and 20% evenly across the middles (integer
+    DIV; single touch → 100%, two touches → 50/50, none → 'direct').
+    Returns (channel, credit_ppm, n_users_touched) summed over
+    converting users — the standard corrective to last-touch's
+    recency bias.
+
+    Shape: one per-user min-conversion aggregate, one (user-keyed)
+    touch aggregate with struct-min/max picking first/last
+    deterministically via the tiebreak, then a per-channel rollup —
+    shuffles on the user key only."""
+    conv = (events.filter(F.col(type_col) == conversion)
+            .groupBy(F.col(user_col).alias("u"))
+            .agg(F.min(F.struct(F.col(ts_col).alias("t"),
+                                F.col(tiebreak_col).alias("k")))
+                 .alias("__c")))
+    touches = (events.filter(F.col(type_col).isin(*channels))
+               .select(F.col(user_col).alias("u"),
+                       F.col(type_col).alias("ch"),
+                       F.struct(F.col(ts_col).alias("t"),
+                                F.col(tiebreak_col).alias("k"))
+                       .alias("__e"))
+               .join(conv, "u")
+               .filter(F.col("__e") < F.col("__c")))
+    per_user = (touches.groupBy("u")
+                .agg(F.count(F.lit(1)).alias("m"),
+                     F.min("__e").alias("__first"),
+                     F.max("__e").alias("__last")))
+    credited = (touches.join(per_user, "u")
+                .withColumn("credit_ppm", F.expr(
+                    "CASE WHEN m = 1 THEN 1000000L "
+                    "WHEN __e = __first THEN "
+                    "  CASE WHEN m = 2 THEN 500000L ELSE 400000L END "
+                    "WHEN __e = __last THEN "
+                    "  CASE WHEN m = 2 THEN 500000L ELSE 400000L END "
+                    "ELSE 200000L DIV (m - 2) END"))
+                .groupBy(F.col("ch").alias("channel"))
+                .agg(F.sum("credit_ppm").cast("long").alias("credit_ppm"),
+                     F.count_distinct("u").alias("n_users_touched")))
+    direct = (conv.join(touches.select("u").distinct(), "u", "left_anti")
+              .agg((F.count(F.lit(1)) * 1_000_000).cast("long")
+                   .alias("credit_ppm"),
+                   F.count(F.lit(1)).alias("n_users_touched"))
+              .select(F.lit("direct").alias("channel"), "credit_ppm",
+                      F.col("n_users_touched").cast("long")
+                      .alias("n_users_touched"))
+              .filter(F.col("n_users_touched") > 0))
+    return (credited.select("channel", "credit_ppm",
+                            F.col("n_users_touched").cast("long")
+                            .alias("n_users_touched"))
+            .unionByName(direct))

@@ -286,3 +286,49 @@ def time_weighted_avg(events: DataFrame, key_col: str,
                     F.expr("CAST(__vdt DIV __dt_total AS BIGINT)")
                     .alias("twap_scaled"),
                     F.col("__dt_total").cast("long").alias("span_us")))
+
+
+def linear_interpolate(daily: DataFrame, key_col: str, date_col: str,
+                       value_col: str) -> DataFrame:
+    """Densify each series to its full calendar and fill interior gaps
+    by LINEAR interpolation between the surrounding observations, in
+    exact integer arithmetic: v = v0 + sign·(|v1−v0|·(d−d0) DIV
+    (d1−d0)) — magnitude-DIV-then-sign, because Spark's DIV truncates
+    toward zero while DuckDB's // floors, and they only agree on
+    non-negative numerators.  Edges (before the first / after the last
+    observation) stay NULL — extrapolation is `forward_fill`'s job.
+    Returns (key, date, value, is_interpolated).
+
+    Per-key windows over the densified calendar only (bounded by each
+    key's day span)."""
+    dense = calendar_fill(daily, key_col, date_col)
+    w_prev = (Window.partitionBy(key_col).orderBy(date_col)
+              .rowsBetween(Window.unboundedPreceding, 0))
+    w_next = (Window.partitionBy(key_col).orderBy(F.col(date_col).desc())
+              .rowsBetween(Window.unboundedPreceding, 0))
+    obs = F.when(F.col(value_col).isNotNull(),
+                 F.struct(F.col(date_col).alias("d"),
+                          F.col(value_col).alias("v")))
+    prev = F.last(obs, ignorenulls=True).over(w_prev)
+    nxt = F.last(obs, ignorenulls=True).over(w_next)
+    d = F.datediff(F.col(date_col), F.col("__p.d"))
+    span = F.datediff(F.col("__n.d"), F.col("__p.d"))
+    delta = F.col("__n.v") - F.col("__p.v")
+    interp = (F.col("__p.v")
+              + F.signum(delta).cast("long")
+              * F.expr("CAST(abs(__n.v - __p.v) * "
+                       "datediff(__date, __p.d) DIV "
+                       "datediff(__n.d, __p.d) AS BIGINT)"))
+    return (dense
+            .withColumn("__p", prev).withColumn("__n", nxt)
+            .withColumn("__date", F.col(date_col))
+            .withColumn(
+                "value",
+                F.when(F.col(value_col).isNotNull(),
+                       F.col(value_col).cast("long"))
+                .when(F.col("__p").isNotNull() & F.col("__n").isNotNull()
+                      & (span > 0), interp.cast("long")))
+            .withColumn("is_interpolated",
+                        F.col(value_col).isNull()
+                        & F.col("value").isNotNull())
+            .select(key_col, date_col, "value", "is_interpolated"))

@@ -247,3 +247,50 @@ def global_ntile(df: DataFrame, order: list[tuple[str, str]], k: int,
     base, n = global_row_number(df, order, "__rn", num_partitions)
     return (base.withColumn("ntile", _ntile_expr("__rn", n, int(k)))
             .withColumnRenamed("__rn", "row_number"))
+
+
+def exclusive_running_min(df: DataFrame, order: list[tuple[str, str]],
+                          value_col: str, out_col: str = "running_min",
+                          num_partitions: int | None = None) -> DataFrame:
+    """Exclusive (strict-predecessor) running MIN of ``value_col`` over
+    a global multi-column ordering, without a single-partition window —
+    the same two-phase shape as `exclusive_running_sum`: range-partition
+    on the order key, window within each partition, then fold the
+    per-partition mins on the driver (≤ num_partitions rows) and
+    broadcast each partition's carry-in.  Rows with no strict
+    predecessor get NULL.
+
+    ``order`` is [(column, "asc"|"desc"), ...] and should be a total
+    order for a deterministic result; ``value_col`` must be a date or
+    integral column (the carry travels as its string form, which both
+    round-trips exactly and compares correctly driver-side)."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cols = [F.col(c).asc() if d == "asc" else F.col(c).desc()
+            for c, d in order]
+    ranged = (df.repartitionByRange(num_partitions, *cols)
+              .withColumn("__pid", F.spark_partition_id())
+              .persist())
+    w = (Window.partitionBy("__pid").orderBy(*cols)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    local = F.min(value_col).over(w)
+    finals = (ranged.groupBy("__pid")
+              .agg(F.min(value_col).alias("__m")).collect())
+    fin_map = {r["__pid"]: r["__m"] for r in finals}
+    carry_in: dict[int, object] = {}
+    running = None
+    for pid in sorted(fin_map):
+        carry_in[pid] = running
+        m = fin_map[pid]
+        if m is not None and (running is None or m < running):
+            running = m
+    dtype = dict(df.dtypes)[value_col]
+    carry_df = F.broadcast(spark.createDataFrame(
+        [(p, None if v is None else str(v))
+         for p, v in carry_in.items()], "__pid: int, __carry: string"))
+    carried = F.col("__carry").cast(dtype)
+    return (ranged.join(carry_df, "__pid")
+            .withColumn(out_col, F.least(
+                F.coalesce(local, carried), F.coalesce(carried, local)))
+            .drop("__pid", "__carry"))

@@ -588,3 +588,204 @@ def pii_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (k_anonymity_audit(docs, ["lang", "source"], "n_chars",
                               k=5, l=2)
             .orderBy("lang", "source"))
+
+
+# ---------------------------------------------------------------------------
+# skyline, interpolation, packing economics, position attribution
+# ---------------------------------------------------------------------------
+
+@register(
+    "o6_pareto_frontier_orders",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_cents,
+             CAST(o_orderdate AS DATE) AS day
+      FROM orders
+      WHERE o_orderdate >= '1995-03-01' AND o_orderdate < '1995-04-01'),
+    pts AS (SELECT price_cents, day, COUNT(*) AS n_rows
+            FROM base GROUP BY 1, 2)
+    SELECT p.price_cents, p.day, CAST(p.n_rows AS BIGINT) AS n_rows
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.price_cents >= p.price_cents AND q.day <= p.day
+        AND (q.price_cents > p.price_cents OR q.day < p.day))
+    ORDER BY price_cents DESC
+    """,
+    tags=["skyline", "pareto", "window"],
+)
+def o6_pareto_frontier_orders(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """SKYLINE query (operator: `operators/profile.pareto_frontier_2d`)
+    — the Pareto-optimal orders of March 1995: maximal price, minimal
+    date, no other order at least as good on both and better on one.
+    The Spark plan is the distributed sweep (distinct points + the
+    TWO-PHASE exclusive running min from `operators/windows` — no
+    single-partition window, no quadratic dominance join); the oracle
+    is the quadratic NOT EXISTS definition, so the hash match proves
+    the sweep ≡ the definition."""
+    from ..operators.profile import pareto_frontier_2d
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    pts = (orders
+           .filter((F.col("o_orderdate") >= "1995-03-01")
+                   & (F.col("o_orderdate") < "1995-04-01"))
+           .select((F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                   .cast("long").alias("price_cents"),
+                   F.col("o_orderdate").cast("date").alias("day")))
+    return (pareto_frontier_2d(pts, "price_cents", "day")
+            .orderBy(F.desc("price_cents")))
+
+
+@register(
+    "ts_linear_interpolation",
+    oracle="""
+    WITH d AS (SELECT o_orderstatus AS k, CAST(o_orderdate AS DATE)
+                      AS day,
+                      CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                           * 100 AS BIGINT)) AS BIGINT) AS v
+               FROM orders WHERE o_orderkey % 7 = 0
+               GROUP BY 1, 2),
+    cal AS (SELECT k, UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))
+                      ::DATE AS day
+            FROM (SELECT k, MIN(day) AS lo, MAX(day) AS hi FROM d
+                  GROUP BY k)),
+    j AS (SELECT c.k, c.day, d.v FROM cal c
+          LEFT JOIN d ON c.k = d.k AND c.day = d.day),
+    f AS (SELECT k, day, v,
+                 MAX(CASE WHEN v IS NOT NULL THEN
+                       struct_pack(day := day, v := v) END)
+                   OVER (PARTITION BY k ORDER BY day
+                         ROWS UNBOUNDED PRECEDING) AS p,
+                 MIN(CASE WHEN v IS NOT NULL THEN
+                       struct_pack(day := day, v := v) END)
+                   OVER (PARTITION BY k ORDER BY day DESC
+                         ROWS UNBOUNDED PRECEDING) AS n
+          FROM j)
+    SELECT k, day,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN p IS NOT NULL AND n IS NOT NULL
+                     AND n.day > p.day THEN
+                  p.v + CAST(SIGN(n.v - p.v) AS BIGINT)
+                      * (ABS(n.v - p.v)
+                         * (day - p.day) // (n.day - p.day))
+           END AS value,
+           v IS NULL AND p IS NOT NULL AND n IS NOT NULL
+             AND n.day > p.day AS is_interpolated
+    FROM f ORDER BY k, day
+    """,
+    tags=["timeseries", "interpolation", "gapfill"],
+)
+def ts_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation per series (operator:
+    `operators/timeseries.linear_interpolate`): a sparsified daily
+    revenue series (1-in-7 orders) densifies to its calendar and
+    interior gaps fill as v0 + sign·(|Δv|·days DIV span) —
+    magnitude-DIV-then-sign because Spark DIV truncates while DuckDB //
+    floors, and they only agree on non-negative numerators.  Edges stay
+    NULL (extrapolation is forward_fill's job)."""
+    from ..operators.timeseries import linear_interpolate
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = (orders.filter(F.col("o_orderkey") % 7 == 0)
+             .groupBy(F.col("o_orderstatus").alias("k"),
+                      F.col("o_orderdate").cast("date").alias("day"))
+             .agg(F.sum((F.col("o_totalprice").cast("decimal(18,2)")
+                         * 100).cast("long")).cast("long").alias("v")))
+    return (linear_interpolate(daily, "k", "day", "v")
+            .orderBy("k", "day"))
+
+
+@register(
+    "mix_padding_waste",
+    oracle=r"""
+    WITH t AS (SELECT len(regexp_split_to_array(trim(text), '\s+'))
+                      AS tok
+               FROM documents
+               WHERE text IS NOT NULL AND trim(text) <> ''),
+    e AS (SELECT tok, UNNEST([64, 128, 256, 512]) AS max_len FROM t)
+    SELECT CAST(max_len AS BIGINT) AS max_len, COUNT(*) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(((tok + max_len - 1) // max_len) * max_len)
+                AS BIGINT) AS padded_tokens,
+           CAST((SUM(((tok + max_len - 1) // max_len) * max_len)
+                 - SUM(tok)) * 1000000
+                // SUM(((tok + max_len - 1) // max_len) * max_len)
+                AS BIGINT) AS waste_ppm
+    FROM e GROUP BY max_len ORDER BY max_len
+    """,
+    tags=["mixing", "packing", "tokens"],
+)
+def mix_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste economics (operator:
+    `operators/mixing.padding_waste`): for each candidate sequence
+    length, the pad-token fraction a chunk-and-pad batcher would burn
+    on this corpus — the number that picks max_len (and justifies
+    sequence packing) before a training run.  Whitespace token counts,
+    ⌈t/L⌉ chunks, all integral."""
+    from ..operators.mixing import padding_waste
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (padding_waste(
+        docs.filter(F.col("text").isNotNull()
+                    & (F.trim(F.col("text")) != "")), toks)
+        .orderBy("max_len"))
+
+
+@register(
+    "sess13_position_attribution",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id AS u, ts, event_id FROM (
+        SELECT user_id, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'purchase')
+      WHERE rn = 1),
+    touches AS (
+      SELECT e.user_id AS u, e.event_type AS ch, e.ts, e.event_id
+      FROM events e JOIN conv c ON e.user_id = c.u
+      WHERE e.event_type IN ('click', 'view', 'signup')
+        AND (e.ts < c.ts OR (e.ts = c.ts AND e.event_id < c.event_id))),
+    rt AS (SELECT u, ch,
+                  ROW_NUMBER() OVER (PARTITION BY u
+                                     ORDER BY ts, event_id) AS rn,
+                  COUNT(*) OVER (PARTITION BY u) AS m
+           FROM touches),
+    cr AS (SELECT u, ch,
+                  CASE WHEN m = 1 THEN 1000000
+                       WHEN rn = 1 OR rn = m THEN
+                         CASE WHEN m = 2 THEN 500000 ELSE 400000 END
+                       ELSE 200000 // (m - 2) END AS credit
+           FROM rt)
+    SELECT * FROM (
+      SELECT ch AS channel, CAST(SUM(credit) AS BIGINT) AS credit_ppm,
+             CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users_touched
+      FROM cr GROUP BY 1
+      UNION ALL
+      SELECT 'direct', CAST(COUNT(*) * 1000000 AS BIGINT),
+             CAST(COUNT(*) AS BIGINT)
+      FROM conv WHERE u NOT IN (SELECT u FROM touches)
+      HAVING COUNT(*) > 0)
+    ORDER BY channel
+    """,
+    tags=["sessions", "attribution", "position"],
+)
+def sess13_position_attribution(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) attribution (operator:
+    `operators/sessions.position_attribution`): each converting user's
+    pre-first-purchase touches split 10⁶ ppm of credit 40/20/40
+    (first/middles/last, integer DIV; 1 touch → 100%, 2 → 50/50,
+    0 → direct) — the recency-bias corrective next to
+    `sess9_last_touch_attribution`.  Struct min/max with the event-id
+    tiebreak makes first/last deterministic under tied timestamps on
+    both engines."""
+    from ..operators.sessions import position_attribution
+
+    (events,) = _t(spark, sf_dir, "events")
+    return (position_attribution(
+        events, "purchase", ["click", "view", "signup"])
+        .orderBy("channel"))

@@ -214,3 +214,115 @@ class TestMilestones:
                    ev, ["signup", "view"]).collect()}
         assert got["signup"] == (2, None) and got["view"] == (1, None)
         assert got["ALL"] == (1, 86_400 * 1_000_000)
+
+
+class TestParetoFrontier:
+    def test_frontier_strict_dominance_and_ties(self, spark):
+        from databox_adls_loader_spark.operators.profile import \
+            pareto_frontier_2d
+
+        # maximize x, minimize y.  (5,1) dominates (5,2) and (4,1);
+        # (3,0) survives (better y); duplicate (5,1) collapses n_rows=2
+        df = spark.createDataFrame(
+            [(5, 1), (5, 1), (5, 2), (4, 1), (3, 0), (2, 5)],
+            "x long, y long")
+        got = {(r["x"], r["y"]): r["n_rows"] for r in
+               pareto_frontier_2d(df, "x", "y").collect()}
+        assert got == {(5, 1): 2, (3, 0): 1}
+
+    def test_exclusive_running_min_matches_naive(self, spark):
+        from pyspark.sql import Window
+
+        from databox_adls_loader_spark.operators.windows import \
+            exclusive_running_min
+
+        df = spark.createDataFrame(
+            [(i, (i * 37) % 101) for i in range(500)], "o long, v long")
+        got = {r["o"]: r["rm"] for r in exclusive_running_min(
+            df, [("o", "asc")], "v", out_col="rm").collect()}
+        w = (Window.orderBy("o")
+             .rowsBetween(Window.unboundedPreceding, -1))
+        want = {r["o"]: r["rm"] for r in df.withColumn(
+            "rm", F.min("v").over(w)).collect()}
+        assert got == want
+
+
+class TestLinearInterpolation:
+    def test_interior_gaps_fill_edges_stay_null(self, spark):
+        from databox_adls_loader_spark.operators.timeseries import \
+            linear_interpolate
+
+        d = dt.date
+        daily = spark.createDataFrame(
+            [("a", d(2024, 1, 1), 100), ("a", d(2024, 1, 4), 40),
+             ("a", d(2024, 1, 6), 44)],
+            "k string, day date, v long")
+        got = {r["day"]: (r["value"], r["is_interpolated"]) for r in
+               linear_interpolate(daily, "k", "day", "v").collect()}
+        # down-slope: 100 → 40 over 3 days, magnitude-DIV: 100−20=80, 60
+        assert got[d(2024, 1, 2)] == (80, True)
+        assert got[d(2024, 1, 3)] == (60, True)
+        assert got[d(2024, 1, 5)] == (42, True)
+        assert got[d(2024, 1, 1)] == (100, False)
+        assert got[d(2024, 1, 4)] == (40, False)
+
+    def test_truncation_toward_zero_both_slopes(self, spark):
+        from databox_adls_loader_spark.operators.timeseries import \
+            linear_interpolate
+
+        d = dt.date
+        daily = spark.createDataFrame(
+            [("u", d(2024, 1, 1), 0), ("u", d(2024, 1, 4), 10),
+             ("v", d(2024, 1, 1), 10), ("v", d(2024, 1, 4), 0)],
+            "k string, day date, v long")
+        got = {(r["k"], r["day"]): r["value"] for r in
+               linear_interpolate(daily, "k", "day", "v").collect()}
+        # up: 10·1 DIV 3 = 3, 10·2 DIV 3 = 6; down mirrors: 7, 4
+        assert (got[("u", d(2024, 1, 2))], got[("u", d(2024, 1, 3))]) \
+            == (3, 6)
+        assert (got[("v", d(2024, 1, 2))], got[("v", d(2024, 1, 3))]) \
+            == (7, 4)
+
+
+class TestPaddingWaste:
+    def test_chunk_and_pad_math(self, spark):
+        from databox_adls_loader_spark.operators.mixing import \
+            padding_waste
+
+        docs = spark.createDataFrame([(10,), (64,), (65,)], "t long")
+        got = {r["max_len"]: (r["padded_tokens"], r["waste_ppm"])
+               for r in padding_waste(
+                   docs, F.col("t"), max_lens=[64]).collect()}
+        # 10→64, 64→64, 65→128: padded 256, total 139
+        assert got[64][0] == 256
+        assert got[64][1] == (256 - 139) * 1_000_000 // 256
+
+
+class TestPositionAttribution:
+    def test_u_shape_credit_split(self, spark):
+        from databox_adls_loader_spark.operators.sessions import \
+            position_attribution
+
+        d = dt.datetime
+        ev = _events(spark, [
+            # user 1: click, view, view, signup then purchase (m=4)
+            (1, d(2024, 1, 1, 1), 1, "click", 0.0),
+            (2, d(2024, 1, 1, 2), 1, "view", 0.0),
+            (3, d(2024, 1, 1, 3), 1, "view", 0.0),
+            (4, d(2024, 1, 1, 4), 1, "signup", 0.0),
+            (5, d(2024, 1, 1, 5), 1, "purchase", 9.0),
+            # user 2: no touches
+            (6, d(2024, 1, 2), 2, "purchase", 1.0),
+            # user 3: single touch
+            (7, d(2024, 1, 3, 1), 3, "view", 0.0),
+            (8, d(2024, 1, 3, 2), 3, "purchase", 1.0),
+        ])
+        got = {r["channel"]: r["credit_ppm"] for r in
+               position_attribution(
+                   ev, "purchase", ["click", "view", "signup"]).collect()}
+        # user1: click 400k (first), signup 400k (last), views 100k each
+        # user3: view 1_000_000
+        assert got["click"] == 400_000
+        assert got["signup"] == 400_000
+        assert got["view"] == 100_000 * 2 + 1_000_000
+        assert got["direct"] == 1_000_000
