@@ -178,3 +178,37 @@ def asof_nearest_join(left: DataFrame, right: DataFrame, key: str,
                  .when(F.col(f"__f_{rts}").isNotNull(), F.lit("forward"))
                  .otherwise(F.lit(None).cast("string")))
     return j.select(*lcols, *picked, direction.alias("direction"))
+
+
+def scd2_intervals(updates: DataFrame, key: str, ts_col: str,
+                   attrs: list[str],
+                   tiebreak_col: str | None = None) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 history from an update stream:
+    collapse each key's ordered attribute updates into validity
+    intervals — (key, attrs..., valid_from, valid_to) with half-open
+    [valid_from, valid_to) semantics and ``valid_to`` NULL on the
+    current version.  Consecutive updates with IDENTICAL attributes are
+    no-ops and do NOT open a new version (the dedup that keeps a chatty
+    upstream from exploding dimension history).
+
+    Pair with `asof_join` on ``valid_from`` (or a BETWEEN filter on the
+    intervals) to resolve facts against the dimension version in force
+    at fact time — the standard warehouse temporal-join pair.
+
+    Per-key windows only: change detection is a lag over the key
+    partition, interval close a lead over the surviving rows."""
+    order = [F.col(ts_col)] + \
+        ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    same = F.lit(True)
+    for a in attrs:
+        same = same & F.col(a).eqNullSafe(F.lag(a).over(w))
+    changed = (updates
+               .withColumn("__keep",
+                           F.lag(ts_col).over(w).isNull() | ~same)
+               .filter(F.col("__keep")))
+    w2 = Window.partitionBy(key).orderBy(*order)
+    return (changed
+            .withColumn("valid_from", F.col(ts_col))
+            .withColumn("valid_to", F.lead(ts_col).over(w2))
+            .select(key, *attrs, "valid_from", "valid_to"))

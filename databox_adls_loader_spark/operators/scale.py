@@ -137,3 +137,48 @@ def zorder_key2(a, b, bits: int = 8):
         out = out.bitwiseOR(
             F.shiftleft(F.shiftright(b, k).bitwiseAND(F.lit(1)), 2 * k + 1))
     return out
+
+
+def merge_when(existing: DataFrame, updates: DataFrame, key: str,
+               update_when=None, delete_when=None,
+               insert_when=None) -> DataFrame:
+    """Conditional MERGE semantics over plain frames — the full
+    three-clause form `merge_upsert` is the unconditional special case
+    of:
+
+        WHEN MATCHED AND <delete_when>  THEN DELETE
+        WHEN MATCHED AND <update_when>  THEN UPDATE SET *   (else keep)
+        WHEN NOT MATCHED AND <insert_when> THEN INSERT *    (else drop)
+
+    Clause conditions are boolean Columns over the aliased join —
+    reference target columns as ``e.<col>`` and source columns as
+    ``u.<col>`` (e.g. ``F.col("u.ts") > F.col("e.ts")`` for
+    only-newer-wins).  ``None`` means the SQL default: update_when →
+    always update on match, delete_when → never delete, insert_when →
+    always insert.  Delete is checked before update, matching MERGE's
+    first-matching-clause rule when both conditions hold.
+
+    One full-outer join on the key (both sides shuffle-partitioned on
+    it, co-locating with any upstream keyed layout); column sets must
+    match."""
+    cols = existing.columns
+    upd = updates.select(*cols)
+    e, u = existing.alias("e"), upd.alias("u")
+    j = e.join(u, F.col(f"e.{key}").eqNullSafe(F.col(f"u.{key}")),
+               "full_outer")
+    matched = (F.col(f"e.{key}").isNotNull()
+               & F.col(f"u.{key}").isNotNull())
+    only_e = F.col(f"u.{key}").isNull()
+    upd_c = F.lit(True) if update_when is None else update_when
+    del_c = F.lit(False) if delete_when is None else delete_when
+    ins_c = F.lit(True) if insert_when is None else insert_when
+    keep = F.when(matched & del_c, F.lit(None)) \
+            .when(matched & upd_c, F.lit("u")) \
+            .when(matched, F.lit("e")) \
+            .when(only_e, F.lit("e")) \
+            .when(ins_c, F.lit("u"))
+    out_cols = [F.when(F.col("__side") == "e", F.col(f"e.{c}"))
+                 .otherwise(F.col(f"u.{c}")).alias(c) for c in cols]
+    return (j.withColumn("__side", keep)
+            .filter(F.col("__side").isNotNull())
+            .select(*out_cols))

@@ -789,3 +789,167 @@ def sess13_position_attribution(spark: SparkSession,
     return (position_attribution(
         events, "purchase", ["click", "view", "signup"])
         .orderBy("channel"))
+
+
+# ---------------------------------------------------------------------------
+# conditional MERGE, change-data-feed proof, SCD2 dimension history
+# ---------------------------------------------------------------------------
+
+@register(
+    "merge_conditional_orders",
+    oracle="""
+    WITH t AS (SELECT o_orderkey, o_orderstatus, o_orderpriority
+               FROM orders WHERE o_orderkey % 3 = 0),
+    s AS (SELECT o_orderkey, o_orderstatus, 'X' AS o_orderpriority
+          FROM orders WHERE o_orderkey % 2 = 0)
+    SELECT o_orderkey, o_orderstatus, o_orderpriority FROM (
+      SELECT s.o_orderkey, s.o_orderstatus, s.o_orderpriority
+      FROM s JOIN t ON s.o_orderkey = t.o_orderkey
+      WHERE NOT t.o_orderstatus = 'F'
+      UNION ALL
+      SELECT t.o_orderkey, t.o_orderstatus, t.o_orderpriority FROM t
+      WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM s)
+      UNION ALL
+      SELECT s.o_orderkey, s.o_orderstatus, s.o_orderpriority FROM s
+      WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM t)
+        AND s.o_orderstatus = 'O')
+    ORDER BY o_orderkey
+    """,
+    tags=["merge", "conditional", "sql-surface"],
+)
+def merge_conditional_orders(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Three-clause conditional MERGE (operator:
+    `operators/scale.merge_when`): WHEN MATCHED AND target-status-F →
+    DELETE, WHEN MATCHED → UPDATE to the source row, WHEN NOT MATCHED
+    AND source-status-O → INSERT.  The oracle spells each clause as a
+    set expression, so the hash match proves the single full-outer-join
+    plan implements MERGE's first-matching-clause rule exactly
+    (delete checked before update)."""
+    from ..operators.scale import merge_when
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    t = (orders.filter(F.col("o_orderkey") % 3 == 0)
+         .select("o_orderkey", "o_orderstatus", "o_orderpriority"))
+    s = (orders.filter(F.col("o_orderkey") % 2 == 0)
+         .select("o_orderkey", "o_orderstatus",
+                 F.lit("X").alias("o_orderpriority")))
+    out = merge_when(
+        t, s, "o_orderkey",
+        delete_when=F.col("e.o_orderstatus") == "F",
+        insert_when=F.col("u.o_orderstatus") == "O")
+    return out.orderBy("o_orderkey")
+
+
+_CDF_TABLE: dict = {}
+
+
+def _drop_cdf_tables(keys=None) -> None:
+    import shutil
+
+    for k in list(_CDF_TABLE) if keys is None else list(keys):
+        shutil.rmtree(_CDF_TABLE.pop(k), ignore_errors=True)
+
+
+def _cdf_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Once per (session, sf_dir): a 3-version table with a known
+    change history — v1 = orders with o_orderkey < 5000; v2 = MERGE
+    upserting keys in [2500, 7500) with priority 'X-UPDATED' (updates
+    the [2500, 5000) overlap, inserts [5000, 7500)); v3 = merge-on-read
+    DELETE of keys < 1000 — so `changes_between(1, 3)` has a
+    closed-form oracle over the raw table."""
+    import atexit
+    import tempfile
+
+    from ..sinks import versioned as V
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    t = _CDF_TABLE.get(key)
+    if t is None:
+        _drop_cdf_tables([k for k in _CDF_TABLE if k[0] != key[0]])
+        if not _CDF_TABLE:
+            atexit.register(_drop_cdf_tables)
+        t = tempfile.mkdtemp(prefix="spark_graft_cdf_")
+        (orders,) = _t(spark, sf_dir, "orders")
+        base = orders.select("o_orderkey", "o_orderstatus",
+                             "o_orderpriority")
+        V.write_snapshot(base.filter(F.col("o_orderkey") < 5000), t)
+        upd = (base.filter((F.col("o_orderkey") >= 2500)
+                           & (F.col("o_orderkey") < 7500))
+               .withColumn("o_orderpriority", F.lit("X-UPDATED")))
+        V.merge_into_snapshot(spark, t, upd, key="o_orderkey")
+        V.delete_where(spark, t, "o_orderkey < 1000",
+                       predicates=[("o_orderkey", "<", 1000)])
+        _CDF_TABLE[key] = t
+    return t
+
+
+@register(
+    "scale_cdf_between_versions",
+    oracle="""
+    SELECT o_orderkey, _change_type FROM (
+      SELECT o_orderkey, 'delete' AS _change_type FROM orders
+      WHERE o_orderkey < 1000
+      UNION ALL
+      SELECT o_orderkey, 'update_postimage' FROM orders
+      WHERE o_orderkey >= 2500 AND o_orderkey < 5000
+      UNION ALL
+      SELECT o_orderkey, 'insert' FROM orders
+      WHERE o_orderkey >= 5000 AND o_orderkey < 7500)
+    ORDER BY o_orderkey
+    """,
+    tags=["scale", "versioned", "cdf"],
+)
+def scale_cdf_between_versions(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Change data feed under the value-hash gate: a 3-version table
+    with a KNOWN history (append, scoped MERGE, merge-on-read DELETE —
+    `_cdf_orders`) diffed by `sinks/versioned.changes_between(1, 3)`;
+    the oracle states the closed-form change set from the raw table, so
+    a hash match proves insert/delete/update classification — across a
+    merge AND a DV delete — row-exact.  Unchanged rows must produce
+    nothing."""
+    from ..sinks import versioned as V
+
+    t = _cdf_orders(spark, sf_dir)
+    ch = V.changes_between(spark, t, 1, 3, key="o_orderkey")
+    return ch.select("o_orderkey", "_change_type").orderBy("o_orderkey")
+
+
+@register(
+    "scd2_customer_priority_intervals",
+    oracle="""
+    WITH u AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS ts,
+                      o_orderkey, o_orderpriority
+               FROM orders),
+    c AS (SELECT *, LAG(o_orderpriority) OVER w AS prev,
+                 LAG(ts) OVER w AS prev_ts
+          FROM u WINDOW w AS (PARTITION BY o_custkey
+                              ORDER BY ts, o_orderkey)),
+    k AS (SELECT o_custkey, o_orderpriority, ts, o_orderkey FROM c
+          WHERE prev_ts IS NULL OR prev IS DISTINCT FROM o_orderpriority)
+    SELECT o_custkey, o_orderpriority, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY o_custkey
+                          ORDER BY ts, o_orderkey) AS valid_to
+    FROM k ORDER BY o_custkey, valid_from, o_orderkey
+    """,
+    tags=["scd2", "temporal", "dimension"],
+)
+def scd2_customer_priority_intervals(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """SCD TYPE-2 dimension history (operator:
+    `operators/asof.scd2_intervals`): each customer's order-priority
+    update stream collapses into half-open validity intervals, with
+    consecutive IDENTICAL values deduped (no-op updates never open a
+    version) and valid_to NULL on the current one — the dimension-
+    history builder whose output `asof_join` resolves facts against.
+    Order-key tiebreak totalizes same-day updates on both engines."""
+    from ..operators.asof import scd2_intervals
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    upd = orders.select("o_custkey",
+                        F.col("o_orderdate").cast("date").alias("ts"),
+                        "o_orderkey", "o_orderpriority")
+    return (scd2_intervals(upd, "o_custkey", "ts", ["o_orderpriority"],
+                           tiebreak_col="o_orderkey")
+            .orderBy("o_custkey", "valid_from"))

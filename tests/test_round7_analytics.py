@@ -326,3 +326,82 @@ class TestPositionAttribution:
         assert got["signup"] == 400_000
         assert got["view"] == 100_000 * 2 + 1_000_000
         assert got["direct"] == 1_000_000
+
+
+class TestMergeWhen:
+    def test_three_clause_semantics(self, spark):
+        from databox_adls_loader_spark.operators.scale import merge_when
+
+        t = spark.createDataFrame(
+            [(1, "keep"), (2, "del"), (3, "upd")], "k long, v string")
+        u = spark.createDataFrame(
+            [(2, "new2"), (3, "new3"), (4, "ins"), (5, "skip")],
+            "k long, v string")
+        out = {r["k"]: r["v"] for r in merge_when(
+            t, u, "k",
+            delete_when=F.col("e.v") == "del",
+            update_when=F.col("u.v") == "new3",
+            insert_when=F.col("u.v") == "ins").collect()}
+        # 1 untouched, 2 deleted, 3 updated, 4 inserted, 5 refused
+        assert out == {1: "keep", 3: "new3", 4: "ins"}
+
+    def test_defaults_equal_plain_upsert(self, spark):
+        from databox_adls_loader_spark.operators.scale import (
+            merge_upsert, merge_when)
+
+        t = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        u = spark.createDataFrame([(2, "B"), (3, "C")], "k long, v string")
+        got = {tuple(r) for r in merge_when(t, u, "k").collect()}
+        want = {tuple(r) for r in merge_upsert(t, u, "k").collect()}
+        assert got == want == {(1, "a"), (2, "B"), (3, "C")}
+
+    def test_delete_checked_before_update(self, spark):
+        from databox_adls_loader_spark.operators.scale import merge_when
+
+        t = spark.createDataFrame([(1, "x")], "k long, v string")
+        u = spark.createDataFrame([(1, "y")], "k long, v string")
+        # both clauses true -> first (DELETE) wins
+        out = merge_when(t, u, "k",
+                         delete_when=F.lit(True),
+                         update_when=F.lit(True)).collect()
+        assert out == []
+
+
+class TestScd2:
+    def test_noop_updates_collapse_and_intervals_chain(self, spark):
+        from databox_adls_loader_spark.operators.asof import scd2_intervals
+
+        d = dt.date
+        upd = spark.createDataFrame(
+            [(1, d(2024, 1, 1), 1, "A"),
+             (1, d(2024, 1, 5), 2, "A"),     # no-op: same attr
+             (1, d(2024, 2, 1), 3, "B"),
+             (1, d(2024, 3, 1), 4, "A"),     # back to A: NEW version
+             (2, d(2024, 1, 1), 5, "Z")],
+            "k long, ts date, oid long, attr string")
+        rows = sorted(
+            (r["k"], r["attr"], r["valid_from"], r["valid_to"])
+            for r in scd2_intervals(
+                upd, "k", "ts", ["attr"], tiebreak_col="oid").collect())
+        assert rows == [
+            (1, "A", d(2024, 1, 1), d(2024, 2, 1)),
+            (1, "A", d(2024, 3, 1), None),
+            (1, "B", d(2024, 2, 1), d(2024, 3, 1)),
+            (2, "Z", d(2024, 1, 1), None)]
+
+    def test_null_attr_transitions(self, spark):
+        from databox_adls_loader_spark.operators.asof import scd2_intervals
+
+        d = dt.date
+        upd = spark.createDataFrame(
+            [(1, d(2024, 1, 1), 1, None),
+             (1, d(2024, 1, 2), 2, None),    # NULL -> NULL: no-op
+             (1, d(2024, 1, 3), 3, "A")],
+            "k long, ts date, oid long, attr string")
+        rows = sorted(
+            [(r["attr"], r["valid_from"], r["valid_to"])
+             for r in scd2_intervals(
+                 upd, "k", "ts", ["attr"],
+                 tiebreak_col="oid").collect()], key=str)
+        assert rows == [("A", d(2024, 1, 3), None),
+                        (None, d(2024, 1, 1), d(2024, 1, 3))]
