@@ -953,3 +953,115 @@ def scd2_customer_priority_intervals(spark: SparkSession,
     return (scd2_intervals(upd, "o_custkey", "ts", ["o_orderpriority"],
                            tiebreak_col="o_orderkey")
             .orderBy("o_custkey", "valid_from"))
+
+
+# ---------------------------------------------------------------------------
+# pipeline decision-support: threshold sweep, length-vs-dup cross stats
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_contamination_threshold_sweep",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(t) - 2, 1) + 1),
+        i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+      FROM toks
+    ), bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 11 = 0),
+    cnt AS (SELECT s.doc_id, COUNT(*) AS c
+            FROM sh s JOIN bench b USING (g)
+            WHERE s.doc_id % 11 <> 0 GROUP BY 1),
+    tot AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks
+            WHERE doc_id % 11 <> 0),
+    ks AS (SELECT UNNEST([1, 2, 3, 4]) AS min_shared)
+    SELECT k.min_shared,
+           CAST(COUNT(c.doc_id) AS BIGINT) AS n_flagged,
+           CAST(COUNT(c.doc_id) * 1000000 // MAX(t.n) AS BIGINT)
+             AS flagged_ppm
+    FROM ks k CROSS JOIN tot t
+    LEFT JOIN cnt c ON c.c >= k.min_shared
+    GROUP BY k.min_shared ORDER BY min_shared
+    """,
+    tags=["dedup", "contamination", "sweep"],
+)
+def dedup_contamination_threshold_sweep(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """Decontamination threshold SENSITIVITY (operator:
+    `operators/dedup.contamination` at min_shared=1, swept in the
+    plan): how many non-benchmark docs get flagged at shared-3-gram
+    thresholds 1-4, with the flagged fraction in exact ppm — the
+    decision table that picks the threshold BEFORE committing to a
+    decontamination pass (too low ablates the corpus, too high leaks
+    eval data).  One gram join; the sweep is a 4-row explode over the
+    per-doc counts."""
+    from ..operators.dedup import contamination
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    cont = contamination(docs, F.col("doc_id") % 11 == 0, n=3,
+                         min_shared=1)
+    nb = cont.filter(F.col("doc_id") % 11 != 0)
+    tot = nb.agg(F.count(F.lit(1)).alias("__n"))
+    ks = spark.range(1, 5).select(F.col("id").alias("min_shared"))
+    return (F.broadcast(ks).crossJoin(F.broadcast(tot))
+            .join(nb.filter(F.col("n_shared_grams") > 0)
+                  .select("doc_id", "n_shared_grams"),
+                  F.col("n_shared_grams") >= F.col("min_shared"),
+                  "left")
+            .groupBy("min_shared")
+            .agg(F.count("doc_id").cast("long").alias("n_flagged"),
+                 F.expr("CAST(COUNT(doc_id) * 1000000L DIV MAX(__n) "
+                        "AS BIGINT)").alias("flagged_ppm"))
+            .orderBy("min_shared"))
+
+
+@register(
+    "dq_length_vs_dup_rate",
+    oracle=r"""
+    WITH t AS (SELECT doc_id,
+                      len(regexp_split_to_array(trim(text), '\s+'))
+                        AS tok,
+                      md5(text) AS h
+               FROM documents WHERE text IS NOT NULL),
+    d AS (SELECT doc_id, LEAST(tok // 16, 6) AS bucket,
+                 ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) > 1
+                   AS is_dup
+          FROM t)
+    SELECT CAST(bucket AS BIGINT) AS len_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dups,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS dup_ppm
+    FROM d GROUP BY 1 ORDER BY len_bucket
+    """,
+    tags=["dq", "dedup", "cross-stats"],
+)
+def dq_length_vs_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-stratified duplicate-rate cross statistic: per token-count
+    bucket (16-token steps, capped), the exact-duplicate fraction in
+    ppm — the 'are short docs likelier to be copies' diagnostic that
+    decides whether dedup thresholds should be length-conditional.
+    Duplicate = same md5(text) as a lower doc_id (first copy survives,
+    the `dedup_exact` keep-first convention); per-hash windows only."""
+    from pyspark.sql.window import Window
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("h").orderBy("doc_id")
+    d = (docs.filter(F.col("text").isNotNull())
+         .select("doc_id",
+                 F.size(F.split(F.trim(F.col("text")), r"\s+"))
+                 .alias("tok"),
+                 F.md5("text").alias("h"))
+         .withColumn("is_dup", F.row_number().over(w) > 1)
+         .withColumn("len_bucket",
+                     F.least(F.expr("tok DIV 16"), F.lit(6))))
+    return (d.groupBy(F.col("len_bucket").cast("long").alias("len_bucket"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("is_dup").cast("long")).cast("long")
+                 .alias("n_dups"),
+                 F.expr("CAST(SUM(CAST(is_dup AS BIGINT)) * 1000000L "
+                        "DIV COUNT(1) AS BIGINT)").alias("dup_ppm"))
+            .orderBy("len_bucket"))
