@@ -1072,7 +1072,8 @@ def write_snapshot(df: DataFrame, table_dir: str,
 
 def commit_data_files(table_dir: str, new_files: list[str], mode: str,
                       new_stats: dict, bloom_cols=None,
-                      checks: list[str] | None = None) -> int:
+                      checks: list[str] | None = None,
+                      batch_ids: set[int] | None = None) -> int | None:
     """Rebase-retry manifest commit of ALREADY-WRITTEN data files — the
     shared tail of `write_snapshot` and the DSv2 writer
     (`sources/vtable_batch.VTableWriter`).  Optimistic-concurrency
@@ -1081,8 +1082,15 @@ def commit_data_files(table_dir: str, new_files: list[str], mode: str,
     published.  Both modes are rebase-safe — append unions with the
     (new) latest file list, logical overwrite references only this
     writer's files either way.  Needs no SparkSession (manifest I/O
-    only), so it runs in DSv2 Python workers."""
+    only), so it runs in DSv2 Python workers.
+
+    ``batch_ids`` records streaming micro-batch ids in the manifest
+    ledger (exactly-once: the loop re-checks the ledger after losing a
+    race and returns None — already committed — instead of double-
+    landing the batch)."""
     while True:
+        if batch_ids and set(batch_ids) & committed_batch_ids(table_dir):
+            return None
         cur = latest_version(table_dir)
         new_version = 1 if cur is None else cur + 1
         dmap: dict[str, list[str]] = {}
@@ -1101,6 +1109,7 @@ def commit_data_files(table_dir: str, new_files: list[str], mode: str,
         try:
             _commit(table_dir, files, new_version, stats=stats,
                     bloom_cols=bloom_cols, checks=checks,
+                    batch_ids=batch_ids,
                     delete_files=dmap, delete_rows=drows,
                     column_map=cmap, dropped_cols=dropped)
             return new_version

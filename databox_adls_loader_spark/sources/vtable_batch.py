@@ -52,7 +52,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (DataSource, DataSourceArrowWriter,
-                                    DataSourceReader, EqualTo,
+                                    DataSourceReader,
+                                    DataSourceStreamArrowWriter, EqualTo,
                                     GreaterThan, GreaterThanOrEqual,
                                     InputPartition, LessThan,
                                     LessThanOrEqual, WriterCommitMessage)
@@ -358,6 +359,40 @@ class VTableWriter(DataSourceArrowWriter):
                     st.delete(p)
 
 
+class VTableStreamWriter(VTableWriter, DataSourceStreamArrowWriter):
+    """Streaming twin: ``stream.writeStream.format("vtable")
+    .option("path", dir).option("checkpointLocation", ...)`` — the
+    native-format alternative to the foreachBatch
+    `versioned.commit_stream_batch` sink, with the SAME exactly-once
+    contract: every commit records the micro-batch id in the manifest
+    ledger, and a crash-replayed batch is detected there — its
+    re-written files are deleted and no version lands.  ``overwrite``
+    mode commits each batch as the table's new whole state (the
+    complete-output aggregate-maintainer shape)."""
+
+    def commit(self, messages, batchId: int) -> None:
+        from ..sinks import versioned as V
+        from ..sinks.storage import storage_for
+
+        st = storage_for(self._table_dir)
+        files = sorted(st.canon(p) for m in messages if m is not None
+                       for p in m.paths)
+        if int(batchId) in V.committed_batch_ids(self._table_dir):
+            for p in files:               # replay: drop the rewrite
+                st.delete(p)
+            return
+        if not files and self._mode == "append":
+            return
+        bloom = V.table_bloom_cols(self._table_dir)
+        stats = {f: V._file_stats(f, st, bloom) for f in files}
+        V.commit_data_files(self._table_dir, files, self._mode, stats,
+                            bloom_cols=bloom,
+                            batch_ids={int(batchId)})
+
+    def abort(self, messages, batchId: int) -> None:
+        VTableWriter.abort(self, messages)
+
+
 class VTableDataSource(DataSource):
     """`spark.read.format("vtable")` — see module doc."""
 
@@ -379,6 +414,9 @@ class VTableDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> VTableWriter:
         return VTableWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> VTableStreamWriter:
+        return VTableStreamWriter(self.options, schema, overwrite)
 
 
 def register_vtable(spark) -> None:

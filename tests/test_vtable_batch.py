@@ -165,3 +165,49 @@ class TestVTableFormatWriter:
         spark.range(3).filter("id < 0").write.format("vtable") \
             .option("path", t).mode("append").save()
         assert V.latest_version(t) == 1
+
+
+class TestVTableStreamWriter:
+    """writeStream.format('vtable'): native streaming sink with the
+    commit_stream_batch exactly-once ledger contract."""
+
+    def test_stream_into_table_end_to_end(self, spark, tmp_path):
+        src, t = str(tmp_path / "src"), str(tmp_path / "t")
+        ck = str(tmp_path / "ck")
+        spark.createDataFrame([(i, f"s{i}") for i in range(8)],
+                              "id long, s string").write.parquet(src)
+        register_vtable(spark)
+        q = (spark.readStream.schema("id long, s string").parquet(src)
+             .writeStream.format("vtable").option("path", t)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert _rows(V.read_version(spark, t)) == {
+            (i, f"s{i}") for i in range(8)}
+        assert V.committed_batch_ids(t) == {0}
+
+    def test_replayed_batch_discards_files_and_skips(self, spark,
+                                                     tmp_path):
+        from databox_adls_loader_spark.sources.vtable_batch import (
+            VTableStreamWriter, _WroteFiles)
+
+        t = str(tmp_path / "t")
+        V.write_snapshot(spark.range(3).coalesce(1), t)
+        w = VTableStreamWriter({"path": t}, None, overwrite=False)
+        # simulate two task outputs for batch 7, commit once
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import os
+        os.makedirs(f"{t}/data/w-test", exist_ok=True)
+        f1 = f"{t}/data/w-test/part-a.parquet"
+        pq.write_table(pa.table({"id": [100]}), f1)
+        w.commit([_WroteFiles((f1,))], batchId=7)
+        assert V.committed_batch_ids(t) == {7}
+        v_after = V.latest_version(t)
+        # crash-replay: same batch id, freshly rewritten file
+        f2 = f"{t}/data/w-test/part-b.parquet"
+        pq.write_table(pa.table({"id": [100]}), f2)
+        w.commit([_WroteFiles((f2,))], batchId=7)
+        assert V.latest_version(t) == v_after      # no new version
+        assert not os.path.exists(f2)              # replay files dropped
+        assert V.read_version(spark, t).count() == 4
