@@ -145,7 +145,12 @@ def _cmd_table(args) -> int:
             print(json.dumps(e))
         return 0
     if args.verb == "vacuum":
-        print(json.dumps({"deleted_files": V.vacuum(t, args.keep)}))
+        print(json.dumps({"deleted_files": V.vacuum(
+            t, args.keep, older_than=args.older_than)}))
+        return 0
+    if args.verb == "clone":
+        print(json.dumps({"version": V.clone_shallow(
+            t, args.dst, version=args.version)}))
         return 0
     if args.verb == "rename-column":
         print(json.dumps({"version": V.rename_column(t, args.old, args.new)}))
@@ -247,12 +252,19 @@ def main(argv: list[str] | None = None) -> int:
             ("rename-column", "metadata-only RENAME COLUMN"),
             ("drop-column", "metadata-only DROP COLUMN"),
             ("rollback", "re-commit an old version's file list"),
+            ("clone", "zero-copy shallow clone to a new table dir"),
             ("show", "read a version (latest, -v N, or --as-of TS)")]:
         sp = tv.add_parser(verb, help=help_)
         sp.add_argument("table_dir")
         sp.set_defaults(fn=_cmd_table)
         if verb == "vacuum":
             sp.add_argument("--keep", type=int, default=2)
+            sp.add_argument("--older-than",
+                            help="ISO timestamp: keep versions at or "
+                                 "after this (latest always kept)")
+        elif verb == "clone":
+            sp.add_argument("dst")
+            sp.add_argument("-v", "--version", type=int)
         elif verb == "compact":
             sp.add_argument("--files", type=int, default=1)
             sp.add_argument("--cluster-by", help="comma-separated columns")

@@ -1274,15 +1274,43 @@ def compact_small_files(spark: SparkSession, table_dir: str,
     return new_version
 
 
-def vacuum(table_dir: str, keep_versions: int = 2) -> int:
-    """Drop all but the newest ``keep_versions`` manifests and delete
-    data files no retained manifest references.  Returns the number of
-    data files deleted.  (At 100 TB this is the storage-reclaim job; it
-    must never run concurrently with a reader pinned to a dropped
-    version — retention windows are the standard guard.)"""
+def vacuum(table_dir: str, keep_versions: int = 2,
+           older_than=None) -> int:
+    """Drop retired manifests and delete data files no retained
+    manifest references.  Returns the number of data files deleted.
+
+    Retention is by COUNT (default: the newest ``keep_versions``) or by
+    AGE — ``older_than`` (datetime / ISO string, naive = UTC) keeps
+    every version committed at or after it; the LATEST version is
+    always retained regardless.  (At 100 TB this is the storage-reclaim
+    job; it must never run concurrently with a reader pinned to a
+    dropped version — the retention window is the standard guard, and
+    the age form is how that guard is usually expressed.)
+
+    Shallow clones (`clone_shallow`) reference THIS table's data files
+    from their own manifests; vacuuming the source can strand them —
+    the documented lakehouse clone caveat."""
     st = _st(table_dir)
     vs = versions(table_dir)
-    keep = set(vs[-keep_versions:]) if keep_versions > 0 else set()
+    if older_than is not None:
+        if isinstance(older_than, str):
+            older_than = datetime.datetime.fromisoformat(older_than)
+        if older_than.tzinfo is None:
+            older_than = older_than.replace(tzinfo=datetime.timezone.utc)
+        epoch = datetime.datetime.min.replace(
+            tzinfo=datetime.timezone.utc)
+        keep = set()
+        for v in vs:
+            raw = _read_manifest_doc(table_dir, v).get("committed_at")
+            at = datetime.datetime.fromisoformat(raw) if raw else epoch
+            if at.tzinfo is None:
+                at = at.replace(tzinfo=datetime.timezone.utc)
+            if at >= older_than:
+                keep.add(v)
+        if vs:
+            keep.add(vs[-1])          # never drop the current version
+    else:
+        keep = set(vs[-keep_versions:]) if keep_versions > 0 else set()
     # canonicalize BOTH sides: manifests store canonical file names, but
     # the caller's table_dir (and hence the listing results) may be
     # relative/non-normalized — a raw string compare would then treat
@@ -1311,6 +1339,42 @@ def vacuum(table_dir: str, keep_versions: int = 2) -> int:
             st.delete(p)
             deleted += 1
     return deleted
+
+
+def clone_shallow(src_dir: str, dst_dir: str,
+                  version: int | None = None) -> int:
+    """ZERO-COPY shallow clone: commit a new table at ``dst_dir`` whose
+    v1 manifest references the SOURCE's data/delete files (stats,
+    delete map, column map, checks, and bloom metadata carried
+    verbatim) — no data is read or copied, so cloning a 100 TB table is
+    one manifest write.  ``version`` pins the cloned snapshot (default
+    latest).
+
+    The clone is a fully independent table from then on: appends,
+    deletes, renames, and compactions land new files under the CLONE's
+    directory and never touch the source; the clone's `vacuum` only
+    reclaims files under its own tree, so shared source files are never
+    deleted by it.  The one standing caveat (same as every lakehouse
+    shallow clone): `vacuum` ON THE SOURCE can delete files the clone
+    still references — retain source history for as long as clones may
+    read it, or compact the clone (a full rewrite localizes it).
+
+    Batch-id ledgers do NOT carry over: the clone is a new stream
+    target with its own exactly-once history."""
+    v = latest_version(src_dir) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshots in {src_dir}")
+    if latest_version(dst_dir) is not None:
+        raise FileExistsError(f"{dst_dir} already has snapshots")
+    doc = _read_manifest_doc(src_dir, v)
+    _commit(dst_dir, doc["files"], 1, stats=doc.get("stats", {}),
+            bloom_cols=doc.get("bloom_cols", []),
+            checks=doc.get("checks", []),
+            delete_files=doc.get("delete_files", {}),
+            delete_rows=doc.get("delete_rows", {}),
+            column_map=doc.get("column_map", {}),
+            dropped_cols=doc.get("dropped_cols", []))
+    return 1
 
 
 def merge_into_snapshot(spark: SparkSession, table_dir: str,

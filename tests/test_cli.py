@@ -177,3 +177,21 @@ def test_cli_table_rollback_and_show_version(spark, tmp_path, capsys):
     rows = [json.loads(ln) for ln in
             capsys.readouterr().out.strip().splitlines()]
     assert rows == [{"k": 2}]
+
+
+def test_cli_clone_and_age_vacuum(spark, tmp_path, capsys):
+    import json as _json
+
+    from databox_adls_loader_spark.cli import main
+    from databox_adls_loader_spark.sinks import versioned as V
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    V.write_snapshot(spark.range(10).coalesce(1), src)
+    assert main(["table", "clone", src, dst]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"version": 1}
+    assert V.read_version(spark, dst).count() == 10
+    assert main(["table", "vacuum", dst,
+                 "--older-than", "2000-01-01T00:00:00+00:00"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"deleted_files": 0}     # everything newer: kept

@@ -1303,3 +1303,90 @@ class TestStringBoundsAndDistributedAttribution:
         got = V.read_version(spark, t,
                              predicates=[("text", "=", target)]).collect()
         assert [r["id"] for r in got] == [99]
+
+
+class TestVacuumRetentionAndClone:
+    """Round-7: age-based vacuum retention and zero-copy shallow
+    clones."""
+
+    def test_age_based_retention_keeps_recent_and_latest(
+            self, spark, tmp_path):
+        import datetime as dtm
+        import json
+
+        t = str(tmp_path / "t")
+        for i in range(2):
+            V.write_snapshot(spark.createDataFrame([(i,)], "id long")
+                             .coalesce(1), t)
+        # v3 overwrites, so v1/v2's files become reclaimable history
+        V.write_snapshot(spark.createDataFrame([(2,)], "id long")
+                         .coalesce(1), t, mode="overwrite")
+        V.write_snapshot(spark.createDataFrame([(3,)], "id long")
+                         .coalesce(1), t)
+        # age v1/v2 artificially into the past
+        st = V._st(t)
+        for v in (1, 2):
+            p = V._manifest_path(st, t, v)
+            doc = json.loads(st.read_text(p))
+            doc["committed_at"] = "2000-01-01T00:00:00+00:00"
+            st.replace_text(p, json.dumps(doc))
+        cutoff = (dtm.datetime.now(dtm.timezone.utc)
+                  - dtm.timedelta(days=1)).isoformat()
+        deleted = V.vacuum(t, older_than=cutoff)
+        assert V.versions(t) == [3, 4]
+        assert deleted >= 1              # v1/v2-only files reclaimed
+        assert {r["id"] for r in V.read_version(spark, t).collect()} \
+            == {2, 3}                    # latest content intact
+
+    def test_age_retention_never_drops_latest(self, spark, tmp_path):
+        import json
+
+        t = str(tmp_path / "t")
+        V.write_snapshot(spark.range(2).coalesce(1), t)
+        st = V._st(t)
+        p = V._manifest_path(st, t, 1)
+        doc = json.loads(st.read_text(p))
+        doc["committed_at"] = "2000-01-01T00:00:00+00:00"
+        st.replace_text(p, json.dumps(doc))
+        V.vacuum(t, older_than="2020-01-01T00:00:00+00:00")
+        assert V.versions(t) == [1]      # ancient but latest: retained
+        assert V.read_version(spark, t).count() == 2
+
+    def test_shallow_clone_zero_copy_then_diverges(self, spark, tmp_path):
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        V.write_snapshot(spark.range(100).coalesce(2), src)
+        V.delete_where(spark, src, "id >= 90")
+        V.clone_shallow(src, dst)
+        # clone == source snapshot, including merge-on-read state,
+        # without a single data file under the clone's tree
+        assert {r["id"] for r in V.read_version(spark, dst).collect()} \
+            == set(range(90))
+        st = V._st(dst)
+        assert st.list_glob(st.join(dst, "data", "*",
+                                    "part-*.parquet")) == []
+        # divergence: writes to the clone never touch the source
+        V.write_snapshot(spark.createDataFrame([(1000,)], "id long")
+                         .coalesce(1), dst)
+        V.delete_where(spark, dst, "id < 10")
+        assert V.read_version(spark, dst).count() == 81
+        assert {r["id"] for r in V.read_version(spark, src).collect()} \
+            == set(range(90))
+        # the clone's vacuum reclaims only its own tree
+        V.compact_snapshot(spark, dst, n_files=1)
+        V.vacuum(dst, keep_versions=1)
+        assert V.read_version(spark, dst).count() == 81
+        assert {r["id"] for r in V.read_version(spark, src).collect()} \
+            == set(range(90))            # source files survived
+
+    def test_clone_refuses_existing_target_and_carries_checks(
+            self, spark, tmp_path):
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        V.write_snapshot(spark.createDataFrame([(1,)], "id long"),
+                         src, checks=["id > 0"])
+        V.clone_shallow(src, dst)
+        assert V.table_checks(dst) == ["id > 0"]
+        with pytest.raises(FileExistsError):
+            V.clone_shallow(src, dst)
+        with pytest.raises(V.ConstraintViolation):
+            V.write_snapshot(spark.createDataFrame([(-5,)], "id long"),
+                             dst)
