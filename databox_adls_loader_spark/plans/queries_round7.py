@@ -1003,17 +1003,20 @@ def dedup_contamination_threshold_sweep(spark: SparkSession,
     cont = contamination(docs, F.col("doc_id") % 11 == 0, n=3,
                          min_shared=1)
     nb = cont.filter(F.col("doc_id") % 11 != 0)
-    tot = nb.agg(F.count(F.lit(1)).alias("__n"))
-    ks = spark.range(1, 5).select(F.col("id").alias("min_shared"))
-    return (F.broadcast(ks).crossJoin(F.broadcast(tot))
-            .join(nb.filter(F.col("n_shared_grams") > 0)
-                  .select("doc_id", "n_shared_grams"),
-                  F.col("n_shared_grams") >= F.col("min_shared"),
-                  "left")
-            .groupBy("min_shared")
-            .agg(F.count("doc_id").cast("long").alias("n_flagged"),
-                 F.expr("CAST(COUNT(doc_id) * 1000000L DIV MAX(__n) "
-                        "AS BIGINT)").alias("flagged_ppm"))
+    # the whole sweep is ONE aggregate: a conditional sum per threshold
+    # (no theta join, no BNL) unpivoted to |thresholds| rows
+    ks = (1, 2, 3, 4)
+    agg = nb.agg(F.count(F.lit(1)).alias("__n"),
+                 *[F.sum((F.col("n_shared_grams") >= k).cast("long"))
+                   .alias(f"__f{k}") for k in ks])
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(k).cast("long").alias("min_shared"),
+                 F.col(f"__f{k}").alias("f")) for k in ks])).alias("s")
+    return (agg.select(rows, "__n")
+            .select(F.col("s.min_shared").alias("min_shared"),
+                    F.col("s.f").cast("long").alias("n_flagged"),
+                    F.expr("CAST(s.f * 1000000L DIV __n AS BIGINT)")
+                    .alias("flagged_ppm"))
             .orderBy("min_shared"))
 
 

@@ -57,6 +57,7 @@ ALLOWED_FLAGS: dict[str, set[str]] = {
     # relation, whose size is ≤ the number of DISTINCT rows-per-key
     # values (hundreds even at 100 TB), never the key or row count.
     "prof_lorenz_skew_users": {"bnl-join"},
+    "prof_decile_lift_totalprice": {"bnl-join"},  # 1-row cents-total frame
 }
 
 BOUNDED_WINDOW_NOTE = """
