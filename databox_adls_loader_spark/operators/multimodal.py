@@ -414,3 +414,34 @@ def audio_window_energy(assets: DataFrame, window: int = 8) -> DataFrame:
     return (assets.filter(F.col("modality") == "audio")
             .repartition("asset_id")
             .mapInPandas(run, "asset_id long, window_idx long, energy long"))
+
+
+def tile_grid_plan(feats: DataFrame, tile: int = 64) -> DataFrame:
+    """Tiling SCHEDULE for image preprocessing: one row per (asset,
+    tile) with pixel offsets and actual extents (edge tiles clip) — the
+    fan-out plan a distributed vision pipeline feeds to its crop/encode
+    workers.  Pure integer planning over the decoded METADATA plane
+    (width/height from `extract_features`); payload bytes are never
+    read here, so scheduling a billion images is a metadata-sized job.
+    Output is Σ ⌈w/t⌉·⌈h/t⌉ rows, generated by two sequence explodes —
+    map-side, no shuffle."""
+    img = feats.filter(F.col("modality") == "image")
+    nx = F.expr(f"CAST((width + {tile} - 1) DIV {tile} AS INT)")
+    ny = F.expr(f"CAST((height + {tile} - 1) DIV {tile} AS INT)")
+    t = F.lit(tile)
+    return (img
+            .select("asset_id", "width", "height",
+                    F.explode(F.sequence(F.lit(0), nx - 1)).alias("tx"),
+                    ny.alias("__ny"))
+            .select("asset_id", "width", "height", "tx",
+                    F.explode(F.sequence(F.lit(0), F.col("__ny") - 1))
+                    .alias("ty"))
+            .select(F.col("asset_id"),
+                    F.col("tx").cast("long").alias("tile_x"),
+                    F.col("ty").cast("long").alias("tile_y"),
+                    (F.col("tx") * t).cast("long").alias("x0"),
+                    (F.col("ty") * t).cast("long").alias("y0"),
+                    F.least(t, F.col("width") - F.col("tx") * t)
+                    .cast("long").alias("tile_w"),
+                    F.least(t, F.col("height") - F.col("ty") * t)
+                    .cast("long").alias("tile_h")))

@@ -1068,3 +1068,47 @@ def dq_length_vs_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("CAST(SUM(CAST(is_dup AS BIGINT)) * 1000000L "
                         "DIV COUNT(1) AS BIGINT)").alias("dup_ppm"))
             .orderBy("len_bucket"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal: metadata-plane tile scheduling
+# ---------------------------------------------------------------------------
+
+from .queries_ext import _MM_BASE_CTE, _hexpair  # noqa: E402
+
+
+@register(
+    "mm_tile_grid_plan",
+    oracle=f"""
+    WITH {_MM_BASE_CTE},
+    im AS (SELECT i, 64 + {_hexpair("dh", "0")} % 192 AS w,
+                  64 + {_hexpair("dh", "1")} % 192 AS h
+           FROM dg WHERE modality = 'image'),
+    tx AS (SELECT i, w, h, unnest(range(0, (w + 63) // 64)) AS tx
+           FROM im),
+    ty AS (SELECT i, w, h, tx, unnest(range(0, (h + 63) // 64)) AS ty
+           FROM tx)
+    SELECT i AS asset_id, CAST(tx AS BIGINT) AS tile_x,
+           CAST(ty AS BIGINT) AS tile_y,
+           CAST(tx * 64 AS BIGINT) AS x0,
+           CAST(ty * 64 AS BIGINT) AS y0,
+           CAST(LEAST(64, w - tx * 64) AS BIGINT) AS tile_w,
+           CAST(LEAST(64, h - ty * 64) AS BIGINT) AS tile_h
+    FROM ty ORDER BY asset_id, tile_x, tile_y
+    """,
+    tags=["multimodal", "planning"],
+)
+def mm_tile_grid_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-tiling fan-out schedule (operator:
+    `operators/multimodal.tile_grid_plan`): one row per 64-px tile of
+    every image asset with offsets and clipped edge extents — the plan
+    a distributed crop/encode stage consumes, computed ENTIRELY on the
+    decoded-metadata plane (payload bytes never read; the decode stub's
+    dimensions are digest arithmetic the oracle recomputes, proving the
+    mapInPandas decode + integer tiling end to end)."""
+    from ..operators import multimodal
+
+    assets = multimodal.synthetic_assets(spark, n=64)
+    feats = multimodal.extract_features(assets)
+    return (multimodal.tile_grid_plan(feats, tile=64)
+            .orderBy("asset_id", "tile_x", "tile_y"))
