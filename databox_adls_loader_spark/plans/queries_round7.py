@@ -1112,3 +1112,72 @@ def mm_tile_grid_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = multimodal.extract_features(assets)
     return (multimodal.tile_grid_plan(feats, tile=64)
             .orderBy("asset_id", "tile_x", "tile_y"))
+
+
+@register(
+    "dedup_jaccard_threshold_sweep",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(t) - 2, 1) + 1),
+        i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+      FROM toks
+    ), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS i
+      FROM sh l JOIN sh r ON l.g = r.g AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    ), pu AS (
+      SELECT i, sa.sz + sb.sz - i AS u
+      FROM inter JOIN sizes sa ON a = sa.doc_id
+      JOIN sizes sb ON b = sb.doc_id
+    ), ks AS (SELECT UNNEST([50, 60, 70, 80, 90]) AS t10)
+    SELECT CAST(t10 AS BIGINT) AS threshold_pct,
+           CAST(SUM(CASE WHEN i * 100 >= t10 * u THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pairs
+    FROM ks CROSS JOIN pu GROUP BY t10 ORDER BY threshold_pct
+    """,
+    tags=["dedup", "jaccard", "sweep"],
+)
+def dedup_jaccard_threshold_sweep(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Near-dup threshold SENSITIVITY: exact word-3-gram Jaccard pair
+    counts at thresholds 0.5-0.9, compared INTEGER-exactly
+    (inter·100 ≥ t·union — no float boundary anywhere), from one
+    shingle self-join — the decision table that picks the dedup
+    threshold next to `dedup_contamination_threshold_sweep`'s.  The
+    sweep itself is one conditional-sum aggregate unpivoted to 5
+    rows."""
+    from ..operators.dedup import word_shingles
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    sh = (docs.select(F.col("doc_id").alias("id"),
+                      F.explode(word_shingles("text", 3)).alias("__g"))
+          .select("id", F.xxhash64("__g").alias("g")))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    l, r = sh.alias("l"), sh.alias("r")
+    inter = (l.join(r, (F.col("l.g") == F.col("r.g"))
+                    & (F.col("l.id") < F.col("r.id")))
+             .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+             .agg(F.count(F.lit(1)).alias("i")))
+    pu = (inter
+          .join(sizes.select(F.col("id").alias("a"),
+                             F.col("sz").alias("sa")), "a")
+          .join(sizes.select(F.col("id").alias("b"),
+                             F.col("sz").alias("sb")), "b")
+          .select("i", (F.col("sa") + F.col("sb") - F.col("i"))
+                  .alias("u")))
+    ts = (50, 60, 70, 80, 90)
+    agg = pu.agg(*[F.sum((F.col("i") * 100 >= t * F.col("u"))
+                         .cast("long")).alias(f"__c{t}") for t in ts])
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(t).cast("long").alias("threshold_pct"),
+                 F.coalesce(F.col(f"__c{t}"), F.lit(0)).alias("n"))
+        for t in ts])).alias("s")
+    return (agg.select(rows)
+            .select(F.col("s.threshold_pct").alias("threshold_pct"),
+                    F.col("s.n").cast("long").alias("n_pairs"))
+            .orderBy("threshold_pct"))
