@@ -1181,3 +1181,64 @@ def dedup_jaccard_threshold_sweep(spark: SparkSession,
             .select(F.col("s.threshold_pct").alias("threshold_pct"),
                     F.col("s.n").cast("long").alias("n_pairs"))
             .orderBy("threshold_pct"))
+
+
+@register(
+    "text_langid_confusion",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+        len(list_filter(toks, x -> lower(x) IN
+            ('the','a','of','and','is'))) AS s_en,
+        len(list_filter(toks, x -> lower(x) IN
+            ('le','la','et','des','une'))) AS s_fr,
+        len(list_filter(toks, x -> lower(x) IN
+            ('el','los','una','que','por'))) AS s_es,
+        len(list_filter(toks, x -> lower(x) IN
+            ('der','die','und','ein','nicht'))) AS s_de,
+        len(list_filter(toks, x -> lower(x) IN
+            ('的','是','了','在','我'))) AS s_zh
+      FROM t
+    ), pred AS (
+      SELECT doc_id, lang,
+             CASE WHEN greatest(s_en,s_fr,s_es,s_de,s_zh) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'en'
+                  WHEN s_fr = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'fr'
+                  WHEN s_es = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'es'
+                  WHEN s_de = greatest(s_en,s_fr,s_es,s_de,s_zh) THEN 'de'
+                  ELSE 'zh' END AS lang_pred
+      FROM s
+    ), m AS (SELECT lang, lang_pred, COUNT(*) AS n FROM pred
+             GROUP BY 1, 2),
+    tot AS (SELECT lang AS tl, SUM(n) AS tn FROM m GROUP BY lang)
+    SELECT m.lang, m.lang_pred, CAST(m.n AS BIGINT) AS n,
+           CAST(m.n * 1000000 // t.tn AS BIGINT) AS row_share_ppm
+    FROM m JOIN tot t ON m.lang = t.tl
+    ORDER BY m.lang, m.lang_pred
+    """,
+    tags=["text", "evaluation", "confusion"],
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-vs-label CONFUSION MATRIX: the marker-token language
+    heuristic (`operators/text.lang_id`) cross-tabulated against the
+    corpus's declared `lang` column, with per-true-label row shares in
+    exact ppm — the evaluation table any heuristic labeler ships with.
+    (The fixture's labels are synthetic, so the matrix shows the
+    heuristic's actual behavior, not 100% diagonal — which is exactly
+    what makes it a real evaluation artifact.)"""
+    from ..operators import text
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    m = (docs.select("lang", text.lang_id("text").alias("lang_pred"))
+         .groupBy("lang", "lang_pred")
+         .agg(F.count(F.lit(1)).alias("n")))
+    tot = m.groupBy("lang").agg(F.sum("n").alias("tn"))
+    return (m.join(F.broadcast(tot), "lang")
+            .select("lang", "lang_pred", F.col("n").cast("long").alias("n"),
+                    F.expr("CAST(n * 1000000L DIV tn AS BIGINT)")
+                    .alias("row_share_ppm"))
+            .orderBy("lang", "lang_pred"))
