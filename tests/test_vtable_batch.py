@@ -211,3 +211,27 @@ class TestVTableStreamWriter:
         assert V.latest_version(t) == v_after      # no new version
         assert not os.path.exists(f2)              # replay files dropped
         assert V.read_version(spark, t).count() == 4
+
+
+def test_dv_mask_across_arrow_batch_boundaries(spark, tmp_path):
+    """A file larger than one Arrow batch (iter_batches yields 64k-row
+    chunks) with deletions spanning the chunk boundary: the running
+    offset must keep file-positions aligned in every chunk."""
+    t = str(tmp_path / "t")
+    n = 200_000
+    V.write_snapshot(spark.range(n).coalesce(1), t)
+    # delete a range that straddles the first 65 536-row batch boundary
+    # plus a scattered tail in the third batch
+    V.delete_where(spark, t, "(id >= 65000 AND id < 66000) "
+                             "OR (id >= 150000 AND id % 97 = 0)")
+    register_vtable(spark)
+    got = spark.read.format("vtable").option("path", t).load()
+    want = V.read_version(spark, t)
+    assert got.count() == want.count()
+    assert got.agg(F.sum("id")).collect()[0][0] == \
+        want.agg(F.sum("id")).collect()[0][0]
+    # spot-check the boundary region row-for-row
+    g = sorted(r["id"] for r in got.filter(
+        "id >= 64990 AND id < 66010").collect())
+    assert g == [i for i in range(64990, 66010)
+                 if not (65000 <= i < 66000)]
