@@ -1242,3 +1242,99 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("CAST(n * 1000000L DIV tn AS BIGINT)")
                     .alias("row_share_ppm"))
             .orderBy("lang", "lang_pred"))
+
+
+# ---------------------------------------------------------------------------
+# hidden partitioning: transform pruning under the value-hash gate
+# ---------------------------------------------------------------------------
+
+_PART_ORDERS: dict = {}
+
+
+def _drop_part_orders(keys=None) -> None:
+    import shutil
+
+    for k in list(_PART_ORDERS) if keys is None else list(keys):
+        shutil.rmtree(_PART_ORDERS.pop(k), ignore_errors=True)
+
+
+def _partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Once per (session, sf_dir): `orders` committed to a versioned
+    table HIDDEN-PARTITIONED by ``month(o_orderdate)`` x
+    ``bucket(8, o_custkey)`` — the layout-as-contract fixture the
+    partition-pruning query below reads.  Same lifecycle discipline as
+    `queries_round5._versioned_orders` (atexit cleanup, new session
+    evicts prior session's trees)."""
+    import atexit
+    import tempfile
+
+    from ..sinks import versioned as V
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    t = _PART_ORDERS.get(key)
+    if t is None:
+        _drop_part_orders([k for k in _PART_ORDERS if k[0] != app_id])
+        if not _PART_ORDERS:
+            atexit.register(_drop_part_orders)
+        t = tempfile.mkdtemp(prefix="spark_graft_porders_")
+        (orders,) = _t(spark, sf_dir, "orders")
+        V.write_snapshot(
+            orders, t, mode="overwrite",
+            partition_by=["month(o_orderdate)", "bucket(8,o_custkey)"])
+        _PART_ORDERS[key] = t
+    return t
+
+
+@register(
+    "scale_hidden_partition_read",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+           TRUE AS month_pruned, TRUE AS bucket_pruned
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-03-01'
+      AND o_orderdate <  DATE '1995-06-01'
+      AND o_custkey = 371
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=["scale", "versioned", "partitioning", "skipping"],
+)
+def scale_hidden_partition_read(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """HIDDEN PARTITIONING end to end under the value-hash gate
+    (`sinks/partitioning`): `orders` lives in a versioned table
+    declared ``month(o_orderdate)`` x ``bucket(8, o_custkey)`` — the
+    Iceberg transform idea: users query SOURCE columns, the reader
+    converts the date range into a month-ordinal range and the
+    customer equality into one hash bucket, and prunes whole files by
+    the manifest's partition tuples BEFORE Spark lists anything.
+    Both prune dimensions are asserted observable (month_pruned /
+    bucket_pruned: each predicate alone must shrink the plan) and the
+    surviving rows must aggregate to exactly what plain SQL over the
+    raw table gives — layout is a contract, not a heuristic.  At
+    100 TB this is the difference between "stats usually skip" and
+    "a month of data is a month of files"."""
+    import datetime
+
+    from ..sinks import versioned as V
+
+    t = _partitioned_orders(spark, sf_dir)
+    v = V.latest_version(t)
+    date_preds = [("o_orderdate", ">=", datetime.date(1995, 3, 1)),
+                  ("o_orderdate", "<", datetime.date(1995, 6, 1))]
+    cust_pred = [("o_custkey", "=", 371)]
+    total = len(V._read_manifest(t, v))
+    month_kept, _ = V.prune_files(t, v, date_preds)
+    bucket_kept, _ = V.prune_files(t, v, cust_pred)
+    df = V.read_version(spark, t, predicates=date_preds + cust_pred)
+    return (df.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("rev"))
+            .withColumn("month_pruned",
+                        F.lit(len(month_kept) < total))
+            .withColumn("bucket_pruned",
+                        F.lit(len(bucket_kept) < total))
+            .orderBy("o_orderstatus"))

@@ -52,6 +52,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from . import partitioning
 from .storage import storage_for
 
 
@@ -446,8 +447,16 @@ def prune_files(table_dir: str, version: int,
     # physical names — translate through the version's column map
     cmap = doc.get("column_map", {})
     preds = [(_to_physical(cmap, c), op, v) for c, op, v in predicates]
+    # hidden partitioning: transform-space pruning composes (AND) with
+    # the stats bounds.  The spec names LOGICAL columns, which for
+    # partition columns equal the physical names (rename/drop of a
+    # partition source column is refused), so the same predicate list
+    # serves both checks.
+    spec = doc.get("partition_spec", [])
+    parts = doc.get("partitions", {}) if spec else {}
     kept = [f for f in all_files
-            if _file_matches(stats.get(f), preds)]
+            if _file_matches(stats.get(f), preds)
+            and partitioning.file_matches(spec, parts.get(f), preds)]
     return kept, len(all_files)
 
 
@@ -559,6 +568,14 @@ def rename_column(table_dir: str, old: str, new: str) -> int:
             f"column {old!r} is referenced by stored constraint(s) "
             f"{refs}; re-declare them with the new name (pass checks= "
             "on the next write) before renaming")
+    prefs = [s for s in table_partition_spec(table_dir)
+             if partitioning.parse_spec(s).col == old]
+    if prefs:
+        raise ValueError(
+            f"column {old!r} is a partition source of {prefs}; the "
+            "partition spec names logical columns, so rename would "
+            "orphan the layout — re-declare the spec (overwrite with "
+            "partition_by=) first")
     cur = latest_version(table_dir)
     if cur is None:
         raise FileNotFoundError(f"no snapshots in {table_dir}")
@@ -604,6 +621,13 @@ def drop_column(table_dir: str, name: str) -> int:
             f"column {name!r} is referenced by stored constraint(s) "
             f"{refs}; re-declare the table's checks without them before "
             "dropping")
+    prefs = [s for s in table_partition_spec(table_dir)
+             if partitioning.parse_spec(s).col == name]
+    if prefs:
+        raise ValueError(
+            f"column {name!r} is a partition source of {prefs}; "
+            "re-declare the spec (overwrite with partition_by=) "
+            "before dropping")
     cur = latest_version(table_dir)
     if cur is None:
         raise FileNotFoundError(f"no snapshots in {table_dir}")
@@ -616,6 +640,31 @@ def drop_column(table_dir: str, name: str) -> int:
             delete_rows=doc.get("delete_rows", {}),
             column_map=cmap, dropped_cols=sorted({*dropped, phys}))
     return cur + 1
+
+
+def table_partition_spec(table_dir: str,
+                         version: int | None = None) -> list[str]:
+    """Partition-transform spec recorded by a version's manifest
+    (default latest) — table METADATA like `table_bloom_cols`:
+    declared once (``write_snapshot(..., partition_by=[...])``),
+    honored by every later write path without re-passing.  Order is
+    the directory nesting order."""
+    v = latest_version(table_dir) if version is None else version
+    if v is None:
+        return []
+    return _read_manifest_doc(table_dir, v).get("partition_spec", [])
+
+
+def table_partitions(table_dir: str,
+                     version: int | None = None) -> dict[str, list]:
+    """data file -> its partition-transform value tuple, for files the
+    version's manifest knows the tuple of.  Files written by rewrite
+    paths that do not re-partition (compact/merge) are absent — they
+    are simply never partition-pruned (stats still skip them)."""
+    v = latest_version(table_dir) if version is None else version
+    if v is None:
+        return {}
+    return _read_manifest_doc(table_dir, v).get("partitions", {})
 
 
 def table_delete_map(table_dir: str, version: int | None = None
@@ -638,7 +687,9 @@ def _commit(table_dir: str, files: list[str], version: int,
             delete_files: dict[str, list[str]] | None = None,
             delete_rows: dict[str, int] | None = None,
             column_map: dict[str, str] | None = None,
-            dropped_cols: list[str] | None = None) -> None:
+            dropped_cols: list[str] | None = None,
+            partition_spec: list[str] | None = None,
+            partitions: dict[str, list] | None = None) -> None:
     """Write manifest v<version> then atomically swap the pointer.
 
     The streaming batch-id ledger is carried forward into EVERY manifest
@@ -679,6 +730,22 @@ def _commit(table_dir: str, files: list[str], version: int,
         doc["column_map"] = {p: column_map[p] for p in sorted(column_map)}
     if dropped_cols:
         doc["dropped_cols"] = sorted(dropped_cols)
+    # hidden partitioning: the transform spec inherits like bloom_cols
+    # (None = inherit, [] = clear); per-file partition tuples inherit
+    # from the previous manifest BY DEFAULT (a data file's tuple is a
+    # fact about the immutable file, never stale) with passed entries
+    # taking precedence, filtered to this manifest's file list — so
+    # metadata-only commits (rename/drop/delete/compact keeps) carry
+    # them with no caller changes
+    spec = partition_spec if partition_spec is not None \
+        else table_partition_spec(table_dir)
+    if spec:
+        doc["partition_spec"] = list(spec)
+        inherited_parts = table_partitions(table_dir)
+        merged = {**inherited_parts, **(partitions or {})}
+        pmap = {f: merged[f] for f in sorted(merged) if f in set(files)}
+        if pmap:
+            doc["partitions"] = pmap
     if inherited:
         doc["batch_ids"] = sorted(inherited)
     # exclusive create = an atomic conditional put: if another writer
@@ -709,6 +776,45 @@ def _new_data_files(df: DataFrame, table_dir: str, batch_tag: str) -> list[str]:
     df.write.mode("error").parquet(out)
     return sorted(st.canon(p)
                   for p in st.list_glob(st.join(out, "part-*.parquet")))
+
+
+def _new_data_files_partitioned(
+        df: DataFrame, table_dir: str, batch_tag: str,
+        transforms: list) -> tuple[list[str], dict[str, list]]:
+    """Hidden-partitioned variant of `_new_data_files`: derive one
+    hidden column per transform, hash-distribute on the partition tuple
+    (so each tuple lands in ONE task -> ~one file per partition, the
+    Iceberg hash-distribution write mode; without it every task would
+    write a sliver of every partition — the small-file explosion), and
+    write with ``partitionBy`` so each data file lies wholly inside its
+    tuple's directory.  Returns (files, file -> partition value tuple)
+    parsed back from the directory names; the hidden columns live only
+    in the directory structure, never in the files or the read schema.
+
+    A single very hot partition serializes into one writer task here —
+    acceptable for the maintenance-write shape; a skewed interactive
+    load can pre-split with an extra bucket transform, which is the
+    standard spec-level remedy."""
+    st = _st(table_dir, df.sparkSession)
+    out = st.canon(st.join(
+        table_dir, "data", f"{batch_tag}-{uuid.uuid4().hex[:8]}"))
+    pt_names = [f"__pt_{i}" for i in range(len(transforms))]
+    dfp = df.withColumns(
+        {n: t.expr() for n, t in zip(pt_names, transforms)})
+    (dfp.repartition(*[F.col(n) for n in pt_names])
+        .write.mode("error").partitionBy(*pt_names).parquet(out))
+    pat = st.join(out, *(["*"] * len(pt_names)), "part-*.parquet")
+    files = sorted(st.canon(p) for p in st.list_glob(pat))
+    parts: dict[str, list] = {}
+    for f in files:
+        segs = f.replace("\\", "/").split("/")
+        vals = []
+        for i, t in enumerate(transforms):
+            seg = segs[-(len(pt_names) + 1) + i]
+            _, _, raw = seg.partition("=")
+            vals.append(t.parse_dir(raw))
+        parts[f] = vals
+    return files, parts
 
 
 # above this many new files per commit, stats collection runs as a
@@ -1031,12 +1137,23 @@ def delete_where(spark: SparkSession, table_dir: str, condition: str,
 
 def write_snapshot(df: DataFrame, table_dir: str,
                    mode: str = "append", bloom_cols=None,
-                   checks: list[str] | None = None) -> int:
+                   checks: list[str] | None = None,
+                   partition_by: list[str] | None = None) -> int:
     """Commit ``df`` as a new snapshot; returns the new version number.
 
     ``append`` keeps the previous version's files in the new manifest;
     ``overwrite`` references only the new files (LOGICAL overwrite — the
     old files stay on disk for time travel until `vacuum`).
+
+    ``partition_by``: hidden-partitioning transform specs (see
+    `partitioning` — ``identity(c)``, ``year/month/day(c)``,
+    ``bucket(N,c)``, ``truncate(N,c)``).  Declared on the first commit
+    (or changed by an ``overwrite``) and inherited by every later
+    write like ``checks``; an ``append`` passing a DIFFERENT spec than
+    the stored one is refused (mixed layouts would silently disable
+    partition pruning).  ``[]`` on overwrite clears the spec.  Readers
+    need no flag — `prune_files` composes transform pruning with the
+    stats bounds automatically.
 
     ``checks``: CHECK constraints (see `check_constraints`) — declared
     on the first commit, inherited from the manifest by every later
@@ -1054,26 +1171,53 @@ def write_snapshot(df: DataFrame, table_dir: str,
         checks = table_checks(table_dir)
     if checks:
         check_constraints(df, checks)
+    cur_spec = table_partition_spec(table_dir)
+    if partition_by is not None:
+        spec = partitioning.canon_spec(partition_by)
+        if mode == "append" and cur_spec and spec != cur_spec:
+            raise partitioning.PartitionSpecError(
+                f"table is partitioned by {cur_spec}; an append cannot "
+                f"change the spec to {spec} (overwrite can)")
+    else:
+        spec = cur_spec
     # column mapping: the batch arrives with LOGICAL names; files store
     # PHYSICAL names (append only — a logical overwrite replaces the
-    # table's contents AND resets the mapping to identity)
+    # table's contents AND resets the mapping to identity).  Partition
+    # transforms bind to LOGICAL names — for partition source columns
+    # the two coincide (their rename/drop is refused), so binding
+    # before the physical rename is exact.
     cmap0, dropped0 = ({}, []) if mode == "overwrite" \
         else table_column_map(table_dir)
-    df = _logical_to_physical(df, cmap0)
-    new_files = _new_data_files(
-        df, table_dir, f"b{(latest_version(table_dir) or 0) + 1:05d}")
+    tag = f"b{(latest_version(table_dir) or 0) + 1:05d}"
+    new_parts: dict[str, list] | None = None
+    if spec:
+        transforms = [partitioning.parse_spec(s).bind(df.schema)
+                      for s in spec]
+        df = _logical_to_physical(df, cmap0)
+        new_files, new_parts = _new_data_files_partitioned(
+            df, table_dir, tag, transforms)
+    else:
+        df = _logical_to_physical(df, cmap0)
+        new_files = _new_data_files(df, table_dir, tag)
     new_stats = _stats_for(
         table_dir, new_files,
         [_to_physical(cmap0, b) for b in (bloom_cols or [])],
         spark=df.sparkSession)
-    return commit_data_files(table_dir, new_files, mode, new_stats,
-                             bloom_cols=bloom_cols, checks=checks)
+    return commit_data_files(
+        table_dir, new_files, mode, new_stats,
+        bloom_cols=bloom_cols, checks=checks,
+        partition_spec=spec if partition_by is not None
+        or mode == "overwrite" else None,
+        new_partitions=new_parts)
 
 
 def commit_data_files(table_dir: str, new_files: list[str], mode: str,
                       new_stats: dict, bloom_cols=None,
                       checks: list[str] | None = None,
-                      batch_ids: set[int] | None = None) -> int | None:
+                      batch_ids: set[int] | None = None,
+                      partition_spec: list[str] | None = None,
+                      new_partitions: dict[str, list] | None = None
+                      ) -> int | None:
     """Rebase-retry manifest commit of ALREADY-WRITTEN data files — the
     shared tail of `write_snapshot` and the DSv2 writer
     (`sources/vtable_batch.VTableWriter`).  Optimistic-concurrency
@@ -1111,7 +1255,9 @@ def commit_data_files(table_dir: str, new_files: list[str], mode: str,
                     bloom_cols=bloom_cols, checks=checks,
                     batch_ids=batch_ids,
                     delete_files=dmap, delete_rows=drows,
-                    column_map=cmap, dropped_cols=dropped)
+                    column_map=cmap, dropped_cols=dropped,
+                    partition_spec=partition_spec,
+                    partitions=new_partitions)
             return new_version
         except ConcurrentCommitError:
             continue
@@ -1327,7 +1473,17 @@ def vacuum(table_dir: str, keep_versions: int = 2,
     for v in vs:
         if v not in keep:
             st.delete(_manifest_path(st, table_dir, v))
-    for p in st.list_glob(st.join(table_dir, "data", "*", "part-*.parquet")):
+    # the depth loop covers hidden-partitioned batches, whose files sit
+    # under up to one `__pt_i=v` directory per transform (specs are
+    # practically <= 4 transforms; deeper orphans would need a manual
+    # sweep).  Set-dedup: ArrowStorage's fnmatch `*` crosses `/`, so
+    # patterns of different depth can return the same file there.
+    orphan_cands: set[str] = set()
+    for depth in range(5):
+        pat = st.join(table_dir, "data", "*",
+                      *(["*"] * depth), "part-*.parquet")
+        orphan_cands.update(st.list_glob(pat))
+    for p in sorted(orphan_cands):
         if st.canon(p) not in referenced:
             st.delete(p)
             deleted += 1
@@ -1373,7 +1529,9 @@ def clone_shallow(src_dir: str, dst_dir: str,
             delete_files=doc.get("delete_files", {}),
             delete_rows=doc.get("delete_rows", {}),
             column_map=doc.get("column_map", {}),
-            dropped_cols=doc.get("dropped_cols", []))
+            dropped_cols=doc.get("dropped_cols", []),
+            partition_spec=doc.get("partition_spec", []),
+            partitions=doc.get("partitions", {}))
     return 1
 
 
@@ -1503,10 +1661,20 @@ def commit_stream_batch(batch_df: DataFrame, batch_id: int,
         check_constraints(batch_df, checks)
     cmap0, _dropped0 = ({}, []) if mode == "overwrite" \
         else table_column_map(table_dir)
-    batch_df = _logical_to_physical(batch_df, cmap0)
-    new_files = _new_data_files(
-        batch_df, table_dir,
-        f"b{(latest_version(table_dir) or 0) + 1:05d}")
+    spec = table_partition_spec(table_dir)
+    new_parts: dict[str, list] | None = None
+    tag = f"b{(latest_version(table_dir) or 0) + 1:05d}"
+    if spec:
+        # stream commits honor the table's declared layout — otherwise
+        # every micro-batch would dilute partition pruning
+        transforms = [partitioning.parse_spec(s).bind(batch_df.schema)
+                      for s in spec]
+        batch_df = _logical_to_physical(batch_df, cmap0)
+        new_files, new_parts = _new_data_files_partitioned(
+            batch_df, table_dir, tag, transforms)
+    else:
+        batch_df = _logical_to_physical(batch_df, cmap0)
+        new_files = _new_data_files(batch_df, table_dir, tag)
     new_stats = _stats_for(
         table_dir, new_files,
         [_to_physical(cmap0, b) for b in (bloom_cols or [])],
@@ -1531,7 +1699,8 @@ def commit_stream_batch(batch_df: DataFrame, batch_id: int,
                     batch_ids={int(batch_id)}, stats=stats,
                     bloom_cols=bloom_cols,
                     delete_files=dmap, delete_rows=drows,
-                    column_map=cmap, dropped_cols=dropped)
+                    column_map=cmap, dropped_cols=dropped,
+                    partitions=new_parts)
             return True
         except ConcurrentCommitError:
             continue
@@ -1625,5 +1794,10 @@ def rollback(table_dir: str, to_version: int) -> int:
             delete_files=doc.get("delete_files", {}),
             delete_rows=doc.get("delete_rows", {}),
             column_map=doc.get("column_map", {}),
-            dropped_cols=doc.get("dropped_cols", []))
+            dropped_cols=doc.get("dropped_cols", []),
+            # restore the TARGET version's layout metadata explicitly —
+            # default inheritance reads the (bad) latest, which may
+            # have dropped files the rollback resurrects
+            partition_spec=doc.get("partition_spec", []),
+            partitions=doc.get("partitions", {}))
     return new_version

@@ -1,0 +1,244 @@
+"""Hidden partitioning (partition transforms) on the versioned table
+(sinks/partitioning.py + the write/prune integration in
+sinks/versioned.py)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from databox_adls_loader_spark.sinks import partitioning as P
+from databox_adls_loader_spark.sinks import versioned as V
+
+
+@pytest.fixture(params=["local", "hadoop"])
+def troot(request, tmp_path):
+    if request.param == "local":
+        return str(tmp_path)
+    return f"file://{tmp_path}"
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def _orders(spark):
+    rows = []
+    for i in range(200):
+        d = datetime.date(1995, 1, 1) + datetime.timedelta(days=(i * 7) % 365)
+        rows.append((i, i % 17, d, f"c{i % 5}-{i}"))
+    return spark.createDataFrame(
+        rows, "id: long, k: long, d: date, name: string")
+
+
+# -- spec parsing -----------------------------------------------------------
+
+def test_parse_spec_forms_and_errors():
+    assert P.parse_spec("month(d)").spec == "month(d)"
+    assert P.parse_spec(" bucket( 8 , k ) ").spec == "bucket(8,k)"
+    assert P.parse_spec("truncate(4,name)").n == 4
+    for bad in ("mod(3,k)", "bucket(k)", "month(2,d)", "bucket(0,k)", "d"):
+        with pytest.raises(P.PartitionSpecError):
+            P.parse_spec(bad)
+
+
+def test_bind_rejects_wrong_dtype(spark):
+    df = _orders(spark)
+    with pytest.raises(P.PartitionSpecError):
+        P.parse_spec("month(k)").bind(df.schema)      # long has no months
+    with pytest.raises(P.PartitionSpecError):
+        P.parse_spec("bucket(4,d)").bind(df.schema)   # date not bucketable
+    with pytest.raises(P.PartitionSpecError):
+        P.parse_spec("month(nope)").bind(df.schema)
+
+
+# -- write + prune + read correctness --------------------------------------
+
+def test_partitioned_write_prunes_and_reads_exactly(spark, troot):
+    t = troot + "/tbl"
+    df = _orders(spark)
+    v = V.write_snapshot(df, t, partition_by=["month(d)", "bucket(4,k)"])
+    spec = V.table_partition_spec(t)
+    assert spec == ["month(d)", "bucket(4,k)"]
+    parts = V.table_partitions(t)
+    files = V._read_manifest(t, v)
+    assert set(parts) == set(files)          # every file has its tuple
+    assert all(len(pv) == 2 for pv in parts.values())
+
+    # month range prunes to a strict subset, rows exactly match a plain
+    # filter over the source frame
+    preds = [("d", ">=", datetime.date(1995, 3, 1)),
+             ("d", "<", datetime.date(1995, 4, 1))]
+    kept, total = V.prune_files(t, v, preds)
+    assert 0 < len(kept) < total
+    exp = _rows(df.filter((F.col("d") >= F.lit("1995-03-01"))
+                          & (F.col("d") < F.lit("1995-04-01"))))
+    assert _rows(V.read_version(spark, t, predicates=preds)) == exp
+
+    # bucket equality prunes to ~1/4 of the files and loses no rows
+    kept2, _ = V.prune_files(t, v, [("k", "=", 11)])
+    assert len(kept2) <= (total + 3) // 4 + 1
+    assert _rows(V.read_version(spark, t, predicates=[("k", "=", 11)])) \
+        == _rows(df.filter(F.col("k") == 11))
+
+
+def test_truncate_and_identity_transforms(spark, troot):
+    t = troot + "/tbl"
+    df = _orders(spark).withColumn("grp", F.col("id") % 3)
+    V.write_snapshot(df, t,
+                     partition_by=["truncate(2,name)", "truncate(50,id)",
+                                   "identity(grp)"])
+    v = V.latest_version(t)
+    # string prefix equality predicate prunes by the truncate transform
+    kept, total = V.prune_files(t, v, [("name", "=", "c2-52")])
+    assert 0 < len(kept) < total
+    assert _rows(V.read_version(spark, t,
+                                predicates=[("name", "=", "c2-52")])) \
+        == _rows(df.filter(F.col("name") == "c2-52"))
+    # integer range predicate prunes by the floor-50 transform
+    kept2, _ = V.prune_files(t, v, [("id", ">=", 150)])
+    assert 0 < len(kept2) < total
+    assert _rows(V.read_version(spark, t, predicates=[("id", ">=", 150)])) \
+        == _rows(df.filter(F.col("id") >= 150))
+    # identity equality
+    assert _rows(V.read_version(spark, t, predicates=[("grp", "=", 1)])) \
+        == _rows(df.filter(F.col("grp") == 1))
+
+
+def test_null_partition_values_survive(spark, troot):
+    t = troot + "/tbl"
+    df = spark.createDataFrame(
+        [(1, datetime.date(2020, 1, 5)), (2, None), (3, None),
+         (4, datetime.date(2020, 3, 9))], "id: long, d: date")
+    V.write_snapshot(df, t, partition_by=["month(d)"])
+    v = V.latest_version(t)
+    parts = V.table_partitions(t)
+    assert any(pv == [None] for pv in parts.values())  # HIVE null dir
+    # a date predicate must not prune away... the null file stays
+    # (its rows are then removed by the residual filter)
+    got = _rows(V.read_version(
+        spark, t, predicates=[("d", "=", datetime.date(2020, 1, 5))]))
+    assert got == {(1, datetime.date(2020, 1, 5))}
+    assert _rows(V.read_version(spark, t)) == _rows(df)
+
+
+def test_cross_type_literal_never_false_prunes(spark, troot):
+    t = troot + "/tbl"
+    df = _orders(spark)
+    V.write_snapshot(df, t, partition_by=["identity(k)"])
+    v = V.latest_version(t)
+    # string literal probing the long identity column: Python's
+    # `5 != "5"` is True with no TypeError, so identity pruning must
+    # DECLINE cross-type equality instead of false-pruning every file
+    kept, total = V.prune_files(t, v, [("k", "=", "11")])
+    assert len(kept) == total
+    # bucket, by contrast, canonicalizes through the same string form
+    # the writer hashed (`_bloom_key` convention) — int and str
+    # literals agree and prune CORRECTLY
+    t2 = troot + "/tbl2"
+    V.write_snapshot(df, t2, partition_by=["bucket(4,k)"])
+    k_int, tot2 = V.prune_files(t2, V.latest_version(t2),
+                                [("k", "=", 11)])
+    k_str, _ = V.prune_files(t2, V.latest_version(t2),
+                             [("k", "=", "11")])
+    assert sorted(k_int) == sorted(k_str) and len(k_int) < tot2
+    assert _rows(V.read_version(spark, t2, predicates=[("k", "=", 11)])) \
+        == _rows(df.filter(F.col("k") == 11))
+
+
+# -- spec lifecycle ---------------------------------------------------------
+
+def test_append_inherits_and_mismatch_refused(spark, troot):
+    t = troot + "/tbl"
+    df = _orders(spark)
+    V.write_snapshot(df, t, partition_by=["month(d)"])
+    V.write_snapshot(df.limit(10), t)            # inherits
+    assert V.table_partition_spec(t) == ["month(d)"]
+    assert len(V.table_partitions(t)) == len(V._read_manifest(
+        t, V.latest_version(t)))                 # appended files tupled too
+    with pytest.raises(P.PartitionSpecError):
+        V.write_snapshot(df.limit(1), t, partition_by=["day(d)"])
+    # overwrite may change the spec; [] clears it
+    V.write_snapshot(df.limit(5), t, mode="overwrite",
+                     partition_by=["day(d)"])
+    assert V.table_partition_spec(t) == ["day(d)"]
+    V.write_snapshot(df.limit(5), t, mode="overwrite", partition_by=[])
+    assert V.table_partition_spec(t) == []
+
+
+def test_rename_drop_of_partition_source_refused(spark, troot):
+    t = troot + "/tbl"
+    V.write_snapshot(_orders(spark), t, partition_by=["bucket(4,k)"])
+    with pytest.raises(ValueError, match="partition source"):
+        V.rename_column(t, "k", "kk")
+    with pytest.raises(ValueError, match="partition source"):
+        V.drop_column(t, "k")
+    # other columns still evolve freely
+    V.rename_column(t, "name", "label")
+    assert "label" in V.read_version(spark, t).columns
+
+
+def test_rollback_and_clone_carry_layout(spark, troot, tmp_path):
+    t = troot + "/tbl"
+    df = _orders(spark)
+    V.write_snapshot(df, t, partition_by=["month(d)"])
+    n1 = len(V.table_partitions(t))
+    V.write_snapshot(df.limit(5), t, mode="overwrite", partition_by=[])
+    assert V.table_partition_spec(t) == []
+    v = V.rollback(t, 1)
+    assert V.table_partition_spec(t, v) == ["month(d)"]
+    assert len(V.table_partitions(t, v)) == n1
+    dst = str(tmp_path / "clone")
+    V.clone_shallow(t, dst, version=v)
+    assert V.table_partition_spec(dst) == ["month(d)"]
+    assert len(V.table_partitions(dst)) == n1
+
+
+def test_vacuum_reclaims_partitioned_orphans(spark, troot):
+    t = troot + "/tbl"
+    df = _orders(spark)
+    V.write_snapshot(df, t, partition_by=["month(d)"])
+    V.write_snapshot(df.limit(3), t, mode="overwrite")
+    deleted = V.vacuum(t, keep_versions=1)
+    assert deleted > 0                      # nested v1 files swept
+    assert _rows(V.read_version(spark, t)) == _rows(df.limit(3))
+
+
+def test_compacted_files_unpartitioned_but_correct(spark, troot):
+    t = troot + "/tbl"
+    df = _orders(spark)
+    V.write_snapshot(df, t, partition_by=["month(d)"])
+    v = V.compact_snapshot(spark, t, n_files=2)
+    # rewritten files carry no tuples — they are just never
+    # partition-pruned; rows and predicates stay exact
+    assert V.table_partitions(t, v) == {}
+    preds = [("d", ">=", datetime.date(1995, 6, 1))]
+    assert _rows(V.read_version(spark, t, predicates=preds)) \
+        == _rows(df.filter(F.col("d") >= F.lit("1995-06-01")))
+    assert V.table_partition_spec(t, v) == ["month(d)"]  # spec survives
+
+
+def test_stream_commit_honors_spec(spark, troot):
+    t = troot + "/tbl"
+    df = _orders(spark)
+    V.write_snapshot(df.limit(0), t, partition_by=["bucket(4,k)"])
+    assert V.commit_stream_batch(df.limit(40), 0, t)
+    assert not V.commit_stream_batch(df.limit(40), 0, t)   # replay skip
+    parts = V.table_partitions(t)
+    files = V._read_manifest(t, V.latest_version(t))
+    assert set(parts) == set(files) and len(files) > 0
+    assert _rows(V.read_version(spark, t, predicates=[("k", "=", 3)])) \
+        == _rows(df.limit(40).filter(F.col("k") == 3))
+
+
+def test_delete_where_keeps_partition_tuples(spark, troot):
+    t = troot + "/tbl"
+    df = _orders(spark)
+    V.write_snapshot(df, t, partition_by=["bucket(4,k)"])
+    n = len(V.table_partitions(t))
+    V.delete_where(spark, t, "id < 20")
+    assert len(V.table_partitions(t)) == n   # metadata rode through
+    assert _rows(V.read_version(spark, t, predicates=[("k", "=", 3)])) \
+        == _rows(df.filter((F.col("k") == 3) & (F.col("id") >= 20)))
