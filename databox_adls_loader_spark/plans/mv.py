@@ -91,10 +91,23 @@ class MVSpec:
     # JOIN-shaped views (the Goldstein-Larson join case): the INNER
     # equi-joins the view's build performed, each normalized as
     # (tableA, colA, tableB, colB) with (tableA, colA) <= (tableB, colB)
-    # lexicographically — `sql_rewrite` routes a join query only onto a
-    # view that declared the EXACT same join set (subsumption is
-    # deliberately unsupported: refusal over guessing)
+    # lexicographically.  `sql_rewrite` routes a join query onto a view
+    # that declared the same join set, OR a SUPERSET of it when every
+    # extra join is listed in ``lossless_joins`` below (join-set
+    # subsumption) — anything else is refused over guessed.
     joins: tuple[tuple[str, str, str, str], ...] = ()
+    # subset of ``joins`` the author asserts are LOSSLESS w.r.t. the
+    # fact: PK-FK inner equi-joins (joined key unique on the dim side,
+    # the joining side's FK non-null), so performing the join neither
+    # drops nor duplicates any fact row.  This is the declaration that
+    # lets a query with FEWER joins than the view (e.g. a plain
+    # fact-only rollup against a denormalized star summary) still
+    # route: removing a lossless join from the build provably leaves
+    # every group's aggregate unchanged.  Declare only what the
+    # schema's constraints actually guarantee — a misdeclared lossless
+    # join silently changes results, exactly like a wrong FK in any
+    # view-matching optimizer.
+    lossless_joins: tuple[tuple[str, str, str, str], ...] = ()
     # parallel to ``dims``: the base column each stored dim came from —
     # ``"table.col"`` (stored dim IS that column) or ``"date:table.col"``
     # (stored dim is CAST(col AS DATE), so only month/year derivations
@@ -648,24 +661,46 @@ def _match_candidate(mv: MVSpec, plan: dict):
     if mv.base_table != plan["table"] or not mv.table_dir \
             or len(mv.measure_sources) != len(mv.measures):
         return None
-    if tuple(sorted(mv.joins)) != tuple(sorted(plan.get("joins", ()))):
-        return None
-    if plan.get("joins") and len(mv.dim_sources) != len(mv.dims):
+    q_joins = set(plan.get("joins", ()))
+    mv_joins = set(mv.joins)
+    if q_joins != mv_joins:
+        # join-set SUBSUMPTION (the Goldstein-Larson join-subsumed
+        # case): the view may have performed EXTRA inner equi-joins the
+        # query does not ask for, provided every extra join is declared
+        # LOSSLESS (PK-FK) — each fact row then appeared in the view's
+        # input exactly once with or without it, so dropping it from
+        # the query leaves every group aggregate unchanged.  A query
+        # join the view lacks is never answerable.
+        if not q_joins <= mv_joins:
+            return None
+        if not (mv_joins - q_joins) <= set(mv.lossless_joins):
+            return None
+    if mv.joins and len(mv.dim_sources) != len(mv.dims):
         return None                     # join routing needs dim lineage
+    # does the query spell column refs bare (single-table FROM) while
+    # the view is join-shaped?  Then only FACT-sourced stored dims and
+    # measures are addressable, under their bare fact column names.
+    bare_on_join_mv = not plan.get("joins") and bool(mv.joins)
     # source -> stored dim, split by how the source may be used
     ident_of: dict[str, str] = {}
     derive_of: dict[str, str] = {}
-    if not plan.get("joins"):
-        # single-table: stored dims address themselves by name (covers
-        # still gates month/year on the stored dim being temporal)
+    if not plan.get("joins") and not mv.joins:
+        # single-table view: stored dims address themselves by name
+        # (covers still gates month/year on the stored dim's type)
         ident_of = {d: d for d in mv.dims}
         derive_of = {d: d for d in mv.dims}
     for d, s in zip(mv.dims, mv.dim_sources):
-        if s.startswith("date:"):
-            derive_of[s[5:]] = d
-        else:
-            ident_of[s] = d
-            derive_of[s] = d
+        base = s[5:] if s.startswith("date:") else s
+        keys = [base]
+        if bare_on_join_mv:
+            tbl, _, col = base.partition(".")
+            keys = [col] if tbl == mv.base_table else []
+        for k in keys:
+            if s.startswith("date:"):
+                derive_of[k] = d
+            else:
+                ident_of[k] = d
+                derive_of[k] = d
     tr_groups: list = []
     for g in plan["group_by"]:
         out, fn, dim = _parse_group(g)
@@ -676,6 +711,15 @@ def _match_candidate(mv: MVSpec, plan: dict):
                          else (out, fn, sd))
     src_of = {(agg, src): alias for (agg, alias), src in
               zip(mv.measures, mv.measure_sources)}
+    if bare_on_join_mv:
+        src_of = {}
+        for (agg, alias), s in zip(mv.measures, mv.measure_sources):
+            if s == "*":
+                src_of[(agg, "*")] = alias
+            else:
+                tbl, _, col = s.partition(".")
+                if tbl == mv.base_table:
+                    src_of[(agg, col)] = alias
     stored_measures, avg_map = [], []
     for agg, base_src, out in plan["measures"]:
         if agg == "avg":

@@ -1338,3 +1338,59 @@ def scale_hidden_partition_read(spark: SparkSession, sf_dir: str
             .withColumn("bucket_pruned",
                         F.lit(len(bucket_kept) < total))
             .orderBy("o_orderstatus"))
+
+
+# ---------------------------------------------------------------------------
+# MV routing: join-set subsumption (fact-only query onto a star summary)
+# ---------------------------------------------------------------------------
+
+@register(
+    "mv_sql_route_subsume",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           COUNT(*) AS n_orders,
+           MAX(o_totalprice) AS max_price,
+           MIN(o_totalprice) AS min_price
+    FROM orders
+    GROUP BY 1 ORDER BY month
+    """,
+    tags=["mv", "sql", "rewrite", "subsumption", "join"],
+)
+def mv_sql_route_subsume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SET SUBSUMPTION routing (the Goldstein-Larson join-subsumed
+    case) under the value-hash gate: the query is a plain FACT-ONLY
+    rollup — ``FROM orders GROUP BY month`` — while the only stored
+    summary is the DENORMALIZED star (orders ⋈ customer ⋈ nation).
+    Routing is sound only because both of the view's extra joins are
+    declared LOSSLESS (PK-FK: c_custkey/n_nationkey unique, the FKs
+    non-null), so every orders row reached the view's input exactly
+    once and dropping the joins leaves each month's aggregates
+    unchanged.  The catalog also holds the SAME view *without* the
+    lossless declaration and a cheaper rows_hint — the resolver must
+    refuse it on structure (undeclared extra join), not pick it on
+    cost; the oracle recomputes from raw `orders`, so a hash match
+    proves the subsumption logic exact.  This is the production MV
+    shape: one denormalized summary answering both the star query
+    (`mv_sql_route_star`) and its fact-only rollups."""
+    import dataclasses
+
+    from . import mv as M
+
+    spec, _t_dir = _mv_star_nation_prices(spark, sf_dir)
+    declared = dataclasses.replace(
+        spec, name="mv_star_lossless",
+        lossless_joins=spec.joins)
+    undeclared_decoy = dataclasses.replace(
+        spec, name="mv_star_undeclared", rows_hint=1)
+    q = ("SELECT date_trunc('month', o_orderdate) AS month, "
+         "COUNT(*) AS n_orders, MAX(o_totalprice) AS max_price, "
+         "MIN(o_totalprice) AS min_price "
+         "FROM orders GROUP BY 1 ORDER BY month")
+
+    def _no_fallback(_q):
+        raise AssertionError("resolver must route, not fall back")
+
+    df, used = M.sql_rewrite(spark, q, [undeclared_decoy, declared],
+                             fallback=_no_fallback)
+    assert used == declared.name
+    return df

@@ -544,3 +544,94 @@ class TestSQLRewriteJoin:
               "JOIN fact b ON a.oid = b.oid GROUP BY 1")
         _, used2 = M.sql_rewrite(spark, q2, [spec])
         assert used2 is None
+
+
+class TestSQLRewriteSubsumption:
+    """Join-set SUBSUMPTION (round 7): a query with FEWER joins than
+    the view routes iff every extra view join is declared lossless
+    (PK-FK); anything undeclared refuses on structure."""
+
+    def _mv(self, spark, tmp_path, lossless):
+        import dataclasses
+        import datetime as dt
+
+        fact = spark.createDataFrame(
+            [(1, 10, dt.datetime(2024, 1, 1), 5.0),
+             (2, 10, dt.datetime(2024, 1, 2), 7.5),
+             (3, 20, dt.datetime(2024, 2, 1), 2.0),
+             (4, 20, dt.datetime(2024, 2, 9), 9.0)],
+            "oid long, ckey long, odate timestamp, price double")
+        dim = spark.createDataFrame(
+            [(10, "DE"), (20, "FR")], "ckey long, country string")
+        dim2 = spark.createDataFrame(
+            [("DE", "EU"), ("FR", "EU")], "country string, region string")
+        build = (fact.join(dim, "ckey").join(dim2, "country")
+                 .groupBy("country",
+                          F.col("odate").cast("date").alias("day"))
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.max("price").alias("mx")))
+        t = str(tmp_path / "mv_sub")
+        M.refresh(build, t)
+        j1 = ("dim", "ckey", "fact", "ckey")
+        j2 = ("dim", "country", "dim2", "country")
+        spec = M.MVSpec(
+            name="snow", dims=("country", "day"),
+            dim_types=("string", "date"),
+            measures=(("count", "n"), ("max", "mx")),
+            measure_sources=("*", "fact.price"),
+            joins=(j1, j2),
+            lossless_joins=tuple(
+                {1: j1, 2: j2}[k] for k in lossless),
+            dim_sources=("dim.country", "date:fact.odate"),
+            rows_hint=10, table_dir=t, base_table="fact")
+        for n, df in (("fact", fact), ("dim", dim), ("dim2", dim2)):
+            df.createOrReplaceTempView(n)
+        return dataclasses.replace(spec)
+
+    def test_fact_only_query_routes_when_all_extra_lossless(
+            self, spark, tmp_path):
+        spec = self._mv(spark, tmp_path, lossless=[1, 2])
+        q = ("SELECT date_trunc('month', odate) AS m, COUNT(*) AS n, "
+             "MAX(price) AS mx FROM fact GROUP BY 1 ORDER BY m")
+        df, used = M.sql_rewrite(spark, q, [spec],
+                                 fallback=lambda _: 1 / 0)
+        assert used == "snow"
+        expect = spark.sql(q.replace(
+            "date_trunc('month', odate)",
+            "CAST(date_trunc('month', odate) AS DATE)")).collect()
+        assert [tuple(r) for r in df.collect()] == \
+            [tuple(r) for r in expect]
+
+    def test_partial_join_query_routes_on_declared_subset(
+            self, spark, tmp_path):
+        spec = self._mv(spark, tmp_path, lossless=[2])
+        # query performs j1; only the extra j2 must be lossless
+        q = ("SELECT d.country, COUNT(*) AS n "
+             "FROM fact f JOIN dim d ON f.ckey = d.ckey "
+             "GROUP BY d.country ORDER BY country")
+        df, used = M.sql_rewrite(spark, q, [spec],
+                                 fallback=lambda _: 1 / 0)
+        assert used == "snow"
+        assert [tuple(r) for r in df.collect()] == [("DE", 2), ("FR", 2)]
+        # ...but the fact-only query needs BOTH declared: refuse
+        q2 = "SELECT COUNT(*) AS n FROM fact"
+        _, used2 = M.sql_rewrite(spark, q2, [spec])
+        assert used2 is None
+
+    def test_undeclared_extra_join_refused(self, spark, tmp_path):
+        spec = self._mv(spark, tmp_path, lossless=[])
+        q = ("SELECT date_trunc('month', odate) AS m, COUNT(*) AS n "
+             "FROM fact GROUP BY 1")
+        _, used = M.sql_rewrite(spark, q, [spec])
+        assert used is None
+
+    def test_bare_dim_table_column_unreachable(self, spark, tmp_path):
+        spec = self._mv(spark, tmp_path, lossless=[1, 2])
+        # `country` is dim-sourced; a bare single-table query cannot
+        # address it (it is not a fact column) — refuse, never guess
+        q = "SELECT country, COUNT(*) AS n FROM fact GROUP BY 1"
+        # the fallback itself would fail (country is not a fact column)
+        # — the point is the resolver REFUSED rather than guessed
+        _, used = M.sql_rewrite(spark, q, [spec],
+                                fallback=lambda _q: None)
+        assert used is None
