@@ -780,7 +780,9 @@ def _new_data_files(df: DataFrame, table_dir: str, batch_tag: str) -> list[str]:
 
 def _new_data_files_partitioned(
         df: DataFrame, table_dir: str, batch_tag: str,
-        transforms: list) -> tuple[list[str], dict[str, list]]:
+        transforms: list, sort_within: list | None = None,
+        drop_cols: list | None = None
+        ) -> tuple[list[str], dict[str, list]]:
     """Hidden-partitioned variant of `_new_data_files`: derive one
     hidden column per transform, hash-distribute on the partition tuple
     (so each tuple lands in ONE task -> ~one file per partition, the
@@ -801,8 +803,15 @@ def _new_data_files_partitioned(
     pt_names = [f"__pt_{i}" for i in range(len(transforms))]
     dfp = df.withColumns(
         {n: t.expr() for n, t in zip(pt_names, transforms)})
-    (dfp.repartition(*[F.col(n) for n in pt_names])
-        .write.mode("error").partitionBy(*pt_names).parquet(out))
+    dfp = dfp.repartition(*[F.col(n) for n in pt_names])
+    if sort_within:
+        # cluster WITHIN each partition file so footer stats stay tight
+        # on the sort columns too (partition dirs handle the transform
+        # dimensions) — partition-preserving OPTIMIZE uses this
+        dfp = dfp.sortWithinPartitions(*pt_names, *sort_within)
+    if drop_cols:
+        dfp = dfp.drop(*drop_cols)    # projection keeps the sort order
+    dfp.write.mode("error").partitionBy(*pt_names).parquet(out)
     pat = st.join(out, *(["*"] * len(pt_names)), "part-*.parquet")
     files = sorted(st.canon(p) for p in st.list_glob(pat))
     parts: dict[str, list] = {}
@@ -1345,6 +1354,39 @@ def compact_snapshot(spark: SparkSession, table_dir: str,
     if cur is None:
         raise FileNotFoundError(f"no snapshots in {table_dir}")
     df = read_version(spark, table_dir, cur)
+    if bloom_cols is None:
+        bloom_cols = table_bloom_cols(table_dir)
+    new_version = cur + 1
+    spec = table_partition_spec(table_dir)
+    if spec:
+        # partition-PRESERVING OPTIMIZE: a hidden-partitioned table's
+        # compaction rewrites WITHIN the declared layout (one file per
+        # partition tuple; ``n_files`` does not apply) — destroying the
+        # tuples here would silently disable partition pruning, the
+        # opposite of what OPTIMIZE is for.  cluster_by/zorder_by order
+        # rows inside each partition file so footer stats stay tight in
+        # the non-partition dimensions too.
+        tmp: list[str] = []
+        if zorder_by is not None:
+            from ..operators.scale import zorder_key2
+            a, b = zorder_by
+            df = df.withColumn("__zorder_key",
+                               zorder_key2(F.col(a), F.col(b)))
+            sort_cols, tmp = ["__zorder_key"], ["__zorder_key"]
+        elif cluster_by:
+            sort_cols = list(cluster_by)
+        else:
+            sort_cols = []
+        transforms = [partitioning.parse_spec(s).bind(df.schema)
+                      for s in spec]
+        files, parts = _new_data_files_partitioned(
+            df, table_dir, f"b{new_version:05d}", transforms,
+            sort_within=sort_cols, drop_cols=tmp)
+        _commit(table_dir, files, new_version,
+                stats=_stats_for(table_dir, files, bloom_cols,
+                                 spark=spark),
+                bloom_cols=bloom_cols, partitions=parts)
+        return new_version
     if zorder_by is not None:
         from ..operators.scale import zorder_key2
         a, b = zorder_by
@@ -1359,9 +1401,6 @@ def compact_snapshot(spark: SparkSession, table_dir: str,
                 .sortWithinPartitions(*cluster_by))
     else:
         df = df.repartition(n_files)
-    if bloom_cols is None:
-        bloom_cols = table_bloom_cols(table_dir)
-    new_version = cur + 1
     files = _new_data_files(df, table_dir, f"b{new_version:05d}")
     _commit(table_dir, files, new_version,
             stats=_stats_for(table_dir, files, bloom_cols, spark=spark),
@@ -1404,8 +1443,20 @@ def compact_small_files(spark: SparkSession, table_dir: str,
     df = _read_files(spark, small, dmap)
     n_out = max(1, sum(sizes[f] for f in small) // max(target_bytes, 1))
     new_version = cur + 1
-    new_files = _new_data_files(df.repartition(int(n_out)), table_dir,
-                                f"b{new_version:05d}")
+    spec = table_partition_spec(table_dir)
+    new_parts: dict[str, list] | None = None
+    if spec:
+        # partition-preserving incremental OPTIMIZE: coalesce the small
+        # files WITHIN the declared layout (partition sources are
+        # rename-protected, so logical == physical for them and the
+        # transforms bind on the physical schema)
+        transforms = [partitioning.parse_spec(s).bind(df.schema)
+                      for s in spec]
+        new_files, new_parts = _new_data_files_partitioned(
+            df, table_dir, f"b{new_version:05d}", transforms)
+    else:
+        new_files = _new_data_files(df.repartition(int(n_out)),
+                                    table_dir, f"b{new_version:05d}")
     inherited = _inherited_stats(table_dir, cur)
     stats = {**{f: inherited[f] for f in keep if f in inherited},
              **_stats_for(table_dir, new_files,
@@ -1416,7 +1467,8 @@ def compact_small_files(spark: SparkSession, table_dir: str,
             delete_files={f: ds for f, ds in dmap.items()
                           if f in set(keep)},
             delete_rows=drows,
-            column_map=cmap, dropped_cols=dropped)
+            column_map=cmap, dropped_cols=dropped,
+            partitions=new_parts)
     return new_version
 
 

@@ -206,18 +206,46 @@ def test_vacuum_reclaims_partitioned_orphans(spark, troot):
     assert _rows(V.read_version(spark, t)) == _rows(df.limit(3))
 
 
-def test_compacted_files_unpartitioned_but_correct(spark, troot):
+def test_compaction_preserves_partition_layout(spark, troot):
     t = troot + "/tbl"
     df = _orders(spark)
-    V.write_snapshot(df, t, partition_by=["month(d)"])
-    v = V.compact_snapshot(spark, t, n_files=2)
-    # rewritten files carry no tuples — they are just never
-    # partition-pruned; rows and predicates stay exact
-    assert V.table_partitions(t, v) == {}
+    # three small commits -> several files per partition tuple
+    V.write_snapshot(df.filter(F.col("id") % 3 == 0), t,
+                     partition_by=["month(d)"])
+    V.write_snapshot(df.filter(F.col("id") % 3 == 1), t)
+    V.write_snapshot(df.filter(F.col("id") % 3 == 2), t)
+    n_before = len(V._read_manifest(t, V.latest_version(t)))
+    v = V.compact_snapshot(spark, t, cluster_by=["id"])
+    files = V._read_manifest(t, v)
+    parts = V.table_partitions(t, v)
+    # compaction rewrote WITHIN the layout: every file re-tupled, one
+    # file per populated partition, pruning still exact
+    assert set(parts) == set(files)
+    assert len(files) == len({tuple(pv) for pv in parts.values()})
+    assert len(files) < n_before
     preds = [("d", ">=", datetime.date(1995, 6, 1))]
+    kept, total = V.prune_files(t, v, preds)
+    assert 0 < len(kept) < total
     assert _rows(V.read_version(spark, t, predicates=preds)) \
         == _rows(df.filter(F.col("d") >= F.lit("1995-06-01")))
-    assert V.table_partition_spec(t, v) == ["month(d)"]  # spec survives
+    assert V.table_partition_spec(t, v) == ["month(d)"]
+
+
+def test_incremental_optimize_preserves_layout(spark, troot):
+    t = troot + "/tbl"
+    df = _orders(spark)
+    V.write_snapshot(df.filter(F.col("id") < 100), t,
+                     partition_by=["bucket(4,k)"])
+    V.write_snapshot(df.filter(F.col("id") >= 100), t)
+    v = V.compact_small_files(spark, t, target_bytes=1 << 30)
+    assert v is not None
+    files = V._read_manifest(t, v)
+    parts = V.table_partitions(t, v)
+    assert set(parts) == set(files)
+    assert _rows(V.read_version(spark, t, predicates=[("k", "=", 5)])) \
+        == _rows(df.filter(F.col("k") == 5))
+    kept, total = V.prune_files(t, v, [("k", "=", 5)])
+    assert 0 < len(kept) < total
 
 
 def test_stream_commit_honors_spec(spark, troot):
