@@ -161,6 +161,26 @@ def _cmd_table(args) -> int:
     if args.verb == "rollback":
         print(json.dumps({"version": V.rollback(t, args.to_version)}))
         return 0
+    if args.verb == "describe":
+        cur = V.latest_version(t)
+        if cur is None:
+            print(json.dumps({"error": "no snapshots"}))
+            return 1
+        doc = V._read_manifest_doc(t, cur)
+        print(json.dumps({
+            "version": cur,
+            "files": len(doc["files"]),
+            "rows": sum(int(s.get("num_rows", 0))
+                        for s in (doc.get("stats") or {}).values()),
+            "partition_spec": doc.get("partition_spec", []),
+            "partitioned_files": len(doc.get("partitions", {})),
+            "bloom_cols": doc.get("bloom_cols", []),
+            "checks": doc.get("checks", []),
+            "column_map": doc.get("column_map", {}),
+            "dropped_cols": doc.get("dropped_cols", []),
+            "files_with_deletes": len(doc.get("delete_files", {})),
+            "stream_batches": len(doc.get("batch_ids", []))}))
+        return 0
     spark = _spark(f"table-{args.verb}")
     if args.verb == "compact":
         kw = {}
@@ -253,6 +273,7 @@ def main(argv: list[str] | None = None) -> int:
             ("drop-column", "metadata-only DROP COLUMN"),
             ("rollback", "re-commit an old version's file list"),
             ("clone", "zero-copy shallow clone to a new table dir"),
+            ("describe", "table metadata: layout, constraints, state"),
             ("show", "read a version (latest, -v N, or --as-of TS)")]:
         sp = tv.add_parser(verb, help=help_)
         sp.add_argument("table_dir")

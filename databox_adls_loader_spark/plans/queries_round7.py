@@ -1394,3 +1394,253 @@ def mv_sql_route_subsume(spark: SparkSession, sf_dir: str) -> DataFrame:
                              fallback=_no_fallback)
     assert used == declared.name
     return df
+
+
+# ---------------------------------------------------------------------------
+# behavioral commerce analytics: market basket, RFM, inter-order gaps
+# ---------------------------------------------------------------------------
+
+@register(
+    "basket_brand_pairs_lift",
+    oracle="""
+    WITH ob AS (SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    n AS (SELECT COUNT(DISTINCT okey) AS nt FROM ob),
+    bt AS (SELECT brand, COUNT(*) AS nb FROM ob GROUP BY brand),
+    pr AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+                  COUNT(*) AS n_pairs
+           FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+           GROUP BY 1, 2)
+    SELECT pr.brand_a, pr.brand_b, CAST(pr.n_pairs AS BIGINT) AS n_pairs,
+           CAST(pr.n_pairs * 1000000 // n.nt AS BIGINT) AS support_ppm,
+           CAST(pr.n_pairs * 1000000 // ba.nb AS BIGINT)
+             AS conf_a_to_b_ppm,
+           CAST(((pr.n_pairs * 1000000 // ba.nb) * n.nt) // bb.nb
+                AS BIGINT) AS lift_ppm
+    FROM pr CROSS JOIN n
+    JOIN bt ba ON pr.brand_a = ba.brand
+    JOIN bt bb ON pr.brand_b = bb.brand
+    ORDER BY brand_a, brand_b
+    """,
+    tags=["basket", "association", "lift"],
+)
+def basket_brand_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association over order baskets: support,
+    confidence, and lift for every BRAND pair co-purchased in one
+    order, in exact ppm.  The pair space is bounded by |brands|² (never
+    |orders|²): baskets reduce to DISTINCT (order, brand) first, the
+    self-join runs inside each order key, and the output is <= C(25,2)
+    rows at any scale — the a-priori first pass shaped for a 100 TB
+    fact.  Lift is the documented integer composition
+    ((pairs*1e6 DIV n_a) * N) DIV n_b — each intermediate bounded by
+    1e6*N, no 128-bit product, identical in both engines."""
+    (li, part) = _t(spark, sf_dir, "lineitem", "part")
+    ob = (li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                  li.l_partkey == part.p_partkey)
+          .select(F.col("l_orderkey").alias("okey"),
+                  F.col("p_brand").alias("brand"))
+          .distinct())
+    nt = F.broadcast(ob.agg(
+        F.countDistinct("okey").alias("nt")))          # 1-row contract
+    bt = F.broadcast(ob.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("nb")))                # <= |brands| rows
+    a, b = ob.alias("a"), ob.alias("b")
+    pr = (a.join(b, (F.col("a.okey") == F.col("b.okey"))
+                 & (F.col("a.brand") < F.col("b.brand")))
+          .groupBy(F.col("a.brand").alias("brand_a"),
+                   F.col("b.brand").alias("brand_b"))
+          .agg(F.count(F.lit(1)).alias("n_pairs")))
+    return (pr.crossJoin(nt)
+            .join(bt.withColumnRenamed("brand", "brand_a")
+                    .withColumnRenamed("nb", "nb_a"), "brand_a")
+            .join(bt.withColumnRenamed("brand", "brand_b")
+                    .withColumnRenamed("nb", "nb_b"), "brand_b")
+            .select(
+                "brand_a", "brand_b",
+                F.col("n_pairs").cast("long").alias("n_pairs"),
+                F.expr("CAST(n_pairs * 1000000L DIV nt AS BIGINT)")
+                .alias("support_ppm"),
+                F.expr("CAST(n_pairs * 1000000L DIV nb_a AS BIGINT)")
+                .alias("conf_a_to_b_ppm"),
+                F.expr("CAST(((n_pairs * 1000000L DIV nb_a) * nt) "
+                       "DIV nb_b AS BIGINT)").alias("lift_ppm"))
+            .orderBy("brand_a", "brand_b"))
+
+
+@register(
+    "rfm_segment_grid",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             MAX(CAST(o_orderdate AS DATE)) AS last_d,
+             COUNT(*) AS freq,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey),
+    mx AS (SELECT MAX(last_d) AS maxd FROM base),
+    r AS (
+      SELECT o_custkey, freq, cents,
+             date_diff('day', last_d, mx.maxd) AS r_days,
+             COUNT(*) OVER () AS nt
+      FROM base CROSS JOIN mx),
+    q AS (
+      SELECT cents,
+             (ROW_NUMBER() OVER (ORDER BY r_days, o_custkey) - 1) * 5
+               // nt + 1 AS r_q,
+             (ROW_NUMBER() OVER (ORDER BY freq DESC, o_custkey) - 1) * 5
+               // nt + 1 AS f_q,
+             (ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) - 1) * 5
+               // nt + 1 AS m_q
+      FROM r)
+    SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+           CAST(m_q AS BIGINT) AS m_q,
+           COUNT(*) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS tot_cents
+    FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    tags=["rfm", "segmentation", "window"],
+)
+def rfm_segment_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation grid: every customer scored into quintiles of
+    Recency (days since last order; 1 = most recent), Frequency
+    (orders; 1 = most), and Monetary (exact cents; 1 = highest), then
+    the <= 125 (r,f,m) cells aggregated — the classic CRM cohort cube.
+    Quintiles are row_number-based ((rn-1)*5 DIV n + 1, custkey
+    tiebreak) computed with `operators/windows.global_row_number` —
+    three two-phase range-partitioned passes over the per-customer
+    aggregate (∝ |customers|, never |orders|), NO single-partition
+    window anywhere; the recency anchor is a 1-row broadcast contract
+    frame."""
+    from ..operators.windows import global_row_number
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    base = (orders.groupBy("o_custkey")
+            .agg(F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+                 F.count(F.lit(1)).alias("freq"),
+                 F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                       .cast("long")).cast("long").alias("cents")))
+    mx = F.broadcast(base.agg(F.max("last_d").alias("maxd")))
+    base = (base.crossJoin(mx)
+            .withColumn("r_days", F.datediff("maxd", "last_d")))
+    d, nt = global_row_number(
+        base, [("r_days", "asc"), ("o_custkey", "asc")], "rn_r")
+    d, _ = global_row_number(
+        d, [("freq", "desc"), ("o_custkey", "asc")], "rn_f")
+    d, _ = global_row_number(
+        d, [("cents", "desc"), ("o_custkey", "asc")], "rn_m")
+    q = d.select(
+        "cents",
+        F.expr(f"CAST((rn_r - 1) * 5 DIV {nt} + 1 AS BIGINT)").alias("r_q"),
+        F.expr(f"CAST((rn_f - 1) * 5 DIV {nt} + 1 AS BIGINT)").alias("f_q"),
+        F.expr(f"CAST((rn_m - 1) * 5 DIV {nt} + 1 AS BIGINT)").alias("m_q"))
+    return (q.groupBy("r_q", "f_q", "m_q")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum("cents").cast("long").alias("tot_cents"))
+            .orderBy("r_q", "f_q", "m_q"))
+
+
+@register(
+    "cust_order_gap_by_segment",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+             date_diff('day',
+               LAG(CAST(o_orderdate AS DATE))
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey),
+               CAST(o_orderdate AS DATE)) AS gap_days
+      FROM orders),
+    gg AS (SELECT o_custkey, gap_days FROM g WHERE gap_days IS NOT NULL)
+    SELECT c.c_mktsegment, COUNT(*) AS n_gaps,
+           CAST(SUM(gg.gap_days) * 1000000 // COUNT(*) AS BIGINT)
+             AS avg_gap_ppm,
+           CAST(percentile_disc(0.5)
+                WITHIN GROUP (ORDER BY gg.gap_days) AS BIGINT)
+             AS p50_gap_days
+    FROM gg JOIN customer c ON gg.o_custkey = c.c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=["sessions", "gaps", "window", "fleet"],
+)
+def cust_order_gap_by_segment(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Inter-order gap distribution by market segment: per-customer
+    consecutive-order day gaps (a PER-KEY partitioned lag — the fleet
+    window shape, parallel across customers), rolled up per segment as
+    exact-ppm mean and discrete median.  The repurchase-cadence report
+    behind churn models; percentile_disc keeps the median an actual
+    observed gap on both engines."""
+    from pyspark.sql import Window
+
+    (orders, customer) = _t(spark, sf_dir, "orders", "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate",
+                                                "o_orderkey")
+    g = (orders
+         .withColumn("gap_days",
+                     F.datediff(F.col("o_orderdate").cast("date"),
+                                F.lag(F.col("o_orderdate").cast("date"))
+                                .over(w)))
+         .filter(F.col("gap_days").isNotNull())
+         .select("o_custkey", "gap_days"))
+    return (g.join(customer.select("c_custkey", "c_mktsegment"),
+                   g.o_custkey == F.col("c_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_gaps"),
+                 F.expr("CAST(SUM(gap_days) * 1000000L DIV COUNT(*) "
+                        "AS BIGINT)").alias("avg_gap_ppm"),
+                 F.expr("CAST(percentile_disc(0.5) WITHIN GROUP "
+                        "(ORDER BY gap_days) AS BIGINT)")
+                 .alias("p50_gap_days"))
+            .orderBy("c_mktsegment"))
+
+
+@register(
+    "cohort_ltv_triangle",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey,
+             MIN((EXTRACT(year FROM o_orderdate) - 1970) * 12
+                 + EXTRACT(month FROM o_orderdate) - 1) AS m0
+      FROM orders GROUP BY o_custkey),
+    x AS (
+      SELECT f.m0 AS cohort_m,
+             (EXTRACT(year FROM o.o_orderdate) - 1970) * 12
+               + EXTRACT(month FROM o.o_orderdate) - 1 - f.m0
+               AS months_since,
+             o.o_custkey,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders o JOIN f ON o.o_custkey = f.o_custkey)
+    SELECT CAST(cohort_m AS BIGINT) AS cohort_m,
+           CAST(months_since AS BIGINT) AS months_since,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM x GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=["cohort", "ltv", "retention"],
+)
+def cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: customers bucketed by FIRST-order month
+    (epoch-month ordinal — integer arithmetic, no calendar floats),
+    then active-customer counts and exact revenue cents per
+    (cohort, months-since-acquisition) cell — the acquisition-payback
+    matrix growth teams read top-right to bottom-left.  One
+    per-customer min, one co-keyed join on o_custkey (both shuffles
+    ∝ |orders| with map-side partial aggregation), output bounded by
+    |months|²/2 cells regardless of data size."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    mo = ((F.year("o_orderdate") - F.lit(1970)) * 12
+          + F.month("o_orderdate") - 1)
+    f = (orders.groupBy("o_custkey").agg(F.min(mo).alias("m0"))
+         .withColumnRenamed("o_custkey", "fk"))
+    x = (orders.join(f, orders.o_custkey == f.fk)
+         .select(F.col("m0").cast("long").alias("cohort_m"),
+                 (mo - F.col("m0")).cast("long").alias("months_since"),
+                 "o_custkey",
+                 (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                 .cast("long").alias("cents")))
+    return (x.groupBy("cohort_m", "months_since")
+            .agg(F.countDistinct("o_custkey").cast("long")
+                 .alias("n_active"),
+                 F.sum("cents").cast("long").alias("cents"))
+            .orderBy("cohort_m", "months_since"))

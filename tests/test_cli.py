@@ -195,3 +195,25 @@ def test_cli_clone_and_age_vacuum(spark, tmp_path, capsys):
                  "--older-than", "2000-01-01T00:00:00+00:00"]) == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out == {"deleted_files": 0}     # everything newer: kept
+
+
+def test_cli_table_describe(spark, tmp_path, capsys):
+    from databox_adls_loader_spark.sinks import versioned as V
+
+    t = str(tmp_path / "dtbl")
+    V.write_snapshot(
+        spark.createDataFrame(
+            [(i, i % 4, f"s{i}") for i in range(20)],
+            "k long, b long, s string").coalesce(1),
+        t, partition_by=["bucket(2,b)"], bloom_cols=["k"],
+        checks=["k >= 0"])
+    assert main(["table", "describe", t]) == 0
+    d = json.loads(capsys.readouterr().out.strip())
+    assert d["version"] == 1 and d["rows"] == 20
+    assert d["partition_spec"] == ["bucket(2,b)"]
+    assert d["partitioned_files"] == d["files"] > 0
+    assert d["bloom_cols"] == ["k"] and d["checks"] == ["k >= 0"]
+    assert d["files_with_deletes"] == 0
+
+    # empty dir: loud error, exit 1
+    assert main(["table", "describe", str(tmp_path / "nope")]) == 1

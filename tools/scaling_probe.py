@@ -56,6 +56,7 @@ HEADLINERS = [
     "scale_dv_delete_read",      # merge-on-read versioned read (DV anti join)
     "scale_token_index_read",    # inverted-file token skip read
     "mv_sql_route_monthly",      # SQL-parsed MV route (MV-sized re-agg)
+    "scale_hidden_partition_read",  # transform-pruned partitioned read
 ]
 
 TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
@@ -80,6 +81,7 @@ TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
     "scale_dv_delete_read": "orders",
     "scale_token_index_read": "documents",
     "mv_sql_route_monthly": "orders",
+    "scale_hidden_partition_read": "orders",
 }
 
 # the heavy shapes probed one decade PAST the bench SF, on the locally
@@ -102,6 +104,10 @@ SF1_QUERIES = [
     # exist at sf1
     "scale_dv_delete_read",
     "scale_token_index_read",
+    # hidden partitioning (round-7): month x bucket transform-pruned
+    # read over orders — partition count is calendar-bounded, so file
+    # sizes, not file counts, grow with SF
+    "scale_hidden_partition_read",
 ]
 
 
