@@ -158,6 +158,10 @@ def _cmd_table(args) -> int:
     if args.verb == "drop-column":
         print(json.dumps({"version": V.drop_column(t, args.column)}))
         return 0
+    if args.verb == "widen-column":
+        print(json.dumps({"version": V.widen_column(
+            t, args.column, args.new_type)}))
+        return 0
     if args.verb == "rollback":
         print(json.dumps({"version": V.rollback(t, args.to_version)}))
         return 0
@@ -271,6 +275,8 @@ def main(argv: list[str] | None = None) -> int:
             ("delete", "merge-on-read DELETE (position-delete files)"),
             ("rename-column", "metadata-only RENAME COLUMN"),
             ("drop-column", "metadata-only DROP COLUMN"),
+            ("widen-column", "metadata-only type widening "
+                             "(int->long, float->double, decimal p+)"),
             ("rollback", "re-commit an old version's file list"),
             ("clone", "zero-copy shallow clone to a new table dir"),
             ("describe", "table metadata: layout, constraints, state"),
@@ -301,6 +307,9 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("new")
         elif verb == "drop-column":
             sp.add_argument("column")
+        elif verb == "widen-column":
+            sp.add_argument("column")
+            sp.add_argument("new_type")
         elif verb == "rollback":
             sp.add_argument("to_version", type=int)
         elif verb == "show":

@@ -1644,3 +1644,80 @@ def cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_active"),
                  F.sum("cents").cast("long").alias("cents"))
             .orderBy("cohort_m", "months_since"))
+
+
+# ---------------------------------------------------------------------------
+# type widening: mixed-physical-width read under the value-hash gate
+# ---------------------------------------------------------------------------
+
+_WIDENED_ORDERS: dict = {}
+
+
+def _drop_widened_orders(keys=None) -> None:
+    import shutil
+
+    for k in list(_WIDENED_ORDERS) if keys is None else list(keys):
+        shutil.rmtree(_WIDENED_ORDERS.pop(k), ignore_errors=True)
+
+
+def _widened_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Once per (session, sf_dir): a versioned `orders` whose
+    o_orderkey began INT, was widened to BIGINT metadata-only, and then
+    received a BIGINT append — the two file eras carry different
+    physical widths on disk."""
+    import atexit
+    import tempfile
+
+    from ..sinks import versioned as V
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    t = _WIDENED_ORDERS.get(key)
+    if t is None:
+        _drop_widened_orders([k for k in _WIDENED_ORDERS if k[0] != app_id])
+        if not _WIDENED_ORDERS:
+            atexit.register(_drop_widened_orders)
+        t = tempfile.mkdtemp(prefix="spark_graft_worders_")
+        (orders,) = _t(spark, sf_dir, "orders")
+        narrow = (orders.filter(F.col("o_orderkey") % 2 == 0)
+                  .withColumn("o_orderkey",
+                              F.col("o_orderkey").cast("int")))
+        V.write_snapshot(narrow, t, mode="overwrite")
+        V.widen_column(t, "o_orderkey", "bigint")
+        V.write_snapshot(orders.filter(F.col("o_orderkey") % 2 == 1), t)
+        _WIDENED_ORDERS[key] = t
+    return t
+
+
+@register(
+    "scale_type_widened_read",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(MAX(o_orderkey) AS BIGINT) AS key_max
+    FROM orders
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=["scale", "versioned", "widening", "evolution"],
+)
+def scale_type_widened_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE WIDENING end to end under the value-hash gate
+    (`sinks/versioned.widen_column` — the Iceberg-V3/Delta shape):
+    half of `orders` was committed with an INT32 o_orderkey, the
+    column was widened to BIGINT metadata-only (zero files rewritten),
+    and the other half appended as INT64 — the snapshot's files
+    physically disagree on width, the manifest's declared schema
+    settles it, and the scan up-casts the narrow era natively.  The
+    oracle recomputes from the raw table, so a hash match proves the
+    mixed-width read loses and corrupts nothing.  At 100 TB this is
+    how an id column outgrows int32 without a table rewrite."""
+    from ..sinks import versioned as V
+
+    t = _widened_orders(spark, sf_dir)
+    df = V.read_version(spark, t)
+    return (df.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("o_orderkey").cast("long").alias("key_sum"),
+                 F.max("o_orderkey").cast("long").alias("key_max"))
+            .orderBy("o_orderstatus"))

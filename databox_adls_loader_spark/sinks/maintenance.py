@@ -120,8 +120,10 @@ def build_token_index(spark: SparkSession, table_dir: str, index_dir: str,
     # delete map and the residual filter), never for missing a file.
     files = V._read_manifest(table_dir, v)
     cmap, dropped = V.table_column_map(table_dir, v)
-    raw = (spark.read.option("mergeSchema", "true")
-           .parquet(*sorted(files))
+    sch = V.table_schema(table_dir, v)
+    rd = spark.read.schema(sch) if sch is not None \
+        else spark.read.option("mergeSchema", "true")
+    raw = (rd.parquet(*sorted(files))
            .withColumn("__file", F.col("_metadata.file_path")))
     df = V._apply_column_map(raw, cmap, dropped, keep=["__file"])
     inv = (df.select(F.col("__file").alias("file"),
@@ -177,6 +179,7 @@ def read_with_token(spark: SparkSession, table_dir: str, index_dir: str,
     if len(sel) != len({st.uri_canon(x) for x in files}):
         return V.read_version(spark, table_dir, cur).filter(residual)
     dmap, _ = V.table_delete_map(table_dir, cur)
-    df = V._read_files(spark, sel, dmap)
+    df = V._read_files(spark, sel, dmap,
+                       schema=V.table_schema(table_dir, cur))
     df = V._apply_column_map(df, *V.table_column_map(table_dir, cur))
     return df.filter(residual)

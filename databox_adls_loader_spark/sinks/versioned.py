@@ -369,7 +369,15 @@ def _file_stats(path: str, st, bloom_cols=None) -> dict:
             if st_ is None or not st_.has_min_max:
                 c["has_bounds"] = False
                 continue
-            mn, mx = _canon(st_.min), _canon(st_.max)
+            try:
+                mn, mx = _canon(st_.min), _canon(st_.max)
+            except Exception:
+                # pyarrow cannot decode bounds for some physical types
+                # (e.g. wide decimals stored as FIXED_LEN_BYTE_ARRAY
+                # raise ArrowNotImplementedError) — absent bounds mean
+                # 'cannot prune', never a failed commit
+                c["has_bounds"] = False
+                continue
             if not isinstance(mn, (int, float, str, bool)):
                 c["has_bounds"] = False
                 continue
@@ -526,6 +534,156 @@ def _logical_to_physical(df: DataFrame, cmap: dict[str, str]) -> DataFrame:
         return df
     back = {logical: phys for phys, logical in cmap.items()}
     return df.select(*[F.col(c).alias(back.get(c, c)) for c in df.columns])
+
+
+# ---------------------------------------------------------------------------
+# type widening (schema evolution beyond add-column)
+# ---------------------------------------------------------------------------
+
+_INT_ORDER = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+
+
+def _is_widening(old, new) -> bool:
+    """May a column physically stored as ``old`` be READ as ``new``?
+    The Iceberg-V3/Delta type-widening promotion set: integral up-casts,
+    float->double, and decimal precision growth at fixed scale — every
+    member is exactly representable in the wider type, so old files
+    up-cast losslessly at scan time (Spark's parquet readers do this
+    natively when handed an explicit wider schema)."""
+    from pyspark.sql import types as T
+
+    if old == new:
+        return True
+    if isinstance(old, T.IntegralType) and isinstance(new, T.IntegralType):
+        return _INT_ORDER[old.typeName()] <= _INT_ORDER[new.typeName()]
+    if isinstance(old, T.FloatType) and isinstance(new, T.DoubleType):
+        return True
+    if isinstance(old, T.DecimalType) and isinstance(new, T.DecimalType):
+        return new.scale == old.scale and new.precision >= old.precision
+    return False
+
+
+def _parse_widen_type(s: str):
+    """Widening target types, parsed WITHOUT a SparkSession (the DSv2
+    commit hook has none)."""
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    m = {"byte": T.ByteType(), "tinyint": T.ByteType(),
+         "short": T.ShortType(), "smallint": T.ShortType(),
+         "int": T.IntegerType(), "integer": T.IntegerType(),
+         "long": T.LongType(), "bigint": T.LongType(),
+         "float": T.FloatType(), "double": T.DoubleType()}
+    k = s.strip().lower()
+    if k in m:
+        return m[k]
+    dm = _re.fullmatch(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", k)
+    if dm:
+        return T.DecimalType(int(dm.group(1)), int(dm.group(2)))
+    raise ValueError(f"unsupported widening target type {s!r}")
+
+
+def table_schema(table_dir: str, version: int | None = None):
+    """Stored PHYSICAL schema (StructType) of a version's manifest, or
+    None for manifests written before schema tracking (those read via
+    parquet mergeSchema discovery, exactly as before)."""
+    from pyspark.sql import types as T
+
+    v = latest_version(table_dir) if version is None else version
+    if v is None:
+        return None
+    raw = _read_manifest_doc(table_dir, v).get("schema")
+    return T.StructType.fromJson(raw) if raw else None
+
+
+def _nullable(schema):
+    from pyspark.sql import types as T
+
+    return T.StructType([T.StructField(f.name, f.dataType, True)
+                         for f in schema.fields])
+
+
+def _merge_append_schema(stored, batch):
+    """Append-time schema contract: stored fields keep their (possibly
+    wider) types — a NARROWER batch column is fine, old and new files
+    up-cast to the stored type at read; genuinely new fields append
+    (additive evolution); a batch column WIDER than stored (or of an
+    unrelated type) is refused BEFORE any file lands, pointing at
+    `widen_column` — silent type forks are what break mergeSchema
+    tables at 100 TB."""
+    if stored is None:
+        return _nullable(batch)
+    from pyspark.sql import types as T
+
+    by = {f.name: f for f in batch.fields}
+    out = []
+    for f in stored.fields:
+        b = by.pop(f.name, None)
+        if b is None or _is_widening(b.dataType, f.dataType):
+            out.append(T.StructField(f.name, f.dataType, True))
+        elif _is_widening(f.dataType, b.dataType):
+            raise ValueError(
+                f"column {f.name!r}: batch type "
+                f"{b.dataType.simpleString()} is wider than the stored "
+                f"{f.dataType.simpleString()}; run widen_column() first")
+        else:
+            raise ValueError(
+                f"column {f.name!r}: batch type "
+                f"{b.dataType.simpleString()} conflicts with the stored "
+                f"{f.dataType.simpleString()}")
+    out.extend(T.StructField(f.name, f.dataType, True)
+               for f in batch.fields if f.name in by)
+    return T.StructType(out)
+
+
+def widen_column(table_dir: str, col: str, new_type: str) -> int:
+    """Metadata-only TYPE WIDENING: commit a new manifest whose stored
+    schema reads logical column ``col`` as ``new_type`` — no data file
+    is read or written; existing files keep the narrow physical type
+    and every reader up-casts at scan time, new appends may write
+    either width.  Promotions limited to `_is_widening` (integral
+    up-casts, float->double, decimal precision growth).  Requires a
+    stored schema (any write on this code records one); tables written
+    before schema tracking need one write first."""
+    cur = latest_version(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir}")
+    doc = _read_manifest_doc(table_dir, cur)
+    stored = table_schema(table_dir, cur)
+    if stored is None:
+        raise ValueError(
+            "table has no stored schema (written before type-widening "
+            "support) — any write_snapshot records one; widen after")
+    cmap, dropped = table_column_map(table_dir, cur)
+    phys = _to_physical(cmap, col)
+    if phys in dropped:
+        raise ValueError(f"column {col!r} was dropped")
+    nt = _parse_widen_type(new_type)
+    from pyspark.sql import types as T
+
+    fields, found = [], False
+    for f in stored.fields:
+        if f.name == phys:
+            found = True
+            if f.dataType == nt:
+                raise ValueError(
+                    f"column {col!r} already has type {new_type}")
+            if not _is_widening(f.dataType, nt):
+                raise ValueError(
+                    f"{col}: {f.dataType.simpleString()} -> {new_type} "
+                    "is not a supported widening")
+            fields.append(T.StructField(f.name, nt, True))
+        else:
+            fields.append(f)
+    if not found:
+        raise ValueError(f"column {col!r} not in the stored schema")
+    _commit(table_dir, doc["files"], cur + 1, stats=doc.get("stats", {}),
+            delete_files=doc.get("delete_files", {}),
+            delete_rows=doc.get("delete_rows", {}),
+            column_map=cmap, dropped_cols=dropped,
+            schema=T.StructType(fields).jsonValue())
+    return cur + 1
 
 
 def _checks_referencing(table_dir: str, name: str) -> list[str]:
@@ -689,7 +847,8 @@ def _commit(table_dir: str, files: list[str], version: int,
             column_map: dict[str, str] | None = None,
             dropped_cols: list[str] | None = None,
             partition_spec: list[str] | None = None,
-            partitions: dict[str, list] | None = None) -> None:
+            partitions: dict[str, list] | None = None,
+            schema: dict | None = None) -> None:
     """Write manifest v<version> then atomically swap the pointer.
 
     The streaming batch-id ledger is carried forward into EVERY manifest
@@ -746,6 +905,14 @@ def _commit(table_dir: str, files: list[str], version: int,
         pmap = {f: merged[f] for f in sorted(merged) if f in set(files)}
         if pmap:
             doc["partitions"] = pmap
+    # stored physical schema (StructType.jsonValue dict): inherit like
+    # bloom_cols when not passed; carries the type-widening state
+    if schema is None:
+        cur0 = latest_version(table_dir)
+        if cur0 is not None:
+            schema = _read_manifest_doc(table_dir, cur0).get("schema")
+    if schema:
+        doc["schema"] = schema
     if inherited:
         doc["batch_ids"] = sorted(inherited)
     # exclusive create = an atomic conditional put: if another writer
@@ -951,7 +1118,8 @@ def _inherited_stats(table_dir: str, version: int | None) -> dict[str, dict]:
 
 
 def _read_files(spark: SparkSession, files: list[str],
-                dmap: dict[str, list[str]] | None = None) -> DataFrame:
+                dmap: dict[str, list[str]] | None = None,
+                schema=None) -> DataFrame:
     """Read a set of manifest data files with merge-on-read position
     deletes applied.  Files with no delete state read plain; files with
     deletes read with the `_metadata` hidden columns and LEFT ANTI join
@@ -962,14 +1130,24 @@ def _read_files(spark: SparkSession, files: list[str],
     commit, not a DV), so no shuffle of the data side is introduced."""
     dirty = sorted(f for f in files if dmap and dmap.get(f))
     clean = sorted(f for f in files if f not in set(dirty))
+
+    # ``schema`` = the manifest's stored PHYSICAL schema: the read is
+    # then schema-DECLARED, not schema-discovered — files narrower than
+    # a widened column up-cast natively in the parquet readers, files
+    # predating an added column surface it as NULL, and no footer is
+    # read for schema at plan time.  Legacy manifests (no stored
+    # schema) keep the mergeSchema discovery path unchanged.
+    def _rd():
+        return spark.read.schema(schema) if schema is not None \
+            else spark.read.option("mergeSchema", "true")
+
     parts: list[DataFrame] = []
     if clean:
-        parts.append(spark.read.option("mergeSchema", "true")
-                     .parquet(*clean))
+        parts.append(_rd().parquet(*clean))
     if dirty:
         dvs = sorted({d for f in dirty for d in dmap[f]})
         dv = _dv_positions(spark, dvs)
-        d = (spark.read.option("mergeSchema", "true").parquet(*dirty)
+        d = (_rd().parquet(*dirty)
              .withColumn("__file", F.col("_metadata.file_path"))
              .withColumn("__pos", F.col("_metadata.row_index"))
              .join(F.broadcast(dv), ["__file", "__pos"], "left_anti")
@@ -1073,8 +1251,10 @@ def delete_where(spark: SparkSession, table_dir: str, condition: str,
     if not scan_files:
         return cur, 0
     dmap, drows = table_delete_map(table_dir, cur)
-    matched = (spark.read.option("mergeSchema", "true")
-               .parquet(*sorted(scan_files))
+    sch = table_schema(table_dir, cur)
+    rd = spark.read.schema(sch) if sch is not None \
+        else spark.read.option("mergeSchema", "true")
+    matched = (rd.parquet(*sorted(scan_files))
                .withColumn("__file", F.col("_metadata.file_path"))
                .withColumn("__pos", F.col("_metadata.row_index")))
     # ``condition`` names LOGICAL columns; the raw scan is physical
@@ -1197,6 +1377,13 @@ def write_snapshot(df: DataFrame, table_dir: str,
     # before the physical rename is exact.
     cmap0, dropped0 = ({}, []) if mode == "overwrite" \
         else table_column_map(table_dir)
+    # schema contract BEFORE any file lands: append merges the batch
+    # into the stored physical schema (narrower batch columns up-cast
+    # at read; wider/conflicting ones are refused here); overwrite
+    # resets the schema to the batch's
+    stored_schema = table_schema(table_dir) if mode == "append" else None
+    merged_schema = _merge_append_schema(
+        stored_schema, _logical_to_physical(df, cmap0).schema)
     tag = f"b{(latest_version(table_dir) or 0) + 1:05d}"
     new_parts: dict[str, list] | None = None
     if spec:
@@ -1217,7 +1404,8 @@ def write_snapshot(df: DataFrame, table_dir: str,
         bloom_cols=bloom_cols, checks=checks,
         partition_spec=spec if partition_by is not None
         or mode == "overwrite" else None,
-        new_partitions=new_parts)
+        new_partitions=new_parts,
+        schema=merged_schema.jsonValue())
 
 
 def commit_data_files(table_dir: str, new_files: list[str], mode: str,
@@ -1225,8 +1413,8 @@ def commit_data_files(table_dir: str, new_files: list[str], mode: str,
                       checks: list[str] | None = None,
                       batch_ids: set[int] | None = None,
                       partition_spec: list[str] | None = None,
-                      new_partitions: dict[str, list] | None = None
-                      ) -> int | None:
+                      new_partitions: dict[str, list] | None = None,
+                      schema: dict | None = None) -> int | None:
     """Rebase-retry manifest commit of ALREADY-WRITTEN data files — the
     shared tail of `write_snapshot` and the DSv2 writer
     (`sources/vtable_batch.VTableWriter`).  Optimistic-concurrency
@@ -1250,6 +1438,7 @@ def commit_data_files(table_dir: str, new_files: list[str], mode: str,
         drows: dict[str, int] = {}
         cmap: dict[str, str] = {}
         dropped: list[str] = []
+        sch = schema
         if mode == "append" and cur is not None:
             files = _read_manifest(table_dir, cur) + new_files
             stats = {**_inherited_stats(table_dir, cur), **new_stats}
@@ -1257,6 +1446,16 @@ def commit_data_files(table_dir: str, new_files: list[str], mode: str,
             # appended files are delete-free by construction
             dmap, drows = table_delete_map(table_dir, cur)
             cmap, dropped = table_column_map(table_dir, cur)
+            if sch is not None:
+                # rebase the schema too: a concurrent commit may have
+                # widened a column after the caller merged — re-merge
+                # against the CURRENT stored schema so a retry can
+                # never regress a widen
+                from pyspark.sql import types as T
+
+                cur_sch = table_schema(table_dir, cur)
+                sch = _merge_append_schema(
+                    cur_sch, T.StructType.fromJson(sch)).jsonValue()
         else:
             files, stats = new_files, new_stats
         try:
@@ -1266,7 +1465,8 @@ def commit_data_files(table_dir: str, new_files: list[str], mode: str,
                     delete_files=dmap, delete_rows=drows,
                     column_map=cmap, dropped_cols=dropped,
                     partition_spec=partition_spec,
-                    partitions=new_partitions)
+                    partitions=new_partitions,
+                    schema=sch)
             return new_version
         except ConcurrentCommitError:
             continue
@@ -1316,12 +1516,14 @@ def read_version(spark: SparkSession, table_dir: str,
             force_empty = True
     else:
         files = _read_manifest(table_dir, v)
+    sch = table_schema(table_dir, v)
     if force_empty:
-        df = (spark.read.option("mergeSchema", "true").parquet(*files)
-              .filter(F.lit(False)))
+        rd = spark.read.schema(sch) if sch is not None \
+            else spark.read.option("mergeSchema", "true")
+        df = rd.parquet(*files).filter(F.lit(False))
     else:
         dmap, _ = table_delete_map(table_dir, v)
-        df = _read_files(spark, files, dmap)
+        df = _read_files(spark, files, dmap, schema=sch)
     # surface the version's LOGICAL schema (renames applied, dropped
     # columns hidden) before residual predicates, which use logical names
     df = _apply_column_map(df, *table_column_map(table_dir, v))
@@ -1354,6 +1556,11 @@ def compact_snapshot(spark: SparkSession, table_dir: str,
     if cur is None:
         raise FileNotFoundError(f"no snapshots in {table_dir}")
     df = read_version(spark, table_dir, cur)
+    # compaction MATERIALIZES renames/drops/widenings: files land with
+    # logical names and the widened types, so the committed schema is
+    # the rewrite's own (inheriting the old physical one would name
+    # pre-rename columns the new files do not have)
+    mat_schema = _nullable(df.schema).jsonValue()
     if bloom_cols is None:
         bloom_cols = table_bloom_cols(table_dir)
     new_version = cur + 1
@@ -1385,7 +1592,8 @@ def compact_snapshot(spark: SparkSession, table_dir: str,
         _commit(table_dir, files, new_version,
                 stats=_stats_for(table_dir, files, bloom_cols,
                                  spark=spark),
-                bloom_cols=bloom_cols, partitions=parts)
+                bloom_cols=bloom_cols, partitions=parts,
+                schema=mat_schema)
         return new_version
     if zorder_by is not None:
         from ..operators.scale import zorder_key2
@@ -1404,7 +1612,7 @@ def compact_snapshot(spark: SparkSession, table_dir: str,
     files = _new_data_files(df, table_dir, f"b{new_version:05d}")
     _commit(table_dir, files, new_version,
             stats=_stats_for(table_dir, files, bloom_cols, spark=spark),
-            bloom_cols=bloom_cols)
+            bloom_cols=bloom_cols, schema=mat_schema)
     return new_version
 
 
@@ -1440,7 +1648,8 @@ def compact_small_files(spark: SparkSession, table_dir: str,
     keep = [f for f in files if f not in set(small)]
     # rewrite stays in PHYSICAL schema (the kept files' schema) — the
     # logical view is purely manifest metadata, carried forward below
-    df = _read_files(spark, small, dmap)
+    df = _read_files(spark, small, dmap,
+                     schema=table_schema(table_dir, cur))
     n_out = max(1, sum(sizes[f] for f in small) // max(target_bytes, 1))
     new_version = cur + 1
     spec = table_partition_spec(table_dir)
@@ -1583,7 +1792,8 @@ def clone_shallow(src_dir: str, dst_dir: str,
             column_map=doc.get("column_map", {}),
             dropped_cols=doc.get("dropped_cols", []),
             partition_spec=doc.get("partition_spec", []),
-            partitions=doc.get("partitions", {}))
+            partitions=doc.get("partitions", {}),
+            schema=doc.get("schema"))
     return 1
 
 
@@ -1621,8 +1831,10 @@ def merge_into_snapshot(spark: SparkSession, table_dir: str,
     # over-touch a file — harmless: the rewrite applies deletes.  The
     # raw scan sees PHYSICAL names; ``key`` is logical.
     key_phys = _to_physical(cmap, key)
-    probe = (spark.read.option("mergeSchema", "true")
-             .parquet(*sorted(files))
+    sch = table_schema(table_dir, cur)
+    probe_rd = spark.read.schema(sch) if sch is not None \
+        else spark.read.option("mergeSchema", "true")
+    probe = (probe_rd.parquet(*sorted(files))
              .select(F.col(key_phys).alias(key),
                      F.col("_metadata.file_path").alias("__f"))
              .join(updates.select(key).distinct(), key)
@@ -1645,7 +1857,8 @@ def merge_into_snapshot(spark: SparkSession, table_dir: str,
     # (materialized) and renames surfaced; untouched files carry both
     # their delete state and their physical schema forward
     old_part = (_apply_column_map(
-        _read_files(spark, sorted(touched), dmap), cmap, dropped)
+        _read_files(spark, sorted(touched), dmap, schema=sch),
+        cmap, dropped)
         if touched else None)
     merged = (merge_upsert(old_part, updates, key) if old_part is not None
               else updates)
@@ -1668,7 +1881,13 @@ def merge_into_snapshot(spark: SparkSession, table_dir: str,
             delete_files={f: ds for f, ds in dmap.items() if f in
                           set(untouched)},
             delete_rows=drows,
-            column_map=cmap, dropped_cols=dropped)
+            column_map=cmap, dropped_cols=dropped,
+            # same append contract as write_snapshot: a merge batch
+            # narrower than the stored schema up-casts at read, a wider
+            # one must widen_column first (refused in the merge here)
+            schema=_merge_append_schema(
+                sch, _logical_to_physical(merged, cmap).schema)
+            .jsonValue())
     return new_version
 
 
@@ -1713,6 +1932,9 @@ def commit_stream_batch(batch_df: DataFrame, batch_id: int,
         check_constraints(batch_df, checks)
     cmap0, _dropped0 = ({}, []) if mode == "overwrite" \
         else table_column_map(table_dir)
+    merged_schema = _merge_append_schema(
+        table_schema(table_dir) if mode == "append" else None,
+        _logical_to_physical(batch_df, cmap0).schema)
     spec = table_partition_spec(table_dir)
     new_parts: dict[str, list] | None = None
     tag = f"b{(latest_version(table_dir) or 0) + 1:05d}"
@@ -1752,7 +1974,11 @@ def commit_stream_batch(batch_df: DataFrame, batch_id: int,
                     bloom_cols=bloom_cols,
                     delete_files=dmap, delete_rows=drows,
                     column_map=cmap, dropped_cols=dropped,
-                    partitions=new_parts)
+                    partitions=new_parts,
+                    schema=_merge_append_schema(
+                        table_schema(table_dir, cur)
+                        if mode == "append" and cur is not None
+                        else None, merged_schema).jsonValue())
             return True
         except ConcurrentCommitError:
             continue
@@ -1851,5 +2077,9 @@ def rollback(table_dir: str, to_version: int) -> int:
             # default inheritance reads the (bad) latest, which may
             # have dropped files the rollback resurrects
             partition_spec=doc.get("partition_spec", []),
-            partitions=doc.get("partitions", {}))
+            partitions=doc.get("partitions", {}),
+            # the target's schema, when it has one (a widen-only commit
+            # after the target is harmless to inherit: widening is
+            # monotone, wider reads old files fine)
+            schema=doc.get("schema"))
     return new_version

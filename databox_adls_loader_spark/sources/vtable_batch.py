@@ -94,14 +94,23 @@ def _logical_arrow_schema(table_dir: str, version: int):
     Bounded: two footer reads, no data pages."""
     from ..sinks import versioned as V
 
-    files = V._read_manifest(table_dir, version)
-    cmap, dropped = V.table_column_map(table_dir, version)
-    fields = list(_open_parquet(files[0]).schema_arrow)
-    if len(files) > 1:
-        seen = {f.name for f in fields}
-        fields += [f for f in _open_parquet(files[-1]).schema_arrow
-                   if f.name not in seen]
     import pyarrow as pa
+
+    cmap, dropped = V.table_column_map(table_dir, version)
+    stored = V.table_schema(table_dir, version)
+    if stored is not None:
+        # manifest-DECLARED schema (type-widening aware): no footer
+        # read at all, and widened columns advertise the wide type —
+        # `_conform` casts narrow old-file batches up at scan time
+        from pyspark.sql.pandas.types import to_arrow_schema
+        fields = list(to_arrow_schema(stored))
+    else:
+        files = V._read_manifest(table_dir, version)
+        fields = list(_open_parquet(files[0]).schema_arrow)
+        if len(files) > 1:
+            seen = {f.name for f in fields}
+            fields += [f for f in _open_parquet(files[-1]).schema_arrow
+                       if f.name not in seen]
     out = [f.with_name(cmap.get(f.name, f.name))
            for f in fields if f.name not in set(dropped)]
     return pa.schema(out)
@@ -289,6 +298,21 @@ class VTableWriter(DataSourceArrowWriter):
         cmap, dropped = ({}, []) if overwrite \
             else V.table_column_map(self._table_dir)
         self._back = {logical: phys for phys, logical in cmap.items()}
+        # schema contract enforced DRIVER-side before any task runs:
+        # the (physical-named) write schema must merge into the stored
+        # one — wider/conflicting batch types fail the job here, and
+        # the merged schema lands with the manifest commit so
+        # type-widening state survives DSv2 writes too
+        if schema is None:                # e.g. direct construction in
+            self._schema_json = None      # tests: inherit stored schema
+        else:
+            from pyspark.sql import types as T
+            phys = T.StructType(
+                [T.StructField(self._back.get(f.name, f.name),
+                               f.dataType, True) for f in schema.fields])
+            self._schema_json = V._merge_append_schema(
+                V.table_schema(self._table_dir) if not overwrite
+                else None, phys).jsonValue()
         import uuid
         self._out_dir = self._join(
             self._table_dir, "data", f"w-{uuid.uuid4().hex[:8]}")
@@ -347,7 +371,8 @@ class VTableWriter(DataSourceArrowWriter):
         bloom = V.table_bloom_cols(self._table_dir)
         stats = {f: V._file_stats(f, st, bloom) for f in files}
         V.commit_data_files(self._table_dir, files, self._mode, stats,
-                            bloom_cols=bloom)
+                            bloom_cols=bloom,
+                            schema=self._schema_json)
 
     def abort(self, messages):
         from ..sinks.storage import storage_for
@@ -387,7 +412,8 @@ class VTableStreamWriter(VTableWriter, DataSourceStreamArrowWriter):
         stats = {f: V._file_stats(f, st, bloom) for f in files}
         V.commit_data_files(self._table_dir, files, self._mode, stats,
                             bloom_cols=bloom,
-                            batch_ids={int(batchId)})
+                            batch_ids={int(batchId)},
+                            schema=self._schema_json)
 
     def abort(self, messages, batchId: int) -> None:
         VTableWriter.abort(self, messages)

@@ -159,6 +159,13 @@ class VTableStreamDataSource(DataSource):
             raise ValueError(
                 f"vtable_stream: no snapshots in {table_dir} — commit "
                 "one first (the schema comes from the table's files)")
+        from ..sinks.versioned import table_schema
+        stored = table_schema(table_dir, cur)
+        if stored is not None:
+            # manifest-declared schema: widened columns advertise the
+            # wide type; the reader's conform step casts narrow
+            # old-file batches up at read
+            return stored
         files = _manifest_files(table_dir, cur)
         return from_arrow_schema(_open_parquet(files[0]).schema_arrow)
 

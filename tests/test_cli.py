@@ -217,3 +217,15 @@ def test_cli_table_describe(spark, tmp_path, capsys):
 
     # empty dir: loud error, exit 1
     assert main(["table", "describe", str(tmp_path / "nope")]) == 1
+
+
+def test_cli_widen_column(spark, tmp_path, capsys):
+    from databox_adls_loader_spark.sinks import versioned as V
+
+    t = str(tmp_path / "wtbl")
+    V.write_snapshot(spark.createDataFrame([(1,)], "x: int"), t)
+    assert main(["table", "widen-column", t, "x", "bigint"]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["version"] == 2
+    assert dict(V.read_version(spark, t).dtypes)["x"] == "bigint"
+    assert main(["table", "describe", t]) == 0
+    capsys.readouterr()
