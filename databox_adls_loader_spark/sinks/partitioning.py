@@ -219,6 +219,10 @@ def _as_date(v) -> datetime.date | None:
     return None
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=512)
 def parse_spec(spec: str) -> Transform:
     m = _SPEC_RE.match(spec)
     if not m:

@@ -462,9 +462,16 @@ def prune_files(table_dir: str, version: int,
     # serves both checks.
     spec = doc.get("partition_spec", [])
     parts = doc.get("partitions", {}) if spec else {}
+    # spec evolution: each file prunes under the spec it was WRITTEN
+    # under (per-file spec ids; absent = the manifest's current spec)
+    specs = doc.get("partition_specs") or ({"0": spec} if spec else {})
+    cur_id = doc.get("partition_spec_id", "0")
+    ids = doc.get("partition_spec_ids", {})
     kept = [f for f in all_files
             if _file_matches(stats.get(f), preds)
-            and partitioning.file_matches(spec, parts.get(f), preds)]
+            and partitioning.file_matches(
+                specs.get(ids.get(f, cur_id), spec),
+                parts.get(f), preds)]
     return kept, len(all_files)
 
 
@@ -726,8 +733,8 @@ def rename_column(table_dir: str, old: str, new: str) -> int:
             f"column {old!r} is referenced by stored constraint(s) "
             f"{refs}; re-declare them with the new name (pass checks= "
             "on the next write) before renaming")
-    prefs = [s for s in table_partition_spec(table_dir)
-             if partitioning.parse_spec(s).col == old]
+    prefs = [s for sp in table_partition_specs(table_dir).values()
+             for s in sp if partitioning.parse_spec(s).col == old]
     if prefs:
         raise ValueError(
             f"column {old!r} is a partition source of {prefs}; the "
@@ -779,8 +786,8 @@ def drop_column(table_dir: str, name: str) -> int:
             f"column {name!r} is referenced by stored constraint(s) "
             f"{refs}; re-declare the table's checks without them before "
             "dropping")
-    prefs = [s for s in table_partition_spec(table_dir)
-             if partitioning.parse_spec(s).col == name]
+    prefs = [s for sp in table_partition_specs(table_dir).values()
+             for s in sp if partitioning.parse_spec(s).col == name]
     if prefs:
         raise ValueError(
             f"column {name!r} is a partition source of {prefs}; "
@@ -811,6 +818,71 @@ def table_partition_spec(table_dir: str,
     if v is None:
         return []
     return _read_manifest_doc(table_dir, v).get("partition_spec", [])
+
+
+def table_partition_specs(table_dir: str,
+                          version: int | None = None
+                          ) -> dict[str, list]:
+    """EVERY partition spec the table has written under, id -> spec
+    (the Iceberg spec registry).  Legacy partitioned manifests without
+    the registry report their single spec as id "0"."""
+    v = latest_version(table_dir) if version is None else version
+    if v is None:
+        return {}
+    doc = _read_manifest_doc(table_dir, v)
+    reg = doc.get("partition_specs")
+    if reg:
+        return reg
+    spec = doc.get("partition_spec")
+    return {"0": spec} if spec else {}
+
+
+def table_partition_spec_ids(table_dir: str,
+                             version: int | None = None
+                             ) -> dict[str, str]:
+    """data file -> id of the spec its partition tuple was written
+    under (files absent here default to the manifest's current id)."""
+    v = latest_version(table_dir) if version is None else version
+    if v is None:
+        return {}
+    return _read_manifest_doc(table_dir, v).get("partition_spec_ids", {})
+
+
+def set_partition_spec(table_dir: str, partition_by: list[str]) -> int:
+    """Metadata-only partition-spec EVOLUTION: change the layout all
+    FUTURE writes use, without rewriting anything — files from earlier
+    eras keep their own spec's tuples and continue partition-pruning
+    under it (per-file spec ids, the Iceberg evolution model).  Passing
+    ``[]`` unpartitions the table going forward (old tuples are dropped
+    — those files then prune by stats only).  `compact_snapshot`
+    rewrites everything into the current spec, which is how an evolved
+    table converges back to one layout."""
+    cur = latest_version(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir}")
+    spec = partitioning.canon_spec(partition_by)
+    cmap, _dropped = table_column_map(table_dir, cur)
+    stored = table_schema(table_dir, cur)
+    for s in spec:
+        col = partitioning.parse_spec(s).col
+        if _to_physical(cmap, col) != col:
+            # the whole partition machinery relies on spec columns
+            # having identical logical/physical names (write-side
+            # exprs vs prune-side predicates) — a renamed column
+            # breaks that; compact first (materializes the rename)
+            raise ValueError(
+                f"partition source {col!r} is a renamed column; "
+                "compact_snapshot first to materialize the rename")
+        if stored is not None:            # validate against the schema
+            partitioning.parse_spec(s).bind(stored)
+    doc = _read_manifest_doc(table_dir, cur)
+    _commit(table_dir, doc["files"], cur + 1, stats=doc.get("stats", {}),
+            delete_files=doc.get("delete_files", {}),
+            delete_rows=doc.get("delete_rows", {}),
+            column_map=doc.get("column_map", {}),
+            dropped_cols=doc.get("dropped_cols", []),
+            partition_spec=spec, schema=doc.get("schema"))
+    return cur + 1
 
 
 def table_partitions(table_dir: str,
@@ -848,6 +920,7 @@ def _commit(table_dir: str, files: list[str], version: int,
             dropped_cols: list[str] | None = None,
             partition_spec: list[str] | None = None,
             partitions: dict[str, list] | None = None,
+            partition_state: dict | None = None,
             schema: dict | None = None) -> None:
     """Write manifest v<version> then atomically swap the pointer.
 
@@ -896,15 +969,63 @@ def _commit(table_dir: str, files: list[str], version: int,
     # taking precedence, filtered to this manifest's file list — so
     # metadata-only commits (rename/drop/delete/compact keeps) carry
     # them with no caller changes
-    spec = partition_spec if partition_spec is not None \
-        else table_partition_spec(table_dir)
+    if partition_state is not None:
+        # verbatim restoration (rollback/clone): the target's complete
+        # layout state — spec registry and PER-FILE spec ids included,
+        # so multi-era files keep pruning under their own spec
+        fset = set(files)
+        sp = partition_state.get("partition_spec") or []
+        if sp:
+            doc["partition_spec"] = list(sp)
+            doc["partition_specs"] = \
+                partition_state.get("partition_specs") or {"0": list(sp)}
+            doc["partition_spec_id"] = \
+                partition_state.get("partition_spec_id", "0")
+            pmap = {f: v for f, v in
+                    (partition_state.get("partitions") or {}).items()
+                    if f in fset}
+            if pmap:
+                doc["partitions"] = pmap
+                ids = partition_state.get("partition_spec_ids", {})
+                doc["partition_spec_ids"] = {
+                    f: ids.get(f, doc["partition_spec_id"])
+                    for f in pmap}
+        spec = []                       # skip the inheritance branch
+    else:
+        spec = partition_spec if partition_spec is not None \
+            else table_partition_spec(table_dir)
     if spec:
         doc["partition_spec"] = list(spec)
+        # SPEC EVOLUTION (the Iceberg per-file-spec idea): every spec
+        # the table has ever written under is registered with a stable
+        # id, and each file remembers WHICH spec its tuple belongs to —
+        # so `set_partition_spec` can change the layout going forward
+        # while files from earlier eras keep pruning under their own
+        # transforms, no rewrite.  New entries (``partitions`` arg) are
+        # tagged with the CURRENT spec's id.
+        prev_specs = table_partition_specs(table_dir)
+        specs = dict(prev_specs)
+        cur_id = None
+        for sid, sp in specs.items():
+            if sp == list(spec):
+                cur_id = sid
+                break
+        if cur_id is None:
+            cur_id = str(max((int(k) for k in specs), default=-1) + 1)
+            specs[cur_id] = list(spec)
+        doc["partition_specs"] = specs
+        doc["partition_spec_id"] = cur_id
         inherited_parts = table_partitions(table_dir)
+        inherited_ids = table_partition_spec_ids(table_dir)
         merged = {**inherited_parts, **(partitions or {})}
-        pmap = {f: merged[f] for f in sorted(merged) if f in set(files)}
+        ids = {**inherited_ids,
+               **{f: cur_id for f in (partitions or {})}}
+        fset = set(files)
+        pmap = {f: merged[f] for f in sorted(merged) if f in fset}
         if pmap:
             doc["partitions"] = pmap
+            doc["partition_spec_ids"] = {
+                f: ids.get(f, cur_id) for f in pmap}
     # stored physical schema (StructType.jsonValue dict): inherit like
     # bloom_cols when not passed; carries the type-widening state
     if schema is None:
@@ -1791,8 +1912,7 @@ def clone_shallow(src_dir: str, dst_dir: str,
             delete_rows=doc.get("delete_rows", {}),
             column_map=doc.get("column_map", {}),
             dropped_cols=doc.get("dropped_cols", []),
-            partition_spec=doc.get("partition_spec", []),
-            partitions=doc.get("partitions", {}),
+            partition_state={k: doc.get(k) for k in ("partition_spec", "partition_specs", "partition_spec_id", "partitions", "partition_spec_ids")},
             schema=doc.get("schema"))
     return 1
 
@@ -2076,8 +2196,8 @@ def rollback(table_dir: str, to_version: int) -> int:
             # restore the TARGET version's layout metadata explicitly —
             # default inheritance reads the (bad) latest, which may
             # have dropped files the rollback resurrects
-            partition_spec=doc.get("partition_spec", []),
-            partitions=doc.get("partitions", {}),
+            partition_state={k: doc.get(k) for k in ("partition_spec", "partition_specs", "partition_spec_id", "partitions", "partition_spec_ids")},
+
             # the target's schema, when it has one (a widen-only commit
             # after the target is harmless to inherit: widening is
             # monotone, wider reads old files fine)

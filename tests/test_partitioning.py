@@ -270,3 +270,87 @@ def test_delete_where_keeps_partition_tuples(spark, troot):
     assert len(V.table_partitions(t)) == n   # metadata rode through
     assert _rows(V.read_version(spark, t, predicates=[("k", "=", 3)])) \
         == _rows(df.filter((F.col("k") == 3) & (F.col("id") >= 20)))
+
+
+# -- partition-spec evolution ----------------------------------------------
+
+def test_spec_evolution_dual_era_pruning(spark, troot):
+    t = troot + "/tbl"
+    df = _orders(spark)
+    V.write_snapshot(df.filter(F.col("id") < 100), t,
+                     partition_by=["month(d)"])
+    era1 = set(V._read_manifest(t, V.latest_version(t)))
+    V.set_partition_spec(t, ["day(d)"])
+    assert V.table_partition_spec(t) == ["day(d)"]
+    V.write_snapshot(df.filter(F.col("id") >= 100), t)
+    v = V.latest_version(t)
+    specs = V.table_partition_specs(t)
+    ids = V.table_partition_spec_ids(t)
+    assert sorted(specs.values()) == [["day(d)"], ["month(d)"]]
+    # each era tagged with its own spec id
+    month_id = next(k for k, sp in specs.items() if sp == ["month(d)"])
+    day_id = next(k for k, sp in specs.items() if sp == ["day(d)"])
+    assert all(ids[f] == month_id for f in era1)
+    assert all(ids[f] == day_id for f in set(ids) - era1)
+    # a date predicate prunes BOTH eras, each under its own transform,
+    # and the read is exact
+    preds = [("d", ">=", datetime.date(1995, 6, 1)),
+             ("d", "<", datetime.date(1995, 6, 15))]
+    kept, total = V.prune_files(t, v, preds)
+    assert 0 < len(kept) < total
+    assert len(set(kept) & era1) < len(era1)         # old era pruned too
+    assert _rows(V.read_version(spark, t, predicates=preds)) == _rows(
+        df.filter((F.col("d") >= F.lit("1995-06-01"))
+                  & (F.col("d") < F.lit("1995-06-15"))))
+
+
+def test_spec_evolution_unpartition_forward(spark, troot):
+    t = troot + "/tbl"
+    df = _orders(spark)
+    V.write_snapshot(df, t, partition_by=["bucket(4,k)"])
+    V.set_partition_spec(t, [])
+    assert V.table_partition_spec(t) == []
+    V.write_snapshot(df.limit(5), t)                 # plain files now
+    assert _rows(V.read_version(spark, t, predicates=[("k", "=", 3)])) \
+        == _rows(df.unionByName(df.limit(5)).filter(F.col("k") == 3))
+
+
+def test_rename_refused_across_spec_eras(spark, troot):
+    t = troot + "/tbl"
+    df = _orders(spark)
+    V.write_snapshot(df, t, partition_by=["bucket(4,k)"])
+    V.set_partition_spec(t, ["month(d)"])
+    # k is no longer in the CURRENT spec, but era-1 files still prune
+    # under bucket(4,k) — rename must refuse across ALL registered eras
+    with pytest.raises(ValueError, match="partition source"):
+        V.rename_column(t, "k", "kk")
+    with pytest.raises(ValueError, match="partition source"):
+        V.drop_column(t, "d")
+
+
+def test_compaction_converges_to_current_spec(spark, troot):
+    t = troot + "/tbl"
+    df = _orders(spark)
+    V.write_snapshot(df.filter(F.col("id") < 100), t,
+                     partition_by=["month(d)"])
+    V.set_partition_spec(t, ["bucket(4,k)"])
+    V.write_snapshot(df.filter(F.col("id") >= 100), t)
+    v = V.compact_snapshot(spark, t)
+    ids = V.table_partition_spec_ids(t, v)
+    specs = V.table_partition_specs(t, v)
+    cur_id = next(k for k, sp in specs.items() if sp == ["bucket(4,k)"])
+    assert ids and all(i == cur_id for i in ids.values())
+    assert _rows(V.read_version(spark, t, predicates=[("k", "=", 2)])) \
+        == _rows(df.filter(F.col("k") == 2))
+
+
+def test_set_spec_validates(spark, troot):
+    t = troot + "/tbl"
+    V.write_snapshot(_orders(spark), t)
+    with pytest.raises(P.PartitionSpecError):
+        V.set_partition_spec(t, ["month(k)"])        # long has no months
+    with pytest.raises(P.PartitionSpecError):
+        V.set_partition_spec(t, ["bucket(0,k)"])
+    V.rename_column(t, "k", "kk")
+    with pytest.raises(ValueError, match="renamed column"):
+        V.set_partition_spec(t, ["bucket(4,kk)"])
