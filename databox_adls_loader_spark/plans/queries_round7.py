@@ -1721,3 +1721,202 @@ def scale_type_widened_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("o_orderkey").cast("long").alias("key_sum"),
                  F.max("o_orderkey").cast("long").alias("key_max"))
             .orderBy("o_orderstatus"))
+
+
+# ---------------------------------------------------------------------------
+# Branches + tags: write-audit-publish, hash-proven
+# ---------------------------------------------------------------------------
+
+_WAP_ORDERS: dict = {}
+
+
+def _drop_wap_orders(keys=None) -> None:
+    import shutil
+
+    for k in list(_WAP_ORDERS) if keys is None else list(keys):
+        shutil.rmtree(_WAP_ORDERS.pop(k), ignore_errors=True)
+
+
+def _wap_orders(spark: SparkSession, sf_dir: str) -> tuple[str, bool]:
+    """Once per (session, sf_dir): the full write-audit-publish cycle.
+    Main gets `orders` minus every 7th key; a branch stages exactly
+    those missing rows; main is probed DURING the audit (isolation);
+    the branch is published by fast-forward and dropped.  Returns
+    (table_dir, isolated) where ``isolated`` records that main's row
+    count did not move while the branch held staged data."""
+    import atexit
+    import tempfile
+
+    from ..sinks import versioned as V
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    hit = _WAP_ORDERS.get(key)
+    if hit is None:
+        _drop_wap_orders([k for k in _WAP_ORDERS if k[0] != app_id])
+        if not _WAP_ORDERS:
+            atexit.register(_drop_wap_orders)
+        t = tempfile.mkdtemp(prefix="spark_graft_wap_")
+        (orders,) = _t(spark, sf_dir, "orders")
+        base = orders.filter(F.col("o_orderkey") % 7 != 0)
+        staged = orders.filter(F.col("o_orderkey") % 7 == 0)
+        V.write_snapshot(base, t, mode="overwrite")
+        n_main_before = V.read_version(spark, t).count()
+        bdir = V.create_branch(t, "audit")
+        V.write_snapshot(staged, bdir)
+        # isolation probe: the staged write must be invisible on main
+        isolated = V.read_version(spark, t).count() == n_main_before
+        V.create_tag(t, "pre-publish")
+        V.fast_forward(t, "audit")
+        # parent-aware drop: published files must survive
+        V.drop_branch(t, "audit")
+        _WAP_ORDERS[key] = hit = (t, isolated)
+    return hit
+
+
+@register(
+    "scale_branch_wap_read",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+           TRUE AS isolated,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 <> 0)
+               AS n_tagged
+    FROM orders
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=["scale", "versioned", "branch", "wap"],
+)
+def scale_branch_wap_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH end to end under the value-hash gate
+    (`sinks/versioned` refs section — the Iceberg branch/tag model):
+    main holds `orders` minus every 7th key, a zero-copy branch stages
+    exactly the missing rows, main is probed mid-audit (``isolated``
+    asserts the staged write never leaked), a ``pre-publish`` TAG pins
+    the unpublished snapshot, and `fast_forward` publishes the audited
+    head as one manifest write.  The post-publish aggregate must
+    hash-match plain SQL over the COMPLETE raw table (publish lost and
+    duplicated nothing), and ``n_tagged`` re-reads main through the tag
+    ref — still the pre-publish row count after the branch is dropped.
+    At 100 TB this is the staging discipline: risky batches land on a
+    fork, get audited, and become visible in one atomic pointer move."""
+    from ..sinks import versioned as V
+
+    t, isolated = _wap_orders(spark, sf_dir)
+    n_tagged = V.read_version(spark, t, ref="pre-publish").count()
+    df = V.read_version(spark, t)
+    return (df.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("rev"))
+            .withColumn("isolated", F.lit(bool(isolated)))
+            .withColumn("n_tagged", F.lit(int(n_tagged)))
+            .orderBy("o_orderstatus"))
+
+
+# ---------------------------------------------------------------------------
+# Partition-spec evolution: dual-era pruning, hash-proven
+# ---------------------------------------------------------------------------
+
+_EVOLVED_ORDERS: dict = {}
+
+
+def _drop_evolved_orders(keys=None) -> None:
+    import shutil
+
+    for k in list(_EVOLVED_ORDERS) if keys is None else list(keys):
+        shutil.rmtree(_EVOLVED_ORDERS.pop(k), ignore_errors=True)
+
+
+def _evolved_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Once per (session, sf_dir): `orders` written in TWO partition
+    eras — keys below the median under ``month(o_orderdate)``, then a
+    metadata-only `set_partition_spec` to ``bucket(8, o_custkey)`` and
+    the remaining keys appended under the new layout.  No file is
+    rewritten; the manifest's spec registry + per-file spec ids carry
+    both eras."""
+    import atexit
+    import tempfile
+
+    from ..sinks import versioned as V
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    t = _EVOLVED_ORDERS.get(key)
+    if t is None:
+        _drop_evolved_orders([k for k in _EVOLVED_ORDERS if k[0] != app_id])
+        if not _EVOLVED_ORDERS:
+            atexit.register(_drop_evolved_orders)
+        t = tempfile.mkdtemp(prefix="spark_graft_evorders_")
+        (orders,) = _t(spark, sf_dir, "orders")
+        cut = orders.approxQuantile("o_orderkey", [0.5], 0.0)[0]
+        V.write_snapshot(orders.filter(F.col("o_orderkey") <= cut), t,
+                         mode="overwrite",
+                         partition_by=["month(o_orderdate)"])
+        V.set_partition_spec(t, ["bucket(8,o_custkey)"])
+        V.write_snapshot(orders.filter(F.col("o_orderkey") > cut), t)
+        _EVOLVED_ORDERS[key] = t
+    return t
+
+
+@register(
+    "scale_spec_evolution_read",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+           TRUE AS month_pruned, TRUE AS bucket_pruned
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-03-01'
+      AND o_orderdate <  DATE '1995-06-01'
+      AND o_custkey = 371
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=["scale", "versioned", "partitioning", "evolution"],
+)
+def scale_spec_evolution_read(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """PARTITION-SPEC EVOLUTION under the value-hash gate
+    (`sinks/versioned.set_partition_spec` — the Iceberg per-file-spec
+    model): half of `orders` lives under ``month(o_orderdate)``, the
+    layout was then switched metadata-only to ``bucket(8, o_custkey)``
+    and the other half appended — zero files rewritten, two eras in
+    one snapshot.  The date predicate must prune ERA-1 files under the
+    month transform and the customer equality must prune ERA-2 files
+    under the bucket transform (each asserted observable against that
+    era's file count), and the combined read must hash-match plain SQL
+    over the raw table — evolution changed layout, never answers.  At
+    100 TB this is how a table re-layouts as its workload shifts
+    without a petabyte rewrite."""
+    import datetime
+
+    from ..sinks import versioned as V
+
+    t = _evolved_orders(spark, sf_dir)
+    v = V.latest_version(t)
+    specs = V.table_partition_specs(t, v)
+    ids = V.table_partition_spec_ids(t, v)
+    month_id = next(k for k, sp in specs.items()
+                    if sp == ["month(o_orderdate)"])
+    bucket_id = next(k for k, sp in specs.items()
+                     if sp == ["bucket(8,o_custkey)"])
+    era1 = {f for f, i in ids.items() if i == month_id}
+    era2 = {f for f, i in ids.items() if i == bucket_id}
+    date_preds = [("o_orderdate", ">=", datetime.date(1995, 3, 1)),
+                  ("o_orderdate", "<", datetime.date(1995, 6, 1))]
+    cust_pred = [("o_custkey", "=", 371)]
+    month_kept, _ = V.prune_files(t, v, date_preds)
+    bucket_kept, _ = V.prune_files(t, v, cust_pred)
+    # each era prunes under ITS OWN spec: the month predicate shrinks
+    # era-1, the bucket equality shrinks era-2
+    month_pruned = len(set(month_kept) & era1) < len(era1)
+    bucket_pruned = len(set(bucket_kept) & era2) < len(era2)
+    df = V.read_version(spark, t, predicates=date_preds + cust_pred)
+    return (df.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("rev"))
+            .withColumn("month_pruned", F.lit(bool(month_pruned)))
+            .withColumn("bucket_pruned", F.lit(bool(bucket_pruned)))
+            .orderBy("o_orderstatus"))

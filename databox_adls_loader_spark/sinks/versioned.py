@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import datetime
 import json
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -1595,7 +1596,8 @@ def commit_data_files(table_dir: str, new_files: list[str], mode: str,
 
 def read_version(spark: SparkSession, table_dir: str,
                  version: int | None = None,
-                 predicates=None, as_of=None) -> DataFrame:
+                 predicates=None, as_of=None,
+                 ref: str | None = None) -> DataFrame:
     """Read a pinned snapshot (default: latest).  The returned plan lists
     exactly the manifest's files — a concurrent commit or compaction
     cannot change what this reader sees.
@@ -1618,7 +1620,19 @@ def read_version(spark: SparkSession, table_dir: str,
 
     ``as_of`` — TIMESTAMP AS OF: a datetime/ISO string resolved to the
     newest version committed at or before it (`version_at_timestamp`);
-    mutually exclusive with ``version``."""
+    mutually exclusive with ``version``.
+
+    ``ref`` — VERSION AS OF a named ref: a TAG resolves to its pinned
+    version; a BRANCH name reads the branch's current head (the
+    Iceberg ``branch_x``/``tag_x`` read path).  Mutually exclusive
+    with ``version``/``as_of``."""
+    if ref is not None:
+        if version is not None or as_of is not None:
+            raise ValueError("pass ref OR version/as_of, not both")
+        kind, target = resolve_ref(table_dir, ref)
+        if kind == "branch":
+            return read_version(spark, target, predicates=predicates)
+        version = target
     if as_of is not None:
         if version is not None:
             raise ValueError("pass version OR as_of, not both")
@@ -1817,7 +1831,12 @@ def vacuum(table_dir: str, keep_versions: int = 2,
 
     Shallow clones (`clone_shallow`) reference THIS table's data files
     from their own manifests; vacuuming the source can strand them —
-    the documented lakehouse clone caveat."""
+    the documented lakehouse clone caveat.  In-table BRANCHES and TAGS
+    are exempt: tagged versions stay retained, and files referenced by
+    any live branch manifest are never reclaimed here.  (The converse
+    caveat: `vacuum` ON A BRANCH that rewrote published files can
+    strand main — publish flows should end with `drop_branch`, which
+    is parent-aware, rather than keep writing to a published branch.)"""
     st = _st(table_dir)
     vs = versions(table_dir)
     if older_than is not None:
@@ -1839,6 +1858,10 @@ def vacuum(table_dir: str, keep_versions: int = 2,
             keep.add(vs[-1])          # never drop the current version
     else:
         keep = set(vs[-keep_versions:]) if keep_versions > 0 else set()
+    # TAGS pin their version: a tagged manifest (and hence its files)
+    # survives any retention window until the tag is dropped — that is
+    # the point of a tag
+    keep |= set(vs) & set(list_tags(table_dir).values())
     # canonicalize BOTH sides: manifests store canonical file names, but
     # the caller's table_dir (and hence the listing results) may be
     # relative/non-normalized — a raw string compare would then treat
@@ -1851,6 +1874,19 @@ def vacuum(table_dir: str, keep_versions: int = 2,
         ref_deletes.update(
             st.canon(d) for ds in doc.get("delete_files", {}).values()
             for d in ds)
+    # LIVE BRANCHES pin the parent files they still reference: a branch
+    # forked from a version this vacuum retires must keep reading, so
+    # every branch manifest's files/deletes count as referenced (unlike
+    # external shallow clones, in-table forks are vacuum-safe).  The
+    # branch's own retention is its own `vacuum(branch_path(...))`.
+    for name in list_branches(table_dir):
+        bdir = branch_path(table_dir, name)
+        for bv in versions(bdir):
+            doc = _read_manifest_doc(bdir, bv)
+            referenced.update(st.canon(f) for f in doc["files"])
+            ref_deletes.update(
+                st.canon(d) for ds in doc.get("delete_files", {}).values()
+                for d in ds)
     deleted = 0
     for v in vs:
         if v not in keep:
@@ -1865,6 +1901,12 @@ def vacuum(table_dir: str, keep_versions: int = 2,
         pat = st.join(table_dir, "data", "*",
                       *(["*"] * depth), "part-*.parquet")
         orphan_cands.update(st.list_glob(pat))
+        # published branch files main later retired are reclaimable
+        # too; live branches' files are all in `referenced` above, so
+        # sweeping under _branches/ is safe
+        orphan_cands.update(st.list_glob(st.join(
+            table_dir, "_branches", "*", "data", "*",
+            *(["*"] * depth), "part-*.parquet")))
     for p in sorted(orphan_cands):
         if st.canon(p) not in referenced:
             st.delete(p)
@@ -1872,7 +1914,9 @@ def vacuum(table_dir: str, keep_versions: int = 2,
     # position-delete files are reclaimed on the same rule: referenced
     # by no retained manifest's delete map ⇒ gone
     for p in st.list_glob(st.join(table_dir, "deletes", "*",
-                                  "part-*.parquet")):
+                                  "part-*.parquet")) \
+            + st.list_glob(st.join(table_dir, "_branches", "*",
+                                   "deletes", "*", "part-*.parquet")):
         if st.canon(p) not in ref_deletes:
             st.delete(p)
             deleted += 1
@@ -2203,3 +2247,241 @@ def rollback(table_dir: str, to_version: int) -> int:
             # monotone, wider reads old files fine)
             schema=doc.get("schema"))
     return new_version
+
+
+# -- named refs: tags + branches (write-audit-publish) ----------------------
+#
+# The Iceberg refs model on this manifest log (public technique:
+# Iceberg spec §refs, Nessie/Delta "branch" pattern):
+#   * a TAG is an immutable named pointer to one version — one ref file
+#     created exclusively, so tag creation is atomic and first-writer-
+#     wins (tags never move; drop + recreate is the explicit override);
+#   * a BRANCH is a zero-copy fork living INSIDE the table directory
+#     (`_branches/<name>/`) that is itself a full table — every API
+#     (write_snapshot, delete_where, compact, MERGE, read_version)
+#     works on `branch_path(...)` unchanged.  Its v1 references the
+#     parent's data files verbatim, so forking a 100 TB table writes
+#     one manifest.  `vacuum` on the parent treats live branches' files
+#     as referenced, so in-table forks are vacuum-safe (unlike external
+#     `clone_shallow`s, which the parent cannot see).
+#
+# WRITE-AUDIT-PUBLISH: fork a branch, write the risky batch there,
+# audit it (read_version on the branch — main's readers never see it),
+# then `fast_forward` main onto the audited head.  Publish refuses if
+# main moved since the fork (the fork's premise is stale); re-fork from
+# the new head and replay.  Reference boundary: the reference applies
+# ACL/copy changes in place with no staging (copy-acls.py) — WAP is the
+# staging discipline a re-runnable 100 TB migration needs.
+
+_REF_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+
+
+def _check_ref_name(name: str) -> None:
+    if not _REF_NAME_RE.match(name or ""):
+        raise ValueError(
+            f"invalid ref name {name!r}: use letters, digits, '.', '_', "
+            "'-' (must start alphanumeric)")
+
+
+def _refs_dir(st, table_dir: str) -> str:
+    return st.join(table_dir, "_refs")
+
+
+def create_tag(table_dir: str, name: str, version: int | None = None
+               ) -> int:
+    """Tag ``version`` (default: latest) with an immutable name.  The
+    tagged version is pinned: `vacuum` retains its manifest and files
+    for as long as the tag exists.  Creating an existing tag raises —
+    tags never move (`drop_tag` + recreate is the explicit override)."""
+    _check_ref_name(name)
+    vs = versions(table_dir)
+    v = (vs[-1] if vs else None) if version is None else version
+    if v is None or v not in vs:
+        raise FileNotFoundError(
+            f"version {version!r} not retained in {table_dir}")
+    st = _st(table_dir)
+    st.mkdirs(_refs_dir(st, table_dir))
+    payload = json.dumps({
+        "version": v,
+        "created_at": datetime.datetime.now(
+            datetime.timezone.utc).isoformat()})
+    try:
+        st.create_exclusive(
+            st.join(_refs_dir(st, table_dir), f"tag-{name}.json"), payload)
+    except FileExistsError:
+        raise FileExistsError(
+            f"tag {name!r} already exists in {table_dir} (tags are "
+            "immutable; drop_tag first to retag)")
+    return v
+
+
+def list_tags(table_dir: str) -> dict[str, int]:
+    """tag name -> pinned version, sorted by name."""
+    st = _st(table_dir)
+    out: dict[str, int] = {}
+    for p in st.list_glob(st.join(_refs_dir(st, table_dir), "tag-*.json")):
+        base = st.basename(p)
+        out[base[len("tag-"):-len(".json")]] = \
+            int(json.loads(st.read_text(p))["version"])
+    return dict(sorted(out.items()))
+
+
+def drop_tag(table_dir: str, name: str) -> bool:
+    """Remove a tag (its version becomes subject to normal retention on
+    the next `vacuum`).  Returns False when the tag did not exist."""
+    _check_ref_name(name)
+    st = _st(table_dir)
+    return st.delete(st.join(_refs_dir(st, table_dir), f"tag-{name}.json"))
+
+
+def branch_path(table_dir: str, name: str) -> str:
+    """The directory of branch ``name`` — a full table in its own
+    right; pass it to any API in this module."""
+    _check_ref_name(name)
+    st = _st(table_dir)
+    return st.join(table_dir, "_branches", name)
+
+
+def create_branch(table_dir: str, name: str,
+                  version: int | None = None) -> str:
+    """Fork ``version`` (default: latest) into a zero-copy branch and
+    return its path.  The branch's v1 carries the parent snapshot's
+    complete state (stats, delete map, column map, checks, blooms,
+    partition registry) but starts a fresh streaming batch-id ledger —
+    it is a new stream target.  One manifest write, no data I/O."""
+    vs = versions(table_dir)
+    v = (vs[-1] if vs else None) if version is None else version
+    if v is None or v not in vs:
+        raise FileNotFoundError(
+            f"version {version!r} not retained in {table_dir}")
+    bdir = branch_path(table_dir, name)
+    st = _st(table_dir)
+    st.mkdirs(bdir)
+    meta = json.dumps({
+        "forked_at_version": v,
+        "created_at": datetime.datetime.now(
+            datetime.timezone.utc).isoformat()})
+    try:
+        # the exclusive meta create is the branch-exists gate: two
+        # concurrent create_branch("x") calls cannot both win
+        st.create_exclusive(st.join(bdir, "_branch.json"), meta)
+    except FileExistsError:
+        raise FileExistsError(
+            f"branch {name!r} already exists in {table_dir}")
+    doc = _read_manifest_doc(table_dir, v)
+    _commit(bdir, doc["files"], 1, stats=doc.get("stats", {}),
+            bloom_cols=doc.get("bloom_cols", []),
+            checks=doc.get("checks", []),
+            delete_files=doc.get("delete_files", {}),
+            delete_rows=doc.get("delete_rows", {}),
+            column_map=doc.get("column_map", {}),
+            dropped_cols=doc.get("dropped_cols", []),
+            partition_state={k: doc.get(k) for k in (
+                "partition_spec", "partition_specs", "partition_spec_id",
+                "partitions", "partition_spec_ids")},
+            schema=doc.get("schema"))
+    return bdir
+
+
+def list_branches(table_dir: str) -> dict[str, dict]:
+    """branch name -> {forked_at_version, created_at, head}."""
+    st = _st(table_dir)
+    out: dict[str, dict] = {}
+    pat = st.join(table_dir, "_branches", "*", "_branch.json")
+    for p in st.list_glob(pat):
+        name = p.replace("\\", "/").rstrip("/").split("/")[-2]
+        meta = json.loads(st.read_text(p))
+        meta["head"] = latest_version(branch_path(table_dir, name))
+        out[name] = meta
+    return dict(sorted(out.items()))
+
+
+def branch_meta(table_dir: str, name: str) -> dict:
+    st = _st(table_dir)
+    p = st.join(branch_path(table_dir, name), "_branch.json")
+    if not st.exists(p):
+        raise FileNotFoundError(f"no branch {name!r} in {table_dir}")
+    return json.loads(st.read_text(p))
+
+
+def resolve_ref(table_dir: str, ref: str):
+    """``("tag", version)`` or ``("branch", branch_dir)``.  Tags win a
+    name collision (they are explicit pins; shadowing a tag with a
+    branch is a user error this makes visible deterministically)."""
+    tags = list_tags(table_dir)
+    if ref in tags:
+        return ("tag", tags[ref])
+    st = _st(table_dir)
+    if st.exists(st.join(branch_path(table_dir, ref), "_branch.json")):
+        return ("branch", branch_path(table_dir, ref))
+    raise KeyError(
+        f"unknown ref {ref!r} in {table_dir}; tags={sorted(tags)} "
+        f"branches={sorted(list_branches(table_dir))}")
+
+
+def fast_forward(table_dir: str, name: str) -> int:
+    """PUBLISH: fast-forward main onto branch ``name``'s audited head
+    as a new main version (one manifest write — the branch's data files
+    are referenced in place, never copied).  Refuses when main has
+    moved since the fork: the branch's premise is stale, and silently
+    merging divergent file lists is how tables corrupt — re-fork from
+    the new head and replay the writes.  The branch remains; audit
+    flows end with `drop_branch` (which keeps any published files)."""
+    meta = branch_meta(table_dir, name)
+    bdir = branch_path(table_dir, name)
+    cur = latest_version(table_dir)
+    if cur != meta["forked_at_version"]:
+        raise ConcurrentCommitError(
+            f"cannot fast-forward {name!r}: {table_dir} is at v{cur} "
+            f"but the branch forked at v{meta['forked_at_version']}; "
+            "re-fork from the current head and replay")
+    head = latest_version(bdir)
+    doc = _read_manifest_doc(bdir, head)
+    _commit(table_dir, doc["files"], cur + 1,
+            stats=doc.get("stats", {}),
+            bloom_cols=doc.get("bloom_cols", []),
+            checks=doc.get("checks", []),
+            delete_files=doc.get("delete_files", {}),
+            delete_rows=doc.get("delete_rows", {}),
+            column_map=doc.get("column_map", {}),
+            dropped_cols=doc.get("dropped_cols", []),
+            partition_state={k: doc.get(k) for k in (
+                "partition_spec", "partition_specs", "partition_spec_id",
+                "partitions", "partition_spec_ids")},
+            schema=doc.get("schema"))
+    return cur + 1
+
+
+def drop_branch(table_dir: str, name: str) -> int:
+    """Delete a branch: its manifests, ref metadata, and any branch-
+    local data/delete files **not referenced by the parent's retained
+    manifests** — so dropping after `fast_forward` keeps every
+    published file, while dropping an abandoned audit reclaims its
+    staged writes immediately.  Returns the number of files deleted."""
+    bdir = branch_path(table_dir, name)
+    st = _st(table_dir)
+    if not st.exists(st.join(bdir, "_branch.json")):
+        raise FileNotFoundError(f"no branch {name!r} in {table_dir}")
+    referenced: set[str] = set()
+    for v in versions(table_dir):
+        doc = _read_manifest_doc(table_dir, v)
+        referenced.update(st.canon(f) for f in doc["files"])
+        referenced.update(
+            st.canon(d) for ds in doc.get("delete_files", {}).values()
+            for d in ds)
+    cands: set[str] = set()
+    for depth in range(5):
+        cands.update(st.list_glob(st.join(
+            bdir, "data", "*", *(["*"] * depth), "part-*.parquet")))
+    cands.update(st.list_glob(st.join(bdir, "deletes", "*",
+                                      "part-*.parquet")))
+    deleted = 0
+    for p in sorted(cands):
+        if st.canon(p) not in referenced:
+            st.delete(p)
+            deleted += 1
+    for v in versions(bdir):
+        st.delete(_manifest_path(st, bdir, v))
+    st.delete(st.join(bdir, "_manifests", "_latest.json"))
+    st.delete(st.join(bdir, "_branch.json"))
+    return deleted
