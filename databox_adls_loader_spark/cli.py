@@ -183,6 +183,7 @@ def _cmd_table(args) -> int:
             "column_map": doc.get("column_map", {}),
             "dropped_cols": doc.get("dropped_cols", []),
             "files_with_deletes": len(doc.get("delete_files", {})),
+            "eq_delete_entries": len(doc.get("eq_deletes", [])),
             "stream_batches": len(doc.get("batch_ids", []))}))
         return 0
     spark = _spark(f"table-{args.verb}")
@@ -202,6 +203,16 @@ def _cmd_table(args) -> int:
     if args.verb == "delete":
         v, n = V.delete_where(spark, t, args.where)
         print(json.dumps({"version": v, "n_deleted": n}))
+        return 0
+    if args.verb == "delete-keys":
+        vals = [json.loads(x) for x in args.values.split(",")]
+        v, n = V.delete_where_keys(spark, t, args.column, vals)
+        print(json.dumps({"version": v, "n_keys": n}))
+        return 0
+    if args.verb == "update":
+        sets = dict(kv.split("=", 1) for kv in args.set)
+        v, n = V.update_where(spark, t, args.where, sets)
+        print(json.dumps({"version": v, "n_updated": n}))
         return 0
     if args.verb == "show":
         df = V.read_version(spark, t, version=args.version,
@@ -273,6 +284,9 @@ def main(argv: list[str] | None = None) -> int:
             ("compact", "full rewrite into N files (cluster/zorder)"),
             ("optimize", "incremental small-file compaction"),
             ("delete", "merge-on-read DELETE (position-delete files)"),
+            ("delete-keys", "EQUALITY delete by key values "
+                            "(O(keys) commit, no data scan)"),
+            ("update", "merge-on-read UPDATE ... SET ... WHERE"),
             ("rename-column", "metadata-only RENAME COLUMN"),
             ("drop-column", "metadata-only DROP COLUMN"),
             ("widen-column", "metadata-only type widening "
@@ -302,6 +316,17 @@ def main(argv: list[str] | None = None) -> int:
         elif verb == "delete":
             sp.add_argument("--where", required=True,
                             help="boolean SQL expression (logical names)")
+        elif verb == "delete-keys":
+            sp.add_argument("column")
+            sp.add_argument("values",
+                            help="comma-separated JSON literals, e.g. "
+                                 "1,2,3 or \"a\",\"b\"")
+        elif verb == "update":
+            sp.add_argument("--where", required=True,
+                            help="boolean SQL expression (logical names)")
+            sp.add_argument("--set", action="append", required=True,
+                            metavar="COL=EXPR",
+                            help="repeatable: column=SQL expression")
         elif verb == "rename-column":
             sp.add_argument("old")
             sp.add_argument("new")

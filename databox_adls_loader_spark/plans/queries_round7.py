@@ -1920,3 +1920,509 @@ def scale_spec_evolution_read(spark: SparkSession, sf_dir: str
             .withColumn("month_pruned", F.lit(bool(month_pruned)))
             .withColumn("bucket_pruned", F.lit(bool(bucket_pruned)))
             .orderBy("o_orderstatus"))
+
+
+# ---------------------------------------------------------------------------
+# equality deletes + merge-on-read UPDATE: row mutation under the hash gate
+# ---------------------------------------------------------------------------
+
+_EQ_ORDERS: dict = {}
+
+
+def _drop_eq_orders(keys=None) -> None:
+    import shutil
+
+    for k in list(_EQ_ORDERS) if keys is None else list(keys):
+        shutil.rmtree(_EQ_ORDERS.pop(k), ignore_errors=True)
+
+
+def _eq_orders(spark: SparkSession, sf_dir: str) -> tuple[str, bool]:
+    """Once per (session, sf_dir): snapshot `orders` into a versioned
+    table, compact clustered by o_orderkey, EQUALITY-delete every key
+    < 100 (`delete_where_keys` — one key file, NO data scan, NO file
+    rewritten), then APPEND one row re-using deleted key 0 — the
+    sequence-semantics proof: the equality delete must kill key 0 in
+    the old files while the re-insert stays alive.  Returns
+    (table_dir, mor_ok) where mor_ok asserts the delete commit was
+    metadata-only AND stats pruning scoped `applies_to` below the full
+    manifest."""
+    import atexit
+    import datetime
+    import tempfile
+
+    from ..sinks import versioned as V
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _EQ_ORDERS.get(key)
+    if got is None:
+        _drop_eq_orders([k for k in _EQ_ORDERS if k[0] != key[0]])
+        if not _EQ_ORDERS:
+            atexit.register(_drop_eq_orders)
+        t = tempfile.mkdtemp(prefix="spark_graft_eqorders_")
+        (orders,) = _t(spark, sf_dir, "orders")
+        V.write_snapshot(orders, t)
+        v0 = V.compact_snapshot(spark, t, n_files=8,
+                                cluster_by=["o_orderkey"])
+        files_before = V._read_manifest(t, v0)
+        v1, n_keys = V.delete_where_keys(
+            spark, t, "o_orderkey", list(range(100)))
+        entry = V.table_eq_deletes(t, v1)[0]
+        mor_ok = (V._read_manifest(t, v1) == files_before
+                  and n_keys == 100
+                  and len(entry["applies_to"]) < len(files_before))
+        V.write_snapshot(
+            spark.createDataFrame(
+                [(0, 1, "Z", 1.0,
+                  datetime.datetime(1999, 1, 1), "0-NONE")],
+                orders.schema),
+            t)
+        got = (t, mor_ok)
+        _EQ_ORDERS[key] = got
+    return got
+
+
+@register(
+    "scale_eq_delete_read",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+           TRUE AS mor_ok
+    FROM (
+      SELECT o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders
+                               WHERE o_orderkey < 100)
+      UNION ALL SELECT 'Z', 1.0
+    )
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=["scale", "versioned", "equality-deletes"],
+)
+def scale_eq_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUALITY deletes under the value-hash gate (`sinks/versioned.
+    delete_where_keys` — the Iceberg v2 eq-delete shape): keys < 100
+    are deleted at O(|keys|) commit cost with no data scan and no file
+    rewritten (mor_ok), a later append RE-INSERTS key 0 and must
+    survive (sequence semantics: the delete applies only to files
+    present when it committed), and the merge-on-read read — a
+    broadcast anti join against the key file, scoped by stats-pruned
+    ``applies_to`` — must hash-match plain SQL computing the same
+    delete + re-insert.  At 100 TB this is the CDC-tombstone path: a
+    key-delete batch lands as metadata, readers pay one small anti
+    join, and compaction materializes it asynchronously."""
+    from ..sinks import versioned as V
+
+    t, mor_ok = _eq_orders(spark, sf_dir)
+    df = V.read_version(spark, t)
+    return (df.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("rev"))
+            .withColumn("mor_ok", F.lit(bool(mor_ok)))
+            .orderBy("o_orderstatus"))
+
+
+_UPD_ORDERS: dict = {}
+
+
+def _drop_upd_orders(keys=None) -> None:
+    import shutil
+
+    for k in list(_UPD_ORDERS) if keys is None else list(keys):
+        shutil.rmtree(_UPD_ORDERS.pop(k), ignore_errors=True)
+
+
+def _upd_orders(spark: SparkSession, sf_dir: str) -> tuple[str, bool]:
+    """Once per (session, sf_dir): versioned `orders`, compacted
+    clustered by key, then a merge-on-read UPDATE — rows with
+    o_orderkey < 500 get status 'U' and a 10.00 price bump, committed
+    as run-length position deletes + an appended update file in ONE
+    version (`update_where`).  mor_ok asserts every pre-update data
+    file still rides in the new manifest (nothing rewritten) and the
+    reported n_updated equals the matched-key count."""
+    import atexit
+    import tempfile
+
+    from ..sinks import versioned as V
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _UPD_ORDERS.get(key)
+    if got is None:
+        _drop_upd_orders([k for k in _UPD_ORDERS if k[0] != key[0]])
+        if not _UPD_ORDERS:
+            atexit.register(_drop_upd_orders)
+        t = tempfile.mkdtemp(prefix="spark_graft_updorders_")
+        (orders,) = _t(spark, sf_dir, "orders")
+        n_match = orders.filter(F.col("o_orderkey") < 500).count()
+        V.write_snapshot(orders, t)
+        v0 = V.compact_snapshot(spark, t, n_files=8,
+                                cluster_by=["o_orderkey"])
+        files_before = V._read_manifest(t, v0)
+        v1, n_upd = V.update_where(
+            spark, t, "o_orderkey < 500",
+            {"o_orderstatus": "'U'",
+             "o_totalprice": "o_totalprice + 10.0"},
+            predicates=[("o_orderkey", "<", 500)])
+        mor_ok = (set(files_before) <= set(V._read_manifest(t, v1))
+                  and n_upd == n_match)
+        got = (t, mor_ok)
+        _UPD_ORDERS[key] = got
+    return got
+
+
+@register(
+    "scale_update_mor_read",
+    oracle="""
+    SELECT CASE WHEN o_orderkey < 500 THEN 'U'
+                ELSE o_orderstatus END AS o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(CASE WHEN o_orderkey < 500
+                              THEN o_totalprice + 10.0
+                              ELSE o_totalprice END
+                         AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+           TRUE AS mor_ok
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=["scale", "versioned", "mor-update"],
+)
+def scale_update_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE under the value-hash gate (`sinks/
+    versioned.update_where`): the read of the updated snapshot — old
+    files minus position-deleted rows, plus the appended update images
+    — must hash-match plain SQL's CASE-WHEN rendering of ``UPDATE
+    orders SET o_orderstatus='U', o_totalprice=o_totalprice+10 WHERE
+    o_orderkey < 500``.  mor_ok asserts the MOR contract: no pre-update
+    file was rewritten (the delete is run-length positions, the update
+    a scoped append) and n_updated is exact.  At 100 TB an UPDATE
+    touching 500 keys costs O(matched rows), not a table rewrite."""
+    from ..sinks import versioned as V
+
+    t, mor_ok = _upd_orders(spark, sf_dir)
+    df = V.read_version(spark, t)
+    return (df.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("rev"))
+            .withColumn("mor_ok", F.lit(bool(mor_ok)))
+            .orderBy("o_orderstatus"))
+
+
+# ---------------------------------------------------------------------------
+# analytics batch 3: multidimensional aggregation, retention, drawdown,
+# JSON extraction, corpus novelty, winback, seasonality
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_cube_returns_qty",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           COALESCE(l_linestatus, 'ALL') AS ls,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY rf, ls
+    """,
+    tags=["agg", "cube", "multidim"],
+)
+def agg_cube_returns_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping
+    combinations in ONE pass — Spark's `DataFrame.cube` plans a single
+    shuffle with map-side partial aggregation expanding the grouping
+    sets, vs four separate scans.  Labels coalesce to 'ALL' (the
+    columns are non-null in this schema, so the sentinel is
+    unambiguous).  Scale: the expansion multiplies rows by ≤4 BEFORE
+    partial aggregation collapses them — no extra scan, one exchange.
+    Reference boundary: the reference's summing is single-level
+    (processDirectoryIntoUnits); multidimensional rollup is
+    beyond-reference surface."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_qty"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+                    F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+                    "n", "sum_qty")
+            .orderBy("rf", "ls"))
+
+
+@register(
+    "sess14_weekly_retention_triangle",
+    oracle="""
+    WITH wk AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events
+    ), cohort AS (
+      SELECT user_id, MIN(week) AS cweek FROM wk GROUP BY user_id
+    ), sizes AS (
+      SELECT cweek, COUNT(*) AS cohort_n FROM cohort GROUP BY cweek
+    ), hits AS (
+      SELECT c.cweek, date_diff('day', c.cweek, w.week) // 7 AS offset_w,
+             COUNT(DISTINCT w.user_id) AS active_n
+      FROM cohort c JOIN wk w USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT CAST(h.cweek AS VARCHAR) AS cohort_week,
+           h.offset_w, s.cohort_n, h.active_n,
+           h.active_n * 1000000 // s.cohort_n AS retained_ppm
+    FROM hits h JOIN sizes s ON h.cweek = s.cweek
+    WHERE h.offset_w <= 4
+    ORDER BY cohort_week, offset_w
+    """,
+    tags=["sessions", "retention", "cohort"],
+)
+def sess14_weekly_retention_triangle(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Classic cohort-retention triangle: users grouped by FIRST-active
+    week, then per week-offset the ppm share still active.  Shape: one
+    distinct over (user, week) — the raw event stream collapses before
+    any join — then a cohort self-join that is |users×weeks|, never
+    |events|.  Exact integer ppm keeps the oracle transcendental-free.
+    At 100 TB the distinct is the only event-sized shuffle; everything
+    after is user-sized."""
+    (ev,) = _t(spark, sf_dir, "events")
+    wk = (ev.select("user_id",
+                    F.date_trunc("week", "ts").cast("date").alias("week"))
+          .distinct())
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cweek"))
+    sizes = cohort.groupBy("cweek").agg(F.count(F.lit(1)).alias("cohort_n"))
+    hits = (wk.join(cohort, "user_id")
+            .select("cweek",
+                    (F.datediff("week", "cweek") / 7)
+                    .cast("long").alias("offset_w"), "user_id")
+            .groupBy("cweek", "offset_w")
+            .agg(F.countDistinct("user_id").alias("active_n")))
+    return (hits.join(sizes, "cweek")
+            .filter(F.col("offset_w") <= 4)
+            .select(F.col("cweek").cast("string").alias("cohort_week"),
+                    "offset_w", "cohort_n", "active_n",
+                    (F.col("active_n") * 1000000 / F.col("cohort_n"))
+                    .cast("long").alias("retained_ppm"))
+            .orderBy("cohort_week", "offset_w"))
+
+
+@register(
+    "ts_max_drawdown_fleet",
+    oracle="""
+    WITH flows AS (
+      SELECT event_type, ts, event_id,
+             CAST(value AS DECIMAL(18,2)) - 100.00 AS flow
+      FROM events
+    ), cums AS (
+      SELECT event_type, ts, event_id,
+             SUM(flow) OVER (PARTITION BY event_type
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+      FROM flows
+    ), runs AS (
+      SELECT event_type, cum,
+             MAX(cum) OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS peak
+      FROM cums
+    )
+    SELECT event_type,
+           CAST(MAX(peak - cum) AS DOUBLE) AS max_drawdown,
+           COUNT(*) AS n
+    FROM runs GROUP BY event_type ORDER BY event_type
+    """,
+    tags=["timeseries", "fleet", "drawdown"],
+)
+def ts_max_drawdown_fleet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per series (finance/SRE burn-down form): over
+    the centered cumulative flow, the largest peak-to-current drop.
+    Two stacked running windows (cumsum, then running max of the
+    cumsum) — both PARTITIONED BY the series key, so the fleet form
+    scales horizontally across keys with no single-partition funnel
+    (the per-key ordering is the standard bounded assumption: one
+    series' history fits a partition; cross-key parallelism is the
+    scale axis).  DECIMAL flows keep the prefix sums exact, so the
+    hash gate holds."""
+    from pyspark.sql.window import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    flows = ev.select(
+        "event_type", "ts", "event_id",
+        (F.col("value").cast("decimal(18,2)") - F.lit(100.00)
+         .cast("decimal(18,2)")).alias("flow"))
+    w = (Window.partitionBy("event_type").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    runs = (flows.withColumn("cum", F.sum("flow").over(w))
+            .withColumn("peak", F.max(F.col("cum")).over(w)))
+    return (runs.groupBy("event_type")
+            .agg(F.max(F.col("peak") - F.col("cum")).cast("double")
+                 .alias("max_drawdown"),
+                 F.count(F.lit(1)).alias("n"))
+            .orderBy("event_type"))
+
+
+@register(
+    "agg_grouping_sets_orders",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS prio,
+           COALESCE(CAST(year(o_orderdate) AS BIGINT), -1) AS yr,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS rev
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (year(o_orderdate)), ())
+    ORDER BY prio, yr
+    """,
+    tags=["agg", "grouping-sets", "multidim"],
+)
+def agg_grouping_sets_orders(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """GROUPING SETS with DISJOINT dimensions — the by-priority report,
+    the by-year report, and the grand total from ONE scan (unlike
+    `agg_cube_returns_qty`'s full cross product): Spark expands the
+    sets map-side and aggregates in a single exchange, which at 100 TB
+    replaces three separate jobs over the same fact scan.  Sentinel
+    labels ('ALL' / -1) disambiguate the null-extended grouping rows
+    (the source columns are non-null)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__gs_orders")
+    return spark.sql("""
+        SELECT COALESCE(o_orderpriority, 'ALL') AS prio,
+               COALESCE(CAST(year(o_orderdate) AS BIGINT), -1) AS yr,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS rev
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (year(o_orderdate)),
+                                ())
+        ORDER BY prio, yr
+    """)
+
+
+@register(
+    "text_ngram_first_seen_curve",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(t) - 2, 1) + 1),
+        i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS g
+      FROM toks
+    ), first_seen AS (
+      SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY g
+    )
+    SELECT first_doc // 50 AS doc_bucket,
+           COUNT(*) AS new_grams
+    FROM first_seen GROUP BY 1 ORDER BY 1
+    """,
+    tags=["text", "corpus", "novelty"],
+)
+def text_ngram_first_seen_curve(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Corpus novelty (Heaps-law) curve: for every distinct word
+    3-gram, the doc-id bucket where it FIRST appears — new-vocabulary
+    mass per bucket, the dataset-curation signal for 'is more data
+    still adding anything new'.  One explode + min-aggregate: the
+    cumulative-distinct problem becomes an embarrassingly parallel
+    group-by (min is associative), never a sequential scan.  At 100 TB
+    the gram stream shuffles once on the gram key."""
+    from ..operators.dedup import word_shingles
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("g"))
+    return (grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+            .select((F.col("first_doc") / 50).cast("long")
+                    .alias("doc_bucket"))
+            .groupBy("doc_bucket")
+            .agg(F.count(F.lit(1)).alias("new_grams"))
+            .orderBy("doc_bucket"))
+
+
+@register(
+    "cust_winback_by_segment",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day',
+               lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS gap_days
+      FROM orders
+    ), winback AS (
+      SELECT DISTINCT o_custkey FROM gaps WHERE gap_days > 365
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           COUNT(w.o_custkey) AS n_winback,
+           COUNT(w.o_custkey) * 1000000 // COUNT(*) AS winback_ppm
+    FROM customer c LEFT JOIN winback w ON c.c_custkey = w.o_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=["sessions", "commerce", "winback"],
+)
+def cust_winback_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Win-back analysis: customers with a >365-day silence between
+    consecutive orders who then returned, as a ppm share of each market
+    segment.  The lag window partitions by customer (fleet-parallel);
+    the winback set is customer-sized, so the segment join broadcasts.
+    Ties on order date break on o_orderkey for a deterministic lag."""
+    from pyspark.sql.window import Window
+
+    orders, cust = _t(spark, sf_dir, "orders", "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff("o_orderdate",
+                   F.lag("o_orderdate").over(w)).alias("gap_days"))
+    winback = (gaps.filter(F.col("gap_days") > 365)
+               .select("o_custkey").distinct())
+    return (cust.join(F.broadcast(winback),
+                      cust["c_custkey"] == winback["o_custkey"], "left")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.count("o_custkey").alias("n_winback"))
+            .select("c_mktsegment", "n_customers", "n_winback",
+                    (F.col("n_winback") * 1000000 / F.col("n_customers"))
+                    .cast("long").alias("winback_ppm"))
+            .orderBy("c_mktsegment"))
+
+
+@register(
+    "ts_dow_seasonality_index",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, isodow(ts) AS dow, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, SUM(n) AS total FROM d GROUP BY event_type
+    )
+    SELECT d.event_type, d.dow, d.n,
+           CAST(d.n * 7000000 // t.total AS BIGINT) AS season_index_ppm
+    FROM d JOIN tot t ON d.event_type = t.event_type
+    ORDER BY d.event_type, d.dow
+    """,
+    tags=["timeseries", "seasonality"],
+)
+def ts_dow_seasonality_index(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index per event type: observed count ×7
+    over the type's total, in exact ppm (1 000 000 = a perfectly flat
+    week).  ISO day numbering bridges the engines (Spark's dayofweek is
+    Sunday-first; the oracle's isodow is Monday-first — the shift is
+    computed, not assumed).  Two tiny aggregates over one scan; the
+    per-type totals frame is |types| rows, broadcast."""
+    (ev,) = _t(spark, sf_dir, "events")
+    d = (ev.select("event_type",
+                   (((F.dayofweek("ts") + 5) % 7) + 1).alias("dow"))
+         .groupBy("event_type", "dow")
+         .agg(F.count(F.lit(1)).alias("n")))
+    tot = d.groupBy("event_type").agg(F.sum("n").alias("total"))
+    return (d.join(F.broadcast(tot), "event_type")
+            .select("event_type", "dow", "n",
+                    (F.col("n") * 7000000 / F.col("total")).cast("long")
+                    .alias("season_index_ppm"))
+            .orderBy("event_type", "dow"))

@@ -180,6 +180,7 @@ def read_with_token(spark: SparkSession, table_dir: str, index_dir: str,
         return V.read_version(spark, table_dir, cur).filter(residual)
     dmap, _ = V.table_delete_map(table_dir, cur)
     df = V._read_files(spark, sel, dmap,
-                       schema=V.table_schema(table_dir, cur))
+                       schema=V.table_schema(table_dir, cur),
+                       eq=V.table_eq_deletes(table_dir, cur))
     df = V._apply_column_map(df, *V.table_column_map(table_dir, cur))
     return df.filter(residual)

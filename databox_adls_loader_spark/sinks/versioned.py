@@ -5,8 +5,9 @@ a 100 TB pipeline needs so readers never see a half-written rewrite.
 
 Layout (all inside one table directory):
 
-    <table>/data/b<N>-.../part-*.parquet     immutable data files
-    <table>/deletes/d<N>-.../part-*.parquet  position-delete files
+    <table>/data/b<N>-.../part-*.parquet       immutable data files
+    <table>/deletes/d<N>-.../part-*.parquet    position-delete files
+    <table>/eqdeletes/e<N>-.../part-*.parquet  equality-delete key files
     <table>/_manifests/v<N>.json             ordered file list per version
     <table>/_manifests/_latest.json          pointer to the current version
 
@@ -30,7 +31,16 @@ Invariants:
     anti-join them (`_read_files`), compaction materializes them, and
     the manifest's `delete_files` map scopes which data files need the
     join (delete-free files read plain).  The Iceberg position-delete
-    technique, on this manifest log.
+    technique, on this manifest log;
+  * EQUALITY deletes (`delete_where_keys`): a delete-by-key commits a
+    file of KEY VALUES — O(|keys|), NO data scan at commit time — and
+    the manifest's `eq_deletes` entries scope it to the data files
+    present at delete time (Iceberg v2 sequence-number semantics:
+    files appended later are unaffected).  Readers anti-join the value
+    set; compaction/merge rewrites materialize it (their rewritten
+    files leave every entry's `applies_to`, so entries die with the
+    files they indexed).  This is the streaming-CDC delete shape: a
+    100 TB table absorbs a key-tombstone batch at metadata cost.
 
 All metadata I/O goes through the storage seam (`sinks/storage.py`):
 a bare path uses POSIX, any ``scheme:`` path (``file:``, ``hdfs:``,
@@ -910,6 +920,19 @@ def table_delete_map(table_dir: str, version: int | None = None
     return doc.get("delete_files", {}), doc.get("delete_rows", {})
 
 
+def table_eq_deletes(table_dir: str, version: int | None = None
+                     ) -> list[dict]:
+    """EQUALITY-delete entries recorded by a version's manifest
+    (default: latest).  Each entry is ``{"files": [key-value parquet
+    files], "col": physical column name, "applies_to": [data files the
+    delete applies to], "rows": n key values}``.  Empty list = no
+    equality-delete state."""
+    v = latest_version(table_dir) if version is None else version
+    if v is None:
+        return []
+    return _read_manifest_doc(table_dir, v).get("eq_deletes", [])
+
+
 def _commit(table_dir: str, files: list[str], version: int,
             batch_ids: set[int] | None = None,
             stats: dict[str, dict] | None = None,
@@ -922,7 +945,8 @@ def _commit(table_dir: str, files: list[str], version: int,
             partition_spec: list[str] | None = None,
             partitions: dict[str, list] | None = None,
             partition_state: dict | None = None,
-            schema: dict | None = None) -> None:
+            schema: dict | None = None,
+            eq_deletes: list[dict] | None = None) -> None:
     """Write manifest v<version> then atomically swap the pointer.
 
     The streaming batch-id ledger is carried forward into EVERY manifest
@@ -959,6 +983,29 @@ def _commit(table_dir: str, files: list[str], version: int,
             refd = {d for ds in dmap.values() for d in ds}
             doc["delete_rows"] = {d: int((delete_rows or {}).get(d, 0))
                                   for d in sorted(refd)}
+    # equality deletes: None = INHERIT the previous manifest's entries
+    # (append/metadata commits carry them with no caller changes);
+    # explicit list = use as given (rollback/clone/branch restoration).
+    # Either way each entry's `applies_to` is intersected with THIS
+    # manifest's file list — a rewritten/dropped data file leaves every
+    # entry, and an entry applying to nothing dies.  New files are
+    # never added to `applies_to` (sequence semantics: an equality
+    # delete affects only files that existed when it committed).
+    if eq_deletes is None:
+        cur_eq = latest_version(table_dir)
+        eq_deletes = ([] if cur_eq is None else
+                      _read_manifest_doc(table_dir, cur_eq)
+                      .get("eq_deletes", []))
+    fset_eq = set(files)
+    kept_eq = []
+    for e in eq_deletes:
+        ap = sorted(set(e.get("applies_to", [])) & fset_eq)
+        if ap and e.get("files"):
+            kept_eq.append({"files": sorted(e["files"]), "col": e["col"],
+                            "applies_to": ap,
+                            "rows": int(e.get("rows", 0))})
+    if kept_eq:
+        doc["eq_deletes"] = kept_eq
     if column_map:
         doc["column_map"] = {p: column_map[p] for p in sorted(column_map)}
     if dropped_cols:
@@ -1239,19 +1286,51 @@ def _inherited_stats(table_dir: str, version: int | None) -> dict[str, dict]:
     return _read_manifest_doc(table_dir, version).get("stats", {})
 
 
+def _eq_groups(files: list[str], eq: list[dict] | None
+               ) -> list[tuple[tuple[int, ...], list[str]]]:
+    """Partition ``files`` by WHICH equality-delete entries apply to
+    each (entry indices into ``eq``).  Readers then handle a whole
+    group with one scan + one anti join per applicable entry — no
+    per-row file-path matching, so manifest-path vs `_metadata`-URI
+    canonicalization never enters the eq-delete read path."""
+    eq = eq or []
+    ap = [set(e.get("applies_to", [])) for e in eq]
+    groups: dict[tuple[int, ...], list[str]] = {}
+    for f in files:
+        key = tuple(i for i, s in enumerate(ap)
+                    if f in s and eq[i].get("files"))
+        groups.setdefault(key, []).append(f)
+    return sorted(groups.items())
+
+
+def _eq_anti(spark: SparkSession, df: DataFrame, entry: dict) -> DataFrame:
+    """Drop rows whose ``entry["col"]`` value is in the entry's key-value
+    file(s).  LEFT ANTI on equality: NULL keys never match — the SQL
+    ``DELETE WHERE col IN (...)`` contract.  Build side is the KEY SET
+    (broadcast: an equality-delete set is key tombstones by contract —
+    a delete big enough to matter as a broadcast should be a MERGE or
+    rewrite commit)."""
+    vals = (spark.read.parquet(*sorted(entry["files"]))
+            .select("__val").distinct())
+    return df.join(F.broadcast(vals),
+                   F.col(entry["col"]) == F.col("__val"), "left_anti")
+
+
 def _read_files(spark: SparkSession, files: list[str],
                 dmap: dict[str, list[str]] | None = None,
-                schema=None) -> DataFrame:
-    """Read a set of manifest data files with merge-on-read position
-    deletes applied.  Files with no delete state read plain; files with
-    deletes read with the `_metadata` hidden columns and LEFT ANTI join
-    the union of their delete files on (file_path, row_index) — the
-    Iceberg position-delete read shape.  The anti join's build side is
-    the DELETE set (broadcast: DVs are small relative to data by
-    construction — a delete that rewrites most rows should be a rewrite
-    commit, not a DV), so no shuffle of the data side is introduced."""
-    dirty = sorted(f for f in files if dmap and dmap.get(f))
-    clean = sorted(f for f in files if f not in set(dirty))
+                schema=None, eq: list[dict] | None = None) -> DataFrame:
+    """Read a set of manifest data files with merge-on-read deletes
+    applied.  Files with no delete state read plain; files with
+    POSITION deletes read with the `_metadata` hidden columns and LEFT
+    ANTI join the union of their delete files on (file_path, row_index)
+    — the Iceberg position-delete read shape.  Files with EQUALITY
+    deletes (``eq``: manifest `eq_deletes` entries) additionally LEFT
+    ANTI join each applicable entry's key-value set on the key column —
+    grouped by applicable-entry set so the join is per file GROUP, not
+    per row.  Every anti join's build side is the DELETE state
+    (broadcast: deletes are small relative to data by construction —
+    a delete that rewrites most rows should be a rewrite commit), so no
+    shuffle of the data side is introduced."""
 
     # ``schema`` = the manifest's stored PHYSICAL schema: the read is
     # then schema-DECLARED, not schema-discovered — files narrower than
@@ -1264,17 +1343,25 @@ def _read_files(spark: SparkSession, files: list[str],
             else spark.read.option("mergeSchema", "true")
 
     parts: list[DataFrame] = []
-    if clean:
-        parts.append(_rd().parquet(*clean))
-    if dirty:
-        dvs = sorted({d for f in dirty for d in dmap[f]})
-        dv = _dv_positions(spark, dvs)
-        d = (_rd().parquet(*dirty)
-             .withColumn("__file", F.col("_metadata.file_path"))
-             .withColumn("__pos", F.col("_metadata.row_index"))
-             .join(F.broadcast(dv), ["__file", "__pos"], "left_anti")
-             .drop("__file", "__pos"))
-        parts.append(d)
+    for key, gfiles in _eq_groups(files, eq):
+        dirty = sorted(f for f in gfiles if dmap and dmap.get(f))
+        clean = sorted(f for f in gfiles if f not in set(dirty))
+        sub: list[DataFrame] = []
+        if clean:
+            sub.append(_rd().parquet(*clean))
+        if dirty:
+            dvs = sorted({d for f in dirty for d in dmap[f]})
+            dv = _dv_positions(spark, dvs)
+            sub.append(
+                _rd().parquet(*dirty)
+                .withColumn("__file", F.col("_metadata.file_path"))
+                .withColumn("__pos", F.col("_metadata.row_index"))
+                .join(F.broadcast(dv), ["__file", "__pos"], "left_anti")
+                .drop("__file", "__pos"))
+        for p in sub:
+            for i in key:
+                p = _eq_anti(spark, p, (eq or [])[i])
+            parts.append(p)
     if not parts:
         raise FileNotFoundError("empty file list")
     out = parts[0]
@@ -1333,6 +1420,95 @@ def _positions_to_runs(matched: DataFrame) -> DataFrame:
             .select("__file", "__start", "__len"))
 
 
+def _scan_live_meta(spark: SparkSession, files: list[str],
+                    dmap: dict[str, list[str]], eq: list[dict],
+                    schema) -> DataFrame:
+    """PHYSICAL-schema frame of the LIVE rows in ``files`` with
+    ``__file``/``__pos`` attached — prior position deletes anti-joined
+    out, applicable equality deletes anti-joined out (grouped per
+    `_eq_groups`).  The row-mutation commits (`delete_where`,
+    `update_where`) build on this so already-dead rows are never
+    re-deleted / re-counted."""
+    parts: list[DataFrame] = []
+    rd = spark.read.schema(schema) if schema is not None \
+        else spark.read.option("mergeSchema", "true")
+    for key, gfiles in _eq_groups(files, eq):
+        p = (rd.parquet(*sorted(gfiles))
+             .withColumn("__file", F.col("_metadata.file_path"))
+             .withColumn("__pos", F.col("_metadata.row_index")))
+        for i in key:
+            p = _eq_anti(spark, p, eq[i])
+        parts.append(p)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    prior = sorted({d for f in files for d in (dmap or {}).get(f, [])})
+    if prior:
+        old = _dv_positions(spark, prior)
+        out = out.join(F.broadcast(old), ["__file", "__pos"], "left_anti")
+    return out
+
+
+def _write_dv_state(spark: SparkSession, st, table_dir: str, cur: int,
+                    matched: DataFrame,
+                    dmap: dict[str, list[str]], drows: dict[str, int],
+                    all_files: list[str]):
+    """Write RUN-LENGTH position-delete files for ``matched`` (a
+    ``(__file, __pos)`` frame of live rows) and compute the updated
+    manifest delete state.  Returns ``(new_dmap, new_drows, n_deleted)``
+    — or ``(None, None, 0)`` when nothing matched (any written shard is
+    cleaned up; callers skip the commit).  Raises if a scanned file URI
+    fails to map onto manifest paths (committing would reference delete
+    positions no reader ever applies — silent NON-deletion)."""
+    out = st.canon(st.join(table_dir, "deletes",
+                           f"d{cur + 1:05d}-{uuid.uuid4().hex[:8]}"))
+    # RUN-LENGTH encode before writing: a contiguous mass delete costs
+    # O(runs) rows on disk, and the write fans out across touched files
+    # (per-file hash partitions, AQE-coalesced) instead of funneling
+    # every position through one repartition(1) task
+    runs = _positions_to_runs(matched)
+    runs.repartition("__file").write.mode("error").parquet(out)
+    dv_files = sorted(st.canon(p)
+                      for p in st.list_glob(st.join(out, "part-*.parquet")))
+    if not dv_files:
+        return None, None, 0
+    dv = spark.read.parquet(*dv_files)
+    # bounded collect: one row per TOUCHED data file (≤ |manifest|)
+    touched_rows = (dv.groupBy("__file")
+                    .agg(F.sum("__len").alias("n")).collect())
+    n_deleted = sum(r["n"] or 0 for r in touched_rows)
+    if n_deleted == 0:
+        for p in dv_files:
+            st.delete(p)
+        return None, None, 0
+    touched_uris = {st.uri_canon(r["__file"]) for r in touched_rows}
+    new_dmap = {f: list(ds) for f, ds in dmap.items()}
+    mapped = 0
+    for f in all_files:
+        if st.canon(f) in touched_uris:
+            new_dmap.setdefault(f, []).extend(dv_files)
+            mapped += 1
+    if mapped != len(touched_uris):
+        for p in dv_files:
+            st.delete(p)
+        raise RuntimeError(
+            f"position-delete write: {len(touched_uris) - mapped} "
+            f"scanned file URI(s) did not map onto manifest paths in "
+            f"{table_dir}")
+    new_drows = {d: n for d, n in drows.items()
+                 if any(d in ds for ds in new_dmap.values())}
+    # per-delete-file POSITION counts: run lengths summed by the
+    # shard (_metadata file) each run landed in
+    counts = {r["__f"]: r["n"] for r in
+              dv.select(F.col("_metadata.file_path").alias("__f"), "__len")
+              .groupBy("__f").agg(F.sum("__len").alias("n"))
+              .collect()}
+    canon = {st.uri_canon(u): n for u, n in counts.items()}
+    for d in dv_files:
+        new_drows[d] = int(canon.get(st.canon(d), 0) or 0)
+    return new_dmap, new_drows, n_deleted
+
+
 def delete_where(spark: SparkSession, table_dir: str, condition: str,
                  predicates=None) -> tuple[int, int]:
     """Merge-on-read DELETE: mark rows matching ``condition`` (a boolean
@@ -1374,76 +1550,199 @@ def delete_where(spark: SparkSession, table_dir: str, condition: str,
         return cur, 0
     dmap, drows = table_delete_map(table_dir, cur)
     sch = table_schema(table_dir, cur)
-    rd = spark.read.schema(sch) if sch is not None \
-        else spark.read.option("mergeSchema", "true")
-    matched = (rd.parquet(*sorted(scan_files))
-               .withColumn("__file", F.col("_metadata.file_path"))
-               .withColumn("__pos", F.col("_metadata.row_index")))
+    live = _scan_live_meta(spark, sorted(scan_files), dmap,
+                           table_eq_deletes(table_dir, cur), sch)
     # ``condition`` names LOGICAL columns; the raw scan is physical
-    matched = (_apply_column_map(matched, *table_column_map(table_dir, cur),
+    matched = (_apply_column_map(live, *table_column_map(table_dir, cur),
                                  keep=["__file", "__pos"])
                .filter(F.expr(condition))
                .select("__file", "__pos"))
-    prior = sorted({d for f in scan_files for d in dmap.get(f, [])})
-    if prior:
-        old = _dv_positions(spark, prior)
-        matched = matched.join(F.broadcast(old),
-                               ["__file", "__pos"], "left_anti")
-    out = st.canon(st.join(table_dir, "deletes",
-                           f"d{cur + 1:05d}-{uuid.uuid4().hex[:8]}"))
-    # RUN-LENGTH encode before writing: a contiguous mass delete costs
-    # O(runs) rows on disk, and the write fans out across touched files
-    # (per-file hash partitions, AQE-coalesced) instead of funneling
-    # every position through one repartition(1) task
-    runs = _positions_to_runs(matched)
-    runs.repartition("__file").write.mode("error").parquet(out)
-    dv_files = sorted(st.canon(p)
-                      for p in st.list_glob(st.join(out, "part-*.parquet")))
-    if not dv_files:
+    new_dmap, new_drows, n_deleted = _write_dv_state(
+        spark, st, table_dir, cur, matched, dmap, drows, all_files)
+    if new_dmap is None:
         return cur, 0
-    dv = spark.read.parquet(*dv_files)
-    # bounded collect: one row per TOUCHED data file (≤ |manifest|)
-    touched_rows = (dv.groupBy("__file")
-                    .agg(F.sum("__len").alias("n")).collect())
-    n_deleted = sum(r["n"] or 0 for r in touched_rows)
-    if n_deleted == 0:
-        for p in dv_files:
-            st.delete(p)
-        return cur, 0
-    touched_uris = {st.uri_canon(r["__file"]) for r in touched_rows}
-    new_dmap = {f: list(ds) for f, ds in dmap.items()}
-    mapped = 0
-    for f in all_files:
-        if st.canon(f) in touched_uris:
-            new_dmap.setdefault(f, []).extend(dv_files)
-            mapped += 1
-    if mapped != len(touched_uris):
-        # a probed URI failed to map onto manifest paths — committing
-        # would reference delete positions no reader ever applies
-        # (silent NON-deletion); fail loudly instead (cf. the scoped
-        # merge's equivalent fallback)
-        for p in dv_files:
-            st.delete(p)
-        raise RuntimeError(
-            f"delete_where: {len(touched_uris) - mapped} scanned file "
-            f"URI(s) did not map onto manifest paths in {table_dir}")
-    new_drows = {d: n for d, n in drows.items()
-                 if any(d in ds for ds in new_dmap.values())}
-    # per-delete-file POSITION counts: run lengths summed by the
-    # shard (_metadata file) each run landed in
-    counts = {r["__f"]: r["n"] for r in
-              dv.select(F.col("_metadata.file_path").alias("__f"), "__len")
-              .groupBy("__f").agg(F.sum("__len").alias("n"))
-              .collect()}
-    canon = {st.uri_canon(u): n for u, n in counts.items()}
-    for d in dv_files:
-        new_drows[d] = int(canon.get(st.canon(d), 0) or 0)
     doc = _read_manifest_doc(table_dir, cur)
     _commit(table_dir, all_files, cur + 1, stats=doc.get("stats", {}),
             delete_files=new_dmap, delete_rows=new_drows,
             column_map=doc.get("column_map", {}),
             dropped_cols=doc.get("dropped_cols", []))
     return cur + 1, n_deleted
+
+
+def delete_where_keys(spark: SparkSession, table_dir: str, col: str,
+                      values, prune: bool = True) -> tuple[int, int]:
+    """EQUALITY DELETE: delete every row whose ``col`` (a LOGICAL column
+    name) equals one of ``values`` — committed at **O(|keys|) cost with
+    NO data-file scan** (the Iceberg v2 equality-delete shape; cf.
+    position deletes in `delete_where`, which scan to find positions).
+    This is the streaming-CDC tombstone path: a key-delete batch lands
+    as one small key-value file + one manifest commit, and readers
+    resolve it merge-on-read via a broadcast anti join (`_eq_anti`).
+
+    ``values``: a Python list/tuple/set of key values, or a one-column
+    DataFrame.  NULLs are dropped (SQL ``col IN (...)`` semantics never
+    match NULL).  Values are cast to the column's stored type so the
+    read-side equality join compares natively.
+
+    Sequence semantics: the delete applies ONLY to data files in the
+    current snapshot (`applies_to`); rows appended later with the same
+    key are NOT affected — exactly what CDC replay needs (delete(k)
+    then insert(k) must leave the insert alive).
+
+    ``prune=True`` (list values only): files whose manifest stats/Bloom
+    prove they cannot contain ANY key are excluded from ``applies_to``,
+    so readers skip the anti join for them entirely.
+
+    Returns ``(new_version, n_keys)`` — the DELETED ROW COUNT is
+    unknowable without a scan (that's the point); `compact_snapshot`
+    materializes the delete and `history` shows the entry.  A delete
+    with zero keys is a no-op (no commit).
+
+    Scale: like position DVs, the key set is broadcast at read time by
+    contract — a delete set big enough to matter as a broadcast should
+    be a `merge_into_snapshot` or rewrite commit instead."""
+    st = _st(table_dir, spark)
+    cur = latest_version(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir}")
+    doc = _read_manifest_doc(table_dir, cur)
+    all_files = doc["files"]
+    cmap, _dropped = table_column_map(table_dir, cur)
+    pcol = _to_physical(cmap, col)
+    sch = table_schema(table_dir, cur)
+    if sch is None:
+        # legacy manifest: one footer read for the physical type
+        sch = spark.read.option("mergeSchema", "true") \
+            .parquet(*all_files[:1]).schema
+    ptype = {f.name: f.dataType for f in sch.fields}.get(pcol)
+    if ptype is None:
+        raise ValueError(f"unknown column {col!r} (physical {pcol!r}) "
+                         f"in {table_dir}")
+    if isinstance(values, DataFrame):
+        src = values.select(F.col(values.columns[0]).alias("__val"))
+        vlist = None
+    else:
+        vlist = [v for v in values if v is not None]
+        if not vlist:
+            return cur, 0
+        src = spark.createDataFrame([(v,) for v in vlist], ["__val"])
+    vdf = (src.select(F.col("__val").cast(ptype).alias("__val"))
+           .where(F.col("__val").isNotNull()).distinct())
+    out = st.canon(st.join(table_dir, "eqdeletes",
+                           f"e{cur + 1:05d}-{uuid.uuid4().hex[:8]}"))
+    # one shard: the key set is broadcast-sized by contract
+    vdf.coalesce(1).write.mode("error").parquet(out)
+    eq_files = sorted(st.canon(p)
+                      for p in st.list_glob(st.join(out, "part-*.parquet")))
+    n_keys = spark.read.parquet(*eq_files).count()
+    if n_keys == 0:
+        for p in eq_files:
+            st.delete(p)
+        return cur, 0
+    applies = list(all_files)
+    if prune and vlist is not None:
+        stats = doc.get("stats", {})
+        applies = [f for f in all_files
+                   if any(_file_matches(stats.get(f), [(pcol, "=", v)])
+                          for v in vlist)]
+        if not applies:
+            for p in eq_files:
+                st.delete(p)
+            return cur, 0
+    entry = {"files": eq_files, "col": pcol,
+             "applies_to": sorted(applies), "rows": int(n_keys)}
+    _commit(table_dir, all_files, cur + 1, stats=doc.get("stats", {}),
+            delete_files=doc.get("delete_files", {}),
+            delete_rows=doc.get("delete_rows", {}),
+            column_map=doc.get("column_map", {}),
+            dropped_cols=doc.get("dropped_cols", []),
+            eq_deletes=table_eq_deletes(table_dir, cur) + [entry])
+    return cur + 1, int(n_keys)
+
+
+def update_where(spark: SparkSession, table_dir: str, condition: str,
+                 set_exprs: dict[str, str],
+                 predicates=None) -> tuple[int, int]:
+    """Merge-on-read UPDATE: rows matching ``condition`` are marked
+    deleted in place (run-length position-delete files — no data file
+    rewritten) and their updated images are APPENDED as new files, all
+    in ONE commit — so readers of the new version see exactly the SQL
+    ``UPDATE ... SET ... WHERE ...`` result and readers of old versions
+    see nothing change.
+
+    ``set_exprs``: ``{logical column: SQL expression}`` — expressions
+    may reference any logical column (the pre-update row values, as in
+    SQL UPDATE).  ``condition``/``predicates`` as in `delete_where`.
+
+    Table CHECK constraints are enforced on the UPDATED rows before any
+    file lands; hidden partitioning lays the new files out under the
+    table's current spec, so partition pruning keeps working.
+
+    Returns ``(version, n_updated)``.  Scale: cost is O(matched rows)
+    read + write, like `delete_where` + a scoped append — a 100-row
+    update on a 100 TB table touches the files holding those rows, not
+    the table."""
+    st = _st(table_dir, spark)
+    cur = latest_version(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir}")
+    doc = _read_manifest_doc(table_dir, cur)
+    all_files = doc["files"]
+    if predicates:
+        scan_files, _ = prune_files(table_dir, cur, predicates)
+    else:
+        scan_files = all_files
+    if not scan_files:
+        return cur, 0
+    dmap, drows = table_delete_map(table_dir, cur)
+    cmap, dropped = table_column_map(table_dir, cur)
+    sch = table_schema(table_dir, cur)
+    live = _scan_live_meta(spark, sorted(scan_files), dmap,
+                           table_eq_deletes(table_dir, cur), sch)
+    bad = {c for c in set_exprs} - set(
+        _apply_column_map(live.drop("__file", "__pos"),
+                          cmap, dropped).columns)
+    if bad:
+        raise ValueError(f"update_where: unknown column(s) {sorted(bad)}")
+    matched = (_apply_column_map(live, cmap, dropped,
+                                 keep=["__file", "__pos"])
+               .filter(F.expr(condition)))
+    # updated images: SET expressions evaluate over the PRE-update row
+    # (standard SQL UPDATE), so assign all at once via select
+    data_cols = [c for c in matched.columns
+                 if c not in ("__file", "__pos")]
+    updated = matched.select(*[
+        F.expr(set_exprs[c]).cast(matched.schema[c].dataType).alias(c)
+        if c in set_exprs else F.col(c) for c in data_cols])
+    checks = table_checks(table_dir)
+    if checks:
+        check_constraints(updated, checks)
+    new_dmap, new_drows, n_updated = _write_dv_state(
+        spark, st, table_dir, cur, matched.select("__file", "__pos"),
+        dmap, drows, all_files)
+    if new_dmap is None:
+        return cur, 0
+    new_version = cur + 1
+    spec = table_partition_spec(table_dir)
+    phys = _logical_to_physical(updated, cmap)
+    new_parts: dict[str, list] | None = None
+    if spec:
+        transforms = [partitioning.parse_spec(s).bind(updated.schema)
+                      for s in spec]
+        new_files, new_parts = _new_data_files_partitioned(
+            phys, table_dir, f"u{new_version:05d}", transforms)
+    else:
+        new_files = _new_data_files(phys, table_dir, f"u{new_version:05d}")
+    stats = {**doc.get("stats", {}),
+             **_stats_for(table_dir, new_files,
+                          [_to_physical(cmap, b)
+                           for b in table_bloom_cols(table_dir)],
+                          spark=spark)}
+    _commit(table_dir, all_files + new_files, new_version, stats=stats,
+            delete_files=new_dmap, delete_rows=new_drows,
+            column_map=cmap, dropped_cols=dropped,
+            partitions=new_parts)
+    return new_version, n_updated
 
 
 def write_snapshot(df: DataFrame, table_dir: str,
@@ -1658,7 +1957,8 @@ def read_version(spark: SparkSession, table_dir: str,
         df = rd.parquet(*files).filter(F.lit(False))
     else:
         dmap, _ = table_delete_map(table_dir, v)
-        df = _read_files(spark, files, dmap, schema=sch)
+        df = _read_files(spark, files, dmap, schema=sch,
+                         eq=table_eq_deletes(table_dir, v))
     # surface the version's LOGICAL schema (renames applied, dropped
     # columns hidden) before residual predicates, which use logical names
     df = _apply_column_map(df, *table_column_map(table_dir, v))
@@ -1782,9 +2082,13 @@ def compact_small_files(spark: SparkSession, table_dir: str,
         return None
     keep = [f for f in files if f not in set(small)]
     # rewrite stays in PHYSICAL schema (the kept files' schema) — the
-    # logical view is purely manifest metadata, carried forward below
+    # logical view is purely manifest metadata, carried forward below.
+    # Equality deletes applying to the small files are MATERIALIZED by
+    # the rewrite (their rows dropped here, the files leaving every
+    # entry's applies_to in the commit); big files keep theirs.
     df = _read_files(spark, small, dmap,
-                     schema=table_schema(table_dir, cur))
+                     schema=table_schema(table_dir, cur),
+                     eq=table_eq_deletes(table_dir, cur))
     n_out = max(1, sum(sizes[f] for f in small) // max(target_bytes, 1))
     new_version = cur + 1
     spec = table_partition_spec(table_dir)
@@ -1874,6 +2178,9 @@ def vacuum(table_dir: str, keep_versions: int = 2,
         ref_deletes.update(
             st.canon(d) for ds in doc.get("delete_files", {}).values()
             for d in ds)
+        ref_deletes.update(
+            st.canon(p) for e in doc.get("eq_deletes", [])
+            for p in e.get("files", []))
     # LIVE BRANCHES pin the parent files they still reference: a branch
     # forked from a version this vacuum retires must keep reading, so
     # every branch manifest's files/deletes count as referenced (unlike
@@ -1887,6 +2194,9 @@ def vacuum(table_dir: str, keep_versions: int = 2,
             ref_deletes.update(
                 st.canon(d) for ds in doc.get("delete_files", {}).values()
                 for d in ds)
+            ref_deletes.update(
+                st.canon(p) for e in doc.get("eq_deletes", [])
+                for p in e.get("files", []))
     deleted = 0
     for v in vs:
         if v not in keep:
@@ -1911,15 +2221,16 @@ def vacuum(table_dir: str, keep_versions: int = 2,
         if st.canon(p) not in referenced:
             st.delete(p)
             deleted += 1
-    # position-delete files are reclaimed on the same rule: referenced
-    # by no retained manifest's delete map ⇒ gone
-    for p in st.list_glob(st.join(table_dir, "deletes", "*",
-                                  "part-*.parquet")) \
-            + st.list_glob(st.join(table_dir, "_branches", "*",
-                                   "deletes", "*", "part-*.parquet")):
-        if st.canon(p) not in ref_deletes:
-            st.delete(p)
-            deleted += 1
+    # position- and equality-delete files are reclaimed on the same
+    # rule: referenced by no retained manifest's delete state ⇒ gone
+    for sub in ("deletes", "eqdeletes"):
+        for p in st.list_glob(st.join(table_dir, sub, "*",
+                                      "part-*.parquet")) \
+                + st.list_glob(st.join(table_dir, "_branches", "*",
+                                       sub, "*", "part-*.parquet")):
+            if st.canon(p) not in ref_deletes:
+                st.delete(p)
+                deleted += 1
     return deleted
 
 
@@ -1957,7 +2268,8 @@ def clone_shallow(src_dir: str, dst_dir: str,
             column_map=doc.get("column_map", {}),
             dropped_cols=doc.get("dropped_cols", []),
             partition_state={k: doc.get(k) for k in ("partition_spec", "partition_specs", "partition_spec_id", "partitions", "partition_spec_ids")},
-            schema=doc.get("schema"))
+            schema=doc.get("schema"),
+            eq_deletes=doc.get("eq_deletes", []))
     return 1
 
 
@@ -2017,11 +2329,12 @@ def merge_into_snapshot(spark: SparkSession, table_dir: str,
         return write_snapshot(merged, table_dir, mode="overwrite")
     untouched = [f for f in files if f not in touched]
     dmap, drows = table_delete_map(table_dir, cur)
-    # touched files are rewritten with their position deletes APPLIED
-    # (materialized) and renames surfaced; untouched files carry both
-    # their delete state and their physical schema forward
+    # touched files are rewritten with their position AND equality
+    # deletes APPLIED (materialized) and renames surfaced; untouched
+    # files carry their delete state and physical schema forward
     old_part = (_apply_column_map(
-        _read_files(spark, sorted(touched), dmap, schema=sch),
+        _read_files(spark, sorted(touched), dmap, schema=sch,
+                    eq=table_eq_deletes(table_dir, cur)),
         cmap, dropped)
         if touched else None)
     merged = (merge_upsert(old_part, updates, key) if old_part is not None
@@ -2210,13 +2523,112 @@ def history(table_dir: str) -> list[dict]:
                 break
             n_rows += st["num_rows"]
         n_deleted = sum(doc.get("delete_rows", {}).values())
+        eq = doc.get("eq_deletes", [])
+        if eq:
+            # equality deletes drop an unknowable-without-scan number
+            # of rows — an exact n_rows would be a lie
+            n_rows = None
         out.append({"version": v, "n_files": len(doc["files"]),
                     "n_rows": n_rows if n_rows is None
                     else n_rows - n_deleted,
                     "n_deleted": n_deleted,
+                    "n_eq_delete_keys": sum(
+                        int(e.get("rows", 0)) for e in eq),
                     "batch_ids": doc.get("batch_ids", []),
                     "is_latest": v == latest_version(table_dir)})
     return out
+
+
+def files_df(spark: SparkSession, table_dir: str,
+             version: int | None = None) -> DataFrame:
+    """Metadata inspection table (the Iceberg ``table.files`` shape):
+    one row per data file in a version's manifest — size, row count,
+    per-column [min,max] bounds (JSON), partition tuple + spec id,
+    merge-on-read state.  Built from the manifest alone (driver-side
+    JSON, bounded by |manifest|); no data I/O — this is how an operator
+    answers 'why is this table slow / skewed / delete-heavy' without
+    scanning it."""
+    from pyspark.sql import types as T
+
+    v = latest_version(table_dir) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir}")
+    doc = _read_manifest_doc(table_dir, v)
+    st = _st(table_dir, spark)
+    stats = doc.get("stats", {})
+    dmap = doc.get("delete_files", {})
+    drows = doc.get("delete_rows", {})
+    eqs = doc.get("eq_deletes", [])
+    parts = doc.get("partitions", {})
+    spec_ids = doc.get("partition_spec_ids", {})
+    rows = []
+    for f in doc["files"]:
+        s = stats.get(f) or {}
+        cols = s.get("columns", {})
+        n_pos = sum(int(drows.get(d, 0)) for d in dmap.get(f, []))
+        rows.append((
+            f, int(st.file_size(f)) if st.exists(f) else None,
+            int(s["num_rows"]) if s.get("num_rows") is not None else None,
+            json.dumps({c: {k: v for k, v in e.items()
+                            if k in ("min", "max", "null_count")}
+                        for c, e in cols.items()}, default=str)
+            if cols else None,
+            sorted(c for c, e in cols.items() if "bloom" in e),
+            json.dumps(parts.get(f), default=str) if f in parts else None,
+            spec_ids.get(f),
+            len(dmap.get(f, [])), n_pos,
+            sum(1 for e in eqs if f in set(e.get("applies_to", ()))),
+        ))
+    schema = T.StructType([
+        T.StructField("file", T.StringType()),
+        T.StructField("size_bytes", T.LongType()),
+        T.StructField("num_rows", T.LongType()),
+        T.StructField("bounds_json", T.StringType()),
+        T.StructField("bloom_cols", T.ArrayType(T.StringType())),
+        T.StructField("partition_json", T.StringType()),
+        T.StructField("partition_spec_id", T.StringType()),
+        T.StructField("n_delete_files", T.IntegerType()),
+        T.StructField("n_deleted_positions", T.LongType()),
+        T.StructField("n_eq_entries", T.IntegerType()),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def snapshots_df(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Metadata inspection table (the Iceberg ``table.snapshots``
+    shape): one row per retained version — commit time, file/row
+    counts, delete state, refs.  Manifest-only, no data I/O."""
+    from pyspark.sql import types as T
+
+    tags = {}
+    for name, v in list_tags(table_dir).items():
+        tags.setdefault(v, []).append(name)
+    rows = []
+    for h in history(table_dir):
+        v = h["version"]
+        doc = _read_manifest_doc(table_dir, v)
+        rows.append((
+            v, doc.get("committed_at"), len(doc["files"]),
+            h["n_rows"], h["n_deleted"], h["n_eq_delete_keys"],
+            len(doc.get("delete_files", {})),
+            len(doc.get("eq_deletes", [])),
+            len(doc.get("batch_ids", [])),
+            sorted(tags.get(v, [])), h["is_latest"],
+        ))
+    schema = T.StructType([
+        T.StructField("version", T.LongType()),
+        T.StructField("committed_at", T.StringType()),
+        T.StructField("n_files", T.LongType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_deleted_positions", T.LongType()),
+        T.StructField("n_eq_delete_keys", T.LongType()),
+        T.StructField("files_with_deletes", T.LongType()),
+        T.StructField("eq_delete_entries", T.LongType()),
+        T.StructField("stream_batches", T.LongType()),
+        T.StructField("tags", T.ArrayType(T.StringType())),
+        T.StructField("is_latest", T.BooleanType()),
+    ])
+    return spark.createDataFrame(rows, schema)
 
 
 def rollback(table_dir: str, to_version: int) -> int:
@@ -2245,7 +2657,11 @@ def rollback(table_dir: str, to_version: int) -> int:
             # the target's schema, when it has one (a widen-only commit
             # after the target is harmless to inherit: widening is
             # monotone, wider reads old files fine)
-            schema=doc.get("schema"))
+            schema=doc.get("schema"),
+            # equality-delete state is restored from the TARGET too —
+            # inheriting the bad latest's entries could delete keys the
+            # target version never deleted
+            eq_deletes=doc.get("eq_deletes", []))
     return new_version
 
 
@@ -2379,7 +2795,8 @@ def create_branch(table_dir: str, name: str,
             partition_state={k: doc.get(k) for k in (
                 "partition_spec", "partition_specs", "partition_spec_id",
                 "partitions", "partition_spec_ids")},
-            schema=doc.get("schema"))
+            schema=doc.get("schema"),
+            eq_deletes=doc.get("eq_deletes", []))
     return bdir
 
 
@@ -2448,7 +2865,8 @@ def fast_forward(table_dir: str, name: str) -> int:
             partition_state={k: doc.get(k) for k in (
                 "partition_spec", "partition_specs", "partition_spec_id",
                 "partitions", "partition_spec_ids")},
-            schema=doc.get("schema"))
+            schema=doc.get("schema"),
+            eq_deletes=doc.get("eq_deletes", []))
     return cur + 1
 
 

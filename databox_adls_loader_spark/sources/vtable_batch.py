@@ -65,6 +65,9 @@ from .vtable_stream import _open_parquet
 class _VPart(InputPartition):
     path: str
     dvs: tuple            # this file's position-delete files
+    # equality-delete entries applying to this file:
+    # ((physical col, (key-value parquet files, ...)), ...)
+    eqs: tuple = ()
 
 
 _OPS = {EqualTo: "=", LessThan: "<", LessThanOrEqual: "<=",
@@ -128,6 +131,7 @@ class VTableBatchReader(DataSourceReader):
         doc = V._read_manifest_doc(self._table_dir, self._version)
         self._files = doc["files"]
         self._dmap = doc.get("delete_files", {})
+        self._eq = doc.get("eq_deletes", [])
         self._cmap = doc.get("column_map", {})
         self._dropped = doc.get("dropped_cols", [])
         self._preds: list[tuple] = []
@@ -157,7 +161,11 @@ class VTableBatchReader(DataSourceReader):
             self._table_dir, self._version).get("stats", {})
         kept = [f for f in self._files
                 if V._file_matches(stats.get(f), self._preds)]
-        return [_VPart(f, tuple(self._dmap.get(f, ()))) for f in kept]
+        return [_VPart(f, tuple(self._dmap.get(f, ())),
+                       tuple((e["col"], tuple(e["files"]))
+                             for e in self._eq
+                             if f in set(e.get("applies_to", ()))))
+                for f in kept]
 
     # -- execution (executor-side) ------------------------------------
     def read(self, partition: _VPart):
@@ -165,6 +173,7 @@ class VTableBatchReader(DataSourceReader):
         import pyarrow as pa
 
         starts, ends = _deleted_ranges(partition, _path_key)
+        eq_sets = _eq_value_sets(partition)
         target = None
         if self._schema is not None:
             from pyspark.sql.pandas.types import to_arrow_schema
@@ -180,6 +189,7 @@ class VTableBatchReader(DataSourceReader):
                 if dead.any():
                     batch = batch.filter(pa.array(~dead))
             offset += n
+            batch = _apply_eq_deletes(batch, eq_sets)
             if target is not None:
                 batch = _conform(batch, target, self._cmap, self._dropped)
             if batch.num_rows:
@@ -192,6 +202,49 @@ def _path_key(u: str) -> str:
     from ..sinks.storage import path_key
 
     return path_key(u)
+
+
+def _eq_value_sets(partition: _VPart) -> list[tuple[str, object]]:
+    """This file's equality-delete key sets as ``(physical col, Arrow
+    value array)`` — loaded once per partition (key files are tombstone
+    batches, tiny by contract)."""
+    import pyarrow as pa
+
+    out = []
+    for col, files in partition.eqs or ():
+        chunks = [_open_parquet(p).read(columns=["__val"]).column("__val")
+                  for p in files]
+        arr = pa.chunked_array([c for ch in chunks for c in ch.chunks]) \
+            if chunks else None
+        if arr is not None and len(arr):
+            out.append((col, arr.combine_chunks()))
+    return out
+
+
+def _apply_eq_deletes(batch, eq_sets):
+    """Drop rows whose key column value is in an equality-delete set.
+    NULL keys never match (`is_in` on null is false), matching the
+    SQL ``DELETE WHERE col IN (...)`` contract and the JVM-side
+    `_eq_anti` join.  A file written before the key column existed has
+    no such column — nothing to delete there."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for col, vals in eq_sets:
+        i = batch.schema.get_field_index(col)
+        if i < 0 or not batch.num_rows:
+            continue
+        arr = batch.column(i)
+        if vals.type != arr.type:
+            try:
+                vals = vals.cast(arr.type)
+            except pa.lib.ArrowInvalid:
+                arr = arr.cast(vals.type)
+        mask = pc.is_in(arr, value_set=vals)
+        if pc.any(mask).as_py():
+            batch = batch.filter(pc.invert(
+                pc.fill_null(mask, False)))
+    return batch
 
 
 def _deleted_ranges(partition: _VPart, canon):

@@ -104,6 +104,28 @@ class VTableStreamReader(DataSourceStreamReader):
                 "append-only contract.  Restart from the current "
                 "version, or .option('ignorechanges','true') to accept "
                 "possible re-delivery of rewritten rows.")
+        # equality deletes are RETROACTIVE row mutations on files this
+        # stream may already have emitted — an append-only tail cannot
+        # represent them, and skipping the commit silently would be the
+        # Delta `ignoreChanges` hazard in its worst form (rows the
+        # downstream consumed are now logically dead upstream).  Same
+        # opt-out as rewrites.
+        from ..sinks.versioned import table_eq_deletes
+        eq0 = {tuple(sorted(e.get("files", [])))
+               for e in (table_eq_deletes(self._table_dir, v0)
+                         if v0 > 0 else [])}
+        eq1 = {tuple(sorted(e.get("files", [])))
+               for e in (table_eq_deletes(self._table_dir, v1)
+                         if v1 > 0 else [])}
+        if (eq1 - eq0) and not self._ignore_changes:
+            raise ValueError(
+                f"vtable_stream: versions {v0}->{v1} of "
+                f"{self._table_dir} added {len(eq1 - eq0)} equality-"
+                "delete commit(s) — retroactive deletes break the "
+                "append-only contract.  Restart from the current "
+                "version, or .option('ignorechanges','true') to keep "
+                "tailing appends only (already-emitted rows are NOT "
+                "retracted).")
         appended = [f for f in new if f not in old]
         # an empty batch still needs zero partitions, not an error
         return [_FileSlice(p) for p in sorted(appended)]
