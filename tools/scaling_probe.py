@@ -57,6 +57,8 @@ HEADLINERS = [
     "scale_token_index_read",    # inverted-file token skip read
     "mv_sql_route_monthly",      # SQL-parsed MV route (MV-sized re-agg)
     "scale_hidden_partition_read",  # transform-pruned partitioned read
+    "scale_eq_delete_read",      # equality-delete read (value anti join)
+    "scale_update_mor_read",     # MOR UPDATE read (DV + update append)
 ]
 
 TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
@@ -82,6 +84,8 @@ TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
     "scale_token_index_read": "documents",
     "mv_sql_route_monthly": "orders",
     "scale_hidden_partition_read": "orders",
+    "scale_eq_delete_read": "orders",
+    "scale_update_mor_read": "orders",
 }
 
 # the heavy shapes probed one decade PAST the bench SF, on the locally
@@ -108,6 +112,12 @@ SF1_QUERIES = [
     # read over orders — partition count is calendar-bounded, so file
     # sizes, not file counts, grow with SF
     "scale_hidden_partition_read",
+    # row-mutation MOR overlays (round-7): the equality-delete value
+    # anti join and the UPDATE's DV+append read, both over orders —
+    # delete/update state is FIXED-size (100/500 keys), so rows/s must
+    # converge to the plain-read slope as SF grows
+    "scale_eq_delete_read",
+    "scale_update_mor_read",
 ]
 
 
