@@ -2426,3 +2426,206 @@ def ts_dow_seasonality_index(spark: SparkSession,
                     (F.col("n") * 7000000 / F.col("total")).cast("long")
                     .alias("season_index_ppm"))
             .orderBy("event_type", "dow"))
+
+
+# ---------------------------------------------------------------------------
+# analytics batch 4: peak detection, lexical diversity, revenue
+# concentration, session-duration distribution
+# ---------------------------------------------------------------------------
+
+@register(
+    "ts_hourly_peak_by_type",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT event_type, hr, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, hr) AS rk
+      FROM h
+    )
+    SELECT event_type, hr, n, rk = 1 AS is_peak
+    FROM r WHERE rk <= 3 ORDER BY event_type, rk
+    """,
+    tags=["timeseries", "peak", "argmax"],
+)
+def ts_hourly_peak_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-load detection: top-3 hours of day per event type with the
+    argmax flagged — the ops-dashboard shape.  The rank window runs
+    over the AGGREGATED frame (|types|×24 rows), never the raw events,
+    so the only event-sized work is one group-by; ties break on the
+    hour for a deterministic rank."""
+    from pyspark.sql.window import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    h = (ev.select("event_type",
+                   F.hour("ts").cast("long").alias("hr"))
+         .groupBy("event_type", "hr")
+         .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("hr"))
+    return (h.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("event_type", "hr", "n",
+                    (F.col("rk") == 1).alias("is_peak"), "rk")
+            .orderBy("event_type", "rk")
+            .drop("rk"))
+
+
+@register(
+    "text_type_token_ratio_by_lang",
+    oracle=r"""
+    WITH toks AS (
+      SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_tokens,
+           COUNT(DISTINCT t) AS n_types,
+           CAST(COUNT(DISTINCT t) * 1000000 // COUNT(*) AS BIGINT)
+             AS ttr_ppm
+    FROM toks GROUP BY lang ORDER BY lang
+    """,
+    tags=["text", "lexical-diversity"],
+)
+def text_type_token_ratio_by_lang(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Type-token ratio (lexical diversity) per language — the corpus-
+    quality signal that separates templated/boilerplate text (low TTR)
+    from natural prose.  One explode + per-lang count-distinct; exact
+    integer ppm.  At 100 TB the distinct shuffles on (lang, token) with
+    map-side partial aggregation collapsing repeats first."""
+    from ..operators.text import tokens
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(tokens("text")).alias("t"))
+    return (toks.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.countDistinct("t").alias("n_types"))
+            .select("lang", "n_tokens", "n_types",
+                    (F.col("n_types") * 1000000 / F.col("n_tokens"))
+                    .cast("long").alias("ttr_ppm"))
+            .orderBy("lang"))
+
+
+@register(
+    "cust_revenue_concentration_8020",
+    oracle="""
+    WITH spend AS (
+      SELECT c_mktsegment AS seg, o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT seg, rev,
+             SUM(rev) OVER (PARTITION BY seg
+                            ORDER BY rev DESC, o_custkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+             SUM(rev) OVER (PARTITION BY seg) AS total,
+             COUNT(*) OVER (PARTITION BY seg) AS n_cust
+      FROM spend
+    )
+    SELECT seg, n_cust,
+           COUNT(*) FILTER (WHERE cum * 5 < total * 4) + 1
+             AS n_for_80pct,
+           CAST((COUNT(*) FILTER (WHERE cum * 5 < total * 4) + 1)
+                * 1000000 // n_cust AS BIGINT) AS share_ppm
+    FROM ranked GROUP BY seg, n_cust ORDER BY seg
+    """,
+    tags=["commerce", "concentration", "pareto"],
+)
+def cust_revenue_concentration_8020(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Revenue concentration (the 80/20 question): per market segment,
+    the smallest number of top customers whose cumulative spend reaches
+    80% of the segment's revenue, and that count as a ppm share of the
+    segment.  The comparison is integer-exact (cum×5 < total×4 avoids
+    the 0.8 float entirely — DECIMAL both sides).  Windows run over the
+    CUSTOMER-sized spend frame, partitioned by segment; the event-sized
+    work is one join + group-by.  Deterministic tie-break on custkey."""
+    from pyspark.sql.window import Window
+
+    orders, cust = _t(spark, sf_dir, "orders", "customer")
+    spend = (orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+             .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .alias("rev")))
+    wcum = (Window.partitionBy("seg")
+            .orderBy(F.desc("rev"), F.asc("o_custkey"))
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wseg = Window.partitionBy("seg")
+    ranked = (spend
+              .withColumn("cum", F.sum("rev").over(wcum))
+              .withColumn("total", F.sum("rev").over(wseg))
+              .withColumn("n_cust", F.count(F.lit(1)).over(wseg)))
+    return (ranked.groupBy("seg", "n_cust")
+            .agg((F.count_if(F.col("cum") * 5 < F.col("total") * 4)
+                  + 1).alias("n_for_80pct"))
+            .select("seg", "n_cust", "n_for_80pct",
+                    (F.col("n_for_80pct") * 1000000 / F.col("n_cust"))
+                    .cast("long").alias("share_ppm"))
+            .orderBy("seg"))
+
+
+@register(
+    "sess15_duration_histogram",
+    oracle="""
+    WITH marks AS (
+      SELECT user_id, ts,
+             CASE WHEN date_diff('second',
+                    lag(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id),
+                    ts) > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS sid
+      FROM marks
+    ), durs AS (
+      SELECT user_id, sid,
+             date_diff('second', MIN(ts), MAX(ts)) AS dur_s
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT CAST(dur_s // 600 AS BIGINT) AS bucket_10min,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(dur_s) AS BIGINT) AS total_seconds
+    FROM durs GROUP BY 1 ORDER BY 1
+    """,
+    tags=["sessions", "histogram"],
+)
+def sess15_duration_histogram(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Session-duration distribution: 30-minute-gap sessionization,
+    then a 10-minute-bucket histogram of session lengths — the
+    engagement-shape report.  Gap marks and session ids are per-user
+    windows (fleet-parallel); durations aggregate per (user, session);
+    the histogram is bucket-sized.  Tie-break on event_id makes the
+    lag deterministic under equal timestamps."""
+    from pyspark.sql.window import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marks = ev.select(
+        "user_id", "ts",
+        F.when(F.lag("ts").over(w).isNull()
+               | (F.unix_timestamp("ts")
+                  - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
+               F.lit(1)).otherwise(F.lit(0)).alias("new_s"))
+    wcum = (Window.partitionBy("user_id").orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    sess = marks.withColumn("sid", F.sum("new_s").over(wcum))
+    durs = (sess.groupBy("user_id", "sid")
+            .agg((F.unix_timestamp(F.max("ts"))
+                  - F.unix_timestamp(F.min("ts"))).alias("dur_s")))
+    return (durs.select((F.col("dur_s") / 600).cast("long")
+                        .alias("bucket_10min"), "dur_s")
+            .groupBy("bucket_10min")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum("dur_s").cast("long").alias("total_seconds"))
+            .orderBy("bucket_10min"))
