@@ -2629,3 +2629,103 @@ def sess15_duration_histogram(spark: SparkSession,
             .agg(F.count(F.lit(1)).alias("n_sessions"),
                  F.sum("dur_s").cast("long").alias("total_seconds"))
             .orderBy("bucket_10min"))
+
+
+# ---------------------------------------------------------------------------
+# CDC apply: upserts + equality tombstones under the hash gate
+# ---------------------------------------------------------------------------
+
+_CDC_ORDERS: dict = {}
+
+
+def _drop_cdc_orders(keys=None) -> None:
+    import shutil
+
+    for k in list(_CDC_ORDERS) if keys is None else list(keys):
+        shutil.rmtree(_CDC_ORDERS.pop(k), ignore_errors=True)
+
+
+def _cdc_orders(spark: SparkSession, sf_dir: str) -> tuple[str, bool]:
+    """Once per (session, sf_dir): versioned `orders`, then ONE CDC
+    batch through `sinks/cdc.apply_cdc_batch`: delete every key ≡0
+    (mod 97), update every key ≡0 (mod 89, not mod 97) to status 'U'
+    with a 5.00 price bump.  cdc_ok asserts the delete landed as an
+    equality tombstone (an `eq_deletes` manifest entry exists) and the
+    reported per-phase counts match the key arithmetic."""
+    import atexit
+    import tempfile
+
+    from ..sinks import cdc as C
+    from ..sinks import versioned as V
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _CDC_ORDERS.get(key)
+    if got is None:
+        _drop_cdc_orders([k for k in _CDC_ORDERS if k[0] != key[0]])
+        if not _CDC_ORDERS:
+            atexit.register(_drop_cdc_orders)
+        t = tempfile.mkdtemp(prefix="spark_graft_cdcorders_")
+        (orders,) = _t(spark, sf_dir, "orders")
+        V.write_snapshot(orders, t)
+        V.compact_snapshot(spark, t, n_files=8, cluster_by=["o_orderkey"])
+        k_col = F.col("o_orderkey")
+        dels = (orders.filter(k_col % 97 == 0)
+                .select(*orders.columns)
+                .withColumn("op", F.lit("d"))
+                .withColumn("seq", F.lit(1)))
+        ups = (orders.filter((k_col % 89 == 0) & (k_col % 97 != 0))
+               .withColumn("o_orderstatus", F.lit("U"))
+               .withColumn("o_totalprice", F.col("o_totalprice") + 5.0)
+               .withColumn("op", F.lit("u"))
+               .withColumn("seq", F.lit(1)))
+        n_del = dels.count()
+        n_up = ups.count()
+        out = C.apply_cdc_batch(dels.unionByName(ups), t,
+                                key="o_orderkey", seq_col="seq",
+                                batch_id=0)
+        cdc_ok = (out["n_deletes"] == n_del
+                  and out["n_upserts"] == n_up
+                  and any(V.table_eq_deletes(t, v)
+                          for v in V.versions(t)))
+        got = (t, cdc_ok)
+        _CDC_ORDERS[key] = got
+    return got
+
+
+@register(
+    "scale_cdc_apply_read",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 89 = 0 AND o_orderkey % 97 <> 0
+                THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(CASE WHEN o_orderkey % 89 = 0
+                                   AND o_orderkey % 97 <> 0
+                              THEN o_totalprice + 5.0
+                              ELSE o_totalprice END
+                         AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+           TRUE AS cdc_ok
+    FROM orders
+    WHERE o_orderkey % 97 <> 0
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=["scale", "versioned", "cdc", "equality-deletes"],
+)
+def scale_cdc_apply_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A CDC batch applied end to end (`sinks/cdc.apply_cdc_batch` —
+    deletes as equality tombstones at O(keys) commit cost, upserts as a
+    scoped MERGE, exactly-once phase ledger) and then READ: the result
+    must hash-match plain SQL computing the same delete + update over
+    raw orders.  This is the streaming-CDC landing path a 100 TB table
+    needs — a tombstone batch costs metadata, the merge rewrites only
+    key-matched files, and a foreachBatch crash-replay re-runs only the
+    uncommitted phase."""
+    from ..sinks import versioned as V
+
+    t, cdc_ok = _cdc_orders(spark, sf_dir)
+    df = V.read_version(spark, t)
+    return (df.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("rev"))
+            .withColumn("cdc_ok", F.lit(bool(cdc_ok)))
+            .orderBy("o_orderstatus"))

@@ -1570,7 +1570,9 @@ def delete_where(spark: SparkSession, table_dir: str, condition: str,
 
 
 def delete_where_keys(spark: SparkSession, table_dir: str, col: str,
-                      values, prune: bool = True) -> tuple[int, int]:
+                      values, prune: bool = True,
+                      batch_ids: set[int] | None = None
+                      ) -> tuple[int, int]:
     """EQUALITY DELETE: delete every row whose ``col`` (a LOGICAL column
     name) equals one of ``values`` — committed at **O(|keys|) cost with
     NO data-file scan** (the Iceberg v2 equality-delete shape; cf.
@@ -1656,7 +1658,8 @@ def delete_where_keys(spark: SparkSession, table_dir: str, col: str,
             delete_rows=doc.get("delete_rows", {}),
             column_map=doc.get("column_map", {}),
             dropped_cols=doc.get("dropped_cols", []),
-            eq_deletes=table_eq_deletes(table_dir, cur) + [entry])
+            eq_deletes=table_eq_deletes(table_dir, cur) + [entry],
+            batch_ids=batch_ids)
     return cur + 1, int(n_keys)
 
 
@@ -1748,7 +1751,8 @@ def update_where(spark: SparkSession, table_dir: str, condition: str,
 def write_snapshot(df: DataFrame, table_dir: str,
                    mode: str = "append", bloom_cols=None,
                    checks: list[str] | None = None,
-                   partition_by: list[str] | None = None) -> int:
+                   partition_by: list[str] | None = None,
+                   batch_ids: set[int] | None = None) -> int:
     """Commit ``df`` as a new snapshot; returns the new version number.
 
     ``append`` keeps the previous version's files in the new manifest;
@@ -1822,7 +1826,7 @@ def write_snapshot(df: DataFrame, table_dir: str,
         spark=df.sparkSession)
     return commit_data_files(
         table_dir, new_files, mode, new_stats,
-        bloom_cols=bloom_cols, checks=checks,
+        bloom_cols=bloom_cols, checks=checks, batch_ids=batch_ids,
         partition_spec=spec if partition_by is not None
         or mode == "overwrite" else None,
         new_partitions=new_parts,
@@ -2275,7 +2279,8 @@ def clone_shallow(src_dir: str, dst_dir: str,
 
 def merge_into_snapshot(spark: SparkSession, table_dir: str,
                         updates: DataFrame, key: str,
-                        scoped: bool = True) -> int:
+                        scoped: bool = True,
+                        batch_ids: set[int] | None = None) -> int:
     """MERGE INTO for the versioned table: collapse the latest snapshot
     with ``updates`` (updates win on key collision, unmatched rows from
     both sides survive) and commit the result as a new snapshot.
@@ -2298,7 +2303,8 @@ def merge_into_snapshot(spark: SparkSession, table_dir: str,
     cur = latest_version(table_dir)
     if cur is None or not scoped:
         merged = merge_upsert(read_version(spark, table_dir), updates, key)
-        return write_snapshot(merged, table_dir, mode="overwrite")
+        return write_snapshot(merged, table_dir, mode="overwrite",
+                              batch_ids=batch_ids)
     files = _read_manifest(table_dir, cur)
     cmap, dropped = table_column_map(table_dir, cur)
     # probe the RAW manifest files (not read_version: its delete-vector
@@ -2326,7 +2332,8 @@ def merge_into_snapshot(spark: SparkSession, table_dir: str,
         # rewrite (touched ⊆ mapped probe paths, so equality holds iff
         # every probed file mapped).
         merged = merge_upsert(read_version(spark, table_dir), updates, key)
-        return write_snapshot(merged, table_dir, mode="overwrite")
+        return write_snapshot(merged, table_dir, mode="overwrite",
+                              batch_ids=batch_ids)
     untouched = [f for f in files if f not in touched]
     dmap, drows = table_delete_map(table_dir, cur)
     # touched files are rewritten with their position AND equality
@@ -2357,7 +2364,7 @@ def merge_into_snapshot(spark: SparkSession, table_dir: str,
     _commit(table_dir, untouched + new_files, new_version, stats=stats,
             delete_files={f: ds for f, ds in dmap.items() if f in
                           set(untouched)},
-            delete_rows=drows,
+            delete_rows=drows, batch_ids=batch_ids,
             column_map=cmap, dropped_cols=dropped,
             # same append contract as write_snapshot: a merge batch
             # narrower than the stored schema up-casts at read, a wider
