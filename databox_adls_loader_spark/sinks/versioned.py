@@ -933,6 +933,48 @@ def table_eq_deletes(table_dir: str, version: int | None = None
     return _read_manifest_doc(table_dir, v).get("eq_deletes", [])
 
 
+def table_row_state(table_dir: str, version: int | None = None) -> dict:
+    """Row-lineage state recorded by a version's manifest: the opt-in
+    flag, per-file ``first_row_id`` map, the files carrying a
+    materialized ``_row_id`` column, and the next unassigned id."""
+    v = latest_version(table_dir) if version is None else version
+    doc = {} if v is None else _read_manifest_doc(table_dir, v)
+    return {"row_lineage": doc.get("row_lineage", False),
+            "row_ids": doc.get("row_ids", {}),
+            "materialized_row_ids": doc.get("materialized_row_ids", []),
+            "next_row_id": doc.get("next_row_id", 0)}
+
+
+def enable_row_lineage(table_dir: str) -> int:
+    """Opt the table into ROW LINEAGE (the Iceberg v3 row-id idea):
+    from this commit on, every data file gets a stable ``first_row_id``
+    and `read_version_with_row_ids` exposes ``_row_id`` =
+    first_row_id + position — a durable row identity that survives
+    DELETE/UPDATE (position deletes never move surviving rows) and
+    rewrites (compaction materializes ids into a hidden physical
+    column).  Downstream incremental consumers (feature stores, CDF
+    joins) key on it instead of fragile natural keys.
+
+    Metadata-only commit: existing files are assigned id ranges from
+    their footer row counts; no data file is touched."""
+    cur = latest_version(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir}")
+    st_doc = _read_manifest_doc(table_dir, cur)
+    if st_doc.get("row_lineage"):
+        return cur
+    _commit(table_dir, st_doc["files"], cur + 1,
+            stats=st_doc.get("stats", {}),
+            delete_files=st_doc.get("delete_files", {}),
+            delete_rows=st_doc.get("delete_rows", {}),
+            column_map=st_doc.get("column_map", {}),
+            dropped_cols=st_doc.get("dropped_cols", []),
+            eq_deletes=st_doc.get("eq_deletes", []),
+            row_state={"row_lineage": True, "row_ids": {},
+                       "materialized_row_ids": [], "next_row_id": 0})
+    return cur + 1
+
+
 def _commit(table_dir: str, files: list[str], version: int,
             batch_ids: set[int] | None = None,
             stats: dict[str, dict] | None = None,
@@ -946,7 +988,8 @@ def _commit(table_dir: str, files: list[str], version: int,
             partitions: dict[str, list] | None = None,
             partition_state: dict | None = None,
             schema: dict | None = None,
-            eq_deletes: list[dict] | None = None) -> None:
+            eq_deletes: list[dict] | None = None,
+            row_state: dict | None = None) -> None:
     """Write manifest v<version> then atomically swap the pointer.
 
     The streaming batch-id ledger is carried forward into EVERY manifest
@@ -983,6 +1026,49 @@ def _commit(table_dir: str, files: list[str], version: int,
             refd = {d for ds in dmap.values() for d in ds}
             doc["delete_rows"] = {d: int((delete_rows or {}).get(d, 0))
                                   for d in sorted(refd)}
+    # ROW LINEAGE (opt-in via `enable_row_lineage`): when the previous
+    # manifest carries the flag, every file this manifest references
+    # gets a stable first_row_id — carried files keep theirs, NEW files
+    # are assigned contiguous ranges from `next_row_id` using their
+    # footer-stats row counts (stats exist for every write path).  A
+    # row's id is first_row_id + its position; position deletes never
+    # move surviving rows, so ids are stable across DELETE/UPDATE
+    # commits, and rewrites (compaction/merge) MATERIALIZE ids into a
+    # hidden physical `_row_id` column (`materialized_row_ids` lists
+    # those files).  `next_row_id` is monotone — restoration paths pass
+    # row_state explicitly and keep the max, so ids are never reused.
+    if row_state is None:
+        cur_rl = latest_version(table_dir)
+        prev_rl = ({} if cur_rl is None else
+                   _read_manifest_doc(table_dir, cur_rl))
+        row_state = {
+            "row_lineage": prev_rl.get("row_lineage", False),
+            "row_ids": prev_rl.get("row_ids", {}),
+            "materialized_row_ids":
+                prev_rl.get("materialized_row_ids", []),
+            "next_row_id": prev_rl.get("next_row_id", 0),
+        }
+    if row_state.get("row_lineage"):
+        fset_rl = set(files)
+        ids = {f: v for f, v in row_state.get("row_ids", {}).items()
+               if f in fset_rl}
+        mat = [f for f in row_state.get("materialized_row_ids", [])
+               if f in fset_rl]
+        nxt = int(row_state.get("next_row_id", 0))
+        stats_rl = stats or {}
+        for f in sorted(fset_rl - set(ids) - set(mat)):
+            n = (stats_rl.get(f) or {}).get("num_rows")
+            if n is None:
+                raise ValueError(
+                    f"row lineage: new file {f} has no footer row "
+                    f"count in stats; cannot assign first_row_id")
+            ids[f] = nxt
+            nxt += int(n)
+        doc["row_lineage"] = True
+        doc["row_ids"] = {f: ids[f] for f in sorted(ids)}
+        if mat:
+            doc["materialized_row_ids"] = sorted(mat)
+        doc["next_row_id"] = nxt
     # equality deletes: None = INHERIT the previous manifest's entries
     # (append/metadata commits carry them with no caller changes);
     # explicit list = use as given (rollback/clone/branch restoration).
@@ -1897,6 +1983,78 @@ def commit_data_files(table_dir: str, new_files: list[str], mode: str,
             continue
 
 
+def _with_row_ids(spark: SparkSession, df: DataFrame, state: dict,
+                  st) -> DataFrame:
+    """Attach ``_row_id`` to a `_scan_live_meta` frame: materialized
+    files read their physical ``_row_id`` column; mapped files compute
+    first_row_id + position via a broadcast (file-spelling → first)
+    join — manifest paths are emitted under every spelling
+    `_metadata.file_path` can print (bare, ``file:`` URI), so no
+    executor-side canonicalization is needed."""
+    from .storage import path_key
+
+    has_col = "_row_id" in df.columns
+    rows = []
+    for f, first in state.get("row_ids", {}).items():
+        c = st.canon(f)
+        spellings = {c, st.uri_canon(c)}
+        k = path_key(c)
+        if k.startswith("/"):
+            spellings |= {k, "file:" + k, "file://" + k}
+        for sp in spellings:
+            rows.append((sp, int(first)))
+    if rows:
+        m = (spark.createDataFrame(rows, "___fp: string, __first: long")
+             .distinct())
+        df = (df.join(F.broadcast(m), df["__file"] == m["___fp"], "left")
+              .drop("___fp"))
+    else:
+        df = df.withColumn("__first", F.lit(None).cast("long"))
+    rid = F.coalesce(
+        *( [F.col("_row_id").cast("long")] if has_col else [] ),
+        F.col("__first") + F.col("__pos"))
+    out = df.withColumn("_row_id", rid).drop("__first")
+    return out
+
+
+def read_version_with_row_ids(spark: SparkSession, table_dir: str,
+                              version: int | None = None) -> DataFrame:
+    """The version's LOGICAL view plus ``_row_id`` — the stable row
+    identity `enable_row_lineage` opts into.  Ids survive
+    DELETE/UPDATE commits (position deletes never move surviving rows)
+    and compaction (which materializes them); an appended row keeps its
+    id for the life of the table.  Incremental consumers join on it
+    instead of natural keys.
+
+    Scale: one broadcast map join (≤ |manifest| × spellings rows) over
+    the same merge-on-read scan `read_version` plans — no extra data
+    shuffle."""
+    v = latest_version(table_dir) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir}")
+    state = table_row_state(table_dir, v)
+    if not state["row_lineage"]:
+        raise ValueError(
+            f"{table_dir} does not track row lineage; call "
+            f"enable_row_lineage() first")
+    files = _read_manifest(table_dir, v)
+    missing = set(files) - set(state["row_ids"]) \
+        - set(state["materialized_row_ids"])
+    if missing:
+        raise RuntimeError(
+            f"row lineage: {len(missing)} manifest file(s) carry no "
+            f"row-id state in v{v} of {table_dir}")
+    st = _st(table_dir, spark)
+    dmap, _ = table_delete_map(table_dir, v)
+    live = _scan_live_meta(spark, files, dmap,
+                           table_eq_deletes(table_dir, v),
+                           table_schema(table_dir, v))
+    live = _with_row_ids(spark, live, state, st)
+    out = _apply_column_map(live, *table_column_map(table_dir, v),
+                            keep=["_row_id"])
+    return out.drop("__file", "__pos")
+
+
 def read_version(spark: SparkSession, table_dir: str,
                  version: int | None = None,
                  predicates=None, as_of=None,
@@ -1994,12 +2152,27 @@ def compact_snapshot(spark: SparkSession, table_dir: str,
     cur = latest_version(table_dir)
     if cur is None:
         raise FileNotFoundError(f"no snapshots in {table_dir}")
-    df = read_version(spark, table_dir, cur)
+    rl = table_row_state(table_dir, cur)
+    if rl["row_lineage"]:
+        # the rewrite must PRESERVE row ids: read them and land them as
+        # a physical `_row_id` column (hidden from the logical view via
+        # dropped_cols), so identity survives the file shuffle
+        df = read_version_with_row_ids(spark, table_dir, cur)
+    else:
+        df = read_version(spark, table_dir, cur)
     # compaction MATERIALIZES renames/drops/widenings: files land with
     # logical names and the widened types, so the committed schema is
     # the rewrite's own (inheriting the old physical one would name
     # pre-rename columns the new files do not have)
     mat_schema = _nullable(df.schema).jsonValue()
+
+    def _rl_commit_kw(new_files: list[str]) -> dict:
+        if not rl["row_lineage"]:
+            return {}
+        return {"dropped_cols": ["_row_id"],
+                "row_state": {"row_lineage": True, "row_ids": {},
+                              "materialized_row_ids": new_files,
+                              "next_row_id": rl["next_row_id"]}}
     if bloom_cols is None:
         bloom_cols = table_bloom_cols(table_dir)
     new_version = cur + 1
@@ -2032,7 +2205,7 @@ def compact_snapshot(spark: SparkSession, table_dir: str,
                 stats=_stats_for(table_dir, files, bloom_cols,
                                  spark=spark),
                 bloom_cols=bloom_cols, partitions=parts,
-                schema=mat_schema)
+                schema=mat_schema, **_rl_commit_kw(files))
         return new_version
     if zorder_by is not None:
         from ..operators.scale import zorder_key2
@@ -2051,7 +2224,8 @@ def compact_snapshot(spark: SparkSession, table_dir: str,
     files = _new_data_files(df, table_dir, f"b{new_version:05d}")
     _commit(table_dir, files, new_version,
             stats=_stats_for(table_dir, files, bloom_cols, spark=spark),
-            bloom_cols=bloom_cols, schema=mat_schema)
+            bloom_cols=bloom_cols, schema=mat_schema,
+            **_rl_commit_kw(files))
     return new_version
 
 
@@ -2090,9 +2264,20 @@ def compact_small_files(spark: SparkSession, table_dir: str,
     # Equality deletes applying to the small files are MATERIALIZED by
     # the rewrite (their rows dropped here, the files leaving every
     # entry's applies_to in the commit); big files keep theirs.
-    df = _read_files(spark, small, dmap,
-                     schema=table_schema(table_dir, cur),
-                     eq=table_eq_deletes(table_dir, cur))
+    rl = table_row_state(table_dir, cur)
+    if rl["row_lineage"]:
+        # preserve row identity through the partial rewrite: compute
+        # each small file's ids and land them as the physical _row_id
+        # column; kept files keep their map entries untouched
+        live = _scan_live_meta(spark, small, dmap,
+                               table_eq_deletes(table_dir, cur),
+                               table_schema(table_dir, cur))
+        df = _with_row_ids(spark, live, rl, st) \
+            .drop("__file", "__pos")
+    else:
+        df = _read_files(spark, small, dmap,
+                         schema=table_schema(table_dir, cur),
+                         eq=table_eq_deletes(table_dir, cur))
     n_out = max(1, sum(sizes[f] for f in small) // max(target_bytes, 1))
     new_version = cur + 1
     spec = table_partition_spec(table_dir)
@@ -2115,12 +2300,37 @@ def compact_small_files(spark: SparkSession, table_dir: str,
                           [_to_physical(cmap, b)
                            for b in table_bloom_cols(table_dir)],
                           spark=spark)}
+    rl_kw: dict = {}
+    if rl["row_lineage"]:
+        keep_set = set(keep)
+        rl_kw["row_state"] = {
+            "row_lineage": True,
+            "row_ids": {f: i for f, i in rl["row_ids"].items()
+                        if f in keep_set},
+            "materialized_row_ids":
+                [f for f in rl["materialized_row_ids"]
+                 if f in keep_set] + new_files,
+            "next_row_id": rl["next_row_id"]}
+        if "_row_id" not in dropped:
+            dropped = list(dropped) + ["_row_id"]
+        # the materialized _row_id column must enter the stored
+        # PHYSICAL schema or later schema-declared scans would never
+        # surface it (it stays logically hidden via dropped_cols)
+        from pyspark.sql import types as T
+
+        sch0 = table_schema(table_dir, cur)
+        if sch0 is not None and "_row_id" not in \
+                {f.name for f in sch0.fields}:
+            rl_kw["schema"] = T.StructType(
+                list(sch0.fields)
+                + [T.StructField("_row_id", T.LongType(), True)]
+            ).jsonValue()
     _commit(table_dir, keep + new_files, new_version, stats=stats,
             delete_files={f: ds for f, ds in dmap.items()
                           if f in set(keep)},
             delete_rows=drows,
             column_map=cmap, dropped_cols=dropped,
-            partitions=new_parts)
+            partitions=new_parts, **rl_kw)
     return new_version
 
 
@@ -2273,7 +2483,13 @@ def clone_shallow(src_dir: str, dst_dir: str,
             dropped_cols=doc.get("dropped_cols", []),
             partition_state={k: doc.get(k) for k in ("partition_spec", "partition_specs", "partition_spec_id", "partitions", "partition_spec_ids")},
             schema=doc.get("schema"),
-            eq_deletes=doc.get("eq_deletes", []))
+            eq_deletes=doc.get("eq_deletes", []),
+            row_state={
+                "row_lineage": doc.get("row_lineage", False),
+                "row_ids": doc.get("row_ids", {}),
+                "materialized_row_ids":
+                    doc.get("materialized_row_ids", []),
+                "next_row_id": doc.get("next_row_id", 0)})
     return 1
 
 
@@ -2668,7 +2884,19 @@ def rollback(table_dir: str, to_version: int) -> int:
             # equality-delete state is restored from the TARGET too —
             # inheriting the bad latest's entries could delete keys the
             # target version never deleted
-            eq_deletes=doc.get("eq_deletes", []))
+            eq_deletes=doc.get("eq_deletes", []),
+            # row lineage: the target's ids, but next_row_id stays
+            # MONOTONE over the whole history — ids of rolled-back rows
+            # are never reused by later appends
+            row_state={
+                "row_lineage": doc.get("row_lineage", False),
+                "row_ids": doc.get("row_ids", {}),
+                "materialized_row_ids":
+                    doc.get("materialized_row_ids", []),
+                "next_row_id": max(
+                    doc.get("next_row_id", 0),
+                    table_row_state(table_dir, cur)["next_row_id"]
+                    if cur is not None else 0)})
     return new_version
 
 
@@ -2803,7 +3031,13 @@ def create_branch(table_dir: str, name: str,
                 "partition_spec", "partition_specs", "partition_spec_id",
                 "partitions", "partition_spec_ids")},
             schema=doc.get("schema"),
-            eq_deletes=doc.get("eq_deletes", []))
+            eq_deletes=doc.get("eq_deletes", []),
+            row_state={
+                "row_lineage": doc.get("row_lineage", False),
+                "row_ids": doc.get("row_ids", {}),
+                "materialized_row_ids":
+                    doc.get("materialized_row_ids", []),
+                "next_row_id": doc.get("next_row_id", 0)})
     return bdir
 
 
@@ -2873,7 +3107,13 @@ def fast_forward(table_dir: str, name: str) -> int:
                 "partition_spec", "partition_specs", "partition_spec_id",
                 "partitions", "partition_spec_ids")},
             schema=doc.get("schema"),
-            eq_deletes=doc.get("eq_deletes", []))
+            eq_deletes=doc.get("eq_deletes", []),
+            row_state={
+                "row_lineage": doc.get("row_lineage", False),
+                "row_ids": doc.get("row_ids", {}),
+                "materialized_row_ids":
+                    doc.get("materialized_row_ids", []),
+                "next_row_id": doc.get("next_row_id", 0)})
     return cur + 1
 
 
