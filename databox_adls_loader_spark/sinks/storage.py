@@ -73,7 +73,12 @@ class LocalStorage:
         return os.path.basename(path.rstrip("/"))
 
     def canon(self, path: str) -> str:
-        return os.path.abspath(path)
+        # A bare-path table can inherit `file:`-URI manifest keys (e.g.
+        # a shallow clone FROM a file:// table) — collapse the scheme
+        # before abspath, or the URI gets cwd-joined into garbage and
+        # every set-membership against it silently misses (the round-7
+        # row-lineage NULL bug).
+        return self.uri_canon(path)
 
     def uri_canon(self, uri: str) -> str:
         """`input_file_name()` URI → the same canonical form `canon`

@@ -1996,11 +1996,16 @@ def _with_row_ids(spark: SparkSession, df: DataFrame, state: dict,
     has_col = "_row_id" in df.columns
     rows = []
     for f, first in state.get("row_ids", {}).items():
-        c = st.canon(f)
-        spellings = {c, st.uri_canon(c)}
-        k = path_key(c)
+        # path_key is scheme-aware: it collapses any file:-URI spelling
+        # (manifest keys inherited from a differently-spelled source
+        # table, e.g. via clone_shallow) to the bare abspath, while
+        # remote-scheme keys stay canonical URIs.  Emit every spelling
+        # `_metadata.file_path` can print for that key so the join is
+        # exact with no executor-side canonicalization.
+        k = path_key(f)
+        spellings = {f, k, st.canon(f)}
         if k.startswith("/"):
-            spellings |= {k, "file:" + k, "file://" + k}
+            spellings |= {"file:" + k, "file://" + k}
         for sp in spellings:
             rows.append((sp, int(first)))
     if rows:
@@ -2013,6 +2018,15 @@ def _with_row_ids(spark: SparkSession, df: DataFrame, state: dict,
     rid = F.coalesce(
         *( [F.col("_row_id").cast("long")] if has_col else [] ),
         F.col("__first") + F.col("__pos"))
+    if rows or has_col:
+        # a live row with no id is a mapping failure (a spelling the
+        # manifest never produced) — surface it as an error, never as a
+        # silent NULL an incremental consumer would corrupt state on
+        rid = F.when(
+            rid.isNull(),
+            F.raise_error(F.concat(
+                F.lit("row lineage: no _row_id mapping matched file "),
+                F.col("__file")))).otherwise(rid)
     out = df.withColumn("_row_id", rid).drop("__first")
     return out
 
@@ -2038,8 +2052,13 @@ def read_version_with_row_ids(spark: SparkSession, table_dir: str,
             f"{table_dir} does not track row lineage; call "
             f"enable_row_lineage() first")
     files = _read_manifest(table_dir, v)
-    missing = set(files) - set(state["row_ids"]) \
-        - set(state["materialized_row_ids"])
+    # spelling-aware membership: a clone/branch can inherit row-id keys
+    # spelled differently (file: URI vs bare path) from its own
+    # manifest entries — compare through path_key, not raw strings
+    from .storage import path_key as _pk
+    keyed = {_pk(f) for f in state["row_ids"]} \
+        | {_pk(f) for f in state["materialized_row_ids"]}
+    missing = {f for f in files if _pk(f) not in keyed}
     if missing:
         raise RuntimeError(
             f"row lineage: {len(missing)} manifest file(s) carry no "

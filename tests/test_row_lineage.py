@@ -170,3 +170,46 @@ def test_merge_keeps_untouched_ids(spark, troot):
     assert after[(1, "a")] == before[(1, "a")] or \
         after[(3, "c")] == before[(3, "c")]
     assert (2, "B") in after
+
+
+def test_cross_spelling_clone_both_directions(spark, tmp_path_factory):
+    """Round-7 regression: a clone destination spelled differently from
+    the source (bare path vs file:// URI) inherits the source's
+    manifest row-id keys — LocalStorage.canon must collapse the file:
+    scheme so the spelling join still matches (it used to cwd-join the
+    URI into garbage and return NULL _row_id for every row)."""
+    for src_spell, dst_spell in [("file://{}", "{}"), ("{}", "file://{}")]:
+        base = tmp_path_factory.mktemp("rlx")
+        t = src_spell.format(base) + "/tbl"
+        V.write_snapshot(
+            spark.createDataFrame([(1, "a"), (2, "b")],
+                                  "id: long, s: string"), t)
+        V.enable_row_lineage(t)
+        before = _ids(spark, t)
+        assert set(before.values()) == {0, 1}
+        dst = dst_spell.format(tmp_path_factory.mktemp("rlxc")) + "/c"
+        V.clone_shallow(t, dst)
+        assert _ids(spark, dst) == before
+
+
+def test_mapping_failure_raises_not_null(spark, tmp_path):
+    """A live row whose file matches no row-id spelling must raise, not
+    silently surface NULL _row_id (the silent-corruption channel the
+    round-7 advice flagged)."""
+    import json
+
+    t = str(tmp_path / "tbl")
+    V.write_snapshot(spark.createDataFrame([(1, "a")],
+                                           "id: long, s: string"), t)
+    V.enable_row_lineage(t)
+    # corrupt the row-id state: re-key every entry to a path that no
+    # scan spelling can ever produce
+    st = V._st(t, spark)
+    v = V.latest_version(t)
+    mpath = V._manifest_path(st, t, v)
+    doc = json.loads(st.read_text(mpath))
+    doc["row_ids"] = {"/nonexistent/spelling.parquet": val
+                      for val in doc["row_ids"].values()}
+    st.replace_text(mpath, json.dumps(doc))
+    with pytest.raises(Exception, match="row lineage|RAISE_ERROR|no _row_id"):
+        V.read_version_with_row_ids(spark, t).collect()
