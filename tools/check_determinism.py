@@ -69,11 +69,15 @@ def main() -> None:
                              "h1": hashes[0], "h2": hashes[1]}
             n_bad += 1
 
-    out = {"n_deterministic": n_ok, "n_flaky": n_bad, "n_error": n_err,
-           "sf_dir": SF_DIR, "queries": results}
-    path = os.path.join(os.path.dirname(_TOOLS), "DETERMINISM_LOCAL.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1, sort_keys=True)
+    # the committed record is only ever the FULL registry — a partial run
+    # must not overwrite it (that's how round-7's 234-entry drift happened)
+    if not only:
+        out = {"n_deterministic": n_ok, "n_flaky": n_bad, "n_error": n_err,
+               "sf_dir": SF_DIR, "queries": results}
+        path = os.path.join(os.path.dirname(_TOOLS),
+                            "DETERMINISM_LOCAL.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
     print(f"\n{n_ok} deterministic, {n_bad} flaky, {n_err} error")
     spark.stop()
     sys.exit(1 if (n_bad or n_err) else 0)
