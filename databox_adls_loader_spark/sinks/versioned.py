@@ -2703,31 +2703,136 @@ def commit_stream_batch(batch_df: DataFrame, batch_id: int,
             continue
 
 
-def changes_between(spark: SparkSession, table_dir: str,
-                    v_from: int, v_to: int, key: str) -> DataFrame:
-    """Change data feed: row-level diff between two retained snapshots.
+def _eq_entry_key(e: dict) -> tuple:
+    """Identity of an equality-delete manifest entry across versions
+    (entries are immutable once committed; `applies_to` is fixed at
+    commit time)."""
+    return (e.get("col"), tuple(sorted(e.get("files", []))))
 
-    Returns the ``v_to`` schema plus ``_change_type`` ∈ {insert, delete,
-    update_postimage} — deletes carry the OLD row's values.  Computed as
-    a full outer join on ``key`` between the two pinned reads plus a
-    column-wise equality check, so it needs no per-commit change log:
-    any two retained versions diff on demand (the backfill/debug shape;
-    a streaming CDC consumer would instead tail `commit_stream_batch`
-    appends).  One shuffle on ``key``; at 100 TB partition both reads on
-    the same key layout so the join co-locates.
 
-    Precondition: ``key`` is unique within each version (the MERGE
-    upsert invariant) — duplicate keys would fan out through the full
-    outer join; collapse with `cdc_latest_per_key` first."""
-    old = read_version(spark, table_dir, v_from)
-    new = read_version(spark, table_dir, v_to)
-    cols = new.columns
-    if key not in cols or key not in old.columns:
-        raise ValueError(f"key {key!r} must exist in both versions")
+def _changes_incremental(spark: SparkSession, table_dir: str,
+                         v_from: int, v_to: int, key: str
+                         ) -> DataFrame | None:
+    """Manifest-derived CDF: when every commit in (v_from, v_to] was
+    append / merge-on-read overlay (position-delete, equality-delete,
+    MOR update), the diff is derivable from the manifests alone —
+    inserts live in APPENDED files, deletes are old-file rows hit by
+    the DELTA overlays — so the job reads only appended + overlay-
+    affected files plus tombstones, never the whole table.  Returns
+    None when the window is not incrementally derivable (a rewrite/
+    compaction removed files, a rename/drop changed the column map, or
+    a type widen changed the stored schema) — the caller falls back to
+    the full-outer diff.
+
+    Output is row-identical to the full diff (the registry entry
+    hash-matches the full-diff oracle): newly-dead and newly-live rows
+    full-outer join on ``key``, value-equal matches cancel (a delete +
+    reinsert of identical values is NO change, exactly as the full
+    diff sees it)."""
+    f_old = _read_manifest(table_dir, v_from)
+    f_new = _read_manifest(table_dir, v_to)
+    old_set = set(f_old)
+    if old_set - set(f_new):
+        return None                      # rewrite/compaction intervened
+    if table_column_map(table_dir, v_from) != \
+            table_column_map(table_dir, v_to):
+        return None                      # rename/drop intervened
+    sch_from = table_schema(table_dir, v_from)
+    sch_to = table_schema(table_dir, v_to)
+    if sch_from is None or sch_to is None:
+        return None                      # pre-schema-tracking table
+    to_types = {f.name: f.dataType for f in sch_to.fields}
+    if any(f.name in to_types and to_types[f.name] != f.dataType
+           for f in sch_from.fields):
+        return None                      # type widen intervened
+
+    appended = [f for f in f_new if f not in old_set]
+    dm_from, _ = table_delete_map(table_dir, v_from)
+    dm_to, _ = table_delete_map(table_dir, v_to)
+    eq_from = table_eq_deletes(table_dir, v_from)
+    eq_to = table_eq_deletes(table_dir, v_to)
+    seen_eq = {_eq_entry_key(e) for e in eq_from}
+    delta_eq = [e for e in eq_to if _eq_entry_key(e) not in seen_eq]
+    delta_dv = sorted({d for f in f_old for d in dm_to.get(f, [])
+                       if d not in set(dm_from.get(f, []))})
+    # old files whose merge-on-read overlay grew inside the window —
+    # the only pre-existing files any changed row can live in
+    affected = [f for f in f_old
+                if dm_from.get(f, []) != dm_to.get(f, [])
+                or any(f in e.get("applies_to", []) for e in delta_eq)]
+
+    cmap, dropped = table_column_map(table_dir, v_to)
+    cols = [cmap.get(f.name, f.name) for f in sch_to.fields
+            if f.name not in dropped]
+    old_cols = [cmap.get(f.name, f.name) for f in sch_from.fields
+                if f.name not in dropped]
+    if key not in cols or key not in old_cols:
+        return None          # full path raises the proper ValueError
+    meta = ["__file", "__pos"]
+
+    # -- newly-dead rows: live at v_from, hit by a DELTA overlay ------
+    dead_parts: list[DataFrame] = []
+    for key_idx, gfiles in _eq_groups(affected, delta_eq):
+        g = _scan_live_meta(spark, sorted(gfiles), dm_from, eq_from,
+                            sch_from)
+        hit = F.lit(False)
+        if delta_dv:
+            pos = (_dv_positions(spark, delta_dv)
+                   .withColumn("__hitp", F.lit(True)))
+            g = g.join(F.broadcast(pos), meta, "left")
+            hit = hit | F.col("__hitp").isNotNull()
+        for j, i in enumerate(key_idx):
+            e = delta_eq[i]
+            vals = (spark.read.parquet(*sorted(e["files"]))
+                    .select("__val").distinct()
+                    .withColumn(f"__hite{j}", F.lit(True)))
+            g = (g.join(F.broadcast(vals),
+                        F.col(e["col"]) == F.col("__val"), "left")
+                 .drop("__val"))
+            hit = hit | F.col(f"__hite{j}").isNotNull()
+        cols_g = [c for c in g.columns
+                  if not c.startswith("__hit") and c not in meta]
+        dead_parts.append(g.filter(hit).select(*cols_g))
+    dead = None
+    if dead_parts:
+        dead = dead_parts[0]
+        for p in dead_parts[1:]:
+            dead = dead.unionByName(p, allowMissingColumns=True)
+        dead = _apply_column_map(dead, cmap, dropped)
+
+    # -- newly-live rows: the appended files' live view at v_to -------
+    new_rows = None
+    if appended:
+        new_rows = _scan_live_meta(spark, appended, dm_to, eq_to,
+                                   sch_to).drop(*meta)
+        new_rows = _apply_column_map(new_rows, cmap, dropped)
+
+    if dead is None and new_rows is None:
+        return (read_version(spark, table_dir, v_to).limit(0)
+                .withColumn("_change_type", F.lit(None).cast("string")))
+    if dead is None:
+        return (new_rows
+                .select(*cols)
+                .withColumn("_change_type", F.lit("insert")))
+    if new_rows is None:
+        out_cols = [(F.col(c) if c in dead.columns
+                     else F.lit(None)).alias(c) for c in cols]
+        return (dead.select(*out_cols)
+                .withColumn("_change_type", F.lit("delete")))
+    return _diff_frames(dead, new_rows, key, cols, old_cols)
+
+
+def _diff_frames(old: DataFrame, new: DataFrame, key: str,
+                 cols: list[str], old_cols: list[str]) -> DataFrame:
+    """Full-outer key diff shared by the full and incremental CDF
+    paths: emits ``cols`` + ``_change_type``; deletes carry the old
+    row's values; matched rows equal on every shared column emit
+    nothing."""
     o = old.select([F.col(c).alias(f"__o_{c}") for c in old.columns])
     n = new.select([F.col(c).alias(f"__n_{c}") for c in cols])
-    j = o.join(n, o[f"__o_{key}"].eqNullSafe(n[f"__n_{key}"]), "full_outer")
-    shared = [c for c in cols if c in old.columns]
+    j = o.join(n, o[f"__o_{key}"].eqNullSafe(n[f"__n_{key}"]),
+               "full_outer")
+    shared = [c for c in cols if c in old_cols]
     same = F.lit(True)
     for c in shared:
         same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
@@ -2740,12 +2845,49 @@ def changes_between(spark: SparkSession, table_dir: str,
     is_delete = F.col(f"__n_{key}").isNull()
     out_cols = [
         F.when(is_delete,
-               F.col(f"__o_{c}") if c in old.columns else F.lit(None))
+               F.col(f"__o_{c}") if c in old_cols else F.lit(None))
          .otherwise(F.col(f"__n_{c}")).alias(c)
         for c in cols]
     return (j.withColumn("_change_type", change)
              .filter(F.col("_change_type").isNotNull())
              .select(*out_cols, "_change_type"))
+
+
+def changes_between(spark: SparkSession, table_dir: str,
+                    v_from: int, v_to: int, key: str,
+                    incremental: bool = False) -> DataFrame:
+    """Change data feed: row-level diff between two retained snapshots.
+
+    Returns the ``v_to`` schema plus ``_change_type`` ∈ {insert, delete,
+    update_postimage} — deletes carry the OLD row's values.  Computed as
+    a full outer join on ``key`` between the two pinned reads plus a
+    column-wise equality check, so it needs no per-commit change log:
+    any two retained versions diff on demand (the backfill/debug shape;
+    a streaming CDC consumer would instead tail `commit_stream_batch`
+    appends).  One shuffle on ``key``; at 100 TB partition both reads on
+    the same key layout so the join co-locates.
+
+    ``incremental=True`` derives the diff from the MANIFESTS when every
+    commit in the window was append / merge-on-read (the CDC steady
+    state): the job reads only appended files, overlay-affected files,
+    and tombstones — O(changed data), not O(|table|) — and silently
+    falls back to the full diff when a rewrite, rename/drop, or type
+    widen intervened (`_changes_incremental` returns None).  Identical
+    output either way.
+
+    Precondition: ``key`` is unique within each version (the MERGE
+    upsert invariant) — duplicate keys would fan out through the full
+    outer join; collapse with `cdc_latest_per_key` first."""
+    if incremental:
+        inc = _changes_incremental(spark, table_dir, v_from, v_to, key)
+        if inc is not None:
+            return inc
+    old = read_version(spark, table_dir, v_from)
+    new = read_version(spark, table_dir, v_to)
+    cols = new.columns
+    if key not in cols or key not in old.columns:
+        raise ValueError(f"key {key!r} must exist in both versions")
+    return _diff_frames(old, new, key, cols, old.columns)
 
 
 def history(table_dir: str) -> list[dict]:

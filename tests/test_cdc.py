@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from databox_adls_loader_spark.sinks import cdc as C
 from databox_adls_loader_spark.sinks import versioned as V
 
@@ -138,3 +140,88 @@ def test_foreachbatch_end_to_end(spark, tmp_path):
     q.awaitTermination(120)
     assert _rows(spark, t) == {(2, "b")}
     assert os.path.isdir(t)
+
+
+# ---------------------------------------------------------------------------
+# incremental CDF (versioned.changes_between(..., incremental=True))
+# ---------------------------------------------------------------------------
+
+def _mk_keyed(spark, t, n=400):
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 3).alias("v"),
+        F.concat(F.lit("s"), (F.col("id") % 5)).alias("tag"))
+    V.write_snapshot(df, t)
+    V.compact_snapshot(spark, t, n_files=4, cluster_by=["k"])
+    return V.latest_version(t)
+
+
+def _cdf_sets(spark, t, v0, v1):
+    full = {tuple(r) for r in
+            V.changes_between(spark, t, v0, v1, "k").collect()}
+    inc = {tuple(r) for r in
+           V.changes_between(spark, t, v0, v1, "k",
+                             incremental=True).collect()}
+    return full, inc
+
+
+def test_incremental_cdf_matches_full_and_reads_less(spark, tmp_path):
+    from databox_adls_loader_spark.sinks.storage import path_key
+
+    t = str(tmp_path / "t")
+    v0 = _mk_keyed(spark, t)
+    V.delete_where(spark, t, "k < 30", predicates=[("k", "<", 30)])
+    V.update_where(spark, t, "k >= 30 AND k < 60", {"v": "v + 1000"},
+                   predicates=[("k", ">=", 30), ("k", "<", 60)])
+    V.delete_where_keys(spark, t, "k", [70, 75, 80])
+    V.write_snapshot(spark.createDataFrame(
+        [(1000, 1, "new"), (1001, 2, "new")], "k: long, v: long, "
+        "tag: string"), t)
+    v1 = V.latest_version(t)
+    full, inc = _cdf_sets(spark, t, v0, v1)
+    assert inc == full and len(full) == 30 + 30 + 3 + 2
+    # the incremental plan engages and reads strictly fewer baseline
+    # data files than the manifest holds (only the overlay-affected
+    # clustered file + appends + tombstones)
+    d = V._changes_incremental(spark, t, v0, v1, "k")
+    assert d is not None
+    base = {path_key(f) for f in V._read_manifest(t, v0)}
+    read = {path_key(u) for u in d.inputFiles()}
+    assert read & base and len(read & base) < len(base)
+
+
+def test_incremental_cdf_falls_back_after_compaction(spark, tmp_path):
+    t = str(tmp_path / "t")
+    v0 = _mk_keyed(spark, t, n=100)
+    V.delete_where(spark, t, "k < 10", predicates=[("k", "<", 10)])
+    V.compact_snapshot(spark, t, n_files=2, cluster_by=["k"])
+    v1 = V.latest_version(t)
+    # compaction removed files: derivation refuses, public API falls
+    # back to the full diff and still answers correctly
+    assert V._changes_incremental(spark, t, v0, v1, "k") is None
+    full, inc = _cdf_sets(spark, t, v0, v1)
+    assert inc == full and len(full) == 10
+
+
+def test_incremental_cdf_delete_reinsert_identical_is_no_change(
+        spark, tmp_path):
+    t = str(tmp_path / "t")
+    v0 = _mk_keyed(spark, t, n=50)
+    V.delete_where_keys(spark, t, "k", [7, 8])
+    # reinsert k=7 with IDENTICAL values, k=8 with a changed value
+    V.write_snapshot(spark.createDataFrame(
+        [(7, 21, "s2"), (8, 999, "s3")], "k: long, v: long, "
+        "tag: string"), t)
+    v1 = V.latest_version(t)
+    full, inc = _cdf_sets(spark, t, v0, v1)
+    assert inc == full
+    by_key = {r[0]: r for r in inc}
+    assert 7 not in by_key                     # identical reinsert
+    assert by_key[8][-1] == "update_postimage"
+
+
+def test_incremental_cdf_empty_window(spark, tmp_path):
+    t = str(tmp_path / "t")
+    v0 = _mk_keyed(spark, t, n=20)
+    full, inc = _cdf_sets(spark, t, v0, v0)
+    assert inc == full == set()
