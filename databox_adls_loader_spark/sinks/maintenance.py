@@ -43,7 +43,8 @@ def _interval_overlap_fraction(bounds: list[tuple]) -> float:
 
 def table_health(table_dir: str, version: int | None = None,
                  small_file_rows: int = 10_000,
-                 overlap_threshold: float = 0.2) -> dict:
+                 overlap_threshold: float = 0.2,
+                 eq_entry_threshold: int = 8) -> dict:
     """Manifest-only health report for a versioned table: file count and
     row-count distribution, small-file fraction, and per-column
     clustering quality (bounds-overlap fraction) — the numbers that
@@ -58,7 +59,13 @@ def table_health(table_dir: str, version: int | None = None,
                      can't prune; clustering makes them prunable),
                      best (least-overlapping) candidate first is NOT
                      chosen here — every offender is listed, the
-                     caller picks by query workload."""
+                     caller picks by query workload;
+      compact (merge-on-read debt) — more than ``eq_entry_threshold``
+                     equality-delete ENTRIES outstanding: readers pay
+                     one key-set union per distinct key column per
+                     read (consolidated by `_eq_anti_all`), but the
+                     tombstone files themselves accumulate until a
+                     compaction materializes them."""
     v = V.latest_version(table_dir) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshots in {table_dir}")
@@ -76,6 +83,10 @@ def table_health(table_dir: str, version: int | None = None,
     overlap = {col: round(_interval_overlap_fraction(b), 4)
                for col, b in per_col.items() if len(b) == len(files)}
     small = sum(1 for r in rows if r < small_file_rows)
+    eq = V.table_eq_deletes(table_dir, v)
+    dmap, _ = V.table_delete_map(table_dir, v)
+    n_dv_files = len({d for ds in dmap.values() for d in ds})
+    eq_debt = len(eq) > eq_entry_threshold
     return {
         "version": v,
         "n_files": len(files),
@@ -85,7 +96,11 @@ def table_health(table_dir: str, version: int | None = None,
         "small_files": small,
         "small_file_fraction": round(small / len(files), 4) if files else 0.0,
         "bounds_overlap": overlap,
-        "recommend_compact": bool(files) and small / len(files) > 0.5,
+        "n_eq_delete_entries": len(eq),
+        "n_eq_delete_cols": len({e.get("col") for e in eq}),
+        "n_position_delete_files": n_dv_files,
+        "recommend_compact": (bool(files)
+                              and small / len(files) > 0.5) or eq_debt,
         "recommend_cluster_by": sorted(
             c for c, o in overlap.items() if o > overlap_threshold),
     }

@@ -427,3 +427,49 @@ def test_files_df_partitioned_table(spark, troot):
     fd = V.files_df(spark, t).collect()
     assert all(r["partition_json"] is not None
                and r["partition_spec_id"] is not None for r in fd)
+
+
+def test_many_eq_delete_commits_consolidate_to_one_join_per_col(
+        spark, tmp_path):
+    """50 tombstone commits on the same key column must cost the reader
+    ONE key-set anti join, not 50 (`_eq_anti_all`) — the CDC
+    steady-state read shape; and `table_health` must flag the
+    accumulated entries as compaction debt."""
+    from databox_adls_loader_spark.sinks.maintenance import table_health
+
+    t = str(tmp_path / "t")
+    V.write_snapshot(
+        spark.createDataFrame([(i, f"s{i}") for i in range(200)],
+                              "id: long, s: string"), t)
+    for k in range(50):
+        V.delete_where_keys(spark, t, "id", [k])
+    df = V.read_version(spark, t)
+    assert _rows(df) == {(i, f"s{i}") for i in range(50, 200)}
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    n_anti = plan.count("LeftAnti")
+    assert n_anti == 1, f"expected 1 consolidated anti join, saw {n_anti}"
+    h = table_health(t, small_file_rows=1)   # isolate the eq-debt signal
+    assert h["n_eq_delete_entries"] == 50
+    assert h["n_eq_delete_cols"] == 1
+    assert h["recommend_compact"] is True
+    # compaction materializes: debt cleared, recommendation drops
+    V.compact_snapshot(spark, t, n_files=1)
+    h2 = table_health(t, small_file_rows=1)
+    assert h2["n_eq_delete_entries"] == 0
+    assert h2["recommend_compact"] is False
+
+
+def test_eq_delete_two_cols_two_joins(spark, tmp_path):
+    t = str(tmp_path / "t")
+    V.write_snapshot(
+        spark.createDataFrame([(i, f"s{i}") for i in range(20)],
+                              "id: long, s: string"), t)
+    for k in (1, 2, 3):
+        V.delete_where_keys(spark, t, "id", [k])
+    for sv in ("s5", "s6"):
+        V.delete_where_keys(spark, t, "s", [sv])
+    df = V.read_version(spark, t)
+    assert _rows(df) == {(i, f"s{i}") for i in range(20)
+                         if i not in (1, 2, 3, 5, 6)}
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LeftAnti") == 2
