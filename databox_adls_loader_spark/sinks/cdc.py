@@ -37,7 +37,12 @@ def collapse_changes(batch_df: DataFrame, key: str, op_col: str = "op",
     """Latest change per key within one CDC batch.  With ``seq_col``
     the winner is the max sequence; an exact-tie between a delete and
     an upsert resolves to the DELETE (the conservative reading of a
-    same-instant upsert+delete).
+    same-instant upsert+delete), and a tie between two UPSERTS
+    resolves by a hash of the full row — an arbitrary but STABLE
+    winner, so replaying the identical batch always applies the same
+    image (without the tiebreak, row_number over an incomplete sort is
+    partition-order-dependent and a replay could flip the table's
+    contents).
     Without ``seq_col`` the batch must already be unique per key
     (enforced; anything else would pick an arbitrary winner and
     silently corrupt the table).  One shuffle on the key;
@@ -46,8 +51,10 @@ def collapse_changes(batch_df: DataFrame, key: str, op_col: str = "op",
 
     if seq_col is not None:
         is_del = F.lower(F.col(op_col)).isin(*DELETE_OPS).cast("int")
+        tie = F.xxhash64(F.struct(*[F.col(c)
+                                    for c in batch_df.columns]))
         w = (Window.partitionBy(key)
-             .orderBy(F.desc(seq_col), F.desc(is_del)))
+             .orderBy(F.desc(seq_col), F.desc(is_del), F.desc(tie)))
         return (batch_df.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1).drop("__rn"))
     dup = (batch_df.groupBy(key).count()

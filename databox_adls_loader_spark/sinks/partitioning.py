@@ -56,13 +56,21 @@ _SPEC_RE = re.compile(
 
 # source dtypes each transform accepts (typeName()).  Timestamps are
 # excluded from identity (their partition-dir encoding is not
-# round-trippable portably) but fine for the calendar transforms.
+# round-trippable portably).  TZ-AWARE timestamps are excluded from
+# the calendar transforms too: the write expression (F.year/datediff)
+# evaluates in the SESSION timezone while apply_literal uses the
+# literal's naive calendar fields, so a session-tz change between
+# write and read (or a tz-aware literal) could shift a boundary and
+# FALSE-PRUNE a file — silently missing rows.  `timestamp_ntz` is
+# fine: its calendar fields are stored, not session-derived.  Cast
+# tz-aware columns to date/timestamp_ntz (choosing the zone
+# explicitly) before declaring a calendar transform.
 _INTEGRAL = ("byte", "short", "integer", "long")
 _ALLOWED = {
     "identity": _INTEGRAL + ("string", "date", "boolean"),
-    "year": ("date", "timestamp", "timestamp_ntz"),
-    "month": ("date", "timestamp", "timestamp_ntz"),
-    "day": ("date", "timestamp", "timestamp_ntz"),
+    "year": ("date", "timestamp_ntz"),
+    "month": ("date", "timestamp_ntz"),
+    "day": ("date", "timestamp_ntz"),
     "bucket": _INTEGRAL + ("string",),
     "truncate": _INTEGRAL + ("string",),
 }
@@ -208,6 +216,8 @@ def _canon_part(v):
 
 def _as_date(v) -> datetime.date | None:
     if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            return None     # tz-aware literal: no prune (stay safe)
         return v.date()
     if isinstance(v, datetime.date):
         return v

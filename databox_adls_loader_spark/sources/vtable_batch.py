@@ -134,6 +134,15 @@ class VTableBatchReader(DataSourceReader):
         self._eq = doc.get("eq_deletes", [])
         self._cmap = doc.get("column_map", {})
         self._dropped = doc.get("dropped_cols", [])
+        # hidden-partitioning state for transform-space pruning (the
+        # same composition prune_files does JVM-side — the DSv2 path
+        # must honor the layout contract too)
+        self._spec = doc.get("partition_spec", [])
+        self._parts = doc.get("partitions", {}) if self._spec else {}
+        self._specs = doc.get("partition_specs") or (
+            {"0": self._spec} if self._spec else {})
+        self._spec_id = doc.get("partition_spec_id", "0")
+        self._spec_ids = doc.get("partition_spec_ids", {})
         self._preds: list[tuple] = []
 
     # -- pushdown -----------------------------------------------------
@@ -155,12 +164,17 @@ class VTableBatchReader(DataSourceReader):
 
     # -- planning -----------------------------------------------------
     def partitions(self):
+        from ..sinks import partitioning
         from ..sinks import versioned as V
 
         stats = V._read_manifest_doc(
             self._table_dir, self._version).get("stats", {})
         kept = [f for f in self._files
-                if V._file_matches(stats.get(f), self._preds)]
+                if V._file_matches(stats.get(f), self._preds)
+                and partitioning.file_matches(
+                    self._specs.get(self._spec_ids.get(f, self._spec_id),
+                                    self._spec),
+                    self._parts.get(f), self._preds)]
         return [_VPart(f, tuple(self._dmap.get(f, ())),
                        tuple((e["col"], tuple(e["files"]))
                              for e in self._eq
@@ -348,6 +362,17 @@ class VTableWriter(DataSourceArrowWriter):
                 f"vtable writer: table declares CHECK constraints "
                 f"{checks}; the DSv2 commit hook cannot evaluate them "
                 "— write through sinks.versioned.write_snapshot")
+        spec = V.table_partition_spec(self._table_dir)
+        if spec:
+            # same refusal write_snapshot makes for an un-partitioned
+            # append into a partitioned table: DSv2 tasks stream one
+            # file each with no partition tuple, which would silently
+            # dilute the layout GUARANTEE hidden partitioning sells
+            raise ValueError(
+                f"vtable writer: table declares hidden partitioning "
+                f"{spec}; the DSv2 task writer does not lay files out "
+                "under the spec — write through "
+                "sinks.versioned.write_snapshot")
         cmap, dropped = ({}, []) if overwrite \
             else V.table_column_map(self._table_dir)
         self._back = {logical: phys for phys, logical in cmap.items()}

@@ -225,3 +225,18 @@ def test_incremental_cdf_empty_window(spark, tmp_path):
     v0 = _mk_keyed(spark, t, n=20)
     full, inc = _cdf_sets(spark, t, v0, v0)
     assert inc == full == set()
+
+
+def test_collapse_equal_seq_upserts_deterministic(spark, tmp_path):
+    """Two upserts sharing (key, seq) must collapse to the SAME winner
+    on every run/replay (payload-hash tiebreak), not an arbitrary
+    partition-order-dependent one."""
+    rows = [(1, "x", "u", 5), (1, "y", "u", 5), (1, "z", "u", 4)]
+    winners = set()
+    for _ in range(3):
+        got = C.collapse_changes(
+            spark.createDataFrame(rows, SCHEMA).repartition(8),
+            "id", seq_col="seq").collect()
+        assert len(got) == 1 and got[0]["seq"] == 5
+        winners.add(got[0]["s"])
+    assert len(winners) == 1

@@ -354,3 +354,27 @@ def test_set_spec_validates(spark, troot):
     V.rename_column(t, "k", "kk")
     with pytest.raises(ValueError, match="renamed column"):
         V.set_partition_spec(t, ["bucket(4,kk)"])
+
+
+def test_calendar_transform_refuses_tz_aware_timestamp(spark):
+    """year/month/day over a TZ-AWARE timestamp column are refused at
+    bind time: the write expression evaluates in the session timezone
+    while literal pruning uses naive calendar fields, so a session-tz
+    change between write and read could false-prune a file.  Cast to
+    date / timestamp_ntz first."""
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2020, 1, 1, 12))], "k: long, ts: timestamp")
+    with pytest.raises(P.PartitionSpecError, match="does not support"):
+        P.parse_spec("month(ts)").bind(df.schema)
+
+
+def test_tz_aware_literal_never_prunes():
+    """A tz-aware predicate literal maps to no transform value — the
+    file is kept (superset-safe), never false-pruned by a boundary
+    shift."""
+    t = P.parse_spec("day(d)")
+    aware = datetime.datetime(2020, 1, 1, 0, 30,
+                              tzinfo=datetime.timezone.utc)
+    assert t.apply_literal(aware) is None
+    assert P.file_matches(["day(d)"], [18262],
+                          [("d", "=", aware)]) is True

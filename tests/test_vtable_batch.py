@@ -235,3 +235,39 @@ def test_dv_mask_across_arrow_batch_boundaries(spark, tmp_path):
         "id >= 64990 AND id < 66010").collect())
     assert g == [i for i in range(64990, 66010)
                  if not (65000 <= i < 66000)]
+
+
+def test_dsv2_reader_prunes_by_hidden_partitioning(spark, tmp_path):
+    """partitions() must compose transform-space pruning with footer
+    stats (round-7 advice: the DSv2 path honored stats only, diluting
+    the layout contract)."""
+    import datetime
+
+    from databox_adls_loader_spark.sources.vtable_batch import (
+        VTableBatchReader,
+    )
+
+    t = str(tmp_path / "t")
+    rows = [(i, datetime.date(1995, 1 + (i % 12), 1)) for i in range(48)]
+    df = spark.createDataFrame(rows, "k: long, d: date")
+    V.write_snapshot(df, t, partition_by=["month(d)"])
+    from pyspark.sql.datasource import EqualTo
+
+    rd_all = VTableBatchReader({"path": t}, None)
+    rd = VTableBatchReader({"path": t}, None)
+    list(rd.pushFilters([EqualTo(("d",), "1995-03-01")]))
+    n_all, n_kept = len(rd_all.partitions()), len(rd.partitions())
+    assert 0 < n_kept < n_all
+
+
+def test_dsv2_writer_refuses_partitioned_table(spark, tmp_path):
+    import datetime
+
+    from databox_adls_loader_spark.sources.vtable_batch import VTableWriter
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, datetime.date(1995, 1, 1))], "k: long, d: date")
+    V.write_snapshot(df, t, partition_by=["month(d)"])
+    with pytest.raises(ValueError, match="hidden partitioning"):
+        VTableWriter({"path": t}, None, overwrite=False)
