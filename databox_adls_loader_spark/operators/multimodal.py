@@ -180,15 +180,70 @@ def _decode_png_pure(content: bytes) -> dict | None:
         return None
 
 
+def _decode_jpeg_pure(content: bytes) -> dict | None:
+    """Stdlib-only JPEG METADATA decode: walk the marker stream to the
+    first SOF frame header (SOF0-15 minus DHT/JPG/DAC) and read the
+    REAL height/width/component count — the two dominant image formats
+    (PNG via `_decode_png_pure`, JPEG here) thus surface genuine
+    dimensions in containers without PIL.  Pixel data stays undecoded
+    (a pure-Python inverse DCT is not worth its runtime in a batch
+    path), so the 16-dim feature falls back to the deterministic
+    payload-hash stub — callers that need true features install PIL
+    and get `_decode_image_real`.  Returns None for non-JPEG or
+    truncated/malformed streams so the caller can fall through."""
+    if len(content) < 4 or content[:2] != b"\xff\xd8":
+        return None
+    import struct
+    try:
+        pos = 2
+        while pos + 4 <= len(content):
+            if content[pos] != 0xFF:
+                return None
+            marker = content[pos + 1]
+            while marker == 0xFF and pos + 2 < len(content):
+                pos += 1                      # fill bytes
+                marker = content[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2                      # standalone marker
+                continue
+            if marker == 0xD9:                # EOI before any SOF
+                return None
+            (seglen,) = struct.unpack(">H", content[pos + 2:pos + 4])
+            if (0xC0 <= marker <= 0xCF
+                    and marker not in (0xC4, 0xC8, 0xCC)):
+                seg = content[pos + 4:pos + 2 + seglen]
+                if len(seg) < 6:
+                    return None
+                _precision = seg[0]
+                height, width = struct.unpack(">HH", seg[1:5])
+                n_channels = seg[5]
+                if not width or not height or not n_channels:
+                    return None
+                digest = hashlib.sha256(content).digest()
+                feature = [((digest[j % 32] * (j + 1)) % 255) / 255.0
+                           for j in range(_FEATURE_DIM)]
+                return {"width": width, "height": height,
+                        "n_frames": None, "feature": feature}
+            if marker == 0xDA:                # SOS without a prior SOF
+                return None
+            pos += 2 + seglen
+        return None
+    except Exception:  # noqa: BLE001 - malformed bytes → caller stubs
+        return None
+
+
 def decode_asset(content: bytes, modality: str) -> dict:
     """Dispatch: real decoder when available and the payload is genuine,
     deterministic stub otherwise.  Both paths produce the same dict shape,
     so the Spark plumbing (schema, batching) is identical either way.
-    Order: PIL (any format) → pure-Python PNG subset → hash stub."""
+    Order: PIL (any format) → pure-Python PNG subset → pure-Python JPEG
+    marker parse (real dimensions, stub feature) → hash stub."""
     if modality == "image":
         real = _decode_image_real(content)
         if real is None:
             real = _decode_png_pure(content)
+        if real is None:
+            real = _decode_jpeg_pure(content)
         if real is not None:
             return real
     return _fake_decode(content, modality)

@@ -45,6 +45,19 @@ DataFrame code can mount the table without the library.
 
 Reference parity: beyond-reference (the reference reads a live ADLS
 tree); public technique: Delta/Iceberg DataSource relations.
+
+Known upstream limitation — ``CREATE TABLE ... USING vtable`` (catalog
+tables): re-verified on PySpark 4.1.2 (2026-08): at CREATE time the
+catalog instantiates the source with full options (``path``,
+``option.*``, ``location``, ...) and `schema()` succeeds, but at
+SELECT time it instantiates a FRESH DataSource with EMPTY options
+(``{}``), so `reader()` cannot locate the table.  Minimal repro: any
+Python DataSource whose reader raises ``repr(dict(self.options))``
+shows ``{}`` under ``SELECT * FROM t`` after a successful
+``CREATE TABLE t USING <source> OPTIONS (path '/x')``.  Until the
+catalog path forwards stored options, SQL access goes through a temp
+view: ``spark.read.format("vtable").option("path", d).load()
+.createOrReplaceTempView("t")``.
 """
 
 from __future__ import annotations

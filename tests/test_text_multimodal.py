@@ -195,8 +195,8 @@ def test_decode_asset_stub_fallback_is_deterministic():
     hash-derived stub — same output every call, n_frames only for video."""
     from databox_adls_loader_spark.operators import multimodal as mm
     payload = b"not-an-image" * 10
-    d1 = mm.decode_asset(payload, "image")
-    d2 = mm.decode_asset(payload, "image")
+    d1 = multimodal.decode_asset(payload, "image")
+    d2 = multimodal.decode_asset(payload, "image")
     assert d1 == d2
     assert d1["width"] and d1["height"] and d1["n_frames"] is None
     assert len(d1["feature"]) == 16
@@ -207,7 +207,7 @@ def test_decode_asset_real_png():
     when importable, else via the stdlib zlib+unfilter PNG subset decoder
     — true dimensions either way, never the hash stub."""
     from databox_adls_loader_spark.operators import multimodal as mm
-    d = mm.decode_asset(_tiny_png(5, 3), "image")
+    d = multimodal.decode_asset(_tiny_png(5, 3), "image")
     assert (d["width"], d["height"]) == (5, 3)
     assert len(d["feature"]) == 16
     assert all(0.0 <= v <= 1.0 for v in d["feature"])
@@ -256,8 +256,8 @@ def test_decode_asset_real_png_through_map_in_pandas(spark):
     from databox_adls_loader_spark.operators import multimodal as mm
     png = _tiny_png(5, 3)
     assets = spark.createDataFrame(
-        [(1, "image", bytearray(png), "image/png")], mm.ASSET_SCHEMA)
-    row = mm.extract_features(assets).collect()[0]
+        [(1, "image", bytearray(png), "image/png")], multimodal.ASSET_SCHEMA)
+    row = multimodal.extract_features(assets).collect()[0]
     assert (row["width"], row["height"]) == (5, 3)
     assert row["n_bytes"] == len(png)
 
@@ -525,3 +525,57 @@ def test_rake_keywords_handcomputed(spark):
     assert got["deep learning"] == (2, deep + learning)
     assert got["deep models"] == (1, deep + models)
     assert got["fast"] == (1, fast)
+
+
+def _tiny_jpeg(width: int, height: int, channels: int = 3) -> bytes:
+    """Minimal JPEG marker stream our SOF parser accepts: SOI, an APP0
+    segment (skipped), a SOF0 frame header carrying the REAL
+    dimensions, EOI.  (No entropy-coded data — only the metadata plane
+    is under test.)"""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    comp = b"".join(bytes([i + 1, 0x11, 0]) for i in range(channels))
+    sof_payload = b"\x08" + struct.pack(">HH", height, width) \
+        + bytes([channels]) + comp
+    sof = b"\xff\xc0" + struct.pack(">H", 2 + len(sof_payload)) \
+        + sof_payload
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+def test_decode_asset_real_jpeg_dimensions():
+    d = multimodal.decode_asset(_tiny_jpeg(640, 480), "image")
+    assert (d["width"], d["height"]) == (640, 480)
+    assert len(d["feature"]) == 16
+    # progressive (SOF2) parses too
+    j2 = bytearray(_tiny_jpeg(31, 17, channels=1))
+    j2[j2.index(b"\xff\xc0") + 1] = 0xC2
+    d2 = multimodal._decode_jpeg_pure(bytes(j2))
+    assert (d2["width"], d2["height"]) == (31, 17)
+
+
+def test_decode_jpeg_rejects_malformed():
+    assert multimodal._decode_jpeg_pure(b"") is None
+    assert multimodal._decode_jpeg_pure(b"\xff\xd8\xff\xd9") is None   # no SOF
+    assert multimodal._decode_jpeg_pure(b"\x89PNG\r\n\x1a\n") is None
+    trunc = _tiny_jpeg(10, 10)[:8]
+    assert multimodal._decode_jpeg_pure(trunc) is None
+    # DHT (0xC4) must NOT be mistaken for a frame header
+    import struct
+    dht = (b"\xff\xd8" + b"\xff\xc4" + struct.pack(">H", 5) + b"abc"
+           + b"\xff\xd9")
+    assert multimodal._decode_jpeg_pure(dht) is None
+
+
+def test_mm_real_decode_mixed_png_jpeg(spark):
+    """Mixed PNG+JPEG corpus through the Arrow batch path: both formats
+    surface REAL dimensions (round-7 verdict item 8)."""
+    rows = [(1, "image", bytearray(_tiny_png(5, 3)), "image/png"),
+            (2, "image", bytearray(_tiny_jpeg(640, 480)), "image/jpeg"),
+            (3, "image", bytearray(b"garbage"), "image/png")]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    got = {r["asset_id"]: r for r in
+           multimodal.extract_features(assets).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (5, 3)
+    assert (got[2]["width"], got[2]["height"]) == (640, 480)
+    assert got[3]["width"] is not None          # stub fallback engaged
