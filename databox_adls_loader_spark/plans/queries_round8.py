@@ -141,3 +141,96 @@ def scale_cdf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double").alias("rev"))
             .withColumn("inc_ok", F.lit(bool(inc_ok)))
             .orderBy("_change_type"))
+
+
+# ---------------------------------------------------------------------------
+# bucket-aligned join: layout-level SPJ under the hash gate
+# ---------------------------------------------------------------------------
+
+_BUCKETED_PAIR: dict = {}
+
+
+def _drop_bucketed_pair(keys=None) -> None:
+    import shutil
+
+    for k in list(_BUCKETED_PAIR) if keys is None else list(keys):
+        pair = _BUCKETED_PAIR.pop(k)
+        for t in pair[:2]:
+            shutil.rmtree(t, ignore_errors=True)
+
+
+def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Once per (session, sf_dir): `orders` and `customer` committed as
+    versioned tables declaring the SAME bucket(8, custkey) hidden
+    partitioning — the co-located layout `bucket_aligned_join` pairs."""
+    import atexit
+    import tempfile
+
+    from ..sinks import versioned as V
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _BUCKETED_PAIR.get(key)
+    if got is None:
+        _drop_bucketed_pair([k for k in _BUCKETED_PAIR if k[0] != key[0]])
+        if not _BUCKETED_PAIR:
+            atexit.register(_drop_bucketed_pair)
+        to = tempfile.mkdtemp(prefix="spark_graft_bucko_")
+        tc = tempfile.mkdtemp(prefix="spark_graft_buckc_")
+        orders, customer = _t(spark, sf_dir, "orders", "customer")
+        V.write_snapshot(orders, to, partition_by=["bucket(8,o_custkey)"])
+        V.write_snapshot(customer, tc,
+                         partition_by=["bucket(8,c_custkey)"])
+        got = (to, tc)
+        _BUCKETED_PAIR[key] = got
+    return got
+
+
+@register(
+    "scale_bucket_join_read",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS rev,
+           TRUE AS spj_ok
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=["scale", "versioned", "bucketing", "join"],
+)
+def scale_bucket_join_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-level storage-partitioned join
+    (`sinks/versioned.bucket_aligned_join`): two tables declaring the
+    same bucket(8, custkey) hidden partitioning join BUCKET BY BUCKET —
+    8 independent broadcast-hash joins, each build side 1/8 of the
+    dimension, ZERO shuffle exchange on the fact side (spj_ok asserts
+    the joined plan contains no sort-merge join and exactly 8 broadcast
+    joins) — and the result must hash-match the plain-SQL join.
+    Python DSv2 cannot report key-grouped partitioning to Catalyst
+    (PySpark 4.1.2; capability note in `bucket_aligned_join`), so this
+    manual pairing is how the declared bucket layout pays off in a
+    join, not just in equality pruning."""
+    from ..sinks import versioned as V
+
+    to, tc = _bucketed_pair(spark, sf_dir)
+    j = V.bucket_aligned_join(spark, to, tc, "o_custkey", "c_custkey")
+    spj_ok = j is not None
+    if spj_ok:
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # every per-bucket join broadcasts its dimension slice: the
+        # physical join plan must be pure broadcast-hash with ZERO
+        # shuffle exchange — a sort-merge join or hash-partitioning
+        # exchange would mean the shuffle snuck back in
+        spj_ok = (plan.count("BroadcastHashJoin") == 8
+                  and "SortMergeJoin" not in plan
+                  and "Exchange hashpartitioning" not in plan)
+    else:
+        j = V.read_version(spark, to).join(
+            V.read_version(spark, tc),
+            F.col("o_custkey") == F.col("c_custkey"))
+    return (j.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("rev"))
+            .withColumn("spj_ok", F.lit(bool(spj_ok)))
+            .orderBy("c_mktsegment"))

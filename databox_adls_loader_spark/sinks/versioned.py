@@ -908,6 +908,119 @@ def table_partitions(table_dir: str,
     return _read_manifest_doc(table_dir, v).get("partitions", {})
 
 
+def bucket_file_groups(table_dir: str, key_col: str,
+                       version: int | None = None
+                       ) -> tuple[int, dict[int, list[str]]] | None:
+    """``(n_buckets, {bucket_id: [files]})`` for a table whose CURRENT
+    spec declares ``bucket(N, key_col)`` and whose every manifest file
+    carries a partition tuple under that spec — the alignment
+    precondition of `bucket_aligned_join`.  Returns None when the
+    layout cannot GUARANTEE alignment (no such transform, a file
+    predating the spec or written by a non-partitioning rewrite, or a
+    spec-evolved file) — callers fall back to a plain join rather than
+    risk dropping rows.  Files whose bucket value is the NULL marker
+    hold only NULL-key rows (each file lands wholly inside one
+    partition tuple) and are grouped under bucket -1; inner equi-joins
+    may skip them."""
+    v = latest_version(table_dir) if version is None else version
+    if v is None:
+        return None
+    doc = _read_manifest_doc(table_dir, v)
+    spec = doc.get("partition_spec", [])
+    idx = None
+    n = None
+    for i, s in enumerate(spec):
+        t = partitioning.parse_spec(s)
+        if t.kind == "bucket" and t.col == key_col:
+            idx, n = i, t.n
+            break
+    if idx is None:
+        return None
+    cur_id = doc.get("partition_spec_id", "0")
+    ids = doc.get("partition_spec_ids", {})
+    parts = doc.get("partitions", {})
+    groups: dict[int, list[str]] = {}
+    for f in doc["files"]:
+        vals = parts.get(f)
+        if vals is None or len(vals) <= idx \
+                or ids.get(f, cur_id) != cur_id:
+            return None
+        b = vals[idx]
+        groups.setdefault(-1 if b is None else int(b), []).append(f)
+    return n, groups
+
+
+def _read_scoped(spark: SparkSession, table_dir: str, v: int,
+                 files: list[str]) -> DataFrame:
+    """A version's LOGICAL view restricted to ``files`` — the same
+    merge-on-read overlays `read_version` applies, scoped."""
+    dmap, _ = table_delete_map(table_dir, v)
+    df = _read_files(spark, files, dmap,
+                     schema=table_schema(table_dir, v),
+                     eq=table_eq_deletes(table_dir, v))
+    return _apply_column_map(df, *table_column_map(table_dir, v))
+
+
+def bucket_aligned_join(spark: SparkSession, left_dir: str,
+                        right_dir: str, left_key: str, right_key: str,
+                        version_left: int | None = None,
+                        version_right: int | None = None,
+                        broadcast_side: str = "right"
+                        ) -> DataFrame | None:
+    """INNER equi-join of two versioned tables that declare the SAME
+    ``bucket(N, key)`` hidden-partitioning layout, paired BUCKET BY
+    BUCKET: bucket i of the left joins only bucket i of the right (the
+    transform hash is engine-independent — same md5 family both sides —
+    so equal keys always land in equal buckets).
+
+    Why this exists: Spark's storage-partitioned joins need the DSv2
+    ``SupportsReportPartitioning`` interface, which the Python DSv2 API
+    (checked: PySpark 4.1.2 ``pyspark.sql.datasource``) does not
+    expose — a reader cannot tell Catalyst its partitions are
+    key-grouped, so even two identically-bucketed tables pay two full
+    exchanges in a plain join.  This manual path recovers most of the
+    win at the layout level: with ``broadcast_side`` set to the
+    dimension side, the plan is N independent broadcast-hash joins
+    (ZERO shuffle exchange — each build side is 1/N of the dimension,
+    each probe side streams its bucket's files map-side); for big-big
+    joins each per-bucket sort-merge exchanges only its 1/N slice with
+    per-bucket AQE skew handling.  Returns None when either table
+    cannot guarantee alignment (`bucket_file_groups`) or the bucket
+    counts differ — callers fall back to the plain join.
+
+    NULL-key files (bucket -1) are skipped: an inner equi-join never
+    matches NULL keys.  Scale note: at 100 TB pick N so a dimension
+    bucket fits the broadcast threshold; the fact table is never
+    collected or broadcast."""
+    vl = latest_version(left_dir) if version_left is None else version_left
+    vr = latest_version(right_dir) if version_right is None \
+        else version_right
+    gl = bucket_file_groups(left_dir, left_key, vl)
+    gr = bucket_file_groups(right_dir, right_key, vr)
+    if gl is None or gr is None or gl[0] != gr[0]:
+        return None
+    parts: list[DataFrame] = []
+    for b in sorted(set(gl[1]) & set(gr[1]) - {-1}):
+        left = _read_scoped(spark, left_dir, vl, sorted(gl[1][b]))
+        right = _read_scoped(spark, right_dir, vr, sorted(gr[1][b]))
+        if broadcast_side == "right":
+            right = F.broadcast(right)
+        elif broadcast_side == "left":
+            left = F.broadcast(left)
+        parts.append(left.join(
+            right, left[left_key] == right[right_key], "inner"))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        # positional union: every part is built by the same scoped-read
+        # + join construction so schemas align by position, and the
+        # joined output legitimately carries duplicate column NAMES
+        # (both sides' payloads), which a by-name union cannot resolve
+        out = out.union(p)
+    return out
+
+
 def table_delete_map(table_dir: str, version: int | None = None
                      ) -> tuple[dict[str, list[str]], dict[str, int]]:
     """(data file -> its position-delete files, delete file -> row count)

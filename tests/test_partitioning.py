@@ -378,3 +378,73 @@ def test_tz_aware_literal_never_prunes():
     assert t.apply_literal(aware) is None
     assert P.file_matches(["day(d)"], [18262],
                           [("d", "=", aware)]) is True
+
+
+# -- bucket-aligned join (layout-level SPJ) ---------------------------------
+
+def _bucketed(spark, path, col, rows, n=4):
+    df = spark.createDataFrame(rows, f"{col}: long, v: string")
+    V.write_snapshot(df, path, partition_by=[f"bucket({n},{col})"])
+    return path
+
+
+def test_bucket_aligned_join_matches_plain_and_no_shuffle(spark, tmp_path):
+    l = _bucketed(spark, str(tmp_path / "l"), "k",
+                  [(i, f"l{i}") for i in range(40)])
+    r = _bucketed(spark, str(tmp_path / "r"), "j",
+                  [(i, f"r{i}") for i in range(0, 40, 2)])
+    j = V.bucket_aligned_join(spark, l, r, "k", "j")
+    assert j is not None
+    got = {tuple(row) for row in j.collect()}
+    exp = {(i, f"l{i}", i, f"r{i}") for i in range(0, 40, 2)}
+    assert got == exp
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_bucket_aligned_join_applies_mor_overlays(spark, tmp_path):
+    l = _bucketed(spark, str(tmp_path / "l"), "k",
+                  [(i, f"l{i}") for i in range(20)])
+    r = _bucketed(spark, str(tmp_path / "r"), "j",
+                  [(i, f"r{i}") for i in range(20)])
+    V.delete_where_keys(spark, l, "k", [3, 4])
+    V.update_where(spark, r, "j = 5", {"v": "'R5'"})
+    j = V.bucket_aligned_join(spark, l, r, "k", "j")
+    got = {tuple(row) for row in j.collect()}
+    assert (3, "l3", 3, "r3") not in got and (4, "l4", 4, "r4") not in got
+    assert (5, "l5", 5, "R5") in got
+    assert len(got) == 18
+
+
+def test_bucket_aligned_join_refuses_misaligned(spark, tmp_path):
+    # different bucket counts
+    l = _bucketed(spark, str(tmp_path / "l"), "k",
+                  [(i, "x") for i in range(10)], n=4)
+    r = _bucketed(spark, str(tmp_path / "r"), "j",
+                  [(i, "y") for i in range(10)], n=8)
+    assert V.bucket_aligned_join(spark, l, r, "k", "j") is None
+    # unpartitioned table
+    u = str(tmp_path / "u")
+    V.write_snapshot(spark.createDataFrame([(1, "z")],
+                                           "j: long, v: string"), u)
+    assert V.bucket_aligned_join(spark, l, u, "k", "j") is None
+    # compaction REWRITES UNDER THE SPEC (write paths never dilute the
+    # layout), so alignment survives it
+    V.compact_snapshot(spark, l, n_files=2)
+    g = V.bucket_file_groups(l, "k")
+    assert g is not None and g[0] == 4
+
+
+def test_bucket_aligned_join_skips_null_key_files(spark, tmp_path):
+    l = str(tmp_path / "l")
+    V.write_snapshot(spark.createDataFrame(
+        [(1, "a"), (None, "ln")], "k: long, v: string"), l,
+        partition_by=["bucket(4,k)"])
+    r = str(tmp_path / "r")
+    V.write_snapshot(spark.createDataFrame(
+        [(1, "b"), (None, "rn")], "j: long, v: string"), r,
+        partition_by=["bucket(4,j)"])
+    j = V.bucket_aligned_join(spark, l, r, "k", "j")
+    assert {tuple(row) for row in j.collect()} == {(1, "a", 1, "b")}
