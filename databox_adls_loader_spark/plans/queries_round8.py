@@ -234,3 +234,597 @@ def scale_bucket_join_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double").alias("rev"))
             .withColumn("spj_ok", F.lit(bool(spj_ok)))
             .orderBy("c_mktsegment"))
+
+
+# ---------------------------------------------------------------------------
+# row lineage and consolidated tombstones under the hash gate
+# ---------------------------------------------------------------------------
+
+_RL_ORDERS: dict = {}
+
+
+def _drop_rl_orders(keys=None) -> None:
+    import shutil
+
+    for k in list(_RL_ORDERS) if keys is None else list(keys):
+        shutil.rmtree(_RL_ORDERS.pop(k), ignore_errors=True)
+
+
+def _rl_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Once per (session, sf_dir): `orders` compacted into ONE file
+    clustered by o_orderkey, row lineage enabled (so ``_row_id`` ==
+    rank of o_orderkey — the oracle can reconstruct it with
+    ROW_NUMBER), then a merge-on-read DELETE — surviving rows must
+    keep their pre-delete ids."""
+    import atexit
+    import tempfile
+
+    from ..sinks import versioned as V
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    t = _RL_ORDERS.get(key)
+    if t is None:
+        _drop_rl_orders([k for k in _RL_ORDERS if k[0] != key[0]])
+        if not _RL_ORDERS:
+            atexit.register(_drop_rl_orders)
+        t = tempfile.mkdtemp(prefix="spark_graft_rlorders_")
+        (orders,) = _t(spark, sf_dir, "orders")
+        V.write_snapshot(orders, t)
+        V.compact_snapshot(spark, t, n_files=1,
+                           cluster_by=["o_orderkey"])
+        V.enable_row_lineage(t)
+        V.delete_where(spark, t, "o_orderkey < 600",
+                       predicates=[("o_orderkey", "<", 600)])
+        _RL_ORDERS[key] = t
+    return t
+
+
+@register(
+    "scale_row_lineage_read",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderstatus, o_orderkey,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+      FROM orders
+    )
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(rid) AS BIGINT) AS rid_sum,
+           CAST(MIN(rid) AS BIGINT) AS rid_min
+    FROM r WHERE o_orderkey >= 600
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=["scale", "versioned", "row-lineage"],
+)
+def scale_row_lineage_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW LINEAGE under the value-hash gate
+    (`sinks/versioned.read_version_with_row_ids`): a one-file
+    key-clustered table assigns ``_row_id`` = rank(o_orderkey), and a
+    later merge-on-read DELETE must leave every SURVIVING row's id
+    untouched — the oracle reconstructs the ids with ROW_NUMBER over
+    the raw table and filters the deleted range, so any id drift
+    (reassignment, the round-7 cross-spelling NULL bug, off-by-one
+    after deletes) flips the hash.  One broadcast map join over the
+    normal MOR scan — no extra shuffle."""
+    from ..sinks import versioned as V
+
+    t = _rl_orders(spark, sf_dir)
+    df = V.read_version_with_row_ids(spark, t)
+    return (df.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("_row_id").cast("long").alias("rid_sum"),
+                 F.min("_row_id").cast("long").alias("rid_min"))
+            .orderBy("o_orderstatus"))
+
+
+_EQC_ORDERS: dict = {}
+
+
+def _drop_eqc_orders(keys=None) -> None:
+    import shutil
+
+    for k in list(_EQC_ORDERS) if keys is None else list(keys):
+        shutil.rmtree(_EQC_ORDERS.pop(k), ignore_errors=True)
+
+
+def _eqc_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Once per (session, sf_dir): versioned `orders` carrying TWELVE
+    separate equality-tombstone commits on the same key column
+    (o_orderkey % 100 ∈ {0..11}) — the CDC steady-state read shape."""
+    import atexit
+    import tempfile
+
+    from ..sinks import versioned as V
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    t = _EQC_ORDERS.get(key)
+    if t is None:
+        _drop_eqc_orders([k for k in _EQC_ORDERS if k[0] != key[0]])
+        if not _EQC_ORDERS:
+            atexit.register(_drop_eqc_orders)
+        t = tempfile.mkdtemp(prefix="spark_graft_eqcorders_")
+        (orders,) = _t(spark, sf_dir, "orders")
+        V.write_snapshot(orders, t)
+        k_col = F.col("o_orderkey")
+        for j in range(12):
+            keys = [r[0] for r in orders.filter(k_col % 100 == j)
+                    .select("o_orderkey").collect()]
+            V.delete_where_keys(spark, t, "o_orderkey", keys)
+        _EQC_ORDERS[key] = t
+    return t
+
+
+@register(
+    "scale_eq_consolidated_read",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS rev,
+           TRUE AS plan_ok
+    FROM orders WHERE o_orderkey % 100 >= 12
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=["scale", "versioned", "equality-deletes"],
+)
+def scale_eq_consolidated_read(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Twelve same-column tombstone commits read back through ONE
+    consolidated key-set anti join (`sinks/versioned._eq_anti_all` —
+    plan depth O(|distinct key cols|), not O(|commits|); plan_ok
+    asserts exactly one LeftAnti in the optimized plan) and the result
+    hash-matches plain SQL excluding the same keys.  This is the
+    round-7 verdict's eq-entry-accumulation fix made driver-visible:
+    a CDC stream tombstoning every batch no longer grows the read
+    plan until compaction."""
+    from ..sinks import versioned as V
+
+    t = _eqc_orders(spark, sf_dir)
+    df = V.read_version(spark, t)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    plan_ok = plan.count("LeftAnti") == 1
+    return (df.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("rev"))
+            .withColumn("plan_ok", F.lit(bool(plan_ok)))
+            .orderBy("o_orderstatus"))
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics: burstiness, whole-doc co-occurrence PMI
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_burstiness_dispersion",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ), c AS (
+      SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    ), s AS (
+      SELECT term, COUNT(*) AS df, SUM(c) AS tot, SUM(c * c) AS sq
+      FROM c GROUP BY term
+    ), n AS (SELECT COUNT(*) AS nd FROM documents)
+    SELECT term, CAST(df AS BIGINT) AS df, CAST(tot AS BIGINT) AS tot,
+           CAST((nd * sq - tot * tot) * 1000000 // (nd * tot)
+                AS BIGINT) AS dispersion_ppm
+    FROM s CROSS JOIN n
+    ORDER BY tot DESC, term LIMIT 20
+    """,
+    tags=["text", "statistics", "burstiness"],
+)
+def text_burstiness_dispersion(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Term BURSTINESS for the 20 highest-mass terms: the
+    variance-to-mean ratio (index of dispersion) of per-document
+    counts over ALL documents, zeros included — Poisson-distributed
+    ("function-word-like") terms score ~1e6 ppm, bursty topical terms
+    far above; the standard corpus diagnostic for stopword-list and
+    keyword-weight decisions.  INTEGER-exact: dispersion_ppm =
+    (N·Σc² − (Σc)²)·10⁶ ÷ (N·Σc), no float anywhere.  One token
+    explode + two aggregations + a 1-row count frame — map-side heavy,
+    survives any corpus size."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    tok = (docs.select("doc_id",
+                       F.explode(F.split(F.trim("text"), r"\s+"))
+                       .alias("term"))
+           .filter(F.col("term") != ""))
+    c = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    s = c.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("tot"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"))
+    n = docs.agg(F.count(F.lit(1)).alias("nd"))
+    return (s.crossJoin(F.broadcast(n))
+            .select("term", F.col("df").cast("long").alias("df"),
+                    F.col("tot").cast("long").alias("tot"),
+                    F.expr("CAST((nd * sq - tot * tot) * 1000000 DIV "
+                           "(nd * tot) AS LONG)")
+                    .alias("dispersion_ppm"))
+            .orderBy(F.desc("tot"), "term").limit(20))
+
+
+@register(
+    "text_doc_cooccur_pmi",
+    oracle=r"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ), dfs AS (
+      SELECT term, COUNT(*) AS df FROM tok GROUP BY term
+    ), top AS (
+      SELECT term, df FROM dfs ORDER BY df DESC, term LIMIT 30
+    ), tt AS (
+      SELECT t.doc_id, t.term FROM tok t JOIN top USING (term)
+    ), pairs AS (
+      SELECT l.term AS a, r.term AS b, COUNT(*) AS n_ab
+      FROM tt l JOIN tt r ON l.doc_id = r.doc_id AND l.term < r.term
+      GROUP BY 1, 2
+    ), n AS (SELECT COUNT(*) AS nd FROM documents)
+    SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(n_ab * nd * 1000000 // (ta.df * tb.df) AS BIGINT)
+             AS pmi_ratio_ppm
+    FROM pairs JOIN top ta ON a = ta.term JOIN top tb ON b = tb.term
+    CROSS JOIN n
+    WHERE n_ab >= 5
+    ORDER BY pmi_ratio_ppm DESC, a, b LIMIT 15
+    """,
+    tags=["text", "statistics", "pmi"],
+)
+def text_doc_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document co-occurrence PMI for the 30 highest-DF terms:
+    pmi_ratio_ppm = P(a,b)/(P(a)·P(b)) in exact ppm (= n_ab·N·10⁶ ÷
+    (df_a·df_b)) — the association score behind topic-pair mining,
+    complementing `text_collocations_phrase` (ADJACENT bigrams) with
+    document-level association.  The candidate pair space is bounded
+    by the top-k vocabulary (≤ k²/2 per doc after the broadcast
+    semi-join), never |vocab|² — the only shape that survives a 100 TB
+    corpus."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    tok = (docs.select("doc_id",
+                       F.explode(F.split(F.trim("text"), r"\s+"))
+                       .alias("term"))
+           .filter(F.col("term") != "").distinct())
+    dfs = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    top = dfs.orderBy(F.desc("df"), "term").limit(30)
+    tt = tok.join(F.broadcast(top.select("term")), "term")
+    l = tt.select(F.col("doc_id"), F.col("term").alias("a"))
+    r = tt.select(F.col("doc_id"), F.col("term").alias("b"))
+    pairs = (l.join(r, (l["doc_id"] == r["doc_id"])
+                    & (F.col("a") < F.col("b")))
+             .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab")))
+    n = docs.agg(F.count(F.lit(1)).alias("nd"))
+    ta = top.select(F.col("term").alias("a"), F.col("df").alias("dfa"))
+    tb = top.select(F.col("term").alias("b"), F.col("df").alias("dfb"))
+    return (pairs.join(F.broadcast(ta), "a").join(F.broadcast(tb), "b")
+            .crossJoin(F.broadcast(n))
+            .filter(F.col("n_ab") >= 5)
+            .select("a", "b", F.col("n_ab").cast("long").alias("n_ab"),
+                    F.expr("CAST(n_ab * nd * 1000000 DIV (dfa * dfb) "
+                           "AS LONG)").alias("pmi_ratio_ppm"))
+            .orderBy(F.desc("pmi_ratio_ppm"), "a", "b").limit(15))
+
+
+@register(
+    "graph_cosupplier_pairs",
+    oracle="""
+    WITH os AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    )
+    SELECT l.l_suppkey AS s1, r.l_suppkey AS s2,
+           COUNT(*) AS n_shared_orders
+    FROM os l JOIN os r
+      ON l.l_orderkey = r.l_orderkey AND l.l_suppkey < r.l_suppkey
+    GROUP BY 1, 2
+    ORDER BY n_shared_orders DESC, s1, s2 LIMIT 20
+    """,
+    tags=["graph", "bipartite", "co-occurrence"],
+)
+def graph_cosupplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite co-occurrence projection: supplier pairs ranked by the
+    number of ORDERS they both supply — the supplier-affinity graph a
+    procurement analyst mines (same shape as product co-purchase).
+    The self-join is WITHIN-ORDER (each order has ≤ 7 line suppliers),
+    so candidate pairs are Σ per-order C(k,2), never |suppliers|² —
+    the bounded-blowup discipline every pairs query here follows."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    os_ = li.select("l_orderkey", "l_suppkey").distinct()
+    l = os_.select(F.col("l_orderkey"), F.col("l_suppkey").alias("s1"))
+    r = os_.select(F.col("l_orderkey"), F.col("l_suppkey").alias("s2"))
+    return (l.join(r, (l["l_orderkey"] == r["l_orderkey"])
+                   & (F.col("s1") < F.col("s2")))
+            .groupBy("s1", "s2")
+            .agg(F.count(F.lit(1)).alias("n_shared_orders"))
+            .orderBy(F.desc("n_shared_orders"), "s1", "s2").limit(20))
+
+
+# ---------------------------------------------------------------------------
+# events: peak concurrency, sliding distinct actives; orders: autocorr
+# ---------------------------------------------------------------------------
+
+@register(
+    "sess16_peak_minute_concurrency",
+    oracle="""
+    WITH m AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day,
+             date_trunc('minute', ts) AS minute, user_id
+      FROM events
+    ), per_min AS (
+      SELECT day, minute, COUNT(*) AS n_users
+      FROM m GROUP BY 1, 2
+    )
+    SELECT day, CAST(MAX(n_users) AS BIGINT) AS peak_users,
+           CAST(COUNT(*) AS BIGINT) AS n_active_minutes
+    FROM per_min GROUP BY day ORDER BY day
+    """,
+    tags=["sessions", "concurrency", "capacity"],
+)
+def sess16_peak_minute_concurrency(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Per-day PEAK CONCURRENCY: the busiest minute's distinct active
+    users (and how many minutes saw any activity) — the capacity-
+    planning number behind rate limits and autoscaling targets.
+    Distinct (day, minute, user) first (map-side dedup), then two
+    bounded aggregations — per-day output, no windows, no skew pivot
+    (the minute key spreads each day across the cluster)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    m = (ev.select(F.to_date("ts").alias("day"),
+                   F.date_trunc("minute", F.col("ts")).alias("minute"),
+                   "user_id").distinct())
+    per_min = (m.groupBy("day", "minute")
+               .agg(F.count(F.lit(1)).alias("n_users")))
+    return (per_min.groupBy("day")
+            .agg(F.max("n_users").cast("long").alias("peak_users"),
+                 F.count(F.lit(1)).cast("long")
+                 .alias("n_active_minutes"))
+            .orderBy("day"))
+
+
+@register(
+    "w8_sliding_distinct_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+    FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day ORDER BY d.day
+    """,
+    tags=["windows", "sliding", "distinct"],
+)
+def w8_sliding_distinct_users(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """7-day SLIDING distinct actives (rolling WAU) per observed day.
+    COUNT(DISTINCT) cannot ride a sliding window frame, so the
+    standard scale shape is used instead: dedup to (day, user) pairs
+    map-side, fan each pair out to the ≤ 7 window END-days it
+    contributes to (a bounded explode, not a range self-join), then
+    one distinct-count per day.  Shuffle volume is 7·|day-user pairs|
+    — independent of raw event count."""
+    (ev,) = _t(spark, sf_dir, "events")
+    du = (ev.select(F.to_date("ts").alias("day"), "user_id").distinct())
+    days = du.select("day").distinct()
+    fan = (du.select(
+        F.explode(F.expr("sequence(0, 6)")).alias("off"),
+        "day", "user_id")
+        .select(F.expr("date_add(day, off)").alias("day"), "user_id"))
+    return (fan.join(F.broadcast(days), "day")
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+            .orderBy("day"))
+
+
+@register(
+    "ts_autocorr_lag7_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) // 100000 AS x
+      FROM orders GROUP BY 1, 2
+    ), p AS (
+      SELECT a.pri, a.x AS x0, b.x AS x7
+      FROM daily a JOIN daily b
+        ON a.pri = b.pri AND b.day = a.day + 7
+    ), s AS (
+      SELECT pri, COUNT(*) AS n, SUM(x0) AS sx, SUM(x7) AS sy,
+             SUM(x0 * x7) AS sxy, SUM(x0 * x0) AS sxx,
+             SUM(x7 * x7) AS syy
+      FROM p GROUP BY pri
+    )
+    SELECT pri, CAST(n AS BIGINT) AS n_pairs,
+           CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS var0_num,
+           CAST(n * syy - sy * sy AS BIGINT) AS var7_num,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+             AS autocorr_r
+    FROM s ORDER BY pri
+    """,
+    tags=["timeseries", "autocorrelation", "seasonality"],
+)
+def ts_autocorr_lag7_revenue(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Lag-7 AUTOCORRELATION of daily revenue per order priority — the
+    weekly-seasonality strength test behind `ts_dow_seasonality_index`:
+    Pearson r between day t and day t+7 (exactly-7-days-apart pairs;
+    gap days drop the pair).  The covariance/variance NUMERATORS are
+    INTEGER-exact (daily revenue bucketed to 1000-dollar units keeps
+    n·Σx² within int64 at any sf); only the final r divides through
+    IEEE sqrt, identically on both engines.  One shuffle on (priority,
+    day), then a self-equi-join on day+7 — never a window over the
+    whole series."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = (orders.groupBy(F.col("o_orderpriority").alias("pri"),
+                            F.to_date("o_orderdate").alias("day"))
+             .agg(F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))"
+                         " * 100 AS BIGINT) DIV 100000").alias("x")))
+    a = daily.select("pri", "day", F.col("x").alias("x0"))
+    b = daily.select(F.col("pri").alias("pri2"),
+                     F.col("day").alias("day2"),
+                     F.col("x").alias("x7"))
+    p = a.join(b, (F.col("pri") == F.col("pri2"))
+               & (F.col("day2") == F.expr("date_add(day, 7)")))
+    s = p.groupBy("pri").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x0").alias("sx"),
+        F.sum("x7").alias("sy"),
+        F.sum(F.col("x0") * F.col("x7")).alias("sxy"),
+        F.sum(F.col("x0") * F.col("x0")).alias("sxx"),
+        F.sum(F.col("x7") * F.col("x7")).alias("syy"))
+    return (s.select(
+        "pri", F.col("n").cast("long").alias("n_pairs"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("long").alias("cov_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("long").alias("var0_num"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("long").alias("var7_num"))
+        .withColumn("autocorr_r", F.round(
+            F.col("cov_num").cast("double")
+            / F.sqrt(F.col("var0_num").cast("double")
+                     * F.col("var7_num").cast("double")), 6))
+        .orderBy("pri"))
+
+
+# ---------------------------------------------------------------------------
+# real image-metadata decode + pricing correlation
+# ---------------------------------------------------------------------------
+
+def _mk_png_gray(w: int, h: int) -> bytes:
+    """Minimal valid 8-bit grayscale PNG (filter-0 rows) — decodable by
+    the pure-Python real path (`operators/multimodal._decode_png_pure`)."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes((x * 7 + y * 13) % 256
+                                   for x in range(w))
+                   for y in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def _mk_jpeg_hdr(w: int, h: int) -> bytes:
+    """Minimal JPEG marker stream (SOI + SOF0 + EOI) — the metadata
+    plane `operators/multimodal._decode_jpeg_pure` parses."""
+    import struct
+
+    sof_payload = (b"\x08" + struct.pack(">HH", h, w) + b"\x03"
+                   + b"".join(bytes([i + 1, 0x11, 0])
+                              for i in range(3)))
+    return (b"\xff\xd8" + b"\xff\xc0"
+            + struct.pack(">H", 2 + len(sof_payload)) + sof_payload
+            + b"\xff\xd9")
+
+
+@register(
+    "mm_real_decode_mixed",
+    oracle="""
+    WITH i AS (SELECT UNNEST(range(0, 60)) AS i)
+    SELECT CASE WHEN i % 2 = 0 THEN 'image/png'
+                ELSE 'image/jpeg' END AS mime,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN i % 2 = 0 THEN 4 + i % 9
+                         ELSE 100 + i END) AS BIGINT) AS sum_w,
+           CAST(SUM(CASE WHEN i % 2 = 0 THEN 3 + i % 7
+                         ELSE 50 + i % 11 END) AS BIGINT) AS sum_h
+    FROM i GROUP BY 1 ORDER BY 1
+    """,
+    tags=["multimodal", "decode", "metadata"],
+)
+def mm_real_decode_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-metadata decode through the Arrow batch path: 60
+    synthesized assets — genuine zlib-compressed PNGs and JPEG SOF
+    marker streams with arithmetically-known dimensions — run through
+    `operators/multimodal.extract_features` (mapInPandas), and the
+    decoded width/height sums must match the generating arithmetic the
+    oracle recomputes.  A decoder falling back to the hash stub (or
+    mis-parsing a marker) lands on pseudo-random dimensions and flips
+    the hash — this pins the real path AS the executed path for both
+    dominant image formats."""
+    from ..operators import multimodal as mm
+
+    rows = []
+    for i in range(60):
+        if i % 2 == 0:
+            w, h = 4 + i % 9, 3 + i % 7
+            rows.append((i, "image", bytearray(_mk_png_gray(w, h)),
+                         "image/png"))
+        else:
+            w, h = 100 + i, 50 + i % 11
+            rows.append((i, "image", bytearray(_mk_jpeg_hdr(w, h)),
+                         "image/jpeg"))
+    assets = spark.createDataFrame(rows, mm.ASSET_SCHEMA)
+    feats = mm.extract_features(assets)
+    mime = (F.when(F.col("asset_id") % 2 == 0, "image/png")
+            .otherwise("image/jpeg"))
+    return (feats.withColumn("mime", mime)
+            .groupBy("mime")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("width").cast("long").alias("sum_w"),
+                 F.sum("height").cast("long").alias("sum_h"))
+            .orderBy("mime"))
+
+
+@register(
+    "part_discount_qty_corr",
+    oracle="""
+    WITH x AS (
+      SELECT p.p_brand,
+             CAST(l.l_quantity AS BIGINT) AS q,
+             CAST(ROUND(l.l_discount * 100) AS BIGINT) AS d
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), s AS (
+      SELECT p_brand, COUNT(*) AS n, SUM(q) AS sq, SUM(d) AS sd,
+             SUM(q * d) AS sqd, SUM(q * q) AS sqq, SUM(d * d) AS sdd
+      FROM x GROUP BY p_brand
+    )
+    SELECT p_brand, CAST(n AS BIGINT) AS n,
+           CAST(n * sqd - sq * sd AS BIGINT) AS cov_num,
+           ROUND(CAST(n * sqd - sq * sd AS DOUBLE)
+                 / sqrt(CAST(n * sqq - sq * sq AS DOUBLE)
+                        * CAST(n * sdd - sd * sd AS DOUBLE)), 6)
+             AS corr_r
+    FROM s ORDER BY p_brand
+    """,
+    tags=["commerce", "correlation", "pricing"],
+)
+def part_discount_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-discount CORRELATION per brand — the volume-discount
+    sanity check a pricing analyst runs: Pearson r between line
+    quantity and discount (hundredths), with the covariance NUMERATOR
+    integer-exact and only the final r passing through IEEE sqrt
+    (identical on both engines).  Broadcast join on the part dim, one
+    shuffle on brand — the canonical fact-to-dim correlation plan."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    x = (li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                 li["l_partkey"] == F.col("p_partkey"))
+         .select("p_brand",
+                 F.col("l_quantity").cast("long").alias("q"),
+                 F.round(F.col("l_discount") * 100).cast("long")
+                 .alias("d")))
+    s = x.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("q").alias("sq"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("q") * F.col("d")).alias("sqd"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"))
+    cov = F.col("n") * F.col("sqd") - F.col("sq") * F.col("sd")
+    vq = F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq")
+    vd = F.col("n") * F.col("sdd") - F.col("sd") * F.col("sd")
+    return (s.select(
+        "p_brand", F.col("n").cast("long").alias("n"),
+        cov.cast("long").alias("cov_num"),
+        F.round(cov.cast("double")
+                / F.sqrt(vq.cast("double") * vd.cast("double")), 6)
+        .alias("corr_r"))
+        .orderBy("p_brand"))

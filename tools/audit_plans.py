@@ -60,6 +60,8 @@ ALLOWED_FLAGS: dict[str, set[str]] = {
     "prof_decile_lift_totalprice": {"bnl-join"},  # 1-row cents-total frame
     "basket_brand_pairs_lift": {"bnl-join"},  # 1-row basket-count frame
     "rfm_segment_grid": {"bnl-join"},        # 1-row recency-anchor frame
+    "text_burstiness_dispersion": {"bnl-join"},  # 1-row doc-count frame
+    "text_doc_cooccur_pmi": {"bnl-join"},    # 1-row doc-count frame
 }
 
 BOUNDED_WINDOW_NOTE = """
