@@ -59,6 +59,9 @@ HEADLINERS = [
     "scale_hidden_partition_read",  # transform-pruned partitioned read
     "scale_eq_delete_read",      # equality-delete read (value anti join)
     "scale_update_mor_read",     # MOR UPDATE read (DV + update append)
+    "scale_cdf_incremental",     # manifest-derived CDF (round-8)
+    "scale_eq_consolidated_read",  # 12 tombstone commits, 1 anti join
+    "scale_bucket_join_read",    # bucket-aligned shuffle-free join
 ]
 
 TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
@@ -86,6 +89,9 @@ TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
     "scale_hidden_partition_read": "orders",
     "scale_eq_delete_read": "orders",
     "scale_update_mor_read": "orders",
+    "scale_cdf_incremental": "orders",
+    "scale_eq_consolidated_read": "orders",
+    "scale_bucket_join_read": "orders",
 }
 
 # the heavy shapes probed one decade PAST the bench SF, on the locally
@@ -118,6 +124,12 @@ SF1_QUERIES = [
     # converge to the plain-read slope as SF grows
     "scale_eq_delete_read",
     "scale_update_mor_read",
+    # round-8 MOR/CDF shapes: the incremental diff must stay
+    # O(changed files) as the table grows, and the consolidated
+    # tombstone read must hold the plain-read slope with 12 entries
+    # outstanding.  (bucket join needs `customer`, absent at sf1.)
+    "scale_cdf_incremental",
+    "scale_eq_consolidated_read",
 ]
 
 
