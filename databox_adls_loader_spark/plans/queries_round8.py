@@ -828,3 +828,77 @@ def part_discount_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sqrt(vq.cast("double") * vd.cast("double")), 6)
         .alias("corr_r"))
         .orderBy("p_brand"))
+
+
+# ---------------------------------------------------------------------------
+# streaming change feed: per-commit insert/delete rows out of the table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scale_cdf_stream_read",
+    oracle="""
+    WITH ch AS (
+      SELECT 'delete' AS t, 3 AS v, o_orderkey AS k, o_totalprice AS p
+      FROM orders WHERE o_orderkey < 600
+      UNION ALL
+      SELECT 'delete', 4, o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey >= 600 AND o_orderkey < 1200
+      UNION ALL
+      SELECT 'insert', 4, o_orderkey, o_totalprice + 5.0
+      FROM orders WHERE o_orderkey >= 600 AND o_orderkey < 1200
+      UNION ALL
+      SELECT 'delete', 5, o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey >= 1200 AND o_orderkey < 1800
+        AND o_orderkey % 7 = 0
+      UNION ALL
+      SELECT 'insert', 6, -o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey % 1009 = 0 AND o_orderkey <> 0
+    )
+    SELECT t AS _change_type, v AS _commit_version,
+           COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS rev
+    FROM ch GROUP BY 1, 2 ORDER BY 2, 1
+    """,
+    tags=["scale", "versioned", "cdf", "streaming"],
+)
+def scale_cdf_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING change data feed (`sources/vtable_stream` with
+    ``readchangefeed=true``): tail the same merge-on-read window the
+    incremental batch CDF diffs (`scale_cdf_incremental` — shared
+    fixture), but as a Structured Streaming source emitting per-commit
+    rows tagged ``_change_type``/``_commit_version`` — the position
+    delete streams as deletes@v3, the MOR UPDATE unpacks to
+    delete(old)+insert(new)@v4, equality tombstones as deletes@v5, the
+    append as inserts@v6 — and the aggregate must hash-match plain SQL
+    reconstructing every commit from raw orders.  Executor tasks get
+    one file + its overlay deltas and decode newly-dead rows with
+    numpy run-membership / arrow is_in — the driver plans from manifest
+    JSON only, and the stream drains to a parquet stage, so nothing
+    row-sized ever crosses the driver."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..sources.vtable_stream import register_vtable_stream
+
+    t, v_base, _ = _cdf_orders(spark, sf_dir)
+    register_vtable_stream(spark)
+    work = tempfile.mkdtemp(prefix="spark_graft_cdfstream_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    stage, ck = f"{work}/stage", f"{work}/ck"
+    q = (spark.readStream.format("vtable_stream")
+         .option("path", t).option("readchangefeed", "true")
+         .option("startingversion", str(v_base))
+         .load()
+         .writeStream.format("parquet").option("path", stage)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    ch = spark.read.parquet(stage)
+    return (ch.groupBy("_change_type", "_commit_version")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("o_orderkey").cast("long").alias("key_sum"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("rev"))
+            .orderBy("_commit_version", "_change_type"))

@@ -502,3 +502,123 @@ class TestVTableStreamSchemePortability:
              .trigger(availableNow=True).start())
         q.awaitTermination(120)
         assert set(rows) == {(1, "a"), (2, "b")}
+
+
+class TestVTableCDFStream:
+    """Round-8: change-feed mode of the stream source
+    (`.option("readchangefeed","true")`) — per-commit insert/delete rows
+    with _change_type/_commit_version, MOR overlays decoded executor-side
+    (numpy run membership + arrow is_in), never a full-table diff."""
+
+    def _write(self, spark, t, rows):
+        from databox_adls_loader_spark.sinks import versioned as V
+        return V.write_snapshot(
+            spark.createDataFrame(rows, "k long, v string").coalesce(1), t)
+
+    def _drain(self, spark, t, ck, **opts):
+        from databox_adls_loader_spark.sources.vtable_stream import \
+            register_vtable_stream
+
+        register_vtable_stream(spark)
+        rows: list = []
+        reader = (spark.readStream.format("vtable_stream")
+                  .option("path", t).option("readchangefeed", "true"))
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (reader.load().writeStream
+             .foreachBatch(lambda df, bid:
+                           rows.extend(tuple(r) for r in df.collect()))
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return rows
+
+    def test_inserts_position_and_equality_deletes(self, spark, tmp_path):
+        from databox_adls_loader_spark.sinks import versioned as V
+
+        t, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+        self._write(spark, t, [(k, f"r{k}") for k in range(1, 11)])  # v1
+        V.delete_where(spark, t, "k <= 3")                           # v2
+        V.delete_where_keys(spark, t, "k", [5, 6])                   # v3
+        self._write(spark, t, [(11, "r11"), (12, "r12")])            # v4
+        got = self._drain(spark, t, ck)
+        ins = {(r[0], r[3]) for r in got if r[2] == "insert"}
+        dels = {(r[0], r[3]) for r in got if r[2] == "delete"}
+        assert ins == {(k, 1) for k in range(1, 11)} | {(11, 4), (12, 4)}
+        assert dels == {(1, 2), (2, 2), (3, 2), (5, 3), (6, 3)}
+        # delete rows carry the OLD image's values
+        assert {(r[0], r[1]) for r in got if r[2] == "delete"} == \
+            {(k, f"r{k}") for k in (1, 2, 3, 5, 6)}
+
+    def test_mor_update_streams_as_delete_plus_insert(self, spark,
+                                                      tmp_path):
+        from databox_adls_loader_spark.sinks import versioned as V
+
+        t, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+        self._write(spark, t, [(k, f"r{k}") for k in range(1, 6)])   # v1
+        V.update_where(spark, t, "k <= 2", {"v": "concat(v, '!')"})  # v2
+        got = self._drain(spark, t, ck)
+        v2 = {(r[0], r[1], r[2]) for r in got if r[3] == 2}
+        assert v2 == {(1, "r1", "delete"), (2, "r2", "delete"),
+                      (1, "r1!", "insert"), (2, "r2!", "insert")}
+
+    def test_second_delete_never_reemits_dead_rows(self, spark, tmp_path):
+        from databox_adls_loader_spark.sinks import versioned as V
+
+        t, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+        self._write(spark, t, [(k, f"r{k}") for k in range(1, 8)])
+        V.delete_where(spark, t, "k <= 3")                           # v2
+        V.delete_where(spark, t, "k <= 5")                           # v3
+        V.delete_where_keys(spark, t, "k", [6])                      # v4
+        V.delete_where_keys(spark, t, "k", [6, 7])                   # v5
+        got = self._drain(spark, t, ck)
+        dels = sorted((r[0], r[3]) for r in got if r[2] == "delete")
+        assert dels == [(1, 2), (2, 2), (3, 2), (4, 3), (5, 3),
+                        (6, 4), (7, 5)]
+
+    def test_checkpoint_resume_is_exactly_once(self, spark, tmp_path):
+        from databox_adls_loader_spark.sinks import versioned as V
+
+        t, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+        self._write(spark, t, [(1, "a"), (2, "b")])
+        got = self._drain(spark, t, ck)
+        assert {r[2] for r in got} == {"insert"}
+        V.delete_where(spark, t, "k = 1")
+        got2 = self._drain(spark, t, ck)
+        assert [(r[0], r[2]) for r in got2] == [(1, "delete")]
+
+    def test_rewrite_commit_refused_then_skippable(self, spark, tmp_path):
+        import pytest
+        from pyspark.errors import StreamingQueryException
+
+        from databox_adls_loader_spark.sinks import versioned as V
+
+        t = str(tmp_path / "t")
+        self._write(spark, t, [(1, "a"), (2, "b")])
+        V.compact_snapshot(spark, t, n_files=1)         # rewrite commit
+        with pytest.raises(StreamingQueryException,
+                           match="rewrite|removed"):
+            self._drain(spark, t, str(tmp_path / "ck1"))
+        got = self._drain(spark, t, str(tmp_path / "ck2"),
+                          ignorechanges="true")
+        # v1 inserts stream; the rewrite commit is skipped wholesale
+        assert {(r[0], r[2], r[3]) for r in got} == \
+            {(1, "insert", 1), (2, "insert", 1)}
+
+    def test_renamed_table_streams_logical_names(self, spark, tmp_path):
+        from databox_adls_loader_spark.sinks import versioned as V
+
+        t, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+        self._write(spark, t, [(1, "a")])
+        V.rename_column(t, "v", "label")                 # v2: rename
+        V.delete_where(spark, t, "k = 1")                # v3
+        got = self._drain(spark, t, ck)
+        from databox_adls_loader_spark.sources.vtable_stream import \
+            register_vtable_stream
+        register_vtable_stream(spark)
+        sch = (spark.readStream.format("vtable_stream").option("path", t)
+               .option("readchangefeed", "true").load()).schema
+        assert [f.name for f in sch.fields] == \
+            ["k", "label", "_change_type", "_commit_version"]
+        assert {(r[0], r[1], r[2]) for r in got} == \
+            {(1, "a", "insert"), (1, "a", "delete")}
