@@ -902,3 +902,127 @@ def scale_cdf_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                  .cast("double").alias("rev"))
             .orderBy("_commit_version", "_change_type"))
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read CDC: a steady upsert+delete feed that never rewrites a file
+# ---------------------------------------------------------------------------
+
+_CDC_MOR: dict = {}
+
+
+def _drop_cdc_mor(keys=None) -> None:
+    import shutil
+
+    for k in list(_CDC_MOR) if keys is None else list(keys):
+        shutil.rmtree(_CDC_MOR.pop(k)[0], ignore_errors=True)
+
+
+def _cdc_mor_orders(spark: SparkSession, sf_dir: str) -> tuple[str, bool]:
+    """Once per (session, sf_dir): versioned `orders` (8 key-clustered
+    files), then TWO CDC batches applied with ``mode="mor"`` —
+    b0 deletes keys ≡0 (mod 101) and updates keys ≡0 (mod 103, not
+    deleted) to status 'M'/+7.00; b1 re-updates the mod-5 subset of
+    those to 'M2'/+9.00 (images built from RAW orders — CDC full-row
+    semantics) and inserts negated-key rows for keys ≡0 (mod 997).
+    mor_ok asserts the merge-on-read contract held: every post-base
+    manifest is a superset of its parent (NO file was rewritten) and
+    the incremental CDF derivation engages across the whole window."""
+    import atexit
+    import tempfile
+
+    from ..sinks import cdc as C
+    from ..sinks import versioned as V
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _CDC_MOR.get(key)
+    if got is None:
+        _drop_cdc_mor([k for k in _CDC_MOR if k[0] != key[0]])
+        if not _CDC_MOR:
+            atexit.register(_drop_cdc_mor)
+        t = tempfile.mkdtemp(prefix="spark_graft_cdcmor_")
+        (orders,) = _t(spark, sf_dir, "orders")
+        V.write_snapshot(orders, t)
+        V.compact_snapshot(spark, t, n_files=8, cluster_by=["o_orderkey"])
+        v_base = V.latest_version(t)
+        k = F.col("o_orderkey")
+        dels0 = (orders.filter(k % 101 == 0).select(*orders.columns)
+                 .withColumn("op", F.lit("d")).withColumn("seq", F.lit(1)))
+        ups0 = (orders.filter((k % 103 == 0) & (k % 101 != 0))
+                .withColumn("o_orderstatus", F.lit("M"))
+                .withColumn("o_totalprice", F.col("o_totalprice") + 7.0)
+                .withColumn("op", F.lit("u")).withColumn("seq", F.lit(1)))
+        C.apply_cdc_batch(dels0.unionByName(ups0), t, key="o_orderkey",
+                          seq_col="seq", batch_id=0, mode="mor")
+        ups1 = (orders.filter((k % 103 == 0) & (k % 101 != 0)
+                              & (k % 5 == 0))
+                .withColumn("o_orderstatus", F.lit("M2"))
+                .withColumn("o_totalprice", F.col("o_totalprice") + 9.0)
+                .withColumn("op", F.lit("u")).withColumn("seq", F.lit(2)))
+        ins1 = (orders.filter((k % 997 == 0) & (k != 0))
+                .withColumn("o_orderkey", -k)
+                .select(*orders.columns)
+                .withColumn("op", F.lit("i")).withColumn("seq", F.lit(2)))
+        C.apply_cdc_batch(ups1.unionByName(ins1), t, key="o_orderkey",
+                          seq_col="seq", batch_id=1, mode="mor")
+        v_to = V.latest_version(t)
+        mor_ok = True
+        prev = set(V._read_manifest(t, v_base))
+        for v in range(v_base + 1, v_to + 1):
+            cur = set(V._read_manifest(t, v))
+            mor_ok = mor_ok and prev <= cur
+            prev = cur
+        mor_ok = mor_ok and (V._changes_incremental(
+            spark, t, v_base, v_to, "o_orderkey") is not None)
+        got = (t, bool(mor_ok))
+        _CDC_MOR[key] = got
+    return got
+
+
+@register(
+    "scale_cdc_mor_read",
+    oracle="""
+    WITH state AS (
+      SELECT CASE WHEN o_orderkey % 103 = 0 AND o_orderkey % 5 = 0
+                  THEN 'M2'
+                  WHEN o_orderkey % 103 = 0 THEN 'M'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 103 = 0 AND o_orderkey % 5 = 0
+                  THEN o_totalprice + 9.0
+                  WHEN o_orderkey % 103 = 0 THEN o_totalprice + 7.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 101 <> 0
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 997 = 0 AND o_orderkey <> 0
+    )
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS rev,
+           TRUE AS mor_ok
+    FROM state GROUP BY 1 ORDER BY 1
+    """,
+    tags=["scale", "versioned", "cdc", "merge-on-read"],
+)
+def scale_cdc_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A multi-batch CDC feed applied MERGE-ON-READ
+    (`sinks/cdc.apply_cdc_batch(mode="mor")` → `versioned.upsert_mor`:
+    each upsert batch is ONE commit holding an equality tombstone plus
+    the appended images — the Iceberg streaming-upsert shape) and then
+    READ: the final state must hash-match plain SQL computing the same
+    delete/update/re-update/insert sequence over raw orders.  mor_ok
+    asserts what makes this the 100 TB CDC steady state: NO data file
+    was ever rewritten (manifests only grow) and the manifest-derived
+    incremental CDF engages across the whole window — the copy-on-write
+    path (scale_cdc_apply_read) rewrites key-matched files and forces
+    the diff back to a full-table join."""
+    from ..sinks import versioned as V
+
+    t, mor_ok = _cdc_mor_orders(spark, sf_dir)
+    df = V.read_version(spark, t)
+    return (df.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("rev"))
+            .withColumn("mor_ok", F.lit(bool(mor_ok)))
+            .orderBy("o_orderstatus"))

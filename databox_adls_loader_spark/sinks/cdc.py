@@ -68,15 +68,23 @@ def collapse_changes(batch_df: DataFrame, key: str, op_col: str = "op",
 
 def apply_cdc_batch(batch_df: DataFrame, table_dir: str, key: str,
                     op_col: str = "op", seq_col: str | None = None,
-                    batch_id: int | None = None) -> dict:
+                    batch_id: int | None = None,
+                    mode: str = "cow") -> dict:
     """Apply one CDC (micro-)batch to the versioned table at
     ``table_dir``: collapse to the latest change per key, then
 
       * DELETES land as an equality tombstone
         (`versioned.delete_where_keys` — no data scan, sequence
         semantics make a later re-insert of the key live again);
-      * UPSERTS land as a scoped MERGE
-        (`versioned.merge_into_snapshot` — O(touched files) rewrite).
+      * UPSERTS land per ``mode``:
+        - ``"cow"`` (default): scoped MERGE
+          (`versioned.merge_into_snapshot` — O(touched files) rewrite;
+          read-optimized: the table stays overlay-free);
+        - ``"mor"``: `versioned.upsert_mor` — one commit of an
+          equality tombstone + appended images; NO file is read or
+          rewritten, so a steady CDC feed stays on the change-feed
+          stream's and incremental diff's fast paths (write-optimized;
+          readers pay the anti-join overlay until compaction).
 
     After collapsing, the two key sets are disjoint, so the two
     commits are order-independent; deletes go first so a crash between
@@ -99,6 +107,8 @@ def apply_cdc_batch(batch_df: DataFrame, table_dir: str, key: str,
     accumulates eq-delete entries — schedule `compact_snapshot` /
     `compact_small_files` to materialize them (readers pay one
     broadcast anti join per entry batch until then)."""
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be cow|mor, got {mode!r}")
     spark = batch_df.sparkSession
     latest = collapse_changes(batch_df, key, op_col, seq_col)
     op = F.lower(F.col(op_col))
@@ -142,6 +152,9 @@ def apply_cdc_batch(batch_df: DataFrame, table_dir: str, key: str,
             if V.latest_version(table_dir) is None:
                 # bootstrap: the first upsert batch IS the table
                 v = V.write_snapshot(ups, table_dir, batch_ids=ids)
+            elif mode == "mor":
+                v = V.upsert_mor(spark, table_dir, ups, key,
+                                 batch_ids=ids)
             else:
                 v = V.merge_into_snapshot(spark, table_dir, ups, key,
                                           batch_ids=ids)

@@ -1971,7 +1971,8 @@ def write_snapshot(df: DataFrame, table_dir: str,
                    mode: str = "append", bloom_cols=None,
                    checks: list[str] | None = None,
                    partition_by: list[str] | None = None,
-                   batch_ids: set[int] | None = None) -> int:
+                   batch_ids: set[int] | None = None,
+                   tombstone_key: str | None = None) -> int:
     """Commit ``df`` as a new snapshot; returns the new version number.
 
     ``append`` keeps the previous version's files in the new manifest;
@@ -1998,6 +1999,9 @@ def write_snapshot(df: DataFrame, table_dir: str,
     job — it collapses by key)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if tombstone_key is not None and mode != "append":
+        raise ValueError("tombstone_key is an append-mode upsert "
+                         "(overwrite already replaces everything)")
     if bloom_cols is None:
         bloom_cols = table_bloom_cols(table_dir)
     if checks is None:
@@ -2028,6 +2032,44 @@ def write_snapshot(df: DataFrame, table_dir: str,
     stored_schema = table_schema(table_dir) if mode == "append" else None
     merged_schema = _merge_append_schema(
         stored_schema, _logical_to_physical(df, cmap0).schema)
+    eq_entry = None
+    if tombstone_key is not None and latest_version(table_dir) is not None:
+        # MERGE-ON-READ UPSERT (the Iceberg streaming-upsert shape: an
+        # equality-delete file and the new data files share ONE
+        # snapshot): current images of the batch's keys are tombstoned
+        # BY KEY and the batch appends as fresh files — no data file is
+        # read or rewritten, and the entry's applies_to (fixed at commit
+        # time to the files that predate it) keeps the appended images
+        # alive.  NULL keys append un-tombstoned (IN-semantics, as in
+        # `delete_where_keys`).
+        pcol = _to_physical(cmap0, tombstone_key)
+        ptype = {f.name: f.dataType
+                 for f in merged_schema.fields}.get(pcol)
+        if ptype is None:
+            raise ValueError(f"unknown tombstone_key {tombstone_key!r} "
+                             f"(physical {pcol!r}) in {table_dir}")
+        dup = (df.groupBy(tombstone_key).count()
+               .filter(F.col("count") > 1).limit(1).count())
+        if dup:
+            raise ValueError(
+                "tombstone_key upsert: batch has multiple rows for a "
+                "key — collapse first (cdc.collapse_changes)")
+        st = _st(table_dir, df.sparkSession)
+        cur0 = latest_version(table_dir)
+        out = st.canon(st.join(table_dir, "eqdeletes",
+                               f"e{cur0 + 1:05d}-{uuid.uuid4().hex[:8]}"))
+        (df.select(F.col(tombstone_key).cast(ptype).alias("__val"))
+           .where(F.col("__val").isNotNull()).distinct()
+           .coalesce(1).write.mode("error").parquet(out))
+        eq_files = sorted(st.canon(p) for p in
+                          st.list_glob(st.join(out, "part-*.parquet")))
+        n_keys = df.sparkSession.read.parquet(*eq_files).count()
+        if n_keys:
+            eq_entry = {"files": eq_files, "col": pcol,
+                        "rows": int(n_keys)}
+        else:
+            for p in eq_files:
+                st.delete(p)
     tag = f"b{(latest_version(table_dir) or 0) + 1:05d}"
     new_parts: dict[str, list] | None = None
     if spec:
@@ -2049,7 +2091,35 @@ def write_snapshot(df: DataFrame, table_dir: str,
         partition_spec=spec if partition_by is not None
         or mode == "overwrite" else None,
         new_partitions=new_parts,
-        schema=merged_schema.jsonValue())
+        schema=merged_schema.jsonValue(),
+        eq_entry=eq_entry)
+
+
+def upsert_mor(spark: SparkSession, table_dir: str, df: DataFrame,
+               key: str, batch_ids: set[int] | None = None) -> int:
+    """MERGE-ON-READ UPSERT: one commit holding an equality-delete
+    entry on ``key`` (tombstoning the current images of the batch's
+    keys) plus the batch as appended data files — the Iceberg
+    streaming-upsert shape (equality-delete file + data files sharing a
+    snapshot's sequence number).  Returns the new version.
+
+    Against `merge_into_snapshot` (copy-on-write): NO data file is
+    read or rewritten — cost is O(|batch|) write + O(|keys|) tombstone
+    however large the table — and because the manifest only ever GROWS
+    inside the commit, the change-feed stream
+    (`sources/vtable_stream`, readchangefeed) and the incremental diff
+    (`changes_between(incremental=True)`) both stay on their
+    O(changed-data) fast paths, where a CoW MERGE forces the stream to
+    refuse and the diff to fall back to a full-table join.  The price
+    is read-side: one broadcast anti join per outstanding entry until
+    compaction materializes them (`maintenance.table_health` flags the
+    buildup; same-column entries consolidate into one join at read).
+
+    Batch contract: at most one row per key (raise otherwise —
+    `cdc.collapse_changes` first); NULL keys append un-tombstoned."""
+    del spark  # bound via df.sparkSession; kept for API symmetry
+    return write_snapshot(df, table_dir, batch_ids=batch_ids,
+                          tombstone_key=key)
 
 
 def commit_data_files(table_dir: str, new_files: list[str], mode: str,
@@ -2058,7 +2128,8 @@ def commit_data_files(table_dir: str, new_files: list[str], mode: str,
                       batch_ids: set[int] | None = None,
                       partition_spec: list[str] | None = None,
                       new_partitions: dict[str, list] | None = None,
-                      schema: dict | None = None) -> int | None:
+                      schema: dict | None = None,
+                      eq_entry: dict | None = None) -> int | None:
     """Rebase-retry manifest commit of ALREADY-WRITTEN data files — the
     shared tail of `write_snapshot` and the DSv2 writer
     (`sources/vtable_batch.VTableWriter`).  Optimistic-concurrency
@@ -2083,8 +2154,17 @@ def commit_data_files(table_dir: str, new_files: list[str], mode: str,
         cmap: dict[str, str] = {}
         dropped: list[str] = []
         sch = schema
+        eq_del: list[dict] | None = None
         if mode == "append" and cur is not None:
-            files = _read_manifest(table_dir, cur) + new_files
+            prior_files = _read_manifest(table_dir, cur)
+            if eq_entry is not None:
+                # MOR upsert: the tombstone applies to the files that
+                # PRECEDE this commit — recomputed per rebase iteration
+                # so a concurrent append's files are correctly covered
+                # (its images of the same keys predate this upsert)
+                eq_del = table_eq_deletes(table_dir, cur) + [
+                    {**eq_entry, "applies_to": sorted(prior_files)}]
+            files = prior_files + new_files
             stats = {**_inherited_stats(table_dir, cur), **new_stats}
             # carried files keep their merge-on-read delete state; the
             # appended files are delete-free by construction
@@ -2110,7 +2190,8 @@ def commit_data_files(table_dir: str, new_files: list[str], mode: str,
                     column_map=cmap, dropped_cols=dropped,
                     partition_spec=partition_spec,
                     partitions=new_partitions,
-                    schema=sch)
+                    schema=sch,
+                    eq_deletes=eq_del)
             return new_version
         except ConcurrentCommitError:
             continue

@@ -240,3 +240,129 @@ def test_collapse_equal_seq_upserts_deterministic(spark, tmp_path):
         assert len(got) == 1 and got[0]["seq"] == 5
         winners.add(got[0]["s"])
     assert len(winners) == 1
+
+
+# ---------------------------------------------------------------------------
+# round-8: merge-on-read CDC apply (mode="mor") and the CDC-in → CDF-out loop
+# ---------------------------------------------------------------------------
+
+
+def test_upsert_mor_single_commit_no_rewrite(spark, tmp_path):
+    t = str(tmp_path / "t")
+    V.write_snapshot(spark.createDataFrame(
+        [(k, f"r{k}") for k in range(1, 6)], "k long, v string")
+        .coalesce(1), t)
+    v = V.upsert_mor(spark, t, spark.createDataFrame(
+        [(2, "R2"), (9, "r9")], "k long, v string").coalesce(1), "k")
+    assert v == 2                                     # ONE commit
+    assert _rows(spark, t) == {(1, "r1"), (2, "R2"), (3, "r3"),
+                               (4, "r4"), (5, "r5"), (9, "r9")}
+    # every v1 data file survives (no copy-on-write), one eq entry whose
+    # applies_to excludes the appended images (sequence semantics)
+    f1, f2 = set(V._read_manifest(t, 1)), set(V._read_manifest(t, 2))
+    assert f1 <= f2
+    (entry,) = V.table_eq_deletes(t)
+    assert set(entry["applies_to"]) == f1
+
+
+def test_upsert_mor_duplicate_keys_refused(spark, tmp_path):
+    t = str(tmp_path / "t")
+    V.write_snapshot(spark.createDataFrame(
+        [(1, "a")], "k long, v string"), t)
+    with pytest.raises(ValueError, match="collapse"):
+        V.upsert_mor(spark, t, spark.createDataFrame(
+            [(1, "x"), (1, "y")], "k long, v string"), "k")
+
+
+def test_apply_cdc_mor_mode_matches_cow(spark, tmp_path):
+    """Same CDC feed through both modes → identical table contents;
+    the MOR table never rewrites a committed file."""
+    feed = [
+        [(1, "a", "c", 1), (2, "b", "c", 1), (3, "c", "c", 1)],
+        [(1, "A", "u", 2), (2, None, "d", 2), (4, "d4", "i", 2)],
+        [(4, "D4", "u", 3), (3, None, "d", 3), (5, "e5", "c", 3)],
+    ]
+    tc, tm = str(tmp_path / "cow"), str(tmp_path / "mor")
+    for b, rows in enumerate(feed):
+        C.apply_cdc_batch(_batch(spark, rows), tc, key="id",
+                          seq_col="seq", batch_id=b)
+        C.apply_cdc_batch(_batch(spark, rows), tm, key="id",
+                          seq_col="seq", batch_id=b, mode="mor")
+    assert _rows(spark, tc) == _rows(spark, tm) == \
+        {(1, "A"), (4, "D4"), (5, "e5")}
+    # MOR: manifests only ever grow
+    prev: set = set()
+    for v in V.versions(tm):
+        cur = set(V._read_manifest(tm, v))
+        assert prev <= cur
+        prev = cur
+    # replay of the last batch is a no-op in both modes
+    out = C.apply_cdc_batch(_batch(spark, feed[-1]), tm, key="id",
+                            seq_col="seq", batch_id=2, mode="mor")
+    assert set(out["skipped"]) == {"deletes", "upserts"}
+    assert _rows(spark, tm) == {(1, "A"), (4, "D4"), (5, "e5")}
+
+
+def test_cdc_mor_window_stays_incremental(spark, tmp_path):
+    """The whole point of mode="mor": after any number of CDC batches,
+    changes_between(incremental=True) still derives from manifests."""
+    t = str(tmp_path / "t")
+    C.apply_cdc_batch(_batch(spark, [(k, f"r{k}", "c", 1)
+                                     for k in range(1, 20)]),
+                      t, key="id", seq_col="seq", mode="mor")
+    v0 = V.latest_version(t)
+    C.apply_cdc_batch(_batch(spark, [(2, "R2", "u", 2),
+                                     (7, None, "d", 2)]),
+                      t, key="id", seq_col="seq", mode="mor")
+    C.apply_cdc_batch(_batch(spark, [(2, None, "d", 3),
+                                     (30, "r30", "i", 3)]),
+                      t, key="id", seq_col="seq", mode="mor")
+    v1 = V.latest_version(t)
+    inc = V._changes_incremental(spark, t, v0, v1, "id")
+    assert inc is not None                     # never fell back
+    got = {tuple(r) for r in inc.collect()}
+    assert got == {(2, "r2", "delete"), (7, "r7", "delete"),
+                   (30, "r30", "insert")}
+
+
+def test_cdc_mor_feeds_cdf_stream(spark, tmp_path):
+    """End-to-end incremental pipeline: CDC batches land merge-on-read,
+    the change-feed STREAM tails them — upserts unpack to
+    delete(old)+insert(new), nothing is refused, nothing re-emitted."""
+    from databox_adls_loader_spark.sources.vtable_stream import \
+        register_vtable_stream
+
+    t, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+    C.apply_cdc_batch(_batch(spark, [(1, "a", "c", 1), (2, "b", "c", 1)]),
+                      t, key="id", seq_col="seq", mode="mor")
+    C.apply_cdc_batch(_batch(spark, [(1, "A", "u", 2),
+                                     (3, "c3", "i", 2)]),
+                      t, key="id", seq_col="seq", mode="mor")
+    C.apply_cdc_batch(_batch(spark, [(3, None, "d", 3)]),
+                      t, key="id", seq_col="seq", mode="mor")
+    register_vtable_stream(spark)
+    rows: list = []
+    q = (spark.readStream.format("vtable_stream").option("path", t)
+         .option("readchangefeed", "true").load()
+         .writeStream
+         .foreachBatch(lambda df, bid:
+                       rows.extend(tuple(r) for r in df.collect()))
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert {(r[0], r[1], r[2]) for r in rows} == {
+        (1, "a", "insert"), (2, "b", "insert"),     # bootstrap
+        (1, "a", "delete"), (1, "A", "insert"),     # MOR upsert
+        (3, "c3", "insert"),
+        (3, "c3", "delete"),                        # eq tombstone
+    }
+    # replaying the stream's view forward reproduces the table
+    # (within a commit: retract old images before applying new ones —
+    # the standard CDF consumption order for an unpacked upsert)
+    live: dict = {}
+    for r in sorted(rows, key=lambda r: (r[3], r[2] != "delete")):
+        if r[2] == "insert":
+            live[r[0]] = r[1]
+        else:
+            live.pop(r[0], None)
+    assert set(live.items()) == _rows(spark, t)
