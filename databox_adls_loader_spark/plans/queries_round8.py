@@ -1026,3 +1026,336 @@ def scale_cdc_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double").alias("rev"))
             .withColumn("mor_ok", F.lit(bool(mor_ok)))
             .orderBy("o_orderstatus"))
+
+
+# ---------------------------------------------------------------------------
+# time travel by timestamp, vacuum reclaim, clone isolation — operational
+# proofs of the snapshot lifecycle, each under the hash gate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scale_time_travel_read",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS rev,
+           TRUE AS tt_ok
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    tags=["scale", "versioned", "time-travel"],
+)
+def scale_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF time travel (`sinks/versioned.read_as_of`):
+    resolve the shared CDF fixture's base-version commit time from
+    `history()` and read AS OF that instant — the result must be the
+    PRE-mutation table (raw orders, hash-matched), with every later
+    position-delete / MOR-update / tombstone / append invisible.
+    tt_ok asserts the timestamp resolved to exactly the base version.
+    Resolution is manifest-JSON only; the read is the ordinary pinned
+    `read_version` with full merge-on-read semantics."""
+    from ..sinks import versioned as V
+
+    t, v_base, _ = _cdf_orders(spark, sf_dir)
+    ts = next(h["committed_at"] for h in V.history(t)
+              if h["version"] == v_base)
+    tt_ok = V.version_as_of(t, ts) == v_base
+    df = V.read_as_of(spark, t, ts)
+    return (df.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("rev"))
+            .withColumn("tt_ok", F.lit(bool(tt_ok)))
+            .orderBy("o_orderstatus"))
+
+
+_VAC_ORDERS: dict = {}
+
+
+def _drop_vac_orders(keys=None) -> None:
+    import shutil
+
+    for k in list(_VAC_ORDERS) if keys is None else list(keys):
+        shutil.rmtree(_VAC_ORDERS.pop(k)[0], ignore_errors=True)
+
+
+def _vac_orders(spark: SparkSession, sf_dir: str) -> tuple[str, bool]:
+    """Once per (session, sf_dir): versioned `orders` (4 files), then a
+    logical OVERWRITE keeping keys ≢0 (mod 3), then `vacuum` down to
+    one retained version.  vac_ok asserts the reclaim actually
+    happened: v1 is unreadable (manifest gone), at least one data file
+    was physically deleted, and every file the live manifest references
+    still exists."""
+    import atexit
+    import tempfile
+
+    from ..sinks import versioned as V
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _VAC_ORDERS.get(key)
+    if got is None:
+        _drop_vac_orders([k for k in _VAC_ORDERS if k[0] != key[0]])
+        if not _VAC_ORDERS:
+            atexit.register(_drop_vac_orders)
+        t = tempfile.mkdtemp(prefix="spark_graft_vacorders_")
+        (orders,) = _t(spark, sf_dir, "orders")
+        V.write_snapshot(orders.coalesce(4), t)
+        V.write_snapshot(
+            orders.filter(F.col("o_orderkey") % 3 != 0).coalesce(4),
+            t, mode="overwrite")
+        n_deleted = V.vacuum(t, keep_versions=1)
+        import os
+        live = V._read_manifest(t, V.latest_version(t))
+        vac_ok = (n_deleted > 0
+                  and V.versions(t) == [V.latest_version(t)]
+                  and all(os.path.exists(f) for f in live))
+        got = (t, bool(vac_ok))
+        _VAC_ORDERS[key] = got
+    return got
+
+
+@register(
+    "scale_vacuum_reclaim_read",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS rev,
+           TRUE AS vac_ok
+    FROM orders WHERE o_orderkey % 3 <> 0
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=["scale", "versioned", "vacuum"],
+)
+def scale_vacuum_reclaim_read(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Storage reclaim (`sinks/versioned.vacuum`) proven under the hash
+    gate: after a logical overwrite and a keep-1 vacuum, the retired
+    version's manifests AND physical files are gone (vac_ok asserts
+    files were deleted, exactly one version is readable, and every
+    live-manifest file survives) while the surviving version still
+    hash-matches plain SQL.  At 100 TB this is the weekly
+    storage-reclaim job; the assertion that live files are never
+    touched is the one that matters."""
+    from ..sinks import versioned as V
+
+    t, vac_ok = _vac_orders(spark, sf_dir)
+    df = V.read_version(spark, t)
+    return (df.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("rev"))
+            .withColumn("vac_ok", F.lit(bool(vac_ok)))
+            .orderBy("o_orderstatus"))
+
+
+_CLONE_PAIR: dict = {}
+
+
+def _drop_clone_pair(keys=None) -> None:
+    import shutil
+
+    for k in list(_CLONE_PAIR) if keys is None else list(keys):
+        pair = _CLONE_PAIR.pop(k)
+        for t in pair:
+            shutil.rmtree(t, ignore_errors=True)
+
+
+def _clone_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Once per (session, sf_dir): versioned `orders`, a ZERO-COPY
+    shallow clone of it, then a position-delete (keys ≡0 mod 11)
+    applied ONLY to the clone — the divergence the isolation proof
+    reads back from both sides."""
+    import atexit
+    import tempfile
+
+    from ..sinks import versioned as V
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _CLONE_PAIR.get(key)
+    if got is None:
+        _drop_clone_pair([k for k in _CLONE_PAIR if k[0] != key[0]])
+        if not _CLONE_PAIR:
+            atexit.register(_drop_clone_pair)
+        src = tempfile.mkdtemp(prefix="spark_graft_clonesrc_")
+        dst = tempfile.mkdtemp(prefix="spark_graft_clonedst_")
+        import shutil
+        shutil.rmtree(dst)
+        (orders,) = _t(spark, sf_dir, "orders")
+        V.write_snapshot(orders.coalesce(4), src)
+        V.clone_shallow(src, dst)
+        V.delete_where(spark, dst, "o_orderkey % 11 = 0")
+        got = (src, dst)
+        _CLONE_PAIR[key] = got
+    return got
+
+
+@register(
+    "scale_clone_isolation_read",
+    oracle="""
+    SELECT 'clone' AS side, COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey % 11 <> 0
+    UNION ALL
+    SELECT 'source', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+    FROM orders
+    ORDER BY side
+    """,
+    tags=["scale", "versioned", "clone"],
+)
+def scale_clone_isolation_read(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Shallow-clone ISOLATION (`sinks/versioned.clone_shallow`): a
+    zero-copy clone diverges via a position delete, and reading BOTH
+    sides must show the clone missing exactly the deleted keys while
+    the source is untouched — the clone's delete vectors live under the
+    clone's directory and reference the SOURCE's still-shared data
+    files (one manifest write to clone 100 TB; the mutation costs only
+    its own overlay)."""
+    from ..sinks import versioned as V
+
+    src, dst = _clone_pair(spark, sf_dir)
+    a = (V.read_version(spark, src)
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("o_orderkey").cast("long").alias("key_sum"))
+         .withColumn("side", F.lit("source")))
+    b = (V.read_version(spark, dst)
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("o_orderkey").cast("long").alias("key_sum"))
+         .withColumn("side", F.lit("clone")))
+    return (a.unionByName(b).select("side", "n", "key_sum")
+            .orderBy("side"))
+
+
+# ---------------------------------------------------------------------------
+# analytics widening: rollup hierarchy, dwell-time attribution, hapax ratio
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_rollup_lineitem_hierarchy",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+    """,
+    tags=["aggregate", "rollup", "grouping"],
+)
+def agg_rollup_lineitem_hierarchy(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (flag → status → grand total) with explicit
+    GROUPING indicators — completes the multi-dimensional aggregate
+    family next to CUBE (`agg_cube_returns_qty`) and GROUPING SETS
+    (`agg_grouping_sets_orders`).  Decimal-exact sums; Catalyst expands
+    the rollup into one Expand + one hash aggregate — a single shuffle
+    however many levels, which is why ROLLUP beats N separate
+    aggregations at 100 TB."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_qty"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_price"))
+            .withColumn("g_flag",
+                        F.when(F.col("l_returnflag").isNull(), 1)
+                        .otherwise(0).cast("long"))
+            .withColumn("g_status",
+                        F.when(F.col("l_linestatus").isNull(), 1)
+                        .otherwise(0).cast("long"))
+            .select("l_returnflag", "l_linestatus", "g_flag", "g_status",
+                    "n", "sum_qty", "sum_price")
+            .orderBy("g_flag", "g_status", "l_returnflag",
+                     "l_linestatus"))
+
+
+@register(
+    "sess17_dwell_time_by_next_type",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS dwell_us
+      FROM events
+    )
+    SELECT event_type, COUNT(*) AS n_gaps,
+           CAST(SUM(dwell_us) AS BIGINT) AS total_dwell_us,
+           CAST(MAX(dwell_us) AS BIGINT) AS max_dwell_us
+    FROM seq WHERE dwell_us IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=["sessions", "windows", "dwell"],
+)
+def sess17_dwell_time_by_next_type(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Inter-event DWELL TIME attributed to the event it precedes: for
+    each user's consecutive event pairs, the gap (exact integer
+    microseconds) is charged to the SECOND event's type — "how long do
+    users sit before doing X", the standard next-action latency split.
+    Per-user window (fleet-parallel, never single-partition), tie-broken
+    by event_id so equal timestamps attribute deterministically."""
+    from pyspark.sql.window import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type",
+        (F.unix_micros(F.col("ts"))
+         - F.lag(F.unix_micros(F.col("ts"))).over(w)).alias("dwell_us"))
+    return (seq.filter(F.col("dwell_us").isNotNull())
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_gaps"),
+                 F.sum("dwell_us").cast("long").alias("total_dwell_us"),
+                 F.max("dwell_us").cast("long").alias("max_dwell_us"))
+            .orderBy("event_type"))
+
+
+@register(
+    "text_hapax_ratio_by_lang",
+    oracle=r"""
+    WITH tok AS (
+      SELECT lang,
+             unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ), tc AS (
+      SELECT lang, term, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    )
+    SELECT lang, COUNT(*) AS vocab,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hapax,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS hapax_ppm
+    FROM tc GROUP BY lang ORDER BY lang
+    """,
+    tags=["text", "lexical", "hapax"],
+)
+def text_hapax_ratio_by_lang(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """HAPAX LEGOMENA ratio per language: the share of vocabulary terms
+    occurring exactly once (integer ppm) — with type-token ratio
+    (`text_type_token_ratio_by_lang`) the standard pair for judging
+    corpus breadth vs repetition; a generated/near-duplicated corpus
+    shows a collapsing hapax share.  Token explode + two aggregations,
+    integer-exact, map-side heavy."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    tok = (docs.select("lang",
+                       F.explode(F.split(F.trim("text"), r"\s+"))
+                       .alias("term"))
+           .filter(F.col("term") != ""))
+    tc = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c"))
+    one = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return (tc.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("vocab"),
+                 one.cast("long").alias("hapax"))
+            .select("lang", "vocab", "hapax",
+                    F.expr("CAST(hapax * 1000000 DIV vocab AS LONG)")
+                    .alias("hapax_ppm"))
+            .orderBy("lang"))
