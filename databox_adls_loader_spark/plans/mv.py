@@ -212,7 +212,8 @@ def _with_key(df: DataFrame, mv: MVSpec) -> DataFrame:
 
 
 def refresh(build: DataFrame, table_dir: str,
-            mv: MVSpec | None = None) -> int:
+            mv: MVSpec | None = None,
+            base_version: int | None = None) -> int:
     """Commit a (re)build of the view as a new version of its versioned
     table and return the committed version — full rebuild, so the
     commit is a LOGICAL OVERWRITE (append mode would carry the previous
@@ -220,10 +221,16 @@ def refresh(build: DataFrame, table_dir: str,
     silent corruption; old versions remain readable via time travel
     until vacuum).  Pass ``mv`` to also store the surrogate dim key
     `refresh_incremental` merges on (harmless extra column for readers;
-    the rewriter groups by dims and never selects it)."""
+    the rewriter groups by dims and never selects it).
+
+    ``base_version``: the BASE-table version this build read — recorded
+    in the view's ledger (`refresh_from_changes`'s watermark encoding)
+    so change-feed maintenance knows where to resume."""
     if mv is not None:
         build = _with_key(build, mv)
-    return V.write_snapshot(build, table_dir, mode="overwrite")
+    ids = None if base_version is None else {2 * int(base_version) + 1}
+    return V.write_snapshot(build, table_dir, mode="overwrite",
+                            batch_ids=ids)
 
 
 def refresh_incremental(spark: SparkSession, table_dir: str, mv: MVSpec,
@@ -253,6 +260,117 @@ def refresh_incremental(spark: SparkSession, table_dir: str, mv: MVSpec,
         F.broadcast(delta_build.select(*on).distinct()), on, "left_semi")
     updates = _with_key(_combine(touched_cur, delta_build, mv), mv)
     return V.merge_into_snapshot(spark, table_dir, updates, key=MV_KEY)
+
+
+def mv_base_watermark(table_dir: str) -> int | None:
+    """The newest BASE version this view is maintained through, from
+    the view's batch-id ledger (encoding: ``2·v`` = retire phase,
+    ``2·v + 1`` = upsert phase of a maintenance to base version v; a
+    full `refresh(base_version=v)` records ``2·v + 1``).  None = the
+    view has never recorded a base watermark."""
+    ids = V.committed_batch_ids(table_dir)
+    return max(ids) // 2 if ids else None
+
+
+def refresh_from_changes(spark: SparkSession, table_dir: str,
+                         mv: MVSpec, base_dir: str, key: str,
+                         delta_agg) -> int | None:
+    """Maintain the view FROM THE BASE TABLE'S CHANGE FEED — the full
+    IVM loop with no caller-tracked state: resume at the ledger
+    watermark (`mv_base_watermark`), pull
+    `versioned.changes_between(incremental=True, emit_preimage=True)`
+    for (watermark, latest], re-aggregate ONLY the changed rows with
+    ``delta_agg`` (the view's aggregate, same callable the full build
+    uses), ADD the insert/update_postimage contribution, SUBTRACT the
+    delete/update_preimage contribution, and upsert the touched groups
+    through the scoped MERGE — groups whose row count hits zero are
+    retired with an equality tombstone, so the maintained view stays
+    row-identical to a full rebuild.  Cost: O(base changes) +
+    O(touched view files); on a MOR-maintained base (`upsert_mor`,
+    `delete_where_keys`) the feed itself is manifest-derived, so
+    NOTHING in the loop scans either table.
+
+    Requirements: every measure is sum/count when the window contains
+    deletes or updates (min/max cannot be decremented — refused, full
+    `refresh` is the answer there); at least one ``count`` measure
+    (group-emptiness is undecidable without it); ``key`` is the base's
+    MERGE key.  Exactly-once: each phase commits under a
+    watermark-scoped ledger id (``2·v`` / ``2·v + 1``), so a crashed
+    maintenance re-runs only the phase that did not land.
+
+    Returns the view's new version, or None when already current."""
+    v_to = V.latest_version(base_dir)
+    v_from = mv_base_watermark(table_dir)
+    if v_from is None:
+        raise MVRewriteError(
+            f"view {mv.name!r} has no base watermark — build it with "
+            "refresh(..., base_version=<base version read>) first")
+    if v_to is None or v_to <= v_from:
+        return None
+    if not any(agg == "count" for agg, _ in mv.measures):
+        raise MVRewriteError(
+            f"refresh_from_changes needs a count measure in {mv.name!r} "
+            "to detect emptied groups")
+    ch = V.changes_between(spark, base_dir, v_from, v_to, key,
+                           incremental=True, emit_preimage=True)
+    ct = F.col("_change_type")
+    plus_rows = ch.filter(ct.isin("insert", "update_postimage"))
+    minus_rows = ch.filter(ct.isin("delete", "update_preimage"))
+    has_minus = bool(minus_rows.limit(1).count())
+    if has_minus and not all(agg in ("sum", "count")
+                             for agg, _ in mv.measures):
+        raise MVRewriteError(
+            f"{mv.name!r} has min/max measures — deletes/updates in the "
+            "change window cannot be decremented; run a full refresh")
+    on = list(mv.dims)
+    plus = delta_agg(plus_rows.drop("_change_type"))
+    minus = delta_agg(minus_rows.drop("_change_type")) if has_minus \
+        else None
+    cur = read(spark, table_dir)
+    touched_keys = plus.select(*on)
+    if minus is not None:
+        touched_keys = touched_keys.unionByName(minus.select(*on))
+    touched_cur = cur.join(F.broadcast(touched_keys.distinct()), on,
+                           "left_semi")
+    combined = _combine(touched_cur, plus, mv)
+    if minus is not None:
+        combined = _combine_signed(combined, minus, mv)
+    combined = _with_key(combined, mv)
+    count_alias = next(a for agg, a in mv.measures if agg == "count")
+    dead = combined.filter(F.col(count_alias) <= 0).select(MV_KEY)
+    live = combined.filter(F.col(count_alias) > 0)
+    done = V.committed_batch_ids(table_dir)
+    retire_id, upsert_id = 2 * v_to, 2 * v_to + 1
+    out = None
+    if retire_id not in done and dead.limit(1).count():
+        out, _ = V.delete_where_keys(spark, table_dir, MV_KEY, dead,
+                                     batch_ids={retire_id})
+    if upsert_id not in done:
+        out = V.merge_into_snapshot(spark, table_dir, live, key=MV_KEY,
+                                    batch_ids={upsert_id})
+    return out
+
+
+def _combine_signed(cur: DataFrame, minus: DataFrame,
+                    mv: MVSpec) -> DataFrame:
+    """Stored/plus partials ⊖ retired partials per dim group: sum and
+    count SUBTRACT (callers refuse min/max before getting here).  A
+    group present only on the minus side yields a negative count and is
+    retired by the caller — that happens when the change feed retires
+    rows of a group the view's watermark build never saw, which the
+    emptiness filter turns into a loud tombstone rather than a silently
+    wrong row."""
+    on = list(mv.dims)
+    j = cur.alias("c").join(minus.alias("m"), on, "full_outer")
+    combined = []
+    for agg, alias in mv.measures:
+        c, m = F.col(f"c.{alias}"), F.col(f"m.{alias}")
+        combined.append(
+            (F.coalesce(c, F.lit(0)) - F.coalesce(m, F.lit(0)))
+            .cast("long").alias(alias))
+    # name-list outer join already coalesces the dim columns, so a
+    # minus-only group carries its dim values
+    return j.select(*on, *combined)
 
 
 def _combine(cur: DataFrame, delta: DataFrame, mv: MVSpec) -> DataFrame:

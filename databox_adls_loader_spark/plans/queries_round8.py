@@ -1359,3 +1359,118 @@ def text_hapax_ratio_by_lang(spark: SparkSession,
                     F.expr("CAST(hapax * 1000000 DIV vocab AS LONG)")
                     .alias("hapax_ppm"))
             .orderBy("lang"))
+
+
+# ---------------------------------------------------------------------------
+# materialized view maintained from the base table's change feed
+# ---------------------------------------------------------------------------
+
+_MV_CDF: dict = {}
+
+
+def _drop_mv_cdf(keys=None) -> None:
+    import shutil
+
+    for k in list(_MV_CDF) if keys is None else list(keys):
+        pair = _MV_CDF.pop(k)
+        for t in pair:
+            shutil.rmtree(t, ignore_errors=True)
+
+
+def _mv_cdf_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Once per (session, sf_dir): a revenue-by-status view built over
+    versioned `orders` (watermark recorded), then a merge-on-read
+    change window on the BASE — `upsert_mor` flips keys ≡0 (mod 113) to
+    status 'Z' with +3.50, `delete_where_keys` retires keys ≡0
+    (mod 127) — and ONE `mv.refresh_from_changes` call that maintains
+    the view purely from the incremental change feed."""
+    import atexit
+    import tempfile
+
+    from ..sinks import versioned as V
+    from . import mv as M
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _MV_CDF.get(key)
+    if got is None:
+        _drop_mv_cdf([k for k in _MV_CDF if k[0] != key[0]])
+        if not _MV_CDF:
+            atexit.register(_drop_mv_cdf)
+        base = tempfile.mkdtemp(prefix="spark_graft_mvcdfb_")
+        view = tempfile.mkdtemp(prefix="spark_graft_mvcdfv_")
+        import shutil
+        shutil.rmtree(view)
+        (orders,) = _t(spark, sf_dir, "orders")
+        V.write_snapshot(orders.coalesce(4), base)
+        spec = _mv_cdf_spec()
+
+        def agg(df):
+            return df.groupBy("o_orderstatus").agg(
+                F.sum((F.col("o_totalprice").cast("decimal(18,2)")
+                       * 100).cast("long")).cast("long").alias("cents"),
+                F.count(F.lit(1)).alias("n"))
+
+        M.refresh(agg(V.read_version(spark, base)), view, mv=spec,
+                  base_version=V.latest_version(base))
+        k = F.col("o_orderkey")
+        ups = (orders.filter(k % 113 == 0)
+               .withColumn("o_orderstatus", F.lit("Z"))
+               .withColumn("o_totalprice", F.col("o_totalprice") + 3.5)
+               .select(*orders.columns))
+        V.upsert_mor(spark, base, ups, "o_orderkey")
+        dels = [r[0] for r in orders.filter(k % 127 == 0)
+                .select("o_orderkey").distinct().collect()]
+        V.delete_where_keys(spark, base, "o_orderkey", dels)
+        M.refresh_from_changes(spark, view, spec, base, "o_orderkey",
+                               agg)
+        got = (base, view)
+        _MV_CDF[key] = got
+    return got
+
+
+def _mv_cdf_spec():
+    from . import mv as M
+
+    return M.MVSpec(name="rev_by_status", dims=("o_orderstatus",),
+                    measures=(("sum", "cents"), ("count", "n")),
+                    rows_hint=8)
+
+
+@register(
+    "mv_cdf_maintenance",
+    oracle="""
+    WITH state AS (
+      SELECT CASE WHEN o_orderkey % 113 = 0 THEN 'Z'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 113 = 0 THEN o_totalprice + 3.5
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 127 <> 0
+    )
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents,
+           COUNT(*) AS n
+    FROM state GROUP BY 1 ORDER BY 1
+    """,
+    tags=["mv", "ivm", "cdf"],
+)
+def mv_cdf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized view maintained FROM THE BASE TABLE'S CHANGE FEED
+    (`plans/mv.refresh_from_changes`): after a merge-on-read window
+    (status-moving upserts + key deletes), one maintenance call pulls
+    `changes_between(incremental=True, emit_preimage=True)`, adds the
+    insert/postimage contribution, subtracts the delete/preimage
+    contribution, and upserts only the touched groups — and the
+    maintained view must hash-match plain SQL recomputing the rollup
+    from scratch.  Nothing in the loop scans either table: the feed is
+    manifest-derived (MOR base), the view update is a scoped MERGE on
+    |touched groups| rows.  This closes the loop the repo built toward
+    all round: CDC-in (`apply_cdc_batch(mode="mor")`) → CDF-out →
+    downstream aggregate, all O(changes)."""
+    from . import mv as M
+
+    _, view = _mv_cdf_pair(spark, sf_dir)
+    return (M.read(spark, view)
+            .select("o_orderstatus", F.col("cents").cast("long"),
+                    F.col("n").cast("long"))
+            .orderBy("o_orderstatus"))

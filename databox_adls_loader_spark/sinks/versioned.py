@@ -2962,7 +2962,8 @@ def _eq_entry_key(e: dict) -> tuple:
 
 
 def _changes_incremental(spark: SparkSession, table_dir: str,
-                         v_from: int, v_to: int, key: str
+                         v_from: int, v_to: int, key: str,
+                         emit_preimage: bool = False
                          ) -> DataFrame | None:
     """Manifest-derived CDF: when every commit in (v_from, v_to] was
     append / merge-on-read overlay (position-delete, equality-delete,
@@ -3070,15 +3071,20 @@ def _changes_incremental(spark: SparkSession, table_dir: str,
                      else F.lit(None)).alias(c) for c in cols]
         return (dead.select(*out_cols)
                 .withColumn("_change_type", F.lit("delete")))
-    return _diff_frames(dead, new_rows, key, cols, old_cols)
+    return _diff_frames(dead, new_rows, key, cols, old_cols,
+                        emit_preimage)
 
 
 def _diff_frames(old: DataFrame, new: DataFrame, key: str,
-                 cols: list[str], old_cols: list[str]) -> DataFrame:
+                 cols: list[str], old_cols: list[str],
+                 emit_preimage: bool = False) -> DataFrame:
     """Full-outer key diff shared by the full and incremental CDF
     paths: emits ``cols`` + ``_change_type``; deletes carry the old
     row's values; matched rows equal on every shared column emit
-    nothing."""
+    nothing.  ``emit_preimage`` additionally emits each updated row's
+    OLD image as ``update_postimage``'s twin ``update_preimage`` — what
+    an incremental-view maintainer needs to SUBTRACT the retired
+    contribution (Delta CDF's four-type convention)."""
     o = old.select([F.col(c).alias(f"__o_{c}") for c in old.columns])
     n = new.select([F.col(c).alias(f"__n_{c}") for c in cols])
     j = o.join(n, o[f"__o_{key}"].eqNullSafe(n[f"__n_{key}"]),
@@ -3099,14 +3105,24 @@ def _diff_frames(old: DataFrame, new: DataFrame, key: str,
                F.col(f"__o_{c}") if c in old_cols else F.lit(None))
          .otherwise(F.col(f"__n_{c}")).alias(c)
         for c in cols]
-    return (j.withColumn("_change_type", change)
-             .filter(F.col("_change_type").isNotNull())
-             .select(*out_cols, "_change_type"))
+    out = (j.withColumn("_change_type", change)
+            .filter(F.col("_change_type").isNotNull())
+            .select(*out_cols, "_change_type"))
+    if not emit_preimage:
+        return out
+    pre_cols = [(F.col(f"__o_{c}") if c in old_cols
+                 else F.lit(None)).alias(c) for c in cols]
+    pre = (j.filter(F.col(f"__o_{key}").isNotNull()
+                    & F.col(f"__n_{key}").isNotNull() & ~same)
+           .select(*pre_cols,
+                   F.lit("update_preimage").alias("_change_type")))
+    return out.unionByName(pre)
 
 
 def changes_between(spark: SparkSession, table_dir: str,
                     v_from: int, v_to: int, key: str,
-                    incremental: bool = False) -> DataFrame:
+                    incremental: bool = False,
+                    emit_preimage: bool = False) -> DataFrame:
     """Change data feed: row-level diff between two retained snapshots.
 
     Returns the ``v_to`` schema plus ``_change_type`` ∈ {insert, delete,
@@ -3128,9 +3144,15 @@ def changes_between(spark: SparkSession, table_dir: str,
 
     Precondition: ``key`` is unique within each version (the MERGE
     upsert invariant) — duplicate keys would fan out through the full
-    outer join; collapse with `cdc_latest_per_key` first."""
+    outer join; collapse with `cdc_latest_per_key` first.
+
+    ``emit_preimage=True`` additionally emits updated rows' OLD images
+    as ``update_preimage`` (Delta CDF's four-type convention) — what an
+    incremental-view maintainer subtracts (`plans/mv.
+    refresh_from_changes`)."""
     if incremental:
-        inc = _changes_incremental(spark, table_dir, v_from, v_to, key)
+        inc = _changes_incremental(spark, table_dir, v_from, v_to, key,
+                                   emit_preimage)
         if inc is not None:
             return inc
     old = read_version(spark, table_dir, v_from)
@@ -3138,7 +3160,7 @@ def changes_between(spark: SparkSession, table_dir: str,
     cols = new.columns
     if key not in cols or key not in old.columns:
         raise ValueError(f"key {key!r} must exist in both versions")
-    return _diff_frames(old, new, key, cols, old.columns)
+    return _diff_frames(old, new, key, cols, old.columns, emit_preimage)
 
 
 def history(table_dir: str) -> list[dict]:

@@ -635,3 +635,126 @@ class TestSQLRewriteSubsumption:
         _, used = M.sql_rewrite(spark, q, [spec],
                                 fallback=lambda _q: None)
         assert used is None
+
+
+class TestChangeFeedMaintenance:
+    """Round-8: `mv.refresh_from_changes` — the view maintained from
+    the base table's incremental change feed (preimages subtract,
+    emptied groups tombstone), no caller-tracked state."""
+
+    SPEC = M.MVSpec(name="cdfmv", dims=("k",),
+                    measures=(("sum", "s"), ("count", "n")),
+                    rows_hint=10)
+
+    @staticmethod
+    def _agg(df):
+        return df.groupBy("k").agg(
+            F.sum("v").cast("long").alias("s"),
+            F.count(F.lit(1)).alias("n"))
+
+    def _base(self, spark, tmp_path):
+        from databox_adls_loader_spark.sinks import versioned as V
+
+        base = str(tmp_path / "base")
+        rows = [(i, "abc"[(i - 1) // 3], i * 10) for i in range(1, 10)]
+        V.write_snapshot(spark.createDataFrame(
+            rows, "id long, k string, v long").coalesce(1), base)
+        return base
+
+    def test_view_tracks_mor_base_changes(self, spark, tmp_path):
+        from databox_adls_loader_spark.sinks import versioned as V
+
+        base = self._base(spark, tmp_path)
+        view = str(tmp_path / "view")
+        M.refresh(self._agg(V.read_version(spark, base)), view,
+                  mv=self.SPEC, base_version=V.latest_version(base))
+        # MOR window: value update, group-key move, insert, mass delete
+        V.upsert_mor(spark, base, spark.createDataFrame(
+            [(2, "a", 100),          # a: 20 -> 100
+             (5, "a", 50),           # moves from b to a
+             (10, "d", 5)],          # brand-new group
+            "id long, k string, v long").coalesce(1), "id")
+        V.delete_where_keys(spark, base, "id", [7, 8, 9])  # c emptied
+        v = M.refresh_from_changes(spark, view, self.SPEC, base, "id",
+                                   self._agg)
+        assert v is not None
+        got = {r["k"]: (r["s"], r["n"])
+              for r in M.read(spark, view).collect()}
+        want = {r["k"]: (r["s"], r["n"]) for r in
+                self._agg(V.read_version(spark, base)).collect()}
+        assert got == want
+        assert "c" not in got                   # emptied group retired
+        # already current: no-op
+        assert M.refresh_from_changes(spark, view, self.SPEC, base,
+                                      "id", self._agg) is None
+
+    def test_multiple_windows_accumulate(self, spark, tmp_path):
+        from databox_adls_loader_spark.sinks import versioned as V
+
+        base = self._base(spark, tmp_path)
+        view = str(tmp_path / "view")
+        M.refresh(self._agg(V.read_version(spark, base)), view,
+                  mv=self.SPEC, base_version=V.latest_version(base))
+        for i, (ids, newk) in enumerate([([1, 2], "b"), ([3], "c")]):
+            V.upsert_mor(spark, base, spark.createDataFrame(
+                [(j, newk, j * 10) for j in ids],
+                "id long, k string, v long").coalesce(1), "id")
+            M.refresh_from_changes(spark, view, self.SPEC, base, "id",
+                                   self._agg)
+        got = {r["k"]: (r["s"], r["n"])
+               for r in M.read(spark, view).collect()}
+        want = {r["k"]: (r["s"], r["n"]) for r in
+                self._agg(V.read_version(spark, base)).collect()}
+        assert got == want
+
+    def test_minmax_refused_when_window_has_deletes(self, spark,
+                                                    tmp_path):
+        from databox_adls_loader_spark.sinks import versioned as V
+
+        spec = M.MVSpec(name="mm", dims=("k",),
+                        measures=(("count", "n"), ("max", "hi")),
+                        rows_hint=10)
+
+        def agg(df):
+            return df.groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"), F.max("v").alias("hi"))
+
+        base = self._base(spark, tmp_path)
+        view = str(tmp_path / "view")
+        M.refresh(agg(V.read_version(spark, base)), view, mv=spec,
+                  base_version=V.latest_version(base))
+        V.delete_where_keys(spark, base, "id", [1])
+        with pytest.raises(M.MVRewriteError, match="min/max"):
+            M.refresh_from_changes(spark, view, spec, base, "id", agg)
+        # pure-append window: min/max still maintainable
+        V.write_snapshot(spark.createDataFrame(
+            [(11, "a", 999)], "id long, k string, v long").coalesce(1),
+            base)
+        # consume the delete via a full refresh first
+        M.refresh(agg(V.read_version(spark, base)), view, mv=spec,
+                  base_version=V.latest_version(base))
+
+    def test_requires_watermark_and_count(self, spark, tmp_path):
+        from databox_adls_loader_spark.sinks import versioned as V
+
+        base = self._base(spark, tmp_path)
+        view = str(tmp_path / "view")
+        M.refresh(self._agg(V.read_version(spark, base)), view,
+                  mv=self.SPEC)                 # no base_version
+        V.delete_where_keys(spark, base, "id", [1])
+        with pytest.raises(M.MVRewriteError, match="watermark"):
+            M.refresh_from_changes(spark, view, self.SPEC, base, "id",
+                                   self._agg)
+        nocount = M.MVSpec(name="nc", dims=("k",),
+                           measures=(("sum", "s"),), rows_hint=1)
+        view2 = str(tmp_path / "view2")
+        M.refresh(V.read_version(spark, base).groupBy("k")
+                  .agg(F.sum("v").cast("long").alias("s")),
+                  view2, mv=nocount,
+                  base_version=V.latest_version(base))
+        V.delete_where_keys(spark, base, "id", [2])
+        with pytest.raises(M.MVRewriteError, match="count"):
+            M.refresh_from_changes(spark, view2, nocount, base, "id",
+                                   lambda df: df.groupBy("k").agg(
+                                       F.sum("v").cast("long")
+                                       .alias("s")))
