@@ -1474,3 +1474,252 @@ def mv_cdf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderstatus", F.col("cents").cast("long"),
                     F.col("n").cast("long"))
             .orderBy("o_orderstatus"))
+
+
+# ---------------------------------------------------------------------------
+# market concentration, text profiles, session return gaps, 2-D banding
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sup_revenue_hhi_by_nation",
+    oracle="""
+    WITH rev AS (
+      SELECT s_nationkey, l_suppkey,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS cents
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    ), agg AS (
+      SELECT s_nationkey,
+             COUNT(*) AS n_suppliers,
+             SUM(CAST(cents AS HUGEINT)) AS tot,
+             SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT))
+               AS sumsq
+      FROM rev GROUP BY 1
+    )
+    SELECT n_name, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           CAST(tot AS BIGINT) AS revenue_cents,
+           CAST(sumsq * 1000000 // (tot * tot) AS BIGINT) AS hhi_ppm
+    FROM agg JOIN nation ON s_nationkey = n_nationkey
+    ORDER BY n_name
+    """,
+    tags=["commerce", "concentration", "hhi"],
+)
+def sup_revenue_hhi_by_nation(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Supplier market concentration per nation: the HERFINDAHL index
+    (Σ share², integer ppm) of lineitem revenue across each nation's
+    suppliers — ~1e6·(1/n) means perfect competition, → 1e6 means one
+    supplier owns the nation.  Integer-exact end to end: cents sums per
+    supplier (one shuffle), then Σcents² and (Σcents)² in DECIMAL(38)
+    (squares pass 2⁶³ long before sf1).  Supplier dim broadcasts; the
+    per-nation aggregate is |suppliers|-sized — nothing here grows with
+    lineitem beyond the first scan."""
+    li, sup, nat = _t(spark, sf_dir, "lineitem", "supplier", "nation")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
+        .cast("long")
+    rev = (li.join(F.broadcast(sup),
+                   F.col("l_suppkey") == F.col("s_suppkey"))
+           .groupBy("s_nationkey", "l_suppkey")
+           .agg(F.sum(cents).alias("cents")))
+    big = F.col("cents").cast("decimal(38,0)")
+    agg = (rev.groupBy("s_nationkey")
+           .agg(F.count(F.lit(1)).alias("n_suppliers"),
+                F.sum(big).alias("tot"),
+                F.sum(big * big).alias("sumsq")))
+    return (agg.join(F.broadcast(nat),
+                     F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("n_name",
+                    F.col("n_suppliers").cast("long").alias("n_suppliers"),
+                    F.col("tot").cast("long").alias("revenue_cents"),
+                    F.expr("CAST((sumsq * 1000000) DIV (tot * tot) "
+                           "AS LONG)").alias("hhi_ppm"))
+            .orderBy("n_name"))
+
+
+@register(
+    "text_sentence_length_profile",
+    oracle=r"""
+    WITH sent AS (
+      SELECT lang,
+             unnest(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                                x -> trim(x) <> '')) AS s
+      FROM documents
+    ), words AS (
+      SELECT lang,
+             len(list_filter(regexp_split_to_array(trim(s), '\s+'),
+                             x -> x <> '')) AS n_words
+      FROM sent
+    )
+    SELECT lang, COUNT(*) AS n_sentences,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_words) * 1000 // COUNT(*) AS BIGINT)
+             AS mean_len_milli,
+           CAST(MAX(n_words) AS BIGINT) AS max_len
+    FROM words GROUP BY lang ORDER BY lang
+    """,
+    tags=["text", "profile", "sentences"],
+)
+def text_sentence_length_profile(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Sentence-length profile per language: split on terminal
+    punctuation runs, count words per sentence, report count / total /
+    mean (exact milli-words) / max — the readability-adjacent stat
+    quality filters threshold on (wall-of-text vs telegraphic corpora
+    separate cleanly).  Explode + aggregate, integer-exact, no UDF."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    sent = (docs.select("lang",
+                        F.explode(F.split("text", r"[.!?]+")).alias("s"))
+            .filter(F.trim(F.col("s")) != ""))
+    words = sent.select(
+        "lang",
+        F.size(F.filter(F.split(F.trim("s"), r"\s+"),
+                        lambda x: x != "")).alias("n_words"))
+    return (words.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_sentences"),
+                 F.sum("n_words").cast("long").alias("total_words"),
+                 F.expr("CAST(SUM(n_words) * 1000 DIV COUNT(*) AS LONG)")
+                 .alias("mean_len_milli"),
+                 F.max("n_words").cast("long").alias("max_len"))
+            .orderBy("lang"))
+
+
+@register(
+    "text_char_class_profile",
+    oracle=r"""
+    WITH c AS (
+      SELECT source,
+             length(text) AS total,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit,
+             length(regexp_replace(text, '[^ \t\n]', '', 'g')) AS ws
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT source,
+           CAST(SUM(alpha) * 1000000 // SUM(total) AS BIGINT)
+             AS alpha_ppm,
+           CAST(SUM(digit) * 1000000 // SUM(total) AS BIGINT)
+             AS digit_ppm,
+           CAST(SUM(ws) * 1000000 // SUM(total) AS BIGINT) AS ws_ppm,
+           CAST(SUM(total - alpha - digit - ws) * 1000000 // SUM(total)
+                AS BIGINT) AS other_ppm
+    FROM c GROUP BY source ORDER BY source
+    """,
+    tags=["text", "profile", "quality"],
+)
+def text_char_class_profile(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Character-class composition per source (alpha / digit /
+    whitespace / other, integer ppm of total characters) — the cheapest
+    corpus-quality fingerprint there is: scraped-table junk shows up as
+    digit+other mass, boilerplate as abnormal whitespace.  Pure
+    map-side length arithmetic (regexp_replace + length), one tiny
+    aggregate; at 100 TB this runs at scan speed."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    c = (docs.filter(F.length("text") > 0)
+         .select("source",
+                 F.length("text").alias("total"),
+                 F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+                 .alias("alpha"),
+                 F.length(F.regexp_replace("text", "[^0-9]", ""))
+                 .alias("digit"),
+                 F.length(F.regexp_replace("text", "[^ \t\n]", ""))
+                 .alias("ws")))
+    ppm = "CAST(SUM({0}) * 1000000 DIV SUM(total) AS LONG)"
+    return (c.groupBy("source")
+            .agg(F.expr(ppm.format("alpha")).alias("alpha_ppm"),
+                 F.expr(ppm.format("digit")).alias("digit_ppm"),
+                 F.expr(ppm.format("ws")).alias("ws_ppm"),
+                 F.expr(ppm.format("total - alpha - digit - ws"))
+                 .alias("other_ppm"))
+            .orderBy("source"))
+
+
+@register(
+    "sess18_return_gap_histogram",
+    oracle="""
+    WITH sess AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                  > CAST(1800000000 AS BIGINT) OR LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ), starts AS (
+      SELECT user_id, epoch_us(ts) AS us FROM sess WHERE is_start = 1
+    ), gaps AS (
+      SELECT (us - LAG(us) OVER (PARTITION BY user_id ORDER BY us))
+               // CAST(3600000000 AS BIGINT) AS gap_hours
+      FROM starts
+    )
+    SELECT CAST(gap_hours AS BIGINT) AS gap_hours,
+           COUNT(*) AS n_returns
+    FROM gaps WHERE gap_hours IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=["sessions", "retention", "histogram"],
+)
+def sess18_return_gap_histogram(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """RETURN-GAP histogram: hours between a user's consecutive
+    SESSION STARTS (30-minute inactivity sessionization), bucketed to
+    whole hours — the distribution retention models fit their hazard
+    curves on.  Two per-user window passes (session-start flag, then
+    start-to-start gap), exact integer microsecond arithmetic, final
+    aggregate is |distinct gap buckets| rows."""
+    from pyspark.sql.window import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    sess = events.select(
+        "user_id", us.alias("us"),
+        ((us - F.lag(us).over(w) > 1800 * 1000000)
+         | F.lag(us).over(w).isNull()).alias("is_start"))
+    w2 = Window.partitionBy("user_id").orderBy("us")
+    gaps = (sess.filter("is_start")
+            .select("user_id", "us")
+            .select(((F.col("us") - F.lag("us").over(w2))
+                     / F.lit(3600 * 1000000)).cast("long")
+                    .alias("gap_hours")))
+    return (gaps.filter(F.col("gap_hours").isNotNull())
+            .groupBy("gap_hours")
+            .agg(F.count(F.lit(1)).alias("n_returns"))
+            .orderBy("gap_hours"))
+
+
+@register(
+    "li_qty_price_band_heatmap",
+    oracle="""
+    SELECT CAST(CAST(l_quantity AS BIGINT) // 10 AS BIGINT) AS qty_band,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                AS BIGINT) // 1000000 AS price_band_10k,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+                AS BIGINT) AS cents
+    FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=["profile", "histogram", "banding"],
+)
+def li_qty_price_band_heatmap(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """2-D banding heatmap: lineitem mass over (quantity decade ×
+    10k-price band) — the joint-distribution view a pricing or fraud
+    screen eyeballs before choosing thresholds.  Fixed integer bands
+    (no global quantiles, so NO extra pass), one hash aggregate of
+    bounded cardinality, decimal-exact cents."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
+        .cast("long")
+    return (li.select(
+                F.expr("CAST(CAST(l_quantity AS LONG) DIV 10 AS LONG)")
+                .alias("qty_band"),
+                cents.alias("cents"))
+            .withColumn("price_band_10k",
+                        F.expr("cents DIV 1000000"))
+            .groupBy("qty_band", "price_band_10k")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("cents").cast("long").alias("cents"))
+            .orderBy("qty_band", "price_band_10k"))
