@@ -28,7 +28,16 @@ Semantics and scale:
     (`sinks/versioned.read_version`) and do not rewrite history — an
     append-log consumer sees rows as they were committed;
   * ``startingversion`` (default 0) skips history: 0 = everything,
-    N = only commits after version N.
+    N = only commits after version N;
+  * ``maxversionspertrigger`` (default 0 = unlimited) rate-limits a
+    RUNNING stream: once the first micro-batch establishes the
+    position, each later batch advances at most K commits — so a burst
+    of upstream commits drains in bounded bites instead of one giant
+    batch.  The FIRST batch of any run is uncapped (Python DSv2 has no
+    engine ReadLimit hook, and the engine asks for the latest offset
+    before telling the source where the checkpoint stands — capping
+    blind would regress offsets).  Starting a NEW consumer against
+    deep history is ``startingversion``'s job, not this cap's.
 
 CHANGE-FEED MODE — ``.option("readchangefeed", "true")`` switches the
 stream from the append-log view to a row-level CHANGE stream (the
@@ -222,9 +231,21 @@ class VTableStreamReader(DataSourceStreamReader):
             str(options.get("ignorechanges", "false")).lower() == "true")
         self._cdf = (
             str(options.get("readchangefeed", "false")).lower() == "true")
+        # burst rate limit (Delta's maxFilesPerTrigger, by VERSION):
+        # after the first batch of a run establishes the position
+        # (partitions/commit callbacks), each later batch advances at
+        # most K commits.  The first batch is structurally uncappable:
+        # the engine calls latestOffset BEFORE initialOffset and never
+        # passes the checkpoint, so a blind cap could return an offset
+        # BEHIND the checkpoint and regress it (verified call order on
+        # PySpark 4.1.2).
+        self._max_versions = int(options.get("maxversionspertrigger",
+                                             "0"))
+        self._seen: int | None = None
 
     # -- offsets ------------------------------------------------------
     def initialOffset(self) -> dict:
+        self._seen = self._start
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
@@ -232,11 +253,15 @@ class VTableStreamReader(DataSourceStreamReader):
         cur = latest_version(self._table_dir)
         # never move backwards past the configured start (e.g. an empty
         # table polls at the start offset until the first commit lands)
-        return {"version": max(self._start, cur or 0)}
+        end = max(self._start, cur or 0)
+        if self._max_versions > 0 and self._seen is not None:
+            end = min(end, self._seen + self._max_versions)
+        return {"version": end}
 
     # -- planning -----------------------------------------------------
     def partitions(self, start: dict, end: dict):
         v0, v1 = int(start["version"]), int(end["version"])
+        self._seen = max(self._seen or 0, v1)   # rate-limit high-water
         if self._cdf:
             return self._cdf_partitions(v0, v1)
         old = set(_manifest_files(self._table_dir, v0))
@@ -430,7 +455,9 @@ class VTableStreamReader(DataSourceStreamReader):
             yield batch
 
     def commit(self, end: dict) -> None:
-        pass                       # checkpointing is the engine's job
+        # checkpointing is the engine's job; only the rate-limit
+        # high-water mark advances here
+        self._seen = max(self._seen or 0, int(end["version"]))
 
     def stop(self) -> None:
         pass

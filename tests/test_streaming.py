@@ -622,3 +622,59 @@ class TestVTableCDFStream:
             ["k", "label", "_change_type", "_commit_version"]
         assert {(r[0], r[1], r[2]) for r in got} == \
             {(1, "a", "insert"), (1, "a", "delete")}
+
+
+class TestVTableStreamRateLimit:
+    """Round-8: maxversionspertrigger — a RUNNING stream drains commit
+    bursts in bounded bites (first batch of a run is uncapped by
+    engine-callback order; documented)."""
+
+    def _write(self, spark, t, rows):
+        from databox_adls_loader_spark.sinks import versioned as V
+        return V.write_snapshot(
+            spark.createDataFrame(rows, "k long, v string").coalesce(1), t)
+
+    def test_running_stream_caps_burst_batches(self, spark, tmp_path):
+        import time
+
+        from databox_adls_loader_spark.sources.vtable_stream import \
+            register_vtable_stream
+
+        t, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+        self._write(spark, t, [(1, "r1")])
+        register_vtable_stream(spark)
+        batches: dict = {}
+
+        def sink(df, bid):
+            ks = {r["k"] for r in df.collect()}
+            if ks:
+                batches[bid] = ks
+
+        q = (spark.readStream.format("vtable_stream").option("path", t)
+             .option("maxversionspertrigger", "2")
+             .load().writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ck)
+             .trigger(processingTime="300 milliseconds").start())
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline and not batches:
+                time.sleep(0.2)           # first batch: the seed commit
+            assert batches, "stream never delivered the seed commit"
+            # burst: 5 commits land while the stream is running
+            for k in range(2, 7):
+                self._write(spark, t, [(k, f"r{k}")])
+            want = set(range(1, 7))
+            while time.time() < deadline and \
+                    set().union(*batches.values()) != want:
+                time.sleep(0.2)
+        finally:
+            q.stop()
+        got = sorted(batches.items())
+        union = set().union(*batches.values())
+        assert union == want, got
+        # exactly-once: no key delivered twice across batches
+        assert sum(len(v) for v in batches.values()) == len(union), got
+        # every post-seed batch advanced at most 2 commits
+        assert all(len(v) <= 2 for bid, v in got[1:]), got
+        # and the burst actually needed multiple batches
+        assert len(got) >= 3, got
