@@ -1046,21 +1046,23 @@ def scale_cdc_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["scale", "versioned", "time-travel"],
 )
 def scale_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TIMESTAMP AS OF time travel (`sinks/versioned.read_as_of`):
-    resolve the shared CDF fixture's base-version commit time from
-    `history()` and read AS OF that instant — the result must be the
-    PRE-mutation table (raw orders, hash-matched), with every later
-    position-delete / MOR-update / tombstone / append invisible.
-    tt_ok asserts the timestamp resolved to exactly the base version.
-    Resolution is manifest-JSON only; the read is the ordinary pinned
-    `read_version` with full merge-on-read semantics."""
+    """TIMESTAMP AS OF time travel
+    (`sinks/versioned.read_version(as_of=...)` /
+    `version_at_timestamp`): resolve the shared CDF fixture's
+    base-version commit time from `history()` and read AS OF that
+    instant — the result must be the PRE-mutation table (raw orders,
+    hash-matched), with every later position-delete / MOR-update /
+    tombstone / append invisible.  tt_ok asserts the timestamp
+    resolved to exactly the base version.  Resolution is manifest-JSON
+    only; the read is the ordinary pinned `read_version` with full
+    merge-on-read semantics."""
     from ..sinks import versioned as V
 
     t, v_base, _ = _cdf_orders(spark, sf_dir)
     ts = next(h["committed_at"] for h in V.history(t)
               if h["version"] == v_base)
-    tt_ok = V.version_as_of(t, ts) == v_base
-    df = V.read_as_of(spark, t, ts)
+    tt_ok = V.version_at_timestamp(t, ts) == v_base
+    df = V.read_version(spark, t, as_of=ts)
     return (df.groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.col("o_totalprice").cast("decimal(18,2)"))

@@ -2567,43 +2567,6 @@ def compact_small_files(spark: SparkSession, table_dir: str,
     return new_version
 
 
-def version_as_of(table_dir: str, timestamp) -> int:
-    """TIMESTAMP AS OF resolution (the Delta/Iceberg time-travel-by-
-    time shape): the newest retained version whose ``committed_at`` is
-    at or before ``timestamp`` (datetime or ISO string; naive = UTC).
-    Raises if the table has no version that old — reading "before the
-    table existed" should fail loudly, not return the oldest snapshot.
-    Pure manifest JSON reads, no data I/O."""
-    if isinstance(timestamp, str):
-        timestamp = datetime.datetime.fromisoformat(timestamp)
-    if timestamp.tzinfo is None:
-        timestamp = timestamp.replace(tzinfo=datetime.timezone.utc)
-    best = None
-    for v in versions(table_dir):
-        raw = _read_manifest_doc(table_dir, v).get("committed_at")
-        if raw is None:
-            continue
-        at = datetime.datetime.fromisoformat(raw)
-        if at.tzinfo is None:
-            at = at.replace(tzinfo=datetime.timezone.utc)
-        if at <= timestamp:
-            best = v if best is None else max(best, v)
-    if best is None:
-        raise ValueError(
-            f"no version of {table_dir} committed at or before "
-            f"{timestamp.isoformat()}")
-    return best
-
-
-def read_as_of(spark: SparkSession, table_dir: str, timestamp
-               ) -> DataFrame:
-    """``SELECT ... TIMESTAMP AS OF``: `read_version` pinned to
-    `version_as_of(timestamp)` — full merge-on-read semantics (DVs,
-    equality deletes, column map) exactly as a version-pinned read."""
-    return read_version(spark, table_dir,
-                        version_as_of(table_dir, timestamp))
-
-
 def vacuum(table_dir: str, keep_versions: int = 2,
            older_than=None) -> int:
     """Drop retired manifests and delete data files no retained
