@@ -346,9 +346,11 @@ def _eqc_orders(spark: SparkSession, sf_dir: str) -> str:
         V.write_snapshot(orders, t)
         k_col = F.col("o_orderkey")
         for j in range(12):
-            keys = [r[0] for r in orders.filter(k_col % 100 == j)
-                    .select("o_orderkey").collect()]
-            V.delete_where_keys(spark, t, "o_orderkey", keys)
+            # keys as a FRAME — each tombstone commit stays collect-free
+            # however large the key set grows with SF
+            V.delete_where_keys(
+                spark, t, "o_orderkey",
+                orders.filter(k_col % 100 == j).select("o_orderkey"))
         _EQC_ORDERS[key] = t
     return t
 
@@ -1420,8 +1422,9 @@ def _mv_cdf_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
                .withColumn("o_totalprice", F.col("o_totalprice") + 3.5)
                .select(*orders.columns))
         V.upsert_mor(spark, base, ups, "o_orderkey")
-        dels = [r[0] for r in orders.filter(k % 127 == 0)
-                .select("o_orderkey").distinct().collect()]
+        # keys as a FRAME, not a driver collect — the tombstone commit
+        # stays collect-free however large the key set grows
+        dels = orders.filter(k % 127 == 0).select("o_orderkey").distinct()
         V.delete_where_keys(spark, base, "o_orderkey", dels)
         M.refresh_from_changes(spark, view, spec, base, "o_orderkey",
                                agg)
