@@ -43,8 +43,9 @@ CHANGE-FEED MODE — ``.option("readchangefeed", "true")`` switches the
 stream from the append-log view to a row-level CHANGE stream (the
 Delta `readChangeFeed` / Iceberg changelog-scan consumption shape):
 each micro-batch emits the rows that changed in the covered commits,
-tagged ``_change_type`` ∈ {insert, delete} + ``_commit_version``, under
-the table's LOGICAL schema (renames/drops applied).  Per commit:
+tagged ``_change_type`` ∈ {insert, delete} + ``_commit_version`` +
+``_commit_timestamp``, under the table's LOGICAL schema (renames/drops
+applied).  Per commit:
 
   * APPENDED files → their rows as ``insert`` (MOR overlays attached
     to the file only by LATER commits are later delete events, so the
@@ -94,6 +95,7 @@ class _InsertSlice(InputPartition):
     version: int
     cmap: tuple = ()                 # ((physical, logical), ...)
     dropped: tuple = ()
+    ts_us: int = 0                   # commit time, epoch microseconds
 
 
 @dataclass
@@ -104,6 +106,7 @@ class _DeleteSlice(InputPartition):
     version: int
     cmap: tuple = ()
     dropped: tuple = ()
+    ts_us: int = 0                   # commit time, epoch microseconds
     prior_dv: tuple = ()             # DV parquet paths applying before
     delta_dv: tuple = ()             # DV parquet paths added by commit
     prior_eq: tuple = ()             # ((phys col, (tombstone files)), ..)
@@ -129,6 +132,19 @@ def _manifest_files(table_dir: str, version: int) -> list[str]:
         return []
     from ..sinks.versioned import _read_manifest
     return _read_manifest(table_dir, version)
+
+
+def _iso_to_us(raw: str | None) -> int:
+    """Manifest ``committed_at`` ISO string → epoch microseconds (0 for
+    manifests predating the field)."""
+    if not raw:
+        return 0
+    import datetime
+
+    at = datetime.datetime.fromisoformat(raw)
+    if at.tzinfo is None:
+        at = at.replace(tzinfo=datetime.timezone.utc)
+    return int(at.timestamp() * 1_000_000)
 
 
 # -- executor-side CDF mask helpers (no SparkSession, no per-row Python)
@@ -305,8 +321,9 @@ class VTableStreamReader(DataSourceStreamReader):
         """One planning pass PER COMMIT in (v0, v1] so every emitted row
         carries its true ``_commit_version`` — manifest JSON reads only,
         no data I/O on the driver."""
-        from ..sinks.versioned import (_eq_entry_key, table_column_map,
-                                       table_delete_map, table_eq_deletes)
+        from ..sinks.versioned import (_eq_entry_key, _read_manifest_doc,
+                                       table_column_map, table_delete_map,
+                                       table_eq_deletes)
         out: list[InputPartition] = []
         # renames are metadata-only (physical file columns never change),
         # so history replays under the WINDOW-END logical names — the
@@ -333,9 +350,12 @@ class VTableStreamReader(DataSourceStreamReader):
                     "incremental=True) for that window, or "
                     ".option('ignorechanges','true') to skip rewrite "
                     "commits entirely.")
+            ts_us = _iso_to_us(
+                _read_manifest_doc(self._table_dir, v)
+                .get("committed_at"))
             prev_set = set(prev)
             for f in sorted(f for f in cur if f not in prev_set):
-                out.append(_InsertSlice(f, v, cmap_t, drop_t))
+                out.append(_InsertSlice(f, v, cmap_t, drop_t, ts_us))
             dm_prev, _ = table_delete_map(self._table_dir, v - 1) \
                 if v > 1 else ({}, {})
             dm_cur, _ = table_delete_map(self._table_dir, v)
@@ -356,7 +376,7 @@ class VTableStreamReader(DataSourceStreamReader):
                              for e in eq_prev
                              if f in e.get("applies_to", []))
                 out.append(_DeleteSlice(
-                    f, v, cmap_t, drop_t,
+                    f, v, cmap_t, drop_t, ts_us,
                     prior_dv=tuple(dm_prev.get(f, [])), delta_dv=d_dv,
                     prior_eq=p_eq, delta_eq=d_eq))
         return out
@@ -424,6 +444,11 @@ class VTableStreamReader(DataSourceStreamReader):
                 elif fld.name == "_commit_version":
                     arrays.append(pa.repeat(
                         pa.scalar(part.version, type=fld.type), n))
+                elif fld.name == "_commit_timestamp":
+                    import numpy as np
+                    arrays.append(pa.array(
+                        np.full(n, part.ts_us, dtype="int64"))
+                        .cast(fld.type))
                 elif fld.name in cols:
                     arrays.append(cols[fld.name].cast(fld.type))
                 else:
@@ -504,7 +529,8 @@ class VTableStreamDataSource(DataSource):
                   for f in stored.fields if f.name not in dropped]
         return T.StructType(fields + [
             T.StructField("_change_type", T.StringType(), True),
-            T.StructField("_commit_version", T.LongType(), True)])
+            T.StructField("_commit_version", T.LongType(), True),
+            T.StructField("_commit_timestamp", T.TimestampType(), True)])
 
     def streamReader(self, schema) -> VTableStreamReader:
         return VTableStreamReader(self.options, schema)

@@ -549,6 +549,12 @@ class TestVTableCDFStream:
         # delete rows carry the OLD image's values
         assert {(r[0], r[1]) for r in got if r[2] == "delete"} == \
             {(k, f"r{k}") for k in (1, 2, 3, 5, 6)}
+        # every row carries its commit's timestamp, and timestamps are
+        # monotone in commit version
+        byv = sorted({(r[3], r[4]) for r in got})
+        assert all(ts is not None for _, ts in byv)
+        assert [v for v, _ in byv] == [1, 2, 3, 4]
+        assert all(a[1] <= b[1] for a, b in zip(byv, byv[1:]))
 
     def test_mor_update_streams_as_delete_plus_insert(self, spark,
                                                       tmp_path):
@@ -619,7 +625,8 @@ class TestVTableCDFStream:
         sch = (spark.readStream.format("vtable_stream").option("path", t)
                .option("readchangefeed", "true").load()).schema
         assert [f.name for f in sch.fields] == \
-            ["k", "label", "_change_type", "_commit_version"]
+            ["k", "label", "_change_type", "_commit_version",
+             "_commit_timestamp"]
         assert {(r[0], r[1], r[2]) for r in got} == \
             {(1, "a", "insert"), (1, "a", "delete")}
 

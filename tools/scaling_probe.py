@@ -62,6 +62,10 @@ HEADLINERS = [
     "scale_cdf_incremental",     # manifest-derived CDF (round-8)
     "scale_eq_consolidated_read",  # 12 tombstone commits, 1 anti join
     "scale_bucket_join_read",    # bucket-aligned shuffle-free join
+    "scale_cdc_mor_read",        # merge-on-read CDC feed (round-8)
+    "scale_cdf_stream_read",     # streaming change feed drain (round-8)
+    "scale_time_travel_read",    # TIMESTAMP AS OF read (round-8)
+    "mv_cdf_maintenance",        # view maintained from change feed
 ]
 
 TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
@@ -92,6 +96,10 @@ TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
     "scale_cdf_incremental": "orders",
     "scale_eq_consolidated_read": "orders",
     "scale_bucket_join_read": "orders",
+    "scale_cdc_mor_read": "orders",
+    "scale_cdf_stream_read": "orders",
+    "scale_time_travel_read": "orders",
+    "mv_cdf_maintenance": "orders",
 }
 
 # the heavy shapes probed one decade PAST the bench SF, on the locally
@@ -130,6 +138,13 @@ SF1_QUERIES = [
     # outstanding.  (bucket join needs `customer`, absent at sf1.)
     "scale_cdf_incremental",
     "scale_eq_consolidated_read",
+    # round-8 CDC/CDF loop: the MOR apply, the stream drain, the as-of
+    # read, and the view maintenance must all hold their slope — none
+    # of them may grow with table size beyond the final read
+    "scale_cdc_mor_read",
+    "scale_cdf_stream_read",
+    "scale_time_travel_read",
+    "mv_cdf_maintenance",
 ]
 
 
