@@ -1728,3 +1728,150 @@ def li_qty_price_band_heatmap(spark: SparkSession,
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("cents").cast("long").alias("cents"))
             .orderBy("qty_band", "price_band_10k"))
+
+
+# ---------------------------------------------------------------------------
+# operational DQ anomaly days, word-length profile, segment×priority mix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_daily_volume_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1, 2
+    ), m AS (
+      SELECT pri, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n)
+                       AS BIGINT) AS med
+      FROM daily GROUP BY pri
+    ), d AS (
+      SELECT daily.pri, daily.day, daily.n, m.med,
+             ABS(daily.n - m.med) AS dev
+      FROM daily JOIN m ON daily.pri = m.pri
+    ), md AS (
+      SELECT pri, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)
+                       AS BIGINT) AS mad
+      FROM d GROUP BY pri
+    )
+    SELECT d.pri AS o_orderpriority, d.day, CAST(d.n AS BIGINT) AS n,
+           d.med, md.mad
+    FROM d JOIN md ON d.pri = md.pri
+    WHERE d.dev > 4 * GREATEST(md.mad, 1)
+    ORDER BY o_orderpriority, day
+    """,
+    tags=["dq", "anomaly", "mad", "operational"],
+)
+def dq_daily_volume_anomalies(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Operational load-monitoring: DAYS whose order volume breaks the
+    per-priority median/MAD Hampel rule (|n − med| > 4·max(MAD, 1),
+    the standard floored MAD so a degenerate zero-dispersion series
+    cannot flag every day) — the
+    "did yesterday's ingest double-run or half-fail" alarm, listed as
+    the actual anomalous (priority, day) rows rather than a count.
+    percentile_disc keeps every statistic integer-exact on both
+    engines; three grouped aggregates + broadcast scalar joins, no
+    window, no global sort — the fleet shape that survives any number
+    of days."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = (orders.groupBy(F.col("o_orderpriority").alias("pri"),
+                            F.col("o_orderdate").cast("date")
+                            .alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    med = (daily.groupBy("pri")
+           .agg(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)")
+                .cast("long").alias("med")))
+    d = (daily.join(F.broadcast(med), "pri")
+         .withColumn("dev", F.abs(F.col("n") - F.col("med"))))
+    mad = (d.groupBy("pri")
+           .agg(F.expr("percentile_disc(0.5) WITHIN GROUP "
+                       "(ORDER BY dev)").cast("long").alias("mad")))
+    return (d.join(F.broadcast(mad), "pri")
+            .filter(F.col("dev") > 4 * F.greatest(F.col("mad"),
+                                                  F.lit(1)))
+            .select(F.col("pri").alias("o_orderpriority"), "day",
+                    F.col("n").cast("long").alias("n"), "med", "mad")
+            .orderBy("o_orderpriority", "day"))
+
+
+@register(
+    "text_word_length_hist",
+    oracle=r"""
+    WITH w AS (
+      SELECT lang,
+             length(unnest(list_filter(
+               regexp_split_to_array(trim(text), '\s+'),
+               x -> x <> ''))) AS wl
+      FROM documents
+    ), t AS (SELECT lang, COUNT(*) AS tot FROM w GROUP BY lang)
+    SELECT w.lang, CAST(LEAST(wl, 15) AS BIGINT) AS wl_capped,
+           COUNT(*) AS n,
+           CAST(COUNT(*) * 1000000 // MAX(t.tot) AS BIGINT) AS share_ppm
+    FROM w JOIN t ON w.lang = t.lang
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=["text", "profile", "zipf"],
+)
+def text_word_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-length histogram per language (lengths capped at 15 so the
+    tail is one bucket), with exact ppm shares — the length profile
+    that separates natural prose from code/tables/identifier soup, and
+    the quickest tokenizer-fit diagnostic (mean word length drives
+    expected tokens-per-word).  Token explode + two aggregates,
+    integer-exact."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    w = (docs.select("lang",
+                     F.explode(F.split(F.trim("text"), r"\s+"))
+                     .alias("term"))
+         .filter(F.col("term") != "")
+         .select("lang", F.least(F.length("term"), F.lit(15))
+                 .cast("long").alias("wl_capped")))
+    tot = w.groupBy("lang").agg(F.count(F.lit(1)).alias("tot"))
+    return (w.groupBy("lang", "wl_capped")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .join(F.broadcast(tot), "lang")
+            .select("lang", "wl_capped", "n",
+                    F.expr("CAST(n * 1000000 DIV tot AS LONG)")
+                    .alias("share_ppm"))
+            .orderBy("lang", "wl_capped"))
+
+
+@register(
+    "cust_segment_priority_mix",
+    oracle="""
+    WITH j AS (
+      SELECT c_mktsegment AS seg, o_orderpriority AS pri
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), t AS (SELECT seg, COUNT(*) AS tot FROM j GROUP BY seg)
+    SELECT j.seg AS c_mktsegment, j.pri AS o_orderpriority,
+           COUNT(*) AS n,
+           CAST(COUNT(*) * 1000000 // MAX(t.tot) AS BIGINT)
+             AS row_share_ppm
+    FROM j JOIN t ON j.seg = t.seg
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=["commerce", "crosstab", "mix"],
+)
+def cust_segment_priority_mix(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Order-priority mix per customer segment: the segment×priority
+    cross-tab with exact within-segment row shares (ppm) — the
+    behavioral fingerprint a CRM compares release-over-release for mix
+    drift.  One broadcast dim join, two bounded aggregates (≤|segments|
+    × |priorities| cells); the fact table is touched once."""
+    orders, cust = _t(spark, sf_dir, "orders", "customer")
+    j = (orders.join(F.broadcast(cust),
+                     F.col("o_custkey") == F.col("c_custkey"))
+         .select(F.col("c_mktsegment").alias("seg"),
+                 F.col("o_orderpriority").alias("pri")))
+    tot = j.groupBy("seg").agg(F.count(F.lit(1)).alias("tot"))
+    return (j.groupBy("seg", "pri")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .join(F.broadcast(tot), "seg")
+            .select(F.col("seg").alias("c_mktsegment"),
+                    F.col("pri").alias("o_orderpriority"), "n",
+                    F.expr("CAST(n * 1000000 DIV tot AS LONG)")
+                    .alias("row_share_ppm"))
+            .orderBy("c_mktsegment", "o_orderpriority"))
