@@ -366,3 +366,41 @@ def test_cdc_mor_feeds_cdf_stream(spark, tmp_path):
         else:
             live.pop(r[0], None)
     assert set(live.items()) == _rows(spark, t)
+
+
+def test_upsert_mor_rebase_covers_concurrent_append(spark, tmp_path):
+    """The rebase branch of the one-commit MOR upsert: a concurrent
+    append lands BETWEEN the upsert's file writes and its manifest
+    commit.  The tombstone's applies_to is recomputed against the
+    rebased base, so the concurrent file's images of the same keys are
+    covered (they predate the upsert commit) while the upsert's own
+    appended images stay alive."""
+    t = str(tmp_path / "t")
+    V.write_snapshot(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string").coalesce(1), t)
+
+    # stage the upsert's artifacts exactly as write_snapshot would...
+    ups = spark.createDataFrame([(2, "B2")], "k long, v string") \
+        .coalesce(1)
+    new_files = V._new_data_files(ups, t, "race")
+    stats = V._stats_for(t, new_files, [], spark=spark)
+    st = V._st(t, spark)
+    out = st.canon(st.join(t, "eqdeletes", "race-keys"))
+    (ups.select(F.col("k").alias("__val")).coalesce(1)
+     .write.mode("error").parquet(out))
+    eq_files = sorted(st.canon(p)
+                      for p in st.list_glob(st.join(out, "part-*.parquet")))
+    # ...then a CONCURRENT append beats it to the manifest with its own
+    # image of key 2
+    V.write_snapshot(spark.createDataFrame(
+        [(2, "stale2"), (3, "c")], "k long, v string").coalesce(1), t)
+    v = V.commit_data_files(
+        t, new_files, "append", stats,
+        schema=ups.schema.jsonValue(),
+        eq_entry={"files": eq_files, "col": "k", "rows": 1})
+    assert v == 3
+    # the tombstone covers BOTH pre-commit files' images of key 2
+    (entry,) = V.table_eq_deletes(t)
+    assert set(entry["applies_to"]) == set(V._read_manifest(t, 2))
+    got = {tuple(r) for r in V.read_version(spark, t).collect()}
+    assert got == {(1, "a"), (2, "B2"), (3, "c")}
