@@ -322,10 +322,22 @@ def refresh_from_changes(spark: SparkSession, table_dir: str,
         raise MVRewriteError(
             f"{mv.name!r} has min/max measures — deletes/updates in the "
             "change window cannot be decremented; run a full refresh")
-    on = list(mv.dims)
     plus = delta_agg(plus_rows.drop("_change_type"))
     minus = delta_agg(minus_rows.drop("_change_type")) if has_minus \
         else None
+    return _apply_signed_delta(spark, table_dir, mv, plus, minus,
+                               2 * v_to, 2 * v_to + 1)
+
+
+def _apply_signed_delta(spark: SparkSession, table_dir: str, mv: MVSpec,
+                        plus: DataFrame, minus: DataFrame | None,
+                        retire_id: int, upsert_id: int) -> int | None:
+    """The shared tail of change-driven view maintenance: combine the
+    stored partials of TOUCHED groups with the added (``plus``) and
+    retired (``minus``) contributions, tombstone groups whose count
+    hits zero, scope-merge the rest — each phase under its ledger id so
+    a crash-replay re-runs only what did not land."""
+    on = list(mv.dims)
     cur = read(spark, table_dir)
     touched_keys = plus.select(*on)
     if minus is not None:
@@ -340,7 +352,6 @@ def refresh_from_changes(spark: SparkSession, table_dir: str,
     dead = combined.filter(F.col(count_alias) <= 0).select(MV_KEY)
     live = combined.filter(F.col(count_alias) > 0)
     done = V.committed_batch_ids(table_dir)
-    retire_id, upsert_id = 2 * v_to, 2 * v_to + 1
     out = None
     if retire_id not in done and dead.limit(1).count():
         out, _ = V.delete_where_keys(spark, table_dir, MV_KEY, dead,
@@ -349,6 +360,72 @@ def refresh_from_changes(spark: SparkSession, table_dir: str,
         out = V.merge_into_snapshot(spark, table_dir, live, key=MV_KEY,
                                     batch_ids={upsert_id})
     return out
+
+
+def maintain_cdf_stream_batch(batch_df: DataFrame, batch_id: int,
+                              table_dir: str, mv: MVSpec,
+                              delta_agg) -> int | None:
+    """STREAMING view maintenance off the CHANGE-FEED stream — the
+    push twin of `refresh_from_changes`: wire the versioned table's
+    ``readchangefeed`` stream (`sources/vtable_stream`) into
+    foreachBatch and the view tracks the base in real time,
+
+        (spark.readStream.format("vtable_stream")
+              .option("path", base).option("readchangefeed", "true")
+              .load().writeStream
+              .foreachBatch(lambda df, bid: mv.maintain_cdf_stream_batch(
+                  df, bid, view_dir, spec, delta_agg))
+              .option("checkpointLocation", ck).start())
+
+    Each micro-batch's ``insert`` rows add and ``delete`` rows subtract
+    (the stream unpacks MOR updates into that pair), emptied groups are
+    tombstoned, and the two phases commit under stream-batch-scoped
+    ledger ids (2·b / 2·b+1) — Structured Streaming's crash-replay of a
+    batch re-runs only the phase that did not land.  A view is
+    maintained by the STREAM's ids or by `refresh_from_changes`'s
+    watermark ids, never both (one writer per view, the ledger's
+    standing assumption).  Requirements as in `refresh_from_changes`:
+    sum/count measures only when deletes are present, a count measure
+    always.  Returns the view's new version (None: replay no-op)."""
+    spark = batch_df.sparkSession
+    if not any(agg == "count" for agg, _ in mv.measures):
+        raise MVRewriteError(
+            f"maintain_cdf_stream_batch needs a count measure in "
+            f"{mv.name!r} to detect emptied groups")
+    ct = F.col("_change_type")
+    meta = [c for c in ("_change_type", "_commit_version",
+                        "_commit_timestamp") if c in batch_df.columns]
+    plus_rows = batch_df.filter(ct == "insert").drop(*meta)
+    minus_rows = batch_df.filter(ct == "delete").drop(*meta)
+    has_minus = bool(minus_rows.limit(1).count())
+    if has_minus and not all(agg in ("sum", "count")
+                             for agg, _ in mv.measures):
+        raise MVRewriteError(
+            f"{mv.name!r} has min/max measures — a delete-bearing batch "
+            "cannot be decremented; rebuild with refresh()")
+    if not plus_rows.limit(1).count() and not has_minus:
+        return None
+    if V.latest_version(table_dir) is None:
+        if has_minus:
+            # a CDF stream from version 0 opens with pure inserts (the
+            # base's first commit is an append); deletes in the view's
+            # first batch mean the consumer started mid-history
+            raise MVRewriteError(
+                f"view {mv.name!r} is empty but the first change batch "
+                "carries deletes — stream from startingversion 0 or "
+                "seed the view with refresh() first")
+        # bootstrap: the first batch IS the view.  Recorded under the
+        # UPSERT-phase id (2·b + 1): a crash-replay of this batch then
+        # skips the merge phase in the signed-delta path instead of
+        # double-applying the bootstrap rows.
+        build = _with_key(delta_agg(plus_rows), mv)
+        ok = V.commit_stream_batch(build, 2 * int(batch_id) + 1,
+                                   table_dir, mode="overwrite")
+        return V.latest_version(table_dir) if ok else None
+    plus = delta_agg(plus_rows)
+    minus = delta_agg(minus_rows) if has_minus else None
+    return _apply_signed_delta(spark, table_dir, mv, plus, minus,
+                               2 * int(batch_id), 2 * int(batch_id) + 1)
 
 
 def _combine_signed(cur: DataFrame, minus: DataFrame,

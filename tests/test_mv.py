@@ -758,3 +758,73 @@ class TestChangeFeedMaintenance:
                                    lambda df: df.groupBy("k").agg(
                                        F.sum("v").cast("long")
                                        .alias("s")))
+
+
+class TestStreamingCDFMaintenance:
+    """Round-8 capstone: the view maintained by the change-feed STREAM
+    (`mv.maintain_cdf_stream_batch` wired into foreachBatch) — the
+    push twin of `refresh_from_changes`."""
+
+    SPEC = M.MVSpec(name="cdfstream_mv", dims=("k",),
+                    measures=(("sum", "s"), ("count", "n")),
+                    rows_hint=10)
+
+    @staticmethod
+    def _agg(df):
+        return df.groupBy("k").agg(
+            F.sum("v").cast("long").alias("s"),
+            F.count(F.lit(1)).alias("n"))
+
+    def _drain(self, spark, base, view, ck):
+        from databox_adls_loader_spark.sources.vtable_stream import \
+            register_vtable_stream
+
+        register_vtable_stream(spark)
+        q = (spark.readStream.format("vtable_stream")
+             .option("path", base).option("readchangefeed", "true")
+             .load().writeStream
+             .foreachBatch(lambda df, bid: M.maintain_cdf_stream_batch(
+                 df, bid, view, self.SPEC, self._agg))
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    def test_stream_tracks_base_through_mor_changes(self, spark,
+                                                    tmp_path):
+        from databox_adls_loader_spark.sinks import versioned as V
+
+        base, view = str(tmp_path / "base"), str(tmp_path / "view")
+        ck = str(tmp_path / "ck")
+        rows = [(i, "abc"[(i - 1) // 3], i * 10) for i in range(1, 10)]
+        V.write_snapshot(spark.createDataFrame(
+            rows, "id long, k string, v long").coalesce(1), base)
+        self._drain(spark, base, view, ck)          # bootstrap batch
+        got = {r["k"]: (r["s"], r["n"])
+               for r in M.read(spark, view).collect()}
+        assert got == {"a": (60, 3), "b": (150, 3), "c": (240, 3)}
+        # MOR window: value update, group move, insert, group emptied
+        V.upsert_mor(spark, base, spark.createDataFrame(
+            [(2, "a", 100), (5, "a", 50), (10, "d", 5)],
+            "id long, k string, v long").coalesce(1), "id")
+        V.delete_where_keys(spark, base, "id", [7, 8, 9])
+        self._drain(spark, base, view, ck)
+        got = {r["k"]: (r["s"], r["n"])
+               for r in M.read(spark, view).collect()}
+        want = {r["k"]: (r["s"], r["n"]) for r in
+                self._agg(V.read_version(spark, base)).collect()}
+        assert got == want and "c" not in got
+        # replay: re-drain from the same checkpoint — nothing changes
+        v_before = V.latest_version(view)
+        self._drain(spark, base, view, ck)
+        assert V.latest_version(view) == v_before
+        got2 = {r["k"]: (r["s"], r["n"])
+                for r in M.read(spark, view).collect()}
+        assert got2 == want
+
+    def test_empty_view_with_delete_batch_refused(self, spark,
+                                                  tmp_path):
+        df = spark.createDataFrame(
+            [("a", 1, "delete")], "k string, v long, _change_type string")
+        with pytest.raises(M.MVRewriteError, match="carries deletes"):
+            M.maintain_cdf_stream_batch(df, 0, str(tmp_path / "v"),
+                                        self.SPEC, self._agg)
