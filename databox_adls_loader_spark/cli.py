@@ -165,6 +165,10 @@ def _cmd_table(args) -> int:
     if args.verb == "rollback":
         print(json.dumps({"version": V.rollback(t, args.to_version)}))
         return 0
+    if args.verb == "health":
+        from .sinks.maintenance import table_health
+        print(json.dumps(table_health(t), default=str))
+        return 0
     if args.verb == "describe":
         cur = V.latest_version(t)
         if cur is None:
@@ -217,6 +221,14 @@ def _cmd_table(args) -> int:
     if args.verb == "show":
         df = V.read_version(spark, t, version=args.version,
                             as_of=args.as_of)
+        for row in df.limit(args.n).collect():
+            print(json.dumps(row.asDict(), default=str))
+        return 0
+    if args.verb == "changes":
+        v_to = args.to if args.to is not None else V.latest_version(t)
+        df = V.changes_between(spark, t, getattr(args, "from"), v_to,
+                               args.key, incremental=args.incremental,
+                               emit_preimage=args.preimage)
         for row in df.limit(args.n).collect():
             print(json.dumps(row.asDict(), default=str))
         return 0
@@ -294,6 +306,10 @@ def main(argv: list[str] | None = None) -> int:
             ("rollback", "re-commit an old version's file list"),
             ("clone", "zero-copy shallow clone to a new table dir"),
             ("describe", "table metadata: layout, constraints, state"),
+            ("health", "maintenance advisor: small files, overlay "
+                       "debt, clustering drift (manifest-only)"),
+            ("changes", "row-level change feed between two versions "
+                        "(CDF; --incremental reads only changed files)"),
             ("show", "read a version (latest, -v N, or --as-of TS)")]:
         sp = tv.add_parser(verb, help=help_)
         sp.add_argument("table_dir")
@@ -340,6 +356,18 @@ def main(argv: list[str] | None = None) -> int:
         elif verb == "show":
             sp.add_argument("-v", "--version", type=int)
             sp.add_argument("--as-of", help="ISO timestamp")
+            sp.add_argument("-n", type=int, default=20)
+        elif verb == "changes":
+            sp.add_argument("--from", type=int, required=True,
+                            dest="from", help="base version (exclusive)")
+            sp.add_argument("--to", type=int,
+                            help="end version (default: latest)")
+            sp.add_argument("--key", required=True,
+                            help="unique key column for the diff")
+            sp.add_argument("--incremental", action="store_true",
+                            help="derive from manifests when possible")
+            sp.add_argument("--preimage", action="store_true",
+                            help="also emit update_preimage rows")
             sp.add_argument("-n", type=int, default=20)
 
     q = sub.add_parser("query", help="run a registry query")

@@ -229,3 +229,37 @@ def test_cli_widen_column(spark, tmp_path, capsys):
     assert dict(V.read_version(spark, t).dtypes)["x"] == "bigint"
     assert main(["table", "describe", t]) == 0
     capsys.readouterr()
+
+
+def test_cli_table_health_and_changes(spark, tmp_path, capsys):
+    """Round-8 verbs: `table health` (manifest-only advisor) and
+    `table changes` (CDF between versions, incremental + preimages)."""
+    from databox_adls_loader_spark.sinks import versioned as V
+
+    t = str(tmp_path / "tbl")
+    V.write_snapshot(
+        spark.createDataFrame([(i, i * 10) for i in range(10)],
+                              "k long, v long").coalesce(1), t)
+    V.delete_where_keys(spark, t, "k", [3])
+    V.upsert_mor(spark, t, spark.createDataFrame(
+        [(5, 99), (20, 1)], "k long, v long").coalesce(1), "k")
+
+    assert main(["table", "health", t]) == 0
+    h = json.loads(capsys.readouterr().out.strip())
+    assert h["version"] == 3 and h["n_eq_delete_entries"] == 2
+
+    assert main(["table", "changes", t, "--from", "1", "--key", "k",
+                 "--incremental", "-n", "30"]) == 0
+    rows = [json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    got = {(r["k"], r["_change_type"]) for r in rows}
+    assert got == {(3, "delete"), (5, "update_postimage"),
+                   (20, "insert")}
+
+    assert main(["table", "changes", t, "--from", "1", "--key", "k",
+                 "--preimage", "-n", "30"]) == 0
+    rows = [json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert (5, 50, "update_preimage") in {(r["k"], r["v"],
+                                           r["_change_type"])
+                                          for r in rows}
