@@ -1875,3 +1875,206 @@ def cust_segment_priority_mix(spark: SparkSession,
                     F.expr("CAST(n * 1000000 DIV tot AS LONG)")
                     .alias("row_share_ppm"))
             .orderBy("c_mktsegment", "o_orderpriority"))
+
+
+# ---------------------------------------------------------------------------
+# final round-8 batch: 2-hop graph reach, sign runs, PK audit, argmax-per-group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_2hop_supplier_reach",
+    oracle="""
+    WITH deg AS (
+      SELECT l_suppkey AS s, COUNT(DISTINCT l_partkey) AS n_parts
+      FROM lineitem GROUP BY 1
+    ), anchors AS (
+      SELECT s FROM deg ORDER BY n_parts DESC, s LIMIT 5
+    ), ap AS (
+      SELECT DISTINCT a.s, l.l_partkey AS p
+      FROM anchors a JOIN lineitem l ON l.l_suppkey = a.s
+    ), hop2 AS (
+      SELECT DISTINCT ap.s, l.l_suppkey AS s2
+      FROM ap JOIN lineitem l ON l.l_partkey = ap.p
+      WHERE l.l_suppkey <> ap.s
+    )
+    SELECT hop2.s AS suppkey, MAX(deg.n_parts) AS n_parts,
+           COUNT(*) AS n_cosuppliers
+    FROM hop2 JOIN deg ON hop2.s = deg.s
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=["graph", "bipartite", "reach"],
+)
+def graph_2hop_supplier_reach(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """2-hop reach in the supplier–part bipartite graph, anchored: for
+    the 5 suppliers covering the most distinct parts, how many OTHER
+    suppliers share at least one part — the supply-chain blast-radius
+    question ("if this supplier fails, who can substitute").  The
+    anchor set bounds the expansion: the part→supplier fan-out join
+    runs behind a semi-join on ≤5 anchors' parts, so 100× lineitem
+    never pays an unanchored self-join."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    deg = (li.groupBy(F.col("l_suppkey").alias("s"))
+           .agg(F.countDistinct("l_partkey").alias("n_parts")))
+    anchors = deg.orderBy(F.desc("n_parts"), "s").limit(5)
+    ap = (li.join(F.broadcast(anchors.select("s")),
+                  F.col("l_suppkey") == F.col("s"))
+          .select("s", F.col("l_partkey").alias("p")).distinct())
+    hop2 = (li.join(F.broadcast(ap),
+                    F.col("l_partkey") == F.col("p"))
+            .filter(F.col("l_suppkey") != F.col("s"))
+            .select("s", F.col("l_suppkey").alias("s2")).distinct())
+    return (hop2.join(F.broadcast(deg), "s")
+            .groupBy(F.col("s").alias("suppkey"))
+            .agg(F.max("n_parts").alias("n_parts"),
+                 F.count(F.lit(1)).alias("n_cosuppliers"))
+            .orderBy("suppkey"))
+
+
+@register(
+    "ts_revenue_sign_runs",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    ), sgn AS (
+      SELECT day,
+             CASE WHEN LAG(cents) OVER (ORDER BY day) IS NULL THEN NULL
+                  WHEN cents > LAG(cents) OVER (ORDER BY day) THEN 1
+                  WHEN cents < LAG(cents) OVER (ORDER BY day) THEN -1
+                  ELSE 0 END AS s
+      FROM daily
+    ), brk AS (
+      SELECT day, s,
+             CASE WHEN s <> LAG(s, 1, 99) OVER (ORDER BY day)
+                  THEN 1 ELSE 0 END AS b
+      FROM sgn WHERE s IS NOT NULL
+    ), grp AS (
+      SELECT s, SUM(b) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS g
+      FROM brk
+    ), runs AS (
+      SELECT s, g, COUNT(*) AS run_len FROM grp GROUP BY s, g
+    )
+    SELECT CAST(s AS BIGINT) AS direction,
+           CAST(run_len AS BIGINT) AS run_len,
+           COUNT(*) AS n_runs
+    FROM runs GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=["timeseries", "momentum", "gaps-islands"],
+)
+def ts_revenue_sign_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-revenue MOMENTUM runs: consecutive up/down/flat streak
+    lengths (gaps-and-islands over the day-over-day sign), distributed
+    as (direction, run length) → count — the shape momentum/mean-
+    reversion screens read.  Windows are over the POST-AGGREGATE daily
+    frame (≤|days| rows — the documented bounded-window class), cents
+    are decimal-exact, and the sign cancels float noise entirely."""
+    from pyspark.sql.window import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = (orders.groupBy(F.col("o_orderdate").cast("date")
+                            .alias("day"))
+             .agg(F.sum((F.col("o_totalprice").cast("decimal(18,2)")
+                         * 100).cast("long")).alias("cents")))
+    w = Window.orderBy("day")
+    sgn = (daily.select(
+        "day",
+        F.when(F.col("cents") > F.lag("cents").over(w), 1)
+         .when(F.col("cents") < F.lag("cents").over(w), -1)
+         .otherwise(F.when(F.lag("cents").over(w).isNull(),
+                           F.lit(None)).otherwise(0)).alias("s"))
+        .filter(F.col("s").isNotNull()))
+    grp = sgn.select(
+        "s",
+        F.sum((F.col("s") != F.lag("s", 1, 99).over(w)).cast("int"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("g"))
+    runs = grp.groupBy("s", "g").agg(F.count(F.lit(1)).alias("run_len"))
+    return (runs.groupBy(F.col("s").cast("long").alias("direction"),
+                         F.col("run_len").cast("long").alias("run_len"))
+            .agg(F.count(F.lit(1)).alias("n_runs"))
+            .orderBy("direction", "run_len"))
+
+
+@register(
+    "dq_pk_uniqueness_audit",
+    oracle="""
+    SELECT 'customer' AS tbl, COUNT(*) AS n_rows,
+           COUNT(DISTINCT c_custkey) AS n_keys,
+           COUNT(*) - COUNT(DISTINCT c_custkey) AS n_dup_rows
+    FROM customer
+    UNION ALL
+    SELECT 'orders', COUNT(*), COUNT(DISTINCT o_orderkey),
+           COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+    UNION ALL
+    SELECT 'part', COUNT(*), COUNT(DISTINCT p_partkey),
+           COUNT(*) - COUNT(DISTINCT p_partkey) FROM part
+    UNION ALL
+    SELECT 'supplier', COUNT(*), COUNT(DISTINCT s_suppkey),
+           COUNT(*) - COUNT(DISTINCT s_suppkey) FROM supplier
+    ORDER BY tbl
+    """,
+    tags=["dq", "constraints", "audit"],
+)
+def dq_pk_uniqueness_audit(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across the four keyed dimensions in
+    one result: rows vs distinct keys vs duplicate-row count per table
+    — the nightly data-contract check that catches a double-loaded
+    partition before anything joins against it.  Each table is one
+    count-distinct aggregate (exact, map-side partial); the union is
+    4 rows."""
+    cust, orders, part, sup = _t(spark, sf_dir, "customer", "orders",
+                                 "part", "supplier")
+    def audit(df, name, key):
+        return (df.agg(F.count(F.lit(1)).alias("n_rows"),
+                       F.countDistinct(key).alias("n_keys"))
+                .select(F.lit(name).alias("tbl"), "n_rows", "n_keys",
+                        (F.col("n_rows") - F.col("n_keys"))
+                        .alias("n_dup_rows")))
+    out = (audit(cust, "customer", "c_custkey")
+           .unionByName(audit(orders, "orders", "o_orderkey"))
+           .unionByName(audit(part, "part", "p_partkey"))
+           .unionByName(audit(sup, "supplier", "s_suppkey")))
+    return out.orderBy("tbl")
+
+
+@register(
+    "o7_top_revenue_day_per_month",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+             CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS cents
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT CAST(month AS DATE) AS month,
+           (MAX({'cents': cents, 'day': day})).day AS best_day,
+           CAST(MAX(cents) AS BIGINT) AS best_cents
+    FROM daily GROUP BY 1 ORDER BY 1
+    """,
+    tags=["aggregate", "argmax", "ordered"],
+)
+def o7_top_revenue_day_per_month(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """ARGMAX-per-group without a window: the best revenue day of each
+    month via `max_by` over a (cents, day) struct — ties break to the
+    LATER day deterministically on both engines, and the plan is one
+    hash aggregate over the daily frame instead of a rank window + a
+    filter (half the shuffles of the textbook ROW_NUMBER()=1 shape —
+    the difference that matters at 100×)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = (orders.groupBy(
+                F.date_trunc("month", F.col("o_orderdate").cast("date"))
+                .cast("date").alias("month"),
+                F.col("o_orderdate").cast("date").alias("day"))
+             .agg(F.sum((F.col("o_totalprice").cast("decimal(18,2)")
+                         * 100).cast("long")).alias("cents")))
+    return (daily.groupBy("month")
+            .agg(F.expr("max_by(day, struct(cents, day))")
+                 .alias("best_day"),
+                 F.max("cents").alias("best_cents"))
+            .orderBy("month"))
