@@ -404,3 +404,20 @@ def test_upsert_mor_rebase_covers_concurrent_append(spark, tmp_path):
     assert set(entry["applies_to"]) == set(V._read_manifest(t, 2))
     got = {tuple(r) for r in V.read_version(spark, t).collect()}
     assert got == {(1, "a"), (2, "B2"), (3, "c")}
+
+
+def test_upsert_mor_respects_hidden_partitioning(spark, tmp_path):
+    """Composition: MOR upsert onto a hidden-partitioned table — the
+    appended images are laid out under the stored spec (every file in
+    the new manifest carries partition tuples), so transform pruning
+    keeps working across CDC history."""
+    t = str(tmp_path / "t")
+    V.write_snapshot(spark.createDataFrame(
+        [(k, k * 10) for k in range(8)], "k long, v long").coalesce(1),
+        t, partition_by=["bucket(4,k)"])
+    v = V.upsert_mor(spark, t, spark.createDataFrame(
+        [(1, 99), (20, 1)], "k long, v long").coalesce(1), "k")
+    doc = V._read_manifest_doc(t, v)
+    assert set(doc.get("partitions", {})) == set(doc["files"])
+    got = {tuple(r) for r in V.read_version(spark, t).collect()}
+    assert (1, 99) in got and (20, 1) in got and (1, 10) not in got

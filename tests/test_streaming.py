@@ -685,3 +685,39 @@ class TestVTableStreamRateLimit:
         assert all(len(v) <= 2 for bid, v in got[1:]), got
         # and the burst actually needed multiple batches
         assert len(got) >= 3, got
+
+
+class TestVTableCDFStreamSchemaEvolution:
+    """CDF stream across an ADD-COLUMN evolution: the advertised schema
+    freezes at stream start; pre-evolution files conform (missing →
+    nulls) and post-evolution commits between runs surface the new
+    column on restart."""
+
+    def test_add_column_mid_history(self, spark, tmp_path):
+        from databox_adls_loader_spark.sinks import versioned as V
+        from databox_adls_loader_spark.sources.vtable_stream import \
+            register_vtable_stream
+
+        t, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+        V.write_snapshot(spark.createDataFrame(
+            [(1, "a")], "k long, v string").coalesce(1), t)
+        V.write_snapshot(spark.createDataFrame(
+            [(2, "b", 5)], "k long, v string, extra long").coalesce(1), t)
+        V.delete_where(spark, t, "k = 1")
+        register_vtable_stream(spark)
+        rows: list = []
+        q = (spark.readStream.format("vtable_stream").option("path", t)
+             .option("readchangefeed", "true").load()
+             .writeStream
+             .foreachBatch(lambda df, bid:
+                           rows.extend(r.asDict() for r in df.collect()))
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {(r["k"], r["v"], r["extra"], r["_change_type"])
+               for r in rows}
+        # pre-evolution file conforms with NULL extra (insert AND its
+        # later delete image); the evolved file carries its value
+        assert got == {(1, "a", None, "insert"),
+                       (2, "b", 5, "insert"),
+                       (1, "a", None, "delete")}
