@@ -2078,3 +2078,96 @@ def o7_top_revenue_day_per_month(spark: SparkSession,
                  .alias("best_day"),
                  F.max("cents").alias("best_cents"))
             .orderBy("month"))
+
+
+@register(
+    "cust_new_vs_repeat_revenue",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey AS ck, MIN(CAST(o_orderdate AS DATE))
+               AS first_day
+      FROM orders GROUP BY 1
+    ), tagged AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+             CASE WHEN CAST(o_orderdate AS DATE) = f.first_day
+                  THEN 'new' ELSE 'repeat' END AS kind,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders JOIN firsts f ON o_custkey = f.ck
+    )
+    SELECT CAST(month AS DATE) AS month, kind, COUNT(*) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM tagged GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=["commerce", "growth", "cohort"],
+)
+def cust_new_vs_repeat_revenue(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """NEW vs REPEAT revenue split per month — the first growth metric
+    any commerce dashboard carries: orders on a customer's first-ever
+    order day count as 'new', everything later as 'repeat'.  One
+    customer-keyed aggregate for the first day (shuffle on custkey),
+    one re-join, one bounded month×kind rollup — exact cents, no
+    window."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    firsts = (orders.groupBy("o_custkey")
+              .agg(F.min(F.col("o_orderdate").cast("date"))
+                   .alias("first_day")))
+    tagged = (orders.join(firsts, "o_custkey")
+              .select(
+                  F.date_trunc("month",
+                               F.col("o_orderdate").cast("date"))
+                  .cast("date").alias("month"),
+                  F.when(F.col("o_orderdate").cast("date")
+                         == F.col("first_day"), "new")
+                  .otherwise("repeat").alias("kind"),
+                  (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                  .cast("long").alias("cents")))
+    return (tagged.groupBy("month", "kind")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("cents").cast("long").alias("cents"))
+            .orderBy("month", "kind"))
+
+
+@register(
+    "ts_mom_growth_bps",
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(month AS DATE) AS month,
+           CAST(cents AS BIGINT) AS cents,
+           CAST((cents - LAG(cents) OVER (ORDER BY month)) * 10000
+                // LAG(cents) OVER (ORDER BY month) AS BIGINT)
+             AS mom_growth_bps
+    FROM monthly ORDER BY month
+    """,
+    tags=["timeseries", "growth", "kpi"],
+)
+def ts_mom_growth_bps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth in integer BASIS POINTS:
+    (curr − prev)·10⁴ DIV prev over exact cents — the KPI line every
+    revenue report opens with, hash-stable because nothing is a float.
+    The lag window runs over the POST-AGGREGATE monthly frame
+    (≤|months| rows — the documented bounded-window class)."""
+    from pyspark.sql.window import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    monthly = (orders.groupBy(
+                  F.date_trunc("month", F.col("o_orderdate").cast("date"))
+                  .cast("date").alias("month"))
+               .agg(F.sum((F.col("o_totalprice").cast("decimal(18,2)")
+                           * 100).cast("long")).alias("cents")))
+    w = Window.orderBy("month")
+    prev = F.lag("cents").over(w)
+    # integer floor division matching DuckDB's BIGINT // (cents are
+    # positive, so DIV == floor on both engines)
+    return (monthly.select(
+                "month", F.col("cents").cast("long").alias("cents"),
+                F.expr("CAST((cents - LAG(cents) OVER (ORDER BY month)) "
+                       "* 10000 DIV LAG(cents) OVER (ORDER BY month) "
+                       "AS LONG)").alias("mom_growth_bps"))
+            .orderBy("month"))
