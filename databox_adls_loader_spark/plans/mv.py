@@ -213,7 +213,8 @@ def _with_key(df: DataFrame, mv: MVSpec) -> DataFrame:
 
 def refresh(build: DataFrame, table_dir: str,
             mv: MVSpec | None = None,
-            base_version: int | None = None) -> int:
+            base_version: int | None = None,
+            force: bool = False) -> int:
     """Commit a (re)build of the view as a new version of its versioned
     table and return the committed version — full rebuild, so the
     commit is a LOGICAL OVERWRITE (append mode would carry the previous
@@ -225,10 +226,30 @@ def refresh(build: DataFrame, table_dir: str,
 
     ``base_version``: the BASE-table version this build read — recorded
     in the view's ledger (`refresh_from_changes`'s watermark encoding)
-    so change-feed maintenance knows where to resume."""
+    so change-feed maintenance knows where to resume.
+
+    A rebuild to a base version the ledger ALREADY holds raises
+    (rather than letting `commit_data_files`'s replay dedup silently
+    skip the commit and return None — an explicit rebuild that lands
+    nothing is corruption masquerading as idempotence).  Pass
+    ``force=True`` for a deliberate re-materialization at the same
+    watermark: the overwrite then commits without re-recording the id
+    (the ledger is inherited into every manifest, so the watermark
+    survives)."""
     if mv is not None:
         build = _with_key(build, mv)
-    ids = None if base_version is None else {2 * int(base_version) + 1}
+    ids = None
+    if base_version is not None:
+        rid = 2 * int(base_version) + 1
+        if rid in V.committed_batch_ids(table_dir):
+            if not force:
+                raise MVRewriteError(
+                    f"view ledger already holds base version "
+                    f"{base_version} — this rebuild would be silently "
+                    "dropped by replay dedup; pass force=True for a "
+                    "deliberate re-materialization at this watermark")
+        else:
+            ids = {rid}
     return V.write_snapshot(build, table_dir, mode="overwrite",
                             batch_ids=ids)
 
@@ -263,13 +284,31 @@ def refresh_incremental(spark: SparkSession, table_dir: str, mv: MVSpec,
 
 
 def mv_base_watermark(table_dir: str) -> int | None:
-    """The newest BASE version this view is maintained through, from
-    the view's batch-id ledger (encoding: ``2·v`` = retire phase,
+    """The newest BASE version this view is FULLY maintained through,
+    from the view's batch-id ledger (encoding: ``2·v`` = retire phase,
     ``2·v + 1`` = upsert phase of a maintenance to base version v; a
-    full `refresh(base_version=v)` records ``2·v + 1``).  None = the
-    view has never recorded a base watermark."""
+    full `refresh(base_version=v)` records ``2·v + 1``).  Only ODD
+    (upsert-phase) ids count: a trailing even id is a maintenance
+    whose retire landed but whose upsert did not — the view is NOT
+    through that version yet (`mv_pending_base_version` surfaces it,
+    `refresh_from_changes` completes it).  None = the view has never
+    recorded a base watermark."""
     ids = V.committed_batch_ids(table_dir)
-    return max(ids) // 2 if ids else None
+    odd = [i for i in ids if i % 2]
+    return max(odd) // 2 if odd else None
+
+
+def mv_pending_base_version(table_dir: str) -> int | None:
+    """The base version of a HALF-APPLIED maintenance (retire phase
+    committed, upsert phase not — a crash between the two), or None
+    when the ledger is clean.  The encoding makes this detectable from
+    the ledger alone: an upsert always commits its odd ``2·v + 1``
+    after the retire's even ``2·v``, so a ledger whose max id is even
+    is exactly a pending window."""
+    ids = V.committed_batch_ids(table_dir)
+    if ids and max(ids) % 2 == 0:
+        return max(ids) // 2
+    return None
 
 
 def refresh_from_changes(spark: SparkSession, table_dir: str,
@@ -299,18 +338,41 @@ def refresh_from_changes(spark: SparkSession, table_dir: str,
     maintenance re-runs only the phase that did not land.
 
     Returns the view's new version, or None when already current."""
-    v_to = V.latest_version(base_dir)
     v_from = mv_base_watermark(table_dir)
     if v_from is None:
         raise MVRewriteError(
             f"view {mv.name!r} has no base watermark — build it with "
             "refresh(..., base_version=<base version read>) first")
-    if v_to is None or v_to <= v_from:
-        return None
     if not any(agg == "count" for agg, _ in mv.measures):
         raise MVRewriteError(
             f"refresh_from_changes needs a count measure in {mv.name!r} "
             "to detect emptied groups")
+    # a crashed maintenance (retire committed, upsert not) MUST be
+    # completed at its ORIGINAL window extent before any wider window
+    # runs: the retire already deleted emptied groups' stored partials,
+    # so a widened window would re-derive those groups against a
+    # missing stored state and under-count any post-crash re-inserts.
+    # The per-phase ledger ids make the completion exact — the retire
+    # replays as a no-op (`retire_id in done`), the upsert lands.
+    out = None
+    v_pend = mv_pending_base_version(table_dir)
+    if v_pend is not None:
+        out = _maintain_window(spark, table_dir, mv, base_dir, key,
+                               delta_agg, v_from, v_pend)
+        v_from = v_pend
+    v_to = V.latest_version(base_dir)
+    if v_to is None or v_to <= v_from:
+        return out
+    return _maintain_window(spark, table_dir, mv, base_dir, key,
+                            delta_agg, v_from, v_to)
+
+
+def _maintain_window(spark: SparkSession, table_dir: str, mv: MVSpec,
+                     base_dir: str, key: str, delta_agg,
+                     v_from: int, v_to: int) -> int | None:
+    """Apply one change window (v_from, v_to] to the view — the body
+    `refresh_from_changes` runs once per window (twice when a pending
+    half-applied window precedes the live one)."""
     ch = V.changes_between(spark, base_dir, v_from, v_to, key,
                            incremental=True, emit_preimage=True)
     ct = F.col("_change_type")

@@ -56,21 +56,23 @@ _SPEC_RE = re.compile(
 
 # source dtypes each transform accepts (typeName()).  Timestamps are
 # excluded from identity (their partition-dir encoding is not
-# round-trippable portably).  TZ-AWARE timestamps are excluded from
-# the calendar transforms too: the write expression (F.year/datediff)
-# evaluates in the SESSION timezone while apply_literal uses the
-# literal's naive calendar fields, so a session-tz change between
-# write and read (or a tz-aware literal) could shift a boundary and
-# FALSE-PRUNE a file — silently missing rows.  `timestamp_ntz` is
-# fine: its calendar fields are stored, not session-derived.  Cast
-# tz-aware columns to date/timestamp_ntz (choosing the zone
-# explicitly) before declaring a calendar transform.
+# round-trippable portably).  TZ-AWARE `timestamp` binds for the
+# calendar transforms (tables declared before the tz audit keep
+# appending — no migration break) but NEVER PRUNES: the write
+# expression (F.year/datediff) evaluates in the SESSION timezone
+# while apply_literal uses the literal's naive calendar fields, so a
+# session-tz change between write and read could shift a boundary and
+# false-prune a file.  apply_literal therefore returns None for a
+# tz-aware-bound calendar transform — placement only, every file
+# read.  `timestamp_ntz` both binds AND prunes: its calendar fields
+# are stored, not session-derived.  Cast tz-aware columns to
+# date/timestamp_ntz (choosing the zone explicitly) to get pruning.
 _INTEGRAL = ("byte", "short", "integer", "long")
 _ALLOWED = {
     "identity": _INTEGRAL + ("string", "date", "boolean"),
-    "year": ("date", "timestamp_ntz"),
-    "month": ("date", "timestamp_ntz"),
-    "day": ("date", "timestamp_ntz"),
+    "year": ("date", "timestamp_ntz", "timestamp"),
+    "month": ("date", "timestamp_ntz", "timestamp"),
+    "day": ("date", "timestamp_ntz", "timestamp"),
     "bucket": _INTEGRAL + ("string",),
     "truncate": _INTEGRAL + ("string",),
 }
@@ -137,6 +139,10 @@ class Transform:
         if self.kind == "identity":
             return _canon_part(v)
         if self.kind in ("year", "month", "day"):
+            if self.dtype == "timestamp":
+                # tz-aware source: partition values are session-tz
+                # derived at write — no literal is safe to prune on
+                return None
             d = _as_date(v)
             if d is None:
                 return None

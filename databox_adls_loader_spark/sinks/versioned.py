@@ -1524,12 +1524,23 @@ def _eq_anti_all(spark: SparkSession, df: DataFrame,
     a CDC stream tombstoning every micro-batch would otherwise grow
     the read plan by one join per batch until a compaction
     materializes (round-7 verdict, What's wrong #4)."""
-    by_col: dict[str, list[str]] = {}
+    from functools import reduce
+
+    by_col: dict[str, list[tuple[str, ...]]] = {}
     for e in entries:
-        by_col.setdefault(e["col"], []).extend(e["files"])
-    for col, kfiles in sorted(by_col.items()):
-        vals = (spark.read.parquet(*sorted(set(kfiles)))
-                .select("__val").distinct())
+        by_col.setdefault(e["col"], []).append(tuple(e["files"]))
+    for col, entry_files in sorted(by_col.items()):
+        # entries written BEFORE a key-column type widen carry a
+        # narrower __val, and parquet schema merging refuses e.g.
+        # INT vs BIGINT — so read PER ENTRY (type-consistent by
+        # construction: one entry = one write) and cast each to the
+        # column's CURRENT stored type before unioning; widening is
+        # promotion-only, so the cast is lossless
+        target = df.schema[col].dataType
+        parts = [spark.read.parquet(*sorted(set(fs)))
+                 .select(F.col("__val").cast(target).alias("__val"))
+                 for fs in entry_files]
+        vals = reduce(lambda a, b: a.unionByName(b), parts).distinct()
         df = df.join(F.broadcast(vals),
                      F.col(col) == F.col("__val"), "left_anti")
     return df
@@ -2928,29 +2939,40 @@ def _changes_incremental(spark: SparkSession, table_dir: str,
                          v_from: int, v_to: int, key: str,
                          emit_preimage: bool = False
                          ) -> DataFrame | None:
-    """Manifest-derived CDF: when every commit in (v_from, v_to] was
-    append / merge-on-read overlay (position-delete, equality-delete,
-    MOR update), the diff is derivable from the manifests alone —
-    inserts live in APPENDED files, deletes are old-file rows hit by
-    the DELTA overlays — so the job reads only appended + overlay-
-    affected files plus tombstones, never the whole table.  Returns
-    None when the window is not incrementally derivable (a rewrite/
-    compaction removed files, a rename/drop changed the column map, or
-    a type widen changed the stored schema) — the caller falls back to
-    the full-outer diff.
+    """Manifest-derived CDF: the diff of a window is derivable from
+    the manifests' FILE DELTA alone — candidate-new rows live in
+    APPENDED files (read at their v_to live state), candidate-dead
+    rows are CARRIED files' rows hit by delta overlays plus ALL live
+    rows of REMOVED files (read at their v_from state) — so the job
+    reads only appended + removed + overlay-affected files plus
+    tombstones, never the untouched bulk of the table.  A row that
+    merely MOVED through a compaction/CoW rewrite appears on both
+    sides with identical values and cancels in the key diff, so
+    rewrite commits cost O(rewritten files), not O(table): a nightly
+    incremental OPTIMIZE inside a CDC poll window stays on the fast
+    path (`compact_small_files` removes only the small files).
+    Returns None only when the window is not manifest-derivable at
+    all: a rename/drop changed the column map, a type widen changed
+    the stored schema, or the table predates schema tracking — the
+    caller falls back to the full-outer diff.
 
     Output is row-identical to the full diff (the registry entry
     hash-matches the full-diff oracle): newly-dead and newly-live rows
     full-outer join on ``key``, value-equal matches cancel (a delete +
     reinsert of identical values is NO change, exactly as the full
-    diff sees it)."""
+    diff sees it).  Rows deleted and MATERIALIZED AWAY by an in-window
+    compaction stay exact: the removed file is scanned at its v_from
+    overlay state, where the row is still live, and nothing at v_to
+    matches it."""
     f_old = _read_manifest(table_dir, v_from)
     f_new = _read_manifest(table_dir, v_to)
-    old_set = set(f_old)
-    if old_set - set(f_new):
-        return None                      # rewrite/compaction intervened
-    if table_column_map(table_dir, v_from) != \
-            table_column_map(table_dir, v_to):
+    old_set, new_set = set(f_old), set(f_new)
+    cm_f, dr_f = table_column_map(table_dir, v_from)
+    cm_t, dr_t = table_column_map(table_dir, v_to)
+    # compaction materializes row lineage into a hidden physical
+    # `_row_id` column (dropped_cols) — that alone is not a column-map
+    # change a reader can observe
+    if cm_f != cm_t or set(dr_f) - {"_row_id"} != set(dr_t) - {"_row_id"}:
         return None                      # rename/drop intervened
     sch_from = table_schema(table_dir, v_from)
     sch_to = table_schema(table_dir, v_to)
@@ -2958,25 +2980,29 @@ def _changes_incremental(spark: SparkSession, table_dir: str,
         return None                      # pre-schema-tracking table
     to_types = {f.name: f.dataType for f in sch_to.fields}
     if any(f.name in to_types and to_types[f.name] != f.dataType
-           for f in sch_from.fields):
+           for f in sch_from.fields if f.name != "_row_id"):
         return None                      # type widen intervened
 
     appended = [f for f in f_new if f not in old_set]
+    removed = sorted(old_set - new_set)
+    carried = [f for f in f_old if f in new_set]
     dm_from, _ = table_delete_map(table_dir, v_from)
     dm_to, _ = table_delete_map(table_dir, v_to)
     eq_from = table_eq_deletes(table_dir, v_from)
     eq_to = table_eq_deletes(table_dir, v_to)
     seen_eq = {_eq_entry_key(e) for e in eq_from}
     delta_eq = [e for e in eq_to if _eq_entry_key(e) not in seen_eq]
-    delta_dv = sorted({d for f in f_old for d in dm_to.get(f, [])
+    delta_dv = sorted({d for f in carried for d in dm_to.get(f, [])
                        if d not in set(dm_from.get(f, []))})
-    # old files whose merge-on-read overlay grew inside the window —
-    # the only pre-existing files any changed row can live in
-    affected = [f for f in f_old
+    # CARRIED files whose merge-on-read overlay grew inside the window
+    # — the only files present at both endpoints any changed row can
+    # live in (a removed file's overlay delta is materialized into the
+    # rewrite; its rows are covered by the removed-file scan below)
+    affected = [f for f in carried
                 if dm_from.get(f, []) != dm_to.get(f, [])
                 or any(f in e.get("applies_to", []) for e in delta_eq)]
 
-    cmap, dropped = table_column_map(table_dir, v_to)
+    cmap, dropped = cm_t, sorted(set(dr_t) | {"_row_id"})
     cols = [cmap.get(f.name, f.name) for f in sch_to.fields
             if f.name not in dropped]
     old_cols = [cmap.get(f.name, f.name) for f in sch_from.fields
@@ -2985,8 +3011,16 @@ def _changes_incremental(spark: SparkSession, table_dir: str,
         return None          # full path raises the proper ValueError
     meta = ["__file", "__pos"]
 
-    # -- newly-dead rows: live at v_from, hit by a DELTA overlay ------
+    # -- newly-dead rows: carried-file rows hit by a DELTA overlay,
+    #    plus EVERY v_from-live row of a removed file (a row that in
+    #    fact survived a rewrite cancels against its v_to twin in the
+    #    key diff; one that was deleted-then-materialized-away or
+    #    CoW-updated does not — exactly the dead set) ----------------
     dead_parts: list[DataFrame] = []
+    if removed:
+        dead_parts.append(
+            _scan_live_meta(spark, removed, dm_from, eq_from, sch_from)
+            .drop(*meta))
     for key_idx, gfiles in _eq_groups(affected, delta_eq):
         g = _scan_live_meta(spark, sorted(gfiles), dm_from, eq_from,
                             sch_from)
@@ -3097,12 +3131,14 @@ def changes_between(spark: SparkSession, table_dir: str,
     appends).  One shuffle on ``key``; at 100 TB partition both reads on
     the same key layout so the join co-locates.
 
-    ``incremental=True`` derives the diff from the MANIFESTS when every
-    commit in the window was append / merge-on-read (the CDC steady
-    state): the job reads only appended files, overlay-affected files,
-    and tombstones — O(changed data), not O(|table|) — and silently
-    falls back to the full diff when a rewrite, rename/drop, or type
-    widen intervened (`_changes_incremental` returns None).  Identical
+    ``incremental=True`` derives the diff from the MANIFESTS: the job
+    reads only appended files, removed files, overlay-affected files,
+    and tombstones — O(changed data), not O(|table|) — in the CDC
+    steady state AND across compaction/CoW-rewrite commits (rewritten
+    rows cancel in the key diff, so a nightly incremental OPTIMIZE
+    costs O(compacted files), never a full-table fallback).  Falls
+    back to the full diff only when a rename/drop or type widen
+    intervened (`_changes_incremental` returns None).  Identical
     output either way.
 
     Precondition: ``key`` is unique within each version (the MERGE

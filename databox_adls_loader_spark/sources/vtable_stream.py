@@ -395,10 +395,16 @@ class VTableStreamReader(DataSourceStreamReader):
         import numpy as np
         import pyarrow as pa
 
-        target = None
-        if self._schema is not None:
-            from pyspark.sql.pandas.types import to_arrow_schema
-            target = to_arrow_schema(self._schema)
+        if self._schema is None:
+            # the engine always hands DataSourceStreamReader the
+            # advertised schema; a None here means the reader was
+            # constructed outside the engine path — fail loudly rather
+            # than TypeError-ing on `for fld in None` executor-side
+            raise RuntimeError(
+                "vtable_stream CDF read requires the advertised stream "
+                "schema; reader was constructed without one")
+        from pyspark.sql.pandas.types import to_arrow_schema
+        target = to_arrow_schema(self._schema)
         change = ("insert" if isinstance(part, _InsertSlice)
                   else "delete")
         prior_dv = delta_dv = prior_eq = delta_eq = None

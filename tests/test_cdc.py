@@ -190,17 +190,22 @@ def test_incremental_cdf_matches_full_and_reads_less(spark, tmp_path):
     assert read & base and len(read & base) < len(base)
 
 
-def test_incremental_cdf_falls_back_after_compaction(spark, tmp_path):
+def test_incremental_cdf_survives_compaction(spark, tmp_path):
+    """Round-9: a compaction inside the window no longer forces the
+    full-outer fallback — removed files scan at their v_from live
+    state, rewritten rows cancel against their v_to twins in the key
+    diff, and the deletes the compaction materialized away stay
+    exact."""
     t = str(tmp_path / "t")
     v0 = _mk_keyed(spark, t, n=100)
     V.delete_where(spark, t, "k < 10", predicates=[("k", "<", 10)])
     V.compact_snapshot(spark, t, n_files=2, cluster_by=["k"])
     v1 = V.latest_version(t)
-    # compaction removed files: derivation refuses, public API falls
-    # back to the full diff and still answers correctly
-    assert V._changes_incremental(spark, t, v0, v1, "k") is None
+    inc_df = V._changes_incremental(spark, t, v0, v1, "k")
+    assert inc_df is not None            # derivation no longer refuses
     full, inc = _cdf_sets(spark, t, v0, v1)
     assert inc == full and len(full) == 10
+    assert all(r[-1] == "delete" for r in inc)
 
 
 def test_incremental_cdf_delete_reinsert_identical_is_no_change(

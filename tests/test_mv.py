@@ -760,6 +760,129 @@ class TestChangeFeedMaintenance:
                                        .alias("s")))
 
 
+class TestMaintenanceCrashRecovery:
+    """Round-9 (ADVICE high/medium): a maintenance that crashes between
+    the retire commit (even ledger id 2·v) and the upsert (2·v+1) must
+    be COMPLETED on retry, not silently skipped — the odd-only
+    watermark plus `mv_pending_base_version` re-enter the exact
+    half-applied window.  And an explicit rebuild to a watermark the
+    ledger already holds must raise, never no-op."""
+
+    SPEC = M.MVSpec(name="crashmv", dims=("k",),
+                    measures=(("sum", "s"), ("count", "n")),
+                    rows_hint=10)
+
+    @staticmethod
+    def _agg(df):
+        return df.groupBy("k").agg(
+            F.sum("v").cast("long").alias("s"),
+            F.count(F.lit(1)).alias("n"))
+
+    def _seed(self, spark, tmp_path):
+        from databox_adls_loader_spark.sinks import versioned as V
+
+        base = str(tmp_path / "base")
+        view = str(tmp_path / "view")
+        rows = [(i, "abc"[(i - 1) // 3], i * 10) for i in range(1, 10)]
+        V.write_snapshot(spark.createDataFrame(
+            rows, "id long, k string, v long").coalesce(1), base)
+        M.refresh(self._agg(V.read_version(spark, base)), view,
+                  mv=self.SPEC, base_version=V.latest_version(base))
+        return base, view
+
+    def _crash_after_retire(self, spark, base, view, monkeypatch):
+        """Drive one maintenance whose upsert phase dies, leaving the
+        retire committed — the half-applied state the watermark parity
+        bug misread as 'current'."""
+        real = M.V.merge_into_snapshot
+
+        def boom(*a, **kw):
+            raise RuntimeError("injected crash before upsert phase")
+
+        monkeypatch.setattr(M.V, "merge_into_snapshot", boom)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            M.refresh_from_changes(spark, view, self.SPEC, base, "id",
+                                   self._agg)
+        monkeypatch.setattr(M.V, "merge_into_snapshot", real)
+
+    def test_crash_between_phases_resumes(self, spark, tmp_path,
+                                          monkeypatch):
+        from databox_adls_loader_spark.sinks import versioned as V
+
+        base, view = self._seed(spark, tmp_path)
+        v0 = V.latest_version(base)
+        # window: empty group c AND update group a (retire + upsert
+        # both have work, so the crash leaves real divergence)
+        V.upsert_mor(spark, base, spark.createDataFrame(
+            [(1, "a", 500)], "id long, k string, v long").coalesce(1),
+            "id")
+        V.delete_where_keys(spark, base, "id", [7, 8, 9])
+        self._crash_after_retire(spark, base, view, monkeypatch)
+        # the half-applied window is visible, not absorbed: the
+        # watermark still reads v0 (odd ids only) and the pending
+        # version is the crashed target
+        assert M.mv_base_watermark(view) == v0
+        v_pend = M.mv_pending_base_version(view)
+        assert v_pend is not None and v_pend > v0
+        # retry completes the window (retire replays as no-op,
+        # upsert lands) — previously returned None forever
+        v = M.refresh_from_changes(spark, view, self.SPEC, base, "id",
+                                   self._agg)
+        assert v is not None
+        assert M.mv_pending_base_version(view) is None
+        assert M.mv_base_watermark(view) == V.latest_version(base)
+        got = {r["k"]: (r["s"], r["n"])
+               for r in M.read(spark, view).collect()}
+        want = {r["k"]: (r["s"], r["n"]) for r in
+                self._agg(V.read_version(spark, base)).collect()}
+        assert got == want
+        assert "c" not in got
+
+    def test_crash_then_more_base_changes(self, spark, tmp_path,
+                                          monkeypatch):
+        """The widening hazard: after the crash the base keeps moving
+        (including re-inserts into the retired group).  The retry must
+        complete the ORIGINAL window first — a single widened window
+        would re-derive the retired group against its already-deleted
+        stored partials and lose the pre-crash contribution."""
+        from databox_adls_loader_spark.sinks import versioned as V
+
+        base, view = self._seed(spark, tmp_path)
+        V.delete_where_keys(spark, base, "id", [7, 8, 9])  # c emptied
+        self._crash_after_retire(spark, base, view, monkeypatch)
+        # base moves on: c comes back with ONE new row
+        V.write_snapshot(spark.createDataFrame(
+            [(12, "c", 120)], "id long, k string, v long").coalesce(1),
+            base)
+        M.refresh_from_changes(spark, view, self.SPEC, base, "id",
+                               self._agg)
+        got = {r["k"]: (r["s"], r["n"])
+               for r in M.read(spark, view).collect()}
+        want = {r["k"]: (r["s"], r["n"]) for r in
+                self._agg(V.read_version(spark, base)).collect()}
+        assert got == want
+        assert got["c"] == (120, 1)     # only the re-inserted row
+
+    def test_rebuild_same_watermark_raises_unless_forced(
+            self, spark, tmp_path):
+        from databox_adls_loader_spark.sinks import versioned as V
+
+        base, view = self._seed(spark, tmp_path)
+        v0 = V.latest_version(base)
+        build = self._agg(V.read_version(spark, base))
+        with pytest.raises(M.MVRewriteError, match="force=True"):
+            M.refresh(build, view, mv=self.SPEC, base_version=v0)
+        # deliberate re-materialization: commits, watermark survives
+        out = M.refresh(build, view, mv=self.SPEC, base_version=v0,
+                        force=True)
+        assert isinstance(out, int)
+        assert M.mv_base_watermark(view) == v0
+        got = {r["k"]: (r["s"], r["n"])
+               for r in M.read(spark, view).collect()}
+        want = {r["k"]: (r["s"], r["n"]) for r in build.collect()}
+        assert got == want
+
+
 class TestStreamingCDFMaintenance:
     """Round-8 capstone: the view maintained by the change-feed STREAM
     (`mv.maintain_cdf_stream_batch` wired into foreachBatch) — the

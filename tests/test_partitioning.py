@@ -356,16 +356,38 @@ def test_set_spec_validates(spark, troot):
         V.set_partition_spec(t, ["bucket(4,kk)"])
 
 
-def test_calendar_transform_refuses_tz_aware_timestamp(spark):
-    """year/month/day over a TZ-AWARE timestamp column are refused at
-    bind time: the write expression evaluates in the session timezone
-    while literal pruning uses naive calendar fields, so a session-tz
-    change between write and read could false-prune a file.  Cast to
-    date / timestamp_ntz first."""
+def test_calendar_transform_tz_aware_binds_but_never_prunes(spark):
+    """year/month/day over a TZ-AWARE timestamp column BIND (tables
+    declared before the tz audit keep appending — no migration break)
+    but NEVER PRUNE: the write expression evaluates in the session
+    timezone while literal pruning uses naive calendar fields, so a
+    session-tz change between write and read could false-prune a
+    file.  apply_literal therefore returns None for every literal —
+    placement only, every file read.  timestamp_ntz still prunes."""
     df = spark.createDataFrame(
         [(1, datetime.datetime(2020, 1, 1, 12))], "k: long, ts: timestamp")
-    with pytest.raises(P.PartitionSpecError, match="does not support"):
-        P.parse_spec("month(ts)").bind(df.schema)
+    t = P.parse_spec("month(ts)").bind(df.schema)
+    assert t.dtype == "timestamp"
+    # NO literal prunes against a tz-aware-bound calendar transform —
+    # naive, tz-aware, or string
+    for lit in (datetime.datetime(2020, 1, 1),
+                datetime.datetime(2020, 1, 1,
+                                  tzinfo=datetime.timezone.utc),
+                "2020-01-01"):
+        assert t.apply_literal(lit) is None
+    # and a write through the bound spec round-trips (no hard break
+    # for existing tables declaring this transform)
+    rows = [(i, datetime.datetime(2020, 1 + i, 1, 12)) for i in range(3)]
+    d = spark.createDataFrame(rows, "k: long, ts: timestamp")
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        tdir = td + "/t"
+        V.write_snapshot(d, tdir, partition_by=["month(ts)"])
+        got = V.read_version(
+            spark, tdir,
+            predicates=[("ts", "=", datetime.datetime(2020, 2, 1, 12))])
+        assert _rows(got) == _rows(
+            d.filter(F.col("ts") == datetime.datetime(2020, 2, 1, 12)))
 
 
 def test_tz_aware_literal_never_prunes():

@@ -533,6 +533,24 @@ class TestVTableCDFStream:
         q.awaitTermination(120)
         return rows
 
+    def test_cdf_read_without_schema_raises_clearly(self, spark,
+                                                    tmp_path):
+        """Round-9 (ADVICE low): a reader constructed outside the
+        engine path (no advertised schema) must raise a clear error in
+        CDF mode, not TypeError on `for fld in None` executor-side."""
+        from databox_adls_loader_spark.sinks import versioned as V
+        from databox_adls_loader_spark.sources.vtable_stream import (
+            VTableStreamReader)
+
+        t = str(tmp_path / "t")
+        self._write(spark, t, [(1, "a")])
+        rdr = VTableStreamReader(
+            {"path": t, "readchangefeed": "true"}, schema=None)
+        parts = rdr.partitions(rdr.initialOffset(), rdr.latestOffset())
+        with pytest.raises(RuntimeError, match="advertised stream "
+                           "schema"):
+            list(rdr.read(parts[0]))
+
     def test_inserts_position_and_equality_deletes(self, spark, tmp_path):
         from databox_adls_loader_spark.sinks import versioned as V
 

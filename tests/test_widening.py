@@ -146,6 +146,25 @@ def test_pruning_and_delete_on_widened_table(spark, troot):
                           V.read_version(spark, t).select("x").collect()}
 
 
+def test_eq_tombstones_across_key_widen(spark, troot):
+    """Round-9 (ADVICE low): equality-delete entries written BEFORE a
+    key-column widen carry a narrower __val; the consolidated read
+    (`_eq_anti_all`) unions them with post-widen entries, so the union
+    must read with mergeSchema — without it the combined type depends
+    on which file seeds inference (read failure or mis-compare)."""
+    t = troot + "/tbl"
+    V.write_snapshot(spark.createDataFrame(
+        [(i, f"r{i}") for i in range(10)], "x: int, s: string")
+        .coalesce(1), t)
+    V.delete_where_keys(spark, t, "x", [1, 2])       # int-era entry
+    V.widen_column(t, "x", "bigint")
+    V.write_snapshot(spark.createDataFrame(
+        [(1 << 40, "big")], "x: long, s: string"), t)
+    V.delete_where_keys(spark, t, "x", [3, 1 << 40])  # long-era entry
+    got = {r["x"] for r in V.read_version(spark, t).collect()}
+    assert got == {0, 4, 5, 6, 7, 8, 9}
+
+
 def test_compaction_materializes_wide_type(spark, troot):
     import pyarrow.parquet as pq
 
