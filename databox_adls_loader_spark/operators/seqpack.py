@@ -1,0 +1,174 @@
+"""Training sequence packing: pack tokenized documents into
+fixed-length context windows (the last step of the pretraining corpus
+lane — clean → decontaminate → mix → curriculum → PACK → batch).
+
+Reference boundary: the reference's bin-pack
+(/root/reference/generate-file-list.py:27-43, `operators/packing.py`)
+is the same algorithm one level up — directories into Data Box units.
+Here the items are (pieces of) documents, the bins are model context
+windows, and the constraint is STRICT (a window never exceeds
+``window`` tokens; an attention mask cannot overflow), which rules out
+the cumsum-floor next-fit relaxation (`pack_next_fit_window`) — a doc
+straddling a boundary would overfill its window.
+
+Scale design (100 TB): documents salt deterministically into
+``n_groups`` independent groups (``id % n_groups`` — reproducible,
+oracle-expressible; no global sort, no driver collect); each group
+packs sequentially with NEXT-FIT in (id, piece) order inside one
+`applyInPandas` task — the loop is per-group Python over int arrays,
+~1M docs/s/core, and groups pack in parallel across executors.  Waste
+vs a global first-fit-decreasing is bounded by next-fit's 2× worst
+case but in practice a few % at realistic window/doc-size ratios (the
+`packing_report` measures it); what matters at scale is that NO stage
+shuffles more than (id, tokens) pairs and nothing is sequential across
+groups.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# isolated (oversize, allow_split=False) docs get NEGATIVE window ids
+# -1, -2, ... per group in id order, so they never collide with the
+# packed windows 1, 2, ... and a consumer can route them explicitly.
+
+_PACK_SCHEMA = T.StructType([
+    T.StructField("g", T.IntegerType()),
+    T.StructField("id", T.LongType()),
+    T.StructField("piece", T.IntegerType()),
+    T.StructField("piece_tokens", T.LongType()),
+    T.StructField("win", T.LongType()),
+    T.StructField("offset", T.LongType()),
+])
+
+
+def _next_fit_group(window: int):
+    """Per-group next-fit in (id, piece) order — the sequential loop
+    an exact pack needs, bounded to ONE salt group per task."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["id", "piece"], kind="mergesort")
+        ids = pdf["id"].to_numpy()
+        pieces = pdf["piece"].to_numpy()
+        toks = pdf["piece_tokens"].to_numpy()
+        g = int(pdf["g"].iloc[0])
+        win, fill = 1, 0
+        wins, offs = [], []
+        for t in toks:
+            t = int(t)
+            if fill + t > window and fill > 0:
+                win += 1
+                fill = 0
+            wins.append(win)
+            offs.append(fill)
+            fill += t
+        return pd.DataFrame({
+            "g": g, "id": ids, "piece": pieces, "piece_tokens": toks,
+            "win": pd.Series(wins, dtype="int64"),
+            "offset": pd.Series(offs, dtype="int64")})
+
+    return fn
+
+
+def pack_sequences(docs: DataFrame, window: int, *,
+                   id_col: str = "doc_id",
+                   count_col: str = "n_tokens",
+                   n_groups: int = 32,
+                   allow_split: bool = False) -> DataFrame:
+    """Pack ``docs`` (one row per document with an integer token count
+    ``count_col``) into fixed-``window``-token context windows.
+
+    Returns one row per packed PIECE: ``(g, id, piece, piece_tokens,
+    win, offset, n_overflow)`` — ``(g, win)`` identifies the window,
+    ``offset`` is the piece's first-token position inside it, and
+    Σ piece_tokens per (g, win > 0) ≤ window always.
+
+    Oversize documents (tokens > window):
+      * ``allow_split=True``  — chunk into ⌈t/window⌉ pieces of ≤
+        ``window`` tokens; every piece flows through the same pack, so
+        a trailing partial piece shares its window with other docs.
+      * ``allow_split=False`` — ISOLATE: the doc becomes its own
+        window with a NEGATIVE win id and ``n_overflow = t - window``
+        (> 0), so nothing silently truncates and downstream chooses.
+
+    Determinism: identical output for identical input on every run —
+    grouping is ``id % n_groups``, order inside a group is (id,
+    piece), and next-fit is deterministic.  The DuckDB oracle
+    (`plans/queries_round9`) replays the same recurrence as a
+    recursive CTE and hash-matches."""
+    t = F.col(count_col).cast("long")
+    base = docs.select(
+        F.pmod(F.col(id_col), F.lit(n_groups)).cast("int").alias("g"),
+        F.col(id_col).cast("long").alias("id"),
+        t.alias("t"))
+    if allow_split:
+        flow = base.select(
+            "g", "id",
+            F.explode(F.sequence(
+                F.lit(0),
+                # greatest(0, …): Spark's sequence DESCENDS when stop <
+                # start, so a 0-token doc must still clamp to one piece
+                F.greatest(
+                    F.lit(0),
+                    (F.ceil(F.col("t") / F.lit(window)) - 1).cast("int"))))
+            .alias("piece"),
+            F.col("t"))
+        flow = flow.select(
+            "g", "id", "piece",
+            F.least(F.lit(window),
+                    F.col("t") - F.col("piece") * F.lit(window))
+            .cast("long").alias("piece_tokens"))
+        isolated = None
+    else:
+        flow = (base.filter(F.col("t") <= window)
+                .select("g", "id", F.lit(0).alias("piece"),
+                        F.col("t").alias("piece_tokens")))
+        from pyspark.sql import Window as W
+        over = base.filter(F.col("t") > window)
+        isolated = over.select(
+            "g", "id", F.lit(0).alias("piece"),
+            F.col("t").alias("piece_tokens"),
+            (-F.row_number().over(
+                W.partitionBy("g").orderBy("id"))).cast("long")
+            .alias("win"),
+            F.lit(0).cast("long").alias("offset"),
+            (F.col("t") - F.lit(window)).alias("n_overflow"))
+    packed = (flow.groupBy("g")
+              .applyInPandas(_next_fit_group(window), _PACK_SCHEMA)
+              .withColumn("n_overflow", F.lit(0).cast("long")))
+    if isolated is not None:
+        packed = packed.unionByName(isolated)
+    return packed
+
+
+def packing_report(packed: DataFrame, window: int) -> DataFrame:
+    """Per-group packing efficiency over a `pack_sequences` result:
+    windows opened, docs/pieces packed, token fill rate (packed tokens
+    / window capacity opened), waste, and the isolated-overflow count
+    — the report a 100 TB corpus job emits so a bad window size or
+    salt skew is a dashboard line, not a silent 2× token bill."""
+    pos = packed.filter(F.col("win") > 0)
+    agg = (pos.groupBy("g")
+           .agg(F.countDistinct("win").alias("n_windows"),
+                F.count(F.lit(1)).alias("n_pieces"),
+                F.countDistinct("id").alias("n_docs"),
+                F.sum("piece_tokens").alias("tokens")))
+    iso = (packed.filter(F.col("win") < 0).groupBy("g")
+           .agg(F.count(F.lit(1)).alias("n_isolated"),
+                F.sum("n_overflow").alias("overflow_tokens")))
+    # full outer: a group may be ALL-isolated (no packed windows) or
+    # isolation-free — neither side may drop it from the report
+    out = (agg.join(iso, "g", "full_outer")
+           .fillna(0, ["n_windows", "n_pieces", "n_docs", "tokens",
+                       "n_isolated", "overflow_tokens"]))
+    cap = F.col("n_windows") * F.lit(window)
+    return out.select(
+        "g", "n_windows", "n_pieces", "n_docs", "tokens",
+        "n_isolated", "overflow_tokens",
+        F.when(cap > 0, (F.col("tokens") * F.lit(10_000) / cap))
+        .otherwise(F.lit(0)).cast("long").alias("fill_bp"),
+        (cap - F.col("tokens")).cast("long").alias("waste_tokens"))

@@ -160,3 +160,187 @@ def scale_cdf_across_compaction(spark: SparkSession,
                  .cast("double").alias("rev"))
             .withColumn("inc_ok", F.lit(bool(inc_ok)))
             .orderBy("_change_type"))
+
+
+# ---------------------------------------------------------------------------
+# training sequence packing (operators/seqpack.py)
+# ---------------------------------------------------------------------------
+
+def _docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with the shared 4-chars-per-token count — integer
+    arithmetic only so Spark and DuckDB agree bit-for-bit."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr("(n_chars + 3) div 4").cast("long").alias("n_tokens"))
+
+
+# shared oracle scaffolding: the EXACT next-fit recurrence as a
+# recursive CTE — fill_i = fill_{i-1} + t_i if it fits, else a new
+# window seeded at t_i; offset = fill - t.  DuckDB gotchas honored:
+# SUM(BIGINT) is HUGEINT (cast), // on BIGINT is floor division.
+_PACK_CTE = """
+    WITH RECURSIVE base AS (
+      SELECT CAST(doc_id % {g} AS INTEGER) AS g, doc_id AS id,
+             (n_chars + 3) // 4 AS t
+      FROM documents
+    ), pieces AS (
+      {pieces}
+    ), pack AS (
+      SELECT g, id, piece, pt, rn, CAST(1 AS BIGINT) AS win,
+             pt AS fill
+      FROM pieces WHERE rn = 1
+      UNION ALL
+      SELECT d.g, d.id, d.piece, d.pt, d.rn,
+             CASE WHEN p.fill + d.pt <= {w} THEN p.win
+                  ELSE p.win + 1 END,
+             CASE WHEN p.fill + d.pt <= {w} THEN p.fill + d.pt
+                  ELSE d.pt END
+      FROM pack p JOIN pieces d ON d.g = p.g AND d.rn = p.rn + 1
+    )
+"""
+
+_PIECES_WHOLE = """
+      SELECT g, id, 0 AS piece, t AS pt,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY id) AS rn
+      FROM base WHERE t <= {w}
+"""
+
+_PIECES_SPLIT = """
+      SELECT g, id, CAST(piece AS INTEGER) AS piece,
+             LEAST({w}, t - piece * {w}) AS pt,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY id, piece)
+               AS rn
+      FROM (SELECT g, id, t,
+                   UNNEST(range(0, GREATEST(1, (t + {w} - 1) // {w})))
+                     AS piece
+            FROM base)
+"""
+
+
+@register(
+    "corpus_pack_efficiency",
+    oracle=_PACK_CTE.format(g=8, w=256,
+                            pieces=_PIECES_WHOLE.format(w=256)) + """
+    SELECT g, CAST(MAX(win) AS BIGINT) AS n_windows,
+           COUNT(*) AS n_pieces,
+           CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs,
+           CAST(SUM(pt) AS BIGINT) AS tokens,
+           CAST(0 AS BIGINT) AS n_isolated,
+           CAST(0 AS BIGINT) AS overflow_tokens,
+           CAST(SUM(pt) AS BIGINT) * 10000 // (MAX(win) * 256)
+             AS fill_bp,
+           CAST(MAX(win) * 256 - SUM(pt) AS BIGINT) AS waste_tokens
+    FROM pack GROUP BY g ORDER BY g
+    """,
+    tags=["corpus", "packing", "llm"],
+)
+def corpus_pack_efficiency(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Training sequence packing end-to-end
+    (`operators/seqpack.pack_sequences` + `packing_report`): documents
+    pack into 256-token context windows by deterministic salted
+    next-fit (8 groups, `applyInPandas` per group — no global sort, no
+    driver collect), and the per-group efficiency report (windows
+    opened, fill rate in basis points, waste) must hash-match a DuckDB
+    recursive CTE replaying the exact same recurrence.  The strict
+    Σ tokens ≤ window guarantee is what `pack_next_fit_window`'s
+    cumsum relaxation cannot give — an attention mask cannot
+    overflow."""
+    from ..operators.seqpack import pack_sequences, packing_report
+
+    packed = pack_sequences(_docs_tokens(spark, sf_dir), 256,
+                            count_col="n_tokens", n_groups=8)
+    return packing_report(packed, 256).orderBy("g")
+
+
+@register(
+    "corpus_pack_split_pieces",
+    oracle=_PACK_CTE.format(g=8, w=96,
+                            pieces=_PIECES_SPLIT.format(w=96)) + """
+    SELECT g, COUNT(*) AS n_pieces,
+           CAST(COUNT(DISTINCT CASE WHEN piece > 0 THEN id END)
+                AS BIGINT) AS n_split_docs,
+           CAST(SUM(pt) AS BIGINT) AS tokens,
+           CAST(MAX(win) AS BIGINT) AS n_windows,
+           CAST(SUM(win * pt) AS BIGINT) AS win_tok_sum,
+           CAST(SUM(fill - pt) AS BIGINT) AS off_sum
+    FROM pack GROUP BY g ORDER BY g
+    """,
+    tags=["corpus", "packing", "llm"],
+)
+def corpus_pack_split_pieces(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """`pack_sequences(..., allow_split=True)` at a window (96)
+    SMALLER than the longest documents: oversize docs chunk into
+    ≤window pieces that flow through the same next-fit, trailing
+    partial pieces share windows with whole docs, and the
+    window-assignment checksum Σ win·tokens plus the offset sum pin
+    every piece's placement — a single doc packed one window later or
+    one slot earlier flips the hash."""
+    from ..operators.seqpack import pack_sequences
+
+    packed = pack_sequences(_docs_tokens(spark, sf_dir), 96,
+                            count_col="n_tokens", n_groups=8,
+                            allow_split=True)
+    return (packed.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("n_pieces"),
+                 F.countDistinct(
+                     F.when(F.col("piece") > 0, F.col("id")))
+                 .alias("n_split_docs"),
+                 F.sum("piece_tokens").alias("tokens"),
+                 F.countDistinct("win").alias("n_windows"),
+                 F.sum(F.col("win") * F.col("piece_tokens"))
+                 .alias("win_tok_sum"),
+                 F.sum("offset").alias("off_sum"))
+            .orderBy("g"))
+
+
+@register(
+    "corpus_pack_isolate_oversize",
+    oracle=_PACK_CTE.format(g=8, w=96,
+                            pieces=_PIECES_WHOLE.format(w=96)) + """
+    , iso AS (
+      SELECT g, id, t,
+             -ROW_NUMBER() OVER (PARTITION BY g ORDER BY id) AS win
+      FROM base WHERE t > 96
+    )
+    SELECT g,
+           CAST((SELECT COALESCE(MAX(win), 0) FROM pack p
+                 WHERE p.g = o.g) AS BIGINT) AS n_windows,
+           CAST((SELECT COALESCE(CAST(SUM(pt) AS BIGINT), 0)
+                 FROM pack p WHERE p.g = o.g) AS BIGINT)
+             AS packed_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_isolated,
+           CAST(SUM(t - 96) AS BIGINT) AS overflow_tokens,
+           CAST(SUM(win * t) AS BIGINT) AS iso_win_tok_sum
+    FROM iso o GROUP BY g ORDER BY g
+    """,
+    tags=["corpus", "packing", "llm"],
+)
+def corpus_pack_isolate_oversize(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """`pack_sequences(..., allow_split=False)` with genuinely
+    oversize documents: each becomes its own NEGATIVE-id window with
+    `n_overflow` recorded (nothing silently truncates), fitting docs
+    pack normally, and the per-group isolated/packed split must
+    hash-match the oracle's replay — including the deterministic
+    negative window numbering (iso_win_tok_sum)."""
+    from ..operators.seqpack import pack_sequences
+
+    packed = pack_sequences(_docs_tokens(spark, sf_dir), 96,
+                            count_col="n_tokens", n_groups=8,
+                            allow_split=False)
+    pos = (packed.filter(F.col("win") > 0).groupBy("g")
+           .agg(F.max("win").alias("n_windows"),
+                F.sum("piece_tokens").alias("packed_tokens")))
+    iso = (packed.filter(F.col("win") < 0).groupBy("g")
+           .agg(F.count(F.lit(1)).alias("n_isolated"),
+                F.sum("n_overflow").alias("overflow_tokens"),
+                F.sum(F.col("win") * F.col("piece_tokens"))
+                .alias("iso_win_tok_sum")))
+    return (iso.join(pos, "g", "left")
+            .fillna(0, ["n_windows", "packed_tokens"])
+            .select("g", "n_windows", "packed_tokens", "n_isolated",
+                    "overflow_tokens", "iso_win_tok_sum")
+            .orderBy("g"))
