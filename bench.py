@@ -89,6 +89,18 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # fixture accounting (round-8 verdict nit #2): one-time build cost
+    # (versioned tables, stream-stage drains) is EXCLUDED from the
+    # recorded per-query numbers by construction — memoized fixtures
+    # build during pass 1's first call and min-of-2 × median-of-passes
+    # drops that cost — so `value` keeps its meaning (median suite
+    # time, fixtures warm).  What the fields add is visibility:
+    # `fixture_sec` is the instrumented builders' recorded wall time
+    # (plans/queries.FIXTURE_SEC), `warmup_sec` the measured pass-1
+    # overhead vs the median pass (fixtures + JIT; needs runs > 1).
+    from databox_adls_loader_spark.plans.queries import fixture_seconds
+
+    fixtures = fixture_seconds()
     payload = {
         "metric": "total_query_time",
         "value": _median(totals),
@@ -97,6 +109,10 @@ def main() -> None:
         "sf": sf_val,
         "runs": runs,
         "totals": totals,
+        "fixture_sec": round(sum(fixtures.values()), 4),
+        "fixture_breakdown": fixtures,
+        "warmup_sec": (round(totals[0] - _median(totals), 4)
+                       if runs > 1 else None),
     }
     # Persist in-repo first: the driver captures only a tail of stdout, so
     # the full per-query map must survive on disk regardless of truncation.

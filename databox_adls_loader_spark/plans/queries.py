@@ -26,6 +26,20 @@ QuerySpec = dict  # {"spark": Callable, "oracle": str | None, "tags": [...]}
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# one-time fixture build cost (versioned-table construction, stream
+# stage drains) recorded by the memoized builders so `bench.py` can
+# report it separately from measured query time — the bench ranks
+# PLANS, not test rigs (round-8 verdict nit #2)
+FIXTURE_SEC: dict[str, float] = {}
+
+
+def record_fixture(name: str, sec: float) -> None:
+    FIXTURE_SEC[name] = round(FIXTURE_SEC.get(name, 0.0) + sec, 4)
+
+
+def fixture_seconds() -> dict[str, float]:
+    return dict(FIXTURE_SEC)
+
 
 def register(name: str, oracle: str | None = None, tags: list[str] | None = None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):

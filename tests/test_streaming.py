@@ -705,6 +705,115 @@ class TestVTableStreamRateLimit:
         assert len(got) >= 3, got
 
 
+class TestVTableCDFStreamRestartResume:
+    """Round-9 (verdict #3): exactly-once ACROSS A CRASH — drain part
+    of the change feed, kill the query mid-feed (uncommitted batch),
+    restart from the checkpoint, and prove the union of the two runs
+    equals a fresh one-shot drain: no duplicate, no loss, across an
+    ADD COLUMN boundary — the property a CDC consumer actually relies
+    on."""
+
+    @staticmethod
+    def _key(r):
+        # run-1 rows predate the ADD COLUMN (schema freezes at stream
+        # start): missing `extra` compares as NULL, exactly how the
+        # post-evolution runs surface pre-evolution files
+        return (r["k"], r["v"], r.get("extra"), r["_change_type"],
+                r["_commit_version"])
+
+    @pytest.mark.parametrize("scheme", ["local", "hadoop"])
+    def test_kill_midfeed_then_resume(self, spark, tmp_path, scheme):
+        import time
+        from collections import Counter
+
+        from databox_adls_loader_spark.sinks import versioned as V
+        from databox_adls_loader_spark.sources.vtable_stream import \
+            register_vtable_stream
+
+        root = str(tmp_path) if scheme == "local" else \
+            f"file://{tmp_path}"
+        t, ck = root + "/t", str(tmp_path / "ck")
+        V.write_snapshot(spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k long, v string").coalesce(1), t)
+        V.write_snapshot(spark.createDataFrame(
+            [(3, "c")], "k long, v string").coalesce(1), t)
+        register_vtable_stream(spark)
+        run1: list = []
+
+        def poison(df, bid):
+            rows = [r.asDict() for r in df.collect()]
+            if bid >= 1:
+                # die AFTER reading but BEFORE this batch would count
+                # as delivered — its offset never commits, the rows
+                # must be re-delivered on restart
+                raise RuntimeError("injected mid-feed crash")
+            run1.extend(rows)
+
+        q = (spark.readStream.format("vtable_stream").option("path", t)
+             .option("readchangefeed", "true")
+             .option("maxversionspertrigger", "1")
+             .load().writeStream.foreachBatch(poison)
+             .option("checkpointLocation", ck)
+             .trigger(processingTime="300 milliseconds").start())
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline and not run1:
+                time.sleep(0.2)           # batch 0: the seed commits
+            assert run1, "stream never delivered the seed batch"
+            # the ADD COLUMN boundary + a delete land while running;
+            # maxversionspertrigger=1 puts them in separate batches and
+            # the poison kills the query on the first of them
+            V.write_snapshot(spark.createDataFrame(
+                [(4, "d", 7)], "k long, v string, extra long")
+                .coalesce(1), t)
+            V.delete_where(spark, t, "k = 1")
+            while time.time() < deadline and q.exception() is None:
+                time.sleep(0.2)
+            assert q.exception() is not None, "poison never fired"
+        finally:
+            q.stop()
+        # restart from the SAME checkpoint: the crashed batch's WAL
+        # entry re-delivers first, then further drains pick up the
+        # remaining commits (Python DSv2 availableNow is one batch per
+        # run, so a restart after a crash may need more than one run —
+        # each is a fresh crash-recovery from the same checkpoint and
+        # exactly-once must hold across ALL of them)
+        run2: list = []
+        for _ in range(5):
+            before = len(run2)
+            q2 = (spark.readStream.format("vtable_stream")
+                  .option("path", t).option("readchangefeed", "true")
+                  .load().writeStream
+                  .foreachBatch(lambda df, bid:
+                                run2.extend(r.asDict()
+                                            for r in df.collect()))
+                  .option("checkpointLocation", ck)
+                  .trigger(availableNow=True).start())
+            q2.awaitTermination(120)
+            if len(run2) == before:
+                break
+        # the hash proof: union(run1, run2) == fresh one-shot drain,
+        # as MULTISETS (a duplicate delivery breaks it as loudly as a
+        # loss)
+        oneshot: list = []
+        q3 = (spark.readStream.format("vtable_stream").option("path", t)
+              .option("readchangefeed", "true")
+              .load().writeStream
+              .foreachBatch(lambda df, bid:
+                            oneshot.extend(r.asDict()
+                                           for r in df.collect()))
+              .option("checkpointLocation", str(tmp_path / "ck_one"))
+              .trigger(availableNow=True).start())
+        q3.awaitTermination(120)
+        union = Counter(map(self._key, run1 + run2))
+        want = Counter(map(self._key, oneshot))
+        assert union == want
+        assert max(union.values()) == 1      # exactly-once, no dup
+        ks = {(r["k"], r["_change_type"]) for r in run1 + run2}
+        assert (4, "insert") in ks and (1, "delete") in ks
+        assert run1 and run2                 # genuinely split runs
+
+
 class TestVTableCDFStreamSchemaEvolution:
     """CDF stream across an ADD-COLUMN evolution: the advertised schema
     freezes at stream start; pre-evolution files conform (missing →
