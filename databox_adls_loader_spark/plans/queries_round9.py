@@ -344,3 +344,153 @@ def corpus_pack_isolate_oversize(spark: SparkSession,
             .select("g", "n_windows", "packed_tokens", "n_isolated",
                     "overflow_tokens", "iso_win_tok_sum")
             .orderBy("g"))
+
+
+# ---------------------------------------------------------------------------
+# big-big bucket-aligned join: per-bucket sort-merge, each exchanging 1/N
+# ---------------------------------------------------------------------------
+
+_BIGBIG: dict = {}
+
+
+def _drop_bigbig(keys=None) -> None:
+    import shutil
+
+    for k in list(_BIGBIG) if keys is None else list(keys):
+        pair = _BIGBIG.pop(k)
+        for t in pair[:2]:
+            shutil.rmtree(t, ignore_errors=True)
+
+
+def _bucketed_bigbig(spark: SparkSession, sf_dir: str
+                     ) -> tuple[str, str, bool]:
+    """Once per (session, sf_dir): TWO fact-sized versioned tables
+    declaring the same bucket(8, orderkey) layout — `orders` and a
+    derived receipts table (same keys, different payload) — for the
+    BIG-BIG variant of `bucket_aligned_join` (`broadcast_side=None`):
+    N independent sort-merge joins, each exchanging only its 1/N
+    bucket slice.  ``bigbig_ok`` is the plan evidence the verdict
+    asked for: (a) alignment holds and the join engages, (b) every
+    per-bucket scoped scan reads ONLY its bucket's files (each
+    exchange feeds a 1/N scan, verified via inputFiles), (c) the
+    composed plan contains one SortMergeJoin per bucket — no broadcast
+    (both sides fact-sized) and no single full-table exchange."""
+    import atexit
+    import tempfile
+    import time as _time
+
+    from ..sinks import versioned as V
+    from ..sinks.storage import path_key
+    from .queries import record_fixture
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _BIGBIG.get(key)
+    if got is None:
+        _drop_bigbig([k for k in _BIGBIG if k[0] != key[0]])
+        if not _BIGBIG:
+            atexit.register(_drop_bigbig)
+        t0 = _time.perf_counter()
+        to = tempfile.mkdtemp(prefix="spark_graft_bborders_")
+        tr = tempfile.mkdtemp(prefix="spark_graft_bbreceipts_")
+        (orders,) = _t(spark, sf_dir, "orders")
+        V.write_snapshot(orders.select("o_orderkey", "o_totalprice",
+                                       "o_orderstatus"),
+                         to, partition_by=["bucket(8,o_orderkey)"])
+        receipts = orders.select(
+            F.col("o_orderkey").alias("r_orderkey"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 2)
+            .alias("r_amount"),
+            F.col("o_orderpriority").alias("r_priority"))
+        V.write_snapshot(receipts, tr,
+                         partition_by=["bucket(8,r_orderkey)"])
+        # plan evidence: every bucket's scoped scan is a strict subset
+        gl = V.bucket_file_groups(to, "o_orderkey")
+        gr = V.bucket_file_groups(tr, "r_orderkey")
+        ok = gl is not None and gr is not None and gl[0] == gr[0]
+        if ok:
+            all_l = {path_key(f) for f in V._read_manifest(
+                to, V.latest_version(to))}
+            for b, files in gl[1].items():
+                if b == -1:
+                    continue
+                rd = V._read_scoped(spark, to, V.latest_version(to),
+                                    sorted(files))
+                read = {path_key(u) for u in rd.inputFiles()}
+                ok = ok and read <= all_l and len(read) < len(all_l)
+        j = V.bucket_aligned_join(spark, to, tr, "o_orderkey",
+                                  "r_orderkey", broadcast_side=None)
+        ok = ok and j is not None
+        if ok:
+            # plan-shape probe under autoBroadcast OFF: at bench SF a
+            # 1/N slice fits the broadcast threshold and Catalyst
+            # rightly picks BHJ — disabling it shows the shape a
+            # fact-sized slice materializes: one SortMergeJoin PER
+            # BUCKET, each exchanging only its slice, zero broadcast
+            thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            try:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                               "-1")
+                probe = V.bucket_aligned_join(
+                    spark, to, tr, "o_orderkey", "r_orderkey",
+                    broadcast_side=None)
+                mode = spark._jvm.org.apache.spark.sql.execution.\
+                    ExplainMode.fromString("extended")
+                plan = probe._jdf.queryExecution().explainString(mode)
+                ok = (plan.count("SortMergeJoin") >= gl[0]
+                      and "BroadcastHashJoin" not in plan)
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                               thr)
+        record_fixture("bucketed_bigbig", _time.perf_counter() - t0)
+        got = (to, tr, bool(ok))
+        _BIGBIG[key] = got
+    return got
+
+
+@register(
+    "scale_bucket_join_bigbig",
+    oracle="""
+    SELECT o.o_orderstatus, r.r_priority,
+           COUNT(*) AS n,
+           CAST(SUM(o.o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))
+                    + r.r_amount) AS DOUBLE) AS amt_sum,
+           TRUE AS bigbig_ok
+    FROM (SELECT o_orderkey, o_totalprice, o_orderstatus
+          FROM orders) o
+    JOIN (SELECT o_orderkey AS r_orderkey,
+                 CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS r_amount,
+                 o_orderpriority AS r_priority
+          FROM orders) r
+      ON o.o_orderkey = r.r_orderkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=["scale", "versioned", "bucket", "join"],
+)
+def scale_bucket_join_bigbig(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """BIG-BIG bucket-aligned join (`sinks/versioned.
+    bucket_aligned_join(broadcast_side=None)`): two fact-sized tables
+    sharing a bucket(8, key) layout join as 8 INDEPENDENT sort-merge
+    joins, each exchanging only its 1/N bucket slice — bounded
+    exchange footprint and per-bucket AQE skew handling instead of one
+    monolithic full-table shuffle pair, the layout-level stand-in for
+    DSv2 storage-partitioned joins (SupportsReportPartitioning absent
+    from the Python API, version-stamped at PySpark 4.1.2).
+    ``bigbig_ok`` pins the plan evidence: alignment engaged, every
+    per-bucket scan reads only its bucket's files (inputFiles subset),
+    one SortMergeJoin per bucket, zero broadcast.  Hash-gated against
+    the plain self-join SQL."""
+    from ..sinks import versioned as V
+
+    to, tr, ok = _bucketed_bigbig(spark, sf_dir)
+    j = V.bucket_aligned_join(spark, to, tr, "o_orderkey",
+                              "r_orderkey", broadcast_side=None)
+    return (j.groupBy("o_orderstatus", "r_priority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("o_orderkey").cast("long").alias("key_sum"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)")
+                       + F.col("r_amount")).cast("double")
+                 .alias("amt_sum"))
+            .withColumn("bigbig_ok", F.lit(bool(ok)))
+            .orderBy("o_orderstatus", "r_priority"))

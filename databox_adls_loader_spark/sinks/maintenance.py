@@ -87,8 +87,22 @@ def table_health(table_dir: str, version: int | None = None,
     dmap, _ = V.table_delete_map(table_dir, v)
     n_dv_files = len({d for ds in dmap.values() for d in ds})
     eq_debt = len(eq) > eq_entry_threshold
+    # time-travel horizon: the oldest retained manifest's commit time
+    # — `read_version(as_of=ts)` answers for any ts at/after it and
+    # raises for anything earlier (vacuum(older_than=...) is how an
+    # operator promises "any point in the last 7 days"); pre-field
+    # manifests surface None (travel by VERSION still works)
+    vs = V.versions(table_dir)
+    horizon = (V._read_manifest_doc(table_dir, vs[0])
+               .get("committed_at") if vs else None)
+    latest_at = (V._read_manifest_doc(table_dir, vs[-1])
+                 .get("committed_at") if vs else None)
     return {
         "version": v,
+        "retained_versions": len(vs),
+        "oldest_version": vs[0] if vs else None,
+        "time_travel_horizon": horizon,
+        "latest_committed_at": latest_at,
         "n_files": len(files),
         "total_rows": sum(rows) if rows else None,
         "min_file_rows": min(rows) if rows else None,
@@ -104,6 +118,55 @@ def table_health(table_dir: str, version: int | None = None,
         "recommend_cluster_by": sorted(
             c for c, o in overlap.items() if o > overlap_threshold),
     }
+
+
+def suggest_bucket_alignment(left_dir: str, right_dir: str,
+                             left_key: str, right_key: str,
+                             default_buckets: int = 32) -> dict:
+    """Alignment advisor for a frequently-joined table pair: reports
+    whether `bucket_aligned_join` would engage on (left_key,
+    right_key) and, when it would not, the exact spec to declare —
+    matching the partner's bucket count when one side already has a
+    layout, ``bucket(default_buckets, key)`` on both when neither
+    does.  A declared-then-compacted table re-buckets on the next
+    OPTIMIZE; no data rewrite is demanded up front.
+
+    This is `table_health`'s pair-level sibling: run it over the join
+    graph's hottest edges and every "declare …" line is a join that
+    currently pays two full exchanges but could pay zero (broadcast
+    per bucket) or 1/N each (big-big sort-merge)."""
+    gl = V.bucket_file_groups(left_dir, left_key)
+    gr = V.bucket_file_groups(right_dir, right_key)
+    out = {
+        "aligned": False,
+        "left_spec": f"bucket({gl[0]},{left_key})" if gl else None,
+        "right_spec": f"bucket({gr[0]},{right_key})" if gr else None,
+        "recommendations": [],
+    }
+    if gl is not None and gr is not None:
+        if gl[0] == gr[0]:
+            out["aligned"] = True
+            return out
+        # both bucketed, counts differ: re-declare the SMALLER table
+        # (cheaper rewrite) to the larger's count
+        nl = sum(len(f) for f in gl[1].values())
+        nr = sum(len(f) for f in gr[1].values())
+        tgt, key, n = ((left_dir, left_key, gr[0]) if nl <= nr
+                       else (right_dir, right_key, gl[0]))
+        out["recommendations"].append(
+            f"declare bucket({n},{key}) on {tgt} and OPTIMIZE")
+        return out
+    n = gl[0] if gl is not None else (gr[0] if gr is not None
+                                      else default_buckets)
+    if gl is None:
+        out["recommendations"].append(
+            f"declare bucket({n},{left_key}) on {left_dir} and "
+            "OPTIMIZE")
+    if gr is None:
+        out["recommendations"].append(
+            f"declare bucket({n},{right_key}) on {right_dir} and "
+            "OPTIMIZE")
+    return out
 
 
 def build_token_index(spark: SparkSession, table_dir: str, index_dir: str,

@@ -174,3 +174,49 @@ class TestTokenIndexMergeOnRead:
                    V.read_version(spark, ix).select("file")
                    .distinct().collect()}
         assert indexed <= manifest and indexed
+
+
+class TestBucketAlignmentAdvisor:
+    """Round-9 (verdict #5): `suggest_bucket_alignment` — the
+    pair-level advisor that turns a hot two-exchange join into a
+    declare-and-OPTIMIZE line."""
+
+    def _tbl(self, spark, path, key, spec=None):
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(40)], f"{key}: long, v: string")
+        V.write_snapshot(df, path,
+                         partition_by=[spec] if spec else None)
+        return path
+
+    def test_aligned_pair(self, spark, tmp_path):
+        l = self._tbl(spark, str(tmp_path / "l"), "k", "bucket(4,k)")
+        r = self._tbl(spark, str(tmp_path / "r"), "j", "bucket(4,j)")
+        out = X.suggest_bucket_alignment(l, r, "k", "j")
+        assert out["aligned"] and not out["recommendations"]
+        assert out["left_spec"] == "bucket(4,k)"
+
+    def test_one_side_unbucketed_matches_partner(self, spark, tmp_path):
+        l = self._tbl(spark, str(tmp_path / "l"), "k", "bucket(8,k)")
+        r = self._tbl(spark, str(tmp_path / "r"), "j")
+        out = X.suggest_bucket_alignment(l, r, "k", "j")
+        assert not out["aligned"]
+        assert out["recommendations"] == [
+            f"declare bucket(8,j) on {r} and OPTIMIZE"]
+
+    def test_count_mismatch_redeclares_smaller(self, spark, tmp_path):
+        l = self._tbl(spark, str(tmp_path / "l"), "k", "bucket(8,k)")
+        r = self._tbl(spark, str(tmp_path / "r"), "j", "bucket(4,j)")
+        out = X.suggest_bucket_alignment(l, r, "k", "j")
+        assert not out["aligned"]
+        assert len(out["recommendations"]) == 1
+        rec = out["recommendations"][0]
+        assert "bucket(" in rec and "OPTIMIZE" in rec
+
+    def test_neither_bucketed_uses_default(self, spark, tmp_path):
+        l = self._tbl(spark, str(tmp_path / "l"), "k")
+        r = self._tbl(spark, str(tmp_path / "r"), "j")
+        out = X.suggest_bucket_alignment(l, r, "k", "j",
+                                         default_buckets=16)
+        assert [f"declare bucket(16,k) on {l} and OPTIMIZE",
+                f"declare bucket(16,j) on {r} and OPTIMIZE"] == \
+            out["recommendations"]

@@ -1352,6 +1352,50 @@ class TestVacuumRetentionAndClone:
         assert V.versions(t) == [1]      # ancient but latest: retained
         assert V.read_version(spark, t).count() == 2
 
+    def test_time_travel_horizon_composes_with_as_of(self, spark,
+                                                     tmp_path):
+        """Round-9 (verdict #6): vacuum(older_than=...) + TIMESTAMP AS
+        OF give the operator a travel-horizon promise — AS-OF works at
+        any point inside the horizon, raises a clear error past it,
+        and `table_health` reports the horizon."""
+        import json
+
+        from databox_adls_loader_spark.sinks.maintenance import \
+            table_health
+
+        t = str(tmp_path / "t")
+        for i in range(4):
+            V.write_snapshot(spark.createDataFrame([(i,)], "id long")
+                             .coalesce(1), t,
+                             mode="overwrite" if i == 2 else "append")
+        # age v1/v2 into the past; v3/v4 keep real (recent) stamps
+        st = V._st(t)
+        for v, day in ((1, "01"), (2, "02")):
+            p = V._manifest_path(st, t, v)
+            doc = json.loads(st.read_text(p))
+            doc["committed_at"] = f"2000-01-{day}T00:00:00+00:00"
+            st.replace_text(p, json.dumps(doc))
+        v3_at = V._read_manifest_doc(t, 3)["committed_at"]
+        V.vacuum(t, older_than="2020-01-01T00:00:00+00:00")
+        assert V.versions(t) == [3, 4]
+        h = table_health(t)
+        assert h["retained_versions"] == 2
+        assert h["oldest_version"] == 3
+        assert h["time_travel_horizon"] == v3_at
+        assert h["latest_committed_at"] == \
+            V._read_manifest_doc(t, 4)["committed_at"]
+        # inside the horizon: AS-OF at v3's exact stamp reads v3
+        got = V.read_version(spark, t, as_of=v3_at)
+        assert {r["id"] for r in got.collect()} == {2}
+        # past the horizon: a clear refusal, not a wrong answer
+        with pytest.raises(FileNotFoundError, match="no retained"):
+            V.read_version(spark, t, as_of="2010-01-01T00:00:00+00:00")
+        # travel to now still answers with the latest
+        assert {r["id"] for r in
+                V.read_version(spark, t,
+                               as_of=h["latest_committed_at"])
+                .collect()} == {2, 3}
+
     def test_shallow_clone_zero_copy_then_diverges(self, spark, tmp_path):
         src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
         V.write_snapshot(spark.range(100).coalesce(2), src)

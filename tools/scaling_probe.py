@@ -100,6 +100,9 @@ TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
     "scale_cdf_stream_read": "orders",
     "scale_time_travel_read": "orders",
     "mv_cdf_maintenance": "orders",
+    "scale_cdf_across_compaction": "orders",
+    "scale_bucket_join_bigbig": "orders",
+    "corpus_pack_efficiency": "documents",
 }
 
 # the heavy shapes probed one decade PAST the bench SF, on the locally
@@ -145,6 +148,13 @@ SF1_QUERIES = [
     "scale_cdf_stream_read",
     "scale_time_travel_read",
     "mv_cdf_maintenance",
+    # round-9: CDF across a nightly OPTIMIZE must stay O(changed +
+    # compacted files); the big-big bucket join (orders x derived
+    # receipts, both sf1-sized) must hold a linear slope with its
+    # per-bucket exchanges; sequence packing is per-group linear
+    "scale_cdf_across_compaction",
+    "scale_bucket_join_bigbig",
+    "corpus_pack_efficiency",
 ]
 
 
