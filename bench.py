@@ -116,8 +116,12 @@ def main() -> None:
     }
     # Persist in-repo first: the driver captures only a tail of stdout, so
     # the full per-query map must survive on disk regardless of truncation.
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "BENCH_LOCAL.json")
+    # Single-run invocations (the driver's per-round bench) land in the
+    # UNTRACKED BENCH_DRIVER.json so they never dirty the committed runs=3
+    # median record (round-8 verdict nit #1); multi-run invocations are
+    # the deliberate record refresh and overwrite BENCH_LOCAL.json.
+    fname = "BENCH_LOCAL.json" if runs > 1 else "BENCH_DRIVER.json"
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), fname)
     with open(out, "w") as f:
         json.dump(payload, f, indent=1)
     spark.stop()
@@ -136,7 +140,7 @@ def main() -> None:
     base = {
         "metric": payload["metric"], "value": payload["value"],
         "unit": "sec", "sf": sf_val, "n_queries": len(timings),
-        "runs": runs, "full": "BENCH_LOCAL.json",
+        "runs": runs, "full": fname,
     }
     for name in keep:
         if name not in timings:

@@ -494,3 +494,346 @@ def scale_bucket_join_bigbig(spark: SparkSession,
                  .alias("amt_sum"))
             .withColumn("bigbig_ok", F.lit(bool(ok)))
             .orderBy("o_orderstatus", "r_priority"))
+
+
+# ---------------------------------------------------------------------------
+# packing compositions: the corpus lane ends in context windows
+# ---------------------------------------------------------------------------
+
+@register(
+    "corpus_pack_source_mix",
+    oracle=_PACK_CTE.format(g=8, w=256,
+                            pieces=_PIECES_WHOLE.format(w=256)) + """
+    SELECT d.source,
+           CAST(COUNT(DISTINCT (p.g * 1000000 + p.win)) AS BIGINT)
+             AS n_windows_touched,
+           COUNT(*) AS n_docs,
+           CAST(SUM(p.pt) AS BIGINT) AS tokens,
+           CAST(SUM(p.g * 1000000 + p.win) AS BIGINT) AS win_id_sum
+    FROM pack p JOIN documents d ON p.id = d.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """,
+    tags=["corpus", "packing", "llm", "mixing"],
+)
+def corpus_pack_source_mix(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Window-composition diagnostics: join the packed windows back to
+    the documents' SOURCE — how many context windows each corpus
+    source touches and how many tokens it contributes — the mixing
+    dashboard a pretraining run reads to see whether packing
+    interleaves sources or accidentally ghettoizes one (salted
+    grouping interleaves by construction; this measures it).  The
+    window-id sum pins every doc's placement through the join."""
+    from ..operators.seqpack import pack_sequences
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(_docs_tokens(spark, sf_dir), 256,
+                            count_col="n_tokens", n_groups=8)
+    win_id = F.col("g").cast("long") * 1_000_000 + F.col("win")
+    return (packed.join(docs.select(F.col("doc_id").alias("id"),
+                                    "source"), "id")
+            .groupBy("source")
+            .agg(F.countDistinct(win_id).alias("n_windows_touched"),
+                 F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("piece_tokens").alias("tokens"),
+                 F.sum(win_id).alias("win_id_sum"))
+            .orderBy("source"))
+
+
+@register(
+    "corpus_dedup_then_pack",
+    oracle="""
+    WITH RECURSIVE uniq AS (
+      SELECT MIN(doc_id) AS doc_id, (MIN(n_chars) + 3) // 4 AS t
+      FROM documents GROUP BY md5(text)
+    ), base AS (
+      SELECT CAST(doc_id % 8 AS INTEGER) AS g, doc_id AS id, t
+      FROM uniq
+    ), pieces AS (
+      SELECT g, id, 0 AS piece, t AS pt,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY id) AS rn
+      FROM base WHERE t <= 256
+    ), pack AS (
+      SELECT g, id, piece, pt, rn, CAST(1 AS BIGINT) AS win,
+             pt AS fill
+      FROM pieces WHERE rn = 1
+      UNION ALL
+      SELECT d.g, d.id, d.piece, d.pt, d.rn,
+             CASE WHEN p.fill + d.pt <= 256 THEN p.win
+                  ELSE p.win + 1 END,
+             CASE WHEN p.fill + d.pt <= 256 THEN p.fill + d.pt
+                  ELSE d.pt END
+      FROM pack p JOIN pieces d ON d.g = p.g AND d.rn = p.rn + 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT)
+             AS n_docs_raw,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_unique,
+           CAST((SELECT SUM(mw) FROM (SELECT g, MAX(win) AS mw
+                                      FROM pack GROUP BY g))
+                AS BIGINT) AS n_windows,
+           CAST(SUM(pt) AS BIGINT) AS tokens,
+           CAST((SELECT SUM((n_chars + 3) // 4) FROM documents)
+                - SUM(pt) AS BIGINT) AS tokens_saved,
+           CAST(SUM(win * pt) AS BIGINT) AS win_tok_sum
+    FROM pack
+    """,
+    tags=["corpus", "packing", "dedup", "llm"],
+)
+def corpus_dedup_then_pack(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """The corpus lane composed end to end: EXACT-dedup the documents
+    (hash groupBy on text, keep the smallest doc id — `dedup_exact`'s
+    shape) and pack only the unique survivors into 256-token windows —
+    the pipeline every pretraining corpus actually runs, with
+    `tokens_saved` quantifying what dedup bought before a single
+    window was filled.  The placement checksum Σ win·tokens pins the
+    pack of the deduped set; any duplicate leaking through dedup
+    shifts it."""
+    from ..operators.seqpack import pack_sequences
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    uniq = (docs.groupBy(F.md5(F.col("text")))
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.expr("(min(n_chars) + 3) div 4").cast("long")
+                 .alias("n_tokens")))
+    packed = pack_sequences(uniq, 256, count_col="n_tokens",
+                            n_groups=8)
+    per_g = (packed.filter(F.col("win") > 0).groupBy("g")
+             .agg(F.max("win").alias("mw")))
+    raw_tokens = docs.agg(
+        F.sum(F.expr("(n_chars + 3) div 4")).alias("rt"),
+        F.count(F.lit(1)).alias("rn")).collect()[0]
+    n_windows = per_g.agg(F.sum("mw")).collect()[0][0]
+    return (packed.agg(
+        F.lit(int(raw_tokens["rn"])).cast("long").alias("n_docs_raw"),
+        F.count(F.lit(1)).alias("n_docs_unique"),
+        F.lit(int(n_windows)).cast("long").alias("n_windows"),
+        F.sum("piece_tokens").alias("tokens"),
+        (F.lit(int(raw_tokens["rt"])) - F.sum("piece_tokens"))
+        .cast("long").alias("tokens_saved"),
+        F.sum(F.col("win") * F.col("piece_tokens"))
+        .alias("win_tok_sum")))
+
+
+# ---------------------------------------------------------------------------
+# preimage CDF across an OPTIMIZE; retention horizon under the hash gate
+# ---------------------------------------------------------------------------
+
+_CDF_PREIMG: dict = {}
+
+
+def _drop_cdf_preimg(keys=None) -> None:
+    import shutil
+
+    for k in list(_CDF_PREIMG) if keys is None else list(keys):
+        shutil.rmtree(_CDF_PREIMG.pop(k)[0], ignore_errors=True)
+
+
+def _cdf_preimage_orders(spark: SparkSession, sf_dir: str
+                         ) -> tuple[str, int, bool]:
+    """Once per (session, sf_dir): a change window holding a MOR
+    UPDATE (keys [600, 1200): +5.00, status 'U'), three tiny appends
+    (negated keys ≡ 0 mod 1009), an incremental OPTIMIZE that
+    coalesces the small files (update images included — rows
+    preserved), and a post-OPTIMIZE equality tombstone ([1200, 1500)
+    ≡ 0 mod 3) — the four-change-type window the view maintainer
+    consumes, BRACKETING a compaction."""
+    import atexit
+    import tempfile
+
+    from ..sinks import versioned as V
+    from ..sinks.storage import path_key
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _CDF_PREIMG.get(key)
+    if got is None:
+        _drop_cdf_preimg([k for k in _CDF_PREIMG if k[0] != key[0]])
+        if not _CDF_PREIMG:
+            atexit.register(_drop_cdf_preimg)
+        t = tempfile.mkdtemp(prefix="spark_graft_cdfpreimg_")
+        (orders,) = _t(spark, sf_dir, "orders")
+        V.write_snapshot(orders, t)
+        V.compact_snapshot(spark, t, n_files=8, cluster_by=["o_orderkey"])
+        v_base = V.latest_version(t)
+        base_files = V._read_manifest(t, v_base)
+        st = V._st(t, spark)
+        target = min(st.file_size(f) for f in base_files)
+        k_col = F.col("o_orderkey")
+        V.update_where(spark, t,
+                       "o_orderkey >= 600 AND o_orderkey < 1200",
+                       {"o_orderstatus": "'U'",
+                        "o_totalprice": "o_totalprice + 5.0"},
+                       predicates=[("o_orderkey", ">=", 600),
+                                   ("o_orderkey", "<", 1200)])
+        ins = (orders.filter((k_col % 1009 == 0) & (k_col != 0))
+               .withColumn("o_orderkey", -k_col)
+               .select(*orders.columns))
+        for slot in range(3):
+            V.write_snapshot(
+                ins.filter(F.pmod(-k_col, F.lit(3)) == slot).coalesce(1),
+                t)
+        assert V.compact_small_files(spark, t, target_bytes=target,
+                                     min_files=2) is not None
+        eq_keys = [r[0] for r in
+                   orders.filter((k_col >= 1200) & (k_col < 1500)
+                                 & (k_col % 3 == 0))
+                   .select("o_orderkey").distinct().collect()]
+        V.delete_where_keys(spark, t, "o_orderkey", eq_keys)
+        v_to = V.latest_version(t)
+        inc = V._changes_incremental(spark, t, v_base, v_to,
+                                     "o_orderkey",
+                                     emit_preimage=True)
+        inc_ok = inc is not None
+        if inc_ok:
+            base = {path_key(f) for f in base_files}
+            read = {path_key(u) for u in inc.inputFiles()}
+            inc_ok = len(read & base) < len(base)
+        got = (t, v_base, bool(inc_ok))
+        _CDF_PREIMG[key] = got
+    return got
+
+
+@register(
+    "scale_cdf_preimage_across_compaction",
+    oracle="""
+    WITH ch AS (
+      SELECT 'update_preimage' AS _change_type, o_orderkey,
+             o_totalprice
+      FROM orders WHERE o_orderkey >= 600 AND o_orderkey < 1200
+      UNION ALL
+      SELECT 'update_postimage', o_orderkey, o_totalprice + 5.0
+      FROM orders WHERE o_orderkey >= 600 AND o_orderkey < 1200
+      UNION ALL
+      SELECT 'insert', -o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey % 1009 = 0 AND o_orderkey <> 0
+      UNION ALL
+      SELECT 'delete', o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey >= 1200 AND o_orderkey < 1500
+        AND o_orderkey % 3 = 0
+    )
+    SELECT _change_type, COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS rev,
+           TRUE AS inc_ok
+    FROM ch GROUP BY 1 ORDER BY 1
+    """,
+    tags=["scale", "versioned", "cdf", "incremental", "compaction"],
+)
+def scale_cdf_preimage_across_compaction(spark: SparkSession,
+                                         sf_dir: str) -> DataFrame:
+    """Four-change-type CDF (insert / delete / update_postimage /
+    update_preimage — Delta CDF's convention) whose window brackets an
+    incremental OPTIMIZE that compacted the UPDATE's image files away:
+    the preimages a view maintainer subtracts must survive the rewrite
+    exactly — old images from the DV-hit carried file, new images from
+    the compacted output, reconciled by key.  inc_ok asserts the
+    manifest-derived path engaged and read a strict subset of the
+    baseline files.  Hash-gated against plain SQL reconstructing all
+    four row sets from raw orders."""
+    from ..sinks import versioned as V
+
+    t, v_base, inc_ok = _cdf_preimage_orders(spark, sf_dir)
+    ch = V.changes_between(spark, t, v_base, V.latest_version(t),
+                           "o_orderkey", incremental=True,
+                           emit_preimage=True)
+    return (ch.groupBy("_change_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("o_orderkey").cast("long").alias("key_sum"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("rev"))
+            .withColumn("inc_ok", F.lit(bool(inc_ok)))
+            .orderBy("_change_type"))
+
+
+_RETENTION: dict = {}
+
+
+def _drop_retention(keys=None) -> None:
+    import shutil
+
+    for k in list(_RETENTION) if keys is None else list(keys):
+        shutil.rmtree(_RETENTION.pop(k)[0], ignore_errors=True)
+
+
+def _retention_orders(spark: SparkSession, sf_dir: str
+                      ) -> tuple[str, str, bool]:
+    """Once per (session, sf_dir): a three-commit orders table whose
+    OLDEST commit is backdated and reclaimed by `vacuum(older_than=)`
+    — leaving a 2-version travel horizon.  Returns ``(table,
+    horizon_ts, horizon_ok)`` where horizon_ok asserts the
+    `table_health` horizon equals the oldest retained stamp AND an
+    AS-OF before it refuses with the clear no-retained-version
+    error."""
+    import atexit
+    import json as _json
+    import tempfile
+
+    from ..sinks import versioned as V
+    from ..sinks.maintenance import table_health
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _RETENTION.get(key)
+    if got is None:
+        _drop_retention([k for k in _RETENTION if k[0] != key[0]])
+        if not _RETENTION:
+            atexit.register(_drop_retention)
+        t = tempfile.mkdtemp(prefix="spark_graft_retention_")
+        (orders,) = _t(spark, sf_dir, "orders")
+        k_col = F.col("o_orderkey")
+        V.write_snapshot(orders.filter(k_col % 2 == 0), t)
+        V.write_snapshot(orders.filter(k_col % 2 == 1), t)
+        V.delete_where(spark, t, "o_orderkey % 500 = 0")
+        # backdate v1 and reclaim it: the horizon becomes v2's stamp
+        st = V._st(t)
+        p = V._manifest_path(st, t, 1)
+        doc = _json.loads(st.read_text(p))
+        doc["committed_at"] = "2000-01-01T00:00:00+00:00"
+        st.replace_text(p, _json.dumps(doc))
+        V.vacuum(t, older_than="2020-01-01T00:00:00+00:00")
+        h = table_health(t)
+        horizon = h["time_travel_horizon"]
+        ok = (V.versions(t) == [2, 3] and horizon is not None
+              and horizon == V._read_manifest_doc(t, 2)["committed_at"])
+        if ok:
+            try:
+                V.read_version(spark, t,
+                               as_of="2010-01-01T00:00:00+00:00")
+                ok = False            # must refuse past the horizon
+            except FileNotFoundError as e:
+                ok = "no retained" in str(e)
+        got = (t, horizon, bool(ok))
+        _RETENTION[key] = got
+    return got
+
+
+@register(
+    "scale_retention_horizon_read",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           TRUE AS horizon_ok
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    tags=["scale", "versioned", "retention", "timetravel"],
+)
+def scale_retention_horizon_read(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Retention + TIMESTAMP AS OF under the hash gate:
+    `vacuum(older_than=)` reclaimed the backdated oldest commit, the
+    `table_health` horizon moved to the oldest RETAINED stamp, an
+    AS-OF past the horizon refuses with a clear error (horizon_ok
+    pins both), and an AS-OF at the horizon itself still answers —
+    reading exactly the full-orders state of that commit, hash-matched
+    against raw SQL.  This is the operator promise "time travel to any
+    point inside the retention window" as a correctness property, not
+    documentation."""
+    from ..sinks import versioned as V
+
+    t, horizon, ok = _retention_orders(spark, sf_dir)
+    df = V.read_version(spark, t, as_of=horizon)
+    return (df.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("o_orderkey").cast("long").alias("key_sum"))
+            .withColumn("horizon_ok", F.lit(bool(ok)))
+            .orderBy("o_orderstatus"))
