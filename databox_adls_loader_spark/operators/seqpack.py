@@ -46,12 +46,19 @@ _PACK_SCHEMA = T.StructType([
 ])
 
 
-def _next_fit_group(window: int):
-    """Per-group next-fit in (id, piece) order — the sequential loop
-    an exact pack needs, bounded to ONE salt group per task."""
+def _next_fit_group(window: int, order: str = "id"):
+    """Per-group next-fit — the sequential loop an exact pack needs,
+    bounded to ONE salt group per task.  ``order="id"`` packs in
+    (id, piece) arrival order; ``order="tokens"`` packs shortest-first
+    (token count, then id) — the length-curriculum order, which is
+    also next-fit-increasing, so windows fill tighter than arrival
+    order (first-fit-decreasing's cousin; `packing_report` measures
+    the gain)."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["id", "piece"], kind="mergesort")
+        cols = (["piece_tokens", "id", "piece"] if order == "tokens"
+                else ["id", "piece"])
+        pdf = pdf.sort_values(cols, kind="mergesort")
         ids = pdf["id"].to_numpy()
         pieces = pdf["piece"].to_numpy()
         toks = pdf["piece_tokens"].to_numpy()
@@ -78,7 +85,8 @@ def pack_sequences(docs: DataFrame, window: int, *,
                    id_col: str = "doc_id",
                    count_col: str = "n_tokens",
                    n_groups: int = 32,
-                   allow_split: bool = False) -> DataFrame:
+                   allow_split: bool = False,
+                   order: str = "id") -> DataFrame:
     """Pack ``docs`` (one row per document with an integer token count
     ``count_col``) into fixed-``window``-token context windows.
 
@@ -137,8 +145,11 @@ def pack_sequences(docs: DataFrame, window: int, *,
             .alias("win"),
             F.lit(0).cast("long").alias("offset"),
             (F.col("t") - F.lit(window)).alias("n_overflow"))
+    if order not in ("id", "tokens"):
+        raise ValueError(f"unknown pack order {order!r}")
     packed = (flow.groupBy("g")
-              .applyInPandas(_next_fit_group(window), _PACK_SCHEMA)
+              .applyInPandas(_next_fit_group(window, order),
+                             _PACK_SCHEMA)
               .withColumn("n_overflow", F.lit(0).cast("long")))
     if isolated is not None:
         packed = packed.unionByName(isolated)

@@ -837,3 +837,222 @@ def scale_retention_horizon_read(spark: SparkSession,
                  F.sum("o_orderkey").cast("long").alias("key_sum"))
             .withColumn("horizon_ok", F.lit(bool(ok)))
             .orderBy("o_orderstatus"))
+
+
+# ---------------------------------------------------------------------------
+# curriculum-order packing, Zipf slope, shipping-latency quartiles
+# ---------------------------------------------------------------------------
+
+_PIECES_SHORTFIRST = """
+      SELECT g, id, 0 AS piece, t AS pt,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY t, id) AS rn
+      FROM base WHERE t <= {w}
+"""
+
+
+@register(
+    "corpus_pack_curriculum_shortfirst",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT CAST(doc_id % 8 AS INTEGER) AS g, doc_id AS id,
+             (n_chars + 3) // 4 AS t
+      FROM documents
+    ), pieces AS (
+""" + _PIECES_WHOLE.format(w=256) + """
+    ), pack AS (
+      SELECT g, id, piece, pt, rn, CAST(1 AS BIGINT) AS win,
+             pt AS fill
+      FROM pieces WHERE rn = 1
+      UNION ALL
+      SELECT d.g, d.id, d.piece, d.pt, d.rn,
+             CASE WHEN p.fill + d.pt <= 256 THEN p.win
+                  ELSE p.win + 1 END,
+             CASE WHEN p.fill + d.pt <= 256 THEN p.fill + d.pt
+                  ELSE d.pt END
+      FROM pack p JOIN pieces d ON d.g = p.g AND d.rn = p.rn + 1
+    ), pieces_c AS (
+""" + _PIECES_SHORTFIRST.format(w=256) + """
+    ), pack_c AS (
+      SELECT g, id, piece, pt, rn, CAST(1 AS BIGINT) AS win,
+             pt AS fill
+      FROM pieces_c WHERE rn = 1
+      UNION ALL
+      SELECT d.g, d.id, d.piece, d.pt, d.rn,
+             CASE WHEN p.fill + d.pt <= 256 THEN p.win
+                  ELSE p.win + 1 END,
+             CASE WHEN p.fill + d.pt <= 256 THEN p.fill + d.pt
+                  ELSE d.pt END
+      FROM pack_c p JOIN pieces_c d ON d.g = p.g AND d.rn = p.rn + 1
+    ), a AS (
+      SELECT g, MAX(win) AS w_arr, CAST(SUM(pt) AS BIGINT) AS tok
+      FROM pack GROUP BY g
+    ), c AS (
+      SELECT g, MAX(win) AS w_cur,
+             CAST(SUM(win * pt) AS BIGINT) AS cur_checksum
+      FROM pack_c GROUP BY g
+    )
+    SELECT a.g, CAST(a.w_arr AS BIGINT) AS n_windows_arrival,
+           CAST(c.w_cur AS BIGINT) AS n_windows_curriculum,
+           a.tok AS tokens,
+           a.tok * 10000 // (a.w_arr * 256) AS fill_bp_arrival,
+           a.tok * 10000 // (c.w_cur * 256) AS fill_bp_curriculum,
+           c.cur_checksum
+    FROM a JOIN c ON a.g = c.g ORDER BY a.g
+    """,
+    tags=["corpus", "packing", "curriculum", "llm"],
+)
+def corpus_pack_curriculum_shortfirst(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Length-curriculum packing (`pack_sequences(order="tokens")`):
+    shortest-first inside each salt group — the order a length
+    curriculum feeds batches anyway — is next-fit-INCREASING, which
+    usually (not always: a fortuitous big/small arrival interleave can
+    beat it, and group 7 of this corpus does) closes windows tighter
+    than arrival order.  Both packs run and the per-group fill rates
+    sit side by side so the trade is MEASURED, not asserted; the
+    curriculum placement checksum pins the exact assignment.  Same
+    strict Σ ≤ window guarantee, same distributed shape — ordering is
+    per-group, never global."""
+    from ..operators.seqpack import pack_sequences
+
+    docs = _docs_tokens(spark, sf_dir)
+    arr = (pack_sequences(docs, 256, count_col="n_tokens", n_groups=8)
+           .filter(F.col("win") > 0).groupBy("g")
+           .agg(F.max("win").alias("n_windows_arrival"),
+                F.sum("piece_tokens").alias("tokens")))
+    cur = (pack_sequences(docs, 256, count_col="n_tokens", n_groups=8,
+                          order="tokens")
+           .filter(F.col("win") > 0).groupBy("g")
+           .agg(F.max("win").alias("n_windows_curriculum"),
+                F.sum(F.col("win") * F.col("piece_tokens"))
+                .alias("cur_checksum")))
+    cap = F.lit(256)
+    return (arr.join(cur, "g")
+            .select("g", "n_windows_arrival", "n_windows_curriculum",
+                    "tokens",
+                    (F.col("tokens") * 10_000
+                     / (F.col("n_windows_arrival") * cap))
+                    .cast("long").alias("fill_bp_arrival"),
+                    (F.col("tokens") * 10_000
+                     / (F.col("n_windows_curriculum") * cap))
+                    .cast("long").alias("fill_bp_curriculum"),
+                    "cur_checksum")
+            .orderBy("g"))
+
+
+@register(
+    "text_zipf_slope_by_lang",
+    oracle=r"""
+    WITH toks AS (
+      SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+'))
+        AS w
+      FROM documents
+    ), freq AS (
+      SELECT lang, w, COUNT(*) AS f
+      FROM toks GROUP BY lang, w
+    ), ranked AS (
+      SELECT lang, f,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY f DESC, w) AS r
+      FROM freq
+    ), pts AS (
+      SELECT lang,
+             CAST(ROUND(ln(r) * 1000000) AS BIGINT) AS x,
+             CAST(ROUND(ln(f) * 1000000) AS BIGINT) AS y
+      FROM ranked WHERE r <= 100
+    ), s AS (
+      SELECT lang, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts GROUP BY lang
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_terms,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+             AS zipf_slope
+    FROM s ORDER BY lang
+    """,
+    tags=["text", "zipf", "llm", "quality"],
+)
+def text_zipf_slope_by_lang(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Zipf exponent per language: OLS slope of ln(freq) on ln(rank)
+    over the top-100 word ranks — the vocabulary-health signal (a
+    natural corpus sits near −1; templated or spam text flattens or
+    steepens it).  Determinism under FP: the log points are scaled to
+    integer micro-units BEFORE summing, so every aggregate is exact
+    64-bit arithmetic in any order; only the final slope division is
+    IEEE, rounded to 6 places on both engines.  Rank ties break by
+    word — bit-stable ranks."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        "lang", F.explode(F.split(F.trim(F.col("text")), r"\s+"))
+        .alias("w"))
+    freq = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("f"))
+    ranked = freq.withColumn(
+        "r", F.row_number().over(
+            W.partitionBy("lang").orderBy(F.desc("f"), F.col("w"))))
+    pts = (ranked.filter(F.col("r") <= 100)
+           .select("lang",
+                   F.round(F.log(F.col("r").cast("double")) * 1e6)
+                   .cast("long").alias("x"),
+                   F.round(F.log(F.col("f").cast("double")) * 1e6)
+                   .cast("long").alias("y")))
+    s = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (s.select("lang", F.col("n").cast("long").alias("n_terms"),
+                     F.round(num.cast("double") / den.cast("double"),
+                             6).alias("zipf_slope"))
+            .orderBy("lang"))
+
+
+@register(
+    "ord_ship_latency_quartiles_by_priority",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n,
+           quantile_cont(lat, 0.25) AS q1,
+           quantile_cont(lat, 0.5) AS med,
+           quantile_cont(lat, 0.75) AS q3
+    FROM (SELECT l.l_orderkey,
+                 CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                CAST(l.l_shipdate AS DATE))
+                      AS BIGINT) AS lat,
+                 o.o_orderpriority
+          FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey) o
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=["commerce", "percentile", "logistics"],
+)
+def ord_ship_latency_quartiles_by_priority(spark: SparkSession,
+                                           sf_dir: str) -> DataFrame:
+    """Order-to-ship latency quartiles per order priority — exact
+    CONTINUOUS percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, both the rank = p·(n−1) interpolation on integer
+    day latencies, so every quartile is an exact .0/.25/.5/.75
+    double).  Broadcast the order dim columns into the fact, one
+    shuffle on priority; the exact percentile sorts WITHIN each
+    priority group, never globally — bounded by the largest group, not
+    the table."""
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    j = li.join(F.broadcast(orders.select("o_orderkey", "o_orderdate",
+                                          "o_orderpriority")),
+                li["l_orderkey"] == F.col("o_orderkey"))
+    lat = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) \
+        .cast("long")
+    return (j.select("o_orderpriority", lat.alias("lat"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.expr("percentile(lat, 0.25)").alias("q1"),
+                 F.expr("percentile(lat, 0.5)").alias("med"),
+                 F.expr("percentile(lat, 0.75)").alias("q3"))
+            .orderBy("o_orderpriority"))

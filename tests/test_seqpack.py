@@ -86,6 +86,34 @@ class TestInvariants:
             per_win[(r["g"], r["win"])] += r["piece_tokens"]
         assert all(v <= W for v in per_win.values())
 
+    def test_curriculum_order_safe_and_matches_reference(self, spark):
+        # order="tokens" packs shortest-first: same strict capacity
+        # guarantee, placement = next-fit over (tokens, id) order
+        tokens = [90, 10, 85, 15, 80, 20, 75, 25, 70, 30, 95, 5]
+        cur = pack_sequences(
+            spark.createDataFrame([(i, t) for i, t in enumerate(tokens)],
+                                  "doc_id: long, n_tokens: long"),
+            W, count_col="n_tokens", n_groups=1,
+            order="tokens").collect()
+        per_win = {}
+        for r in cur:
+            per_win.setdefault(r["win"], 0)
+            per_win[r["win"]] += r["piece_tokens"]
+        assert all(v <= W for v in per_win.values())
+        order = sorted(cur, key=lambda r: (r["piece_tokens"], r["id"]))
+        win, fill = 1, 0
+        for r in order:
+            t = r["piece_tokens"]
+            if fill + t > W and fill > 0:
+                win, fill = win + 1, 0
+            assert (r["win"], r["offset"]) == (win, fill)
+            fill += t
+        with pytest.raises(ValueError, match="unknown pack order"):
+            pack_sequences(
+                spark.createDataFrame([(0, 1)],
+                                      "doc_id: long, n_tokens: long"),
+                W, count_col="n_tokens", order="nope")
+
     def test_deterministic_across_runs(self, spark):
         tokens = [37, 91, 12, 150, 44, 80, 3, 99, 61]
         a = sorted(map(tuple, _pack(spark, tokens,
