@@ -219,15 +219,91 @@ def _decode_jpeg_pure(content: bytes) -> dict | None:
                 n_channels = seg[5]
                 if not width or not height or not n_channels:
                     return None
-                digest = hashlib.sha256(content).digest()
-                feature = [((digest[j % 32] * (j + 1)) % 255) / 255.0
-                           for j in range(_FEATURE_DIM)]
                 return {"width": width, "height": height,
-                        "n_frames": None, "feature": feature}
+                        "n_frames": None,
+                        "feature": _stub_feature(content)}
             if marker == 0xDA:                # SOS without a prior SOF
                 return None
             pos += 2 + seglen
         return None
+    except Exception:  # noqa: BLE001 - malformed bytes → caller stubs
+        return None
+
+
+def _stub_feature(content: bytes) -> list[float]:
+    """Deterministic payload-hash feature for metadata-only decoders
+    (JPEG/GIF/BMP): real dimensions, stub feature — same contract as
+    `_decode_jpeg_pure` documents."""
+    digest = hashlib.sha256(content).digest()
+    return [((digest[j % 32] * (j + 1)) % 255) / 255.0
+            for j in range(_FEATURE_DIM)]
+
+
+def _decode_gif_pure(content: bytes) -> dict | None:
+    """Stdlib-only GIF METADATA decode: logical-screen dimensions from
+    the header plus a REAL FRAME COUNT from a full block walk (global/
+    local color tables sized by their packed fields, extension and
+    image sub-blocks skipped by their length prefixes) — the animated
+    format surfaces genuine n_frames where PNG/JPEG surface None.
+    Pixel data stays undecoded (LZW inflate isn't worth its runtime in
+    a batch path); feature is the payload-hash stub.  Returns None for
+    non-GIF or malformed streams so the caller can fall through."""
+    if content[:6] not in (b"GIF87a", b"GIF89a") or len(content) < 14:
+        return None
+    import struct
+    try:
+        width, height = struct.unpack("<HH", content[6:10])
+        packed = content[10]
+        pos = 13
+        if packed & 0x80:
+            pos += 3 * (2 << (packed & 0x07))
+        frames = 0
+        while pos < len(content):
+            b0 = content[pos]
+            if b0 == 0x3B:                    # trailer
+                break
+            if b0 == 0x21:                    # extension block
+                pos += 2
+                while pos < len(content) and content[pos] != 0:
+                    pos += 1 + content[pos]
+                pos += 1
+            elif b0 == 0x2C:                  # image descriptor
+                frames += 1
+                lp = content[pos + 9]
+                pos += 10
+                if lp & 0x80:
+                    pos += 3 * (2 << (lp & 0x07))
+                pos += 1                      # LZW min code size
+                while pos < len(content) and content[pos] != 0:
+                    pos += 1 + content[pos]
+                pos += 1
+            else:
+                return None
+        if not width or not height or frames == 0:
+            return None
+        return {"width": int(width), "height": int(height),
+                "n_frames": frames, "feature": _stub_feature(content)}
+    except Exception:  # noqa: BLE001 - malformed bytes → caller stubs
+        return None
+
+
+def _decode_bmp_pure(content: bytes) -> dict | None:
+    """Stdlib-only BMP METADATA decode: BITMAPINFOHEADER (or any ≥40-
+    byte descendant) width/height — height may be negative (top-down
+    rows) and surfaces as its magnitude.  Feature is the payload-hash
+    stub; returns None for non-BMP / BITMAPCOREHEADER / malformed."""
+    if content[:2] != b"BM" or len(content) < 54:
+        return None
+    import struct
+    try:
+        (hdr_size,) = struct.unpack("<I", content[14:18])
+        if hdr_size < 40:
+            return None                       # BITMAPCOREHEADER era
+        width, height = struct.unpack("<ii", content[18:26])
+        if width <= 0 or height == 0:
+            return None
+        return {"width": int(width), "height": abs(int(height)),
+                "n_frames": None, "feature": _stub_feature(content)}
     except Exception:  # noqa: BLE001 - malformed bytes → caller stubs
         return None
 
@@ -237,13 +313,18 @@ def decode_asset(content: bytes, modality: str) -> dict:
     deterministic stub otherwise.  Both paths produce the same dict shape,
     so the Spark plumbing (schema, batching) is identical either way.
     Order: PIL (any format) → pure-Python PNG subset → pure-Python JPEG
-    marker parse (real dimensions, stub feature) → hash stub."""
+    marker parse → GIF block walk (real frame count) → BMP header (all
+    real dimensions, stub feature) → hash stub."""
     if modality == "image":
         real = _decode_image_real(content)
         if real is None:
             real = _decode_png_pure(content)
         if real is None:
             real = _decode_jpeg_pure(content)
+        if real is None:
+            real = _decode_gif_pure(content)
+        if real is None:
+            real = _decode_bmp_pure(content)
         if real is not None:
             return real
     return _fake_decode(content, modality)

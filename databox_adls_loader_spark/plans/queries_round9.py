@@ -1056,3 +1056,92 @@ def ord_ship_latency_quartiles_by_priority(spark: SparkSession,
                  F.expr("percentile(lat, 0.5)").alias("med"),
                  F.expr("percentile(lat, 0.75)").alias("q3"))
             .orderBy("o_orderpriority"))
+
+
+# ---------------------------------------------------------------------------
+# real GIF/BMP metadata decode through the Arrow batch path
+# ---------------------------------------------------------------------------
+
+def _mk_gif(w: int, h: int, frames: int) -> bytes:
+    """Minimal GIF89a stream: logical screen descriptor (no global
+    color table) + ``frames`` image descriptors each with one 1-byte
+    LZW sub-block — the block walk `operators/multimodal.
+    _decode_gif_pure` performs."""
+    import struct
+
+    out = [b"GIF89a", struct.pack("<HH", w, h), bytes([0, 0, 0])]
+    for _ in range(frames):
+        out.append(b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+                   + b"\x00"          # no local color table
+                   + b"\x02"          # LZW min code size
+                   + b"\x01\x00"      # one 1-byte sub-block
+                   + b"\x00")         # sub-block terminator
+    out.append(b"\x3b")
+    return b"".join(out)
+
+
+def _mk_bmp(w: int, h: int, top_down: bool = False) -> bytes:
+    """Minimal BMP: file header + 40-byte BITMAPINFOHEADER (no pixel
+    data — the metadata plane `_decode_bmp_pure` parses).  Negative
+    height encodes top-down row order; magnitude must surface."""
+    import struct
+
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h,
+                       1, 24, 0, 0, 0, 0, 0, 0)
+    return (b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + info)
+
+
+@register(
+    "mm_real_decode_gif_bmp",
+    oracle="""
+    WITH i AS (SELECT UNNEST(range(0, 40)) AS i)
+    SELECT CASE WHEN i % 2 = 0 THEN 'image/gif'
+                ELSE 'image/bmp' END AS mime,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN i % 2 = 0 THEN 20 + i % 13
+                         ELSE 300 + i END) AS BIGINT) AS sum_w,
+           CAST(SUM(CASE WHEN i % 2 = 0 THEN 10 + i % 5
+                         ELSE 200 + i % 17 END) AS BIGINT) AS sum_h,
+           CAST(SUM(CASE WHEN i % 2 = 0 THEN 1 + i % 4
+                         ELSE 0 END) AS BIGINT) AS sum_frames
+    FROM i GROUP BY 1 ORDER BY 1
+    """,
+    tags=["multimodal", "decode", "metadata"],
+)
+def mm_real_decode_gif_bmp(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """REAL GIF/BMP metadata decode through the Arrow batch path
+    (completing the four dominant still-image containers after round-8's
+    PNG + JPEG): 40 synthesized assets — genuine GIF89a block streams
+    with arithmetically-known frame counts (the animated plane: GIF is
+    where n_frames is REAL, not None) and BMP headers alternating
+    bottom-up/top-down row order (negative height must surface as its
+    magnitude) — run through `operators/multimodal.extract_features`
+    (mapInPandas), dimension AND frame-count sums hash-matched against
+    the generating arithmetic.  A decoder falling back to the hash
+    stub lands on pseudo-random dimensions and flips the hash."""
+    from ..operators import multimodal as mm
+
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            w, h, fr = 20 + i % 13, 10 + i % 5, 1 + i % 4
+            rows.append((i, "image", bytearray(_mk_gif(w, h, fr)),
+                         "image/gif"))
+        else:
+            w, h = 300 + i, 200 + i % 17
+            rows.append((i, "image",
+                         bytearray(_mk_bmp(w, h, top_down=i % 4 == 1)),
+                         "image/bmp"))
+    assets = spark.createDataFrame(rows, mm.ASSET_SCHEMA)
+    feats = mm.extract_features(assets)
+    mime = (F.when(F.col("asset_id") % 2 == 0, "image/gif")
+            .otherwise("image/bmp"))
+    return (feats.withColumn("mime", mime)
+            .groupBy("mime")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("width").cast("long").alias("sum_w"),
+                 F.sum("height").cast("long").alias("sum_h"),
+                 F.coalesce(F.sum("n_frames"), F.lit(0)).cast("long")
+                 .alias("sum_frames"))
+            .orderBy("mime"))

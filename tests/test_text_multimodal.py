@@ -579,3 +579,43 @@ def test_mm_real_decode_mixed_png_jpeg(spark):
     assert (got[1]["width"], got[1]["height"]) == (5, 3)
     assert (got[2]["width"], got[2]["height"]) == (640, 480)
     assert got[3]["width"] is not None          # stub fallback engaged
+
+
+def test_decode_gif_pure_frames_and_malformed():
+    """Round-9: the GIF block walk surfaces REAL logical-screen
+    dimensions and frame counts; anything outside the contract falls
+    through as None."""
+    from databox_adls_loader_spark.operators import multimodal
+    from databox_adls_loader_spark.plans.queries_round9 import _mk_gif
+
+    d = multimodal._decode_gif_pure(_mk_gif(33, 21, 3))
+    assert (d["width"], d["height"], d["n_frames"]) == (33, 21, 3)
+    one = multimodal._decode_gif_pure(_mk_gif(5, 4, 1))
+    assert one["n_frames"] == 1
+    assert len(d["feature"]) == len(one["feature"]) > 0
+    assert multimodal._decode_gif_pure(b"") is None
+    assert multimodal._decode_gif_pure(b"GIF89a") is None
+    assert multimodal._decode_gif_pure(b"NOTGIF" + b"\x00" * 20) is None
+    # zero frames (header + trailer only) is not an image
+    import struct
+    empty = (b"GIF89a" + struct.pack("<HH", 3, 3) + bytes([0, 0, 0])
+             + b"\x3b")
+    assert multimodal._decode_gif_pure(empty) is None
+    # dispatch routes GIF through the real path, not the stub
+    via = multimodal.decode_asset(_mk_gif(33, 21, 3), "image")
+    assert (via["width"], via["height"], via["n_frames"]) == (33, 21, 3)
+
+
+def test_decode_bmp_pure_topdown_and_malformed():
+    from databox_adls_loader_spark.operators import multimodal
+    from databox_adls_loader_spark.plans.queries_round9 import _mk_bmp
+
+    d = multimodal._decode_bmp_pure(_mk_bmp(640, 480))
+    assert (d["width"], d["height"], d["n_frames"]) == (640, 480, None)
+    # negative (top-down) height surfaces as magnitude
+    td = multimodal._decode_bmp_pure(_mk_bmp(64, 48, top_down=True))
+    assert (td["width"], td["height"]) == (64, 48)
+    assert multimodal._decode_bmp_pure(b"") is None
+    assert multimodal._decode_bmp_pure(b"BM" + b"\x00" * 10) is None
+    via = multimodal.decode_asset(_mk_bmp(640, 480), "image")
+    assert (via["width"], via["height"]) == (640, 480)
