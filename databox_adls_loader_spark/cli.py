@@ -169,6 +169,12 @@ def _cmd_table(args) -> int:
         from .sinks.maintenance import table_health
         print(json.dumps(table_health(t), default=str))
         return 0
+    if args.verb == "align":
+        from .sinks.maintenance import suggest_bucket_alignment
+        print(json.dumps(suggest_bucket_alignment(
+            t, args.right_dir, args.left_key, args.right_key,
+            default_buckets=args.default_buckets)))
+        return 0
     if args.verb == "describe":
         cur = V.latest_version(t)
         if cur is None:
@@ -310,6 +316,8 @@ def main(argv: list[str] | None = None) -> int:
                        "debt, clustering drift (manifest-only)"),
             ("changes", "row-level change feed between two versions "
                         "(CDF; --incremental reads only changed files)"),
+            ("align", "bucket-alignment advisor for a joined table "
+                      "pair (emits the declare-and-OPTIMIZE line)"),
             ("show", "read a version (latest, -v N, or --as-of TS)")]:
         sp = tv.add_parser(verb, help=help_)
         sp.add_argument("table_dir")
@@ -357,6 +365,11 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("-v", "--version", type=int)
             sp.add_argument("--as-of", help="ISO timestamp")
             sp.add_argument("-n", type=int, default=20)
+        elif verb == "align":
+            sp.add_argument("right_dir")
+            sp.add_argument("--left-key", required=True)
+            sp.add_argument("--right-key", required=True)
+            sp.add_argument("--default-buckets", type=int, default=32)
         elif verb == "changes":
             sp.add_argument("--from", type=int, required=True,
                             dest="from", help="base version (exclusive)")

@@ -263,3 +263,28 @@ def test_cli_table_health_and_changes(spark, tmp_path, capsys):
     assert (5, 50, "update_preimage") in {(r["k"], r["v"],
                                            r["_change_type"])
                                           for r in rows}
+
+
+def test_cli_table_align_and_horizon(spark, tmp_path, capsys):
+    """Round-9: `table align` emits the pair-level bucket advisor's
+    declare-and-OPTIMIZE line; `table health` surfaces the travel
+    horizon fields."""
+    from databox_adls_loader_spark.sinks import versioned as V
+
+    l, r = str(tmp_path / "l"), str(tmp_path / "r")
+    V.write_snapshot(spark.createDataFrame(
+        [(i, i) for i in range(20)], "k long, v long").coalesce(1), l,
+        partition_by=["bucket(4,k)"])
+    V.write_snapshot(spark.createDataFrame(
+        [(i, i) for i in range(20)], "j long, v long").coalesce(1), r)
+    assert main(["table", "align", l, r,
+                 "--left-key", "k", "--right-key", "j"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["aligned"] is False
+    assert out["recommendations"] == [
+        f"declare bucket(4,j) on {r} and OPTIMIZE"]
+
+    assert main(["table", "health", l]) == 0
+    h = json.loads(capsys.readouterr().out.strip())
+    assert h["retained_versions"] == 1 and h["oldest_version"] == 1
+    assert h["time_travel_horizon"] is not None
