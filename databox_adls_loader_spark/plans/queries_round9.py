@@ -1145,3 +1145,79 @@ def mm_real_decode_gif_bmp(spark: SparkSession,
                  F.coalesce(F.sum("n_frames"), F.lit(0)).cast("long")
                  .alias("sum_frames"))
             .orderBy("mime"))
+
+
+# ---------------------------------------------------------------------------
+# k-step Markov reachability: integer-ppm matrix powers, exact
+# ---------------------------------------------------------------------------
+
+@register(
+    "sess_markov_4step_reach",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS a,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS b
+      FROM events
+    ), cnt AS (
+      SELECT a, b, COUNT(*) AS n FROM seq
+      WHERE b IS NOT NULL GROUP BY a, b
+    ), m AS (
+      SELECT a, b, n * 1000000 // SUM(n) OVER (PARTITION BY a) AS p
+      FROM cnt
+    ), m2 AS (
+      SELECT x.a, y.b,
+             CAST(SUM(x.p * y.p) AS BIGINT) // 1000000 AS p
+      FROM m x JOIN m y ON x.b = y.a GROUP BY x.a, y.b
+    ), m4 AS (
+      SELECT x.a, y.b,
+             CAST(SUM(x.p * y.p) AS BIGINT) // 1000000 AS p
+      FROM m2 x JOIN m2 y ON x.b = y.a GROUP BY x.a, y.b
+    )
+    SELECT a AS start_type, b AS end_type,
+           CAST(p AS BIGINT) AS p4_ppm
+    FROM m4 ORDER BY 1, 2
+    """,
+    tags=["sessions", "markov", "events"],
+)
+def sess_markov_4step_reach(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """4-step Markov reachability over the event-type chain: per-user
+    consecutive transitions (lead over (ts, event_id) — the id breaks
+    timestamp ties deterministically) count into a transition matrix,
+    probabilities land as INTEGER ppm, and the matrix squares twice
+    with a floor after each integral inner product — so every value is
+    exact 64-bit arithmetic, identical on both engines, no FP drift
+    through the iteration.  The distributed cost is the pair
+    extraction (one shuffle on user); the 5×5 matrix algebra is two
+    self-joins over 25 rows — free at any scale, and the same plan
+    shape holds for a 10k-state catalog because each power is one
+    shuffle on the shared index."""
+    (events,) = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    seq = events.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("b"))
+    cnt = (seq.filter(F.col("b").isNotNull())
+           .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n")))
+    tot = cnt.groupBy("a").agg(F.sum("n").alias("t"))
+    m = (cnt.join(tot, "a")
+         .select("a", "b", F.expr("n * 1000000 div t").alias("p")))
+
+    def square(mat):
+        x = mat.select(F.col("a"), F.col("b").alias("k"),
+                       F.col("p").alias("px"))
+        y = mat.select(F.col("a").alias("k"), F.col("b"),
+                       F.col("p").alias("py"))
+        return (x.join(y, "k")
+                .groupBy("a", "b")
+                .agg(F.expr("sum(px * py) div 1000000").alias("p")))
+
+    m4 = square(square(m))
+    return (m4.select(F.col("a").alias("start_type"),
+                      F.col("b").alias("end_type"),
+                      F.col("p").cast("long").alias("p4_ppm"))
+            .orderBy("start_type", "end_type"))
