@@ -598,21 +598,25 @@ def corpus_dedup_then_pack(spark: SparkSession,
                  .alias("n_tokens")))
     packed = pack_sequences(uniq, 256, count_col="n_tokens",
                             n_groups=8)
-    per_g = (packed.filter(F.col("win") > 0).groupBy("g")
-             .agg(F.max("win").alias("mw")))
-    raw_tokens = docs.agg(
-        F.sum(F.expr("(n_chars + 3) div 4")).alias("rt"),
-        F.count(F.lit(1)).alias("rn")).collect()[0]
-    n_windows = per_g.agg(F.sum("mw")).collect()[0][0]
-    return (packed.agg(
-        F.lit(int(raw_tokens["rn"])).cast("long").alias("n_docs_raw"),
+    # three 1-row aggregates cross-joined — fully lazy, no driver
+    # collect anywhere in the composition
+    raw = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_raw"),
+        F.sum(F.expr("(n_chars + 3) div 4")).cast("long").alias("rt"))
+    nw = (packed.filter(F.col("win") > 0).groupBy("g")
+          .agg(F.max("win").alias("mw"))
+          .agg(F.sum("mw").cast("long").alias("n_windows")))
+    stats = packed.agg(
         F.count(F.lit(1)).alias("n_docs_unique"),
-        F.lit(int(n_windows)).cast("long").alias("n_windows"),
         F.sum("piece_tokens").alias("tokens"),
-        (F.lit(int(raw_tokens["rt"])) - F.sum("piece_tokens"))
-        .cast("long").alias("tokens_saved"),
         F.sum(F.col("win") * F.col("piece_tokens"))
-        .alias("win_tok_sum")))
+        .alias("win_tok_sum"))
+    return (stats.crossJoin(raw).crossJoin(nw)
+            .select("n_docs_raw", "n_docs_unique", "n_windows",
+                    "tokens",
+                    (F.col("rt") - F.col("tokens")).cast("long")
+                    .alias("tokens_saved"),
+                    "win_tok_sum"))
 
 
 # ---------------------------------------------------------------------------
