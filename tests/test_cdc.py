@@ -252,6 +252,57 @@ def test_incremental_cdf_across_optimize_skips_untouched(spark,
     assert untouched and untouched <= base
 
 
+def test_incremental_cdf_insert_delete_materialized_away(spark,
+                                                         tmp_path):
+    """Rows inserted, tombstoned, and then MATERIALIZED AWAY by an
+    in-window OPTIMIZE (their file enters and leaves the manifest
+    inside the window with zero survivors) must emit NOTHING — the
+    two-endpoint contract, with no trace of them in any endpoint
+    manifest."""
+    t = str(tmp_path / "t")
+    v0 = _mk_keyed(spark, t, n=2000)
+    st = V._st(t, spark)
+    target = min(st.file_size(f) for f in V._read_manifest(t, v0))
+    for ks in ([20_000, 20_001], [20_002]):
+        V.write_snapshot(spark.createDataFrame(
+            [(k, k, "ephemeral") for k in ks],
+            "k: long, v: long, tag: string").coalesce(1), t)
+    V.delete_where_keys(spark, t, "k", [20_000, 20_001, 20_002])
+    assert V.compact_small_files(spark, t, target_bytes=target,
+                                 min_files=2) is not None
+    v1 = V.latest_version(t)
+    full, inc = _cdf_sets(spark, t, v0, v1)
+    assert inc == full == set()
+    assert V._changes_incremental(spark, t, v0, v1, "k") is not None
+
+
+def test_incremental_cdf_logical_overwrite_window(spark, tmp_path):
+    """A logical OVERWRITE inside the window (removed = everything,
+    appended = the new table) routes through the same generalized
+    derivation and still equals the full diff — cost degenerates to
+    the fallback's, correctness never does."""
+    t = str(tmp_path / "t")
+    v0 = _mk_keyed(spark, t, n=50)
+    # overwrite: keys 0..9 keep identical values, 10..19 change v,
+    # 100..104 are new — everything else disappears
+    new = spark.createDataFrame(
+        [(k, k * 3, f"s{k % 5}") for k in range(10)]
+        + [(k, k * 3 + 1, f"s{k % 5}") for k in range(10, 20)]
+        + [(k, 1, "new") for k in range(100, 105)],
+        "k: long, v: long, tag: string")
+    V.write_snapshot(new, t, mode="overwrite")
+    v1 = V.latest_version(t)
+    full, inc = _cdf_sets(spark, t, v0, v1)
+    assert inc == full
+    types = {}
+    for r in full:
+        types.setdefault(r[-1], set()).add(r[0])
+    assert types["insert"] == set(range(100, 105))
+    assert types["update_postimage"] == set(range(10, 20))
+    assert types["delete"] == set(range(20, 50))
+    assert V._changes_incremental(spark, t, v0, v1, "k") is not None
+
+
 def test_incremental_cdf_cow_update_window(spark, tmp_path):
     """A copy-on-write MERGE inside the window (files rewritten, rows
     changed in place) also stays manifest-derived: rewritten-unchanged
