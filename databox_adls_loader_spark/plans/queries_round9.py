@@ -48,8 +48,9 @@ def _cdf_compact_orders(spark: SparkSession, sf_dir: str
     Returns ``(table, v_base, inc_ok)`` where inc_ok asserts the
     incremental derivation ENGAGED across the compaction (round-8 it
     returned None here and fell back to two full scans) and that its
-    plan read only ONE of the 8 baseline clustered files — the
-    OPTIMIZE did not drag untouched data into the diff."""
+    plan read a STRICT SUBSET of the 8 baseline clustered files (the
+    overlay-affected low-key file(s) only) — the OPTIMIZE did not drag
+    untouched data into the diff."""
     import atexit
     import tempfile
 
@@ -143,8 +144,9 @@ def scale_cdf_across_compaction(spark: SparkSession,
     O(changed + compacted files) instead of the round-8 full-outer
     fallback of two full scans + a key shuffle exactly when routine
     maintenance intervened (the round-8 verdict's #1 residual gap).
-    inc_ok asserts both the engagement and that only 1 of the 8
-    untouched clustered baseline files entered the plan.  Must
+    inc_ok asserts both the engagement and that only the
+    overlay-affected subset of the 8 clustered baseline files entered
+    the plan.  Must
     hash-match plain SQL reconstructing the same delete/insert set
     from raw orders — which is exactly what the O(|table|) full diff
     produces."""
