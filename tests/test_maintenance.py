@@ -220,3 +220,21 @@ class TestBucketAlignmentAdvisor:
         assert [f"declare bucket(16,k) on {l} and OPTIMIZE",
                 f"declare bucket(16,j) on {r} and OPTIMIZE"] == \
             out["recommendations"]
+
+    def test_following_the_recommendation_aligns(self, spark, tmp_path):
+        """Closing the advisor loop: apply the emitted
+        declare-and-OPTIMIZE line to the unbucketed side and the
+        aligned join ENGAGES and matches the plain join."""
+        l = self._tbl(spark, str(tmp_path / "l"), "k", "bucket(4,k)")
+        r = self._tbl(spark, str(tmp_path / "r"), "j")
+        rec = X.suggest_bucket_alignment(l, r, "k", "j")
+        assert rec["recommendations"] == [
+            f"declare bucket(4,j) on {r} and OPTIMIZE"]
+        V.set_partition_spec(r, ["bucket(4,j)"])
+        V.compact_snapshot(spark, r)          # converge to the layout
+        after = X.suggest_bucket_alignment(l, r, "k", "j")
+        assert after["aligned"] is True
+        j = V.bucket_aligned_join(spark, l, r, "k", "j")
+        assert j is not None
+        got = {(row[0], row[2]) for row in j.collect()}
+        assert got == {(i, i) for i in range(40)}

@@ -137,6 +137,24 @@ class TestReferenceParity:
             win, off = ref[(r["g"], r["id"], r["piece"])]
             assert (r["win"], r["offset"]) == (win, off)
 
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=350),
+                    max_size=25))
+    def test_split_mode_matches_python_next_fit(self, tokens):
+        spark = TestReferenceParity._spark
+        rows = _pack(spark, tokens, n_groups=3,
+                     allow_split=True).collect()
+        items = []
+        for i, t in enumerate(tokens):
+            n_pieces = max(1, (t + W - 1) // W)
+            for p in range(n_pieces):
+                items.append((i % 3, i, p, min(W, t - p * W)))
+        ref = _ref_next_fit(items, W)
+        assert len(rows) == len(items)
+        for r in rows:
+            win, off = ref[(r["g"], r["id"], r["piece"])]
+            assert (r["win"], r["offset"]) == (win, off)
+
     @pytest.fixture(autouse=True)
     def _bind(self, spark):
         TestReferenceParity._spark = spark
