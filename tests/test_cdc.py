@@ -323,6 +323,37 @@ def test_incremental_cdf_cow_update_window(spark, tmp_path):
     assert V._changes_incremental(spark, t, v0, v1, "k") is not None
 
 
+def test_incremental_cdf_rename_and_widen_still_fall_back(spark,
+                                                          tmp_path):
+    """The generalized derivation handles rewrites, but a rename/drop
+    (column map change) or type widen inside the window still refuses
+    — the public API falls back to the full diff and stays correct."""
+    t = str(tmp_path / "t")
+    v0 = _mk_keyed(spark, t, n=30)
+    V.rename_column(t, "tag", "label")
+    V.delete_where(spark, t, "k = 1")
+    v1 = V.latest_version(t)
+    assert V._changes_incremental(spark, t, v0, v1, "k") is None
+    full = {tuple(r) for r in
+            V.changes_between(spark, t, v0, v1, "k",
+                              incremental=True).collect()}
+    assert {(r[0], r[-1]) for r in full} == {(1, "delete")}
+
+    t2 = str(tmp_path / "t2")
+    V.write_snapshot(spark.createDataFrame(
+        [(1, 10), (2, 20)], "k: int, v: int").coalesce(1), t2)
+    w0 = V.latest_version(t2)
+    V.widen_column(t2, "v", "bigint")
+    V.write_snapshot(spark.createDataFrame(
+        [(3, 1 << 40)], "k: int, v: long").coalesce(1), t2)
+    w1 = V.latest_version(t2)
+    assert V._changes_incremental(spark, t2, w0, w1, "k") is None
+    full2 = {(r["k"], r["_change_type"]) for r in
+             V.changes_between(spark, t2, w0, w1, "k",
+                               incremental=True).collect()}
+    assert full2 == {(3, "insert")}
+
+
 def test_incremental_cdf_delete_reinsert_identical_is_no_change(
         spark, tmp_path):
     t = str(tmp_path / "t")
