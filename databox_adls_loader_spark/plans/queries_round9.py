@@ -1227,3 +1227,156 @@ def sess_markov_4step_reach(spark: SparkSession,
                       F.col("b").alias("end_type"),
                       F.col("p").cast("long").alias("p4_ppm"))
             .orderBy("start_type", "end_type"))
+
+
+# ---------------------------------------------------------------------------
+# packed windows into the lakehouse; DOW variance decomposition
+# ---------------------------------------------------------------------------
+
+_PACKED_TABLE: dict = {}
+
+
+def _drop_packed_table(keys=None) -> None:
+    import shutil
+
+    for k in list(_PACKED_TABLE) if keys is None else list(keys):
+        shutil.rmtree(_PACKED_TABLE.pop(k)[0], ignore_errors=True)
+
+
+def _packed_windows_table(spark: SparkSession, sf_dir: str
+                          ) -> tuple[str, bool]:
+    """Once per (session, sf_dir): the `pack_sequences` output (256-
+    token windows, 8 salt groups) committed as a versioned table
+    HIDDEN-PARTITIONED on identity(g) — the batch-assembly layout a
+    training data loader reads group-by-group.  prune_ok asserts a
+    single-group read plans ONLY that group's files (manifest-level
+    partition pruning over the packed output)."""
+    import atexit
+    import tempfile
+    import time as _time
+
+    from ..sinks import versioned as V
+    from .queries import record_fixture
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _PACKED_TABLE.get(key)
+    if got is None:
+        _drop_packed_table([k for k in _PACKED_TABLE if k[0] != key[0]])
+        if not _PACKED_TABLE:
+            atexit.register(_drop_packed_table)
+        t0 = _time.perf_counter()
+        from ..operators.seqpack import pack_sequences
+
+        t = tempfile.mkdtemp(prefix="spark_graft_packedtbl_")
+        packed = pack_sequences(_docs_tokens(spark, sf_dir), 256,
+                                count_col="n_tokens", n_groups=8)
+        V.write_snapshot(packed, t, partition_by=["identity(g)"])
+        pruned = V.read_version(spark, t, predicates=[("g", "=", 5)])
+        doc = V._read_manifest(t, V.latest_version(t))
+        prune_ok = 0 < len(pruned.inputFiles()) < len(doc)
+        record_fixture("packed_windows_table",
+                       _time.perf_counter() - t0)
+        got = (t, bool(prune_ok))
+        _PACKED_TABLE[key] = got
+    return got
+
+
+@register(
+    "scale_packed_windows_pruned_read",
+    oracle=_PACK_CTE.format(g=8, w=256,
+                            pieces=_PIECES_WHOLE.format(w=256)) + """
+    SELECT CAST(MAX(win) AS BIGINT) AS n_windows,
+           COUNT(*) AS n_docs,
+           CAST(SUM(pt) AS BIGINT) AS tokens,
+           CAST(SUM(win * pt) AS BIGINT) AS win_tok_sum,
+           TRUE AS prune_ok
+    FROM pack WHERE g = 5
+    """,
+    tags=["scale", "versioned", "packing", "partitioning", "llm"],
+)
+def scale_packed_windows_pruned_read(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """The corpus lane lands in the lakehouse: packed context windows
+    committed as a versioned table hidden-partitioned on identity(g),
+    and a single training shard (group 5) reads back through
+    MANIFEST-LEVEL PARTITION PRUNING — prune_ok pins that the plan
+    lists only that group's files (inputFiles strict subset), which at
+    100 TB is what lets a 1000-worker data loader each open its shard
+    without listing the corpus.  Placement checksum hash-matched
+    against the recursive-CTE oracle restricted to the same group."""
+    from ..sinks import versioned as V
+
+    t, prune_ok = _packed_windows_table(spark, sf_dir)
+    df = V.read_version(spark, t, predicates=[("g", "=", 5)])
+    return (df.agg(F.max("win").cast("long").alias("n_windows"),
+                   F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("piece_tokens").alias("tokens"),
+                   F.sum(F.col("win") * F.col("piece_tokens"))
+                   .alias("win_tok_sum"))
+            .withColumn("prune_ok", F.lit(bool(prune_ok))))
+
+
+@register(
+    "ts_dow_anova_strength",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             dayofweek(CAST(o_orderdate AS DATE)) AS dow,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                            AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ), g AS (
+      SELECT dow, COUNT(*) AS n_g, CAST(SUM(cents) AS BIGINT) AS s_g
+      FROM daily GROUP BY dow
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(cents * cents) AS HUGEINT) AS ss
+      FROM daily
+    )
+    SELECT CAST(t.n AS BIGINT) AS n_days,
+           CAST(t.s AS BIGINT) AS total_cents,
+           ROUND(((SELECT SUM(CAST(s_g AS DOUBLE) * s_g / n_g) FROM g)
+                  - CAST(t.s AS DOUBLE) * t.s / t.n)
+                 / (CAST(t.ss AS DOUBLE)
+                    - CAST(t.s AS DOUBLE) * t.s / t.n), 6)
+             AS eta_sq
+    FROM tot t
+    """,
+    tags=["timeseries", "anova", "seasonality"],
+)
+def ts_dow_anova_strength(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality STRENGTH as one-way ANOVA η² (between-
+    group share of daily-revenue variance): daily cent totals are
+    exact BIGINT, per-group (n_g, S_g) and global (n, S, ΣX²) are
+    exact integer aggregates, and only the final η² assembly runs in
+    IEEE doubles from those exact inputs — the ratio is ROUNDed to 6
+    places (relative FP noise ~1e-12, far below the rounding grain;
+    the raw cents² sums-of-squares are deliberately NOT emitted — at
+    ~1e16 their ulp reaches the integer grain and order-of-summation
+    flutter would flake the determinism gate), identically on both
+    engines.  One shuffle to daily
+    grain, then a 7-row reduction — the decomposition costs the daily
+    rollup, not the table."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    daily = (orders.groupBy(F.to_date("o_orderdate").alias("day"))
+             .agg(F.sum((F.col("o_totalprice").cast("decimal(18,2)")
+                         * 100).cast("long")).alias("cents"))
+             .withColumn("dow", F.dayofweek("day")))
+    g = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum("cents").alias("s_g"))
+    between = g.agg(F.sum(F.col("s_g").cast("double") * F.col("s_g")
+                          / F.col("n_g")).alias("b"))
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents").cast("decimal(38,0)")
+              * F.col("cents").cast("decimal(38,0)")).alias("ss"))
+    ssb = F.col("b") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    sst = (F.col("ss").cast("double")
+           - F.col("s").cast("double") * F.col("s") / F.col("n"))
+    return (tot.crossJoin(between)
+            .select(F.col("n").alias("n_days"),
+                    F.col("s").cast("long").alias("total_cents"),
+                    F.round(ssb / sst, 6).alias("eta_sq")))

@@ -103,6 +103,7 @@ TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
     "scale_cdf_across_compaction": "orders",
     "scale_bucket_join_bigbig": "orders",
     "corpus_pack_efficiency": "documents",
+    "scale_packed_windows_pruned_read": "documents",
 }
 
 # the heavy shapes probed one decade PAST the bench SF, on the locally
@@ -155,6 +156,7 @@ SF1_QUERIES = [
     "scale_cdf_across_compaction",
     "scale_bucket_join_bigbig",
     "corpus_pack_efficiency",
+    "scale_packed_windows_pruned_read",
 ]
 
 
