@@ -104,6 +104,7 @@ TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
     "scale_bucket_join_bigbig": "orders",
     "corpus_pack_efficiency": "documents",
     "scale_packed_windows_pruned_read": "documents",
+    "ts_dow_anova_strength": "orders",
 }
 
 # the heavy shapes probed one decade PAST the bench SF, on the locally
