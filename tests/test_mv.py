@@ -863,6 +863,40 @@ class TestMaintenanceCrashRecovery:
         assert got == want
         assert got["c"] == (120, 1)     # only the re-inserted row
 
+    def test_pending_window_minmax_still_refused(self, spark, tmp_path,
+                                                 monkeypatch):
+        """A crashed maintenance window containing deletes must STILL
+        refuse min/max measures on the completion retry — a clear
+        error, never a wrong view."""
+        from databox_adls_loader_spark.sinks import versioned as V
+
+        spec = M.MVSpec(name="mmcrash", dims=("k",),
+                        measures=(("count", "n"), ("max", "hi")),
+                        rows_hint=10)
+
+        def agg(df):
+            return df.groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"), F.max("v").alias("hi"))
+
+        base = str(tmp_path / "base")
+        view = str(tmp_path / "view")
+        rows = [(i, "ab"[i % 2], i * 10) for i in range(1, 7)]
+        V.write_snapshot(spark.createDataFrame(
+            rows, "id long, k string, v long").coalesce(1), base)
+        M.refresh(agg(V.read_version(spark, base)), view, mv=spec,
+                  base_version=V.latest_version(base))
+        # fabricate the half-applied state directly: a retire-phase
+        # commit under the even id for the next base version (the
+        # min/max check must fire BEFORE any phase replays)
+        V.delete_where_keys(spark, base, "id", [2, 4, 6])
+        v_pend = V.latest_version(base)
+        V.delete_where_keys(spark, view, "__mv_key",
+                            ["zz-nonexistent"], prune=False,
+                            batch_ids={2 * v_pend})
+        assert M.mv_pending_base_version(view) == v_pend
+        with pytest.raises(M.MVRewriteError, match="min/max"):
+            M.refresh_from_changes(spark, view, spec, base, "id", agg)
+
     def test_rebuild_same_watermark_raises_unless_forced(
             self, spark, tmp_path):
         from databox_adls_loader_spark.sinks import versioned as V
