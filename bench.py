@@ -111,7 +111,10 @@ def main() -> None:
         "totals": totals,
         "fixture_sec": round(sum(fixtures.values()), 4),
         "fixture_breakdown": fixtures,
-        "warmup_sec": (round(totals[0] - _median(totals), 4)
+        # pass-1 overhead vs the median pass (fixtures + JIT), clamped
+        # at 0: when pass 1 happens to be the fastest (host noise on a
+        # warm JVM) a negative number would misread as data, not noise
+        "warmup_sec": (round(max(0.0, totals[0] - _median(totals)), 4)
                        if runs > 1 else None),
     }
     # Persist in-repo first: the driver captures only a tail of stdout, so

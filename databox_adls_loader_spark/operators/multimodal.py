@@ -86,11 +86,12 @@ def _decode_image_real(content: bytes) -> dict | None:
     try:
         with _PILImage.open(io.BytesIO(content)) as img:
             width, height = img.size
+            n_frames = getattr(img, "n_frames", None)
             thumb = img.convert("L").resize((4, 4))
             feature = [p / 255.0 for p in thumb.getdata()]
     except Exception:  # noqa: BLE001 - undecodable bytes → stub
         return None
-    return {"width": width, "height": height, "n_frames": None,
+    return {"width": width, "height": height, "n_frames": n_frames,
             "feature": feature}
 
 
@@ -312,17 +313,19 @@ def decode_asset(content: bytes, modality: str) -> dict:
     """Dispatch: real decoder when available and the payload is genuine,
     deterministic stub otherwise.  Both paths produce the same dict shape,
     so the Spark plumbing (schema, batching) is identical either way.
-    Order: PIL (any format) → pure-Python PNG subset → pure-Python JPEG
-    marker parse → GIF block walk (real frame count) → BMP header (all
-    real dimensions, stub feature) → hash stub."""
+    Order: GIF block walk FIRST (environment-invariant frame count and
+    feature — a PIL-equipped deployment must produce the same bytes-out
+    as a PIL-less one) → PIL (any other format) → pure-Python PNG subset
+    → pure-Python JPEG marker parse → BMP header (all real dimensions,
+    stub feature) → hash stub."""
     if modality == "image":
-        real = _decode_image_real(content)
+        real = _decode_gif_pure(content)
+        if real is None:
+            real = _decode_image_real(content)
         if real is None:
             real = _decode_png_pure(content)
         if real is None:
             real = _decode_jpeg_pure(content)
-        if real is None:
-            real = _decode_gif_pure(content)
         if real is None:
             real = _decode_bmp_pure(content)
         if real is not None:

@@ -41,6 +41,31 @@ def fixture_seconds() -> dict[str, float]:
     return dict(FIXTURE_SEC)
 
 
+def fixture_timed(name: str, threshold: float = 0.05):
+    """Decorator form of `record_fixture` for memoized fixture builders:
+    times every call and records the elapsed time under ``name`` when it
+    exceeds ``threshold`` seconds.  A cache HIT is a dict lookup
+    (microseconds), a MISS builds versioned tables / drains streams
+    (hundreds of ms to seconds), so the threshold separates the two
+    without threading instrumentation into each builder's miss branch —
+    the round-9 ADVICE asked that `fixture_sec` cover ALL one-time rig
+    cost, not just the three builders instrumented by hand."""
+    import functools
+    import time as _time
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapped(*a, **kw):
+            t0 = _time.perf_counter()
+            out = fn(*a, **kw)
+            el = _time.perf_counter() - t0
+            if el >= threshold:
+                record_fixture(name, el)
+            return out
+        return wrapped
+    return deco
+
+
 def register(name: str, oracle: str | None = None, tags: list[str] | None = None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         REGISTRY[name] = {"spark": fn, "oracle": oracle, "tags": tags or []}
@@ -851,4 +876,5 @@ def _load_extensions() -> None:
     """Import the extension registrations (deferred to avoid a cycle)."""
     from . import (queries_domain, queries_ext, queries_ops,  # noqa: F401
                    queries_round5, queries_round6, queries_round7,
-                   queries_round8, queries_round9, queries_tpch)
+                   queries_round8, queries_round9, queries_round10,
+                   queries_tpch)

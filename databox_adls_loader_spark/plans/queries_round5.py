@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import dsum
 from ..operators import dedup
-from .queries import _t, register
+from .queries import _t, fixture_timed, register
 
 
 # ---------------------------------------------------------------------------
@@ -1684,6 +1684,7 @@ def _drop_versioned_orders(keys=None) -> None:
         shutil.rmtree(_VERSIONED_ORDERS.pop(k), ignore_errors=True)
 
 
+@fixture_timed("versioned_orders_r5")
 def _versioned_orders(spark: SparkSession, sf_dir: str) -> str:
     """Once per (session, sf_dir): snapshot `orders` into a temp
     versioned table and compact clustered by o_orderkey, so the pruned

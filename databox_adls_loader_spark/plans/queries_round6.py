@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .queries import _t, register
+from .queries import _t, fixture_timed, register
 from .queries_ext import _hex15_to_long, _perms_values_sql
 
 
@@ -619,6 +619,7 @@ def _daily_rev_spec(t: str):
         rows_hint=60_000, table_dir=t)
 
 
+@fixture_timed("mv_daily_r6")
 def _mv_daily_nation_rev(spark: SparkSession, sf_dir: str):
     """Once per (session, sf_dir): build the daily-revenue-per-nation
     rollup and commit it as a versioned table (plans/mv.refresh), so the
@@ -698,6 +699,7 @@ def _drop_mv_ivm(keys=None) -> None:
         shutil.rmtree(_MV_IVM.pop(k)[1], ignore_errors=True)
 
 
+@fixture_timed("mv_ivm_r6")
 def _mv_ivm_daily(spark: SparkSession, sf_dir: str):
     """Once per (session, sf_dir): commit the daily rollup built from
     PRE-1998 orders only, then apply `mv.refresh_incremental` with the
@@ -1473,6 +1475,7 @@ def _drop_token_indexed(keys=None) -> None:
             shutil.rmtree(t, ignore_errors=True)
 
 
+@fixture_timed("token_index_r6")
 def _token_indexed_docs(spark: SparkSession, sf_dir: str):
     """Once per (session, sf_dir): snapshot `documents` into an 8-file
     versioned table and build its token inverted index."""
@@ -1944,6 +1947,7 @@ def _drop_dv_orders(keys=None) -> None:
         shutil.rmtree(_DV_ORDERS.pop(k), ignore_errors=True)
 
 
+@fixture_timed("dv_orders_r6")
 def _dv_orders(spark: SparkSession, sf_dir: str) -> tuple[str, bool, int]:
     """Once per (session, sf_dir): snapshot `orders` into a temp
     versioned table, compact clustered by o_orderkey, then issue a
@@ -2287,6 +2291,7 @@ def _drop_rename_nation(keys=None) -> None:
         shutil.rmtree(_RENAME_NATION.pop(k)[0], ignore_errors=True)
 
 
+@fixture_timed("renamed_nation_r6")
 def _renamed_nation(spark: SparkSession, sf_dir: str) -> tuple[str, bool]:
     """Once per (session, sf_dir): snapshot `nation` into a versioned
     table, RENAME n_name -> nation_name and DROP n_comment — both

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .queries import _t, register
+from .queries import _t, fixture_timed, register
 from .queries_ext import _hex15_to_long as _hex15
 
 
@@ -114,6 +114,7 @@ def _drop_mv_star(keys=None) -> None:
         shutil.rmtree(_MV_STAR.pop(k)[1], ignore_errors=True)
 
 
+@fixture_timed("mv_star_r7")
 def _mv_star_nation_prices(spark: SparkSession, sf_dir: str):
     """Once per (session, sf_dir): the DENORMALIZED star summary —
     orders ⋈ customer ⋈ nation grouped by (n_name, day) storing
@@ -851,6 +852,7 @@ def _drop_cdf_tables(keys=None) -> None:
         shutil.rmtree(_CDF_TABLE.pop(k), ignore_errors=True)
 
 
+@fixture_timed("cdf_orders_r7")
 def _cdf_orders(spark: SparkSession, sf_dir: str) -> str:
     """Once per (session, sf_dir): a 3-version table with a known
     change history — v1 = orders with o_orderkey < 5000; v2 = MERGE
@@ -1249,6 +1251,7 @@ def _drop_part_orders(keys=None) -> None:
         shutil.rmtree(_PART_ORDERS.pop(k), ignore_errors=True)
 
 
+@fixture_timed("partitioned_orders_r7")
 def _partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
     """Once per (session, sf_dir): `orders` committed to a versioned
     table HIDDEN-PARTITIONED by ``month(o_orderdate)`` x
@@ -1651,6 +1654,7 @@ def _drop_widened_orders(keys=None) -> None:
         shutil.rmtree(_WIDENED_ORDERS.pop(k), ignore_errors=True)
 
 
+@fixture_timed("widened_orders_r7")
 def _widened_orders(spark: SparkSession, sf_dir: str) -> str:
     """Once per (session, sf_dir): a versioned `orders` whose
     o_orderkey began INT, was widened to BIGINT metadata-only, and then
@@ -1728,6 +1732,7 @@ def _drop_wap_orders(keys=None) -> None:
         shutil.rmtree(_WAP_ORDERS.pop(k), ignore_errors=True)
 
 
+@fixture_timed("wap_orders_r7")
 def _wap_orders(spark: SparkSession, sf_dir: str) -> tuple[str, bool]:
     """Once per (session, sf_dir): the full write-audit-publish cycle.
     Main gets `orders` minus every 7th key; a branch stages exactly
@@ -1820,6 +1825,7 @@ def _drop_evolved_orders(keys=None) -> None:
         shutil.rmtree(_EVOLVED_ORDERS.pop(k), ignore_errors=True)
 
 
+@fixture_timed("evolved_orders_r7")
 def _evolved_orders(spark: SparkSession, sf_dir: str) -> str:
     """Once per (session, sf_dir): `orders` written in TWO partition
     eras — keys below the median under ``month(o_orderdate)``, then a
@@ -1927,6 +1933,7 @@ def _drop_eq_orders(keys=None) -> None:
         shutil.rmtree(_EQ_ORDERS.pop(k), ignore_errors=True)
 
 
+@fixture_timed("eq_orders_r7")
 def _eq_orders(spark: SparkSession, sf_dir: str) -> tuple[str, bool]:
     """Once per (session, sf_dir): snapshot `orders` into a versioned
     table, compact clustered by o_orderkey, EQUALITY-delete every key
@@ -2023,6 +2030,7 @@ def _drop_upd_orders(keys=None) -> None:
         shutil.rmtree(_UPD_ORDERS.pop(k), ignore_errors=True)
 
 
+@fixture_timed("upd_orders_r7")
 def _upd_orders(spark: SparkSession, sf_dir: str) -> tuple[str, bool]:
     """Once per (session, sf_dir): versioned `orders`, compacted
     clustered by key, then a merge-on-read UPDATE — rows with
@@ -2636,6 +2644,7 @@ def _drop_cdc_orders(keys=None) -> None:
         shutil.rmtree(_CDC_ORDERS.pop(k), ignore_errors=True)
 
 
+@fixture_timed("cdc_orders_r7")
 def _cdc_orders(spark: SparkSession, sf_dir: str) -> tuple[str, bool]:
     """Once per (session, sf_dir): versioned `orders`, then ONE CDC
     batch through `sinks/cdc.apply_cdc_batch`: delete every key ≡0

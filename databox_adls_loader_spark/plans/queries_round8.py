@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .queries import _t, register
+from .queries import _t, fixture_timed, register
 
 # ---------------------------------------------------------------------------
 # incremental CDF: O(changed files), hash-matched against the full diff
@@ -29,6 +29,7 @@ def _drop_cdf_orders(keys=None) -> None:
         shutil.rmtree(_CDF_ORDERS.pop(k)[0], ignore_errors=True)
 
 
+@fixture_timed("cdf_orders_r8")
 def _cdf_orders(spark: SparkSession, sf_dir: str) -> tuple[str, int, bool]:
     """Once per (session, sf_dir): versioned `orders` compacted into 8
     key-clustered files (the CDF baseline version), then a pure
@@ -159,6 +160,7 @@ def _drop_bucketed_pair(keys=None) -> None:
             shutil.rmtree(t, ignore_errors=True)
 
 
+@fixture_timed("bucketed_pair_r8")
 def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Once per (session, sf_dir): `orders` and `customer` committed as
     versioned tables declaring the SAME bucket(8, custkey) hidden
@@ -250,6 +252,7 @@ def _drop_rl_orders(keys=None) -> None:
         shutil.rmtree(_RL_ORDERS.pop(k), ignore_errors=True)
 
 
+@fixture_timed("rl_orders_r8")
 def _rl_orders(spark: SparkSession, sf_dir: str) -> str:
     """Once per (session, sf_dir): `orders` compacted into ONE file
     clustered by o_orderkey, row lineage enabled (so ``_row_id`` ==
@@ -326,6 +329,7 @@ def _drop_eqc_orders(keys=None) -> None:
         shutil.rmtree(_EQC_ORDERS.pop(k), ignore_errors=True)
 
 
+@fixture_timed("eqc_orders_r8")
 def _eqc_orders(spark: SparkSession, sf_dir: str) -> str:
     """Once per (session, sf_dir): versioned `orders` carrying TWELVE
     separate equality-tombstone commits on the same key column
@@ -972,6 +976,7 @@ def _drop_cdc_mor(keys=None) -> None:
         shutil.rmtree(_CDC_MOR.pop(k)[0], ignore_errors=True)
 
 
+@fixture_timed("cdc_mor_r8")
 def _cdc_mor_orders(spark: SparkSession, sf_dir: str) -> tuple[str, bool]:
     """Once per (session, sf_dir): versioned `orders` (8 key-clustered
     files), then TWO CDC batches applied with ``mode="mor"`` —
@@ -1135,6 +1140,7 @@ def _drop_vac_orders(keys=None) -> None:
         shutil.rmtree(_VAC_ORDERS.pop(k)[0], ignore_errors=True)
 
 
+@fixture_timed("vac_orders_r8")
 def _vac_orders(spark: SparkSession, sf_dir: str) -> tuple[str, bool]:
     """Once per (session, sf_dir): versioned `orders` (4 files), then a
     logical OVERWRITE keeping keys ≢0 (mod 3), then `vacuum` down to
@@ -1216,6 +1222,7 @@ def _drop_clone_pair(keys=None) -> None:
             shutil.rmtree(t, ignore_errors=True)
 
 
+@fixture_timed("clone_pair_r8")
 def _clone_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Once per (session, sf_dir): versioned `orders`, a ZERO-COPY
     shallow clone of it, then a position-delete (keys ≡0 mod 11)
@@ -1433,6 +1440,7 @@ def _drop_mv_cdf(keys=None) -> None:
             shutil.rmtree(t, ignore_errors=True)
 
 
+@fixture_timed("mv_cdf_r8")
 def _mv_cdf_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Once per (session, sf_dir): a revenue-by-status view built over
     versioned `orders` (watermark recorded), then a merge-on-read

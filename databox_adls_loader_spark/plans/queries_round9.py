@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .queries import _t, register
+from .queries import _t, fixture_timed, register
 
 # ---------------------------------------------------------------------------
 # incremental CDF across a compaction: the round-8 verdict's #1 gap
@@ -29,6 +29,7 @@ def _drop_cdf_compact(keys=None) -> None:
         shutil.rmtree(_CDF_COMPACT.pop(k)[0], ignore_errors=True)
 
 
+@fixture_timed("cdf_compact_r9")
 def _cdf_compact_orders(spark: SparkSession, sf_dir: str
                         ) -> tuple[str, int, bool]:
     """Once per (session, sf_dir): versioned `orders` compacted into 8
@@ -83,8 +84,10 @@ def _cdf_compact_orders(spark: SparkSession, sf_dir: str
             V.write_snapshot(
                 ins.filter(F.pmod(-k_col, F.lit(3)) == slot).coalesce(1),
                 t)
-        assert V.compact_small_files(spark, t, target_bytes=target,
-                                     min_files=2) is not None
+        _compacted = V.compact_small_files(spark, t, target_bytes=target,
+                                           min_files=2)
+        if _compacted is None:  # must not be stripped under python -O
+            raise RuntimeError("fixture expected an in-window OPTIMIZE")
         # post-OPTIMIZE tombstones: overlays land on the compacted
         # output (insert+delete cancels) and on a carried base file
         kill = ins.agg(F.min("o_orderkey")).collect()[0][0]
@@ -635,6 +638,7 @@ def _drop_cdf_preimg(keys=None) -> None:
         shutil.rmtree(_CDF_PREIMG.pop(k)[0], ignore_errors=True)
 
 
+@fixture_timed("cdf_preimage_r9")
 def _cdf_preimage_orders(spark: SparkSession, sf_dir: str
                          ) -> tuple[str, int, bool]:
     """Once per (session, sf_dir): a change window holding a MOR
@@ -678,8 +682,10 @@ def _cdf_preimage_orders(spark: SparkSession, sf_dir: str
             V.write_snapshot(
                 ins.filter(F.pmod(-k_col, F.lit(3)) == slot).coalesce(1),
                 t)
-        assert V.compact_small_files(spark, t, target_bytes=target,
-                                     min_files=2) is not None
+        _compacted = V.compact_small_files(spark, t, target_bytes=target,
+                                           min_files=2)
+        if _compacted is None:  # must not be stripped under python -O
+            raise RuntimeError("fixture expected an in-window OPTIMIZE")
         eq_keys = [r[0] for r in
                    orders.filter((k_col >= 1200) & (k_col < 1500)
                                  & (k_col % 3 == 0))
@@ -762,6 +768,7 @@ def _drop_retention(keys=None) -> None:
         shutil.rmtree(_RETENTION.pop(k)[0], ignore_errors=True)
 
 
+@fixture_timed("retention_r9")
 def _retention_orders(spark: SparkSession, sf_dir: str
                       ) -> tuple[str, str, bool]:
     """Once per (session, sf_dir): a three-commit orders table whose

@@ -148,9 +148,12 @@ def suggest_bucket_alignment(left_dir: str, right_dir: str,
             out["aligned"] = True
             return out
         # both bucketed, counts differ: re-declare the SMALLER table
-        # (cheaper rewrite) to the larger's count
-        nl = sum(len(f) for f in gl[1].values())
-        nr = sum(len(f) for f in gr[1].values())
+        # (cheaper rewrite) to the larger's count — sized by BYTES, not
+        # file count (a small-file-heavy but row-light table must not
+        # be mistaken for the bigger rewrite)
+        stl, str_ = V._st(left_dir), V._st(right_dir)
+        nl = sum(stl.file_size(f) for fs in gl[1].values() for f in fs)
+        nr = sum(str_.file_size(f) for fs in gr[1].values() for f in fs)
         tgt, key, n = ((left_dir, left_key, gr[0]) if nl <= nr
                        else (right_dir, right_key, gl[0]))
         out["recommendations"].append(

@@ -1526,20 +1526,29 @@ def _eq_anti_all(spark: SparkSession, df: DataFrame,
     materializes (round-7 verdict, What's wrong #4)."""
     from functools import reduce
 
-    by_col: dict[str, list[tuple[str, ...]]] = {}
+    # entries written BEFORE a key-column type widen carry a narrower
+    # __val, and parquet schema merging refuses e.g. INT vs BIGINT — so
+    # group entries by (col, STORED __val dtype) and issue ONE multi-file
+    # read per type-group (files shared across entries dedupe inside the
+    # group), casting each group once to the column's CURRENT stored
+    # type; widening is promotion-only, so the cast is lossless.  The
+    # dtype is stamped on the entry at write; legacy entries pay one
+    # driver-side footer probe.
+    by_group: dict[tuple[str, str], set[str]] = {}
     for e in entries:
-        by_col.setdefault(e["col"], []).append(tuple(e["files"]))
-    for col, entry_files in sorted(by_col.items()):
-        # entries written BEFORE a key-column type widen carry a
-        # narrower __val, and parquet schema merging refuses e.g.
-        # INT vs BIGINT — so read PER ENTRY (type-consistent by
-        # construction: one entry = one write) and cast each to the
-        # column's CURRENT stored type before unioning; widening is
-        # promotion-only, so the cast is lossless
+        dt = e.get("dtype")
+        if dt is None:
+            dt = (spark.read.parquet(sorted(e["files"])[0])
+                  .schema["__val"].dataType.simpleString())
+        by_group.setdefault((e["col"], dt), set()).update(e["files"])
+    by_col: dict[str, list[set[str]]] = {}
+    for (col, _dt), files in sorted(by_group.items()):
+        by_col.setdefault(col, []).append(files)
+    for col, file_groups in sorted(by_col.items()):
         target = df.schema[col].dataType
-        parts = [spark.read.parquet(*sorted(set(fs)))
+        parts = [spark.read.parquet(*sorted(fs))
                  .select(F.col("__val").cast(target).alias("__val"))
-                 for fs in entry_files]
+                 for fs in file_groups]
         vals = reduce(lambda a, b: a.unionByName(b), parts).distinct()
         df = df.join(F.broadcast(vals),
                      F.col(col) == F.col("__val"), "left_anti")
@@ -1882,7 +1891,10 @@ def delete_where_keys(spark: SparkSession, table_dir: str, col: str,
                 st.delete(p)
             return cur, 0
     entry = {"files": eq_files, "col": pcol,
-             "applies_to": sorted(applies), "rows": int(n_keys)}
+             "applies_to": sorted(applies), "rows": int(n_keys),
+             # stored __val type: lets readers batch same-typed entries
+             # into one multi-file scan (see _eq_anti_all)
+             "dtype": ptype.simpleString()}
     _commit(table_dir, all_files, cur + 1, stats=doc.get("stats", {}),
             delete_files=doc.get("delete_files", {}),
             delete_rows=doc.get("delete_rows", {}),
