@@ -1,0 +1,221 @@
+"""Round-10 registry extensions: the persisted, incrementally-maintained
+ANN index (plans/ann.py) proven under the driver's value-hash gate —
+maintenance across delete/upsert/append commits hash-matches a DuckDB
+replay of the final corpus state (which IS a from-scratch rebuild), and
+the probe path reranks through the maintained index.
+
+Reference parity note: the reference (Azure/databox-adls-loader) re-lists
+everything per run (adls_copy_utils.py:69); these entries close the last
+batch-only lane in the engine's incremental thesis (round-9 verdict,
+Next round #1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import _t, fixture_timed, register
+
+# ---------------------------------------------------------------------------
+# persisted ANN index maintained off the change feed (plans/ann.py)
+# ---------------------------------------------------------------------------
+
+# small geometry so the inlined-plane oracle stays readable: 3 bands of
+# 6 planes each over the dim-64 embeddings (driver contract)
+_ANN = dict(dim=64, n_bands=3, planes_per_band=6, seed=7)
+
+_ANN_EMB: dict = {}
+
+
+def _drop_ann_emb(keys=None) -> None:
+    import shutil
+
+    for k in list(_ANN_EMB) if keys is None else list(keys):
+        for d in _ANN_EMB.pop(k)[:2]:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+@fixture_timed("ann_index_r10")
+def _ann_indexed_emb(spark: SparkSession, sf_dir: str
+                     ) -> tuple[str, str, bool]:
+    """Once per (session, sf_dir): versioned `embeddings` + its band
+    index, then three mutation commits EACH followed by an incremental
+    index refresh —
+
+      1. `delete_where_keys` (vec_id ≡ 3 mod 7): equality tombstones,
+      2. `upsert_mor` negating the embedding of surviving
+         vec_id ≡ 0 mod 5 rows (pure update: keys all exist),
+      3. append of NEW vectors (vec_id → -(vec_id+1) for
+         vec_id ≡ 0 mod 11, embedding reversed — ids disjoint).
+
+    Returns ``(emb_dir, index_dir, inc_ok)`` where inc_ok asserts the
+    manifest-derived incremental diff ENGAGED for every window (no
+    full-table fallback) — the O(changes) claim, not just the result."""
+    import atexit
+    import tempfile
+
+    from ..sinks import versioned as V
+    from . import ann
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _ANN_EMB.get(key)
+    if got is None:
+        _drop_ann_emb([k for k in _ANN_EMB if k[0] != key[0]])
+        if not _ANN_EMB:
+            atexit.register(_drop_ann_emb)
+        emb_dir = tempfile.mkdtemp(prefix="spark_graft_annbase_")
+        index_dir = tempfile.mkdtemp(prefix="spark_graft_annidx_")
+        (emb,) = _t(spark, sf_dir, "embeddings")
+        emb = emb.select("vec_id", "embedding")
+        V.write_snapshot(emb, emb_dir)
+        ann.build_ann_index(spark, index_dir, emb_dir, **_ANN)
+        vid = F.col("vec_id")
+        inc_ok = True
+
+        def _commit_and_refresh(mutate) -> None:
+            nonlocal inc_ok
+            v_prev = V.latest_version(emb_dir)
+            mutate()
+            v_cur = V.latest_version(emb_dir)
+            inc_ok = inc_ok and V._changes_incremental(
+                spark, emb_dir, v_prev, v_cur, "vec_id") is not None
+            ann.refresh_ann_index(spark, index_dir, emb_dir, **_ANN)
+
+        _commit_and_refresh(lambda: V.delete_where_keys(
+            spark, emb_dir, "vec_id",
+            emb.filter(vid % 7 == 3).select("vec_id")))
+        _commit_and_refresh(lambda: V.upsert_mor(
+            spark, emb_dir,
+            V.read_version(spark, emb_dir).filter(vid % 5 == 0)
+            .withColumn("embedding",
+                        F.transform(F.col("embedding"), lambda x: -x)),
+            key="vec_id"))
+        _commit_and_refresh(lambda: V.write_snapshot(
+            emb.filter(vid % 11 == 0)
+            .select((-(vid + 1)).alias("vec_id"),
+                    F.reverse(F.col("embedding")).alias("embedding")),
+            emb_dir))
+        got = (emb_dir, index_dir, bool(inc_ok))
+        _ANN_EMB[key] = got
+    return got
+
+
+def _band_planes_sql(n_bands: int, planes_per_band: int, seed: int = 7,
+                     dim: int = 64) -> str:
+    """plans/ann.band_planes as a DuckDB VALUES CTE
+    ``bandplanes(band, pi, p)`` — repr() round-trips each double
+    exactly, so both engines dot against bit-identical plane vectors."""
+    from . import ann
+
+    rows = []
+    for b, planes in enumerate(
+            ann.band_planes(dim, n_bands, planes_per_band, seed)):
+        for i, p in enumerate(planes):
+            vals = ", ".join(repr(float(v)) for v in p)
+            rows.append(f"({b}, {i}, [{vals}])")
+    return ("bandplanes(band, pi, p) AS (VALUES "
+            + ",\n      ".join(rows) + ")")
+
+
+# the fixture's closed-form final corpus state, replayed over the raw
+# embeddings table: delete ≡3 mod 7, negate survivors ≡0 mod 5, append
+# reversed vectors under -(vec_id+1) for ≡0 mod 11
+_ANN_FINAL_STATE_SQL = """
+    base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+    surv AS (SELECT vec_id,
+                    CASE WHEN vec_id % 5 = 0
+                         THEN list_transform(v, x -> -x) ELSE v END AS v
+             FROM base WHERE vec_id % 7 <> 3),
+    ins AS (SELECT -(vec_id + 1) AS vec_id, list_reverse(v) AS v
+            FROM base WHERE vec_id % 11 = 0),
+    e AS (SELECT * FROM surv UNION ALL SELECT * FROM ins)
+"""
+
+
+def _band_bucket_sql(dim: int = 64) -> str:
+    """Per-(vector, band) sign bucket over the ``e`` and ``bandplanes``
+    CTEs — bit pi set iff v·plane ≥ 0, same packing as
+    similarity._bucket_expr."""
+    return f"""
+    bk AS (
+      SELECT e.vec_id, bp.band,
+             CAST(SUM(CASE WHEN list_sum(list_transform(range(1, {dim + 1}),
+                            i -> v[i] * p[i])) >= 0
+                      THEN CAST(2 ** pi AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS bucket
+      FROM e CROSS JOIN bandplanes bp
+      GROUP BY e.vec_id, bp.band
+    )"""
+
+
+@register(
+    "scale_ann_index_incremental",
+    oracle=f"""
+    WITH {_band_planes_sql(_ANN['n_bands'], _ANN['planes_per_band'])},
+    {_ANN_FINAL_STATE_SQL},
+    {_band_bucket_sql()}
+    SELECT vec_id, band, bucket, TRUE AS inc_ok
+    FROM bk ORDER BY vec_id, band
+    """,
+    tags=["scale", "similarity", "lsh", "versioned", "incremental"],
+)
+def scale_ann_index_incremental(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The persisted ANN index (plans/ann.py) after three maintenance
+    windows — equality-delete, MOR upsert (embedding change), append —
+    each applied through `refresh_ann_index` off the manifest-derived
+    change feed: inserts band-hash only the new vectors, deletes land
+    as band-key tombstones, updates replace in place via the scoped
+    MERGE.  Must hash-match DuckDB replaying the FINAL corpus state and
+    band-hashing it from scratch — maintained index ≡ full rebuild,
+    which is the O(changes) lane's correctness contract.  inc_ok
+    asserts the incremental diff engaged for every window (no
+    full-table fallback)."""
+    from ..sinks import versioned as V
+
+    _, index_dir, inc_ok = _ann_indexed_emb(spark, sf_dir)
+    return (V.read_version(spark, index_dir)
+            .select("vec_id", "band", "bucket")
+            .withColumn("inc_ok", F.lit(bool(inc_ok)))
+            .orderBy("vec_id", "band"))
+
+
+@register(
+    "ann_index_probe_topk",
+    oracle=f"""
+    WITH {_band_planes_sql(_ANN['n_bands'], _ANN['planes_per_band'])},
+    {_ANN_FINAL_STATE_SQL},
+    {_band_bucket_sql()},
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+    qb AS (SELECT band, bucket AS qbucket FROM bk WHERE vec_id = 1),
+    cand AS (SELECT DISTINCT bk.vec_id
+             FROM bk JOIN qb ON bk.band = qb.band
+                             AND bk.bucket = qb.qbucket)
+    SELECT e.vec_id, ROUND(list_cosine_similarity(e.v, q.qv), 6) AS sim
+    FROM e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q
+    ORDER BY sim DESC, e.vec_id LIMIT 20
+    """,
+    tags=["similarity", "lsh", "versioned"],
+)
+def ann_index_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-20 THROUGH the maintained index (`ann.probe_topk`):
+    candidates are vectors sharing ANY band bucket with vec_id 1's
+    query — a literal filter on the persisted band table, never a
+    distance pass over the corpus — then exact cosine rerank on the
+    candidates joined back to the base.  The oracle replays the final
+    corpus state, rebuilds the bands, probes the same buckets, and
+    reranks to the identical top-20 — index content AND probe semantics
+    value-hash-checked."""
+    from ..sinks import versioned as V
+    from . import ann
+
+    emb_dir, index_dir, _ = _ann_indexed_emb(spark, sf_dir)
+    query = (V.read_version(spark, emb_dir)
+             .filter(F.col("vec_id") == 1)
+             .select("embedding").first()["embedding"])
+    return ann.probe_topk(spark, index_dir, emb_dir, list(query), k=20,
+                          n_bands=_ANN["n_bands"],
+                          planes_per_band=_ANN["planes_per_band"],
+                          seed=_ANN["seed"])

@@ -66,6 +66,7 @@ HEADLINERS = [
     "scale_cdf_stream_read",     # streaming change feed drain (round-8)
     "scale_time_travel_read",    # TIMESTAMP AS OF read (round-8)
     "mv_cdf_maintenance",        # view maintained from change feed
+    "scale_ann_index_incremental",  # persisted ANN index, O(changes) upkeep
 ]
 
 TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
@@ -105,6 +106,8 @@ TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
     "corpus_pack_efficiency": "documents",
     "scale_packed_windows_pruned_read": "documents",
     "ts_dow_anova_strength": "orders",
+    "scale_ann_index_incremental": "embeddings",
+    "ann_index_probe_topk": "embeddings",
 }
 
 # the heavy shapes probed one decade PAST the bench SF, on the locally
