@@ -219,3 +219,253 @@ def ann_index_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                           n_bands=_ANN["n_bands"],
                           planes_per_band=_ANN["planes_per_band"],
                           seed=_ANN["seed"])
+
+
+# ---------------------------------------------------------------------------
+# incremental CDF across schema evolution: rename/drop and type widen
+# (round-9 verdict, Next round #2 — the last O(table) fallbacks in the
+# CDC loop were ALTER-shaped; both are metadata-only in this store)
+# ---------------------------------------------------------------------------
+
+_CDF_RENAME: dict = {}
+_CDF_WIDEN: dict = {}
+
+
+def _drop_cdf_schema_evo(cache, keys=None) -> None:
+    import shutil
+
+    for k in list(cache) if keys is None else list(keys):
+        shutil.rmtree(cache.pop(k)[0], ignore_errors=True)
+
+
+@fixture_timed("cdf_rename_r10")
+def _cdf_rename_orders(spark: SparkSession, sf_dir: str
+                       ) -> tuple[str, int, bool]:
+    """Once per (session, sf_dir): versioned `orders` compacted into 8
+    key-clustered files (the CDF baseline), then a change window that
+    BRACKETS a rename AND a drop —
+
+      1. position-delete (keys < 600: one DV on the lowest clustered
+         file),
+      2. ``rename_column(o_totalprice → total_price)`` +
+         ``drop_column(o_orderpriority)`` — both metadata-only commits,
+      3. a post-ALTER append (negated keys, k % 1009 == 0, written
+         under the NEW logical schema),
+      4. equality tombstones on keys in [600, 700) ≡ 0 mod 3.
+
+    Returns ``(table, v_base, inc_ok)`` — inc_ok asserts the
+    incremental derivation ENGAGED across the ALTERs (round 9 it
+    returned None and fell back to two full scans) and read a STRICT
+    SUBSET of the 8 clustered baseline files."""
+    import atexit
+    import tempfile
+
+    from ..sinks import versioned as V
+    from ..sinks.storage import path_key
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _CDF_RENAME.get(key)
+    if got is None:
+        _drop_cdf_schema_evo(_CDF_RENAME,
+                             [k for k in _CDF_RENAME if k[0] != key[0]])
+        if not _CDF_RENAME:
+            atexit.register(_drop_cdf_schema_evo, _CDF_RENAME)
+        t = tempfile.mkdtemp(prefix="spark_graft_cdfrename_")
+        (orders,) = _t(spark, sf_dir, "orders")
+        V.write_snapshot(orders, t)
+        V.compact_snapshot(spark, t, n_files=8, cluster_by=["o_orderkey"])
+        v_base = V.latest_version(t)
+        base_files = V._read_manifest(t, v_base)
+        k_col = F.col("o_orderkey")
+        V.delete_where(spark, t, "o_orderkey < 600",
+                       predicates=[("o_orderkey", "<", 600)])
+        V.rename_column(t, "o_totalprice", "total_price")
+        V.drop_column(t, "o_orderpriority")
+        ins = (orders.filter((k_col % 1009 == 0) & (k_col != 0))
+               .select((-k_col).alias("o_orderkey"), "o_custkey",
+                       "o_orderstatus",
+                       F.col("o_totalprice").alias("total_price"),
+                       "o_orderdate"))
+        V.write_snapshot(ins, t)
+        eq_keys = [r[0] for r in
+                   orders.filter((k_col >= 600) & (k_col < 700)
+                                 & (k_col % 3 == 0))
+                   .select("o_orderkey").distinct().collect()]
+        V.delete_where_keys(spark, t, "o_orderkey", eq_keys)
+        v_to = V.latest_version(t)
+        inc = V._changes_incremental(spark, t, v_base, v_to,
+                                     "o_orderkey")
+        inc_ok = inc is not None
+        if inc_ok:
+            base = {path_key(f) for f in base_files}
+            read = {path_key(u) for u in inc.inputFiles()}
+            inc_ok = len(read & base) < len(base)
+        got = (t, v_base, bool(inc_ok))
+        _CDF_RENAME[key] = got
+    return got
+
+
+@register(
+    "scale_cdf_across_rename",
+    oracle="""
+    WITH ch AS (
+      SELECT 'delete' AS _change_type, o_orderkey,
+             o_totalprice AS total_price
+      FROM orders WHERE o_orderkey < 600
+      UNION ALL
+      SELECT 'delete', o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey >= 600 AND o_orderkey < 700
+        AND o_orderkey % 3 = 0
+      UNION ALL
+      SELECT 'insert', -o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey % 1009 = 0 AND o_orderkey <> 0
+    )
+    SELECT _change_type, COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(total_price AS DECIMAL(18,2))) AS DOUBLE)
+             AS rev,
+           TRUE AS inc_ok, TRUE AS drop_ok
+    FROM ch GROUP BY 1 ORDER BY 1
+    """,
+    tags=["scale", "versioned", "cdf", "incremental", "schema-evolution"],
+)
+def scale_cdf_across_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDF whose window BRACKETS a RENAME and a DROP
+    (`sinks/versioned.changes_between(..., incremental=True)` across
+    `rename_column` + `drop_column`): both are metadata-only commits
+    here, so the derivation scans both sides physically and renders
+    under WINDOW-END names — deleted rows surface their values under
+    the NEW name (never NULL), the dropped column simply never enters
+    the output, and the job still reads only changed files (round-9
+    verdict: this exact window used to pay two full scans).  inc_ok
+    asserts engagement + the strict-subset inputFiles proof; drop_ok
+    asserts the dropped column is gone from the feed.  Must hash-match
+    plain SQL reconstructing the same delete/insert set from raw
+    orders under the renamed aliases."""
+    from ..sinks import versioned as V
+
+    t, v_base, inc_ok = _cdf_rename_orders(spark, sf_dir)
+    ch = V.changes_between(spark, t, v_base, V.latest_version(t),
+                           "o_orderkey", incremental=True)
+    drop_ok = "o_orderpriority" not in ch.columns \
+        and "total_price" in ch.columns
+    return (ch.groupBy("_change_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("o_orderkey").cast("long").alias("key_sum"),
+                 F.sum(F.col("total_price").cast("decimal(18,2)"))
+                 .cast("double").alias("rev"))
+            .withColumn("inc_ok", F.lit(bool(inc_ok)))
+            .withColumn("drop_ok", F.lit(bool(drop_ok)))
+            .orderBy("_change_type"))
+
+
+@fixture_timed("cdf_widen_r10")
+def _cdf_widen_orders(spark: SparkSession, sf_dir: str
+                      ) -> tuple[str, int, bool]:
+    """Once per (session, sf_dir): versioned `orders` written with
+    o_custkey NARROWED to INT, compacted into 8 key-clustered files,
+    then a change window that BRACKETS a TYPE WIDEN —
+
+      1. position-delete (keys < 600),
+      2. ``widen_column(o_custkey → long)`` — metadata-only,
+      3. a post-widen append whose o_custkey values NEED the wide type
+         (+3,000,000,000 > INT_MAX, negated keys k % 1009 == 0),
+      4. equality tombstones on keys in [600, 700) ≡ 0 mod 3.
+
+    Returns ``(table, v_base, inc_ok)`` — inc_ok asserts the
+    incremental derivation ENGAGED across the widen (the dead side
+    scans narrow files WITH the widened type, promotion-only) and read
+    a strict subset of the baseline files."""
+    import atexit
+    import tempfile
+
+    from ..sinks import versioned as V
+    from ..sinks.storage import path_key
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _CDF_WIDEN.get(key)
+    if got is None:
+        _drop_cdf_schema_evo(_CDF_WIDEN,
+                             [k for k in _CDF_WIDEN if k[0] != key[0]])
+        if not _CDF_WIDEN:
+            atexit.register(_drop_cdf_schema_evo, _CDF_WIDEN)
+        t = tempfile.mkdtemp(prefix="spark_graft_cdfwiden_")
+        (orders,) = _t(spark, sf_dir, "orders")
+        narrow = orders.withColumn("o_custkey",
+                                   F.col("o_custkey").cast("int"))
+        V.write_snapshot(narrow, t)
+        V.compact_snapshot(spark, t, n_files=8, cluster_by=["o_orderkey"])
+        v_base = V.latest_version(t)
+        base_files = V._read_manifest(t, v_base)
+        k_col = F.col("o_orderkey")
+        V.delete_where(spark, t, "o_orderkey < 600",
+                       predicates=[("o_orderkey", "<", 600)])
+        V.widen_column(t, "o_custkey", "long")
+        ins = (narrow.filter((k_col % 1009 == 0) & (k_col != 0))
+               .withColumn("o_orderkey", -k_col)
+               .withColumn("o_custkey",
+                           (F.col("o_custkey").cast("long")
+                            + F.lit(3_000_000_000))))
+        V.write_snapshot(ins.select(*narrow.columns), t)
+        eq_keys = [r[0] for r in
+                   orders.filter((k_col >= 600) & (k_col < 700)
+                                 & (k_col % 3 == 0))
+                   .select("o_orderkey").distinct().collect()]
+        V.delete_where_keys(spark, t, "o_orderkey", eq_keys)
+        v_to = V.latest_version(t)
+        inc = V._changes_incremental(spark, t, v_base, v_to,
+                                     "o_orderkey")
+        inc_ok = inc is not None
+        if inc_ok:
+            base = {path_key(f) for f in base_files}
+            read = {path_key(u) for u in inc.inputFiles()}
+            inc_ok = len(read & base) < len(base)
+        got = (t, v_base, bool(inc_ok))
+        _CDF_WIDEN[key] = got
+    return got
+
+
+@register(
+    "scale_cdf_across_widen",
+    oracle="""
+    WITH ch AS (
+      SELECT 'delete' AS _change_type, o_orderkey,
+             CAST(o_custkey AS BIGINT) AS cust
+      FROM orders WHERE o_orderkey < 600
+      UNION ALL
+      SELECT 'delete', o_orderkey, o_custkey
+      FROM orders WHERE o_orderkey >= 600 AND o_orderkey < 700
+        AND o_orderkey % 3 = 0
+      UNION ALL
+      SELECT 'insert', -o_orderkey, o_custkey + 3000000000
+      FROM orders WHERE o_orderkey % 1009 = 0 AND o_orderkey <> 0
+    )
+    SELECT _change_type, COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(cust) AS BIGINT) AS cust_sum,
+           TRUE AS inc_ok
+    FROM ch GROUP BY 1 ORDER BY 1
+    """,
+    tags=["scale", "versioned", "cdf", "incremental", "schema-evolution"],
+)
+def scale_cdf_across_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDF whose window BRACKETS a TYPE WIDEN
+    (`widen_column(o_custkey: int → long)`): widening is
+    promotion-only, so the dead side scans the narrow pre-widen files
+    WITH the widened type (the parquet reader up-casts at scan,
+    losslessly) and the two sides union natively — no full-table
+    fallback, and the post-widen insert carries values that NEED the
+    wide type (> INT_MAX).  inc_ok asserts engagement + the
+    strict-subset inputFiles proof.  Must hash-match plain SQL
+    reconstructing the same change set from raw orders."""
+    from ..sinks import versioned as V
+
+    t, v_base, inc_ok = _cdf_widen_orders(spark, sf_dir)
+    ch = V.changes_between(spark, t, v_base, V.latest_version(t),
+                           "o_orderkey", incremental=True)
+    return (ch.groupBy("_change_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("o_orderkey").cast("long").alias("key_sum"),
+                 F.sum(F.col("o_custkey")).cast("long").alias("cust_sum"))
+            .withColumn("inc_ok", F.lit(bool(inc_ok)))
+            .orderBy("_change_type"))

@@ -2976,24 +2976,38 @@ def _changes_incremental(spark: SparkSession, table_dir: str,
     compaction stay exact: the removed file is scanned at its v_from
     overlay state, where the row is still live, and nothing at v_to
     matches it."""
+    from pyspark.sql import types as T
+
     f_old = _read_manifest(table_dir, v_from)
     f_new = _read_manifest(table_dir, v_to)
     old_set, new_set = set(f_old), set(f_new)
-    cm_f, dr_f = table_column_map(table_dir, v_from)
     cm_t, dr_t = table_column_map(table_dir, v_to)
-    # compaction materializes row lineage into a hidden physical
-    # `_row_id` column (dropped_cols) — that alone is not a column-map
-    # change a reader can observe
-    if cm_f != cm_t or set(dr_f) - {"_row_id"} != set(dr_t) - {"_row_id"}:
-        return None                      # rename/drop intervened
     sch_from = table_schema(table_dir, v_from)
     sch_to = table_schema(table_dir, v_to)
     if sch_from is None or sch_to is None:
         return None                      # pre-schema-tracking table
+    # rename/drop are metadata-only here (column_map/dropped_cols edits,
+    # no file touched), so the derivation carries through them: BOTH
+    # sides of the diff are scanned physically and rendered under the
+    # WINDOW-END column map — the same convention the change-feed stream
+    # reader uses to replay renames — and a dropped column simply never
+    # enters ``cols``.  A dropped diff KEY is caught below (key not in
+    # cols) and falls back to the full path's proper error.
+    # A type WIDEN is promotion-only (`widen_column` enforces
+    # `_is_widening`): scan v_from-era files with the widened type — the
+    # parquet reader up-casts at scan, losslessly — so the two sides
+    # union natively.  Any non-widening divergence (never produced by
+    # this store; guard for hand-edited manifests) falls back.
     to_types = {f.name: f.dataType for f in sch_to.fields}
-    if any(f.name in to_types and to_types[f.name] != f.dataType
-           for f in sch_from.fields if f.name != "_row_id"):
-        return None                      # type widen intervened
+    from_fields = []
+    for f in sch_from.fields:
+        nt = to_types.get(f.name, f.dataType)
+        if nt != f.dataType:
+            if f.name != "_row_id" and not _is_widening(f.dataType, nt):
+                return None              # genuine shape break
+            f = T.StructField(f.name, nt, True)
+        from_fields.append(f)
+    sch_from = T.StructType(from_fields)
 
     appended = [f for f in f_new if f not in old_set]
     removed = sorted(old_set - new_set)
@@ -3148,10 +3162,14 @@ def changes_between(spark: SparkSession, table_dir: str,
     and tombstones — O(changed data), not O(|table|) — in the CDC
     steady state AND across compaction/CoW-rewrite commits (rewritten
     rows cancel in the key diff, so a nightly incremental OPTIMIZE
-    costs O(compacted files), never a full-table fallback).  Falls
-    back to the full diff only when a rename/drop or type widen
-    intervened (`_changes_incremental` returns None).  Identical
-    output either way.
+    costs O(compacted files), never a full-table fallback), AND across
+    rename/drop/widen commits (metadata-only here: the dead side scans
+    physically and renders under window-end names; widened columns
+    up-cast at scan, promotion-only).  Falls back to the full diff only
+    for pre-schema-tracking tables or a genuine shape break (a
+    non-widening type divergence; a dropped diff KEY raises).
+    Identical output either way — renames surface under WINDOW-END
+    names on both paths (the change-feed stream reader's convention).
 
     Precondition: ``key`` is unique within each version (the MERGE
     upsert invariant) — duplicate keys would fan out through the full
@@ -3168,6 +3186,22 @@ def changes_between(spark: SparkSession, table_dir: str,
             return inc
     old = read_version(spark, table_dir, v_from)
     new = read_version(spark, table_dir, v_to)
+    cm_f, _ = table_column_map(table_dir, v_from)
+    cm_t, _ = table_column_map(table_dir, v_to)
+    if cm_f != cm_t:
+        # physical identity carries a RENAME through the diff: present
+        # the old version under WINDOW-END names (the change-feed stream
+        # reader's convention, and what the incremental derivation
+        # produces) — so a renamed column compares as the same column
+        # and delete rows carry its values instead of NULL
+        log_to_phys = {log: phys for phys, log in cm_f.items()}
+
+        def _window_end_name(c: str) -> str:
+            phys = log_to_phys.get(c, c)
+            return cm_t.get(phys, phys)
+
+        old = old.select(*[F.col(c).alias(_window_end_name(c))
+                           for c in old.columns])
     cols = new.columns
     if key not in cols or key not in old.columns:
         raise ValueError(f"key {key!r} must exist in both versions")

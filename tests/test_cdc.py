@@ -323,35 +323,65 @@ def test_incremental_cdf_cow_update_window(spark, tmp_path):
     assert V._changes_incremental(spark, t, v0, v1, "k") is not None
 
 
-def test_incremental_cdf_rename_and_widen_still_fall_back(spark,
-                                                          tmp_path):
-    """The generalized derivation handles rewrites, but a rename/drop
-    (column map change) or type widen inside the window still refuses
-    — the public API falls back to the full diff and stays correct."""
+def test_incremental_cdf_carries_rename_drop_and_widen(spark, tmp_path):
+    """Rename/drop and type widen are metadata-only commits in this
+    store, so the incremental derivation carries THROUGH them
+    (round-10): the diff stays manifest-derived, renders under
+    WINDOW-END names (deleted rows surface the renamed column's VALUES,
+    never NULL; a dropped column never enters the output), and the dead
+    side scans narrow pre-widen files WITH the widened type.  Both
+    paths — incremental and full — must agree row-for-row."""
     t = str(tmp_path / "t")
     v0 = _mk_keyed(spark, t, n=30)
     V.rename_column(t, "tag", "label")
+    V.drop_column(t, "v")
     V.delete_where(spark, t, "k = 1")
     v1 = V.latest_version(t)
-    assert V._changes_incremental(spark, t, v0, v1, "k") is None
+    inc = V._changes_incremental(spark, t, v0, v1, "k")
+    assert inc is not None
+    assert set(inc.columns) == {"k", "label", "_change_type"}
+    rows = {tuple(r) for r in inc.collect()}
+    # the delete carries the renamed column's VALUE under the new name
+    assert rows == {(1, "s1", "delete")}
     full = {tuple(r) for r in
             V.changes_between(spark, t, v0, v1, "k",
-                              incremental=True).collect()}
-    assert {(r[0], r[-1]) for r in full} == {(1, "delete")}
+                              incremental=False).collect()}
+    assert rows == full
 
     t2 = str(tmp_path / "t2")
     V.write_snapshot(spark.createDataFrame(
         [(1, 10), (2, 20)], "k: int, v: int").coalesce(1), t2)
     w0 = V.latest_version(t2)
+    V.delete_where(spark, t2, "k = 2")
     V.widen_column(t2, "v", "bigint")
     V.write_snapshot(spark.createDataFrame(
         [(3, 1 << 40)], "k: int, v: long").coalesce(1), t2)
     w1 = V.latest_version(t2)
-    assert V._changes_incremental(spark, t2, w0, w1, "k") is None
-    full2 = {(r["k"], r["_change_type"]) for r in
+    inc2 = V._changes_incremental(spark, t2, w0, w1, "k")
+    assert inc2 is not None
+    got2 = {(r["k"], r["v"], r["_change_type"]) for r in inc2.collect()}
+    assert got2 == {(2, 20, "delete"), (3, 1 << 40, "insert")}
+    full2 = {(r["k"], r["v"], r["_change_type"]) for r in
              V.changes_between(spark, t2, w0, w1, "k",
-                               incremental=True).collect()}
-    assert full2 == {(3, "insert")}
+                               incremental=False).collect()}
+    assert got2 == full2
+
+
+def test_incremental_cdf_dropped_key_falls_back_and_raises(spark,
+                                                           tmp_path):
+    """Dropping the diff KEY is a genuine shape break: the incremental
+    derivation refuses (returns None) and the public API's full path
+    raises the proper error."""
+    import pytest
+
+    t = str(tmp_path / "t")
+    v0 = _mk_keyed(spark, t, n=10)
+    V.drop_column(t, "k")
+    v1 = V.latest_version(t)
+    assert V._changes_incremental(spark, t, v0, v1, "k") is None
+    with pytest.raises(ValueError, match="must exist in both"):
+        V.changes_between(spark, t, v0, v1, "k",
+                          incremental=True).collect()
 
 
 def test_incremental_cdf_delete_reinsert_identical_is_no_change(

@@ -688,6 +688,35 @@ class TestChangeFeedMaintenance:
         assert M.refresh_from_changes(spark, view, self.SPEC, base,
                                       "id", self._agg) is None
 
+    def test_window_job_budget_no_existence_probes(self, spark,
+                                                   tmp_path):
+        """Round-10: a sum/count maintenance window runs NO existence
+        probes — the minus aggregate rides into the signed combine
+        lazily and the retire phase's emptiness check lives inside
+        `delete_where_keys`'s own job.  Pinned via the job counter: the
+        two removed `limit(1).count()` probes were one job each, so a
+        reintroduction pushes the count past the budget."""
+        from databox_adls_loader_spark.sinks import versioned as V
+
+        base = self._base(spark, tmp_path)
+        view = str(tmp_path / "view")
+        M.refresh(self._agg(V.read_version(spark, base)), view,
+                  mv=self.SPEC, base_version=V.latest_version(base))
+        V.delete_where_keys(spark, base, "id", [7, 8, 9])  # c emptied
+        sc = spark.sparkContext
+        sc.setJobGroup("mvwin", "one maintenance window")
+        try:
+            assert M.refresh_from_changes(spark, view, self.SPEC, base,
+                                          "id", self._agg) is not None
+        finally:
+            sc.setJobGroup(None, None)
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup("mvwin"))
+        # measured 27 on this fixed window (delta + retire + upsert);
+        # the old per-window probes made it 29
+        assert n_jobs <= 27
+        got = {r["k"] for r in M.read(spark, view).collect()}
+        assert got == {"a", "b"}               # c retired
+
     def test_multiple_windows_accumulate(self, spark, tmp_path):
         from databox_adls_loader_spark.sinks import versioned as V
 
