@@ -183,3 +183,40 @@ def packing_report(packed: DataFrame, window: int) -> DataFrame:
         F.when(cap > 0, (F.col("tokens") * F.lit(10_000) / cap))
         .otherwise(F.lit(0)).cast("long").alias("fill_bp"),
         (cap - F.col("tokens")).cast("long").alias("waste_tokens"))
+
+
+_EPOCH_P = 1_000_000_007           # prime modulus of the epoch permutation
+
+
+def epoch_order_key(epoch: int, seed: int = 17) -> tuple[int, int]:
+    """The (a, b) coefficients of epoch ``epoch``'s affine permutation
+    key — exposed so the SQL oracle can inline the exact literals."""
+    a = (seed * 2654435761 + epoch * 40503) % _EPOCH_P
+    return (a or 1, (epoch * 97 + seed) % _EPOCH_P)
+
+
+def epoch_order(packed: DataFrame, epoch: int,
+                seed: int = 17) -> DataFrame:
+    """Epoch-stable SHUFFLED batch order over packed context windows:
+    one row per (g, win) window with ``order_key`` — an affine hash
+    ``(a·x + b) mod P`` of the window id (x = (g·1000003 + win) mod P,
+    P prime, (a, b) seeded per epoch) — so epoch N's global batch
+    order is deterministic, reproducible across runs/engines, and
+    hash-uniform (skew-free) WITHOUT a global sort: the key is one
+    map-side expression; a training loader range-partitions on it and
+    streams batches in key order, and any ranking goes through the
+    two-phase machinery (`operators/windows.global_row_number`), never
+    a single-partition window.  Distinct windows sharing x mod P (only
+    possible past ~10⁹ windows) tie-break on (g, win).
+
+    The permutation is oracle-expressible by construction — integer
+    arithmetic only, coefficients from `epoch_order_key` — which is
+    what lets the registry entry hash-check the ORDER itself, not just
+    the membership."""
+    a, b = epoch_order_key(epoch, seed)
+    x = F.pmod(F.col("g").cast("long") * F.lit(1000003)
+               + F.col("win"), F.lit(_EPOCH_P))
+    return (packed.select("g", "win").distinct()
+            .withColumn("order_key",
+                        F.pmod(F.lit(a) * x + F.lit(b),
+                               F.lit(_EPOCH_P))))

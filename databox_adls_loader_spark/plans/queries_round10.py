@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .queries import _t, fixture_timed, register
+from . import queries_round9 as _R9
 
 # ---------------------------------------------------------------------------
 # persisted ANN index maintained off the change feed (plans/ann.py)
@@ -601,3 +602,202 @@ def mm_wav_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = spark.createDataFrame(rows, mm.ASSET_SCHEMA)
     return (mm.wav_window_energy(assets, window=8)
             .orderBy("asset_id", "window_idx"))
+
+
+# ---------------------------------------------------------------------------
+# epoch-stable shuffled batch order over the packed corpus
+# (round-9 verdict, Next round #4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "corpus_pack_epoch_order",
+    oracle=_R9._PACK_CTE.format(g=8, w=256,
+                                pieces=_R9._PIECES_WHOLE.format(w=256))
+    + """,
+    wins AS (SELECT DISTINCT g, win FROM pack),
+    eps(epoch, a, b) AS (VALUES (1, 125448125, 114), (2, 125488628, 211)),
+    keyed AS (
+      SELECT epoch, g, win,
+             (a * ((g * 1000003 + win) % 1000000007) + b) % 1000000007
+               AS order_key
+      FROM wins CROSS JOIN eps
+    )
+    SELECT epoch, g, win, order_key,
+           ROW_NUMBER() OVER (PARTITION BY epoch
+                              ORDER BY order_key, g, win) AS epoch_rank
+    FROM keyed ORDER BY epoch, epoch_rank
+    """,
+    tags=["corpus", "packing", "llm", "scale"],
+)
+def corpus_pack_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-stable SHUFFLED batch order composed onto the packed
+    lakehouse table (`operators/seqpack.epoch_order` over the
+    hidden-partitioned windows of `scale_packed_windows_pruned_read`):
+    each epoch's affine-mod-prime key permutes the (g, win) windows
+    deterministically and skew-free with NO global sort — the key is
+    map-side, the rank is the two-phase range-partitioned
+    `global_row_number` — and two epochs' FULL orders (rank included)
+    hash-match DuckDB replaying the identical permutation over the
+    recursive-CTE pack.  This is the missing reproducibility piece of
+    the training lane: epoch N's batch sequence is a pure function of
+    (corpus version, epoch, seed)."""
+    from ..operators.seqpack import epoch_order
+    from ..operators.windows import global_row_number
+    from ..sinks import versioned as V
+    from .queries_round9 import _packed_windows_table
+
+    t, _ = _packed_windows_table(spark, sf_dir)
+    packed = V.read_version(spark, t)
+    parts = []
+    for e in (1, 2):
+        keyed = epoch_order(packed, e)
+        ranked, _n = global_row_number(
+            keyed, [("order_key", "asc"), ("g", "asc"), ("win", "asc")],
+            out_col="epoch_rank")
+        parts.append(ranked.withColumn("epoch", F.lit(e)))
+    out = parts[0].unionByName(parts[1])
+    return (out.select("epoch", "g", "win", "order_key", "epoch_rank")
+            .orderBy("epoch", "epoch_rank"))
+
+
+# ---------------------------------------------------------------------------
+# the full corpus-to-training-artifact lane under ONE hash
+# (round-9 verdict, Next round #6)
+# ---------------------------------------------------------------------------
+
+_ASSEMBLED: dict = {}
+
+
+def _drop_assembled(keys=None) -> None:
+    import shutil
+
+    for k in list(_ASSEMBLED) if keys is None else list(keys):
+        for d in _ASSEMBLED.pop(k)[:3]:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+@fixture_timed("assembled_shards_r10")
+def _assembled_shards(spark: SparkSession, sf_dir: str
+                      ) -> tuple[str, str, str, bool]:
+    """Once per (session, sf_dir): the corpus lane run END TO END into
+    its two training artifacts — exact-dedup the documents, pack the
+    unique survivors into 256-token windows COMMITTED hidden-partitioned
+    on identity(g) (the shard layout a 1000-worker loader prune-reads),
+    and commit the survivors' embeddings as a versioned base with its
+    persisted band index built on top (`plans/ann.build_ann_index`).
+    Returns ``(pack_dir, emb_dir, index_dir, prune_ok)``; prune_ok
+    asserts a single-shard read plans only that shard's files."""
+    import atexit
+    import tempfile
+
+    from ..sinks import versioned as V
+    from . import ann
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _ASSEMBLED.get(key)
+    if got is None:
+        _drop_assembled([k for k in _ASSEMBLED if k[0] != key[0]])
+        if not _ASSEMBLED:
+            atexit.register(_drop_assembled)
+        from ..operators.seqpack import pack_sequences
+
+        pack_dir = tempfile.mkdtemp(prefix="spark_graft_shards_")
+        emb_dir = tempfile.mkdtemp(prefix="spark_graft_shardemb_")
+        index_dir = tempfile.mkdtemp(prefix="spark_graft_shardidx_")
+        docs, emb = (_t(spark, sf_dir, "documents")[0],
+                     _t(spark, sf_dir, "embeddings")[0])
+        uniq = (docs.groupBy(F.md5(F.col("text")))
+                .agg(F.min("doc_id").alias("doc_id"),
+                     F.expr("(min(n_chars) + 3) div 4").cast("long")
+                     .alias("n_tokens")))
+        surv = emb.join(uniq.select(F.col("doc_id").alias("vec_id")),
+                        "vec_id", "left_semi") \
+            .select("vec_id", "embedding")
+        V.write_snapshot(surv, emb_dir)
+        ann.build_ann_index(spark, index_dir, emb_dir, **_ANN)
+        packed = pack_sequences(uniq, 256, count_col="n_tokens",
+                                n_groups=8)
+        V.write_snapshot(packed, pack_dir,
+                         partition_by=["identity(g)"])
+        pruned = V.read_version(spark, pack_dir,
+                                predicates=[("g", "=", 5)])
+        manifest = V._read_manifest(pack_dir,
+                                    V.latest_version(pack_dir))
+        prune_ok = 0 < len(pruned.inputFiles()) < len(manifest)
+        got = (pack_dir, emb_dir, index_dir, bool(prune_ok))
+        _ASSEMBLED[key] = got
+    return got
+
+
+@register(
+    "corpus_assemble_to_shards",
+    oracle=f"""
+    WITH RECURSIVE uniq AS (
+      SELECT MIN(doc_id) AS doc_id, (MIN(n_chars) + 3) // 4 AS t
+      FROM documents GROUP BY md5(text)
+    ), base AS (
+      SELECT CAST(doc_id % 8 AS INTEGER) AS g, doc_id AS id, t
+      FROM uniq
+    ), pieces AS (
+      SELECT g, id, 0 AS piece, t AS pt,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY id) AS rn
+      FROM base WHERE t <= 256
+    ), pack AS (
+      SELECT g, id, piece, pt, rn, CAST(1 AS BIGINT) AS win,
+             pt AS fill
+      FROM pieces WHERE rn = 1
+      UNION ALL
+      SELECT d.g, d.id, d.piece, d.pt, d.rn,
+             CASE WHEN p.fill + d.pt <= 256 THEN p.win
+                  ELSE p.win + 1 END,
+             CASE WHEN p.fill + d.pt <= 256 THEN p.fill + d.pt
+                  ELSE d.pt END
+      FROM pack p JOIN pieces d ON d.g = p.g AND d.rn = p.rn + 1
+    ),
+    {_band_planes_sql(_ANN['n_bands'], _ANN['planes_per_band'])},
+    e AS (SELECT em.vec_id, CAST(em.embedding AS DOUBLE[]) AS v
+          FROM embeddings em JOIN uniq ON em.vec_id = uniq.doc_id),
+    {_band_bucket_sql()},
+    idx AS (SELECT COUNT(*) AS n_indexed,
+                   CAST(SUM(bucket) AS BIGINT) AS bucket_sum
+            FROM bk),
+    p AS (SELECT g, CAST(MAX(win) AS BIGINT) AS n_windows,
+                 COUNT(*) AS n_docs, CAST(SUM(pt) AS BIGINT) AS tokens,
+                 CAST(SUM(win * pt) AS BIGINT) AS win_tok_sum
+          FROM pack GROUP BY g)
+    SELECT p.g, p.n_windows, p.n_docs, p.tokens, p.win_tok_sum,
+           idx.n_indexed, idx.bucket_sum, TRUE AS prune_ok
+    FROM p CROSS JOIN idx ORDER BY p.g
+    """,
+    tags=["corpus", "packing", "dedup", "similarity", "versioned",
+          "llm", "scale"],
+)
+def corpus_assemble_to_shards(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The corpus-to-training-artifact lane as ONE oracle-checked
+    composition (`corpus_dedup_then_pack` extended through the
+    lakehouse): exact-dedup -> pack unique survivors into 256-token
+    windows -> COMMIT hidden-partitioned shards (single-shard read
+    prune-proven) -> build the PERSISTED band index over the
+    survivors\' embeddings — per-shard window stats AND the index
+    content checksum under one hash, so a duplicate leaking through
+    dedup, a misplaced piece, or a stale index row each flip it.
+    Everything reads back from the COMMITTED versioned tables, not the
+    in-flight frames — what a training job actually opens."""
+    from ..sinks import versioned as V
+
+    pack_dir, _emb_dir, index_dir, prune_ok = \
+        _assembled_shards(spark, sf_dir)
+    packed = V.read_version(spark, pack_dir)
+    idx = (V.read_version(spark, index_dir)
+           .agg(F.count(F.lit(1)).alias("n_indexed"),
+                F.sum("bucket").cast("long").alias("bucket_sum")))
+    per_g = (packed.groupBy("g")
+             .agg(F.max("win").cast("long").alias("n_windows"),
+                  F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("piece_tokens").cast("long").alias("tokens"),
+                  F.sum(F.col("win") * F.col("piece_tokens"))
+                  .cast("long").alias("win_tok_sum")))
+    return (per_g.crossJoin(F.broadcast(idx))
+            .withColumn("prune_ok", F.lit(bool(prune_ok)))
+            .orderBy("g"))

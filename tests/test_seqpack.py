@@ -173,3 +173,28 @@ class TestReport:
             assert r["tokens"] + r["waste_tokens"] == cap
             assert r["fill_bp"] == (
                 r["tokens"] * 10_000 // cap if cap else 0)
+
+
+def test_epoch_order_is_deterministic_permutation(spark):
+    from databox_adls_loader_spark.operators.seqpack import (epoch_order,
+                                                             pack_sequences)
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 37 + 1).alias("n_tokens"))
+    packed = pack_sequences(docs, 64, count_col="n_tokens", n_groups=4)
+    n_windows = packed.select("g", "win").distinct().count()
+    e1 = epoch_order(packed, epoch=1)
+    # injective on this corpus: every window gets a distinct key
+    assert e1.select("order_key").distinct().count() == n_windows
+    # deterministic: same epoch+seed -> identical keys
+    again = {(r["g"], r["win"]): r["order_key"]
+             for r in epoch_order(packed, epoch=1).collect()}
+    first = {(r["g"], r["win"]): r["order_key"] for r in e1.collect()}
+    assert first == again
+    # a different epoch reorders (some key-order inversions exist)
+    e2 = {(r["g"], r["win"]): r["order_key"]
+          for r in epoch_order(packed, epoch=2).collect()}
+    o1 = sorted(first, key=lambda w: first[w])
+    o2 = sorted(e2, key=lambda w: e2[w])
+    assert o1 != o2 and set(o1) == set(o2)

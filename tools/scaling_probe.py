@@ -107,6 +107,10 @@ TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
     "scale_packed_windows_pruned_read": "documents",
     "ts_dow_anova_strength": "orders",
     "scale_ann_index_incremental": "embeddings",
+    "corpus_assemble_to_shards": "documents",
+    "corpus_pack_epoch_order": "documents",
+    "scale_cdf_across_rename": "orders",
+    "scale_cdf_across_widen": "orders",
     "ann_index_probe_topk": "embeddings",
 }
 
