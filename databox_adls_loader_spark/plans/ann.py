@@ -151,15 +151,33 @@ def _apply_index_window(spark: SparkSession, index_dir: str,
     ch = V.changes_between(spark, base_dir, v_from, v_to, id_col,
                            incremental=True, emit_preimage=True)
     ct = F.col("_change_type")
-    removed_ids = ch.filter(ct == "delete").select(id_col)
-    new_rows = band_rows(
-        ch.filter(ct.isin("insert", "update_postimage"))
+    return _index_signed_apply(
+        spark, index_dir,
+        removed_ids=ch.filter(ct == "delete").select(id_col),
+        new_vectors=ch.filter(ct.isin("insert", "update_postimage"))
         .drop("_change_type"),
-        dim, n_bands, planes_per_band, seed, id_col, vec_col)
+        retire_id=2 * v_to, upsert_id=2 * v_to + 1,
+        dim=dim, n_bands=n_bands, planes_per_band=planes_per_band,
+        seed=seed, id_col=id_col, vec_col=vec_col)
+
+
+def _index_signed_apply(spark: SparkSession, index_dir: str,
+                        removed_ids: DataFrame, new_vectors: DataFrame,
+                        retire_id: int, upsert_id: int,
+                        dim: int, n_bands: int, planes_per_band: int,
+                        seed: int, id_col: str, vec_col: str
+                        ) -> int | None:
+    """The shared tail of index maintenance (batch watermark loop AND
+    the streaming foreachBatch twin): tombstone removed vectors' band
+    keys (retire phase), band-hash and MERGE the new/updated vectors
+    (upsert phase) — each under its ledger id so a crash-replay re-runs
+    only the phase that did not land.  The retire phase's emptiness
+    check rides inside `delete_where_keys`'s own job (no pre-probe)."""
+    new_rows = band_rows(new_vectors, dim, n_bands, planes_per_band,
+                         seed, id_col, vec_col)
     done = V.committed_batch_ids(index_dir)
-    retire_id, upsert_id = 2 * v_to, 2 * v_to + 1
     out = None
-    if retire_id not in done and removed_ids.limit(1).count():
+    if retire_id not in done:
         dead_keys = (removed_ids
                      .select(F.col(id_col),
                              F.explode(F.array(*[F.lit(b)
@@ -168,12 +186,85 @@ def _apply_index_window(spark: SparkSession, index_dir: str,
                      .select(F.concat_ws(
                          ":", F.col(id_col).cast("string"),
                          F.col("band").cast("string")).alias(ANN_KEY)))
-        out, _ = V.delete_where_keys(spark, index_dir, ANN_KEY,
-                                     dead_keys, batch_ids={retire_id})
+        v_ret, n_ret = V.delete_where_keys(spark, index_dir, ANN_KEY,
+                                           dead_keys,
+                                           batch_ids={retire_id})
+        if n_ret:
+            out = v_ret
     if upsert_id not in done:
         out = V.merge_into_snapshot(spark, index_dir, new_rows,
                                     key=ANN_KEY, batch_ids={upsert_id})
     return out
+
+
+def maintain_index_stream_batch(batch_df: DataFrame, batch_id: int,
+                                index_dir: str, dim: int = 64,
+                                n_bands: int = 4,
+                                planes_per_band: int = 8, seed: int = 7,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding"
+                                ) -> int | None:
+    """STREAMING index maintenance off the CHANGE-FEED stream — the
+    push twin of `refresh_ann_index`: wire the base table's
+    ``readchangefeed`` stream (`sources/vtable_stream`) into
+    foreachBatch and the persisted index tracks the corpus in real
+    time,
+
+        (spark.readStream.format("vtable_stream")
+              .option("path", base).option("readchangefeed", "true")
+              .load().writeStream
+              .foreachBatch(lambda df, bid: ann.maintain_index_stream_batch(
+                  df, bid, index_dir, **geometry))
+              .option("checkpointLocation", ck).start())
+
+    Each micro-batch's ``delete`` rows tombstone their band keys and
+    ``insert`` rows band-hash and MERGE (the stream unpacks MOR updates
+    into that pair — tombstone first, so the replacement rows land
+    clean), under stream-batch-scoped ledger ids (2·b / 2·b+1):
+    Structured Streaming's crash-replay of a batch re-runs only the
+    phase that did not land.  An index is maintained by the STREAM's
+    ids or by `refresh_ann_index`'s watermark ids, never both (one
+    writer per index — the ledger's standing assumption).  Returns the
+    index's new version (None: replay/empty-batch no-op)."""
+    from pyspark.sql.window import Window
+
+    spark = batch_df.sparkSession
+    ct = F.col("_change_type")
+    meta = [c for c in ("_change_type", "_commit_version",
+                        "_commit_timestamp") if c in batch_df.columns]
+    # one micro-batch may span SEVERAL base commits (availableNow
+    # drains lump them), so collapse to the NET change per vector
+    # first: latest commit wins, and within one commit an update's
+    # delete(old)+insert(new) pair nets to the insert — applying the
+    # raw rows instead would resurrect a deleted vector's v1 image or
+    # band-hash a stale preimage
+    ver = (F.col("_commit_version") if "_commit_version"
+           in batch_df.columns else F.lit(0))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc(ver), F.desc(ct == "insert"))
+    net = (batch_df.withColumn("__rn", F.row_number().over(w))
+           .filter(F.col("__rn") == 1).drop("__rn"))
+    ins = net.filter(ct == "insert").drop(*meta)
+    dels = net.filter(ct == "delete").drop(*meta)
+    upsert_id = 2 * int(batch_id) + 1
+    if V.latest_version(index_dir) is None:
+        # bootstrap: the first batch IS the index, recorded under the
+        # upsert-phase id so a crash-replay skips the merge phase
+        rows = band_rows(ins, dim, n_bands, planes_per_band, seed,
+                         id_col, vec_col)
+        if not rows.limit(1).count():
+            return None
+        ok = V.commit_stream_batch(rows, upsert_id, index_dir,
+                                   mode="overwrite")
+        return V.latest_version(index_dir) if ok else None
+    if not ins.limit(1).count() and not dels.limit(1).count():
+        return None                      # empty batch: no version churn
+    return _index_signed_apply(
+        spark, index_dir, removed_ids=dels.select(id_col),
+        new_vectors=ins, retire_id=2 * int(batch_id),
+        upsert_id=upsert_id, dim=dim, n_bands=n_bands,
+        planes_per_band=planes_per_band, seed=seed, id_col=id_col,
+        vec_col=vec_col)
 
 
 def probe_topk(spark: SparkSession, index_dir: str, base_dir: str,

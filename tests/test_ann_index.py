@@ -189,3 +189,81 @@ class TestProbe:
         shares = {r["vec_id"] for r in idx.collect()
                   if (r["band"], r["bucket"]) in probes}
         assert cand == shares or cand <= shares
+
+
+class TestStreamMaintenance:
+    """`ann.maintain_index_stream_batch` — the index maintained by the
+    change-feed STREAM instead of the batch watermark loop."""
+
+    def test_stream_maintained_index_equals_rebuild(self, spark,
+                                                    sf_dir, tmp_path):
+        from databox_adls_loader_spark.sources.vtable_stream import \
+            register_vtable_stream
+
+        register_vtable_stream(spark)
+        emb_dir = str(tmp_path / "emb")
+        index_dir = str(tmp_path / "idx")
+        ck = str(tmp_path / "ck")
+        emb = _emb(spark, sf_dir)
+        vid = F.col("vec_id")
+        V.write_snapshot(emb, emb_dir)                          # v1
+        V.delete_where_keys(spark, emb_dir, "vec_id",
+                            emb.filter(vid % 6 == 1)
+                            .select("vec_id"))                  # v2
+        V.upsert_mor(spark, emb_dir,
+                     V.read_version(spark, emb_dir)
+                     .filter(vid % 4 == 0)
+                     .withColumn("embedding",
+                                 F.transform(F.col("embedding"),
+                                             lambda x: -x)),
+                     key="vec_id")                              # v3
+
+        def on_batch(df, bid):
+            ann.maintain_index_stream_batch(df, bid, index_dir, **GEO)
+
+        q = (spark.readStream.format("vtable_stream")
+             .option("path", emb_dir)
+             .option("readchangefeed", "true")
+             .load().writeStream.foreachBatch(on_batch)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        assert _frames_equal(V.read_version(spark, index_dir),
+                             _rebuilt(spark, emb_dir))
+        # another base commit, another drain: index follows
+        V.write_snapshot(
+            emb.filter(vid % 9 == 0)
+            .select((-(vid + 1)).alias("vec_id"),
+                    F.reverse(F.col("embedding")).alias("embedding")),
+            emb_dir)                                            # v4
+        q = (spark.readStream.format("vtable_stream")
+             .option("path", emb_dir)
+             .option("readchangefeed", "true")
+             .load().writeStream.foreachBatch(on_batch)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        assert _frames_equal(V.read_version(spark, index_dir),
+                             _rebuilt(spark, emb_dir))
+
+    def test_stream_batch_replay_is_noop(self, spark, sf_dir,
+                                         tmp_path):
+        """foreachBatch crash-replay: re-running a landed batch under
+        the same batch id must not duplicate or re-tombstone."""
+        emb_dir = str(tmp_path / "emb")
+        index_dir = str(tmp_path / "idx")
+        emb = _emb(spark, sf_dir).limit(50)
+        V.write_snapshot(emb, emb_dir)
+        feed = (V.read_version(spark, emb_dir)
+                .withColumn("_change_type", F.lit("insert")))
+        v1 = ann.maintain_index_stream_batch(feed, 0, index_dir, **GEO)
+        assert v1 is not None
+        n = V.read_version(spark, index_dir).count()
+        assert ann.maintain_index_stream_batch(feed, 0, index_dir,
+                                               **GEO) is None \
+            or V.read_version(spark, index_dir).count() == n
+        assert V.read_version(spark, index_dir).count() == n
+        # an empty later batch commits nothing
+        empty = feed.filter(F.lit(False))
+        assert ann.maintain_index_stream_batch(empty, 1, index_dir,
+                                               **GEO) is None
