@@ -256,6 +256,51 @@ def _cmd_query(args) -> int:
     return 0
 
 
+
+def _cmd_ann(args) -> int:
+    """`ann build|refresh|probe` — the persisted band index as a CLI
+    surface: build once, refresh O(changes) after base commits, probe
+    top-k through the committed index (plans/ann.py)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from .plans import ann
+
+    geo = dict(dim=args.dim, n_bands=args.n_bands,
+               planes_per_band=args.planes_per_band, seed=args.seed,
+               id_col=args.id_col, vec_col=args.vec_col)
+    spark = _spark(f"ann-{args.verb}")
+    if True:
+        if args.verb == "build":
+            v = ann.build_ann_index(spark, args.index_dir,
+                                    args.base_dir, **geo)
+            print(json.dumps({"version": v}))
+        elif args.verb == "refresh":
+            v = ann.refresh_ann_index(spark, args.index_dir,
+                                      args.base_dir, **geo)
+            print(json.dumps({"version": v,
+                              "current": v is None}))
+        else:                              # probe
+            from .sinks import versioned as V
+            base = V.read_version(spark, args.base_dir)
+            row = (base.filter(
+                F.col(args.id_col) == args.query_id)
+                .select(args.vec_col).first())
+            if row is None:
+                print(json.dumps({"error":
+                                  f"no vector {args.query_id}"}))
+                return 1
+            got = ann.probe_topk(spark, args.index_dir, args.base_dir,
+                                 list(row[0]), k=args.k,
+                                 n_bands=args.n_bands,
+                                 planes_per_band=args.planes_per_band,
+                                 seed=args.seed, id_col=args.id_col,
+                                 vec_col=args.vec_col).collect()
+            print(json.dumps([{args.id_col: r[0], "sim": r["sim"]}
+                              for r in got]))
+        return 0
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(
         prog="databox_adls_loader_spark",
@@ -382,6 +427,27 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--preimage", action="store_true",
                             help="also emit update_preimage rows")
             sp.add_argument("-n", type=int, default=20)
+
+    an = sub.add_parser("ann", help="persisted ANN band index: build, "
+                                    "O(changes) refresh, top-k probe")
+    av = an.add_subparsers(dest="verb", required=True)
+    for verb, help_ in [
+            ("build", "full index build over the base's latest snapshot"),
+            ("refresh", "maintain from the change feed (O(changes))"),
+            ("probe", "top-k through the committed index")]:
+        sp = av.add_parser(verb, help=help_)
+        sp.add_argument("index_dir")
+        sp.add_argument("base_dir")
+        sp.add_argument("--dim", type=int, default=64)
+        sp.add_argument("--n-bands", type=int, default=4)
+        sp.add_argument("--planes-per-band", type=int, default=8)
+        sp.add_argument("--seed", type=int, default=7)
+        sp.add_argument("--id-col", default="vec_id")
+        sp.add_argument("--vec-col", default="embedding")
+        if verb == "probe":
+            sp.add_argument("--query-id", type=int, required=True)
+            sp.add_argument("-k", type=int, default=10)
+        sp.set_defaults(fn=_cmd_ann)
 
     q = sub.add_parser("query", help="run a registry query")
     q.add_argument("name")

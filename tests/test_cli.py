@@ -288,3 +288,34 @@ def test_cli_table_align_and_horizon(spark, tmp_path, capsys):
     h = json.loads(capsys.readouterr().out.strip())
     assert h["retained_versions"] == 1 and h["oldest_version"] == 1
     assert h["time_travel_horizon"] is not None
+
+
+def test_cli_ann_index_lifecycle(spark, tmp_path, capsys):
+    """ann build → refresh (no-op + after a commit) → probe through the
+    CLI verbs (plans/ann.py surface)."""
+    from databox_adls_loader_spark.session import load_tables
+    from databox_adls_loader_spark.sinks import versioned as V
+
+    base = str(tmp_path / "base")
+    idx = str(tmp_path / "idx")
+    emb = (load_tables(spark, "/root/testdata/sf0.001",
+                       ["embeddings"])["embeddings"]
+           .select("vec_id", "embedding").limit(80))
+    V.write_snapshot(emb, base)
+    geo = ["--n-bands", "2", "--planes-per-band", "4"]
+
+    assert main(["ann", "build", idx, base, *geo]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["version"] == 1
+
+    assert main(["ann", "refresh", idx, base, *geo]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["current"] is True
+
+    V.delete_where_keys(spark, base, "vec_id", [1, 2, 3])
+    assert main(["ann", "refresh", idx, base, *geo]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["current"] is False and out["version"] is not None
+
+    assert main(["ann", "probe", idx, base, *geo,
+                 "--query-id", "7", "-k", "5"]) == 0
+    got = json.loads(capsys.readouterr().out.strip())
+    assert got[0] == {"vec_id": 7, "sim": 1.0} and len(got) <= 5
