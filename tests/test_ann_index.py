@@ -267,3 +267,27 @@ class TestStreamMaintenance:
         empty = feed.filter(F.lit(False))
         assert ann.maintain_index_stream_batch(empty, 1, index_dir,
                                                **GEO) is None
+
+
+def test_refresh_survives_index_compaction(spark, base):
+    """An incremental OPTIMIZE of the INDEX table (small-file
+    compaction, ledger inherited) must not disturb the watermark or the
+    next refresh."""
+    emb_dir, index_dir = base
+    vid = F.col("vec_id")
+    emb = V.read_version(spark, emb_dir)
+    V.delete_where_keys(spark, emb_dir, "vec_id",
+                        emb.filter(vid % 6 == 1).select("vec_id"))
+    ann.refresh_ann_index(spark, index_dir, emb_dir, **GEO)
+    w = mv_base_watermark(index_dir)
+    V.compact_snapshot(spark, index_dir, n_files=2,
+                       cluster_by=[ann.ANN_KEY])
+    assert mv_base_watermark(index_dir) == w     # ledger inherited
+    V.write_snapshot(
+        emb.filter(vid % 9 == 0)
+        .select((-(vid + 1)).alias("vec_id"),
+                F.reverse(F.col("embedding")).alias("embedding")),
+        emb_dir)
+    ann.refresh_ann_index(spark, index_dir, emb_dir, **GEO)
+    assert _frames_equal(V.read_version(spark, index_dir),
+                         _rebuilt(spark, emb_dir))

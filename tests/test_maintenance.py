@@ -212,6 +212,31 @@ class TestBucketAlignmentAdvisor:
         rec = out["recommendations"][0]
         assert "bucket(" in rec and "OPTIMIZE" in rec
 
+    def test_redeclares_by_bytes_not_file_count(self, spark, tmp_path):
+        """Round-10 (ADVICE low): the cheaper-rewrite side is chosen by
+        manifest BYTES — a small-file-heavy but row-light table must be
+        the one re-declared, even though it has MORE files than its
+        row-heavy partner."""
+        l = str(tmp_path / "l")
+        r = str(tmp_path / "r")
+        # left: row-HEAVY but few files (bucket(2): 2 files, 4000 rows)
+        V.write_snapshot(
+            spark.createDataFrame(
+                [(i, "x" * 50) for i in range(4000)],
+                "k: long, v: string"),
+            l, partition_by=["bucket(2,k)"])
+        # right: row-light but file-heavy (bucket(8): 8 tiny files)
+        V.write_snapshot(
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(16)], "j: long, v: string"),
+            r, partition_by=["bucket(8,j)"])
+        out = X.suggest_bucket_alignment(l, r, "k", "j")
+        assert not out["aligned"]
+        # the LIGHT side (right, more files, fewer bytes) re-declares
+        # to the heavy side's count
+        assert out["recommendations"] == [
+            f"declare bucket(2,j) on {r} and OPTIMIZE"]
+
     def test_neither_bucketed_uses_default(self, spark, tmp_path):
         l = self._tbl(spark, str(tmp_path / "l"), "k")
         r = self._tbl(spark, str(tmp_path / "r"), "j")
