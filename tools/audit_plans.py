@@ -59,6 +59,7 @@ ALLOWED_FLAGS: dict[str, set[str]] = {
     "prof_lorenz_skew_users": {"bnl-join"},
     "prof_decile_lift_totalprice": {"bnl-join"},  # 1-row cents-total frame
     "corpus_dedup_then_pack": {"bnl-join"},  # three 1-row stat frames crossed
+    "corpus_assemble_to_shards": {"bnl-join"},  # 1-row index-checksum frame
     "ts_dow_anova_strength": {"bnl-join"},   # two 1-row ANOVA stat frames
     "basket_brand_pairs_lift": {"bnl-join"},  # 1-row basket-count frame
     "rfm_segment_grid": {"bnl-join"},        # 1-row recency-anchor frame
