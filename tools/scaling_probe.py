@@ -67,6 +67,10 @@ HEADLINERS = [
     "scale_time_travel_read",    # TIMESTAMP AS OF read (round-8)
     "mv_cdf_maintenance",        # view maintained from change feed
     "scale_ann_index_incremental",  # persisted ANN index, O(changes) upkeep
+    "scale_cdf_across_rename",   # incremental CDF through rename+drop
+    "scale_cdf_across_widen",    # incremental CDF through a type widen
+    "corpus_pack_epoch_order",   # epoch permutation + two-phase rank
+    "corpus_assemble_to_shards", # dedup->pack->shards->index lane
 ]
 
 TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
@@ -118,6 +122,10 @@ TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
 # generated sf1 tables (documents + orders only — queries needing other
 # tables stay on the driver-provided SFs)
 SF1_QUERIES = [
+    # round-10: incremental CDF through metadata-only ALTERs — the
+    # windowed diff must stay O(changed files) one decade up too
+    "scale_cdf_across_rename",
+    "scale_cdf_across_widen",
     "dedup_jaccard_prefix_filter",
     "dedup_minhash_lsh",
     "dedup_simhash",
