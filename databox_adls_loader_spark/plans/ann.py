@@ -161,40 +161,58 @@ def _apply_index_window(spark: SparkSession, index_dir: str,
         seed=seed, id_col=id_col, vec_col=vec_col)
 
 
-def _index_signed_apply(spark: SparkSession, index_dir: str,
-                        removed_ids: DataFrame, new_vectors: DataFrame,
-                        retire_id: int, upsert_id: int,
-                        dim: int, n_bands: int, planes_per_band: int,
-                        seed: int, id_col: str, vec_col: str
-                        ) -> int | None:
-    """The shared tail of index maintenance (batch watermark loop AND
-    the streaming foreachBatch twin): tombstone removed vectors' band
-    keys (retire phase), band-hash and MERGE the new/updated vectors
-    (upsert phase) — each under its ledger id so a crash-replay re-runs
-    only the phase that did not land.  The retire phase's emptiness
-    check rides inside `delete_where_keys`'s own job (no pre-probe)."""
-    new_rows = band_rows(new_vectors, dim, n_bands, planes_per_band,
-                         seed, id_col, vec_col)
+def _signed_apply(spark: SparkSession, index_dir: str,
+                  dead_keys: DataFrame, new_rows: DataFrame,
+                  retire_id: int, upsert_id: int,
+                  key_col: str) -> int | None:
+    """The shared tail of EVERY persisted-index maintenance (band and
+    IVF, batch watermark loop AND the streaming foreachBatch twin):
+    tombstone retired index keys (retire phase), MERGE the recomputed
+    rows (upsert phase) — each under its ledger id so a crash-replay
+    re-runs only the phase that did not land.  The retire phase's
+    emptiness check rides inside `delete_where_keys`'s own job (no
+    pre-probe)."""
     done = V.committed_batch_ids(index_dir)
     out = None
     if retire_id not in done:
-        dead_keys = (removed_ids
-                     .select(F.col(id_col),
-                             F.explode(F.array(*[F.lit(b)
-                                                 for b in range(n_bands)])
-                                       ).alias("band"))
-                     .select(F.concat_ws(
-                         ":", F.col(id_col).cast("string"),
-                         F.col("band").cast("string")).alias(ANN_KEY)))
-        v_ret, n_ret = V.delete_where_keys(spark, index_dir, ANN_KEY,
+        v_ret, n_ret = V.delete_where_keys(spark, index_dir, key_col,
                                            dead_keys,
                                            batch_ids={retire_id})
         if n_ret:
             out = v_ret
     if upsert_id not in done:
         out = V.merge_into_snapshot(spark, index_dir, new_rows,
-                                    key=ANN_KEY, batch_ids={upsert_id})
+                                    key=key_col, batch_ids={upsert_id})
     return out
+
+
+def _band_dead_keys(removed_ids: DataFrame, n_bands: int,
+                    id_col: str) -> DataFrame:
+    return (removed_ids
+            .select(F.col(id_col),
+                    F.explode(F.array(*[F.lit(b)
+                                        for b in range(n_bands)])
+                              ).alias("band"))
+            .select(F.concat_ws(
+                ":", F.col(id_col).cast("string"),
+                F.col("band").cast("string")).alias(ANN_KEY)))
+
+
+def _index_signed_apply(spark: SparkSession, index_dir: str,
+                        removed_ids: DataFrame, new_vectors: DataFrame,
+                        retire_id: int, upsert_id: int,
+                        dim: int, n_bands: int, planes_per_band: int,
+                        seed: int, id_col: str, vec_col: str
+                        ) -> int | None:
+    """Band-index specialization of `_signed_apply`: a retired vector
+    tombstones its n_bands composite keys, new/updated vectors band-hash
+    and MERGE (a vector's keys are invariant, only buckets change)."""
+    return _signed_apply(
+        spark, index_dir,
+        dead_keys=_band_dead_keys(removed_ids, n_bands, id_col),
+        new_rows=band_rows(new_vectors, dim, n_bands, planes_per_band,
+                           seed, id_col, vec_col),
+        retire_id=retire_id, upsert_id=upsert_id, key_col=ANN_KEY)
 
 
 def maintain_index_stream_batch(batch_df: DataFrame, batch_id: int,
@@ -265,6 +283,137 @@ def maintain_index_stream_batch(batch_df: DataFrame, batch_id: int,
         upsert_id=upsert_id, dim=dim, n_bands=n_bands,
         planes_per_band=planes_per_band, seed=seed, id_col=id_col,
         vec_col=vec_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) persisted index — the same maintenance loop over a
+# cell-assignment table: one row per vector, keyed by the vector id
+# ---------------------------------------------------------------------------
+
+def ivf_centroids(dim: int, k_cells: int, seed: int = 13
+                  ) -> list[list[float]]:
+    """Deterministic FROZEN centroids — the IVF index's identity, like
+    the band planes: reproducible across runs, executors, and the
+    DuckDB oracle (which inlines them as literals).  A production build
+    would train them once (`similarity.kmeans_distributed`) and freeze
+    the result; maintenance NEVER moves centroids — re-training is a
+    new index (rebuild), exactly like a band-geometry change."""
+    return similarity._planes(dim, k_cells, seed)
+
+
+def cell_expr(vec_col, centroids: list[list[float]]):
+    """argmax-dot cell assignment as ONE codegen'd expression: the
+    array-min over (−dot, cell) structs gives the largest dot product
+    with the smallest-cell tiebreak — no UDF, no shuffle, and the same
+    left-to-right float fold the oracle's list_sum performs, so the
+    assignment is bit-reproducible cross-engine."""
+    cands = F.array(*[
+        F.struct((-similarity.dot(vec_col, similarity._query_literal(c))
+                  ).alias("negdot"),
+                 F.lit(i).cast("int").alias("cell"))
+        for i, c in enumerate(centroids)
+    ])
+    return F.array_min(cands).getField("cell")
+
+
+def ivf_rows(df: DataFrame, centroids: list[list[float]],
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """The IVF index content for ``df``: one (id, cell) row per vector —
+    skinny on purpose: probes semi-join candidates back to the base
+    table for the exact rerank, so the index never duplicates the
+    embedding payload."""
+    return df.select(F.col(id_col),
+                     cell_expr(F.col(vec_col), centroids).alias("cell"))
+
+
+def build_ivf_index(spark: SparkSession, index_dir: str, base_dir: str,
+                    dim: int = 64, k_cells: int = 8, seed: int = 13,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> int:
+    """Full IVF build over the base table's LATEST snapshot, committed
+    with the watermark ledger id ``2·v_base + 1`` (see
+    `build_ann_index` — identical resume contract)."""
+    v_base = V.latest_version(base_dir)
+    if v_base is None:
+        raise ValueError(f"base table {base_dir!r} has no versions")
+    rows = ivf_rows(V.read_version(spark, base_dir, v_base),
+                    ivf_centroids(dim, k_cells, seed), id_col, vec_col)
+    return V.write_snapshot(rows, index_dir, mode="overwrite",
+                            batch_ids={2 * v_base + 1})
+
+
+def refresh_ivf_index(spark: SparkSession, index_dir: str, base_dir: str,
+                      dim: int = 64, k_cells: int = 8, seed: int = 13,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> int | None:
+    """Maintain the IVF index from the base table's change feed —
+    `refresh_ann_index`'s twin over the cell-assignment rows: deleted
+    vectors tombstone their (single) index row, inserted/updated
+    vectors re-assign and MERGE.  O(base changes); same
+    pending-window crash recovery; centroids are frozen (pass the
+    build-time geometry)."""
+    v_from = mv_base_watermark(index_dir)
+    if v_from is None:
+        raise ValueError(
+            f"index {index_dir!r} has no base watermark — run "
+            "build_ivf_index first")
+    cents = ivf_centroids(dim, k_cells, seed)
+    out = None
+    v_pend = mv_pending_base_version(index_dir)
+    if v_pend is not None:
+        out = _apply_ivf_window(spark, index_dir, base_dir, v_from,
+                                v_pend, cents, id_col, vec_col)
+        v_from = v_pend
+    v_to = V.latest_version(base_dir)
+    if v_to is None or v_to <= v_from:
+        return out
+    return _apply_ivf_window(spark, index_dir, base_dir, v_from, v_to,
+                             cents, id_col, vec_col)
+
+
+def _apply_ivf_window(spark: SparkSession, index_dir: str, base_dir: str,
+                      v_from: int, v_to: int,
+                      centroids: list[list[float]], id_col: str,
+                      vec_col: str) -> int | None:
+    ch = V.changes_between(spark, base_dir, v_from, v_to, id_col,
+                           incremental=True, emit_preimage=True)
+    ct = F.col("_change_type")
+    return _signed_apply(
+        spark, index_dir,
+        dead_keys=ch.filter(ct == "delete").select(id_col),
+        new_rows=ivf_rows(
+            ch.filter(ct.isin("insert", "update_postimage"))
+            .drop("_change_type"), centroids, id_col, vec_col),
+        retire_id=2 * v_to, upsert_id=2 * v_to + 1, key_col=id_col)
+
+
+def probe_ivf_topk(spark: SparkSession, index_dir: str, base_dir: str,
+                   query: list[float], k: int = 10, nprobe: int = 3,
+                   dim: int = 64, k_cells: int = 8, seed: int = 13,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """IVF top-k THROUGH the persisted index: the query's ``nprobe``
+    nearest cells (by dot, smallest-cell tiebreak — the same ranking
+    `cell_expr` assigns by) are computed driver-side against the frozen
+    centroids, candidates are the index rows in those cells — a literal
+    IN-filter, partition-prunable when the index is committed
+    ``partition_by=["identity(cell)"]`` — then the exact cosine rerank
+    runs on the candidates semi-joined back to the base."""
+    cents = ivf_centroids(dim, k_cells, seed)
+    scored = sorted(((sum(x * y for x, y in zip(query, c)), -i)
+                     for i, c in enumerate(cents)), reverse=True)
+    cells = [-neg_i for _, neg_i in scored[:nprobe]]
+    idx = V.read_version(spark, index_dir)
+    cand = idx.filter(F.col("cell").isin(cells)).select(id_col)
+    base = V.read_version(spark, base_dir)
+    q = similarity._query_literal(query)
+    return (base.join(F.broadcast(cand), id_col, "left_semi")
+            .select(F.col(id_col),
+                    F.round(similarity.cosine(F.col(vec_col), q),
+                            6).alias("sim"))
+            .orderBy(F.desc("sim"), id_col)
+            .limit(k))
 
 
 def probe_topk(spark: SparkSession, index_dir: str, base_dir: str,

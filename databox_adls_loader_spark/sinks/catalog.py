@@ -1,0 +1,296 @@
+"""Multi-table transactional catalog over versioned tables.
+
+A catalog is its own tiny manifest log (the same exclusive-create +
+pointer-hint machinery `sinks/versioned` uses for one table) whose
+entries map table NAME -> (path, pinned version).  One catalog commit
+pins the versions of EVERY table it names, so a transaction spanning
+tables — fact + its materialized view, corpus + its ANN index, packed
+shards + their manifest — becomes atomic for every reader who resolves
+tables THROUGH the catalog:
+
+  * per-table commits land first through the existing table logs
+    (producing versions that exist but are INVISIBLE to catalog
+    readers — exactly like a staged-but-unpublished Iceberg snapshot),
+  * then ONE catalog manifest is exclusive-created pinning all the new
+    versions together.
+
+A crash between the two phases leaves the table logs ahead of the
+catalog: catalog readers keep seeing the old, mutually-consistent pair
+(`catalog_status` surfaces the drift; the next successful transaction
+simply pins past it).  Readers never observe fact-new with view-old.
+
+This is the Nessie / Unity / Iceberg-REST-catalog idea re-expressed on
+the engine's own storage seam — no service, just one more conditional
+put.  Concurrency follows the table rules: catalog commits
+exclusive-create their version file; a loser whose transaction touched
+DISJOINT table names rebases over the winner and retries, an
+overlapping writer gets `ConcurrentCommitError` (the caller must re-run
+its table ops against the new state).  Transactions may carry a
+``txn_id`` ledger entry (carried forward into every later manifest,
+like the streaming batch-id ledger) so a crash-replayed driver re-runs
+as a no-op instead of double-applying.
+
+Reference boundary: the reference's multi-step jobs (copy THEN acl
+apply, `adls_copy_utils.py`) leave the destination observable between
+steps; the catalog is the engine's answer — publish related state in
+one atomic step.
+
+Scale notes (100 TB): a catalog commit writes one small JSON whatever
+the table sizes; resolution is one read of one manifest.  Table-level
+`vacuum` must not reclaim versions an older catalog snapshot still
+pins — `vacuum_table` computes the pinned set across retained catalog
+versions and passes it through `versioned.vacuum(pin_versions=...)`.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import versioned as V
+from .storage import storage_for
+from .versioned import ConcurrentCommitError
+
+
+def _cmdir(st, cat_dir: str) -> str:
+    return st.join(cat_dir, "_catalog")
+
+
+def _cpath(st, cat_dir: str, version: int) -> str:
+    return st.join(_cmdir(st, cat_dir), f"v{version:05d}.json")
+
+
+def catalog_versions(cat_dir: str) -> list[int]:
+    """All retained catalog versions, ascending (manifest set is the
+    authority, same as the table log)."""
+    st = storage_for(cat_dir)
+    return sorted(
+        int(st.basename(p)[1:-5])
+        for p in st.list_glob(st.join(_cmdir(st, cat_dir), "v*.json")))
+
+
+def catalog_latest(cat_dir: str) -> int | None:
+    vs = catalog_versions(cat_dir)
+    return vs[-1] if vs else None
+
+
+def _read_cat_doc(cat_dir: str, version: int) -> dict:
+    st = storage_for(cat_dir)
+    return json.loads(st.read_text(_cpath(st, cat_dir, version)))
+
+
+def catalog_tables(cat_dir: str, version: int | None = None
+                   ) -> dict[str, dict]:
+    """name -> {"path": table_dir, "version": pinned table version} at a
+    catalog snapshot (default latest).  The returned pair set is
+    guaranteed mutually consistent: it was pinned by one commit."""
+    if version is None:
+        version = catalog_latest(cat_dir)
+    if version is None:
+        return {}
+    return dict(_read_cat_doc(cat_dir, version)["tables"])
+
+
+def catalog_txn_ids(cat_dir: str) -> set[str]:
+    """The transaction ledger: every txn_id any retained manifest
+    carries (inherited forward on each commit, so retention cannot lose
+    one that a retained state applied)."""
+    v = catalog_latest(cat_dir)
+    if v is None:
+        return set()
+    return set(_read_cat_doc(cat_dir, v).get("txn_ids", []))
+
+
+def catalog_history(cat_dir: str) -> list[dict]:
+    """Per-catalog-version audit: which tables each commit (re)pinned."""
+    out = []
+    prev: dict[str, dict] = {}
+    for v in catalog_versions(cat_dir):
+        doc = _read_cat_doc(cat_dir, v)
+        tabs = doc["tables"]
+        changed = sorted(n for n in tabs
+                         if prev.get(n) != tabs[n])
+        out.append({"version": v,
+                    "committed_at": doc.get("committed_at"),
+                    "txn_id": doc.get("txn_id"),
+                    "tables": {n: tabs[n]["version"] for n in sorted(tabs)},
+                    "changed": changed})
+        prev = tabs
+    return out
+
+
+def _resolve_op(name: str, spec) -> dict:
+    """One transaction entry -> its pinned {"path", "version"}.
+
+    spec is ``(table_dir, op)`` with op one of
+      * None          — pin the table's CURRENT latest version,
+      * int           — pin that explicit retained version,
+      * callable()    — run the table mutation(s); it returns the new
+                        table version (or None, meaning "pin whatever
+                        latest is now" — e.g. a refresh that was
+                        already current)."""
+    table_dir, op = spec
+    if callable(op):
+        v = op()
+        if v is None:
+            v = V.latest_version(table_dir)
+    elif op is None:
+        v = V.latest_version(table_dir)
+    else:
+        v = int(op)
+    if v is None:
+        raise ValueError(
+            f"catalog txn: table {name!r} at {table_dir!r} has no "
+            "versions to pin")
+    if v not in V.versions(table_dir):
+        raise ValueError(
+            f"catalog txn: version {v} of {name!r} is not retained "
+            f"in {table_dir!r}")
+    return {"path": table_dir, "version": int(v)}
+
+
+def commit_txn(cat_dir: str,
+               ops: dict[str, tuple[str, int | None | Callable[[], int | None]]],
+               txn_id: str | None = None,
+               retries: int = 20) -> int | None:
+    """Atomically (re)pin every table in ``ops`` in ONE catalog commit.
+
+    Phase 1 runs each op (table-level commits land through the normal
+    table logs — visible to direct-path readers, INVISIBLE through the
+    catalog); phase 2 exclusive-creates the next catalog manifest
+    carrying the new pins plus every other table's pin unchanged.
+
+    ``txn_id``: idempotence ledger — when a retained catalog manifest
+    already records it, the whole call is a replay and returns None
+    WITHOUT running any op (the crash-replay contract; same shape as
+    the streaming batch-id ledger).
+
+    Losing the manifest race to a transaction over DISJOINT table
+    names rebases over the winner's pins and retries; an OVERLAPPING
+    winner raises `ConcurrentCommitError` — the caller's table ops were
+    derived from a state that no longer holds, so they must be re-run,
+    not re-pinned.
+
+    Returns the new catalog version."""
+    if txn_id is not None and txn_id in catalog_txn_ids(cat_dir):
+        return None
+    # the state this transaction's ops are ABOUT to be derived from —
+    # any later commit that re-pins one of OUR tables relative to this
+    # snapshot is a lost-update hazard, whether it lands during phase 1
+    # or in the manifest race, and must raise rather than be silently
+    # overwritten
+    base_v0 = catalog_latest(cat_dir)
+    base0 = {} if base_v0 is None else catalog_tables(cat_dir, base_v0)
+    updated = {name: _resolve_op(name, spec)
+               for name, spec in ops.items()}
+    st = storage_for(cat_dir)
+    st.mkdirs(_cmdir(st, cat_dir))
+    for _ in range(retries):
+        cur = catalog_latest(cat_dir)
+        base = {} if cur is None else catalog_tables(cat_dir, cur)
+        ledger = set() if cur is None else \
+            set(_read_cat_doc(cat_dir, cur).get("txn_ids", []))
+        if txn_id is not None and txn_id in ledger:
+            return None                          # landed under our feet
+        clash = sorted(n for n in updated if base.get(n) != base0.get(n))
+        if clash:
+            raise ConcurrentCommitError(
+                f"catalog txn lost the race on table(s) {clash} in "
+                f"{cat_dir!r}; re-run the transaction against the "
+                "new state")
+        doc = {"version": 0 if cur is None else cur + 1,
+               "committed_at": datetime.datetime.now(
+                   datetime.timezone.utc).isoformat(),
+               "tables": {n: {**base, **updated}[n]
+                          for n in sorted({**base, **updated})}}
+        if txn_id is not None:
+            doc["txn_id"] = txn_id
+            ledger = ledger | {txn_id}
+        if ledger:
+            doc["txn_ids"] = sorted(ledger)
+        try:
+            st.create_exclusive(_cpath(st, cat_dir, doc["version"]),
+                                json.dumps(doc, indent=1))
+        except FileExistsError:
+            continue                             # disjoint: rebase+retry
+        st.replace_text(st.join(_cmdir(st, cat_dir), "_latest.json"),
+                        json.dumps({"version": doc["version"]}))
+        return doc["version"]
+    raise ConcurrentCommitError(
+        f"catalog txn in {cat_dir!r} kept losing the manifest race "
+        f"after {retries} rebases")
+
+
+def read_table(spark: SparkSession, cat_dir: str, name: str,
+               catalog_version: int | None = None,
+               **read_kwargs) -> DataFrame:
+    """Read a table AT ITS PINNED VERSION through the catalog (default:
+    latest catalog snapshot) — the only resolution path with cross-table
+    consistency.  Extra kwargs pass through to `versioned.read_version`
+    (predicates/data skipping etc.)."""
+    tabs = catalog_tables(cat_dir, catalog_version)
+    if name not in tabs:
+        raise KeyError(
+            f"table {name!r} not in catalog {cat_dir!r} at version "
+            f"{catalog_version if catalog_version is not None else 'latest'}")
+    ent = tabs[name]
+    return V.read_version(spark, ent["path"], ent["version"],
+                          **read_kwargs)
+
+
+def catalog_status(cat_dir: str) -> list[dict]:
+    """Per-table drift report: pinned catalog version vs the table
+    log's latest.  ``drift > 0`` means table commits landed that no
+    catalog transaction has published yet — the normal signature of a
+    crash between phase 1 and phase 2 (or of a direct-path writer)."""
+    out = []
+    for name, ent in sorted(catalog_tables(cat_dir).items()):
+        latest = V.latest_version(ent["path"])
+        out.append({"name": name, "path": ent["path"],
+                    "pinned": ent["version"], "latest": latest,
+                    "drift": (0 if latest is None
+                              else latest - ent["version"])})
+    return out
+
+
+def pinned_versions(cat_dir: str, name: str) -> set[int]:
+    """Every version of ``name`` pinned by ANY retained catalog
+    version — the set a table-level vacuum must keep for catalog time
+    travel to stay sound."""
+    pins = set()
+    for v in catalog_versions(cat_dir):
+        ent = _read_cat_doc(cat_dir, v)["tables"].get(name)
+        if ent is not None:
+            pins.add(int(ent["version"]))
+    return pins
+
+
+def vacuum_table(cat_dir: str, name: str, **vacuum_kwargs) -> int:
+    """Catalog-aware storage reclaim: `versioned.vacuum` on the named
+    table with every catalog-pinned version exempt from the retention
+    window.  Shrink the pinned set first by vacuuming the CATALOG
+    (`vacuum_catalog`) if old cross-table snapshots are no longer
+    needed."""
+    ent = catalog_tables(cat_dir).get(name)
+    if ent is None:
+        raise KeyError(f"table {name!r} not in catalog {cat_dir!r}")
+    return V.vacuum(ent["path"],
+                    pin_versions=pinned_versions(cat_dir, name),
+                    **vacuum_kwargs)
+
+
+def vacuum_catalog(cat_dir: str, keep_versions: int = 2) -> int:
+    """Drop old catalog manifests (old cross-table snapshots), keeping
+    the newest ``keep_versions``.  Table DATA is untouched — run
+    `vacuum_table` afterwards to reclaim table versions the shrunken
+    pin set no longer protects.  Returns manifests dropped."""
+    st = storage_for(cat_dir)
+    vs = catalog_versions(cat_dir)
+    drop = vs[:-keep_versions] if keep_versions > 0 else vs
+    n = 0
+    for v in drop:
+        n += bool(st.delete(_cpath(st, cat_dir, v)))
+    return n

@@ -2591,14 +2591,17 @@ def compact_small_files(spark: SparkSession, table_dir: str,
 
 
 def vacuum(table_dir: str, keep_versions: int = 2,
-           older_than=None) -> int:
+           older_than=None, pin_versions=None) -> int:
     """Drop retired manifests and delete data files no retained
     manifest references.  Returns the number of data files deleted.
 
     Retention is by COUNT (default: the newest ``keep_versions``) or by
     AGE — ``older_than`` (datetime / ISO string, naive = UTC) keeps
     every version committed at or after it; the LATEST version is
-    always retained regardless.  (At 100 TB this is the storage-reclaim
+    always retained regardless.  ``pin_versions`` (an iterable of
+    version numbers) exempts those versions from either window — the
+    hook multi-table catalogs (`sinks/catalog.vacuum_table`) use to
+    keep catalog-pinned snapshots readable.  (At 100 TB this is the storage-reclaim
     job; it must never run concurrently with a reader pinned to a
     dropped version — the retention window is the standard guard, and
     the age form is how that guard is usually expressed.)
@@ -2636,6 +2639,8 @@ def vacuum(table_dir: str, keep_versions: int = 2,
     # survives any retention window until the tag is dropped — that is
     # the point of a tag
     keep |= set(vs) & set(list_tags(table_dir).values())
+    if pin_versions:
+        keep |= set(vs) & {int(v) for v in pin_versions}
     # canonicalize BOTH sides: manifests store canonical file names, but
     # the caller's table_dir (and hence the listing results) may be
     # relative/non-normalized — a raw string compare would then treat

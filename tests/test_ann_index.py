@@ -269,6 +269,131 @@ class TestStreamMaintenance:
                                                **GEO) is None
 
 
+IVF_GEO = dict(dim=64, k_cells=8, seed=13)
+
+
+def _ivf_rebuilt(spark, emb_dir):
+    return ann.ivf_rows(V.read_version(spark, emb_dir),
+                        ann.ivf_centroids(IVF_GEO["dim"],
+                                          IVF_GEO["k_cells"],
+                                          IVF_GEO["seed"]))
+
+
+@pytest.fixture()
+def ivf_base(spark, sf_dir, tmp_path):
+    emb_dir = str(tmp_path / "emb")
+    index_dir = str(tmp_path / "ivf")
+    V.write_snapshot(_emb(spark, sf_dir), emb_dir)
+    ann.build_ivf_index(spark, index_dir, emb_dir, **IVF_GEO)
+    return emb_dir, index_dir
+
+
+class TestIVFIndex:
+    """The IVF persisted index — same maintenance loop, cell-assignment
+    rows keyed by the vector id itself."""
+
+    def test_build_matches_ivf_rows_and_assignment_is_argmax(
+            self, spark, ivf_base):
+        emb_dir, index_dir = ivf_base
+        idx = V.read_version(spark, index_dir)
+        assert _frames_equal(idx, _ivf_rebuilt(spark, emb_dir))
+        assert mv_base_watermark(index_dir) == V.latest_version(emb_dir)
+        # spot-check the argmax-dot rule against driver-side math
+        cents = ann.ivf_centroids(**IVF_GEO)
+        sample = (V.read_version(spark, emb_dir).limit(20).collect())
+        got = {r["vec_id"]: r["cell"]
+               for r in idx.join(
+                   spark.createDataFrame(
+                       [(r["vec_id"],) for r in sample], "vec_id long"),
+                   "vec_id", "left_semi").collect()}
+        for r in sample:
+            dots = [sum(x * y for x, y in zip(r["embedding"], c))
+                    for c in cents]
+            assert got[r["vec_id"]] == dots.index(max(dots))
+
+    def test_maintained_equals_rebuild_across_commits(self, spark,
+                                                      ivf_base):
+        emb_dir, index_dir = ivf_base
+        vid = F.col("vec_id")
+        emb = V.read_version(spark, emb_dir)
+        V.delete_where_keys(spark, emb_dir, "vec_id",
+                            emb.filter(vid % 6 == 1).select("vec_id"))
+        ann.refresh_ivf_index(spark, index_dir, emb_dir, **IVF_GEO)
+        assert _frames_equal(V.read_version(spark, index_dir),
+                             _ivf_rebuilt(spark, emb_dir))
+        V.upsert_mor(spark, emb_dir,
+                     V.read_version(spark, emb_dir).filter(vid % 4 == 0)
+                     .withColumn("embedding",
+                                 F.transform(F.col("embedding"),
+                                             lambda x: -x)),
+                     key="vec_id")
+        V.write_snapshot(
+            emb.filter(vid % 9 == 0)
+            .select((-(vid + 1)).alias("vec_id"),
+                    F.reverse(F.col("embedding")).alias("embedding")),
+            emb_dir)
+        ann.refresh_ivf_index(spark, index_dir, emb_dir, **IVF_GEO)
+        assert _frames_equal(V.read_version(spark, index_dir),
+                             _ivf_rebuilt(spark, emb_dir))
+        assert mv_base_watermark(index_dir) == V.latest_version(emb_dir)
+
+    def test_crash_between_phases_resumes(self, spark, ivf_base):
+        emb_dir, index_dir = ivf_base
+        vid = F.col("vec_id")
+        emb = V.read_version(spark, emb_dir)
+        V.delete_where_keys(spark, emb_dir, "vec_id",
+                            emb.filter(vid % 6 == 1).select("vec_id"))
+        v_crash = V.latest_version(emb_dir)
+        # crash sim: only the retire phase lands under its ledger id
+        V.delete_where_keys(spark, index_dir, "vec_id",
+                            emb.filter(vid % 6 == 1).select("vec_id"),
+                            batch_ids={2 * v_crash})
+        assert mv_pending_base_version(index_dir) == v_crash
+        V.write_snapshot(
+            emb.filter(vid % 9 == 0)
+            .select((-(vid + 1)).alias("vec_id"),
+                    F.reverse(F.col("embedding")).alias("embedding")),
+            emb_dir)
+        ann.refresh_ivf_index(spark, index_dir, emb_dir, **IVF_GEO)
+        assert mv_pending_base_version(index_dir) is None
+        assert _frames_equal(V.read_version(spark, index_dir),
+                             _ivf_rebuilt(spark, emb_dir))
+
+    def test_refresh_noop_and_unbuilt_raises(self, spark, ivf_base,
+                                             tmp_path):
+        emb_dir, index_dir = ivf_base
+        v = V.latest_version(index_dir)
+        assert ann.refresh_ivf_index(spark, index_dir, emb_dir,
+                                     **IVF_GEO) is None
+        assert V.latest_version(index_dir) == v
+        with pytest.raises(ValueError, match="no base watermark"):
+            ann.refresh_ivf_index(spark, str(tmp_path / "virgin"),
+                                  emb_dir, **IVF_GEO)
+
+    def test_probe_candidates_are_exactly_the_probed_cells(
+            self, spark, ivf_base):
+        emb_dir, index_dir = ivf_base
+        query = list(V.read_version(spark, emb_dir)
+                     .filter(F.col("vec_id") == 2)
+                     .select("embedding").first()["embedding"])
+        cents = ann.ivf_centroids(**IVF_GEO)
+        dots = [(sum(x * y for x, y in zip(query, c)), -i)
+                for i, c in enumerate(cents)]
+        cells = {-ni for _, ni in sorted(dots, reverse=True)[:3]}
+        # k far above the corpus size: the probe returns EVERY candidate
+        # (TakeOrdered's heap is k-bounded, so keep k realistic)
+        got = ann.probe_ivf_topk(spark, index_dir, emb_dir, query,
+                                 k=50_000, nprobe=3, **IVF_GEO)
+        cand = {r["vec_id"] for r in got.collect()}
+        in_cells = {r["vec_id"]
+                    for r in V.read_version(spark, index_dir).collect()
+                    if r["cell"] in cells}
+        assert cand == in_cells
+        # the query's own cell is its top-ranked probe cell, so the
+        # query vector is always a candidate
+        assert 2 in cand
+
+
 def test_refresh_survives_index_compaction(spark, base):
     """An incremental OPTIMIZE of the INDEX table (small-file
     compaction, ledger inherited) must not disturb the watermark or the

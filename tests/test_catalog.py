@@ -1,0 +1,220 @@
+"""Multi-table transactional catalog (`sinks/catalog.py`).
+
+Covers the cross-table atomicity contract: one catalog commit pins
+every named table's version together; a crash between a table commit
+and the catalog commit leaves catalog readers on the old consistent
+pair; disjoint concurrent transactions rebase, overlapping ones raise;
+the txn ledger makes crash-replays no-ops; and table-level vacuum keeps
+catalog-pinned versions alive.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from databox_adls_loader_spark.sinks import catalog as C
+from databox_adls_loader_spark.sinks import versioned as V
+from databox_adls_loader_spark.sinks.versioned import ConcurrentCommitError
+
+
+def _mk(spark, tmp_path, name, rows):
+    d = str(tmp_path / name)
+    V.write_snapshot(spark.createDataFrame(rows, "k int, v int"), d)
+    return d
+
+
+def _rows(df):
+    return sorted((r.k, r.v) for r in df.collect())
+
+
+class TestBasics:
+    def test_register_and_read_through_catalog(self, spark, tmp_path):
+        cat = str(tmp_path / "cat")
+        fact = _mk(spark, tmp_path, "fact", [(1, 10), (2, 20)])
+        v = C.commit_txn(cat, {"fact": (fact, None)})
+        assert v == 0
+        assert _rows(C.read_table(spark, cat, "fact")) == [(1, 10), (2, 20)]
+        assert C.catalog_tables(cat)["fact"]["version"] == \
+            V.latest_version(fact)
+
+    def test_unknown_table_raises(self, spark, tmp_path):
+        cat = str(tmp_path / "cat")
+        fact = _mk(spark, tmp_path, "fact", [(1, 10)])
+        C.commit_txn(cat, {"fact": (fact, None)})
+        with pytest.raises(KeyError):
+            C.read_table(spark, cat, "nope")
+
+    def test_pin_explicit_version_and_unretained_refused(
+            self, spark, tmp_path):
+        cat = str(tmp_path / "cat")
+        fact = _mk(spark, tmp_path, "fact", [(1, 10)])
+        v1 = V.write_snapshot(
+            spark.createDataFrame([(2, 20)], "k int, v int"), fact)
+        C.commit_txn(cat, {"fact": (fact, v1 - 1)})
+        assert _rows(C.read_table(spark, cat, "fact")) == [(1, 10)]
+        with pytest.raises(ValueError, match="not retained"):
+            C.commit_txn(cat, {"fact": (fact, 99)})
+
+
+class TestAtomicity:
+    def _pair(self, spark, tmp_path):
+        """fact + derived (sum of v per k parity) registered in one txn."""
+        cat = str(tmp_path / "cat")
+        fact = _mk(spark, tmp_path, "fact",
+                   [(k, 10 * k) for k in range(1, 7)])
+
+        def derived_of(version):
+            return (V.read_version(spark, fact, version)
+                    .groupBy((F.col("k") % 2).cast("int").alias("k"))
+                    .agg(F.sum("v").cast("int").alias("v")))
+
+        der = str(tmp_path / "derived")
+
+        def build():
+            return V.write_snapshot(derived_of(V.latest_version(fact)),
+                                    der, mode="overwrite")
+
+        C.commit_txn(cat, {"fact": (fact, None), "derived": (der, build)})
+        return cat, fact, der, derived_of
+
+    def test_txn_pins_both_and_time_travel_sees_old_pair(
+            self, spark, tmp_path):
+        cat, fact, der, derived_of = self._pair(spark, tmp_path)
+        v_cat0 = C.catalog_latest(cat)
+
+        def mutate():
+            V.delete_where_keys(spark, fact, "k", [1, 2])
+            return V.latest_version(fact)
+
+        def rebuild():
+            return V.write_snapshot(
+                derived_of(V.latest_version(fact)), der, mode="overwrite")
+
+        C.commit_txn(cat, {"fact": (fact, mutate), "derived": (der, rebuild)})
+        # new snapshot: both sides agree on the post-delete state
+        live = _rows(C.read_table(spark, cat, "fact")
+                     .groupBy((F.col("k") % 2).cast("int").alias("k"))
+                     .agg(F.sum("v").cast("int").alias("v")))
+        assert live == _rows(C.read_table(spark, cat, "derived"))
+        # time travel: the OLD catalog version still yields the OLD pair
+        old_fact = _rows(C.read_table(spark, cat, "fact",
+                                      catalog_version=v_cat0)
+                         .groupBy((F.col("k") % 2).cast("int").alias("k"))
+                         .agg(F.sum("v").cast("int").alias("v")))
+        assert old_fact == _rows(C.read_table(spark, cat, "derived",
+                                              catalog_version=v_cat0))
+        assert old_fact != live
+
+    def test_crash_between_phases_is_invisible_through_catalog(
+            self, spark, tmp_path):
+        cat, fact, der, derived_of = self._pair(spark, tmp_path)
+        before = _rows(C.read_table(spark, cat, "fact"))
+        # phase-1 lands, phase-2 (catalog commit) never does
+        V.write_snapshot(spark.createDataFrame([(99, 999)], "k int, v int"),
+                         fact)
+        assert _rows(C.read_table(spark, cat, "fact")) == before
+        drift = {s["name"]: s["drift"] for s in C.catalog_status(cat)}
+        assert drift == {"fact": 1, "derived": 0}
+        # the next successful txn publishes past the orphan
+        C.commit_txn(cat, {"fact": (fact, None)})
+        assert (99, 999) in _rows(C.read_table(spark, cat, "fact"))
+
+    def test_history_reports_changed_tables(self, spark, tmp_path):
+        cat, fact, der, _ = self._pair(spark, tmp_path)
+        V.write_snapshot(spark.createDataFrame([(9, 90)], "k int, v int"),
+                         fact)
+        C.commit_txn(cat, {"fact": (fact, None)}, txn_id="t2")
+        h = C.catalog_history(cat)
+        assert [e["changed"] for e in h] == [["derived", "fact"], ["fact"]]
+        assert h[-1]["txn_id"] == "t2"
+
+
+class TestConcurrencyAndReplay:
+    def test_disjoint_interleave_rebases(self, spark, tmp_path):
+        cat = str(tmp_path / "cat")
+        a = _mk(spark, tmp_path, "a", [(1, 1)])
+        b = _mk(spark, tmp_path, "b", [(2, 2)])
+        C.commit_txn(cat, {"a": (a, None), "b": (b, None)})
+
+        def op():
+            # an interleaved writer publishes a new pin for `b` AFTER
+            # our phase 1 ran but BEFORE our catalog commit
+            V.write_snapshot(spark.createDataFrame([(3, 3)],
+                                                   "k int, v int"), b)
+            C.commit_txn(cat, {"b": (b, None)})
+            return V.write_snapshot(
+                spark.createDataFrame([(4, 4)], "k int, v int"), a)
+
+        v = C.commit_txn(cat, {"a": (a, op)})
+        assert v == C.catalog_latest(cat)
+        tabs = C.catalog_tables(cat)
+        # both the winner's pin and ours survive
+        assert tabs["b"]["version"] == V.latest_version(b)
+        assert tabs["a"]["version"] == V.latest_version(a)
+
+    def test_overlapping_interleave_raises(self, spark, tmp_path):
+        cat = str(tmp_path / "cat")
+        a = _mk(spark, tmp_path, "a", [(1, 1)])
+        C.commit_txn(cat, {"a": (a, None)})
+
+        def op():
+            V.write_snapshot(spark.createDataFrame([(5, 5)],
+                                                   "k int, v int"), a)
+            C.commit_txn(cat, {"a": (a, None)})   # interleaved SAME table
+            return V.write_snapshot(
+                spark.createDataFrame([(6, 6)], "k int, v int"), a)
+
+        with pytest.raises(ConcurrentCommitError, match="re-run"):
+            C.commit_txn(cat, {"a": (a, op)})
+
+    def test_txn_id_replay_is_a_noop_and_runs_no_ops(self, spark, tmp_path):
+        cat = str(tmp_path / "cat")
+        a = _mk(spark, tmp_path, "a", [(1, 1)])
+        calls = []
+
+        def op():
+            calls.append(1)
+            return V.write_snapshot(
+                spark.createDataFrame([(7, 7)], "k int, v int"), a)
+
+        assert C.commit_txn(cat, {"a": (a, op)}, txn_id="tx-7") == 0
+        assert C.commit_txn(cat, {"a": (a, op)}, txn_id="tx-7") is None
+        assert calls == [1]
+        # the ledger is carried forward by later commits
+        C.commit_txn(cat, {"a": (a, None)}, txn_id="tx-8")
+        assert C.catalog_txn_ids(cat) == {"tx-7", "tx-8"}
+        assert C.commit_txn(cat, {"a": (a, op)}, txn_id="tx-7") is None
+
+
+class TestVacuumComposition:
+    def test_vacuum_table_keeps_catalog_pinned_versions(
+            self, spark, tmp_path):
+        cat = str(tmp_path / "cat")
+        t = _mk(spark, tmp_path, "t", [(1, 1)])
+        C.commit_txn(cat, {"t": (t, None)})          # pins v1
+        v_cat0 = C.catalog_latest(cat)
+        for i in range(2, 6):
+            V.write_snapshot(spark.createDataFrame([(i, i)],
+                                                   "k int, v int"), t)
+        C.commit_txn(cat, {"t": (t, None)})          # pins v5
+        # keep_versions=1 would normally drop v1..v4; the catalog pin
+        # on v1 must survive
+        C.vacuum_table(cat, "t", keep_versions=1)
+        assert _rows(C.read_table(spark, cat, "t",
+                                  catalog_version=v_cat0)) == [(1, 1)]
+        assert 1 in V.versions(t) and 5 in V.versions(t)
+        assert {2, 3, 4} & set(V.versions(t)) == set()
+        # shrinking the catalog releases the pin
+        assert C.vacuum_catalog(cat, keep_versions=1) == 1
+        C.vacuum_table(cat, "t", keep_versions=1)
+        assert V.versions(t) == [5]
+
+    def test_plain_vacuum_pin_versions_param(self, spark, tmp_path):
+        t = _mk(spark, tmp_path, "t", [(1, 1)])
+        for i in range(2, 5):
+            V.write_snapshot(spark.createDataFrame([(i, i)],
+                                                   "k int, v int"), t)
+        V.vacuum(t, keep_versions=1, pin_versions={2})
+        assert set(V.versions(t)) == {2, 4}
+        assert _rows(V.read_version(spark, t, 2)) == [(1, 1), (2, 2)]
