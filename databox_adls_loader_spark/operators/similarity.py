@@ -483,6 +483,71 @@ def quantize_int8_stats(emb: DataFrame, vec_col: str = "embedding",
     )
 
 
+def binary_code_word(vec_col: Column, word: int,
+                     bits_per_word: int = 32) -> Column:
+    """Word ``word`` of the 1-bit (sign) quantization of a vector: bit
+    i of the word is 1 iff component ``word·bpw + i`` ≥ 0, packed into
+    a long — the 32× compression stage of a binary ANN index (BQ /
+    Hamming retrieval), entirely in whole-stage codegen.  2^i is an
+    exact double for i < 53, so the `pow`-then-cast packing is
+    bit-portable (same trick as `_bucket_expr`'s shifts)."""
+    return F.aggregate(
+        F.transform(
+            F.slice(vec_col, word * bits_per_word + 1, bits_per_word),
+            lambda x, i: F.when(
+                x.cast("double") >= 0,
+                F.pow(F.lit(2.0), i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def binary_codes(emb: DataFrame, dim: int, bits_per_word: int = 32,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """Per-vector binary code as ``ceil(dim / bpw)`` long columns
+    ``w0..w{n-1}`` — one map-side projection, no shuffle.  At 100 TB
+    this relation (8 bytes per 32 dims) is what stays hot; the float
+    embeddings page in only for the exact rerank of a few candidates."""
+    n_words = (dim + bits_per_word - 1) // bits_per_word
+    return emb.select(
+        F.col(id_col),
+        *[binary_code_word(F.col(vec_col), j, bits_per_word)
+          .alias(f"w{j}") for j in range(n_words)])
+
+
+def binary_code_of(vec: list[float], dim: int,
+                   bits_per_word: int = 32) -> list[int]:
+    """Driver-side twin of `binary_codes` for query literals."""
+    n_words = (dim + bits_per_word - 1) // bits_per_word
+    words = [0] * n_words
+    for i, v in enumerate(vec[:dim]):
+        if float(v) >= 0:
+            words[i // bits_per_word] |= 1 << (i % bits_per_word)
+    return words
+
+
+def topk_hamming(emb: DataFrame, query: list[float], k: int = 10,
+                 dim: int = 64, bits_per_word: int = 32,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """Binary (sign-quantized) top-k by Hamming distance: xor +
+    bit_count per word, summed — pure integer codegen over the packed
+    codes, a TakeOrdered tail, no shuffle before it.  Hamming over sign
+    bits is the standard 32×-compressed first stage; callers rerank the
+    shortlist with exact cosine on the float vectors.  Ties break by
+    id."""
+    codes = binary_codes(emb, dim, bits_per_word, vec_col, id_col)
+    qw = binary_code_of(query, dim, bits_per_word)
+    dist = None
+    for j, q in enumerate(qw):
+        d = F.bit_count(F.col(f"w{j}").bitwiseXOR(F.lit(q).cast("long")))
+        dist = d if dist is None else dist + d
+    return (codes.select(F.col(id_col),
+                         dist.cast("int").alias("hamming"))
+            .orderBy("hamming", id_col)
+            .limit(k))
+
+
 def hard_negatives(emb: DataFrame, k: int = 3, label_col: str = "label",
                    vec_col: str = "embedding", id_col: str = "vec_id",
                    n_blocks: int = 8) -> DataFrame:

@@ -824,3 +824,64 @@ def test_contamination_overlap_ratio_exact_ppm(spark):
     assert 2 not in out            # zero overlap never reported
     assert out[1]["n_grams"] == 4 and out[1]["n_shared"] == 2
     assert out[1]["overlap_ppm"] == 500_000
+
+
+def test_binary_codes_match_python_twin_and_planted_neighbor(spark):
+    """1-bit quantization: Spark's packed words equal the driver-side
+    twin bit-for-bit, a planted sign-identical vector sits at Hamming 0,
+    a planted near-copy (3 flipped signs) at exactly 3, and an
+    orthogonal-sign vector at dim — so Hamming ranks the planted
+    neighborhood correctly."""
+    import random
+
+    from databox_adls_loader_spark.operators.similarity import (
+        binary_code_of, binary_codes, topk_hamming)
+
+    rng = random.Random(5)
+    base = [rng.gauss(0, 1) or 0.1 for _ in range(64)]
+    twin = [v + (0.01 if v >= 0 else -0.01) for v in base]  # same signs
+    near = list(base)
+    for i in (3, 17, 40):
+        near[i] = -near[i] if near[i] != 0 else -0.1
+    anti = [-v if v != 0 else -0.1 for v in base]
+    noise = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(20)]
+    rows = [(0, base), (1, twin), (2, near), (3, anti)] + [
+        (10 + i, v) for i, v in enumerate(noise)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    codes = {r["vec_id"]: (r["w0"], r["w1"])
+             for r in binary_codes(emb, 64).collect()}
+    for vid, vec in rows:
+        assert codes[vid] == tuple(binary_code_of(vec, 64)), vid
+
+    top = topk_hamming(emb, base, k=4, dim=64).collect()
+    d = {r["vec_id"]: r["hamming"] for r in top}
+    assert d[0] == 0 and d[1] == 0          # sign-identical
+    assert d[2] == 3                        # exactly the flipped bits
+    assert 3 not in d                       # the antipode is ranked last
+    full = {r["vec_id"]: r["hamming"]
+            for r in topk_hamming(emb, base, k=100, dim=64).collect()}
+    assert full[3] == 64
+
+
+def test_binary_hamming_rerank_recall_floor(spark, sf_dir):
+    """The two-stage pattern on real embeddings: Hamming shortlist
+    (top-50 of the packed codes) reranked by exact cosine must keep
+    most of the true cosine top-10 — the compression-for-recall trade
+    a binary first stage is deployed on."""
+    from databox_adls_loader_spark.operators.similarity import (
+        topk_bruteforce, topk_hamming)
+    from databox_adls_loader_spark.session import load_tables
+    from pyspark.sql import functions as F
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"] \
+        .select("vec_id", "embedding")
+    q = list(emb.filter(F.col("vec_id") == 3).first()["embedding"])
+    short = topk_hamming(emb, q, k=50, dim=64)
+    rerank = (emb.join(short.select("vec_id"), "vec_id", "left_semi"))
+    got = {r["vec_id"] for r in topk_bruteforce(rerank, q, k=10).collect()}
+    exact = {r["vec_id"] for r in topk_bruteforce(emb, q, k=10).collect()}
+    assert 3 in got
+    # random (clusterless) vectors: sign-bit Hamming still correlates
+    # with cosine, so a 5× shortlist keeps at least half the true top-10
+    assert len(got & exact) >= 5
