@@ -257,6 +257,45 @@ def _cmd_query(args) -> int:
 
 
 
+def _cmd_catalog(args) -> int:
+    """`catalog pin|status|history|tables|read|vacuum` — the
+    multi-table transactional catalog (sinks/catalog.py) as a CLI
+    surface.  Only `read` needs a Spark session; everything else is
+    manifest-plane JSON."""
+    import json
+
+    from .sinks import catalog as C
+
+    if args.verb == "pin":
+        v = C.commit_txn(args.cat_dir,
+                         {args.name: (args.table_dir, args.version)},
+                         txn_id=args.txn_id)
+        print(json.dumps({"catalog_version": v,
+                          "replayed": v is None}))
+    elif args.verb == "status":
+        print(json.dumps(C.catalog_status(args.cat_dir), indent=1))
+    elif args.verb == "history":
+        print(json.dumps(C.catalog_history(args.cat_dir), indent=1))
+    elif args.verb == "tables":
+        print(json.dumps(C.catalog_tables(args.cat_dir, args.version),
+                         indent=1))
+    elif args.verb == "vacuum":
+        if args.name:
+            n = C.vacuum_table(args.cat_dir, args.name,
+                               keep_versions=args.keep)
+            print(json.dumps({"table": args.name, "files_deleted": n}))
+        else:
+            n = C.vacuum_catalog(args.cat_dir, keep_versions=args.keep)
+            print(json.dumps({"catalog_manifests_dropped": n}))
+    else:                                  # read
+        spark = _spark("catalog-read")
+        df = C.read_table(spark, args.cat_dir, args.name,
+                          catalog_version=args.version)
+        for r in df.limit(args.n).collect():
+            print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
 def _cmd_ann(args) -> int:
     """`ann build|refresh|probe` — the persisted band index as a CLI
     surface: build once, refresh O(changes) after base commits, probe
@@ -448,6 +487,41 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--query-id", type=int, required=True)
             sp.add_argument("-k", type=int, default=10)
         sp.set_defaults(fn=_cmd_ann)
+
+    ca = sub.add_parser("catalog",
+                        help="multi-table transactional catalog: pin, "
+                             "status, history, tables, read, vacuum")
+    cv = ca.add_subparsers(dest="verb", required=True)
+    for verb, help_ in [
+            ("pin", "one-table txn: pin a table's version in the catalog"),
+            ("status", "per-table drift: pinned vs table-log latest"),
+            ("history", "catalog commits and which tables each re-pinned"),
+            ("tables", "name -> (path, pinned version) at a snapshot"),
+            ("read", "read a table AT ITS PINNED version"),
+            ("vacuum", "drop old catalog snapshots, or catalog-aware "
+                       "table vacuum (--name keeps pinned versions)")]:
+        sp = cv.add_parser(verb, help=help_)
+        sp.add_argument("cat_dir")
+        sp.set_defaults(fn=_cmd_catalog)
+        if verb == "pin":
+            sp.add_argument("name")
+            sp.add_argument("table_dir")
+            sp.add_argument("-v", "--version", type=int,
+                            help="explicit table version (default latest)")
+            sp.add_argument("--txn-id", help="idempotence ledger id")
+        elif verb == "tables":
+            sp.add_argument("-v", "--version", type=int,
+                            help="catalog version (default latest)")
+        elif verb == "read":
+            sp.add_argument("name")
+            sp.add_argument("-v", "--version", type=int,
+                            help="catalog version (default latest)")
+            sp.add_argument("-n", type=int, default=20)
+        elif verb == "vacuum":
+            sp.add_argument("--name",
+                            help="table to vacuum (omit: vacuum the "
+                                 "catalog manifests themselves)")
+            sp.add_argument("--keep", type=int, default=2)
 
     q = sub.add_parser("query", help="run a registry query")
     q.add_argument("name")

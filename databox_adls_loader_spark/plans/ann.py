@@ -244,6 +244,36 @@ def maintain_index_stream_batch(batch_df: DataFrame, batch_id: int,
     ids or by `refresh_ann_index`'s watermark ids, never both (one
     writer per index — the ledger's standing assumption).  Returns the
     index's new version (None: replay/empty-batch no-op)."""
+    return _maintain_stream_batch(
+        batch_df, batch_id, index_dir, id_col,
+        rows_of=lambda df: band_rows(df, dim, n_bands, planes_per_band,
+                                     seed, id_col, vec_col),
+        dead_keys_of=lambda ids: _band_dead_keys(ids, n_bands, id_col),
+        key_col=ANN_KEY)
+
+
+def maintain_ivf_index_stream_batch(batch_df: DataFrame, batch_id: int,
+                                    index_dir: str, dim: int = 64,
+                                    k_cells: int = 8, seed: int = 13,
+                                    id_col: str = "vec_id",
+                                    vec_col: str = "embedding"
+                                    ) -> int | None:
+    """STREAMING maintenance of the persisted IVF index — the push
+    twin of `refresh_ivf_index`, wired exactly like
+    `maintain_index_stream_batch` (same change-feed source, same
+    foreachBatch shape, same 2b/2b+1 ledger and one-writer rule)."""
+    cents = ivf_centroids(dim, k_cells, seed)
+    return _maintain_stream_batch(
+        batch_df, batch_id, index_dir, id_col,
+        rows_of=lambda df: ivf_rows(df, cents, id_col, vec_col),
+        dead_keys_of=lambda ids: ids,
+        key_col=id_col)
+
+
+def _maintain_stream_batch(batch_df: DataFrame, batch_id: int,
+                           index_dir: str, id_col: str, *,
+                           rows_of, dead_keys_of,
+                           key_col: str) -> int | None:
     from pyspark.sql.window import Window
 
     spark = batch_df.sparkSession
@@ -255,7 +285,7 @@ def maintain_index_stream_batch(batch_df: DataFrame, batch_id: int,
     # first: latest commit wins, and within one commit an update's
     # delete(old)+insert(new) pair nets to the insert — applying the
     # raw rows instead would resurrect a deleted vector's v1 image or
-    # band-hash a stale preimage
+    # re-index a stale preimage
     ver = (F.col("_commit_version") if "_commit_version"
            in batch_df.columns else F.lit(0))
     w = Window.partitionBy(id_col).orderBy(
@@ -268,8 +298,7 @@ def maintain_index_stream_batch(batch_df: DataFrame, batch_id: int,
     if V.latest_version(index_dir) is None:
         # bootstrap: the first batch IS the index, recorded under the
         # upsert-phase id so a crash-replay skips the merge phase
-        rows = band_rows(ins, dim, n_bands, planes_per_band, seed,
-                         id_col, vec_col)
+        rows = rows_of(ins)
         if not rows.limit(1).count():
             return None
         ok = V.commit_stream_batch(rows, upsert_id, index_dir,
@@ -277,12 +306,12 @@ def maintain_index_stream_batch(batch_df: DataFrame, batch_id: int,
         return V.latest_version(index_dir) if ok else None
     if not ins.limit(1).count() and not dels.limit(1).count():
         return None                      # empty batch: no version churn
-    return _index_signed_apply(
-        spark, index_dir, removed_ids=dels.select(id_col),
-        new_vectors=ins, retire_id=2 * int(batch_id),
-        upsert_id=upsert_id, dim=dim, n_bands=n_bands,
-        planes_per_band=planes_per_band, seed=seed, id_col=id_col,
-        vec_col=vec_col)
+    return _signed_apply(
+        spark, index_dir,
+        dead_keys=dead_keys_of(dels.select(id_col)),
+        new_rows=rows_of(ins),
+        retire_id=2 * int(batch_id), upsert_id=upsert_id,
+        key_col=key_col)
 
 
 # ---------------------------------------------------------------------------

@@ -394,6 +394,66 @@ class TestIVFIndex:
         assert 2 in cand
 
 
+class TestIVFStreamMaintenance:
+    def test_stream_maintained_ivf_equals_rebuild(self, spark, sf_dir,
+                                                  tmp_path):
+        """`ann.maintain_ivf_index_stream_batch` off the change-feed
+        stream: bootstrap + a lumped delete/upsert drain tracks the
+        rebuild, and a replayed batch is a no-op."""
+        from databox_adls_loader_spark.sources.vtable_stream import \
+            register_vtable_stream
+
+        register_vtable_stream(spark)
+        emb_dir = str(tmp_path / "emb")
+        index_dir = str(tmp_path / "ivf")
+        ck = str(tmp_path / "ck")
+        emb = _emb(spark, sf_dir)
+        vid = F.col("vec_id")
+        V.write_snapshot(emb, emb_dir)                          # v1
+        V.delete_where_keys(spark, emb_dir, "vec_id",
+                            emb.filter(vid % 6 == 1)
+                            .select("vec_id"))                  # v2
+        V.upsert_mor(spark, emb_dir,
+                     V.read_version(spark, emb_dir)
+                     .filter(vid % 4 == 0)
+                     .withColumn("embedding",
+                                 F.transform(F.col("embedding"),
+                                             lambda x: -x)),
+                     key="vec_id")                              # v3
+
+        def on_batch(df, bid):
+            ann.maintain_ivf_index_stream_batch(df, bid, index_dir,
+                                                **IVF_GEO)
+
+        q = (spark.readStream.format("vtable_stream")
+             .option("path", emb_dir)
+             .option("readchangefeed", "true")
+             .load().writeStream.foreachBatch(on_batch)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        assert _frames_equal(V.read_version(spark, index_dir),
+                             _ivf_rebuilt(spark, emb_dir))
+
+    def test_ivf_stream_batch_replay_is_noop(self, spark, sf_dir,
+                                             tmp_path):
+        emb_dir = str(tmp_path / "emb")
+        index_dir = str(tmp_path / "ivf")
+        emb = _emb(spark, sf_dir).limit(50)
+        V.write_snapshot(emb, emb_dir)
+        feed = (V.read_version(spark, emb_dir)
+                .withColumn("_change_type", F.lit("insert")))
+        assert ann.maintain_ivf_index_stream_batch(
+            feed, 0, index_dir, **IVF_GEO) is not None
+        n = V.read_version(spark, index_dir).count()
+        ann.maintain_ivf_index_stream_batch(feed, 0, index_dir,
+                                            **IVF_GEO)
+        assert V.read_version(spark, index_dir).count() == n
+        empty = feed.filter(F.lit(False))
+        assert ann.maintain_ivf_index_stream_batch(
+            empty, 1, index_dir, **IVF_GEO) is None
+
+
 def test_refresh_survives_index_compaction(spark, base):
     """An incremental OPTIMIZE of the INDEX table (small-file
     compaction, ledger inherited) must not disturb the watermark or the

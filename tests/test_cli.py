@@ -319,3 +319,52 @@ def test_cli_ann_index_lifecycle(spark, tmp_path, capsys):
                  "--query-id", "7", "-k", "5"]) == 0
     got = json.loads(capsys.readouterr().out.strip())
     assert got[0] == {"vec_id": 7, "sim": 1.0} and len(got) <= 5
+
+
+def test_cli_catalog_lifecycle(spark, tmp_path, capsys):
+    """catalog pin → status/history/tables → read → vacuum through the
+    CLI verbs (sinks/catalog.py surface)."""
+    from databox_adls_loader_spark.sinks import versioned as V
+
+    t = str(tmp_path / "t")
+    cat = str(tmp_path / "cat")
+    V.write_snapshot(spark.createDataFrame([(1, 10), (2, 20)],
+                                           "k int, v int"), t)
+
+    assert main(["catalog", "pin", cat, "t", t, "--txn-id", "tx1"]) == 0
+    assert json.loads(capsys.readouterr().out.strip()) == {
+        "catalog_version": 0, "replayed": False}
+    # replay is a no-op
+    assert main(["catalog", "pin", cat, "t", t, "--txn-id", "tx1"]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["replayed"] is True
+
+    # a table commit the catalog has not published
+    V.write_snapshot(spark.createDataFrame([(3, 30)], "k int, v int"), t)
+    assert main(["catalog", "status", cat]) == 0
+    st = json.loads(capsys.readouterr().out.strip())
+    assert st[0]["name"] == "t" and st[0]["drift"] == 1
+
+    assert main(["catalog", "read", cat, "t"]) == 0
+    rows = [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    assert sorted((r["k"], r["v"]) for r in rows) == [(1, 10), (2, 20)]
+
+    assert main(["catalog", "pin", cat, "t", t]) == 0
+    capsys.readouterr()
+    assert main(["catalog", "history", cat]) == 0
+    hist = json.loads(capsys.readouterr().out.strip())
+    assert [h["version"] for h in hist] == [0, 1]
+    assert hist[0]["txn_id"] == "tx1"
+
+    assert main(["catalog", "tables", cat, "-v", "0"]) == 0
+    tabs = json.loads(capsys.readouterr().out.strip())
+    assert tabs["t"]["version"] == 1
+
+    assert main(["catalog", "vacuum", cat, "--keep", "1"]) == 0
+    assert json.loads(capsys.readouterr().out.strip()) == {
+        "catalog_manifests_dropped": 1}
+    assert main(["catalog", "vacuum", cat, "--name", "t",
+                 "--keep", "1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["table"] == "t"
+    assert V.versions(t) == [2]
