@@ -490,6 +490,254 @@ def emb_binary_code_density(spark: SparkSession,
 
 
 # ---------------------------------------------------------------------------
+# analytics widening: order aging, nation trade matrix, interarrival,
+# user regularity
+# ---------------------------------------------------------------------------
+
+@register(
+    "ord_open_pipeline_aging",
+    oracle="""
+    SELECT o_orderstatus,
+           (DATE '2001-08-02' - CAST(o_orderdate AS DATE)) // 30
+             AS age_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS rev
+    FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=["aggregate", "orders", "ops"],
+)
+def ord_open_pipeline_aging(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Order-pipeline AGING report: per status, 30-day age buckets
+    anchored just past the dataset horizon (2001-08-02, all gaps
+    non-negative so integer bucketing agrees across engines) with count and
+    exact-decimal revenue — the backlog-burndown view an ops team reads
+    (how much value sits in 'O' and how stale is it).  Map-side bucket
+    math + one small aggregate; at 100 TB the scan prunes to
+    (status, date) zone maps when the table is date-clustered."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    age = F.datediff(F.lit("2001-08-02").cast("date"),
+                     F.col("o_orderdate").cast("date"))
+    return (orders
+            .groupBy("o_orderstatus",
+                     F.floor(age / 30).cast("long").alias("age_bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("rev"))
+            .orderBy("o_orderstatus", "age_bucket"))
+
+
+@register(
+    "sup_cust_nation_trade_matrix",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=["join", "aggregate", "tpch-shaped"],
+)
+def sup_cust_nation_trade_matrix(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The FULL customer-nation × supplier-nation trade matrix (TPC-H
+    Q7 generalized from one nation pair to all N²): line count and
+    exact-decimal volume per ordered pair — the mixing-weight /
+    route-imbalance view.  One fact-fact equi join (lineitem⨝orders —
+    bucketable on orderkey at 100 TB) then three broadcast dim hops;
+    output is N²-bounded (≤625 rows) however large the facts."""
+    li, orders, cust, supp, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier",
+        "nation")
+    cn = nation.select(F.col("n_nationkey").alias("c_nk"),
+                       F.col("n_name").alias("cust_nation"))
+    sn = nation.select(F.col("n_nationkey").alias("s_nk"),
+                       F.col("n_name").alias("supp_nation"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(cn), cust.c_nationkey == cn.c_nk)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(sn), supp.s_nationkey == sn.s_nk)
+            .groupBy("cust_nation", "supp_nation")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                 .cast("double").alias("volume"))
+            .orderBy("cust_nation", "supp_nation"))
+
+
+@register(
+    "cust_order_interarrival_hist",
+    oracle="""
+    WITH g AS (
+      SELECT LEAD(CAST(o_orderdate AS DATE)) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey)
+             - CAST(o_orderdate AS DATE) AS gap
+      FROM orders)
+    SELECT gap // 7 AS gap_weeks, COUNT(*) AS n,
+           CAST(SUM(gap) AS BIGINT) AS total_gap_days
+    FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1
+    """,
+    tags=["window", "orders", "timeseries"],
+)
+def cust_order_interarrival_hist(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Customer order INTERARRIVAL histogram: consecutive-order gaps in
+    days per customer (lead over the customer-keyed window, orderkey
+    tiebreak for same-day orders — deterministic in both engines),
+    bucketed by week — the repurchase-cadence curve behind churn/LTV
+    models.  The window partitions on o_custkey (parallel per key, no
+    global sort); the histogram is a small second aggregate."""
+    from pyspark.sql import Window as W
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    gaps = (orders
+            .withColumn("gap", F.datediff(F.lead(d).over(w), d))
+            .filter(F.col("gap").isNotNull()))
+    return (gaps.groupBy(F.floor(F.col("gap") / 7).cast("long")
+                         .alias("gap_weeks"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("gap").cast("long").alias("total_gap_days"))
+            .orderBy("gap_weeks"))
+
+
+@register(
+    "evt_user_regularity",
+    oracle="""
+    SELECT user_id,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+           DATE_DIFF('day', MIN(CAST(ts AS DATE)),
+                     MAX(CAST(ts AS DATE))) + 1 AS span_days,
+           COUNT(DISTINCT CAST(ts AS DATE)) * 1000000
+             // (DATE_DIFF('day', MIN(CAST(ts AS DATE)),
+                           MAX(CAST(ts AS DATE))) + 1) AS regularity_ppm
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    tags=["aggregate", "events", "sessions"],
+)
+def evt_user_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user engagement REGULARITY: distinct active days over the
+    user's own first-to-last span, in exact integer ppm — separates
+    daily-habit users from burst-and-churn at the same event volume
+    (the cohort-quality signal DAU/WAU averages away).  One user-keyed
+    aggregate with a map-side distinct collapse; integral DIV keeps the
+    ratio bit-portable."""
+    (events,) = _t(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    span = (F.datediff(F.max(d), F.min(d)) + F.lit(1)).cast("long")
+    return (events.groupBy("user_id")
+            .agg(F.countDistinct(d).alias("active_days"),
+                 span.alias("span_days"))
+            .select("user_id", "active_days", "span_days",
+                    (F.col("active_days") * F.lit(1_000_000)
+                     / F.col("span_days")).cast("long")
+                    .alias("regularity_ppm"))
+            .orderBy("user_id"))
+
+
+# ---------------------------------------------------------------------------
+# atomic publish of the corpus lane's artifacts through the catalog
+# ---------------------------------------------------------------------------
+
+_PUBLISHED: dict = {}
+
+
+def _drop_published(keys=None) -> None:
+    import shutil
+
+    for k in list(_PUBLISHED) if keys is None else list(keys):
+        shutil.rmtree(_PUBLISHED.pop(k)[0], ignore_errors=True)
+
+
+@fixture_timed("corpus_publish_r10b")
+def _published_corpus(spark: SparkSession, sf_dir: str
+                      ) -> tuple[str, bool]:
+    """Once per (session, sf_dir): the assembled training artifacts
+    (`queries_round10._assembled_shards` — packed shards, survivor
+    embeddings, band index) PUBLISHED in one catalog transaction.
+    Returns (cat_dir, ok): ok asserts one catalog commit pinned all
+    three and `catalog_status` shows zero drift afterwards."""
+    import atexit
+    import tempfile
+
+    from ..sinks import catalog as C
+    from .queries_round10 import _assembled_shards
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _PUBLISHED.get(key)
+    if got is None:
+        _drop_published([k for k in _PUBLISHED if k[0] != key[0]])
+        if not _PUBLISHED:
+            atexit.register(_drop_published)
+        pack_dir, emb_dir, index_dir, _ = _assembled_shards(spark, sf_dir)
+        cat_dir = tempfile.mkdtemp(prefix="spark_graft_pubcat_")
+        v = C.commit_txn(cat_dir, {
+            "packed_shards": (pack_dir, None),
+            "embeddings_base": (emb_dir, None),
+            "band_index": (index_dir, None)}, txn_id="publish-r10b")
+        hist = C.catalog_history(cat_dir)
+        ok = (v == 0 and len(hist) == 1
+              and hist[0]["changed"] == ["band_index", "embeddings_base",
+                                         "packed_shards"]
+              and all(s["drift"] == 0 for s in C.catalog_status(cat_dir)))
+        got = (cat_dir, bool(ok))
+        _PUBLISHED[key] = got
+    return got
+
+
+@register(
+    "corpus_catalog_publish",
+    oracle="""
+    WITH uniq AS (SELECT MIN(doc_id) AS doc_id
+                  FROM documents GROUP BY md5(text)),
+    surv AS (SELECT COUNT(*) AS n FROM embeddings em
+             JOIN uniq ON em.vec_id = uniq.doc_id)
+    SELECT 'band_index' AS artifact, 3 * n AS n_rows,
+           TRUE AS published_atomically FROM surv
+    UNION ALL
+    SELECT 'embeddings_base', n, TRUE FROM surv
+    UNION ALL
+    SELECT 'packed_shards', (SELECT COUNT(*) FROM uniq), TRUE
+    ORDER BY 1
+    """,
+    tags=["corpus", "catalog", "versioned", "llm", "scale"],
+)
+def corpus_catalog_publish(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """The training lane's artifacts — packed shards, survivor
+    embeddings, band index — PUBLISHED ATOMICALLY through one catalog
+    transaction and read back THROUGH the catalog: per-artifact row
+    counts under the hash gate, with published_atomically asserting one
+    commit pinned all three and no drift remains.  This closes the
+    assemble lane operationally: a training job resolves a catalog
+    version and gets shards, embeddings, and index from the same
+    universe — never yesterday's index over today's shards."""
+    from ..sinks import catalog as C
+
+    cat, ok = _published_corpus(spark, sf_dir)
+
+    def one(name: str) -> DataFrame:
+        return (C.read_table(spark, cat, name)
+                .agg(F.count(F.lit(1)).alias("n_rows"))
+                .select(F.lit(name).alias("artifact"), "n_rows"))
+
+    out = (one("band_index")
+           .unionByName(one("embeddings_base"))
+           .unionByName(one("packed_shards")))
+    return (out.withColumn("published_atomically", F.lit(bool(ok)))
+            .orderBy("artifact"))
+
+
+# ---------------------------------------------------------------------------
 # packed-window attention layout — the literal training artifact
 # ---------------------------------------------------------------------------
 
