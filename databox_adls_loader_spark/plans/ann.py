@@ -429,12 +429,24 @@ def probe_ivf_topk(spark: SparkSession, index_dir: str, base_dir: str,
     IN-filter, partition-prunable when the index is committed
     ``partition_by=["identity(cell)"]`` — then the exact cosine rerank
     runs on the candidates semi-joined back to the base."""
-    cents = ivf_centroids(dim, k_cells, seed)
-    scored = sorted(((sum(x * y for x, y in zip(query, c)), -i)
-                     for i, c in enumerate(cents)), reverse=True)
-    cells = [-neg_i for _, neg_i in scored[:nprobe]]
+    cells = probe_cells(query, ivf_centroids(dim, k_cells, seed), nprobe)
     idx = V.read_version(spark, index_dir)
     cand = idx.filter(F.col("cell").isin(cells)).select(id_col)
+    return _ivf_rerank(spark, base_dir, cand, query, k, id_col, vec_col)
+
+
+def probe_cells(query: list[float], centroids: list[list[float]],
+                nprobe: int) -> list[int]:
+    """The query's ``nprobe`` nearest cells by dot product,
+    smallest-cell tiebreak — the same ranking `cell_expr` assigns by."""
+    scored = sorted(((sum(x * y for x, y in zip(query, c)), -i)
+                     for i, c in enumerate(centroids)), reverse=True)
+    return [-neg_i for _, neg_i in scored[:nprobe]]
+
+
+def _ivf_rerank(spark: SparkSession, base_dir: str, cand: DataFrame,
+                query: list[float], k: int, id_col: str,
+                vec_col: str) -> DataFrame:
     base = V.read_version(spark, base_dir)
     q = similarity._query_literal(query)
     return (base.join(F.broadcast(cand), id_col, "left_semi")
@@ -443,6 +455,29 @@ def probe_ivf_topk(spark: SparkSession, index_dir: str, base_dir: str,
                             6).alias("sim"))
             .orderBy(F.desc("sim"), id_col)
             .limit(k))
+
+
+def probe_ivf_topk_pruned(spark: SparkSession, index_dir: str,
+                          base_dir: str, query: list[float],
+                          k: int = 10, nprobe: int = 3,
+                          dim: int = 64, k_cells: int = 8,
+                          seed: int = 13, id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """`probe_ivf_topk` through a SERVING copy of the index committed
+    ``partition_by=["identity(cell)"]``: each probed cell is read with
+    a manifest predicate, so the plan lists ONLY that cell's files —
+    the probe's index-side I/O is nprobe/k_cells of the index however
+    large the corpus (manifest-level pruning, no directory listing).
+    Same results as the unpruned probe; callers assert the inputFiles
+    strict subset."""
+    cells = probe_cells(query, ivf_centroids(dim, k_cells, seed), nprobe)
+    cand = None
+    for c in cells:
+        part = V.read_version(spark, index_dir,
+                              predicates=[("cell", "=", c)]) \
+            .select(id_col)
+        cand = part if cand is None else cand.unionByName(part)
+    return _ivf_rerank(spark, base_dir, cand, query, k, id_col, vec_col)
 
 
 def probe_topk(spark: SparkSession, index_dir: str, base_dir: str,

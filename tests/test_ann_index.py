@@ -476,3 +476,28 @@ def test_refresh_survives_index_compaction(spark, base):
     ann.refresh_ann_index(spark, index_dir, emb_dir, **GEO)
     assert _frames_equal(V.read_version(spark, index_dir),
                          _rebuilt(spark, emb_dir))
+
+
+def test_ivf_pruned_probe_equals_unpruned_and_prunes(spark, ivf_base,
+                                                     tmp_path):
+    """The serving-layout probe (per-cell manifest-predicate reads over
+    an identity(cell)-partitioned copy) returns exactly the unpruned
+    probe's rows, and each one-cell read plans a strict subset of the
+    serving table's files."""
+    emb_dir, index_dir = ivf_base
+    serving = str(tmp_path / "serve")
+    V.write_snapshot(V.read_version(spark, index_dir), serving,
+                     partition_by=["identity(cell)"])
+    query = list(V.read_version(spark, emb_dir)
+                 .filter(F.col("vec_id") == 2)
+                 .select("embedding").first()["embedding"])
+    plain = ann.probe_ivf_topk(spark, index_dir, emb_dir, query,
+                               k=15, nprobe=3, **IVF_GEO)
+    pruned = ann.probe_ivf_topk_pruned(spark, serving, emb_dir, query,
+                                       k=15, nprobe=3, **IVF_GEO)
+    assert [tuple(r) for r in plain.collect()] == \
+        [tuple(r) for r in pruned.collect()]
+    manifest = V._read_manifest(serving, V.latest_version(serving))
+    one_cell = V.read_version(spark, serving,
+                              predicates=[("cell", "=", 0)])
+    assert 0 < len(one_cell.inputFiles()) < len(manifest)

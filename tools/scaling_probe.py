@@ -71,6 +71,10 @@ HEADLINERS = [
     "scale_cdf_across_widen",    # incremental CDF through a type widen
     "corpus_pack_epoch_order",   # epoch permutation + two-phase rank
     "corpus_assemble_to_shards", # dedup->pack->shards->index lane
+    "scale_ivf_index_incremental",  # persisted IVF index, O(changes) upkeep
+    "sim_topk_binary_hamming",   # 1-bit codes, xor+bit_count TakeOrdered
+    "scale_catalog_txn_read",    # multi-table txn publish + catalog read
+    "corpus_pack_window_layout", # per-window attention arrays
 ]
 
 TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
@@ -116,6 +120,11 @@ TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
     "scale_cdf_across_rename": "orders",
     "scale_cdf_across_widen": "orders",
     "ann_index_probe_topk": "embeddings",
+    "scale_ivf_index_incremental": "embeddings",
+    "sim_topk_binary_hamming": "embeddings",
+    "scale_catalog_txn_read": "orders",
+    "corpus_pack_window_layout": "documents",
+    "corpus_catalog_publish": "documents",
 }
 
 # the heavy shapes probed one decade PAST the bench SF, on the locally
@@ -173,6 +182,13 @@ SF1_QUERIES = [
     "scale_bucket_join_bigbig",
     "corpus_pack_efficiency",
     "scale_packed_windows_pruned_read",
+    # round-10 second wave: the catalog's atomic publish must stay
+    # O(manifest) as the fact grows (the txn writes one small JSON
+    # whatever the table size — the timed read is the fact scan), and
+    # the per-window layout arrays are bounded by window capacity, so
+    # their build is one keyed aggregate — linear
+    "scale_catalog_txn_read",
+    "corpus_pack_window_layout",
 ]
 
 
