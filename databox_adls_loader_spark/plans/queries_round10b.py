@@ -781,6 +781,115 @@ def evt_user_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id"))
 
 
+@register(
+    "li_brand_nation_share",
+    oracle="""
+    WITH b AS (
+      SELECT sn.n_name AS supp_nation, p.p_brand AS brand,
+             COUNT(*) AS n_items,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS cents
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN part p ON l_partkey = p.p_partkey
+      GROUP BY 1, 2)
+    SELECT supp_nation, brand, n_items,
+           CAST(cents AS DOUBLE) / 100 AS rev,
+           CAST(CAST(cents AS HUGEINT) * 1000000
+                // SUM(CAST(cents AS HUGEINT))
+                   OVER (PARTITION BY supp_nation) AS BIGINT)
+             AS share_ppm
+    FROM b ORDER BY 1, 2
+    """,
+    tags=["join", "aggregate", "window", "tpch-shaped"],
+)
+def li_brand_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand revenue share WITHIN each supplier nation, in exact
+    integer ppm (cents-bigint sums, DECIMAL(38) cross-multiply +
+    integral DIV — the HHI pattern, no float division anywhere): the
+    assortment-concentration view per geography.  The share window
+    partitions on supp_nation over the ALREADY-AGGREGATED
+    (nation × brand) relation — ≤ 25×|brands| rows, bounded however
+    large lineitem grows; the facts see one shuffle into the
+    group-by."""
+    from pyspark.sql import Window as W
+
+    li, supp, nation, part = _t(spark, sf_dir, "lineitem", "supplier",
+                                "nation", "part")
+    sn = nation.select(F.col("n_nationkey").alias("s_nk"),
+                       F.col("n_name").alias("supp_nation"))
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
+        .cast("long")
+    b = (li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+         .join(F.broadcast(sn), supp.s_nationkey == sn.s_nk)
+         .join(F.broadcast(part.select("p_partkey",
+                                       F.col("p_brand").alias("brand"))),
+               li.l_partkey == F.col("p_partkey"))
+         .groupBy("supp_nation", "brand")
+         .agg(F.count(F.lit(1)).alias("n_items"),
+              F.sum(cents).alias("cents")))
+    tot = F.sum(F.col("cents").cast("decimal(38,0)")) \
+        .over(W.partitionBy("supp_nation"))
+    return (b.select(
+        "supp_nation", "brand", "n_items", "cents",
+        tot.alias("__tot"))
+        .select("supp_nation", "brand", "n_items",
+                (F.col("cents").cast("double") / 100).alias("rev"),
+                F.expr("CAST((CAST(cents AS DECIMAL(38,0)) * 1000000) "
+                       "DIV __tot AS LONG)").alias("share_ppm"))
+        .orderBy("supp_nation", "brand"))
+
+
+@register(
+    "evt_value_outlier_share",
+    oracle="""
+    WITH t AS (SELECT event_type, COUNT(*) AS n,
+                      SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                               AS BIGINT)) AS total_u
+               FROM events GROUP BY 1)
+    SELECT e.event_type, t.n,
+           CAST(SUM(CASE WHEN CAST(CAST(e.value AS DECIMAL(18,6))
+                              * 1000000 AS HUGEINT) * t.n
+                              > 2 * CAST(t.total_u AS HUGEINT)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(SUM(CASE WHEN CAST(CAST(e.value AS DECIMAL(18,6))
+                              * 1000000 AS HUGEINT) * t.n
+                              > 2 * CAST(t.total_u AS HUGEINT)
+                    THEN 1 ELSE 0 END) * 1000000 // t.n AS BIGINT)
+             AS outlier_ppm
+    FROM events e JOIN t USING (event_type)
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+    tags=["aggregate", "events", "profile"],
+)
+def evt_value_outlier_share(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Per-event-type share of events whose value exceeds 2× the
+    type's own mean — the heavy-transaction alarm, written EXACT and
+    DIVISION-FREE: values quantize to integer micro-units, the
+    comparison cross-multiplies the mean away
+    (``value_u · n > 2 · total_u`` in DECIMAL(38)), so a float sum's
+    order-dependent last ulp can never flip a boundary row.  Two
+    passes over events with a 5-row broadcast between them; partial
+    aggregation collapses both map-side."""
+    (events,) = _t(spark, sf_dir, "events")
+    vu = (F.col("value").cast("decimal(18,6)") * 1_000_000).cast("long")
+    t = (events.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(vu).alias("total_u")))
+    flag = F.when(vu.cast("decimal(38,0)") * F.col("n")
+                  > F.lit(2) * F.col("total_u").cast("decimal(38,0)"),
+                  1).otherwise(0)
+    return (events.join(F.broadcast(t), "event_type")
+            .groupBy("event_type", "n")
+            .agg(F.sum(flag).alias("n_outliers"))
+            .select("event_type", "n", "n_outliers",
+                    F.expr("CAST((n_outliers * 1000000L) DIV n AS LONG)")
+                    .alias("outlier_ppm"))
+            .orderBy("event_type"))
+
+
 # ---------------------------------------------------------------------------
 # atomic publish of the corpus lane's artifacts through the catalog
 # ---------------------------------------------------------------------------
