@@ -359,15 +359,22 @@ def ivf_rows(df: DataFrame, centroids: list[list[float]],
 def build_ivf_index(spark: SparkSession, index_dir: str, base_dir: str,
                     dim: int = 64, k_cells: int = 8, seed: int = 13,
                     id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> int:
+                    vec_col: str = "embedding",
+                    centroids: list[list[float]] | None = None) -> int:
     """Full IVF build over the base table's LATEST snapshot, committed
     with the watermark ledger id ``2·v_base + 1`` (see
-    `build_ann_index` — identical resume contract)."""
+    `build_ann_index` — identical resume contract).
+
+    ``centroids``: explicit codebook (e.g. one training pass of
+    `similarity.kmeans_distributed`, then frozen) — overrides the
+    seeded default.  Whatever trained them, the centroids ARE the
+    index's identity: pass the same list to every refresh/probe."""
     v_base = V.latest_version(base_dir)
     if v_base is None:
         raise ValueError(f"base table {base_dir!r} has no versions")
     rows = ivf_rows(V.read_version(spark, base_dir, v_base),
-                    ivf_centroids(dim, k_cells, seed), id_col, vec_col)
+                    centroids or ivf_centroids(dim, k_cells, seed),
+                    id_col, vec_col)
     return V.write_snapshot(rows, index_dir, mode="overwrite",
                             batch_ids={2 * v_base + 1})
 
@@ -375,7 +382,9 @@ def build_ivf_index(spark: SparkSession, index_dir: str, base_dir: str,
 def refresh_ivf_index(spark: SparkSession, index_dir: str, base_dir: str,
                       dim: int = 64, k_cells: int = 8, seed: int = 13,
                       id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> int | None:
+                      vec_col: str = "embedding",
+                      centroids: list[list[float]] | None = None
+                      ) -> int | None:
     """Maintain the IVF index from the base table's change feed —
     `refresh_ann_index`'s twin over the cell-assignment rows: deleted
     vectors tombstone their (single) index row, inserted/updated
@@ -387,7 +396,7 @@ def refresh_ivf_index(spark: SparkSession, index_dir: str, base_dir: str,
         raise ValueError(
             f"index {index_dir!r} has no base watermark — run "
             "build_ivf_index first")
-    cents = ivf_centroids(dim, k_cells, seed)
+    cents = centroids or ivf_centroids(dim, k_cells, seed)
     out = None
     v_pend = mv_pending_base_version(index_dir)
     if v_pend is not None:

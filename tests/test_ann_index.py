@@ -501,3 +501,28 @@ def test_ivf_pruned_probe_equals_unpruned_and_prunes(spark, ivf_base,
     one_cell = V.read_version(spark, serving,
                               predicates=[("cell", "=", 0)])
     assert 0 < len(one_cell.inputFiles()) < len(manifest)
+
+
+def test_ivf_index_with_trained_centroids(spark, ivf_base, tmp_path):
+    """The production codebook path: centroids TRAINED once
+    (kmeans_distributed) and frozen as the index identity — build and
+    refresh under the explicit `centroids=` override stay
+    maintained == rebuild."""
+    from databox_adls_loader_spark.operators.similarity import \
+        kmeans_distributed
+
+    emb_dir, _ = ivf_base
+    cents, _inertia = kmeans_distributed(
+        V.read_version(spark, emb_dir), k=6, iters=3)
+    trained = [[float(x) for x in c] for c in cents]
+    idx = str(tmp_path / "trained_ivf")
+    ann.build_ivf_index(spark, idx, emb_dir, centroids=trained)
+    vid = F.col("vec_id")
+    emb = V.read_version(spark, emb_dir)
+    V.delete_where_keys(spark, emb_dir, "vec_id",
+                        emb.filter(vid % 6 == 1).select("vec_id"))
+    ann.refresh_ivf_index(spark, idx, emb_dir, centroids=trained)
+    rebuilt = ann.ivf_rows(V.read_version(spark, emb_dir), trained)
+    assert _frames_equal(V.read_version(spark, idx), rebuilt)
+    cells = {r["cell"] for r in V.read_version(spark, idx).collect()}
+    assert cells <= set(range(6)) and len(cells) > 1
