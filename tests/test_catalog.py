@@ -218,3 +218,61 @@ class TestVacuumComposition:
         V.vacuum(t, keep_versions=1, pin_versions={2})
         assert set(V.versions(t)) == {2, 4}
         assert _rows(V.read_version(spark, t, 2)) == [(1, 1), (2, 2)]
+
+
+class TestModelBased:
+    def test_random_pin_sequences_match_model(self, spark, tmp_path):
+        """Model-based check of the catalog manifest logic: against two
+        pre-versioned tables, every random sequence of single- and
+        multi-table pin transactions must leave `catalog_tables` at
+        EVERY catalog version equal to a plain-dict replay, and
+        `catalog_history`'s changed-sets must match the model's diffs.
+        (Spark only builds the version stock up front — the loop itself
+        is manifest-plane.)"""
+        from hypothesis import given, settings, strategies as st
+
+        dirs = {}
+        for name in ("a", "b"):
+            d = str(tmp_path / name)
+            for i in range(4):
+                V.write_snapshot(
+                    spark.createDataFrame([(i,)], "k int"), d)
+            dirs[name] = d
+        case = [0]
+
+        @settings(max_examples=25, deadline=None)
+        @given(st.lists(
+            st.tuples(st.sampled_from(["a", "b", "ab"]),
+                      st.integers(min_value=1, max_value=4),
+                      st.integers(min_value=1, max_value=4)),
+            min_size=1, max_size=6))
+        def run(steps):
+            case[0] += 1
+            cat = str(tmp_path / f"cat{case[0]}")
+            model_hist = []
+            model = {}
+            for which, va, vb in steps:
+                ops = {}
+                if "a" in which:
+                    ops["a"] = (dirs["a"], va)
+                if "b" in which:
+                    ops["b"] = (dirs["b"], vb)
+                C.commit_txn(cat, ops)
+                model = {**model,
+                         **{n: {"path": dirs[n],
+                                "version": va if n == "a" else vb}
+                            for n in ops}}
+                model_hist.append(dict(model))
+            assert C.catalog_latest(cat) == len(steps) - 1
+            for v, expect in enumerate(model_hist):
+                assert C.catalog_tables(cat, v) == expect, v
+            hist = C.catalog_history(cat)
+            prev = {}
+            for e, expect in zip(hist, model_hist):
+                assert e["tables"] == {n: t["version"]
+                                       for n, t in expect.items()}
+                assert e["changed"] == sorted(
+                    n for n in expect if prev.get(n) != expect[n])
+                prev = expect
+
+        run()
