@@ -282,6 +282,35 @@ def vacuum_table(cat_dir: str, name: str, **vacuum_kwargs) -> int:
                     **vacuum_kwargs)
 
 
+def publish_stream_batch(batch_df: DataFrame, batch_id: int,
+                         cat_dir: str, name: str, table_dir: str,
+                         mode: str = "append") -> int | None:
+    """EXACTLY-ONCE streaming publish THROUGH the catalog — the
+    foreachBatch body that makes each micro-batch atomic for catalog
+    readers:
+
+        .writeStream.foreachBatch(
+            lambda df, bid: catalog.publish_stream_batch(
+                df, bid, cat, "events", table_dir))
+
+    Phase 1 commits the batch to the TABLE under the streaming batch-id
+    ledger (`versioned.commit_stream_batch` — a replayed batch is a
+    table no-op); phase 2 pins the table's new version in the catalog
+    under txn id ``stream:{name}:{batch_id}``.  Crash anywhere and the
+    rerun completes exactly the missing phase: table landed + catalog
+    missed -> the pin commits (the drift window closes); both landed ->
+    full no-op.  Readers THROUGH the catalog see each micro-batch in
+    its entirety or not at all — `versioned`'s exactly-once contract
+    lifted from table contents to published state.
+
+    Returns the new catalog version (None: complete replay)."""
+    from .versioned import commit_stream_batch
+
+    commit_stream_batch(batch_df, batch_id, table_dir, mode=mode)
+    return commit_txn(cat_dir, {name: (table_dir, None)},
+                      txn_id=f"stream:{name}:{int(batch_id)}")
+
+
 def vacuum_catalog(cat_dir: str, keep_versions: int = 2) -> int:
     """Drop old catalog manifests (old cross-table snapshots), keeping
     the newest ``keep_versions``.  Table DATA is untouched — run

@@ -276,3 +276,61 @@ class TestModelBased:
                 prev = expect
 
         run()
+
+
+class TestStreamingPublish:
+    def test_stream_batches_publish_atomically_and_replay_safely(
+            self, spark, tmp_path):
+        """`publish_stream_batch`: each batch lands in the table AND is
+        pinned by the catalog; a replay of a fully-published batch is a
+        double no-op; a crash BETWEEN phases (table landed, pin missed)
+        is completed by the rerun — the drift window closes without a
+        double table commit."""
+        t = str(tmp_path / "t")
+        cat = str(tmp_path / "cat")
+
+        def batch(i):
+            return spark.createDataFrame([(i, i * 10)], "k int, v int")
+
+        # batch 0 and 1 publish normally
+        assert C.publish_stream_batch(batch(0), 0, cat, "ev", t) == 0
+        assert C.publish_stream_batch(batch(1), 1, cat, "ev", t) == 1
+        assert _rows(C.read_table(spark, cat, "ev")) == [(0, 0), (1, 10)]
+        # full replay of batch 1: table no-op + catalog no-op
+        n_tab = len(V.versions(t))
+        assert C.publish_stream_batch(batch(1), 1, cat, "ev", t) is None
+        assert len(V.versions(t)) == n_tab
+        assert _rows(C.read_table(spark, cat, "ev")) == [(0, 0), (1, 10)]
+        # crash window: batch 2's TABLE commit lands, the pin does not
+        from databox_adls_loader_spark.sinks.versioned import \
+            commit_stream_batch
+        commit_stream_batch(batch(2), 2, t)
+        assert _rows(C.read_table(spark, cat, "ev")) == [(0, 0), (1, 10)]
+        assert C.catalog_status(cat)[0]["drift"] == 1
+        # the rerun completes ONLY the missing pin
+        v = C.publish_stream_batch(batch(2), 2, cat, "ev", t)
+        assert v == 2 and len(V.versions(t)) == n_tab + 1
+        assert _rows(C.read_table(spark, cat, "ev")) == \
+            [(0, 0), (1, 10), (2, 20)]
+        assert C.catalog_status(cat)[0]["drift"] == 0
+
+    def test_live_stream_through_catalog(self, spark, tmp_path):
+        """A real rate-limited memory stream published through
+        foreachBatch: afterwards the catalog-read table equals the
+        table-log read (no unpublished tail), one catalog version per
+        non-empty batch."""
+        t = str(tmp_path / "t")
+        cat = str(tmp_path / "cat")
+        src = (spark.readStream.format("rate")
+               .option("rowsPerSecond", "50").load()
+               .selectExpr("CAST(value AS INT) AS k",
+                           "CAST(value * 10 AS INT) AS v"))
+        q = (src.writeStream
+             .foreachBatch(lambda df, bid: C.publish_stream_batch(
+                 df, bid, cat, "ev", t))
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = _rows(C.read_table(spark, cat, "ev"))
+        assert got == _rows(V.read_version(spark, t))
+        assert C.catalog_status(cat)[0]["drift"] == 0
