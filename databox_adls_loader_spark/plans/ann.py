@@ -1,4 +1,4 @@
-"""Persisted, incrementally-maintained ANN index.
+"""Persisted, incrementally-maintained ANN indexes (band LSH and IVF).
 
 The sign-LSH band assignments of `operators/similarity` committed as a
 VERSIONED TABLE keyed by ``(vec_id, band)`` and maintained from the base
@@ -7,7 +7,12 @@ re-band per query, and with this module it never does: a full build runs
 once, then every `refresh_ann_index` call costs O(base changes) however
 large the corpus (inserts band-hash only the new vectors, deletes land as
 equality tombstones on their band rows, updates replace in place through
-the scoped MERGE).
+the scoped MERGE).  The IVF half (`build_ivf_index` /
+`refresh_ivf_index` / `probe_ivf_topk[_pruned]`) runs the SAME
+retire/upsert ledger loop over a cell-assignment table (one row per
+vector, frozen centroids — seeded or a trained codebook), with the
+serving copy hidden-partitioned on identity(cell) so probes are
+manifest-pruned to nprobe/k_cells of the files.
 
 This is the `plans/mv.refresh_from_changes` incremental-view loop applied
 to a row-level (non-aggregate) view: the same ledger encoding (retire
