@@ -498,7 +498,8 @@ def probe_topk(spark: SparkSession, index_dir: str, base_dir: str,
                query: list[float], k: int = 10, n_bands: int = 4,
                planes_per_band: int = 8, seed: int = 7,
                id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
+               vec_col: str = "embedding",
+               probe_hamming: int = 0) -> DataFrame:
     """ANN top-k THROUGH the persisted index: the query's per-band
     buckets are computed driver-side (n_bands dot products against the
     deterministic planes), candidates are index rows sharing ANY
@@ -506,14 +507,32 @@ def probe_topk(spark: SparkSession, index_dir: str, base_dir: str,
     a distance pass over the corpus — then the exact cosine rerank runs
     on the candidate ids joined back to the base table.  Approximate by
     construction (banding recall); tests assert recall against the
-    brute-force oracle."""
+    brute-force oracle.
+
+    ``probe_hamming``: MULTIPROBE radius — also probe every bucket
+    within that Hamming distance of the query's bucket in each band
+    (h=1 adds planes_per_band neighbor buckets per band: the standard
+    recall knob that trades a bounded candidate growth for re-banding
+    nothing).  The filter stays a literal bucket list, so the scan
+    still prunes; candidate volume grows ×(1 + Σ C(p, i))."""
+    import itertools
+
     planes = band_planes(len(query), n_bands, planes_per_band, seed)
-    probes = [(b, similarity._bucket_of(query, planes[b]))
-              for b in range(n_bands)]
+    probes = []
+    for b in range(n_bands):
+        base_bucket = similarity._bucket_of(query, planes[b])
+        buckets = {base_bucket}
+        for h in range(1, probe_hamming + 1):
+            for bits in itertools.combinations(range(planes_per_band), h):
+                flip = 0
+                for i in bits:
+                    flip |= 1 << i
+                buckets.add(base_bucket ^ flip)
+        probes.append((b, sorted(buckets)))
     idx = V.read_version(spark, index_dir)
     cond = None
-    for b, bucket in probes:
-        this = (F.col("band") == b) & (F.col("bucket") == bucket)
+    for b, buckets in probes:
+        this = (F.col("band") == b) & F.col("bucket").isin(buckets)
         cond = this if cond is None else (cond | this)
     cand = idx.filter(cond).select(id_col).distinct()
     base = V.read_version(spark, base_dir)

@@ -19,7 +19,8 @@ from pyspark.sql import functions as F
 
 from .queries import _t, fixture_timed, register
 from . import queries_round9 as _R9
-from .queries_round10 import _ANN_FINAL_STATE_SQL
+from .queries_round10 import (_ANN_FINAL_STATE_SQL, _band_bucket_sql,
+                              _band_planes_sql)
 
 # ---------------------------------------------------------------------------
 # multi-table transactional catalog (sinks/catalog.py)
@@ -399,6 +400,49 @@ def ann_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("embedding").first()["embedding"])
     return ann.probe_ivf_topk(spark, index_dir, emb_dir, list(query),
                               k=20, nprobe=3, **_IVF)
+
+
+@register(
+    "ann_index_probe_multiprobe",
+    oracle="""
+    WITH {planes},
+    {state},
+    {bk},
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+    qb AS (SELECT band, bucket AS qbucket FROM bk WHERE vec_id = 1),
+    cand AS (SELECT DISTINCT bk.vec_id
+             FROM bk JOIN qb ON bk.band = qb.band
+             WHERE bit_count(xor(bk.bucket, qb.qbucket)) <= 1)
+    SELECT e.vec_id, ROUND(list_cosine_similarity(e.v, q.qv), 6) AS sim
+    FROM e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q
+    ORDER BY sim DESC, e.vec_id LIMIT 20
+    """.format(planes=_band_planes_sql(3, 6),
+               state=_ANN_FINAL_STATE_SQL,
+               bk=_band_bucket_sql()),
+    tags=["similarity", "lsh", "versioned"],
+)
+def ann_index_probe_multiprobe(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """MULTIPROBE top-20 through the maintained band index
+    (`ann.probe_topk(probe_hamming=1)`): candidates share a band bucket
+    within Hamming distance 1 of the query's — the standard LSH recall
+    knob, still a literal bucket-list filter on the persisted table
+    (nothing re-bands, candidate volume grows ×(1+planes) per band).
+    The oracle replays the final corpus state and takes candidates via
+    ``bit_count(xor(bucket, qbucket)) <= 1`` — probe EXPANSION
+    semantics, not just membership, under the hash gate."""
+    from ..sinks import versioned as V
+    from . import ann
+    from .queries_round10 import _ANN, _ann_indexed_emb
+
+    emb_dir, index_dir, _ = _ann_indexed_emb(spark, sf_dir)
+    query = (V.read_version(spark, emb_dir)
+             .filter(F.col("vec_id") == 1)
+             .select("embedding").first()["embedding"])
+    return ann.probe_topk(spark, index_dir, emb_dir, list(query), k=20,
+                          n_bands=_ANN["n_bands"],
+                          planes_per_band=_ANN["planes_per_band"],
+                          seed=_ANN["seed"], probe_hamming=1)
 
 
 _IVF_SERVING: dict = {}

@@ -526,3 +526,35 @@ def test_ivf_index_with_trained_centroids(spark, ivf_base, tmp_path):
     assert _frames_equal(V.read_version(spark, idx), rebuilt)
     cells = {r["cell"] for r in V.read_version(spark, idx).collect()}
     assert cells <= set(range(6)) and len(cells) > 1
+
+
+def test_multiprobe_expands_candidates_and_keeps_exact_semantics(
+        spark, base):
+    """probe_hamming=1 probes every bucket within Hamming 1 per band:
+    its candidate set contains the h=0 probe's, and equals the
+    driver-side recomputation of the expanded bucket lists."""
+    from databox_adls_loader_spark.operators.similarity import _bucket_of
+
+    emb_dir, index_dir = base
+    query = list(V.read_version(spark, emb_dir)
+                 .filter(F.col("vec_id") == 2)
+                 .select("embedding").first()["embedding"])
+    kw = dict(n_bands=GEO["n_bands"],
+              planes_per_band=GEO["planes_per_band"], seed=GEO["seed"])
+    h0 = {r["vec_id"] for r in ann.probe_topk(
+        spark, index_dir, emb_dir, query, k=50_000, **kw).collect()}
+    h1 = {r["vec_id"] for r in ann.probe_topk(
+        spark, index_dir, emb_dir, query, k=50_000,
+        probe_hamming=1, **kw).collect()}
+    assert h0 <= h1 and len(h1) > len(h0)
+    planes = ann.band_planes(GEO["dim"], GEO["n_bands"],
+                             GEO["planes_per_band"], GEO["seed"])
+    p = GEO["planes_per_band"]
+    want = set()
+    idx_rows = V.read_version(spark, index_dir).collect()
+    for b in range(GEO["n_bands"]):
+        qb = _bucket_of(query, planes[b])
+        ok = {qb} | {qb ^ (1 << i) for i in range(p)}
+        want |= {r["vec_id"] for r in idx_rows
+                 if r["band"] == b and r["bucket"] in ok}
+    assert h1 == want
