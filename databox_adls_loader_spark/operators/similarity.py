@@ -101,6 +101,25 @@ def _bucket_of(query: list[float], planes: list[list[float]]) -> int:
     return b
 
 
+def hamming_neighbor_buckets(bucket: int, n_planes: int,
+                             radius: int) -> list[int]:
+    """Every bucket id within ``radius`` bit flips of ``bucket`` over an
+    ``n_planes``-bit code (the bucket itself included) — THE multiprobe
+    expansion, shared by `topk_lsh` and the persisted-index probe
+    (`plans/ann.probe_topk`) so the two paths cannot drift.  Any radius
+    is honored (the old hand-rolled form silently capped at 2)."""
+    import itertools
+
+    buckets = {bucket}
+    for h in range(1, radius + 1):
+        for bits in itertools.combinations(range(n_planes), h):
+            flip = 0
+            for i in bits:
+                flip |= 1 << i
+            buckets.add(bucket ^ flip)
+    return sorted(buckets)
+
+
 def topk_lsh(emb: DataFrame, query: list[float], k: int = 10,
              n_planes: int = 8, probe_hamming: int = 1, seed: int = 7,
              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
@@ -112,14 +131,7 @@ def topk_lsh(emb: DataFrame, query: list[float], k: int = 10,
     """
     planes = _planes(len(query), n_planes, seed)
     qb = _bucket_of(query, planes)
-    probes = {qb}
-    if probe_hamming >= 1:
-        for i in range(n_planes):
-            probes.add(qb ^ (1 << i))
-    if probe_hamming >= 2:
-        for i in range(n_planes):
-            for j in range(i + 1, n_planes):
-                probes.add(qb ^ (1 << i) ^ (1 << j))
+    probes = hamming_neighbor_buckets(qb, n_planes, probe_hamming)
     bucketed = lsh_bucketed(emb, len(query), n_planes, seed, vec_col, id_col)
     q = _query_literal(query)
     return (

@@ -435,15 +435,22 @@ def probe_ivf_topk(spark: SparkSession, index_dir: str, base_dir: str,
                    query: list[float], k: int = 10, nprobe: int = 3,
                    dim: int = 64, k_cells: int = 8, seed: int = 13,
                    id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   centroids: list[list[float]] | None = None
+                   ) -> DataFrame:
     """IVF top-k THROUGH the persisted index: the query's ``nprobe``
     nearest cells (by dot, smallest-cell tiebreak — the same ranking
     `cell_expr` assigns by) are computed driver-side against the frozen
     centroids, candidates are the index rows in those cells — a literal
     IN-filter, partition-prunable when the index is committed
     ``partition_by=["identity(cell)"]`` — then the exact cosine rerank
-    runs on the candidates semi-joined back to the base."""
-    cells = probe_cells(query, ivf_centroids(dim, k_cells, seed), nprobe)
+    runs on the candidates semi-joined back to the base.
+    ``centroids``: the index's codebook when it was built with an
+    explicit one — probing a trained index with the seeded default
+    would rank the WRONG cells."""
+    cells = probe_cells(query,
+                        centroids or ivf_centroids(dim, k_cells, seed),
+                        nprobe)
     idx = V.read_version(spark, index_dir)
     cand = idx.filter(F.col("cell").isin(cells)).select(id_col)
     return _ivf_rerank(spark, base_dir, cand, query, k, id_col, vec_col)
@@ -476,15 +483,19 @@ def probe_ivf_topk_pruned(spark: SparkSession, index_dir: str,
                           k: int = 10, nprobe: int = 3,
                           dim: int = 64, k_cells: int = 8,
                           seed: int = 13, id_col: str = "vec_id",
-                          vec_col: str = "embedding") -> DataFrame:
+                          vec_col: str = "embedding",
+                          centroids: list[list[float]] | None = None
+                          ) -> DataFrame:
     """`probe_ivf_topk` through a SERVING copy of the index committed
     ``partition_by=["identity(cell)"]``: each probed cell is read with
     a manifest predicate, so the plan lists ONLY that cell's files —
     the probe's index-side I/O is nprobe/k_cells of the index however
     large the corpus (manifest-level pruning, no directory listing).
     Same results as the unpruned probe; callers assert the inputFiles
-    strict subset."""
-    cells = probe_cells(query, ivf_centroids(dim, k_cells, seed), nprobe)
+    strict subset.  ``centroids``: see `probe_ivf_topk`."""
+    cells = probe_cells(query,
+                        centroids or ivf_centroids(dim, k_cells, seed),
+                        nprobe)
     cand = None
     for c in cells:
         part = V.read_version(spark, index_dir,
@@ -515,20 +526,12 @@ def probe_topk(spark: SparkSession, index_dir: str, base_dir: str,
     recall knob that trades a bounded candidate growth for re-banding
     nothing).  The filter stays a literal bucket list, so the scan
     still prunes; candidate volume grows ×(1 + Σ C(p, i))."""
-    import itertools
-
     planes = band_planes(len(query), n_bands, planes_per_band, seed)
-    probes = []
-    for b in range(n_bands):
-        base_bucket = similarity._bucket_of(query, planes[b])
-        buckets = {base_bucket}
-        for h in range(1, probe_hamming + 1):
-            for bits in itertools.combinations(range(planes_per_band), h):
-                flip = 0
-                for i in bits:
-                    flip |= 1 << i
-                buckets.add(base_bucket ^ flip)
-        probes.append((b, sorted(buckets)))
+    probes = [
+        (b, similarity.hamming_neighbor_buckets(
+            similarity._bucket_of(query, planes[b]), planes_per_band,
+            probe_hamming))
+        for b in range(n_bands)]
     idx = V.read_version(spark, index_dir)
     cond = None
     for b, buckets in probes:

@@ -19,8 +19,8 @@ from pyspark.sql import functions as F
 
 from .queries import _t, fixture_timed, register
 from . import queries_round9 as _R9
-from .queries_round10 import (_ANN_FINAL_STATE_SQL, _band_bucket_sql,
-                              _band_planes_sql)
+from .queries_round10 import (_ANN, _ANN_FINAL_STATE_SQL,
+                              _band_bucket_sql, _band_planes_sql)
 
 # ---------------------------------------------------------------------------
 # multi-table transactional catalog (sinks/catalog.py)
@@ -107,11 +107,15 @@ def _catalog_pair(spark: SparkSession, sf_dir: str
         ok = (pins_b["fact"]["version"] > pins_a["fact"]["version"]
               and pins_b["fact_by_status"]["version"]
               > pins_a["fact_by_status"]["version"])
-        # crash window: a table commit that never reaches the catalog
+        # crash window: a table commit that never reaches the catalog.
+        # Junk keys sit STRICTLY below -(10 x max key) so they are
+        # separable from txn B's legitimate negated keys (>= -max key)
+        # at EVERY scale factor — no magic absolute threshold
+        maxk = orders.agg(F.max("o_orderkey")).first()[0]
         V.write_snapshot(
             fact.filter((F.col("o_orderkey") % 997 == 0)
                         & (F.col("o_orderkey") != 0))
-            .select((-F.lit(9_000_000) - F.col("o_orderkey"))
+            .select((-F.lit(10 * maxk) - F.col("o_orderkey"))
                     .alias("o_orderkey"), "o_orderstatus",
                     "o_totalprice"),
             fact_dir)
@@ -162,7 +166,8 @@ def scale_catalog_txn_read(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count(F.lit(1)).alias("n_fact"),
                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                 .cast("double").alias("rev_fact"),
-                F.min("o_orderkey").alias("__mk")))
+                F.min("o_orderkey").alias("__mk"),
+                F.max("o_orderkey").alias("__xk")))
     view = C.read_table(spark, cat, "fact_by_status")
     return (agg.join(view, "o_orderstatus")
             .select("o_orderstatus", "n_fact", "rev_fact", "n_view",
@@ -171,7 +176,10 @@ def scale_catalog_txn_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                      & (F.col("rev_fact")
                         == F.col("rev_view").cast("double")))
                     .alias("consistent"),
-                    (F.col("__mk") > F.lit(-8_000_000))
+                    # legitimate negated keys are >= -(status max key);
+                    # the junk commit's keys sit below -(10 x global
+                    # max) — scale-invariant separation
+                    (F.col("__mk") >= -F.col("__xk"))
                     .alias("crash_hidden"))
             .withColumn("drift_seen", F.lit(bool(ok)))
             .orderBy("o_orderstatus"))
@@ -416,7 +424,9 @@ def ann_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.vec_id, ROUND(list_cosine_similarity(e.v, q.qv), 6) AS sim
     FROM e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q
     ORDER BY sim DESC, e.vec_id LIMIT 20
-    """.format(planes=_band_planes_sql(3, 6),
+    """.format(planes=_band_planes_sql(_ANN["n_bands"],
+                                       _ANN["planes_per_band"],
+                                       _ANN["seed"]),
                state=_ANN_FINAL_STATE_SQL,
                bk=_band_bucket_sql()),
     tags=["similarity", "lsh", "versioned"],
@@ -819,9 +829,8 @@ def evt_user_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.countDistinct(d).alias("active_days"),
                  span.alias("span_days"))
             .select("user_id", "active_days", "span_days",
-                    (F.col("active_days") * F.lit(1_000_000)
-                     / F.col("span_days")).cast("long")
-                    .alias("regularity_ppm"))
+                    F.expr("CAST((active_days * 1000000L) DIV span_days "
+                           "AS LONG)").alias("regularity_ppm"))
             .orderBy("user_id"))
 
 

@@ -26,9 +26,11 @@ exclusive-create their version file; a loser whose transaction touched
 DISJOINT table names rebases over the winner and retries, an
 overlapping writer gets `ConcurrentCommitError` (the caller must re-run
 its table ops against the new state).  Transactions may carry a
-``txn_id`` ledger entry (carried forward into every later manifest,
-like the streaming batch-id ledger) so a crash-replayed driver re-runs
-as a no-op instead of double-applying.
+``txn_id`` (recorded on the transaction's own manifest; the replay
+check scans the retained manifests) so a crash-replayed driver re-runs
+as a no-op instead of double-applying — replay protection spans the
+retained-catalog horizon, the analogue of the table ledger's
+vacuum-window contract.
 
 Reference boundary: the reference's multi-step jobs (copy THEN acl
 apply, `adls_copy_utils.py`) leave the destination observable between
@@ -95,13 +97,17 @@ def catalog_tables(cat_dir: str, version: int | None = None
 
 
 def catalog_txn_ids(cat_dir: str) -> set[str]:
-    """The transaction ledger: every txn_id any retained manifest
-    carries (inherited forward on each commit, so retention cannot lose
-    one that a retained state applied)."""
-    v = catalog_latest(cat_dir)
-    if v is None:
-        return set()
-    return set(_read_cat_doc(cat_dir, v).get("txn_ids", []))
+    """The transaction ledger: every txn_id carried by a RETAINED
+    catalog manifest.  Each manifest records only its OWN txn_id —
+    cumulative inheritance would make a per-micro-batch streaming
+    publisher's manifests grow O(total batches ever) — so replay
+    protection spans exactly the retained-manifest horizon:
+    `vacuum_catalog` must keep at least the redelivery window (the same
+    contract `versioned.vacuum` has with pinned readers)."""
+    return {tid for tid in
+            (_read_cat_doc(cat_dir, v).get("txn_id")
+             for v in catalog_versions(cat_dir))
+            if tid is not None}
 
 
 def catalog_history(cat_dir: str) -> list[dict]:
@@ -191,9 +197,7 @@ def commit_txn(cat_dir: str,
     for _ in range(retries):
         cur = catalog_latest(cat_dir)
         base = {} if cur is None else catalog_tables(cat_dir, cur)
-        ledger = set() if cur is None else \
-            set(_read_cat_doc(cat_dir, cur).get("txn_ids", []))
-        if txn_id is not None and txn_id in ledger:
+        if txn_id is not None and txn_id in catalog_txn_ids(cat_dir):
             return None                          # landed under our feet
         clash = sorted(n for n in updated if base.get(n) != base0.get(n))
         if clash:
@@ -208,9 +212,6 @@ def commit_txn(cat_dir: str,
                           for n in sorted({**base, **updated})}}
         if txn_id is not None:
             doc["txn_id"] = txn_id
-            ledger = ledger | {txn_id}
-        if ledger:
-            doc["txn_ids"] = sorted(ledger)
         try:
             st.create_exclusive(_cpath(st, cat_dir, doc["version"]),
                                 json.dumps(doc, indent=1))
@@ -313,12 +314,16 @@ def publish_stream_batch(batch_df: DataFrame, batch_id: int,
 
 def vacuum_catalog(cat_dir: str, keep_versions: int = 2) -> int:
     """Drop old catalog manifests (old cross-table snapshots), keeping
-    the newest ``keep_versions``.  Table DATA is untouched — run
+    the newest ``keep_versions``.  The LATEST catalog version is always
+    retained regardless (same guard as `versioned.vacuum` — a catalog
+    with no manifest is bricked and its txn-replay ledger wiped).
+    Dropping a manifest also forgets its txn_id, so keep at least the
+    stream's redelivery window retained.  Table DATA is untouched — run
     `vacuum_table` afterwards to reclaim table versions the shrunken
     pin set no longer protects.  Returns manifests dropped."""
     st = storage_for(cat_dir)
     vs = catalog_versions(cat_dir)
-    drop = vs[:-keep_versions] if keep_versions > 0 else vs
+    drop = vs[:-max(1, keep_versions)]
     n = 0
     for v in drop:
         n += bool(st.delete(_cpath(st, cat_dir, v)))

@@ -526,6 +526,19 @@ def test_ivf_index_with_trained_centroids(spark, ivf_base, tmp_path):
     assert _frames_equal(V.read_version(spark, idx), rebuilt)
     cells = {r["cell"] for r in V.read_version(spark, idx).collect()}
     assert cells <= set(range(6)) and len(cells) > 1
+    # the probe must rank cells against the TRAINED codebook too —
+    # probing with the seeded default would select the wrong cells
+    query = list(V.read_version(spark, emb_dir)
+                 .filter(F.col("vec_id") == 2)
+                 .select("embedding").first()["embedding"])
+    got = ann.probe_ivf_topk(spark, idx, emb_dir, query, k=5,
+                             nprobe=2, centroids=trained)
+    probed = set(ann.probe_cells(query, trained, 2))
+    in_cells = {r["vec_id"]
+                for r in V.read_version(spark, idx).collect()
+                if r["cell"] in probed}
+    assert {r["vec_id"] for r in got.collect()} <= in_cells
+    assert 2 in in_cells
 
 
 def test_multiprobe_expands_candidates_and_keeps_exact_semantics(

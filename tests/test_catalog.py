@@ -210,6 +210,16 @@ class TestVacuumComposition:
         C.vacuum_table(cat, "t", keep_versions=1)
         assert V.versions(t) == [5]
 
+    def test_vacuum_catalog_always_keeps_latest(self, spark, tmp_path):
+        cat = str(tmp_path / "cat")
+        t = _mk(spark, tmp_path, "t", [(1, 1)])
+        C.commit_txn(cat, {"t": (t, None)}, txn_id="keepme")
+        # keep_versions=0 must NOT brick the catalog or wipe the ledger
+        assert C.vacuum_catalog(cat, keep_versions=0) == 0
+        assert C.catalog_latest(cat) == 0
+        assert C.catalog_txn_ids(cat) == {"keepme"}
+        assert _rows(C.read_table(spark, cat, "t")) == [(1, 1)]
+
     def test_plain_vacuum_pin_versions_param(self, spark, tmp_path):
         t = _mk(spark, tmp_path, "t", [(1, 1)])
         for i in range(2, 5):
