@@ -885,3 +885,29 @@ def test_binary_hamming_rerank_recall_floor(spark, sf_dir):
     # random (clusterless) vectors: sign-bit Hamming still correlates
     # with cosine, so a 5× shortlist keeps at least half the true top-10
     assert len(got & exact) >= 5
+
+
+def test_hamming_neighbor_buckets_properties():
+    """The shared multiprobe expansion (used by topk_lsh AND the
+    persisted-index probe): exact count Σ C(n, i) for i ≤ radius, every
+    member within the radius, the bucket itself included, and any
+    radius honored (the pre-refactor form silently capped at 2)."""
+    from itertools import combinations
+    from math import comb
+
+    from databox_adls_loader_spark.operators.similarity import \
+        hamming_neighbor_buckets
+
+    for n_planes in (3, 5, 8):
+        for radius in (0, 1, 2, 3):
+            base = 0b10110 & ((1 << n_planes) - 1)
+            got = hamming_neighbor_buckets(base, n_planes, radius)
+            assert got == sorted(set(got))           # sorted, unique
+            assert len(got) == sum(comb(n_planes, i)
+                                   for i in range(radius + 1))
+            assert base in got
+            for b in got:
+                assert bin(b ^ base).count("1") <= radius
+                assert b < (1 << n_planes)
+    # radius 3 on 8 planes: 1+8+28+56 = 93 buckets, uncapped
+    assert len(hamming_neighbor_buckets(0, 8, 3)) == 93
