@@ -943,6 +943,94 @@ def evt_value_outlier_share(spark: SparkSession,
             .orderBy("event_type"))
 
 
+@register(
+    "li_return_rate_by_brand",
+    oracle="""
+    SELECT p.p_brand AS brand, COUNT(*) AS n_items,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returned,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS return_ppm
+    FROM lineitem JOIN part p ON l_partkey = p_partkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=["join", "aggregate", "tpch-shaped"],
+)
+def li_return_rate_by_brand(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Return rate per brand in exact integer ppm — the
+    quality-escalation ranking (which brands ship back).  One broadcast
+    dim hop + one brand-keyed aggregate, partials collapse map-side;
+    integral DIV keeps the rate hash-portable."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    ret = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    return (li.join(F.broadcast(part.select(
+        "p_partkey", F.col("p_brand").alias("brand"))),
+        li.l_partkey == F.col("p_partkey"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.sum(ret).cast("long").alias("n_returned"))
+        .select("brand", "n_items", "n_returned",
+                F.expr("CAST((n_returned * 1000000L) DIV n_items "
+                       "AS LONG)").alias("return_ppm"))
+        .orderBy("brand"))
+
+
+@register(
+    "evt_type_hour_heatmap",
+    oracle="""
+    SELECT event_type,
+           CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=["profile", "events"],
+)
+def evt_type_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event volume heatmap per (type, hour-of-day) — the
+    when-does-each-funnel-stage-happen view (`prof_events_time_profile`
+    adds the type dimension the capacity profile collapses).  Hour from
+    pure epoch-microsecond integer math, engine-convention-free; output
+    bounded by |types|×24 however large events grows."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (events.groupBy(
+        "event_type",
+        F.expr("(unix_micros(ts) div 3600000000) % 24").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.count_distinct("user_id").alias("n_users"))
+        .orderBy("event_type", "hour"))
+
+
+@register(
+    "doc_length_quartiles_by_source",
+    oracle="""
+    SELECT source, COUNT(*) AS n,
+           CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS q1,
+           CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS med,
+           CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS q3,
+           CAST(MAX(n_chars) AS BIGINT) AS mx
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    tags=["profile", "text", "corpus"],
+)
+def doc_length_quartiles_by_source(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Document length quartiles per source (discrete quantiles — an
+    ACTUAL member value, exact and tie-proof in both engines, unlike
+    interpolated percentiles of doubles): the length-mix fingerprint
+    that decides per-source chunking and packing window sizes.  One
+    source-keyed aggregate; percentile_disc state is bounded."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    q = [F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY n_chars)"
+                ).cast("long").alias(a)
+         for p, a in ((0.25, "q1"), (0.5, "med"), (0.75, "q3"))]
+    return (docs.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"), *q,
+                 F.max("n_chars").cast("long").alias("mx"))
+            .orderBy("source"))
+
+
 # ---------------------------------------------------------------------------
 # atomic publish of the corpus lane's artifacts through the catalog
 # ---------------------------------------------------------------------------
