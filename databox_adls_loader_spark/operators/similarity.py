@@ -502,12 +502,19 @@ def binary_code_word(vec_col: Column, word: int,
     a long — the 32× compression stage of a binary ANN index (BQ /
     Hamming retrieval), entirely in whole-stage codegen.  2^i is an
     exact double for i < 53, so the `pow`-then-cast packing is
-    bit-portable (same trick as `_bucket_expr`'s shifts)."""
+    bit-portable (same trick as `_bucket_expr`'s shifts).
+
+    A NaN component packs as bit 0 EXPLICITLY (the isnan guard below):
+    engines disagree on NaN ordering (Spark's total order sorts NaN
+    greatest, ANSI comparison says false; DuckDB's total order makes
+    ``NaN >= 0`` true), so without the guard the packed word would be
+    engine-dependent.  Guarded, it matches `binary_code_of`'s Python
+    semantics (``float('nan') >= 0`` is False) everywhere."""
     return F.aggregate(
         F.transform(
             F.slice(vec_col, word * bits_per_word + 1, bits_per_word),
             lambda x, i: F.when(
-                x.cast("double") >= 0,
+                (~F.isnan(x.cast("double"))) & (x.cast("double") >= 0),
                 F.pow(F.lit(2.0), i).cast("long")
             ).otherwise(F.lit(0).cast("long"))),
         F.lit(0).cast("long"), lambda acc, v: acc + v)

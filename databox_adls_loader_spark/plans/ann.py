@@ -340,7 +340,16 @@ def cell_expr(vec_col, centroids: list[list[float]]):
     array-min over (−dot, cell) structs gives the largest dot product
     with the smallest-cell tiebreak — no UDF, no shuffle, and the same
     left-to-right float fold the oracle's list_sum performs, so the
-    assignment is bit-reproducible cross-engine."""
+    assignment is bit-reproducible cross-engine.
+
+    PRECONDITION: no NaN components.  A NaN anywhere poisons every dot
+    product, and the engines' NaN orderings differ (Spark's struct
+    total order sorts NaN greatest; DuckDB's total order treats NaN as
+    greater than everything) — the argmax cell would be
+    engine-dependent.  Scrub or null-out NaNs upstream (the corpus
+    lane's quality filters do); the quantization paths
+    (`similarity.binary_code_word`) guard explicitly instead because
+    their per-bit cost is one isnan."""
     cands = F.array(*[
         F.struct((-similarity.dot(vec_col, similarity._query_literal(c))
                   ).alias("negdot"),

@@ -81,7 +81,14 @@ def catalog_latest(cat_dir: str) -> int | None:
 
 def _read_cat_doc(cat_dir: str, version: int) -> dict:
     st = storage_for(cat_dir)
-    return json.loads(st.read_text(_cpath(st, cat_dir, version)))
+    try:
+        return json.loads(st.read_text(_cpath(st, cat_dir, version)))
+    except FileNotFoundError:
+        retained = catalog_versions(cat_dir)
+        raise KeyError(
+            f"catalog version {version} is not retained in {cat_dir!r} "
+            f"(retained: {retained}) — it was never committed or "
+            "`vacuum_catalog` dropped it") from None
 
 
 def catalog_tables(cat_dir: str, version: int | None = None
@@ -96,18 +103,36 @@ def catalog_tables(cat_dir: str, version: int | None = None
     return dict(_read_cat_doc(cat_dir, version)["tables"])
 
 
+def _ledger_path(st, cat_dir: str) -> str:
+    return st.join(_cmdir(st, cat_dir), "_txns.json")
+
+
+def _ledger_txn_ids(cat_dir: str) -> set[str]:
+    """txn_ids persisted in the compact side ledger — written by
+    `vacuum_catalog` BEFORE it drops a manifest, so dropping a manifest
+    never forgets its transaction."""
+    st = storage_for(cat_dir)
+    try:
+        return set(json.loads(st.read_text(_ledger_path(st, cat_dir)))
+                   .get("txn_ids", []))
+    except FileNotFoundError:
+        return set()
+
+
 def catalog_txn_ids(cat_dir: str) -> set[str]:
     """The transaction ledger: every txn_id carried by a RETAINED
-    catalog manifest.  Each manifest records only its OWN txn_id —
-    cumulative inheritance would make a per-micro-batch streaming
-    publisher's manifests grow O(total batches ever) — so replay
-    protection spans exactly the retained-manifest horizon:
-    `vacuum_catalog` must keep at least the redelivery window (the same
-    contract `versioned.vacuum` has with pinned readers)."""
-    return {tid for tid in
-            (_read_cat_doc(cat_dir, v).get("txn_id")
-             for v in catalog_versions(cat_dir))
-            if tid is not None}
+    catalog manifest, UNION the compact side ledger `_txns.json`.  Each
+    manifest records only its OWN txn_id — cumulative inheritance would
+    make a per-micro-batch streaming publisher's manifests grow O(total
+    batches ever) — and `vacuum_catalog` persists the txn_ids of every
+    manifest it drops into the side ledger first, so replay protection
+    survives manifest reclaim: a crash-replayed `commit_txn` stays a
+    no-op however aggressively the catalog was vacuumed."""
+    ids = {tid for tid in
+           (_read_cat_doc(cat_dir, v).get("txn_id")
+            for v in catalog_versions(cat_dir))
+           if tid is not None}
+    return ids | _ledger_txn_ids(cat_dir)
 
 
 def catalog_history(cat_dir: str) -> list[dict]:
@@ -199,7 +224,26 @@ def commit_txn(cat_dir: str,
         base = {} if cur is None else catalog_tables(cat_dir, cur)
         if txn_id is not None and txn_id in catalog_txn_ids(cat_dir):
             return None                          # landed under our feet
-        clash = sorted(n for n in updated if base.get(n) != base0.get(n))
+        clash_set = {n for n in updated if base.get(n) != base0.get(n)}
+        # ABA guard: entry equality alone misses a concurrent txn that
+        # re-pinned one of OUR tables followed by another that pinned it
+        # back to the identical {path, version} — walk the INTERVENING
+        # commits' changed sets instead, so any commit in (base_v0, cur]
+        # touching one of this txn's tables raises, whatever the final
+        # entry looks like.  (A manifest vacuumed out of the window
+        # mid-walk degrades to the entry check already taken above.)
+        prev = base0
+        for v in catalog_versions(cat_dir):
+            if (base_v0 is not None and v <= base_v0) \
+                    or (cur is None or v > cur):
+                continue
+            try:
+                tabs = _read_cat_doc(cat_dir, v)["tables"]
+            except KeyError:
+                continue
+            clash_set |= {n for n in updated if prev.get(n) != tabs.get(n)}
+            prev = tabs
+        clash = sorted(clash_set)
         if clash:
             raise ConcurrentCommitError(
                 f"catalog txn lost the race on table(s) {clash} in "
@@ -316,14 +360,27 @@ def vacuum_catalog(cat_dir: str, keep_versions: int = 2) -> int:
     """Drop old catalog manifests (old cross-table snapshots), keeping
     the newest ``keep_versions``.  The LATEST catalog version is always
     retained regardless (same guard as `versioned.vacuum` — a catalog
-    with no manifest is bricked and its txn-replay ledger wiped).
-    Dropping a manifest also forgets its txn_id, so keep at least the
-    stream's redelivery window retained.  Table DATA is untouched — run
-    `vacuum_table` afterwards to reclaim table versions the shrunken
-    pin set no longer protects.  Returns manifests dropped."""
+    with no manifest is bricked).  Before anything is deleted, the
+    to-be-dropped manifests' txn_ids are persisted into the compact
+    side ledger (`_txns.json`), so replay protection is NOT bounded by
+    manifest retention: a crash-replayed `commit_txn` whose manifest
+    was vacuumed still no-ops instead of double-applying its phase-1
+    table mutations.  (Crash between the ledger write and a delete
+    leaves an id in both places — a harmless set union.)  Table DATA is
+    untouched — run `vacuum_table` afterwards to reclaim table versions
+    the shrunken pin set no longer protects.  Returns manifests
+    dropped."""
     st = storage_for(cat_dir)
     vs = catalog_versions(cat_dir)
     drop = vs[:-max(1, keep_versions)]
+    dropped_ids = {tid for tid in
+                   (_read_cat_doc(cat_dir, v).get("txn_id") for v in drop)
+                   if tid is not None}
+    if dropped_ids:
+        st.replace_text(
+            _ledger_path(st, cat_dir),
+            json.dumps({"txn_ids":
+                        sorted(_ledger_txn_ids(cat_dir) | dropped_ids)}))
     n = 0
     for v in drop:
         n += bool(st.delete(_cpath(st, cat_dir, v)))

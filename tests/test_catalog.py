@@ -344,3 +344,65 @@ class TestStreamingPublish:
         got = _rows(C.read_table(spark, cat, "ev"))
         assert got == _rows(V.read_version(spark, t))
         assert C.catalog_status(cat)[0]["drift"] == 0
+
+
+class TestRound11Hardening:
+    def test_vacuum_preserves_txn_replay_protection(self, spark, tmp_path):
+        """Dropping a txn's manifest must NOT re-open the double-apply
+        window: vacuum_catalog persists dropped manifests' txn_ids into
+        the side ledger, so a crash-replayed commit_txn stays a no-op
+        (and runs none of its phase-1 table mutations)."""
+        cat = str(tmp_path / "cat")
+        a = _mk(spark, tmp_path, "a", [(1, 1)])
+        C.commit_txn(cat, {"a": (a, None)}, txn_id="tx-old")
+        for i in range(2, 6):
+            C.commit_txn(cat, {"a": (a, None)}, txn_id=f"tx-{i}")
+        # keep only the 2 newest manifests — tx-old's manifest is gone
+        assert C.vacuum_catalog(cat, keep_versions=2) == 3
+        assert "tx-old" in C.catalog_txn_ids(cat)
+        ran = []
+
+        def op():
+            ran.append(1)
+            return V.write_snapshot(
+                spark.createDataFrame([(9, 9)], "k int, v int"), a)
+
+        assert C.commit_txn(cat, {"a": (a, op)}, txn_id="tx-old") is None
+        assert ran == []                       # phase 1 never ran
+
+    def test_aba_repin_is_detected_as_overlap(self, spark, tmp_path):
+        """A-B-A: while our txn is in flight, a concurrent txn re-pins
+        one of OUR tables and a later txn pins it BACK to the identical
+        {path, version} entry.  Entry equality would wave it through;
+        the history walk must raise ConcurrentCommitError."""
+        cat = str(tmp_path / "cat")
+        a = _mk(spark, tmp_path, "a", [(1, 1)])
+        b = _mk(spark, tmp_path, "b", [(2, 2)])
+        v_a1 = V.write_snapshot(
+            spark.createDataFrame([(3, 3)], "k int, v int"), a)
+        C.commit_txn(cat, {"a": (a, v_a1 - 1), "b": (b, None)})
+
+        def op():
+            # concurrent writer: pin a -> v1, then a third txn pins a
+            # BACK to v0 — the final entry equals our snapshot's
+            C.commit_txn(cat, {"a": (a, v_a1)})
+            C.commit_txn(cat, {"a": (a, v_a1 - 1)})
+            return None
+
+        with pytest.raises(ConcurrentCommitError):
+            C.commit_txn(cat, {"a": (a, op)})
+
+    def test_read_vacuumed_catalog_version_raises_descriptive(
+            self, spark, tmp_path):
+        cat = str(tmp_path / "cat")
+        t = _mk(spark, tmp_path, "t", [(1, 1)])
+        C.commit_txn(cat, {"t": (t, None)})
+        for i in range(2, 5):
+            V.write_snapshot(spark.createDataFrame([(i, i)],
+                                                   "k int, v int"), t)
+            C.commit_txn(cat, {"t": (t, None)})
+        C.vacuum_catalog(cat, keep_versions=1)
+        with pytest.raises(KeyError, match="not retained"):
+            C.read_table(spark, cat, "t", catalog_version=0)
+        with pytest.raises(KeyError, match="not retained"):
+            C.catalog_tables(cat, version=0)

@@ -911,3 +911,20 @@ def test_hamming_neighbor_buckets_properties():
                 assert b < (1 << n_planes)
     # radius 3 on 8 planes: 1+8+28+56 = 93 buckets, uncapped
     assert len(hamming_neighbor_buckets(0, 8, 3)) == 93
+
+
+def test_binary_code_nan_component_packs_as_zero_bit(spark):
+    """A NaN component must pack as bit 0 (the explicit isnan guard) —
+    matching the Python twin, where float('nan') >= 0 is False —
+    instead of riding Spark's NaN-greatest total order."""
+    from databox_adls_loader_spark.operators.similarity import (
+        binary_code_of, binary_codes)
+
+    vec = [1.0] * 64
+    vec[3] = float("nan")
+    vec[40] = float("nan")
+    emb = spark.createDataFrame([(1, vec)],
+                                "vec_id long, embedding array<double>")
+    row = binary_codes(emb, 64).collect()[0]
+    assert (row.w0, row.w1) == tuple(binary_code_of(vec, 64))
+    assert row.w0 & (1 << 3) == 0 and row.w1 & (1 << 8) == 0
