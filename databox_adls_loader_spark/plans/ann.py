@@ -300,16 +300,23 @@ def _maintain_stream_batch(batch_df: DataFrame, batch_id: int,
     ins = net.filter(ct == "insert").drop(*meta)
     dels = net.filter(ct == "delete").drop(*meta)
     upsert_id = 2 * int(batch_id) + 1
+    # ONE probe job carries every emptiness decision — the counts come
+    # out of a single aggregation of the net-collapsed batch (was: up
+    # to three limit(1).count() actions per micro-batch).  The probed
+    # frame is O(batch); collect is 2 rows max.
+    cnt = {r["__ct"]: r["n"] for r in
+           (net.groupBy(ct.alias("__ct"))
+            .agg(F.count(F.lit(1)).alias("n")).collect())}
+    n_ins, n_del = cnt.get("insert", 0), cnt.get("delete", 0)
     if V.latest_version(index_dir) is None:
         # bootstrap: the first batch IS the index, recorded under the
         # upsert-phase id so a crash-replay skips the merge phase
-        rows = rows_of(ins)
-        if not rows.limit(1).count():
+        if not n_ins:
             return None
-        ok = V.commit_stream_batch(rows, upsert_id, index_dir,
+        ok = V.commit_stream_batch(rows_of(ins), upsert_id, index_dir,
                                    mode="overwrite")
         return V.latest_version(index_dir) if ok else None
-    if not ins.limit(1).count() and not dels.limit(1).count():
+    if not n_ins and not n_del:
         return None                      # empty batch: no version churn
     return _signed_apply(
         spark, index_dir,
@@ -550,6 +557,246 @@ def probe_topk(spark: SparkSession, index_dir: str, base_dir: str,
     base = V.read_version(spark, base_dir)
     q = similarity._query_literal(query)
     return (base.join(F.broadcast(cand), id_col, "left_semi")
+            .select(F.col(id_col),
+                    F.round(similarity.cosine(F.col(vec_col), q),
+                            6).alias("sim"))
+            .orderBy(F.desc("sim"), id_col)
+            .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# PQ (product-quantization) persisted index — the third maintained family:
+# band-LSH finds candidates, IVF routes, PQ is what a serving fleet can
+# HOLD (4-bit codes ≈ 64× smaller than float32; at 100 TB of embeddings
+# the code table is the only whole-corpus relation that fits in memory)
+# ---------------------------------------------------------------------------
+
+PQ_KEY = "__pq_key"
+
+
+def pq_codebooks(dim: int, m: int = 4, k_codes: int = 8,
+                 seed: int = 29) -> list[list[list[float]]]:
+    """Deterministic FROZEN per-subspace codebooks (m × k_codes ×
+    dim/m) — the PQ index's identity, like the band planes and the IVF
+    centroids: subspace s draws from seed ``seed + 104729·s`` so books
+    are independent but reproducible across runs, executors, and the
+    DuckDB oracle (which inlines these exact doubles as literals).  A
+    production build trains them once (`similarity.pq_train`, itself
+    RNG-free) and freezes the result via the ``codebooks=`` override;
+    maintenance NEVER moves codewords — re-training is a new index
+    (rebuild), exactly like a band-geometry change."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [similarity._planes(sub, k_codes, seed + 104729 * s)
+            for s in range(m)]
+
+
+def pq_code_expr(vec_col, book: list[list[float]], s: int):
+    """Subspace ``s``'s nearest-codeword index as ONE codegen'd
+    expression: array-min over (dist², code) structs, smallest-code
+    tiebreak — the same left-to-right ``(x−c)·(x−c)`` float fold the
+    oracle's list_sum performs, so the code assignment is
+    bit-reproducible cross-engine (see `cell_expr`; same no-NaN
+    precondition)."""
+    sub = len(book[0])
+    piece = F.slice(vec_col, s * sub + 1, sub)
+    cands = F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with(piece, similarity._query_literal(c),
+                           lambda x, y: (x.cast("double") - y)
+                           * (x.cast("double") - y)),
+                F.lit(0.0), lambda acc, v: acc + v).alias("dist"),
+            F.lit(i).cast("int").alias("code"))
+        for i, c in enumerate(book)
+    ])
+    return F.array_min(cands).getField("code")
+
+
+def pq_rows(df: DataFrame, codebooks: list[list[list[float]]],
+            id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """The PQ index content for ``df``: one row per (vector, subspace)
+    with its nearest-codeword index — ONE scan, all m codes computed
+    map-side in a single exploded select, plus the composite merge key
+    ``__pq_key = id ':' sub`` (the `band_rows` layout, so the index
+    rides the identical retire/upsert ledger)."""
+    vec = F.col(vec_col)
+    pairs = F.array(*[
+        F.struct(F.lit(s).cast("int").alias("sub"),
+                 pq_code_expr(vec, codebooks[s], s).alias("code"))
+        for s in range(len(codebooks))
+    ])
+    return (df.select(F.col(id_col), F.explode(pairs).alias("sc"))
+            .select(
+                F.concat_ws(":", F.col(id_col).cast("string"),
+                            F.col("sc.sub").cast("string")
+                            ).alias(PQ_KEY),
+                F.col(id_col),
+                F.col("sc.sub").alias("sub"),
+                F.col("sc.code").alias("code")))
+
+
+def build_pq_index(spark: SparkSession, index_dir: str, base_dir: str,
+                   dim: int = 64, m: int = 4, k_codes: int = 8,
+                   seed: int = 29, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   codebooks: list[list[list[float]]] | None = None
+                   ) -> int:
+    """Full PQ build over the base table's LATEST snapshot, committed
+    with the watermark ledger id ``2·v_base + 1`` (see `build_ann_index`
+    — identical resume contract).  ``codebooks``: explicit trained
+    books (`similarity.pq_train`, frozen) — overrides the seeded
+    default; whatever trained them, the books ARE the index's identity:
+    pass the same list to every refresh/probe."""
+    v_base = V.latest_version(base_dir)
+    if v_base is None:
+        raise ValueError(f"base table {base_dir!r} has no versions")
+    rows = pq_rows(V.read_version(spark, base_dir, v_base),
+                   codebooks or pq_codebooks(dim, m, k_codes, seed),
+                   id_col, vec_col)
+    return V.write_snapshot(rows, index_dir, mode="overwrite",
+                            batch_ids={2 * v_base + 1})
+
+
+def _pq_dead_keys(removed_ids: DataFrame, m: int,
+                  id_col: str) -> DataFrame:
+    return (removed_ids
+            .select(F.col(id_col),
+                    F.explode(F.array(*[F.lit(s) for s in range(m)])
+                              ).alias("sub"))
+            .select(F.concat_ws(
+                ":", F.col(id_col).cast("string"),
+                F.col("sub").cast("string")).alias(PQ_KEY)))
+
+
+def refresh_pq_index(spark: SparkSession, index_dir: str, base_dir: str,
+                     dim: int = 64, m: int = 4, k_codes: int = 8,
+                     seed: int = 29, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     codebooks: list[list[list[float]]] | None = None
+                     ) -> int | None:
+    """Maintain the PQ code table from the base table's change feed —
+    `refresh_ann_index`'s twin over (vector, subspace) code rows:
+    deleted vectors tombstone their m composite keys, inserted/updated
+    vectors re-encode and MERGE (a vector's keys are invariant, only
+    its codes change).  O(base changes); same pending-window crash
+    recovery; codebooks are frozen (pass the build-time geometry)."""
+    v_from = mv_base_watermark(index_dir)
+    if v_from is None:
+        raise ValueError(
+            f"index {index_dir!r} has no base watermark — run "
+            "build_pq_index first")
+    books = codebooks or pq_codebooks(dim, m, k_codes, seed)
+    out = None
+    v_pend = mv_pending_base_version(index_dir)
+    if v_pend is not None:
+        out = _apply_pq_window(spark, index_dir, base_dir, v_from,
+                               v_pend, books, id_col, vec_col)
+        v_from = v_pend
+    v_to = V.latest_version(base_dir)
+    if v_to is None or v_to <= v_from:
+        return out
+    return _apply_pq_window(spark, index_dir, base_dir, v_from, v_to,
+                            books, id_col, vec_col)
+
+
+def _apply_pq_window(spark: SparkSession, index_dir: str, base_dir: str,
+                     v_from: int, v_to: int,
+                     books: list[list[list[float]]], id_col: str,
+                     vec_col: str) -> int | None:
+    ch = V.changes_between(spark, base_dir, v_from, v_to, id_col,
+                           incremental=True, emit_preimage=True)
+    ct = F.col("_change_type")
+    return _signed_apply(
+        spark, index_dir,
+        dead_keys=_pq_dead_keys(ch.filter(ct == "delete").select(id_col),
+                                len(books), id_col),
+        new_rows=pq_rows(
+            ch.filter(ct.isin("insert", "update_postimage"))
+            .drop("_change_type"), books, id_col, vec_col),
+        retire_id=2 * v_to, upsert_id=2 * v_to + 1, key_col=PQ_KEY)
+
+
+def maintain_pq_index_stream_batch(batch_df: DataFrame, batch_id: int,
+                                   index_dir: str, dim: int = 64,
+                                   m: int = 4, k_codes: int = 8,
+                                   seed: int = 29,
+                                   id_col: str = "vec_id",
+                                   vec_col: str = "embedding"
+                                   ) -> int | None:
+    """STREAMING maintenance of the persisted PQ code table — the push
+    twin of `refresh_pq_index`, wired exactly like
+    `maintain_index_stream_batch` (same change-feed source, same
+    foreachBatch shape, same 2b/2b+1 ledger and one-writer rule)."""
+    books = pq_codebooks(dim, m, k_codes, seed)
+    return _maintain_stream_batch(
+        batch_df, batch_id, index_dir, id_col,
+        rows_of=lambda df: pq_rows(df, books, id_col, vec_col),
+        dead_keys_of=lambda ids: _pq_dead_keys(ids, m, id_col),
+        key_col=PQ_KEY)
+
+
+def pq_lut_micros(query: list[float],
+                  codebooks: list[list[list[float]]]) -> list[int]:
+    """The query's ADC lookup table in EXACT integer micro-units,
+    flattened (sub-major): entry ``s·k_codes + c`` is
+    ``floor(1e6 · q_s · codeword[s][c])`` — Python's left-to-right sum
+    over the same doubles DuckDB's list_sum folds, so the table (and
+    therefore the candidate ranking) is bit-identical cross-engine.
+    Integer ADC makes the candidate ORDER associative and
+    hash-portable; float ADC sums would be order-dependent."""
+    import math
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    out = []
+    for s in range(m):
+        qs = query[s * sub:(s + 1) * sub]
+        for c in codebooks[s]:
+            out.append(math.floor(
+                1_000_000 * sum(float(x) * y for x, y in zip(qs, c))))
+    return out
+
+
+def probe_pq_topk(spark: SparkSession, index_dir: str, base_dir: str,
+                  query: list[float], k: int = 10, expand: int = 4,
+                  dim: int = 64, m: int = 4, k_codes: int = 8,
+                  seed: int = 29, id_col: str = "vec_id",
+                  vec_col: str = "embedding",
+                  codebooks: list[list[list[float]]] | None = None
+                  ) -> DataFrame:
+    """PQ top-k THROUGH the persisted code table by asymmetric distance
+    (ADC): the query's (m × k_codes) LUT is computed driver-side
+    against the frozen codebooks in exact integer micro-units
+    (`pq_lut_micros`), each stored (sub, code) row contributes ONE
+    array lookup, candidates are the top ``k·expand`` vectors by exact
+    integer ADC sum (id tiebreak — a total order, so both engines pick
+    the identical candidate set), and the exact cosine rerank runs on
+    candidates semi-joined back to the base.  The float vectors are
+    read ONLY for the k·expand rerank rows — the scan cost is the code
+    table (≈64× smaller), which is the whole point of the family.
+    ``codebooks``: the index's books when built with trained ones —
+    probing a trained index with the seeded default would rank the
+    wrong codewords."""
+    lut = pq_lut_micros(query,
+                        codebooks or pq_codebooks(dim, m, k_codes, seed))
+    lut_lit = F.array(*[F.lit(int(u)).cast("long") for u in lut])
+    idx = V.read_version(spark, index_dir)
+    cand = (idx.select(
+        F.col(id_col),
+        F.element_at(lut_lit,
+                     (F.col("sub") * k_codes + F.col("code") + 1)
+                     .cast("int")).alias("__u"))
+        .groupBy(id_col)
+        .agg(F.sum("__u").alias("adc_u"))
+        .orderBy(F.desc("adc_u"), id_col)
+        .limit(k * expand))
+    base = V.read_version(spark, base_dir)
+    q = similarity._query_literal(query)
+    return (base.join(F.broadcast(cand.select(id_col)), id_col,
+                      "left_semi")
             .select(F.col(id_col),
                     F.round(similarity.cosine(F.col(vec_col), q),
                             6).alias("sim"))

@@ -571,3 +571,38 @@ def test_multiprobe_expands_candidates_and_keeps_exact_semantics(
         want |= {r["vec_id"] for r in idx_rows
                  if r["band"] == b and r["bucket"] in ok}
     assert h1 == want
+
+
+def test_stream_batch_emptiness_probe_is_one_job(spark, sf_dir,
+                                                 tmp_path):
+    """The micro-batch emptiness decision must cost exactly ONE Spark
+    job (the combined net-collapse count aggregation) — not a
+    limit(1).count() probe per frame.  Asserted via the status
+    tracker's job-group ids on an EMPTY batch, where the probe is the
+    only work the call does."""
+    emb_dir = str(tmp_path / "emb")
+    index_dir = str(tmp_path / "idx")
+    emb = _emb(spark, sf_dir).limit(40)
+    V.write_snapshot(emb, emb_dir)
+    feed = (V.read_version(spark, emb_dir)
+            .withColumn("_change_type", F.lit("insert")))
+    assert ann.maintain_index_stream_batch(feed, 0, index_dir,
+                                           **GEO) is not None
+    sc = spark.sparkContext
+    # runtime-empty, not statically empty — a lit(False) filter folds
+    # to a LocalRelation and would probe with ZERO jobs
+    empty = feed.filter(F.col("vec_id") < -(1 << 40))
+    # AQE materializes each shuffle stage as its own job, which would
+    # count the ONE probe action as two jobs — pin it off so the
+    # assertion is action-count, not stage-count
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("ann-probe-count", "emptiness probe")
+    try:
+        assert ann.maintain_index_stream_batch(empty, 1, index_dir,
+                                               **GEO) is None
+    finally:
+        jobs = sc.statusTracker().getJobIdsForGroup("ann-probe-count")
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    assert len(jobs) == 1, f"expected 1 probe job, saw {len(jobs)}"

