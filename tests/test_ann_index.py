@@ -606,3 +606,214 @@ def test_stream_batch_emptiness_probe_is_one_job(spark, sf_dir,
         sc.setJobGroup(None, None)
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
     assert len(jobs) == 1, f"expected 1 probe job, saw {len(jobs)}"
+
+
+PQ_GEO = dict(dim=64, m=8, k_codes=16, seed=29)
+
+
+def _pq_rebuilt(spark, emb_dir):
+    return ann.pq_rows(V.read_version(spark, emb_dir),
+                       ann.pq_codebooks(**PQ_GEO))
+
+
+@pytest.fixture()
+def pq_base(spark, sf_dir, tmp_path):
+    emb_dir = str(tmp_path / "emb")
+    index_dir = str(tmp_path / "pq")
+    V.write_snapshot(_emb(spark, sf_dir), emb_dir)
+    ann.build_pq_index(spark, index_dir, emb_dir, **PQ_GEO)
+    return emb_dir, index_dir
+
+
+class TestPQIndex:
+    def test_build_matches_pq_rows_and_codes_in_range(self, spark,
+                                                      pq_base):
+        emb_dir, index_dir = pq_base
+        idx = V.read_version(spark, index_dir)
+        assert _frames_equal(idx, _pq_rebuilt(spark, emb_dir))
+        n_vec = V.read_version(spark, emb_dir).count()
+        assert idx.count() == PQ_GEO["m"] * n_vec
+        rng = idx.agg(F.min("code"), F.max("code"),
+                      F.min("sub"), F.max("sub")).first()
+        assert 0 <= rng[0] and rng[1] < PQ_GEO["k_codes"]
+        assert (rng[2], rng[3]) == (0, PQ_GEO["m"] - 1)
+
+    def test_maintained_equals_rebuild_across_commits(self, spark,
+                                                      pq_base):
+        emb_dir, index_dir = pq_base
+        vid = F.col("vec_id")
+        emb = V.read_version(spark, emb_dir)
+        V.delete_where_keys(spark, emb_dir, "vec_id",
+                            emb.filter(vid % 6 == 1).select("vec_id"))
+        ann.refresh_pq_index(spark, index_dir, emb_dir, **PQ_GEO)
+        assert _frames_equal(V.read_version(spark, index_dir),
+                             _pq_rebuilt(spark, emb_dir))
+        V.upsert_mor(spark, emb_dir,
+                     V.read_version(spark, emb_dir).filter(vid % 4 == 0)
+                     .withColumn("embedding",
+                                 F.transform(F.col("embedding"),
+                                             lambda x: -x)),
+                     key="vec_id")
+        V.write_snapshot(
+            emb.filter(vid % 9 == 0)
+            .select((-(vid + 1)).alias("vec_id"),
+                    F.reverse(F.col("embedding")).alias("embedding")),
+            emb_dir)
+        ann.refresh_pq_index(spark, index_dir, emb_dir, **PQ_GEO)
+        assert _frames_equal(V.read_version(spark, index_dir),
+                             _pq_rebuilt(spark, emb_dir))
+        assert mv_base_watermark(index_dir) == V.latest_version(emb_dir)
+
+    def test_crash_between_phases_resumes(self, spark, pq_base):
+        emb_dir, index_dir = pq_base
+        vid = F.col("vec_id")
+        emb = V.read_version(spark, emb_dir)
+        V.delete_where_keys(spark, emb_dir, "vec_id",
+                            emb.filter(vid % 6 == 1).select("vec_id"))
+        v_crash = V.latest_version(emb_dir)
+        # crash sim: only the retire phase lands under its ledger id
+        V.delete_where_keys(
+            spark, index_dir, ann.PQ_KEY,
+            ann._pq_dead_keys(emb.filter(vid % 6 == 1).select("vec_id"),
+                              PQ_GEO["m"], "vec_id"),
+            batch_ids={2 * v_crash})
+        assert mv_pending_base_version(index_dir) == v_crash
+        V.write_snapshot(
+            emb.filter(vid % 9 == 0)
+            .select((-(vid + 1)).alias("vec_id"),
+                    F.reverse(F.col("embedding")).alias("embedding")),
+            emb_dir)
+        ann.refresh_pq_index(spark, index_dir, emb_dir, **PQ_GEO)
+        assert mv_pending_base_version(index_dir) is None
+        assert _frames_equal(V.read_version(spark, index_dir),
+                             _pq_rebuilt(spark, emb_dir))
+
+    def test_refresh_noop_and_unbuilt_raises(self, spark, pq_base,
+                                             tmp_path):
+        emb_dir, index_dir = pq_base
+        v = V.latest_version(index_dir)
+        assert ann.refresh_pq_index(spark, index_dir, emb_dir,
+                                    **PQ_GEO) is None
+        assert V.latest_version(index_dir) == v
+        with pytest.raises(ValueError, match="no base watermark"):
+            ann.refresh_pq_index(spark, str(tmp_path / "virgin"),
+                                 emb_dir, **PQ_GEO)
+
+    def test_probe_reranks_exact_and_hits_recall_floor(self, spark,
+                                                       pq_base):
+        from databox_adls_loader_spark.operators import similarity
+
+        emb_dir, index_dir = pq_base
+        emb = V.read_version(spark, emb_dir)
+        query = list(emb.filter(F.col("vec_id") == 1)
+                     .select("embedding").first()["embedding"])
+        got = ann.probe_pq_topk(spark, index_dir, emb_dir, query,
+                                k=20, expand=8, **PQ_GEO).collect()
+        assert len(got) == 20
+        sims = [r["sim"] for r in got]
+        assert sims == sorted(sims, reverse=True)
+        exact = {r["vec_id"] for r in
+                 similarity.topk_bruteforce(emb, query, k=20).collect()}
+        hits = len(exact & {r["vec_id"] for r in got})
+        assert hits >= 8          # ADC + rerank recall floor (seeded books)
+        # every returned sim must be the EXACT cosine (rerank, not ADC)
+        bf = {r["vec_id"]: r["sim"] for r in
+              similarity.topk_bruteforce(emb, query, k=50_000).collect()}
+        for r in got:
+            assert r["sim"] == bf[r["vec_id"]]
+
+    def test_trained_codebooks_ride_the_same_loop(self, spark, pq_base,
+                                                  tmp_path):
+        """`similarity.pq_train` books, frozen via codebooks=: build,
+        one maintenance window, probe — maintained ≡ rebuild under the
+        trained books."""
+        from databox_adls_loader_spark.operators import similarity
+
+        emb_dir, _ = pq_base
+        emb = V.read_version(spark, emb_dir)
+        books = [[list(map(float, cw)) for cw in book]
+                 for book in similarity.pq_train(emb, m=8, k_codes=16,
+                                                 sample_rows=256)]
+        t = str(tmp_path / "pqtrained")
+        ann.build_pq_index(spark, t, emb_dir, codebooks=books, **PQ_GEO)
+        vid = F.col("vec_id")
+        V.delete_where_keys(spark, emb_dir, "vec_id",
+                            emb.filter(vid % 5 == 2).select("vec_id"))
+        ann.refresh_pq_index(spark, t, emb_dir, codebooks=books,
+                             **PQ_GEO)
+        rebuilt = ann.pq_rows(V.read_version(spark, emb_dir), books)
+        assert _frames_equal(V.read_version(spark, t), rebuilt)
+        query = list(V.read_version(spark, emb_dir)
+                     .filter(vid == 1)
+                     .select("embedding").first()["embedding"])
+        got = ann.probe_pq_topk(spark, t, emb_dir, query, k=5,
+                                codebooks=books, **PQ_GEO).collect()
+        assert len(got) == 5
+
+
+class TestPQStreamMaintenance:
+    def test_stream_maintained_pq_equals_rebuild(self, spark, sf_dir,
+                                                 tmp_path):
+        from databox_adls_loader_spark.sources.vtable_stream import \
+            register_vtable_stream
+
+        register_vtable_stream(spark)
+        emb_dir = str(tmp_path / "emb")
+        index_dir = str(tmp_path / "idx")
+        ck = str(tmp_path / "ck")
+        emb = _emb(spark, sf_dir)
+        vid = F.col("vec_id")
+        V.write_snapshot(emb, emb_dir)                          # v1
+        V.delete_where_keys(spark, emb_dir, "vec_id",
+                            emb.filter(vid % 6 == 1)
+                            .select("vec_id"))                  # v2
+        V.upsert_mor(spark, emb_dir,
+                     V.read_version(spark, emb_dir)
+                     .filter(vid % 4 == 0)
+                     .withColumn("embedding",
+                                 F.transform(F.col("embedding"),
+                                             lambda x: -x)),
+                     key="vec_id")                              # v3
+
+        def on_batch(df, bid):
+            ann.maintain_pq_index_stream_batch(df, bid, index_dir,
+                                               **PQ_GEO)
+
+        q = (spark.readStream.format("vtable_stream")
+             .option("path", emb_dir)
+             .option("readchangefeed", "true")
+             .load().writeStream.foreachBatch(on_batch)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        assert _frames_equal(V.read_version(spark, index_dir),
+                             _pq_rebuilt(spark, emb_dir))
+
+
+def test_trained_codebook_probe_recall_floor(spark, ivf_base):
+    """Verdict #6 composition: the (now hash-sampled, farthest-point
+    seeded) kmeans_distributed codebook frozen into the IVF index must
+    give the probe at least the seeded-codebook recall — trained cells
+    follow the data, so 3-of-6 probing keeps ≥40% of the brute-force
+    top-20 here (seeded 8-cell probing measures 45–50%)."""
+    from databox_adls_loader_spark.operators import similarity
+    from databox_adls_loader_spark.operators.similarity import \
+        kmeans_distributed
+
+    emb_dir, _ = ivf_base
+    base = V.read_version(spark, emb_dir)
+    cents, _ = kmeans_distributed(base, k=6, iters=3)
+    trained = [[float(x) for x in c] for c in cents]
+    import tempfile
+    idx = tempfile.mkdtemp(prefix="trained_recall_")
+    ann.build_ivf_index(spark, idx, emb_dir, centroids=trained)
+    query = list(base.filter(F.col("vec_id") == 1)
+                 .select("embedding").first()["embedding"])
+    got = {r["vec_id"] for r in
+           ann.probe_ivf_topk(spark, idx, emb_dir, query, k=20,
+                              nprobe=3, centroids=trained).collect()}
+    exact = {r["vec_id"] for r in
+             similarity.topk_bruteforce(base, query, k=20).collect()}
+    assert len(exact & got) >= 8, f"recall {len(exact & got)}/20"
+    import shutil
+    shutil.rmtree(idx, ignore_errors=True)
