@@ -220,3 +220,173 @@ def epoch_order(packed: DataFrame, epoch: int,
             .withColumn("order_key",
                         F.pmod(F.lit(a) * x + F.lit(b),
                                F.lit(_EPOCH_P))))
+
+
+# ---------------------------------------------------------------------------
+# incremental (delta) packing — continue the stream without re-reading
+# committed windows (round-10 verdict, Next round #1)
+# ---------------------------------------------------------------------------
+
+def pack_tail_state(packed: DataFrame) -> DataFrame:
+    """Per-salt-group NEXT-FIT resume state of a packed frame:
+    ``(g, win, fill, neg_min)`` — the open tail window id, its fill,
+    and the most negative isolated-window id (NULL where a group has
+    no positive / no isolated windows).
+
+    ``fill`` is ``MAX(offset + piece_tokens)`` of the tail window, not
+    a SUM — offsets are global positions, so the state is computable
+    from ANY subset that contains the tail window's LAST piece: the
+    full table once (bootstrap) or just the latest delta afterwards
+    (`merge_tail_state`).  O(groups) rows: this tiny relation is what
+    `pack_sequences_delta` reads INSTEAD of the committed windows —
+    the heart of the corpus lane's never-re-read contract."""
+    from pyspark.sql import Window as W
+
+    pos = packed.filter(F.col("win") > 0)
+    wfill = (pos.groupBy("g", "win")
+             .agg(F.max(F.col("offset") + F.col("piece_tokens"))
+                  .cast("long").alias("fill")))
+    w = W.partitionBy("g").orderBy(F.desc("win"))
+    tail = (wfill.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("g", "win", "fill"))
+    neg = (packed.filter(F.col("win") < 0).groupBy("g")
+           .agg(F.min("win").cast("long").alias("neg_min")))
+    return (tail.join(neg, "g", "full_outer")
+            .select("g", "win", "fill", "neg_min"))
+
+
+def merge_tail_state(old: DataFrame, delta_tail: DataFrame) -> DataFrame:
+    """Roll the resume state forward after a delta append: the delta's
+    tail (computed from the delta rows ALONE — offsets are global, see
+    `pack_tail_state`) wins wherever the delta opened or extended
+    windows; untouched groups keep the old state.  O(groups) work —
+    the committed windows are never consulted."""
+    o = old.select(F.col("g"), F.col("win").alias("__ow"),
+                   F.col("fill").alias("__of"),
+                   F.col("neg_min").alias("__on"))
+    d = delta_tail.select(F.col("g"), F.col("win").alias("__dw"),
+                          F.col("fill").alias("__df"),
+                          F.col("neg_min").alias("__dn"))
+    return (o.join(d, "g", "full_outer")
+            .select("g",
+                    F.coalesce("__dw", "__ow").cast("long").alias("win"),
+                    F.coalesce("__df", "__of").cast("long").alias("fill"),
+                    F.least(F.coalesce("__dn", "__on"),
+                            F.coalesce("__on", "__dn"))
+                    .cast("long").alias("neg_min")))
+
+
+def _next_fit_group_delta(window: int):
+    """Per-group next-fit CONTINUATION: identical recurrence to
+    `_next_fit_group(order="id")` but initialized from the group's
+    committed tail state (carried on every row as __tw/__tf) instead
+    of (1, 0) — so packing the delta alone reproduces exactly what a
+    from-scratch pack of (committed ∪ delta) would assign the delta
+    pieces, provided delta ids sort after the group's committed ids
+    (append-arrival order)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["id", "piece"], kind="mergesort")
+        ids = pdf["id"].to_numpy()
+        pieces = pdf["piece"].to_numpy()
+        toks = pdf["piece_tokens"].to_numpy()
+        g = int(pdf["g"].iloc[0])
+        win = int(pdf["__tw"].iloc[0])
+        fill = int(pdf["__tf"].iloc[0])
+        wins, offs = [], []
+        for t in toks:
+            t = int(t)
+            if fill + t > window and fill > 0:
+                win += 1
+                fill = 0
+            wins.append(win)
+            offs.append(fill)
+            fill += t
+        return pd.DataFrame({
+            "g": g, "id": ids, "piece": pieces, "piece_tokens": toks,
+            "win": pd.Series(wins, dtype="int64"),
+            "offset": pd.Series(offs, dtype="int64")})
+
+    return fn
+
+
+def pack_sequences_delta(docs: DataFrame, window: int,
+                         tail: DataFrame, *,
+                         id_col: str = "doc_id",
+                         count_col: str = "n_tokens",
+                         n_groups: int = 32,
+                         allow_split: bool = False) -> DataFrame:
+    """Pack ONLY ``docs`` (a delta batch) into the windows a
+    from-scratch `pack_sequences` of (committed ∪ delta) would give
+    them — WITHOUT reading a single committed window: each salt
+    group's next-fit resumes from ``tail`` (`pack_tail_state`,
+    O(groups) rows), open tail windows are CONTINUED (delta pieces
+    land at their true global offsets), fresh groups start at (1, 0),
+    and isolated oversize docs extend the negative id sequence below
+    the group's committed minimum.
+
+    Exactness precondition (the crawl-append invariant): every delta
+    id sorts AFTER the group's committed ids — next-fit is a streaming
+    recurrence, so resuming its (win, fill) state is literally
+    replaying the suffix.  Only arrival order packs incrementally
+    (``order="tokens"`` re-sorts globally — a delta there is a
+    rebuild, by construction).
+
+    Scale: the delta shuffles O(delta) rows; the state join is a
+    broadcast of O(groups) rows; committed windows are untouched on
+    disk AND unread (callers assert the inputFiles disjointness —
+    `corpus_incremental_assemble`)."""
+    t = F.col(count_col).cast("long")
+    base = docs.select(
+        F.pmod(F.col(id_col), F.lit(n_groups)).cast("int").alias("g"),
+        F.col(id_col).cast("long").alias("id"),
+        t.alias("t"))
+    st = tail.select(
+        "g",
+        F.coalesce(F.col("win"), F.lit(1)).cast("long").alias("__tw"),
+        F.coalesce(F.col("fill"), F.lit(0)).cast("long").alias("__tf"),
+        F.coalesce(F.col("neg_min"), F.lit(0)).cast("long").alias("__tn"))
+    if allow_split:
+        flow = base.select(
+            "g", "id",
+            F.explode(F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.lit(0),
+                    (F.ceil(F.col("t") / F.lit(window)) - 1).cast("int"))))
+            .alias("piece"),
+            F.col("t"))
+        flow = flow.select(
+            "g", "id", "piece",
+            F.least(F.lit(window),
+                    F.col("t") - F.col("piece") * F.lit(window))
+            .cast("long").alias("piece_tokens"))
+        isolated = None
+    else:
+        flow = (base.filter(F.col("t") <= window)
+                .select("g", "id", F.lit(0).alias("piece"),
+                        F.col("t").alias("piece_tokens")))
+        from pyspark.sql import Window as W
+        over = base.filter(F.col("t") > window)
+        isolated = (over.join(F.broadcast(st.select("g", "__tn")),
+                              "g", "left")
+                    .select(
+                        "g", "id", F.lit(0).alias("piece"),
+                        F.col("t").alias("piece_tokens"),
+                        (F.coalesce(F.col("__tn"), F.lit(0))
+                         - F.row_number().over(
+                             W.partitionBy("g").orderBy("id")))
+                        .cast("long").alias("win"),
+                        F.lit(0).cast("long").alias("offset"),
+                        (F.col("t") - F.lit(window)).alias("n_overflow")))
+    schema = T.StructType(list(_PACK_SCHEMA.fields))
+    packed = (flow.join(F.broadcast(st.select("g", "__tw", "__tf")),
+                        "g", "left")
+              .fillna({"__tw": 1, "__tf": 0})
+              .groupBy("g")
+              .applyInPandas(_next_fit_group_delta(window), schema)
+              .withColumn("n_overflow", F.lit(0).cast("long")))
+    if isolated is not None:
+        packed = packed.unionByName(isolated)
+    return packed

@@ -198,3 +198,101 @@ def test_epoch_order_is_deterministic_permutation(spark):
     o1 = sorted(first, key=lambda w: first[w])
     o2 = sorted(e2, key=lambda w: e2[w])
     assert o1 != o2 and set(o1) == set(o2)
+
+
+class TestDeltaPacking:
+    """pack_sequences_delta: the delta alone, resumed from
+    pack_tail_state, must reproduce EXACTLY what a from-scratch pack of
+    (committed ∪ delta) assigns the delta pieces — and committed rows
+    are never recomputed."""
+
+    def _rows(self, df):
+        return sorted((r["g"], r["id"], r["piece"], r["piece_tokens"],
+                       r["win"], r["offset"], r["n_overflow"])
+                      for r in df.collect())
+
+    def _check_split(self, spark, tokens, cut, window=W,
+                     allow_split=False, n_groups=4):
+        from databox_adls_loader_spark.operators.seqpack import (
+            merge_tail_state, pack_sequences, pack_sequences_delta,
+            pack_tail_state)
+
+        all_docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(tokens)],
+            "doc_id long, n_tokens long")
+        base = all_docs.filter(F.col("doc_id") < cut)
+        delta = all_docs.filter(F.col("doc_id") >= cut)
+        committed = pack_sequences(base, window, count_col="n_tokens",
+                                   n_groups=n_groups,
+                                   allow_split=allow_split)
+        tail = pack_tail_state(committed)
+        dpack = pack_sequences_delta(delta, window, tail,
+                                     count_col="n_tokens",
+                                     n_groups=n_groups,
+                                     allow_split=allow_split)
+        scratch = pack_sequences(all_docs, window, count_col="n_tokens",
+                                 n_groups=n_groups,
+                                 allow_split=allow_split)
+        assert self._rows(committed.unionByName(dpack)) == \
+            self._rows(scratch)
+        # the rolled-forward state equals the from-scratch state
+        merged = {r["g"]: (r["win"], r["fill"], r["neg_min"])
+                  for r in merge_tail_state(
+                      tail, pack_tail_state(dpack)).collect()}
+        scratch_tail = {r["g"]: (r["win"], r["fill"], r["neg_min"])
+                        for r in pack_tail_state(scratch).collect()}
+        assert merged == scratch_tail
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(st.integers(min_value=1, max_value=2 * W),
+                    min_size=1, max_size=60),
+           st.data())
+    def test_delta_equals_from_scratch(self, tokens, data):
+        spark = self._spark
+        cut = data.draw(st.integers(min_value=0, max_value=len(tokens)))
+        self._check_split(spark, tokens, cut, allow_split=False)
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(st.integers(min_value=1, max_value=3 * W),
+                    min_size=1, max_size=40),
+           st.data())
+    def test_delta_split_mode_equals_from_scratch(self, tokens, data):
+        spark = self._spark
+        cut = data.draw(st.integers(min_value=0, max_value=len(tokens)))
+        self._check_split(spark, tokens, cut, allow_split=True)
+
+    @pytest.fixture(autouse=True)
+    def _bind(self, spark):
+        self._spark = spark
+
+    def test_fresh_groups_isolated_continuation_and_empty_delta(
+            self, spark):
+        from databox_adls_loader_spark.operators.seqpack import (
+            pack_sequences, pack_sequences_delta, pack_tail_state)
+
+        # base covers only group 0 (ids ≡ 0 mod 4), with one oversize;
+        # delta brings fresh groups AND more oversize docs in group 0
+        base_rows = [(0, 10), (4, W + 5), (8, 20)]
+        delta_rows = [(12, W + 9), (13, 7), (14, 30), (16, W + 1)]
+        base = spark.createDataFrame(base_rows,
+                                     "doc_id long, n_tokens long")
+        delta = spark.createDataFrame(delta_rows,
+                                      "doc_id long, n_tokens long")
+        committed = pack_sequences(base, W, count_col="n_tokens",
+                                   n_groups=4)
+        tail = pack_tail_state(committed)
+        dpack = pack_sequences_delta(delta, W, tail,
+                                     count_col="n_tokens", n_groups=4)
+        union = pack_sequences(base.unionByName(delta), W,
+                               count_col="n_tokens", n_groups=4)
+        key = lambda df: sorted(  # noqa: E731
+            (r["g"], r["id"], r["win"], r["offset"]) for r in df.collect())
+        assert key(committed.unionByName(dpack)) == key(union)
+        # isolated ids continued BELOW the committed minimum
+        negs = {r["id"]: r["win"] for r in dpack.collect() if r["win"] < 0}
+        assert negs[12] == -2 and negs[16] == -3
+        # empty delta: no rows, merge keeps the old state verbatim
+        empty = pack_sequences_delta(
+            delta.filter(F.lit(False)), W, tail, count_col="n_tokens",
+            n_groups=4)
+        assert empty.count() == 0
