@@ -20,7 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .queries import _t, fixture_timed, register
-from .queries_round10 import _ANN_FINAL_STATE_SQL
+from .queries_round10 import (_ANN, _ANN_FINAL_STATE_SQL,
+                              _band_bucket_sql, _band_planes_sql)
 from .queries_round10b import _IVF as _R10B_IVF
 from .queries_round10b import _IVF_ASG_SQL, _ivf_cents_sql
 
@@ -308,3 +309,275 @@ def scale_ivf_recall_contract(spark: SparkSession,
                     .alias("recall_ppm"),
                     (F.col("n_hits") * 100 >= F.lit(20 * 30))
                     .alias("ivf_recall_ge_30pct")))
+
+
+# ---------------------------------------------------------------------------
+# incremental corpus assembly end-to-end (round-10 verdict, Next round #1):
+# delta dedup vs persisted state -> pack ONLY the delta into new windows ->
+# append shards -> refresh the band index -> ONE catalog transaction
+# ---------------------------------------------------------------------------
+
+_INCR: dict = {}
+
+
+def _drop_incr(keys=None) -> None:
+    import shutil
+
+    for k in list(_INCR) if keys is None else list(keys):
+        for d in _INCR.pop(k)[0]:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def _batch_uniq(frame: DataFrame) -> DataFrame:
+    """In-batch exact dedup: (md5(text), min doc_id, token estimate) —
+    the corpus lane's canonical survivor shape."""
+    return (frame.groupBy(F.md5(F.col("text")).alias("h"))
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.expr("(min(n_chars) + 3) div 4").cast("long")
+                 .alias("n_tokens")))
+
+
+def _surv_emb(emb: DataFrame, uniq: DataFrame) -> DataFrame:
+    return (emb.join(uniq.select(F.col("doc_id").alias("vec_id")),
+                     "vec_id", "left_semi")
+            .select("vec_id", "embedding"))
+
+
+_INCR_TABLES = ("shards", "pack_tail", "corpus_hashes",
+                "embeddings_base", "band_index")
+
+
+def incr_bootstrap(spark: SparkSession, dirs: tuple[str, ...],
+                   cat_dir: str, docs: DataFrame, emb: DataFrame,
+                   txn_id: str = "incr-r0") -> None:
+    """Round 0 of the incremental corpus lane: full assemble of
+    ``docs`` (dedup → pack → identity(g) shards + tail state + hash
+    table + survivor embeddings + band index), published in ONE
+    catalog transaction."""
+    from ..operators.seqpack import pack_sequences, pack_tail_state
+    from ..sinks import catalog as C
+    from ..sinks import versioned as V
+    from . import ann
+
+    pack_dir, tail_dir, hash_dir, emb_dir, index_dir = dirs
+    uniq0 = _batch_uniq(docs)
+    packed0 = pack_sequences(uniq0, 256, count_col="n_tokens",
+                             n_groups=8)
+    V.write_snapshot(packed0, pack_dir, partition_by=["identity(g)"])
+    V.write_snapshot(pack_tail_state(packed0), tail_dir,
+                     mode="overwrite")
+    V.write_snapshot(uniq0.select("h", "doc_id"), hash_dir)
+    V.write_snapshot(_surv_emb(emb, uniq0), emb_dir)
+    ann.build_ann_index(spark, index_dir, emb_dir, **_ANN)
+    C.commit_txn(cat_dir,
+                 dict(zip(_INCR_TABLES,
+                          ((d, None) for d in dirs))),
+                 txn_id=txn_id)
+
+
+def incr_delta_round(spark: SparkSession, dirs: tuple[str, ...],
+                     cat_dir: str, incoming: DataFrame, emb: DataFrame,
+                     txn_id: str) -> tuple[bool, bool]:
+    """ONE incremental round of the corpus lane (the daily-crawl body):
+    dedup ``incoming`` against the persisted hash table, pack only the
+    survivors via `pack_sequences_delta` resumed from the O(groups)
+    tail state (committed shard files UNREAD — returned as the
+    inputFiles proof), append shards / roll the tail / extend the hash
+    table / append survivor embeddings, `refresh_ann_index`
+    (O(changes), incremental diff asserted), and publish everything in
+    ONE catalog transaction.  Returns (noreread_ok, inc_ok)."""
+    from ..operators.seqpack import (merge_tail_state,
+                                     pack_sequences_delta,
+                                     pack_tail_state)
+    from ..sinks import catalog as C
+    from ..sinks import versioned as V
+    from ..sinks.versioned import _canon_uri_key
+    from . import ann
+
+    pack_dir, tail_dir, hash_dir, emb_dir, index_dir = dirs
+    committed_files = {
+        _canon_uri_key(p)
+        for p in V._read_manifest(pack_dir,
+                                  V.latest_version(pack_dir))}
+    survivors = (_batch_uniq(incoming)
+                 .join(V.read_version(spark, hash_dir)
+                       .select("h"), "h", "left_anti"))
+    tail = V.read_version(spark, tail_dir)
+    dpack = pack_sequences_delta(survivors, 256, tail,
+                                 count_col="n_tokens", n_groups=8)
+    # the never-re-read proof: nothing feeding the delta pack reads a
+    # committed shard file (the tail-state table is the resume point,
+    # O(groups) rows)
+    read_files = {_canon_uri_key(p)
+                  for frame in (dpack, survivors, tail)
+                  for p in frame.inputFiles()}
+    noreread_ok = not (read_files & committed_files)
+    inc_ok = True
+
+    def mutate_round():
+        V.write_snapshot(dpack, pack_dir)
+        V.write_snapshot(merge_tail_state(tail, pack_tail_state(dpack)),
+                         tail_dir, mode="overwrite")
+        V.write_snapshot(survivors.select("h", "doc_id"), hash_dir)
+        v_prev = V.latest_version(emb_dir)
+        V.write_snapshot(_surv_emb(emb, survivors), emb_dir)
+        nonlocal inc_ok
+        inc_ok = V._changes_incremental(
+            spark, emb_dir, v_prev, V.latest_version(emb_dir),
+            "vec_id") is not None
+        ann.refresh_ann_index(spark, index_dir, emb_dir, **_ANN)
+        return None
+
+    # ONE atomic publish per round: the mutations run as the txn's
+    # shards op; every other table pins its post-mutation latest
+    ops = {"shards": (pack_dir, mutate_round)}
+    ops.update({n: (d, None)
+                for n, d in zip(_INCR_TABLES[1:], dirs[1:])})
+    C.commit_txn(cat_dir, ops, txn_id=txn_id)
+    return bool(noreread_ok), bool(inc_ok)
+
+
+@fixture_timed("incr_assemble_r11")
+def _incr_assembled(spark: SparkSession, sf_dir: str
+                    ) -> tuple[tuple[str, ...], str, bool, bool, bool]:
+    """Once per (session, sf_dir): the corpus lane run INCREMENTALLY —
+    a bootstrap over the low-id 60% of `documents`, then two daily-crawl
+    deltas (60–80%, 80–100% by doc_id; ids ascend, the append-arrival
+    invariant `pack_sequences_delta` resumes under).  Each round:
+
+      1. batch dedup (md5 → min doc_id) then anti-join the PERSISTED
+         hash table (`incremental_exact_dedup`'s shape),
+      2. `pack_sequences_delta` resumed from the O(groups) tail-state
+         table — committed windows never re-read (inputFiles-proven),
+      3. append packed pieces to the identity(g) shard table, roll the
+         tail state forward (`merge_tail_state`, from the delta alone),
+      4. append survivors' (md5, doc_id) to the hash table and their
+         embeddings to the versioned base, `refresh_ann_index`
+         (O(changes), incremental diff asserted),
+      5. ONE catalog transaction pinning shards + tail + hashes +
+         embeddings + index.
+
+    Returns ``(dirs, cat_dir, noreread_ok, inc_ok, atomic_ok)``.
+    Reference boundary: the reference re-lists everything per run
+    (adls_copy_utils.py:69 getSourceFileList) — this lane is what
+    retires that model."""
+    import atexit
+    import tempfile
+
+    from ..sinks import catalog as C
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _INCR.get(key)
+    if got is not None:
+        return got
+    _drop_incr([k for k in _INCR if k[0] != key[0]])
+    if not _INCR:
+        atexit.register(_drop_incr)
+    dirs = tuple(tempfile.mkdtemp(prefix=f"spark_graft_incr{n}_")
+                 for n in ("shards", "tail", "hash", "emb", "idx"))
+    cat_dir = tempfile.mkdtemp(prefix="spark_graft_incrcat_")
+    docs, emb = (_t(spark, sf_dir, "documents")[0],
+                 _t(spark, sf_dir, "embeddings")[0])
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    t1, t2 = mx * 3 // 5, mx * 4 // 5
+    did = F.col("doc_id")
+    incr_bootstrap(spark, dirs, cat_dir, docs.filter(did <= t1), emb)
+    noreread_ok, inc_ok = True, True
+    for r, (lo, hi) in enumerate(((t1, t2), (t2, mx)), start=1):
+        nr, ic = incr_delta_round(
+            spark, dirs, cat_dir,
+            docs.filter((did > lo) & (did <= hi)), emb,
+            txn_id=f"incr-r{r}")
+        noreread_ok, inc_ok = noreread_ok and nr, inc_ok and ic
+    hist = C.catalog_history(cat_dir)
+    atomic_ok = (len(hist) == 3
+                 and all(h["changed"] == sorted(_INCR_TABLES)
+                         for h in hist)
+                 and all(s["drift"] == 0
+                         for s in C.catalog_status(cat_dir)))
+    got = (dirs + (cat_dir,), cat_dir, bool(noreread_ok), bool(inc_ok),
+           bool(atomic_ok))
+    _INCR[key] = got
+    return got
+
+
+@register(
+    "corpus_incremental_assemble",
+    oracle=f"""
+    WITH RECURSIVE uniq AS (
+      SELECT MIN(doc_id) AS doc_id, (MIN(n_chars) + 3) // 4 AS t
+      FROM documents GROUP BY md5(text)
+    ), base AS (
+      SELECT CAST(doc_id % 8 AS INTEGER) AS g, doc_id AS id, t
+      FROM uniq
+    ), pieces AS (
+      SELECT g, id, 0 AS piece, t AS pt,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY id) AS rn
+      FROM base WHERE t <= 256
+    ), pack AS (
+      SELECT g, id, piece, pt, rn, CAST(1 AS BIGINT) AS win,
+             pt AS fill
+      FROM pieces WHERE rn = 1
+      UNION ALL
+      SELECT d.g, d.id, d.piece, d.pt, d.rn,
+             CASE WHEN p.fill + d.pt <= 256 THEN p.win
+                  ELSE p.win + 1 END,
+             CASE WHEN p.fill + d.pt <= 256 THEN p.fill + d.pt
+                  ELSE d.pt END
+      FROM pack p JOIN pieces d ON d.g = p.g AND d.rn = p.rn + 1
+    ),
+    {_band_planes_sql(_ANN['n_bands'], _ANN['planes_per_band'])},
+    e AS (SELECT em.vec_id, CAST(em.embedding AS DOUBLE[]) AS v
+          FROM embeddings em JOIN uniq ON em.vec_id = uniq.doc_id),
+    {_band_bucket_sql()},
+    idx AS (SELECT COUNT(*) AS n_indexed,
+                   CAST(SUM(bucket) AS BIGINT) AS bucket_sum
+            FROM bk),
+    p AS (SELECT g, CAST(MAX(win) AS BIGINT) AS n_windows,
+                 COUNT(*) AS n_docs, CAST(SUM(pt) AS BIGINT) AS tokens,
+                 CAST(SUM(win * pt) AS BIGINT) AS win_tok_sum
+          FROM pack GROUP BY g)
+    SELECT p.g, p.n_windows, p.n_docs, p.tokens, p.win_tok_sum,
+           idx.n_indexed, idx.bucket_sum,
+           TRUE AS noreread_ok, TRUE AS inc_ok, TRUE AS atomic_ok
+    FROM p CROSS JOIN idx ORDER BY p.g
+    """,
+    tags=["corpus", "packing", "dedup", "similarity", "versioned",
+          "catalog", "llm", "scale", "incremental"],
+)
+def corpus_incremental_assemble(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The corpus-to-training-artifact lane run INCREMENTALLY — the
+    engine's thesis applied to its own flagship pipeline, closing
+    round-10 verdict #1: a bootstrap plus two crawl deltas, each round
+    dedup-vs-persisted-hashes → `pack_sequences_delta` (resumed from
+    the O(groups) tail state, committed windows UNREAD — inputFiles
+    proof in noreread_ok) → shard append → O(changes) band-index
+    refresh (inc_ok) → ONE catalog transaction pinning all five tables
+    (atomic_ok: three commits, each changing the full set, zero
+    drift).  The final state, read back THROUGH the catalog, must
+    hash-match DuckDB assembling the whole corpus FROM SCRATCH —
+    per-shard window stats and the index checksum under one hash, so a
+    duplicate leaking past the hash table, a window misplaced by the
+    resume state, or a stale index row each flip the gate.  Reference
+    boundary: re-list-everything (adls_copy_utils.py:69) is exactly
+    what this lane retires."""
+    from ..sinks import catalog as C
+
+    _dirs, cat, noreread_ok, inc_ok, atomic_ok = \
+        _incr_assembled(spark, sf_dir)
+    packed = C.read_table(spark, cat, "shards")
+    idx = (C.read_table(spark, cat, "band_index")
+           .agg(F.count(F.lit(1)).alias("n_indexed"),
+                F.sum("bucket").cast("long").alias("bucket_sum")))
+    per_g = (packed.groupBy("g")
+             .agg(F.max("win").cast("long").alias("n_windows"),
+                  F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("piece_tokens").cast("long").alias("tokens"),
+                  F.sum(F.col("win") * F.col("piece_tokens"))
+                  .cast("long").alias("win_tok_sum")))
+    return (per_g.crossJoin(F.broadcast(idx))
+            .withColumn("noreread_ok", F.lit(bool(noreread_ok)))
+            .withColumn("inc_ok", F.lit(bool(inc_ok)))
+            .withColumn("atomic_ok", F.lit(bool(atomic_ok)))
+            .orderBy("g"))

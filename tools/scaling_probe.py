@@ -75,6 +75,10 @@ HEADLINERS = [
     "sim_topk_binary_hamming",   # 1-bit codes, xor+bit_count TakeOrdered
     "scale_catalog_txn_read",    # multi-table txn publish + catalog read
     "corpus_pack_window_layout", # per-window attention arrays
+    "corpus_incremental_assemble",  # delta dedup->pack->index->txn lane
+    "scale_pq_index_incremental",   # persisted PQ codes, O(changes) upkeep
+    "ann_pq_probe_topk",         # integer-ADC probe + bounded rerank
+    "scale_ivf_recall_contract",    # measured IVF recall through the index
 ]
 
 TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
@@ -125,6 +129,10 @@ TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
     "scale_catalog_txn_read": "orders",
     "corpus_pack_window_layout": "documents",
     "corpus_catalog_publish": "documents",
+    "corpus_incremental_assemble": "documents",
+    "scale_pq_index_incremental": "embeddings",
+    "ann_pq_probe_topk": "embeddings",
+    "scale_ivf_recall_contract": "embeddings",
 }
 
 # the heavy shapes probed one decade PAST the bench SF, on the locally
@@ -243,8 +251,45 @@ def _custom_probes(spark, sf_dir):
                 shutil.rmtree(ck, ignore_errors=True)
         return t, run
 
-    return {"vt_rename_drop_read_orders": rename_setup,
-            "vt_stream_drain_orders": stream_setup}
+    def incr_round_setup():
+        """ONE fixed-size (256-doc) delta round of the incremental
+        corpus lane against a corpus that GROWS with SF — the direct
+        O(delta) measurement: dedup-vs-hash-table + delta pack + shard
+        append + index refresh + catalog txn, with the committed
+        windows unread.  Two reserved slices: the warm run consumes the
+        first, the timed run the second (a replayed slice would dedup
+        away and time an empty pack)."""
+        import tempfile as _tf
+
+        from databox_adls_loader_spark.plans.queries_round11 import (
+            incr_bootstrap, incr_delta_round)
+
+        root = _tf.mkdtemp(prefix="sgprobe_incr_")
+        dirs = tuple(os.path.join(root, n)
+                     for n in ("shards", "tail", "hash", "emb", "idx"))
+        cat = os.path.join(root, "cat")
+        docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+        emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+        mx = docs.agg(F.max("doc_id")).first()[0]
+        cut = mx - 512
+        incr_bootstrap(spark, dirs, cat,
+                       docs.filter(F.col("doc_id") <= cut), emb)
+        state = {"i": 0}
+        slices = [(cut, cut + 256), (cut + 256, mx)]
+
+        def run():
+            lo, hi = slices[state["i"]]
+            state["i"] += 1
+            incr_delta_round(
+                spark, dirs, cat,
+                docs.filter((F.col("doc_id") > lo)
+                            & (F.col("doc_id") <= hi)),
+                emb, txn_id=f"probe-{lo}")
+        return root, run
+
+    return {"vt_rename_drop_read_orders": ("orders", rename_setup),
+            "vt_stream_drain_orders": ("orders", stream_setup),
+            "incr_assemble_delta_round": ("documents", incr_round_setup)}
 
 
 def main() -> None:
@@ -281,9 +326,12 @@ def main() -> None:
                 "rows_per_sec": round(n / dt) if n else None}
         if not sys.argv[1:]:                # custom lakehouse probes
             import shutil
-            n_orders = rows_of.get("orders") or load_tables(
-                spark, sf_dir, ["orders"])["orders"].count()
-            for pname, setup in _custom_probes(spark, sf_dir).items():
+            for pname, (ptable, setup) in _custom_probes(
+                    spark, sf_dir).items():
+                n_rows = rows_of.get(ptable)
+                if n_rows is None:
+                    n_rows = load_tables(
+                        spark, sf_dir, [ptable])[ptable].count()
                 t, run = setup()
                 try:
                     run()                   # warm
@@ -293,8 +341,8 @@ def main() -> None:
                 finally:
                     shutil.rmtree(t, ignore_errors=True)
                 out.setdefault(pname, {})[f"sf{sf}"] = {
-                    "sec": round(dt, 4), "rows": n_orders,
-                    "rows_per_sec": round(n_orders / dt)}
+                    "sec": round(dt, 4), "rows": n_rows,
+                    "rows_per_sec": round(n_rows / dt)}
     path = os.path.join(REPO_ROOT, "SCALING.json")
     if sys.argv[1:] and os.path.exists(path):
         # targeted rerun: merge into the existing record
