@@ -103,15 +103,12 @@ def _png_paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def _decode_png_pure(content: bytes) -> dict | None:
-    """Stdlib-only PNG decode (struct + zlib, no codec libraries): 8-bit
-    grayscale/RGB/gray-alpha/RGBA, non-interlaced, all five filter types.
-    Exists so the REAL-decode path executes even in containers without
-    PIL — the sandbox's own fixtures round-trip through genuine inflate +
-    unfilter instead of the hash stub.  Returns None for anything outside
-    that subset (16-bit, palette, interlaced, truncated) so the caller
-    can fall through.  Feature: 4×4 box-averaged grayscale thumbnail
-    normalized to [0, 1] — same contract as the PIL path."""
+def _png_gray_rows(content: bytes) -> tuple[int, int, list] | None:
+    """The pure PNG decoder's pixel plane: (width, height, per-row
+    lists of 0–255 luma) — the shared substrate of the 4×4 feature
+    (`_decode_png_pure`) and the perceptual hashes
+    (`image_phash_words`).  Same subset and fall-through contract as
+    `_decode_png_pure`."""
     if not content.startswith(b"\x89PNG\r\n\x1a\n"):
         return None
     import struct
@@ -165,6 +162,25 @@ def _decode_png_pure(content: bytes) -> dict | None:
                              for i in range(0, stride, channels)])
             else:
                 gray.append([line[i] for i in range(0, stride, channels)])
+        return width, height, gray
+    except Exception:  # noqa: BLE001 - malformed bytes → caller stubs
+        return None
+
+
+def _decode_png_pure(content: bytes) -> dict | None:
+    """Stdlib-only PNG decode (struct + zlib, no codec libraries): 8-bit
+    grayscale/RGB/gray-alpha/RGBA, non-interlaced, all five filter types.
+    Exists so the REAL-decode path executes even in containers without
+    PIL — the sandbox's own fixtures round-trip through genuine inflate +
+    unfilter instead of the hash stub.  Returns None for anything outside
+    that subset (16-bit, palette, interlaced, truncated) so the caller
+    can fall through.  Feature: 4×4 box-averaged grayscale thumbnail
+    normalized to [0, 1] — same contract as the PIL path."""
+    decoded = _png_gray_rows(content)
+    if decoded is None:
+        return None
+    width, height, gray = decoded
+    try:
         # 4x4 box-averaged thumbnail -> 16-dim feature in [0, 1]
         feature = []
         for ty in range(4):
@@ -778,3 +794,147 @@ def wav_window_energy(assets: DataFrame, window: int = 8) -> DataFrame:
             .repartition("asset_id")
             .mapInPandas(run,
                          "asset_id long, window_idx long, energy long"))
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing (aHash / dHash) + near-dup image removal
+# ---------------------------------------------------------------------------
+
+def image_phash_words(content: bytes, kind: str = "ahash",
+                      grid: int = 8) -> tuple[int, int] | None:
+    """Perceptual hash of an image as two 32-bit words, EXACT integer
+    arithmetic end to end:
+
+      * ``ahash`` — grid×grid block-luma sums; bit (by·grid + bx) is 1
+        iff the block's mean exceeds the global mean, compared
+        cross-multiplied (``s·W·H > total·n_px``) so no division ever
+        rounds.  Invariant to uniform brightness shifts (both sides
+        shift together) — the classic near-dup signal.
+      * ``dhash`` — horizontal gradient: bit (by·(grid−1) + bx) is 1
+        iff block (by, bx) outweighs its right neighbor
+        (cross-multiplied for unequal edge blocks).  Invariant to
+        brightness AND contrast scaling.
+
+    Decode order mirrors `decode_asset`'s environment-invariance rule
+    (round-10 GIF lesson): the pure PNG decoder runs FIRST — a PNG
+    hashes identically with or without PIL — and PIL extends coverage
+    to other formats only where installed (grayscale via convert("L");
+    PIL-only formats are environment-gated by nature and excluded from
+    oracle-checked fixtures).  Returns None when no decoder applies —
+    callers drop the row rather than hash garbage."""
+    decoded = _png_gray_rows(content)
+    if decoded is None and _PILImage is not None and content:
+        import io
+        try:
+            with _PILImage.open(io.BytesIO(content)) as img:
+                g = img.convert("L")
+                w, h = g.size
+                px = list(g.getdata())
+                decoded = (w, h,
+                           [px[y * w:(y + 1) * w] for y in range(h)])
+        except Exception:  # noqa: BLE001 - malformed bytes
+            decoded = None
+    if decoded is None:
+        return None
+    w, h, gray = decoded
+    if w < grid or h < grid:
+        return None
+    sums = [[0] * grid for _ in range(grid)]
+    npx = [[0] * grid for _ in range(grid)]
+    for by in range(grid):
+        y0, y1 = by * h // grid, (by + 1) * h // grid
+        for bx in range(grid):
+            x0, x1 = bx * w // grid, (bx + 1) * w // grid
+            s = 0
+            for y in range(y0, y1):
+                row = gray[y]
+                for x in range(x0, x1):
+                    s += row[x]
+            sums[by][bx] = s
+            npx[by][bx] = (y1 - y0) * (x1 - x0)
+    bits = []
+    if kind == "ahash":
+        total = sum(sum(r) for r in sums)
+        for by in range(grid):
+            for bx in range(grid):
+                bits.append(int(sums[by][bx] * w * h
+                                > total * npx[by][bx]))
+    elif kind == "dhash":
+        for by in range(grid):
+            for bx in range(grid - 1):
+                bits.append(int(sums[by][bx] * npx[by][bx + 1]
+                                > sums[by][bx + 1] * npx[by][bx]))
+    else:
+        raise ValueError(f"unknown phash kind {kind!r}")
+    w0 = w1 = 0
+    for i, b in enumerate(bits):
+        if b:
+            if i < 32:
+                w0 |= 1 << i
+            else:
+                w1 |= 1 << (i - 32)
+    return w0, w1
+
+
+def phash_codes(assets: DataFrame, kind: str = "ahash",
+                grid: int = 8) -> DataFrame:
+    """Per-asset perceptual-hash code table (asset_id, w0, w1) — one
+    Arrow-batched `mapInPandas` pass over the binary column (payload
+    bytes never shuffle past it); undecodable assets are dropped, not
+    stub-hashed.  At 100 TB this 16-byte-per-image relation is the
+    dedup working set; the image bytes stay at rest."""
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            ids, w0s, w1s = [], [], []
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                words = image_phash_words(bytes(content), kind, grid)
+                if words is None:
+                    continue
+                ids.append(aid)
+                w0s.append(words[0])
+                w1s.append(words[1])
+            yield pd.DataFrame({"asset_id": pd.Series(ids, dtype="int64"),
+                                "w0": pd.Series(w0s, dtype="int64"),
+                                "w1": pd.Series(w1s, dtype="int64")})
+
+    return (assets.select("asset_id", "content")
+            .mapInPandas(batches, schema="asset_id long, w0 long, w1 long"))
+
+
+def image_near_dup_pairs(codes: DataFrame, max_hamming: int = 6,
+                         id_col: str = "asset_id") -> DataFrame:
+    """Near-duplicate image pairs from a perceptual-hash code table:
+    candidates share at least one of FOUR 16-bit bands of the 64-bit
+    code (pigeonhole: any pair within Hamming ≤ 3 is GUARANTEED a
+    clean band; beyond that recall decays gracefully), then the exact
+    Hamming distance filters to ``max_hamming``.  The band equi-join
+    replaces the n² cross join — same scale shape as
+    `dedup.simhash_near_dupes`.  Returns (a, b, hamming), a < b."""
+    bands = F.array(*[
+        F.struct(
+            F.lit(i).cast("int").alias("bi"),
+            F.shiftrightunsigned(
+                F.col("w0") if i < 2 else F.col("w1"),
+                16 * (i % 2)).bitwiseAND(F.lit(0xFFFF)).alias("bkey"))
+        for i in range(4)
+    ])
+    banded = (codes.select(F.col(id_col), "w0", "w1",
+                           F.explode(bands).alias("b"))
+              .select(id_col, "w0", "w1",
+                      F.col("b.bi").alias("bi"),
+                      F.col("b.bkey").alias("bkey")))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    ham = (F.bit_count(F.col("l.w0").bitwiseXOR(F.col("r.w0")))
+           + F.bit_count(F.col("l.w1").bitwiseXOR(F.col("r.w1"))))
+    return (left.join(right,
+                      (F.col("l.bi") == F.col("r.bi"))
+                      & (F.col("l.bkey") == F.col("r.bkey"))
+                      & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+            .select(F.col(f"l.{id_col}").alias("a"),
+                    F.col(f"r.{id_col}").alias("b"),
+                    ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())

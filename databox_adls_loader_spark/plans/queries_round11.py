@@ -581,3 +581,162 @@ def corpus_incremental_assemble(spark: SparkSession,
             .withColumn("inc_ok", F.lit(bool(inc_ok)))
             .withColumn("atomic_ok", F.lit(bool(atomic_ok)))
             .orderBy("g"))
+
+
+# ---------------------------------------------------------------------------
+# perceptual image dedup (round-10 verdict, Next round #7)
+# ---------------------------------------------------------------------------
+
+def _mk_gray_png(pixels: list[list[int]]) -> bytes:
+    """Minimal 8-bit grayscale PNG encoder (stdlib struct + zlib,
+    filter type 0 rows) — driver-generated fixture bytes the pure
+    decoder (`multimodal._png_gray_rows`) round-trips exactly, so the
+    perceptual hashes are defined by arithmetic the oracle replays."""
+    import struct
+    import zlib
+
+    h, w = len(pixels), len(pixels[0])
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(row) for row in pixels)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def _phash_pixels(i: int) -> list[list[int]]:
+    """Image ``i``'s 32×32 grayscale plane from a closed-form integer
+    formula (range 0–199, headroom for the +5 plant without clipping):
+    images 0–39 are distinct quadratic textures; 40 is image 3 shifted
+    +5 everywhere (aHash/dHash INVARIANT — a planted exact-hash pair);
+    41 is image 7 with a +40 4×4 corner patch (Hamming 5 — a planted
+    near-dup inside the ≤6 verify gate with a shared band).  The DuckDB oracle inlines this exact
+    arithmetic."""
+    if i == 40:
+        return [[v + 5 for v in row] for row in _phash_pixels(3)]
+    if i == 41:
+        base = _phash_pixels(7)
+        return [[v + (40 if y < 4 and x < 4 else 0)
+                 for x, v in enumerate(row)]
+                for y, row in enumerate(base)]
+    return [[(x * x * (i % 7 + 1) + y * y * (i % 5 + 2)
+              + x * y * (i % 3 + 1) + i * 37) % 200
+             for x in range(32)] for y in range(32)]
+
+
+def _phash_assets(spark: SparkSession):
+    from ..operators import multimodal as mm
+
+    rows = [(i, "image", bytearray(_mk_gray_png(_phash_pixels(i))),
+             "image/png") for i in range(42)]
+    return spark.createDataFrame(rows, mm.ASSET_SCHEMA)
+
+
+_PHASH_PX_SQL = """
+    imgs AS (SELECT UNNEST(range(0, 42)) AS i),
+    px AS (SELECT i, y, x,
+             CASE WHEN i = 40
+                  THEN (x*x*4 + y*y*5 + x*y + 3*37) % 200 + 5
+                  WHEN i = 41
+                  THEN (x*x*1 + y*y*4 + x*y*2 + 7*37) % 200
+                       + CASE WHEN y < 4 AND x < 4 THEN 40 ELSE 0 END
+                  ELSE (x*x*((i%7)+1) + y*y*((i%5)+2) + x*y*((i%3)+1)
+                        + i*37) % 200 END AS p
+           FROM imgs CROSS JOIN range(0, 32) AS ty(y)
+                     CROSS JOIN range(0, 32) AS tx(x)),
+    blocks AS (SELECT i, y // 4 AS by, x // 4 AS bx,
+                      CAST(SUM(p) AS BIGINT) AS s
+               FROM px GROUP BY 1, 2, 3),
+    tot AS (SELECT i, CAST(SUM(p) AS BIGINT) AS t FROM px GROUP BY 1)
+"""
+
+
+@register(
+    "dedup_image_phash",
+    oracle=f"""
+    WITH {_PHASH_PX_SQL},
+    bits AS (SELECT b.i, by * 8 + bx AS pos,
+                    CASE WHEN s * 1024 > t * 16 THEN 1 ELSE 0 END AS bit
+             FROM blocks b JOIN tot USING (i)),
+    code AS (SELECT i,
+               CAST(SUM(CASE WHEN pos < 32 AND bit = 1
+                             THEN CAST(2 ** pos AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS w0,
+               CAST(SUM(CASE WHEN pos >= 32 AND bit = 1
+                             THEN CAST(2 ** (pos - 32) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS w1
+             FROM bits GROUP BY i),
+    banded AS (SELECT i, w0, w1, bi,
+                      CASE bi WHEN 0 THEN w0 % 65536
+                              WHEN 1 THEN w0 // 65536
+                              WHEN 2 THEN w1 % 65536
+                              ELSE w1 // 65536 END AS bkey
+               FROM code CROSS JOIN range(0, 4) AS bb(bi)),
+    cand AS (SELECT DISTINCT l.i AS a, r.i AS b, l.w0 AS lw0,
+                    l.w1 AS lw1, r.w0 AS rw0, r.w1 AS rw1
+             FROM banded l JOIN banded r
+               ON l.bi = r.bi AND l.bkey = r.bkey AND l.i < r.i)
+    SELECT a, b,
+           CAST(bit_count(xor(lw0, rw0)) + bit_count(xor(lw1, rw1))
+                AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(lw0, rw0)) + bit_count(xor(lw1, rw1)) <= 6
+    ORDER BY a, b
+    """,
+    tags=["dedup", "multimodal", "image", "phash", "llm"],
+)
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup (`multimodal.phash_codes` +
+    `image_near_dup_pairs`): 42 REAL grayscale PNGs — encoded, then
+    pixel-decoded by the stdlib PNG path — hash to 64-bit aHashes
+    (8×8 block-mean threshold, exact cross-multiplied integers),
+    candidates share one of four 16-bit bands (pigeonhole ≤3-bit
+    guarantee, the simhash shape), exact Hamming ≤ 6 verifies.  The
+    planted brightness-shifted copy (image 40 ≡ 3 + 5) MUST surface at
+    Hamming 0 — aHash is brightness-invariant by construction — and
+    the corner-patched copy (41 ≈ 7) at its deterministic small
+    distance.  The oracle never decodes a PNG: it recomputes the same
+    hashes from the generating pixel arithmetic, so encode → inflate →
+    unfilter → hash → band → verify all sit under one value hash."""
+    from ..operators import multimodal as mm
+
+    codes = mm.phash_codes(_phash_assets(spark), kind="ahash")
+    return (mm.image_near_dup_pairs(codes, max_hamming=6)
+            .orderBy("a", "b"))
+
+
+@register(
+    "mm_image_dhash_codes",
+    oracle=f"""
+    WITH {_PHASH_PX_SQL},
+    bits AS (SELECT l.i, l.by * 7 + l.bx AS pos,
+                    CASE WHEN l.s > r.s THEN 1 ELSE 0 END AS bit
+             FROM blocks l JOIN blocks r
+               ON l.i = r.i AND l.by = r.by AND r.bx = l.bx + 1
+             WHERE l.bx < 7)
+    SELECT i AS asset_id,
+           CAST(SUM(CASE WHEN pos < 32 AND bit = 1
+                         THEN CAST(2 ** pos AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS w0,
+           CAST(SUM(CASE WHEN pos >= 32 AND bit = 1
+                         THEN CAST(2 ** (pos - 32) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS w1
+    FROM bits GROUP BY i ORDER BY i
+    """,
+    tags=["multimodal", "image", "phash", "profile"],
+)
+def mm_image_dhash_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dHash (horizontal-gradient) code table over the same 42
+    decoded PNGs — 56 bits per image, contrast- AND brightness-
+    invariant, packed into two words exactly as the binary-embedding
+    codes are (`similarity.binary_codes` layout, so the Hamming
+    machinery is shared).  Oracle recomputes every gradient bit from
+    the generating arithmetic: the planted pair's invariance and every
+    texture's gradient field ride the hash."""
+    from ..operators import multimodal as mm
+
+    return (mm.phash_codes(_phash_assets(spark), kind="dhash")
+            .orderBy("asset_id"))

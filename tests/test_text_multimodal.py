@@ -712,3 +712,59 @@ def test_wav_window_energy_real_pcm(spark):
     w0 = sum(v * v for v in samples[:8])
     w1 = sum(v * v for v in samples[8:16])
     assert got == {(7, 0): w0, (7, 1): w1}   # tail dropped, image skipped
+
+
+class TestImagePhash:
+    def _assets(self, spark):
+        from databox_adls_loader_spark.plans.queries_round11 import \
+            _phash_assets
+        return _phash_assets(spark)
+
+    def test_planted_pairs_surface_and_invariances_hold(self, spark):
+        from databox_adls_loader_spark.operators import multimodal as mm
+        from databox_adls_loader_spark.plans.queries_round11 import (
+            _mk_gray_png, _phash_pixels)
+
+        codes = mm.phash_codes(self._assets(spark), kind="ahash")
+        pairs = {(r["a"], r["b"]): r["hamming"]
+                 for r in mm.image_near_dup_pairs(codes, 6).collect()}
+        assert pairs[(3, 40)] == 0          # brightness shift: invariant
+        assert (7, 41) in pairs             # corner patch: near-dup
+        assert pairs[(7, 41)] > 0
+        # dHash is ALSO invariant to the uniform shift
+        dcodes = {r["asset_id"]: (r["w0"], r["w1"]) for r in
+                  mm.phash_codes(self._assets(spark),
+                                 kind="dhash").collect()}
+        assert dcodes[3] == dcodes[40]
+        # words match the driver-side function on raw bytes
+        w = mm.image_phash_words(_mk_gray_png(_phash_pixels(3)), "ahash")
+        acodes = {r["asset_id"]: (r["w0"], r["w1"])
+                  for r in codes.collect()}
+        assert acodes[3] == tuple(w)
+
+    def test_undecodable_assets_drop_not_stub(self, spark):
+        from databox_adls_loader_spark.operators import multimodal as mm
+
+        rows = [(0, "image", bytearray(b"\x89PNG\r\n\x1a\ntruncated"),
+                 "image/png"),
+                (1, "image", bytearray(b"not an image at all"),
+                 "image/jpeg")]
+        assets = spark.createDataFrame(rows, mm.ASSET_SCHEMA)
+        got = mm.phash_codes(assets).collect()
+        # PIL-less container: both drop; PIL can't open them either
+        assert got == []
+
+    def test_phash_words_rejects_unknown_kind_and_tiny_images(self):
+        import pytest as _pytest
+
+        from databox_adls_loader_spark.operators import multimodal as mm
+        from databox_adls_loader_spark.plans.queries_round11 import \
+            _mk_gray_png
+
+        tiny = _mk_gray_png([[1, 2], [3, 4]])        # 2x2 < 8x8 grid
+        assert mm.image_phash_words(tiny) is None
+        ok = _mk_gray_png([[(x * y) % 200 for x in range(16)]
+                           for y in range(16)])
+        assert mm.image_phash_words(ok) is not None
+        with _pytest.raises(ValueError, match="unknown phash kind"):
+            mm.image_phash_words(ok, kind="whash")
