@@ -802,3 +802,57 @@ def probe_pq_topk(spark: SparkSession, index_dir: str, base_dir: str,
                             6).alias("sim"))
             .orderBy(F.desc("sim"), id_col)
             .limit(k))
+
+
+def probe_ivfpq_topk(spark: SparkSession, ivf_index_dir: str,
+                     pq_index_dir: str, base_dir: str,
+                     query: list[float], k: int = 10, nprobe: int = 3,
+                     expand: int = 4, dim: int = 64, k_cells: int = 8,
+                     ivf_seed: int = 13, m: int = 4, k_codes: int = 8,
+                     pq_seed: int = 29, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     centroids: list[list[float]] | None = None,
+                     codebooks: list[list[list[float]]] | None = None
+                     ) -> DataFrame:
+    """IVF-PQ: the three persisted families COMPOSED the way a serving
+    fleet runs them (the FAISS IVFADC architecture, Jégou et al. 2011,
+    public) — the query's ``nprobe`` nearest frozen cells are ranked
+    driver-side, the IVF assignment table routes to candidate ids (a
+    literal cell filter, partition-prunable on the serving copy), the
+    PQ code table scores ONLY those candidates by exact integer
+    micro-unit ADC (`pq_lut_micros` — both engines pick the identical
+    shortlist), and the float vectors are read for the final
+    ``k·expand`` rerank alone.  Index I/O: nprobe/k_cells of two
+    skinny tables; corpus-sized float I/O: zero.  Both indexes must be
+    maintained against the SAME base (one catalog transaction pins the
+    triple — `corpus_catalog_publish`'s shape)."""
+    cells = probe_cells(query,
+                        centroids or ivf_centroids(dim, k_cells,
+                                                   ivf_seed),
+                        nprobe)
+    routed = (V.read_version(spark, ivf_index_dir)
+              .filter(F.col("cell").isin(cells)).select(id_col))
+    lut = pq_lut_micros(query,
+                        codebooks or pq_codebooks(dim, m, k_codes,
+                                                  pq_seed))
+    lut_lit = F.array(*[F.lit(int(u)).cast("long") for u in lut])
+    cand = (V.read_version(spark, pq_index_dir)
+            .join(F.broadcast(routed), id_col, "left_semi")
+            .select(F.col(id_col),
+                    F.element_at(
+                        lut_lit,
+                        (F.col("sub") * k_codes + F.col("code") + 1)
+                        .cast("int")).alias("__u"))
+            .groupBy(id_col)
+            .agg(F.sum("__u").alias("adc_u"))
+            .orderBy(F.desc("adc_u"), id_col)
+            .limit(k * expand))
+    base = V.read_version(spark, base_dir)
+    q = similarity._query_literal(query)
+    return (base.join(F.broadcast(cand.select(id_col)), id_col,
+                      "left_semi")
+            .select(F.col(id_col),
+                    F.round(similarity.cosine(F.col(vec_col), q),
+                            6).alias("sim"))
+            .orderBy(F.desc("sim"), id_col)
+            .limit(k))

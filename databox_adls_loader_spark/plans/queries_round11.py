@@ -740,3 +740,150 @@ def mm_image_dhash_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (mm.phash_codes(_phash_assets(spark), kind="dhash")
             .orderBy("asset_id"))
+
+
+@register(
+    "ann_ivfpq_probe_topk",
+    oracle=f"""
+    WITH {_ivf_cents_sql(_R10B_IVF['k_cells'], _R10B_IVF['dim'],
+                         _R10B_IVF['seed'])},
+    {_pq_books_sql(_PQ['m'], _PQ['k_codes'], _PQ['seed'])},
+    {_ANN_FINAL_STATE_SQL},
+    {_IVF_ASG_SQL},
+    {_PQ_CODES_SQL.replace("d AS (SELECT e.vec_id", "pqd AS (SELECT e.vec_id").replace("FROM d) WHERE", "FROM pqd) WHERE")},
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+    qd AS (SELECT cents.cell,
+                  list_sum(list_transform(range(1, 65),
+                                          i -> qv[i] * c[i])) AS dp
+           FROM cents CROSS JOIN q),
+    probed AS (SELECT cell
+               FROM (SELECT cell,
+                            ROW_NUMBER() OVER (ORDER BY dp DESC, cell)
+                              AS rn
+                     FROM qd) WHERE rn <= 3),
+    routed AS (SELECT vec_id FROM asg JOIN probed USING (cell)),
+    lut AS (SELECT b.sub, b.code,
+                   CAST(FLOOR(1000000 * list_sum(list_transform(
+                        range(1, 9), i -> qv[b.sub * 8 + i] * c[i])))
+                     AS BIGINT) AS u
+            FROM books b CROSS JOIN q),
+    adc AS (SELECT c.vec_id, SUM(l.u) AS adc_u
+            FROM codes c
+            JOIN routed USING (vec_id)
+            JOIN lut l ON c.sub = l.sub AND c.code = l.code
+            GROUP BY c.vec_id),
+    cand AS (SELECT vec_id
+             FROM (SELECT vec_id,
+                          ROW_NUMBER() OVER (ORDER BY adc_u DESC,
+                                             vec_id) AS rn
+                   FROM adc) WHERE rn <= 80)
+    SELECT e.vec_id, ROUND(list_cosine_similarity(e.v, q.qv), 6) AS sim
+    FROM e JOIN cand USING (vec_id) CROSS JOIN q
+    ORDER BY sim DESC, e.vec_id LIMIT 20
+    """,
+    tags=["similarity", "ivf", "pq", "versioned"],
+)
+def ann_ivfpq_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three maintained families COMPOSED (`ann.probe_ivfpq_topk` —
+    the IVFADC serving architecture): the query routes to its 3-of-8
+    nearest frozen cells via the persisted IVF assignment table, the
+    persisted PQ code table scores only the routed candidates by exact
+    integer ADC (both engines pick the identical 80-row shortlist),
+    and the float vectors are read for the 80-row rerank alone.  Both
+    index fixtures replay the SAME three maintenance windows over the
+    same corpus, so the composition is consistent by construction —
+    and the oracle re-derives cells, codes, LUT, routing, shortlist,
+    and rerank from scratch: the full serving stack under one hash."""
+    from ..sinks import versioned as V
+    from . import ann
+    from .queries_round10b import _ivf_indexed_emb
+
+    emb_dir, ivf_dir, _ = _ivf_indexed_emb(spark, sf_dir)
+    _, pq_dir, _ = _pq_indexed_emb(spark, sf_dir)
+    base = V.read_version(spark, emb_dir)
+    query = list(base.filter(F.col("vec_id") == 1)
+                 .select("embedding").first()["embedding"])
+    return ann.probe_ivfpq_topk(
+        spark, ivf_dir, pq_dir, emb_dir, query, k=20, nprobe=3,
+        expand=4, dim=64, k_cells=_R10B_IVF["k_cells"],
+        ivf_seed=_R10B_IVF["seed"], m=_PQ["m"], k_codes=_PQ["k_codes"],
+        pq_seed=_PQ["seed"])
+
+
+def _epoch_values_sql(epochs=(1, 2), seed: int = 17) -> str:
+    from ..operators.seqpack import epoch_order_key
+
+    rows = ", ".join(f"({e}, {a}, {b})"
+                     for e in epochs
+                     for a, b in [epoch_order_key(e, seed)])
+    return f"eps(epoch, a, b) AS (VALUES {rows})"
+
+
+@register(
+    "corpus_incremental_epoch_order",
+    oracle=f"""
+    WITH RECURSIVE uniq AS (
+      SELECT MIN(doc_id) AS doc_id, (MIN(n_chars) + 3) // 4 AS t
+      FROM documents GROUP BY md5(text)
+    ), base AS (
+      SELECT CAST(doc_id % 8 AS INTEGER) AS g, doc_id AS id, t
+      FROM uniq
+    ), pieces AS (
+      SELECT g, id, 0 AS piece, t AS pt,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY id) AS rn
+      FROM base WHERE t <= 256
+    ), pack AS (
+      SELECT g, id, piece, pt, rn, CAST(1 AS BIGINT) AS win,
+             pt AS fill
+      FROM pieces WHERE rn = 1
+      UNION ALL
+      SELECT d.g, d.id, d.piece, d.pt, d.rn,
+             CASE WHEN p.fill + d.pt <= 256 THEN p.win
+                  ELSE p.win + 1 END,
+             CASE WHEN p.fill + d.pt <= 256 THEN p.fill + d.pt
+                  ELSE d.pt END
+      FROM pack p JOIN pieces d ON d.g = p.g AND d.rn = p.rn + 1
+    ),
+    wins AS (SELECT DISTINCT g, win FROM pack),
+    {_epoch_values_sql()},
+    keyed AS (
+      SELECT epoch, g, win,
+             (a * ((g * 1000003 + win) % 1000000007) + b) % 1000000007
+               AS order_key
+      FROM wins CROSS JOIN eps
+    )
+    SELECT epoch, g, win, order_key,
+           ROW_NUMBER() OVER (PARTITION BY epoch
+                              ORDER BY order_key, g, win) AS epoch_rank
+    FROM keyed ORDER BY epoch, epoch_rank
+    """,
+    tags=["corpus", "packing", "llm", "scale", "incremental"],
+)
+def corpus_incremental_epoch_order(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The training loader's REPRODUCIBILITY closure over the
+    incremental lane: epoch-stable shuffled batch order
+    (`seqpack.epoch_order`) computed on the INCREMENTALLY assembled
+    shard table (read through its catalog pin) hash-matches DuckDB
+    permuting a from-scratch pack of the union — i.e. epoch N's batch
+    sequence is a pure function of (corpus content, epoch, seed),
+    INDEPENDENT of whether the corpus was built in one shot or grown
+    across crawl rounds.  Without `pack_sequences_delta`'s exactness
+    this would be unattainable: any window the delta path placed
+    differently would reorder every later batch."""
+    from ..operators.seqpack import epoch_order
+    from ..operators.windows import global_row_number
+    from ..sinks import catalog as C
+
+    _dirs, cat, _nr, _ic, _at = _incr_assembled(spark, sf_dir)
+    packed = C.read_table(spark, cat, "shards")
+    parts = []
+    for e in (1, 2):
+        keyed = epoch_order(packed, e)
+        ranked, _n = global_row_number(
+            keyed, [("order_key", "asc"), ("g", "asc"), ("win", "asc")],
+            out_col="epoch_rank")
+        parts.append(ranked.withColumn("epoch", F.lit(e)))
+    out = parts[0].unionByName(parts[1])
+    return (out.select("epoch", "g", "win", "order_key", "epoch_rank")
+            .orderBy("epoch", "epoch_rank"))
