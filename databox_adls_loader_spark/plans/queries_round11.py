@@ -887,3 +887,150 @@ def corpus_incremental_epoch_order(spark: SparkSession,
     out = parts[0].unionByName(parts[1])
     return (out.select("epoch", "g", "win", "order_key", "epoch_rank")
             .orderBy("epoch", "epoch_rank"))
+
+
+_IVFPQ_SERVING: dict = {}
+
+
+def _drop_ivfpq_serving(keys=None) -> None:
+    import shutil
+
+    for k in list(_IVFPQ_SERVING) if keys is None else list(keys):
+        shutil.rmtree(_IVFPQ_SERVING.pop(k)[0], ignore_errors=True)
+
+
+@fixture_timed("ivfpq_serving_r11")
+def _ivfpq_serving_table(spark: SparkSession, sf_dir: str
+                         ) -> tuple[str, bool]:
+    """Once per (session, sf_dir): the maintained PQ code table JOINED
+    to its IVF cell assignment and re-committed hidden-partitioned on
+    identity(cell) — the IVFADC SERVING layout: each vector's m code
+    rows live in its cell's files, so a probe's ADC scan reads only
+    nprobe/k_cells of the code table (manifest-predicate pruning, no
+    directory listing).  prune_ok asserts a one-cell read lists a
+    strict subset of the serving table's files."""
+    import atexit
+    import tempfile
+
+    from ..sinks import versioned as V
+    from .queries_round10b import _ivf_indexed_emb
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _IVFPQ_SERVING.get(key)
+    if got is None:
+        _drop_ivfpq_serving([k for k in _IVFPQ_SERVING
+                             if k[0] != key[0]])
+        if not _IVFPQ_SERVING:
+            atexit.register(_drop_ivfpq_serving)
+        _, ivf_dir, _ = _ivf_indexed_emb(spark, sf_dir)
+        _, pq_dir, _ = _pq_indexed_emb(spark, sf_dir)
+        t = tempfile.mkdtemp(prefix="spark_graft_ivfpqserve_")
+        codes = V.read_version(spark, pq_dir)
+        cells = V.read_version(spark, ivf_dir)
+        V.write_snapshot(codes.join(cells, "vec_id"), t,
+                         partition_by=["identity(cell)"])
+        pruned = V.read_version(spark, t, predicates=[("cell", "=", 0)])
+        manifest = V._read_manifest(t, V.latest_version(t))
+        prune_ok = 0 < len(pruned.inputFiles()) < len(manifest)
+        got = (t, bool(prune_ok))
+        _IVFPQ_SERVING[key] = got
+    return got
+
+
+@register(
+    "scale_ivfpq_pruned_probe",
+    oracle=f"""
+    WITH {_ivf_cents_sql(_R10B_IVF['k_cells'], _R10B_IVF['dim'],
+                         _R10B_IVF['seed'])},
+    {_pq_books_sql(_PQ['m'], _PQ['k_codes'], _PQ['seed'])},
+    {_ANN_FINAL_STATE_SQL},
+    {_IVF_ASG_SQL},
+    {_PQ_CODES_SQL.replace("d AS (SELECT e.vec_id", "pqd AS (SELECT e.vec_id").replace("FROM d) WHERE", "FROM pqd) WHERE")},
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+    qd AS (SELECT cents.cell,
+                  list_sum(list_transform(range(1, 65),
+                                          i -> qv[i] * c[i])) AS dp
+           FROM cents CROSS JOIN q),
+    probed AS (SELECT cell
+               FROM (SELECT cell,
+                            ROW_NUMBER() OVER (ORDER BY dp DESC, cell)
+                              AS rn
+                     FROM qd) WHERE rn <= 3),
+    routed AS (SELECT vec_id FROM asg JOIN probed USING (cell)),
+    lut AS (SELECT b.sub, b.code,
+                   CAST(FLOOR(1000000 * list_sum(list_transform(
+                        range(1, 9), i -> qv[b.sub * 8 + i] * c[i])))
+                     AS BIGINT) AS u
+            FROM books b CROSS JOIN q),
+    adc AS (SELECT c.vec_id, SUM(l.u) AS adc_u
+            FROM codes c
+            JOIN routed USING (vec_id)
+            JOIN lut l ON c.sub = l.sub AND c.code = l.code
+            GROUP BY c.vec_id),
+    cand AS (SELECT vec_id
+             FROM (SELECT vec_id,
+                          ROW_NUMBER() OVER (ORDER BY adc_u DESC,
+                                             vec_id) AS rn
+                   FROM adc) WHERE rn <= 80)
+    SELECT e.vec_id, ROUND(list_cosine_similarity(e.v, q.qv), 6) AS sim,
+           TRUE AS pruned_ok
+    FROM e JOIN cand USING (vec_id) CROSS JOIN q
+    ORDER BY sim DESC, e.vec_id LIMIT 20
+    """,
+    tags=["scale", "similarity", "ivf", "pq", "versioned",
+          "partitioning"],
+)
+def scale_ivfpq_pruned_probe(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """IVF-PQ through the SERVING layout: PQ code rows co-committed
+    with their cell, hidden-partitioned ``identity(cell)``, each
+    probed cell read with a manifest predicate — the probe's code-table
+    I/O is nprobe/k_cells of the index HOWEVER large the corpus, the
+    ADC shortlist is exact-integer (engine-portable), and only the
+    80-row rerank touches float vectors.  Same top-20 as the unpruned
+    composition (`ann_ivfpq_probe_topk`); pruned_ok carries the
+    strict-subset inputFiles proof.  This is the complete 100 TB
+    serving story the three families exist for: band-LSH for
+    candidates, IVF for routing, PQ for memory — here the routing and
+    memory halves run fused and partition-pruned."""
+    from ..sinks import versioned as V
+    from . import ann
+    from .queries_round10b import _ivf_indexed_emb
+
+    emb_dir, _, _ = _ivf_indexed_emb(spark, sf_dir)
+    serving, prune_ok = _ivfpq_serving_table(spark, sf_dir)
+    base = V.read_version(spark, emb_dir)
+    query = list(base.filter(F.col("vec_id") == 1)
+                 .select("embedding").first()["embedding"])
+    cells = ann.probe_cells(
+        query, ann.ivf_centroids(64, _R10B_IVF["k_cells"],
+                                 _R10B_IVF["seed"]), 3)
+    cand = None
+    for c in cells:
+        part = V.read_version(spark, serving,
+                              predicates=[("cell", "=", c)]) \
+            .select("vec_id", "sub", "code")
+        cand = part if cand is None else cand.unionByName(part)
+    lut = ann.pq_lut_micros(
+        query, ann.pq_codebooks(64, _PQ["m"], _PQ["k_codes"],
+                                _PQ["seed"]))
+    lut_lit = F.array(*[F.lit(int(u)).cast("long") for u in lut])
+    shortlist = (cand.select(
+        "vec_id",
+        F.element_at(lut_lit,
+                     (F.col("sub") * _PQ["k_codes"] + F.col("code") + 1)
+                     .cast("int")).alias("__u"))
+        .groupBy("vec_id")
+        .agg(F.sum("__u").alias("adc_u"))
+        .orderBy(F.desc("adc_u"), "vec_id")
+        .limit(80))
+    q = F.array(*[F.lit(float(v)) for v in query])
+    from ..operators import similarity
+    return (base.join(F.broadcast(shortlist.select("vec_id")),
+                      "vec_id", "left_semi")
+            .select("vec_id",
+                    F.round(similarity.cosine(F.col("embedding"), q),
+                            6).alias("sim"))
+            .orderBy(F.desc("sim"), "vec_id")
+            .limit(20)
+            .withColumn("pruned_ok", F.lit(bool(prune_ok))))

@@ -79,6 +79,8 @@ HEADLINERS = [
     "scale_pq_index_incremental",   # persisted PQ codes, O(changes) upkeep
     "ann_pq_probe_topk",         # integer-ADC probe + bounded rerank
     "scale_ivf_recall_contract",    # measured IVF recall through the index
+    "scale_ivfpq_pruned_probe",  # cell-pruned ADC scan + bounded rerank
+    "corpus_incremental_epoch_order",  # epoch permutation over incr shards
 ]
 
 TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
@@ -133,6 +135,8 @@ TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
     "scale_pq_index_incremental": "embeddings",
     "ann_pq_probe_topk": "embeddings",
     "scale_ivf_recall_contract": "embeddings",
+    "scale_ivfpq_pruned_probe": "embeddings",
+    "corpus_incremental_epoch_order": "documents",
 }
 
 # the heavy shapes probed one decade PAST the bench SF, on the locally
