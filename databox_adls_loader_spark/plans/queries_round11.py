@@ -1,17 +1,26 @@
-"""Round-11 registry extensions: the persisted PQ (product-quantization)
-code table as the THIRD maintained index family (`plans/ann.py` —
-band-LSH finds candidates, IVF routes, PQ is what a serving fleet can
-hold in memory), proven under the driver's value-hash gate: maintenance
-across delete/upsert/append commits hash-matches a DuckDB replay that
-re-encodes the final corpus state from scratch, and the ADC probe ranks
-candidates by EXACT integer micro-unit lookup sums, so both engines
-pick the identical candidate set before the exact rerank.
+"""Round-11 registry extensions, all under the driver's value-hash gate:
+
+* the persisted PQ (product-quantization) code table as the THIRD
+  maintained index family (`plans/ann.py` — band-LSH finds candidates,
+  IVF routes, PQ is what a serving fleet can hold in memory), its
+  integer-ADC probe, the IVF-PQ composed probe (IVFADC), and the
+  cell-partition-pruned serving layout;
+* the measured IVF recall contract (the eval row the LSH lane has had
+  since round 6);
+* INCREMENTAL corpus assembly end-to-end (`incr_bootstrap` /
+  `incr_delta_round` — delta dedup vs persisted hashes, delta packing
+  that never re-reads committed windows, O(changes) index refresh, one
+  catalog transaction per round) hash-equal to a from-scratch
+  assemble, plus the epoch-order closure over it;
+* perceptual image dedup (aHash/dHash over genuinely decoded PNG
+  pixels, Hamming-banded near-dup pairs with planted invariant copies).
 
 Reference parity note: the reference (Azure/databox-adls-loader)
-re-lists everything per run (adls_copy_utils.py:69); the PQ family
-closes the round-10 verdict's Next-round #2 — the compressed-codes
-table is the only whole-corpus relation a 100 TB deployment can keep
-hot (4-bit codes ≈ 64× smaller than float32).
+re-lists everything per run (adls_copy_utils.py:69
+getSourceFileList) — the incremental-assemble lane is what retires
+that model, and the PQ family closes round-10 verdict #2: the
+compressed-codes table is the only whole-corpus relation a 100 TB
+deployment keeps hot (4-bit codes ≈ 64× smaller than float32).
 """
 
 from __future__ import annotations

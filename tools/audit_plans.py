@@ -60,6 +60,8 @@ ALLOWED_FLAGS: dict[str, set[str]] = {
     "prof_decile_lift_totalprice": {"bnl-join"},  # 1-row cents-total frame
     "corpus_dedup_then_pack": {"bnl-join"},  # three 1-row stat frames crossed
     "corpus_assemble_to_shards": {"bnl-join"},  # 1-row index-checksum frame
+    "corpus_incremental_assemble": {"bnl-join"},  # 1-row index-checksum frame
+    "ann_pq_probe_topk": {"bnl-join"},  # 1-row recall-contract frame
     "ts_dow_anova_strength": {"bnl-join"},   # two 1-row ANOVA stat frames
     "basket_brand_pairs_lift": {"bnl-join"},  # 1-row basket-count frame
     "rfm_segment_grid": {"bnl-join"},        # 1-row recency-anchor frame
