@@ -340,6 +340,50 @@ def _cmd_ann(args) -> int:
                               for r in got]))
         return 0
 
+
+def _cmd_corpus(args) -> int:
+    """`corpus bootstrap|delta|status` — the incremental corpus lane as
+    an operational surface (plans/queries_round11.incr_bootstrap /
+    incr_delta_round): bootstrap assembles dedup->pack->index->catalog
+    once; each `delta` run ingests a doc_id slice incrementally
+    (committed windows unread) and publishes one catalog transaction;
+    `status` surfaces per-table drift through the lane's catalog."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .plans.queries_round11 import incr_bootstrap, incr_delta_round
+    from .session import load_tables
+    from .sinks import catalog as C
+
+    root = args.root_dir
+    dirs = tuple(os.path.join(root, n)
+                 for n in ("shards", "tail", "hash", "emb", "idx"))
+    cat = os.path.join(root, "catalog")
+    if args.verb == "status":
+        print(json.dumps(C.catalog_status(cat)))
+        return 0
+    spark = _spark(f"corpus-{args.verb}")
+    t = load_tables(spark, args.sf_dir, ["documents", "embeddings"])
+    docs, emb = t["documents"], t["embeddings"]
+    did = F.col("doc_id")
+    if args.verb == "bootstrap":
+        scope = docs if args.max_id is None else docs.filter(
+            did <= args.max_id)
+        incr_bootstrap(spark, dirs, cat, scope, emb)
+        print(json.dumps({"catalog_version": C.catalog_latest(cat)}))
+        return 0
+    scope = docs.filter(did > args.min_id)
+    if args.max_id is not None:
+        scope = scope.filter(did <= args.max_id)
+    nr, ic = incr_delta_round(spark, dirs, cat, scope, emb,
+                              txn_id=args.txn_id)
+    print(json.dumps({"catalog_version": C.catalog_latest(cat),
+                      "noreread_ok": nr, "incremental_ok": ic}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(
         prog="databox_adls_loader_spark",
@@ -522,6 +566,33 @@ def main(argv: list[str] | None = None) -> int:
                             help="table to vacuum (omit: vacuum the "
                                  "catalog manifests themselves)")
             sp.add_argument("--keep", type=int, default=2)
+
+    co = sub.add_parser("corpus",
+                        help="incremental corpus lane: bootstrap once, "
+                             "ingest doc_id slices as delta rounds, "
+                             "inspect catalog drift")
+    cov = co.add_subparsers(dest="verb", required=True)
+    for verb, help_ in [
+            ("bootstrap", "full assemble + atomic publish of the lane"),
+            ("delta", "one incremental round over a doc_id slice"),
+            ("status", "per-table drift through the lane's catalog")]:
+        sp = cov.add_parser(verb, help=help_)
+        sp.add_argument("root_dir",
+                        help="lane root (holds shards/tail/hash/emb/idx "
+                             "tables and the catalog)")
+        sp.set_defaults(fn=_cmd_corpus)
+        if verb != "status":
+            sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+        if verb == "bootstrap":
+            sp.add_argument("--max-id", type=int,
+                            help="bootstrap scope: doc_id <= max-id")
+        elif verb == "delta":
+            sp.add_argument("--min-id", type=int, required=True,
+                            help="slice lower bound (exclusive)")
+            sp.add_argument("--max-id", type=int,
+                            help="slice upper bound (inclusive)")
+            sp.add_argument("--txn-id", required=True,
+                            help="idempotence ledger id for the round")
 
     q = sub.add_parser("query", help="run a registry query")
     q.add_argument("name")

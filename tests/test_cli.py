@@ -368,3 +368,33 @@ def test_cli_catalog_lifecycle(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip())
     assert out["table"] == "t"
     assert V.versions(t) == [2]
+
+
+def test_cli_corpus_incremental_lane(spark, tmp_path, capsys):
+    """corpus bootstrap → delta → status through the CLI verbs — the
+    incremental assemble lane as a user-runnable surface; the delta
+    round must report the never-reread and incremental-diff proofs and
+    end with zero catalog drift."""
+    root = str(tmp_path / "lane")
+    assert main(["corpus", "bootstrap", root, "--max-id", "300"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out == {"catalog_version": 0}
+
+    assert main(["corpus", "delta", root, "--min-id", "300",
+                 "--txn-id", "cli-r1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["catalog_version"] == 1
+    assert out["noreread_ok"] is True and out["incremental_ok"] is True
+
+    # replayed txn id: the catalog does not advance
+    assert main(["corpus", "delta", root, "--min-id", "300",
+                 "--txn-id", "cli-r1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["catalog_version"] == 1
+
+    assert main(["corpus", "status", root]) == 0
+    st = json.loads(capsys.readouterr().out.strip())
+    assert {s["name"] for s in st} == {"shards", "pack_tail",
+                                       "corpus_hashes",
+                                       "embeddings_base", "band_index"}
+    assert all(s["drift"] == 0 for s in st)
