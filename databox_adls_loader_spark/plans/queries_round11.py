@@ -1043,3 +1043,119 @@ def scale_ivfpq_pruned_probe(spark: SparkSession,
             .orderBy(F.desc("sim"), "vec_id")
             .limit(20)
             .withColumn("pruned_ok", F.lit(bool(prune_ok))))
+
+
+# ---------------------------------------------------------------------------
+# fixture-free analytics widening: packaging mix, receipt discipline,
+# per-source corpus hygiene
+# ---------------------------------------------------------------------------
+
+@register(
+    "part_finish_size_matrix",
+    oracle="""
+    SELECT split_part(p_type, ' ', 1) AS finish,
+           p_size // 10 AS size_decade,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS retail_cents,
+           CAST(SUM(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) // COUNT(*) AS BIGINT)
+             AS avg_retail_cents
+    FROM part GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=["aggregate", "part", "profile", "tpch-shaped"],
+)
+def part_finish_size_matrix(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Assortment mix matrix: parts and exact retail value per (type
+    finish class — p_type's first word — and size decade): which
+    finish classes carry the expensive sizes, written division-free
+    (prices quantize to integer cents, the mean is one integral DIV).
+    One map-side bucket + a |finishes|x|decades|-bounded aggregate;
+    partials collapse map-side however large `part` grows."""
+    (part,) = _t(spark, sf_dir, "part")
+    cents = (F.col("p_retailprice").cast("decimal(18,2)") * 100) \
+        .cast("long")
+    return (part.groupBy(
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1))
+        .alias("finish"),
+        (F.col("p_size") / 10).cast("long").alias("size_decade"))
+        .agg(F.count(F.lit(1)).alias("n_parts"),
+             F.sum(cents).alias("retail_cents"))
+        .select("finish", "size_decade", "n_parts", "retail_cents",
+                F.expr("CAST(retail_cents DIV n_parts AS LONG)")
+                .alias("avg_retail_cents"))
+        .orderBy("finish", "size_decade"))
+
+
+@register(
+    "li_discount_tax_grid",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(CAST(l_discount AS DECIMAL(18,6)) * 100 AS BIGINT)
+             AS disc_pct,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS gross_cents,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)
+                    * CAST(CAST(l_tax AS DECIMAL(18,6)) * 1000000
+                           AS BIGINT)) AS BIGINT) AS tax_weighted_u
+    FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=["aggregate", "lineitem", "profile", "tpch-shaped"],
+)
+def li_discount_tax_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-lever grid: per (returnflag, discount percent) the item
+    count, exact gross cents, and the tax-weighted gross in exact
+    micro-units (sum of cents*tax_ppm — the Q1-style compound sum kept
+    in pure integers, so no float accumulation can flip the hash).
+    The margin view of how discounting interacts with tax bands; one
+    scan, map-side quantization, |flags|x|discounts|-bounded output."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
+        .cast("long")
+    tax_ppm = (F.col("l_tax").cast("decimal(18,6)") * 1_000_000) \
+        .cast("long")
+    return (li.groupBy(
+        "l_returnflag",
+        (F.col("l_discount").cast("decimal(18,6)") * 100)
+        .cast("long").alias("disc_pct"))
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.sum(cents).alias("gross_cents"),
+             F.sum(cents * tax_ppm).alias("tax_weighted_u"))
+        .orderBy("l_returnflag", "disc_pct"))
+
+
+@register(
+    "doc_source_dup_rate",
+    oracle="""
+    WITH g AS (SELECT source, md5(text) AS h, COUNT(*) AS n
+               FROM documents GROUP BY 1, 2)
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_unique,
+           CAST(SUM(n - 1) AS BIGINT) AS n_dup_copies,
+           CAST(SUM(n - 1) * 1000000 // SUM(n) AS BIGINT) AS dup_ppm
+    FROM g GROUP BY 1 ORDER BY 1
+    """,
+    tags=["dedup", "corpus", "profile", "llm"],
+)
+def doc_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus hygiene: exact-duplicate copy rate within each
+    source (md5 groups, copies beyond the first counted as dups, exact
+    integer ppm) — the triage view that decides WHICH crawl feed needs
+    dedup attention before the corpus lane spends compute on it.  Two
+    keyed aggregates, both collapsing map-side; no pairwise work
+    anywhere."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    g = (docs.groupBy("source", F.md5(F.col("text")).alias("h"))
+         .agg(F.count(F.lit(1)).alias("n")))
+    return (g.groupBy("source")
+            .agg(F.sum("n").cast("long").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_unique"),
+                 F.sum(F.col("n") - 1).cast("long").alias("n_dup_copies"))
+            .select("source", "n_docs", "n_unique", "n_dup_copies",
+                    F.expr("CAST((n_dup_copies * 1000000L) DIV n_docs "
+                           "AS LONG)").alias("dup_ppm"))
+            .orderBy("source"))

@@ -161,3 +161,64 @@ def test_incremental_assemble_never_rewrites_committed_windows(
     old = C.read_table(spark, cat, "shards", catalog_version=v_cat0)
     assert {(r["g"], r["id"], r["piece"]) for r in old.collect()} == \
         set(before)
+
+
+def test_incremental_lane_survives_compaction_and_vacuum(
+        spark, sf_dir, tmp_path):
+    """Steady-state maintenance interplay: a nightly OPTIMIZE
+    (`compact_small_files`) between delta rounds and a catalog-aware
+    vacuum must not disturb the lane — the next delta still packs
+    without reading committed windows, the final state still equals a
+    from-scratch assemble, and catalog pins protect the versions time
+    travel needs."""
+    from databox_adls_loader_spark.operators.seqpack import pack_sequences
+    from databox_adls_loader_spark.plans.queries_round11 import (
+        incr_bootstrap, incr_delta_round)
+    from databox_adls_loader_spark.sinks import catalog as C
+    from databox_adls_loader_spark.sinks import versioned as V
+    from databox_adls_loader_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    c1, c2 = mx * 6 // 10, mx * 8 // 10
+    dirs = tuple(str(tmp_path / n)
+                 for n in ("shards", "tail", "hash", "emb", "idx"))
+    cat = str(tmp_path / "cat")
+    did = F.col("doc_id")
+    incr_bootstrap(spark, dirs, cat, docs.filter(did <= c1), emb)
+    nr1, _ = incr_delta_round(spark, dirs, cat,
+                              docs.filter((did > c1) & (did <= c2)),
+                              emb, txn_id="m-r1")
+    assert nr1
+    # nightly OPTIMIZE on the shard table (direct-path commit — the
+    # catalog shows drift until the next round's txn pins past it)
+    pack_dir = dirs[0]
+    v_compact = V.compact_small_files(spark, pack_dir,
+                                      target_bytes=1 << 30, min_files=2)
+    assert v_compact is not None
+    drift = {s["name"]: s["drift"] for s in C.catalog_status(cat)}
+    assert drift["shards"] == 1
+    nr2, ic2 = incr_delta_round(spark, dirs, cat,
+                                docs.filter(did > c2), emb,
+                                txn_id="m-r2")
+    assert nr2 and ic2
+    assert all(s["drift"] == 0 for s in C.catalog_status(cat))
+    # final state identical to a from-scratch assemble of the union
+    uniq = (docs.groupBy(F.md5(F.col("text")).alias("h"))
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.expr("(min(n_chars) + 3) div 4").cast("long")
+                 .alias("n_tokens")))
+    key = lambda df: sorted(  # noqa: E731
+        (r["g"], r["id"], r["piece"], r["win"], r["offset"])
+        for r in df.collect())
+    assert key(C.read_table(spark, cat, "shards")) == \
+        key(pack_sequences(uniq, 256, count_col="n_tokens", n_groups=8))
+    # catalog-aware vacuum: pinned shard versions survive a keep=1 sweep
+    pinned = C.pinned_versions(cat, "shards")
+    C.vacuum_table(cat, "shards", keep_versions=1)
+    assert pinned <= set(V.versions(pack_dir))
+    v0_tables = C.catalog_tables(cat, 0)
+    old = V.read_version(spark, v0_tables["shards"]["path"],
+                         v0_tables["shards"]["version"])
+    assert old.count() > 0

@@ -291,9 +291,14 @@ def _custom_probes(spark, sf_dir):
                 emb, txn_id=f"probe-{lo}")
         return root, run
 
-    return {"vt_rename_drop_read_orders": ("orders", rename_setup),
-            "vt_stream_drain_orders": ("orders", stream_setup),
-            "incr_assemble_delta_round": ("documents", incr_round_setup)}
+    probes = {"vt_rename_drop_read_orders": ("orders", rename_setup),
+              "vt_stream_drain_orders": ("orders", stream_setup)}
+    # the incremental-assemble lane needs embeddings for its index —
+    # absent at the locally generated sf1 (documents + orders only)
+    if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+        probes["incr_assemble_delta_round"] = ("documents",
+                                               incr_round_setup)
+    return probes
 
 
 def main() -> None:
