@@ -1,4 +1,4 @@
-"""Persisted, incrementally-maintained ANN indexes (band LSH and IVF).
+"""Persisted, incrementally-maintained ANN indexes (band LSH, IVF, PQ).
 
 The sign-LSH band assignments of `operators/similarity` committed as a
 VERSIONED TABLE keyed by ``(vec_id, band)`` and maintained from the base
@@ -12,7 +12,12 @@ the scoped MERGE).  The IVF half (`build_ivf_index` /
 retire/upsert ledger loop over a cell-assignment table (one row per
 vector, frozen centroids — seeded or a trained codebook), with the
 serving copy hidden-partitioned on identity(cell) so probes are
-manifest-pruned to nprobe/k_cells of the files.
+manifest-pruned to nprobe/k_cells of the files.  The PQ third
+(`build_pq_index` / `refresh_pq_index` / `probe_pq_topk`) maintains the
+compressed (vector, subspace) code table the same way — the relation a
+100 TB serving fleet can actually hold hot — and `probe_ivfpq_topk`
+composes all three the IVFADC way (route by cell, integer-ADC over
+routed codes, bounded float rerank).
 
 This is the `plans/mv.refresh_from_changes` incremental-view loop applied
 to a row-level (non-aggregate) view: the same ledger encoding (retire
