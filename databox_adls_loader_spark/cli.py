@@ -378,7 +378,8 @@ def _cmd_corpus(args) -> int:
     if args.max_id is not None:
         scope = scope.filter(did <= args.max_id)
     nr, ic = incr_delta_round(spark, dirs, cat, scope, emb,
-                              txn_id=args.txn_id)
+                              txn_id=args.txn_id,
+                              round_seq=args.round_seq)
     print(json.dumps({"catalog_version": C.catalog_latest(cat),
                       "noreread_ok": nr, "incremental_ok": ic}))
     return 0
@@ -593,6 +594,10 @@ def main(argv: list[str] | None = None) -> int:
                             help="slice upper bound (inclusive)")
             sp.add_argument("--txn-id", required=True,
                             help="idempotence ledger id for the round")
+            sp.add_argument("--round-seq", type=int,
+                            help="per-round write-ledger id: a rerun "
+                                 "of a mid-crashed round resumes at "
+                                 "the missing table writes")
 
     q = sub.add_parser("query", help="run a registry query")
     q.add_argument("name")

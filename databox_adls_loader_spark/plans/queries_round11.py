@@ -386,7 +386,8 @@ def incr_bootstrap(spark: SparkSession, dirs: tuple[str, ...],
 
 def incr_delta_round(spark: SparkSession, dirs: tuple[str, ...],
                      cat_dir: str, incoming: DataFrame, emb: DataFrame,
-                     txn_id: str) -> tuple[bool, bool]:
+                     txn_id: str,
+                     round_seq: int | None = None) -> tuple[bool, bool]:
     """ONE incremental round of the corpus lane (the daily-crawl body):
     dedup ``incoming`` against the persisted hash table, pack only the
     survivors via `pack_sequences_delta` resumed from the O(groups)
@@ -394,7 +395,19 @@ def incr_delta_round(spark: SparkSession, dirs: tuple[str, ...],
     inputFiles proof), append shards / roll the tail / extend the hash
     table / append survivor embeddings, `refresh_ann_index`
     (O(changes), incremental diff asserted), and publish everything in
-    ONE catalog transaction.  Returns (noreread_ok, inc_ok)."""
+    ONE catalog transaction.  Returns (noreread_ok, inc_ok).
+
+    ``round_seq``: per-round ledger id stamped on every table write
+    (the streaming batch-id machinery, `versioned.committed_batch_ids`)
+    — with it, a rerun of a round that crashed mid-phase-1 SKIPS the
+    writes that already landed and applies only the missing ones, so
+    the lane converges to exactly the intended state (write order
+    pack → tail → embeddings → hash is chosen so every recomputed
+    frame a rerun could still write is derived from pre-round state —
+    the hash table, whose extension changes the survivor set, lands
+    LAST).  A fully-landed round replays as a catalog-level no-op via
+    ``txn_id`` regardless.  The streaming twin
+    (`incr_delta_stream_batch`) passes the micro-batch id."""
     from ..operators.seqpack import (merge_tail_state,
                                      pack_sequences_delta,
                                      pack_tail_state)
@@ -422,18 +435,34 @@ def incr_delta_round(spark: SparkSession, dirs: tuple[str, ...],
                   for p in frame.inputFiles()}
     noreread_ok = not (read_files & committed_files)
     inc_ok = True
+    ids = None if round_seq is None else {int(round_seq)}
+
+    def _once(table_dir: str, write) -> bool:
+        if ids and int(round_seq) in V.committed_batch_ids(table_dir):
+            return False                   # crash-rerun: already landed
+        write()
+        return True
 
     def mutate_round():
-        V.write_snapshot(dpack, pack_dir)
-        V.write_snapshot(merge_tail_state(tail, pack_tail_state(dpack)),
-                         tail_dir, mode="overwrite")
-        V.write_snapshot(survivors.select("h", "doc_id"), hash_dir)
+        _once(pack_dir,
+              lambda: V.write_snapshot(dpack, pack_dir, batch_ids=ids))
+        _once(tail_dir,
+              lambda: V.write_snapshot(
+                  merge_tail_state(tail, pack_tail_state(dpack)),
+                  tail_dir, mode="overwrite", batch_ids=ids))
         v_prev = V.latest_version(emb_dir)
-        V.write_snapshot(_surv_emb(emb, survivors), emb_dir)
-        nonlocal inc_ok
-        inc_ok = V._changes_incremental(
-            spark, emb_dir, v_prev, V.latest_version(emb_dir),
-            "vec_id") is not None
+        wrote_emb = _once(
+            emb_dir,
+            lambda: V.write_snapshot(_surv_emb(emb, survivors), emb_dir,
+                                     batch_ids=ids))
+        if wrote_emb:
+            nonlocal inc_ok
+            inc_ok = V._changes_incremental(
+                spark, emb_dir, v_prev, V.latest_version(emb_dir),
+                "vec_id") is not None
+        _once(hash_dir,
+              lambda: V.write_snapshot(survivors.select("h", "doc_id"),
+                                       hash_dir, batch_ids=ids))
         ann.refresh_ann_index(spark, index_dir, emb_dir, **_ANN)
         return None
 
@@ -444,6 +473,30 @@ def incr_delta_round(spark: SparkSession, dirs: tuple[str, ...],
                 for n, d in zip(_INCR_TABLES[1:], dirs[1:])})
     C.commit_txn(cat_dir, ops, txn_id=txn_id)
     return bool(noreread_ok), bool(inc_ok)
+
+
+def incr_delta_stream_batch(batch_df: DataFrame, batch_id: int,
+                            dirs: tuple[str, ...], cat_dir: str,
+                            emb: DataFrame) -> tuple[bool, bool]:
+    """STREAMING twin of `incr_delta_round` — the foreachBatch body
+    that lets a CRAWL STREAM drive the whole corpus lane exactly-once:
+
+        (spark.readStream.format("vtable_stream")
+              .option("path", crawl_table).load().writeStream
+              .foreachBatch(lambda df, bid: queries_round11
+                  .incr_delta_stream_batch(df, bid, dirs, cat, emb))
+              .option("checkpointLocation", ck).start())
+
+    Each micro-batch of NEW documents runs one incremental round under
+    txn id ``stream-corpus:{batch_id}`` (a crash-replayed batch is a
+    catalog-level no-op) with ``round_seq=batch_id`` stamping every
+    table write (a crash MID-round resumes at the missing writes — see
+    `incr_delta_round`).  Catalog readers see each crawl batch's five
+    tables move together or not at all."""
+    return incr_delta_round(
+        batch_df.sparkSession, dirs, cat_dir, batch_df, emb,
+        txn_id=f"stream-corpus:{int(batch_id)}",
+        round_seq=int(batch_id))
 
 
 @fixture_timed("incr_assemble_r11")
@@ -496,7 +549,7 @@ def _incr_assembled(spark: SparkSession, sf_dir: str
         nr, ic = incr_delta_round(
             spark, dirs, cat_dir,
             docs.filter((did > lo) & (did <= hi)), emb,
-            txn_id=f"incr-r{r}")
+            txn_id=f"incr-r{r}", round_seq=r)
         noreread_ok, inc_ok = noreread_ok and nr, inc_ok and ic
     hist = C.catalog_history(cat_dir)
     atomic_ok = (len(hist) == 3
@@ -1159,3 +1212,49 @@ def doc_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("CAST((n_dup_copies * 1000000L) DIV n_docs "
                            "AS LONG)").alias("dup_ppm"))
             .orderBy("source"))
+
+
+@register(
+    "mv_sql_route_star_having",
+    oracle="""
+    SELECT n.n_name,
+           CAST(date_trunc('year', o.o_orderdate) AS DATE) AS yr,
+           COUNT(*) AS n_orders,
+           MAX(o.o_totalprice) AS max_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 25
+    ORDER BY n_orders DESC, n_name, yr LIMIT 15
+    """,
+    tags=["mv", "sql", "rewrite", "star", "join", "having"],
+)
+def mv_sql_route_star_having(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Star-routed SQL with the FULL modifier surface exercised through
+    the qualified-reference path: a fact ⋈ dim ⋈ dim query with a YEAR
+    rollup of the stored day dim, a HAVING over the repeated aggregate
+    form (proved against the measure list with qualified column refs —
+    `_parse_having`'s join-mode resolver), DESC ordering on a measure,
+    and a LIMIT — all answered from the stored denormalized summary
+    (`mv_sql_route_star`'s fixture); the fact ⋈ dims join never runs at
+    query time, and the group filter applies POST re-aggregation (SQL
+    semantics: a year group must clear the bar with its rolled-up
+    count, not any stored day's).  Fallback raises, so a route miss
+    fails loudly; the oracle recomputes from the raw tables."""
+    from . import mv as M
+    from .queries_round7 import _mv_star_nation_prices
+
+    spec, _t_dir = _mv_star_nation_prices(spark, sf_dir)
+    q = ("SELECT n.n_name, date_trunc('year', o.o_orderdate) AS yr, "
+         "COUNT(*) AS n_orders, MAX(o.o_totalprice) AS max_price "
+         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+         "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+         "GROUP BY n.n_name, 2 HAVING COUNT(*) >= 25 "
+         "ORDER BY n_orders DESC, n_name, yr LIMIT 15")
+
+    def _no_fallback(_q):
+        raise AssertionError("resolver must route, not fall back")
+
+    df, used = M.sql_rewrite(spark, q, [spec], fallback=_no_fallback)
+    assert used == spec.name
+    return df

@@ -222,3 +222,118 @@ def test_incremental_lane_survives_compaction_and_vacuum(
     old = V.read_version(spark, v0_tables["shards"]["path"],
                          v0_tables["shards"]["version"])
     assert old.count() > 0
+
+
+def test_incremental_round_crash_between_phases_converges(
+        spark, sf_dir, tmp_path, monkeypatch):
+    """Phase-1 landed, catalog commit didn't (simulated by a commit_txn
+    that runs every op then dies): the rerun with the SAME txn_id +
+    round_seq must skip the landed table writes via the round ledger,
+    complete the catalog pin, and leave the lane exactly equal to a
+    from-scratch assemble — no duplicated pieces, no double-rolled
+    tail."""
+    from databox_adls_loader_spark.operators.seqpack import pack_sequences
+    from databox_adls_loader_spark.plans import queries_round11 as R11
+    from databox_adls_loader_spark.sinks import catalog as C
+    from databox_adls_loader_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    cut = mx * 7 // 10
+    dirs = tuple(str(tmp_path / n)
+                 for n in ("shards", "tail", "hash", "emb", "idx"))
+    cat = str(tmp_path / "cat")
+    did = F.col("doc_id")
+    R11.incr_bootstrap(spark, dirs, cat, docs.filter(did <= cut), emb)
+
+    real_commit = C.commit_txn
+
+    def crash_after_phase1(cat_dir, ops, txn_id=None, **kw):
+        for _name, (_d, op) in ops.items():
+            if callable(op):
+                op()
+        raise RuntimeError("simulated crash between phases")
+
+    monkeypatch.setattr(C, "commit_txn", crash_after_phase1)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        R11.incr_delta_round(spark, dirs, cat, docs.filter(did > cut),
+                             emb, txn_id="crash-r1", round_seq=7)
+    monkeypatch.setattr(C, "commit_txn", real_commit)
+    # catalog still serves the bootstrap universe (drift, not damage)
+    drift = {s["name"]: s["drift"] for s in C.catalog_status(cat)}
+    assert drift["shards"] >= 1
+    # rerun: landed writes skip, the pin completes
+    nr, _ic = R11.incr_delta_round(spark, dirs, cat,
+                                   docs.filter(did > cut), emb,
+                                   txn_id="crash-r1", round_seq=7)
+    assert nr
+    assert all(s["drift"] == 0 for s in C.catalog_status(cat))
+    uniq = (docs.groupBy(F.md5(F.col("text")).alias("h"))
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.expr("(min(n_chars) + 3) div 4").cast("long")
+                 .alias("n_tokens")))
+    key = lambda df: sorted(  # noqa: E731
+        (r["g"], r["id"], r["piece"], r["win"], r["offset"])
+        for r in df.collect())
+    assert key(C.read_table(spark, cat, "shards")) == \
+        key(pack_sequences(uniq, 256, count_col="n_tokens", n_groups=8))
+
+
+def test_crawl_stream_drives_the_lane_exactly_once(spark, sf_dir,
+                                                   tmp_path):
+    """A crawl STREAM (versioned-table source) drives the incremental
+    lane through `incr_delta_stream_batch`: after the drain, the lane
+    equals a from-scratch assemble of everything streamed, and a
+    manual replay of a landed batch id is a complete no-op."""
+    from databox_adls_loader_spark.operators.seqpack import pack_sequences
+    from databox_adls_loader_spark.plans import queries_round11 as R11
+    from databox_adls_loader_spark.sinks import catalog as C
+    from databox_adls_loader_spark.sinks import versioned as V
+    from databox_adls_loader_spark.session import load_tables
+    from databox_adls_loader_spark.sources.vtable_stream import \
+        register_vtable_stream
+
+    register_vtable_stream(spark)
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    c0, c1 = mx * 6 // 10, mx * 8 // 10
+    dirs = tuple(str(tmp_path / n)
+                 for n in ("shards", "tail", "hash", "emb", "idx"))
+    cat = str(tmp_path / "cat")
+    crawl = str(tmp_path / "crawl")
+    ck = str(tmp_path / "ck")
+    did = F.col("doc_id")
+    R11.incr_bootstrap(spark, dirs, cat, docs.filter(did <= c0), emb)
+    # two crawl commits land, then the stream drains them
+    V.write_snapshot(docs.filter((did > c0) & (did <= c1)), crawl)
+    V.write_snapshot(docs.filter(did > c1), crawl)
+
+    def on_batch(df, bid):
+        R11.incr_delta_stream_batch(df, bid, dirs, cat, emb)
+
+    q = (spark.readStream.format("vtable_stream")
+         .option("path", crawl).load().writeStream
+         .foreachBatch(on_batch)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    uniq = (docs.groupBy(F.md5(F.col("text")).alias("h"))
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.expr("(min(n_chars) + 3) div 4").cast("long")
+                 .alias("n_tokens")))
+    key = lambda df: sorted(  # noqa: E731
+        (r["g"], r["id"], r["piece"], r["win"], r["offset"])
+        for r in df.collect())
+    expect = key(pack_sequences(uniq, 256, count_col="n_tokens",
+                                n_groups=8))
+    assert key(C.read_table(spark, cat, "shards")) == expect
+    assert all(s["drift"] == 0 for s in C.catalog_status(cat))
+    v_cat = C.catalog_latest(cat)
+    # replaying a landed batch id: catalog-level no-op, nothing moves
+    replay = docs.filter(did > c0)
+    R11.incr_delta_stream_batch(replay, 0, dirs, cat, emb)
+    assert C.catalog_latest(cat) == v_cat
+    assert key(C.read_table(spark, cat, "shards")) == expect
