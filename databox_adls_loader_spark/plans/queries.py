@@ -877,4 +877,5 @@ def _load_extensions() -> None:
     from . import (queries_domain, queries_ext, queries_ops,  # noqa: F401
                    queries_round5, queries_round6, queries_round7,
                    queries_round8, queries_round9, queries_round10,
-                   queries_round10b, queries_round11, queries_tpch)
+                   queries_round10b, queries_round11, queries_round12,
+                   queries_tpch)

@@ -81,6 +81,7 @@ HEADLINERS = [
     "scale_ivf_recall_contract",    # measured IVF recall through the index
     "scale_ivfpq_pruned_probe",  # cell-pruned ADC scan + bounded rerank
     "corpus_incremental_epoch_order",  # epoch permutation over incr shards
+    "corpus_incremental_neardup_assemble",  # banded near-dup admission lane
 ]
 
 TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
@@ -132,6 +133,7 @@ TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
     "corpus_pack_window_layout": "documents",
     "corpus_catalog_publish": "documents",
     "corpus_incremental_assemble": "documents",
+    "corpus_incremental_neardup_assemble": "documents",
     "scale_pq_index_incremental": "embeddings",
     "ann_pq_probe_topk": "embeddings",
     "scale_ivf_recall_contract": "embeddings",
@@ -291,13 +293,55 @@ def _custom_probes(spark, sf_dir):
                 emb, txn_id=f"probe-{lo}")
         return root, run
 
+    def nd_round_setup():
+        """ONE fixed-size (256-doc) delta round of the NEAR-DUP lane
+        against a corpus that grows with SF — the round-12 O(delta)
+        measurement: exact anti-join + banded MinHash candidates vs the
+        PERSISTED sig/band tables + verified drops + delta pack + index
+        refresh + one catalog txn.  Candidate generation is banded
+        (batch band keys ⋈ persisted index), so a flat curve here is
+        the proof near-dup admission didn't re-introduce the corpus
+        rescan the lane exists to retire."""
+        import tempfile as _tf
+
+        from databox_adls_loader_spark.plans.queries_round12 import (
+            nd_bootstrap, nd_delta_round)
+
+        root = _tf.mkdtemp(prefix="sgprobe_nd_")
+        dirs = tuple(os.path.join(root, n)
+                     for n in ("shards", "tail", "hash", "sig",
+                               "bandt", "emb", "idx"))
+        cat = os.path.join(root, "cat")
+        docs = load_tables(spark, sf_dir,
+                           ["documents"])["documents"].select(
+            "doc_id", "text", "n_chars")
+        emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+        mx = docs.agg(F.max("doc_id")).first()[0]
+        cut = mx - 512
+        nd_bootstrap(spark, dirs, cat,
+                     docs.filter(F.col("doc_id") <= cut), emb)
+        state = {"i": 0}
+        slices = [(cut, cut + 256), (cut + 256, mx)]
+
+        def run():
+            lo, hi = slices[state["i"]]
+            state["i"] += 1
+            nd_delta_round(
+                spark, dirs, cat,
+                docs.filter((F.col("doc_id") > lo)
+                            & (F.col("doc_id") <= hi)),
+                emb, txn_id=f"ndprobe-{lo}")
+        return root, run
+
     probes = {"vt_rename_drop_read_orders": ("orders", rename_setup),
               "vt_stream_drain_orders": ("orders", stream_setup)}
-    # the incremental-assemble lane needs embeddings for its index —
+    # the incremental-assemble lanes need embeddings for their index —
     # absent at the locally generated sf1 (documents + orders only)
     if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
         probes["incr_assemble_delta_round"] = ("documents",
                                                incr_round_setup)
+        probes["nd_assemble_delta_round"] = ("documents",
+                                             nd_round_setup)
     return probes
 
 
