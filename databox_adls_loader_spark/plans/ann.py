@@ -93,6 +93,25 @@ def band_rows(df: DataFrame, dim: int, n_bands: int = 4,
                 F.col("bb.bucket").alias("bucket")))
 
 
+def _build_commit(rows: DataFrame, index_dir: str, v_base: int) -> int:
+    """Shared tail of every full index build: logical-overwrite commit
+    carrying the watermark ledger id ``2·v_base + 1``.  When that id is
+    ALREADY committed (a refresh previously maintained the index
+    through v_base and this build is a REBUILD — e.g. a codebook
+    retrain re-encoding the same base version), the id is dropped:
+    the manifest ledger treats duplicate batch ids as replayed
+    micro-batches and would silently SKIP the whole overwrite,
+    leaving readers on the stale index (found by the round-12 retrain
+    lane's staged re-encode).  The watermark is unaffected — ledger
+    ids are inherited across versions, so history already pins it at
+    v_base."""
+    ids = {2 * v_base + 1}
+    if ids & V.committed_batch_ids(index_dir):
+        ids = None
+    return V.write_snapshot(rows, index_dir, mode="overwrite",
+                            batch_ids=ids)
+
+
 def build_ann_index(spark: SparkSession, index_dir: str, base_dir: str,
                     dim: int = 64, n_bands: int = 4,
                     planes_per_band: int = 8, seed: int = 7,
@@ -107,8 +126,7 @@ def build_ann_index(spark: SparkSession, index_dir: str, base_dir: str,
         raise ValueError(f"base table {base_dir!r} has no versions")
     rows = band_rows(V.read_version(spark, base_dir, v_base), dim,
                      n_bands, planes_per_band, seed, id_col, vec_col)
-    return V.write_snapshot(rows, index_dir, mode="overwrite",
-                            batch_ids={2 * v_base + 1})
+    return _build_commit(rows, index_dir, v_base)
 
 
 def refresh_ann_index(spark: SparkSession, index_dir: str, base_dir: str,
@@ -401,8 +419,7 @@ def build_ivf_index(spark: SparkSession, index_dir: str, base_dir: str,
     rows = ivf_rows(V.read_version(spark, base_dir, v_base),
                     centroids or ivf_centroids(dim, k_cells, seed),
                     id_col, vec_col)
-    return V.write_snapshot(rows, index_dir, mode="overwrite",
-                            batch_ids={2 * v_base + 1})
+    return _build_commit(rows, index_dir, v_base)
 
 
 def refresh_ivf_index(spark: SparkSession, index_dir: str, base_dir: str,
@@ -661,8 +678,7 @@ def build_pq_index(spark: SparkSession, index_dir: str, base_dir: str,
     rows = pq_rows(V.read_version(spark, base_dir, v_base),
                    codebooks or pq_codebooks(dim, m, k_codes, seed),
                    id_col, vec_col)
-    return V.write_snapshot(rows, index_dir, mode="overwrite",
-                            batch_ids={2 * v_base + 1})
+    return _build_commit(rows, index_dir, v_base)
 
 
 def _pq_dead_keys(removed_ids: DataFrame, m: int,
@@ -860,4 +876,274 @@ def probe_ivfpq_topk(spark: SparkSession, ivf_index_dir: str,
                     F.round(similarity.cosine(F.col(vec_col), q),
                             6).alias("sim"))
             .orderBy(F.desc("sim"), id_col)
+            .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# integer-exact (oracle-portable) PQ: trained codebooks whose ENTIRE
+# lifecycle — sampling, Gonzalez seeding, Lloyd iterations, encoding,
+# ADC probing — is exact int64 arithmetic, so a DRIFT-RETRAIN-REPUBLISH
+# lane can be value-hash checked end to end against an oracle that
+# replays the training itself (round-11 verdict, Next round #2: seeded
+# books never move; trained books had no cross-engine story)
+# ---------------------------------------------------------------------------
+
+# µ-unit conversion offset: embedding components live in (-1, 1), so
+# +2 keeps every µ-int strictly positive — integer division then means
+# the same thing in Python (floor), Spark (pmod-free positive div) and
+# DuckDB (truncating //), and squared distances are offset-invariant
+PQ_INT_OFFSET = 2
+
+
+def _mu_expr(x):
+    """One embedding component -> its exact µ-unit integer:
+    floor((float64(x) + OFFSET) · 1e6).  Both engines perform the same
+    two IEEE-double ops on the same float32-derived double, so the
+    integer is bit-identical cross-engine."""
+    return F.floor((x.cast("double") + F.lit(float(PQ_INT_OFFSET)))
+                   * F.lit(1_000_000.0)).cast("long")
+
+
+def _mu_vec_expr(vec_col):
+    return F.transform(vec_col, _mu_expr)
+
+
+def _d2(a: list[int], b: list[int]) -> int:
+    return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+
+def pq_sample_int(emb: DataFrame, sample_rows: int = 192,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> list[list[int]]:
+    """The trainer's bounded deterministic sample as µ-int vectors, in
+    portable-hash rank order: rows ranked by (md5_long(id), id) — the
+    engine-portable twin of `_hash_sample_mat`'s xxhash64 rank, so the
+    DuckDB oracle reproduces the exact sample AND its order (the order
+    is semantic: Gonzalez seeds and argmax ties resolve by rank)."""
+    from ..operators.dedup import md5_long
+
+    head = (emb.orderBy(md5_long(F.col(id_col).cast("string")),
+                        F.col(id_col))
+            .limit(sample_rows)
+            .select(_mu_vec_expr(F.col(vec_col)).alias("__mu"))
+            .collect())
+    return [list(r["__mu"]) for r in head]
+
+
+def pq_train_int(sample: list[list[int]], m: int = 4, k_codes: int = 4,
+                 iters: int = 2) -> list[list[list[int]]]:
+    """Exact-integer PQ training over the rank-ordered µ-int sample:
+    per subspace, Gonzalez farthest-point seeding (seed 0 = rank-1 row;
+    argmax min-dist², ties to the LOWEST rank) then ``iters`` Lloyd
+    steps (argmin dist² assignment, ties to the lowest code; centroid =
+    per-component integer mean ``sum // count``; an empty code keeps
+    its previous centroid).  Every operation is int64 on positive
+    values, so the DuckDB oracle's relational replay
+    (`queries_round12._pqr_trainer_sql`) produces bit-identical
+    codebooks — the property that makes the retrain lane
+    hash-checkable.  Returns books[m][k_codes][dim/m] in µ-ints."""
+    dim = len(sample[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for s in range(m):
+        xs = [v[s * sub:(s + 1) * sub] for v in sample]
+        cents = [list(xs[0])]
+        dmin = [_d2(x, xs[0]) for x in xs]
+        while len(cents) < k_codes:
+            j = max(range(len(xs)), key=lambda i: (dmin[i], -i))
+            cents.append(list(xs[j]))
+            dmin = [min(d, _d2(x, xs[j])) for d, x in zip(dmin, xs)]
+        for _ in range(iters):
+            assign = [min(range(k_codes),
+                          key=lambda c: (_d2(x, cents[c]), c))
+                      for x in xs]
+            for c in range(k_codes):
+                members = [xs[i] for i in range(len(xs))
+                           if assign[i] == c]
+                if members:
+                    cents[c] = [sum(col) // len(members)
+                                for col in zip(*members)]
+        books.append(cents)
+    return books
+
+
+def pq_code_expr_int(vec_col, book: list[list[int]], s: int):
+    """Subspace ``s``'s nearest-codeword index against µ-INT codewords:
+    the µ-conversion happens inside the expression, the distance fold
+    is exact int64, ties break to the smallest code — bit-reproducible
+    in the oracle with no float precondition at all (the integer twin
+    of `pq_code_expr`)."""
+    sub = len(book[0])
+    piece = F.transform(F.slice(vec_col, s * sub + 1, sub), _mu_expr)
+    cands = F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with(piece,
+                           F.array(*[F.lit(int(y)) for y in c]),
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v).alias("dist"),
+            F.lit(i).cast("int").alias("code"))
+        for i, c in enumerate(book)
+    ])
+    return F.array_min(cands).getField("code")
+
+
+def pq_rows_int(df: DataFrame, books: list[list[list[int]]],
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """`pq_rows` with integer codebooks — same (key, id, sub, code)
+    layout, same retire/upsert ledger compatibility."""
+    vec = F.col(vec_col)
+    pairs = F.array(*[
+        F.struct(F.lit(s).cast("int").alias("sub"),
+                 pq_code_expr_int(vec, books[s], s).alias("code"))
+        for s in range(len(books))
+    ])
+    return (df.select(F.col(id_col), F.explode(pairs).alias("sc"))
+            .select(
+                F.concat_ws(":", F.col(id_col).cast("string"),
+                            F.col("sc.sub").cast("string")
+                            ).alias(PQ_KEY),
+                F.col(id_col),
+                F.col("sc.sub").alias("sub"),
+                F.col("sc.code").alias("code")))
+
+
+def build_pq_index_int(spark: SparkSession, index_dir: str,
+                       base_dir: str, books: list[list[list[int]]],
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> int:
+    """Full build of the integer-codebook PQ table (watermark ledger id
+    ``2·v_base + 1`` — the `build_pq_index` resume contract)."""
+    v_base = V.latest_version(base_dir)
+    if v_base is None:
+        raise ValueError(f"base table {base_dir!r} has no versions")
+    rows = pq_rows_int(V.read_version(spark, base_dir, v_base),
+                       books, id_col, vec_col)
+    return _build_commit(rows, index_dir, v_base)
+
+
+def refresh_pq_index_int(spark: SparkSession, index_dir: str,
+                         base_dir: str, books: list[list[list[int]]],
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> int | None:
+    """O(changes) maintenance of the integer-codebook PQ table — the
+    `refresh_pq_index` loop with `pq_rows_int` as the encoder.  The
+    BOOKS are the index's identity: maintaining with a retrained book
+    is meaningless (codes under different books don't compare) — a
+    retrain is a REBUILD published as a new index version
+    (`queries_round12`'s WAP lane)."""
+    v_from = mv_base_watermark(index_dir)
+    if v_from is None:
+        raise ValueError(
+            f"index {index_dir!r} has no base watermark — run "
+            "build_pq_index_int first")
+    m = len(books)
+
+    def window(v_a: int, v_b: int) -> int | None:
+        ch = V.changes_between(spark, base_dir, v_a, v_b, id_col,
+                               incremental=True, emit_preimage=True)
+        ct = F.col("_change_type")
+        return _signed_apply(
+            spark, index_dir,
+            dead_keys=_pq_dead_keys(
+                ch.filter(ct == "delete").select(id_col), m, id_col),
+            new_rows=pq_rows_int(
+                ch.filter(ct.isin("insert", "update_postimage"))
+                .drop("_change_type"), books, id_col, vec_col),
+            retire_id=2 * v_b, upsert_id=2 * v_b + 1, key_col=PQ_KEY)
+
+    out = None
+    v_pend = mv_pending_base_version(index_dir)
+    if v_pend is not None:
+        out = window(v_from, v_pend)
+        v_from = v_pend
+    v_to = V.latest_version(base_dir)
+    if v_to is None or v_to <= v_from:
+        return out
+    return window(v_from, v_to)
+
+
+def pq_lut_int(query: list[float],
+               books: list[list[list[int]]]) -> list[int]:
+    """The query's ADC lookup table against integer codebooks, flattened
+    sub-major: entry ``s·k_codes + c`` = ||q_µ,s − codeword||² in exact
+    µ² integers (SMALLER is nearer — Euclidean ADC, offset-invariant,
+    so the µ-offset cancels)."""
+    import math
+
+    m = len(books)
+    sub = len(books[0][0])
+    qm = [math.floor((float(x) + PQ_INT_OFFSET) * 1_000_000.0)
+          for x in query]
+    out = []
+    for s in range(m):
+        qs = qm[s * sub:(s + 1) * sub]
+        for c in books[s]:
+            out.append(_d2(qs, c))
+    return out
+
+
+def _mu_query_lit(query: list[float]):
+    import math
+
+    return F.array(*[
+        F.lit(math.floor((float(x) + PQ_INT_OFFSET) * 1_000_000.0))
+        .cast("long") for x in query])
+
+
+def exact_d2_expr(vec_col, query: list[float]):
+    """Exact µ²-integer squared Euclidean distance of a stored vector
+    to the query — the ground-truth metric of the integer PQ family
+    (offset-invariant; int64 throughout, so both engines fold the
+    identical sums in any order)."""
+    return F.aggregate(
+        F.zip_with(_mu_vec_expr(vec_col), _mu_query_lit(query),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def exact_topk_int(base_df: DataFrame, query: list[float], k: int = 10,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Brute-force exact-integer nearest-k — the recall oracle of the
+    integer PQ probes (one scan, TakeOrdered)."""
+    return (base_df.select(F.col(id_col),
+                           exact_d2_expr(F.col(vec_col), query)
+                           .alias("d2"))
+            .orderBy("d2", id_col).limit(k))
+
+
+def probe_pq_topk_int(spark: SparkSession, index_df: DataFrame,
+                      base_df: DataFrame, query: list[float],
+                      books: list[list[list[int]]], k: int = 10,
+                      expand: int = 4, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """ADC top-k through an integer-codebook PQ table (frames, not
+    dirs — callers pin the table versions THROUGH the catalog, which is
+    how old probes stay on their codebook version after a retrain):
+    candidates are the ``k·expand`` smallest exact-integer ADC sums
+    (id tiebreak — total order, identical shortlist cross-engine),
+    reranked by the exact integer distance on just those rows.  Fully
+    int64 end to end — no float enters the ranking at all."""
+    k_codes = len(books[0])
+    lut = pq_lut_int(query, books)
+    lut_lit = F.array(*[F.lit(int(u)).cast("long") for u in lut])
+    cand = (index_df.select(
+        F.col(id_col),
+        F.element_at(lut_lit,
+                     (F.col("sub") * k_codes + F.col("code") + 1)
+                     .cast("int")).alias("__u"))
+        .groupBy(id_col)
+        .agg(F.sum("__u").alias("adc_u"))
+        .orderBy(F.asc("adc_u"), id_col)
+        .limit(k * expand))
+    return (base_df.join(F.broadcast(cand.select(id_col)), id_col,
+                         "left_semi")
+            .select(F.col(id_col),
+                    exact_d2_expr(F.col(vec_col), query).alias("d2"))
+            .orderBy("d2", id_col)
             .limit(k))

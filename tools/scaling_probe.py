@@ -82,6 +82,7 @@ HEADLINERS = [
     "scale_ivfpq_pruned_probe",  # cell-pruned ADC scan + bounded rerank
     "corpus_incremental_epoch_order",  # epoch permutation over incr shards
     "corpus_incremental_neardup_assemble",  # banded near-dup admission lane
+    "scale_pq_retrain_recall",   # drift->retrain->republish, trained books
 ]
 
 TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
@@ -134,6 +135,8 @@ TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
     "corpus_catalog_publish": "documents",
     "corpus_incremental_assemble": "documents",
     "corpus_incremental_neardup_assemble": "documents",
+    "scale_pq_retrain_recall": "embeddings",
+    "scale_pq_drift_detect": "embeddings",
     "scale_pq_index_incremental": "embeddings",
     "ann_pq_probe_topk": "embeddings",
     "scale_ivf_recall_contract": "embeddings",
