@@ -34,8 +34,12 @@ from pyspark.sql import functions as F
 
 from .queries import _t, fixture_timed, register
 from .queries_ext import _hex15_to_long, _perms_values_sql
-from .queries_round10 import _ANN, _band_bucket_sql, _band_planes_sql
-from .queries_round11 import _surv_emb
+from .queries_round10 import (_ANN, _ANN_FINAL_STATE_SQL,
+                              _band_bucket_sql, _band_planes_sql)
+from .queries_round10b import _IVF as _R10B_IVF
+from .queries_round10b import _IVF_ASG_SQL, _ivf_cents_sql
+from .queries_round11 import (_PQ, _PQ_CODES_SQL, _pq_books_sql,
+                              _surv_emb)
 
 # near-dup admission geometry: 32-permutation portable MinHash over
 # 3-shingles, 8 bands of width 4, drop at estimated Jaccard >= 1/2
@@ -1000,3 +1004,165 @@ def _pqr_lifecycle(spark: SparkSession, sf_dir: str
     got = (cat, B0, B1, bool(audit_ok), int(n1t), int(n2t))
     _PQR_LIFE[key] = ((emb_dir, idx_dir, book_dir, cat), got)
     return got
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ multiprobe recall contract (round-11 verdict, Next round #5):
+# the composed probe gets a cell-EXPANSION knob — visit the next-nearest
+# cells beyond nprobe=1 in centroid-affinity order (the IVF analogue of
+# the band family's Hamming multiprobe) — with the recall measured at
+# both settings and the expanded read still manifest-pruned.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_MP = dict(nprobe_single=1, nprobe_multi=4, shortlist=80, k=20)
+
+
+def _ivfpq_mp_probe_sql(n_cells: int, p: str) -> str:
+    """One IVFADC probe at ``n_cells`` visited cells over the shared
+    q/qd/codes/lut CTEs — emits ``{p}top(vec_id, sim)``."""
+    return f"""
+    {p}probed AS (SELECT cell FROM (
+        SELECT cell, ROW_NUMBER() OVER (ORDER BY dp DESC, cell) AS rn
+        FROM qd) WHERE rn <= {n_cells}),
+    {p}routed AS (SELECT vec_id FROM asg JOIN {p}probed USING (cell)),
+    {p}adc AS (SELECT c.vec_id, SUM(l.u) AS adc_u
+               FROM codes c JOIN {p}routed USING (vec_id)
+               JOIN lut l ON c.sub = l.sub AND c.code = l.code
+               GROUP BY c.vec_id),
+    {p}cand AS (SELECT vec_id FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY adc_u DESC, vec_id)
+          AS rn FROM {p}adc)
+        WHERE rn <= {_IVFPQ_MP['shortlist']}),
+    {p}top AS (SELECT vec_id FROM (
+        SELECT e.vec_id, ROW_NUMBER() OVER (ORDER BY
+            ROUND(list_cosine_similarity(e.v, q.qv), 6) DESC,
+            e.vec_id) AS rn
+        FROM e JOIN {p}cand USING (vec_id) CROSS JOIN q)
+        WHERE rn <= {_IVFPQ_MP['k']}),
+    {p}hits AS (SELECT COUNT(*) AS n FROM {p}top t
+                JOIN bf ON bf.vec_id = t.vec_id)"""
+
+
+@register(
+    "scale_ivfpq_recall_contract",
+    oracle=f"""
+    WITH {_ivf_cents_sql(_R10B_IVF['k_cells'], _R10B_IVF['dim'],
+                         _R10B_IVF['seed'])},
+    {_pq_books_sql(_PQ['m'], _PQ['k_codes'], _PQ['seed'])},
+    {_ANN_FINAL_STATE_SQL},
+    {_IVF_ASG_SQL},
+    {_PQ_CODES_SQL.replace("d AS (SELECT e.vec_id",
+                           "pqd AS (SELECT e.vec_id")
+                  .replace("FROM d) WHERE", "FROM pqd) WHERE")},
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+    qd AS (SELECT cents.cell,
+                  list_sum(list_transform(range(1, 65),
+                                          i -> qv[i] * c[i])) AS dp
+           FROM cents CROSS JOIN q),
+    lut AS (SELECT b.sub, b.code,
+                   CAST(FLOOR(1000000 * list_sum(list_transform(
+                        range(1, 9), i -> qv[b.sub * 8 + i] * c[i])))
+                     AS BIGINT) AS u
+            FROM books b CROSS JOIN q),
+    bf AS (SELECT vec_id FROM (
+        SELECT e.vec_id, ROW_NUMBER() OVER (ORDER BY
+            ROUND(list_cosine_similarity(e.v, q.qv), 6) DESC,
+            e.vec_id) AS rn
+        FROM e CROSS JOIN q) WHERE rn <= {_IVFPQ_MP['k']}),
+    {_ivfpq_mp_probe_sql(_IVFPQ_MP['nprobe_single'], 's1')},
+    {_ivfpq_mp_probe_sql(_IVFPQ_MP['nprobe_multi'], 'mp')}
+    SELECT CAST({_IVFPQ_MP['k']} AS BIGINT) AS n_exact,
+           CAST(s1hits.n AS BIGINT) AS n_hits_single,
+           CAST(mphits.n AS BIGINT) AS n_hits_multi,
+           CAST(s1hits.n * 1000000 // {_IVFPQ_MP['k']} AS BIGINT)
+             AS recall_single_ppm,
+           CAST(mphits.n * 1000000 // {_IVFPQ_MP['k']} AS BIGINT)
+             AS recall_multi_ppm,
+           mphits.n >= s1hits.n AS multiprobe_monotone,
+           TRUE AS expand_io_pruned
+    FROM s1hits CROSS JOIN mphits
+    """,
+    tags=["scale", "similarity", "ivf", "pq", "eval", "recall",
+          "versioned", "partitioning"],
+)
+def scale_ivfpq_recall_contract(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """IVF-PQ MULTIPROBE with the measured recall contract — the
+    expansion knob the composed probe lacked (round-11 verdict #5):
+    cells are visited in descending centroid-affinity order, so
+    nprobe=1 is the fastest probe and nprobe=4 the multiprobe
+    expansion; both recalls@20 vs brute force ride the value hash as
+    exact-ppm integers, the Spark side computes the monotone flag the
+    oracle expects TRUE (expansion must not lose recall — measured:
+    strict gain at the gate SFs), and every probed cell is read from
+    the identity(cell)-partitioned SERVING table with a manifest
+    predicate — expand_io_pruned carries the inputFiles strict-subset
+    proof that even the expanded probe reads nprobe/k_cells of the
+    code table, never a full scan."""
+    from ..operators import similarity
+    from ..sinks import versioned as V
+    from . import ann
+    from .queries_round10b import _ivf_indexed_emb
+    from .queries_round11 import _PQ, _ivfpq_serving_table
+
+    emb_dir, _, _ = _ivf_indexed_emb(spark, sf_dir)
+    serving, _ = _ivfpq_serving_table(spark, sf_dir)
+    base = V.read_version(spark, emb_dir)
+    query = list(base.filter(F.col("vec_id") == 1)
+                 .select("embedding").first()["embedding"])
+    cents = ann.ivf_centroids(64, _R10B_IVF["k_cells"],
+                              _R10B_IVF["seed"])
+    lut = ann.pq_lut_micros(
+        query, ann.pq_codebooks(64, _PQ["m"], _PQ["k_codes"],
+                                _PQ["seed"]))
+    lut_lit = F.array(*[F.lit(int(u)).cast("long") for u in lut])
+    manifest_n = len(V._read_manifest(serving,
+                                      V.latest_version(serving)))
+    bf = similarity.topk_bruteforce(base, query,
+                                    k=_IVFPQ_MP["k"]).select("vec_id")
+    qlit = F.array(*[F.lit(float(v)) for v in query])
+
+    def probe_hits(n_cells: int) -> tuple[DataFrame, bool]:
+        cand, files = None, set()
+        for c in ann.probe_cells(query, cents, n_cells):
+            part = V.read_version(spark, serving,
+                                  predicates=[("cell", "=", c)]) \
+                .select("vec_id", "sub", "code")
+            files.update(part.inputFiles())
+            cand = part if cand is None else cand.unionByName(part)
+        shortlist = (cand.select(
+            "vec_id",
+            F.element_at(lut_lit,
+                         (F.col("sub") * _PQ["k_codes"]
+                          + F.col("code") + 1).cast("int"))
+            .alias("__u"))
+            .groupBy("vec_id").agg(F.sum("__u").alias("adc_u"))
+            .orderBy(F.desc("adc_u"), "vec_id")
+            .limit(_IVFPQ_MP["shortlist"]))
+        top = (base.join(F.broadcast(shortlist.select("vec_id")),
+                         "vec_id", "left_semi")
+               .select("vec_id",
+                       F.round(similarity.cosine(F.col("embedding"),
+                                                 qlit), 6).alias("sim"))
+               .orderBy(F.desc("sim"), "vec_id")
+               .limit(_IVFPQ_MP["k"]))
+        hits = (top.join(bf, "vec_id", "left_semi")
+                .agg(F.count(F.lit(1)).alias("n")))
+        return hits, 0 < len(files) < manifest_n
+
+    h1, io1 = probe_hits(_IVFPQ_MP["nprobe_single"])
+    hm, iom = probe_hits(_IVFPQ_MP["nprobe_multi"])
+    k = _IVFPQ_MP["k"]
+    return (h1.select(F.col("n").alias("n1"))
+            .crossJoin(hm.select(F.col("n").alias("nm")))
+            .select(F.lit(k).cast("long").alias("n_exact"),
+                    F.col("n1").cast("long").alias("n_hits_single"),
+                    F.col("nm").cast("long").alias("n_hits_multi"),
+                    F.expr(f"CAST(n1 * 1000000L DIV {k} AS LONG)")
+                    .alias("recall_single_ppm"),
+                    F.expr(f"CAST(nm * 1000000L DIV {k} AS LONG)")
+                    .alias("recall_multi_ppm"),
+                    (F.col("nm") >= F.col("n1"))
+                    .alias("multiprobe_monotone"),
+                    F.lit(bool(io1 and iom))
+                    .alias("expand_io_pruned")))
