@@ -247,6 +247,197 @@ def _decode_jpeg_pure(content: bytes) -> dict | None:
         return None
 
 
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+
+def _jpeg_gray_rows(content: bytes) -> tuple[int, int, list] | None:
+    """Pure baseline-JPEG GRAYSCALE pixel decode (stdlib only): marker
+    walk, DQT/DHT tables from the stream, canonical Huffman decode of
+    the single-component scan (byte-unstuffing, DC predict + EXTEND,
+    AC run/size with EOB/ZRL), dequantize, inverse DCT.  Subset:
+    baseline SOF0, 8-bit, ONE component, 1×1 sampling, no restart
+    markers — the environment-invariance slice image dedup needs for
+    the dominant web format without PIL (round-11 verdict, Next round
+    #4); anything outside returns None and the caller falls through.
+
+    Exactness: a DC-ONLY block (constant 8×8 region, the fixture
+    class) reconstructs by integer arithmetic — value = round(dc·q/8)
+    + 128 with round-half-away — so decode(encode(px)) is EXACT for
+    block-constant planes with q[0] = 8 and the DuckDB oracle can
+    inline the pixel formula.  Blocks with AC energy go through the
+    float IDCT (correct, not oracle-exact — same caveat every real
+    decoder carries)."""
+    if len(content) < 4 or content[:2] != b"\xff\xd8":
+        return None
+    import math
+    import struct
+    try:
+        pos = 2
+        qt: dict[int, list[int]] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        w = h = qsel = None
+        dc_tab = ac_tab = None
+        scan_start = None
+        while pos + 4 <= len(content):
+            if content[pos] != 0xFF:
+                return None
+            marker = content[pos + 1]
+            while marker == 0xFF and pos + 2 < len(content):
+                pos += 1
+                marker = content[pos + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                pos += 2
+                continue
+            if marker == 0xD9:
+                return None
+            (seglen,) = struct.unpack(">H", content[pos + 2:pos + 4])
+            seg = content[pos + 4:pos + 2 + seglen]
+            if marker == 0xDB:                       # DQT
+                i = 0
+                while i + 65 <= len(seg) + 1 and i < len(seg):
+                    if seg[i] >> 4 != 0:             # 16-bit table
+                        return None
+                    qt[seg[i] & 15] = list(seg[i + 1:i + 65])
+                    i += 65
+            elif marker == 0xC0:                     # SOF0 baseline
+                if seg[0] != 8 or seg[5] != 1 or seg[7] != 0x11:
+                    return None
+                h, w = struct.unpack(">HH", seg[1:5])
+                qsel = seg[8]
+            elif (0xC1 <= marker <= 0xCF
+                  and marker not in (0xC4, 0xC8, 0xCC)):
+                return None                          # non-baseline SOF
+            elif marker == 0xC4:                     # DHT
+                i = 0
+                while i + 17 <= len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 15
+                    counts = list(seg[i + 1:i + 17])
+                    n = sum(counts)
+                    vals = list(seg[i + 17:i + 17 + n])
+                    table, code, k = {}, 0, 0
+                    for ln in range(1, 17):
+                        for _ in range(counts[ln - 1]):
+                            table[(ln, code)] = vals[k]
+                            k += 1
+                            code += 1
+                        code <<= 1
+                    huff[(tc, th)] = table
+                    i += 17 + n
+            elif marker == 0xDD:                     # DRI
+                if struct.unpack(">H", seg[:2])[0]:
+                    return None                      # restart intervals
+            elif marker == 0xDA:                     # SOS
+                if seg[0] != 1:
+                    return None
+                dc_tab = huff.get((0, seg[2] >> 4))
+                ac_tab = huff.get((1, seg[2] & 15))
+                scan_start = pos + 2 + seglen
+                break
+            pos += 2 + seglen
+        if (not w or not h or qsel not in qt or scan_start is None
+                or dc_tab is None or ac_tab is None):
+            return None
+        q = qt[qsel]
+        data = content
+        st = [scan_start, 0]                         # byte, bit
+
+        def read_bit() -> int:
+            bi, sh = st
+            byte = data[bi]
+            if byte == 0xFF and data[bi + 1] != 0x00:
+                raise ValueError("marker inside scan")
+            bit = (byte >> (7 - sh)) & 1
+            sh += 1
+            if sh == 8:
+                bi += 2 if byte == 0xFF else 1       # skip stuffed 00
+                sh = 0
+            st[0], st[1] = bi, sh
+            return bit
+
+        def decode_huff(tab) -> int:
+            code = 0
+            for ln in range(1, 17):
+                code = (code << 1) | read_bit()
+                v = tab.get((ln, code))
+                if v is not None:
+                    return v
+            raise ValueError("bad huffman code")
+
+        def receive_extend(t: int) -> int:
+            if t == 0:
+                return 0
+            v = 0
+            for _ in range(t):
+                v = (v << 1) | read_bit()
+            return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+        cos_t = [[math.cos((2 * x + 1) * u * math.pi / 16)
+                  for u in range(8)] for x in range(8)]
+        c_u = [1 / math.sqrt(2)] + [1.0] * 7
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        gray = [[0] * w for _ in range(h)]
+        pred = 0
+        for by in range(bh):
+            for bx in range(bw):
+                coef = [0] * 64
+                pred += receive_extend(decode_huff(dc_tab))
+                coef[0] = pred * q[0]
+                k = 1
+                while k < 64:
+                    rs = decode_huff(ac_tab)
+                    r, sz = rs >> 4, rs & 15
+                    if sz == 0:
+                        if r == 15:                  # ZRL
+                            k += 16
+                            continue
+                        break                        # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC overrun")
+                    coef[_JPEG_ZIGZAG[k]] = receive_extend(sz) * q[k]
+                    k += 1
+                if not any(coef[1:]):
+                    dc = coef[0]
+                    val = ((dc + 4) // 8 if dc >= 0
+                           else -((-dc + 4) // 8)) + 128
+                    val = max(0, min(255, val))
+                    block = [[val] * 8 for _ in range(8)]
+                else:
+                    block = []
+                    for y in range(8):
+                        row = []
+                        for x in range(8):
+                            sv = 0.0
+                            for v in range(8):
+                                cv = c_u[v] * cos_t[y][v]
+                                for u in range(8):
+                                    cc = coef[v * 8 + u]
+                                    if cc:
+                                        sv += (c_u[u] * cv * cc
+                                               * cos_t[x][u])
+                            row.append(max(0, min(255, int(
+                                math.floor(sv / 4 + 0.5)) + 128)))
+                        block.append(row)
+                for y in range(8):
+                    gy = by * 8 + y
+                    if gy >= h:
+                        break
+                    grow = gray[gy]
+                    brow = block[y]
+                    for x in range(8):
+                        gx = bx * 8 + x
+                        if gx >= w:
+                            break
+                        grow[gx] = brow[x]
+        return w, h, gray
+    except Exception:  # noqa: BLE001 - malformed bytes -> caller stubs
+        return None
+
+
 def _stub_feature(content: bytes) -> list[float]:
     """Deterministic payload-hash feature for metadata-only decoders
     (JPEG/GIF/BMP): real dimensions, stub feature — same contract as
@@ -823,6 +1014,8 @@ def image_phash_words(content: bytes, kind: str = "ahash",
     oracle-checked fixtures).  Returns None when no decoder applies —
     callers drop the row rather than hash garbage."""
     decoded = _png_gray_rows(content)
+    if decoded is None:
+        decoded = _jpeg_gray_rows(content)
     if decoded is None and _PILImage is not None and content:
         import io
         try:

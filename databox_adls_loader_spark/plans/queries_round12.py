@@ -1166,3 +1166,178 @@ def scale_ivfpq_recall_contract(spark: SparkSession,
                     .alias("multiprobe_monotone"),
                     F.lit(bool(io1 and iom))
                     .alias("expand_io_pruned")))
+
+
+# ---------------------------------------------------------------------------
+# perceptual image dedup over BASELINE JPEG (round-11 verdict, Next
+# round #4): the pure stdlib decoder set gains a real baseline-JPEG
+# luma decoder (`multimodal._jpeg_gray_rows` — Huffman + dequant +
+# IDCT), so image dedup covers the dominant web format with PIL absent.
+# Fixture images are block-constant planes (DC-only blocks, q=8), for
+# which decode(encode(px)) is EXACT integer arithmetic — the oracle
+# inlines the pixel formula, as the PNG twin does.
+# ---------------------------------------------------------------------------
+
+def _mk_gray_jpeg(pixels: list[list[int]]) -> bytes:
+    """Minimal baseline-JPEG grayscale ENCODER (stdlib struct only):
+    one component, 1×1 sampling, flat quant table q=8, canonical
+    Huffman tables written into the stream (standard-style DC
+    category table; a one-entry AC table — every fixture block is
+    DC-only so the only AC symbol is EOB).  For block-constant planes
+    the quantized DC is exactly v−128 (S(0,0)=8·(v−128), q=8), so the
+    pure decoder round-trips the pixels exactly."""
+    import struct
+
+    h, w = len(pixels), len(pixels[0])
+    if h % 8 or w % 8:
+        raise ValueError("fixture encoder: dimensions must be 8-aligned")
+
+    def canon(bits: list[int], vals: list[int]) -> dict:
+        out, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                out[vals[k]] = (ln, code)
+                k += 1
+                code += 1
+            code <<= 1
+        return out
+
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = list(range(12))
+    ac_bits = [1] + [0] * 15
+    ac_vals = [0x00]                                  # EOB only
+    dc, ac = canon(dc_bits, dc_vals), canon(ac_bits, ac_vals)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes([8] * 64)
+    out += (b"\xff\xc0" + struct.pack(">H", 11) + bytes([8])
+            + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+    out += (b"\xff\xc4" + struct.pack(">H", 19 + len(dc_vals))
+            + bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    out += (b"\xff\xc4" + struct.pack(">H", 19 + len(ac_vals))
+            + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    out += (b"\xff\xda" + struct.pack(">H", 8)
+            + bytes([1, 1, 0x00, 0, 63, 0]))
+    payload = bytearray()
+    state = [0, 0]                                    # bit buffer, count
+
+    def emit(ln: int, code: int) -> None:
+        state[0] = (state[0] << ln) | code
+        state[1] += ln
+        while state[1] >= 8:
+            state[1] -= 8
+            byte = (state[0] >> state[1]) & 0xFF
+            payload.append(byte)
+            if byte == 0xFF:
+                payload.append(0x00)                  # byte stuffing
+
+    pred = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            dcv = pixels[by * 8][bx * 8] - 128        # quantized S(0,0)
+            diff = dcv - pred
+            pred = dcv
+            t = abs(diff).bit_length()
+            emit(*dc[t])
+            if t:
+                emit(t, (diff if diff > 0
+                         else diff + (1 << t) - 1) & ((1 << t) - 1))
+            emit(*ac[0x00])                           # EOB
+    if state[1]:
+        pad = 8 - state[1]
+        emit(pad, (1 << pad) - 1)                     # 1-pad final byte
+    out += payload + b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_pixels(i: int) -> list[list[int]]:
+    """Image ``i``'s 32×32 plane, CONSTANT per 8×8 JPEG block (the
+    DC-only class the decoder reconstructs exactly; range 0–199 with
+    +5 plant headroom): quadratic block textures; image 30 is image 3
+    shifted +5 everywhere — the planted brightness-invariant pair."""
+    if i == 30:
+        return [[v + 5 for v in row] for row in _jpeg_pixels(3)]
+    return [[(((x // 8) ** 2) * (i % 7 + 1) + ((y // 8) ** 2) * (i % 5 + 2)
+              + (x // 8) * (y // 8) * (i % 3 + 1) + i * 37) % 200
+             for x in range(32)] for y in range(32)]
+
+
+def _jpeg_assets(spark: SparkSession):
+    from ..operators import multimodal as mm
+
+    rows = [(i, "image", bytearray(_mk_gray_jpeg(_jpeg_pixels(i))),
+             "image/jpeg") for i in range(31)]
+    return spark.createDataFrame(rows, mm.ASSET_SCHEMA)
+
+
+_JPEG_PX_SQL = """
+    imgs AS (SELECT UNNEST(range(0, 31)) AS i),
+    px AS (SELECT i, y, x,
+             CASE WHEN i = 30
+                  THEN ((x//8)*(x//8)*4 + (y//8)*(y//8)*5
+                        + (x//8)*(y//8)*1 + 3*37) % 200 + 5
+                  ELSE ((x//8)*(x//8)*((i%7)+1) + (y//8)*(y//8)*((i%5)+2)
+                        + (x//8)*(y//8)*((i%3)+1) + i*37) % 200 END AS p
+           FROM imgs CROSS JOIN range(0, 32) AS ty(y)
+                     CROSS JOIN range(0, 32) AS tx(x)),
+    blocks AS (SELECT i, y // 4 AS by, x // 4 AS bx,
+                      CAST(SUM(p) AS BIGINT) AS s
+               FROM px GROUP BY 1, 2, 3),
+    tot AS (SELECT i, CAST(SUM(p) AS BIGINT) AS t FROM px GROUP BY 1)
+"""
+
+
+@register(
+    "dedup_image_phash_jpeg",
+    oracle=f"""
+    WITH {_JPEG_PX_SQL},
+    bits AS (SELECT b.i, by * 8 + bx AS pos,
+                    CASE WHEN s * 1024 > t * 16 THEN 1 ELSE 0 END AS bit
+             FROM blocks b JOIN tot USING (i)),
+    code AS (SELECT i,
+               CAST(SUM(CASE WHEN pos < 32 AND bit = 1
+                             THEN CAST(2 ** pos AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS w0,
+               CAST(SUM(CASE WHEN pos >= 32 AND bit = 1
+                             THEN CAST(2 ** (pos - 32) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS w1
+             FROM bits GROUP BY i),
+    banded AS (SELECT i, w0, w1, bi,
+                      CASE bi WHEN 0 THEN w0 % 65536
+                              WHEN 1 THEN w0 // 65536
+                              WHEN 2 THEN w1 % 65536
+                              ELSE w1 // 65536 END AS bkey
+               FROM code CROSS JOIN range(0, 4) AS bb(bi)),
+    cand AS (SELECT DISTINCT l.i AS a, r.i AS b, l.w0 AS lw0,
+                    l.w1 AS lw1, r.w0 AS rw0, r.w1 AS rw1
+             FROM banded l JOIN banded r
+               ON l.bi = r.bi AND l.bkey = r.bkey AND l.i < r.i)
+    SELECT a, b,
+           CAST(bit_count(xor(lw0, rw0)) + bit_count(xor(lw1, rw1))
+                AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(lw0, rw0)) + bit_count(xor(lw1, rw1)) <= 6
+    ORDER BY a, b
+    """,
+    tags=["dedup", "multimodal", "image", "phash", "jpeg", "llm"],
+)
+def dedup_image_phash_jpeg(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Perceptual image dedup over REAL baseline JPEGs — encoded by the
+    fixture encoder, then pixel-decoded by the pure stdlib JPEG path
+    (`multimodal._jpeg_gray_rows`: stream-defined Huffman tables,
+    byte unstuffing, DC predict + EXTEND, dequant, exact DC-only
+    reconstruction), hashed to 64-bit aHashes, banded, and verified at
+    Hamming ≤ 6 — the identical lane as `dedup_image_phash` with the
+    dominant web format in place of PNG, green with PIL absent.  The
+    planted brightness-shifted copy (image 30 ≡ 3 + 5) must surface at
+    Hamming 0 (cross-multiplied block/total comparison is shift-
+    invariant).  Scale: same 16-byte-per-image code relation; the
+    JPEG bytes never shuffle."""
+    from ..operators import multimodal as mm
+
+    codes = mm.phash_codes(_jpeg_assets(spark, ), kind="ahash")
+    return (mm.image_near_dup_pairs(codes, max_hamming=6, id_col="asset_id")
+            .select(F.col("a").cast("long").alias("a"),
+                    F.col("b").cast("long").alias("b"),
+                    F.col("hamming").cast("int").alias("hamming"))
+            .orderBy("a", "b"))
