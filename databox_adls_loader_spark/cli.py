@@ -347,19 +347,27 @@ def _cmd_corpus(args) -> int:
     incr_delta_round): bootstrap assembles dedup->pack->index->catalog
     once; each `delta` run ingests a doc_id slice incrementally
     (committed windows unread) and publishes one catalog transaction;
-    `status` surfaces per-table drift through the lane's catalog."""
+    `status` surfaces per-table drift through the lane's catalog.
+    ``--neardup`` routes both mutations through the round-12 lane
+    (plans/queries_round12.nd_bootstrap / nd_delta_round): the same
+    contract plus banded MinHash admission against the persisted
+    signature/band tables — seven tables per transaction instead of
+    five.  A lane root is one or the other; don't mix."""
     import json
     import os
 
     from pyspark.sql import functions as F
 
     from .plans.queries_round11 import incr_bootstrap, incr_delta_round
+    from .plans.queries_round12 import nd_bootstrap, nd_delta_round
     from .session import load_tables
     from .sinks import catalog as C
 
     root = args.root_dir
-    dirs = tuple(os.path.join(root, n)
-                 for n in ("shards", "tail", "hash", "emb", "idx"))
+    neardup = getattr(args, "neardup", False)
+    names = (("shards", "tail", "hash", "sig", "bandt", "emb", "idx")
+             if neardup else ("shards", "tail", "hash", "emb", "idx"))
+    dirs = tuple(os.path.join(root, n) for n in names)
     cat = os.path.join(root, "catalog")
     if args.verb == "status":
         print(json.dumps(C.catalog_status(cat)))
@@ -367,19 +375,22 @@ def _cmd_corpus(args) -> int:
     spark = _spark(f"corpus-{args.verb}")
     t = load_tables(spark, args.sf_dir, ["documents", "embeddings"])
     docs, emb = t["documents"], t["embeddings"]
+    if neardup:
+        docs = docs.select("doc_id", "text", "n_chars")
     did = F.col("doc_id")
     if args.verb == "bootstrap":
         scope = docs if args.max_id is None else docs.filter(
             did <= args.max_id)
-        incr_bootstrap(spark, dirs, cat, scope, emb)
+        (nd_bootstrap if neardup else incr_bootstrap)(
+            spark, dirs, cat, scope, emb)
         print(json.dumps({"catalog_version": C.catalog_latest(cat)}))
         return 0
     scope = docs.filter(did > args.min_id)
     if args.max_id is not None:
         scope = scope.filter(did <= args.max_id)
-    nr, ic = incr_delta_round(spark, dirs, cat, scope, emb,
-                              txn_id=args.txn_id,
-                              round_seq=args.round_seq)
+    nr, ic = (nd_delta_round if neardup else incr_delta_round)(
+        spark, dirs, cat, scope, emb,
+        txn_id=args.txn_id, round_seq=args.round_seq)
     print(json.dumps({"catalog_version": C.catalog_latest(cat),
                       "noreread_ok": nr, "incremental_ok": ic}))
     return 0
@@ -584,6 +595,10 @@ def main(argv: list[str] | None = None) -> int:
         sp.set_defaults(fn=_cmd_corpus)
         if verb != "status":
             sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+            sp.add_argument("--neardup", action="store_true",
+                            help="route through the near-dup admission "
+                                 "lane (banded MinHash vs the persisted "
+                                 "sig/band tables; 7-table txns)")
         if verb == "bootstrap":
             sp.add_argument("--max-id", type=int,
                             help="bootstrap scope: doc_id <= max-id")

@@ -604,23 +604,32 @@ _PQR_STATE_SQL = """
 """
 
 
-def _pqr_d2_sql(a: str, b: str) -> str:
-    return (f"CAST(list_sum(list_transform(range(1, {_PQR_SUBDIM + 1}),"
+def _pqr_d2_sql(a: str, b: str, subdim: int = _PQR_SUBDIM) -> str:
+    return (f"CAST(list_sum(list_transform(range(1, {subdim + 1}),"
             f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
             " AS BIGINT)")
 
 
-def _pqr_xu_sql(src: str) -> str:
+def _pqr_xu_sql(src: str, subdim: int = _PQR_SUBDIM,
+                m: int = _PQR["m"], xu: str | None = None) -> str:
     """µ-int subvectors of a corpus CTE — the oracle half of
-    `ann._mu_vec_expr` (same FLOOR((x + 2)·1e6) double arithmetic)."""
-    return (f"{src}_xu AS MATERIALIZED (SELECT vec_id, sub,"
-            f" list_transform(range(1, {_PQR_SUBDIM + 1}),"
-            f" i -> CAST(FLOOR((v[sub * {_PQR_SUBDIM} + i] + 2)"
+    `ann._mu_vec_expr` (same FLOOR((x + 2)·1e6) double arithmetic).
+    ``m=1, subdim=dim`` degenerates to whole-vector µ-ints (the IVF
+    centroid-trainer form); ``xu`` overrides the emitted CTE name when
+    one corpus needs several geometries."""
+    xu = xu or f"{src}_xu"
+    return (f"{xu} AS MATERIALIZED (SELECT vec_id, sub,"
+            f" list_transform(range(1, {subdim + 1}),"
+            f" i -> CAST(FLOOR((v[sub * {subdim} + i] + 2)"
             " * 1000000) AS BIGINT)) AS xs"
-            f" FROM {src} CROSS JOIN range(0, {_PQR['m']}) AS ms(sub))")
+            f" FROM {src} CROSS JOIN range(0, {m}) AS ms(sub))")
 
 
-def _pqr_trainer_sql(src: str, p: str) -> str:
+def _pqr_trainer_sql(src: str, p: str, subdim: int = _PQR_SUBDIM,
+                     k_codes: int = _PQR["k_codes"],
+                     iters: int = _PQR["iters"],
+                     sample_rows: int = _PQR_SAMPLE,
+                     xu: str | None = None) -> str:
     """`ann.pq_train_int` as a relational replay over ``{src}_xu``:
     md5-rank sample, Gonzalez chain (argmax min-dist², ties to the
     lowest rank), fixed Lloyd iterations (argmin assignment ties to
@@ -628,18 +637,22 @@ def _pqr_trainer_sql(src: str, p: str) -> str:
     previous centroid).  Emits ``{p}bk(sub, code, cs)``."""
     from .queries_ext import _hex15_to_long
 
-    d2 = _pqr_d2_sql
+    xu = xu or f"{src}_xu"
+
+    def d2(a: str, b: str) -> str:
+        return _pqr_d2_sql(a, b, subdim)
+
     md5h = _hex15_to_long("md5(CAST(vec_id AS VARCHAR))")
     ctes = [
         f"{p}ids AS (SELECT vec_id, ROW_NUMBER() OVER"
         f" (ORDER BY {md5h}, vec_id) AS rnk FROM {src})",
         f"{p}smp AS MATERIALIZED (SELECT i.rnk, x.sub, x.xs FROM {p}ids i"
-        f" JOIN {src}_xu x USING (vec_id)"
-        f" WHERE i.rnk <= {_PQR_SAMPLE})",
+        f" JOIN {xu} x USING (vec_id)"
+        f" WHERE i.rnk <= {sample_rows})",
         f"{p}ch0 AS (SELECT sub, 0 AS code, xs AS cs FROM {p}smp"
         " WHERE rnk = 1)",
     ]
-    for j in range(1, _PQR["k_codes"]):
+    for j in range(1, k_codes):
         ctes += [
             f"{p}d{j} AS (SELECT s.rnk, s.sub,"
             f" MIN({d2('s.xs', 'c.cs')}) AS dmin"
@@ -653,8 +666,8 @@ def _pqr_trainer_sql(src: str, p: str) -> str:
             f"{p}ch{j} AS MATERIALIZED (SELECT * FROM {p}ch{j - 1}"
             f" UNION ALL SELECT * FROM {p}s{j})",
         ]
-    prev = f"{p}ch{_PQR['k_codes'] - 1}"
-    for t in range(1, _PQR["iters"] + 1):
+    prev = f"{p}ch{k_codes - 1}"
+    for t in range(1, iters + 1):
         ctes += [
             f"{p}a{t} AS (SELECT rnk, sub, code FROM ("
             "SELECT s.rnk, s.sub, b.code, ROW_NUMBER() OVER"
@@ -665,7 +678,7 @@ def _pqr_trainer_sql(src: str, p: str) -> str:
             " CAST(SUM(s.xs[ii.i]) AS BIGINT) // COUNT(*) AS mv"
             f" FROM {p}a{t} a JOIN {p}smp s"
             " ON s.rnk = a.rnk AND s.sub = a.sub"
-            f" CROSS JOIN range(1, {_PQR_SUBDIM + 1}) AS ii(i)"
+            f" CROSS JOIN range(1, {subdim + 1}) AS ii(i)"
             " GROUP BY a.sub, a.code, ii.i)",
             f"{p}mm{t} AS (SELECT sub, code, list(mv ORDER BY i) AS cs"
             f" FROM {p}m{t} GROUP BY sub, code)",
@@ -678,14 +691,17 @@ def _pqr_trainer_sql(src: str, p: str) -> str:
     return ",\n    ".join(ctes)
 
 
-def _pqr_codes_sql(src: str, books: str, out: str) -> str:
+def _pqr_codes_sql(src: str, books: str, out: str,
+                   subdim: int = _PQR_SUBDIM,
+                   xu: str | None = None) -> str:
     """Nearest-codeword assignment of ``{src}_xu`` against a trained
     books CTE — the oracle half of `ann.pq_rows_int`."""
+    xu = xu or f"{src}_xu"
     return (f"{out} AS MATERIALIZED (SELECT vec_id, sub, code FROM ("
             "SELECT x.vec_id, x.sub, b.code, ROW_NUMBER() OVER"
             " (PARTITION BY x.vec_id, x.sub ORDER BY"
-            f" {_pqr_d2_sql('x.xs', 'b.cs')}, b.code) AS rn"
-            f" FROM {src}_xu x JOIN {books} b USING (sub))"
+            f" {_pqr_d2_sql('x.xs', 'b.cs', subdim)}, b.code) AS rn"
+            f" FROM {xu} x JOIN {books} b USING (sub))"
             " WHERE rn = 1)")
 
 
@@ -1341,3 +1357,198 @@ def dedup_image_phash_jpeg(spark: SparkSession,
                     F.col("b").cast("long").alias("b"),
                     F.col("hamming").cast("int").alias("hamming"))
             .orderBy("a", "b"))
+
+
+@register(
+    "mm_image_jpeg_dhash_codes",
+    oracle=f"""
+    WITH {_JPEG_PX_SQL},
+    bits AS (SELECT l.i, l.by * 7 + l.bx AS pos,
+                    CASE WHEN l.s > r.s THEN 1 ELSE 0 END AS bit
+             FROM blocks l JOIN blocks r
+               ON l.i = r.i AND l.by = r.by AND r.bx = l.bx + 1
+             WHERE l.bx < 7)
+    SELECT i AS asset_id,
+           CAST(SUM(CASE WHEN pos < 32 AND bit = 1
+                         THEN CAST(2 ** pos AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS w0,
+           CAST(SUM(CASE WHEN pos >= 32 AND bit = 1
+                         THEN CAST(2 ** (pos - 32) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS w1
+    FROM bits GROUP BY i ORDER BY i
+    """,
+    tags=["multimodal", "image", "phash", "jpeg", "profile"],
+)
+def mm_image_jpeg_dhash_codes(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The dHash (horizontal-gradient) code table over the 31 decoded
+    baseline JPEGs — `mm_image_dhash_codes`' twin through the pure
+    JPEG pixel path: every gradient bit recomputed by the oracle from
+    the block-constant generating arithmetic, so the Huffman decode,
+    DC-prediction chain, and exact DC-only reconstruction all ride the
+    hash (any mis-decoded block flips a gradient somewhere)."""
+    from ..operators import multimodal as mm
+
+    return (mm.phash_codes(_jpeg_assets(spark), kind="dhash")
+            .orderBy("asset_id"))
+
+
+# ---------------------------------------------------------------------------
+# IVF centroid drift lifecycle — the routing half of the round-11 #2
+# item (PQ codebooks above are the memory half): under drift the IVF
+# story is about CELL BALANCE, not recall — stale centroids funnel the
+# whole drifted cluster into one edge cell, so a probe that routes
+# there reads half the corpus (the O(n/k) probe-I/O contract silently
+# becomes O(n)).  Retraining restores balance and shrinks the probe.
+# Same integer-exact trainer, m=1 over whole vectors = centroids.
+# ---------------------------------------------------------------------------
+
+_IVFR = dict(k_cells=8, iters=2, nprobe=2, k=20, dim=64)
+
+
+def _ivfr_probe_sql(cells: str, asg: str, p: str) -> str:
+    return f"""
+    {p}cells AS (SELECT code AS cell FROM (
+        SELECT b.code, ROW_NUMBER() OVER (ORDER BY
+               {_pqr_d2_sql('qf.xs', 'b.cs', _IVFR['dim'])}, b.code)
+          AS rn
+        FROM {cells} b CROSS JOIN qfx qf) WHERE rn <= {_IVFR['nprobe']}),
+    {p}routed AS (SELECT a.vec_id FROM {asg} a
+                  JOIN {p}cells c ON a.code = c.cell),
+    {p}top AS (SELECT vec_id FROM (
+        SELECT e.vec_id, ROW_NUMBER() OVER (ORDER BY e.d2, e.vec_id)
+          AS rn
+        FROM exdf e JOIN {p}routed r ON r.vec_id = e.vec_id)
+        WHERE rn <= {_IVFR['k']}),
+    {p}stats AS (SELECT
+        (SELECT COUNT(*) FROM {p}routed) AS n_routed,
+        (SELECT COUNT(*) FROM {p}top t JOIN bff b
+          ON b.vec_id = t.vec_id) AS n_hits)"""
+
+
+@register(
+    "scale_ivf_rebalance_contract",
+    oracle=f"""
+    WITH {_PQR_STATE_SQL},
+    {_pqr_xu_sql('eA', _IVFR['dim'], 1, 'eA_xuf')},
+    {_pqr_xu_sql('eall', _IVFR['dim'], 1, 'eall_xuf')},
+    {_pqr_trainer_sql('eA', 'c0', _IVFR['dim'], _IVFR['k_cells'],
+                      _IVFR['iters'], xu='eA_xuf')},
+    {_pqr_trainer_sql('eall', 'c1', _IVFR['dim'], _IVFR['k_cells'],
+                      _IVFR['iters'], xu='eall_xuf')},
+    {_pqr_codes_sql('eall', 'c0bk', 'asg0', _IVFR['dim'],
+                    xu='eall_xuf')},
+    {_pqr_codes_sql('eall', 'c1bk', 'asg1', _IVFR['dim'],
+                    xu='eall_xuf')},
+    nall AS (SELECT COUNT(*) AS n FROM eall),
+    occ0 AS (SELECT CAST(MAX(c) * 1000000 // MAX(n) AS BIGINT)
+               AS share FROM (SELECT code, COUNT(*) AS c FROM asg0
+                              GROUP BY code) CROSS JOIN nall),
+    occ1 AS (SELECT CAST(MAX(c) * 1000000 // MAX(n) AS BIGINT)
+               AS share FROM (SELECT code, COUNT(*) AS c FROM asg1
+                              GROUP BY code) CROSS JOIN nall),
+    qfx AS (SELECT x.sub, x.xs FROM eall_xuf x
+            WHERE x.vec_id = 1000001),
+    exdf AS MATERIALIZED (
+        SELECT x.vec_id,
+               {_pqr_d2_sql('x.xs', 'qf.xs', _IVFR['dim'])} AS d2
+        FROM eall_xuf x CROSS JOIN qfx qf),
+    bff AS (SELECT vec_id FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY d2, vec_id) AS rn
+        FROM exdf) WHERE rn <= {_IVFR['k']}),
+    {_ivfr_probe_sql('c0bk', 'asg0', 'r0')},
+    {_ivfr_probe_sql('c1bk', 'asg1', 'r1')}
+    SELECT occ0.share AS max_share_before_ppm,
+           occ1.share AS max_share_after_ppm,
+           CAST(r0.n_routed * 1000000 // nall.n AS BIGINT)
+             AS routed_share_before_ppm,
+           CAST(r1.n_routed * 1000000 // nall.n AS BIGINT)
+             AS routed_share_after_ppm,
+           CAST(r0.n_hits AS BIGINT) AS n_hits_before,
+           CAST(r1.n_hits AS BIGINT) AS n_hits_after,
+           occ1.share < occ0.share AS rebalance_ok,
+           r1.n_routed < r0.n_routed AS probe_io_shrinks,
+           r1.n_hits * 10 >= {_IVFR['k']} * 6 AS recall_floor_ok
+    FROM occ0 CROSS JOIN occ1 CROSS JOIN nall
+    CROSS JOIN r0stats r0 CROSS JOIN r1stats r1
+    """,
+    tags=["scale", "similarity", "ivf", "drift", "eval", "recall"],
+)
+def scale_ivf_rebalance_contract(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """IVF centroid drift REBALANCE contract — the routing half of the
+    drift lifecycle: under the planted reflected-cluster drift, stale
+    centroids (trained on the pre-drift corpus, integer-exact m=1
+    trainer) funnel the whole delta into edge cells — the max cell
+    share and the 2-cell probe's routed share balloon, which is the
+    real failure mode of frozen IVF routing (the probe's O(n/k) I/O
+    contract breaks, not its recall: everything lands in ONE cell, so
+    the probe finds it by reading half the corpus).  Retraining on the
+    post-drift corpus restores balance: max share and routed share
+    shrink (rebalance_ok, probe_io_shrinks) while recall@20 for the
+    drifted query holds the 60% floor — every share and hit count an
+    exact integer both engines derive from scratch, trainings
+    included."""
+    import math
+
+    from ..sinks import catalog as C
+    from . import ann
+
+    cat, _B0, _B1, _audit_ok, _n1, _n2 = _pqr_lifecycle(spark, sf_dir)
+    pre = C.read_table(spark, cat, "embeddings", catalog_version=0)
+    full = C.read_table(spark, cat, "embeddings")
+    geo = dict(m=1, k_codes=_IVFR["k_cells"], iters=_IVFR["iters"])
+    C0 = ann.pq_train_int(ann.pq_sample_int(pre, _PQR_SAMPLE), **geo)
+    C1 = ann.pq_train_int(ann.pq_sample_int(full, _PQR_SAMPLE), **geo)
+    n_all = full.count()
+    q = [float(x) for x in full.filter(
+        F.col("vec_id") == _PQR_QIDS[0]).first()["embedding"]]
+    qmu = [math.floor((x + ann.PQ_INT_OFFSET) * 1_000_000.0)
+           for x in q]
+    bf = ann.exact_topk_int(full, q, _IVFR["k"]).select("vec_id")
+
+    def side(books) -> DataFrame:
+        """(max_share, routed_share, n_hits) one-row frame for one
+        centroid generation."""
+        asg = ann.pq_rows_int(full, books).select("vec_id", "code")
+        occ = (asg.groupBy("code").agg(F.count(F.lit(1)).alias("c"))
+               .agg(F.expr(f"CAST(max(c) * 1000000L DIV {n_all}L"
+                           " AS LONG)").alias("max_share")))
+        cents = books[0]
+        cells = sorted(range(len(cents)),
+                       key=lambda c: (ann._d2(qmu, cents[c]), c)
+                       )[:_IVFR["nprobe"]]
+        routed = asg.filter(F.col("code").isin(cells)).select("vec_id")
+        nr = routed.agg(
+            F.count(F.lit(1)).alias("n_routed"),
+            F.expr(f"CAST(count(1) * 1000000L DIV {n_all}L AS LONG)")
+            .alias("routed_share"))
+        top = (full.join(F.broadcast(routed), "vec_id", "left_semi")
+               .select("vec_id",
+                       ann.exact_d2_expr(F.col("embedding"), q)
+                       .alias("d2"))
+               .orderBy("d2", "vec_id").limit(_IVFR["k"]))
+        hits = (top.join(bf, "vec_id", "left_semi")
+                .agg(F.count(F.lit(1)).alias("n_hits")))
+        return occ.crossJoin(nr).crossJoin(hits)
+
+    s0 = side(C0).select(F.col("max_share").alias("ms0"),
+                         F.col("routed_share").alias("rs0"),
+                         F.col("n_routed").alias("nr0"),
+                         F.col("n_hits").alias("nh0"))
+    s1 = side(C1).select(F.col("max_share").alias("ms1"),
+                         F.col("routed_share").alias("rs1"),
+                         F.col("n_routed").alias("nr1"),
+                         F.col("n_hits").alias("nh1"))
+    return (s0.crossJoin(s1)
+            .select(F.col("ms0").alias("max_share_before_ppm"),
+                    F.col("ms1").alias("max_share_after_ppm"),
+                    F.col("rs0").alias("routed_share_before_ppm"),
+                    F.col("rs1").alias("routed_share_after_ppm"),
+                    F.col("nh0").cast("long").alias("n_hits_before"),
+                    F.col("nh1").cast("long").alias("n_hits_after"),
+                    (F.col("ms1") < F.col("ms0")).alias("rebalance_ok"),
+                    (F.col("nr1") < F.col("nr0"))
+                    .alias("probe_io_shrinks"),
+                    (F.col("nh1") * 10 >= F.lit(_IVFR["k"] * 6))
+                    .alias("recall_floor_ok")))

@@ -398,3 +398,33 @@ def test_cli_corpus_incremental_lane(spark, tmp_path, capsys):
                                        "corpus_hashes",
                                        "embeddings_base", "band_index"}
     assert all(s["drift"] == 0 for s in st)
+
+
+def test_cli_corpus_neardup_lane(spark, tmp_path, capsys):
+    """corpus --neardup routes the same verbs through the round-12
+    near-dup admission lane: seven tables per transaction, same
+    proofs, same replay idempotence."""
+    root = str(tmp_path / "ndlane")
+    assert main(["corpus", "bootstrap", root, "--max-id", "300",
+                 "--neardup"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out == {"catalog_version": 0}
+
+    assert main(["corpus", "delta", root, "--min-id", "300",
+                 "--txn-id", "cli-nd1", "--neardup"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["catalog_version"] == 1
+    assert out["noreread_ok"] is True and out["incremental_ok"] is True
+
+    # replayed txn id: the catalog does not advance
+    assert main(["corpus", "delta", root, "--min-id", "300",
+                 "--txn-id", "cli-nd1", "--neardup"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["catalog_version"] == 1
+
+    assert main(["corpus", "status", root]) == 0
+    st = json.loads(capsys.readouterr().out.strip())
+    assert {s["name"] for s in st} == {
+        "shards", "pack_tail", "corpus_hashes", "minhash_sigs",
+        "minhash_bands", "embeddings_base", "band_index"}
+    assert all(s["drift"] == 0 for s in st)

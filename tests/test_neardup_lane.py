@@ -178,3 +178,40 @@ def test_stream_twin_replay_is_noop(spark, tmp_path):
     assert C.catalog_latest(cat) == v_cat
     assert _shard_ids(spark, cat) == ids
     assert 9 in ids and 8 not in ids
+
+
+def test_crawl_stream_drives_neardup_lane(spark, tmp_path):
+    """A real crawl STREAM (versioned-table source) drives the
+    near-dup lane through `nd_delta_stream_batch`: after the drain the
+    lane equals the batch-driven result — near-dup blocked, fresh doc
+    landed, zero drift — and a replayed batch id is a no-op."""
+    from databox_adls_loader_spark.sources.vtable_stream import \
+        register_vtable_stream
+
+    register_vtable_stream(spark)
+    boot = [_doc(i, _toks(f"b{i}x", 0, 40)) for i in range(4)]
+    d1 = [_doc(8, _toks("b1x", 0, 40) + ["zz", "qq"]),   # near-dup of 1
+          _doc(9, _toks("novel", 0, 40))]
+    d2 = [_doc(12, _toks("novel", 0, 40) + ["extra", "pair"]),  # near 9
+          _doc(13, _toks("other", 0, 40))]
+    dirs, cat = _dirs(tmp_path), str(tmp_path / "cat")
+    crawl, ck = str(tmp_path / "crawl"), str(tmp_path / "ck")
+    emb = _emb(spark, range(14))
+    R12.nd_bootstrap(spark, dirs, cat, _mk(spark, boot), emb)
+    V.write_snapshot(_mk(spark, d1), crawl)
+    V.write_snapshot(_mk(spark, d2), crawl)
+
+    q = (spark.readStream.format("vtable_stream")
+         .option("path", crawl).load().writeStream
+         .foreachBatch(lambda df, bid: R12.nd_delta_stream_batch(
+             df, bid, dirs, cat, emb))
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    ids = _shard_ids(spark, cat)
+    assert ids == {0, 1, 2, 3, 9, 13}      # 8 near 1; 12 near 9
+    assert all(s["drift"] == 0 for s in C.catalog_status(cat))
+    v_cat = C.catalog_latest(cat)
+    R12.nd_delta_stream_batch(_mk(spark, d1), 0, dirs, cat, emb)
+    assert C.catalog_latest(cat) == v_cat
+    assert _shard_ids(spark, cat) == ids

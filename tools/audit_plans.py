@@ -61,6 +61,14 @@ ALLOWED_FLAGS: dict[str, set[str]] = {
     "corpus_dedup_then_pack": {"bnl-join"},  # three 1-row stat frames crossed
     "corpus_assemble_to_shards": {"bnl-join"},  # 1-row index-checksum frame
     "corpus_incremental_assemble": {"bnl-join"},  # 1-row index-checksum frame
+    # 1-row index-checksum frame + 1-row canonical/admitted-count frame
+    "corpus_incremental_neardup_assemble": {"bnl-join"},
+    # per-query 1-row hit-count frames crossed with the 1-row tv-max and
+    # 1-row before/after-totals frames — every side of every BNL here is
+    # exactly one row by construction
+    "scale_pq_retrain_recall": {"bnl-join"},
+    # two 1-row hit-count frames (single-probe × multiprobe) crossed
+    "scale_ivfpq_recall_contract": {"bnl-join"},
     "ann_pq_probe_topk": {"bnl-join"},  # 1-row recall-contract frame
     "ts_dow_anova_strength": {"bnl-join"},   # two 1-row ANOVA stat frames
     "basket_brand_pairs_lift": {"bnl-join"},  # 1-row basket-count frame

@@ -136,6 +136,8 @@ TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
     "corpus_incremental_assemble": "documents",
     "corpus_incremental_neardup_assemble": "documents",
     "scale_pq_retrain_recall": "embeddings",
+    "scale_ivf_rebalance_contract": "embeddings",
+    "scale_ivfpq_recall_contract": "embeddings",
     "scale_pq_drift_detect": "embeddings",
     "scale_pq_index_incremental": "embeddings",
     "ann_pq_probe_topk": "embeddings",
