@@ -69,6 +69,9 @@ ALLOWED_FLAGS: dict[str, set[str]] = {
     "scale_pq_retrain_recall": {"bnl-join"},
     # two 1-row hit-count frames (single-probe × multiprobe) crossed
     "scale_ivfpq_recall_contract": {"bnl-join"},
+    # per-generation 1-row (max-share × routed-share × hits) frames
+    # crossed — six one-row frames total, never a data-sized side
+    "scale_ivf_rebalance_contract": {"bnl-join"},
     "ann_pq_probe_topk": {"bnl-join"},  # 1-row recall-contract frame
     "ts_dow_anova_strength": {"bnl-join"},   # two 1-row ANOVA stat frames
     "basket_brand_pairs_lift": {"bnl-join"},  # 1-row basket-count frame
