@@ -83,6 +83,8 @@ HEADLINERS = [
     "corpus_incremental_epoch_order",  # epoch permutation over incr shards
     "corpus_incremental_neardup_assemble",  # banded near-dup admission lane
     "scale_pq_retrain_recall",   # drift->retrain->republish, trained books
+    "scale_ivf_rebalance_contract",  # centroid drift: cell balance + probe I/O
+    "scale_ivfpq_recall_contract",   # multiprobe expansion recall contract
 ]
 
 TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
