@@ -298,7 +298,7 @@ def _jpeg_gray_rows(content: bytes) -> tuple[int, int, list] | None:
             seg = content[pos + 4:pos + 2 + seglen]
             if marker == 0xDB:                       # DQT
                 i = 0
-                while i + 65 <= len(seg) + 1 and i < len(seg):
+                while i + 65 <= len(seg):
                     if seg[i] >> 4 != 0:             # 16-bit table
                         return None
                     qt[seg[i] & 15] = list(seg[i + 1:i + 65])
@@ -991,6 +991,29 @@ def wav_window_energy(assets: DataFrame, window: int = 8) -> DataFrame:
 # perceptual image hashing (aHash / dHash) + near-dup image removal
 # ---------------------------------------------------------------------------
 
+def _gray_rows(content: bytes) -> tuple[int, int, list] | None:
+    """Decode an image payload to (w, h, integer luma rows), pure
+    decoders first (PNG, then baseline JPEG — both hash identically
+    with or without PIL), PIL as the environment-gated fallback.  The
+    ONE decode shared by every pixel-level consumer (`image_phash_words`,
+    `image_identity_codes`); returns None when no decoder applies."""
+    decoded = _png_gray_rows(content)
+    if decoded is None:
+        decoded = _jpeg_gray_rows(content)
+    if decoded is None and _PILImage is not None and content:
+        import io
+        try:
+            with _PILImage.open(io.BytesIO(content)) as img:
+                g = img.convert("L")
+                w, h = g.size
+                px = list(g.getdata())
+                decoded = (w, h,
+                           [px[y * w:(y + 1) * w] for y in range(h)])
+        except Exception:  # noqa: BLE001 - malformed bytes
+            decoded = None
+    return decoded
+
+
 def image_phash_words(content: bytes, kind: str = "ahash",
                       grid: int = 8) -> tuple[int, int] | None:
     """Perceptual hash of an image as two 32-bit words, EXACT integer
@@ -1013,22 +1036,18 @@ def image_phash_words(content: bytes, kind: str = "ahash",
     PIL-only formats are environment-gated by nature and excluded from
     oracle-checked fixtures).  Returns None when no decoder applies —
     callers drop the row rather than hash garbage."""
-    decoded = _png_gray_rows(content)
-    if decoded is None:
-        decoded = _jpeg_gray_rows(content)
-    if decoded is None and _PILImage is not None and content:
-        import io
-        try:
-            with _PILImage.open(io.BytesIO(content)) as img:
-                g = img.convert("L")
-                w, h = g.size
-                px = list(g.getdata())
-                decoded = (w, h,
-                           [px[y * w:(y + 1) * w] for y in range(h)])
-        except Exception:  # noqa: BLE001 - malformed bytes
-            decoded = None
+    decoded = _gray_rows(content)
     if decoded is None:
         return None
+    return _phash_words_of(decoded, kind, grid)
+
+
+def _phash_words_of(decoded: tuple[int, int, list], kind: str,
+                    grid: int) -> tuple[int, int] | None:
+    """The hash half of `image_phash_words` over an ALREADY-decoded
+    (w, h, rows) triple — split out so one decode can feed both the
+    perceptual code and the exact pixel-identity hash
+    (`image_identity_codes`)."""
     w, h, gray = decoded
     if w < grid or h < grid:
         return None
@@ -1098,6 +1117,58 @@ def phash_codes(assets: DataFrame, kind: str = "ahash",
 
     return (assets.select("asset_id", "content")
             .mapInPandas(batches, schema="asset_id long, w0 long, w1 long"))
+
+
+def image_pixel_hash(decoded: tuple[int, int, list]) -> str:
+    """The EXACT-duplicate identity of a decoded image: md5 over the
+    canonical serialization ``"{w}:{h}:" + row-major comma-joined
+    pixels`` — byte-format-independent (a PNG and a JPEG of the same
+    integer plane collide on purpose) and oracle-replayable (DuckDB:
+    ``md5(w || ':' || h || ':' || string_agg(p, ',' ORDER BY y, x))``
+    over the same generating arithmetic)."""
+    import hashlib as _hl
+
+    w, h, gray = decoded
+    s = f"{w}:{h}:" + ",".join(
+        str(p) for row in gray for p in row)
+    return _hl.md5(s.encode()).hexdigest()
+
+
+def image_identity_codes(assets: DataFrame, kind: str = "ahash",
+                         grid: int = 8) -> DataFrame:
+    """Per-asset (asset_id, pixhash, w0, w1): the exact pixel-identity
+    hash AND the perceptual code words from ONE decode per image — the
+    admission relation of the incremental image near-dup lane (exact
+    anti-join on pixhash, banded Hamming candidates on w0/w1).  Same
+    Arrow-batched shape as `phash_codes`; undecodable assets are
+    dropped, not stub-hashed.  At 100 TB the relation is ~50 bytes per
+    image; the image bytes stay at rest."""
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            ids, phs, w0s, w1s = [], [], [], []
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                decoded = _gray_rows(bytes(content))
+                if decoded is None:
+                    continue
+                words = _phash_words_of(decoded, kind, grid)
+                if words is None:
+                    continue
+                ids.append(aid)
+                phs.append(image_pixel_hash(decoded))
+                w0s.append(words[0])
+                w1s.append(words[1])
+            yield pd.DataFrame({
+                "asset_id": pd.Series(ids, dtype="int64"),
+                "pixhash": pd.Series(phs, dtype="object"),
+                "w0": pd.Series(w0s, dtype="int64"),
+                "w1": pd.Series(w1s, dtype="int64")})
+
+    return (assets.select("asset_id", "content")
+            .mapInPandas(batches,
+                         schema="asset_id long, pixhash string,"
+                                " w0 long, w1 long"))
 
 
 def image_near_dup_pairs(codes: DataFrame, max_hamming: int = 6,

@@ -104,7 +104,19 @@ def _build_commit(rows: DataFrame, index_dir: str, v_base: int) -> int:
     leaving readers on the stale index (found by the round-12 retrain
     lane's staged re-encode).  The watermark is unaffected — ledger
     ids are inherited across versions, so history already pins it at
-    v_base."""
+    v_base.
+
+    Trade-off (deliberate): dropping the id means a crash-REPLAYED
+    pure build to an already-committed v_base is indistinguishable
+    from a rebuild-after-refresh, so the replay lands a
+    duplicate-CONTENT overwrite version instead of short-circuiting
+    to a no-op as it did pre-round-12.  That is content-idempotent —
+    readers see identical rows either way and vacuum reclaims the
+    extra version — and it buys the property that matters: a retrain's
+    re-encode can never be silently skipped.  Distinguishing the two
+    would need a second ledger id space keyed by a rebuild generation;
+    not worth the contract surface for a version-log-growth-only
+    cost."""
     ids = {2 * v_base + 1}
     if ids & V.committed_batch_ids(index_dir):
         ids = None

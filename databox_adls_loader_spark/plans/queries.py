@@ -878,4 +878,4 @@ def _load_extensions() -> None:
                    queries_round5, queries_round6, queries_round7,
                    queries_round8, queries_round9, queries_round10,
                    queries_round10b, queries_round11, queries_round12,
-                   queries_tpch)
+                   queries_round13, queries_tpch)

@@ -964,9 +964,12 @@ def _pqr_lifecycle(spark: SparkSession, sf_dir: str
     _drop_pqr([k for k in _PQR_LIFE if k[0] != key[0]])
     if not _PQR_LIFE:
         atexit.register(_drop_pqr)
+    from ..sinks import maintenance as M
+
     emb_dir = tempfile.mkdtemp(prefix="spark_graft_pqr_emb_")
     idx_dir = tempfile.mkdtemp(prefix="spark_graft_pqr_idx_")
     book_dir = tempfile.mkdtemp(prefix="spark_graft_pqr_book_")
+    bl_dir = tempfile.mkdtemp(prefix="spark_graft_pqr_bl_")
     cat = tempfile.mkdtemp(prefix="spark_graft_pqr_cat_")
     (emb,) = _t(spark, sf_dir, "embeddings")
     emb0 = emb.select("vec_id", "embedding")
@@ -979,8 +982,15 @@ def _pqr_lifecycle(spark: SparkSession, sf_dir: str
     ann.build_pq_index_int(spark, idx_dir, emb_dir, B0)
     V.write_snapshot(_pqr_book_df(spark, B0, 0), book_dir,
                      mode="overwrite")
+    # publish-time drift baseline: the fresh encode's code histogram,
+    # committed beside codebook gen 0 (round-13: the operated-lifecycle
+    # trigger measures drift against the books' own publish state)
+    V.write_snapshot(
+        M.code_baseline(V.read_version(spark, idx_dir), 0), bl_dir,
+        mode="overwrite")
     tabs = {"embeddings": (emb_dir, None), "pq_index": (idx_dir, None),
-            "pq_codebook": (book_dir, None)}
+            "pq_codebook": (book_dir, None),
+            "pq_baseline": (bl_dir, None)}
     C.commit_txn(cat, tabs, txn_id="pqr-build")
 
     delta = emb0.select(
@@ -998,6 +1008,9 @@ def _pqr_lifecycle(spark: SparkSession, sf_dir: str
     ann.build_pq_index_int(spark, idx_dir, emb_dir, B1)
     V.write_snapshot(_pqr_book_df(spark, B1, 1), book_dir,
                      mode="overwrite")
+    V.write_snapshot(
+        M.code_baseline(V.read_version(spark, idx_dir), 1), bl_dir,
+        mode="overwrite")
     # AUDIT: measured recall on the drifted queries, staged vs stale
     qvecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
              for r in full.filter(
@@ -1018,7 +1031,7 @@ def _pqr_lifecycle(spark: SparkSession, sf_dir: str
     if audit_ok:
         C.commit_txn(cat, tabs, txn_id="pqr-retrain")
     got = (cat, B0, B1, bool(audit_ok), int(n1t), int(n2t))
-    _PQR_LIFE[key] = ((emb_dir, idx_dir, book_dir, cat), got)
+    _PQR_LIFE[key] = ((emb_dir, idx_dir, book_dir, bl_dir, cat), got)
     return got
 
 

@@ -163,7 +163,7 @@ def _ledger_append(cat_dir: str, new_ids: set[str]) -> None:
     After a successful create the writer GCs the superseded
     generations (safe: its own generation carries their union)."""
     st = storage_for(cat_dir)
-    while True:
+    for _ in range(64):
         gens = _ledger_gens(st, cat_dir)
         cur = _ledger_txn_ids(cat_dir)
         nxt = (gens[-1] if gens else 0) + 1
@@ -176,6 +176,9 @@ def _ledger_append(cat_dir: str, new_ids: set[str]) -> None:
         for g in gens:
             st.delete(_ledger_gen_path(st, cat_dir, g))
         return
+    raise RuntimeError(
+        f"catalog txn ledger in {cat_dir!r} lost the generation slot "
+        "64 times in a row — runaway concurrent vacuum?")
 
 
 def catalog_txn_ids(cat_dir: str) -> set[str]:

@@ -120,6 +120,69 @@ def table_health(table_dir: str, version: int | None = None,
     }
 
 
+def index_drift_report(index_df: DataFrame, baseline_df: DataFrame,
+                       floor_ppm: int = 150_000) -> DataFrame:
+    """Operational drift TRIGGER for a maintained code index (PQ
+    codebooks, IVF cell assignments — any (sub, code) table): the
+    per-subspace total-variation distance, in exact integer ppm,
+    between the LIVE code histogram and the BASELINE histogram
+    published with the codebook generation.  One aggregation over the
+    skinny code relation (16 bytes/vector — the table the PQ family
+    exists to keep hot; the float corpus is never touched) against a
+    k·m-row baseline, so the answer costs an index scan, not a corpus
+    scan, however large the base table.
+
+    This is the missing wire of the round-12 lifecycle: `table_health`
+    says when to compact, this says when to RETRAIN — a maintained
+    index whose frozen codebooks have drifted off the corpus
+    distribution reports ``retrain_recommended`` instead of silently
+    decaying recall until a human notices a contract query.  The
+    baseline is written at build/publish time (the histogram of the
+    freshly-encoded index) and republished with each codebook
+    generation, so the stat is always "drift since the books were
+    trained".
+
+    Exact arithmetic: with ``nc``/``nb`` the live/baseline totals per
+    subspace, ``tv_ppm = Σ_code |n_cur·nb − n_base·nc| · 1e6 //
+    (2·nc·nb)`` — int64 end to end, so the DuckDB oracle derives the
+    identical integers and the trigger rides a value hash.
+
+    Returns one row per subspace: (sub, tv_ppm, retrain_recommended).
+    A freshly-published generation reports tv_ppm = 0 everywhere
+    (live ≡ baseline by construction) — the "stays quiet pre-drift"
+    half of the contract."""
+    cur = (index_df.groupBy("sub", "code")
+           .agg(F.count(F.lit(1)).alias("n_cur")))
+    base = (baseline_df.groupBy("sub", "code")
+            .agg(F.sum("n").cast("long").alias("n_base")))
+    j = (cur.join(base, ["sub", "code"], "full_outer")
+         .select("sub", "code",
+                 F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
+                 F.coalesce(F.col("n_base"), F.lit(0)).alias("n_base")))
+    tot = (j.groupBy("sub")
+           .agg(F.sum("n_cur").alias("nc"), F.sum("n_base").alias("nb")))
+    return (j.join(tot, "sub")
+            .groupBy("sub", "nc", "nb")
+            .agg(F.expr("CAST(sum(abs(n_cur * nb - n_base * nc))"
+                        " * 1000000L DIV (2 * nc * nb) AS LONG)")
+                 .alias("tv_ppm"))
+            .select("sub", "tv_ppm",
+                    (F.col("tv_ppm") >= F.lit(int(floor_ppm)))
+                    .alias("retrain_recommended")))
+
+
+def code_baseline(index_df: DataFrame, gen: int) -> DataFrame:
+    """The publish-time baseline histogram for `index_drift_report`:
+    (gen, sub, code, n) of a freshly-(re)encoded code table — written
+    beside the codebook generation in the SAME catalog transaction, so
+    a pinned reader's drift question is always answered against the
+    books it resolves codes with."""
+    return (index_df.groupBy("sub", "code")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select(F.lit(int(gen)).cast("int").alias("gen"),
+                    "sub", "code", "n"))
+
+
 def suggest_bucket_alignment(left_dir: str, right_dir: str,
                              left_key: str, right_key: str,
                              default_buckets: int = 32) -> dict:

@@ -263,3 +263,57 @@ class TestBucketAlignmentAdvisor:
         assert j is not None
         got = {(row[0], row[2]) for row in j.collect()}
         assert got == {(i, i) for i in range(40)}
+
+
+class TestIndexDriftReport:
+    """The operated drift trigger (round-13): exact-integer TV ppm of a
+    live code table against its publish-time baseline histogram."""
+
+    def _codes(self, spark, rows):
+        return spark.createDataFrame(rows, "vec_id long, sub int, code int")
+
+    def test_quiet_at_publish(self, spark):
+        # live == the table the baseline was taken from -> tv exactly 0
+        idx = self._codes(spark, [(i, s, (i + s) % 4)
+                                  for i in range(40) for s in range(2)])
+        base = X.code_baseline(idx, 0)
+        rep = {r["sub"]: r for r in
+               X.index_drift_report(idx, base).collect()}
+        assert set(rep) == {0, 1}
+        for r in rep.values():
+            assert r["tv_ppm"] == 0
+            assert not r["retrain_recommended"]
+
+    def test_fires_on_planted_drift(self, spark):
+        # baseline: codes uniform over {0,1,2,3}; drifted live table
+        # funnels a same-sized delta entirely onto code 0 -> TV = 3/8
+        # exactly = 375000 ppm on each subspace
+        pre = [(i, s, i % 4) for i in range(40) for s in range(2)]
+        delta = [(1000 + i, s, 0) for i in range(40) for s in range(2)]
+        idx = self._codes(spark, pre + delta)
+        base = X.code_baseline(self._codes(spark, pre), 0)
+        rep = {r["sub"]: r for r in
+               X.index_drift_report(idx, base).collect()}
+        for r in rep.values():
+            assert r["tv_ppm"] == 375_000
+            assert r["retrain_recommended"]
+
+    def test_floor_is_a_parameter(self, spark):
+        pre = [(i, 0, i % 4) for i in range(40)]
+        delta = [(1000 + i, 0, 0) for i in range(40)]
+        idx = self._codes(spark, pre + delta)
+        base = X.code_baseline(self._codes(spark, pre), 0)
+        quiet = X.index_drift_report(idx, base,
+                                     floor_ppm=400_000).collect()[0]
+        assert not quiet["retrain_recommended"]
+
+    def test_baseline_codes_absent_from_live(self, spark):
+        # a code present at publish but empty live still contributes
+        # |0*nb - n_base*nc| mass (full-outer join, not inner)
+        pre = [(i, 0, i % 2) for i in range(40)]        # codes {0,1}
+        live = [(i, 0, 2) for i in range(40)]           # all on code 2
+        rep = X.index_drift_report(
+            self._codes(spark, live),
+            X.code_baseline(self._codes(spark, pre), 0)).collect()[0]
+        assert rep["tv_ppm"] == 1_000_000               # disjoint: TV=1
+        assert rep["retrain_recommended"]

@@ -284,7 +284,7 @@ def _custom_probes(spark, sf_dir):
         docs = load_tables(spark, sf_dir, ["documents"])["documents"]
         emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
         mx = docs.agg(F.max("doc_id")).first()[0]
-        cut = mx - 512
+        cut = max(mx - 512, mx // 2)   # tiny-SF guard: keep scope non-empty
         incr_bootstrap(spark, dirs, cat,
                        docs.filter(F.col("doc_id") <= cut), emb)
         state = {"i": 0}
@@ -324,7 +324,7 @@ def _custom_probes(spark, sf_dir):
             "doc_id", "text", "n_chars")
         emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
         mx = docs.agg(F.max("doc_id")).first()[0]
-        cut = mx - 512
+        cut = max(mx - 512, mx // 2)   # tiny-SF guard: keep scope non-empty
         nd_bootstrap(spark, dirs, cat,
                      docs.filter(F.col("doc_id") <= cut), emb)
         state = {"i": 0}
