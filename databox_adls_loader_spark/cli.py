@@ -352,7 +352,11 @@ def _cmd_corpus(args) -> int:
     (plans/queries_round12.nd_bootstrap / nd_delta_round): the same
     contract plus banded MinHash admission against the persisted
     signature/band tables — seven tables per transaction instead of
-    five.  A lane root is one or the other; don't mix."""
+    five.  ``--images <assets.parquet>`` routes through the round-13
+    IMAGE lane (plans/queries_round13.ndi_bootstrap / ndi_delta_round):
+    pixel-identity anti-join + banded Hamming admission over a
+    multimodal crawl's image assets — four tables per transaction, id
+    bounds on asset_id.  A lane root is one of the three; don't mix."""
     import json
     import os
 
@@ -360,19 +364,41 @@ def _cmd_corpus(args) -> int:
 
     from .plans.queries_round11 import incr_bootstrap, incr_delta_round
     from .plans.queries_round12 import nd_bootstrap, nd_delta_round
+    from .plans.queries_round13 import (_NDI_TABLES, ndi_bootstrap,
+                                        ndi_delta_round)
     from .session import load_tables
     from .sinks import catalog as C
 
     root = args.root_dir
     neardup = getattr(args, "neardup", False)
-    names = (("shards", "tail", "hash", "sig", "bandt", "emb", "idx")
-             if neardup else ("shards", "tail", "hash", "emb", "idx"))
+    images = getattr(args, "images", None)
+    names = (_NDI_TABLES if images
+             else ("shards", "tail", "hash", "sig", "bandt", "emb",
+                   "idx") if neardup
+             else ("shards", "tail", "hash", "emb", "idx"))
     dirs = tuple(os.path.join(root, n) for n in names)
     cat = os.path.join(root, "catalog")
     if args.verb == "status":
         print(json.dumps(C.catalog_status(cat)))
         return 0
     spark = _spark(f"corpus-{args.verb}")
+    if images:
+        aid = F.col("asset_id")
+        assets = spark.read.parquet(images)
+        if args.verb == "bootstrap":
+            if args.max_id is not None:
+                assets = assets.filter(aid <= args.max_id)
+            ndi_bootstrap(spark, dirs, cat, assets)
+            print(json.dumps(
+                {"catalog_version": C.catalog_latest(cat)}))
+            return 0
+        assets = assets.filter(aid > args.min_id)
+        if args.max_id is not None:
+            assets = assets.filter(aid <= args.max_id)
+        ndi_delta_round(spark, dirs, cat, assets,
+                        txn_id=args.txn_id, round_seq=args.round_seq)
+        print(json.dumps({"catalog_version": C.catalog_latest(cat)}))
+        return 0
     t = load_tables(spark, args.sf_dir, ["documents", "embeddings"])
     docs, emb = t["documents"], t["embeddings"]
     if neardup:
@@ -599,6 +625,13 @@ def main(argv: list[str] | None = None) -> int:
                             help="route through the near-dup admission "
                                  "lane (banded MinHash vs the persisted "
                                  "sig/band tables; 7-table txns)")
+            sp.add_argument("--images",
+                            help="route through the IMAGE near-dup "
+                                 "lane over this assets parquet "
+                                 "(asset_id/modality/content/mime — "
+                                 "pixel-identity anti-join + banded "
+                                 "Hamming admission; 4-table txns); "
+                                 "id bounds apply to asset_id")
         if verb == "bootstrap":
             sp.add_argument("--max-id", type=int,
                             help="bootstrap scope: doc_id <= max-id")

@@ -641,3 +641,233 @@ def ndi_delta_stream_batch(batch_df: DataFrame, batch_id: int,
     ndi_delta_round(batch_df.sparkSession, dirs, cat_dir, batch_df,
                     txn_id=f"stream-ndimage:{int(batch_id)}",
                     round_seq=int(batch_id))
+
+
+_NDI: dict = {}
+
+
+def _drop_ndi13(keys=None) -> None:
+    import shutil
+
+    for k in list(_NDI) if keys is None else list(keys):
+        for d in _NDI.pop(k)[0]:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def _jpeg_pixels13(i: int) -> list[list[int]]:
+    """The image-lane fixture universe: images 0-30 are the round-12
+    JPEG planes (30 = the brightness-shifted near-dup of 3); image 31
+    is the EXACT-duplicate plant — image 7's plane re-encoded under a
+    new id, so its pixel-identity hash collides and the exact stage
+    must block it before the banded check ever sees it."""
+    from .queries_round12 import _jpeg_pixels
+
+    return _jpeg_pixels(7) if i == 31 else _jpeg_pixels(i)
+
+
+def _ndi_assets(spark: SparkSession, ids) -> DataFrame:
+    from ..operators import multimodal as mm
+    from .queries_round12 import _mk_gray_jpeg
+
+    rows = [(i, "image",
+             bytearray(_mk_gray_jpeg(_jpeg_pixels13(i))), "image/jpeg")
+            for i in ids]
+    return spark.createDataFrame(rows, mm.ASSET_SCHEMA)
+
+
+@fixture_timed("ndi_lane_r13")
+def _ndi_assembled(spark: SparkSession, sf_dir: str
+                   ) -> tuple[tuple[str, ...], str, bool]:
+    """Once per (session, sf_dir): the image near-dup lane — bootstrap
+    over JPEGs 0-19, then two crawl deltas (20-25, 26-31), delta 2
+    carrying both plants: 30 (near-dup of bootstrap image 3 at
+    Hamming 0 — brightness-invariant aHash) and 31 (exact pixel dup of
+    bootstrap image 7 under fresh bytes).  Returns (dirs, cat_dir,
+    atomic_ok)."""
+    import atexit
+    import tempfile
+
+    from ..sinks import catalog as C
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _NDI.get(key)
+    if got is not None:
+        return got
+    _drop_ndi13([k for k in _NDI if k[0] != key[0]])
+    if not _NDI:
+        atexit.register(_drop_ndi13)
+    dirs = tuple(tempfile.mkdtemp(prefix=f"spark_graft_ndi_{n}_")
+                 for n in ("hash", "code", "band", "adm"))
+    cat = tempfile.mkdtemp(prefix="spark_graft_ndi_cat_")
+    ndi_bootstrap(spark, dirs, cat, _ndi_assets(spark, range(20)))
+    for r, ids in enumerate((range(20, 26), range(26, 32)), start=1):
+        ndi_delta_round(spark, dirs, cat, _ndi_assets(spark, ids),
+                        txn_id=f"ndi-r{r}", round_seq=r)
+    hist = C.catalog_history(cat)
+    atomic_ok = (len(hist) == 3
+                 and all(h["changed"] == sorted(_NDI_TABLES)
+                         for h in hist)
+                 and all(s["drift"] == 0
+                         for s in C.catalog_status(cat)))
+    got = (dirs, cat, bool(atomic_ok))
+    _NDI[key] = got
+    return got
+
+
+# the from-scratch universe both engines agree on: the 32 generated
+# planes, exact-dedup'd on pixel identity, aHash'd, banded, and
+# near-dedup'd under the global "dropped iff any earlier-id canonical
+# image verifies within Hamming tau" rule
+_NDI_UNIVERSE_SQL = """
+    pxq AS (SELECT i, y, x,
+             CASE WHEN i = 30
+                  THEN ((x//8)*(x//8)*4 + (y//8)*(y//8)*5
+                        + (x//8)*(y//8)*1 + 3*37) % 200 + 5
+                  WHEN i = 31
+                  THEN ((x//8)*(x//8)*1 + (y//8)*(y//8)*4
+                        + (x//8)*(y//8)*2 + 7*37) % 200
+                  ELSE ((x//8)*(x//8)*((i%7)+1)
+                        + (y//8)*(y//8)*((i%5)+2)
+                        + (x//8)*(y//8)*((i%3)+1) + i*37) % 200 END AS p
+           FROM (SELECT UNNEST(range(0, 32)) AS i) imgs
+           CROSS JOIN range(0, 32) AS ty(y)
+           CROSS JOIN range(0, 32) AS tx(x)),
+    hstr AS (SELECT i, string_agg(CAST(p AS VARCHAR), ','
+                                  ORDER BY y, x) AS ph
+             FROM pxq GROUP BY i),
+    canon AS (SELECT MIN(i) AS asset_id FROM hstr GROUP BY ph),
+    blocks AS (SELECT i, y // 4 AS by, x // 4 AS bx,
+                      CAST(SUM(p) AS BIGINT) AS s
+               FROM pxq GROUP BY 1, 2, 3),
+    tot AS (SELECT i, CAST(SUM(p) AS BIGINT) AS t FROM pxq GROUP BY 1),
+    bits AS (SELECT b.i, by * 8 + bx AS pos,
+                    CASE WHEN s * 1024 > t * 16 THEN 1 ELSE 0 END
+                      AS bit
+             FROM blocks b JOIN tot USING (i)),
+    code AS (SELECT i,
+               CAST(SUM(CASE WHEN pos < 32 AND bit = 1
+                             THEN CAST(2 ** pos AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS w0,
+               CAST(SUM(CASE WHEN pos >= 32 AND bit = 1
+                             THEN CAST(2 ** (pos - 32) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS w1
+             FROM bits GROUP BY i),
+    ccode AS (SELECT c.asset_id, k.w0, k.w1
+              FROM canon c JOIN code k ON k.i = c.asset_id),
+    cbanded AS (SELECT asset_id, w0, w1, bi,
+                       CASE bi WHEN 0 THEN w0 % 65536
+                               WHEN 1 THEN w0 // 65536
+                               WHEN 2 THEN w1 % 65536
+                               ELSE w1 // 65536 END AS bkey
+                FROM ccode CROSS JOIN range(0, 4) AS bb(bi)),
+    icand AS (SELECT DISTINCT l.asset_id AS a, r.asset_id AS b,
+                     l.w0 AS lw0, l.w1 AS lw1, r.w0 AS rw0,
+                     r.w1 AS rw1
+              FROM cbanded l JOIN cbanded r
+                ON l.bi = r.bi AND l.bkey = r.bkey
+               AND l.asset_id < r.asset_id),
+    idrops AS (SELECT DISTINCT b FROM icand
+               WHERE bit_count(xor(lw0, rw0))
+                     + bit_count(xor(lw1, rw1)) <= 6),
+    iadm AS (SELECT asset_id FROM ccode
+             WHERE asset_id NOT IN (SELECT b FROM idrops))
+"""
+
+
+@register(
+    "corpus_incremental_image_neardup",
+    oracle=f"""
+    WITH {_NDI_UNIVERSE_SQL},
+    fl AS (SELECT (SELECT COUNT(*) FROM ccode) AS n_canonical,
+                  (SELECT COUNT(*) FROM iadm) AS n_admitted,
+                  (30 IN (SELECT b FROM idrops)
+                   AND 3 IN (SELECT asset_id FROM iadm))
+                    AS near_plant_blocked,
+                  (31 NOT IN (SELECT asset_id FROM ccode)
+                   AND 7 IN (SELECT asset_id FROM iadm))
+                    AS exact_plant_blocked)
+    SELECT c.asset_id, c.w0, c.w1,
+           c.asset_id IN (SELECT asset_id FROM iadm) AS admitted,
+           fl.n_canonical, fl.n_admitted, fl.near_plant_blocked,
+           fl.exact_plant_blocked, TRUE AS atomic_ok
+    FROM ccode c CROSS JOIN fl ORDER BY c.asset_id
+    """,
+    tags=["corpus", "dedup", "multimodal", "image", "phash", "jpeg",
+          "versioned", "catalog", "llm", "incremental"],
+)
+def corpus_incremental_image_neardup(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """IMAGE near-dup admission in the incremental corpus lane — the
+    round-12 composition one modality over (round-12 verdict, Next
+    round #2): bootstrap + two crawl deltas of real baseline JPEGs,
+    each round decoding ONCE into (pixel-identity hash, perceptual
+    code), exact anti-join on the persisted hash table, banded Hamming
+    candidates against the PERSISTED band table, verified drops at
+    tau=6, all four tables in ONE catalog transaction.  The final
+    state read back THROUGH the catalog must hash-match DuckDB
+    assembling and near-dedup'ing the whole 32-image universe FROM
+    SCRATCH — per-canonical code words (the pure JPEG decoder rides
+    the hash), the admitted verdicts, the canonical/admitted counts,
+    and both plant verdicts: image 30 (brightness-shifted copy of
+    bootstrap image 3, Hamming 0) blocked at the BANDED stage two
+    rounds after its original landed, image 31 (exact pixel dup of
+    image 7 under fresh bytes) blocked at the EXACT stage and absent
+    from the canonical universe."""
+    from ..sinks import catalog as C
+
+    _dirs, cat, atomic_ok = _ndi_assembled(spark, sf_dir)
+    codes = C.read_table(spark, cat, "image_codes")
+    adm = C.read_table(spark, cat, "image_admitted")
+    cnt = (codes.agg(F.count(F.lit(1)).alias("n_canonical"))
+           .crossJoin(adm.agg(F.count(F.lit(1)).alias("n_admitted"))))
+    near = (codes.filter(F.col("asset_id") == 30)
+            .join(adm.filter(F.col("asset_id") == 30), "asset_id",
+                  "left_anti")
+            .agg((F.count(F.lit(1)) == 1).alias("near_half"))
+            .crossJoin(adm.filter(F.col("asset_id") == 3)
+                       .agg((F.count(F.lit(1)) == 1).alias("n3")))
+            .select((F.col("near_half") & F.col("n3"))
+                    .alias("near_plant_blocked")))
+    exact = (codes.filter(F.col("asset_id") == 31)
+             .agg((F.count(F.lit(1)) == 0).alias("ex_half"))
+             .crossJoin(adm.filter(F.col("asset_id") == 7)
+                        .agg((F.count(F.lit(1)) == 1).alias("n7")))
+             .select((F.col("ex_half") & F.col("n7"))
+                     .alias("exact_plant_blocked")))
+    return (codes
+            .join(adm.withColumn("admitted", F.lit(True)),
+                  "asset_id", "left")
+            .select("asset_id", "w0", "w1",
+                    F.coalesce("admitted", F.lit(False))
+                    .alias("admitted"))
+            .crossJoin(F.broadcast(cnt))
+            .crossJoin(F.broadcast(near))
+            .crossJoin(F.broadcast(exact))
+            .withColumn("atomic_ok", F.lit(bool(atomic_ok)))
+            .orderBy("asset_id"))
+
+
+@register(
+    "corpus_incremental_image_drops",
+    oracle=f"""
+    WITH {_NDI_UNIVERSE_SQL}
+    SELECT b AS asset_id FROM idrops ORDER BY asset_id
+    """,
+    tags=["corpus", "dedup", "multimodal", "image", "phash",
+          "versioned", "incremental"],
+)
+def corpus_incremental_image_drops(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The image admission AUDIT: the drop ledger is exactly
+    (code table) minus (admitted table) — every canonical image has a
+    code row and every admitted image an admitted row, so the set
+    difference IS the banded-stage refusal list.  Must equal DuckDB's
+    from-scratch global drop set — the order-independence of the
+    Hamming drop rule made concrete across crawl rounds."""
+    from ..sinks import catalog as C
+
+    _dirs, cat, _ = _ndi_assembled(spark, sf_dir)
+    return (C.read_table(spark, cat, "image_codes").select("asset_id")
+            .join(C.read_table(spark, cat, "image_admitted"),
+                  "asset_id", "left_anti")
+            .orderBy("asset_id"))

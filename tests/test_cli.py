@@ -428,3 +428,56 @@ def test_cli_corpus_neardup_lane(spark, tmp_path, capsys):
         "shards", "pack_tail", "corpus_hashes", "minhash_sigs",
         "minhash_bands", "embeddings_base", "band_index"}
     assert all(s["drift"] == 0 for s in st)
+
+
+def test_cli_corpus_image_lane(spark, tmp_path, capsys):
+    """corpus --images routes the verbs through the round-13 image
+    near-dup lane over an assets parquet: four tables per transaction,
+    asset_id bounds, txn replay idempotence."""
+    from databox_adls_loader_spark.operators import multimodal as mm
+    from databox_adls_loader_spark.plans import queries_round12 as R12
+
+    def plane(i, shift=0):
+        px = R12._jpeg_pixels(i)
+        return ([[v + shift for v in row] for row in px]
+                if shift else px)
+
+    assets = str(tmp_path / "assets.parquet")
+    rows = ([(i, "image", bytearray(R12._mk_gray_jpeg(plane(i))),
+              "image/jpeg") for i in range(6)]
+            + [(10, "image",
+                bytearray(R12._mk_gray_jpeg(plane(2, 5))),
+                "image/jpeg"),               # near-dup of image 2
+               (11, "image",
+                bytearray(R12._mk_gray_jpeg(plane(9))),
+                "image/jpeg")])              # fresh (ham > 6 to all)
+    spark.createDataFrame(rows, mm.ASSET_SCHEMA).write.parquet(assets)
+
+    root = str(tmp_path / "imglane")
+    assert main(["corpus", "bootstrap", root, "--max-id", "5",
+                 "--images", assets]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out == {"catalog_version": 0}
+
+    assert main(["corpus", "delta", root, "--min-id", "5",
+                 "--txn-id", "cli-img1", "--images", assets]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["catalog_version"] == 1
+
+    # replayed txn id: the catalog does not advance
+    assert main(["corpus", "delta", root, "--min-id", "5",
+                 "--txn-id", "cli-img1", "--images", assets]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["catalog_version"] == 1
+
+    assert main(["corpus", "status", root]) == 0
+    st = json.loads(capsys.readouterr().out.strip())
+    assert {s["name"] for s in st} == {
+        "image_hashes", "image_codes", "image_bands", "image_admitted"}
+    assert all(s["drift"] == 0 for s in st)
+
+    from databox_adls_loader_spark.sinks import catalog as C
+    adm = {r.asset_id for r in
+           C.read_table(spark, root + "/catalog", "image_admitted")
+           .collect()}
+    assert 11 in adm and 10 not in adm
