@@ -255,22 +255,26 @@ _JPEG_ZIGZAG = [
 
 
 def _jpeg_gray_rows(content: bytes) -> tuple[int, int, list] | None:
-    """Pure baseline-JPEG GRAYSCALE pixel decode (stdlib only): marker
+    """Pure baseline-JPEG LUMA pixel decode (stdlib only): marker
     walk, DQT/DHT tables from the stream, canonical Huffman decode of
-    the single-component scan (byte-unstuffing, DC predict + EXTEND,
-    AC run/size with EOB/ZRL), dequantize, inverse DCT.  Subset:
-    baseline SOF0, 8-bit, ONE component, 1×1 sampling, no restart
-    markers — the environment-invariance slice image dedup needs for
-    the dominant web format without PIL (round-11 verdict, Next round
-    #4); anything outside returns None and the caller falls through.
+    the scan (byte-unstuffing, DC predict + EXTEND, AC run/size with
+    EOB/ZRL), dequantize, inverse DCT.  Subset: baseline SOF0, 8-bit,
+    ONE component or THREE (YCbCr — the dominant web case, round-12
+    verdict Next round #3) with chroma sampled 1×1 and luma up to 2×2
+    (covers 4:4:4, 4:2:2, 4:2:0), no restart markers; anything outside
+    returns None and the caller falls through (PIL, where present).
+    For 3-component streams only the Y plane is RECONSTRUCTED — the
+    chroma blocks are entropy-decoded to keep the bit position honest
+    and then discarded, which is exactly what a luma perceptual hash
+    needs and skips two-thirds of the IDCT work.
 
-    Exactness: a DC-ONLY block (constant 8×8 region, the fixture
+    Exactness: a DC-ONLY luma block (constant 8×8 region, the fixture
     class) reconstructs by integer arithmetic — value = round(dc·q/8)
     + 128 with round-half-away — so decode(encode(px)) is EXACT for
     block-constant planes with q[0] = 8 and the DuckDB oracle can
-    inline the pixel formula.  Blocks with AC energy go through the
-    float IDCT (correct, not oracle-exact — same caveat every real
-    decoder carries)."""
+    inline the pixel formula, grayscale or color alike.  Blocks with
+    AC energy go through the float IDCT (correct, not oracle-exact —
+    same caveat every real decoder carries)."""
     if len(content) < 4 or content[:2] != b"\xff\xd8":
         return None
     import math
@@ -279,8 +283,9 @@ def _jpeg_gray_rows(content: bytes) -> tuple[int, int, list] | None:
         pos = 2
         qt: dict[int, list[int]] = {}
         huff: dict[tuple[int, int], dict] = {}
-        w = h = qsel = None
-        dc_tab = ac_tab = None
+        w = h = None
+        comps = None        # SOF0 components: (id, h_i, v_i, tq_i)
+        sel = None          # SOS per-component (dc_table, ac_table)
         scan_start = None
         while pos + 4 <= len(content):
             if content[pos] != 0xFF:
@@ -304,10 +309,22 @@ def _jpeg_gray_rows(content: bytes) -> tuple[int, int, list] | None:
                     qt[seg[i] & 15] = list(seg[i + 1:i + 65])
                     i += 65
             elif marker == 0xC0:                     # SOF0 baseline
-                if seg[0] != 8 or seg[5] != 1 or seg[7] != 0x11:
+                if seg[0] != 8:
                     return None
                 h, w = struct.unpack(">HH", seg[1:5])
-                qsel = seg[8]
+                nc = seg[5]
+                if nc not in (1, 3) or len(seg) < 6 + 3 * nc:
+                    return None
+                comps = []
+                for ci in range(nc):
+                    hv = seg[7 + 3 * ci]
+                    comps.append((seg[6 + 3 * ci], hv >> 4, hv & 15,
+                                  seg[8 + 3 * ci]))
+                if comps[0][1] not in (1, 2) or comps[0][2] not in (1, 2):
+                    return None                      # luma beyond 2x2
+                if any(c[1] != 1 or c[2] != 1 for c in comps[1:]):
+                    return None                      # subsampled luma
+                #                                      needs 1x1 chroma
             elif (0xC1 <= marker <= 0xCF
                   and marker not in (0xC4, 0xC8, 0xCC)):
                 return None                          # non-baseline SOF
@@ -331,17 +348,24 @@ def _jpeg_gray_rows(content: bytes) -> tuple[int, int, list] | None:
                 if struct.unpack(">H", seg[:2])[0]:
                     return None                      # restart intervals
             elif marker == 0xDA:                     # SOS
-                if seg[0] != 1:
-                    return None
-                dc_tab = huff.get((0, seg[2] >> 4))
-                ac_tab = huff.get((1, seg[2] & 15))
+                if comps is None or seg[0] != len(comps):
+                    return None                      # non-interleaved
+                sel = {}
+                for ci in range(seg[0]):
+                    tt = seg[2 + 2 * ci]
+                    sel[seg[1 + 2 * ci]] = (huff.get((0, tt >> 4)),
+                                            huff.get((1, tt & 15)))
                 scan_start = pos + 2 + seglen
                 break
             pos += 2 + seglen
-        if (not w or not h or qsel not in qt or scan_start is None
-                or dc_tab is None or ac_tab is None):
+        if (not w or not h or comps is None or scan_start is None
+                or comps[0][3] not in qt or sel is None):
             return None
-        q = qt[qsel]
+        tabs = [sel.get(c[0]) for c in comps]
+        if any(t is None or t[0] is None or t[1] is None
+               for t in tabs):
+            return None
+        q = qt[comps[0][3]]
         data = content
         st = [scan_start, 0]                         # byte, bit
 
@@ -378,61 +402,84 @@ def _jpeg_gray_rows(content: bytes) -> tuple[int, int, list] | None:
         cos_t = [[math.cos((2 * x + 1) * u * math.pi / 16)
                   for u in range(8)] for x in range(8)]
         c_u = [1 / math.sqrt(2)] + [1.0] * 7
-        bw, bh = (w + 7) // 8, (h + 7) // 8
         gray = [[0] * w for _ in range(h)]
-        pred = 0
-        for by in range(bh):
-            for bx in range(bw):
-                coef = [0] * 64
-                pred += receive_extend(decode_huff(dc_tab))
-                coef[0] = pred * q[0]
-                k = 1
-                while k < 64:
-                    rs = decode_huff(ac_tab)
-                    r, sz = rs >> 4, rs & 15
-                    if sz == 0:
-                        if r == 15:                  # ZRL
-                            k += 16
+        hy, vy = comps[0][1], comps[0][2]
+        mcx = (w + 8 * hy - 1) // (8 * hy)
+        mcy = (h + 8 * vy - 1) // (8 * vy)
+        preds = [0] * len(comps)
+
+        def decode_coeffs(ci: int, want: bool) -> list | None:
+            """One entropy-coded block of component ``ci``; ``want``
+            False (chroma) still consumes every bit — the positions
+            after it must be exact — but skips dequant/storage."""
+            dc_tab, ac_tab = tabs[ci]
+            coef = [0] * 64 if want else None
+            preds[ci] += receive_extend(decode_huff(dc_tab))
+            if want:
+                coef[0] = preds[ci] * q[0]
+            k = 1
+            while k < 64:
+                rs = decode_huff(ac_tab)
+                r, sz = rs >> 4, rs & 15
+                if sz == 0:
+                    if r == 15:                      # ZRL
+                        k += 16
+                        continue
+                    break                            # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC overrun")
+                v = receive_extend(sz)
+                if want:
+                    coef[_JPEG_ZIGZAG[k]] = v * q[k]
+                k += 1
+            return coef
+
+        def block_pixels(coef: list) -> list:
+            if not any(coef[1:]):
+                dc = coef[0]
+                val = ((dc + 4) // 8 if dc >= 0
+                       else -((-dc + 4) // 8)) + 128
+                val = max(0, min(255, val))
+                return [[val] * 8 for _ in range(8)]
+            block = []
+            for y in range(8):
+                row = []
+                for x in range(8):
+                    sv = 0.0
+                    for v in range(8):
+                        cv = c_u[v] * cos_t[y][v]
+                        for u in range(8):
+                            cc = coef[v * 8 + u]
+                            if cc:
+                                sv += c_u[u] * cv * cc * cos_t[x][u]
+                    row.append(max(0, min(255, int(
+                        math.floor(sv / 4 + 0.5)) + 128)))
+                block.append(row)
+            return block
+
+        for my in range(mcy):
+            for mx in range(mcx):
+                for ci, comp in enumerate(comps):
+                    reps = comp[1] * comp[2] if ci == 0 else 1
+                    for b in range(reps):
+                        coef = decode_coeffs(ci, want=(ci == 0))
+                        if ci != 0:
                             continue
-                        break                        # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("AC overrun")
-                    coef[_JPEG_ZIGZAG[k]] = receive_extend(sz) * q[k]
-                    k += 1
-                if not any(coef[1:]):
-                    dc = coef[0]
-                    val = ((dc + 4) // 8 if dc >= 0
-                           else -((-dc + 4) // 8)) + 128
-                    val = max(0, min(255, val))
-                    block = [[val] * 8 for _ in range(8)]
-                else:
-                    block = []
-                    for y in range(8):
-                        row = []
-                        for x in range(8):
-                            sv = 0.0
-                            for v in range(8):
-                                cv = c_u[v] * cos_t[y][v]
-                                for u in range(8):
-                                    cc = coef[v * 8 + u]
-                                    if cc:
-                                        sv += (c_u[u] * cv * cc
-                                               * cos_t[x][u])
-                            row.append(max(0, min(255, int(
-                                math.floor(sv / 4 + 0.5)) + 128)))
-                        block.append(row)
-                for y in range(8):
-                    gy = by * 8 + y
-                    if gy >= h:
-                        break
-                    grow = gray[gy]
-                    brow = block[y]
-                    for x in range(8):
-                        gx = bx * 8 + x
-                        if gx >= w:
-                            break
-                        grow[gx] = brow[x]
+                        block = block_pixels(coef)
+                        y0 = (my * vy + b // hy) * 8
+                        x0 = (mx * hy + b % hy) * 8
+                        for y in range(8):
+                            gy = y0 + y
+                            if gy >= h:
+                                break
+                            grow = gray[gy]
+                            brow = block[y]
+                            for x in range(8):
+                                gx = x0 + x
+                                if gx >= w:
+                                    break
+                                grow[gx] = brow[x]
         return w, h, gray
     except Exception:  # noqa: BLE001 - malformed bytes -> caller stubs
         return None

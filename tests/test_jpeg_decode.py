@@ -63,3 +63,63 @@ def test_jpeg_lane_planted_pair_surfaces(spark, monkeypatch):
     pairs = {(r.a, r.b): r.hamming
              for r in mm.image_near_dup_pairs(codes).collect()}
     assert pairs[(3, 30)] == 0
+
+
+# --------------------------------------------------------------------
+# color (3-component YCbCr) streams through the luma-only decode path
+# (round-13): Y reconstructed exactly, chroma parsed and discarded
+# --------------------------------------------------------------------
+
+def _color(px, **kw):
+    from databox_adls_loader_spark.plans.queries_round13 import \
+        _mk_color_jpeg
+
+    return _mk_color_jpeg(px, **kw)
+
+
+def test_color_dc_only_y_roundtrip_exact_all_samplings():
+    for i in (0, 3, 30):
+        px = _jpeg_pixels(i)
+        for samp in ((2, 2), (1, 1), (2, 1), (1, 2)):
+            out = mm._jpeg_gray_rows(_color(px, cb=77, cr=150,
+                                            sampling=samp))
+            assert out is not None, samp
+            assert out[:2] == (32, 32)
+            assert out[2] == px, (i, samp)
+
+
+def test_color_chroma_never_leaks_into_luma(monkeypatch):
+    # identical Y planes under wildly different chroma decode to the
+    # same pixels — and to the grayscale encoding of the same plane
+    monkeypatch.setattr(mm, "_PILImage", None)
+    px = _jpeg_pixels(5)
+    a = mm._jpeg_gray_rows(_color(px, cb=20, cr=230))
+    b = mm._jpeg_gray_rows(_color(px, cb=200, cr=40))
+    g = mm._jpeg_gray_rows(_mk_gray_jpeg(px))
+    assert a is not None and a == b == g
+
+
+def test_color_out_of_subset_rejected():
+    good = bytearray(_color(_jpeg_pixels(0)))
+    sof = good.find(b"\xff\xc0")
+    # luma 3x1 sampling: outside the 2x2 envelope
+    bad = bytearray(good)
+    assert bad[sof + 11] == 0x22          # Y sampling byte
+    bad[sof + 11] = 0x31
+    assert mm._jpeg_gray_rows(bytes(bad)) is None
+    # subsampled CHROMA (2x1): outside the 1x1-chroma subset
+    bad = bytearray(good)
+    assert bad[sof + 14] == 0x11          # Cb sampling byte
+    bad[sof + 14] = 0x21
+    assert mm._jpeg_gray_rows(bytes(bad)) is None
+    # truncated mid-scan
+    assert mm._jpeg_gray_rows(bytes(good[:len(good) // 2])) is None
+
+
+def test_color_phash_planted_pair_without_pil(monkeypatch):
+    monkeypatch.setattr(mm, "_PILImage", None)
+    w3 = mm.image_phash_words(_color(_jpeg_pixels(3), cb=60, cr=60),
+                              "ahash")
+    w30 = mm.image_phash_words(_color(_jpeg_pixels(30), cb=180,
+                                      cr=180), "ahash")
+    assert w3 is not None and w3 == w30
