@@ -851,6 +851,10 @@ def scale_pq_retrain_recall(spark: SparkSession,
     value hash (measured: recall roughly +40% after retrain at the
     gate SFs; the stale books collapse the drifted region onto edge
     codewords)."""
+    import math
+
+    from pyspark.sql.window import Window
+
     from ..sinks import catalog as C
     from . import ann
 
@@ -861,24 +865,67 @@ def scale_pq_retrain_recall(spark: SparkSession,
     qvecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
              for r in base.filter(
                  F.col("vec_id").isin(*_PQR_QIDS)).collect()}
-    parts = []
-    for qid in _PQR_QIDS:
-        q = qvecs[qid]
-        bf = ann.exact_topk_int(base, q, _PQR_K).select("vec_id")
-        nb = (ann.probe_pq_topk_int(spark, idx_before, base, q, B0,
-                                    _PQR_K, _PQR_EXPAND)
-              .join(bf, "vec_id", "left_semi")
-              .agg(F.count(F.lit(1)).alias("n_hits_before")))
-        na = (ann.probe_pq_topk_int(spark, idx_after, base, q, B1,
-                                    _PQR_K, _PQR_EXPAND)
-              .join(bf, "vec_id", "left_semi")
-              .agg(F.count(F.lit(1)).alias("n_hits_after")))
-        parts.append(nb.crossJoin(na)
-                     .select(F.lit(qid).cast("long").alias("query_id"),
-                             "n_hits_before", "n_hits_after"))
-    out = parts[0]
-    for pdf in parts[1:]:
-        out = out.unionByName(pdf)
+    # ONE folded probe plan over a broadcast 4-row query frame (qid,
+    # per-book integer ADC LUTs, µ-int query vector) instead of 8
+    # independent probe-join-count sub-trees (round-12 verdict nit:
+    # the loop inflated planning time on the suite's slowest query).
+    # Identical semantics per query: candidates = k·expand smallest
+    # exact-integer ADC sums (id tiebreak), exact-integer rerank, hits
+    # counted against the exact top-k — all ranks per-qid windows.
+    k_codes = len(B0[0])
+    qf = F.broadcast(spark.createDataFrame(
+        [(int(qid), ann.pq_lut_int(qvecs[qid], B0),
+          ann.pq_lut_int(qvecs[qid], B1),
+          [math.floor((float(x) + ann.PQ_INT_OFFSET) * 1_000_000.0)
+           for x in qvecs[qid]])
+         for qid in _PQR_QIDS],
+        "qid long, lut0 array<long>, lut1 array<long>,"
+        " qmu array<long>"))
+    exd = (base.crossJoin(qf.select("qid", "qmu"))
+           .select("qid", "vec_id",
+                   F.aggregate(
+                       F.zip_with(ann._mu_vec_expr(F.col("embedding")),
+                                  F.col("qmu"),
+                                  lambda x, y: (x - y) * (x - y)),
+                       F.lit(0).cast("long"),
+                       lambda acc, v: acc + v).alias("d2")))
+    wq = Window.partitionBy("qid").orderBy("d2", "vec_id")
+    bf = (exd.withColumn("__rn", F.row_number().over(wq))
+          .filter(F.col("__rn") <= _PQR_K).select("qid", "vec_id"))
+
+    def hits(idx_df: DataFrame, lut_col: str, name: str) -> DataFrame:
+        cand = (idx_df.crossJoin(qf.select("qid", lut_col))
+                .select("qid", "vec_id",
+                        F.element_at(
+                            F.col(lut_col),
+                            (F.col("sub") * k_codes + F.col("code") + 1)
+                            .cast("int")).alias("__u"))
+                .groupBy("qid", "vec_id")
+                .agg(F.sum("__u").alias("adc_u"))
+                .withColumn("__rn", F.row_number().over(
+                    Window.partitionBy("qid")
+                    .orderBy(F.asc("adc_u"), "vec_id")))
+                .filter(F.col("__rn") <= _PQR_K * _PQR_EXPAND)
+                .select("qid", "vec_id"))
+        top = (exd.join(cand, ["qid", "vec_id"], "left_semi")
+               .withColumn("__rn", F.row_number().over(wq))
+               .filter(F.col("__rn") <= _PQR_K)
+               .select("qid", "vec_id"))
+        return (top.join(bf, ["qid", "vec_id"], "left_semi")
+                .groupBy("qid").agg(F.count(F.lit(1)).alias(name)))
+
+    out = (qf.select(F.col("qid").alias("query_id"))
+           .join(hits(idx_before, "lut0", "nb")
+                 .withColumnRenamed("qid", "query_id"),
+                 "query_id", "left")
+           .join(hits(idx_after, "lut1", "na")
+                 .withColumnRenamed("qid", "query_id"),
+                 "query_id", "left")
+           .select("query_id",
+                   F.coalesce("nb", F.lit(0)).cast("long")
+                   .alias("n_hits_before"),
+                   F.coalesce("na", F.lit(0)).cast("long")
+                   .alias("n_hits_after")))
     db = _PQR_DELTA_BASE
     tvm = (idx_before.groupBy("sub", "code")
            .agg(F.sum(F.when(F.col("vec_id") < db, 1).otherwise(0))

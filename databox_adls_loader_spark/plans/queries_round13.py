@@ -1048,3 +1048,180 @@ def dedup_image_phash_jpeg_color(spark: SparkSession,
                     F.col("b").cast("long").alias("b"),
                     F.col("hamming").cast("int").alias("hamming"))
             .orderBy("a", "b"))
+
+
+# ---------------------------------------------------------------------------
+# near-dup admission recall contract (round-12 verdict, Next round #5):
+# the text lane's tau (est-Jaccard >= 0.5) gets what the batch LSH
+# family already had — planted true/borderline/false pairs with the
+# admitted/blocked verdicts derived from scratch by both engines
+# ---------------------------------------------------------------------------
+
+from .queries_ext import _hex15_to_long, _perms_values_sql  # noqa: E402
+from .queries_round12 import _ND, _ND_MIN_EQ2, _nd_verify  # noqa: E402
+
+_NDR_OFFS = ((1_000_000_000, "true", "zqt"),
+             (2_000_000_000, "borderline", "zqb"),
+             (3_000_000_000, "false", "zqf"))
+
+# tokens kept per class, as SQL over the base token array (Spark `div`
+# / DuckDB `//` agree on positive ints): true keeps all but the last
+# (J ~ 1), borderline half (J ~ tau — its verdicts are hashed, not
+# asserted), false a fifth (J ~ 0.2)
+_NDR_KEEP = {"zqt": ("{n} - 1", "len(tk) - 1"),
+             "zqb": ("({n} + 1) div 2", "(len(tk) + 1) // 2"),
+             "zqf": ("({n} + 4) div 5", "(len(tk) + 4) // 5")}
+
+
+@register(
+    "scale_neardup_admission_recall",
+    oracle=rf"""
+    WITH basep AS (SELECT doc_id, text FROM documents
+                   ORDER BY n_chars DESC, doc_id LIMIT 8),
+    bt AS (SELECT doc_id,
+                  regexp_split_to_array(trim(text), '\s+') AS tk
+           FROM basep),
+    vr AS ({" UNION ALL ".join(
+        f"SELECT b.doc_id + {off} AS doc_id, "
+        f"array_to_string(list_append(list_slice(b.tk, 1, "
+        f"{_NDR_KEEP[tag][1].replace('len(tk)', 'len(b.tk)')}), "
+        f"'{tag}' || CAST(b.doc_id AS VARCHAR)), ' ') AS text "
+        "FROM bt b" for off, _cls, tag in _NDR_OFFS)}),
+    allr AS (SELECT doc_id, text FROM basep
+             UNION ALL SELECT doc_id, text FROM vr),
+    toks AS (SELECT doc_id,
+                    regexp_split_to_array(trim(text), '\s+') AS tk
+             FROM allr),
+    shg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, greatest(len(tk) - 2, 1) + 1),
+              i -> array_to_string(list_slice(tk, i, i + 2), ' '))))
+              AS g9
+            FROM toks),
+    {_perms_values_sql(_ND["k"])},
+    hb AS (SELECT doc_id, {_hex15_to_long("md5(g9)")} AS h9 FROM shg),
+    hx AS (SELECT doc_id, j,
+                  MIN((a * (h9 % 2147483647) + b) % 2147483647) AS hmin
+           FROM hb CROSS JOIN perms GROUP BY doc_id, j),
+    sig AS (SELECT doc_id, list(hmin ORDER BY j) AS sig
+            FROM hx GROUP BY doc_id),
+    banded AS (SELECT doc_id, bi,
+                      array_to_string(list_transform(
+                        list_slice(sig, bi * 4 + 1, bi * 4 + 4),
+                        x -> CAST(x AS VARCHAR)), ',') AS bkey
+               FROM sig CROSS JOIN range(0, {_ND["bands"]}) AS sb(bi)),
+    cand AS (SELECT DISTINCT r.doc_id AS a, l.doc_id AS b
+             FROM banded l JOIN banded r
+               ON l.bi = r.bi AND l.bkey = r.bkey
+             WHERE r.doc_id < 1000000000
+               AND l.doc_id >= 1000000000),
+    drops AS (SELECT DISTINCT c.b
+              FROM cand c JOIN sig sa ON c.a = sa.doc_id
+                          JOIN sig sb2 ON c.b = sb2.doc_id
+              WHERE len(list_filter(range(1, {_ND["k"] + 1}),
+                        i -> sa.sig[i] = sb2.sig[i])) * 2
+                    >= {_ND_MIN_EQ2}),
+    pv AS (SELECT v.doc_id,
+                  CASE v.doc_id // 1000000000
+                       WHEN 1 THEN 'true' WHEN 2 THEN 'borderline'
+                       ELSE 'false' END AS cls,
+                  v.doc_id IN (SELECT b FROM drops) AS blocked
+           FROM vr v),
+    pc AS (SELECT cls, COUNT(*) AS n_class,
+                  CAST(SUM(CASE WHEN blocked THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_blocked,
+                  CAST(SUM(CASE WHEN blocked THEN 1 ELSE 0 END)
+                       * 1000000 // COUNT(*) AS BIGINT) AS blocked_ppm
+           FROM pv GROUP BY cls),
+    fl AS (SELECT
+            (SELECT n_blocked = n_class FROM pc
+             WHERE cls = 'true') AS true_all_blocked,
+            (SELECT n_blocked = 0 FROM pc
+             WHERE cls = 'false') AS false_none_blocked)
+    SELECT pv.cls, pv.doc_id, pv.blocked, pc.n_class, pc.n_blocked,
+           pc.blocked_ppm, fl.true_all_blocked, fl.false_none_blocked
+    FROM pv JOIN pc USING (cls) CROSS JOIN fl
+    ORDER BY pv.cls, pv.doc_id
+    """,
+    tags=["scale", "dedup", "lsh", "eval", "recall", "corpus", "llm"],
+)
+def scale_neardup_admission_recall(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The near-dup ADMISSION tau contract, measured: the 8 longest
+    corpus docs play the persisted side, and for each a TRUE near-dup
+    (all tokens but one + a novel marker, est-Jaccard ~ 1), a
+    BORDERLINE variant (half the tokens — its signature overlap
+    straddles the tau=0.5 admission line: measured 8-22 of 32 equal
+    components across the gate SFs), and a FALSE variant (a fifth of
+    the tokens, est ~ 0.2) run through EXACTLY the lane's rule: banded
+    candidates against the bases' band keys, signature-verified at
+    n_eq·2 >= k.  Both engines derive every verdict from scratch
+    (portable MinHash), so the per-variant blocked flags, the
+    per-class exact-ppm block rates, and the two contract floors —
+    every true dup blocked, no false positive — ride one value hash.
+    The borderline class is deliberately NOT asserted, only hashed:
+    it pins where the banding recall curve actually cuts, which is the
+    number an operator tuning tau needs."""
+    from ..operators import dedup
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    base = (docs.orderBy(F.desc("n_chars"), "doc_id").limit(8)
+            .select("doc_id", "text"))
+    nt = "size(split(trim(text), '\\\\s+'))"
+
+    def variant(off: int, tag: str) -> DataFrame:
+        keep = _NDR_KEEP[tag][0].format(n=nt)
+        return base.select(
+            (F.col("doc_id") + F.lit(off)).alias("doc_id"),
+            F.expr(
+                "array_join(concat(slice(split(trim(text),"
+                f" '\\\\s+'), 1, {keep}),"
+                f" array(concat('{tag}', cast(doc_id as string)))),"
+                " ' ')").alias("text"))
+
+    variants = variant(*[(o, t) for o, _c, t in _NDR_OFFS][0])
+    for off, _cls, tag in _NDR_OFFS[1:]:
+        variants = variants.unionByName(variant(off, tag))
+    sigs_b = dedup.minhash_docs(base, "text", "doc_id", _ND["k"],
+                                _ND["shingle_n"], portable=True)
+    bands_b = dedup.lsh_banded(sigs_b, _ND["bands"], "doc_id",
+                               portable=True)
+    sigs_v = dedup.minhash_docs(variants, "text", "doc_id", _ND["k"],
+                                _ND["shingle_n"], portable=True)
+    bands_v = dedup.lsh_banded(sigs_v, _ND["bands"], "doc_id",
+                               portable=True)
+    cross = (bands_v.alias("l").join(
+        bands_b.alias("r"),
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.band_hash") == F.col("r.band_hash")))
+        .select(F.col("r.id").alias("a"), F.col("l.id").alias("b"))
+        .distinct())
+    blocked = (_nd_verify(cross, sigs_b, sigs_v)
+               .withColumnRenamed("b", "doc_id")
+               .withColumn("__blk", F.lit(True)))
+    pv = (variants.select("doc_id")
+          .join(F.broadcast(blocked), "doc_id", "left")
+          .select("doc_id",
+                  F.when(F.col("doc_id") >= 3_000_000_000, "false")
+                  .when(F.col("doc_id") >= 2_000_000_000, "borderline")
+                  .otherwise("true").alias("cls"),
+                  F.coalesce("__blk", F.lit(False)).alias("blocked")))
+    pc = (pv.groupBy("cls")
+          .agg(F.count(F.lit(1)).alias("n_class"),
+               F.sum(F.when(F.col("blocked"), 1).otherwise(0))
+               .cast("long").alias("n_blocked"))
+          .withColumn("blocked_ppm",
+                      F.expr("CAST(n_blocked * 1000000L DIV n_class"
+                             " AS LONG)")))
+    fl = (pc.agg(
+        F.max(F.when(F.col("cls") == "true",
+                     F.col("n_blocked") == F.col("n_class")))
+        .alias("true_all_blocked"),
+        F.max(F.when(F.col("cls") == "false",
+                     F.col("n_blocked") == 0))
+        .alias("false_none_blocked")))
+    return (pv.join(F.broadcast(pc), "cls")
+            .crossJoin(F.broadcast(fl))
+            .select("cls", "doc_id", "blocked", "n_class", "n_blocked",
+                    "blocked_ppm", "true_all_blocked",
+                    "false_none_blocked")
+            .orderBy("cls", "doc_id"))

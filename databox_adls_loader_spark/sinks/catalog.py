@@ -107,31 +107,43 @@ def _ledger_path(st, cat_dir: str) -> str:
     return st.join(_cmdir(st, cat_dir), "_txns.json")
 
 
-def _ledger_gen_path(st, cat_dir: str, gen: int) -> str:
-    return st.join(_cmdir(st, cat_dir), f"_txns-g{gen:05d}.json")
+def _ledger_gen_path(st, cat_dir: str, gen: int,
+                     uid: str | None = None) -> str:
+    name = (f"_txns-g{gen:05d}.json" if uid is None
+            else f"_txns-g{gen:05d}-{uid}.json")
+    return st.join(_cmdir(st, cat_dir), name)
+
+
+def _ledger_gen_of(st, path: str) -> int:
+    """Generation number of a ledger file — `_txns-gNNNNN.json`
+    (pre-round-13 form) or `_txns-gNNNNN-<uid>.json`."""
+    stem = st.basename(path)[7:-5]          # NNNNN or NNNNN-<uid>
+    return int(stem.split("-", 1)[0])
+
+
+def _ledger_files(st, cat_dir: str) -> list[str]:
+    return sorted(st.list_glob(st.join(_cmdir(st, cat_dir),
+                                       "_txns-g*.json")))
 
 
 def _ledger_gens(st, cat_dir: str) -> list[int]:
-    return sorted(
-        int(st.basename(p)[7:-5])
-        for p in st.list_glob(st.join(_cmdir(st, cat_dir),
-                                      "_txns-g*.json")))
+    return sorted(_ledger_gen_of(st, p)
+                  for p in _ledger_files(st, cat_dir))
 
 
 def _ledger_txn_ids(cat_dir: str) -> set[str]:
     """txn_ids persisted in the compact side ledger — written by
     `vacuum_catalog` BEFORE it drops a manifest, so dropping a manifest
-    never forgets its transaction.  The ledger is a chain of GENERATION
-    files (`_txns-gNNNNN.json`), each exclusive-created carrying the
-    full union of everything before it plus its writer's additions —
-    the same conditional-put serialization the manifest log uses, so
-    two concurrent vacuums can never last-writer-wins each other's ids
-    (a plain read-modify-write of one file could).  Reading unions all
-    retained generations (each ⊇ its predecessors, so this equals the
-    latest); a generation deleted mid-read by a concurrent writer's GC
-    implies a NEWER superset generation exists — re-list and retry.
-    The legacy single-file `_txns.json` is still read for catalogs
-    written before the generation chain."""
+    never forgets its transaction.  The ledger is a set of UNIQUELY
+    NAMED generation files (`_txns-gNNNNN-<uid>.json`): each writer
+    folds every file it can read into one new file and deletes exactly
+    those source files, so every id is always present in at least one
+    retained file (see `_ledger_append` for the invariant argument).
+    Reading unions all retained files; a file deleted mid-read by a
+    concurrent writer's fold implies a NEWER file carrying its union
+    exists — re-list and retry.  The legacy single-file `_txns.json`
+    and the pre-round-13 `_txns-gNNNNN.json` form are still read for
+    catalogs written before the unique-name scheme."""
     st = storage_for(cat_dir)
     legacy: set[str] = set()
     try:
@@ -142,10 +154,9 @@ def _ledger_txn_ids(cat_dir: str) -> set[str]:
     for _ in range(64):
         ids = set(legacy)
         try:
-            for g in _ledger_gens(st, cat_dir):
-                ids |= set(json.loads(
-                    st.read_text(_ledger_gen_path(st, cat_dir, g)))
-                    .get("txn_ids", []))
+            for p in _ledger_files(st, cat_dir):
+                ids |= set(json.loads(st.read_text(p))
+                           .get("txn_ids", []))
             return ids
         except FileNotFoundError:
             continue
@@ -155,30 +166,57 @@ def _ledger_txn_ids(cat_dir: str) -> set[str]:
 
 
 def _ledger_append(cat_dir: str, new_ids: set[str]) -> None:
-    """Durably add ``new_ids`` to the side ledger, SERIALIZED against
-    concurrent appenders: exclusive-create the next generation file
-    with the union (current ∪ new_ids); a `FileExistsError` means
-    another vacuum won the slot — re-read (its ids are now visible) and
-    retry on the following slot, so no appender's ids can be lost.
-    After a successful create the writer GCs the superseded
-    generations (safe: its own generation carries their union)."""
+    """Durably add ``new_ids`` to the side ledger, safe under ANY
+    interleaving of concurrent appenders: list the retained generation
+    files, fold their union (plus the legacy single file) together
+    with ``new_ids`` into ONE new file under a name no other writer
+    can ever have listed (next generation number + a fresh uid —
+    `create_exclusive` cannot collide), then delete EXACTLY the files
+    that were read.
+
+    Why no id can be lost: a writer only deletes files it read and
+    folded into its own new file, and file names are never reused — so
+    a file created concurrently (which a stale writer never listed)
+    cannot be deleted by it.  Every id therefore stays present in at
+    least one retained file at all times; readers union the retained
+    set.  The earlier numbered-slot scheme (exclusive-create
+    `_txns-gN.json`, retry on collision, GC by number) lost this under
+    contention: generation NUMBERS were reused after GC, so a writer
+    holding a stale listing could delete a slot that had been
+    re-created with ids it never unioned (caught by the round-13
+    thread-pool torture test).  Generation numbers remain for
+    ordering/debugging only; correctness rides on name uniqueness.
+
+    The loop retries only the read phase (a source file deleted
+    mid-read by a concurrent fold); the create itself cannot fail."""
+    import uuid
+
     st = storage_for(cat_dir)
+    legacy: set[str] = set()
+    try:
+        legacy = set(json.loads(st.read_text(_ledger_path(st, cat_dir)))
+                     .get("txn_ids", []))
+    except FileNotFoundError:
+        pass
     for _ in range(64):
-        gens = _ledger_gens(st, cat_dir)
-        cur = _ledger_txn_ids(cat_dir)
-        nxt = (gens[-1] if gens else 0) + 1
+        files = _ledger_files(st, cat_dir)
+        ids = set(legacy)
         try:
-            st.create_exclusive(
-                _ledger_gen_path(st, cat_dir, nxt),
-                json.dumps({"txn_ids": sorted(cur | new_ids)}))
-        except FileExistsError:
-            continue
-        for g in gens:
-            st.delete(_ledger_gen_path(st, cat_dir, g))
+            for p in files:
+                ids |= set(json.loads(st.read_text(p))
+                           .get("txn_ids", []))
+        except FileNotFoundError:
+            continue                    # concurrent fold GC'd a source
+        gen = max((_ledger_gen_of(st, p) for p in files), default=0) + 1
+        st.create_exclusive(
+            _ledger_gen_path(st, cat_dir, gen, uuid.uuid4().hex[:12]),
+            json.dumps({"txn_ids": sorted(ids | new_ids)}))
+        for p in files:
+            st.delete(p)
         return
     raise RuntimeError(
-        f"catalog txn ledger in {cat_dir!r} lost the generation slot "
-        "64 times in a row — runaway concurrent vacuum?")
+        f"catalog txn ledger in {cat_dir!r} kept changing under 64 "
+        "read attempts — runaway concurrent vacuum?")
 
 
 def catalog_txn_ids(cat_dir: str) -> set[str]:
