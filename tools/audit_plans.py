@@ -63,10 +63,21 @@ ALLOWED_FLAGS: dict[str, set[str]] = {
     "corpus_incremental_assemble": {"bnl-join"},  # 1-row index-checksum frame
     # 1-row index-checksum frame + 1-row canonical/admitted-count frame
     "corpus_incremental_neardup_assemble": {"bnl-join"},
-    # per-query 1-row hit-count frames crossed with the 1-row tv-max and
-    # 1-row before/after-totals frames — every side of every BNL here is
-    # exactly one row by construction
+    # the folded probe (round 13) crosses the code/base tables with a
+    # BROADCAST 4-ROW query frame (qid, LUTs, µ-vector) — bounded by
+    # the probe-set size by construction, never data-sized — plus the
+    # 1-row tv-max and before/after-totals frames
     "scale_pq_retrain_recall": {"bnl-join"},
+    # round-13 committed-republish twin of the rebalance contract: the
+    # same per-generation 1-row (max-share × routed-share × hits)
+    # frames crossed, read from catalog tables instead of in-query
+    # trainings
+    "scale_ivf_retrain_publish": {"bnl-join"},
+    # 1-row canonical/admitted-count frame + two 1-row plant-verdict
+    # frames crossed onto the per-canonical code rows
+    "corpus_incremental_image_neardup": {"bnl-join"},
+    # 1-row contract-flags frame crossed onto the 24 per-variant rows
+    "scale_neardup_admission_recall": {"bnl-join"},
     # two 1-row hit-count frames (single-probe × multiprobe) crossed
     "scale_ivfpq_recall_contract": {"bnl-join"},
     # per-generation 1-row (max-share × routed-share × hits) frames

@@ -25,7 +25,8 @@ seed-driven) with ONE deliberate deviation:
 Deterministic (fixed seed), written OUTSIDE the repo to
 ``$SPARK_GRAFT_SF1_DIR`` (default /tmp/spark-graft-sf1) — probe data,
 never committed, regenerated on demand; /root/testdata stays untouched.
-Only the two tables the heavy probe shapes read are generated.
+Only the tables the heavy probe shapes read are generated
+(documents, orders, and — since round 13 — embeddings).
 
 Usage: python tools/gen_sf1.py            (no-op if already present)
 """
@@ -47,7 +48,9 @@ def ensure_sf1(sf1_dir: str = SF1_DIR) -> str:
     """Generate (once) and return the sf1 directory."""
     docs_path = os.path.join(sf1_dir, "documents.parquet")
     orders_path = os.path.join(sf1_dir, "orders.parquet")
-    if os.path.exists(docs_path) and os.path.exists(orders_path):
+    emb_path = os.path.join(sf1_dir, "embeddings.parquet")
+    if (os.path.exists(docs_path) and os.path.exists(orders_path)
+            and os.path.exists(emb_path)):
         return sf1_dir
     os.makedirs(sf1_dir, exist_ok=True)
 
@@ -121,6 +124,28 @@ def ensure_sf1(sf1_dir: str = SF1_DIR) -> str:
             [pris[i] for i in rng.integers(0, len(pris), size=N_ORDERS)]),
     })
     pq.write_table(orders, orders_path)
+
+    # -- embeddings --------------------------------------------------
+    # 10 x sf0.1's 2k vectors, mirroring its shape: float32[64],
+    # unit-normalized, CLUSTERED (16 gaussian centers) so IVF/PQ
+    # probes see realistic cell occupancy, plus an integer label.
+    # Round-13 (verdict #4): the sf1 decade rows for the retrain /
+    # rebalance / near-dup-lane contracts need this table.
+    n_emb = 20_000
+    k_clusters = 16
+    centers = rng.standard_normal((k_clusters, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.integers(0, k_clusters, size=n_emb)
+    vecs = centers[labels] + 0.35 * rng.standard_normal((n_emb, 64))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    vecs = vecs.astype(np.float32)
+    emb = pa.table({
+        "vec_id": pa.array(range(n_emb), pa.int64()),
+        "embedding": pa.array(
+            [v for v in vecs.tolist()], pa.list_(pa.float32())),
+        "label": pa.array(labels.astype(np.int32), pa.int32()),
+    })
+    pq.write_table(emb, emb_path)
     return sf1_dir
 
 

@@ -10,7 +10,8 @@ This probe measures that directly over two decades of data size
 ratios, not absolute numbers.
 
 The sf1 decade (10× the bench SF) is generated locally on demand
-(tools/gen_sf1.py → /tmp/spark-graft-sf1, documents + orders only) and
+(tools/gen_sf1.py → /tmp/spark-graft-sf1: documents, orders,
+embeddings) and
 probed with the heaviest self-join/iterative shapes — the round-5
 verdict's cheapest-possible super-linear-term detector.  It already
 paid for itself: the sf1 run exposed the decimal `_perm_hash` CPU wall
@@ -85,6 +86,10 @@ HEADLINERS = [
     "scale_pq_retrain_recall",   # drift->retrain->republish, trained books
     "scale_ivf_rebalance_contract",  # centroid drift: cell balance + probe I/O
     "scale_ivfpq_recall_contract",   # multiprobe expansion recall contract
+    "scale_neardup_admission_recall",  # tau contract: planted class verdicts
+    "scale_ivf_retrain_publish",  # committed centroid WAP republish (r13)
+    "scale_index_drift_trigger",  # live-vs-baseline TV trigger (r13)
+    "corpus_incremental_image_neardup",  # image admission lane (fixed 32-img)
 ]
 
 TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
@@ -146,6 +151,9 @@ TABLE_OF = {  # denominator table per query (rows scanned ~ cost driver)
     "scale_ivf_recall_contract": "embeddings",
     "scale_ivfpq_pruned_probe": "embeddings",
     "corpus_incremental_epoch_order": "documents",
+    "scale_neardup_admission_recall": "documents",
+    "scale_ivf_retrain_publish": "embeddings",
+    "scale_index_drift_trigger": "embeddings",
 }
 
 # the heavy shapes probed one decade PAST the bench SF, on the locally
@@ -210,6 +218,15 @@ SF1_QUERIES = [
     # their build is one keyed aggregate — linear
     "scale_catalog_txn_read",
     "corpus_pack_window_layout",
+    # round-13 (verdict #4): the round-12 lifecycle lanes one decade up
+    # — trainings stay sample-bounded (flat fixed-work profile) and the
+    # near-dup from-scratch assemble stays linear; sf1 now carries
+    # embeddings (gen_sf1) so the whole family runs
+    "corpus_incremental_neardup_assemble",
+    "scale_pq_retrain_recall",
+    "scale_ivf_rebalance_contract",
+    "scale_ivf_retrain_publish",
+    "scale_index_drift_trigger",
 ]
 
 
@@ -340,8 +357,71 @@ def _custom_probes(spark, sf_dir):
                 emb, txn_id=f"ndprobe-{lo}")
         return root, run
 
+    def ndi_round_setup():
+        """ONE fixed-size (64-image) delta round of the IMAGE near-dup
+        lane against a persisted code/band corpus that grows with SF —
+        the round-13 O(delta) measurement.  The corpus is seeded
+        DIRECTLY as synthetic code rows (8·n_docs of them): the lane's
+        scaling surface is the banded Hamming join of a fixed batch
+        against the persisted band table plus the pixel-hash
+        anti-join, not n JPEG decodes — the timed round decodes its
+        OWN 64 real JPEGs and joins them against the grown corpus.  A
+        flat curve here is the proof image admission didn't
+        re-introduce a corpus rescan."""
+        import tempfile as _tf
+
+        from databox_adls_loader_spark.operators import multimodal as mm
+        from databox_adls_loader_spark.plans.queries_round12 import \
+            _mk_gray_jpeg
+        from databox_adls_loader_spark.plans.queries_round13 import (
+            _NDI_TABLES, _ndi_bands, ndi_delta_round)
+        from databox_adls_loader_spark.sinks import catalog as Cat
+        from databox_adls_loader_spark.sinks import versioned as V
+
+        root = _tf.mkdtemp(prefix="sgprobe_ndi_")
+        dirs = tuple(os.path.join(root, n)
+                     for n in ("hash", "code", "band", "adm"))
+        cat = os.path.join(root, "cat")
+        n = 8 * load_tables(spark, sf_dir,
+                            ["documents"])["documents"].count()
+        base = spark.range(n).select(
+            F.col("id").alias("asset_id"),
+            F.expr("xxhash64(id, 7) & 4294967295").alias("w0"),
+            F.expr("xxhash64(id, 13) & 4294967295").alias("w1"))
+        V.write_snapshot(
+            base.select(F.md5(F.concat(F.lit("synt"),
+                                       F.col("asset_id").cast("string"))
+                              ).alias("pixhash"), "asset_id"), dirs[0])
+        V.write_snapshot(base, dirs[1])
+        V.write_snapshot(_ndi_bands(base), dirs[2])
+        V.write_snapshot(base.select("asset_id"), dirs[3])
+        Cat.commit_txn(cat, dict(zip(_NDI_TABLES,
+                                     ((d, None) for d in dirs))),
+                       txn_id="probe-boot")
+
+        def batch(lo: int):
+            rows = [(n + lo + j, "image",
+                     bytearray(_mk_gray_jpeg(
+                         [[(((x // 8) ** 2) * ((lo + j) % 11 + 1)
+                            + ((y // 8) ** 2) * ((lo + j) % 13 + 2)
+                            + (lo + j) * 41) % 256
+                           for x in range(32)] for y in range(32)])),
+                     "image/jpeg") for j in range(64)]
+            return spark.createDataFrame(rows, mm.ASSET_SCHEMA)
+
+        batches = [batch(0), batch(64)]
+        state = {"i": 0}
+
+        def run():
+            b = batches[state["i"]]
+            state["i"] += 1
+            ndi_delta_round(spark, dirs, cat, b,
+                            txn_id=f"probe-ndi-{state['i']}")
+        return root, run
+
     probes = {"vt_rename_drop_read_orders": ("orders", rename_setup),
-              "vt_stream_drain_orders": ("orders", stream_setup)}
+              "vt_stream_drain_orders": ("orders", stream_setup),
+              "ndi_image_delta_round": ("documents", ndi_round_setup)}
     # the incremental-assemble lanes need embeddings for their index —
     # absent at the locally generated sf1 (documents + orders only)
     if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
