@@ -817,3 +817,59 @@ def test_trained_codebook_probe_recall_floor(spark, ivf_base):
     assert len(exact & got) >= 8, f"recall {len(exact & got)}/20"
     import shutil
     shutil.rmtree(idx, ignore_errors=True)
+
+
+class TestStreamMaintainedDriftTrigger:
+    """Round-13 verdict #1 closure, streaming half: a STREAM-maintained
+    PQ index composed with `maintenance.index_drift_report` reports
+    ``retrain_recommended`` when the corpus drifts off the publish-time
+    baseline — the foreachBatch tail an operator wires between retrains,
+    no corpus scan, no human watching a contract query."""
+
+    def test_stream_maintained_index_reports_drift(self, spark, sf_dir,
+                                                   tmp_path):
+        from databox_adls_loader_spark.sinks import maintenance as M
+        from databox_adls_loader_spark.sources.vtable_stream import \
+            register_vtable_stream
+
+        register_vtable_stream(spark)
+        emb_dir = str(tmp_path / "emb")
+        index_dir = str(tmp_path / "idx")
+        emb = _emb(spark, sf_dir).limit(200)
+        V.write_snapshot(emb, emb_dir)                      # v1: base
+
+        def drain(ck: str) -> None:
+            q = (spark.readStream.format("vtable_stream")
+                 .option("path", emb_dir)
+                 .option("readchangefeed", "true")
+                 .load().writeStream
+                 .foreachBatch(lambda df, bid:
+                               ann.maintain_pq_index_stream_batch(
+                                   df, bid, index_dir, **PQ_GEO))
+                 .option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(180)
+
+        drain(str(tmp_path / "ck1"))
+        # publish-time baseline off the freshly maintained index
+        baseline = M.code_baseline(
+            V.read_version(spark, index_dir), 0)
+        rep0 = M.index_drift_report(
+            V.read_version(spark, index_dir), baseline).collect()
+        assert all(r["tv_ppm"] == 0 for r in rep0)          # quiet
+        assert not any(r["retrain_recommended"] for r in rep0)
+
+        # drift: a reflected same-size delta lands through the SAME
+        # stream; the maintained index absorbs it under frozen books
+        V.write_snapshot(
+            emb.select((F.col("vec_id") + 10_000).alias("vec_id"),
+                       F.transform(F.reverse("embedding"),
+                                   lambda x: (F.lit(0.8)
+                                              - x.cast("double"))
+                                   .cast("float"))
+                       .alias("embedding")), emb_dir)       # v2
+        drain(str(tmp_path / "ck1"))
+        rep1 = M.index_drift_report(
+            V.read_version(spark, index_dir), baseline).collect()
+        assert any(r["retrain_recommended"] for r in rep1)
+        assert max(r["tv_ppm"] for r in rep1) >= 150_000
