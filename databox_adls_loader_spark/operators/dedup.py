@@ -189,7 +189,13 @@ def minhash_docs(docs: DataFrame, text_col: str = "text",
     permutation family, fully reproducible in the DuckDB oracle and only
     one digest per shingle.  The default stays xxhash64 for
     production-scale runs where no cross-engine check is needed."""
-    exploded = docs.select(
+    from ..session import spread
+
+    # the per-shingle hash work (one md5 or k xxhash64s per gram) is the
+    # map-side cost — spread the docs first so a single-row-group scan
+    # doesn't serialize it on one core (guide §2.5; no-op at scale)
+    exploded = spread(docs.select(F.col(id_col), F.col(text_col)),
+                      id_col).select(
         F.col(id_col),
         F.explode(word_shingles(text_col, shingle_n)).alias("__g"),
     )
@@ -390,9 +396,14 @@ def simhash_docs(docs: DataFrame, text_col: str = "text",
     oracle; default stays xxhash64 (cheaper, 63 usable bits)."""
     if portable and bits > 60:
         raise ValueError(f"portable simhash supports <= 60 bits, got {bits}")
+    from ..session import spread
+
     tok_hash = (md5_long(F.col("__t")) if portable
                 else F.xxhash64("__t"))
-    toks = docs.select(
+    # per-token hash + 60 getbit sums is the map-side cost — spread the
+    # docs so a coarse scan doesn't serialize it (guide §2.5)
+    toks = spread(docs.select(F.col(id_col), F.col(text_col)),
+                  id_col).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__t"),
     ).select("id", tok_hash.alias("__h"))
@@ -708,7 +719,9 @@ def bloom_build(bench: DataFrame, text_col: str = "text", n: int = 3,
     gram set that may not fit in driver or executor memory at all."""
     import numpy as np
 
-    pos = (bench
+    from ..session import spread
+
+    pos = (spread(bench.select(F.col(text_col)))
            .select(F.explode(word_shingles(text_col, n)).alias("__g"))
            .select(F.explode(bloom_positions("__g", m_bits, k_hashes))
                    .alias("p"))
@@ -760,9 +773,12 @@ def contamination_bloom(docs: DataFrame, bench: DataFrame, n: int = 3,
             & _np.uint64(1)
         return pd.Series(bits.all(axis=1))
 
+    from ..session import spread
+
     probed = (
-        docs.select(F.col(id_col),
-                    F.explode(word_shingles(text_col, n)).alias("__g"))
+        spread(docs.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(F.col(id_col),
+                F.explode(word_shingles(text_col, n)).alias("__g"))
         .select(id_col,
                 bloom_positions("__g", m_bits, k_hashes).alias("__ps"))
         .withColumn("__hit", might_contain("__ps"))
@@ -812,6 +828,10 @@ def contamination_multibench(docs: DataFrame, benches: dict[str, DataFrame],
                                    m_bits, k_hashes, text_col, id_col)
                .filter(F.col("contaminated_maybe"))
                .select(id_col))
+    # NOTE: no spread() here — the flagged slice is a tiny fraction of
+    # the corpus by design, and a repartition above the semi join was
+    # measured SLOWER (it blocks AQE's runtime re-plan of the join and
+    # adds an exchange for per-row work that phase 1 already bounded)
     probe = (docs.join(flagged, id_col, "left_semi")
              .select(F.col(id_col),
                      F.explode(word_shingles(text_col, n)).alias("__g"))

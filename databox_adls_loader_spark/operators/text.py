@@ -130,27 +130,40 @@ def fingerprints(docs: DataFrame, text_col: str = "text",
     min-aggregate instead of evaluating an interpreted O(len) lambda per
     row.  Values identical to the column-expression form; `explode_outer`
     keeps null-text rows (null fingerprints), matching SQL semantics."""
+    from ..session import spread
+
     c = F.col(text_col)
     n = F.greatest(F.length(c) - (gram - 1), F.lit(1))
-    # the canonical md5 (a regex pass over the whole text) must NOT ride
-    # through the explode — CollapseProject would inline it into the
-    # per-gram projection and run it len(text) times per doc.  Carry the
-    # raw text through the aggregate (first()) and canonicalize once per
-    # group afterwards.
-    grams = docs.select(
+    # Three measured shapes feed this plan (round 13, sf0.1 = 1.45M
+    # grams):
+    # 1. the gram md5 work is per-row expensive, so the scan must not
+    #    under-split it (guide §2.5) — spread() hashes docs across the
+    #    session parallelism when the input is a single row group;
+    # 2. the canonical md5 (a regex pass over the whole text) is
+    #    computed ONCE per doc *below* the Generate and carried as a
+    #    grouping column — Generate evaluates its child projection once
+    #    per input row, so it never re-runs per gram, and grouping on it
+    #    drops the old first(__t) aggregate that dragged the full text
+    #    into every exploded row;
+    # 3. the gram md5 is projected to a column BEFORE the aggregate so
+    #    the min() sort rows are (id, 32B, 32B) — min(string) plans as
+    #    SortAggregate, and sorting rows that each carried the whole
+    #    document was the query's real cost (~450 MB of sort input on
+    #    one task; now ~100 MB across all tasks).
+    grams = spread(docs.select(F.col(id_col), c.alias(text_col)),
+                   id_col).select(
         F.col(id_col),
-        F.explode_outer(F.sequence(F.lit(1), n)).alias("__i"),
+        fingerprint_md5(c).alias("fp_md5"),
         c.alias("__t"),
+        F.explode_outer(F.sequence(F.lit(1), n)).alias("__i"),
     )
     return (
-        grams.groupBy(id_col).agg(
-            F.min(F.md5(F.substring("__t", F.col("__i"), F.lit(gram))))
-            .alias("fp_rolling"),
-            F.first("__t").alias("__t"),
-        )
-        .select(F.col(id_col),
-                fingerprint_md5("__t").alias("fp_md5"),
-                "fp_rolling")
+        grams.select(
+            id_col, "fp_md5",
+            F.md5(F.substring("__t", F.col("__i"), F.lit(gram))).alias("__h"))
+        .groupBy(id_col, "fp_md5")
+        .agg(F.min("__h").alias("fp_rolling"))
+        .select(F.col(id_col), "fp_md5", "fp_rolling")
     )
 
 

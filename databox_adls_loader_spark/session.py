@@ -59,6 +59,32 @@ ALL_TABLES = ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split()
 
 
+def spread(df, *cols, target: int | None = None):
+    """Repartition a compute-heavy operator's input up to the session's
+    default parallelism WHEN the current plan would run on fewer
+    partitions — the guide-§2.5 "unsplittable input" fix (one row group,
+    a gzip member, a tiny file count all produce a scan with fewer tasks
+    than cores, and every per-row-expensive map stage above it — md5
+    shingles, token hashing, Arrow-batched decodes — then runs on that
+    handful of cores while the rest idle).
+
+    Scale-adaptive by construction: at 100 TB the scan already carries
+    ≥ parallelism partitions and this returns ``df`` unchanged — the
+    exchange only appears where the input layout under-splits.  With
+    ``cols`` the repartition hashes on those columns (deterministic, no
+    sort-before-repartition); bare it round-robins.  Only apply where
+    the downstream per-row work dominates a small exchange."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    if target is None:
+        target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    key = [F.col(c) if isinstance(c, str) else c for c in cols]
+    return df.repartition(target, *key) if key else df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str,
                 names: list[str] | None = None) -> dict[str, "object"]:
     """Load driver parquet tables under ``sf_dir`` as DataFrames (lazily —
