@@ -48,6 +48,9 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -74,23 +77,51 @@ def band_rows(df: DataFrame, dim: int, n_bands: int = 4,
               vec_col: str = "embedding") -> DataFrame:
     """The index content for ``df``: one row per (vector, band) with the
     band's sign bucket — ONE scan, all buckets computed map-side in a
-    single exploded select (no per-band passes), plus the composite
-    merge key ``__ann_key = id ':' band``."""
+    single Arrow-batched pass (`_multi_bucket_udf`, round 13 — the
+    per-band `_bucket_expr` struct array evaluated interpreted, HOFs
+    being CodegenFallback), plus the composite merge key
+    ``__ann_key = id ':' band``.  Rows identical to the expression
+    form: same left-fold dots, band-ascending explode order."""
     planes = band_planes(dim, n_bands, planes_per_band, seed)
-    vec = F.col(vec_col)
-    pairs = F.array(*[
-        F.struct(F.lit(b).cast("int").alias("band"),
-                 similarity._bucket_expr(vec, planes[b]).alias("bucket"))
-        for b in range(n_bands)
-    ])
-    return (df.select(F.col(id_col), F.explode(pairs).alias("bb"))
+    return (df.select(F.col(id_col),
+                      F.posexplode(_multi_bucket_udf(planes)
+                                   (F.col(vec_col)))
+                      .alias("band", "bucket"))
             .select(
                 F.concat_ws(":", F.col(id_col).cast("string"),
-                            F.col("bb.band").cast("string")
+                            F.col("band").cast("string")
                             ).alias(ANN_KEY),
                 F.col(id_col),
-                F.col("bb.band").alias("band"),
-                F.col("bb.bucket").alias("bucket")))
+                F.col("band").cast("int").alias("band"),
+                F.col("bucket")))
+
+
+def _multi_bucket_udf(planes: list):
+    """Arrow-batched twin of the per-band `_bucket_expr` struct array:
+    ALL bands' sign buckets in one NumPy pass (same left-fold dots —
+    see `similarity.bucket_q`), returned as array<long> indexed by
+    band for a `posexplode`."""
+    import pandas as pd
+
+    ps = [[[float(x) for x in p] for p in band] for band in planes]
+
+    @F.pandas_udf("array<long>")
+    def _bk(vs: "pd.Series") -> "pd.Series":
+        import numpy as np
+
+        mat = similarity._f64_rows(vs)
+        if not len(mat):
+            return pd.Series([], dtype="object")
+        outs = []
+        for band in ps:
+            b = np.zeros(len(mat), dtype=np.int64)
+            for i, p in enumerate(band):
+                b |= ((similarity._fold_dot_c(mat, p) >= 0)
+                      .astype(np.int64) << i)
+            outs.append(b)
+        stacked = np.stack(outs, axis=1)
+        return pd.Series(list(stacked))
+    return _bk
 
 
 def _build_commit(rows: DataFrame, index_dir: str, v_base: int) -> int:
@@ -401,15 +432,37 @@ def cell_expr(vec_col, centroids: list[list[float]]):
     return F.array_min(cands).getField("cell")
 
 
+def cell_q(centroids: list[list[float]]):
+    """Arrow-batched twin of `cell_expr` (round 13): same left-fold
+    dots per centroid, argmin over (−dot, cell) with np.argmin's
+    first-occurrence rule = the array_min smallest-cell tiebreak —
+    bit-equal assignments under the same no-NaN precondition."""
+    import pandas as pd
+
+    cs = [[float(x) for x in c] for c in centroids]
+
+    @F.pandas_udf("int")
+    def _cell(vs: "pd.Series") -> "pd.Series":
+        import numpy as np
+
+        mat = similarity._f64_rows(vs)
+        if not len(mat):
+            return pd.Series([], dtype="int32")
+        neg = np.stack([-similarity._fold_dot_c(mat, c) for c in cs],
+                       axis=1)
+        return pd.Series(np.argmin(neg, axis=1).astype(np.int32))
+    return _cell
+
+
 def ivf_rows(df: DataFrame, centroids: list[list[float]],
              id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
     """The IVF index content for ``df``: one (id, cell) row per vector —
     skinny on purpose: probes semi-join candidates back to the base
     table for the exact rerank, so the index never duplicates the
-    embedding payload."""
+    embedding payload.  Assignment via the Arrow-batched `cell_q`."""
     return df.select(F.col(id_col),
-                     cell_expr(F.col(vec_col), centroids).alias("cell"))
+                     cell_q(centroids)(F.col(vec_col)).alias("cell"))
 
 
 def build_ivf_index(spark: SparkSession, index_dir: str, base_dir: str,
@@ -519,10 +572,9 @@ def _ivf_rerank(spark: SparkSession, base_dir: str, cand: DataFrame,
                 query: list[float], k: int, id_col: str,
                 vec_col: str) -> DataFrame:
     base = V.read_version(spark, base_dir)
-    q = similarity._query_literal(query)
     return (base.join(F.broadcast(cand), id_col, "left_semi")
             .select(F.col(id_col),
-                    F.round(similarity.cosine(F.col(vec_col), q),
+                    F.round(similarity.cosine_q(query)(F.col(vec_col)),
                             6).alias("sim"))
             .orderBy(F.desc("sim"), id_col)
             .limit(k))
@@ -589,10 +641,9 @@ def probe_topk(spark: SparkSession, index_dir: str, base_dir: str,
         cond = this if cond is None else (cond | this)
     cand = idx.filter(cond).select(id_col).distinct()
     base = V.read_version(spark, base_dir)
-    q = similarity._query_literal(query)
     return (base.join(F.broadcast(cand), id_col, "left_semi")
             .select(F.col(id_col),
-                    F.round(similarity.cosine(F.col(vec_col), q),
+                    F.round(similarity.cosine_q(query)(F.col(vec_col)),
                             6).alias("sim"))
             .orderBy(F.desc("sim"), id_col)
             .limit(k))
@@ -648,28 +699,75 @@ def pq_code_expr(vec_col, book: list[list[float]], s: int):
     return F.array_min(cands).getField("code")
 
 
+def _pq_codes_udf(codebooks: list, integer: bool):
+    """Arrow-batched twin of the per-subspace `pq_code_expr[_int]`
+    struct array (round 13): all m nearest-codeword indexes in one
+    NumPy pass, returned as array<int> indexed by subspace for a
+    `posexplode`.  Float books: the per-element (x−y)² products add in
+    the same left-to-right order as the zip_with/aggregate fold —
+    bit-equal (same no-NaN precondition).  Integer books: µ-conversion
+    is the same two IEEE-double ops, distances are exact int64 (order-
+    free).  np.argmin's first-occurrence rule is the array_min
+    smallest-code tiebreak."""
+    import pandas as pd
+
+    books = [[[float(x) for x in c] for c in book] for book in codebooks]
+    sub = len(books[0][0])
+
+    @F.pandas_udf("array<int>")
+    def _codes(vs: "pd.Series") -> "pd.Series":
+        import numpy as np
+
+        mat = similarity._f64_rows(vs)
+        if not len(mat):
+            return pd.Series([], dtype="object")
+        if integer:
+            mat = np.floor(
+                (mat + float(PQ_INT_OFFSET)) * 1_000_000.0
+            ).astype(np.int64)
+        cols = []
+        for s, book in enumerate(books):
+            piece = mat[:, s * sub:(s + 1) * sub]
+            dists = []
+            for c in book:
+                cv = (np.asarray(c, dtype=np.int64) if integer
+                      else np.asarray(c, dtype=np.float64))
+                acc = (np.zeros(len(piece), dtype=np.int64) if integer
+                       else np.zeros(len(piece)))
+                for i in range(piece.shape[1]):
+                    d = piece[:, i] - cv[i]
+                    acc = acc + d * d
+                dists.append(acc)
+            cols.append(np.argmin(np.stack(dists, axis=1), axis=1)
+                        .astype(np.int32))
+        return pd.Series(list(np.stack(cols, axis=1)))
+    return _codes
+
+
+def _pq_rows_layout(df: DataFrame, codes_udf, id_col: str,
+                    vec_col: str) -> DataFrame:
+    return (df.select(F.col(id_col),
+                      F.posexplode(codes_udf(F.col(vec_col)))
+                      .alias("sub", "code"))
+            .select(
+                F.concat_ws(":", F.col(id_col).cast("string"),
+                            F.col("sub").cast("string")
+                            ).alias(PQ_KEY),
+                F.col(id_col),
+                F.col("sub").cast("int").alias("sub"),
+                F.col("code")))
+
+
 def pq_rows(df: DataFrame, codebooks: list[list[list[float]]],
             id_col: str = "vec_id",
             vec_col: str = "embedding") -> DataFrame:
     """The PQ index content for ``df``: one row per (vector, subspace)
     with its nearest-codeword index — ONE scan, all m codes computed
-    map-side in a single exploded select, plus the composite merge key
-    ``__pq_key = id ':' sub`` (the `band_rows` layout, so the index
-    rides the identical retire/upsert ledger)."""
-    vec = F.col(vec_col)
-    pairs = F.array(*[
-        F.struct(F.lit(s).cast("int").alias("sub"),
-                 pq_code_expr(vec, codebooks[s], s).alias("code"))
-        for s in range(len(codebooks))
-    ])
-    return (df.select(F.col(id_col), F.explode(pairs).alias("sc"))
-            .select(
-                F.concat_ws(":", F.col(id_col).cast("string"),
-                            F.col("sc.sub").cast("string")
-                            ).alias(PQ_KEY),
-                F.col(id_col),
-                F.col("sc.sub").alias("sub"),
-                F.col("sc.code").alias("code")))
+    map-side in a single Arrow-batched pass (`_pq_codes_udf`), plus the
+    composite merge key ``__pq_key = id ':' sub`` (the `band_rows`
+    layout, so the index rides the identical retire/upsert ledger)."""
+    return _pq_rows_layout(df, _pq_codes_udf(codebooks, integer=False),
+                           id_col, vec_col)
 
 
 def build_pq_index(spark: SparkSession, index_dir: str, base_dir: str,
@@ -827,11 +925,10 @@ def probe_pq_topk(spark: SparkSession, index_dir: str, base_dir: str,
         .orderBy(F.desc("adc_u"), id_col)
         .limit(k * expand))
     base = V.read_version(spark, base_dir)
-    q = similarity._query_literal(query)
     return (base.join(F.broadcast(cand.select(id_col)), id_col,
                       "left_semi")
             .select(F.col(id_col),
-                    F.round(similarity.cosine(F.col(vec_col), q),
+                    F.round(similarity.cosine_q(query)(F.col(vec_col)),
                             6).alias("sim"))
             .orderBy(F.desc("sim"), id_col)
             .limit(k))
@@ -881,11 +978,10 @@ def probe_ivfpq_topk(spark: SparkSession, ivf_index_dir: str,
             .orderBy(F.desc("adc_u"), id_col)
             .limit(k * expand))
     base = V.read_version(spark, base_dir)
-    q = similarity._query_literal(query)
     return (base.join(F.broadcast(cand.select(id_col)), id_col,
                       "left_semi")
             .select(F.col(id_col),
-                    F.round(similarity.cosine(F.col(vec_col), q),
+                    F.round(similarity.cosine_q(query)(F.col(vec_col)),
                             6).alias("sim"))
             .orderBy(F.desc("sim"), id_col)
             .limit(k))
@@ -1007,21 +1103,10 @@ def pq_rows_int(df: DataFrame, books: list[list[list[int]]],
                 id_col: str = "vec_id",
                 vec_col: str = "embedding") -> DataFrame:
     """`pq_rows` with integer codebooks — same (key, id, sub, code)
-    layout, same retire/upsert ledger compatibility."""
-    vec = F.col(vec_col)
-    pairs = F.array(*[
-        F.struct(F.lit(s).cast("int").alias("sub"),
-                 pq_code_expr_int(vec, books[s], s).alias("code"))
-        for s in range(len(books))
-    ])
-    return (df.select(F.col(id_col), F.explode(pairs).alias("sc"))
-            .select(
-                F.concat_ws(":", F.col(id_col).cast("string"),
-                            F.col("sc.sub").cast("string")
-                            ).alias(PQ_KEY),
-                F.col(id_col),
-                F.col("sc.sub").alias("sub"),
-                F.col("sc.code").alias("code")))
+    layout, same retire/upsert ledger compatibility; encoding via the
+    Arrow-batched kernel (`_pq_codes_udf`, exact int64)."""
+    return _pq_rows_layout(df, _pq_codes_udf(books, integer=True),
+                           id_col, vec_col)
 
 
 def build_pq_index_int(spark: SparkSession, index_dir: str,
@@ -1118,15 +1203,89 @@ def exact_d2_expr(vec_col, query: list[float]):
         F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
+def exact_d2_q(query: list[float]):
+    """Arrow-batched twin of `exact_d2_expr` (round 13): µ-conversion
+    is the same two IEEE-double ops elementwise, the squared-difference
+    sum is exact int64 (associative — any order is the same integer)."""
+    import math
+
+    import pandas as pd
+
+    qmu = [math.floor((float(x) + PQ_INT_OFFSET) * 1_000_000.0)
+           for x in query]
+
+    @F.pandas_udf("long")
+    def _d2q(vs: "pd.Series") -> "pd.Series":
+        import numpy as np
+
+        mat = similarity._f64_rows(vs)
+        if not len(mat):
+            return pd.Series([], dtype="int64")
+        mu = np.floor(
+            (mat + float(PQ_INT_OFFSET)) * 1_000_000.0).astype(np.int64)
+        diff = mu - np.asarray(qmu, dtype=np.int64)[None, :]
+        return pd.Series((diff * diff).sum(axis=1))
+    return _d2q
+
+
 def exact_topk_int(base_df: DataFrame, query: list[float], k: int = 10,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:
     """Brute-force exact-integer nearest-k — the recall oracle of the
-    integer PQ probes (one scan, TakeOrdered)."""
+    integer PQ probes (one scan, TakeOrdered); distance via the
+    Arrow-batched `exact_d2_q`."""
     return (base_df.select(F.col(id_col),
-                           exact_d2_expr(F.col(vec_col), query)
+                           exact_d2_q(query)(F.col(vec_col))
                            .alias("d2"))
             .orderBy("d2", id_col).limit(k))
+
+
+def ivf_assign_d2_rows(df: DataFrame, gens: list, query: list[float],
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Single-subspace (m=1) cell assignment under EACH centroid
+    generation in ``gens`` plus the exact µ²-distance to ``query``, in
+    ONE Arrow-batched pass (guide §4.2).  The expression form
+    (`pq_code_expr_int` per generation + `exact_d2_expr`) is built from
+    higher-order functions, which are CodegenFallback — every element
+    of every zip_with/aggregate lambda evaluates through the
+    interpreted expression machinery (measured 1.7 s for a 4k×64
+    corpus × 2 generations × 8 cells).  One NumPy broadcast per Arrow
+    batch performs the identical arithmetic: µ = floor((float64(x) +
+    OFFSET)·1e6) is the same two IEEE-double ops elementwise, distances
+    and sums are exact int64, and np.argmin's first-occurrence rule is
+    the array_min struct (dist, code) tie-break — ties to the lowest
+    code.  Returns (id, code0..codeN-1, d2), bit-equal to the
+    expression form."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    cents = [np.asarray(g[0], dtype=np.int64) for g in gens]
+    qmu = np.asarray(
+        [math.floor((float(x) + PQ_INT_OFFSET) * 1_000_000.0)
+         for x in query], dtype=np.int64)
+    names = [f"code{i}" for i in range(len(gens))]
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mu = np.floor(
+                (np.asarray([np.asarray(v, dtype=np.float64)
+                             for v in pdf[vec_col]])
+                 + float(PQ_INT_OFFSET)) * 1_000_000.0).astype(np.int64)
+            out = {id_col: pdf[id_col]}
+            for nm, c in zip(names, cents):
+                d = ((mu[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                out[nm] = np.argmin(d, axis=1).astype(np.int32)
+            out["d2"] = ((mu - qmu[None, :]) ** 2).sum(axis=1)
+            yield pd.DataFrame(out)
+
+    fields = ", ".join([f"{id_col} long"] + [f"{n} int" for n in names]
+                       + ["d2 long"])
+    return df.select(id_col, vec_col).mapInPandas(batches, schema=fields)
 
 
 def probe_pq_topk_int(spark: SparkSession, index_df: DataFrame,
@@ -1156,6 +1315,6 @@ def probe_pq_topk_int(spark: SparkSession, index_df: DataFrame,
     return (base_df.join(F.broadcast(cand.select(id_col)), id_col,
                          "left_semi")
             .select(F.col(id_col),
-                    exact_d2_expr(F.col(vec_col), query).alias("d2"))
+                    exact_d2_q(query)(F.col(vec_col)).alias("d2"))
             .orderBy("d2", id_col)
             .limit(k))

@@ -1093,13 +1093,12 @@ def scale_ivfpq_pruned_probe(spark: SparkSession,
         .agg(F.sum("__u").alias("adc_u"))
         .orderBy(F.desc("adc_u"), "vec_id")
         .limit(80))
-    q = F.array(*[F.lit(float(v)) for v in query])
     from ..operators import similarity
     return (base.join(F.broadcast(shortlist.select("vec_id")),
                       "vec_id", "left_semi")
             .select("vec_id",
-                    F.round(similarity.cosine(F.col("embedding"), q),
-                            6).alias("sim"))
+                    F.round(similarity.cosine_q(query)
+                            (F.col("embedding")), 6).alias("sim"))
             .orderBy(F.desc("sim"), "vec_id")
             .limit(20)
             .withColumn("pruned_ok", F.lit(bool(prune_ok))))

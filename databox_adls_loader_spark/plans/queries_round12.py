@@ -1196,7 +1196,6 @@ def scale_ivfpq_recall_contract(spark: SparkSession,
                                       V.latest_version(serving)))
     bf = similarity.topk_bruteforce(base, query,
                                     k=_IVFPQ_MP["k"]).select("vec_id")
-    qlit = F.array(*[F.lit(float(v)) for v in query])
 
     def probe_hits(n_cells: int) -> tuple[DataFrame, bool]:
         cand, files = None, set()
@@ -1218,8 +1217,8 @@ def scale_ivfpq_recall_contract(spark: SparkSession,
         top = (base.join(F.broadcast(shortlist.select("vec_id")),
                          "vec_id", "left_semi")
                .select("vec_id",
-                       F.round(similarity.cosine(F.col("embedding"),
-                                                 qlit), 6).alias("sim"))
+                       F.round(similarity.cosine_q(query)
+                               (F.col("embedding")), 6).alias("sim"))
                .orderBy(F.desc("sim"), "vec_id")
                .limit(_IVFPQ_MP["k"]))
         hits = (top.join(bf, "vec_id", "left_semi")
@@ -1560,17 +1559,32 @@ def scale_ivf_rebalance_contract(spark: SparkSession,
     geo = dict(m=1, k_codes=_IVFR["k_cells"], iters=_IVFR["iters"])
     C0 = ann.pq_train_int(ann.pq_sample_int(pre, _PQR_SAMPLE), **geo)
     C1 = ann.pq_train_int(ann.pq_sample_int(full, _PQR_SAMPLE), **geo)
-    n_all = full.count()
     q = [float(x) for x in full.filter(
         F.col("vec_id") == _PQR_QIDS[0]).first()["embedding"]]
     qmu = [math.floor((x + ann.PQ_INT_OFFSET) * 1_000_000.0)
            for x in q]
-    bf = ann.exact_topk_int(full, q, _IVFR["k"]).select("vec_id")
+    # ONE pass over the corpus computes every per-row quantity both
+    # sides need — the cell assignment under EACH centroid generation
+    # and the exact µ²-distance to the probe — persisted as a 4-column
+    # frame (released by the harness after the action).  The previous
+    # shape re-derived them per consumer: 2 encodes + 1 brute-force +
+    # 1 routed-distance pass PER SIDE ≈ 8 full-table expression passes
+    # for one 1-row answer (guide §2.4: remove recomputed subtrees;
+    # §2.3: every downstream agg now reads 4 narrow columns, never the
+    # 64-float embedding).  The pass itself is Arrow-batched NumPy
+    # (guide §4.2 — the HOF expression form evaluates interpreted, see
+    # `ann.ivf_assign_d2_rows`).  Values unchanged: identical int64
+    # arithmetic, same (d2, vec_id) orderings, same share integers.
+    per_row = ann.ivf_assign_d2_rows(full, [C0, C1], q).persist()
+    n_all = per_row.count()
+    bf = (per_row.orderBy("d2", "vec_id").limit(_IVFR["k"])
+          .select("vec_id"))
 
-    def side(books) -> DataFrame:
+    def side(books, code_col: str) -> DataFrame:
         """(max_share, routed_share, n_hits) one-row frame for one
         centroid generation."""
-        asg = ann.pq_rows_int(full, books).select("vec_id", "code")
+        asg = per_row.select("vec_id", F.col(code_col).alias("code"),
+                             "d2")
         occ = (asg.groupBy("code").agg(F.count(F.lit(1)).alias("c"))
                .agg(F.expr(f"CAST(max(c) * 1000000L DIV {n_all}L"
                            " AS LONG)").alias("max_share")))
@@ -1578,28 +1592,25 @@ def scale_ivf_rebalance_contract(spark: SparkSession,
         cells = sorted(range(len(cents)),
                        key=lambda c: (ann._d2(qmu, cents[c]), c)
                        )[:_IVFR["nprobe"]]
-        routed = asg.filter(F.col("code").isin(cells)).select("vec_id")
+        routed = asg.filter(F.col("code").isin(cells))
         nr = routed.agg(
             F.count(F.lit(1)).alias("n_routed"),
             F.expr(f"CAST(count(1) * 1000000L DIV {n_all}L AS LONG)")
             .alias("routed_share"))
-        top = (full.join(F.broadcast(routed), "vec_id", "left_semi")
-               .select("vec_id",
-                       ann.exact_d2_expr(F.col("embedding"), q)
-                       .alias("d2"))
+        top = (routed.select("vec_id", "d2")
                .orderBy("d2", "vec_id").limit(_IVFR["k"]))
         hits = (top.join(bf, "vec_id", "left_semi")
                 .agg(F.count(F.lit(1)).alias("n_hits")))
         return occ.crossJoin(nr).crossJoin(hits)
 
-    s0 = side(C0).select(F.col("max_share").alias("ms0"),
-                         F.col("routed_share").alias("rs0"),
-                         F.col("n_routed").alias("nr0"),
-                         F.col("n_hits").alias("nh0"))
-    s1 = side(C1).select(F.col("max_share").alias("ms1"),
-                         F.col("routed_share").alias("rs1"),
-                         F.col("n_routed").alias("nr1"),
-                         F.col("n_hits").alias("nh1"))
+    s0 = side(C0, "code0").select(F.col("max_share").alias("ms0"),
+                                  F.col("routed_share").alias("rs0"),
+                                  F.col("n_routed").alias("nr0"),
+                                  F.col("n_hits").alias("nh0"))
+    s1 = side(C1, "code1").select(F.col("max_share").alias("ms1"),
+                                  F.col("routed_share").alias("rs1"),
+                                  F.col("n_routed").alias("nr1"),
+                                  F.col("n_hits").alias("nh1"))
     return (s0.crossJoin(s1)
             .select(F.col("ms0").alias("max_share_before_ppm"),
                     F.col("ms1").alias("max_share_after_ppm"),

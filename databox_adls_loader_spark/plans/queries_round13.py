@@ -188,7 +188,7 @@ def _ivfr_side(full: DataFrame, asg: DataFrame, cells: list[int],
         .alias(f"rs{tag}"))
     top = (full.join(F.broadcast(routed), "vec_id", "left_semi")
            .select("vec_id",
-                   ann.exact_d2_expr(F.col("embedding"), q).alias("d2"))
+                   ann.exact_d2_q(q)(F.col("embedding")).alias("d2"))
            .orderBy("d2", "vec_id").limit(_IVFR["k"]))
     hits = (top.join(bf, "vec_id", "left_semi")
             .agg(F.count(F.lit(1)).alias(f"nh{tag}")))
