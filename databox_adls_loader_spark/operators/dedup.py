@@ -199,18 +199,24 @@ def minhash_docs(docs: DataFrame, text_col: str = "text",
         F.col(id_col),
         F.explode(word_shingles(text_col, shingle_n)).alias("__g"),
     )
+    # aggregate columns built as parsed expr strings, not composed
+    # Column objects: the k-way composition costs ~9 py4j roundtrips per
+    # permutation (~0.4 s of DRIVER time per call at k=32, measured) —
+    # one parse call each builds the identical expression tree
     if portable:
         exploded = exploded.select(
             F.col(id_col), md5_long("__g").alias("__base"))
-        mins = [F.min(_perm_hash(F.col("__base"), a, b)).alias(f"__h{j}")
+        p = _PERM_PRIME
+        mins = [F.expr(f"min(pmod({a} * pmod(__base, {p}) + {b}, {p}))"
+                       f" AS __h{j}")
                 for j, (a, b) in enumerate(perm_constants(k))]
     else:
-        mins = [F.min(F.xxhash64(F.lit(j), "__g")).alias(f"__h{j}")
+        mins = [F.expr(f"min(xxhash64({j}, __g)) AS __h{j}")
                 for j in range(k)]
+    sig = ", ".join(f"__h{j}" for j in range(k))
     return (
         exploded.groupBy(id_col).agg(*mins)
-        .select(F.col(id_col),
-                F.array(*[F.col(f"__h{j}") for j in range(k)]).alias("sig"))
+        .select(F.col(id_col), F.expr(f"array({sig}) AS sig"))
     )
 
 
@@ -407,16 +413,18 @@ def simhash_docs(docs: DataFrame, text_col: str = "text",
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__t"),
     ).select("id", tok_hash.alias("__h"))
-    sums = [F.sum(F.when(F.getbit("__h", F.lit(b)) == 1, 1).otherwise(-1))
-            .alias(f"__c{b}") for b in range(bits)]
-    packed = None
-    for b in range(bits):
-        term = F.when(F.col(f"__c{b}") > 0,
-                      F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-        packed = term if packed is None else packed + term
+    # aggregates and the packed-bits chain built as parsed expr strings:
+    # the Column-object composition costs ~900 py4j roundtrips at
+    # bits=60 (~0.8 s of DRIVER time per call, measured) — identical
+    # expression trees, two parse calls total
+    sums = [F.expr(f"sum(CASE WHEN getbit(__h, {b}) = 1 THEN 1 ELSE -1"
+                   f" END) AS __c{b}") for b in range(bits)]
+    packed = " + ".join(
+        f"(CASE WHEN __c{b} > 0 THEN CAST({1 << b} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)" for b in range(bits))
     return (
         toks.groupBy("id").agg(*sums)
-        .select("id", packed.alias("fp"))
+        .select("id", F.expr(f"({packed}) AS fp"))
     )
 
 
@@ -762,16 +770,23 @@ def contamination_bloom(docs: DataFrame, bench: DataFrame, n: int = 3,
     words = bloom_build(bench, text_col, n, m_bits, k_hashes)
     bcast = docs.sparkSession.sparkContext.broadcast(words)
 
+    # the k positions cross the Arrow boundary as k FLAT int64 columns,
+    # not one array<long> column: an array column arrives as 1.4M Python
+    # lists that np.vstack must box row by row (~1 s at sf0.1); flat
+    # columns are zero-copy numpy views (guide §4.2)
     @pandas_udf("boolean")
-    def might_contain(pos: pd.Series) -> pd.Series:
+    def might_contain(*pos: pd.Series) -> pd.Series:
         import numpy as _np
         w = bcast.value
-        if pos.empty:
+        if pos[0].empty:
             return pd.Series([], dtype=bool)
-        idx = _np.vstack(pos.to_numpy()).astype(_np.int64)  # rows × k
-        bits = (w[idx >> 6] >> (idx.astype(_np.uint64) & _np.uint64(63))) \
-            & _np.uint64(1)
-        return pd.Series(bits.all(axis=1))
+        hit = None
+        for p in pos:
+            idx = p.to_numpy(dtype=_np.int64)
+            bits = (w[idx >> 6] >> (idx.astype(_np.uint64)
+                                    & _np.uint64(63))) & _np.uint64(1)
+            hit = bits if hit is None else (hit & bits)
+        return pd.Series(hit.astype(bool))
 
     from ..session import spread
 
@@ -780,8 +795,10 @@ def contamination_bloom(docs: DataFrame, bench: DataFrame, n: int = 3,
         .select(F.col(id_col),
                 F.explode(word_shingles(text_col, n)).alias("__g"))
         .select(id_col,
-                bloom_positions("__g", m_bits, k_hashes).alias("__ps"))
-        .withColumn("__hit", might_contain("__ps"))
+                *[F.pmod(F.xxhash64("__g", F.lit(i)), F.lit(m_bits))
+                  .alias(f"__p{i}") for i in range(k_hashes)])
+        .withColumn("__hit",
+                    might_contain(*[f"__p{i}" for i in range(k_hashes)]))
         .groupBy(id_col)
         .agg(F.sum(F.col("__hit").cast("long")).alias("n_flagged_grams"))
     )
@@ -867,10 +884,16 @@ def blocked_edit_pairs(records: DataFrame, block_cols: str | list[str],
     recovered the standard way, by unioning passes over DIFFERENT key
     sets.  A skewed block is AQE-splittable since verification is
     stateless per pair."""
+    from ..session import spread
+
     blocks = [block_cols] if isinstance(block_cols, str) else list(block_cols)
-    left = records.select(*[F.col(c) for c in blocks],
-                          F.col(id_col).alias("a"),
-                          F.col(text_col).alias("__ta"))
+    # The verify work (Σ|block|² bounded-levenshtein evals) runs on the
+    # STREAMED side of the broadcast join — a single-row-group input
+    # would serialize all of it on one core (guide §2.5); spread only
+    # adds an exchange when the scan under-splits.
+    left = spread(records.select(*[F.col(c) for c in blocks],
+                                 F.col(id_col).alias("a"),
+                                 F.col(text_col).alias("__ta")))
     right = records.select(*[F.col(c) for c in blocks],
                            F.col(id_col).alias("b"),
                            F.col(text_col).alias("__tb"))

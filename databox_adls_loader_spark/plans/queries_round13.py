@@ -1164,8 +1164,15 @@ def scale_neardup_admission_recall(spark: SparkSession,
     from ..operators import dedup
 
     (docs,) = _t(spark, sf_dir, "documents")
+    # Every frame below is tiny (8 bases, 24 variants, 32 verdicts) but
+    # the subtrees above them are not: unpersisted, the plan re-derived
+    # the TakeOrdered-8 scan and the MinHash shingle hashing once per
+    # consumer — 66 parquet scans / 84 aggregates in one physical plan
+    # (plans/r13/..._before.txt; guide §2.4 "remove recomputed
+    # subtrees").  persist() at the reuse points computes each once;
+    # the harness releases the blocks after the action.
     base = (docs.orderBy(F.desc("n_chars"), "doc_id").limit(8)
-            .select("doc_id", "text"))
+            .select("doc_id", "text").persist())
     nt = "size(split(trim(text), '\\\\s+'))"
 
     def variant(off: int, tag: str) -> DataFrame:
@@ -1182,11 +1189,11 @@ def scale_neardup_admission_recall(spark: SparkSession,
     for off, _cls, tag in _NDR_OFFS[1:]:
         variants = variants.unionByName(variant(off, tag))
     sigs_b = dedup.minhash_docs(base, "text", "doc_id", _ND["k"],
-                                _ND["shingle_n"], portable=True)
+                                _ND["shingle_n"], portable=True).persist()
     bands_b = dedup.lsh_banded(sigs_b, _ND["bands"], "doc_id",
                                portable=True)
     sigs_v = dedup.minhash_docs(variants, "text", "doc_id", _ND["k"],
-                                _ND["shingle_n"], portable=True)
+                                _ND["shingle_n"], portable=True).persist()
     bands_v = dedup.lsh_banded(sigs_v, _ND["bands"], "doc_id",
                                portable=True)
     cross = (bands_v.alias("l").join(
@@ -1204,7 +1211,8 @@ def scale_neardup_admission_recall(spark: SparkSession,
                   F.when(F.col("doc_id") >= 3_000_000_000, "false")
                   .when(F.col("doc_id") >= 2_000_000_000, "borderline")
                   .otherwise("true").alias("cls"),
-                  F.coalesce("__blk", F.lit(False)).alias("blocked")))
+                  F.coalesce("__blk", F.lit(False)).alias("blocked"))
+          .persist())
     pc = (pv.groupBy("cls")
           .agg(F.count(F.lit(1)).alias("n_class"),
                F.sum(F.when(F.col("blocked"), 1).otherwise(0))
