@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, similarity, text
+from ..session import spread
 from .queries import _t, register
 
 
@@ -404,7 +405,11 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary), so the heuristic is oracle-checked against its own SQL
     transcription, not the label."""
     (docs,) = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", text.lang_id("text").alias("lang_pred")).orderBy("doc_id")
+    # interpreted marker-filter HOFs per doc (see text_lang_id_margin):
+    # spread measured 1.13 -> 0.98 s on the single-row-group scan
+    return (spread(docs.select("doc_id", "text"))
+            .select("doc_id", text.lang_id("text").alias("lang_pred"))
+            .orderBy("doc_id"))
 
 
 @register(

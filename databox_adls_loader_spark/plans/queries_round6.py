@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import spread
 from .queries import _t, fixture_timed, register
 from .queries_ext import _hex15_to_long, _perms_values_sql
 
@@ -1359,7 +1360,9 @@ def text_lang_id_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     scores = lang_scores("text")
     arr = F.array_sort(F.array(*[s for _, s in scores]))
-    return (docs.select(
+    # 5 languages x interpreted token-filter HOFs per doc, one-task on a
+    # single-row-group scan: spread measured 2.48 -> 1.10 s (noop min-of-3)
+    return (spread(docs.select("doc_id", "text")).select(
                 "doc_id",
                 lang_id("text").alias("lang_pred"),
                 (arr[4] - arr[3]).cast("long").alias("margin"))

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import spread
 from .queries import _t, fixture_timed, register
 from .queries_ext import _hex15_to_long as _hex15
 
@@ -2138,6 +2139,10 @@ def agg_cube_returns_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (processDirectoryIntoUnits); multidimensional rollup is
     beyond-reference surface."""
     (li,) = _t(spark, sf_dir, "lineitem")
+    # single-row-group scan: the per-row work above it (join probes /
+    # decimal agg / grouping-set Expand) would run one-task; spread is a
+    # no-op once a scan splits (guide §2.5)
+    li = spread(li)
     return (li.cube("l_returnflag", "l_linestatus")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.col("l_quantity").cast("decimal(18,2)"))

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import spread
 from .queries import _t, fixture_timed, register
 
 # ---------------------------------------------------------------------------
@@ -1321,6 +1322,10 @@ def agg_rollup_lineitem_hierarchy(spark: SparkSession,
     however many levels, which is why ROLLUP beats N separate
     aggregations at 100 TB."""
     (li,) = _t(spark, sf_dir, "lineitem")
+    # single-row-group scan: the per-row work above it (join probes /
+    # decimal agg / grouping-set Expand) would run one-task; spread is a
+    # no-op once a scan splits (guide §2.5)
+    li = spread(li)
     return (li.rollup("l_returnflag", "l_linestatus")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.col("l_quantity").cast("decimal(18,2)"))

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import davg, dec, dsum, dsum_expr
+from ..session import spread
 from .queries import _t, register
 
 
@@ -216,6 +217,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact join; nation broadcasts; profit algebra stays decimal-exact."""
     lineitem, part, supplier, orders, nation = _t(
         spark, sf_dir, "lineitem", "part", "supplier", "orders", "nation")
+    # single-row-group scan: the per-row work above it (join probes /
+    # decimal agg / grouping-set Expand) would run one-task; spread is a
+    # no-op once a scan splits (guide §2.5)
+    lineitem = spread(lineitem)
     profit = (
         dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
         - dec("p_retailprice") * dec("l_quantity") * F.lit(0.6).cast("decimal(4,2)")
@@ -607,6 +612,10 @@ def g1_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets (flag, status) → (flag) → () — partial
     aggregation computes all levels in one pass over the fact."""
     (lineitem,) = _t(spark, sf_dir, "lineitem")
+    # single-row-group scan: the per-row work above it (join probes /
+    # decimal agg / grouping-set Expand) would run one-task; spread is a
+    # no-op once a scan splits (guide §2.5)
+    lineitem = spread(lineitem)
     return (
         lineitem.rollup("l_returnflag", "l_linestatus")
         .agg(dsum("l_extendedprice").alias("rev"),
