@@ -176,7 +176,8 @@ def global_row_number(df: DataFrame, order: list[tuple[str, str]],
 
 def global_ranks(df: DataFrame, order: list[tuple[str, str]],
                  ntile: int | None = None,
-                 num_partitions: int | None = None) -> DataFrame:
+                 num_partitions: int | None = None,
+                 unique: bool = False) -> DataFrame:
     """rank / dense_rank / percent_rank / cume_dist (and optionally
     ntile) over a GLOBAL ordering, built entirely from scale-safe parts:
 
@@ -194,8 +195,34 @@ def global_ranks(df: DataFrame, order: list[tuple[str, str]],
     one window shape Spark executes on a single partition
     (`WindowExec: No Partition Defined`); results are bit-identical to
     the native global window.
+
+    ``unique=True`` declares the ``order`` tuple a KEY (e.g. it ends in
+    a unique tiebreak column): no row has peers, so rank = dense_rank =
+    row_number, the tie-group max is the row itself, and the whole
+    tie-window + dense-rank second pass + rank join collapse to map-side
+    column math over ONE `global_row_number` — one range shuffle and one
+    O(partitions) offsets job instead of three shuffles and two jobs.
+    Values are identical BY DEFINITION (SQL peers are rows equal on the
+    full ORDER BY tuple; a key admits none) — asserted against the
+    general path in tests/test_profile.py.  The caller owns the
+    uniqueness claim; passing unique=True over a non-key order returns
+    row_number-ranks, which SQL RANK would not.
     """
     base, n = global_row_number(df, order, "__rn", num_partitions)
+    if unique:
+        out = (base.withColumn("rnk", F.col("__rn"))
+               .withColumn("drnk", F.col("__rn"))
+               .withColumn(
+                   "pct_rank",
+                   F.when(F.lit(n) > 1,
+                          (F.col("rnk") - 1).cast("double")
+                          / F.lit(float(n - 1 if n > 1 else 1)))
+                   .otherwise(F.lit(0.0)))
+               .withColumn("cume_dist",
+                           F.col("__rn").cast("double") / F.lit(float(n or 1))))
+        if ntile is not None:
+            out = out.withColumn("ntile", _ntile_expr("__rn", n, int(ntile)))
+        return out.withColumnRenamed("__rn", "row_number")
     tie_cols = [c for c, _ in order]
     wt = Window.partitionBy(*tie_cols)
     t = (base.withColumn("rnk", F.min("__rn").over(wt))

@@ -1597,9 +1597,11 @@ def ts_seasonal_naive_residuals(spark: SparkSession,
              .cast("long").alias("rev_usd"))
     )
     w = Window.partitionBy("series").orderBy("d")
+    # r feeds the quartile aggregate AND the final join — persist so the
+    # join+agg+window subtree computes once (guide §2.4; harness releases)
     r = daily.withColumn(
         "resid", (F.col("rev_usd") - F.lag("rev_usd", 7).over(w))
-        .cast("long"))
+        .cast("long")).persist()
     q = (r.filter(F.col("resid").isNotNull())
          .groupBy("series")
          .agg(F.expr("percentile(resid, 0.25D)").alias("q1"),

@@ -917,9 +917,13 @@ def w5_rank_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFram
     tests/test_profile.py::test_global_ranks_match_native_window pin it."""
     from ..operators.windows import global_ranks
     (customer,) = _t(spark, sf_dir, "customer")
+    # c_custkey is the table key, so the order tuple is unique —
+    # unique=True collapses the tie windows / dense pass / rank join to
+    # one range shuffle (values identical by the no-peers argument;
+    # noop A/B in plans/r13)
     ranked = global_ranks(customer,
                           [("c_acctbal", "desc"), ("c_custkey", "asc")],
-                          ntile=4)
+                          ntile=4, unique=True)
     return ranked.select(
         "c_custkey",
         F.col("ntile").alias("quartile"),

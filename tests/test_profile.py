@@ -125,6 +125,32 @@ def test_global_ranks_match_native_window(spark):
             assert got[i][c] == want[i][c], (i, c)
 
 
+def test_global_ranks_unique_fast_path_matches_general(spark):
+    """unique=True (order tuple is a key) must be bit-identical to the
+    general tie-window path on every output column — same data as the
+    native-window pin, ordered by (v, id) which IS unique."""
+    from databox_adls_loader_spark.operators.windows import global_ranks
+    df = spark.createDataFrame(
+        [Row(id=i, v=val) for i, val in
+         enumerate([10.0, 20.0, 20.0, 5.0, 20.0, 5.0, 7.0, 30.0, 7.0, 1.0])]
+    )
+    order = [("v", "desc"), ("id", "asc")]
+    cols = ("row_number", "rnk", "drnk", "pct_rank", "cume_dist", "ntile")
+    got = {r["id"]: r for r in
+           global_ranks(df, order, ntile=4, num_partitions=4,
+                        unique=True).collect()}
+    want = {r["id"]: r for r in
+            global_ranks(df, order, ntile=4, num_partitions=4).collect()}
+    assert set(got) == set(want)
+    for i in want:
+        for c in cols:
+            assert got[i][c] == want[i][c], (i, c, got[i][c], want[i][c])
+    # same Spark types too — the hash gate is type-sensitive
+    gt = dict(global_ranks(df, order, ntile=4, unique=True).dtypes)
+    wt = dict(global_ranks(df, order, ntile=4).dtypes)
+    assert {c: gt[c] for c in cols} == {c: wt[c] for c in cols}
+
+
 def test_global_ranks_rank_ties_on_prefix(spark):
     """Ties on the rank ordering (duplicate full order tuples) collapse
     to the same rnk/drnk, exactly like SQL RANK/DENSE_RANK."""
