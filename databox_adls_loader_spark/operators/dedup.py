@@ -726,17 +726,45 @@ def bloom_build(bench: DataFrame, text_col: str = "text", n: int = 3,
     filter is 128 MB) broadcast once per executor, vs. a multi-GB exact
     gram set that may not fit in driver or executor memory at all."""
     import numpy as np
+    import pandas as pd
 
     from ..session import spread
 
+    # One flat projection of the k positions (no second explode), then
+    # the bitmap is built MAP-SIDE per partition and OR-folded on the
+    # driver: a bitmap is a set union, so per-partition bitmaps OR to
+    # exactly the bitmap the old exchange→distinct→collect path built —
+    # but the shuffle of every (gram, position) row and the
+    # O(distinct positions) driver collect are gone; what crosses to the
+    # driver is |partitions| × m_bits/8 bytes (guide §2.3 "shuffle fewer
+    # bytes", §5.1 — at very large clusters fold partial bitmaps with a
+    # treeAggregate instead of one collect).
+    n_words = (m_bits + 63) // 64
     pos = (spread(bench.select(F.col(text_col)))
            .select(F.explode(word_shingles(text_col, n)).alias("__g"))
-           .select(F.explode(bloom_positions("__g", m_bits, k_hashes))
-                   .alias("p"))
-           .distinct())
-    words = np.zeros((m_bits + 63) // 64, dtype=np.uint64)
-    arr = pos.toPandas()["p"].to_numpy(dtype=np.int64)
-    np.bitwise_or.at(words, arr >> 6, np.uint64(1) << (arr.astype(np.uint64) & np.uint64(63)))
+           .select(*[F.pmod(F.xxhash64("__g", F.lit(i)), F.lit(m_bits))
+                     .alias(f"__p{i}") for i in range(k_hashes)]))
+
+    def part_bitmaps(it):
+        # scatter into a bool array (buffered fancy assignment — OR is
+        # idempotent so duplicate positions are free), then packbits to
+        # the p>>6 / p&63 word layout; both are vectorized, unlike the
+        # unbuffered np.bitwise_or.at which costs ~100 ns per position
+        bits = np.zeros(n_words * 64, dtype=bool)
+        seen = False
+        for pdf in it:
+            if not len(pdf):
+                continue
+            seen = True
+            for c in pdf.columns:
+                bits[pdf[c].to_numpy(dtype=np.int64)] = True
+        if seen:
+            packed = np.packbits(bits, bitorder="little").tobytes()
+            yield pd.DataFrame({"bm": [packed]})
+
+    words = np.zeros(n_words, dtype=np.uint64)
+    for row in pos.mapInPandas(part_bitmaps, "bm binary").collect():
+        words |= np.frombuffer(row["bm"], dtype="<u8")
     return words
 
 
