@@ -1514,12 +1514,6 @@ def rfm_segment_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("freq"),
                  F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100)
                        .cast("long")).cast("long").alias("cents")))
-    # each global_row_number range-partitions its input, and
-    # repartitionByRange SAMPLES the input in a separate pass first —
-    # unpersisted, the orders aggregation above ran twice for the first
-    # call (sample + shuffle).  persist() computes it once; the harness
-    # releases the blocks after the action (guide §2.4).
-    base = base.persist()
     mx = F.broadcast(base.agg(F.max("last_d").alias("maxd")))
     base = (base.crossJoin(mx)
             .withColumn("r_days", F.datediff("maxd", "last_d")))
