@@ -725,10 +725,23 @@ def bloom_build(bench: DataFrame, text_col: str = "text", n: int = 3,
     m_bits ≈ 10·n_grams and the bitmap is m_bits/8 bytes (a 2³⁰-bit
     filter is 128 MB) broadcast once per executor, vs. a multi-GB exact
     gram set that may not fit in driver or executor memory at all."""
+    from ..session import spread
+
+    grams = (spread(bench.select(F.col(text_col)))
+             .select(F.explode(word_shingles(text_col, n)).alias("__g")))
+    return bloom_bitmap_from_grams(grams, "__g", m_bits, k_hashes)
+
+
+def bloom_bitmap_from_grams(grams: DataFrame, gram_col: str = "__g",
+                            m_bits: int = 1 << 20, k_hashes: int = 5):
+    """`bloom_build` below the shingle step: the bitmap over an already
+    gram-level frame — the entry point for callers that share one shingle
+    pass between the bitmap and other consumers (multibench's exact
+    verify).  Duplicate grams cost nothing (the scatter is idempotent),
+    so any frame with the same DISTINCT gram set yields a bit-equal
+    bitmap."""
     import numpy as np
     import pandas as pd
-
-    from ..session import spread
 
     # One flat projection of the k positions (no second explode), then
     # the bitmap is built MAP-SIDE per partition and OR-folded on the
@@ -740,10 +753,9 @@ def bloom_build(bench: DataFrame, text_col: str = "text", n: int = 3,
     # bytes", §5.1 — at very large clusters fold partial bitmaps with a
     # treeAggregate instead of one collect).
     n_words = (m_bits + 63) // 64
-    pos = (spread(bench.select(F.col(text_col)))
-           .select(F.explode(word_shingles(text_col, n)).alias("__g"))
-           .select(*[F.pmod(F.xxhash64("__g", F.lit(i)), F.lit(m_bits))
-                     .alias(f"__p{i}") for i in range(k_hashes)]))
+    pos = grams.select(
+        *[F.pmod(F.xxhash64(gram_col, F.lit(i)), F.lit(m_bits))
+          .alias(f"__p{i}") for i in range(k_hashes)])
 
     def part_bitmaps(it):
         # scatter into a bool array (buffered fancy assignment — OR is
@@ -766,6 +778,49 @@ def bloom_build(bench: DataFrame, text_col: str = "text", n: int = 3,
     for row in pos.mapInPandas(part_bitmaps, "bm binary").collect():
         words |= np.frombuffer(row["bm"], dtype="<u8")
     return words
+
+
+def _bloom_probe(docs: DataFrame, words, n: int, m_bits: int,
+                 k_hashes: int, text_col: str, id_col: str) -> DataFrame:
+    """Probe every doc's grams through a prebuilt bitmap: returns
+    (id_col, n_flagged_grams) for every doc that has ≥ 1 gram (docs with
+    empty text produce no row — callers coalesce to 0)."""
+    from pyspark.sql.functions import pandas_udf
+
+    bcast = docs.sparkSession.sparkContext.broadcast(words)
+
+    # the k positions cross the Arrow boundary as k FLAT int64 columns,
+    # not one array<long> column: an array column arrives as 1.4M Python
+    # lists that np.vstack must box row by row (~1 s at sf0.1); flat
+    # columns are zero-copy numpy views (guide §4.2)
+    @pandas_udf("boolean")
+    def might_contain(*pos: pd.Series) -> pd.Series:
+        import numpy as _np
+        w = bcast.value
+        if pos[0].empty:
+            return pd.Series([], dtype=bool)
+        hit = None
+        for p in pos:
+            idx = p.to_numpy(dtype=_np.int64)
+            bits = (w[idx >> 6] >> (idx.astype(_np.uint64)
+                                    & _np.uint64(63))) & _np.uint64(1)
+            hit = bits if hit is None else (hit & bits)
+        return pd.Series(hit.astype(bool))
+
+    from ..session import spread
+
+    return (
+        spread(docs.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(F.col(id_col),
+                F.explode(word_shingles(text_col, n)).alias("__g"))
+        .select(id_col,
+                *[F.pmod(F.xxhash64("__g", F.lit(i)), F.lit(m_bits))
+                  .alias(f"__p{i}") for i in range(k_hashes)])
+        .withColumn("__hit",
+                    might_contain(*[f"__p{i}" for i in range(k_hashes)]))
+        .groupBy(id_col)
+        .agg(F.sum(F.col("__hit").cast("long")).alias("n_flagged_grams"))
+    )
 
 
 def contamination_bloom(docs: DataFrame, bench: DataFrame, n: int = 3,
@@ -792,44 +847,9 @@ def contamination_bloom(docs: DataFrame, bench: DataFrame, n: int = 3,
     + one Arrow-batched membership probe (vectorized numpy bit test, no
     per-row Python) → groupBy doc.  The bitmap rides an executor-wide
     Spark broadcast, not a join."""
-    import numpy as np
-    from pyspark.sql.functions import pandas_udf
-
     words = bloom_build(bench, text_col, n, m_bits, k_hashes)
-    bcast = docs.sparkSession.sparkContext.broadcast(words)
-
-    # the k positions cross the Arrow boundary as k FLAT int64 columns,
-    # not one array<long> column: an array column arrives as 1.4M Python
-    # lists that np.vstack must box row by row (~1 s at sf0.1); flat
-    # columns are zero-copy numpy views (guide §4.2)
-    @pandas_udf("boolean")
-    def might_contain(*pos: pd.Series) -> pd.Series:
-        import numpy as _np
-        w = bcast.value
-        if pos[0].empty:
-            return pd.Series([], dtype=bool)
-        hit = None
-        for p in pos:
-            idx = p.to_numpy(dtype=_np.int64)
-            bits = (w[idx >> 6] >> (idx.astype(_np.uint64)
-                                    & _np.uint64(63))) & _np.uint64(1)
-            hit = bits if hit is None else (hit & bits)
-        return pd.Series(hit.astype(bool))
-
-    from ..session import spread
-
-    probed = (
-        spread(docs.select(F.col(id_col), F.col(text_col)), id_col)
-        .select(F.col(id_col),
-                F.explode(word_shingles(text_col, n)).alias("__g"))
-        .select(id_col,
-                *[F.pmod(F.xxhash64("__g", F.lit(i)), F.lit(m_bits))
-                  .alias(f"__p{i}") for i in range(k_hashes)])
-        .withColumn("__hit",
-                    might_contain(*[f"__p{i}" for i in range(k_hashes)]))
-        .groupBy(id_col)
-        .agg(F.sum(F.col("__hit").cast("long")).alias("n_flagged_grams"))
-    )
+    probed = _bloom_probe(docs, words, n, m_bits, k_hashes,
+                          text_col, id_col)
     return (
         docs.select(id_col)
         .join(probed, id_col, "left")
@@ -869,15 +889,30 @@ def contamination_multibench(docs: DataFrame, benches: dict[str, DataFrame],
 
     union_bench = reduce(lambda a, b: a.unionByName(b),
                          [b.select(F.col(text_col)) for b in benches.values()])
-    flagged = (contamination_bloom(docs, union_bench, n, min_shared,
-                                   m_bits, k_hashes, text_col, id_col)
-               .filter(F.col("contaminated_maybe"))
-               .select(id_col))
-    # NOTE: no spread() here — the flagged slice is a tiny fraction of
-    # the corpus by design, and a repartition above the semi join was
-    # measured SLOWER (it blocks AQE's runtime re-plan of the join and
-    # adds an exchange for per-row work that phase 1 already bounded)
-    probe = (docs.join(flagged, id_col, "left_semi")
+    words = bloom_build(union_bench, text_col, n, m_bits, k_hashes)
+    # phase-1 flagged set straight from the probe: n_flagged ≥ min_shared
+    # needs ≥ 1 gram whenever min_shared ≥ 1, so the docs-side left join
+    # (+ coalesce to 0) that `contamination_bloom` does for its declared
+    # every-doc output is pure overhead here — one whole docs scan + join
+    # dropped.  min_shared ≤ 0 flags everything; keep that edge exact.
+    # (r13 A/B'd and REVERTED: persisting per-bench DISTINCT gram strings
+    # to share one shingle pass between this bitmap and the phase-2
+    # verify sets — the 3 distinct exchanges the persist forces ahead of
+    # the map-side bitmap build cost more than the saved re-shingle;
+    # noop 2.92 → 3.57 back-to-back.)
+    if min_shared <= 0:
+        flagged_docs = docs
+    else:
+        flagged = (_bloom_probe(docs, words, n, m_bits, k_hashes,
+                                text_col, id_col)
+                   .filter(F.col("n_flagged_grams") >= min_shared)
+                   .select(id_col))
+        # NOTE: no spread() here — the flagged slice is a tiny fraction
+        # of the corpus by design, and a repartition above the semi join
+        # was measured SLOWER (it blocks AQE's runtime re-plan of the
+        # join and adds an exchange for per-row work phase 1 bounded)
+        flagged_docs = docs.join(flagged, id_col, "left_semi")
+    probe = (flagged_docs
              .select(F.col(id_col),
                      F.explode(word_shingles(text_col, n)).alias("__g"))
              .select(id_col, F.xxhash64("__g").alias("g")))

@@ -2469,13 +2469,23 @@ def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import word_shingles
 
     (docs,) = _t(spark, sf_dir, "documents")
-    sh = (docs.select("source",
-                      F.explode(word_shingles("text", 3)).alias("gram"))
-          .distinct())
-    a = sh.select(F.col("source").alias("source_a"), "gram")
-    b = sh.select(F.col("source").alias("source_b"), "gram")
-    return (a.join(b, "gram")
-            .filter(F.col("source_a") < F.col("source_b"))
+    # r13: one groupBy(gram) + collect_set(source) replaces the former
+    # distinct + gram self-join (3 exchanges + SMJ -> 1 exchange + a tiny
+    # pair rollup).  collect_set IS the (source, gram) distinct, and the
+    # ordered in-array pairing (j > i over the ascending sort) is exactly
+    # the source_a < source_b join predicate, so shared_grams counts the
+    # same gram set.  Per-gram arrays are bounded by |sources|, never by
+    # corpus size.
+    sh = docs.select("source",
+                     F.explode(word_shingles("text", 3)).alias("gram"))
+    per_gram = (sh.groupBy("gram")
+                .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+                .filter(F.size("srcs") >= 2))
+    pairs = per_gram.select(F.explode(F.expr(
+        "flatten(transform(srcs, (x, i) -> transform("
+        "slice(srcs, i + 2, size(srcs)), "
+        "y -> named_struct('source_a', x, 'source_b', y))))")).alias("p"))
+    return (pairs.select("p.source_a", "p.source_b")
             .groupBy("source_a", "source_b")
             .agg(F.count(F.lit(1)).alias("shared_grams"))
             .filter(F.col("shared_grams") >= 5)
