@@ -622,6 +622,90 @@ def bpe_token_counts(docs: DataFrame, text_col: str = "text",
                  F.sum(F.length("word")).alias("n_chars")))
 
 
+def _bm25_per_doc(docs: DataFrame, query_terms: list[str], text_col: str,
+                  id_col: str, with_rel: bool) -> DataFrame:
+    """ONE map-side pass shared by `bm25_topk` / `retrieval_eval`: per
+    document, tokenize once and derive dl (token count) plus one tf
+    column per query term straight from the token ARRAY — no explode,
+    no (doc, term) shuffle, no per-term join.  tf_i = |{x ∈ toks :
+    x = t_i}| is exactly the exploded-and-counted tf of the old plan;
+    dl = |toks| is exactly its groupBy count.  `rel` (exact conjunctive
+    match) is ⋀ tf_i > 0 ≡ ⋀ array_contains(toks, t_i).  The token
+    array is aliased in its own projection so CollapseProject cannot
+    re-inline the (non-cheap) tokenizer once per consumer expression."""
+    from ..session import spread
+
+    base = (spread(docs.select(F.col(id_col), F.col(text_col)))
+            .select(F.col(id_col), bpe_ish_tokens(text_col).alias("__toks")))
+    def _eq(term: str):
+        lit = F.lit(term)
+        # one-arg closure: a defaulted second param would make pyspark
+        # treat the lambda as the (element, index) form
+        return lambda x: x == lit
+
+    cols = [F.col(id_col), F.size("__toks").alias("dl")]
+    for i, t in enumerate(query_terms):
+        cols.append(F.size(F.filter("__toks", _eq(t))).alias(f"__tf{i}"))
+    per = base.select(*cols)
+    if with_rel:
+        rel = None
+        for i in range(len(query_terms)):
+            c = F.col(f"__tf{i}") > 0
+            rel = c if rel is None else rel & c
+        per = per.withColumn("rel", rel.cast("int"))
+    return per
+
+
+def _bm25_stats(per: DataFrame, query_terms: list[str],
+                with_rel: bool) -> DataFrame:
+    """The corpus scalars as ONE 1-row broadcast aggregate: N, Σdl, every
+    per-term df (= |{docs : tf_i ≥ 1}|) and, for the eval path, the
+    relevant-doc count — the old plan derived these in four separate
+    corpus passes (docs count, toks count, df groupBy, rel sum)."""
+    aggs = [F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_toks")]
+    for i in range(len(query_terms)):
+        aggs.append(F.sum((F.col(f"__tf{i}") > 0).cast("long"))
+                    .alias(f"__df{i}"))
+    if with_rel:
+        aggs.append(F.sum("rel").cast("long").alias("__n_rel"))
+    return F.broadcast(per.agg(*aggs))
+
+
+def _bm25_ranked(per: DataFrame, stats: DataFrame, query_terms: list[str],
+                 k: int, k1: float, b: float, id_col: str,
+                 carry: list[str] | None = None) -> DataFrame:
+    """Score + top-k over the per-doc frame.  The float chain is the
+    IDENTICAL expression AST the pre-round-13 plan built — avgdl =
+    T·1.0/N; idf = ((N−df)+0.5)/(df+0.5); per-term contribution
+    round(idf·(tf·(k1+1))/(tf + k1·((1−b)+b·dl/avgdl)), 6); fixed
+    left-to-right sum, round 6 — so scores are bit-equal (a doc with
+    tf=0 contributes +0.0 exactly as the old coalesce'd left join
+    did)."""
+    avgdl = (F.col("total_toks").cast("double") * F.lit(1.0)
+             / F.col("n_docs").cast("double"))
+    parts = []
+    for i in range(len(query_terms)):
+        tf, dfq = F.col(f"__tf{i}"), F.col(f"__df{i}")
+        idf = ((F.col("n_docs") - dfq).cast("double") + F.lit(0.5)) \
+            / (dfq.cast("double") + F.lit(0.5))
+        denom = tf.cast("double") + F.lit(k1) * (
+            (F.lit(1.0) - F.lit(b))
+            + F.lit(b) * F.col("dl").cast("double") / avgdl)
+        parts.append(F.round(
+            idf * (tf.cast("double") * F.lit(k1 + 1.0)) / denom, 6))
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p            # fixed left-to-right association
+    sel = [F.col(id_col), F.round(score, 6).alias("bm25")]
+    for c in carry or []:
+        sel.append(F.col(c))
+    # dl ≥ 1 keeps the ranked universe identical to the old plan, whose
+    # candidate set was the docs with at least one exploded token row
+    return (per.filter(F.col("dl") >= 1).crossJoin(stats).select(*sel)
+            .orderBy(F.desc("bm25"), F.asc(id_col)).limit(k))
+
+
 def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
               k1: float = 1.2, b: float = 0.75, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
@@ -639,46 +723,18 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
     left-to-right order — no SUM() aggregation, so float summation
     order can never flip the hash.
 
-    Plan: token explode → (doc,term) tf filtered to the query terms
-    (broadcast literal set) + per-doc lengths, df over the tf relation,
-    corpus scalars as a 1-row broadcast; the per-term pivot is |q|
-    left joins on the doc id.  Scale: everything is keyed by doc or
-    term; the only unbounded relation shuffled is the (doc, dl) pair."""
-    toks = docs.select(
-        F.col(id_col), F.explode(bpe_ish_tokens(text_col)).alias("term"))
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    scalars = F.broadcast(
-        docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
-            toks.agg(F.count(F.lit(1)).alias("total_toks"))))
-    tf = (toks.filter(F.col("term").isin(list(query_terms)))
-          .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # one fixed-association double chain, mirrored verbatim in the SQL
-    # oracle: avgdl = T·1.0/N; idf·(tf·(k1+1)) / (tf + k1·((1−b) + b·dl/avgdl))
-    avgdl = (F.col("total_toks").cast("double") * F.lit(1.0)
-             / F.col("n_docs").cast("double"))
-    idf = ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)) \
-        / (F.col("df").cast("double") + F.lit(0.5))
-    denom = F.col("tf").cast("double") + F.lit(k1) * (
-        (F.lit(1.0) - F.lit(b))
-        + F.lit(b) * F.col("dl").cast("double") / avgdl)
-    contrib = (tf.join(dfreq, "term").join(dl, id_col).crossJoin(scalars)
-               .select(id_col, "term",
-                       F.round(idf * (F.col("tf").cast("double")
-                                      * F.lit(k1 + 1.0)) / denom, 6)
-                       .alias("c")))
-    wide = dl.select(id_col)
-    parts = []
-    for i, t in enumerate(query_terms):
-        ci = (contrib.filter(F.col("term") == t)
-              .select(F.col(id_col), F.col("c").alias(f"__c{i}")))
-        wide = wide.join(ci, id_col, "left")
-        parts.append(F.coalesce(f"__c{i}", F.lit(0.0)))
-    score = parts[0]
-    for p in parts[1:]:
-        score = score + p            # fixed left-to-right association
-    return (wide.select(F.col(id_col), F.round(score, 6).alias("bm25"))
-            .orderBy(F.desc("bm25"), F.asc(id_col)).limit(k))
+    Plan (round-13 rewrite, values bit-identical to the explode form —
+    see `_bm25_per_doc`): ONE map-side tokenize pass derives (dl,
+    tf₀..tf_q) per doc from the token array; the corpus scalars AND all
+    per-term dfs collapse into a single 1-row broadcast aggregate; the
+    per-term pivot joins disappear (tf is already a column).  The old
+    plan exploded the corpus into a token relation and shuffled it three
+    times (dl groupBy, (doc,term) tf groupBy, df groupBy) then re-joined
+    |q| times.  Scale: nothing but the 1-row stats frame ever shuffles;
+    the persisted per-doc frame is (id, dl, |q| ints)."""
+    per = _bm25_per_doc(docs, query_terms, text_col, id_col, False).persist()
+    stats = _bm25_stats(per, query_terms, False)
+    return _bm25_ranked(per, stats, query_terms, k, k1, b, id_col)
 
 
 def lm_fluency_scores(docs: DataFrame, text_col: str = "text",
@@ -741,25 +797,22 @@ def retrieval_eval(docs: DataFrame, query_terms: list[str], k: int = 10,
     exact integer windows — no float accumulation whose association
     order could differ between engines.
 
-    Plan: BM25 top-k (see `bm25_topk` for its scale notes) → a k-row
-    frame; the rank window and running sums order ≤ k rows (the bounded
-    post-aggregate exception); relevance labels come from one map-side
-    scan joined to the k-row broadcast; the corpus relevant-count is a
-    1-row broadcast frame."""
+    Plan (round-13 rewrite, values bit-identical): the shared
+    `_bm25_per_doc` pass carries `rel` (⋀ tf_i > 0 ≡ the old
+    array_contains conjunction) as a column, so the old separate
+    relevance scan AND its join to the top-k disappear, and the corpus
+    relevant-count folds into the same 1-row stats aggregate; the rank
+    window and running sums order ≤ k rows (the bounded post-aggregate
+    exception)."""
     from pyspark.sql import Window
 
     if k > len(_DCG_DISCOUNT_PPM):
         raise ValueError(f"k ≤ {len(_DCG_DISCOUNT_PPM)} (frozen discount table)")
-    ranked = bm25_topk(docs, query_terms, k=k,
-                       text_col=text_col, id_col=id_col)
-    toks = bpe_ish_tokens(text_col)
-    rel_cond = None
-    for t in query_terms:
-        c = F.array_contains(toks, t)
-        rel_cond = c if rel_cond is None else rel_cond & c
-    rel_docs = docs.select(F.col(id_col), rel_cond.cast("int").alias("rel"))
-    n_rel = F.broadcast(
-        rel_docs.agg(F.sum("rel").cast("long").alias("__n_rel")))
+    per = _bm25_per_doc(docs, query_terms, text_col, id_col, True).persist()
+    stats = _bm25_stats(per, query_terms, True)
+    ranked = _bm25_ranked(per, stats, query_terms, k, 1.2, 0.75, id_col,
+                          carry=["rel"])
+    n_rel = F.broadcast(stats.select("__n_rel"))
     rank_w = Window.orderBy(F.desc("bm25"), F.asc(id_col))  # ≤ k rows
     cum_w = (Window.orderBy("rank")
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -767,7 +820,6 @@ def retrieval_eval(docs: DataFrame, query_terms: list[str], k: int = 10,
         F.array(*[F.lit(d) for d in _DCG_DISCOUNT_PPM[:k]]), F.col("rank"))
     return (
         F.broadcast(ranked.withColumn("rank", F.row_number().over(rank_w)))
-        .join(rel_docs, id_col)
         .crossJoin(n_rel)
         .withColumn("n_rel_so_far", F.sum("rel").over(cum_w).cast("long"))
         .withColumn("cum_dcg_ppm",

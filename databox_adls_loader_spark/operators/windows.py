@@ -29,45 +29,89 @@ def exclusive_running_sum(df: DataFrame, order_col: str, value: Column,
     ("bigint" for token/byte counts) to keep the zero literal and the
     broadcast offsets in the same exact type.  The per-partition totals
     collect is ≤ num_partitions rows — O(cluster size), not O(data).
+
+    Round-13 shape (guide §2.4): the local prefix used to be a
+    ``Window.partitionBy(__pid)`` — but the data is RANGE-partitioned,
+    so that window re-shuffled every row by hash(__pid) and the caller's
+    final orderBy re-shuffled them BACK by range: three exchanges where
+    the algorithm needs one.  Now the rows are sorted within the range
+    partitions once, and the exclusive prefix is accumulated in ONE
+    Arrow pass per partition (exact ``decimal.Decimal`` / arbitrary-
+    precision ``int`` arithmetic — bit-identical to the decimal/long
+    window sum, which is order-insensitive because exact addition is
+    associative).  The offsets ride a tiny driver dict inside the
+    closure instead of a broadcast join.
     """
+    import decimal as _dec
+
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # the pid assignment must be computed ONCE: repartitionByRange samples
-    # boundaries per job, so the totals pass and the window pass would
-    # otherwise see different partitionings — persist pins it
-    # persist pins the pid assignment (repartitionByRange samples new
-    # boundaries per job otherwise).  Not explicitly unpersisted: the
-    # cached blocks are reclaimed by the ContextCleaner once the returned
-    # plan becomes unreachable — an eager unpersist here would force
-    # recomputation (and re-sampling) in the consumer.
+    # boundaries per job, so the totals pass and the prefix pass would
+    # otherwise see different partitionings — persist pins it (and pins
+    # the within-partition sort order the prefix pass walks).  Not
+    # explicitly unpersisted: the cached blocks are reclaimed by the
+    # ContextCleaner once the returned plan becomes unreachable — an
+    # eager unpersist here would force recomputation (and re-sampling)
+    # in the consumer.
+    # null values contribute nothing to a running SUM — coalescing them
+    # to 0 up front is value-identical and keeps the int64 column
+    # null-free through Arrow (a nullable batch would surface as float64)
     ranged = (
-        df.repartitionByRange(num_partitions, F.col(order_col))
+        df.withColumn("__v", F.coalesce(value.cast(value_type),
+                                        F.lit(0).cast(value_type)))
+        .repartitionByRange(num_partitions, F.col(order_col))
+        .sortWithinPartitions(order_col)
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
-    w = (Window.partitionBy("__pid").orderBy(order_col)
-         .rowsBetween(Window.unboundedPreceding, -1))
-    local = F.coalesce(F.sum(value).over(w), F.lit(0).cast(value_type))
-
     totals = (
-        ranged.groupBy("__pid").agg(F.sum(value).alias("__t"))
+        ranged.groupBy("__pid").agg(F.sum("__v").alias("__t"))
         .collect()
     )
     totals_map: dict[int, object] = {r["__pid"]: r["__t"] for r in totals}
     offset = 0
-    offsets = []
+    offsets: dict[int, object] = {}
     for pid in sorted(totals_map):
-        offsets.append((pid, offset))
+        offsets[pid] = offset
         offset = offset + (totals_map[pid] or 0)
-    off_df = F.broadcast(spark.createDataFrame(
-        [(p, str(o)) for p, o in offsets], "__pid: int, __off: string"))
-    # offsets travel as strings → exact decimal parse (no double roundtrip)
-    return (
-        ranged.join(off_df, "__pid")
-        .withColumn(out_col, local + F.col("__off").cast(value_type))
-        .drop("__pid", "__off")
-    )
+
+    out_type = _parse_datatype_string(value_type)
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField(out_col, out_type, True)])
+    out_cols = [f.name for f in out_schema.fields]
+    is_decimal = value_type.strip().lower().startswith("decimal")
+
+    def add_prefix(batches):
+        # one partition per call; batches arrive in the persisted (sorted)
+        # order, so a running accumulator IS the exclusive prefix.  Exact
+        # arithmetic only: decimal.Decimal at full precision, or Python
+        # int — never float.
+        acc = None
+        with _dec.localcontext() as ctx:
+            ctx.prec = 76        # > 2×38 digits: no rounding ever
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                if acc is None:
+                    acc = offsets.get(int(pdf["__pid"].iloc[0]), 0)
+                    if is_decimal and not isinstance(acc, _dec.Decimal):
+                        acc = _dec.Decimal(acc)
+                prior = []
+                for v in pdf["__v"]:
+                    prior.append(acc)
+                    acc = acc + (v if is_decimal else int(v))
+                res = pdf.drop(columns=["__v", "__pid"])
+                res[out_col] = pd.Series(
+                    prior, index=res.index,
+                    dtype="object" if is_decimal else "int64")
+                yield res[out_cols]
+
+    return ranged.mapInPandas(add_prefix, out_schema)
 
 
 def carry_forward_last(df: DataFrame, order_col: str, value_col: str,
@@ -78,20 +122,27 @@ def carry_forward_last(df: DataFrame, order_col: str, value_col: str,
     shape as `exclusive_running_sum`: range-partition, carry within each
     partition via a local window, then fill each partition's
     before-first-value prefix from the preceding partitions' final value
-    (a ≤num_partitions-row driver pass + broadcast join).  Never a
-    single-partition window."""
+    (a ≤num_partitions-row driver pass + tiny closure dict).  Never a
+    single-partition window.
+
+    Round-13 shape (guide §2.4, same fix as `exclusive_running_sum`):
+    the local carry used to be a ``Window.partitionBy(__pid)`` over
+    RANGE-partitioned data — a full hash(__pid) re-shuffle plus its
+    sort for a computation that is a single ordered walk of each
+    partition.  Now the rows are sorted within the range partitions
+    once and the carry is ONE Arrow pass per partition."""
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ranged = (
         df.repartitionByRange(num_partitions, F.col(order_col))
+        .sortWithinPartitions(order_col)
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
-    w = (Window.partitionBy("__pid").orderBy(order_col)
-         .rowsBetween(Window.unboundedPreceding, 0))
-    local = F.last(value_col, ignorenulls=True).over(w)
-
     finals = (
         ranged.groupBy("__pid")
         .agg(F.max(F.when(F.col(value_col).isNotNull(),
@@ -108,14 +159,31 @@ def carry_forward_last(df: DataFrame, order_col: str, value_col: str,
         carry_in[pid] = running
         if fin_map[pid] is not None:
             running = fin_map[pid]
-    carry_df = F.broadcast(spark.createDataFrame(
-        [(p, v) for p, v in carry_in.items()],
-        "__pid: int, __carry: string"))  # string values only (header carry)
-    return (
-        ranged.join(carry_df, "__pid")
-        .withColumn(out_col, F.coalesce(local, F.col("__carry")))
-        .drop("__pid", "__carry")
-    )
+
+    val_type = df.schema[value_col].dataType
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField(out_col, val_type, True)])
+    out_cols = [f.name for f in out_schema.fields]
+
+    def carry(batches):
+        cur = None
+        first = True
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if first:
+                cur = carry_in.get(int(pdf["__pid"].iloc[0]))
+                first = False
+            out = []
+            for v in pdf[value_col]:
+                if v is not None and v == v:   # last non-null wins
+                    cur = v
+                out.append(cur)
+            res = pdf.drop(columns=["__pid"])
+            res[out_col] = pd.Series(out, index=res.index, dtype=object)
+            yield res[out_cols]
+
+    return ranged.mapInPandas(carry, out_schema)
 
 
 def global_row_number(df: DataFrame, order: list[tuple[str, str]],

@@ -68,14 +68,15 @@ def test_topk_is_take_ordered_not_global_sort(spark, sf_dir, qs):
 
 
 def test_no_single_partition_window_in_next_fit(spark, sf_dir, qs):
-    # the distributed running sum must partition its window by __pid —
-    # a bare Window.orderBy would show an ENSURE_REQUIREMENTS exchange to
-    # SinglePartition feeding a Window node
+    # the distributed running sum must never funnel every row through ONE
+    # partition.  Round 13 removed the __pid-partitioned Window (it
+    # hash-re-shuffled the range-partitioned data) in favour of a
+    # per-range-partition Arrow prefix pass: the plan now has NO Window
+    # node at all and no SinglePartition exchange
     plan = formatted_plan(qs["x1_next_fit_units"](spark, sf_dir))
-    assert "partitionBy" not in plan or "__pid" in plan
-    win_idx = plan.find("Window")
-    assert win_idx != -1
-    assert "__pid" in plan
+    assert "MapInPandas" in plan
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
 
 
 def test_partitioned_window_shuffles_on_partition_key(spark, sf_dir, qs):
