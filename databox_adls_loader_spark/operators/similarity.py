@@ -156,7 +156,11 @@ def pair_dot_udf():
 
 
 def _query_literal(vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vec])
+    # one parsed expr, not |vec| F.lit py4j round trips (guide §5.4);
+    # repr() round-trips doubles exactly and the D-suffixed literal
+    # parses to the identical IEEE-754 value, so plans are value-equal
+    return F.expr(
+        "array(" + ",".join(f"{float(v)!r}D" for v in vec) + ")")
 
 
 def topk_bruteforce(emb: DataFrame, query: list[float], k: int = 10,

@@ -896,8 +896,8 @@ def probe_pq_topk(spark: SparkSession, index_dir: str, base_dir: str,
                   dim: int = 64, m: int = 4, k_codes: int = 8,
                   seed: int = 29, id_col: str = "vec_id",
                   vec_col: str = "embedding",
-                  codebooks: list[list[list[float]]] | None = None
-                  ) -> DataFrame:
+                  codebooks: list[list[list[float]]] | None = None,
+                  base: DataFrame | None = None) -> DataFrame:
     """PQ top-k THROUGH the persisted code table by asymmetric distance
     (ADC): the query's (m × k_codes) LUT is computed driver-side
     against the frozen codebooks in exact integer micro-units
@@ -910,10 +910,16 @@ def probe_pq_topk(spark: SparkSession, index_dir: str, base_dir: str,
     table (≈64× smaller), which is the whole point of the family.
     ``codebooks``: the index's books when built with trained ones —
     probing a trained index with the seeded default would rank the
-    wrong codewords."""
+    wrong codewords.  ``base``: pass the base table's DataFrame when
+    the caller already holds one — a versioned read is a driver-side
+    plan build (manifest + overlay joins) worth not repeating."""
     lut = pq_lut_micros(query,
                         codebooks or pq_codebooks(dim, m, k_codes, seed))
-    lut_lit = F.array(*[F.lit(int(u)).cast("long") for u in lut])
+    # ONE parsed expr instead of m·k_codes lit().cast() py4j chains —
+    # identical bigint literal array (guide §5.4: driver time is part
+    # of the job; measured ~0.25 s → ~1 ms at 32 entries)
+    lut_lit = F.expr(
+        "array(" + ",".join(f"{int(u)}L" for u in lut) + ")")
     idx = V.read_version(spark, index_dir)
     cand = (idx.select(
         F.col(id_col),
@@ -924,7 +930,8 @@ def probe_pq_topk(spark: SparkSession, index_dir: str, base_dir: str,
         .agg(F.sum("__u").alias("adc_u"))
         .orderBy(F.desc("adc_u"), id_col)
         .limit(k * expand))
-    base = V.read_version(spark, base_dir)
+    if base is None:
+        base = V.read_version(spark, base_dir)
     return (base.join(F.broadcast(cand.select(id_col)), id_col,
                       "left_semi")
             .select(F.col(id_col),
@@ -942,8 +949,8 @@ def probe_ivfpq_topk(spark: SparkSession, ivf_index_dir: str,
                      pq_seed: int = 29, id_col: str = "vec_id",
                      vec_col: str = "embedding",
                      centroids: list[list[float]] | None = None,
-                     codebooks: list[list[list[float]]] | None = None
-                     ) -> DataFrame:
+                     codebooks: list[list[list[float]]] | None = None,
+                     base: DataFrame | None = None) -> DataFrame:
     """IVF-PQ: the three persisted families COMPOSED the way a serving
     fleet runs them (the FAISS IVFADC architecture, Jégou et al. 2011,
     public) — the query's ``nprobe`` nearest frozen cells are ranked
@@ -965,7 +972,9 @@ def probe_ivfpq_topk(spark: SparkSession, ivf_index_dir: str,
     lut = pq_lut_micros(query,
                         codebooks or pq_codebooks(dim, m, k_codes,
                                                   pq_seed))
-    lut_lit = F.array(*[F.lit(int(u)).cast("long") for u in lut])
+    # one parsed expr, not m·k_codes lit().cast() py4j chains (§5.4)
+    lut_lit = F.expr(
+        "array(" + ",".join(f"{int(u)}L" for u in lut) + ")")
     cand = (V.read_version(spark, pq_index_dir)
             .join(F.broadcast(routed), id_col, "left_semi")
             .select(F.col(id_col),
@@ -977,7 +986,8 @@ def probe_ivfpq_topk(spark: SparkSession, ivf_index_dir: str,
             .agg(F.sum("__u").alias("adc_u"))
             .orderBy(F.desc("adc_u"), id_col)
             .limit(k * expand))
-    base = V.read_version(spark, base_dir)
+    if base is None:
+        base = V.read_version(spark, base_dir)
     return (base.join(F.broadcast(cand.select(id_col)), id_col,
                       "left_semi")
             .select(F.col(id_col),
@@ -1302,7 +1312,9 @@ def probe_pq_topk_int(spark: SparkSession, index_df: DataFrame,
     int64 end to end — no float enters the ranking at all."""
     k_codes = len(books[0])
     lut = pq_lut_int(query, books)
-    lut_lit = F.array(*[F.lit(int(u)).cast("long") for u in lut])
+    # one parsed expr, not m·k_codes lit().cast() py4j chains (§5.4)
+    lut_lit = F.expr(
+        "array(" + ",".join(f"{int(u)}L" for u in lut) + ")")
     cand = (index_df.select(
         F.col(id_col),
         F.element_at(lut_lit,

@@ -227,7 +227,7 @@ def ann_pq_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = list(base.filter(F.col("vec_id") == 1)
                  .select("embedding").first()["embedding"])
     probe = ann.probe_pq_topk(spark, index_dir, emb_dir, query,
-                              k=20, expand=8, **_PQ)
+                              k=20, expand=8, base=base, **_PQ)
     exact = similarity.topk_bruteforce(base, query, k=20)
     contract = (probe.join(exact.select("vec_id"), "vec_id",
                            "left_semi")
@@ -874,7 +874,7 @@ def ann_ivfpq_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, ivf_dir, pq_dir, emb_dir, query, k=20, nprobe=3,
         expand=4, dim=64, k_cells=_R10B_IVF["k_cells"],
         ivf_seed=_R10B_IVF["seed"], m=_PQ["m"], k_codes=_PQ["k_codes"],
-        pq_seed=_PQ["seed"])
+        pq_seed=_PQ["seed"], base=base)
 
 
 def _epoch_values_sql(epochs=(1, 2), seed: int = 17) -> str:
@@ -1083,7 +1083,9 @@ def scale_ivfpq_pruned_probe(spark: SparkSession,
     lut = ann.pq_lut_micros(
         query, ann.pq_codebooks(64, _PQ["m"], _PQ["k_codes"],
                                 _PQ["seed"]))
-    lut_lit = F.array(*[F.lit(int(u)).cast("long") for u in lut])
+    # one parsed expr, not m·k_codes lit().cast() py4j chains (§5.4)
+    lut_lit = F.expr(
+        "array(" + ",".join(f"{int(u)}L" for u in lut) + ")")
     shortlist = (cand.select(
         "vec_id",
         F.element_at(lut_lit,

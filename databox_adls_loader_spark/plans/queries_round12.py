@@ -1191,7 +1191,10 @@ def scale_ivfpq_recall_contract(spark: SparkSession,
     lut = ann.pq_lut_micros(
         query, ann.pq_codebooks(64, _PQ["m"], _PQ["k_codes"],
                                 _PQ["seed"]))
-    lut_lit = F.array(*[F.lit(int(u)).cast("long") for u in lut])
+    # one parsed expr, not m·k_codes lit().cast() py4j chains — measured
+    # 2.9–4.9 s of pure driver time in this query (guide §5.4)
+    lut_lit = F.expr(
+        "array(" + ",".join(f"{int(u)}L" for u in lut) + ")")
     manifest_n = len(V._read_manifest(serving,
                                       V.latest_version(serving)))
     bf = similarity.topk_bruteforce(base, query,

@@ -1200,9 +1200,14 @@ def _commit(table_dir: str, files: list[str], version: int,
     for e in eq_deletes:
         ap = sorted(set(e.get("applies_to", [])) & fset_eq)
         if ap and e.get("files"):
-            kept_eq.append({"files": sorted(e["files"]), "col": e["col"],
-                            "applies_to": ap,
-                            "rows": int(e.get("rows", 0))})
+            kept = {"files": sorted(e["files"]), "col": e["col"],
+                    "applies_to": ap,
+                    "rows": int(e.get("rows", 0))}
+            # preserve the stored-dtype stamp across retention — losing
+            # it re-imposes the reader's per-entry footer probe
+            if e.get("dtype") is not None:
+                kept["dtype"] = e["dtype"]
+            kept_eq.append(kept)
     if kept_eq:
         doc["eq_deletes"] = kept_eq
     if column_map:
@@ -2088,8 +2093,13 @@ def write_snapshot(df: DataFrame, table_dir: str,
                           st.list_glob(st.join(out, "part-*.parquet")))
         n_keys = df.sparkSession.read.parquet(*eq_files).count()
         if n_keys:
+            # stamp the stored __val dtype: readers batch same-typed
+            # entries into one scan and skip the legacy per-entry
+            # footer probe (a driver-side parquet read PER entry PER
+            # read_version call otherwise — see _eq_anti_all)
             eq_entry = {"files": eq_files, "col": pcol,
-                        "rows": int(n_keys)}
+                        "rows": int(n_keys),
+                        "dtype": ptype.simpleString()}
         else:
             for p in eq_files:
                 st.delete(p)
