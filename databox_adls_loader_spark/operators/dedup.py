@@ -195,7 +195,7 @@ def minhash_docs(docs: DataFrame, text_col: str = "text",
     # map-side cost — spread the docs first so a single-row-group scan
     # doesn't serialize it on one core (guide §2.5; no-op at scale)
     exploded = spread(docs.select(F.col(id_col), F.col(text_col)),
-                      id_col).select(
+                      id_col, probe=docs).select(
         F.col(id_col),
         F.explode(word_shingles(text_col, shingle_n)).alias("__g"),
     )
@@ -409,7 +409,7 @@ def simhash_docs(docs: DataFrame, text_col: str = "text",
     # per-token hash + 60 getbit sums is the map-side cost — spread the
     # docs so a coarse scan doesn't serialize it (guide §2.5)
     toks = spread(docs.select(F.col(id_col), F.col(text_col)),
-                  id_col).select(
+                  id_col, probe=docs).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__t"),
     ).select("id", tok_hash.alias("__h"))
@@ -810,7 +810,8 @@ def _bloom_probe(docs: DataFrame, words, n: int, m_bits: int,
     from ..session import spread
 
     return (
-        spread(docs.select(F.col(id_col), F.col(text_col)), id_col)
+        spread(docs.select(F.col(id_col), F.col(text_col)), id_col,
+               probe=docs)
         .select(F.col(id_col),
                 F.explode(word_shingles(text_col, n)).alias("__g"))
         .select(id_col,
@@ -956,7 +957,8 @@ def blocked_edit_pairs(records: DataFrame, block_cols: str | list[str],
     # adds an exchange when the scan under-splits.
     left = spread(records.select(*[F.col(c) for c in blocks],
                                  F.col(id_col).alias("a"),
-                                 F.col(text_col).alias("__ta")))
+                                 F.col(text_col).alias("__ta")),
+                  probe=records)
     right = records.select(*[F.col(c) for c in blocks],
                            F.col(id_col).alias("b"),
                            F.col(text_col).alias("__tb"))

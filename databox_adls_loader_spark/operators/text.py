@@ -151,7 +151,7 @@ def fingerprints(docs: DataFrame, text_col: str = "text",
     #    document was the query's real cost (~450 MB of sort input on
     #    one task; now ~100 MB across all tasks).
     grams = spread(docs.select(F.col(id_col), c.alias(text_col)),
-                   id_col).select(
+                   id_col, probe=docs).select(
         F.col(id_col),
         fingerprint_md5(c).alias("fp_md5"),
         c.alias("__t"),
@@ -561,7 +561,7 @@ def _bpe_loop(docs: DataFrame, text_col: str, n_merges: int):
     # but the FIRST corpus pass (tokenize + word count) is per-row heavy
     # and one-task on a single-row-group scan — measured 6.12 -> 5.12 s
     words = (
-        spread(docs.select(F.col(text_col)))
+        spread(docs.select(F.col(text_col)), probe=docs)
         .select(F.explode(bpe_word_tokens(text_col)).alias("word"))
         .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
         .withColumn("syms",
@@ -635,7 +635,7 @@ def _bm25_per_doc(docs: DataFrame, query_terms: list[str], text_col: str,
     re-inline the (non-cheap) tokenizer once per consumer expression."""
     from ..session import spread
 
-    base = (spread(docs.select(F.col(id_col), F.col(text_col)))
+    base = (spread(docs.select(F.col(id_col), F.col(text_col)), probe=docs)
             .select(F.col(id_col), bpe_ish_tokens(text_col).alias("__toks")))
     def _eq(term: str):
         lit = F.lit(term)

@@ -407,7 +407,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     # interpreted marker-filter HOFs per doc (see text_lang_id_margin):
     # spread measured 1.13 -> 0.98 s on the single-row-group scan
-    return (spread(docs.select("doc_id", "text"))
+    return (spread(docs.select("doc_id", "text"), probe=docs)
             .select("doc_id", text.lang_id("text").alias("lang_pred"))
             .orderBy("doc_id"))
 

@@ -1362,7 +1362,7 @@ def text_lang_id_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = F.array_sort(F.array(*[s for _, s in scores]))
     # 5 languages x interpreted token-filter HOFs per doc, one-task on a
     # single-row-group scan: spread measured 2.48 -> 1.10 s (noop min-of-3)
-    return (spread(docs.select("doc_id", "text")).select(
+    return (spread(docs.select("doc_id", "text"), probe=docs).select(
                 "doc_id",
                 lang_id("text").alias("lang_pred"),
                 (arr[4] - arr[3]).cast("long").alias("margin"))

@@ -59,7 +59,7 @@ ALL_TABLES = ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split()
 
 
-def spread(df, *cols, target: int | None = None):
+def spread(df, *cols, target: int | None = None, probe=None):
     """Repartition a compute-heavy operator's input up to the session's
     default parallelism WHEN the current plan would run on fewer
     partitions — the guide-§2.5 "unsplittable input" fix (one row group,
@@ -73,13 +73,22 @@ def spread(df, *cols, target: int | None = None):
     exchange only appears where the input layout under-splits.  With
     ``cols`` the repartition hashes on those columns (deterministic, no
     sort-before-repartition); bare it round-robins.  Only apply where
-    the downstream per-row work dominates a small exchange."""
+    the downstream per-row work dominates a small exchange.
+
+    ``probe``: a frame whose scan partitioning EQUALS ``df``'s (callers
+    pass the memoized `load_tables` handle when ``df`` is a narrow
+    select/filter of it — projections and filters never change the
+    partition count).  The partition-count probe builds a full
+    QueryExecution (measured 0.28–0.46 s per fresh plan, §5.4); the
+    RDD is cached on the DataFrame OBJECT, so probing the shared
+    per-session table handle pays that once per session instead of
+    once per operator call."""
     from pyspark.sql import functions as F
 
     spark = df.sparkSession
     if target is None:
         target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if (probe if probe is not None else df).rdd.getNumPartitions() >= target:
         return df
     key = [F.col(c) if isinstance(c, str) else c for c in cols]
     return df.repartition(target, *key) if key else df.repartition(target)
