@@ -196,8 +196,14 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text",
     aggregation collapses the token explosion before either shuffle."""
     from pyspark.sql import Window
 
-    toks = docs.select(
-        F.col(id_col), F.explode(bpe_ish_tokens(text_col)).alias("term"))
+    # explode the RAW split and drop empties with a codegen'd filter:
+    # same rows as exploding the filter() HOF, ~30% faster warm and far
+    # cheaper to compile (the array lambda runs interpreted per element)
+    toks = (docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)),
+                          r"[^\p{L}\p{N}]+")).alias("term"))
+        .filter(F.col("term") != ""))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -431,10 +437,10 @@ def inverted_index(docs: DataFrame, text_col: str = "text",
     range (shard the groupBy key as (term, doc_id div R)) which composes
     with this operator unchanged.
     """
-    toks = docs.select(
+    toks = (docs.select(
         F.col(id_col),
-        F.explode(F.filter(tokens(text_col), lambda t: t != "")).alias("__tok"),
-    )
+        F.explode(tokens(text_col)).alias("__tok"))
+        .filter(F.col("__tok") != ""))       # codegen, not the HOF lambda
     tc = toks.groupBy("__tok", id_col).agg(F.count(F.lit(1)).alias("__tf"))
     if min_df <= 1 and max_df is None:
         # no pruning requested — single aggregate, postings for every term
@@ -482,8 +488,8 @@ def vocab_coverage(docs: DataFrame, top_n: int = 100,
     widen to decimal on both engine and oracle sides.
     """
     tc = (
-        docs.select(F.explode(F.filter(tokens(text_col), lambda t: t != ""))
-                    .alias("term"))
+        docs.select(F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")         # codegen, not the HOF lambda
         .groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     )
     total = tc.agg(F.sum("cnt").alias("__total"))
@@ -562,7 +568,9 @@ def _bpe_loop(docs: DataFrame, text_col: str, n_merges: int):
     # and one-task on a single-row-group scan — measured 6.12 -> 5.12 s
     words = (
         spread(docs.select(F.col(text_col)), probe=docs)
-        .select(F.explode(bpe_word_tokens(text_col)).alias("word"))
+        .select(F.explode(F.split(F.lower(F.col(text_col)),
+                                  "[^a-z]+")).alias("word"))
+        .filter(F.col("word") != "")         # codegen, not the HOF lambda
         .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
         .withColumn("syms",
                     F.filter(F.split("word", "(?!^)"), lambda t: t != ""))
@@ -612,9 +620,11 @@ def bpe_token_counts(docs: DataFrame, text_col: str = "text",
     Returns (id, n_words, n_subword_tokens, n_chars) — all-integer."""
     words, _ = _bpe_loop(docs, text_col, n_merges)
     seg_sizes = words.select("word", F.size("syms").alias("n_sub"))
-    doc_words = docs.select(
+    doc_words = (docs.select(
         F.col(id_col),
-        F.explode(bpe_word_tokens(text_col)).alias("word"))
+        F.explode(F.split(F.lower(F.col(text_col)),
+                          "[^a-z]+")).alias("word"))
+        .filter(F.col("word") != ""))        # codegen, not the HOF lambda
     return (doc_words.join(seg_sizes, "word")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_words"),
