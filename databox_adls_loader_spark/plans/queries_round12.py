@@ -893,33 +893,43 @@ def scale_pq_retrain_recall(spark: SparkSession,
     bf = (exd.withColumn("__rn", F.row_number().over(wq))
           .filter(F.col("__rn") <= _PQR_K).select("qid", "vec_id"))
 
-    def hits(idx_df: DataFrame, lut_col: str, name: str) -> DataFrame:
-        cand = (idx_df.crossJoin(qf.select("qid", lut_col))
-                .select("qid", "vec_id",
-                        F.element_at(
-                            F.col(lut_col),
-                            (F.col("sub") * k_codes + F.col("code") + 1)
-                            .cast("int")).alias("__u"))
-                .groupBy("qid", "vec_id")
-                .agg(F.sum("__u").alias("adc_u"))
-                .withColumn("__rn", F.row_number().over(
-                    Window.partitionBy("qid")
-                    .orderBy(F.asc("adc_u"), "vec_id")))
-                .filter(F.col("__rn") <= _PQR_K * _PQR_EXPAND)
-                .select("qid", "vec_id"))
-        top = (exd.join(cand, ["qid", "vec_id"], "left_semi")
-               .withColumn("__rn", F.row_number().over(wq))
-               .filter(F.col("__rn") <= _PQR_K)
-               .select("qid", "vec_id"))
-        return (top.join(bf, ["qid", "vec_id"], "left_semi")
-                .groupBy("qid").agg(F.count(F.lit(1)).alias(name)))
-
+    # Both index generations fused into ONE plan under a __side tag
+    # (the §4 rebalance-contract treatment): the ADC shortlist
+    # agg+rank, the exact-d2 rerank over `exd` and the brute-force
+    # semi-join each evaluate once over the tagged union instead of
+    # once per side.  Per-side semantics identical — every window
+    # partitions by (__side, qid) with the same total-order tiebreaks,
+    # and a vector's ADC sum only ever aggregates rows of its own side.
+    idx_u = (idx_before.select("vec_id", "sub", "code")
+             .withColumn("__side", F.lit(0))
+             .unionByName(idx_after.select("vec_id", "sub", "code")
+                          .withColumn("__side", F.lit(1))))
+    cand = (idx_u.crossJoin(qf.select("qid", "lut0", "lut1"))
+            .select("__side", "qid", "vec_id",
+                    F.element_at(
+                        F.when(F.col("__side") == 0, F.col("lut0"))
+                        .otherwise(F.col("lut1")),
+                        (F.col("sub") * k_codes + F.col("code") + 1)
+                        .cast("int")).alias("__u"))
+            .groupBy("__side", "qid", "vec_id")
+            .agg(F.sum("__u").alias("adc_u"))
+            .withColumn("__rn", F.row_number().over(
+                Window.partitionBy("__side", "qid")
+                .orderBy(F.asc("adc_u"), "vec_id")))
+            .filter(F.col("__rn") <= _PQR_K * _PQR_EXPAND)
+            .select("__side", "qid", "vec_id"))
+    top = (exd.join(cand, ["qid", "vec_id"])
+           .withColumn("__rn", F.row_number().over(
+               Window.partitionBy("__side", "qid")
+               .orderBy("d2", "vec_id")))
+           .filter(F.col("__rn") <= _PQR_K)
+           .select("__side", "qid", "vec_id"))
+    counts = (top.join(bf, ["qid", "vec_id"], "left_semi")
+              .groupBy("qid")
+              .agg(F.sum(F.when(F.col("__side") == 0, 1)).alias("nb"),
+                   F.sum(F.when(F.col("__side") == 1, 1)).alias("na")))
     out = (qf.select(F.col("qid").alias("query_id"))
-           .join(hits(idx_before, "lut0", "nb")
-                 .withColumnRenamed("qid", "query_id"),
-                 "query_id", "left")
-           .join(hits(idx_after, "lut1", "na")
-                 .withColumnRenamed("qid", "query_id"),
+           .join(counts.withColumnRenamed("qid", "query_id"),
                  "query_id", "left")
            .select("query_id",
                    F.coalesce("nb", F.lit(0)).cast("long")
@@ -1200,39 +1210,65 @@ def scale_ivfpq_recall_contract(spark: SparkSession,
     bf = similarity.topk_bruteforce(base, query,
                                     k=_IVFPQ_MP["k"]).select("vec_id")
 
-    def probe_hits(n_cells: int) -> tuple[DataFrame, bool]:
-        cand, files = None, set()
-        for c in ann.probe_cells(query, cents, n_cells):
-            part = V.read_version(spark, serving,
-                                  predicates=[("cell", "=", c)]) \
-                .select("vec_id", "sub", "code")
-            files.update(part.inputFiles())
-            cand = part if cand is None else cand.unionByName(part)
-        shortlist = (cand.select(
-            "vec_id",
-            F.element_at(lut_lit,
-                         (F.col("sub") * _PQ["k_codes"]
-                          + F.col("code") + 1).cast("int"))
-            .alias("__u"))
-            .groupBy("vec_id").agg(F.sum("__u").alias("adc_u"))
-            .orderBy(F.desc("adc_u"), "vec_id")
-            .limit(_IVFPQ_MP["shortlist"]))
-        top = (base.join(F.broadcast(shortlist.select("vec_id")),
-                         "vec_id", "left_semi")
-               .select("vec_id",
-                       F.round(similarity.cosine_q(query)
-                               (F.col("embedding")), 6).alias("sim"))
-               .orderBy(F.desc("sim"), "vec_id")
-               .limit(_IVFPQ_MP["k"]))
-        hits = (top.join(bf, "vec_id", "left_semi")
-                .agg(F.count(F.lit(1)).alias("n")))
-        return hits, 0 < len(files) < manifest_n
+    # Single- and multiprobe sides fused into one plan: the nprobe=1
+    # cell set is a PREFIX of the nprobe=4 affinity order
+    # (`probe_cells` slices one sorted list) and a vector's code rows
+    # live in exactly ONE cell, so its ADC sum over the multiprobe
+    # candidates equals its single-probe sum — the single shortlist is
+    # the shared ADC aggregate filtered to prefix-cell vectors.  One
+    # serving read per probed cell (was per cell per side), one ADC
+    # aggregate, one cosine rerank pass over base, one brute-force
+    # semi-join; the per-side top-k becomes a (__side)-partitioned
+    # rank with the identical (desc sim, vec_id) total order.
+    from pyspark.sql.window import Window
 
-    h1, io1 = probe_hits(_IVFPQ_MP["nprobe_single"])
-    hm, iom = probe_hits(_IVFPQ_MP["nprobe_multi"])
+    cells_m = ann.probe_cells(query, cents, _IVFPQ_MP["nprobe_multi"])
+    cells_1 = set(ann.probe_cells(query, cents,
+                                  _IVFPQ_MP["nprobe_single"]))
+    cand, files_1, files_m = None, set(), set()
+    for c in cells_m:
+        part = (V.read_version(spark, serving,
+                               predicates=[("cell", "=", c)])
+                .select("vec_id", "sub", "code")
+                .withColumn("__in1", F.lit(c in cells_1)))
+        files_m.update(part.inputFiles())
+        if c in cells_1:
+            files_1.update(part.inputFiles())
+        cand = part if cand is None else cand.unionByName(part)
+    adc = (cand.select(
+        "vec_id", "__in1",
+        F.element_at(lut_lit,
+                     (F.col("sub") * _PQ["k_codes"]
+                      + F.col("code") + 1).cast("int"))
+        .alias("__u"))
+        .groupBy("vec_id").agg(F.sum("__u").alias("adc_u"),
+                               F.max("__in1").alias("__in1")))
+    sl_1 = (adc.filter(F.col("__in1"))
+            .orderBy(F.desc("adc_u"), "vec_id")
+            .limit(_IVFPQ_MP["shortlist"])
+            .select("vec_id").withColumn("__side", F.lit(0)))
+    sl_m = (adc.orderBy(F.desc("adc_u"), "vec_id")
+            .limit(_IVFPQ_MP["shortlist"])
+            .select("vec_id").withColumn("__side", F.lit(1)))
+    top = (base.join(F.broadcast(sl_1.unionByName(sl_m)), "vec_id")
+           .select("__side", "vec_id",
+                   F.round(similarity.cosine_q(query)
+                           (F.col("embedding")), 6).alias("sim"))
+           .withColumn("__rn", F.row_number().over(
+               Window.partitionBy("__side")
+               .orderBy(F.desc("sim"), "vec_id")))
+           .filter(F.col("__rn") <= _IVFPQ_MP["k"])
+           .select("__side", "vec_id"))
+    hits = (top.join(bf, "vec_id", "left_semi")
+            .groupBy()
+            .agg(F.coalesce(F.sum(F.when(F.col("__side") == 0, 1)),
+                            F.lit(0)).alias("n1"),
+                 F.coalesce(F.sum(F.when(F.col("__side") == 1, 1)),
+                            F.lit(0)).alias("nm")))
+    io1 = 0 < len(files_1) < manifest_n
+    iom = 0 < len(files_m) < manifest_n
     k = _IVFPQ_MP["k"]
-    return (h1.select(F.col("n").alias("n1"))
-            .crossJoin(hm.select(F.col("n").alias("nm")))
+    return (hits
             .select(F.lit(k).cast("long").alias("n_exact"),
                     F.col("n1").cast("long").alias("n_hits_single"),
                     F.col("nm").cast("long").alias("n_hits_multi"),
