@@ -1501,13 +1501,17 @@ def rfm_segment_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders; 1 = most), and Monetary (exact cents; 1 = highest), then
     the <= 125 (r,f,m) cells aggregated — the classic CRM cohort cube.
     Quintiles are row_number-based ((rn-1)*5 DIV n + 1, custkey
-    tiebreak) computed with `operators/windows.global_row_number` —
-    three two-phase range-partitioned passes over the per-customer
-    aggregate (∝ |customers|, never |orders|), NO single-partition
-    window anywhere; the recency anchor is a 1-row broadcast contract
-    frame."""
-    from ..operators.windows import global_row_number
-
+    tiebreak).  The three global orderings share ONE range shuffle:
+    each customer row replicates under a dim tag (0=recency, 1=freq,
+    2=monetary) with its DESC orders negated into a single ascending
+    long key, the tagged union range-partitions on (dim, key, custkey)
+    once, and all three row_numbers fall out of one ≤|partitions|·3-row
+    stats collect (per-(partition, dim) counts + first local index) —
+    one sampling pass, one sort, one offsets job where the previous
+    shape paid three two-phase `global_row_number` passes (~3× the
+    per-job floor on a frame that is ∝ |customers|, never |orders|).
+    NO single-partition window anywhere; the recency anchor is a 1-row
+    broadcast contract frame."""
     (orders,) = _t(spark, sf_dir, "orders")
     base = (orders.groupBy("o_custkey")
             .agg(F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
@@ -1517,17 +1521,52 @@ def rfm_segment_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = F.broadcast(base.agg(F.max("last_d").alias("maxd")))
     base = (base.crossJoin(mx)
             .withColumn("r_days", F.datediff("maxd", "last_d")))
-    d, nt = global_row_number(
-        base, [("r_days", "asc"), ("o_custkey", "asc")], "rn_r")
-    d, _ = global_row_number(
-        d, [("freq", "desc"), ("o_custkey", "asc")], "rn_f")
-    d, _ = global_row_number(
-        d, [("cents", "desc"), ("o_custkey", "asc")], "rn_m")
-    q = d.select(
-        "cents",
-        F.expr(f"CAST((rn_r - 1) * 5 DIV {nt} + 1 AS BIGINT)").alias("r_q"),
-        F.expr(f"CAST((rn_f - 1) * 5 DIV {nt} + 1 AS BIGINT)").alias("f_q"),
-        F.expr(f"CAST((rn_m - 1) * 5 DIV {nt} + 1 AS BIGINT)").alias("m_q"))
+    # (dim, key) replicas: key = the dim's order value, negated where
+    # the original order is DESC — long negation is exact, so ORDER BY
+    # key ASC, custkey ASC is the identical total order per dim.
+    rep = base.select(
+        F.col("o_custkey").alias("ck"), "cents",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("dim"),
+                     F.col("r_days").cast("long").alias("key")),
+            F.struct(F.lit(1).alias("dim"),
+                     (-F.col("freq")).cast("long").alias("key")),
+            F.struct(F.lit(2).alias("dim"),
+                     (-F.col("cents")).cast("long").alias("key"))))
+        .alias("e")).select("ck", "cents", "e.dim", "e.key")
+    np_ = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # persist pins the pid assignment (repartitionByRange samples new
+    # boundaries per job) and the sorted order the local index reads
+    ranged = (rep.repartitionByRange(np_, "dim", "key", "ck")
+              .sortWithinPartitions("dim", "key", "ck")
+              .withColumn("__mid", F.monotonically_increasing_id())
+              .withColumn("__pid", F.shiftright("__mid", 33).cast("int"))
+              .withColumn("__lrn",
+                          F.col("__mid").bitwiseAND((1 << 33) - 1) + 1)
+              .persist())
+    stats = (ranged.groupBy("__pid", "dim")
+             .agg(F.count(F.lit(1)).alias("__c"),
+                  F.min("__lrn").alias("__lo")).collect())
+    off: dict[int, int] = {0: 0, 1: 0, 2: 0}
+    rows = []
+    for r in sorted(stats, key=lambda r: (r["dim"], r["__pid"])):
+        rows.append((r["__pid"], r["dim"], off[r["dim"]], r["__lo"]))
+        off[r["dim"]] += r["__c"]
+    nt = off[0]
+    off_df = F.broadcast(spark.createDataFrame(
+        rows, "__pid int, dim int, __off long, __lo long"))
+    # rn = rows of this dim in earlier partitions + local position
+    # among this partition's same-dim run (contiguous in sort order)
+    q = (ranged.join(off_df, ["__pid", "dim"])
+         .withColumn("rn", F.col("__off") + (F.col("__lrn")
+                                             - F.col("__lo")) + 1)
+         .withColumn(
+             "q", F.expr(f"CAST((rn - 1) * 5 DIV {nt} + 1 AS BIGINT)"))
+         .groupBy("ck")
+         .agg(F.max(F.when(F.col("dim") == 0, F.col("q"))).alias("r_q"),
+              F.max(F.when(F.col("dim") == 1, F.col("q"))).alias("f_q"),
+              F.max(F.when(F.col("dim") == 2, F.col("q"))).alias("m_q"),
+              F.max("cents").alias("cents")))
     return (q.groupBy("r_q", "f_q", "m_q")
             .agg(F.count(F.lit(1)).alias("n_customers"),
                  F.sum("cents").cast("long").alias("tot_cents"))
