@@ -8,6 +8,7 @@ between hours and days over a 100 TB text corpus.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -865,28 +866,55 @@ def rake_keywords(docs: DataFrame, k: int = 20, text_col: str = "text",
     integer sums of them, so the whole ranking value-hashes; ties break
     on the phrase string.
 
-    Plan: posexplode → per-DOC window (partitioned — the phrase
-    segmentation is a running stopword count, never a global sort) →
+    Plan: ONE Arrow-batched linear pass per doc segments the token
+    array into its stopword-free runs (the per-doc running-stopword-
+    count window, the posexplode row blowup and the
+    collect_list/array_sort phrase rebuild all collapse into it — same
+    runs, same in-order " "-joined phrase strings, same lengths), then
     three keyed aggregates (phrase occurrences, word stats, distinct
-    phrases) → top-k.  Everything shuffles on doc, token, or phrase
-    keys; nothing is driver-side."""
-    from pyspark.sql import Window
+    phrases) → top-k.  Everything shuffles on token or phrase keys;
+    nothing is driver-side.  Word stats re-derive the per-occurrence
+    token rows by exploding each phrase's own tokens — row-identical
+    to the old tagged⋈occ join."""
+    from ..session import spread
 
     stop = list(stopwords) if stopwords is not None else list(STOPWORDS)
-    toks = docs.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(bpe_ish_tokens(text_col)).alias("pos", "tok"))
-    w = Window.partitionBy("__id").orderBy("pos")
-    tagged = (toks
-              .withColumn("grp", F.sum(F.col("tok").isin(stop).cast("int"))
-                          .over(w))
-              .filter(~F.col("tok").isin(stop)))
-    occ = tagged.groupBy("__id", "grp").agg(
-        F.array_join(
-            F.transform(F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                        lambda s: s["tok"]), " ").alias("phrase"),
-        F.count(F.lit(1)).alias("plen"))
-    wstats = (tagged.join(occ.select("__id", "grp", "plen"), ["__id", "grp"])
+    stop_set = set(stop)
+
+    # Empties are skipped WITHOUT closing the current run, exactly as
+    # the pre-explode filter dropped them before positions existed.
+    @F.pandas_udf("array<struct<phrase:string,plen:long>>")
+    def _runs(tok_ser: pd.Series) -> pd.Series:
+        out = []
+        for toks in tok_ser:
+            if toks is None:
+                out.append([])
+                continue
+            runs, cur = [], []
+            for t in toks:
+                if not t:
+                    continue
+                if t in stop_set:
+                    if cur:
+                        runs.append({"phrase": " ".join(cur),
+                                     "plen": len(cur)})
+                        cur = []
+                else:
+                    cur.append(t)
+            if cur:
+                runs.append({"phrase": " ".join(cur), "plen": len(cur)})
+            out.append(runs)
+        return pd.Series(out)
+
+    occ = (spread(docs.select(F.col(text_col)), probe=docs)
+           .select(F.explode(_runs(
+               F.split(F.lower(F.col(text_col)), r"[^\p{L}\p{N}]+")))
+               .alias("__r"))
+           .select(F.col("__r.phrase").alias("phrase"),
+                   F.col("__r.plen").alias("plen"))
+           .persist())
+    wstats = (occ.select("plen",
+                         F.explode(F.split("phrase", " ")).alias("tok"))
               .groupBy("tok")
               .agg(F.count(F.lit(1)).alias("freq"),
                    F.sum("plen").alias("degree"))
