@@ -242,6 +242,63 @@ def global_row_number(df: DataFrame, order: list[tuple[str, str]],
     return out, off
 
 
+def global_row_number_grouped(df: DataFrame, group_col: str,
+                              order: list[tuple[str, str]],
+                              out_col: str = "row_number",
+                              num_partitions: int | None = None
+                              ) -> tuple[DataFrame, dict]:
+    """Per-group global row_number — the numbering restarts at 1 for
+    each distinct ``group_col`` value — in ONE range shuffle, where a
+    per-group `global_row_number` loop pays the whole two-phase pass
+    (sampling job + shuffle + persist + counts collect) once per group.
+
+    Range-partition on (group, order...), sort within partitions, and
+    derive every group's offsets from one ≤|partitions|·|groups|-row
+    stats collect: per-(partition, group) row count plus the group's
+    first local index (a group's rows are contiguous in the partition
+    sort order, so its local position is ``__lrn - first + 1``).  The
+    per-group numbering is identical to `global_row_number` run on the
+    group's slice with the same ``order`` — same total order, same
+    two-phase construction.  Returns (DataFrame, {group_value:
+    n_rows_in_group})."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sort_exprs = [F.col(group_col).asc()] + [
+        F.col(c).desc() if d == "desc" else F.col(c).asc()
+        for c, d in order]
+    ranged = (
+        df.repartitionByRange(num_partitions, *sort_exprs)
+        .sortWithinPartitions(*sort_exprs)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.shiftright("__mid", 33).cast("int"))
+        .withColumn("__lrn", F.col("__mid").bitwiseAND((1 << 33) - 1) + 1)
+        .persist()
+    )
+    stats = (ranged.groupBy("__pid", group_col)
+             .agg(F.count(F.lit(1)).alias("__c"),
+                  F.min("__lrn").alias("__lo")).collect())
+    off: dict = {}
+    rows = []
+    for r in sorted(stats, key=lambda r: (r[group_col], r["__pid"])):
+        g = r[group_col]
+        rows.append((r["__pid"], g, off.get(g, 0), r["__lo"]))
+        off[g] = off.get(g, 0) + r["__c"]
+    gtype = df.schema[group_col].dataType.simpleString()
+    off_df = F.broadcast(spark.createDataFrame(
+        rows, f"__pid int, {group_col} {gtype}, __off long, __lo long")
+        if rows else spark.createDataFrame(
+            [], f"__pid int, {group_col} {gtype}, __off long, __lo long"))
+    out = (
+        ranged.join(off_df, ["__pid", group_col])
+        .withColumn(out_col,
+                    (F.col("__off") + F.col("__lrn") - F.col("__lo") + 1)
+                    .cast("long"))
+        .drop("__pid", "__lrn", "__off", "__lo", "__mid")
+    )
+    return out, off
+
+
 def global_ranks(df: DataFrame, order: list[tuple[str, str]],
                  ntile: int | None = None,
                  num_partitions: int | None = None,

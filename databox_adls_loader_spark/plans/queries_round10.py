@@ -642,20 +642,21 @@ def corpus_pack_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     the training lane: epoch N's batch sequence is a pure function of
     (corpus version, epoch, seed)."""
     from ..operators.seqpack import epoch_order
-    from ..operators.windows import global_row_number
+    from ..operators.windows import global_row_number_grouped
     from ..sinks import versioned as V
     from .queries_round9 import _packed_windows_table
 
     t, _ = _packed_windows_table(spark, sf_dir)
     packed = V.read_version(spark, t)
-    parts = []
-    for e in (1, 2):
-        keyed = epoch_order(packed, e)
-        ranked, _n = global_row_number(
-            keyed, [("order_key", "asc"), ("g", "asc"), ("win", "asc")],
-            out_col="epoch_rank")
-        parts.append(ranked.withColumn("epoch", F.lit(e)))
-    out = parts[0].unionByName(parts[1])
+    # both epochs ride ONE two-phase rank pass (grouped by epoch, rank
+    # restarting per epoch — identical numbering to the per-epoch loop)
+    keyed = (epoch_order(packed, 1).withColumn("epoch", F.lit(1))
+             .unionByName(epoch_order(packed, 2)
+                          .withColumn("epoch", F.lit(2))))
+    out, _n = global_row_number_grouped(
+        keyed, "epoch",
+        [("order_key", "asc"), ("g", "asc"), ("win", "asc")],
+        out_col="epoch_rank")
     return (out.select("epoch", "g", "win", "order_key", "epoch_rank")
             .orderBy("epoch", "epoch_rank"))
 

@@ -939,21 +939,22 @@ def corpus_incremental_epoch_order(spark: SparkSession,
     this would be unattainable: any window the delta path placed
     differently would reorder every later batch."""
     from ..operators.seqpack import epoch_order
-    from ..operators.windows import global_row_number
+    from ..operators.windows import global_row_number_grouped
     from ..sinks import catalog as C
 
     _dirs, cat, _nr, _ic, _at = _incr_assembled(spark, sf_dir)
     # win > 0: see corpus_incremental_assemble — isolated negative
     # windows (oversize docs) are outside the oracle's packed universe
     packed = C.read_table(spark, cat, "shards").filter(F.col("win") > 0)
-    parts = []
-    for e in (1, 2):
-        keyed = epoch_order(packed, e)
-        ranked, _n = global_row_number(
-            keyed, [("order_key", "asc"), ("g", "asc"), ("win", "asc")],
-            out_col="epoch_rank")
-        parts.append(ranked.withColumn("epoch", F.lit(e)))
-    out = parts[0].unionByName(parts[1])
+    # both epochs ride ONE two-phase rank pass (grouped by epoch, rank
+    # restarting per epoch — identical numbering to the per-epoch loop)
+    keyed = (epoch_order(packed, 1).withColumn("epoch", F.lit(1))
+             .unionByName(epoch_order(packed, 2)
+                          .withColumn("epoch", F.lit(2))))
+    out, _n = global_row_number_grouped(
+        keyed, "epoch",
+        [("order_key", "asc"), ("g", "asc"), ("win", "asc")],
+        out_col="epoch_rank")
     return (out.select("epoch", "g", "win", "order_key", "epoch_rank")
             .orderBy("epoch", "epoch_rank"))
 

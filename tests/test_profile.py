@@ -165,6 +165,33 @@ def test_global_ranks_rank_ties_on_prefix(spark):
     assert by_v[3] == {(4, 3)}
 
 
+def test_global_row_number_grouped_matches_per_group_loop(spark):
+    """The one-shuffle grouped rank must be bit-identical (values AND
+    Spark types) to running global_row_number on each group's slice —
+    uneven group sizes and a group that straddles range partitions."""
+    from databox_adls_loader_spark.operators.windows import (
+        global_row_number, global_row_number_grouped)
+    df = spark.createDataFrame(
+        [Row(g=g, v=float(v), id=i) for i, (g, v) in enumerate(
+            [(1, 9), (2, 3), (1, 7), (1, 7), (2, 11), (1, 2), (3, 5),
+             (1, 4), (2, 8), (1, 1), (3, 5), (2, 6)])])
+    order = [("v", "desc"), ("id", "asc")]
+    got_df, got_n = global_row_number_grouped(
+        df, "g", order, out_col="rn", num_partitions=4)
+    got = {(r["g"], r["id"]): r["rn"] for r in got_df.collect()}
+    want, want_n = {}, {}
+    for g in (1, 2, 3):
+        part, n = global_row_number(
+            df.filter(F.col("g") == g), order, out_col="rn",
+            num_partitions=4)
+        want_n[g] = n
+        for r in part.collect():
+            want[(r["g"], r["id"])] = r["rn"]
+    assert got == want
+    assert got_n == want_n
+    assert dict(got_df.dtypes)["rn"] == "bigint"
+
+
 def test_sql_passthrough_matches_dataframe_plan(spark, sf_dir):
     """The SQL string and an equivalent DataFrame build must agree —
     the two front ends share one Catalyst plan space."""
