@@ -540,18 +540,24 @@ def shared_span_pairs(docs: DataFrame, text_col: str = "text",
     fraction shuffles on the probe side.  Window hashes are md5-derived
     (md5_long) so the whole operator is oracle-checkable; swap xxhash64
     in for pure production runs."""
-    c = F.col(text_col)
+    c = F.col("__t")
     n = F.greatest(F.length(c) - (window - 1), F.lit(0))
     # guard: F.sequence(1, 0) yields a DESCENDING [1, 0], not empty —
     # docs shorter than the window must contribute no rows
     positions = F.when(n >= 1, F.sequence(F.lit(1), n)) \
         .otherwise(F.array().cast("array<int>"))
     # wh feeds both join sides — persist so the explode + 1.5M-row md5
-    # pass runs once (caller releases post-action, cache.release_cached)
-    wh = docs.select(
+    # pass runs once (caller releases post-action, cache.release_cached).
+    # spread (r14, measured): the ~300 substring+md5 evaluations per doc
+    # dominate a tiny text exchange when the scan under-splits, and the
+    # persist means the exchange runs exactly once
+    from ..session import spread
+
+    wh = spread(docs.select(F.col(id_col), F.col(text_col).alias("__t")),
+                id_col, probe=docs).select(
         F.col(id_col).alias("id"),
         F.explode(positions).alias("pos"),
-        c.alias("__t"),
+        F.col("__t"),
     ).select("id", "pos",
              md5_long(F.substring("__t", F.col("pos"), F.lit(window)))
              .alias("h")).persist()
@@ -582,8 +588,15 @@ def novelty_signals(docs: DataFrame, text_col: str = "text",
     aggregate — the only shuffles are one on the gram and two on the
     (tiny) doc id.  The gram shuffle keys on the string to stay
     oracle-exact; at 100 TB key it on the 64-bit gram hash instead."""
-    sh = docs.select(F.col(id_col),
-                     F.explode(word_shingles(text_col, n)).alias("g")) \
+    from ..session import spread
+
+    # spread (r14, measured): per-row shingle concat work dominates a
+    # tiny text exchange on an under-split scan; the persist runs the
+    # exchange once for both consumers
+    sh = spread(docs.select(F.col(id_col), F.col(text_col)), id_col,
+                probe=docs) \
+        .select(F.col(id_col),
+                F.explode(word_shingles(text_col, n)).alias("g")) \
         .persist()  # feeds the gram agg and the per-doc sizes; caller releases
     per_gram = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"),
                                    F.min(id_col).alias("__owner"))
@@ -625,19 +638,30 @@ def contamination(docs: DataFrame, bench: DataFrame | Column, n: int = 3,
     boolean Column predicate over ``docs`` — the predicate form derives
     the benchmark grams from the corpus explode itself, so held-in
     benchmarks (the common eval-split case) shingle the text ONCE
-    instead of twice."""
+    instead of twice.
+
+    The corpus side rides a ``spread`` (r14, measured): the per-row
+    shingle+hash work (~300 grams/doc concatenated and xxhashed) far
+    outweighs exchanging the raw text when the scan under-splits — the
+    exact arm halved (noop 1.31 → 0.63 at sf0.1 on a single-row-group
+    scan); no-op at ≥ parallelism partitions by construction."""
+    from ..session import spread
+
     if isinstance(bench, Column):
         # held-in benchmark: one shingle explode feeds both the benchmark
         # gram set and the probe side (persisted; caller releases
         # post-action via cache.release_cached)
-        both = docs.select(
-            F.col(id_col), bench.alias("__is_bench"),
+        both = spread(docs.select(F.col(id_col), F.col(text_col),
+                                  bench.alias("__is_bench")),
+                      id_col, probe=docs).select(
+            F.col(id_col), F.col("__is_bench"),
             F.explode(word_shingles(text_col, n)).alias("__g"),
         ).select(id_col, "__is_bench", F.xxhash64("__g").alias("g")).persist()
         d_sh = both.select(id_col, "g")
         b_sh = both.filter(F.col("__is_bench")).select("g").distinct()
     else:
-        d_sh = docs.select(
+        d_sh = spread(docs.select(F.col(id_col), F.col(text_col)),
+                      id_col, probe=docs).select(
             F.col(id_col),
             F.explode(word_shingles(text_col, n)).alias("__g"),
         ).select(id_col, F.xxhash64("__g").alias("g"))
@@ -686,8 +710,15 @@ def contamination_overlap_ratio(docs: DataFrame, bench: Column, n: int = 3,
     broadcast bounded by the benchmark's gram vocabulary (swap in the
     Bloom bitmap of `contamination_bloom` when that outgrows broadcast
     budgets)."""
-    both = docs.select(
-        F.col(id_col), bench.alias("__is_bench"),
+    from ..session import spread
+
+    # spread (r14, measured like `contamination`): shingle+hash per-row
+    # work dominates the text exchange on an under-split scan; the
+    # persist runs the exchange once for all three consumers
+    both = spread(docs.select(F.col(id_col), F.col(text_col),
+                              bench.alias("__is_bench")),
+                  id_col, probe=docs).select(
+        F.col(id_col), F.col("__is_bench"),
         F.explode(word_shingles(text_col, n)).alias("__g"),
     ).select(id_col, "__is_bench", F.xxhash64("__g").alias("g")).persist()
     sizes = both.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
@@ -724,11 +755,17 @@ def bloom_build(bench: DataFrame, text_col: str = "text", n: int = 3,
     own capacity), never by corpus size — at 10⁹ benchmark grams you size
     m_bits ≈ 10·n_grams and the bitmap is m_bits/8 bytes (a 2³⁰-bit
     filter is 128 MB) broadcast once per executor, vs. a multi-GB exact
-    gram set that may not fit in driver or executor memory at all."""
-    from ..session import spread
+    gram set that may not fit in driver or executor memory at all.
 
-    grams = (spread(bench.select(F.col(text_col)))
-             .select(F.explode(word_shingles(text_col, n)).alias("__g")))
+    No ``spread`` here (r14, measured): every extra partition on the
+    build side costs a whole m_bits bitmap alloc + packbits + m_bits/8
+    driver bytes, so forcing a tiny single-row-group bench up to
+    defaultParallelism more than doubled the build (0.32 → 0.75 s at
+    sf0.1) — the opposite of the probe side, where per-row shingle work
+    dominates.  At 100 TB the bench scan is already multi-partition and
+    the map-side bitmaps parallelize by themselves (guide §2.5: spread
+    only where per-row work dominates the exchange)."""
+    grams = bench.select(F.explode(word_shingles(text_col, n)).alias("__g"))
     return bloom_bitmap_from_grams(grams, "__g", m_bits, k_hashes)
 
 
@@ -744,14 +781,13 @@ def bloom_bitmap_from_grams(grams: DataFrame, gram_col: str = "__g",
     import pandas as pd
 
     # One flat projection of the k positions (no second explode), then
-    # the bitmap is built MAP-SIDE per partition and OR-folded on the
-    # driver: a bitmap is a set union, so per-partition bitmaps OR to
-    # exactly the bitmap the old exchange→distinct→collect path built —
-    # but the shuffle of every (gram, position) row and the
-    # O(distinct positions) driver collect are gone; what crosses to the
-    # driver is |partitions| × m_bits/8 bytes (guide §2.3 "shuffle fewer
-    # bytes", §5.1 — at very large clusters fold partial bitmaps with a
-    # treeAggregate instead of one collect).
+    # the bitmap is built MAP-SIDE per partition and OR-folded: a bitmap
+    # is a set union, so per-partition bitmaps OR to exactly the bitmap
+    # the old exchange→distinct→collect path built — but the shuffle of
+    # every (gram, position) row and the O(distinct positions) driver
+    # collect are gone; what crosses to the driver is ≤ 64 × m_bits/8
+    # bytes (flat collect at local partition counts, treeAggregate past
+    # that — guide §2.3 "shuffle fewer bytes", §5.1).
     n_words = (m_bits + 63) // 64
     pos = grams.select(
         *[F.pmod(F.xxhash64(gram_col, F.lit(i)), F.lit(m_bits))
@@ -774,8 +810,28 @@ def bloom_bitmap_from_grams(grams: DataFrame, gram_col: str = "__g",
             packed = np.packbits(bits, bitorder="little").tobytes()
             yield pd.DataFrame({"bm": [packed]})
 
+    bm_df = pos.mapInPandas(part_bitmaps, "bm binary")
     words = np.zeros(n_words, dtype=np.uint64)
-    for row in pos.mapInPandas(part_bitmaps, "bm binary").collect():
+    # the fold is a driver collect at local/bench partition counts, but a
+    # treeAggregate once the scan carries cluster-scale partitions: the
+    # driver then receives O(√partitions) partial bitmaps instead of
+    # O(partitions) × m_bits/8 bytes (guide §5.1 — at 4096 partitions and
+    # a 2³⁰-bit filter the flat collect would be 512 GB of driver
+    # transfer; the tree caps it at 64 bitmaps).  The RDD handle is
+    # shared between the partition-count probe and the fold, so the
+    # plan is built once either way.
+    rdd = bm_df.rdd
+    if rdd.getNumPartitions() > 64:
+        def _seq(acc, row):
+            acc |= np.frombuffer(row["bm"], dtype="<u8")
+            return acc
+
+        def _comb(a, b):
+            a |= b
+            return a
+
+        return rdd.treeAggregate(words, _seq, _comb, depth=2)
+    for row in rdd.collect():
         words |= np.frombuffer(row["bm"], dtype="<u8")
     return words
 

@@ -1079,6 +1079,10 @@ def dedup_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import contamination, contamination_bloom
     (docs,) = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 17 == 0)
+    # r14 A/B'd and REVERTED: the held-in predicate form of the exact arm
+    # (one shared shingle pass) measured SLOWER here (collect 1.74 → 1.92
+    # min-of-5) — persisting the full corpus explode costs more than
+    # re-shingling the tiny bench slice.
     exact = contamination(docs, bench)
     bloom = (contamination_bloom(docs, bench)
              .withColumnRenamed("doc_id", "b_doc_id"))

@@ -1,4 +1,4 @@
-"""Round-13 optimization measurement harness.
+"""Round-14 optimization measurement harness.
 
 For each named registry query: time the computation with the NOOP sink
 (guide §1.4 — eager full-column compute, no collect cost), min of N
@@ -24,7 +24,7 @@ import time
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO_ROOT)
 
-PLAN_DIR = os.path.join(REPO_ROOT, "plans", "r13")
+PLAN_DIR = os.path.join(REPO_ROOT, "plans", "r14")
 
 
 def main() -> None:
