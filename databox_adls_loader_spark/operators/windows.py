@@ -30,6 +30,12 @@ def exclusive_running_sum(df: DataFrame, order_col: str, value: Column,
     broadcast offsets in the same exact type.  The per-partition totals
     collect is ≤ num_partitions rows — O(cluster size), not O(data).
 
+    Output invariant (callers may rely on it): the returned frame is
+    range-partitioned ASCENDING on ``order_col`` and sorted by it within
+    each partition — partitions enumerate in global key order, so a
+    final ``ORDER BY order_col`` downstream needs only a
+    ``sortWithinPartitions``, never a new range exchange.
+
     Round-13 shape (guide §2.4): the local prefix used to be a
     ``Window.partitionBy(__pid)`` — but the data is RANGE-partitioned,
     so that window re-shuffled every row by hash(__pid) and the caller's
