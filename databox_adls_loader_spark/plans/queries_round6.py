@@ -2467,6 +2467,7 @@ def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_contamination_multibench` (one tokenizer across the dedup
     suite)."""
     from ..operators.dedup import word_shingles
+    from ..session import spread
 
     (docs,) = _t(spark, sf_dir, "documents")
     # r13: one groupBy(gram) + collect_set(source) replaces the former
@@ -2476,8 +2477,13 @@ def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the source_a < source_b join predicate, so shared_grams counts the
     # same gram set.  Per-gram arrays are bounded by |sources|, never by
     # corpus size.
-    sh = docs.select("source",
-                     F.explode(word_shingles("text", 3)).alias("gram"))
+    # r14: spread the corpus before the explode — per-row shingle work
+    # dominates the text exchange on an under-split scan and the gram
+    # agg is the single consumer (collect min-of-5 1.71 → 0.95; the old
+    # self-join shape re-measured 1.73 on the same host, confirming the
+    # r13 rewrite itself was never the driver regression).
+    sh = spread(docs.select("source", "text"), probe=docs).select(
+        "source", F.explode(word_shingles("text", 3)).alias("gram"))
     per_gram = (sh.groupBy("gram")
                 .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
                 .filter(F.size("srcs") >= 2))
